@@ -1,0 +1,14 @@
+"""Test config: run JAX on a virtual 8-device CPU mesh (no TPU required).
+
+Mirrors the reference test philosophy (vvenc cmake/modules/vvencTests.cmake):
+kernel-vs-reference equivalence and bitstream round-trip tests must pass on
+any host; TPU benchmarks are separate (bench.py).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
