@@ -7,7 +7,9 @@ any host; TPU benchmarks are separate (bench.py).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU for unit tests even when the session env points at a TPU
+# (bench.py is the TPU entry point); must be set before jax imports
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,236 @@
+"""VVC primary transforms (DCT-2 family) + quantization.
+
+Transform matrices are the normative integer tables of ITU-T H.266 8.7.4.1.
+The whole DCT-2 family (2..64 points) is generated from the 63 tuned base
+values using the even-row recursion (an N-point even row embeds the N/2-point
+matrix symmetrically) and the odd-row cosine index mapping — this reproduces
+the spec tables exactly (verified against known 4/8-point rows in tests).
+
+Shift conventions (behavioral reference: vvenc CommonLib/TrQuant.cpp:544-545
+forward, :608-609 inverse; CommonLib/Quant.cpp:735 quant, :520 dequant):
+
+  forward:  shift1 = log2W + bitDepth + 6 - 15,  shift2 = log2H + 6
+  inverse:  shift1 = 7, shift2 = 20 - bitDepth, 16-bit clamp between stages
+  transformShift = 15 - bitDepth - (log2W + log2H)//2
+  quant:    q = sign * ((|c| * qScale[qp%6] + deadzone) >> (14 + qp//6 + transformShift))
+  dequant:  d = clip16(((q * invScale[qp%6] << qp//6) + rnd) >> (6 - transformShift))
+
+Blocks with odd log2(W*H) use the sqrt(2)-compensated scale rows.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# 63 tuned base values of the DCT-2 family (H.266 8.7.4.1 tables): group g
+# holds the odd-row defining values of the 2^(g+1)-point matrix.
+_DCT2_BASE = [
+    [64],
+    [83, 36],
+    [89, 75, 50, 18],
+    [90, 87, 80, 70, 57, 43, 25, 9],
+    [90, 90, 88, 85, 82, 78, 73, 67, 61, 54, 46, 38, 31, 22, 13, 4],
+    [91, 90, 90, 90, 88, 87, 86, 84, 83, 81, 79, 77, 73, 71, 69, 65,
+     62, 59, 56, 52, 48, 44, 41, 37, 33, 28, 24, 20, 15, 11, 7, 2],
+]
+
+MAX_LOG2_TR_DYN_RANGE = 15
+COEFF_MIN = -(1 << MAX_LOG2_TR_DYN_RANGE)
+COEFF_MAX = (1 << MAX_LOG2_TR_DYN_RANGE) - 1
+
+# g_quantScales / g_invQuantScales (H.266 8.7.3 levelScale; row 1 = sqrt2 adj)
+QUANT_SCALES = np.array([
+    [26214, 23302, 20560, 18396, 16384, 14564],
+    [18396, 16384, 14564, 13107, 11651, 10280]], dtype=np.int64)
+INV_QUANT_SCALES = np.array([
+    [40, 45, 51, 57, 64, 72],
+    [57, 64, 72, 80, 90, 102]], dtype=np.int64)
+
+
+@lru_cache(maxsize=None)
+def dct2_matrix(n: int) -> np.ndarray:
+    """N-point DCT-2 integer matrix (rows = basis vectors), H.266 8.7.4.1."""
+    if n == 2:
+        a = _DCT2_BASE[0][0]
+        return np.array([[a, a], [a, -a]], dtype=np.int32)
+    half = dct2_matrix(n // 2)
+    t = np.zeros((n, n), dtype=np.int32)
+    # even rows: symmetric embedding of the N/2-point matrix
+    t[0::2, : n // 2] = half
+    t[0::2, n // 2:] = half[:, ::-1]
+    # odd rows: cosine index mapping into this size's defining values
+    vals = _DCT2_BASE[n.bit_length() - 2]
+    for j in range(n // 2):
+        for col in range(n):
+            tt = ((2 * j + 1) * (2 * col + 1)) % (4 * n)
+            if tt > 2 * n:
+                tt = 4 * n - tt
+            sign = 1 if tt < n else -1
+            tp = tt if tt < n else 2 * n - tt
+            t[2 * j + 1, col] = sign * vals[(tp - 1) // 2]
+    return t
+
+
+def _dct2_jnp(n: int):
+    # constant-folded inside jit; do NOT cache the traced array (leak)
+    return jnp.asarray(dct2_matrix(n), dtype=jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# numpy golden model (spec semantics, used by the subset decoder)
+# ---------------------------------------------------------------------------
+
+def fwd_transform_np(resi: np.ndarray, bit_depth: int = 10) -> np.ndarray:
+    """Forward 2-D DCT-2 of one block [H, W] of residuals -> coeffs [H, W]."""
+    h, w = resi.shape
+    log2w, log2h = w.bit_length() - 1, h.bit_length() - 1
+    shift1 = log2w + bit_depth + 6 - MAX_LOG2_TR_DYN_RANGE
+    shift2 = log2h + 6
+    tw = dct2_matrix(w).astype(np.int64)
+    th = dct2_matrix(h).astype(np.int64)
+    # horizontal stage: rows of resi against T_w^T
+    tmp = (resi.astype(np.int64) @ tw.T + (1 << (shift1 - 1))) >> shift1
+    tmp = np.clip(tmp, COEFF_MIN, COEFF_MAX)
+    out = (th @ tmp + (1 << (shift2 - 1))) >> shift2
+    return np.clip(out, COEFF_MIN, COEFF_MAX).astype(np.int32)
+
+
+def inv_transform_np(coeff: np.ndarray, bit_depth: int = 10) -> np.ndarray:
+    """Inverse 2-D DCT-2 (H.266 8.7.4): coeffs [H, W] -> residual [H, W]."""
+    h, w = coeff.shape
+    shift1 = 7
+    shift2 = 20 - bit_depth
+    tw = dct2_matrix(w).astype(np.int64)
+    th = dct2_matrix(h).astype(np.int64)
+    # vertical stage first (columns), then horizontal
+    tmp = (th.T @ coeff.astype(np.int64) + (1 << (shift1 - 1))) >> shift1
+    tmp = np.clip(tmp, COEFF_MIN, COEFF_MAX)
+    out = (tmp @ tw + (1 << (shift2 - 1))) >> shift2
+    return np.clip(out, COEFF_MIN, COEFF_MAX).astype(np.int32)
+
+
+def transform_shift(w: int, h: int, bit_depth: int) -> int:
+    return MAX_LOG2_TR_DYN_RANGE - bit_depth - \
+        ((w.bit_length() - 1 + h.bit_length() - 1) >> 1)
+
+
+def needs_sqrt2(w: int, h: int) -> bool:
+    return (((w * h).bit_length() - 1) & 1) == 1
+
+
+def quant_np(coeff: np.ndarray, qp: int, bit_depth: int = 10,
+             is_intra_slice: bool = True) -> np.ndarray:
+    """Scalar quantization (vvenc Quant::xQuant deadzone convention)."""
+    h, w = coeff.shape
+    sqrt2 = needs_sqrt2(w, h)
+    tshift = transform_shift(w, h, bit_depth) + (-1 if sqrt2 else 0)
+    qbits = 14 + qp // 6 + tshift
+    scale = int(QUANT_SCALES[1 if sqrt2 else 0][qp % 6])
+    add = (171 if is_intra_slice else 85) << (qbits - 9)
+    mag = (np.abs(coeff.astype(np.int64)) * scale + add) >> qbits
+    return np.clip(np.sign(coeff) * mag, COEFF_MIN, COEFF_MAX).astype(np.int32)
+
+
+def dequant_np(qcoeff: np.ndarray, qp: int, bit_depth: int = 10) -> np.ndarray:
+    """Spec dequantization (H.266 8.7.3, flat scaling list)."""
+    h, w = qcoeff.shape
+    sqrt2 = needs_sqrt2(w, h)
+    tshift = transform_shift(w, h, bit_depth) + (-1 if sqrt2 else 0)
+    right_shift = 6 - (tshift + qp // 6)
+    scale = int(INV_QUANT_SCALES[1 if sqrt2 else 0][qp % 6])
+    q = np.clip(qcoeff.astype(np.int64), -(1 << 15), (1 << 15) - 1)
+    if right_shift > 0:
+        add = 1 << (right_shift - 1)
+        d = (q * scale + add) >> right_shift
+    else:
+        d = (q * scale) << (-right_shift)
+    return np.clip(d, COEFF_MIN, COEFF_MAX).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# JAX batched path (TPU): blocks stacked on a leading axis, matmuls on MXU
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("w", "h", "bit_depth"))
+def fwd_transform_batch(resi: jax.Array, w: int, h: int,
+                        bit_depth: int = 10) -> jax.Array:
+    """Forward DCT-2 of a batch of blocks [B, H, W] (int32) -> [B, H, W].
+
+    Integer-exact: carried in int32 which holds all intermediates for
+    bit_depth <= 10 (|tmp| < 2^16, matrix entries < 2^7, W <= 64 ->
+    products < 2^29).
+    """
+    log2w, log2h = w.bit_length() - 1, h.bit_length() - 1
+    shift1 = log2w + bit_depth + 6 - MAX_LOG2_TR_DYN_RANGE
+    shift2 = log2h + 6
+    tw = _dct2_jnp(w)
+    th = _dct2_jnp(h)
+    tmp = jax.lax.dot_general(
+        resi, tw.T, (((2,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+    tmp = (tmp + (1 << (shift1 - 1))) >> shift1
+    tmp = jnp.clip(tmp, COEFF_MIN, COEFF_MAX)
+    out = jnp.einsum("ij,bjk->bik", th, tmp,
+                     preferred_element_type=jnp.int32)
+    out = (out + (1 << (shift2 - 1))) >> shift2
+    return jnp.clip(out, COEFF_MIN, COEFF_MAX)
+
+
+@partial(jax.jit, static_argnames=("w", "h", "bit_depth"))
+def inv_transform_batch(coeff: jax.Array, w: int, h: int,
+                        bit_depth: int = 10) -> jax.Array:
+    """Inverse DCT-2 of a batch of blocks [B, H, W] (int32)."""
+    shift1 = 7
+    shift2 = 20 - bit_depth
+    tw = _dct2_jnp(w)
+    th = _dct2_jnp(h)
+    tmp = jnp.einsum("ji,bjk->bik", th, coeff,
+                     preferred_element_type=jnp.int32)
+    tmp = (tmp + (1 << (shift1 - 1))) >> shift1
+    tmp = jnp.clip(tmp, COEFF_MIN, COEFF_MAX)
+    out = jax.lax.dot_general(
+        tmp, tw, (((2,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+    out = (out + (1 << (shift2 - 1))) >> shift2
+    return jnp.clip(out, COEFF_MIN, COEFF_MAX)
+
+
+@partial(jax.jit, static_argnames=("w", "h", "qp", "bit_depth", "is_intra_slice"))
+def quant_batch(coeff: jax.Array, w: int, h: int, qp: int,
+                bit_depth: int = 10, is_intra_slice: bool = True) -> jax.Array:
+    """Scalar quantization of a batch [B, H, W] -> quantized levels [B, H, W].
+
+    Uses float64-free integer math: products fit in int64 (jax int64 disabled
+    by default, so split the multiply: scale < 2^15, |coeff| < 2^16 -> use
+    int32 with a two-step shift).  We instead compute in float32 with exact
+    integer rounding: |c|*scale <= 2^31 exceeds float32 exactness, so use
+    (|c| >> pre) staging.  Simplest exact route: int64 via config override is
+    avoided; do the multiply in two int32 halves.
+    """
+    sqrt2 = needs_sqrt2(w, h)
+    tshift = transform_shift(w, h, bit_depth) + (-1 if sqrt2 else 0)
+    qbits = 14 + qp // 6 + tshift
+    scale = int(QUANT_SCALES[1 if sqrt2 else 0][qp % 6])
+    add = (171 if is_intra_slice else 85) << (qbits - 9)
+    a = jnp.abs(coeff)
+    # |c| <= 2^15, scale < 2^15 -> product < 2^30: fits int32 exactly
+    mag = (a * scale + add) >> qbits
+    return jnp.sign(coeff) * mag
+
+
+@partial(jax.jit, static_argnames=("w", "h", "qp", "bit_depth"))
+def dequant_batch(qcoeff: jax.Array, w: int, h: int, qp: int,
+                  bit_depth: int = 10) -> jax.Array:
+    sqrt2 = needs_sqrt2(w, h)
+    tshift = transform_shift(w, h, bit_depth) + (-1 if sqrt2 else 0)
+    right_shift = 6 - (tshift + qp // 6)
+    scale = int(INV_QUANT_SCALES[1 if sqrt2 else 0][qp % 6])
+    q = jnp.clip(qcoeff, -(1 << 15), (1 << 15) - 1)
+    if right_shift > 0:
+        d = (q * scale + (1 << (right_shift - 1))) >> right_shift
+    else:
+        d = (q * scale) << (-right_shift)
+    return jnp.clip(d, COEFF_MIN, COEFF_MAX)
