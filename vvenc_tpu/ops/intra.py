@@ -1,0 +1,354 @@
+"""VVC intra prediction — numpy golden model (spec semantics).
+
+Implements ITU-T H.266 8.4.5.2: reference sample filtering (MDIS), planar,
+DC, the 65 angular modes with wide-angle mapping, 4-tap luma interpolation
+(cubic DCT-IF / smoothing), 2-tap chroma interpolation, and PDPC.
+
+Behavioral reference: vvenc CommonLib/IntraPrediction.cpp
+(xPredIntraPlanar_Core:79, xGetPredValDc:302, initPredIntraParams:409,
+xPredIntraAng:518, xFilterReferenceSamples:994, PDPC kernels :137-189).
+
+Reference sample layout used here:
+  top[0]  = reconstructed sample at (-1, -1)  (corner)
+  top[k]  = sample at (x + k - 1, y - 1), k = 1 .. 2W (+padding)
+  left[0] = corner, left[k] = sample at (x - 1, y + k - 1), k = 1 .. 2H
+
+The batched TPU search path lives in intra_batch.py; this module is the
+bit-exact scalar model used by the subset decoder and as the test oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+PLANAR_IDX = 0
+DC_IDX = 1
+HOR_IDX = 18
+DIA_IDX = 34
+VER_IDX = 50
+VDIA_IDX = 66
+NUM_LUMA_MODE = 67
+
+# intraPredAngle / invAngle tables (H.266 Table 27 / 8.4.5.2.12)
+ANG_TABLE = np.array([0, 1, 2, 3, 4, 6, 8, 10, 12, 14, 16, 18, 20, 23, 26,
+                      29, 32, 35, 39, 45, 51, 57, 64, 73, 86, 102, 128, 171,
+                      256, 341, 512, 1024], dtype=np.int32)
+INV_ANG_TABLE = np.array([0, 16384, 8192, 5461, 4096, 2731, 2048, 1638, 1365,
+                          1170, 1024, 910, 819, 712, 630, 565, 512, 468, 420,
+                          364, 321, 287, 256, 224, 191, 161, 128, 96, 64, 48,
+                          32, 16], dtype=np.int32)
+
+# MDIS thresholds indexed by (log2W+log2H)>>1 (vvenc m_aucIntraFilter)
+MDIS_THRESH = [24, 24, 24, 14, 2, 0, 0, 0]
+
+# 4-tap chroma/cubic interpolation filter, 32 phases (H.266 Table 33)
+CHROMA_FILTER = np.array([
+    [0, 64, 0, 0], [-1, 63, 2, 0], [-2, 62, 4, 0], [-2, 60, 7, -1],
+    [-2, 58, 10, -2], [-3, 57, 12, -2], [-4, 56, 14, -2], [-4, 55, 15, -2],
+    [-4, 54, 16, -2], [-5, 53, 18, -2], [-6, 52, 20, -2], [-6, 49, 24, -3],
+    [-6, 46, 28, -4], [-5, 44, 29, -4], [-4, 42, 30, -4], [-4, 39, 33, -4],
+    [-4, 36, 36, -4], [-4, 33, 39, -4], [-4, 30, 42, -4], [-4, 29, 44, -5],
+    [-4, 28, 46, -6], [-3, 24, 49, -6], [-2, 20, 52, -6], [-2, 18, 53, -5],
+    [-2, 16, 54, -4], [-2, 15, 55, -4], [-2, 14, 56, -4], [-2, 12, 57, -3],
+    [-2, 10, 58, -2], [-1, 7, 60, -2], [0, 4, 62, -2], [0, 2, 63, -1],
+    [0, 0, 64, 0]], dtype=np.int32)
+
+
+def smoothing_filter(frac: int) -> np.ndarray:
+    """Intra Gaussian-like smoothing 4-tap (computed per H.266 8.4.5.2.12)."""
+    return np.array([16 - (frac >> 1), 32 - (frac >> 1),
+                     16 + (frac >> 1), frac >> 1], dtype=np.int32)
+
+
+def wide_angle_map(w: int, h: int, mode: int) -> int:
+    """Map signalled mode to extended (wide-angle) mode (8.4.5.2.7)."""
+    if DC_IDX < mode <= VDIA_IDX:
+        mode_shift = [0, 6, 10, 12, 14, 15]
+        delta = abs((w.bit_length() - 1) - (h.bit_length() - 1))
+        if w > h and mode < 2 + mode_shift[delta]:
+            mode += VDIA_IDX - 1
+        elif h > w and mode > VDIA_IDX - mode_shift[delta]:
+            mode -= VDIA_IDX - 1
+    return mode
+
+
+def is_integer_slope(abs_ang: int) -> bool:
+    return (abs_ang & 31) == 0
+
+
+class IntraParams:
+    __slots__ = ("is_ver", "angle", "abs_inv_angle", "ref_filter",
+                 "interp", "apply_pdpc", "angular_scale", "pred_mode")
+
+
+def intra_params(w: int, h: int, mode: int, is_luma: bool = True) -> IntraParams:
+    """Derive prediction parameters (vvenc initPredIntraParams:409)."""
+    p = IntraParams()
+    pred_mode = wide_angle_map(w, h, mode)
+    p.pred_mode = pred_mode
+    p.is_ver = pred_mode >= DIA_IDX
+    p.ref_filter = False
+    p.interp = False
+    p.apply_pdpc = w >= 4 and h >= 4
+    p.angle = 0
+    p.abs_inv_angle = 0
+    p.angular_scale = 0
+    angle_mode = (pred_mode - VER_IDX) if p.is_ver else -(pred_mode - HOR_IDX)
+    abs_ang = 0
+    if DC_IDX < mode < NUM_LUMA_MODE:
+        abs_ang = int(ANG_TABLE[abs(angle_mode)])
+        p.abs_inv_angle = int(INV_ANG_TABLE[abs(angle_mode)])
+        p.angle = abs_ang if angle_mode >= 0 else -abs_ang
+        if angle_mode < 0:
+            p.apply_pdpc = False
+        elif angle_mode > 0:
+            side = h if p.is_ver else w
+            p.angular_scale = min(2, (side.bit_length() - 1) -
+                                  ((3 * p.abs_inv_angle - 2).bit_length() - 1 - 8))
+            p.apply_pdpc = p.apply_pdpc and p.angular_scale >= 0
+    if not is_luma or mode == DC_IDX:
+        pass
+    elif mode == PLANAR_IDX:
+        p.ref_filter = w * h > 32
+    else:
+        diff = min(abs(pred_mode - HOR_IDX), abs(pred_mode - VER_IDX))
+        log2_size = ((w.bit_length() - 1) + (h.bit_length() - 1)) >> 1
+        if diff > MDIS_THRESH[log2_size]:
+            if is_integer_slope(abs_ang):
+                p.ref_filter = True
+            else:
+                p.interp = True
+    return p
+
+
+def filter_reference(top: np.ndarray, left: np.ndarray):
+    """[1 2 1]/4 reference smoothing (vvenc xFilterReferenceSamples:994)."""
+    ft = top.copy()
+    fl = left.copy()
+    corner = (int(top[0]) + int(top[1]) + int(left[0]) + int(left[1]) + 2) >> 2
+    n = len(top) - 1
+    ft[1:n] = (top[:n - 1].astype(np.int32) + 2 * top[1:n] + top[2:n + 1] + 2) >> 2
+    ft[0] = corner
+    m = len(left) - 1
+    fl[1:m] = (left[:m - 1].astype(np.int32) + 2 * left[1:m] + left[2:m + 1] + 2) >> 2
+    fl[0] = corner
+    return ft, fl
+
+
+def _pred_planar(top: np.ndarray, left: np.ndarray, w: int, h: int) -> np.ndarray:
+    log2w, log2h = w.bit_length() - 1, h.bit_length() - 1
+    top_row = top[1:w + 2].astype(np.int32)      # w+1 entries
+    left_col = left[1:h + 2].astype(np.int32)    # h+1 entries
+    bottom_left = left_col[h]
+    top_right = top_row[w]
+    x = np.arange(w, dtype=np.int32)
+    y = np.arange(h, dtype=np.int32)
+    hor = (left_col[:h, None] << log2w) + (x[None, :] + 1) * \
+        (top_right - left_col[:h, None])
+    ver = (top_row[None, :w] << log2h) + (y[:, None] + 1) * \
+        (bottom_left - top_row[None, :w])
+    offset = 1 << (log2w + log2h)
+    return ((hor << log2h) + (ver << log2w) + offset) >> (1 + log2w + log2h)
+
+
+def _pred_dc(top: np.ndarray, left: np.ndarray, w: int, h: int) -> np.ndarray:
+    denom = (w << 1) if w == h else max(w, h)
+    shift = denom.bit_length() - 1
+    s = 0
+    if w >= h:
+        s += int(top[1:w + 1].astype(np.int64).sum())
+    if w <= h:
+        s += int(left[1:h + 1].astype(np.int64).sum())
+    dc = (s + (denom >> 1)) >> shift
+    return np.full((h, w), dc, dtype=np.int32)
+
+
+def _pdpc_planar_dc(pred: np.ndarray, top: np.ndarray, left: np.ndarray,
+                    w: int, h: int) -> np.ndarray:
+    scale = (((w * h).bit_length() - 1) - 2) >> 2
+    y = np.arange(h, dtype=np.int32)
+    x = np.arange(w, dtype=np.int32)
+    wt = (32 >> np.minimum(31, (y << 1) >> scale))[:, None]
+    wl = (32 >> np.minimum(31, (x << 1) >> scale))[None, :]
+    l = left[1:h + 1].astype(np.int32)[:, None]
+    t = top[1:w + 1].astype(np.int32)[None, :]
+    return pred + ((wl * (l - pred) + wt * (t - pred) + 32) >> 6)
+
+
+def predict_intra(top: np.ndarray, left: np.ndarray, mode: int, w: int, h: int,
+                  bit_depth: int = 10, is_luma: bool = True) -> np.ndarray:
+    """Full intra prediction for one block. top/left per module docstring,
+    each with at least 2*side+3 entries (padded by replication)."""
+    top = np.asarray(top, dtype=np.int32)
+    left = np.asarray(left, dtype=np.int32)
+    maxval = (1 << bit_depth) - 1
+    p = intra_params(w, h, mode, is_luma)
+    if p.ref_filter:
+        top, left = filter_reference(top, left)
+    if mode == PLANAR_IDX:
+        pred = _pred_planar(top, left, w, h)
+        if p.apply_pdpc:
+            pred = _pdpc_planar_dc(pred, top, left, w, h)
+        return np.clip(pred, 0, maxval).astype(np.int32)
+    if mode == DC_IDX:
+        pred = _pred_dc(top, left, w, h)
+        if p.apply_pdpc:
+            pred = _pdpc_planar_dc(pred, top, left, w, h)
+        return np.clip(pred, 0, maxval).astype(np.int32)
+    return _pred_angular(top, left, p, w, h, maxval, is_luma)
+
+
+def _build_ref_main_side(top, left, p, w, h):
+    """Construct refMain/refSide arrays (vvenc xPredIntraAng:534-573).
+
+    Returns (ref_main, ref_side, base) where ref_main[base + k] corresponds
+    to refMain[k] in the reference code (k may be negative down to -side)."""
+    if p.angle < 0:
+        side = h if p.is_ver else w
+        main_src = top if p.is_ver else left
+        side_src = left if p.is_ver else top
+        main_len = (w if p.is_ver else h) + 2
+        ref_main = np.zeros(side + main_len + 4, dtype=np.int32)
+        base = side
+        ref_main[base:base + main_len] = main_src[:main_len]
+        for k in range(-side, 0):
+            idx = min((-k * p.abs_inv_angle + 256) >> 9, side)
+            ref_main[base + k] = side_src[idx]
+        ref_side = side_src
+    else:
+        main_src = top if p.is_ver else left
+        ref_len = 2 * (w if p.is_ver else h)
+        ref_main = np.zeros(ref_len + 8, dtype=np.int32)
+        base = 0
+        n = min(len(main_src), ref_len + 1)
+        ref_main[:n] = main_src[:n]
+        ref_main[n:] = main_src[n - 1]  # replicate beyond
+        ref_side = left if p.is_ver else top
+    return ref_main, ref_side, base
+
+
+def _pred_angular(top, left, p, w, h, maxval, is_luma):
+    ref_main, ref_side, base = _build_ref_main_side(top, left, p, w, h)
+    # work in "vertical" orientation; transpose at the end for horizontal
+    tw, th = (w, h) if p.is_ver else (h, w)
+    pred = np.zeros((th, tw), dtype=np.int32)
+    if p.angle == 0:
+        pred[:, :] = ref_main[base + 1: base + 1 + tw][None, :]
+        if p.apply_pdpc:
+            scale = (((tw * th).bit_length() - 1) - 2) >> 2
+            top_left = ref_main[base]
+            for y in range(th):
+                lval = int(ref_side[1 + y])
+                for x in range(min(3 << scale, tw)):
+                    wl = 32 >> ((2 * x) >> scale)
+                    v = pred[y, x] + ((wl * (lval - top_left) + 32) >> 6)
+                    pred[y, x] = min(max(v, 0), maxval)
+    else:
+        delta_pos = p.angle
+        for y in range(th):
+            delta_int = delta_pos >> 5
+            frac = delta_pos & 31
+            if frac == 0:
+                pred[y, :] = ref_main[base + delta_int + 1:
+                                      base + delta_int + 1 + tw]
+            elif is_luma:
+                f = CHROMA_FILTER[frac] if not p.interp else smoothing_filter(frac)
+                idx = base + delta_int + np.arange(tw)
+                v = (f[0] * ref_main[idx] + f[1] * ref_main[idx + 1] +
+                     f[2] * ref_main[idx + 2] + f[3] * ref_main[idx + 3] + 32) >> 6
+                if not p.interp:  # cubic has negative taps -> clip
+                    v = np.clip(v, 0, maxval)
+                pred[y, :] = v
+            else:
+                idx = base + delta_int + 1 + np.arange(tw)
+                pred[y, :] = ((32 - frac) * ref_main[idx] +
+                              frac * ref_main[idx + 1] + 16) >> 5
+            delta_pos += p.angle
+        if p.apply_pdpc:
+            scale = p.angular_scale
+            for y in range(th):
+                inv_sum = 256
+                for x in range(min(3 << scale, tw)):
+                    inv_sum += p.abs_inv_angle
+                    wl = 32 >> ((2 * x) >> scale)
+                    lval = int(ref_side[y + (inv_sum >> 9) + 1])
+                    pred[y, x] = pred[y, x] + \
+                        ((wl * (lval - pred[y, x]) + 32) >> 6)
+    if not p.is_ver:
+        pred = pred.T
+    return np.clip(pred, 0, maxval).astype(np.int32)
+
+
+def build_reference_samples(rec: np.ndarray, x: int, y: int, w: int, h: int,
+                            coded_mask: np.ndarray, unit: int,
+                            bit_depth: int = 10):
+    """Reference sample derivation with availability substitution
+    (vvenc xFillReferenceSamples:755, simplified to multiRefIdx == 0).
+
+    rec: full reconstructed plane (so far); coded_mask: bool per `unit`-sized
+    cell, True where samples are already reconstructed.  Returns (top, left)
+    arrays of length 2W+3 / 2H+3 (padded by replication for interpolation).
+    """
+    pred_size = 2 * w
+    pred_hsize = 2 * h
+    dc_val = 1 << (bit_depth - 1)
+    ph, pw = rec.shape
+
+    def avail(px, py):
+        if px < 0 or py < 0 or px >= pw or py >= ph:
+            return False
+        return bool(coded_mask[py // unit, px // unit])
+
+    # availability per unit along the borders (corner + above + left chains)
+    n_above = (pred_size + unit - 1) // unit
+    n_left = (pred_hsize + unit - 1) // unit
+    corner_ok = avail(x - 1, y - 1)
+    above_ok = [avail(x + i * unit, y - 1) for i in range(n_above)]
+    left_ok = [avail(x - 1, y + i * unit) for i in range(n_left)]
+
+    top = np.full(pred_size + 3, dc_val, dtype=np.int32)
+    left = np.full(pred_hsize + 3, dc_val, dtype=np.int32)
+    if corner_ok or any(above_ok) or any(left_ok):
+        # gather raw samples (clamped coordinates for out-of-picture reads)
+        filled_top = np.zeros(pred_size + 1, dtype=bool)
+        filled_left = np.zeros(pred_hsize + 1, dtype=bool)
+        if corner_ok:
+            top[0] = left[0] = rec[y - 1, x - 1]
+            filled_top[0] = filled_left[0] = True
+        for j in range(pred_size):
+            px, py = x + j, y - 1
+            ui = j // unit
+            if ui < n_above and above_ok[ui] and px < pw:
+                top[1 + j] = rec[py, px]
+                filled_top[1 + j] = True
+            elif ui < n_above and above_ok[ui] and px >= pw:
+                # unit marked available but sample outside: replicate later
+                pass
+        for i in range(pred_hsize):
+            px, py = x - 1, y + i
+            ui = i // unit
+            if ui < n_left and left_ok[ui] and py < ph:
+                left[1 + i] = rec[py, px]
+                filled_left[1 + i] = True
+        # substitution (8.4.5.2.2): scan from bottom-left upwards then
+        # left-to-right along the top, propagating the previous sample
+        seq_filled = np.concatenate([filled_left[1:][::-1], [filled_left[0]],
+                                     filled_top[1:]])
+        seq_vals = np.concatenate([left[1:1 + pred_hsize][::-1],
+                                   [left[0]], top[1:1 + pred_size]])
+        if not seq_filled.any():
+            pass  # all DC
+        else:
+            first = int(np.argmax(seq_filled))
+            seq_vals[:first] = seq_vals[first]
+            for k in range(first + 1, len(seq_vals)):
+                if not seq_filled[k]:
+                    seq_vals[k] = seq_vals[k - 1]
+            left[1:1 + pred_hsize] = seq_vals[:pred_hsize][::-1]
+            left[0] = seq_vals[pred_hsize]
+            top[0] = seq_vals[pred_hsize]
+            top[1:1 + pred_size] = seq_vals[pred_hsize + 1:]
+    # padding for 4-tap access
+    top[pred_size + 1:] = top[pred_size]
+    left[pred_hsize + 1:] = left[pred_hsize]
+    return top, left
