@@ -186,14 +186,11 @@ class _Cctx:
         return self.sig_group_set(right | lower)
 
 
-def _last_ctx_ids(cctx, group_idx, is_x):
-    ids = []
+def _last_ctx_id(cctx, ctx_last, is_x):
     off = cctx.last_off_x if is_x else cctx.last_off_y
     shift = cctx.last_shift_x if is_x else cctx.last_shift_y
     cset = cctx.last_x_set if is_x else cctx.last_y_set
-    for ctx_last in range(group_idx + 1):
-        ids.append(cset(off + (ctx_last >> shift)))
-    return ids
+    return cset(off + (ctx_last >> shift))
 
 
 def encode_residual(enc, coeff: np.ndarray, is_luma: bool,
@@ -224,16 +221,14 @@ def encode_residual(enc, coeff: np.ndarray, is_luma: bool,
     blk_last = int(cctx.blkpos[scan_pos_last])
     pos_y, pos_x = divmod(blk_last, w)
     gx, gy = GROUP_IDX[pos_x], GROUP_IDX[pos_y]
-    ids = _last_ctx_ids(cctx, gx, True)
     for i in range(gx):
-        enc.encode_bin(1, ids[i])
+        enc.encode_bin(1, _last_ctx_id(cctx, i, True))
     if gx < cctx.max_last_x:
-        enc.encode_bin(0, ids[gx])
-    ids = _last_ctx_ids(cctx, gy, False)
+        enc.encode_bin(0, _last_ctx_id(cctx, gx, True))
     for i in range(gy):
-        enc.encode_bin(1, ids[i])
+        enc.encode_bin(1, _last_ctx_id(cctx, i, False))
     if gy < cctx.max_last_y:
-        enc.encode_bin(0, ids[gy])
+        enc.encode_bin(0, _last_ctx_id(cctx, gy, False))
     if gx > 3:
         v = pos_x - MIN_IN_GROUP[gx]
         for i in range(((gx - 2) >> 1) - 1, -1, -1):
@@ -341,12 +336,10 @@ def decode_residual(dec, w: int, h: int, is_luma: bool,
     n = w * h
     # last position
     gx = 0
-    ids = _last_ctx_ids(cctx, cctx.max_last_x, True)
-    while gx < cctx.max_last_x and dec.decode_bin(ids[gx]):
+    while gx < cctx.max_last_x and dec.decode_bin(_last_ctx_id(cctx, gx, True)):
         gx += 1
     gy = 0
-    ids = _last_ctx_ids(cctx, cctx.max_last_y, False)
-    while gy < cctx.max_last_y and dec.decode_bin(ids[gy]):
+    while gy < cctx.max_last_y and dec.decode_bin(_last_ctx_id(cctx, gy, False)):
         gy += 1
     pos_x = MIN_IN_GROUP[gx]
     if gx > 3:
