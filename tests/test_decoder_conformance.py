@@ -1,0 +1,56 @@
+"""Conformance anchor: decode reference-encoder streams bit-exactly.
+
+The golden streams in tests/data were produced by the reference encoder
+(vvencFFapp, options in tests/data/golden_options.txt).  Our subset decoder
+must reconstruct them bit-exactly (hashes below were computed from the
+reference encoder's own --ReconFile output).  Since the decoder shares all
+derivation/reconstruction code with our encoder, this pins the shared model
+to the spec.
+"""
+
+import hashlib
+import os
+
+import numpy as np
+import pytest
+
+from vvenc_tpu.decoder import decode_stream
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+# md5 of frame planes (uint16 LE, Y then U then V concatenated) from the
+# reference encoder's reconstruction output
+GOLDEN_HASHES = {
+    "golden_ai_minimal_416x240_qp37_f1.266": [
+        "34453c0404da1000c586b0061ce6232b"],
+    "golden_ai_qt_416x240_qp37_f3.266": [
+        "34453c0404da1000c586b0061ce6232b",
+        "9358c1315da835a3e12f234bc1e1cae3",
+        "4e3e33a15d84cc4d51676e25ddb929b6"],
+}
+
+
+def _frame_hash(planes) -> str:
+    buf = b"".join(planes[c].astype("<u2").tobytes() for c in (0, 1, 2))
+    return hashlib.md5(buf).hexdigest()
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN_HASHES))
+def test_decode_reference_stream_bit_exact(name):
+    with open(os.path.join(DATA, name), "rb") as f:
+        frames = decode_stream(f.read())
+    expected = GOLDEN_HASHES[name]
+    assert len(frames) == len(expected)
+    for frame, want in zip(frames, expected):
+        assert _frame_hash(frame.planes) == want
+
+
+def test_decoded_frame_shapes():
+    with open(os.path.join(DATA,
+                           "golden_ai_minimal_416x240_qp37_f1.266"), "rb") as f:
+        frames = decode_stream(f.read())
+    y = frames[0].planes[0]
+    assert y.shape == (240, 416)
+    assert frames[0].planes[1].shape == (120, 208)
+    assert y.dtype == np.int32
+    assert 0 <= y.min() and y.max() <= 1023

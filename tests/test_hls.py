@@ -38,7 +38,7 @@ def test_parse_sps_fields(golden_units):
     sps = hls.parse_sps(BitReader(rbsp))
     assert (sps.max_width, sps.max_height) == (416, 240)
     assert sps.bit_depth == 10
-    assert sps.ctu_size == 64
+    assert sps.ctu_size == 32
     assert sps.chroma_format_idc == 1
     assert sps.min_qt_size[0] == 8
     assert sps.max_mtt_depth[0] == 0

@@ -1,0 +1,77 @@
+"""Per-picture coding state: reconstruction planes + per-unit CU maps.
+
+Analog of vvenc's Picture/CodingStructure unit maps (CommonLib/Picture.h:139,
+CodingStructure.h:80) reduced to the fields the syntax and prediction
+derivations need: coded progress, intra mode, CU geometry, QT depth.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops.intra import PLANAR_IDX
+
+
+class PictureState:
+    """Holds reconstruction and per-4x4-unit (luma) CU attribute maps."""
+
+    LUMA_UNIT = 4
+    CHROMA_UNIT = 2  # availability granularity in chroma samples
+
+    def __init__(self, width: int, height: int, bit_depth: int = 10):
+        self.w = width
+        self.h = height
+        self.cw = width >> 1
+        self.ch = height >> 1
+        self.bit_depth = bit_depth
+        mid = 1 << (bit_depth - 1)
+        self.rec = {
+            0: np.full((height, width), mid, dtype=np.int32),
+            1: np.full((self.ch, self.cw), mid, dtype=np.int32),
+            2: np.full((self.ch, self.cw), mid, dtype=np.int32),
+        }
+        uw, uh = (width + 3) // 4, (height + 3) // 4
+        self.coded_luma = np.zeros((uh, uw), dtype=bool)
+        cuw, cuh = (self.cw + 1) // 2, (self.ch + 1) // 2
+        self.coded_chroma = np.zeros((cuh, cuw), dtype=bool)
+        # per luma 4x4 unit attribute maps
+        self.intra_mode = np.full((uh, uw), PLANAR_IDX, dtype=np.int32)
+        self.is_intra = np.zeros((uh, uw), dtype=bool)
+        self.is_mip = np.zeros((uh, uw), dtype=bool)
+        self.cu_w = np.zeros((uh, uw), dtype=np.int32)
+        self.cu_h = np.zeros((uh, uw), dtype=np.int32)
+        self.qt_depth = np.zeros((uh, uw), dtype=np.int32)
+
+    # -- attribute queries (positions in luma samples) ---------------------
+    def inside(self, x: int, y: int) -> bool:
+        return 0 <= x < self.w and 0 <= y < self.h
+
+    def is_coded(self, x: int, y: int) -> bool:
+        return self.inside(x, y) and bool(self.coded_luma[y >> 2, x >> 2])
+
+    def cu_at(self, x: int, y: int):
+        """(w, h, qt_depth, intra_mode, is_intra, is_mip) of the CU covering
+        (x, y), or None if not coded / outside."""
+        if not self.is_coded(x, y):
+            return None
+        uy, ux = y >> 2, x >> 2
+        return (int(self.cu_w[uy, ux]), int(self.cu_h[uy, ux]),
+                int(self.qt_depth[uy, ux]), int(self.intra_mode[uy, ux]),
+                bool(self.is_intra[uy, ux]), bool(self.is_mip[uy, ux]))
+
+    def mark_cu(self, x: int, y: int, w: int, h: int, qt_depth: int,
+                intra_mode: int, is_intra: bool = True, is_mip: bool = False):
+        """Register a reconstructed CU's attributes + coded progress."""
+        ux0, uy0 = x >> 2, y >> 2
+        ux1, uy1 = (x + w) >> 2, (y + h) >> 2
+        self.coded_luma[uy0:uy1, ux0:ux1] = True
+        self.intra_mode[uy0:uy1, ux0:ux1] = intra_mode
+        self.is_intra[uy0:uy1, ux0:ux1] = is_intra
+        self.is_mip[uy0:uy1, ux0:ux1] = is_mip
+        self.cu_w[uy0:uy1, ux0:ux1] = w
+        self.cu_h[uy0:uy1, ux0:ux1] = h
+        self.qt_depth[uy0:uy1, ux0:ux1] = qt_depth
+        # chroma coded mask (4:2:0)
+        cx0, cy0 = (x >> 1) >> 1, (y >> 1) >> 1
+        cx1, cy1 = ((x + w) >> 1) >> 1, ((y + h) >> 1) >> 1
+        self.coded_chroma[cy0:cy1, cx0:cx1] = True

@@ -1,0 +1,87 @@
+"""Annex-B stream decoder for the round-1 feature set (all-intra, QT-only).
+
+Pipeline: split_annexb -> parse SPS/PPS -> per VCL NAL parse slice header ->
+CABAC-decode CTU coding trees (vvenc_tpu.codec.ctu_syntax) -> reconstructed
+planes.  Raises on any unsupported syntax instead of guessing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..bitstream.bitwriter import BitReader
+from ..bitstream.cabac import CabacDecoder
+from ..bitstream.nal import split_annexb, NalUnitType, VCL_NAL_TYPES
+from ..bitstream import hls
+from ..codec.ctu_syntax import SyntaxCoder
+from ..codec.picture import PictureState
+from ..codec.qp import QpState
+from ..bitstream.params import SLICE_I
+
+
+class DecodedFrame:
+    def __init__(self, ps: PictureState, poc: int, sh):
+        self.planes = ps.rec
+        self.poc = poc
+        self.slice_header = sh
+
+
+def decode_stream(data: bytes):
+    """Decode an Annex-B byte stream -> list of DecodedFrame."""
+    units = split_annexb(data)
+    sps_map = {}
+    pps_map = {}
+    frames = []
+    for nal_type, tid, rbsp in units:
+        if nal_type == NalUnitType.SPS:
+            s = hls.parse_sps(BitReader(rbsp))
+            sps_map[s.sps_id] = s
+        elif nal_type == NalUnitType.PPS:
+            # PPS parse needs its SPS; vvenc emits SPS before PPS
+            br = BitReader(rbsp)
+            # peek sps id: pps_id(6) then sps_id(4)
+            peek = BitReader(rbsp)
+            peek.read(6)
+            sps = sps_map[peek.read(4)]
+            p = hls.parse_pps(br, sps)
+            pps_map[p.pps_id] = p
+        elif nal_type in VCL_NAL_TYPES:
+            frames.append(_decode_slice(rbsp, nal_type, sps_map, pps_map))
+        elif nal_type in (NalUnitType.PREFIX_SEI, NalUnitType.SUFFIX_SEI,
+                          NalUnitType.AUD, NalUnitType.EOS, NalUnitType.EOB,
+                          NalUnitType.VPS, NalUnitType.DCI, NalUnitType.OPI,
+                          NalUnitType.FD):
+            continue
+        else:
+            raise NotImplementedError(f"NAL type {nal_type}")
+    return frames
+
+
+def _decode_slice(rbsp: bytes, nal_type, sps_map, pps_map) -> DecodedFrame:
+    br = BitReader(rbsp)
+    is_idr = nal_type in (NalUnitType.IDR_N_LP, NalUnitType.IDR_W_RADL)
+    # slice header needs pps id first; with PH-in-SH the pps id comes after a
+    # few flags — parse with the single known PPS/SPS (round 1: one of each)
+    assert len(pps_map) == 1 and len(sps_map) == 1, "multi-PS streams TBD"
+    pps = next(iter(pps_map.values()))
+    sps = next(iter(sps_map.values()))
+    sh = hls.parse_slice_header(br, sps, pps, is_idr)
+    assert sh.slice_type == SLICE_I, "inter slices not yet supported"
+    assert not sh.dep_quant_used and not sh.sign_data_hiding_used
+
+    ps = PictureState(pps.pic_width, pps.pic_height, sps.bit_depth)
+    qp = QpState(sps, pps, sh.slice_qp)
+    coder = SyntaxCoder(sps, pps, sh, qp)
+
+    dec = CabacDecoder(br)
+    dec.init_ctx(sh.slice_qp, 2 if sh.slice_type == SLICE_I else sh.slice_type)
+
+    ctu = sps.ctu_size
+    w_ctus = (pps.pic_width + ctu - 1) // ctu
+    h_ctus = (pps.pic_height + ctu - 1) // ctu
+    for cy in range(h_ctus):
+        for cx in range(w_ctus):
+            coder.decode_ctu(dec, ps, cx * ctu, cy * ctu)
+    term = dec.decode_bin_trm()
+    assert term == 1, "expected end_of_slice terminating bin"
+    return DecodedFrame(ps, sh.ph.poc_lsb, sh)

@@ -244,11 +244,16 @@ def _pred_angular(top, left, p, w, h, maxval, is_luma):
                     v = pred[y, x] + ((wl * (lval - top_left) + 32) >> 6)
                     pred[y, x] = min(max(v, 0), maxval)
     else:
+        # NB: when the block's angle is a non-integer slope, the 4-tap /
+        # 2-tap filter is applied on EVERY row, including rows whose own
+        # fraction is 0 (the smoothing filter still smooths there) —
+        # vvenc IntraPredAngleLuma_Core:191 has no per-row copy shortcut.
+        integer_slope = is_integer_slope(abs(p.angle))
         delta_pos = p.angle
         for y in range(th):
             delta_int = delta_pos >> 5
             frac = delta_pos & 31
-            if frac == 0:
+            if integer_slope:
                 pred[y, :] = ref_main[base + delta_int + 1:
                                       base + delta_int + 1 + tw]
             elif is_luma:
