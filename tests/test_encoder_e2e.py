@@ -1,0 +1,82 @@
+"""End-to-end encoder tests: encode -> own (conformance-anchored) decoder."""
+
+import numpy as np
+import pytest
+
+from vvenc_tpu.encoder import IntraEncoder, EncoderConfig
+from vvenc_tpu.decoder import decode_stream
+
+
+def _synth_frame(w, h, seed=7, t=0):
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = np.clip(16 + 0.4 * xx + 0.3 * yy +
+                70 * np.exp(-(((xx - w // 3 - 5 * t) ** 2) +
+                              ((yy - h // 2) ** 2)) / (w * h / 40.0)) +
+                rng.randn(h, w) * 3, 0, 255).astype(np.uint8)
+    u = np.clip(128 + 20 * np.sin(xx / 20.0) + rng.randn(h, w) * 2,
+                0, 255)[::2, ::2].astype(np.uint8)
+    v = np.clip(128 + 20 * np.cos(yy / 17.0) + rng.randn(h, w) * 2,
+                0, 255)[::2, ::2].astype(np.uint8)
+    return y, u, v
+
+
+def _psnr(dec_plane, src8):
+    mse = ((dec_plane.astype(np.int64) - (src8.astype(np.int64) << 2)) ** 2).mean()
+    return 10 * np.log10(1023 ** 2 / mse)
+
+
+def test_encode_decode_roundtrip_small():
+    w, h = 128, 64
+    y, u, v = _synth_frame(w, h)
+    enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=37))
+    au = enc.encode_frame((y, u, v))
+    frames = decode_stream(au)
+    assert len(frames) == 1
+    dec = frames[0]
+    # decoder must reproduce the encoder's reconstruction exactly
+    for c in range(3):
+        assert np.array_equal(dec.planes[c], enc.last_rec.rec[c])
+    assert _psnr(dec.planes[0], y) > 33.0
+    assert _psnr(dec.planes[1], u) > 36.0
+    assert len(au) < w * h  # sane compression
+
+
+def test_encode_decode_multi_frame():
+    w, h = 96, 48
+    enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=32))
+    stream = b""
+    srcs = []
+    for t in range(2):
+        f = _synth_frame(w, h, t=t)
+        srcs.append(f)
+        stream += enc.encode_frame(f)
+    frames = decode_stream(stream)
+    assert len(frames) == 2
+    for t, frame in enumerate(frames):
+        assert _psnr(frame.planes[0], srcs[t][0]) > 34.0
+
+
+def test_encode_boundary_sizes():
+    """Picture not a multiple of the CTU size -> implicit splits."""
+    w, h = 80, 48  # 2.5 x 1.5 CTUs
+    y, u, v = _synth_frame(w, h)
+    enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=37))
+    au = enc.encode_frame((y, u, v))
+    dec = decode_stream(au)[0]
+    for c in range(3):
+        assert np.array_equal(dec.planes[c], enc.last_rec.rec[c])
+
+
+@pytest.mark.parametrize("qp", [22, 42])
+def test_qp_sweep_rate_ordering(qp):
+    w, h = 96, 48
+    y, u, v = _synth_frame(w, h)
+    enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=qp))
+    au = enc.encode_frame((y, u, v))
+    dec = decode_stream(au)[0]
+    p = _psnr(dec.planes[0], y)
+    if qp == 22:
+        assert p > 42.0
+    else:
+        assert p > 30.0

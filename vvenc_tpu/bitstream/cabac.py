@@ -425,5 +425,31 @@ class BitEstimator:
     def encode_bin_trm(self, binval: int) -> None:
         self.frac_bits += FRAC_BITS_TRM[binval]
 
+    def encode_remabs_ep(self, value: int, rice_par: int, cutoff: int,
+                         max_log2_tr_dyn_range: int) -> None:
+        """EP-bin count of the go-rice/exp-golomb binarization
+        (vvenc BitEstimatorBase::encodeRemAbsEP, BinEncoder.cpp:424)."""
+        threshold = cutoff << rice_par
+        if value < threshold:
+            self.frac_bits += ((value >> rice_par) + 1 + rice_par) * FRAC_BITS_EP
+        else:
+            max_prefix_len = 32 - cutoff - max_log2_tr_dyn_range
+            prefix_len = 0
+            code_value = (value >> rice_par) - cutoff
+            if code_value >= (1 << max_prefix_len) - 1:
+                prefix_len = max_prefix_len
+                suffix_len = max_log2_tr_dyn_range
+            else:
+                while code_value > (2 << prefix_len) - 2:
+                    prefix_len += 1
+                suffix_len = prefix_len + rice_par + 1
+            self.frac_bits += (cutoff + prefix_len + suffix_len) * FRAC_BITS_EP
+
+    def snapshot(self):
+        return (CtxModels(self.ctx), self.frac_bits)
+
+    def restore(self, snap) -> None:
+        self.ctx, self.frac_bits = CtxModels(snap[0]), snap[1]
+
     def get_bits(self) -> float:
         return self.frac_bits / (1 << SCALE_BITS)

@@ -75,3 +75,45 @@ class PictureState:
         cx0, cy0 = (x >> 1) >> 1, (y >> 1) >> 1
         cx1, cy1 = ((x + w) >> 1) >> 1, ((y + h) >> 1) >> 1
         self.coded_chroma[cy0:cy1, cx0:cx1] = True
+
+    # -- RD-search state checkpointing ------------------------------------
+    def save_region(self, x: int, y: int, size: int):
+        """Snapshot all state a CU decision inside (x, y, size) can touch."""
+        x1 = min(x + size, self.w)
+        y1 = min(y + size, self.h)
+        cx, cy = x >> 1, y >> 1
+        cx1, cy1 = (x1 + 1) >> 1, (y1 + 1) >> 1
+        ux, uy, ux1, uy1 = x >> 2, y >> 2, (x1 + 3) >> 2, (y1 + 3) >> 2
+        hx, hy, hx1, hy1 = cx >> 1, cy >> 1, (cx1 + 1) >> 1, (cy1 + 1) >> 1
+        return (
+            (x, y, x1, y1),
+            self.rec[0][y:y1, x:x1].copy(),
+            self.rec[1][cy:cy1, cx:cx1].copy(),
+            self.rec[2][cy:cy1, cx:cx1].copy(),
+            self.coded_luma[uy:uy1, ux:ux1].copy(),
+            self.coded_chroma[hy:hy1, hx:hx1].copy(),
+            self.intra_mode[uy:uy1, ux:ux1].copy(),
+            self.is_intra[uy:uy1, ux:ux1].copy(),
+            self.is_mip[uy:uy1, ux:ux1].copy(),
+            self.cu_w[uy:uy1, ux:ux1].copy(),
+            self.cu_h[uy:uy1, ux:ux1].copy(),
+            self.qt_depth[uy:uy1, ux:ux1].copy(),
+        )
+
+    def restore_region(self, snap) -> None:
+        (x, y, x1, y1) = snap[0]
+        cx, cy = x >> 1, y >> 1
+        cx1, cy1 = (x1 + 1) >> 1, (y1 + 1) >> 1
+        ux, uy, ux1, uy1 = x >> 2, y >> 2, (x1 + 3) >> 2, (y1 + 3) >> 2
+        hx, hy, hx1, hy1 = cx >> 1, cy >> 1, (cx1 + 1) >> 1, (cy1 + 1) >> 1
+        self.rec[0][y:y1, x:x1] = snap[1]
+        self.rec[1][cy:cy1, cx:cx1] = snap[2]
+        self.rec[2][cy:cy1, cx:cx1] = snap[3]
+        self.coded_luma[uy:uy1, ux:ux1] = snap[4]
+        self.coded_chroma[hy:hy1, hx:hx1] = snap[5]
+        self.intra_mode[uy:uy1, ux:ux1] = snap[6]
+        self.is_intra[uy:uy1, ux:ux1] = snap[7]
+        self.is_mip[uy:uy1, ux:ux1] = snap[8]
+        self.cu_w[uy:uy1, ux:ux1] = snap[9]
+        self.cu_h[uy:uy1, ux:ux1] = snap[10]
+        self.qt_depth[uy:uy1, ux:ux1] = snap[11]

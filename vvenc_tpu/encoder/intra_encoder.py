@@ -1,0 +1,340 @@
+"""All-intra encoder: QT partition RD search + CABAC emission.
+
+Decision structure (reference analog: vvenc EncCu::xCompressCU recursion,
+EncCu.cpp:717, and IntraSearch mode lists, IntraSearch.cpp): depth-first QT
+search comparing no-split vs split RD cost; per CU an SATD preselection over
+all intra modes followed by full RD (transform/quant/bit-estimate/SSE) of
+the best few candidates.  Bits are tracked with the fractional-bit estimator
+seeded from the live CABAC context state so costs reflect the real stream.
+
+The final bitstream is produced by replaying the decided trees through
+SyntaxCoder with the real arithmetic coder.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from ..bitstream.bitwriter import BitWriter
+from ..bitstream.cabac import CabacEncoder, BitEstimator, CtxModels
+from ..bitstream.nal import NalUnitType, make_nal_unit
+from ..bitstream import hls
+from ..bitstream.params import SPS, PPS, SliceHeader, PictureHeader
+from ..codec.ctu_syntax import (SyntaxCoder, TreeNode, CuData, DM_CHROMA,
+                                get_intra_mpms, split_options, split_flag_ctx,
+                                predict_cu_component, reconstruct_cu)
+from ..bitstream import ctx_tables as ct
+from ..bitstream.residual import encode_residual
+from ..codec.picture import PictureState
+from ..codec.qp import QpState
+from ..ops import intra as I
+from ..ops import transforms as T
+from ..ops import rdcost as R
+
+
+@dataclass
+class EncoderConfig:
+    width: int = 416
+    height: int = 240
+    qp: int = 37
+    intra_qp_offset: int = -3      # vvenc default for intra slices
+    ctu_size: int = 32
+    min_qt: int = 8
+    bit_depth: int = 10
+    input_bit_depth: int = 8
+    fps_num: int = 15
+    fps_den: int = 1
+    num_full_rd_modes: int = 3     # full-RD candidates after SATD preselection
+
+
+def build_parameter_sets(cfg: EncoderConfig):
+    sps = SPS()
+    sps.max_width = cfg.width
+    sps.max_height = cfg.height
+    sps.bit_depth = cfg.bit_depth
+    sps.ctu_size_log2 = cfg.ctu_size.bit_length() - 1
+    sps.min_qt_size = [cfg.min_qt, cfg.min_qt, cfg.min_qt]
+    sps.max_mtt_depth = [0, 0, 0]
+    sps.log2_max_tb_size = min(5, sps.ctu_size_log2)
+    sps.ptl.level_idc = 35
+    sps.max_dec_pic_buffering = [2]
+    sps.rpl_lists = [[], []]
+    pps = PPS()
+    pps.pic_width = cfg.width
+    pps.pic_height = cfg.height
+    pps.init_qp = 26
+    pps.deblocking_filter_control_present = 1
+    pps.deblocking_filter_disabled = 1
+    return sps, pps
+
+
+def lambda_for_qp(qp: int, bit_depth: int) -> float:
+    """RD lambda (SSE domain at internal bit depth)."""
+    return 0.57 * (2.0 ** ((qp - 12) / 3.0)) * (1 << (2 * (bit_depth - 8)))
+
+
+class IntraEncoder:
+    """Encodes frames as all-intra IDR pictures (round-1 configuration)."""
+
+    def __init__(self, cfg: EncoderConfig):
+        self.cfg = cfg
+        self.sps, self.pps = build_parameter_sets(cfg)
+        self.slice_qp = max(0, min(63, cfg.qp + cfg.intra_qp_offset))
+        self.lmbda = lambda_for_qp(self.slice_qp, cfg.bit_depth)
+        self.lmbda_sad = self.lmbda ** 0.5
+        self._headers = None
+        self.frames_done = 0
+
+    # ------------------------------------------------------------------
+    def headers(self) -> bytes:
+        if self._headers is None:
+            bw = BitWriter()
+            hls.write_sps(bw, self.sps)
+            sps_nal = make_nal_unit(NalUnitType.SPS, bw.get_bytes())
+            bw = BitWriter()
+            hls.write_pps(bw, self.pps, self.sps)
+            pps_nal = make_nal_unit(NalUnitType.PPS, bw.get_bytes())
+            self._headers = sps_nal + pps_nal
+        return self._headers
+
+    def encode_frame(self, planes8) -> bytes:
+        """Encode one frame (tuple of Y, U, V uint8/uint16 arrays at input
+        bit depth) -> Annex-B AU bytes (headers prepended on first frame)."""
+        cfg = self.cfg
+        shift = cfg.bit_depth - cfg.input_bit_depth
+        src = {c: planes8[c].astype(np.int32) << shift for c in range(3)}
+        ps = PictureState(cfg.width, cfg.height, cfg.bit_depth)
+        qp_state = QpState(self.sps, self.pps, self.slice_qp)
+
+        sh = SliceHeader()
+        sh.slice_qp = self.slice_qp
+        sh.ph = PictureHeader()
+        sh.ph.poc_lsb = self.frames_done & ((1 << self.sps.log2_max_poc_lsb) - 1)
+
+        coder = SyntaxCoder(self.sps, self.pps, sh, qp_state)
+        searcher = _CtuSearcher(self, ps, qp_state, src, coder)
+
+        bw = BitWriter()
+        hls.write_slice_header(bw, sh, self.sps, self.pps, is_idr=True)
+        bw.write_byte_alignment()
+        enc = CabacEncoder(bw)
+        enc.init_ctx(self.slice_qp, 2)
+
+        ctu = cfg.ctu_size
+        n_cols = (cfg.width + ctu - 1) // ctu
+        n_rows = (cfg.height + ctu - 1) // ctu
+        for cy in range(n_rows):
+            for cx in range(n_cols):
+                tree = searcher.search_ctu(cx * ctu, cy * ctu, enc.ctx)
+                coder.encode_ctu(enc, ps, tree)
+        # end_of_slice: terminating bin + arithmetic flush + rbsp trailing
+        # bits.  The stop '1' bit completes the terminator code interval
+        # (the flush drops the low byte; '1000...' padding lands the decoded
+        # point inside [low, low+256) — vvenc writeByteAlignment semantics).
+        enc.encode_bin_trm(1)
+        enc.finish()
+        bw.write_rbsp_trailing_bits()
+
+        nal_type = NalUnitType.IDR_N_LP if self.frames_done == 0 \
+            else NalUnitType.IDR_W_RADL
+        au = make_nal_unit(nal_type, bw.get_bytes())
+        out = (self.headers() + au) if self.frames_done == 0 else au
+        self.frames_done += 1
+        self.last_rec = ps
+        return out
+
+
+class _CtuSearcher:
+    """Depth-first QT RD search for one picture."""
+
+    def __init__(self, enc: IntraEncoder, ps: PictureState, qp: QpState,
+                 src, coder: SyntaxCoder):
+        self.enc = enc
+        self.cfg = enc.cfg
+        self.ps = ps
+        self.qp = qp
+        self.src = src
+        self.coder = coder
+        self.lmbda = enc.lmbda
+        self.lmbda_sad = enc.lmbda_sad
+
+    def search_ctu(self, x: int, y: int, live_ctx: CtxModels) -> TreeNode:
+        """RD-decide the coding tree of one CTU.
+
+        Works on a scratch copy of the picture state region; the caller
+        replays the returned tree through the real coder (which reconstructs
+        into the same PictureState deterministically)."""
+        self.est = BitEstimator(CtxModels(live_ctx))
+        snap = self.ps.save_region(x, y, self.cfg.ctu_size)
+        node, _cost = self._rd_node(x, y, self.cfg.ctu_size, 0)
+        self.ps.restore_region(snap)
+        return node
+
+    # -- recursive tree search -------------------------------------------
+    def _rd_node(self, x: int, y: int, size: int, depth: int):
+        ps = self.ps
+        can_no, can_qt = split_options(ps, x, y, size, self.cfg.min_qt)
+        split_ctx = split_flag_ctx(ps, x, y, size) if (can_no and can_qt) else -1
+
+        best_node = None
+        best_cost = float("inf")
+        state0 = (ps.save_region(x, y, size), self.est.snapshot())
+
+        if can_no:
+            node = TreeNode(x, y, size, depth, split=False)
+            flag_bits = 0
+            if split_ctx >= 0:
+                b0 = self.est.frac_bits
+                self.est.encode_bin(0, ct.CTX_SETS["SplitFlag"](split_ctx))
+                flag_bits = (self.est.frac_bits - b0) / (1 << 15)
+            cu, cost = self._rd_cu(x, y, size, depth)
+            cost += self.lmbda * flag_bits
+            node.cu = cu
+            best_node, best_cost = node, cost
+            if can_qt:
+                after_no = (ps.save_region(x, y, size), self.est.snapshot())
+                ps.restore_region(state0[0])
+                self.est.restore(state0[1])
+
+        if can_qt and (not can_no or size > self.cfg.min_qt):
+            node = TreeNode(x, y, size, depth, split=True)
+            cost = 0.0
+            if split_ctx >= 0:
+                b0 = self.est.frac_bits
+                self.est.encode_bin(1, ct.CTX_SETS["SplitFlag"](split_ctx))
+                cost += self.lmbda * (self.est.frac_bits - b0) / (1 << 15)
+            half = size >> 1
+            for (cx, cy) in ((x, y), (x + half, y), (x, y + half),
+                             (x + half, y + half)):
+                if cx >= ps.w or cy >= ps.h:
+                    continue
+                child, ccost = self._rd_node(cx, cy, half, depth + 1)
+                node.children.append(child)
+                cost += ccost
+                if cost >= best_cost:
+                    break
+            if cost < best_cost:
+                best_node, best_cost = node, cost
+                # state already reflects split reconstruction
+            else:
+                ps.restore_region(state0[0])
+                self.est.restore(state0[1])
+                if best_node is not None and not best_node.split:
+                    ps.restore_region(after_no[0])
+                    self.est.restore(after_no[1])
+        return best_node, best_cost
+
+    # -- per-CU mode decision ---------------------------------------------
+    def _rd_cu(self, x: int, y: int, size: int, depth: int):
+        ps = self.ps
+        w = h = size
+        src_y = self.src[0][y:y + h, x:x + w]
+        bit_depth = self.cfg.bit_depth
+
+        top, left = I.build_reference_samples(
+            ps.rec[0], x, y, w, h, ps.coded_luma, PictureState.LUMA_UNIT,
+            bit_depth)
+        mpm = get_intra_mpms(ps, x, y, w, h, self.cfg.ctu_size)
+
+        # SATD preselection over all modes
+        cand = []
+        for mode in range(I.NUM_LUMA_MODE):
+            pred = I.predict_intra(top, left, mode, w, h, bit_depth, True)
+            satd = R.satd_np(src_y, pred)
+            mode_bits = (1.5 + mpm.index(mode) if mode in mpm else 7.0)
+            cand.append((satd + self.lmbda_sad * mode_bits, mode, pred))
+        cand.sort(key=lambda t: t[0])
+        n_full = self.cfg.num_full_rd_modes
+        full_modes = cand[:n_full]
+        # ensure planar is tested (cheap DC of list)
+        if all(m != I.PLANAR_IDX for _, m, _ in full_modes):
+            full_modes.append(next(t for t in cand if t[1] == I.PLANAR_IDX))
+
+        qy = self.qp.luma_qp()
+        est_snap = self.est.snapshot()
+        best = None
+        for _, mode, pred in full_modes:
+            resi = src_y - pred
+            coeff = T.quant_np(T.fwd_transform_np(resi, bit_depth), qy,
+                               bit_depth)
+            cu = CuData(x, y, w, h, luma_mode=mode)
+            if np.any(coeff):
+                cu.coeff_y = coeff
+                d = T.dequant_np(coeff, qy, bit_depth)
+                rec = np.clip(pred + T.inv_transform_np(d, bit_depth), 0,
+                              (1 << bit_depth) - 1)
+            else:
+                rec = pred
+            dist = R.sse_np(src_y, rec)
+            self.est.restore(est_snap)
+            b0 = self.est.frac_bits
+            self._est_cu_luma_syntax(cu, mpm)
+            self.est.encode_bin(1 if cu.coeff_y is not None else 0,
+                                ct.CTX_SETS["QtCbfLuma"](0))
+            if cu.coeff_y is not None:
+                encode_residual(self.est, cu.coeff_y, True)
+            bits = (self.est.frac_bits - b0) / (1 << 15)
+            cost = dist + self.lmbda * bits
+            if best is None or cost < best[0]:
+                best = (cost, cu, rec)
+        cost, cu, rec_y = best
+
+        # chroma: DM mode, residual per component
+        ccoeffs = {}
+        for comp in (1, 2):
+            cx, cy2, cw, chh = x >> 1, y >> 1, w >> 1, h >> 1
+            src_c = self.src[comp][cy2:cy2 + chh, cx:cx + cw]
+            pred_c = predict_cu_component(ps, cu, comp, bit_depth)
+            qc = self.qp.chroma_qp(comp)
+            coeff = T.quant_np(T.fwd_transform_np(src_c - pred_c, bit_depth),
+                               qc, bit_depth)
+            ccoeffs[comp] = coeff if np.any(coeff) else None
+        cu.coeff_cb = ccoeffs[1]
+        cu.coeff_cr = ccoeffs[2]
+
+        # re-encode the full chosen CU syntax into the running estimator
+        self.est.restore(est_snap)
+        b0 = self.est.frac_bits
+        self._est_cu_luma_syntax(cu, mpm)
+        self.est.encode_bin(0, ct.CTX_SETS["IntraChromaPredMode"](0))  # DM
+        cbf_cb = cu.coeff_cb is not None
+        cbf_cr = cu.coeff_cr is not None
+        self.est.encode_bin(1 if cbf_cb else 0, ct.CTX_SETS["QtCbfCb"](0))
+        self.est.encode_bin(1 if cbf_cr else 0,
+                            ct.CTX_SETS["QtCbfCr"](1 if cbf_cb else 0))
+        self.est.encode_bin(1 if cu.coeff_y is not None else 0,
+                            ct.CTX_SETS["QtCbfLuma"](0))
+        if cu.coeff_y is not None:
+            encode_residual(self.est, cu.coeff_y, True)
+        for comp, coeff in ((1, cu.coeff_cb), (2, cu.coeff_cr)):
+            if coeff is not None:
+                encode_residual(self.est, coeff, False)
+        total_bits = (self.est.frac_bits - b0) / (1 << 15)
+
+        # reconstruct CU into scratch state (also computes chroma rec + SSE)
+        reconstruct_cu(ps, cu, self.qp, depth, bit_depth)
+        dist = R.sse_np(src_y, ps.rec[0][y:y + h, x:x + w])
+        for comp in (1, 2):
+            cx, cy2, cw, chh = x >> 1, y >> 1, w >> 1, h >> 1
+            dist += R.sse_np(self.src[comp][cy2:cy2 + chh, cx:cx + cw],
+                             ps.rec[comp][cy2:cy2 + chh, cx:cx + cw])
+        total_cost = dist + self.lmbda * total_bits
+        return cu, total_cost
+
+    def _est_cu_luma_syntax(self, cu: CuData, mpm) -> None:
+        est = self.est
+        mode = cu.luma_mode
+        mpm_idx = mpm.index(mode) if mode in mpm else 6
+        est.encode_bin(1 if mpm_idx < 6 else 0,
+                       ct.CTX_SETS["IntraLumaMpmFlag"](0))
+        if mpm_idx < 6:
+            est.encode_bin(1 if mpm_idx > 0 else 0,
+                           ct.CTX_SETS["IntraLumaPlanarFlag"](1))
+            for t in range(1, 5):
+                if mpm_idx >= t:
+                    est.encode_bin_ep(1 if mpm_idx > t else 0)
+        else:
+            est.encode_bins_ep(0, 6)  # truncated-binary payload approx
