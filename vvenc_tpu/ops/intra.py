@@ -176,13 +176,18 @@ def _pdpc_planar_dc(pred: np.ndarray, top: np.ndarray, left: np.ndarray,
 
 
 def predict_intra(top: np.ndarray, left: np.ndarray, mode: int, w: int, h: int,
-                  bit_depth: int = 10, is_luma: bool = True) -> np.ndarray:
+                  bit_depth: int = 10, is_luma: bool = True,
+                  override_pdpc=None) -> np.ndarray:
     """Full intra prediction for one block. top/left per module docstring,
-    each with at least 2*side+3 entries (padded by replication)."""
+    each with at least 2*side+3 entries (padded by replication).
+    override_pdpc: force PDPC on/off (None = spec behavior); used by the
+    batched search kernel tests which omit PDPC in preselection."""
     top = np.asarray(top, dtype=np.int32)
     left = np.asarray(left, dtype=np.int32)
     maxval = (1 << bit_depth) - 1
     p = intra_params(w, h, mode, is_luma)
+    if override_pdpc is not None:
+        p.apply_pdpc = override_pdpc
     if p.ref_filter:
         top, left = filter_reference(top, left)
     if mode == PLANAR_IDX:
