@@ -1,0 +1,86 @@
+"""Config/preset system, YUV I/O, and CLI smoke tests."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from vvenc_tpu.config import VvencTpuConfig, Preset, init_preset, check_config
+from vvenc_tpu.config.config import set_param, _PRESET_MATRIX
+from vvenc_tpu.utils.yuv_io import read_yuv, write_yuv, frame_size_bytes
+
+
+def test_presets_apply_and_clamp():
+    for preset in Preset:
+        cfg = VvencTpuConfig(width=416, height=240, qp=32, intra_period=1,
+                             gop_size=1)
+        init_preset(cfg, preset)
+        check_config(cfg)  # clamped config must validate
+        assert cfg.ctu_size == 32  # round-1 clamp
+
+
+def test_preset_target_matrix_unclamped():
+    cfg = VvencTpuConfig(width=416, height=240)
+    init_preset(cfg, Preset.MEDIUM, clamp_to_implemented=False)
+    assert cfg.ctu_size == 128 and cfg.alf == 1 and cfg.dep_quant == 1
+    with pytest.raises(NotImplementedError):
+        check_config(cfg)
+
+
+def test_check_config_rejects_bad():
+    cfg = VvencTpuConfig(width=0, height=240)
+    with pytest.raises(ValueError):
+        check_config(cfg)
+    cfg = VvencTpuConfig(width=416, height=240, qp=99)
+    with pytest.raises(ValueError):
+        check_config(cfg)
+
+
+def test_set_param_string_api():
+    cfg = VvencTpuConfig()
+    set_param(cfg, "QP", 27)
+    set_param(cfg, "intra-period", 1)
+    assert cfg.qp == 27 and cfg.intra_period == 1
+    with pytest.raises(KeyError):
+        set_param(cfg, "NotAThing", 1)
+
+
+def test_yuv_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    w, h = 32, 16
+    frames = [(rng.randint(0, 255, (h, w)).astype(np.uint8),
+               rng.randint(0, 255, (h // 2, w // 2)).astype(np.uint8),
+               rng.randint(0, 255, (h // 2, w // 2)).astype(np.uint8))
+              for _ in range(3)]
+    p = str(tmp_path / "t.yuv")
+    write_yuv(p, frames, 8)
+    assert os.path.getsize(p) == 3 * frame_size_bytes(w, h, 8)
+    back = list(read_yuv(p, w, h, 8))
+    assert len(back) == 3
+    for a, b in zip(frames, back):
+        for c in range(3):
+            assert np.array_equal(a[c], b[c])
+
+
+def test_cli_smoke(tmp_path):
+    w, h = 64, 32
+    rng = np.random.RandomState(1)
+    src = str(tmp_path / "in.yuv")
+    with open(src, "wb") as f:
+        y = np.clip(40 + np.arange(w)[None].repeat(h, 0) * 2 +
+                    rng.randn(h, w) * 3, 0, 255).astype(np.uint8)
+        f.write(y.tobytes())
+        f.write(np.full((h // 2, w // 2), 128, np.uint8).tobytes())
+        f.write(np.full((h // 2, w // 2), 100, np.uint8).tobytes())
+    out = str(tmp_path / "out.266")
+    r = subprocess.run(
+        [sys.executable, "-m", "vvenc_tpu", "-i", src, "-o", out,
+         "-s", f"{w}x{h}", "-q", "37", "--verify"],
+        capture_output=True, text=True, timeout=300,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "verify decode: OK" in r.stdout
+    assert os.path.getsize(out) > 0

@@ -1,0 +1,198 @@
+"""Flat encoder configuration + preset matrices + validation.
+
+Field semantics follow the reference encoder's config system
+(include/vvenc/vvencCfg.h:424-797); preset tool matrices follow
+vvenc_init_preset (vvencCfg.cpp:2577+, summarized in SURVEY.md §7.1).
+Tools not yet implemented are carried as config fields (set by presets)
+and rejected by check_config with an explicit NotImplemented message so
+the surface is complete while the gaps stay loud.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, fields
+from enum import IntEnum
+from typing import Optional
+
+
+class Preset(IntEnum):
+    FIRSTPASS = -1
+    FASTER = 0
+    FAST = 1
+    MEDIUM = 2
+    SLOW = 3
+    SLOWER = 4
+    TOOLTEST = 255
+
+
+@dataclass
+class VvencTpuConfig:
+    # -- basic I/O ---------------------------------------------------------
+    width: int = 0
+    height: int = 0
+    fps_num: int = 60
+    fps_den: int = 1
+    input_bit_depth: int = 8
+    internal_bit_depth: int = 10
+    # -- rate / quality ----------------------------------------------------
+    qp: int = 32
+    intra_qp_offset: int = -3
+    target_bitrate: int = 0          # 0: fixed QP
+    rc_passes: int = 1
+    perceptual_qpa: int = 0
+    # -- structure ---------------------------------------------------------
+    gop_size: int = 32
+    intra_period: int = 0            # 0: single IDR then inter (frames)
+    decoding_refresh_type: str = "idr"
+    # -- partitioning ------------------------------------------------------
+    ctu_size: int = 32               # round 1: 32 (max TB 32); target 128
+    min_qt_size: int = 8
+    max_mtt_depth: int = 0           # P/B slices
+    max_mtt_depth_i: int = 0
+    dual_i_tree: int = 0
+    # -- tools (0 = off; values follow vvenc conventions) ------------------
+    mctf: int = 0
+    bim: int = 0
+    alf: int = 0
+    ccalf: int = 0
+    sao: int = 0
+    deblocking: int = 0
+    dep_quant: int = 0
+    sign_data_hiding: int = 0
+    rdoq: int = 1
+    lfnst: int = 0
+    mts: int = 0
+    mts_implicit: int = 0
+    mip: int = 0
+    isp: int = 0
+    mrl: int = 0
+    lm_chroma: int = 0
+    joint_cbcr: int = 0
+    affine: int = 0
+    dmvr: int = 0
+    bdof: int = 0
+    mmvd: int = 0
+    smvd: int = 0
+    geo: int = 0
+    ciip: int = 0
+    sbt: int = 0
+    bcw: int = 0
+    sbtmvp: int = 0
+    amvr: int = 0
+    prof: int = 0
+    transform_skip: int = 0
+    bdpcm: int = 0
+    ibc: int = 0
+    # -- parallelization (device mesh shape) --------------------------------
+    num_tile_cols: int = 1
+    num_tile_rows: int = 1
+    max_parallel_frames: int = 0
+    num_parallel_gops: int = 0
+    threads: int = 0
+    # -- misc --------------------------------------------------------------
+    num_full_rd_modes: int = 3
+
+
+# tool values per preset, mirroring SURVEY.md §7.1 (subset of knobs that
+# exist in this framework today; remaining knobs join as tools land)
+_PRESET_MATRIX = {
+    Preset.FIRSTPASS: dict(ctu_size=32, max_mtt_depth_i=0, mctf=2, bim=1,
+                           num_full_rd_modes=1),
+    Preset.FASTER: dict(ctu_size=32, max_mtt_depth_i=0, mctf=2, bim=1,
+                        alf=1, ccalf=1, dmvr=1, num_full_rd_modes=2),
+    Preset.FAST: dict(ctu_size=32, max_mtt_depth_i=1, mctf=2, bim=1,
+                      alf=1, ccalf=1, dmvr=1, bdof=1, dep_quant=1, lfnst=1,
+                      affine=5, amvr=5, mmvd=3, mrl=1, prof=1, sbtmvp=1,
+                      joint_cbcr=1, lm_chroma=1, mts_implicit=1,
+                      num_full_rd_modes=3),
+    Preset.MEDIUM: dict(ctu_size=128, max_mtt_depth=1, max_mtt_depth_i=2,
+                        mctf=2, bim=1, alf=1, ccalf=1, dmvr=1, bdof=1,
+                        dep_quant=1, lfnst=1, affine=4, amvr=5, mmvd=3,
+                        mrl=1, prof=1, sbtmvp=1, joint_cbcr=1, lm_chroma=1,
+                        mts_implicit=1, mip=1, isp=3, smvd=3, geo=4,
+                        num_full_rd_modes=3),
+    Preset.SLOW: dict(ctu_size=128, max_mtt_depth=2, max_mtt_depth_i=3,
+                      mctf=2, alf=1, ccalf=1, dmvr=1, bdof=1, dep_quant=1,
+                      lfnst=1, affine=3, amvr=1, mmvd=1, mrl=1, prof=1,
+                      sbtmvp=1, joint_cbcr=1, lm_chroma=1, mts_implicit=1,
+                      mip=1, isp=3, smvd=3, geo=2, ciip=1, sbt=1, bcw=2,
+                      num_full_rd_modes=4),
+    Preset.SLOWER: dict(ctu_size=128, max_mtt_depth=3, max_mtt_depth_i=3,
+                        mctf=2, alf=1, ccalf=1, dmvr=1, bdof=1, dep_quant=1,
+                        lfnst=1, affine=1, amvr=1, mmvd=1, mrl=1, prof=1,
+                        sbtmvp=1, joint_cbcr=1, lm_chroma=1, mts=1, mip=1,
+                        isp=1, smvd=1, geo=1, ciip=1, sbt=1, bcw=2,
+                        num_full_rd_modes=6),
+    Preset.TOOLTEST: dict(ctu_size=128, max_mtt_depth=1, max_mtt_depth_i=2,
+                          mctf=1, alf=1, ccalf=1, dmvr=1, bdof=1, dep_quant=1,
+                          lfnst=1, affine=1, amvr=1, mmvd=1, mrl=1, prof=1,
+                          sbtmvp=1, joint_cbcr=1, mts=1, mip=1, isp=1, smvd=1,
+                          geo=1, ciip=1, sbt=1, bcw=1, sao=1, transform_skip=1,
+                          bdpcm=1, ibc=1, num_full_rd_modes=3),
+}
+
+# tools the current build actually implements end-to-end
+_IMPLEMENTED = {"mctf": 0, "bim": 0, "alf": 0, "ccalf": 0, "sao": 0,
+                "deblocking": 0, "dep_quant": 0, "sign_data_hiding": 0,
+                "lfnst": 0, "mts": 0, "mts_implicit": 0, "mip": 0, "isp": 0,
+                "mrl": 0, "lm_chroma": 0, "joint_cbcr": 0, "affine": 0,
+                "dmvr": 0, "bdof": 0, "mmvd": 0, "smvd": 0, "geo": 0,
+                "ciip": 0, "sbt": 0, "bcw": 0, "sbtmvp": 0, "amvr": 0,
+                "prof": 0, "transform_skip": 0, "bdpcm": 0, "ibc": 0}
+
+
+def init_preset(cfg: VvencTpuConfig, preset: Preset,
+                clamp_to_implemented: bool = True) -> VvencTpuConfig:
+    """Apply a preset's tool matrix (vvenc_init_preset analog).
+
+    clamp_to_implemented: reduce not-yet-implemented tools to their
+    implemented level instead of failing validation (the growing-framework
+    default); pass False to see the full target matrix.
+    """
+    for k, v in _PRESET_MATRIX[preset].items():
+        setattr(cfg, k, v)
+    if clamp_to_implemented:
+        for k, max_v in _IMPLEMENTED.items():
+            if getattr(cfg, k) > max_v:
+                setattr(cfg, k, max_v)
+        # round-1 encoder constraints
+        cfg.ctu_size = min(cfg.ctu_size, 32)
+        cfg.max_mtt_depth = 0
+        cfg.max_mtt_depth_i = 0
+    return cfg
+
+
+def check_config(cfg: VvencTpuConfig) -> None:
+    """Validate + reject unimplemented combinations loudly
+    (vvenc_init_config_parameter analog)."""
+    if cfg.width <= 0 or cfg.height <= 0:
+        raise ValueError("width/height must be set")
+    if cfg.width % 2 or cfg.height % 2:
+        raise ValueError("4:2:0 requires even dimensions")
+    if not (0 <= cfg.qp <= 63):
+        raise ValueError("QP out of range [0, 63]")
+    if cfg.ctu_size not in (32, 64, 128):
+        raise ValueError("CTU size must be 32, 64 or 128")
+    if cfg.internal_bit_depth != 10:
+        raise NotImplementedError("internal bit depth other than 10")
+    if cfg.ctu_size != 32:
+        raise NotImplementedError("CTU > 32 lands with the TU-tiling work")
+    if cfg.max_mtt_depth or cfg.max_mtt_depth_i:
+        raise NotImplementedError("MTT (BT/TT) splits")
+    if cfg.intra_period != 1 and cfg.gop_size != 1:
+        raise NotImplementedError("inter coding (round-1 build is all-intra)")
+    if cfg.target_bitrate:
+        raise NotImplementedError("rate control")
+    for k, max_v in _IMPLEMENTED.items():
+        if getattr(cfg, k) > max_v:
+            raise NotImplementedError(f"tool '{k}' not implemented yet")
+
+
+def set_param(cfg: VvencTpuConfig, name: str, value) -> None:
+    """String-keyed parameter API (vvenc_set_param analog)."""
+    key = name.lower()
+    for f in fields(cfg):
+        if f.name.replace("_", "") == key.replace("_", "").replace("-", ""):
+            setattr(cfg, f.name, type(getattr(cfg, f.name))(value))
+            return
+    raise KeyError(f"unknown parameter: {name}")
