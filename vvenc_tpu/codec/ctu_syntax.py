@@ -51,13 +51,65 @@ class CuData:
     coeff_cr: Optional[np.ndarray] = None
 
 
+# split modes
+NO_SPLIT, QT_SPLIT, BT_H, BT_V, TT_H, TT_V = 0, 1, 2, 3, 4, 5
+
+
+@dataclass
+class PartInfo:
+    """Per-node partitioner state (vvenc Partitioner depth counters)."""
+    qt_depth: int = 0
+    mtt_depth: int = 0
+    bt_depth: int = 0
+    impl_bt_depth: int = 0
+    last_split: int = -1       # -1 = CTU level
+    part_idx: int = 0
+
+    def child(self, split: int, idx: int) -> "PartInfo":
+        p = PartInfo(self.qt_depth, self.mtt_depth, self.bt_depth,
+                     self.impl_bt_depth, split, idx)
+        if split == QT_SPLIT:
+            p.qt_depth += 1
+            p.mtt_depth = 0
+            p.bt_depth = 0
+        else:
+            p.mtt_depth += 1
+            p.bt_depth += 1 + (1 if split in (TT_H, TT_V) else 0)
+        return p
+
+
+def split_geometry(split: int, x: int, y: int, w: int, h: int):
+    """Child (x, y, w, h) rectangles in coding order."""
+    if split == QT_SPLIT:
+        hw, hh = w >> 1, h >> 1
+        return [(x, y, hw, hh), (x + hw, y, hw, hh),
+                (x, y + hh, hw, hh), (x + hw, y + hh, hw, hh)]
+    if split == BT_H:
+        hh = h >> 1
+        return [(x, y, w, hh), (x, y + hh, w, hh)]
+    if split == BT_V:
+        hw = w >> 1
+        return [(x, y, hw, h), (x + hw, y, hw, h)]
+    if split == TT_H:
+        q = h >> 2
+        return [(x, y, w, q), (x, y + q, w, h >> 1), (x, y + 3 * q, w, q)]
+    if split == TT_V:
+        q = w >> 2
+        return [(x, y, q, h), (x + q, y, w >> 1, h), (x + 3 * q, y, q, h)]
+    raise ValueError(split)
+
+
 @dataclass
 class TreeNode:
     x: int
     y: int
-    size: int
-    qt_depth: int
+    size: int                   # kept for CTU-level API compat (width)
+    qt_depth: int = 0
     split: bool = False
+    split_mode: int = NO_SPLIT
+    w: int = 0
+    h: int = 0
+    part: PartInfo = field(default_factory=PartInfo)
     children: List["TreeNode"] = field(default_factory=list)
     cu: Optional[CuData] = None
 
@@ -66,8 +118,206 @@ class TreeNode:
 # shared derivations
 # ---------------------------------------------------------------------------
 
+MAX_TB = 64  # MAX_TB_SIZEY constraint used by BT/TT allowance
+
+
+def implicit_split(ps: PictureState, x: int, y: int, w: int, h: int,
+                   part: PartInfo, sps) -> int:
+    """Boundary-forced split (vvenc Partitioner::getImplicitSplit:612)."""
+    bl_in = (x < ps.w) and (y + h <= ps.h)      # bottom-left inside
+    tr_in = (x + w <= ps.w) and (y < ps.h)      # top-right inside
+    if bl_in and tr_in:
+        return NO_SPLIT
+    max_btd = sps.max_mtt_depth[0] + part.impl_bt_depth
+    bt_ok = (w <= sps.max_bt_size[0] and h <= sps.max_bt_size[0]
+             and part.mtt_depth < max_btd)
+    qt_ok = w > sps.min_qt_size[0] and part.bt_depth == 0
+    if not bl_in and not tr_in and qt_ok:
+        return QT_SPLIT
+    if not bl_in and bt_ok and w <= MAX_TB:
+        return BT_H
+    if not tr_in and bt_ok and h <= MAX_TB:
+        return BT_V
+    return QT_SPLIT
+
+
+def split_options_full(ps: PictureState, x: int, y: int, w: int, h: int,
+                       part: PartInfo, sps):
+    """All six split allowances (vvenc Partitioner::canSplit:445).
+
+    Returns [can_no, can_qt, can_bh, can_bv, can_th, can_tv]."""
+    min_t = 1 << sps.log2_min_cb_size
+    max_bt = sps.max_bt_size[0]
+    max_tt = sps.max_tt_size[0]
+    max_btd = sps.max_mtt_depth[0] + part.impl_bt_depth
+    can_no = can_qt = can_bh = can_bv = can_th = can_tv = True
+    can_btt = part.mtt_depth < max_btd
+
+    if part.last_split not in (-1, QT_SPLIT):
+        can_qt = False
+    if w <= sps.min_qt_size[0]:
+        can_qt = False
+
+    impl = implicit_split(ps, x, y, w, h, part, sps)
+    if impl != NO_SPLIT:
+        can_no = can_th = can_tv = False
+        can_bh = impl == BT_H
+        can_bv = impl == BT_V
+        if not can_bh and not can_bv and not can_qt:
+            can_qt = True
+        return [can_no, can_qt, can_bh, can_bv, can_th, can_tv]
+
+    # redundancy: center TT child cannot use the parallel BT split
+    if part.last_split in (TT_H, TT_V) and part.part_idx == 1:
+        if part.last_split == TT_H:
+            can_bh = False
+        else:
+            can_bv = False
+
+    if can_btt and (w <= min_t and h <= min_t):
+        can_btt = False
+    if can_btt and (w > max_bt or h > max_bt) and (w > max_tt or h > max_tt):
+        can_btt = False
+    if not can_btt:
+        return [can_no, can_qt, False, False, False, False]
+
+    if w > max_bt or h > max_bt:
+        can_bh = can_bv = False
+    if h <= min_t:
+        can_bh = False
+    if w > MAX_TB and h <= MAX_TB:
+        can_bh = False
+    if w <= min_t:
+        can_bv = False
+    if w <= MAX_TB and h > MAX_TB:
+        can_bv = False
+    if h <= 2 * min_t or h > max_tt or w > max_tt:
+        can_th = False
+    if w > MAX_TB or h > MAX_TB:
+        can_th = False
+    if w <= 2 * min_t or w > max_tt or h > max_tt:
+        can_tv = False
+    if w > MAX_TB or h > MAX_TB:
+        can_tv = False
+    return [can_no, can_qt, can_bh, can_bv, can_th, can_tv]
+
+
+def split_ctx_ids(ps: PictureState, x: int, y: int, w: int, h: int,
+                  part: PartInfo, can_spl):
+    """Context indices for split_cu_mode (vvenc DeriveCtx::CtxSplit:147).
+
+    Returns (ctx_split, ctx_qt, ctx_hv, ctx_h12, ctx_v12)."""
+    left = ps.cu_at(x - 1, y)
+    above = ps.cu_at(x, y - 1)
+    ctx_split = 0
+    if left is not None:
+        ctx_split += 1 if left[1] < h else 0
+    if above is not None:
+        ctx_split += 1 if above[0] < w else 0
+    num_split = (2 if can_spl[1] else 0) + sum(1 for i in (2, 3, 4, 5)
+                                              if can_spl[i])
+    if num_split > 0:
+        num_split -= 1
+    ctx_split += 3 * (num_split >> 1)
+    ctx_qt = 0
+    if left is not None and left[2] > part.qt_depth:
+        ctx_qt += 1
+    if above is not None and above[2] > part.qt_depth:
+        ctx_qt += 1
+    ctx_qt += 0 if part.qt_depth < 2 else 3
+    # hor/ver split context
+    num_hor = (1 if can_spl[2] else 0) + (1 if can_spl[4] else 0)
+    num_ver = (1 if can_spl[3] else 0) + (1 if can_spl[5] else 0)
+    if num_ver == num_hor:
+        w_above = above[0] if above is not None else 1
+        h_left = left[1] if left is not None else 1
+        dep_above = w // w_above
+        dep_left = h // h_left
+        if dep_above == dep_left or left is None or above is None:
+            ctx_hv = 0
+        elif dep_above < dep_left:
+            ctx_hv = 1
+        else:
+            ctx_hv = 2
+    elif num_ver < num_hor:
+        ctx_hv = 3
+    else:
+        ctx_hv = 4
+    ctx_h12 = 1 if part.mtt_depth <= 1 else 0
+    ctx_v12 = 3 if part.mtt_depth <= 1 else 2
+    return ctx_split, ctx_qt, ctx_hv, ctx_h12, ctx_v12
+
+
+def write_split_mode(enc, ps, x, y, w, h, part, sps, split: int) -> None:
+    """split_cu_mode (vvenc CABACWriter::split_cu_mode:563)."""
+    can_spl = split_options_full(ps, x, y, w, h, part, sps)
+    ctx_split, ctx_qt, ctx_hv, ctx_h12, ctx_v12 = \
+        split_ctx_ids(ps, x, y, w, h, part, can_spl)
+    can_no = can_spl[0]
+    can_split_any = any(can_spl[1:])
+    is_no = split == NO_SPLIT
+    if can_no and can_split_any:
+        enc.encode_bin(0 if is_no else 1, ct.CTX_SETS["SplitFlag"](ctx_split))
+    if is_no:
+        return
+    can_btt = any(can_spl[2:])
+    is_qt = split == QT_SPLIT
+    if can_spl[1] and can_btt:
+        enc.encode_bin(1 if is_qt else 0, ct.CTX_SETS["SplitQtFlag"](ctx_qt))
+    if is_qt:
+        return
+    can_hor = can_spl[2] or can_spl[4]
+    can_ver = can_spl[3] or can_spl[5]
+    is_ver = split in (BT_V, TT_V)
+    if can_ver and can_hor:
+        enc.encode_bin(1 if is_ver else 0, ct.CTX_SETS["SplitHvFlag"](ctx_hv))
+    can14 = can_spl[5] if is_ver else can_spl[4]
+    can12 = can_spl[3] if is_ver else can_spl[2]
+    is12 = split == (BT_V if is_ver else BT_H)
+    if can12 and can14:
+        enc.encode_bin(1 if is12 else 0,
+                       ct.CTX_SETS["Split12Flag"](ctx_v12 if is_ver else ctx_h12))
+
+
+def read_split_mode(dec, ps, x, y, w, h, part, sps) -> int:
+    can_spl = split_options_full(ps, x, y, w, h, part, sps)
+    ctx_split, ctx_qt, ctx_hv, ctx_h12, ctx_v12 = \
+        split_ctx_ids(ps, x, y, w, h, part, can_spl)
+    can_no = can_spl[0]
+    can_split_any = any(can_spl[1:])
+    if can_no and can_split_any:
+        is_split = dec.decode_bin(ct.CTX_SETS["SplitFlag"](ctx_split))
+    else:
+        is_split = 0 if can_no else 1
+    if not is_split:
+        return NO_SPLIT
+    can_btt = any(can_spl[2:])
+    if can_spl[1] and can_btt:
+        is_qt = dec.decode_bin(ct.CTX_SETS["SplitQtFlag"](ctx_qt))
+    else:
+        is_qt = 1 if can_spl[1] else 0
+    if is_qt:
+        return QT_SPLIT
+    can_hor = can_spl[2] or can_spl[4]
+    can_ver = can_spl[3] or can_spl[5]
+    if can_ver and can_hor:
+        is_ver = dec.decode_bin(ct.CTX_SETS["SplitHvFlag"](ctx_hv))
+    else:
+        is_ver = 1 if can_ver else 0
+    can14 = can_spl[5] if is_ver else can_spl[4]
+    can12 = can_spl[3] if is_ver else can_spl[2]
+    if can12 and can14:
+        is12 = dec.decode_bin(
+            ct.CTX_SETS["Split12Flag"](ctx_v12 if is_ver else ctx_h12))
+    else:
+        is12 = 1 if can12 else 0
+    if is_ver:
+        return BT_V if is12 else TT_V
+    return BT_H if is12 else TT_H
+
+
 def split_options(ps: PictureState, x: int, y: int, size: int, min_qt: int):
-    """(can_no, can_qt) for a QT-only tree with implicit boundary splits."""
+    """Legacy QT-only helper (kept for the round-1 encoder search)."""
     inside = (x + size <= ps.w) and (y + size <= ps.h)
     can_qt = size > min_qt
     return inside, can_qt
@@ -199,28 +449,26 @@ class SyntaxCoder:
         self._enc_tree(enc, ps, node)
 
     def _enc_tree(self, enc, ps, node: TreeNode) -> None:
-        x, y, size = node.x, node.y, node.size
-        can_no, can_qt = split_options(ps, x, y, size, self.min_qt)
-        if can_no and can_qt:
-            ctx = split_flag_ctx(ps, x, y, size)
-            enc.encode_bin(1 if node.split else 0, ct.CTX_SETS["SplitFlag"](ctx))
-        elif not can_no:
-            assert node.split, "implicit split required at picture boundary"
-        else:
-            assert not node.split, "split below min QT size"
-        if node.split:
-            half = size >> 1
-            for child in node.children:
-                if child.x >= ps.w or child.y >= ps.h:
-                    continue
-                self._enc_tree(enc, ps, child)
-        else:
+        x, y, w, h = node.x, node.y, node.w, node.h
+        write_split_mode(enc, ps, x, y, w, h, node.part, self.sps,
+                         node.split_mode)
+        if node.split_mode == NO_SPLIT:
             self._enc_cu(enc, ps, node)
+            return
+        ci = 0
+        for idx, (cx, cy, cw, chh) in enumerate(
+                split_geometry(node.split_mode, x, y, w, h)):
+            if cx >= ps.w or cy >= ps.h:
+                continue
+            child = node.children[ci]
+            ci += 1
+            assert (child.x, child.y, child.w, child.h) == (cx, cy, cw, chh)
+            self._enc_tree(enc, ps, child)
+        assert ci == len(node.children)
 
     def _enc_cu(self, enc, ps, node: TreeNode) -> None:
         cu = node.cu
-        w = min(node.size, ps.w - node.x)
-        h = min(node.size, ps.h - node.y)
+        w, h = node.w, node.h
         assert (w, h) == (cu.w, cu.h), (w, h, cu.w, cu.h)
         self._enc_intra_luma_mode(enc, ps, cu)
         self._enc_intra_chroma_mode(enc, cu)
@@ -239,7 +487,7 @@ class SyntaxCoder:
         if cbf_cr:
             encode_residual(enc, cu.coeff_cr, False)
         # reconstruct so subsequent syntax sees correct neighbor state
-        reconstruct_cu(ps, cu, self.qp, node.qt_depth, self.bit_depth)
+        reconstruct_cu(ps, cu, self.qp, node.part.qt_depth, self.bit_depth)
 
     def _enc_intra_luma_mode(self, enc, ps, cu: CuData) -> None:
         mpm = get_intra_mpms(ps, cu.x, cu.y, cu.w, cu.h, self.ctu_size)
@@ -277,35 +525,28 @@ class SyntaxCoder:
 
     # -- decoding ----------------------------------------------------------
     def decode_ctu(self, dec, ps: PictureState, ctu_x: int, ctu_y: int) -> TreeNode:
-        return self._dec_tree(dec, ps, ctu_x, ctu_y, self.ctu_size, 0)
+        return self._dec_tree(dec, ps, ctu_x, ctu_y, self.ctu_size,
+                              self.ctu_size, PartInfo())
 
-    def _dec_tree(self, dec, ps, x, y, size, qt_depth) -> TreeNode:
-        node = TreeNode(x, y, size, qt_depth)
-        can_no, can_qt = split_options(ps, x, y, size, self.min_qt)
-        if can_no and can_qt:
-            ctx = split_flag_ctx(ps, x, y, size)
-            node.split = bool(dec.decode_bin(ct.CTX_SETS["SplitFlag"](ctx)))
-        elif not can_no:
-            assert can_qt, "cannot represent boundary block"
-            node.split = True
-        else:
-            node.split = False
+    def _dec_tree(self, dec, ps, x, y, w, h, part: PartInfo) -> TreeNode:
+        node = TreeNode(x, y, max(w, h), part.qt_depth, w=w, h=h, part=part)
+        node.split_mode = read_split_mode(dec, ps, x, y, w, h, part, self.sps)
+        node.split = node.split_mode != NO_SPLIT
         if node.split:
-            half = size >> 1
-            for (cx, cy) in ((x, y), (x + half, y), (x, y + half),
-                             (x + half, y + half)):
+            for idx, (cx, cy, cw, chh) in enumerate(
+                    split_geometry(node.split_mode, x, y, w, h)):
                 if cx >= ps.w or cy >= ps.h:
                     continue
                 node.children.append(
-                    self._dec_tree(dec, ps, cx, cy, half, qt_depth + 1))
+                    self._dec_tree(dec, ps, cx, cy, cw, chh,
+                                   part.child(node.split_mode, idx)))
         else:
             node.cu = self._dec_cu(dec, ps, node)
         return node
 
     def _dec_cu(self, dec, ps, node: TreeNode) -> CuData:
-        x, y, size = node.x, node.y, node.size
-        w = min(size, ps.w - x)
-        h = min(size, ps.h - y)
+        x, y = node.x, node.y
+        w, h = node.w, node.h
         cu = CuData(x, y, w, h)
         cu.luma_mode = self._dec_intra_luma_mode(dec, ps, cu)
         cu.chroma_dir = self._dec_intra_chroma_mode(dec, cu)
@@ -318,7 +559,7 @@ class SyntaxCoder:
             cu.coeff_cb = decode_residual(dec, w >> 1, h >> 1, False)
         if cbf_cr:
             cu.coeff_cr = decode_residual(dec, w >> 1, h >> 1, False)
-        reconstruct_cu(ps, cu, self.qp, node.qt_depth, self.bit_depth)
+        reconstruct_cu(ps, cu, self.qp, node.part.qt_depth, self.bit_depth)
         return cu
 
     def _dec_intra_luma_mode(self, dec, ps, cu: CuData) -> int:

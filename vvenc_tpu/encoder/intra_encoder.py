@@ -24,7 +24,9 @@ from ..bitstream.nal import NalUnitType, make_nal_unit
 from ..bitstream import hls
 from ..bitstream.params import SPS, PPS, SliceHeader, PictureHeader
 from ..codec.ctu_syntax import (SyntaxCoder, TreeNode, CuData, DM_CHROMA,
-                                get_intra_mpms, split_options, split_flag_ctx,
+                                PartInfo, NO_SPLIT, QT_SPLIT,
+                                get_intra_mpms, split_options_full,
+                                split_geometry, write_split_mode,
                                 predict_cu_component, reconstruct_cu)
 from ..bitstream import ctx_tables as ct
 from ..bitstream.residual import encode_residual
@@ -48,6 +50,9 @@ class EncoderConfig:
     fps_num: int = 15
     fps_den: int = 1
     num_full_rd_modes: int = 3     # full-RD candidates after SATD preselection
+    max_mtt_depth: int = 0         # BT/TT depth for intra slices
+    max_bt_size: int = 32
+    max_tt_size: int = 32
 
 
 def build_parameter_sets(cfg: EncoderConfig):
@@ -57,7 +62,12 @@ def build_parameter_sets(cfg: EncoderConfig):
     sps.bit_depth = cfg.bit_depth
     sps.ctu_size_log2 = cfg.ctu_size.bit_length() - 1
     sps.min_qt_size = [cfg.min_qt, cfg.min_qt, cfg.min_qt]
-    sps.max_mtt_depth = [0, 0, 0]
+    sps.max_mtt_depth = [cfg.max_mtt_depth, 0, cfg.max_mtt_depth]
+    sps.max_bt_size = [cfg.max_bt_size, cfg.ctu_size, cfg.max_bt_size]
+    sps.max_tt_size = [cfg.max_tt_size, cfg.ctu_size, cfg.max_tt_size]
+    # keep min CB at 8 when MTT is on: chroma stays >= 4x4, so the
+    # local-dual-tree machinery (spec modeTypeCondition) never triggers
+    sps.log2_min_cb_size = 3 if cfg.max_mtt_depth else 2
     sps.log2_max_tb_size = min(5, sps.ctu_size_log2)
     sps.ptl.level_idc = 35
     sps.max_dec_pic_buffering = [2]
@@ -169,68 +179,62 @@ class _CtuSearcher:
         into the same PictureState deterministically)."""
         self.est = BitEstimator(CtxModels(live_ctx))
         snap = self.ps.save_region(x, y, self.cfg.ctu_size)
-        node, _cost = self._rd_node(x, y, self.cfg.ctu_size, 0)
+        node, _cost = self._rd_node(x, y, self.cfg.ctu_size,
+                                    self.cfg.ctu_size, PartInfo())
         self.ps.restore_region(snap)
         return node
 
     # -- recursive tree search -------------------------------------------
-    def _rd_node(self, x: int, y: int, size: int, depth: int):
+    def _rd_node(self, x: int, y: int, w: int, h: int, part: PartInfo):
         ps = self.ps
-        can_no, can_qt = split_options(ps, x, y, size, self.cfg.min_qt)
-        split_ctx = split_flag_ctx(ps, x, y, size) if (can_no and can_qt) else -1
+        sps = self.enc.sps
+        can_spl = split_options_full(ps, x, y, w, h, part, sps)
 
         best_node = None
         best_cost = float("inf")
-        state0 = (ps.save_region(x, y, size), self.est.snapshot())
+        state0 = (ps.save_region(x, y, max(w, h)), self.est.snapshot())
 
-        if can_no:
-            node = TreeNode(x, y, size, depth, split=False)
-            flag_bits = 0
-            if split_ctx >= 0:
-                b0 = self.est.frac_bits
-                self.est.encode_bin(0, ct.CTX_SETS["SplitFlag"](split_ctx))
-                flag_bits = (self.est.frac_bits - b0) / (1 << 15)
-            cu, cost = self._rd_cu(x, y, size, depth)
-            cost += self.lmbda * flag_bits
-            node.cu = cu
-            best_node, best_cost = node, cost
-            if can_qt:
-                after_no = (ps.save_region(x, y, size), self.est.snapshot())
+        tries = [s for s, ok in enumerate(can_spl) if ok]
+        for trial_i, split in enumerate(tries):
+            if trial_i > 0:
                 ps.restore_region(state0[0])
                 self.est.restore(state0[1])
-
-        if can_qt and (not can_no or size > self.cfg.min_qt):
-            node = TreeNode(x, y, size, depth, split=True)
-            cost = 0.0
-            if split_ctx >= 0:
-                b0 = self.est.frac_bits
-                self.est.encode_bin(1, ct.CTX_SETS["SplitFlag"](split_ctx))
-                cost += self.lmbda * (self.est.frac_bits - b0) / (1 << 15)
-            half = size >> 1
-            for (cx, cy) in ((x, y), (x + half, y), (x, y + half),
-                             (x + half, y + half)):
-                if cx >= ps.w or cy >= ps.h:
+            node = TreeNode(x, y, max(w, h), part.qt_depth, w=w, h=h,
+                            part=part, split_mode=split,
+                            split=split != NO_SPLIT)
+            b0 = self.est.frac_bits
+            write_split_mode(self.est, ps, x, y, w, h, part, sps, split)
+            cost = self.lmbda * (self.est.frac_bits - b0) / (1 << 15)
+            if split == NO_SPLIT:
+                cu, cu_cost = self._rd_cu(x, y, w, h, part)
+                node.cu = cu
+                cost += cu_cost
+            else:
+                aborted = False
+                for idx, (cx, cy, cw, chh) in enumerate(
+                        split_geometry(split, x, y, w, h)):
+                    if cx >= ps.w or cy >= ps.h:
+                        continue
+                    child, ccost = self._rd_node(cx, cy, cw, chh,
+                                                 part.child(split, idx))
+                    node.children.append(child)
+                    cost += ccost
+                    if cost >= best_cost:
+                        aborted = True
+                        break
+                if aborted:
                     continue
-                child, ccost = self._rd_node(cx, cy, half, depth + 1)
-                node.children.append(child)
-                cost += ccost
-                if cost >= best_cost:
-                    break
             if cost < best_cost:
                 best_node, best_cost = node, cost
-                # state already reflects split reconstruction
-            else:
-                ps.restore_region(state0[0])
-                self.est.restore(state0[1])
-                if best_node is not None and not best_node.split:
-                    ps.restore_region(after_no[0])
-                    self.est.restore(after_no[1])
+                best_after = (ps.save_region(x, y, max(w, h)),
+                              self.est.snapshot())
+        ps.restore_region(best_after[0])
+        self.est.restore(best_after[1])
         return best_node, best_cost
 
     # -- per-CU mode decision ---------------------------------------------
-    def _rd_cu(self, x: int, y: int, size: int, depth: int):
+    def _rd_cu(self, x: int, y: int, w: int, h: int, part: PartInfo):
         ps = self.ps
-        w = h = size
         src_y = self.src[0][y:y + h, x:x + w]
         bit_depth = self.cfg.bit_depth
 
@@ -315,7 +319,7 @@ class _CtuSearcher:
         total_bits = (self.est.frac_bits - b0) / (1 << 15)
 
         # reconstruct CU into scratch state (also computes chroma rec + SSE)
-        reconstruct_cu(ps, cu, self.qp, depth, bit_depth)
+        reconstruct_cu(ps, cu, self.qp, part.qt_depth, bit_depth)
         dist = R.sse_np(src_y, ps.rec[0][y:y + h, x:x + w])
         for comp in (1, 2):
             cx, cy2, cw, chh = x >> 1, y >> 1, w >> 1, h >> 1
