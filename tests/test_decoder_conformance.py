@@ -27,6 +27,9 @@ GOLDEN_HASHES = {
         "34453c0404da1000c586b0061ce6232b",
         "9358c1315da835a3e12f234bc1e1cae3",
         "4e3e33a15d84cc4d51676e25ddb929b6"],
+    # same config with the deblocking filter enabled (LoopFilterDisable 0)
+    "golden_ai_deblock_416x240_qp37_f1.266": [
+        "a433431479fcced9d06f19f9124a24a6"],
 }
 
 

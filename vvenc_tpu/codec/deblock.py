@@ -1,0 +1,370 @@
+"""Deblocking filter (H.266 8.8.3) — numpy spec model for the decode loop.
+
+Behavioral reference: vvenc CommonLib/LoopFilter.cpp (tc/beta tables :79,
+long-filter xFilteringPandQ :123, luma strong/weak xPelFilterLumaCorePel
+:217, chroma xPelFilterChroma :284, decisions xEdgeFilterLuma :1373,
+xEdgeFilterChroma :1523, BS derivation xGetBoundaryStrengthSingle :1022,
+max filter length xSetMaxFilterLengthPQFromTransformSizes :805).
+
+Round-1 scope: intra pictures with TU == CU (no ISP/SBT/subblock motion):
+every CU edge has BS 2 on all components; per-edge QP is the constant slice
+QP (encoder) or per-CU average (general path kept).  Vertical edges of the
+whole picture are filtered first, then horizontal edges — matching the
+normative picture-level ordering.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+TC_TABLE = [0]*18 + [3, 4, 4, 4, 4, 5, 5, 5, 5, 7, 7, 8, 9, 10, 10, 11, 13,
+                     14, 15, 17, 19, 21, 24, 25, 29, 33, 36, 41, 45, 51, 57,
+                     64, 71, 80, 89, 100, 112, 125, 141, 157, 177, 198, 222,
+                     250, 280, 314, 352, 395]
+BETA_TABLE = [0]*16 + [6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18] + \
+    list(range(20, 65, 2)) + list(range(66, 89, 2))
+DEFAULT_INTRA_TC_OFFSET = 2
+MAX_QP = 63
+
+DB_COEFFS = {7: [59, 50, 41, 32, 23, 14, 5],
+             5: [58, 45, 32, 19, 6],
+             3: [53, 32, 11]}
+TC_COEFFS = {7: [6, 5, 4, 3, 2, 1, 1], 5: [6, 5, 4, 3, 2], 3: [6, 4, 2]}
+
+
+def _clip3(lo, hi, v):
+    return max(lo, min(hi, v))
+
+
+def _calc_dp(get, i):
+    return abs(get(i, -3) - 2 * get(i, -2) + get(i, -1))
+
+
+def _calc_dq(get, i):
+    return abs(get(i, 0) - 2 * get(i, 1) + get(i, 2))
+
+
+def _use_strong(get, i, d, beta, tc, p_large=False, q_large=False,
+                max_p=7, max_q=7):
+    m3, m4 = get(i, -1), get(i, 0)
+    shift_beta = 4 if (p_large or q_large) else 2
+    if not (d < (beta >> shift_beta) and abs(m3 - m4) < ((tc * 5 + 1) >> 1)):
+        return False
+    sp3 = abs(get(i, -4) - m3)
+    sq3 = abs(get(i, 3) - m4)
+    if p_large or q_large:
+        if p_large:
+            mp4 = get(i, -max_p - 1)
+            if max_p == 7:
+                sp3 += abs(get(i, -5) - get(i, -6) - get(i, -7) + mp4)
+            sp3 = (sp3 + abs(get(i, -4) - mp4) + 1) >> 1
+        if q_large:
+            m11 = get(i, max_q)
+            if max_q == 7:
+                sq3 += abs(get(i, 4) - get(i, 5) - get(i, 6) + m11)
+            sq3 = (sq3 + abs(m11 - get(i, 3)) + 1) >> 1
+        return sp3 + sq3 < (beta * 3 >> 5)
+    return sp3 + sq3 < (beta >> 3)
+
+
+class _EdgeAccess:
+    """Sample accessor across an edge: get(line, k) = sample k on line.
+
+    k < 0 = P side (k=-1 adjacent to edge), k >= 0 = Q side.
+    line runs parallel to the edge."""
+
+    def __init__(self, plane, x, y, vertical):
+        self.p = plane
+        self.x, self.y = x, y
+        self.vertical = vertical
+
+    def get(self, line, k):
+        if self.vertical:
+            return int(self.p[self.y + line, self.x + k])
+        return int(self.p[self.y + k, self.x + line])
+
+    def set(self, line, k, v):
+        if self.vertical:
+            self.p[self.y + line, self.x + k] = v
+        else:
+            self.p[self.y + k, self.x + line] = v
+
+
+def _bilinear_long(ea, lines, n_p, n_q, tc):
+    """Long-tap luma filter (vvenc xFilteringPandQ:123)."""
+    dbp, dbq = DB_COEFFS[n_p], DB_COEFFS[n_q]
+    tcp = TC_COEFFS[7] if n_p != 3 else TC_COEFFS[3]
+    tcq = TC_COEFFS[7] if n_q != 3 else TC_COEFFS[3]
+    for i in range(lines):
+        g = lambda k: ea.get(i, k)
+        if n_p == 7:
+            ref_p = (g(-7) + g(-8) + 1) >> 1
+        elif n_p == 5:
+            ref_p = (g(-5) + g(-6) + 1) >> 1
+        else:
+            ref_p = (g(-3) + g(-4) + 1) >> 1
+        if n_q == 7:
+            ref_q = (g(6) + g(7) + 1) >> 1
+        elif n_q == 5:
+            ref_q = (g(4) + g(5) + 1) >> 1
+        else:
+            ref_q = (g(2) + g(3) + 1) >> 1
+        if n_p == n_q:
+            if n_p == 5:
+                mid = (2 * (g(-1) + g(0) + g(-2) + g(1) + g(-3) + g(2))
+                       + g(-4) + g(3) + g(-5) + g(4) + 8) >> 4
+            else:
+                mid = (2 * (g(-1) + g(0)) + g(-2) + g(1) + g(-3) + g(2)
+                       + g(-4) + g(3) + g(-5) + g(4) + g(-6) + g(5)
+                       + g(-7) + g(6) + 8) >> 4
+        else:
+            big_p = n_p > n_q
+            gp = (lambda k: g(-1 - k)) if big_p else (lambda k: g(k))
+            gq = (lambda k: g(k)) if big_p else (lambda k: g(-1 - k))
+            np_, nq_ = max(n_p, n_q), min(n_p, n_q)
+            if np_ == 7 and nq_ == 5:
+                mid = (2 * (g(-1) + g(0) + g(-2) + g(1)) + g(-3) + g(2)
+                       + g(-4) + g(3) + g(-5) + g(4) + g(-6) + g(5) + 8) >> 4
+            elif np_ == 7 and nq_ == 3:
+                mid = (2 * (gp(0) + gq(0)) + gq(0) + 2 * (gq(1) + gq(2))
+                       + gp(1) + gq(1) + gp(2) + gp(3) + gp(4) + gp(5)
+                       + gp(6) + 8) >> 4
+            else:  # 5 and 3
+                mid = (g(-1) + g(0) + g(-2) + g(1) + g(-3) + g(2)
+                       + g(-4) + g(3) + 4) >> 3
+        for pos in range(n_p):
+            src = g(-1 - pos)
+            cval = (tc * tcp[pos]) >> 1
+            v = (mid * dbp[pos] + ref_p * (64 - dbp[pos]) + 32) >> 6
+            ea.set(i, -1 - pos, _clip3(src - cval, src + cval, v))
+        for pos in range(n_q):
+            src = g(pos)
+            cval = (tc * tcq[pos]) >> 1
+            v = (mid * dbq[pos] + ref_q * (64 - dbq[pos]) + 32) >> 6
+            ea.set(i, pos, _clip3(src - cval, src + cval, v))
+
+
+def _luma_short(ea, lines, tc, strong, thr_cut, filt_p, filt_q, maxval):
+    tc3 = (3, 2, 1)
+    for i in range(lines):
+        g = lambda k: ea.get(i, k)
+        m0, m1, m2, m3 = g(-4), g(-3), g(-2), g(-1)
+        m4, m5, m6, m7 = g(0), g(1), g(2), g(3)
+        if strong:
+            ea.set(i, -3, _clip3(m1 - tc3[2]*tc, m1 + tc3[2]*tc,
+                                 (2*m0 + 3*m1 + m2 + m3 + m4 + 4) >> 3))
+            ea.set(i, -2, _clip3(m2 - tc3[1]*tc, m2 + tc3[1]*tc,
+                                 (m1 + m2 + m3 + m4 + 2) >> 2))
+            ea.set(i, -1, _clip3(m3 - tc3[0]*tc, m3 + tc3[0]*tc,
+                                 (m1 + 2*m2 + 2*m3 + 2*m4 + m5 + 4) >> 3))
+            ea.set(i, 0, _clip3(m4 - tc3[0]*tc, m4 + tc3[0]*tc,
+                                (m2 + 2*m3 + 2*m4 + 2*m5 + m6 + 4) >> 3))
+            ea.set(i, 1, _clip3(m5 - tc3[1]*tc, m5 + tc3[1]*tc,
+                                (m3 + m4 + m5 + m6 + 2) >> 2))
+            ea.set(i, 2, _clip3(m6 - tc3[2]*tc, m6 + tc3[2]*tc,
+                                (m3 + m4 + m5 + 3*m6 + 2*m7 + 4) >> 3))
+        else:
+            delta = (9 * (m4 - m3) - 3 * (m5 - m2) + 8) >> 4
+            if abs(delta) < thr_cut:
+                delta = _clip3(-tc, tc, delta)
+                tc2 = tc >> 1
+                ea.set(i, -1, _clip3(0, maxval, m3 + delta))
+                if filt_p:
+                    d1 = _clip3(-tc2, tc2, (((m1 + m3 + 1) >> 1) - m2 + delta) >> 1)
+                    ea.set(i, -2, _clip3(0, maxval, m2 + d1))
+                ea.set(i, 0, _clip3(0, maxval, m4 - delta))
+                if filt_q:
+                    d2 = _clip3(-tc2, tc2, (((m6 + m4 + 1) >> 1) - m5 - delta) >> 1)
+                    ea.set(i, 1, _clip3(0, maxval, m5 + d2))
+
+
+def _filter_luma_edge_seg(plane, x, y, vertical, qp, max_p, max_q, bit_depth,
+                          tc_off_div2=0, beta_off_div2=0, at_ctu_hor=False):
+    """Filter one 4-line luma edge segment at (x, y) (vvenc
+    xEdgeFilterLuma:1373, BS=2 intra case)."""
+    ea = _EdgeAccess(plane, x, y, vertical)
+    g = ea.get
+    maxval = (1 << bit_depth) - 1
+    p_large = max_p > 3 and not at_ctu_hor
+    if at_ctu_hor:
+        max_p = min(max_p, 3)
+    q_large = max_q > 3
+    idx_tc = _clip3(0, MAX_QP + DEFAULT_INTRA_TC_OFFSET,
+                    qp + DEFAULT_INTRA_TC_OFFSET * (2 - 1) + 2 * tc_off_div2)
+    idx_b = _clip3(0, MAX_QP, qp + 2 * beta_off_div2)
+    tc = (TC_TABLE[idx_tc] + (1 << (9 - bit_depth))) >> (10 - bit_depth) \
+        if bit_depth < 10 else TC_TABLE[idx_tc] << (bit_depth - 10)
+    beta = BETA_TABLE[idx_b] << (bit_depth - 8)
+    side_thr = (beta + (beta >> 1)) >> 3
+    thr_cut = tc * 10
+    dp0, dq0 = _calc_dp(g, 0), _calc_dq(g, 0)
+    dp3, dq3 = _calc_dp(g, 3), _calc_dq(g, 3)
+    d0, d3 = dp0 + dq0, dp3 + dq3
+    if p_large or q_large:
+        dp0l = ((dp0 + abs(g(0, -6) - 2*g(0, -5) + g(0, -4)) + 1) >> 1) if p_large else dp0
+        dq0l = ((dq0 + abs(g(0, 3) - 2*g(0, 4) + g(0, 5)) + 1) >> 1) if q_large else dq0
+        dp3l = ((dp3 + abs(g(3, -6) - 2*g(3, -5) + g(3, -4)) + 1) >> 1) if p_large else dp3
+        dq3l = ((dq3 + abs(g(3, 3) - 2*g(3, 4) + g(3, 5)) + 1) >> 1) if q_large else dq3
+        d0l, d3l = dp0l + dq0l, dp3l + dq3l
+        if d0l + d3l < beta:
+            sw = _use_strong(g, 0, 2*d0l, beta, tc, p_large, q_large, max_p, max_q) \
+                and _use_strong(g, 3, 2*d3l, beta, tc, p_large, q_large, max_p, max_q)
+            if sw:
+                _bilinear_long(ea, 4, max_p if p_large else 3,
+                               max_q if q_large else 3, tc)
+                return
+    d = d0 + d3
+    if d < beta:
+        filt_p = filt_q = False
+        if max_p > 1 and max_q > 1:
+            filt_p = (dp0 + dp3) < side_thr
+            filt_q = (dq0 + dq3) < side_thr
+        sw = False
+        if max_p > 2 and max_q > 2:
+            sw = _use_strong(g, 0, 2*d0, beta, tc) and \
+                _use_strong(g, 3, 2*d3, beta, tc)
+        _luma_short(ea, 4, tc, sw, thr_cut, filt_p, filt_q, maxval)
+
+
+def _filter_chroma_edge_seg(plane, x, y, vertical, qp, large, bit_depth,
+                            lines=2, at_ctu_hor=False,
+                            tc_off_div2=0, beta_off_div2=0):
+    """Filter one chroma edge segment (vvenc xEdgeFilterChroma:1523,
+    BS=2 intra case), `lines` chroma lines."""
+    ea = _EdgeAccess(plane, x, y, vertical)
+    g = ea.get
+    maxval = (1 << bit_depth) - 1
+    idx_tc = _clip3(0, MAX_QP + DEFAULT_INTRA_TC_OFFSET,
+                    qp + DEFAULT_INTRA_TC_OFFSET * (2 - 1) + 2 * tc_off_div2)
+    tc = (TC_TABLE[idx_tc] + (1 << (9 - bit_depth))) >> (10 - bit_depth) \
+        if bit_depth < 10 else TC_TABLE[idx_tc] << (bit_depth - 10)
+    if tc == 0:
+        return
+    use_long = False
+    sw = False
+    if large:
+        idx_b = _clip3(0, MAX_QP, qp + 2 * beta_off_div2)
+        beta = BETA_TABLE[idx_b] << (bit_depth - 8)
+
+        def dp(i):
+            if at_ctu_hor:
+                return abs(g(i, -2) - 2*g(i, -2) + g(i, -1))
+            return abs(g(i, -3) - 2*g(i, -2) + g(i, -1))
+
+        def dq(i):
+            return abs(g(i, 0) - 2*g(i, 1) + g(i, 2))
+        d0 = dp(0) + dq(0)
+        d3 = dp(1) + dq(1)   # 4:2:0 subsampling: second line
+        if d0 + d3 < beta:
+            use_long = True
+            sw = (_use_strong_chroma(g, 0, 2*d0, beta, tc, at_ctu_hor)
+                  and _use_strong_chroma(g, 1, 2*d3, beta, tc, at_ctu_hor))
+    for i in range(lines):
+        _chroma_pel(ea, i, tc, use_long and sw, maxval, large, at_ctu_hor)
+
+
+def _use_strong_chroma(g, i, d, beta, tc, at_ctu_hor):
+    m3, m4 = g(i, -1), g(i, 0)
+    if not (d < (beta >> 2) and abs(m3 - m4) < ((tc * 5 + 1) >> 1)):
+        return False
+    sp3 = abs(g(i, -2) - m3) if at_ctu_hor else abs(g(i, -4) - m3)
+    sq3 = abs(g(i, 3) - m4)
+    return sp3 + sq3 < (beta >> 3)
+
+
+def _chroma_pel(ea, i, tc, sw, maxval, large, at_ctu_hor):
+    g = lambda k: ea.get(i, k)
+    m0, m1, m2, m3 = g(-4), g(-3), g(-2), g(-1)
+    m4, m5, m6, m7 = g(0), g(1), g(2), g(3)
+    if sw:
+        if at_ctu_hor:
+            ea.set(i, -1, _clip3(m3 - tc, m3 + tc, (3*m2 + 2*m3 + m4 + m5 + m6 + 4) >> 3))
+            ea.set(i, 0, _clip3(m4 - tc, m4 + tc, (2*m2 + m3 + 2*m4 + m5 + m6 + m7 + 4) >> 3))
+            ea.set(i, 1, _clip3(m5 - tc, m5 + tc, (m2 + m3 + m4 + 2*m5 + m6 + 2*m7 + 4) >> 3))
+            ea.set(i, 2, _clip3(m6 - tc, m6 + tc, (m3 + m4 + m5 + 2*m6 + 3*m7 + 4) >> 3))
+        else:
+            ea.set(i, -3, _clip3(m1 - tc, m1 + tc, (3*m0 + 2*m1 + m2 + m3 + m4 + 4) >> 3))
+            ea.set(i, -2, _clip3(m2 - tc, m2 + tc, (2*m0 + m1 + 2*m2 + m3 + m4 + m5 + 4) >> 3))
+            ea.set(i, -1, _clip3(m3 - tc, m3 + tc, (m0 + m1 + m2 + 2*m3 + m4 + m5 + m6 + 4) >> 3))
+            ea.set(i, 0, _clip3(m4 - tc, m4 + tc, (m1 + m2 + m3 + 2*m4 + m5 + m6 + m7 + 4) >> 3))
+            ea.set(i, 1, _clip3(m5 - tc, m5 + tc, (m2 + m3 + m4 + 2*m5 + m6 + 2*m7 + 4) >> 3))
+            ea.set(i, 2, _clip3(m6 - tc, m6 + tc, (m3 + m4 + m5 + 2*m6 + 3*m7 + 4) >> 3))
+    else:
+        delta = _clip3(-tc, tc, (4 * (m4 - m3) + m2 - m5 + 4) >> 3)
+        ea.set(i, -1, _clip3(0, maxval, m3 + delta))
+        ea.set(i, 0, _clip3(0, maxval, m4 - delta))
+
+
+def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
+                    ctu_size: int, bit_depth: int = 10) -> None:
+    """In-place deblocking of an all-intra picture.
+
+    rec: {0: Y, 1: Cb, 2: Cr} planes (modified in place).
+    cu_list: iterable of objects with x, y, w, h (luma coords, TU == CU).
+    qp_*: constant per-component QPs (slice-level; chroma already mapped,
+    WITHOUT the bit-depth offset).
+    """
+    h, w = rec[0].shape
+    # per-4x4-unit maps of CU geometry for size lookups
+    uw, uh = w // 4, h // 4
+    cu_w = np.zeros((uh, uw), np.int32)
+    cu_h = np.zeros((uh, uw), np.int32)
+    for cu in cu_list:
+        cu_w[cu.y >> 2:(cu.y + cu.h) >> 2, cu.x >> 2:(cu.x + cu.w) >> 2] = cu.w
+        cu_h[cu.y >> 2:(cu.y + cu.h) >> 2, cu.x >> 2:(cu.x + cu.w) >> 2] = cu.h
+
+    def luma_maxlen(size_p, size_q):
+        if size_p <= 4 or size_q <= 4:
+            return 1, 1
+        return (7 if size_p >= 32 else 3), (7 if size_q >= 32 else 3)
+
+    # ---- vertical edges (whole picture), then horizontal -----------------
+    for vertical in (True, False):
+        for cu in cu_list:
+            if vertical:
+                if cu.x == 0:
+                    continue
+                x = cu.x
+                for yy in range(cu.y, cu.y + cu.h, 4):
+                    size_q = cu.w
+                    size_p = int(cu_w[yy >> 2, (x - 1) >> 2])
+                    mp, mq = luma_maxlen(size_p, size_q)
+                    _filter_luma_edge_seg(rec[0], x, yy, True, qp_luma,
+                                          mp, mq, bit_depth)
+            else:
+                if cu.y == 0:
+                    continue
+                y = cu.y
+                for xx in range(cu.x, cu.x + cu.w, 4):
+                    size_q = cu.h
+                    size_p = int(cu_h[(y - 1) >> 2, xx >> 2])
+                    mp, mq = luma_maxlen(size_p, size_q)
+                    _filter_luma_edge_seg(rec[0], xx, y, False, qp_luma,
+                                          mp, mq, bit_depth,
+                                          at_ctu_hor=(y % ctu_size == 0))
+        # chroma edges for this direction
+        for cu in cu_list:
+            cx, cy = cu.x >> 1, cu.y >> 1
+            cw, ch = cu.w >> 1, cu.h >> 1
+            if vertical:
+                if cx == 0:
+                    continue
+                for yy in range(cy, cy + ch, 2):
+                    size_q = cw
+                    size_p = int(cu_w[(yy << 1) >> 2, ((cx - 1) << 1) >> 2]) >> 1
+                    large = size_p >= 8 and size_q >= 8
+                    for qp_c, comp in ((qp_cb, 1), (qp_cr, 2)):
+                        _filter_chroma_edge_seg(rec[comp], cx, yy, True, qp_c,
+                                                large, bit_depth)
+            else:
+                if cy == 0:
+                    continue
+                at_ctu = ((cy << 1) % ctu_size) == 0
+                for xx in range(cx, cx + cw, 2):
+                    size_q = ch
+                    size_p = int(cu_h[((cy - 1) << 1) >> 2, (xx << 1) >> 2]) >> 1
+                    large = size_p >= 8 and size_q >= 8
+                    for qp_c, comp in ((qp_cb, 1), (qp_cr, 2)):
+                        _filter_chroma_edge_seg(rec[comp], xx, cy, False, qp_c,
+                                                large, bit_depth,
+                                                at_ctu_hor=at_ctu)

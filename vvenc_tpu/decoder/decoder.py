@@ -79,9 +79,26 @@ def _decode_slice(rbsp: bytes, nal_type, sps_map, pps_map) -> DecodedFrame:
     ctu = sps.ctu_size
     w_ctus = (pps.pic_width + ctu - 1) // ctu
     h_ctus = (pps.pic_height + ctu - 1) // ctu
+    trees = []
     for cy in range(h_ctus):
         for cx in range(w_ctus):
-            coder.decode_ctu(dec, ps, cx * ctu, cy * ctu)
+            trees.append(coder.decode_ctu(dec, ps, cx * ctu, cy * ctu))
     term = dec.decode_bin_trm()
     assert term == 1, "expected end_of_slice terminating bin"
+
+    if not pps.deblocking_filter_disabled:
+        from ..codec.deblock import deblock_picture
+        cus = []
+
+        def collect(node):
+            if node.cu is not None:
+                cus.append(node.cu)
+            for c in node.children:
+                collect(c)
+        for t in trees:
+            collect(t)
+        deblock_picture(ps.rec, cus, sh.slice_qp,
+                        qp.chroma_qp(1) - qp.qp_bd_offset,
+                        qp.chroma_qp(2) - qp.qp_bd_offset,
+                        sps.ctu_size, sps.bit_depth)
     return DecodedFrame(ps, sh.ph.poc_lsb, sh)

@@ -50,6 +50,7 @@ class EncoderConfig:
     fps_num: int = 15
     fps_den: int = 1
     num_full_rd_modes: int = 3     # full-RD candidates after SATD preselection
+    deblocking: bool = False       # in-loop deblocking filter
     max_mtt_depth: int = 0         # BT/TT depth for intra slices
     max_bt_size: int = 32
     max_tt_size: int = 32
@@ -77,7 +78,7 @@ def build_parameter_sets(cfg: EncoderConfig):
     pps.pic_height = cfg.height
     pps.init_qp = 26
     pps.deblocking_filter_control_present = 1
-    pps.deblocking_filter_disabled = 1
+    pps.deblocking_filter_disabled = 0 if cfg.deblocking else 1
     return sps, pps
 
 
@@ -136,10 +137,12 @@ class IntraEncoder:
         ctu = cfg.ctu_size
         n_cols = (cfg.width + ctu - 1) // ctu
         n_rows = (cfg.height + ctu - 1) // ctu
+        trees = []
         for cy in range(n_rows):
             for cx in range(n_cols):
                 tree = searcher.search_ctu(cx * ctu, cy * ctu, enc.ctx)
                 coder.encode_ctu(enc, ps, tree)
+                trees.append(tree)
         # end_of_slice: terminating bin + arithmetic flush + rbsp trailing
         # bits.  The stop '1' bit completes the terminator code interval
         # (the flush drops the low byte; '1000...' padding lands the decoded
@@ -147,6 +150,22 @@ class IntraEncoder:
         enc.encode_bin_trm(1)
         enc.finish()
         bw.write_rbsp_trailing_bits()
+
+        if cfg.deblocking:
+            from ..codec.deblock import deblock_picture
+            cus = []
+
+            def _collect(node):
+                if node.cu is not None:
+                    cus.append(node.cu)
+                for c in node.children:
+                    _collect(c)
+            for t in trees:
+                _collect(t)
+            deblock_picture(ps.rec, cus, self.slice_qp,
+                            qp_state.chroma_qp(1) - qp_state.qp_bd_offset,
+                            qp_state.chroma_qp(2) - qp_state.qp_bd_offset,
+                            cfg.ctu_size, cfg.bit_depth)
 
         nal_type = NalUnitType.IDR_N_LP if self.frames_done == 0 \
             else NalUnitType.IDR_W_RADL
