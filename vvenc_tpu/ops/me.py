@@ -47,13 +47,15 @@ def full_search_sse_batch(blocks: jax.Array, areas: jax.Array,
     bf = blocks.astype(jnp.float32)
     af = areas.astype(jnp.float32)
     # cross-correlation via conv: treat block as the kernel
+    # batch_group_count groups the batch against the B filters: the result
+    # lands as [1, B, gh, gw] with channel b = block b over area b
     corr = jax.lax.conv_general_dilated(
         af[:, None, :, :], bf[:, None, :, :],
         window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=1,
         batch_group_count=blocks.shape[0],
-        preferred_element_type=jnp.float32)[:, 0]
+        preferred_element_type=jnp.float32)[0]
     ones = jnp.ones((1, 1, h, w), dtype=jnp.float32)
     b2 = jax.lax.conv_general_dilated(
         (af * af)[:, None, :, :], ones, (1, 1), "VALID",
