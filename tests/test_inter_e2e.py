@@ -1,0 +1,84 @@
+"""Inter (P-frame) end-to-end tests: IPPP encode -> subset decoder."""
+
+import numpy as np
+
+from vvenc_tpu.encoder import IntraEncoder, EncoderConfig
+from vvenc_tpu.decoder import decode_stream
+from vvenc_tpu.codec.motion import (MotionInfo, HmvpLut, get_merge_candidates,
+                                    round_mv_quarter)
+
+
+def _moving_seq(w, h, n, seed=7):
+    rng = np.random.RandomState(seed)
+    base = np.clip(60 + 30 * np.sin(np.arange(w * 2) / 7.0), 0, 255)
+    frames = []
+    for t in range(n):
+        yy, xx = np.mgrid[0:h, 0:w]
+        y = np.clip(base[(xx + 3 * t) % (w * 2)] + 20 * np.cos(yy / 5.0)
+                    + rng.randn(h, w) * 2, 0, 255).astype(np.uint8)
+        u = np.clip(128 + 15 * np.sin(xx / 11.0), 0, 255)[::2, ::2].astype(np.uint8)
+        v = np.clip(128 + 15 * np.cos(yy / 9.0), 0, 255)[::2, ::2].astype(np.uint8)
+        frames.append((y, u, v))
+    return frames
+
+
+def test_ippp_roundtrip_and_gain():
+    w, h = 96, 64
+    frames = _moving_seq(w, h, 4)
+    enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=35, intra_period=16))
+    stream = b""
+    sizes = []
+    recs = []
+    for f in frames:
+        au = enc.encode_frame(f)
+        sizes.append(len(au))
+        stream += au
+        recs.append({c: enc.last_rec.rec[c].copy() for c in range(3)})
+    dec = decode_stream(stream)
+    assert len(dec) == 4
+    for t, fr in enumerate(dec):
+        for c in range(3):
+            assert np.array_equal(fr.planes[c], recs[t][c]), (t, c)
+        mse = ((fr.planes[0].astype(np.int64) -
+                (frames[t][0].astype(np.int64) << 2)) ** 2).mean()
+        assert 10 * np.log10(1023 ** 2 / mse) > 31.0, t
+    # P frames must be much cheaper than the IDR (translation -> MC wins)
+    assert max(sizes[1:]) < sizes[0] // 2, sizes
+
+
+def test_p_frames_use_inter_modes():
+    w, h = 64, 32
+    frames = _moving_seq(w, h, 2, seed=3)
+    enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=32, intra_period=16))
+    for f in frames:
+        au = enc.encode_frame(f)
+    # second frame: at least one unit carries motion
+    mf_has_inter = False
+    dec = decode_stream  # silence lint
+    # re-encode and inspect via decoder
+    enc2 = IntraEncoder(EncoderConfig(width=w, height=h, qp=32, intra_period=16))
+    stream = b"".join(enc2.encode_frame(f) for f in frames)
+    from vvenc_tpu.decoder.decoder import decode_stream as ds
+    out = ds(stream)
+    assert out[1].slice_header.slice_type == 1  # P
+
+
+def test_merge_candidate_structure():
+    """Merge list is well-formed: unique leading cands, zero-fill tail."""
+    class _PS:
+        def is_coded(self, x, y):
+            return False
+    from vvenc_tpu.codec.motion import MotionField
+    mf = MotionField(64, 64)
+    cands = get_merge_candidates(_PS(), mf, HmvpLut(), 16, 16, 16, 16,
+                                 6, False, (1, 0))
+    assert len(cands) == 6
+    assert all(c.ref_idx[0] == 0 and c.mv[0] == (0, 0) for c in cands)
+
+
+def test_round_mv_quarter():
+    assert round_mv_quarter((0, 0)) == (0, 0)
+    assert round_mv_quarter((5, -5)) == (4, -4)
+    assert round_mv_quarter((6, -6)) == (4, -4)  # ties round toward zero
+    assert round_mv_quarter((7, -7)) == (8, -8)
+    assert round_mv_quarter((16, -16)) == (16, -16)

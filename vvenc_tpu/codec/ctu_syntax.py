@@ -25,8 +25,15 @@ from ..bitstream import ctx_tables as ct
 from ..bitstream.residual import encode_residual, decode_residual
 from ..ops import intra as I
 from ..ops import transforms as T
+from ..ops.interp import mc_block_np
 from .picture import PictureState
 from .qp import QpState
+from .motion import (MotionInfo, MotionField, HmvpLut, get_merge_candidates,
+                     get_amvp_candidates, round_mv_quarter,
+                     hmvp_insertion_allowed)
+
+MV_MAX = (1 << 17) - 1
+MV_MIN = -(1 << 17)
 
 PLANAR, DC, HOR, VER, VDIA = I.PLANAR_IDX, I.DC_IDX, I.HOR_IDX, I.VER_IDX, I.VDIA_IDX
 NUM_LUMA_MODE = I.NUM_LUMA_MODE
@@ -44,6 +51,15 @@ class CuData:
     y: int
     w: int
     h: int
+    is_inter: bool = False
+    skip: bool = False
+    merge: bool = False
+    merge_idx: int = 0
+    mv: tuple = ((0, 0), (0, 0))     # internal 1/16-pel, per list
+    ref_idx: tuple = (-1, -1)
+    mvd: tuple = (0, 0)              # quarter-pel units as signalled (L0)
+    mvp_idx: int = 0
+    root_cbf: bool = True
     luma_mode: int = PLANAR
     chroma_dir: int = DM_CHROMA      # signalled chroma mode (DM or mode value)
     coeff_y: Optional[np.ndarray] = None
@@ -433,7 +449,8 @@ def read_trunc_bin(dec, max_symbol: int) -> int:
 class SyntaxCoder:
     """Encodes/decodes one slice's CTU stream.  Holds slice-level params."""
 
-    def __init__(self, sps, pps, sh, qp_state: QpState):
+    def __init__(self, sps, pps, sh, qp_state: QpState, ref_pics=None,
+                 ref_pocs=None):
         self.sps = sps
         self.pps = pps
         self.sh = sh
@@ -441,6 +458,22 @@ class SyntaxCoder:
         self.ctu_size = sps.ctu_size
         self.min_qt = sps.min_qt_size[0]
         self.bit_depth = sps.bit_depth
+        # inter state (None for I slices): ref_pics[list][ref] = {comp: plane}
+        self.ref_pics = ref_pics or [[], []]
+        self.ref_pocs = ref_pocs or [[], []]
+        self.num_refs = (len(self.ref_pics[0]), len(self.ref_pics[1]))
+        self.is_b = sh.slice_type == 0
+        self.is_intra_slice = sh.slice_type == 2
+        self.mf = None
+        self.hmvp = HmvpLut()
+
+    def attach_motion(self, ps: PictureState):
+        """Create the per-picture motion field (once per picture)."""
+        if self.mf is None or self.mf.uw != ps.w // 4:
+            self.mf = MotionField(ps.w, ps.h)
+
+    def new_ctu_row(self):
+        self.hmvp.reset()
 
     # -- encoding ----------------------------------------------------------
     def encode_ctu(self, enc, ps: PictureState, node: TreeNode) -> None:
@@ -470,24 +503,186 @@ class SyntaxCoder:
         cu = node.cu
         w, h = node.w, node.h
         assert (w, h) == (cu.w, cu.h), (w, h, cu.w, cu.h)
-        self._enc_intra_luma_mode(enc, ps, cu)
-        self._enc_intra_chroma_mode(enc, cu)
-        # transform unit (TU == CU): cbf cb, cr, luma, then residuals
-        cbf_cb = cu.coeff_cb is not None and np.any(cu.coeff_cb)
-        cbf_cr = cu.coeff_cr is not None and np.any(cu.coeff_cr)
-        cbf_y = cu.coeff_y is not None and np.any(cu.coeff_y)
-        enc.encode_bin(1 if cbf_cb else 0, ct.CTX_SETS["QtCbfCb"](0))
-        enc.encode_bin(1 if cbf_cr else 0,
-                       ct.CTX_SETS["QtCbfCr"](1 if cbf_cb else 0))
-        enc.encode_bin(1 if cbf_y else 0, ct.CTX_SETS["QtCbfLuma"](0))
-        if cbf_y:
-            encode_residual(enc, cu.coeff_y, True)
-        if cbf_cb:
-            encode_residual(enc, cu.coeff_cb, False)
-        if cbf_cr:
-            encode_residual(enc, cu.coeff_cr, False)
-        # reconstruct so subsequent syntax sees correct neighbor state
-        reconstruct_cu(ps, cu, self.qp, node.part.qt_depth, self.bit_depth)
+        if not self.is_intra_slice:
+            ctx_skip = self._skip_ctx(ps, cu.x, cu.y)
+            enc.encode_bin(1 if cu.skip else 0,
+                           ct.CTX_SETS["SkipFlag"](ctx_skip))
+            if cu.skip:
+                self._enc_merge_idx(enc, cu.merge_idx)
+                self._finish_cu(ps, cu, node)
+                return
+            ctx_pm = self._pred_mode_ctx(ps, cu.x, cu.y)
+            enc.encode_bin(0 if cu.is_inter else 1,
+                           ct.CTX_SETS["PredMode"](ctx_pm))
+        if not cu.is_inter:
+            self._enc_intra_luma_mode(enc, ps, cu)
+            self._enc_intra_chroma_mode(enc, cu)
+        else:
+            enc.encode_bin(1 if cu.merge else 0, ct.CTX_SETS["MergeFlag"](0))
+            if cu.merge:
+                self._enc_merge_idx(enc, cu.merge_idx)
+            else:
+                assert not self.is_b, "B-slice AMVP syntax TBD"
+                if self.num_refs[0] > 1:
+                    self._enc_ref_idx(enc, cu.ref_idx[0], self.num_refs[0])
+                self._enc_mvd(enc, cu.mvd)
+                enc.encode_bin(cu.mvp_idx, ct.CTX_SETS["MVPIdx"](0))
+        # residual
+        if cu.is_inter and not cu.merge:
+            enc.encode_bin(1 if cu.root_cbf else 0,
+                           ct.CTX_SETS["QtRootCbf"](0))
+        if not cu.is_inter or cu.root_cbf:
+            cbf_cb = cu.coeff_cb is not None and np.any(cu.coeff_cb)
+            cbf_cr = cu.coeff_cr is not None and np.any(cu.coeff_cr)
+            cbf_y = cu.coeff_y is not None and np.any(cu.coeff_y)
+            enc.encode_bin(1 if cbf_cb else 0, ct.CTX_SETS["QtCbfCb"](0))
+            enc.encode_bin(1 if cbf_cr else 0,
+                           ct.CTX_SETS["QtCbfCr"](1 if cbf_cb else 0))
+            if cu.is_inter and not cbf_cb and not cbf_cr:
+                assert cbf_y, "inter luma cbf inferred 1 needs coefficients"
+            else:
+                enc.encode_bin(1 if cbf_y else 0, ct.CTX_SETS["QtCbfLuma"](0))
+            if cbf_y:
+                encode_residual(enc, cu.coeff_y, True)
+            if cbf_cb:
+                encode_residual(enc, cu.coeff_cb, False)
+            if cbf_cr:
+                encode_residual(enc, cu.coeff_cr, False)
+        self._finish_cu(ps, cu, node)
+
+    # -- shared inter helpers ---------------------------------------------
+    def _skip_ctx(self, ps, x, y):
+        ctx = 0
+        if ps.is_coded(x - 1, y) and self.mf.skip_at(x - 1, y):
+            ctx += 1
+        if ps.is_coded(x, y - 1) and self.mf.skip_at(x, y - 1):
+            ctx += 1
+        return ctx
+
+    def _pred_mode_ctx(self, ps, x, y):
+        left = ps.cu_at(x - 1, y)
+        above = ps.cu_at(x, y - 1)
+        return 1 if ((left is not None and left[4]) or
+                     (above is not None and above[4])) else 0
+
+    def _enc_merge_idx(self, enc, idx):
+        n_minus1 = self.sps.max_num_merge_cand - 1
+        if n_minus1 > 0:
+            enc.encode_bin(0 if idx == 0 else 1, ct.CTX_SETS["MergeIdx"](0))
+            if idx > 0:
+                for i in range(1, n_minus1):
+                    enc.encode_bin_ep(0 if idx == i else 1)
+                    if idx == i:
+                        break
+
+    def _dec_merge_idx(self, dec):
+        n_minus1 = self.sps.max_num_merge_cand - 1
+        if n_minus1 <= 0:
+            return 0
+        if not dec.decode_bin(ct.CTX_SETS["MergeIdx"](0)):
+            return 0
+        idx = 1
+        while idx < n_minus1 and dec.decode_bin_ep():
+            idx += 1
+        return idx
+
+    def _enc_ref_idx(self, enc, ref_idx, num_ref):
+        enc.encode_bin(1 if ref_idx > 0 else 0, ct.CTX_SETS["RefPic"](0))
+        if num_ref <= 2 or ref_idx == 0:
+            return
+        enc.encode_bin(1 if ref_idx > 1 else 0, ct.CTX_SETS["RefPic"](1))
+        if num_ref <= 3 or ref_idx == 1:
+            return
+        for idx in range(3, num_ref):
+            if ref_idx > idx - 1:
+                enc.encode_bin_ep(1)
+            else:
+                enc.encode_bin_ep(0)
+                break
+
+    def _dec_ref_idx(self, dec, num_ref):
+        if num_ref <= 1:
+            return 0
+        if not dec.decode_bin(ct.CTX_SETS["RefPic"](0)):
+            return 0
+        if num_ref <= 2:
+            return 1
+        if not dec.decode_bin(ct.CTX_SETS["RefPic"](1)):
+            return 1
+        if num_ref <= 3:
+            return 2
+        idx = 2
+        while idx < num_ref - 1 and dec.decode_bin_ep():
+            idx += 1
+        return idx
+
+    def _enc_mvd(self, enc, mvd):
+        """mvd_coding (CABACWriter.cpp:1967), quarter-pel units."""
+        hor, ver = mvd
+        h_abs, v_abs = abs(hor), abs(ver)
+        enc.encode_bin(1 if h_abs > 0 else 0, ct.CTX_SETS["Mvd"](0))
+        enc.encode_bin(1 if v_abs > 0 else 0, ct.CTX_SETS["Mvd"](0))
+        if h_abs > 0:
+            enc.encode_bin(1 if h_abs > 1 else 0, ct.CTX_SETS["Mvd"](1))
+        if v_abs > 0:
+            enc.encode_bin(1 if v_abs > 1 else 0, ct.CTX_SETS["Mvd"](1))
+        if h_abs > 0:
+            if h_abs > 1:
+                enc.encode_remabs_ep(h_abs - 2, 1, 0, 17)  # MV_BITS - 1
+            enc.encode_bin_ep(1 if hor < 0 else 0)
+        if v_abs > 0:
+            if v_abs > 1:
+                enc.encode_remabs_ep(v_abs - 2, 1, 0, 17)
+            enc.encode_bin_ep(1 if ver < 0 else 0)
+
+    def _dec_mvd(self, dec):
+        h_gt0 = dec.decode_bin(ct.CTX_SETS["Mvd"](0))
+        v_gt0 = dec.decode_bin(ct.CTX_SETS["Mvd"](0))
+        h_abs = v_abs = 0
+        if h_gt0:
+            h_abs = 1 + dec.decode_bin(ct.CTX_SETS["Mvd"](1))
+        if v_gt0:
+            v_abs = 1 + dec.decode_bin(ct.CTX_SETS["Mvd"](1))
+        hor = ver = 0
+        if h_gt0:
+            if h_abs > 1:
+                h_abs = 2 + dec.decode_remabs_ep(1, 0, 17)
+            hor = -h_abs if dec.decode_bin_ep() else h_abs
+        if v_gt0:
+            if v_abs > 1:
+                v_abs = 2 + dec.decode_remabs_ep(1, 0, 17)
+            ver = -v_abs if dec.decode_bin_ep() else v_abs
+        return (hor, ver)
+
+    def _apply_merge(self, ps, cu):
+        cands = get_merge_candidates(ps, self.mf, self.hmvp, cu.x, cu.y,
+                                     cu.w, cu.h, self.sps.max_num_merge_cand,
+                                     self.is_b, self.num_refs)
+        mi = cands[cu.merge_idx]
+        cu.mv = mi.mv
+        cu.ref_idx = mi.ref_idx
+
+    def derive_amvp(self, ps, cu, list_idx=0):
+        return get_amvp_candidates(ps, self.mf, self.hmvp, cu.x, cu.y,
+                                   cu.w, cu.h, list_idx, cu.ref_idx[list_idx],
+                                   self.ref_pocs)
+
+    def _finish_cu(self, ps, cu, node):
+        self.finish_cu(ps, cu, node.part.qt_depth)
+
+    def finish_cu(self, ps, cu, qt_depth: int):
+        """Reconstruct + update motion/attribute maps + HMVP."""
+        reconstruct_cu(ps, cu, self.qp, qt_depth, self.bit_depth,
+                       self.ref_pics)
+        if self.mf is not None:
+            if cu.is_inter:
+                mi = MotionInfo((tuple(cu.mv[0]), tuple(cu.mv[1])),
+                                tuple(cu.ref_idx))
+                self.mf.set_cu(cu.x, cu.y, cu.w, cu.h, mi, cu.skip)
+                if hmvp_insertion_allowed(cu.x, cu.y, cu.w, cu.h):
+                    self.hmvp.add(mi)
+            else:
+                self.mf.set_cu(cu.x, cu.y, cu.w, cu.h, None, False)
 
     def _enc_intra_luma_mode(self, enc, ps, cu: CuData) -> None:
         mpm = get_intra_mpms(ps, cu.x, cu.y, cu.w, cu.h, self.ctu_size)
@@ -548,18 +743,54 @@ class SyntaxCoder:
         x, y = node.x, node.y
         w, h = node.w, node.h
         cu = CuData(x, y, w, h)
-        cu.luma_mode = self._dec_intra_luma_mode(dec, ps, cu)
-        cu.chroma_dir = self._dec_intra_chroma_mode(dec, cu)
-        cbf_cb = dec.decode_bin(ct.CTX_SETS["QtCbfCb"](0))
-        cbf_cr = dec.decode_bin(ct.CTX_SETS["QtCbfCr"](1 if cbf_cb else 0))
-        cbf_y = dec.decode_bin(ct.CTX_SETS["QtCbfLuma"](0))
-        if cbf_y:
-            cu.coeff_y = decode_residual(dec, w, h, True)
-        if cbf_cb:
-            cu.coeff_cb = decode_residual(dec, w >> 1, h >> 1, False)
-        if cbf_cr:
-            cu.coeff_cr = decode_residual(dec, w >> 1, h >> 1, False)
-        reconstruct_cu(ps, cu, self.qp, node.part.qt_depth, self.bit_depth)
+        if not self.is_intra_slice:
+            ctx_skip = self._skip_ctx(ps, x, y)
+            cu.skip = bool(dec.decode_bin(ct.CTX_SETS["SkipFlag"](ctx_skip)))
+            if cu.skip:
+                cu.is_inter = True
+                cu.merge = True
+                cu.root_cbf = False
+                cu.merge_idx = self._dec_merge_idx(dec)
+                self._apply_merge(ps, cu)
+                self._finish_cu(ps, cu, node)
+                return cu
+            ctx_pm = self._pred_mode_ctx(ps, x, y)
+            cu.is_inter = not dec.decode_bin(ct.CTX_SETS["PredMode"](ctx_pm))
+        if not cu.is_inter:
+            cu.luma_mode = self._dec_intra_luma_mode(dec, ps, cu)
+            cu.chroma_dir = self._dec_intra_chroma_mode(dec, cu)
+        else:
+            cu.merge = bool(dec.decode_bin(ct.CTX_SETS["MergeFlag"](0)))
+            if cu.merge:
+                cu.merge_idx = self._dec_merge_idx(dec)
+                self._apply_merge(ps, cu)
+            else:
+                assert not self.is_b, "B-slice AMVP syntax TBD"
+                r0 = self._dec_ref_idx(dec, self.num_refs[0])
+                cu.ref_idx = (r0, -1)
+                cu.mvd = self._dec_mvd(dec)
+                cu.mvp_idx = dec.decode_bin(ct.CTX_SETS["MVPIdx"](0))
+                amvp = self.derive_amvp(ps, cu, 0)
+                mvp = amvp[cu.mvp_idx]
+                mv0 = (max(MV_MIN, min(MV_MAX, mvp[0] + (cu.mvd[0] << 2))),
+                       max(MV_MIN, min(MV_MAX, mvp[1] + (cu.mvd[1] << 2))))
+                cu.mv = (mv0, (0, 0))
+        if cu.is_inter and not cu.merge:
+            cu.root_cbf = bool(dec.decode_bin(ct.CTX_SETS["QtRootCbf"](0)))
+        if not cu.is_inter or cu.root_cbf:
+            cbf_cb = dec.decode_bin(ct.CTX_SETS["QtCbfCb"](0))
+            cbf_cr = dec.decode_bin(ct.CTX_SETS["QtCbfCr"](1 if cbf_cb else 0))
+            if cu.is_inter and not cbf_cb and not cbf_cr:
+                cbf_y = 1  # inferred for inter with no chroma cbf
+            else:
+                cbf_y = dec.decode_bin(ct.CTX_SETS["QtCbfLuma"](0))
+            if cbf_y:
+                cu.coeff_y = decode_residual(dec, w, h, True)
+            if cbf_cb:
+                cu.coeff_cb = decode_residual(dec, w >> 1, h >> 1, False)
+            if cbf_cr:
+                cu.coeff_cr = decode_residual(dec, w >> 1, h >> 1, False)
+        self._finish_cu(ps, cu, node)
         return cu
 
     def _dec_intra_luma_mode(self, dec, ps, cu: CuData) -> int:
@@ -612,7 +843,7 @@ def predict_cu_component(ps: PictureState, cu: CuData, comp: int,
 
 
 def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
-                   bit_depth: int) -> None:
+                   bit_depth: int, ref_pics=None) -> None:
     maxval = (1 << bit_depth) - 1
     for comp, coeff in ((0, cu.coeff_y), (1, cu.coeff_cb), (2, cu.coeff_cr)):
         if comp == 0:
@@ -621,7 +852,13 @@ def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
         else:
             x, y, w, h = cu.x >> 1, cu.y >> 1, cu.w >> 1, cu.h >> 1
             q = qp.chroma_qp(comp)
-        pred = predict_cu_component(ps, cu, comp, bit_depth)
+        if cu.is_inter:
+            ref = ref_pics[0][cu.ref_idx[0]][comp]
+            mvx, mvy = cu.mv[0]
+            pred = mc_block_np(ref, x, y, w, h, mvx, mvy, bit_depth,
+                               is_luma=(comp == 0))
+        else:
+            pred = predict_cu_component(ps, cu, comp, bit_depth)
         if coeff is not None and np.any(coeff):
             d = T.dequant_np(coeff, q, bit_depth)
             resi = T.inv_transform_np(d, bit_depth)
@@ -629,9 +866,5 @@ def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
         else:
             rec = pred
         ps.rec[comp][y:y + h, x:x + w] = rec
-        if comp == 0:
-            # luma coded progress must be visible for chroma of the same CU?
-            # no: chroma uses its own mask; but mark after luma recon so the
-            # chroma DM and later CUs see it.
-            pass
-    ps.mark_cu(cu.x, cu.y, cu.w, cu.h, qt_depth, cu.luma_mode)
+    ps.mark_cu(cu.x, cu.y, cu.w, cu.h, qt_depth, cu.luma_mode,
+               is_intra=not cu.is_inter)

@@ -1,0 +1,250 @@
+"""Motion vector prediction: merge list, AMVP, HMVP (H.266 8.5.2).
+
+Behavioral reference: vvenc CommonLib/UnitTools.cpp
+(getInterMergeCandidates:905, fillMvpCand:1692, addMVPCandUnscaled:2129,
+addAMVPHMVPCand:2185, addMergeHMVPCand:760, saveMotionInHMVP:352),
+CodingStructure::addMiToLut (CodingStructure.cpp:609), Mv precision helpers
+(Mv.h:150-235).
+
+MVs are stored at the internal 1/16-pel precision.  Round-1 inter scope:
+translational uni/bi prediction, TMVP/SbTMVP off (SPS flags), no IBC.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+MAX_NUM_HMVP_CANDS = 5   # MRG_MAX_NUM_CANDS(6) - 1
+MAX_NUM_HMVP_AMVP_CANDS = 4
+AMVP_MAX_NUM_CANDS = 2
+MV_FRACTIONAL_BITS_INTERNAL = 4
+
+
+@dataclass(frozen=True)
+class MotionInfo:
+    """Uni/bi motion of a block: per-list (mv, ref_idx); ref_idx -1 = unused."""
+    mv: Tuple[Tuple[int, int], Tuple[int, int]] = ((0, 0), (0, 0))
+    ref_idx: Tuple[int, int] = (-1, -1)
+
+    @property
+    def inter_dir(self) -> int:
+        return (1 if self.ref_idx[0] >= 0 else 0) | \
+               (2 if self.ref_idx[1] >= 0 else 0)
+
+
+def round_mv_quarter(mv: Tuple[int, int]) -> Tuple[int, int]:
+    """roundTransPrecInternal2Amvr(0): round 1/16 to 1/4 and back
+    (Mv.h:222 via changePrecision with the >=0 asymmetric offset)."""
+    def r(v):
+        off = 2
+        v = (v + off - 1) >> 2 if v >= 0 else (v + off) >> 2
+        return v << 2
+    return (r(mv[0]), r(mv[1]))
+
+
+def round_pairwise(v: int) -> int:
+    """roundAffineMv with shift 1 (Mv.cpp:61)."""
+    return (v + 1 - (1 if v >= 0 else 0)) >> 1
+
+
+class HmvpLut:
+    """History-based MVP FIFO (reset at each CTU row start)."""
+
+    def __init__(self):
+        self.lut: List[MotionInfo] = []
+
+    def reset(self):
+        self.lut.clear()
+
+    def add(self, mi: MotionInfo):
+        pruned_idx = -1
+        for i, e in enumerate(self.lut):
+            if e == mi:
+                pruned_idx = i
+                break
+        if pruned_idx >= 0 or len(self.lut) == MAX_NUM_HMVP_CANDS:
+            self.lut.pop(max(pruned_idx, 0))
+        self.lut.append(mi)
+
+
+class MotionField:
+    """Per-4x4-unit motion storage on the current picture."""
+
+    def __init__(self, w: int, h: int):
+        self.uw, self.uh = w // 4, h // 4
+        self.mi: List[List[Optional[MotionInfo]]] = \
+            [[None] * self.uw for _ in range(self.uh)]
+        self.skip = [[False] * self.uw for _ in range(self.uh)]
+
+    def set_cu(self, x, y, w, h, mi: Optional[MotionInfo], skip=False):
+        for uy in range(y >> 2, (y + h) >> 2):
+            for ux in range(x >> 2, (x + w) >> 2):
+                self.mi[uy][ux] = mi
+                self.skip[uy][ux] = skip
+
+    def at(self, x, y) -> Optional[MotionInfo]:
+        if x < 0 or y < 0 or x >= self.uw * 4 or y >= self.uh * 4:
+            return None
+        return self.mi[y >> 2][x >> 2]
+
+    def skip_at(self, x, y) -> bool:
+        if x < 0 or y < 0 or x >= self.uw * 4 or y >= self.uh * 4:
+            return False
+        return self.skip[y >> 2][x >> 2]
+
+    def save_region(self, x, y, size):
+        ux0, uy0 = x >> 2, y >> 2
+        ux1 = min(self.uw, (x + size) >> 2)
+        uy1 = min(self.uh, (y + size) >> 2)
+        return (ux0, uy0, ux1, uy1,
+                [row[ux0:ux1] for row in self.mi[uy0:uy1]],
+                [row[ux0:ux1] for row in self.skip[uy0:uy1]])
+
+    def restore_region(self, snap):
+        ux0, uy0, ux1, uy1, mi, skip = snap
+        for i, uy in enumerate(range(uy0, uy1)):
+            self.mi[uy][ux0:ux1] = mi[i]
+            self.skip[uy][ux0:ux1] = skip[i]
+
+
+def _avail_inter(ps, mf: MotionField, x: int, y: int) -> Optional[MotionInfo]:
+    """Neighbor motion if the position is coded and inter."""
+    if not ps.is_coded(x, y):
+        return None
+    return mf.at(x, y)
+
+
+def get_merge_candidates(ps, mf: MotionField, hmvp: HmvpLut, x, y, w, h,
+                         max_cands: int, is_b: bool,
+                         num_refs: Tuple[int, int]) -> List[MotionInfo]:
+    """Regular merge candidate list (UnitTools getInterMergeCandidates:905),
+    TMVP disabled.  Returns exactly max_cands entries."""
+    cands: List[MotionInfo] = []
+    pos_rt = (x + w - 1, y)
+    pos_lb = (x, y + h - 1)
+    mi_b1 = _avail_inter(ps, mf, pos_rt[0], pos_rt[1] - 1)
+    if mi_b1 is not None:
+        cands.append(mi_b1)
+    mi_a1 = _avail_inter(ps, mf, pos_lb[0] - 1, pos_lb[1])
+    if mi_a1 is not None and mi_a1 != mi_b1:
+        cands.append(mi_a1)
+    if len(cands) < max_cands:
+        mi_b0 = _avail_inter(ps, mf, pos_rt[0] + 1, pos_rt[1] - 1)
+        if mi_b0 is not None and mi_b0 != mi_b1:
+            cands.append(mi_b0)
+    if len(cands) < max_cands:
+        mi_a0 = _avail_inter(ps, mf, pos_lb[0] - 1, pos_lb[1] + 1)
+        if mi_a0 is not None and mi_a0 != mi_a1:
+            cands.append(mi_a0)
+    if len(cands) < max_cands and len(cands) < 4:
+        mi_b2 = _avail_inter(ps, mf, x - 1, y - 1)
+        if mi_b2 is not None and mi_b2 != mi_a1 and mi_b2 != mi_b1:
+            cands.append(mi_b2)
+    # HMVP (most recent first), pruned vs A1/B1 for the first two entries
+    if len(cands) < max_cands - 1:
+        lut = hmvp.lut
+        for mrg_idx in range(1, len(lut) + 1):
+            mi_n = lut[len(lut) - mrg_idx]
+            if mrg_idx > 2 or ((mi_a1 is None or mi_n != mi_a1)
+                               and (mi_b1 is None or mi_n != mi_b1)):
+                cands.append(mi_n)
+                if len(cands) == max_cands - 1:
+                    break
+    # pairwise average of the first two
+    if 1 < len(cands) < max_cands:
+        mv = [(0, 0), (0, 0)]
+        ref = [-1, -1]
+        for li in range(2 if is_b else 1):
+            ri = cands[0].ref_idx[li]
+            rj = cands[1].ref_idx[li]
+            if ri < 0 and rj < 0:
+                continue
+            if ri >= 0 and rj >= 0:
+                mv[li] = (round_pairwise(cands[0].mv[li][0] + cands[1].mv[li][0]),
+                          round_pairwise(cands[0].mv[li][1] + cands[1].mv[li][1]))
+                ref[li] = ri
+            elif ri >= 0:
+                mv[li], ref[li] = cands[0].mv[li], ri
+            else:
+                mv[li], ref[li] = cands[1].mv[li], rj
+        pair = MotionInfo((tuple(mv[0]), tuple(mv[1])), (ref[0], ref[1]))
+        if pair.inter_dir:
+            cands.append(pair)
+    # zero candidates with increasing ref idx
+    ref_cnt = 0
+    max_refs = min(num_refs[0], num_refs[1]) if is_b else num_refs[0]
+    while len(cands) < max_cands:
+        r = ref_cnt if ref_cnt < max_refs else 0
+        if is_b:
+            cands.append(MotionInfo(((0, 0), (0, 0)), (r, r)))
+        else:
+            cands.append(MotionInfo(((0, 0), (0, 0)), (r, -1)))
+        ref_cnt += 1
+    return cands[:max_cands]
+
+
+def _mi_mv_for_ref(mi: MotionInfo, list_idx: int, ref_poc: int,
+                   ref_pocs) -> Optional[Tuple[int, int]]:
+    """First matching-list then other-list MV with the same reference POC."""
+    for src in (list_idx, 1 - list_idx):
+        r = mi.ref_idx[src]
+        if r >= 0 and src < len(ref_pocs) and r < len(ref_pocs[src]) and \
+                ref_pocs[src][r] == ref_poc:
+            return mi.mv[src]
+    return None
+
+
+def get_amvp_candidates(ps, mf: MotionField, hmvp: HmvpLut, x, y, w, h,
+                        list_idx: int, ref_idx: int,
+                        ref_pocs) -> List[Tuple[int, int]]:
+    """AMVP candidate list (fillMvpCand:1692), TMVP off -> 2 entries."""
+    ref_poc = ref_pocs[list_idx][ref_idx]
+    cands: List[Tuple[int, int]] = []
+    pos_lt = (x, y)
+    pos_rt = (x + w - 1, y)
+    pos_lb = (x, y + h - 1)
+    # left group: A0 (below-left) then A1 (left)
+    for px, py in ((pos_lb[0] - 1, pos_lb[1] + 1), (pos_lb[0] - 1, pos_lb[1])):
+        mi = _avail_inter(ps, mf, px, py)
+        if mi is not None:
+            mv = _mi_mv_for_ref(mi, list_idx, ref_poc, ref_pocs)
+            if mv is not None:
+                cands.append(mv)
+                break
+    # above group: B0 (above-right), B1 (above), B2 (above-left)
+    for px, py in ((pos_rt[0] + 1, pos_rt[1] - 1), (pos_rt[0], pos_rt[1] - 1),
+                   (pos_lt[0] - 1, pos_lt[1] - 1)):
+        mi = _avail_inter(ps, mf, px, py)
+        if mi is not None:
+            mv = _mi_mv_for_ref(mi, list_idx, ref_poc, ref_pocs)
+            if mv is not None:
+                cands.append(mv)
+                break
+    cands = [round_mv_quarter(m) for m in cands]
+    if len(cands) == 2 and cands[0] == cands[1]:
+        cands = cands[:1]
+    # HMVP (oldest first per reference loop lut[mrgIdx-1])
+    if len(cands) < AMVP_MAX_NUM_CANDS:
+        for mi_n in hmvp.lut[:MAX_NUM_HMVP_AMVP_CANDS]:
+            done = False
+            for src in (list_idx, 1 - list_idx):
+                r = mi_n.ref_idx[src]
+                if r >= 0 and r < len(ref_pocs[src]) and \
+                        ref_pocs[src][r] == ref_poc:
+                    cands.append(round_mv_quarter(mi_n.mv[src]))
+                    if len(cands) >= AMVP_MAX_NUM_CANDS:
+                        done = True
+                        break
+            if done:
+                break
+    while len(cands) < AMVP_MAX_NUM_CANDS:
+        cands.append((0, 0))
+    return cands[:AMVP_MAX_NUM_CANDS]
+
+
+def hmvp_insertion_allowed(x, y, w, h, log2_par_merge_level=2) -> bool:
+    """saveMotionInHMVP gating (UnitTools.cpp:352)."""
+    xbr, ybr = x + w, y + h
+    return ((xbr >> log2_par_merge_level) > (x >> log2_par_merge_level)) and \
+           ((ybr >> log2_par_merge_level) > (y >> log2_par_merge_level))

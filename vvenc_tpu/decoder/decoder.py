@@ -32,6 +32,7 @@ def decode_stream(data: bytes):
     sps_map = {}
     pps_map = {}
     frames = []
+    dpb = []  # (poc, {comp: plane}) decoded pictures in output order
     for nal_type, tid, rbsp in units:
         if nal_type == NalUnitType.SPS:
             s = hls.parse_sps(BitReader(rbsp))
@@ -46,7 +47,12 @@ def decode_stream(data: bytes):
             p = hls.parse_pps(br, sps)
             pps_map[p.pps_id] = p
         elif nal_type in VCL_NAL_TYPES:
-            frames.append(_decode_slice(rbsp, nal_type, sps_map, pps_map))
+            if nal_type in (NalUnitType.IDR_N_LP, NalUnitType.IDR_W_RADL,
+                            NalUnitType.CRA):
+                dpb.clear()
+            frame = _decode_slice(rbsp, nal_type, sps_map, pps_map, dpb)
+            dpb.append((frame.poc, frame.planes))
+            frames.append(frame)
         elif nal_type in (NalUnitType.PREFIX_SEI, NalUnitType.SUFFIX_SEI,
                           NalUnitType.AUD, NalUnitType.EOS, NalUnitType.EOB,
                           NalUnitType.VPS, NalUnitType.DCI, NalUnitType.OPI,
@@ -57,7 +63,8 @@ def decode_stream(data: bytes):
     return frames
 
 
-def _decode_slice(rbsp: bytes, nal_type, sps_map, pps_map) -> DecodedFrame:
+def _decode_slice(rbsp: bytes, nal_type, sps_map, pps_map,
+                  dpb=None) -> DecodedFrame:
     br = BitReader(rbsp)
     is_idr = nal_type in (NalUnitType.IDR_N_LP, NalUnitType.IDR_W_RADL)
     # slice header needs pps id first; with PH-in-SH the pps id comes after a
@@ -66,12 +73,25 @@ def _decode_slice(rbsp: bytes, nal_type, sps_map, pps_map) -> DecodedFrame:
     pps = next(iter(pps_map.values()))
     sps = next(iter(sps_map.values()))
     sh = hls.parse_slice_header(br, sps, pps, is_idr)
-    assert sh.slice_type == SLICE_I, "inter slices not yet supported"
+    assert sh.slice_type in (1, 2), "B slices not yet supported"
     assert not sh.dep_quant_used and not sh.sign_data_hiding_used
 
     ps = PictureState(pps.pic_width, pps.pic_height, sps.bit_depth)
     qp = QpState(sps, pps, sh.slice_qp)
-    coder = SyntaxCoder(sps, pps, sh, qp)
+
+    ref_pics = [[], []]
+    ref_pocs = [[], []]
+    if sh.slice_type != SLICE_I:
+        cur_poc = sh.ph.poc_lsb
+        by_poc = {p: planes for p, planes in (dpb or [])}
+        for li in range(1 if sh.slice_type == 1 else 2):
+            for delta in sh.rpls[li].delta_pocs[:max(1, sh.num_ref_idx[li])]:
+                ref_poc = cur_poc - delta  # positive identifier = past pic
+                assert ref_poc in by_poc, (ref_poc, sorted(by_poc))
+                ref_pics[li].append(by_poc[ref_poc])
+                ref_pocs[li].append(ref_poc)
+    coder = SyntaxCoder(sps, pps, sh, qp, ref_pics, ref_pocs)
+    coder.attach_motion(ps)
 
     dec = CabacDecoder(br)
     dec.init_ctx(sh.slice_qp, 2 if sh.slice_type == SLICE_I else sh.slice_type)
@@ -81,6 +101,7 @@ def _decode_slice(rbsp: bytes, nal_type, sps_map, pps_map) -> DecodedFrame:
     h_ctus = (pps.pic_height + ctu - 1) // ctu
     trees = []
     for cy in range(h_ctus):
+        coder.new_ctu_row()
         for cx in range(w_ctus):
             trees.append(coder.decode_ctu(dec, ps, cx * ctu, cy * ctu))
     term = dec.decode_bin_trm()

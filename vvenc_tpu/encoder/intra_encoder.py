@@ -28,6 +28,9 @@ from ..codec.ctu_syntax import (SyntaxCoder, TreeNode, CuData, DM_CHROMA,
                                 get_intra_mpms, split_options_full,
                                 split_geometry, write_split_mode,
                                 predict_cu_component, reconstruct_cu)
+from ..codec.motion import get_merge_candidates, get_amvp_candidates
+from ..ops.interp import mc_block_np
+from ..bitstream.params import RefPicList, SLICE_P, SLICE_I
 from ..bitstream import ctx_tables as ct
 from ..bitstream.residual import encode_residual
 from ..codec.picture import PictureState
@@ -51,6 +54,8 @@ class EncoderConfig:
     fps_den: int = 1
     num_full_rd_modes: int = 3     # full-RD candidates after SATD preselection
     deblocking: bool = False       # in-loop deblocking filter
+    intra_period: int = 1          # 1 = all-intra; N>1 = IDR every N, P between
+    search_range: int = 8          # integer ME range around the predictor
     max_mtt_depth: int = 0         # BT/TT depth for intra slices
     max_bt_size: int = 32
     max_tt_size: int = 32
@@ -98,6 +103,7 @@ class IntraEncoder:
         self.lmbda_sad = self.lmbda ** 0.5
         self._headers = None
         self.frames_done = 0
+        self.dpb = []
 
     # ------------------------------------------------------------------
     def headers(self) -> bytes:
@@ -118,27 +124,52 @@ class IntraEncoder:
         shift = cfg.bit_depth - cfg.input_bit_depth
         src = {c: planes8[c].astype(np.int32) << shift for c in range(3)}
         ps = PictureState(cfg.width, cfg.height, cfg.bit_depth)
-        qp_state = QpState(self.sps, self.pps, self.slice_qp)
+
+        poc = self.frames_done
+        is_idr = (cfg.intra_period <= 1) or (poc % cfg.intra_period == 0)
+        slice_qp = self.slice_qp if is_idr else max(0, min(63, cfg.qp))
+        qp_state = QpState(self.sps, self.pps, slice_qp)
+        self.lmbda = lambda_for_qp(slice_qp, cfg.bit_depth)
+        self.lmbda_sad = self.lmbda ** 0.5
 
         sh = SliceHeader()
-        sh.slice_qp = self.slice_qp
+        sh.slice_qp = slice_qp
         sh.ph = PictureHeader()
-        sh.ph.poc_lsb = self.frames_done & ((1 << self.sps.log2_max_poc_lsb) - 1)
+        sh.ph.poc_lsb = poc & ((1 << self.sps.log2_max_poc_lsb) - 1)
+        ref_pics = [[], []]
+        ref_pocs = [[], []]
+        if is_idr:
+            sh.slice_type = SLICE_I
+        else:
+            sh.slice_type = SLICE_P
+            sh.ph.gdr_or_irap = 0
+            sh.ph.inter_slice_allowed = 1
+            sh.ph.intra_slice_allowed = 1
+            ref_poc = self.dpb[-1][0]
+            sh.rpls[0] = RefPicList(num_short_term=1,
+                                    delta_pocs=[poc - ref_poc])
+            sh.rpls[1] = RefPicList()
+            sh.num_ref_idx = [1, 0]
+            ref_pics[0] = [self.dpb[-1][1]]
+            ref_pocs[0] = [ref_poc]
 
-        coder = SyntaxCoder(self.sps, self.pps, sh, qp_state)
+        coder = SyntaxCoder(self.sps, self.pps, sh, qp_state, ref_pics,
+                            ref_pocs)
+        coder.attach_motion(ps)
         searcher = _CtuSearcher(self, ps, qp_state, src, coder)
 
         bw = BitWriter()
-        hls.write_slice_header(bw, sh, self.sps, self.pps, is_idr=True)
+        hls.write_slice_header(bw, sh, self.sps, self.pps, is_idr=is_idr)
         bw.write_byte_alignment()
         enc = CabacEncoder(bw)
-        enc.init_ctx(self.slice_qp, 2)
+        enc.init_ctx(slice_qp, 2 if is_idr else 1)
 
         ctu = cfg.ctu_size
         n_cols = (cfg.width + ctu - 1) // ctu
         n_rows = (cfg.height + ctu - 1) // ctu
         trees = []
         for cy in range(n_rows):
+            coder.new_ctu_row()
             for cx in range(n_cols):
                 tree = searcher.search_ctu(cx * ctu, cy * ctu, enc.ctx)
                 coder.encode_ctu(enc, ps, tree)
@@ -167,12 +198,18 @@ class IntraEncoder:
                             qp_state.chroma_qp(2) - qp_state.qp_bd_offset,
                             cfg.ctu_size, cfg.bit_depth)
 
-        nal_type = NalUnitType.IDR_N_LP if self.frames_done == 0 \
-            else NalUnitType.IDR_W_RADL
+        if is_idr:
+            nal_type = NalUnitType.IDR_N_LP if self.frames_done == 0 \
+                else NalUnitType.IDR_W_RADL
+        else:
+            nal_type = NalUnitType.TRAIL
         au = make_nal_unit(nal_type, bw.get_bytes())
         out = (self.headers() + au) if self.frames_done == 0 else au
         self.frames_done += 1
         self.last_rec = ps
+        if is_idr:
+            self.dpb = []
+        self.dpb.append((poc, dict(ps.rec)))
         return out
 
 
@@ -193,15 +230,29 @@ class _CtuSearcher:
     def search_ctu(self, x: int, y: int, live_ctx: CtxModels) -> TreeNode:
         """RD-decide the coding tree of one CTU.
 
-        Works on a scratch copy of the picture state region; the caller
-        replays the returned tree through the real coder (which reconstructs
-        into the same PictureState deterministically)."""
+        Works on a scratch copy of the picture/motion state region; the
+        caller replays the returned tree through the real coder (which
+        reconstructs into the same state deterministically)."""
         self.est = BitEstimator(CtxModels(live_ctx))
-        snap = self.ps.save_region(x, y, self.cfg.ctu_size)
+        snap = self._save(x, y, self.cfg.ctu_size)
         node, _cost = self._rd_node(x, y, self.cfg.ctu_size,
                                     self.cfg.ctu_size, PartInfo())
-        self.ps.restore_region(snap)
+        self._restore(snap)
         return node
+
+    def _save(self, x, y, size):
+        coder = self.coder
+        mf_snap = coder.mf.save_region(x, y, size) if coder.mf else None
+        hm_snap = list(coder.hmvp.lut)
+        return (self.ps.save_region(x, y, size), self.est.snapshot(),
+                mf_snap, hm_snap)
+
+    def _restore(self, snap):
+        self.ps.restore_region(snap[0])
+        self.est.restore(snap[1])
+        if snap[2] is not None:
+            self.coder.mf.restore_region(snap[2])
+        self.coder.hmvp.lut = list(snap[3])
 
     # -- recursive tree search -------------------------------------------
     def _rd_node(self, x: int, y: int, w: int, h: int, part: PartInfo):
@@ -211,13 +262,12 @@ class _CtuSearcher:
 
         best_node = None
         best_cost = float("inf")
-        state0 = (ps.save_region(x, y, max(w, h)), self.est.snapshot())
+        state0 = self._save(x, y, max(w, h))
 
         tries = [s for s, ok in enumerate(can_spl) if ok]
         for trial_i, split in enumerate(tries):
             if trial_i > 0:
-                ps.restore_region(state0[0])
-                self.est.restore(state0[1])
+                self._restore(state0)
             node = TreeNode(x, y, max(w, h), part.qt_depth, w=w, h=h,
                             part=part, split_mode=split,
                             split=split != NO_SPLIT)
@@ -245,14 +295,17 @@ class _CtuSearcher:
                     continue
             if cost < best_cost:
                 best_node, best_cost = node, cost
-                best_after = (ps.save_region(x, y, max(w, h)),
-                              self.est.snapshot())
-        ps.restore_region(best_after[0])
-        self.est.restore(best_after[1])
+                best_after = self._save(x, y, max(w, h))
+        self._restore(best_after)
         return best_node, best_cost
 
     # -- per-CU mode decision ---------------------------------------------
     def _rd_cu(self, x: int, y: int, w: int, h: int, part: PartInfo):
+        if self.coder.is_intra_slice:
+            return self._rd_cu_intra(x, y, w, h, part)
+        return self._rd_cu_inter(x, y, w, h, part)
+
+    def _rd_cu_intra(self, x: int, y: int, w: int, h: int, part: PartInfo):
         ps = self.ps
         src_y = self.src[0][y:y + h, x:x + w]
         bit_depth = self.cfg.bit_depth
@@ -338,7 +391,7 @@ class _CtuSearcher:
         total_bits = (self.est.frac_bits - b0) / (1 << 15)
 
         # reconstruct CU into scratch state (also computes chroma rec + SSE)
-        reconstruct_cu(ps, cu, self.qp, part.qt_depth, bit_depth)
+        self.coder.finish_cu(ps, cu, part.qt_depth)
         dist = R.sse_np(src_y, ps.rec[0][y:y + h, x:x + w])
         for comp in (1, 2):
             cx, cy2, cw, chh = x >> 1, y >> 1, w >> 1, h >> 1
@@ -361,3 +414,190 @@ class _CtuSearcher:
                     est.encode_bin_ep(1 if mpm_idx > t else 0)
         else:
             est.encode_bins_ep(0, 6)  # truncated-binary payload approx
+
+    # -- inter CU search ---------------------------------------------------
+    def _rd_cu_inter(self, x: int, y: int, w: int, h: int, part: PartInfo):
+        """P-slice CU decision: skip/merge, AMVP ME, and intra fallback.
+
+        Each trial is applied through the real syntax writer driven by the
+        bit estimator (exact context modeling), then reverted; the winner's
+        state is kept."""
+        import numpy as _np
+        coder = self.coder
+        ps = self.ps
+        cfg = self.cfg
+        bit_depth = cfg.bit_depth
+        sps = self.enc.sps
+        src_y = self.src[0][y:y + h, x:x + w]
+        cx, cy2, cw, chh = x >> 1, y >> 1, w >> 1, h >> 1
+        src_cb = self.src[1][cy2:cy2 + chh, cx:cx + cw]
+        src_cr = self.src[2][cy2:cy2 + chh, cx:cx + cw]
+
+        merge_cands = get_merge_candidates(
+            ps, coder.mf, coder.hmvp, x, y, w, h, sps.max_num_merge_cand,
+            False, coder.num_refs)
+        ref = coder.ref_pics[0][0]
+
+        def mc_pred(mv):
+            py = mc_block_np(ref[0], x, y, w, h, mv[0], mv[1], bit_depth, True)
+            pcb = mc_block_np(ref[1], cx, cy2, cw, chh, mv[0], mv[1],
+                              bit_depth, False)
+            pcr = mc_block_np(ref[2], cx, cy2, cw, chh, mv[0], mv[1],
+                              bit_depth, False)
+            return py, pcb, pcr
+
+        # preselect merge candidates by luma SSE
+        scored = []
+        seen = set()
+        for idx, mi in enumerate(merge_cands):
+            key = (mi.mv[0], mi.ref_idx[0])
+            if key in seen:
+                continue
+            seen.add(key)
+            py = mc_block_np(ref[0], x, y, w, h, mi.mv[0][0], mi.mv[0][1],
+                             bit_depth, True)
+            scored.append((R.sse_np(src_y, py), idx, mi))
+        scored.sort(key=lambda t: t[0])
+
+        trials = []
+        qy = self.qp.luma_qp()
+        for _, idx, mi in scored[:2]:
+            py, pcb, pcr = mc_pred(mi.mv[0])
+            coeffs = self._quant_resid(src_y, src_cb, src_cr, py, pcb, pcr)
+            any_c = any(c is not None for c in coeffs)
+            # skip trial (no residual)
+            cu = CuData(x, y, w, h, is_inter=True, skip=True, merge=True,
+                        merge_idx=idx, mv=mi.mv, ref_idx=mi.ref_idx,
+                        root_cbf=False)
+            trials.append(cu)
+            if any_c and coeffs[0] is not None:
+                cu = CuData(x, y, w, h, is_inter=True, merge=True,
+                            merge_idx=idx, mv=mi.mv, ref_idx=mi.ref_idx,
+                            coeff_y=coeffs[0], coeff_cb=coeffs[1],
+                            coeff_cr=coeffs[2])
+                trials.append(cu)
+
+        # AMVP trial
+        amvp = get_amvp_candidates(ps, coder.mf, coder.hmvp, x, y, w, h,
+                                   0, 0, coder.ref_pocs)
+        mv, mvp_idx = self._motion_search(src_y, x, y, w, h, amvp, ref[0])
+        mvd = ((mv[0] - amvp[mvp_idx][0]) >> 2,
+               (mv[1] - amvp[mvp_idx][1]) >> 2)
+        py, pcb, pcr = mc_pred(mv)
+        coeffs = self._quant_resid(src_y, src_cb, src_cr, py, pcb, pcr)
+        cu = CuData(x, y, w, h, is_inter=True, merge=False,
+                    mv=(mv, (0, 0)), ref_idx=(0, -1), mvd=mvd,
+                    mvp_idx=mvp_idx,
+                    root_cbf=any(c is not None for c in coeffs),
+                    coeff_y=coeffs[0] if coeffs[0] is not None else None,
+                    coeff_cb=coeffs[1], coeff_cr=coeffs[2])
+        if cu.root_cbf and cu.coeff_y is None and cu.coeff_cb is None \
+                and cu.coeff_cr is None:
+            cu.root_cbf = False
+        trials.append(cu)
+
+        # intra fallback: best-SATD mode, full residual
+        top, left = I.build_reference_samples(
+            ps.rec[0], x, y, w, h, ps.coded_luma, PictureState.LUMA_UNIT,
+            bit_depth)
+        best_satd = None
+        for mode in (I.PLANAR_IDX, I.DC_IDX, I.HOR_IDX, I.VER_IDX):
+            pred = I.predict_intra(top, left, mode, w, h, bit_depth, True)
+            c = R.satd_np(src_y, pred)
+            if best_satd is None or c < best_satd[0]:
+                best_satd = (c, mode, pred)
+        mode = best_satd[1]
+        cu = CuData(x, y, w, h, is_inter=False, luma_mode=mode)
+        coeff = T.quant_np(T.fwd_transform_np(src_y - best_satd[2], bit_depth),
+                           qy, bit_depth, is_intra_slice=False)
+        cu.coeff_y = coeff if _np.any(coeff) else None
+        pred_cb = predict_cu_component(ps, cu, 1, bit_depth)
+        pred_cr = predict_cu_component(ps, cu, 2, bit_depth)
+        ccb = T.quant_np(T.fwd_transform_np(src_cb - pred_cb, bit_depth),
+                         self.qp.chroma_qp(1), bit_depth, is_intra_slice=False)
+        ccr = T.quant_np(T.fwd_transform_np(src_cr - pred_cr, bit_depth),
+                         self.qp.chroma_qp(2), bit_depth, is_intra_slice=False)
+        cu.coeff_cb = ccb if _np.any(ccb) else None
+        cu.coeff_cr = ccr if _np.any(ccr) else None
+        trials.append(cu)
+
+        # evaluate all trials through the real syntax writer + estimator
+        state0 = self._save(x, y, max(w, h))
+        best = None
+        node = TreeNode(x, y, max(w, h), part.qt_depth, w=w, h=h, part=part)
+        for cu in trials:
+            self._restore(state0)
+            b0 = self.est.frac_bits
+            node.cu = cu
+            try:
+                coder._enc_cu(self.est, ps, node)
+            except AssertionError:
+                continue  # malformed trial (e.g. merge with no luma coeffs)
+            bits = (self.est.frac_bits - b0) / (1 << 15)
+            dist = R.sse_np(src_y, ps.rec[0][y:y + h, x:x + w])
+            dist += R.sse_np(src_cb, ps.rec[1][cy2:cy2 + chh, cx:cx + cw])
+            dist += R.sse_np(src_cr, ps.rec[2][cy2:cy2 + chh, cx:cx + cw])
+            cost = dist + self.lmbda * bits
+            if best is None or cost < best[0]:
+                best = (cost, cu, self._save(x, y, max(w, h)))
+        self._restore(best[2])
+        return best[1], best[0]
+
+    def _quant_resid(self, src_y, src_cb, src_cr, py, pcb, pcr):
+        import numpy as _np
+        bit_depth = self.cfg.bit_depth
+        out = []
+        for src, pred, q in ((src_y, py, self.qp.luma_qp()),
+                             (src_cb, pcb, self.qp.chroma_qp(1)),
+                             (src_cr, pcr, self.qp.chroma_qp(2))):
+            c = T.quant_np(T.fwd_transform_np(src - pred, bit_depth), q,
+                           bit_depth, is_intra_slice=False)
+            out.append(c if _np.any(c) else None)
+        return out
+
+    def _motion_search(self, src_y, x, y, w, h, amvp, ref_y):
+        """Integer full search around the first predictor + half/quarter
+        refinement; chooses the mvp index minimizing mvd bits."""
+        import numpy as _np
+        R_ = self.cfg.search_range
+        ph, pw = ref_y.shape
+        cx0 = x + (amvp[0][0] >> 4)
+        cy0 = y + (amvp[0][1] >> 4)
+        best = None
+        for dy in range(-R_, R_ + 1):
+            for dx in range(-R_, R_ + 1):
+                sx, sy = cx0 + dx, cy0 + dy
+                if sx < -w or sy < -h or sx > pw or sy > ph:
+                    continue
+                xs = _np.clip(_np.arange(sx, sx + w), 0, pw - 1)
+                ys = _np.clip(_np.arange(sy, sy + h), 0, ph - 1)
+                blk = ref_y[_np.ix_(ys, xs)]
+                c = R.sse_np(src_y, blk)
+                if best is None or c < best[0]:
+                    best = (c, ((sx - x) << 4, (sy - y) << 4))
+        mv = best[1]
+        # half then quarter refinement (steps of 8 and 4 in 1/16 units)
+        for step in (8, 4):
+            improved = True
+            cand_best = (self._mc_cost(src_y, x, y, w, h, mv, ref_y,
+                                       amvp[0]), mv)
+            for dy in (-step, 0, step):
+                for dx in (-step, 0, step):
+                    if dx == 0 and dy == 0:
+                        continue
+                    m = (mv[0] + dx, mv[1] + dy)
+                    c = self._mc_cost(src_y, x, y, w, h, m, ref_y, amvp[0])
+                    if c < cand_best[0]:
+                        cand_best = (c, m)
+            mv = cand_best[1]
+        # mvp selection by mvd magnitude
+        def mvd_bits(mvp):
+            return (abs(mv[0] - mvp[0]) + abs(mv[1] - mvp[1])) >> 2
+        mvp_idx = 0 if mvd_bits(amvp[0]) <= mvd_bits(amvp[1]) else 1
+        return mv, mvp_idx
+
+    def _mc_cost(self, src_y, x, y, w, h, mv, ref_y, mvp):
+        pred = mc_block_np(ref_y, x, y, w, h, mv[0], mv[1],
+                           self.cfg.bit_depth, True)
+        bits = ((abs(mv[0] - mvp[0]) + abs(mv[1] - mvp[1])) >> 2) * 1.5 + 2
+        return R.sse_np(src_y, pred) + self.lmbda * bits
