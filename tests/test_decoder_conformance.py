@@ -30,6 +30,18 @@ GOLDEN_HASHES = {
     # same config with the deblocking filter enabled (LoopFilterDisable 0)
     "golden_ai_deblock_416x240_qp37_f1.266": [
         "a433431479fcced9d06f19f9124a24a6"],
+    # low-delay B (GOP8, generalized B, multi-ref, bi-pred, merge/AMVP/HMVP)
+    # moving synthetic content at QP32, inter tools-off config
+    "golden_ld_moving_416x240_qp32_f9.266": [
+        "e3fe678cf1d3ab169023e10ddfbb49ea",
+        "39102296efff1b6c1c3a59216426a504",
+        "366b356f9ec5b0a7970a40538e6bfec0",
+        "08b15e74102c1e59a321a4c828959c76",
+        "04c7fd67dcd53d6e747838f9ead1fb75",
+        "a71d0f3fd07d8e8f2ec3eeeb7486e19d",
+        "00b09759cd6f0330e0b7b549b264ea18",
+        "c7f1b408b9c5c88b7ee746945f71dc4c",
+        "d289b8e0fee2f2b97b78d2fe15f6d00e"],
 }
 
 

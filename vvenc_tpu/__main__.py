@@ -51,7 +51,9 @@ def main(argv=None):
     enc = IntraEncoder(EncoderConfig(
         width=w, height=h, qp=cfg.qp, ctu_size=cfg.ctu_size,
         min_qt=cfg.min_qt_size, input_bit_depth=cfg.input_bit_depth,
-        num_full_rd_modes=cfg.num_full_rd_modes))
+        num_full_rd_modes=cfg.num_full_rd_modes,
+        max_mtt_depth=cfg.max_mtt_depth_i, deblocking=bool(cfg.deblocking),
+        intra_period=cfg.intra_period))
 
     stats = SequenceStats(args.framerate)
     stream = bytearray()

@@ -25,7 +25,7 @@ from ..bitstream import ctx_tables as ct
 from ..bitstream.residual import encode_residual, decode_residual
 from ..ops import intra as I
 from ..ops import transforms as T
-from ..ops.interp import mc_block_np
+from ..ops.interp import mc_block_np, bi_average_np
 from .picture import PictureState
 from .qp import QpState
 from .motion import (MotionInfo, MotionField, HmvpLut, get_merge_candidates,
@@ -765,16 +765,40 @@ class SyntaxCoder:
                 cu.merge_idx = self._dec_merge_idx(dec)
                 self._apply_merge(ps, cu)
             else:
-                assert not self.is_b, "B-slice AMVP syntax TBD"
-                r0 = self._dec_ref_idx(dec, self.num_refs[0])
-                cu.ref_idx = (r0, -1)
-                cu.mvd = self._dec_mvd(dec)
-                cu.mvp_idx = dec.decode_bin(ct.CTX_SETS["MVPIdx"](0))
-                amvp = self.derive_amvp(ps, cu, 0)
-                mvp = amvp[cu.mvp_idx]
-                mv0 = (max(MV_MIN, min(MV_MAX, mvp[0] + (cu.mvd[0] << 2))),
-                       max(MV_MIN, min(MV_MAX, mvp[1] + (cu.mvd[1] << 2))))
-                cu.mv = (mv0, (0, 0))
+                inter_dir = 1
+                if self.is_b:
+                    ctx = 7 - (((w * h).bit_length() - 1 + 1) >> 1)
+                    if dec.decode_bin(ct.CTX_SETS["InterDir"](ctx)):
+                        inter_dir = 3
+                    elif dec.decode_bin(ct.CTX_SETS["InterDir"](5)):
+                        inter_dir = 2
+                mvs = [(0, 0), (0, 0)]
+                refs = [-1, -1]
+                mvds = [(0, 0), (0, 0)]
+                mvps = [0, 0]
+                if inter_dir != 2:
+                    refs[0] = self._dec_ref_idx(dec, self.num_refs[0])
+                    mvds[0] = self._dec_mvd(dec)
+                    mvps[0] = dec.decode_bin(ct.CTX_SETS["MVPIdx"](0))
+                if inter_dir != 1:
+                    refs[1] = self._dec_ref_idx(dec, self.num_refs[1])
+                    if self.sh.ph.mvd_l1_zero and inter_dir == 3:
+                        mvds[1] = (0, 0)
+                    else:
+                        mvds[1] = self._dec_mvd(dec)
+                    mvps[1] = dec.decode_bin(ct.CTX_SETS["MVPIdx"](0))
+                cu.ref_idx = tuple(refs)
+                cu.mvd = mvds[0]
+                cu.mvp_idx = mvps[0]
+                for li in range(2):
+                    if refs[li] < 0:
+                        continue
+                    amvp = self.derive_amvp(ps, cu, li)
+                    mvp = amvp[mvps[li]]
+                    mvs[li] = (
+                        max(MV_MIN, min(MV_MAX, mvp[0] + (mvds[li][0] << 2))),
+                        max(MV_MIN, min(MV_MAX, mvp[1] + (mvds[li][1] << 2))))
+                cu.mv = (mvs[0], mvs[1])
         if cu.is_inter and not cu.merge:
             cu.root_cbf = bool(dec.decode_bin(ct.CTX_SETS["QtRootCbf"](0)))
         if not cu.is_inter or cu.root_cbf:
@@ -853,10 +877,20 @@ def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
             x, y, w, h = cu.x >> 1, cu.y >> 1, cu.w >> 1, cu.h >> 1
             q = qp.chroma_qp(comp)
         if cu.is_inter:
-            ref = ref_pics[0][cu.ref_idx[0]][comp]
-            mvx, mvy = cu.mv[0]
-            pred = mc_block_np(ref, x, y, w, h, mvx, mvy, bit_depth,
-                               is_luma=(comp == 0))
+            if cu.ref_idx[0] >= 0 and cu.ref_idx[1] >= 0:
+                a = mc_block_np(ref_pics[0][cu.ref_idx[0]][comp], x, y, w, h,
+                                cu.mv[0][0], cu.mv[0][1], bit_depth,
+                                is_luma=(comp == 0), intermediate=True)
+                b = mc_block_np(ref_pics[1][cu.ref_idx[1]][comp], x, y, w, h,
+                                cu.mv[1][0], cu.mv[1][1], bit_depth,
+                                is_luma=(comp == 0), intermediate=True)
+                pred = bi_average_np(a, b, bit_depth)
+            else:
+                li = 0 if cu.ref_idx[0] >= 0 else 1
+                ref = ref_pics[li][cu.ref_idx[li]][comp]
+                mvx, mvy = cu.mv[li]
+                pred = mc_block_np(ref, x, y, w, h, mvx, mvy, bit_depth,
+                                   is_luma=(comp == 0))
         else:
             pred = predict_cu_component(ps, cu, comp, bit_depth)
         if coeff is not None and np.any(coeff):

@@ -133,7 +133,7 @@ _PRESET_MATRIX = {
 
 # tools the current build actually implements end-to-end
 _IMPLEMENTED = {"mctf": 0, "bim": 0, "alf": 0, "ccalf": 0, "sao": 0,
-                "deblocking": 0, "dep_quant": 0, "sign_data_hiding": 0,
+                "deblocking": 1, "dep_quant": 0, "sign_data_hiding": 0,
                 "lfnst": 0, "mts": 0, "mts_implicit": 0, "mip": 0, "isp": 0,
                 "mrl": 0, "lm_chroma": 0, "joint_cbcr": 0, "affine": 0,
                 "dmvr": 0, "bdof": 0, "mmvd": 0, "smvd": 0, "geo": 0,
@@ -157,8 +157,8 @@ def init_preset(cfg: VvencTpuConfig, preset: Preset,
                 setattr(cfg, k, max_v)
         # round-1 encoder constraints
         cfg.ctu_size = min(cfg.ctu_size, 32)
-        cfg.max_mtt_depth = 0
-        cfg.max_mtt_depth_i = 0
+        cfg.max_mtt_depth = min(cfg.max_mtt_depth, 2)
+        cfg.max_mtt_depth_i = min(cfg.max_mtt_depth_i, 2)
     return cfg
 
 
@@ -177,10 +177,9 @@ def check_config(cfg: VvencTpuConfig) -> None:
         raise NotImplementedError("internal bit depth other than 10")
     if cfg.ctu_size != 32:
         raise NotImplementedError("CTU > 32 lands with the TU-tiling work")
-    if cfg.max_mtt_depth or cfg.max_mtt_depth_i:
-        raise NotImplementedError("MTT (BT/TT) splits")
-    if cfg.intra_period != 1 and cfg.gop_size != 1:
-        raise NotImplementedError("inter coding (round-1 build is all-intra)")
+    if cfg.gop_size > 1 and cfg.intra_period != 1:
+        raise NotImplementedError(
+            "hierarchical-B GOPs (IPPP low-delay and all-intra supported)")
     if cfg.target_bitrate:
         raise NotImplementedError("rate control")
     for k, max_v in _IMPLEMENTED.items():

@@ -73,7 +73,6 @@ def _decode_slice(rbsp: bytes, nal_type, sps_map, pps_map,
     pps = next(iter(pps_map.values()))
     sps = next(iter(sps_map.values()))
     sh = hls.parse_slice_header(br, sps, pps, is_idr)
-    assert sh.slice_type in (1, 2), "B slices not yet supported"
     assert not sh.dep_quant_used and not sh.sign_data_hiding_used
 
     ps = PictureState(pps.pic_width, pps.pic_height, sps.bit_depth)
@@ -86,7 +85,7 @@ def _decode_slice(rbsp: bytes, nal_type, sps_map, pps_map,
         by_poc = {p: planes for p, planes in (dpb or [])}
         for li in range(1 if sh.slice_type == 1 else 2):
             for delta in sh.rpls[li].delta_pocs[:max(1, sh.num_ref_idx[li])]:
-                ref_poc = cur_poc - delta  # positive identifier = past pic
+                ref_poc = cur_poc + delta  # negative identifier = past pic
                 assert ref_poc in by_poc, (ref_poc, sorted(by_poc))
                 ref_pics[li].append(by_poc[ref_poc])
                 ref_pocs[li].append(ref_poc)
@@ -94,7 +93,10 @@ def _decode_slice(rbsp: bytes, nal_type, sps_map, pps_map,
     coder.attach_motion(ps)
 
     dec = CabacDecoder(br)
-    dec.init_ctx(sh.slice_qp, 2 if sh.slice_type == SLICE_I else sh.slice_type)
+    init_id = 2 if sh.slice_type == SLICE_I else sh.slice_type
+    if pps.cabac_init_present and sh.cabac_init_flag and init_id != 2:
+        init_id = 1 - init_id  # swap B <-> P tables
+    dec.init_ctx(sh.slice_qp, init_id)
 
     ctu = sps.ctu_size
     w_ctus = (pps.pic_width + ctu - 1) // ctu

@@ -147,7 +147,7 @@ class IntraEncoder:
             sh.ph.intra_slice_allowed = 1
             ref_poc = self.dpb[-1][0]
             sh.rpls[0] = RefPicList(num_short_term=1,
-                                    delta_pocs=[poc - ref_poc])
+                                    delta_pocs=[ref_poc - poc])
             sh.rpls[1] = RefPicList()
             sh.num_ref_idx = [1, 0]
             ref_pics[0] = [self.dpb[-1][1]]

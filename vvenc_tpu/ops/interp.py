@@ -75,12 +75,14 @@ def _filter_1d(src, taps, axis, is_first, is_last, bit_depth):
 
 def mc_block_np(ref_plane: np.ndarray, x: int, y: int, w: int, h: int,
                 mv_x: int, mv_y: int, bit_depth: int = 10,
-                is_luma: bool = True) -> np.ndarray:
-    """Motion-compensated prediction of one block (uni-pred, full output).
+                is_luma: bool = True, intermediate: bool = False) -> np.ndarray:
+    """Motion-compensated prediction of one block.
 
     mv in units of 1/16 luma pel (1/32 chroma pel for chroma planes with
     the chroma mv convention already applied by the caller).
     ref_plane is border-padded by replication on demand.
+    intermediate=True returns the 14-bit biased intermediate used for
+    bi-prediction averaging (isLast=false path).
     """
     if is_luma:
         frac_bits, taps_tbl, ntaps = 4, LUMA_FILTER, NTAPS_LUMA
@@ -94,19 +96,33 @@ def mc_block_np(ref_plane: np.ndarray, x: int, y: int, w: int, h: int,
     xs = np.clip(np.arange(int_x - half, int_x + w + ntaps - 1 - half), 0, pw - 1)
     ys = np.clip(np.arange(int_y - half, int_y + h + ntaps - 1 - half), 0, ph - 1)
     win = ref_plane[np.ix_(ys, xs)].astype(np.int32)
+    last = not intermediate
     if frac_x == 0 and frac_y == 0:
-        return win[half:half + h, half:half + w].astype(np.int32)
+        out = win[half:half + h, half:half + w]
+        if intermediate:
+            head_room = IF_INTERNAL_PREC - bit_depth
+            out = (out.astype(np.int64) << head_room) - IF_INTERNAL_OFFS
+        return out.astype(np.int32)
     if frac_y == 0:
         out = _filter_1d(win[half:half + h, :], taps_tbl[frac_x], 1,
-                         True, True, bit_depth)
+                         True, last, bit_depth)
         return out.astype(np.int32)
     if frac_x == 0:
         out = _filter_1d(win[:, half:half + w], taps_tbl[frac_y], 0,
-                         True, True, bit_depth)
+                         True, last, bit_depth)
         return out.astype(np.int32)
     tmp = _filter_1d(win, taps_tbl[frac_x], 1, True, False, bit_depth)
-    out = _filter_1d(tmp, taps_tbl[frac_y], 0, False, True, bit_depth)
+    out = _filter_1d(tmp, taps_tbl[frac_y], 0, False, last, bit_depth)
     return out.astype(np.int32)
+
+
+def bi_average_np(a: np.ndarray, b: np.ndarray, bit_depth: int = 10) -> np.ndarray:
+    """Bi-prediction average of two 14-bit intermediates
+    (vvenc AreaBuf<Pel>::addAvg, Buffer.cpp:625)."""
+    shift = max(2, IF_INTERNAL_PREC - bit_depth) + 1
+    offset = (1 << (shift - 1)) + 2 * IF_INTERNAL_OFFS
+    out = (a.astype(np.int64) + b.astype(np.int64) + offset) >> shift
+    return np.clip(out, 0, (1 << bit_depth) - 1).astype(np.int32)
 
 
 # ---------------------------------------------------------------------------
