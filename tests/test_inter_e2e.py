@@ -82,3 +82,27 @@ def test_round_mv_quarter():
     assert round_mv_quarter((6, -6)) == (4, -4)  # ties round toward zero
     assert round_mv_quarter((7, -7)) == (8, -8)
     assert round_mv_quarter((16, -16)) == (16, -16)
+
+
+def test_hierarchical_gop_roundtrip():
+    """RA GOP8 (B slices, bi-pred, reordering) round-trips and beats IPPP."""
+    w, h = 96, 48
+    frames = _moving_seq(w, h, 9, seed=5)
+    enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=32,
+                                     intra_period=64, gop_size=8))
+    stream = enc.encode_sequence(frames)
+    dec = decode_stream(stream)
+    assert sorted(f.poc for f in dec) == list(range(9))
+    # coding order: anchor then dyadic midpoints
+    assert [f.poc for f in dec] == [0, 8, 4, 2, 1, 3, 6, 5, 7]
+    for fr in dec:
+        for c in range(3):
+            assert np.array_equal(fr.planes[c], enc.recs_by_poc[fr.poc][c])
+        src = frames[fr.poc][0].astype(np.int64) << 2
+        mse = ((fr.planes[0].astype(np.int64) - src) ** 2).mean()
+        assert 10 * np.log10(1023 ** 2 / mse) > 32.0
+    # hierarchy should not be worse than IPPP at the same base QP
+    enc2 = IntraEncoder(EncoderConfig(width=w, height=h, qp=32,
+                                      intra_period=64, gop_size=1))
+    ippp = enc2.encode_sequence(frames)
+    assert len(stream) < len(ippp) * 1.1

@@ -59,6 +59,8 @@ class CuData:
     ref_idx: tuple = (-1, -1)
     mvd: tuple = (0, 0)              # quarter-pel units as signalled (L0)
     mvp_idx: int = 0
+    mvd_l1: tuple = (0, 0)
+    mvp_idx_l1: int = 0
     root_cbf: bool = True
     luma_mode: int = PLANAR
     chroma_dir: int = DM_CHROMA      # signalled chroma mode (DM or mode value)
@@ -522,11 +524,26 @@ class SyntaxCoder:
             if cu.merge:
                 self._enc_merge_idx(enc, cu.merge_idx)
             else:
-                assert not self.is_b, "B-slice AMVP syntax TBD"
-                if self.num_refs[0] > 1:
-                    self._enc_ref_idx(enc, cu.ref_idx[0], self.num_refs[0])
-                self._enc_mvd(enc, cu.mvd)
-                enc.encode_bin(cu.mvp_idx, ct.CTX_SETS["MVPIdx"](0))
+                inter_dir = (1 if cu.ref_idx[0] >= 0 else 0) | \
+                            (2 if cu.ref_idx[1] >= 0 else 0)
+                if self.is_b:
+                    ctx = 7 - (((cu.w * cu.h).bit_length() - 1 + 1) >> 1)
+                    enc.encode_bin(1 if inter_dir == 3 else 0,
+                                   ct.CTX_SETS["InterDir"](ctx))
+                    if inter_dir != 3:
+                        enc.encode_bin(1 if inter_dir == 2 else 0,
+                                       ct.CTX_SETS["InterDir"](5))
+                if inter_dir != 2:
+                    if self.num_refs[0] > 1:
+                        self._enc_ref_idx(enc, cu.ref_idx[0], self.num_refs[0])
+                    self._enc_mvd(enc, cu.mvd)
+                    enc.encode_bin(cu.mvp_idx, ct.CTX_SETS["MVPIdx"](0))
+                if inter_dir != 1:
+                    if self.num_refs[1] > 1:
+                        self._enc_ref_idx(enc, cu.ref_idx[1], self.num_refs[1])
+                    if not (self.sh.ph.mvd_l1_zero and inter_dir == 3):
+                        self._enc_mvd(enc, cu.mvd_l1)
+                    enc.encode_bin(cu.mvp_idx_l1, ct.CTX_SETS["MVPIdx"](0))
         # residual
         if cu.is_inter and not cu.merge:
             enc.encode_bin(1 if cu.root_cbf else 0,
@@ -790,6 +807,8 @@ class SyntaxCoder:
                 cu.ref_idx = tuple(refs)
                 cu.mvd = mvds[0]
                 cu.mvp_idx = mvps[0]
+                cu.mvd_l1 = mvds[1]
+                cu.mvp_idx_l1 = mvps[1]
                 for li in range(2):
                     if refs[li] < 0:
                         continue
@@ -866,6 +885,22 @@ def predict_cu_component(ps: PictureState, cu: CuData, comp: int,
     return I.predict_intra(top, left, mode, w, h, bit_depth, is_luma)
 
 
+def inter_predict(ref_pics, mv, ref_idx, x, y, w, h, comp, bit_depth):
+    """Uni/bi motion-compensated prediction for one component block."""
+    if ref_idx[0] >= 0 and ref_idx[1] >= 0:
+        a = mc_block_np(ref_pics[0][ref_idx[0]][comp], x, y, w, h,
+                        mv[0][0], mv[0][1], bit_depth,
+                        is_luma=(comp == 0), intermediate=True)
+        b = mc_block_np(ref_pics[1][ref_idx[1]][comp], x, y, w, h,
+                        mv[1][0], mv[1][1], bit_depth,
+                        is_luma=(comp == 0), intermediate=True)
+        return bi_average_np(a, b, bit_depth)
+    li = 0 if ref_idx[0] >= 0 else 1
+    ref = ref_pics[li][ref_idx[li]][comp]
+    return mc_block_np(ref, x, y, w, h, mv[li][0], mv[li][1], bit_depth,
+                       is_luma=(comp == 0))
+
+
 def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
                    bit_depth: int, ref_pics=None) -> None:
     maxval = (1 << bit_depth) - 1
@@ -877,20 +912,8 @@ def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
             x, y, w, h = cu.x >> 1, cu.y >> 1, cu.w >> 1, cu.h >> 1
             q = qp.chroma_qp(comp)
         if cu.is_inter:
-            if cu.ref_idx[0] >= 0 and cu.ref_idx[1] >= 0:
-                a = mc_block_np(ref_pics[0][cu.ref_idx[0]][comp], x, y, w, h,
-                                cu.mv[0][0], cu.mv[0][1], bit_depth,
-                                is_luma=(comp == 0), intermediate=True)
-                b = mc_block_np(ref_pics[1][cu.ref_idx[1]][comp], x, y, w, h,
-                                cu.mv[1][0], cu.mv[1][1], bit_depth,
-                                is_luma=(comp == 0), intermediate=True)
-                pred = bi_average_np(a, b, bit_depth)
-            else:
-                li = 0 if cu.ref_idx[0] >= 0 else 1
-                ref = ref_pics[li][cu.ref_idx[li]][comp]
-                mvx, mvy = cu.mv[li]
-                pred = mc_block_np(ref, x, y, w, h, mvx, mvy, bit_depth,
-                                   is_luma=(comp == 0))
+            pred = inter_predict(ref_pics, cu.mv, cu.ref_idx, x, y, w, h,
+                                 comp, bit_depth)
         else:
             pred = predict_cu_component(ps, cu, comp, bit_depth)
         if coeff is not None and np.any(coeff):

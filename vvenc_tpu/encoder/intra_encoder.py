@@ -29,8 +29,10 @@ from ..codec.ctu_syntax import (SyntaxCoder, TreeNode, CuData, DM_CHROMA,
                                 split_geometry, write_split_mode,
                                 predict_cu_component, reconstruct_cu)
 from ..codec.motion import get_merge_candidates, get_amvp_candidates
+from ..codec.ctu_syntax import inter_predict
+from .gop import build_gop
 from ..ops.interp import mc_block_np
-from ..bitstream.params import RefPicList, SLICE_P, SLICE_I
+from ..bitstream.params import RefPicList, SLICE_B, SLICE_P, SLICE_I
 from ..bitstream import ctx_tables as ct
 from ..bitstream.residual import encode_residual
 from ..codec.picture import PictureState
@@ -55,6 +57,7 @@ class EncoderConfig:
     num_full_rd_modes: int = 3     # full-RD candidates after SATD preselection
     deblocking: bool = False       # in-loop deblocking filter
     intra_period: int = 1          # 1 = all-intra; N>1 = IDR every N, P between
+    gop_size: int = 1              # >1: hierarchical-B random access GOPs
     search_range: int = 8          # integer ME range around the predictor
     max_mtt_depth: int = 0         # BT/TT depth for intra slices
     max_bt_size: int = 32
@@ -118,16 +121,69 @@ class IntraEncoder:
         return self._headers
 
     def encode_frame(self, planes8) -> bytes:
-        """Encode one frame (tuple of Y, U, V uint8/uint16 arrays at input
-        bit depth) -> Annex-B AU bytes (headers prepended on first frame)."""
+        """Encode one frame (display order == coding order modes: all-intra
+        or IPPP) -> Annex-B AU bytes (headers prepended on first frame)."""
+        poc = self.frames_done
+        cfg = self.cfg
+        is_idr = (cfg.intra_period <= 1) or (poc % cfg.intra_period == 0)
+        if is_idr:
+            au = self._encode_picture(poc, planes8, SLICE_I, [], [])
+        else:
+            au = self._encode_picture(poc, planes8, SLICE_P,
+                                      [self.dpb[-1][0]], [])
+        return au
+
+    def encode_sequence(self, frames):
+        """Encode a sequence with the configured GOP structure.
+
+        frames: list of (Y, U, V).  Returns the Annex-B stream; per-POC
+        reconstructions available in self.recs_by_poc."""
+        cfg = self.cfg
+        self.recs_by_poc = {}
+        stream = bytearray()
+        if cfg.gop_size <= 1 or cfg.intra_period == 1:
+            for f in frames:
+                stream += self.encode_frame(f)
+                self.recs_by_poc[self.frames_done - 1] = dict(self.last_rec.rec)
+            return bytes(stream)
+        # random-access hierarchical GOPs
+        gop = cfg.gop_size
+        entries = build_gop(gop)
+        stream += self._encode_picture(0, frames[0], SLICE_I, [], [])
+        self.recs_by_poc[0] = dict(self.last_rec.rec)
+        base = 0
+        while base + gop < len(frames):
+            for e in entries:
+                poc = base + e.poc_in_gop
+                refs_l0 = [base + r for r in e.refs_past] or [base]
+                refs_l1 = [base + r for r in e.refs_future]
+                st = SLICE_B if refs_l1 else SLICE_P
+                qp_off = e.qp_offset
+                au = self._encode_picture(poc, frames[poc], st, refs_l0,
+                                          refs_l1, qp_off)
+                stream += au
+                self.recs_by_poc[poc] = dict(self.last_rec.rec)
+            base += gop
+        # tail: IPPP on remaining frames
+        for poc in range(base + 1, len(frames)):
+            if poc in self.recs_by_poc:
+                continue
+            au = self._encode_picture(poc, frames[poc], SLICE_P,
+                                      [poc - 1], [], 1)
+            stream += au
+            self.recs_by_poc[poc] = dict(self.last_rec.rec)
+        return bytes(stream)
+
+    def _encode_picture(self, poc, planes8, slice_type, refs_l0, refs_l1,
+                        qp_offset=0) -> bytes:
         cfg = self.cfg
         shift = cfg.bit_depth - cfg.input_bit_depth
         src = {c: planes8[c].astype(np.int32) << shift for c in range(3)}
         ps = PictureState(cfg.width, cfg.height, cfg.bit_depth)
 
-        poc = self.frames_done
-        is_idr = (cfg.intra_period <= 1) or (poc % cfg.intra_period == 0)
-        slice_qp = self.slice_qp if is_idr else max(0, min(63, cfg.qp))
+        is_idr = slice_type == SLICE_I
+        slice_qp = self.slice_qp if is_idr else \
+            max(0, min(63, cfg.qp + qp_offset))
         qp_state = QpState(self.sps, self.pps, slice_qp)
         self.lmbda = lambda_for_qp(slice_qp, cfg.bit_depth)
         self.lmbda_sad = self.lmbda ** 0.5
@@ -138,20 +194,23 @@ class IntraEncoder:
         sh.ph.poc_lsb = poc & ((1 << self.sps.log2_max_poc_lsb) - 1)
         ref_pics = [[], []]
         ref_pocs = [[], []]
-        if is_idr:
-            sh.slice_type = SLICE_I
-        else:
-            sh.slice_type = SLICE_P
+        sh.slice_type = slice_type
+        if not is_idr:
             sh.ph.gdr_or_irap = 0
             sh.ph.inter_slice_allowed = 1
             sh.ph.intra_slice_allowed = 1
-            ref_poc = self.dpb[-1][0]
-            sh.rpls[0] = RefPicList(num_short_term=1,
-                                    delta_pocs=[ref_poc - poc])
-            sh.rpls[1] = RefPicList()
-            sh.num_ref_idx = [1, 0]
-            ref_pics[0] = [self.dpb[-1][1]]
-            ref_pocs[0] = [ref_poc]
+            by_poc = {p: planes for p, planes in self.dpb}
+            for li, refs in ((0, refs_l0), (1, refs_l1)):
+                if not refs:
+                    continue
+                sh.rpls[li] = RefPicList(
+                    num_short_term=len(refs),
+                    delta_pocs=[r - poc for r in refs])
+                ref_pics[li] = [by_poc[r] for r in refs]
+                ref_pocs[li] = list(refs)
+            sh.num_ref_idx = [len(refs_l0), len(refs_l1)]
+            if not refs_l1:
+                sh.rpls[1] = RefPicList()
 
         coder = SyntaxCoder(self.sps, self.pps, sh, qp_state, ref_pics,
                             ref_pocs)
@@ -162,7 +221,8 @@ class IntraEncoder:
         hls.write_slice_header(bw, sh, self.sps, self.pps, is_idr=is_idr)
         bw.write_byte_alignment()
         enc = CabacEncoder(bw)
-        enc.init_ctx(slice_qp, 2 if is_idr else 1)
+        # context init id: I=2, P=1, B=0 (must match the decoder's mapping)
+        enc.init_ctx(slice_qp, 2 if is_idr else sh.slice_type)
 
         ctu = cfg.ctu_size
         n_cols = (cfg.width + ctu - 1) // ctu
@@ -210,6 +270,8 @@ class IntraEncoder:
         if is_idr:
             self.dpb = []
         self.dpb.append((poc, dict(ps.rec)))
+        if len(self.dpb) > 16:
+            self.dpb.pop(0)
         return out
 
 
@@ -433,36 +495,37 @@ class _CtuSearcher:
         src_cb = self.src[1][cy2:cy2 + chh, cx:cx + cw]
         src_cr = self.src[2][cy2:cy2 + chh, cx:cx + cw]
 
+        is_b = coder.is_b
         merge_cands = get_merge_candidates(
             ps, coder.mf, coder.hmvp, x, y, w, h, sps.max_num_merge_cand,
-            False, coder.num_refs)
-        ref = coder.ref_pics[0][0]
+            is_b, coder.num_refs)
 
-        def mc_pred(mv):
-            py = mc_block_np(ref[0], x, y, w, h, mv[0], mv[1], bit_depth, True)
-            pcb = mc_block_np(ref[1], cx, cy2, cw, chh, mv[0], mv[1],
-                              bit_depth, False)
-            pcr = mc_block_np(ref[2], cx, cy2, cw, chh, mv[0], mv[1],
-                              bit_depth, False)
+        def mc_pred(mv_pair, ref_idx):
+            py = inter_predict(coder.ref_pics, mv_pair, ref_idx, x, y, w, h,
+                               0, bit_depth)
+            pcb = inter_predict(coder.ref_pics, mv_pair, ref_idx, cx, cy2,
+                                cw, chh, 1, bit_depth)
+            pcr = inter_predict(coder.ref_pics, mv_pair, ref_idx, cx, cy2,
+                                cw, chh, 2, bit_depth)
             return py, pcb, pcr
 
         # preselect merge candidates by luma SSE
         scored = []
         seen = set()
         for idx, mi in enumerate(merge_cands):
-            key = (mi.mv[0], mi.ref_idx[0])
+            key = (mi.mv, mi.ref_idx)
             if key in seen:
                 continue
             seen.add(key)
-            py = mc_block_np(ref[0], x, y, w, h, mi.mv[0][0], mi.mv[0][1],
-                             bit_depth, True)
+            py = inter_predict(coder.ref_pics, mi.mv, mi.ref_idx, x, y, w, h,
+                               0, bit_depth)
             scored.append((R.sse_np(src_y, py), idx, mi))
         scored.sort(key=lambda t: t[0])
 
         trials = []
         qy = self.qp.luma_qp()
         for _, idx, mi in scored[:2]:
-            py, pcb, pcr = mc_pred(mi.mv[0])
+            py, pcb, pcr = mc_pred(mi.mv, mi.ref_idx)
             coeffs = self._quant_resid(src_y, src_cb, src_cr, py, pcb, pcr)
             any_c = any(c is not None for c in coeffs)
             # skip trial (no residual)
@@ -477,24 +540,47 @@ class _CtuSearcher:
                             coeff_cr=coeffs[2])
                 trials.append(cu)
 
-        # AMVP trial
-        amvp = get_amvp_candidates(ps, coder.mf, coder.hmvp, x, y, w, h,
-                                   0, 0, coder.ref_pocs)
-        mv, mvp_idx = self._motion_search(src_y, x, y, w, h, amvp, ref[0])
-        mvd = ((mv[0] - amvp[mvp_idx][0]) >> 2,
-               (mv[1] - amvp[mvp_idx][1]) >> 2)
-        py, pcb, pcr = mc_pred(mv)
-        coeffs = self._quant_resid(src_y, src_cb, src_cr, py, pcb, pcr)
-        cu = CuData(x, y, w, h, is_inter=True, merge=False,
-                    mv=(mv, (0, 0)), ref_idx=(0, -1), mvd=mvd,
-                    mvp_idx=mvp_idx,
-                    root_cbf=any(c is not None for c in coeffs),
-                    coeff_y=coeffs[0] if coeffs[0] is not None else None,
-                    coeff_cb=coeffs[1], coeff_cr=coeffs[2])
-        if cu.root_cbf and cu.coeff_y is None and cu.coeff_cb is None \
-                and cu.coeff_cr is None:
-            cu.root_cbf = False
-        trials.append(cu)
+        # AMVP trials: uni per list (+ bi combination for B slices)
+        uni = {}
+        for li in range(2 if is_b else 1):
+            if coder.num_refs[li] == 0:
+                continue
+            probe = CuData(x, y, w, h, is_inter=True,
+                           ref_idx=(0, -1) if li == 0 else (-1, 0))
+            amvp = get_amvp_candidates(ps, coder.mf, coder.hmvp, x, y, w, h,
+                                       li, 0, coder.ref_pocs)
+            mv, mvp_idx = self._motion_search(src_y, x, y, w, h, amvp,
+                                              coder.ref_pics[li][0][0])
+            mvd = ((mv[0] - amvp[mvp_idx][0]) >> 2,
+                   (mv[1] - amvp[mvp_idx][1]) >> 2)
+            uni[li] = (mv, mvp_idx, mvd)
+            mv_pair = (mv, (0, 0)) if li == 0 else ((0, 0), mv)
+            ref_idx = (0, -1) if li == 0 else (-1, 0)
+            py, pcb, pcr = mc_pred(mv_pair, ref_idx)
+            coeffs = self._quant_resid(src_y, src_cb, src_cr, py, pcb, pcr)
+            cu = CuData(x, y, w, h, is_inter=True, merge=False,
+                        mv=mv_pair, ref_idx=ref_idx,
+                        root_cbf=any(c is not None for c in coeffs),
+                        coeff_y=coeffs[0], coeff_cb=coeffs[1],
+                        coeff_cr=coeffs[2])
+            if li == 0:
+                cu.mvd, cu.mvp_idx = mvd, mvp_idx
+            else:
+                cu.mvd_l1, cu.mvp_idx_l1 = mvd, mvp_idx
+            trials.append(cu)
+        if is_b and 0 in uni and 1 in uni:
+            mv_pair = (uni[0][0], uni[1][0])
+            ref_idx = (0, 0)
+            py, pcb, pcr = mc_pred(mv_pair, ref_idx)
+            coeffs = self._quant_resid(src_y, src_cb, src_cr, py, pcb, pcr)
+            cu = CuData(x, y, w, h, is_inter=True, merge=False,
+                        mv=mv_pair, ref_idx=ref_idx,
+                        mvd=uni[0][2], mvp_idx=uni[0][1],
+                        mvd_l1=uni[1][2], mvp_idx_l1=uni[1][1],
+                        root_cbf=any(c is not None for c in coeffs),
+                        coeff_y=coeffs[0], coeff_cb=coeffs[1],
+                        coeff_cr=coeffs[2])
+            trials.append(cu)
 
         # intra fallback: best-SATD mode, full residual
         top, left = I.build_reference_samples(
