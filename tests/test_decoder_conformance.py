@@ -42,6 +42,20 @@ GOLDEN_HASHES = {
         "00b09759cd6f0330e0b7b549b264ea18",
         "c7f1b408b9c5c88b7ee746945f71dc4c",
         "d289b8e0fee2f2b97b78d2fe15f6d00e"],
+    # MTT (BT depth 1) all-intra with boundary implicit splits, QP27
+    "golden_ai_mtt1_416x240_qp27_f1.266": ["d5e1fb4388b3a4f1fc85dfe4f1bec7b7"],
+    # random access GOP16 (IDR mid-stream, RADL leading pictures, STSA,
+    # picture reordering, temporal layers) — hashes in DISPLAY order
+    "golden_ra_gop16_416x240_qp32_f9.266": [
+        "dd3103071c5e15262486d4fe2e024a01",
+        "c69fc7cae988a2a90cd53225a75ae50b",
+        "a07f03e1791aa5c243ab15328c89afa1",
+        "eb7b219e6b8b14c9dbd0f7d77cee86a8",
+        "f650515d6838986b7a15d6f5c841dea7",
+        "809223235e51b6c8ad40a1455e0a92d8",
+        "29802bdff52fd1f8c4ad26ca94aed36d",
+        "1c5546bd82079e21a95108c93d58063e",
+        "2917f688314e5d60d974bef702ca7510"],
 }
 
 
@@ -56,7 +70,8 @@ def test_decode_reference_stream_bit_exact(name):
         frames = decode_stream(f.read())
     expected = GOLDEN_HASHES[name]
     assert len(frames) == len(expected)
-    for frame, want in zip(frames, expected):
+    # reference --ReconFile output is in display (POC) order
+    for frame, want in zip(sorted(frames, key=lambda fr: fr.poc), expected):
         assert _frame_hash(frame.planes) == want
 
 

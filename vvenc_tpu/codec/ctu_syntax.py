@@ -83,7 +83,7 @@ class PartInfo:
     last_split: int = -1       # -1 = CTU level
     part_idx: int = 0
 
-    def child(self, split: int, idx: int) -> "PartInfo":
+    def child(self, split: int, idx: int, implicit: bool = False) -> "PartInfo":
         p = PartInfo(self.qt_depth, self.mtt_depth, self.bt_depth,
                      self.impl_bt_depth, split, idx)
         if split == QT_SPLIT:
@@ -93,6 +93,10 @@ class PartInfo:
         else:
             p.mtt_depth += 1
             p.bt_depth += 1 + (1 if split in (TT_H, TT_V) else 0)
+            if implicit:
+                # boundary-forced BT extends the MTT depth budget
+                # (vvenc Partitioner::splitCurrArea currImplicitBtDepth++)
+                p.impl_bt_depth += 1
         return p
 
 
@@ -745,13 +749,15 @@ class SyntaxCoder:
         node.split_mode = read_split_mode(dec, ps, x, y, w, h, part, self.sps)
         node.split = node.split_mode != NO_SPLIT
         if node.split:
+            impl = implicit_split(ps, x, y, w, h, part, self.sps)
+            is_impl = node.split_mode == impl
             for idx, (cx, cy, cw, chh) in enumerate(
                     split_geometry(node.split_mode, x, y, w, h)):
                 if cx >= ps.w or cy >= ps.h:
                     continue
                 node.children.append(
                     self._dec_tree(dec, ps, cx, cy, cw, chh,
-                                   part.child(node.split_mode, idx)))
+                                   part.child(node.split_mode, idx, is_impl)))
         else:
             node.cu = self._dec_cu(dec, ps, node)
         return node

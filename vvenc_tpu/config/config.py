@@ -177,9 +177,8 @@ def check_config(cfg: VvencTpuConfig) -> None:
         raise NotImplementedError("internal bit depth other than 10")
     if cfg.ctu_size != 32:
         raise NotImplementedError("CTU > 32 lands with the TU-tiling work")
-    if cfg.gop_size > 1 and cfg.intra_period != 1:
-        raise NotImplementedError(
-            "hierarchical-B GOPs (IPPP low-delay and all-intra supported)")
+    if cfg.gop_size > 1 and (cfg.gop_size & (cfg.gop_size - 1)):
+        raise ValueError("GOP size must be a power of two")
     if cfg.target_bitrate:
         raise NotImplementedError("rate control")
     for k, max_v in _IMPLEMENTED.items():

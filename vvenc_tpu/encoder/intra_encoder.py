@@ -27,6 +27,7 @@ from ..codec.ctu_syntax import (SyntaxCoder, TreeNode, CuData, DM_CHROMA,
                                 PartInfo, NO_SPLIT, QT_SPLIT,
                                 get_intra_mpms, split_options_full,
                                 split_geometry, write_split_mode,
+                                implicit_split,
                                 predict_cu_component, reconstruct_cu)
 from ..codec.motion import get_merge_candidates, get_amvp_candidates
 from ..codec.ctu_syntax import inter_predict
@@ -341,13 +342,15 @@ class _CtuSearcher:
                 node.cu = cu
                 cost += cu_cost
             else:
+                impl = implicit_split(ps, x, y, w, h, part, sps)
+                is_impl = split == impl
                 aborted = False
                 for idx, (cx, cy, cw, chh) in enumerate(
                         split_geometry(split, x, y, w, h)):
                     if cx >= ps.w or cy >= ps.h:
                         continue
                     child, ccost = self._rd_node(cx, cy, cw, chh,
-                                                 part.child(split, idx))
+                                                 part.child(split, idx, is_impl))
                     node.children.append(child)
                     cost += ccost
                     if cost >= best_cost:
