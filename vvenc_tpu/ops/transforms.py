@@ -124,15 +124,36 @@ def needs_sqrt2(w: int, h: int) -> bool:
 
 
 def quant_np(coeff: np.ndarray, qp: int, bit_depth: int = 10,
-             is_intra_slice: bool = True) -> np.ndarray:
-    """Scalar quantization (vvenc Quant::xQuant deadzone convention)."""
+             is_intra_slice: bool = True, thr_val: int = 8) -> np.ndarray:
+    """Scalar quantization (vvenc Quant::xQuant deadzone convention) with
+    the trailing-subblock threshold (QuantCore, Quant.cpp:132: zero 4x4
+    coefficient groups from the scan tail while every coefficient in the
+    group is <= thres; thr_val<=0 disables)."""
     h, w = coeff.shape
     sqrt2 = needs_sqrt2(w, h)
     tshift = transform_shift(w, h, bit_depth) + (-1 if sqrt2 else 0)
     qbits = 14 + qp // 6 + tshift
     scale = int(QUANT_SCALES[1 if sqrt2 else 0][qp % 6])
     add = (171 if is_intra_slice else 85) << (qbits - 9)
-    mag = (np.abs(coeff.astype(np.int64)) * scale + add) >> qbits
+    coeff = coeff.astype(np.int64)
+    if thr_val > 0 and w >= 8 and h >= 8:
+        from ..bitstream.residual import scan_info
+        sx, sy, blkpos, cg_pos, lcw, lch = scan_info(
+            w.bit_length() - 1, h.bit_length() - 1)
+        if lcw == 2 and lch == 2:
+            use_thres = (thr_val << (qbits - 1)) // (scale << 2) if qbits \
+                else ((thr_val >> 1) << qbits) // (scale << 2)
+            flat = np.abs(coeff.reshape(-1))
+            cg_max = flat[blkpos].reshape(-1, 16).max(axis=1)
+            keep = len(cg_max)
+            while keep > 1 and cg_max[keep - 1] <= use_thres:
+                keep -= 1
+            if keep < len(cg_max):
+                mask = np.zeros(w * h, dtype=bool)
+                mask[blkpos[keep * 16:]] = True
+                coeff = coeff.copy()
+                coeff.reshape(-1)[mask] = 0
+    mag = (np.abs(coeff) * scale + add) >> qbits
     return np.clip(np.sign(coeff) * mag, COEFF_MIN, COEFF_MAX).astype(np.int32)
 
 
