@@ -42,6 +42,8 @@ GOLDEN_HASHES = {
         "00b09759cd6f0330e0b7b549b264ea18",
         "c7f1b408b9c5c88b7ee746945f71dc4c",
         "d289b8e0fee2f2b97b78d2fe15f6d00e"],
+    # SAO + deblocking all-intra (MTT 1, QP32)
+    "golden_ai_sao_416x240_qp32_f1.266": ["35ff30ebb9b66d887240a4376cf172ff"],
     # MTT (BT depth 1) all-intra with boundary implicit splits, QP27
     "golden_ai_mtt1_416x240_qp27_f1.266": ["d5e1fb4388b3a4f1fc85dfe4f1bec7b7"],
     # random access GOP16 (IDR mid-stream, RADL leading pictures, STSA,

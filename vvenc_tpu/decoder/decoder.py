@@ -101,10 +101,17 @@ def _decode_slice(rbsp: bytes, nal_type, sps_map, pps_map,
     ctu = sps.ctu_size
     w_ctus = (pps.pic_width + ctu - 1) // ctu
     h_ctus = (pps.pic_height + ctu - 1) // ctu
+    sao_on = bool(sps.sao_enabled and (sh.sao_luma or sh.sao_chroma))
+    sao_map = [None] * (w_ctus * h_ctus)
     trees = []
     for cy in range(h_ctus):
         coder.new_ctu_row()
         for cx in range(w_ctus):
+            if sao_on:
+                from ..codec.sao import parse_sao_ctu
+                sao_map[cy * w_ctus + cx] = parse_sao_ctu(
+                    dec, sao_map, cx, cy, w_ctus,
+                    (sh.sao_luma, sh.sao_chroma), sps.bit_depth)
             trees.append(coder.decode_ctu(dec, ps, cx * ctu, cy * ctu))
     term = dec.decode_bin_trm()
     assert term == 1, "expected end_of_slice terminating bin"
@@ -124,4 +131,8 @@ def _decode_slice(rbsp: bytes, nal_type, sps_map, pps_map,
                         qp.chroma_qp(1) - qp.qp_bd_offset,
                         qp.chroma_qp(2) - qp.qp_bd_offset,
                         sps.ctu_size, sps.bit_depth)
+    if sao_on:
+        from ..codec.sao import apply_sao_picture
+        apply_sao_picture(ps.rec, sao_map, sps.ctu_size, sps.bit_depth,
+                          w_ctus, h_ctus)
     return DecodedFrame(ps, sh.ph.poc_lsb, sh)
