@@ -63,6 +63,7 @@ class EncoderConfig:
     max_mtt_depth: int = 0         # BT/TT depth for intra slices
     max_bt_size: int = 32
     max_tt_size: int = 32
+    rdoq: bool = True              # rate-distortion optimized quantization
 
 
 def build_parameter_sets(cfg: EncoderConfig):
@@ -317,6 +318,16 @@ class _CtuSearcher:
             self.coder.mf.restore_region(snap[2])
         self.coder.hmvp.lut = list(snap[3])
 
+    def _q(self, tcoef, qp, is_luma, cbf_ctx=None, intra_slice=True):
+        """Quantize one TU: RDOQ against the live estimator contexts when
+        enabled (ops/rdoq.py), else scalar deadzone quant."""
+        if self.cfg.rdoq:
+            from ..ops.rdoq import rdoq_np
+            return rdoq_np(tcoef, qp, self.cfg.bit_depth, is_luma,
+                           self.lmbda, self.est.ctx, cbf_ctx)
+        return T.quant_np(tcoef, qp, self.cfg.bit_depth,
+                          is_intra_slice=intra_slice)
+
     # -- recursive tree search -------------------------------------------
     def _rd_node(self, x: int, y: int, w: int, h: int, part: PartInfo):
         ps = self.ps
@@ -399,8 +410,8 @@ class _CtuSearcher:
         best = None
         for _, mode, pred in full_modes:
             resi = src_y - pred
-            coeff = T.quant_np(T.fwd_transform_np(resi, bit_depth), qy,
-                               bit_depth)
+            coeff = self._q(T.fwd_transform_np(resi, bit_depth), qy, True,
+                            ct.CTX_SETS["QtCbfLuma"](0))
             cu = CuData(x, y, w, h, luma_mode=mode)
             if np.any(coeff):
                 cu.coeff_y = coeff
@@ -430,8 +441,10 @@ class _CtuSearcher:
             src_c = self.src[comp][cy2:cy2 + chh, cx:cx + cw]
             pred_c = predict_cu_component(ps, cu, comp, bit_depth)
             qc = self.qp.chroma_qp(comp)
-            coeff = T.quant_np(T.fwd_transform_np(src_c - pred_c, bit_depth),
-                               qc, bit_depth)
+            cbf_ctx = ct.CTX_SETS["QtCbfCb"](0) if comp == 1 else \
+                ct.CTX_SETS["QtCbfCr"](1 if ccoeffs[1] is not None else 0)
+            coeff = self._q(T.fwd_transform_np(src_c - pred_c, bit_depth),
+                            qc, False, cbf_ctx)
             ccoeffs[comp] = coeff if np.any(coeff) else None
         cu.coeff_cb = ccoeffs[1]
         cu.coeff_cr = ccoeffs[2]
@@ -597,15 +610,19 @@ class _CtuSearcher:
                 best_satd = (c, mode, pred)
         mode = best_satd[1]
         cu = CuData(x, y, w, h, is_inter=False, luma_mode=mode)
-        coeff = T.quant_np(T.fwd_transform_np(src_y - best_satd[2], bit_depth),
-                           qy, bit_depth, is_intra_slice=False)
+        coeff = self._q(T.fwd_transform_np(src_y - best_satd[2], bit_depth),
+                        qy, True, ct.CTX_SETS["QtCbfLuma"](0),
+                        intra_slice=False)
         cu.coeff_y = coeff if _np.any(coeff) else None
         pred_cb = predict_cu_component(ps, cu, 1, bit_depth)
         pred_cr = predict_cu_component(ps, cu, 2, bit_depth)
-        ccb = T.quant_np(T.fwd_transform_np(src_cb - pred_cb, bit_depth),
-                         self.qp.chroma_qp(1), bit_depth, is_intra_slice=False)
-        ccr = T.quant_np(T.fwd_transform_np(src_cr - pred_cr, bit_depth),
-                         self.qp.chroma_qp(2), bit_depth, is_intra_slice=False)
+        ccb = self._q(T.fwd_transform_np(src_cb - pred_cb, bit_depth),
+                      self.qp.chroma_qp(1), False,
+                      ct.CTX_SETS["QtCbfCb"](0), intra_slice=False)
+        ccr = self._q(T.fwd_transform_np(src_cr - pred_cr, bit_depth),
+                      self.qp.chroma_qp(2), False,
+                      ct.CTX_SETS["QtCbfCr"](1 if _np.any(ccb) else 0),
+                      intra_slice=False)
         cu.coeff_cb = ccb if _np.any(ccb) else None
         cu.coeff_cr = ccr if _np.any(ccr) else None
         trials.append(cu)
@@ -636,11 +653,15 @@ class _CtuSearcher:
         import numpy as _np
         bit_depth = self.cfg.bit_depth
         out = []
-        for src, pred, q in ((src_y, py, self.qp.luma_qp()),
-                             (src_cb, pcb, self.qp.chroma_qp(1)),
-                             (src_cr, pcr, self.qp.chroma_qp(2))):
-            c = T.quant_np(T.fwd_transform_np(src - pred, bit_depth), q,
-                           bit_depth, is_intra_slice=False)
+        cbfs = (ct.CTX_SETS["QtRootCbf"](0), ct.CTX_SETS["QtCbfCb"](0), None)
+        for i, (src, pred, q) in enumerate(
+                ((src_y, py, self.qp.luma_qp()),
+                 (src_cb, pcb, self.qp.chroma_qp(1)),
+                 (src_cr, pcr, self.qp.chroma_qp(2)))):
+            cbf_ctx = cbfs[i] if i < 2 else \
+                ct.CTX_SETS["QtCbfCr"](1 if out[1] is not None else 0)
+            c = self._q(T.fwd_transform_np(src - pred, bit_depth), q, i == 0,
+                        cbf_ctx, intra_slice=False)
             out.append(c if _np.any(c) else None)
         return out
 
