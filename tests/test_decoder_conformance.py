@@ -44,6 +44,22 @@ GOLDEN_HASHES = {
         "d289b8e0fee2f2b97b78d2fe15f6d00e"],
     # SAO + deblocking all-intra (MTT 1, QP32)
     "golden_ai_sao_416x240_qp32_f1.266": ["35ff30ebb9b66d887240a4376cf172ff"],
+    # CTU 64 all-intra: 64x64 TBs with the 64-point zero-out
+    "golden_ai_ctu64_416x240_qp32_f1.266": [
+        "7b4fce5c3458eeabf17ec64f7244ca90"],
+    # CTU 64 random access GOP16 with inter-slice MTT (separate SPS
+    # partition constraint set), deblocking with motion/cbf boundary
+    # strengths, 64-wide/-tall rectangular TBs
+    "golden_ra_ctu64_mtt_db_416x240_qp32_f9.266": [
+        "253a292d29057d836b98f2fbaeda6ae1",
+        "9478a070abb4a2f4c367dc4aeb75e1c7",
+        "fafcb53f223c01fea5077c8cc3d74d2f",
+        "672471c9b900f5549e6e78185c17face",
+        "99531752ac89fc4e82879d27ad373e62",
+        "48450bf4babab40c3d30425c5f9b1f79",
+        "be592719d5192cdba5ee48049342e90c",
+        "c9a18ba22d30f7d0de1adae2ed8d9a13",
+        "ce3a39d860c19ae50a51436c96b1d066"],
     # MTT (BT depth 1) all-intra with boundary implicit splits, QP27
     "golden_ai_mtt1_416x240_qp27_f1.266": ["d5e1fb4388b3a4f1fc85dfe4f1bec7b7"],
     # random access GOP16 (IDR mid-stream, RADL leading pictures, STSA,

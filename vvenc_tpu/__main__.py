@@ -31,7 +31,10 @@ def parse_args(argv):
                    choices=[x.name.lower() for x in Preset])
     p.add_argument("--input-bitdepth", type=int, default=8, choices=[8, 10])
     p.add_argument("--intra-period", type=int, default=1,
-                   help="1 = all-intra (round-1 build)")
+                   help="1 = all-intra; 0 = single IDR then inter")
+    p.add_argument("--gop-size", type=int, default=None,
+                   help="hierarchical-B GOP size (power of two; "
+                        "1 = low-delay IPPP; default: 16 when inter)")
     p.add_argument("--recon", default=None, help="write reconstruction YUV")
     p.add_argument("--verify", action="store_true",
                    help="decode the produced stream and verify recon match")
@@ -42,9 +45,12 @@ def main(argv=None):
     args = parse_args(argv if argv is not None else sys.argv[1:])
     w, h = (int(t) for t in args.size.lower().split("x"))
 
+    all_intra = args.intra_period == 1
+    gop_size = args.gop_size if args.gop_size is not None else \
+        (1 if all_intra else 16)
     cfg = VvencTpuConfig(width=w, height=h, qp=args.qp,
                          input_bit_depth=args.input_bitdepth,
-                         intra_period=args.intra_period, gop_size=1)
+                         intra_period=args.intra_period, gop_size=gop_size)
     init_preset(cfg, Preset[args.preset.upper()])
     check_config(cfg)
 
@@ -53,44 +59,44 @@ def main(argv=None):
         min_qt=cfg.min_qt_size, input_bit_depth=cfg.input_bit_depth,
         num_full_rd_modes=cfg.num_full_rd_modes,
         max_mtt_depth=cfg.max_mtt_depth_i, deblocking=bool(cfg.deblocking),
-        intra_period=cfg.intra_period))
+        intra_period=cfg.intra_period, gop_size=cfg.gop_size))
 
     stats = SequenceStats(args.framerate)
-    stream = bytearray()
-    recs = []
-    t0 = time.time()
     shift = 10 - cfg.input_bit_depth
-    for fi, (y, u, v) in enumerate(read_yuv(args.input, w, h,
-                                            cfg.input_bit_depth,
-                                            args.frames)):
-        au = enc.encode_frame((y, u, v))
-        stream += au
-        rec = enc.last_rec.rec
+    frames = list(read_yuv(args.input, w, h, cfg.input_bit_depth, args.frames))
+    t0 = time.time()
+    stream = enc.encode_sequence(frames)
+    elapsed = time.time() - t0
+    for poc in sorted(enc.recs_by_poc):
+        rec = enc.recs_by_poc[poc]
+        y, u, v = frames[poc]
         p = (psnr(rec[0], y.astype("i4") << shift, 10),
              psnr(rec[1], u.astype("i4") << shift, 10),
              psnr(rec[2], v.astype("i4") << shift, 10))
-        stats.add_frame(fi, len(au) * 8, p)
-        print(f"POC {fi:5d} ( I-SLICE, QP {enc.slice_qp} ) {len(au)*8:8d} bits "
+        bits = enc.bits_by_poc.get(poc, 0)
+        st = enc.slice_type_by_poc.get(poc, 2)
+        stats.add_frame(poc, bits, p)
+        print(f"POC {poc:5d} ( {'BPI'[st]}-SLICE, QP "
+              f"{enc.qp_by_poc.get(poc, enc.slice_qp)} ) {bits:8d} bits "
               f"[Y {p[0]:.4f} dB  U {p[1]:.4f} dB  V {p[2]:.4f} dB]")
-        if args.recon:
-            recs.append((rec[0], rec[1], rec[2]))
 
     with open(args.output, "wb") as f:
-        f.write(bytes(stream))
+        f.write(stream)
     print("summary:", stats.summary(),
-          f"| {len(stats.frames)/(time.time()-t0):.3f} fps")
+          f"| {len(stats.frames)/elapsed:.3f} fps")
 
     if args.recon:
         from .utils.yuv_io import write_yuv
+        recs = [tuple(enc.recs_by_poc[poc][c] for c in range(3))
+                for poc in sorted(enc.recs_by_poc)]
         write_yuv(args.recon, recs, 10)
     if args.verify:
-        frames = decode_stream(bytes(stream))
+        frames_dec = sorted(decode_stream(stream), key=lambda f: f.poc)
         import numpy as np
-        ok = all(np.array_equal(fr.planes[c], rc[c])
-                 for fr, rc in zip(frames, recs or
-                                   [(enc.last_rec.rec[0], enc.last_rec.rec[1],
-                                     enc.last_rec.rec[2])])
-                 for c in range(3))
+        by_poc = sorted(enc.recs_by_poc)
+        ok = (len(frames_dec) == len(by_poc)) and all(
+            np.array_equal(fr.planes[c], enc.recs_by_poc[poc][c])
+            for fr, poc in zip(frames_dec, by_poc) for c in range(3))
         print("verify decode:", "OK" if ok else "MISMATCH")
         if not ok:
             return 1

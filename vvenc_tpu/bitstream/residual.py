@@ -72,12 +72,19 @@ def _diag_scan(w: int, h: int):
 
 @lru_cache(maxsize=None)
 def scan_info(log2w: int, log2h: int):
-    """Grouped 4x4 diagonal scan.  Returns (scan_x, scan_y, scan_blkpos,
-    cg_scan_pos, log2_cg_w, log2_cg_h) as numpy arrays / ints."""
+    """Grouped 4x4 diagonal scan over the coefficient-coding region.
+
+    For 64-point dimensions, only the top-left min(32,w) x min(32,h)
+    zero-out region is scanned (vvenc Rom.cpp:1239: widthInGroups clamped
+    to JVET_C0024_ZERO_OUT_TH); positions use the full-block raster
+    stride.  Returns (scan_x, scan_y, scan_blkpos, cg_scan_pos, log2_cg_w,
+    log2_cg_h) as numpy arrays / ints; len(scan_x) == min(32,w)*min(32,h).
+    """
     w, h = 1 << log2w, 1 << log2h
+    zw, zh = min(32, w), min(32, h)
     lcw, lch = _LOG2_SBB[(log2w, log2h)]
     cgw, cgh = 1 << lcw, 1 << lch
-    cg_scan = _diag_scan(w >> lcw, h >> lch)
+    cg_scan = _diag_scan(zw >> lcw, zh >> lch)
     in_cg = _diag_scan(cgw, cgh)
     xs, ys = [], []
     for cgx, cgy in cg_scan:
@@ -87,7 +94,7 @@ def scan_info(log2w: int, log2h: int):
     scan_x = np.array(xs, dtype=np.int32)
     scan_y = np.array(ys, dtype=np.int32)
     blkpos = scan_y * w + scan_x
-    cg_pos = np.array([cy * (w >> lcw) + cx for cx, cy in cg_scan],
+    cg_pos = np.array([cy * (zw >> lcw) + cx for cx, cy in cg_scan],
                       dtype=np.int32)
     return scan_x, scan_y, blkpos, cg_pos, lcw, lch
 
@@ -107,8 +114,9 @@ class _Cctx:
         (self.scan_x, self.scan_y, self.blkpos, self.cg_pos,
          self.lcw, self.lch) = scan_info(self.log2w, self.log2h)
         self.log2_cg = self.lcw + self.lch
-        self.w_in_groups = max(1, w >> self.lcw)
-        self.h_in_groups = max(1, h >> self.lch)
+        self.n_coded = len(self.scan_x)  # min(32,w)*min(32,h) (zero-out)
+        self.w_in_groups = max(1, min(32, w) >> self.lcw)
+        self.h_in_groups = max(1, min(32, h) >> self.lch)
         self.tmpl_diag = -1
         self.tmpl_sum1 = -1
         # context sets
@@ -203,7 +211,7 @@ def encode_residual(enc, coeff: np.ndarray, is_luma: bool,
     h, w = coeff.shape
     cctx = _Cctx(w, h, is_luma)
     flat = coeff.reshape(-1)
-    n = w * h
+    n = cctx.n_coded
     # last significant scan position
     nz_scan = np.nonzero(flat[cctx.blkpos] != 0)[0]
     assert len(nz_scan) > 0, "residual coding called for empty TU"
@@ -333,7 +341,7 @@ def decode_residual(dec, w: int, h: int, is_luma: bool,
     """Decode one TU's coefficients -> int32 array [h, w]."""
     assert not dep_quant and not sign_hiding
     cctx = _Cctx(w, h, is_luma)
-    n = w * h
+    n = w * h  # full-block buffers; scans/budget use cctx.n_coded
     # last position
     gx = 0
     while gx < cctx.max_last_x and dec.decode_bin(_last_ctx_id(cctx, gx, True)):
@@ -363,7 +371,7 @@ def decode_residual(dec, w: int, h: int, is_luma: bool,
     signs = {}
 
     state = 0
-    rem_reg_bins = (n * CTX_BIN_SAMPLE_RATIO) >> 4
+    rem_reg_bins = (cctx.n_coded * CTX_BIN_SAMPLE_RATIO) >> 4
     sig_groups = {}
     last_cg = scan_pos_last >> cctx.log2_cg
     for cg in range(last_cg, -1, -1):

@@ -144,16 +144,20 @@ MAX_TB = 64  # MAX_TB_SIZEY constraint used by BT/TT allowance
 
 
 def implicit_split(ps: PictureState, x: int, y: int, w: int, h: int,
-                   part: PartInfo, sps) -> int:
-    """Boundary-forced split (vvenc Partitioner::getImplicitSplit:612)."""
+                   part: PartInfo, sps, tree_idx: int = 0) -> int:
+    """Boundary-forced split (vvenc Partitioner::getImplicitSplit:612).
+
+    tree_idx selects the slice-type partition constraints: 0 = intra
+    slice (luma), 1 = inter slice (SPS 7.4.3.4 *_intra_slice_luma vs
+    *_inter_slice syntax)."""
     bl_in = (x < ps.w) and (y + h <= ps.h)      # bottom-left inside
     tr_in = (x + w <= ps.w) and (y < ps.h)      # top-right inside
     if bl_in and tr_in:
         return NO_SPLIT
-    max_btd = sps.max_mtt_depth[0] + part.impl_bt_depth
-    bt_ok = (w <= sps.max_bt_size[0] and h <= sps.max_bt_size[0]
+    max_btd = sps.max_mtt_depth[tree_idx] + part.impl_bt_depth
+    bt_ok = (w <= sps.max_bt_size[tree_idx] and h <= sps.max_bt_size[tree_idx]
              and part.mtt_depth < max_btd)
-    qt_ok = w > sps.min_qt_size[0] and part.bt_depth == 0
+    qt_ok = w > sps.min_qt_size[tree_idx] and part.bt_depth == 0
     if not bl_in and not tr_in and qt_ok:
         return QT_SPLIT
     if not bl_in and bt_ok and w <= MAX_TB:
@@ -164,23 +168,23 @@ def implicit_split(ps: PictureState, x: int, y: int, w: int, h: int,
 
 
 def split_options_full(ps: PictureState, x: int, y: int, w: int, h: int,
-                       part: PartInfo, sps):
+                       part: PartInfo, sps, tree_idx: int = 0):
     """All six split allowances (vvenc Partitioner::canSplit:445).
 
     Returns [can_no, can_qt, can_bh, can_bv, can_th, can_tv]."""
     min_t = 1 << sps.log2_min_cb_size
-    max_bt = sps.max_bt_size[0]
-    max_tt = sps.max_tt_size[0]
-    max_btd = sps.max_mtt_depth[0] + part.impl_bt_depth
+    max_bt = sps.max_bt_size[tree_idx]
+    max_tt = sps.max_tt_size[tree_idx]
+    max_btd = sps.max_mtt_depth[tree_idx] + part.impl_bt_depth
     can_no = can_qt = can_bh = can_bv = can_th = can_tv = True
     can_btt = part.mtt_depth < max_btd
 
     if part.last_split not in (-1, QT_SPLIT):
         can_qt = False
-    if w <= sps.min_qt_size[0]:
+    if w <= sps.min_qt_size[tree_idx]:
         can_qt = False
 
-    impl = implicit_split(ps, x, y, w, h, part, sps)
+    impl = implicit_split(ps, x, y, w, h, part, sps, tree_idx)
     if impl != NO_SPLIT:
         can_no = can_th = can_tv = False
         can_bh = impl == BT_H
@@ -270,9 +274,10 @@ def split_ctx_ids(ps: PictureState, x: int, y: int, w: int, h: int,
     return ctx_split, ctx_qt, ctx_hv, ctx_h12, ctx_v12
 
 
-def write_split_mode(enc, ps, x, y, w, h, part, sps, split: int) -> None:
+def write_split_mode(enc, ps, x, y, w, h, part, sps, split: int,
+                     tree_idx: int = 0) -> None:
     """split_cu_mode (vvenc CABACWriter::split_cu_mode:563)."""
-    can_spl = split_options_full(ps, x, y, w, h, part, sps)
+    can_spl = split_options_full(ps, x, y, w, h, part, sps, tree_idx)
     ctx_split, ctx_qt, ctx_hv, ctx_h12, ctx_v12 = \
         split_ctx_ids(ps, x, y, w, h, part, can_spl)
     can_no = can_spl[0]
@@ -301,8 +306,8 @@ def write_split_mode(enc, ps, x, y, w, h, part, sps, split: int) -> None:
                        ct.CTX_SETS["Split12Flag"](ctx_v12 if is_ver else ctx_h12))
 
 
-def read_split_mode(dec, ps, x, y, w, h, part, sps) -> int:
-    can_spl = split_options_full(ps, x, y, w, h, part, sps)
+def read_split_mode(dec, ps, x, y, w, h, part, sps, tree_idx: int = 0) -> int:
+    can_spl = split_options_full(ps, x, y, w, h, part, sps, tree_idx)
     ctx_split, ctx_qt, ctx_hv, ctx_h12, ctx_v12 = \
         split_ctx_ids(ps, x, y, w, h, part, can_spl)
     can_no = can_spl[0]
@@ -463,6 +468,7 @@ class SyntaxCoder:
         self.qp = qp_state
         self.ctu_size = sps.ctu_size
         self.min_qt = sps.min_qt_size[0]
+        self.tree_idx = 0 if sh.slice_type == 2 else 1  # SPS constraint set
         self.bit_depth = sps.bit_depth
         # inter state (None for I slices): ref_pics[list][ref] = {comp: plane}
         self.ref_pics = ref_pics or [[], []]
@@ -490,7 +496,7 @@ class SyntaxCoder:
     def _enc_tree(self, enc, ps, node: TreeNode) -> None:
         x, y, w, h = node.x, node.y, node.w, node.h
         write_split_mode(enc, ps, x, y, w, h, node.part, self.sps,
-                         node.split_mode)
+                         node.split_mode, self.tree_idx)
         if node.split_mode == NO_SPLIT:
             self._enc_cu(enc, ps, node)
             return
@@ -746,10 +752,12 @@ class SyntaxCoder:
 
     def _dec_tree(self, dec, ps, x, y, w, h, part: PartInfo) -> TreeNode:
         node = TreeNode(x, y, max(w, h), part.qt_depth, w=w, h=h, part=part)
-        node.split_mode = read_split_mode(dec, ps, x, y, w, h, part, self.sps)
+        node.split_mode = read_split_mode(dec, ps, x, y, w, h, part,
+                                          self.sps, self.tree_idx)
         node.split = node.split_mode != NO_SPLIT
         if node.split:
-            impl = implicit_split(ps, x, y, w, h, part, self.sps)
+            impl = implicit_split(ps, x, y, w, h, part, self.sps,
+                                  self.tree_idx)
             is_impl = node.split_mode == impl
             for idx, (cx, cy, cw, chh) in enumerate(
                     split_geometry(node.split_mode, x, y, w, h)):

@@ -179,9 +179,10 @@ def _luma_short(ea, lines, tc, strong, thr_cut, filt_p, filt_q, maxval):
 
 
 def _filter_luma_edge_seg(plane, x, y, vertical, qp, max_p, max_q, bit_depth,
-                          tc_off_div2=0, beta_off_div2=0, at_ctu_hor=False):
+                          tc_off_div2=0, beta_off_div2=0, at_ctu_hor=False,
+                          bs=2):
     """Filter one 4-line luma edge segment at (x, y) (vvenc
-    xEdgeFilterLuma:1373, BS=2 intra case)."""
+    xEdgeFilterLuma:1373)."""
     ea = _EdgeAccess(plane, x, y, vertical)
     g = ea.get
     maxval = (1 << bit_depth) - 1
@@ -190,7 +191,7 @@ def _filter_luma_edge_seg(plane, x, y, vertical, qp, max_p, max_q, bit_depth,
         max_p = min(max_p, 3)
     q_large = max_q > 3
     idx_tc = _clip3(0, MAX_QP + DEFAULT_INTRA_TC_OFFSET,
-                    qp + DEFAULT_INTRA_TC_OFFSET * (2 - 1) + 2 * tc_off_div2)
+                    qp + DEFAULT_INTRA_TC_OFFSET * (bs - 1) + 2 * tc_off_div2)
     idx_b = _clip3(0, MAX_QP, qp + 2 * beta_off_div2)
     tc = (TC_TABLE[idx_tc] + (1 << (9 - bit_depth))) >> (10 - bit_depth) \
         if bit_depth < 10 else TC_TABLE[idx_tc] << (bit_depth - 10)
@@ -228,14 +229,14 @@ def _filter_luma_edge_seg(plane, x, y, vertical, qp, max_p, max_q, bit_depth,
 
 def _filter_chroma_edge_seg(plane, x, y, vertical, qp, large, bit_depth,
                             lines=2, at_ctu_hor=False,
-                            tc_off_div2=0, beta_off_div2=0):
-    """Filter one chroma edge segment (vvenc xEdgeFilterChroma:1523,
-    BS=2 intra case), `lines` chroma lines."""
+                            tc_off_div2=0, beta_off_div2=0, bs=2):
+    """Filter one chroma edge segment (vvenc xEdgeFilterChroma:1523),
+    `lines` chroma lines."""
     ea = _EdgeAccess(plane, x, y, vertical)
     g = ea.get
     maxval = (1 << bit_depth) - 1
     idx_tc = _clip3(0, MAX_QP + DEFAULT_INTRA_TC_OFFSET,
-                    qp + DEFAULT_INTRA_TC_OFFSET * (2 - 1) + 2 * tc_off_div2)
+                    qp + DEFAULT_INTRA_TC_OFFSET * (bs - 1) + 2 * tc_off_div2)
     tc = (TC_TABLE[idx_tc] + (1 << (9 - bit_depth))) >> (10 - bit_depth) \
         if bit_depth < 10 else TC_TABLE[idx_tc] << (bit_depth - 10)
     if tc == 0:
@@ -295,23 +296,87 @@ def _chroma_pel(ea, i, tc, sw, maxval, large, at_ctu_hor):
         ea.set(i, 0, _clip3(0, maxval, m4 - delta))
 
 
+_MV_TH = 8  # half-pel in internal 1/16 units (vvenc nThreshold)
+
+
+class _BsMaps:
+    """Per-4x4-unit picture maps for boundary-strength derivation."""
+
+    def __init__(self, cu_list, w, h, ref_pocs):
+        uw, uh = w // 4, h // 4
+        self.cu_w = np.zeros((uh, uw), np.int32)
+        self.cu_h = np.zeros((uh, uw), np.int32)
+        self.intra = np.ones((uh, uw), bool)
+        self.cbf = np.zeros((3, uh, uw), bool)
+        self.mv = np.zeros((2, uh, uw, 2), np.int32)
+        self.refpoc = np.full((2, uh, uw), -(10 ** 9), np.int64)
+        rp = ref_pocs or [[], []]
+        for cu in cu_list:
+            ys = slice(cu.y >> 2, (cu.y + cu.h) >> 2)
+            xs = slice(cu.x >> 2, (cu.x + cu.w) >> 2)
+            self.cu_w[ys, xs] = cu.w
+            self.cu_h[ys, xs] = cu.h
+            is_inter = getattr(cu, "is_inter", False)
+            self.intra[ys, xs] = not is_inter
+            for ci, a in ((0, "coeff_y"), (1, "coeff_cb"), (2, "coeff_cr")):
+                self.cbf[ci, ys, xs] = getattr(cu, a, None) is not None
+            if is_inter:
+                for li in range(2):
+                    ri = cu.ref_idx[li]
+                    if ri >= 0 and li < len(rp) and ri < len(rp[li]):
+                        self.refpoc[li, ys, xs] = rp[li][ri]
+                        self.mv[li, ys, xs, 0] = cu.mv[li][0]
+                        self.mv[li, ys, xs, 1] = cu.mv[li][1]
+
+    def bs(self, py, px, qy, qx, is_b):
+        """(bs_y, bs_cb, bs_cr) for the edge between units P and Q
+        (vvenc xGetBoundaryStrengthSingle, LoopFilter.cpp:1022)."""
+        if self.intra[py, px] or self.intra[qy, qx]:
+            return 2, 2, 2
+        bs_cb = 1 if (self.cbf[1, py, px] or self.cbf[1, qy, qx]) else 0
+        bs_cr = 1 if (self.cbf[2, py, px] or self.cbf[2, qy, qx]) else 0
+        if self.cbf[0, py, px] or self.cbf[0, qy, qx]:
+            return 1, bs_cb, bs_cr
+        rp0, rp1 = self.refpoc[0, py, px], self.refpoc[1, py, px]
+        rq0, rq1 = self.refpoc[0, qy, qx], self.refpoc[1, qy, qx]
+        mp0, mp1 = self.mv[0, py, px], self.mv[1, py, px]
+        mq0, mq1 = self.mv[0, qy, qx], self.mv[1, qy, qx]
+
+        def far(a, b):
+            return abs(int(a[0]) - int(b[0])) >= _MV_TH or \
+                abs(int(a[1]) - int(b[1])) >= _MV_TH
+        if is_b:
+            if (rp0 == rq0 and rp1 == rq1) or (rp0 == rq1 and rp1 == rq0):
+                if rp0 != rp1:  # different L0 & L1 pictures
+                    if rp0 == rq0:
+                        m_bs = 1 if (far(mq0, mp0) or far(mq1, mp1)) else 0
+                    else:
+                        m_bs = 1 if (far(mq1, mp0) or far(mq0, mp1)) else 0
+                else:           # same picture in both lists
+                    m_bs = 1 if ((far(mq0, mp0) or far(mq1, mp1)) and
+                                 (far(mq1, mp0) or far(mq0, mp1))) else 0
+            else:
+                m_bs = 1
+        else:
+            m_bs = 1 if (rp0 != rq0 or far(mq0, mp0)) else 0
+        return m_bs, bs_cb, bs_cr
+
+
 def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
-                    ctu_size: int, bit_depth: int = 10) -> None:
-    """In-place deblocking of an all-intra picture.
+                    ctu_size: int, bit_depth: int = 10,
+                    ref_pocs=None, is_b: bool = False) -> None:
+    """In-place deblocking of one picture.
 
     rec: {0: Y, 1: Cb, 2: Cr} planes (modified in place).
-    cu_list: iterable of objects with x, y, w, h (luma coords, TU == CU).
-    qp_*: constant per-component QPs (slice-level; chroma already mapped,
-    WITHOUT the bit-depth offset).
+    cu_list: iterable of CuData-likes (x, y, w, h luma coords, TU == CU;
+    inter CUs carry mv/ref_idx/coeff_*).  qp_*: constant per-component QPs
+    (slice-level; chroma already mapped, WITHOUT the bit-depth offset).
+    ref_pocs: [l0 pocs, l1 pocs] resolving ref_idx for the BS motion check;
+    is_b: slice is a B slice (selects the bi-directional BS rule).
     """
     h, w = rec[0].shape
-    # per-4x4-unit maps of CU geometry for size lookups
-    uw, uh = w // 4, h // 4
-    cu_w = np.zeros((uh, uw), np.int32)
-    cu_h = np.zeros((uh, uw), np.int32)
-    for cu in cu_list:
-        cu_w[cu.y >> 2:(cu.y + cu.h) >> 2, cu.x >> 2:(cu.x + cu.w) >> 2] = cu.w
-        cu_h[cu.y >> 2:(cu.y + cu.h) >> 2, cu.x >> 2:(cu.x + cu.w) >> 2] = cu.h
+    maps = _BsMaps(cu_list, w, h, ref_pocs)
+    cu_w, cu_h = maps.cu_w, maps.cu_h
 
     def luma_maxlen(size_p, size_q):
         if size_p <= 4 or size_q <= 4:
@@ -326,45 +391,69 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                     continue
                 x = cu.x
                 for yy in range(cu.y, cu.y + cu.h, 4):
+                    bs_y, _, _ = maps.bs(yy >> 2, (x - 1) >> 2,
+                                         yy >> 2, x >> 2, is_b)
+                    if not bs_y:
+                        continue
                     size_q = cu.w
                     size_p = int(cu_w[yy >> 2, (x - 1) >> 2])
                     mp, mq = luma_maxlen(size_p, size_q)
                     _filter_luma_edge_seg(rec[0], x, yy, True, qp_luma,
-                                          mp, mq, bit_depth)
+                                          mp, mq, bit_depth, bs=bs_y)
             else:
                 if cu.y == 0:
                     continue
                 y = cu.y
                 for xx in range(cu.x, cu.x + cu.w, 4):
+                    bs_y, _, _ = maps.bs((y - 1) >> 2, xx >> 2,
+                                         y >> 2, xx >> 2, is_b)
+                    if not bs_y:
+                        continue
                     size_q = cu.h
                     size_p = int(cu_h[(y - 1) >> 2, xx >> 2])
                     mp, mq = luma_maxlen(size_p, size_q)
                     _filter_luma_edge_seg(rec[0], xx, y, False, qp_luma,
                                           mp, mq, bit_depth,
-                                          at_ctu_hor=(y % ctu_size == 0))
-        # chroma edges for this direction
+                                          at_ctu_hor=(y % ctu_size == 0),
+                                          bs=bs_y)
+        # chroma edges for this direction (8-chroma-sample grid only:
+        # vvenc loopFilterCu DEBLOCK_SMALLEST_BLOCK gating)
         for cu in cu_list:
             cx, cy = cu.x >> 1, cu.y >> 1
             cw, ch = cu.w >> 1, cu.h >> 1
             if vertical:
-                if cx == 0:
+                if cx == 0 or (cx & 7):
                     continue
                 for yy in range(cy, cy + ch, 2):
+                    _, bs_cb, bs_cr = maps.bs((yy << 1) >> 2,
+                                              ((cx - 1) << 1) >> 2,
+                                              (yy << 1) >> 2, (cx << 1) >> 2,
+                                              is_b)
                     size_q = cw
                     size_p = int(cu_w[(yy << 1) >> 2, ((cx - 1) << 1) >> 2]) >> 1
                     large = size_p >= 8 and size_q >= 8
-                    for qp_c, comp in ((qp_cb, 1), (qp_cr, 2)):
-                        _filter_chroma_edge_seg(rec[comp], cx, yy, True, qp_c,
-                                                large, bit_depth)
+                    for qp_c, comp, bsc in ((qp_cb, 1, bs_cb),
+                                            (qp_cr, 2, bs_cr)):
+                        if bsc == 2 or (large and bsc == 1):
+                            _filter_chroma_edge_seg(rec[comp], cx, yy, True,
+                                                    qp_c, large, bit_depth,
+                                                    bs=bsc)
             else:
-                if cy == 0:
+                if cy == 0 or (cy & 7):
                     continue
                 at_ctu = ((cy << 1) % ctu_size) == 0
                 for xx in range(cx, cx + cw, 2):
+                    _, bs_cb, bs_cr = maps.bs(((cy - 1) << 1) >> 2,
+                                              (xx << 1) >> 2,
+                                              (cy << 1) >> 2, (xx << 1) >> 2,
+                                              is_b)
                     size_q = ch
                     size_p = int(cu_h[((cy - 1) << 1) >> 2, (xx << 1) >> 2]) >> 1
                     large = size_p >= 8 and size_q >= 8
-                    for qp_c, comp in ((qp_cb, 1), (qp_cr, 2)):
-                        _filter_chroma_edge_seg(rec[comp], xx, cy, False, qp_c,
-                                                large, bit_depth,
-                                                at_ctu_hor=at_ctu)
+                    for qp_c, comp, bsc in ((qp_cb, 1, bs_cb),
+                                            (qp_cr, 2, bs_cr)):
+                        if bsc == 2 or (large and bsc == 1):
+                            _filter_chroma_edge_seg(rec[comp], xx, cy, False,
+                                                    qp_c, large, bit_depth,
+                                                    at_ctu_hor=at_ctu,
+                                                    bs=bsc)

@@ -16,7 +16,7 @@ from ..bitstream import hls
 from ..codec.ctu_syntax import SyntaxCoder
 from ..codec.picture import PictureState
 from ..codec.qp import QpState
-from ..bitstream.params import SLICE_I
+from ..bitstream.params import SLICE_I, SLICE_B
 
 
 class DecodedFrame:
@@ -130,7 +130,8 @@ def _decode_slice(rbsp: bytes, nal_type, sps_map, pps_map,
         deblock_picture(ps.rec, cus, sh.slice_qp,
                         qp.chroma_qp(1) - qp.qp_bd_offset,
                         qp.chroma_qp(2) - qp.qp_bd_offset,
-                        sps.ctu_size, sps.bit_depth)
+                        sps.ctu_size, sps.bit_depth,
+                        ref_pocs=ref_pocs, is_b=(sh.slice_type == SLICE_B))
     if sao_on:
         from ..codec.sao import apply_sao_picture
         apply_sao_picture(ps.rec, sao_map, sps.ctu_size, sps.bit_depth,

@@ -73,13 +73,14 @@ def build_parameter_sets(cfg: EncoderConfig):
     sps.bit_depth = cfg.bit_depth
     sps.ctu_size_log2 = cfg.ctu_size.bit_length() - 1
     sps.min_qt_size = [cfg.min_qt, cfg.min_qt, cfg.min_qt]
-    sps.max_mtt_depth = [cfg.max_mtt_depth, 0, cfg.max_mtt_depth]
+    sps.max_mtt_depth = [cfg.max_mtt_depth, cfg.max_mtt_depth,
+                         cfg.max_mtt_depth]
     sps.max_bt_size = [cfg.max_bt_size, cfg.ctu_size, cfg.max_bt_size]
     sps.max_tt_size = [cfg.max_tt_size, cfg.ctu_size, cfg.max_tt_size]
     # keep min CB at 8 when MTT is on: chroma stays >= 4x4, so the
     # local-dual-tree machinery (spec modeTypeCondition) never triggers
     sps.log2_min_cb_size = 3 if cfg.max_mtt_depth else 2
-    sps.log2_max_tb_size = min(5, sps.ctu_size_log2)
+    sps.log2_max_tb_size = min(6, sps.ctu_size_log2)
     sps.ptl.level_idc = 35
     sps.max_dec_pic_buffering = [2]
     sps.rpl_lists = [[], []]
@@ -109,6 +110,10 @@ class IntraEncoder:
         self._headers = None
         self.frames_done = 0
         self.dpb = []
+        self.recs_by_poc = {}
+        self.bits_by_poc = {}
+        self.slice_type_by_poc = {}
+        self.qp_by_poc = {}
 
     # ------------------------------------------------------------------
     def headers(self) -> bytes:
@@ -255,10 +260,12 @@ class IntraEncoder:
                     _collect(c)
             for t in trees:
                 _collect(t)
-            deblock_picture(ps.rec, cus, self.slice_qp,
+            deblock_picture(ps.rec, cus, slice_qp,
                             qp_state.chroma_qp(1) - qp_state.qp_bd_offset,
                             qp_state.chroma_qp(2) - qp_state.qp_bd_offset,
-                            cfg.ctu_size, cfg.bit_depth)
+                            cfg.ctu_size, cfg.bit_depth,
+                            ref_pocs=ref_pocs,
+                            is_b=(slice_type == SLICE_B))
 
         if is_idr:
             nal_type = NalUnitType.IDR_N_LP if self.frames_done == 0 \
@@ -269,6 +276,9 @@ class IntraEncoder:
         out = (self.headers() + au) if self.frames_done == 0 else au
         self.frames_done += 1
         self.last_rec = ps
+        self.bits_by_poc[poc] = len(out) * 8
+        self.slice_type_by_poc[poc] = slice_type
+        self.qp_by_poc[poc] = slice_qp
         if is_idr:
             self.dpb = []
         self.dpb.append((poc, dict(ps.rec)))
@@ -332,7 +342,8 @@ class _CtuSearcher:
     def _rd_node(self, x: int, y: int, w: int, h: int, part: PartInfo):
         ps = self.ps
         sps = self.enc.sps
-        can_spl = split_options_full(ps, x, y, w, h, part, sps)
+        can_spl = split_options_full(ps, x, y, w, h, part, sps,
+                                     self.coder.tree_idx)
 
         best_node = None
         best_cost = float("inf")
@@ -346,14 +357,16 @@ class _CtuSearcher:
                             part=part, split_mode=split,
                             split=split != NO_SPLIT)
             b0 = self.est.frac_bits
-            write_split_mode(self.est, ps, x, y, w, h, part, sps, split)
+            write_split_mode(self.est, ps, x, y, w, h, part, sps, split,
+                             self.coder.tree_idx)
             cost = self.lmbda * (self.est.frac_bits - b0) / (1 << 15)
             if split == NO_SPLIT:
                 cu, cu_cost = self._rd_cu(x, y, w, h, part)
                 node.cu = cu
                 cost += cu_cost
             else:
-                impl = implicit_split(ps, x, y, w, h, part, sps)
+                impl = implicit_split(ps, x, y, w, h, part, sps,
+                                      self.coder.tree_idx)
                 is_impl = split == impl
                 aborted = False
                 for idx, (cx, cy, cw, chh) in enumerate(
@@ -671,8 +684,11 @@ class _CtuSearcher:
         import numpy as _np
         R_ = self.cfg.search_range
         ph, pw = ref_y.shape
-        cx0 = x + (amvp[0][0] >> 4)
-        cy0 = y + (amvp[0][1] >> 4)
+        # clamp the search center into the valid window so at least one
+        # candidate survives the bounds check (a far-out-of-picture
+        # predictor must not empty the search)
+        cx0 = min(max(x + (amvp[0][0] >> 4), -w), pw)
+        cy0 = min(max(y + (amvp[0][1] >> 4), -h), ph)
         best = None
         for dy in range(-R_, R_ + 1):
             for dx in range(-R_, R_ + 1):

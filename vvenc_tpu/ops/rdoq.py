@@ -113,8 +113,8 @@ def rdoq_np(coeff: np.ndarray, qp: int, bit_depth: int, is_luma: bool,
     Returns signed quantized levels [h, w] int32.
     """
     h, w = coeff.shape
-    n = w * h
     cctx = _Cctx(w, h, is_luma)
+    n = cctx.n_coded  # zero-out region only (64-pt high halves never coded)
     sqrt2 = needs_sqrt2(w, h)
     tshift = transform_shift(w, h, bit_depth)
     qbits = 14 + qp // 6 + tshift + (-1 if sqrt2 else 0)

@@ -97,7 +97,14 @@ def fwd_transform_np(resi: np.ndarray, bit_depth: int = 10) -> np.ndarray:
     tmp = (resi.astype(np.int64) @ tw.T + (1 << (shift1 - 1))) >> shift1
     tmp = np.clip(tmp, COEFF_MIN, COEFF_MAX)
     out = (th @ tmp + (1 << (shift2 - 1))) >> shift2
-    return np.clip(out, COEFF_MIN, COEFF_MAX).astype(np.int32)
+    out = np.clip(out, COEFF_MIN, COEFF_MAX).astype(np.int32)
+    # 64-point zero-out: high-frequency halves are never coded (vvenc
+    # TrafoCore reduced-line forward DCT2; JVET_C0024_ZERO_OUT_TH)
+    if w > 32:
+        out[:, 32:] = 0
+    if h > 32:
+        out[32:, :] = 0
+    return out
 
 
 def inv_transform_np(coeff: np.ndarray, bit_depth: int = 10) -> np.ndarray:
@@ -198,7 +205,11 @@ def fwd_transform_batch(resi: jax.Array, w: int, h: int,
     out = jnp.einsum("ij,bjk->bik", th, tmp,
                      preferred_element_type=jnp.int32)
     out = (out + (1 << (shift2 - 1))) >> shift2
-    return jnp.clip(out, COEFF_MIN, COEFF_MAX)
+    out = jnp.clip(out, COEFF_MIN, COEFF_MAX)
+    if w > 32 or h > 32:  # 64-point zero-out (static shapes: fused mask)
+        yy, xx = jnp.mgrid[0:h, 0:w]
+        out = jnp.where((xx < 32) & (yy < 32), out, 0)
+    return out
 
 
 @partial(jax.jit, static_argnames=("w", "h", "bit_depth"))
