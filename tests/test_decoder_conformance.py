@@ -62,6 +62,35 @@ GOLDEN_HASHES = {
         "ce3a39d860c19ae50a51436c96b1d066"],
     # MTT (BT depth 1) all-intra with boundary implicit splits, QP27
     "golden_ai_mtt1_416x240_qp27_f1.266": ["d5e1fb4388b3a4f1fc85dfe4f1bec7b7"],
+    # SCIPU / mode constraint (mode_cons_flag, MODE_TYPE_INTER regions),
+    # bipred-restricted 4x8/8x4 CUs (no bi bin, merge bi->uni-L0), QP22
+    # (hashes verified bit-exact vs the reference --ReconFile output)
+    "golden_ra_scipu_416x240_qp22_f9.266": [
+        "c744972683dc335e272392a458f879e8",
+        "79ff3772b81a5f8dedc599224c3db34c",
+        "73895cee745c066424bc6bd27031f91f",
+        "f2efc9192189f23dfded6a12ea1675a4",
+        "28ef29ed5b98afc4cb43632b19864ef1",
+        "fbfe3152115127b60aa4306b6c8e990e",
+        "70db540b944ab918cdf100a703d21e3d",
+        "917dc523d612a26002f5aa371eed981d",
+        "834dfa4e31fbb992dadd094f2b797ce8"],
+    # MTT depth 2 random access: 8x2/2x8 chroma coefficient groups, deeper
+    # SCIPU nesting, QP24
+    "golden_ra_mtt2_416x240_qp24_f9.266": [
+        "85f32cddbcb800b050c1ae904859d9a7",
+        "c484cc298bc809182accbfb27cc869f9",
+        "f4763c1c3b60885b521aad365696ddcf",
+        "2ea8e46a58c2dd2d95ebbd99221f920c",
+        "0a50f84dbe9794fd7f283e83a3b02e14",
+        "eaf65b2aeca40aaa3d4e0c2d5d17e183",
+        "1c43c065ac9f9b493249239fd9eec15f",
+        "b3372c7f1a937218751d5339471fec8d",
+        "c7d01b3243b83a8e8c7d8fa37173d8e1"],
+    # low-QP all-intra (dense MTT splits), QP20
+    "golden_ai_lowqp_416x240_qp20_f2.266": [
+        "1b2ebaa3e7041ea9f11b2d6f6273fd72",
+        "ec2ef2f0a775eb665e433f0419748b28"],
     # random access GOP16 (IDR mid-stream, RADL leading pictures, STSA,
     # picture reordering, temporal layers) — hashes in DISPLAY order
     "golden_ra_gop16_416x240_qp32_f9.266": [

@@ -43,10 +43,12 @@ for _lw in range(7):
         elif _lh == 0:
             _LOG2_SBB[(_lw, _lh)] = (min(_lw, 4), 0)
         elif _lw == 1 or _lh == 1:
+            # H.266 7.4.12.11: 2-wide/2-tall blocks use 2x8 / 8x2 subblocks
+            # once the block has more than 8 coefficients, else 2x2
             if _lw == 1:
                 _LOG2_SBB[(_lw, _lh)] = (1, 1) if _lh in (1, 2) else (1, 3)
             else:
-                _LOG2_SBB[(_lw, _lh)] = (1, 1) if _lh == 1 else (3, 1)
+                _LOG2_SBB[(_lw, _lh)] = (1, 1) if _lw in (1, 2) else (3, 1)
         else:
             _LOG2_SBB[(_lw, _lh)] = (2, 2)
 

@@ -67,10 +67,36 @@ class CuData:
     coeff_y: Optional[np.ndarray] = None
     coeff_cb: Optional[np.ndarray] = None
     coeff_cr: Optional[np.ndarray] = None
+    luma_only: bool = False          # TREE_L CU of a local dual tree
+    chroma_only: bool = False        # TREE_C region chroma CU
 
 
 # split modes
 NO_SPLIT, QT_SPLIT, BT_H, BT_V, TT_H, TT_V = 0, 1, 2, 3, 4, 5
+
+# mode-constraint types (vvenc ModeType, CommonDef: MODE_TYPE_ALL/INTER/INTRA)
+MODE_ALL, MODE_INTER, MODE_INTRA = 0, 1, 2
+# tree types for the local dual tree (vvenc TreeType: TREE_D/L/C)
+TREE_D, TREE_L, TREE_C = 0, 1, 2
+# signalModeCons results (vvenc LDT_MODE_TYPE_*)
+LDT_INHERIT, LDT_INFER, LDT_SIGNAL = 0, 1, 2
+
+
+def signal_mode_cons(w: int, h: int, split: int, mode_type_parent: int,
+                     is_intra_slice: bool) -> int:
+    """Whether a split codes/infers a mode constraint (SCIPU, VVC 7.4.11.4
+    non_inter_flag; vvenc CS::signalModeCons, UnitTools.cpp:77).  4:2:0,
+    single-tree SPS assumed."""
+    if mode_type_parent != MODE_ALL:
+        return LDT_INHERIT
+    min_luma_area = (w * h) >> (2 if split in (QT_SPLIT, TT_H, TT_V) else 1)
+    min_chroma_block = min_luma_area >> 2
+    is_2xn_chroma = ((w >> 1) == 4 and split == BT_V) or \
+                    ((w >> 1) == 8 and split == TT_V)
+    if min_chroma_block >= 16 and not is_2xn_chroma:
+        return LDT_INHERIT
+    return LDT_INFER if (min_luma_area < 32 or is_intra_slice) \
+        else LDT_SIGNAL
 
 
 @dataclass
@@ -82,10 +108,13 @@ class PartInfo:
     impl_bt_depth: int = 0
     last_split: int = -1       # -1 = CTU level
     part_idx: int = 0
+    mode_type: int = MODE_ALL  # SCIPU constraint inherited from ancestors
+    tree_type: int = TREE_D    # TREE_L inside a chroma-not-split region
 
     def child(self, split: int, idx: int, implicit: bool = False) -> "PartInfo":
         p = PartInfo(self.qt_depth, self.mtt_depth, self.bt_depth,
-                     self.impl_bt_depth, split, idx)
+                     self.impl_bt_depth, split, idx,
+                     self.mode_type, self.tree_type)
         if split == QT_SPLIT:
             p.qt_depth += 1
             p.mtt_depth = 0
@@ -134,6 +163,8 @@ class TreeNode:
     part: PartInfo = field(default_factory=PartInfo)
     children: List["TreeNode"] = field(default_factory=list)
     cu: Optional[CuData] = None
+    mode_type_child: int = MODE_ALL  # constraint chosen/derived at this split
+    chroma_cu: Optional[CuData] = None  # TREE_C region chroma (SCIPU)
 
 
 # ---------------------------------------------------------------------------
@@ -225,6 +256,12 @@ def split_options_full(ps: PictureState, x: int, y: int, w: int, h: int,
         can_tv = False
     if w > MAX_TB or h > MAX_TB:
         can_tv = False
+    # inside a MODE_TYPE_INTER region no 4x4/4x8/8x4 luma may be created
+    # (vvenc UnitPartitioner.cpp:518,527)
+    if part.mode_type == MODE_INTER and w * h == 32:
+        can_bh = can_bv = False
+    if part.mode_type == MODE_INTER and w * h == 64:
+        can_th = can_tv = False
     return [can_no, can_qt, can_bh, can_bv, can_th, can_tv]
 
 
@@ -495,11 +532,30 @@ class SyntaxCoder:
 
     def _enc_tree(self, enc, ps, node: TreeNode) -> None:
         x, y, w, h = node.x, node.y, node.w, node.h
-        write_split_mode(enc, ps, x, y, w, h, node.part, self.sps,
+        part = node.part
+        write_split_mode(enc, ps, x, y, w, h, part, self.sps,
                          node.split_mode, self.tree_idx)
         if node.split_mode == NO_SPLIT:
             self._enc_cu(enc, ps, node)
             return
+        # SCIPU mode constraint (mirror of _dec_tree)
+        val = signal_mode_cons(w, h, node.split_mode, part.mode_type,
+                               self.is_intra_slice)
+        if val == LDT_SIGNAL:
+            child_mt = node.mode_type_child
+            assert child_mt in (MODE_INTER, MODE_INTRA)
+            ctx = self._pred_mode_ctx(ps, x, y)
+            enc.encode_bin(1 if child_mt == MODE_INTRA else 0,
+                           ct.CTX_SETS["ModeConsFlag"](ctx))
+        elif val == LDT_INFER:
+            child_mt = MODE_INTRA
+        else:
+            child_mt = part.mode_type
+        chroma_not_split = (part.mode_type == MODE_ALL
+                            and child_mt == MODE_INTRA)
+        assert not chroma_not_split or node.chroma_cu is not None, \
+            "SCIPU split without region chroma CU (searcher must either " \
+            "prune the split or build the local dual tree)"
         ci = 0
         for idx, (cx, cy, cw, chh) in enumerate(
                 split_geometry(node.split_mode, x, y, w, h)):
@@ -508,14 +564,36 @@ class SyntaxCoder:
             child = node.children[ci]
             ci += 1
             assert (child.x, child.y, child.w, child.h) == (cx, cy, cw, chh)
+            child.part.mode_type = child_mt
+            child.part.tree_type = TREE_L if chroma_not_split \
+                else part.tree_type
             self._enc_tree(enc, ps, child)
         assert ci == len(node.children)
+        if chroma_not_split:
+            self._enc_chroma_cu(enc, ps, node.chroma_cu, part)
+
+    def _enc_chroma_cu(self, enc, ps, cu: CuData, part: PartInfo) -> None:
+        """Mirror of _dec_chroma_cu (TREE_C region chroma)."""
+        self._enc_intra_chroma_mode(enc, cu)
+        cbf_cb = cu.coeff_cb is not None and np.any(cu.coeff_cb)
+        cbf_cr = cu.coeff_cr is not None and np.any(cu.coeff_cr)
+        enc.encode_bin(1 if cbf_cb else 0, ct.CTX_SETS["QtCbfCb"](0))
+        enc.encode_bin(1 if cbf_cr else 0,
+                       ct.CTX_SETS["QtCbfCr"](1 if cbf_cb else 0))
+        if cbf_cb:
+            encode_residual(enc, cu.coeff_cb, False)
+        if cbf_cr:
+            encode_residual(enc, cu.coeff_cr, False)
+        self.finish_cu(ps, cu, part.qt_depth, comps=(1, 2))
 
     def _enc_cu(self, enc, ps, node: TreeNode) -> None:
         cu = node.cu
         w, h = node.w, node.h
         assert (w, h) == (cu.w, cu.h), (w, h, cu.w, cu.h)
-        if not self.is_intra_slice:
+        mt = node.part.mode_type
+        cu.luma_only = node.part.tree_type == TREE_L
+        is_4x4 = w == 4 and h == 4
+        if not self.is_intra_slice and mt != MODE_INTRA and not is_4x4:
             ctx_skip = self._skip_ctx(ps, cu.x, cu.y)
             enc.encode_bin(1 if cu.skip else 0,
                            ct.CTX_SETS["SkipFlag"](ctx_skip))
@@ -523,12 +601,18 @@ class SyntaxCoder:
                 self._enc_merge_idx(enc, cu.merge_idx)
                 self._finish_cu(ps, cu, node)
                 return
+        if self.is_intra_slice or mt == MODE_INTRA or is_4x4:
+            assert not cu.is_inter
+        elif mt == MODE_INTER:
+            assert cu.is_inter
+        else:
             ctx_pm = self._pred_mode_ctx(ps, cu.x, cu.y)
             enc.encode_bin(0 if cu.is_inter else 1,
                            ct.CTX_SETS["PredMode"](ctx_pm))
         if not cu.is_inter:
             self._enc_intra_luma_mode(enc, ps, cu)
-            self._enc_intra_chroma_mode(enc, cu)
+            if not cu.luma_only:
+                self._enc_intra_chroma_mode(enc, cu)
         else:
             enc.encode_bin(1 if cu.merge else 0, ct.CTX_SETS["MergeFlag"](0))
             if cu.merge:
@@ -537,9 +621,13 @@ class SyntaxCoder:
                 inter_dir = (1 if cu.ref_idx[0] >= 0 else 0) | \
                             (2 if cu.ref_idx[1] >= 0 else 0)
                 if self.is_b:
-                    ctx = 7 - (((cu.w * cu.h).bit_length() - 1 + 1) >> 1)
-                    enc.encode_bin(1 if inter_dir == 3 else 0,
-                                   ct.CTX_SETS["InterDir"](ctx))
+                    # 4x8/8x4 cannot be bi-predicted: the bi bin is not
+                    # coded (vvenc CABACWriter::inter_pred_idc:1785,
+                    # CU::isBipredRestriction:2220)
+                    if cu.w + cu.h > 12:
+                        ctx = 7 - (((cu.w * cu.h).bit_length() - 1 + 1) >> 1)
+                        enc.encode_bin(1 if inter_dir == 3 else 0,
+                                       ct.CTX_SETS["InterDir"](ctx))
                     if inter_dir != 3:
                         enc.encode_bin(1 if inter_dir == 2 else 0,
                                        ct.CTX_SETS["InterDir"](5))
@@ -558,6 +646,13 @@ class SyntaxCoder:
         if cu.is_inter and not cu.merge:
             enc.encode_bin(1 if cu.root_cbf else 0,
                            ct.CTX_SETS["QtRootCbf"](0))
+        if (not cu.is_inter or cu.root_cbf) and cu.luma_only:
+            cbf_y = cu.coeff_y is not None and np.any(cu.coeff_y)
+            enc.encode_bin(1 if cbf_y else 0, ct.CTX_SETS["QtCbfLuma"](0))
+            if cbf_y:
+                encode_residual(enc, cu.coeff_y, True)
+            self._finish_cu(ps, cu, node)
+            return
         if not cu.is_inter or cu.root_cbf:
             cbf_cb = cu.coeff_cb is not None and np.any(cu.coeff_cb)
             cbf_cr = cu.coeff_cr is not None and np.any(cu.coeff_cr)
@@ -688,6 +783,11 @@ class SyntaxCoder:
         mi = cands[cu.merge_idx]
         cu.mv = mi.mv
         cu.ref_idx = mi.ref_idx
+        # 4x8/8x4: bi merge candidates become uni-L0
+        # (vvenc CU::restrictBiPredMergeCandsOne, UnitTools.cpp:3085)
+        if cu.w + cu.h == 12 and cu.ref_idx[0] >= 0 and cu.ref_idx[1] >= 0:
+            cu.ref_idx = (cu.ref_idx[0], -1)
+            cu.mv = (cu.mv[0], (0, 0))
 
     def derive_amvp(self, ps, cu, list_idx=0):
         return get_amvp_candidates(ps, self.mf, self.hmvp, cu.x, cu.y,
@@ -695,12 +795,15 @@ class SyntaxCoder:
                                    self.ref_pocs)
 
     def _finish_cu(self, ps, cu, node):
-        self.finish_cu(ps, cu, node.part.qt_depth)
+        comps = (0,) if cu.luma_only else (0, 1, 2)
+        self.finish_cu(ps, cu, node.part.qt_depth, comps)
 
-    def finish_cu(self, ps, cu, qt_depth: int):
+    def finish_cu(self, ps, cu, qt_depth: int, comps=(0, 1, 2)):
         """Reconstruct + update motion/attribute maps + HMVP."""
         reconstruct_cu(ps, cu, self.qp, qt_depth, self.bit_depth,
-                       self.ref_pics)
+                       self.ref_pics, comps)
+        if cu.chroma_only:
+            return
         if self.mf is not None:
             if cu.is_inter:
                 mi = MotionInfo((tuple(cu.mv[0]), tuple(cu.mv[1])),
@@ -759,22 +862,66 @@ class SyntaxCoder:
             impl = implicit_split(ps, x, y, w, h, part, self.sps,
                                   self.tree_idx)
             is_impl = node.split_mode == impl
+            # SCIPU mode constraint (vvenc CABACWriter::mode_constraint:540)
+            val = signal_mode_cons(w, h, node.split_mode, part.mode_type,
+                                   self.is_intra_slice)
+            if val == LDT_SIGNAL:
+                ctx = self._pred_mode_ctx(ps, x, y)  # CtxModeConsFlag
+                child_mt = MODE_INTRA if dec.decode_bin(
+                    ct.CTX_SETS["ModeConsFlag"](ctx)) else MODE_INTER
+            elif val == LDT_INFER:
+                child_mt = MODE_INTRA
+            else:
+                child_mt = part.mode_type
+            node.mode_type_child = child_mt
+            chroma_not_split = (part.mode_type == MODE_ALL
+                                and child_mt == MODE_INTRA)
+            child_tt = TREE_L if chroma_not_split else part.tree_type
             for idx, (cx, cy, cw, chh) in enumerate(
                     split_geometry(node.split_mode, x, y, w, h)):
                 if cx >= ps.w or cy >= ps.h:
                     continue
+                cpart = part.child(node.split_mode, idx, is_impl)
+                cpart.mode_type = child_mt
+                cpart.tree_type = child_tt
                 node.children.append(
-                    self._dec_tree(dec, ps, cx, cy, cw, chh,
-                                   part.child(node.split_mode, idx, is_impl)))
+                    self._dec_tree(dec, ps, cx, cy, cw, chh, cpart))
+            if chroma_not_split:
+                node.chroma_cu = self._dec_chroma_cu(dec, ps, x, y, w, h,
+                                                     part)
         else:
             node.cu = self._dec_cu(dec, ps, node)
         return node
+
+    def _dec_chroma_cu(self, dec, ps, x, y, w, h, part: PartInfo) -> CuData:
+        """Region chroma CU of a local dual tree (treeType TREE_C; vvenc
+        CABACWriter::coding_tree chromaNotSplit tail, CABACWriter.cpp:494).
+        Coordinates are the luma region; chroma covers (x>>1, y>>1)."""
+        cu = CuData(x, y, w, h)
+        cu.chroma_only = True
+        # DM derives from the co-located CENTER luma mode (VVC 8.4.3)
+        cu.luma_mode = int(ps.intra_mode[(y + (h >> 1)) >> 2,
+                                         (x + (w >> 1)) >> 2])
+        cu.chroma_dir = self._dec_intra_chroma_mode(dec, cu)
+        cbf_cb = dec.decode_bin(ct.CTX_SETS["QtCbfCb"](0))
+        cbf_cr = dec.decode_bin(ct.CTX_SETS["QtCbfCr"](1 if cbf_cb else 0))
+        if cbf_cb:
+            cu.coeff_cb = decode_residual(dec, w >> 1, h >> 1, False)
+        if cbf_cr:
+            cu.coeff_cr = decode_residual(dec, w >> 1, h >> 1, False)
+        self.finish_cu(ps, cu, part.qt_depth, comps=(1, 2))
+        return cu
 
     def _dec_cu(self, dec, ps, node: TreeNode) -> CuData:
         x, y = node.x, node.y
         w, h = node.w, node.h
         cu = CuData(x, y, w, h)
-        if not self.is_intra_slice:
+        mt = node.part.mode_type
+        cu.luma_only = node.part.tree_type == TREE_L
+        is_4x4 = w == 4 and h == 4
+        # cu_skip_flag: not coded in I slices, for 4x4, or under a
+        # MODE_TYPE_INTRA constraint (vvenc CABACWriter::cu_skip_flag:688)
+        if not self.is_intra_slice and mt != MODE_INTRA and not is_4x4:
             ctx_skip = self._skip_ctx(ps, x, y)
             cu.skip = bool(dec.decode_bin(ct.CTX_SETS["SkipFlag"](ctx_skip)))
             if cu.skip:
@@ -785,11 +932,19 @@ class SyntaxCoder:
                 self._apply_merge(ps, cu)
                 self._finish_cu(ps, cu, node)
                 return cu
+        # pred_mode_flag: inferred in I slices / 4x4 / constrained regions
+        # (vvenc CABACWriter::pred_mode:728)
+        if self.is_intra_slice or mt == MODE_INTRA or is_4x4:
+            cu.is_inter = False
+        elif mt == MODE_INTER:
+            cu.is_inter = True
+        else:
             ctx_pm = self._pred_mode_ctx(ps, x, y)
             cu.is_inter = not dec.decode_bin(ct.CTX_SETS["PredMode"](ctx_pm))
         if not cu.is_inter:
             cu.luma_mode = self._dec_intra_luma_mode(dec, ps, cu)
-            cu.chroma_dir = self._dec_intra_chroma_mode(dec, cu)
+            if not cu.luma_only:
+                cu.chroma_dir = self._dec_intra_chroma_mode(dec, cu)
         else:
             cu.merge = bool(dec.decode_bin(ct.CTX_SETS["MergeFlag"](0)))
             if cu.merge:
@@ -798,8 +953,12 @@ class SyntaxCoder:
             else:
                 inter_dir = 1
                 if self.is_b:
-                    ctx = 7 - (((w * h).bit_length() - 1 + 1) >> 1)
-                    if dec.decode_bin(ct.CTX_SETS["InterDir"](ctx)):
+                    is_bi = False
+                    if w + h > 12:  # bipred restriction: bi bin not coded
+                        ctx = 7 - (((w * h).bit_length() - 1 + 1) >> 1)
+                        is_bi = bool(dec.decode_bin(
+                            ct.CTX_SETS["InterDir"](ctx)))
+                    if is_bi:
                         inter_dir = 3
                     elif dec.decode_bin(ct.CTX_SETS["InterDir"](5)):
                         inter_dir = 2
@@ -835,6 +994,12 @@ class SyntaxCoder:
         if cu.is_inter and not cu.merge:
             cu.root_cbf = bool(dec.decode_bin(ct.CTX_SETS["QtRootCbf"](0)))
         if not cu.is_inter or cu.root_cbf:
+            if cu.luma_only:
+                cbf_y = dec.decode_bin(ct.CTX_SETS["QtCbfLuma"](0))
+                if cbf_y:
+                    cu.coeff_y = decode_residual(dec, w, h, True)
+                self._finish_cu(ps, cu, node)
+                return cu
             cbf_cb = dec.decode_bin(ct.CTX_SETS["QtCbfCb"](0))
             cbf_cr = dec.decode_bin(ct.CTX_SETS["QtCbfCr"](1 if cbf_cb else 0))
             if cu.is_inter and not cbf_cb and not cbf_cr:
@@ -916,9 +1081,11 @@ def inter_predict(ref_pics, mv, ref_idx, x, y, w, h, comp, bit_depth):
 
 
 def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
-                   bit_depth: int, ref_pics=None) -> None:
+                   bit_depth: int, ref_pics=None, comps=(0, 1, 2)) -> None:
     maxval = (1 << bit_depth) - 1
     for comp, coeff in ((0, cu.coeff_y), (1, cu.coeff_cb), (2, cu.coeff_cr)):
+        if comp not in comps:
+            continue
         if comp == 0:
             x, y, w, h = cu.x, cu.y, cu.w, cu.h
             q = qp.luma_qp()
@@ -937,5 +1104,8 @@ def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
         else:
             rec = pred
         ps.rec[comp][y:y + h, x:x + w] = rec
-    ps.mark_cu(cu.x, cu.y, cu.w, cu.h, qt_depth, cu.luma_mode,
-               is_intra=not cu.is_inter)
+    if cu.chroma_only:
+        ps.mark_chroma(cu.x, cu.y, cu.w, cu.h)
+    else:
+        ps.mark_cu(cu.x, cu.y, cu.w, cu.h, qt_depth, cu.luma_mode,
+                   is_intra=not cu.is_inter, with_chroma=not cu.luma_only)

@@ -60,7 +60,8 @@ class PictureState:
                 bool(self.is_intra[uy, ux]), bool(self.is_mip[uy, ux]))
 
     def mark_cu(self, x: int, y: int, w: int, h: int, qt_depth: int,
-                intra_mode: int, is_intra: bool = True, is_mip: bool = False):
+                intra_mode: int, is_intra: bool = True, is_mip: bool = False,
+                with_chroma: bool = True):
         """Register a reconstructed CU's attributes + coded progress."""
         ux0, uy0 = x >> 2, y >> 2
         ux1, uy1 = (x + w) >> 2, (y + h) >> 2
@@ -71,7 +72,11 @@ class PictureState:
         self.cu_w[uy0:uy1, ux0:ux1] = w
         self.cu_h[uy0:uy1, ux0:ux1] = h
         self.qt_depth[uy0:uy1, ux0:ux1] = qt_depth
-        # chroma coded mask (4:2:0)
+        if with_chroma:
+            self.mark_chroma(x, y, w, h)
+
+    def mark_chroma(self, x: int, y: int, w: int, h: int):
+        """Chroma coded mask (4:2:0), luma coordinates."""
         cx0, cy0 = (x >> 1) >> 1, (y >> 1) >> 1
         cx1, cy1 = ((x + w) >> 1) >> 1, ((y + h) >> 1) >> 1
         self.coded_chroma[cy0:cy1, cx0:cx1] = True

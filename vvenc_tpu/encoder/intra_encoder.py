@@ -349,7 +349,20 @@ class _CtuSearcher:
         best_cost = float("inf")
         state0 = self._save(x, y, max(w, h))
 
-        tries = [s for s, ok in enumerate(can_spl) if ok]
+        # round-1 searcher: never choose a split that would open a SCIPU
+        # region (mode_cons signalling / local dual tree); the shared syntax
+        # layer decodes them, the search just avoids producing them.  Legal:
+        # an encoder may restrict its split choices arbitrarily.
+        from ..codec.ctu_syntax import signal_mode_cons, LDT_INHERIT
+        tries = [s for s, ok in enumerate(can_spl) if ok and (
+            s == NO_SPLIT or signal_mode_cons(
+                w, h, s, part.mode_type,
+                self.coder.is_intra_slice) == LDT_INHERIT)]
+        if not tries:
+            # every legal split triggers SCIPU (forced boundary split on a
+            # tiny block) — should be unreachable with our configs
+            raise AssertionError(
+                f"no SCIPU-free split at ({x},{y}) {w}x{h}")
         for trial_i, split in enumerate(tries):
             if trial_i > 0:
                 self._restore(state0)
