@@ -91,6 +91,29 @@ GOLDEN_HASHES = {
     "golden_ai_lowqp_416x240_qp20_f2.266": [
         "1b2ebaa3e7041ea9f11b2d6f6273fd72",
         "ec2ef2f0a775eb665e433f0419748b28"],
+    # TMVP on (--TMVPMode 1): temporal merge + AMVP candidates, MV scaling,
+    # 8x8 temporal motion storage rounding, QP24
+    "golden_ra_tmvp_416x240_qp24_f9.266": [
+        "cbe8d5d7c39815d6ec254ddbd3a25e8f",
+        "168bc05233d3783e93a97ee2de02c137",
+        "c1a06d415812ca740ded7e4057bf9154",
+        "17b4cc07cfff23b340efdee2bfa0a61f",
+        "b1fd1e67334d4a6d0419dd7bbe30383a",
+        "a238e8f0e6591636d96dce0f9d8e217f",
+        "83df9d6fff1bcd60ef824073062daf6f",
+        "b3372c7f1a937218751d5339471fec8d",
+        "e8ea2a223ab2244bc60d2a64f770ddb1"],
+    # TMVP + implicit MTS (DST-7 for intra luma TBs 4..16), QP27
+    "golden_ra_tmvp_mtsi_416x240_qp27_f9.266": [
+        "472793fe7f778fb65b339560aaeea364",
+        "e366dbb0fcf74ea27c43a627e4d10646",
+        "9547e233386e3b8172ebb43a67d5ac64",
+        "65cf188c6901cf1cf1f2fefbeeccc6f0",
+        "309a64a292612156d7c96edc0bf76aeb",
+        "1018ff8ddfd5135102372d2f78624429",
+        "882a4d16ad9bd2679aae90401c75caf0",
+        "bf44432471262d51aaeac283f5b7f2d0",
+        "0fef807756d2b16dc5138ee05c3e021a"],
     # random access GOP16 (IDR mid-stream, RADL leading pictures, STSA,
     # picture reordering, temporal layers) — hashes in DISPLAY order
     "golden_ra_gop16_416x240_qp32_f9.266": [

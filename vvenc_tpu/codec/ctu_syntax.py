@@ -498,7 +498,7 @@ class SyntaxCoder:
     """Encodes/decodes one slice's CTU stream.  Holds slice-level params."""
 
     def __init__(self, sps, pps, sh, qp_state: QpState, ref_pics=None,
-                 ref_pocs=None):
+                 ref_pocs=None, tmvp=None):
         self.sps = sps
         self.pps = pps
         self.sh = sh
@@ -515,6 +515,10 @@ class SyntaxCoder:
         self.is_intra_slice = sh.slice_type == 2
         self.mf = None
         self.hmvp = HmvpLut()
+        self.tmvp = tmvp
+        # implicit MTS: sps_mts on without explicit intra MTS
+        # (vvenc SPS::getUseImplicitMTS, Slice.h:804)
+        self.implicit_mts = bool(sps.mts and not sps.mts_intra)
 
     def attach_motion(self, ps: PictureState):
         """Create the per-picture motion field (once per picture)."""
@@ -779,7 +783,7 @@ class SyntaxCoder:
     def _apply_merge(self, ps, cu):
         cands = get_merge_candidates(ps, self.mf, self.hmvp, cu.x, cu.y,
                                      cu.w, cu.h, self.sps.max_num_merge_cand,
-                                     self.is_b, self.num_refs)
+                                     self.is_b, self.num_refs, self.tmvp)
         mi = cands[cu.merge_idx]
         cu.mv = mi.mv
         cu.ref_idx = mi.ref_idx
@@ -792,7 +796,7 @@ class SyntaxCoder:
     def derive_amvp(self, ps, cu, list_idx=0):
         return get_amvp_candidates(ps, self.mf, self.hmvp, cu.x, cu.y,
                                    cu.w, cu.h, list_idx, cu.ref_idx[list_idx],
-                                   self.ref_pocs)
+                                   self.ref_pocs, self.tmvp)
 
     def _finish_cu(self, ps, cu, node):
         comps = (0,) if cu.luma_only else (0, 1, 2)
@@ -801,7 +805,7 @@ class SyntaxCoder:
     def finish_cu(self, ps, cu, qt_depth: int, comps=(0, 1, 2)):
         """Reconstruct + update motion/attribute maps + HMVP."""
         reconstruct_cu(ps, cu, self.qp, qt_depth, self.bit_depth,
-                       self.ref_pics, comps)
+                       self.ref_pics, comps, self.implicit_mts)
         if cu.chroma_only:
             return
         if self.mf is not None:
@@ -1081,7 +1085,8 @@ def inter_predict(ref_pics, mv, ref_idx, x, y, w, h, comp, bit_depth):
 
 
 def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
-                   bit_depth: int, ref_pics=None, comps=(0, 1, 2)) -> None:
+                   bit_depth: int, ref_pics=None, comps=(0, 1, 2),
+                   implicit_mts: bool = False) -> None:
     maxval = (1 << bit_depth) - 1
     for comp, coeff in ((0, cu.coeff_y), (1, cu.coeff_cb), (2, cu.coeff_cr)):
         if comp not in comps:
@@ -1098,8 +1103,10 @@ def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
         else:
             pred = predict_cu_component(ps, cu, comp, bit_depth)
         if coeff is not None and np.any(coeff):
+            trh, trv = T.implicit_mts_types(
+                w, h, not cu.is_inter and comp == 0, implicit_mts)
             d = T.dequant_np(coeff, q, bit_depth)
-            resi = T.inv_transform_np(d, bit_depth)
+            resi = T.inv_transform_np(d, bit_depth, trh, trv)
             rec = np.clip(pred + resi, 0, maxval)
         else:
             rec = pred

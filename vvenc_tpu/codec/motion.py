@@ -115,11 +115,126 @@ def _avail_inter(ps, mf: MotionField, x: int, y: int) -> Optional[MotionInfo]:
     return mf.at(x, y)
 
 
+# ---------------------------------------------------------------------------
+# TMVP (temporal motion vector prediction, H.266 8.5.2.12)
+# ---------------------------------------------------------------------------
+
+_MV_EXP_BITS = 4
+_MV_MAN_BITS = 6
+_MV_MAN_UPPER = (1 << (_MV_MAN_BITS - 1)) - 1
+_MV_MAN_LIMIT = 1 << (_MV_MAN_BITS - 1)
+_MV_EXP_MASK = (1 << _MV_EXP_BITS) - 1
+_MV_CLIP_MIN, _MV_CLIP_MAX = -(1 << 17), (1 << 17) - 1
+
+
+def _round_mv_storage(val: int) -> int:
+    """Temporal-storage float round-trip (vvenc roundMvComp,
+    UnitTools.cpp:1349 via convertMvFixedToFloat/FloatToFixed)."""
+    sign = -1 if val < 0 else 0
+    scale = ((val ^ sign) | _MV_MAN_UPPER).bit_length() - 1 - (_MV_MAN_BITS - 1)
+    if scale >= 0:
+        rnd = (1 << scale) >> 1
+        n = (val + rnd) >> scale
+        exponent = scale + ((n ^ sign) >> (_MV_MAN_BITS - 1))
+        mantissa = (n & _MV_MAN_UPPER) | (sign * _MV_MAN_LIMIT)
+    else:
+        exponent = 0
+        mantissa = val
+    if exponent == 0:
+        return mantissa
+    return (mantissa ^ _MV_MAN_LIMIT) * (1 << (exponent - 1))
+
+
+def _dist_scale_factor(cur_poc, cur_ref_poc, col_poc, col_ref_poc) -> int:
+    """vvenc CU::getDistScaleFactor (UnitTools.cpp:1354)."""
+    diff_d = col_poc - col_ref_poc
+    diff_b = cur_poc - cur_ref_poc
+    if diff_d == diff_b:
+        return 4096
+    tdb = max(-128, min(127, diff_b))
+    tdd = max(-128, min(127, diff_d))
+    # C trunc division: abs(tdd/2) == abs(tdd)//2; num/neg == -(num//|den|)
+    num = 0x4000 + (abs(tdd) >> 1)
+    x = num // tdd if tdd > 0 else -(num // -tdd)
+    return max(-4096, min(4095, (tdb * x + 32) >> 6))
+
+
+def _scale_mv(mv, scale: int):
+    """Mv::scaleMv (Mv.h:182)."""
+    def sc(v):
+        p = scale * v
+        return max(_MV_CLIP_MIN, min(_MV_CLIP_MAX,
+                                     (p + 128 - (1 if p >= 0 else 0)) >> 8))
+    return (sc(mv[0]), sc(mv[1]))
+
+
+@dataclass
+class TmvpCtx:
+    """Collocated-picture context for TMVP derivation."""
+    col_mf: "MotionField"            # collocated picture's motion field
+    col_ref_pocs: list               # its [l0, l1] reference POCs
+    col_poc: int
+    cur_poc: int
+    ref_pocs: list                   # current slice [l0, l1] reference POCs
+    col_from_l0: int
+    check_ldc: bool                  # all current refs are past pictures
+    pic_w: int
+    pic_h: int
+    ctu_size: int
+
+
+def get_colocated_mvp(tmvp: TmvpCtx, list_idx: int, pos, ref_idx: int):
+    """vvenc CU::getColocatedMVP (UnitTools.cpp:1412).  Returns a scaled
+    1/16-pel MV or None."""
+    px, py = pos[0] & ~7, pos[1] & ~7  # 8x8 temporal-motion granularity
+    col_list = list_idx if tmvp.check_ldc else tmvp.col_from_l0
+    mi = tmvp.col_mf.at(px, py)
+    if mi is None:
+        return None
+    col_ref = mi.ref_idx[col_list]
+    if col_ref < 0:
+        col_list = 1 - col_list
+        col_ref = mi.ref_idx[col_list]
+        if col_ref < 0:
+            return None
+    mv = (_round_mv_storage(mi.mv[col_list][0]),
+          _round_mv_storage(mi.mv[col_list][1]))
+    col_ref_poc = tmvp.col_ref_pocs[col_list][col_ref]
+    cur_ref_poc = tmvp.ref_pocs[list_idx][ref_idx]
+    scale = _dist_scale_factor(tmvp.cur_poc, cur_ref_poc,
+                               tmvp.col_poc, col_ref_poc)
+    if scale == 4096:
+        return mv
+    return _scale_mv(mv, scale)
+
+
+def _tmvp_c0_c1(tmvp: TmvpCtx, x, y, w, h):
+    """C0 (bottom-right, CTU-row gated) and C1 (center) probe positions."""
+    rbx, rby = x + w - 4, y + h - 4
+    c0 = None
+    if rbx + 4 < tmvp.pic_w and rby + 4 < tmvp.pic_h:
+        if (rby & (tmvp.ctu_size - 1)) + 4 < tmvp.ctu_size:
+            c0 = (rbx + 4, rby + 4)
+    c1 = (x + (w >> 1), y + (h >> 1))
+    return c0, c1
+
+
+def tmvp_candidate(tmvp: TmvpCtx, x, y, w, h, list_idx: int, ref_idx: int):
+    """First-available colocated MV at C0 then C1."""
+    c0, c1 = _tmvp_c0_c1(tmvp, x, y, w, h)
+    if c0 is not None:
+        mv = get_colocated_mvp(tmvp, list_idx, c0, ref_idx)
+        if mv is not None:
+            return mv
+    return get_colocated_mvp(tmvp, list_idx, c1, ref_idx)
+
+
 def get_merge_candidates(ps, mf: MotionField, hmvp: HmvpLut, x, y, w, h,
                          max_cands: int, is_b: bool,
-                         num_refs: Tuple[int, int]) -> List[MotionInfo]:
-    """Regular merge candidate list (UnitTools getInterMergeCandidates:905),
-    TMVP disabled.  Returns exactly max_cands entries."""
+                         num_refs: Tuple[int, int],
+                         tmvp: Optional[TmvpCtx] = None) -> List[MotionInfo]:
+    """Regular merge candidate list (UnitTools getInterMergeCandidates:905).
+    Returns exactly max_cands entries."""
     cands: List[MotionInfo] = []
     pos_rt = (x + w - 1, y)
     pos_lb = (x, y + h - 1)
@@ -141,6 +256,15 @@ def get_merge_candidates(ps, mf: MotionField, hmvp: HmvpLut, x, y, w, h,
         mi_b2 = _avail_inter(ps, mf, x - 1, y - 1)
         if mi_b2 is not None and mi_b2 != mi_a1 and mi_b2 != mi_b1:
             cands.append(mi_b2)
+    # TMVP (UnitTools.cpp:1112): ref idx 0 per list, C0 then C1, no pruning
+    if tmvp is not None and w + h > 12 and len(cands) < max_cands:
+        mv0 = tmvp_candidate(tmvp, x, y, w, h, 0, 0)
+        mv1 = tmvp_candidate(tmvp, x, y, w, h, 1, 0) if is_b else None
+        if mv0 is not None or mv1 is not None:
+            cands.append(MotionInfo(
+                (mv0 or (0, 0), mv1 or (0, 0)),
+                (0 if mv0 is not None else -1,
+                 0 if mv1 is not None else -1)))
     # HMVP (most recent first), pruned vs A1/B1 for the first two entries
     if len(cands) < max_cands - 1:
         lut = hmvp.lut
@@ -196,9 +320,10 @@ def _mi_mv_for_ref(mi: MotionInfo, list_idx: int, ref_poc: int,
 
 
 def get_amvp_candidates(ps, mf: MotionField, hmvp: HmvpLut, x, y, w, h,
-                        list_idx: int, ref_idx: int,
-                        ref_pocs) -> List[Tuple[int, int]]:
-    """AMVP candidate list (fillMvpCand:1692), TMVP off -> 2 entries."""
+                        list_idx: int, ref_idx: int, ref_pocs,
+                        tmvp: Optional[TmvpCtx] = None
+                        ) -> List[Tuple[int, int]]:
+    """AMVP candidate list (fillMvpCand:1692) -> 2 entries."""
     ref_poc = ref_pocs[list_idx][ref_idx]
     cands: List[Tuple[int, int]] = []
     pos_lt = (x, y)
@@ -224,6 +349,11 @@ def get_amvp_candidates(ps, mf: MotionField, hmvp: HmvpLut, x, y, w, h,
     cands = [round_mv_quarter(m) for m in cands]
     if len(cands) == 2 and cands[0] == cands[1]:
         cands = cands[:1]
+    # TMVP (fillMvpCand:1749): quarter-rounded after scaling
+    if tmvp is not None and w + h > 12 and len(cands) < AMVP_MAX_NUM_CANDS:
+        mv = tmvp_candidate(tmvp, x, y, w, h, list_idx, ref_idx)
+        if mv is not None:
+            cands.append(round_mv_quarter(mv))
     # HMVP (oldest first per reference loop lut[mrgIdx-1])
     if len(cands) < AMVP_MAX_NUM_CANDS:
         for mi_n in hmvp.lut[:MAX_NUM_HMVP_AMVP_CANDS]:

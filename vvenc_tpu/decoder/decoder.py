@@ -20,10 +20,13 @@ from ..bitstream.params import SLICE_I, SLICE_B
 
 
 class DecodedFrame:
-    def __init__(self, ps: PictureState, poc: int, sh):
+    def __init__(self, ps: PictureState, poc: int, sh, mf=None,
+                 ref_pocs=None):
         self.planes = ps.rec
         self.poc = poc
         self.slice_header = sh
+        self.mf = mf                     # motion field (TMVP source)
+        self.ref_pocs = ref_pocs or [[], []]
 
 
 def decode_stream(data: bytes):
@@ -51,7 +54,7 @@ def decode_stream(data: bytes):
                             NalUnitType.CRA):
                 dpb.clear()
             frame = _decode_slice(rbsp, nal_type, sps_map, pps_map, dpb)
-            dpb.append((frame.poc, frame.planes))
+            dpb.append((frame.poc, frame.planes, frame.mf, frame.ref_pocs))
             frames.append(frame)
         elif nal_type in (NalUnitType.PREFIX_SEI, NalUnitType.SUFFIX_SEI,
                           NalUnitType.AUD, NalUnitType.EOS, NalUnitType.EOB,
@@ -80,16 +83,29 @@ def _decode_slice(rbsp: bytes, nal_type, sps_map, pps_map,
 
     ref_pics = [[], []]
     ref_pocs = [[], []]
+    tmvp = None
     if sh.slice_type != SLICE_I:
         cur_poc = sh.ph.poc_lsb
-        by_poc = {p: planes for p, planes in (dpb or [])}
+        by_poc = {e[0]: e for e in (dpb or [])}
         for li in range(1 if sh.slice_type == 1 else 2):
             for delta in sh.rpls[li].delta_pocs[:max(1, sh.num_ref_idx[li])]:
                 ref_poc = cur_poc + delta  # negative identifier = past pic
                 assert ref_poc in by_poc, (ref_poc, sorted(by_poc))
-                ref_pics[li].append(by_poc[ref_poc])
+                ref_pics[li].append(by_poc[ref_poc][1])
                 ref_pocs[li].append(ref_poc)
-    coder = SyntaxCoder(sps, pps, sh, qp, ref_pics, ref_pocs)
+        if sh.ph.enable_tmvp:
+            from ..codec.motion import TmvpCtx
+            is_b = sh.slice_type == SLICE_B
+            pic_list = (1 - sh.col_from_l0) if is_b else 0
+            col_poc = ref_pocs[pic_list][sh.col_ref_idx]
+            col = by_poc[col_poc]
+            check_ldc = all(p <= cur_poc
+                            for li in range(2) for p in ref_pocs[li])
+            if col[2] is not None:
+                tmvp = TmvpCtx(col[2], col[3], col_poc, cur_poc, ref_pocs,
+                               sh.col_from_l0 if is_b else 1, check_ldc,
+                               pps.pic_width, pps.pic_height, sps.ctu_size)
+    coder = SyntaxCoder(sps, pps, sh, qp, ref_pics, ref_pocs, tmvp=tmvp)
     coder.attach_motion(ps)
 
     dec = CabacDecoder(br)
@@ -136,4 +152,5 @@ def _decode_slice(rbsp: bytes, nal_type, sps_map, pps_map,
         from ..codec.sao import apply_sao_picture
         apply_sao_picture(ps.rec, sao_map, sps.ctu_size, sps.bit_depth,
                           w_ctus, h_ctus)
-    return DecodedFrame(ps, sh.ph.poc_lsb, sh)
+    return DecodedFrame(ps, sh.ph.poc_lsb, sh, mf=coder.mf,
+                        ref_pocs=ref_pocs)

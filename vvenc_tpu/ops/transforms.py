@@ -43,6 +43,86 @@ MAX_LOG2_TR_DYN_RANGE = 15
 COEFF_MIN = -(1 << MAX_LOG2_TR_DYN_RANGE)
 COEFF_MAX = (1 << MAX_LOG2_TR_DYN_RANGE) - 1
 
+# transform types (vvenc TrafoType order: TypeDef.h DCT2/DCT8/DST7)
+DCT2, DCT8, DST7 = 0, 1, 2
+
+# tuned base values sin(pi*m/(2N+1)) of the DST-7/DCT-8 family
+# (H.266 8.7.4.1 tables; m = 1..N)
+_DST7_BASE = {
+    4: [29, 55, 74, 84],
+    8: [17, 32, 46, 60, 71, 78, 85, 86],
+    16: [8, 17, 25, 33, 40, 48, 55, 62, 68, 73, 77, 81, 85, 87, 88, 88],
+    32: [4, 9, 13, 17, 21, 26, 30, 34, 38, 42, 46, 50, 53, 56, 60, 63,
+         66, 68, 72, 74, 77, 78, 80, 82, 84, 85, 86, 87, 88, 89, 90, 90],
+}
+
+
+def _sin_lookup(m: int, n2p1: int, base) -> int:
+    """sign * base[|m'|] for sin(pi*m/(2N+1)) via symmetry reduction."""
+    m %= 2 * n2p1
+    sign = 1
+    if m >= n2p1:
+        sign, m = -1, m - n2p1
+    if m > (n2p1 - 1) // 2:
+        m = n2p1 - m
+    return sign * (base[m - 1] if m else 0)
+
+
+@lru_cache(maxsize=None)
+def dst7_matrix(n: int) -> np.ndarray:
+    """N-point DST-7: T[k][n] ~ sin(pi*(2k+1)*(n+1)/(2N+1))."""
+    base = _DST7_BASE[n]
+    n2p1 = 2 * n + 1
+    t = np.zeros((n, n), dtype=np.int32)
+    for k in range(n):
+        for j in range(n):
+            t[k, j] = _sin_lookup((2 * k + 1) * (j + 1), n2p1, base)
+    return t
+
+
+@lru_cache(maxsize=None)
+def dct8_matrix(n: int) -> np.ndarray:
+    """N-point DCT-8: T[k][n] ~ cos(pi*(2k+1)*(2n+1)/(4N+2)) =
+    sin(pi*(2N+1 - (2k+1)(2n+1)%...)/(2N+1)) over the same base values."""
+    base = _DST7_BASE[n]
+    n2p1 = 2 * n + 1
+    t = np.zeros((n, n), dtype=np.int32)
+    for k in range(n):
+        for j in range(n):
+            # cos(pi*q/(2*(2N+1))) with q odd == sin(pi*(2N+1-q)/(2*(2N+1)))
+            # == sin(pi*((2N+1-q)/2)/(2N+1)); (2N+1-q) is even
+            q = (2 * k + 1) * (2 * j + 1)
+            q %= 4 * n2p1
+            sign = 1
+            if q > 2 * n2p1:      # cos period/sign fold
+                q = 4 * n2p1 - q
+            if q > n2p1:
+                sign, q = -1, 2 * n2p1 - q
+            t[k, j] = sign * _sin_lookup((n2p1 - q) // 2, n2p1, base)
+    return t
+
+
+def tr_matrix(n: int, tr_type: int) -> np.ndarray:
+    if tr_type == DST7:
+        return dst7_matrix(n)
+    if tr_type == DCT8:
+        return dct8_matrix(n)
+    return dct2_matrix(n)
+
+
+def implicit_mts_types(w: int, h: int, is_intra_luma: bool,
+                       implicit_mts: bool):
+    """(trTypeHor, trTypeVer) for implicit MTS (vvenc
+    TrQuant::xSetTrTypes, TrQuant.cpp:417): intra luma TBs with
+    4 <= dim <= 16 use DST-7 in that dimension."""
+    th = tv = DCT2
+    if implicit_mts and is_intra_luma:
+        if 4 <= w <= 16:
+            th = DST7
+        if 4 <= h <= 16:
+            tv = DST7
+    return th, tv
+
 # g_quantScales / g_invQuantScales (H.266 8.7.3 levelScale; row 1 = sqrt2 adj)
 QUANT_SCALES = np.array([
     [26214, 23302, 20560, 18396, 16384, 14564],
@@ -85,35 +165,39 @@ def _dct2_jnp(n: int):
 # numpy golden model (spec semantics, used by the subset decoder)
 # ---------------------------------------------------------------------------
 
-def fwd_transform_np(resi: np.ndarray, bit_depth: int = 10) -> np.ndarray:
-    """Forward 2-D DCT-2 of one block [H, W] of residuals -> coeffs [H, W]."""
+def fwd_transform_np(resi: np.ndarray, bit_depth: int = 10,
+                     tr_hor: int = DCT2, tr_ver: int = DCT2) -> np.ndarray:
+    """Forward 2-D primary transform of one block [H, W] -> coeffs [H, W]."""
     h, w = resi.shape
     log2w, log2h = w.bit_length() - 1, h.bit_length() - 1
     shift1 = log2w + bit_depth + 6 - MAX_LOG2_TR_DYN_RANGE
     shift2 = log2h + 6
-    tw = dct2_matrix(w).astype(np.int64)
-    th = dct2_matrix(h).astype(np.int64)
+    tw = tr_matrix(w, tr_hor).astype(np.int64)
+    th = tr_matrix(h, tr_ver).astype(np.int64)
     # horizontal stage: rows of resi against T_w^T
     tmp = (resi.astype(np.int64) @ tw.T + (1 << (shift1 - 1))) >> shift1
     tmp = np.clip(tmp, COEFF_MIN, COEFF_MAX)
     out = (th @ tmp + (1 << (shift2 - 1))) >> shift2
     out = np.clip(out, COEFF_MIN, COEFF_MAX).astype(np.int32)
-    # 64-point zero-out: high-frequency halves are never coded (vvenc
-    # TrafoCore reduced-line forward DCT2; JVET_C0024_ZERO_OUT_TH)
-    if w > 32:
-        out[:, 32:] = 0
-    if h > 32:
-        out[32:, :] = 0
+    # zero-out: 64-point DCT2 keeps 32 low-freq lines, 32-point DST7/DCT8
+    # keep 16 (vvenc TrafoCore reduced-line transforms)
+    zw = 16 if (tr_hor != DCT2 and w == 32) else 32
+    zh = 16 if (tr_ver != DCT2 and h == 32) else 32
+    if w > zw:
+        out[:, zw:] = 0
+    if h > zh:
+        out[zh:, :] = 0
     return out
 
 
-def inv_transform_np(coeff: np.ndarray, bit_depth: int = 10) -> np.ndarray:
-    """Inverse 2-D DCT-2 (H.266 8.7.4): coeffs [H, W] -> residual [H, W]."""
+def inv_transform_np(coeff: np.ndarray, bit_depth: int = 10,
+                     tr_hor: int = DCT2, tr_ver: int = DCT2) -> np.ndarray:
+    """Inverse 2-D primary transform (H.266 8.7.4): [H, W] -> residual."""
     h, w = coeff.shape
     shift1 = 7
     shift2 = 20 - bit_depth
-    tw = dct2_matrix(w).astype(np.int64)
-    th = dct2_matrix(h).astype(np.int64)
+    tw = tr_matrix(w, tr_hor).astype(np.int64)
+    th = tr_matrix(h, tr_ver).astype(np.int64)
     # vertical stage first (columns), then horizontal
     tmp = (th.T @ coeff.astype(np.int64) + (1 << (shift1 - 1))) >> shift1
     tmp = np.clip(tmp, COEFF_MIN, COEFF_MAX)
