@@ -103,6 +103,17 @@ GOLDEN_HASHES = {
         "83df9d6fff1bcd60ef824073062daf6f",
         "b3372c7f1a937218751d5339471fec8d",
         "e8ea2a223ab2244bc60d2a64f770ddb1"],
+    # CCLM/MDLM chroma (LMChroma) + TMVP + implicit MTS, QP27
+    "golden_ra_cclm_416x240_qp27_f9.266": [
+        "261242bf15faaa17964a987498df6a33",
+        "a208f9f5ebbff96d2500bf1baf163326",
+        "8dac179454a5762c4ced602399859794",
+        "aeed38bc53ebe8b7f0565ee1c2d5267f",
+        "9fcfc5e4c85d6710e9aac77e4d63430d",
+        "0ace7b0c66336b14eae0efd06af14e67",
+        "f6057484b4600afa5f4f3fc698ce2fcd",
+        "e9f8f3e2b79f9134a04a7aceb145bf1d",
+        "4b8c3d83232e57f77690cc02fbe75630"],
     # TMVP + implicit MTS (DST-7 for intra luma TBs 4..16), QP27
     "golden_ra_tmvp_mtsi_416x240_qp27_f9.266": [
         "472793fe7f778fb65b339560aaeea364",

@@ -39,6 +39,8 @@ PLANAR, DC, HOR, VER, VDIA = I.PLANAR_IDX, I.DC_IDX, I.HOR_IDX, I.VER_IDX, I.VDI
 NUM_LUMA_MODE = I.NUM_LUMA_MODE
 DM_CHROMA = 67  # sentinel: derived mode
 NUM_MPM = 6
+from .cclm import (CCLM_MODES, LM_CHROMA_IDX, MDLM_L_IDX,  # noqa: E402
+                   MDLM_T_IDX, cclm_predict)
 
 
 # ---------------------------------------------------------------------------
@@ -805,7 +807,8 @@ class SyntaxCoder:
     def finish_cu(self, ps, cu, qt_depth: int, comps=(0, 1, 2)):
         """Reconstruct + update motion/attribute maps + HMVP."""
         reconstruct_cu(ps, cu, self.qp, qt_depth, self.bit_depth,
-                       self.ref_pics, comps, self.implicit_mts)
+                       self.ref_pics, comps, self.implicit_mts,
+                       self.ctu_size)
         if cu.chroma_only:
             return
         if self.mf is not None:
@@ -844,7 +847,18 @@ class SyntaxCoder:
             write_trunc_bin(enc, m, NUM_LUMA_MODE - NUM_MPM)
 
     def _enc_intra_chroma_mode(self, enc, cu: CuData) -> None:
-        assert not self.sps.cclm
+        # vvenc CABACWriter::intra_chroma_pred_mode:1177 (CCLM always
+        # allowed in single tree, CU::checkCCLMAllowed:177)
+        if self.sps.cclm:
+            is_lm = cu.chroma_dir in CCLM_MODES
+            enc.encode_bin(1 if is_lm else 0, ct.CTX_SETS["CclmModeFlag"](0))
+            if is_lm:
+                sym = CCLM_MODES.index(cu.chroma_dir)
+                enc.encode_bin(0 if sym == 0 else 1,
+                               ct.CTX_SETS["CclmModeIdx"](0))
+                if sym > 0:
+                    enc.encode_bin_ep(sym - 1)
+                return
         is_dm = cu.chroma_dir == DM_CHROMA
         enc.encode_bin(0 if is_dm else 1, ct.CTX_SETS["IntraChromaPredMode"](0))
         if not is_dm:
@@ -1035,7 +1049,11 @@ class SyntaxCoder:
         return m
 
     def _dec_intra_chroma_mode(self, dec, cu: CuData) -> int:
-        assert not self.sps.cclm
+        if self.sps.cclm:
+            if dec.decode_bin(ct.CTX_SETS["CclmModeFlag"](0)):
+                if not dec.decode_bin(ct.CTX_SETS["CclmModeIdx"](0)):
+                    return LM_CHROMA_IDX
+                return MDLM_T_IDX if dec.decode_bin_ep() else MDLM_L_IDX
         if not dec.decode_bin(ct.CTX_SETS["IntraChromaPredMode"](0)):
             return DM_CHROMA
         cand_id = dec.decode_bins_ep(2)
@@ -1047,8 +1065,10 @@ class SyntaxCoder:
 # ---------------------------------------------------------------------------
 
 def predict_cu_component(ps: PictureState, cu: CuData, comp: int,
-                         bit_depth: int) -> np.ndarray:
+                         bit_depth: int, ctu_size: int = 64) -> np.ndarray:
     """Intra prediction for one component of a CU from current rec state."""
+    if comp != 0 and cu.chroma_dir in CCLM_MODES:
+        return cclm_predict(ps, cu, comp, bit_depth, ctu_size)
     if comp == 0:
         mode = cu.luma_mode
         x, y, w, h = cu.x, cu.y, cu.w, cu.h
@@ -1086,7 +1106,7 @@ def inter_predict(ref_pics, mv, ref_idx, x, y, w, h, comp, bit_depth):
 
 def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
                    bit_depth: int, ref_pics=None, comps=(0, 1, 2),
-                   implicit_mts: bool = False) -> None:
+                   implicit_mts: bool = False, ctu_size: int = 64) -> None:
     maxval = (1 << bit_depth) - 1
     for comp, coeff in ((0, cu.coeff_y), (1, cu.coeff_cb), (2, cu.coeff_cr)):
         if comp not in comps:
@@ -1101,7 +1121,7 @@ def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
             pred = inter_predict(ref_pics, cu.mv, cu.ref_idx, x, y, w, h,
                                  comp, bit_depth)
         else:
-            pred = predict_cu_component(ps, cu, comp, bit_depth)
+            pred = predict_cu_component(ps, cu, comp, bit_depth, ctu_size)
         if coeff is not None and np.any(coeff):
             trh, trv = T.implicit_mts_types(
                 w, h, not cu.is_inter and comp == 0, implicit_mts)
