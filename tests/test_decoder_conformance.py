@@ -125,6 +125,18 @@ GOLDEN_HASHES = {
         "882a4d16ad9bd2679aae90401c75caf0",
         "bf44432471262d51aaeac283f5b7f2d0",
         "0fef807756d2b16dc5138ee05c3e021a"],
+    # sign-data hiding (--SignHideFlag 1): last-sign inference from CG
+    # abs-sum parity when lastNZ-firstNZ >= SBH_THRESHOLD (4), QP27
+    "golden_ra_sdh_416x240_qp27_f9.266": [
+        "1580b71de9fb1e04d0938207ad3e5cfd",
+        "e02369823a0ed99c21759c9411bea1e8",
+        "2483df15819d5d49aca9dc56ae884e46",
+        "ddb4f75bceb9f6eb63a0a366b94fb6ff",
+        "947f2708260136a21835ae54a55e62d9",
+        "1f97e6460b3435fbb96b55081f9f4c28",
+        "abaefb02dc769754e1dc199c530fb661",
+        "56517de0bea8d35cdad6cc544b444ab1",
+        "e404b69127fe633683d64316eedfe969"],
     # random access GOP16 (IDR mid-stream, RADL leading pictures, STSA,
     # picture reordering, temporal layers) — hashes in DISPLAY order
     "golden_ra_gop16_416x240_qp32_f9.266": [

@@ -341,7 +341,7 @@ def encode_residual(enc, coeff: np.ndarray, is_luma: bool,
 def decode_residual(dec, w: int, h: int, is_luma: bool,
                     dep_quant: bool = False, sign_hiding: bool = False) -> np.ndarray:
     """Decode one TU's coefficients -> int32 array [h, w]."""
-    assert not dep_quant and not sign_hiding
+    assert not dep_quant
     cctx = _Cctx(w, h, is_luma)
     n = w * h  # full-block buffers; scans/budget use cctx.n_coded
     # last position
@@ -449,7 +449,17 @@ def decode_residual(dec, w: int, h: int, is_luma: bool,
                 bypass_nz.append(sp)
         # signs: first-pass nonzeros in scan-descending order, then bypass
         sign_positions = sorted(first_pass_level.keys(), reverse=True) + bypass_nz
-        for sp in sign_positions:
+        num_signs = len(sign_positions)
+        if num_signs and sign_hiding:
+            # sign-data hiding (SBH_THRESHOLD 4): the lowest-scan-pos sign
+            # is inferred from the CG abs-sum parity (odd -> negative)
+            first_nz, last_nz = sign_positions[-1], sign_positions[0]
+            if last_nz - first_nz >= 4:
+                num_signs -= 1
+                cg_abs = sum(int(abs2d.reshape(-1)[int(cctx.blkpos[sp])])
+                             for sp in sign_positions)
+                signs[first_nz] = cg_abs & 1
+        for sp in sign_positions[:num_signs]:
             s = dec.decode_bin_ep()
             signs[sp] = s
     for sp, s in signs.items():

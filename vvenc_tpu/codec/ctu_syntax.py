@@ -521,6 +521,7 @@ class SyntaxCoder:
         # implicit MTS: sps_mts on without explicit intra MTS
         # (vvenc SPS::getUseImplicitMTS, Slice.h:804)
         self.implicit_mts = bool(sps.mts and not sps.mts_intra)
+        self.sdh = bool(getattr(sh, "sign_data_hiding_used", 0))
 
     def attach_motion(self, ps: PictureState):
         """Create the per-picture motion field (once per picture)."""
@@ -924,9 +925,11 @@ class SyntaxCoder:
         cbf_cb = dec.decode_bin(ct.CTX_SETS["QtCbfCb"](0))
         cbf_cr = dec.decode_bin(ct.CTX_SETS["QtCbfCr"](1 if cbf_cb else 0))
         if cbf_cb:
-            cu.coeff_cb = decode_residual(dec, w >> 1, h >> 1, False)
+            cu.coeff_cb = decode_residual(dec, w >> 1, h >> 1, False,
+                                          sign_hiding=self.sdh)
         if cbf_cr:
-            cu.coeff_cr = decode_residual(dec, w >> 1, h >> 1, False)
+            cu.coeff_cr = decode_residual(dec, w >> 1, h >> 1, False,
+                                          sign_hiding=self.sdh)
         self.finish_cu(ps, cu, part.qt_depth, comps=(1, 2))
         return cu
 
@@ -1015,7 +1018,8 @@ class SyntaxCoder:
             if cu.luma_only:
                 cbf_y = dec.decode_bin(ct.CTX_SETS["QtCbfLuma"](0))
                 if cbf_y:
-                    cu.coeff_y = decode_residual(dec, w, h, True)
+                    cu.coeff_y = decode_residual(dec, w, h, True,
+                                             sign_hiding=self.sdh)
                 self._finish_cu(ps, cu, node)
                 return cu
             cbf_cb = dec.decode_bin(ct.CTX_SETS["QtCbfCb"](0))
@@ -1025,11 +1029,14 @@ class SyntaxCoder:
             else:
                 cbf_y = dec.decode_bin(ct.CTX_SETS["QtCbfLuma"](0))
             if cbf_y:
-                cu.coeff_y = decode_residual(dec, w, h, True)
+                cu.coeff_y = decode_residual(dec, w, h, True,
+                                             sign_hiding=self.sdh)
             if cbf_cb:
-                cu.coeff_cb = decode_residual(dec, w >> 1, h >> 1, False)
+                cu.coeff_cb = decode_residual(dec, w >> 1, h >> 1, False,
+                                          sign_hiding=self.sdh)
             if cbf_cr:
-                cu.coeff_cr = decode_residual(dec, w >> 1, h >> 1, False)
+                cu.coeff_cr = decode_residual(dec, w >> 1, h >> 1, False,
+                                          sign_hiding=self.sdh)
         self._finish_cu(ps, cu, node)
         return cu
 
