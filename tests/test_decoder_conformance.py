@@ -125,6 +125,19 @@ GOLDEN_HASHES = {
         "882a4d16ad9bd2679aae90401c75caf0",
         "bf44432471262d51aaeac283f5b7f2d0",
         "0fef807756d2b16dc5138ee05c3e021a"],
+    # dependent quantization (--DepQuant 1): 4-state machine threading the
+    # sig-flag context set, ZeroPos in the bypass pass, and the dequant
+    # reconstruction index (QP+1 quantizer), QP27
+    "golden_ra_dq_416x240_qp27_f9.266": [
+        "6200a79bda8049154afb163636ab3159",
+        "45dcce9283dc9bb5e9517542fff276ea",
+        "2160c05d71f9f7efce8f9986ed578fdc",
+        "a85fdcec70989754ca3747732bc16639",
+        "f9457a1215811f647955262db06e2bcb",
+        "1af81293e1fce65535ed92d30fee816e",
+        "28b63d42bd5ebc59cc3521708a9244fb",
+        "47388383bd8ddefae6447489f004f549",
+        "cd1020e7d0a9897fdfff3029ffce541b"],
     # sign-data hiding (--SignHideFlag 1): last-sign inference from CG
     # abs-sum parity when lastNZ-firstNZ >= SBH_THRESHOLD (4), QP27
     "golden_ra_sdh_416x240_qp27_f9.266": [

@@ -338,10 +338,19 @@ def encode_residual(enc, coeff: np.ndarray, is_luma: bool,
         enc.encode_bins_ep(bits, len(sign_pattern))
 
 
+# dependent-quantization state transition table [state][parity] packed the
+# same way as vvenc DepQuant.cpp:627: [[0,2],[2,0],[1,3],[3,1]]
+STATE_TRANS = 32040
+
+
+def _next_state(state: int, level: int) -> int:
+    return (STATE_TRANS >> ((state << 2) + ((level & 1) << 1))) & 3
+
+
 def decode_residual(dec, w: int, h: int, is_luma: bool,
                     dep_quant: bool = False, sign_hiding: bool = False) -> np.ndarray:
     """Decode one TU's coefficients -> int32 array [h, w]."""
-    assert not dep_quant
+    assert not (dep_quant and sign_hiding)
     cctx = _Cctx(w, h, is_luma)
     n = w * h  # full-block buffers; scans/budget use cctx.n_coded
     # last position
@@ -401,6 +410,7 @@ def decode_residual(dec, w: int, h: int, is_luma: bool,
                 rem_reg_bins -= 1
             elif next_pos != scan_pos_last:
                 cctx.sig_ctx_id(next_pos, coeff_cap, state)
+            level = 0
             if sig:
                 ctx_off = cctx.ctx_offset_abs()
                 num_nonzero += 1
@@ -420,6 +430,8 @@ def decode_residual(dec, w: int, h: int, is_luma: bool,
                 gt2_flags[next_pos] = gt2
                 coeff_cap[y, x] = level  # == min(4+(a&1), a) after 1st pass
                 abs2d[y, x] = level
+            if dep_quant:
+                state = _next_state(state, level)
             next_pos -= 1
         first_pos_mode2 = next_pos
         # second pass: remainders for positions with gt2 == 1
@@ -444,6 +456,8 @@ def decode_residual(dec, w: int, h: int, is_luma: bool,
             blk = int(cctx.blkpos[sp])
             y, x = divmod(blk, w)
             abs2d[y, x] = a
+            if dep_quant:
+                state = _next_state(state, a)
             if a:
                 num_nonzero += 1
                 bypass_nz.append(sp)

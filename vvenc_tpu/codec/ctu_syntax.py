@@ -522,6 +522,7 @@ class SyntaxCoder:
         # (vvenc SPS::getUseImplicitMTS, Slice.h:804)
         self.implicit_mts = bool(sps.mts and not sps.mts_intra)
         self.sdh = bool(getattr(sh, "sign_data_hiding_used", 0))
+        self.dq = bool(getattr(sh, "dep_quant_used", 0))
 
     def attach_motion(self, ps: PictureState):
         """Create the per-picture motion field (once per picture)."""
@@ -809,7 +810,7 @@ class SyntaxCoder:
         """Reconstruct + update motion/attribute maps + HMVP."""
         reconstruct_cu(ps, cu, self.qp, qt_depth, self.bit_depth,
                        self.ref_pics, comps, self.implicit_mts,
-                       self.ctu_size)
+                       self.ctu_size, self.dq)
         if cu.chroma_only:
             return
         if self.mf is not None:
@@ -926,10 +927,10 @@ class SyntaxCoder:
         cbf_cr = dec.decode_bin(ct.CTX_SETS["QtCbfCr"](1 if cbf_cb else 0))
         if cbf_cb:
             cu.coeff_cb = decode_residual(dec, w >> 1, h >> 1, False,
-                                          sign_hiding=self.sdh)
+                                          dep_quant=self.dq, sign_hiding=self.sdh)
         if cbf_cr:
             cu.coeff_cr = decode_residual(dec, w >> 1, h >> 1, False,
-                                          sign_hiding=self.sdh)
+                                          dep_quant=self.dq, sign_hiding=self.sdh)
         self.finish_cu(ps, cu, part.qt_depth, comps=(1, 2))
         return cu
 
@@ -1019,7 +1020,7 @@ class SyntaxCoder:
                 cbf_y = dec.decode_bin(ct.CTX_SETS["QtCbfLuma"](0))
                 if cbf_y:
                     cu.coeff_y = decode_residual(dec, w, h, True,
-                                             sign_hiding=self.sdh)
+                                             dep_quant=self.dq, sign_hiding=self.sdh)
                 self._finish_cu(ps, cu, node)
                 return cu
             cbf_cb = dec.decode_bin(ct.CTX_SETS["QtCbfCb"](0))
@@ -1030,13 +1031,13 @@ class SyntaxCoder:
                 cbf_y = dec.decode_bin(ct.CTX_SETS["QtCbfLuma"](0))
             if cbf_y:
                 cu.coeff_y = decode_residual(dec, w, h, True,
-                                             sign_hiding=self.sdh)
+                                             dep_quant=self.dq, sign_hiding=self.sdh)
             if cbf_cb:
                 cu.coeff_cb = decode_residual(dec, w >> 1, h >> 1, False,
-                                          sign_hiding=self.sdh)
+                                          dep_quant=self.dq, sign_hiding=self.sdh)
             if cbf_cr:
                 cu.coeff_cr = decode_residual(dec, w >> 1, h >> 1, False,
-                                          sign_hiding=self.sdh)
+                                          dep_quant=self.dq, sign_hiding=self.sdh)
         self._finish_cu(ps, cu, node)
         return cu
 
@@ -1113,7 +1114,8 @@ def inter_predict(ref_pics, mv, ref_idx, x, y, w, h, comp, bit_depth):
 
 def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
                    bit_depth: int, ref_pics=None, comps=(0, 1, 2),
-                   implicit_mts: bool = False, ctu_size: int = 64) -> None:
+                   implicit_mts: bool = False, ctu_size: int = 64,
+                   dep_quant: bool = False) -> None:
     maxval = (1 << bit_depth) - 1
     for comp, coeff in ((0, cu.coeff_y), (1, cu.coeff_cb), (2, cu.coeff_cr)):
         if comp not in comps:
@@ -1132,7 +1134,8 @@ def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
         if coeff is not None and np.any(coeff):
             trh, trv = T.implicit_mts_types(
                 w, h, not cu.is_inter and comp == 0, implicit_mts)
-            d = T.dequant_np(coeff, q, bit_depth)
+            d = (T.dequant_dq_np(coeff, q, bit_depth) if dep_quant
+                 else T.dequant_np(coeff, q, bit_depth))
             resi = T.inv_transform_np(d, bit_depth, trh, trv)
             rec = np.clip(pred + resi, 0, maxval)
         else:

@@ -76,7 +76,6 @@ def _decode_slice(rbsp: bytes, nal_type, sps_map, pps_map,
     pps = next(iter(pps_map.values()))
     sps = next(iter(sps_map.values()))
     sh = hls.parse_slice_header(br, sps, pps, is_idr)
-    assert not sh.dep_quant_used
 
     ps = PictureState(pps.pic_width, pps.pic_height, sps.bit_depth)
     qp = QpState(sps, pps, sh.slice_qp)

@@ -264,6 +264,40 @@ def dequant_np(qcoeff: np.ndarray, qp: int, bit_depth: int = 10) -> np.ndarray:
     return np.clip(d, COEFF_MIN, COEFF_MAX).astype(np.int32)
 
 
+def dequant_dq_np(qcoeff: np.ndarray, qp: int,
+                  bit_depth: int = 10) -> np.ndarray:
+    """Dependent-quantization dequant (vvenc DepQuant.cpp:574 dequantBlock).
+
+    Walks the grouped-4x4 scan from the highest coded position down to DC,
+    tracking the 4-state machine; reconstruction index is
+    2*level - sign(level)*(state>>1), quantizer runs at QP+1.
+    """
+    from ..bitstream.residual import scan_info, _next_state
+    h, w = qcoeff.shape
+    sqrt2 = needs_sqrt2(w, h)
+    tshift = transform_shift(w, h, bit_depth) + (-1 if sqrt2 else 0)
+    qp_dq = qp + 1
+    shift = 6 + 1 - qp_dq // 6 - tshift
+    scale = int(INV_QUANT_SCALES[1 if sqrt2 else 0][qp_dq % 6])
+    if shift < 0:
+        scale <<= -shift
+        add, rs = 0, 0
+    else:
+        add, rs = (1 << shift) >> 1, shift
+    blkpos = scan_info(w.bit_length() - 1, h.bit_length() - 1)[2]
+    flat = qcoeff.reshape(-1)
+    out = np.zeros(w * h, dtype=np.int64)
+    state = 0
+    for sp in range(len(blkpos) - 1, -1, -1):
+        pos = int(blkpos[sp])
+        level = int(flat[pos])
+        if level:
+            q_idx = 2 * level + (-(state >> 1) if level > 0 else (state >> 1))
+            out[pos] = (q_idx * scale + add) >> rs
+        state = _next_state(state, level)
+    return np.clip(out, COEFF_MIN, COEFF_MAX).astype(np.int32).reshape(h, w)
+
+
 # ---------------------------------------------------------------------------
 # JAX batched path (TPU): blocks stacked on a leading axis, matmuls on MXU
 # ---------------------------------------------------------------------------
