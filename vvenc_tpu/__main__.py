@@ -59,7 +59,8 @@ def main(argv=None):
         min_qt=cfg.min_qt_size, input_bit_depth=cfg.input_bit_depth,
         num_full_rd_modes=cfg.num_full_rd_modes,
         max_mtt_depth=cfg.max_mtt_depth_i, deblocking=bool(cfg.deblocking),
-        intra_period=cfg.intra_period, gop_size=cfg.gop_size))
+        intra_period=cfg.intra_period, gop_size=cfg.gop_size,
+        dep_quant=bool(cfg.dep_quant)))
 
     stats = SequenceStats(args.framerate)
     shift = 10 - cfg.input_bit_depth

@@ -209,7 +209,8 @@ def encode_residual(enc, coeff: np.ndarray, is_luma: bool,
 
     enc: CabacEncoder (or BitEstimator-compatible).  coeff: int array [h, w].
     """
-    assert not dep_quant and not sign_hiding, "DQ/SDH not wired yet"
+    assert not sign_hiding, "SDH encode not wired yet"
+    assert not (dep_quant and sign_hiding)
     h, w = coeff.shape
     cctx = _Cctx(w, h, is_luma)
     flat = coeff.reshape(-1)
@@ -305,6 +306,8 @@ def encode_residual(enc, coeff: np.ndarray, is_luma: bool,
                     rem_reg_bins -= 1
                 y, x = divmod(blk, w)
                 coeff_cap[y, x] = _min4_parity(a)
+            if dep_quant:
+                state = _next_state(state, a)
             next_pos -= 1
         first_pos_mode2 = next_pos
         # second pass: go-rice remainders for levels >= 4
@@ -328,6 +331,8 @@ def encode_residual(enc, coeff: np.ndarray, is_luma: bool,
             rem = pos0 if a == 0 else (a - 1 if a <= pos0 else a)
             enc.encode_remabs_ep(rem, rice, COEF_REMAIN_BIN_REDUCTION,
                                  MAX_LOG2_TR_DYNAMIC_RANGE)
+            if dep_quant:
+                state = _next_state(state, a)
             if a:
                 num_nonzero += 1
                 sign_pattern.append(1 if c < 0 else 0)

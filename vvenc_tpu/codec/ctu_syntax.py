@@ -589,9 +589,9 @@ class SyntaxCoder:
         enc.encode_bin(1 if cbf_cr else 0,
                        ct.CTX_SETS["QtCbfCr"](1 if cbf_cb else 0))
         if cbf_cb:
-            encode_residual(enc, cu.coeff_cb, False)
+            encode_residual(enc, cu.coeff_cb, False, dep_quant=self.dq)
         if cbf_cr:
-            encode_residual(enc, cu.coeff_cr, False)
+            encode_residual(enc, cu.coeff_cr, False, dep_quant=self.dq)
         self.finish_cu(ps, cu, part.qt_depth, comps=(1, 2))
 
     def _enc_cu(self, enc, ps, node: TreeNode) -> None:
@@ -658,7 +658,7 @@ class SyntaxCoder:
             cbf_y = cu.coeff_y is not None and np.any(cu.coeff_y)
             enc.encode_bin(1 if cbf_y else 0, ct.CTX_SETS["QtCbfLuma"](0))
             if cbf_y:
-                encode_residual(enc, cu.coeff_y, True)
+                encode_residual(enc, cu.coeff_y, True, dep_quant=self.dq)
             self._finish_cu(ps, cu, node)
             return
         if not cu.is_inter or cu.root_cbf:
@@ -673,11 +673,11 @@ class SyntaxCoder:
             else:
                 enc.encode_bin(1 if cbf_y else 0, ct.CTX_SETS["QtCbfLuma"](0))
             if cbf_y:
-                encode_residual(enc, cu.coeff_y, True)
+                encode_residual(enc, cu.coeff_y, True, dep_quant=self.dq)
             if cbf_cb:
-                encode_residual(enc, cu.coeff_cb, False)
+                encode_residual(enc, cu.coeff_cb, False, dep_quant=self.dq)
             if cbf_cr:
-                encode_residual(enc, cu.coeff_cr, False)
+                encode_residual(enc, cu.coeff_cr, False, dep_quant=self.dq)
         self._finish_cu(ps, cu, node)
 
     # -- shared inter helpers ---------------------------------------------

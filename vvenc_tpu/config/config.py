@@ -133,7 +133,7 @@ _PRESET_MATRIX = {
 
 # tools the current build actually implements end-to-end
 _IMPLEMENTED = {"mctf": 0, "bim": 0, "alf": 0, "ccalf": 0, "sao": 0,
-                "deblocking": 1, "dep_quant": 0, "sign_data_hiding": 0,
+                "deblocking": 1, "dep_quant": 1, "sign_data_hiding": 0,
                 "lfnst": 0, "mts": 0, "mts_implicit": 0, "mip": 0, "isp": 0,
                 "mrl": 0, "lm_chroma": 0, "joint_cbcr": 0, "affine": 0,
                 "dmvr": 0, "bdof": 0, "mmvd": 0, "smvd": 0, "geo": 0,

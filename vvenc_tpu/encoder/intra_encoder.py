@@ -64,6 +64,7 @@ class EncoderConfig:
     max_bt_size: int = 32
     max_tt_size: int = 32
     rdoq: bool = True              # rate-distortion optimized quantization
+    dep_quant: bool = False        # trellis (dependent) quantization
 
 
 def build_parameter_sets(cfg: EncoderConfig):
@@ -90,6 +91,7 @@ def build_parameter_sets(cfg: EncoderConfig):
     pps.init_qp = 26
     pps.deblocking_filter_control_present = 1
     pps.deblocking_filter_disabled = 0 if cfg.deblocking else 1
+    sps.dep_quant_enabled = 1 if cfg.dep_quant else 0
     return sps, pps
 
 
@@ -197,6 +199,7 @@ class IntraEncoder:
 
         sh = SliceHeader()
         sh.slice_qp = slice_qp
+        sh.dep_quant_used = 1 if self.cfg.dep_quant else 0
         sh.ph = PictureHeader()
         sh.ph.poc_lsb = poc & ((1 << self.sps.log2_max_poc_lsb) - 1)
         ref_pics = [[], []]
@@ -329,14 +332,24 @@ class _CtuSearcher:
         self.coder.hmvp.lut = list(snap[3])
 
     def _q(self, tcoef, qp, is_luma, cbf_ctx=None, intra_slice=True):
-        """Quantize one TU: RDOQ against the live estimator contexts when
-        enabled (ops/rdoq.py), else scalar deadzone quant."""
+        """Quantize one TU: trellis (dependent) quantization when enabled
+        (ops/depquant.py), else RDOQ against the live estimator contexts
+        (ops/rdoq.py), else scalar deadzone quant."""
+        if self.cfg.dep_quant:
+            from ..ops.depquant import depquant_np
+            return depquant_np(tcoef, qp, self.cfg.bit_depth, is_luma,
+                               self.lmbda, self.est.ctx, cbf_ctx)
         if self.cfg.rdoq:
             from ..ops.rdoq import rdoq_np
             return rdoq_np(tcoef, qp, self.cfg.bit_depth, is_luma,
                            self.lmbda, self.est.ctx, cbf_ctx)
         return T.quant_np(tcoef, qp, self.cfg.bit_depth,
                           is_intra_slice=intra_slice)
+
+    def _dq(self, coeff, qp):
+        return (T.dequant_dq_np(coeff, qp, self.cfg.bit_depth)
+                if self.cfg.dep_quant
+                else T.dequant_np(coeff, qp, self.cfg.bit_depth))
 
     # -- recursive tree search -------------------------------------------
     def _rd_node(self, x: int, y: int, w: int, h: int, part: PartInfo):
@@ -441,7 +454,7 @@ class _CtuSearcher:
             cu = CuData(x, y, w, h, luma_mode=mode)
             if np.any(coeff):
                 cu.coeff_y = coeff
-                d = T.dequant_np(coeff, qy, bit_depth)
+                d = self._dq(coeff, qy)
                 rec = np.clip(pred + T.inv_transform_np(d, bit_depth), 0,
                               (1 << bit_depth) - 1)
             else:
@@ -453,7 +466,7 @@ class _CtuSearcher:
             self.est.encode_bin(1 if cu.coeff_y is not None else 0,
                                 ct.CTX_SETS["QtCbfLuma"](0))
             if cu.coeff_y is not None:
-                encode_residual(self.est, cu.coeff_y, True)
+                encode_residual(self.est, cu.coeff_y, True, dep_quant=self.cfg.dep_quant)
             bits = (self.est.frac_bits - b0) / (1 << 15)
             cost = dist + self.lmbda * bits
             if best is None or cost < best[0]:
@@ -488,10 +501,10 @@ class _CtuSearcher:
         self.est.encode_bin(1 if cu.coeff_y is not None else 0,
                             ct.CTX_SETS["QtCbfLuma"](0))
         if cu.coeff_y is not None:
-            encode_residual(self.est, cu.coeff_y, True)
+            encode_residual(self.est, cu.coeff_y, True, dep_quant=self.cfg.dep_quant)
         for comp, coeff in ((1, cu.coeff_cb), (2, cu.coeff_cr)):
             if coeff is not None:
-                encode_residual(self.est, coeff, False)
+                encode_residual(self.est, coeff, False, dep_quant=self.cfg.dep_quant)
         total_bits = (self.est.frac_bits - b0) / (1 << 15)
 
         # reconstruct CU into scratch state (also computes chroma rec + SSE)
