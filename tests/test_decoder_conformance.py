@@ -91,6 +91,25 @@ GOLDEN_HASHES = {
     "golden_ai_lowqp_416x240_qp20_f2.266": [
         "1b2ebaa3e7041ea9f11b2d6f6273fd72",
         "ec2ef2f0a775eb665e433f0419748b28"],
+    # PerceptQPA all-intra: cu_qp_delta parsing (per-CTU QGs), per-CU-QP
+    # dequant + deblocking, slice-level chroma QP offsets
+    "golden_ai_qpa_416x240_f2.266": [
+        "5ac8fc6379aff80d2c86325caa26056a",
+        "41c19c6b573242fcfc85bd4f8371cf47"],
+    # PerceptQPA random access GOP16: cu_qp_delta in B slices incl.
+    # sub-CTU QGs (cu_qp_delta_subdiv 2 on high temporal layers), the
+    # "QP of CUs before the coded delta is the predictor" rule, per-edge
+    # deblock QP averaging
+    "golden_ra_qpa_416x240_q27_f9.266": [
+        "f7ad755e30e8b36bca241d44b2876a65",
+        "217f89ecf756e19edc6bed4ca7dc6e6b",
+        "6da79f6836d89d352e6edaaf84459e27",
+        "ec563d964939f9f807272506aaf1261a",
+        "89407fb3078378a5a5bb748039331c8b",
+        "d21c8843a7b0af4d30d2f3d17077deac",
+        "fad044da0aac32a99df3da03e3d2f994",
+        "6b59416bf1897a54c08d9ad5f1afd4f9",
+        "cce3ea3b51481e4874da0f5ea6dbac81"],
     # TMVP on (--TMVPMode 1): temporal merge + AMVP candidates, MV scaling,
     # 8x8 temporal motion storage rounding, QP24
     "golden_ra_tmvp_416x240_qp24_f9.266": [

@@ -71,6 +71,7 @@ class CuData:
     coeff_cr: Optional[np.ndarray] = None
     luma_only: bool = False          # TREE_L CU of a local dual tree
     chroma_only: bool = False        # TREE_C region chroma CU
+    qp: int = -1                     # luma QpY (cu_qp_delta); -1 = slice QP
 
 
 # split modes
@@ -112,18 +113,22 @@ class PartInfo:
     part_idx: int = 0
     mode_type: int = MODE_ALL  # SCIPU constraint inherited from ancestors
     tree_type: int = TREE_D    # TREE_L inside a chroma-not-split region
+    subdiv: int = 0            # cbSubdiv (QG depth; vvenc currSubdiv)
 
     def child(self, split: int, idx: int, implicit: bool = False) -> "PartInfo":
         p = PartInfo(self.qt_depth, self.mtt_depth, self.bt_depth,
                      self.impl_bt_depth, split, idx,
-                     self.mode_type, self.tree_type)
+                     self.mode_type, self.tree_type, self.subdiv)
         if split == QT_SPLIT:
             p.qt_depth += 1
             p.mtt_depth = 0
             p.bt_depth = 0
+            p.subdiv += 2
         else:
             p.mtt_depth += 1
             p.bt_depth += 1 + (1 if split in (TT_H, TT_V) else 0)
+            # QG subdiv: BT +1; TT outer parts +2, center +1
+            p.subdiv += 2 if (split in (TT_H, TT_V) and idx != 1) else 1
             if implicit:
                 # boundary-forced BT extends the MTT depth budget
                 # (vvenc Partitioner::splitCurrArea currImplicitBtDepth++)
@@ -523,6 +528,17 @@ class SyntaxCoder:
         self.implicit_mts = bool(sps.mts and not sps.mts_intra)
         self.sdh = bool(getattr(sh, "sign_data_hiding_used", 0))
         self.dq = bool(getattr(sh, "dep_quant_used", 0))
+        # cu_qp_delta (vvenc CABACWriter cuCtx.qp/qgStart/isDQPCoded)
+        self.use_dqp = bool(getattr(pps, "cu_qp_delta_enabled", 0))
+        self.qg_subdiv = (getattr(sh.ph, "cu_qp_delta_subdiv_intra", 0)
+                          if sh.slice_type == 2 else
+                          getattr(sh.ph, "cu_qp_delta_subdiv_inter", 0))
+        self.cur_qp = sh.slice_qp
+        self.qg_start = False
+        self.dqp_coded = True
+        self._qg_cus = []
+        self.qg_pred_qp = sh.slice_qp
+        self._qg_delta_at = None
 
     def attach_motion(self, ps: PictureState):
         """Create the per-picture motion field (once per picture)."""
@@ -532,19 +548,126 @@ class SyntaxCoder:
     def new_ctu_row(self):
         self.hmvp.reset()
 
+    # -- cu_qp_delta / quantization groups ---------------------------------
+    # (vvenc CABACWriter::cu_qp_delta:2173, CU::predictQP UnitTools.cpp:324)
+    def _qg_leaf_start(self, ps, x: int, y: int) -> None:
+        """Consume qgStart at the first leaf CU of a quantization group:
+        finalize the previous QG and derive the QP predictor."""
+        if not self.use_dqp or not self.qg_start:
+            return
+        self._finalize_qg(ps)
+        self.qg_start = False
+        self.cur_qp = self._predict_qp(ps, x, y)
+        self.qg_pred_qp = self.cur_qp
+        self._qg_delta_at = None
+
+    def _finalize_qg(self, ps) -> None:
+        """Assign per-CU QPs of a finished quantization group: CUs decoded
+        BEFORE the coded delta keep the predictor; the delta CU and the
+        rest of the group carry the signaled QP (vvenc EncCu::xCheckDQP
+        'reset QPs for CUs without residuals up to first coded CU')."""
+        cut = self._qg_delta_at if self._qg_delta_at is not None \
+            else len(self._qg_cus)
+        for i, cu in enumerate(self._qg_cus):
+            q = self.qg_pred_qp if i < cut else self.cur_qp
+            cu.qp = q
+            ps.qp_map[cu.y >> 2:(cu.y + cu.h) >> 2,
+                      cu.x >> 2:(cu.x + cu.w) >> 2] = q
+        self._qg_cus = []
+
+    def _predict_qp(self, ps, x: int, y: int) -> int:
+        mask = self.ctu_size - 1
+        in_ctu_a = y & mask
+        in_ctu_l = x & mask
+        above = ps.qp_at(x, y - 1)
+        if x == 0 and not in_ctu_l and not in_ctu_a and above is not None:
+            # CTU at tile-left column, CU at CTU origin: inherit from above
+            return above
+        a = above if in_ctu_a else self.cur_qp
+        b = ps.qp_at(x - 1, y) if in_ctu_l else self.cur_qp
+        return (a + b + 1) >> 1
+
+    def _wrap_dqp(self, dqp: int) -> int:
+        off = self.qp.qp_bd_offset
+        return ((dqp + 64 + 32 + off + off // 2) % (64 + off)) - 32 - off // 2
+
+    def _enc_dqp(self, enc, qp: int) -> None:
+        dqp = self._wrap_dqp(qp - self.cur_qp)
+        abs_dqp = abs(dqp)
+        # unary_max_symbol(abs, DeltaQP(0), DeltaQP(1), cMax=5) + EG0 suffix
+        for i in range(min(abs_dqp + 1, 5)):
+            enc.encode_bin(1 if abs_dqp > i else 0,
+                           ct.CTX_SETS["DeltaQP"](0 if i == 0 else 1))
+        if abs_dqp >= 5:
+            rem, k = abs_dqp - 5, 0
+            while rem >= (1 << k):
+                enc.encode_bin_ep(1)
+                rem -= 1 << k
+                k += 1
+            enc.encode_bin_ep(0)
+            if k:
+                enc.encode_bins_ep(rem, k)
+        if abs_dqp > 0:
+            enc.encode_bin_ep(1 if dqp < 0 else 0)
+        off = self.qp.qp_bd_offset
+        self.cur_qp = ((self.cur_qp + dqp + 64 + 2 * off) % (64 + off)) - off
+        self.dqp_coded = True
+        self._qg_delta_at = len(self._qg_cus)
+
+    def _dec_dqp(self, dec) -> None:
+        abs_dqp = 0
+        if dec.decode_bin(ct.CTX_SETS["DeltaQP"](0)):
+            abs_dqp = 1
+            while abs_dqp < 5 and dec.decode_bin(ct.CTX_SETS["DeltaQP"](1)):
+                abs_dqp += 1
+        if abs_dqp == 5:
+            k = 0
+            while dec.decode_bin_ep():
+                abs_dqp += 1 << k
+                k += 1
+            if k:
+                abs_dqp += dec.decode_bins_ep(k)
+        if abs_dqp and dec.decode_bin_ep():
+            abs_dqp = -abs_dqp
+        off = self.qp.qp_bd_offset
+        self.cur_qp = ((self.cur_qp + abs_dqp + 64 + 2 * off) % (64 + off)) \
+            - off
+        self.dqp_coded = True
+        self._qg_delta_at = len(self._qg_cus)
+
+    def _maybe_code_dqp(self, coder, cu, any_cbf: bool, encode: bool) -> None:
+        """cu_qp_delta gate at the (single) TU of a CU (vvenc
+        CABACWriter::transform_unit:2135-2145)."""
+        if not self.use_dqp or self.dqp_coded or cu.chroma_only:
+            return
+        if any_cbf or cu.w > 64 or cu.h > 64:
+            if encode:
+                self._enc_dqp(coder, cu.qp if cu.qp >= 0 else self.cur_qp)
+            else:
+                self._dec_dqp(coder)
+
     # -- encoding ----------------------------------------------------------
     def encode_ctu(self, enc, ps: PictureState, node: TreeNode) -> None:
         """Encode one CTU's coding tree; reconstructs into ps as it goes
         (the encoder relies on ps for neighbor-dependent syntax)."""
         self._enc_tree(enc, ps, node)
+        if self.use_dqp:
+            self._finalize_qg(ps)
 
     def _enc_tree(self, enc, ps, node: TreeNode) -> None:
         x, y, w, h = node.x, node.y, node.w, node.h
         part = node.part
+        if self.use_dqp and part.subdiv <= self.qg_subdiv \
+                and part.tree_type != TREE_C:
+            self.qg_start = True
+            self.dqp_coded = False
         write_split_mode(enc, ps, x, y, w, h, part, self.sps,
                          node.split_mode, self.tree_idx)
         if node.split_mode == NO_SPLIT:
+            self._qg_leaf_start(ps, x, y)
             self._enc_cu(enc, ps, node)
+            if self.use_dqp:
+                self._qg_cus.append(node.cu)
             return
         # SCIPU mode constraint (mirror of _dec_tree)
         val = signal_mode_cons(w, h, node.split_mode, part.mode_type,
@@ -575,6 +698,13 @@ class SyntaxCoder:
             child.part.mode_type = child_mt
             child.part.tree_type = TREE_L if chroma_not_split \
                 else part.tree_type
+            # QG subdiv mirror of PartInfo.child (searcher-built parts may
+            # not have threaded it)
+            if node.split_mode == QT_SPLIT:
+                child.part.subdiv = part.subdiv + 2
+            else:
+                child.part.subdiv = part.subdiv + (
+                    2 if node.split_mode in (TT_H, TT_V) and idx != 1 else 1)
             self._enc_tree(enc, ps, child)
         assert ci == len(node.children)
         if chroma_not_split:
@@ -657,6 +787,7 @@ class SyntaxCoder:
         if (not cu.is_inter or cu.root_cbf) and cu.luma_only:
             cbf_y = cu.coeff_y is not None and np.any(cu.coeff_y)
             enc.encode_bin(1 if cbf_y else 0, ct.CTX_SETS["QtCbfLuma"](0))
+            self._maybe_code_dqp(enc, cu, bool(cbf_y), encode=True)
             if cbf_y:
                 encode_residual(enc, cu.coeff_y, True, dep_quant=self.dq)
             self._finish_cu(ps, cu, node)
@@ -672,6 +803,8 @@ class SyntaxCoder:
                 assert cbf_y, "inter luma cbf inferred 1 needs coefficients"
             else:
                 enc.encode_bin(1 if cbf_y else 0, ct.CTX_SETS["QtCbfLuma"](0))
+            self._maybe_code_dqp(enc, cu, bool(cbf_y or cbf_cb or cbf_cr),
+                                 encode=True)
             if cbf_y:
                 encode_residual(enc, cu.coeff_y, True, dep_quant=self.dq)
             if cbf_cb:
@@ -808,6 +941,10 @@ class SyntaxCoder:
 
     def finish_cu(self, ps, cu, qt_depth: int, comps=(0, 1, 2)):
         """Reconstruct + update motion/attribute maps + HMVP."""
+        if self.use_dqp:
+            # dequant with the current QG QP (the delta, if any, is always
+            # coded before the first residual of the QG)
+            self.qp.set_cu_qp(self.cur_qp)
         reconstruct_cu(ps, cu, self.qp, qt_depth, self.bit_depth,
                        self.ref_pics, comps, self.implicit_mts,
                        self.ctu_size, self.dq)
@@ -870,10 +1007,17 @@ class SyntaxCoder:
 
     # -- decoding ----------------------------------------------------------
     def decode_ctu(self, dec, ps: PictureState, ctu_x: int, ctu_y: int) -> TreeNode:
-        return self._dec_tree(dec, ps, ctu_x, ctu_y, self.ctu_size,
+        node = self._dec_tree(dec, ps, ctu_x, ctu_y, self.ctu_size,
                               self.ctu_size, PartInfo())
+        if self.use_dqp:
+            self._finalize_qg(ps)
+        return node
 
     def _dec_tree(self, dec, ps, x, y, w, h, part: PartInfo) -> TreeNode:
+        if self.use_dqp and part.subdiv <= self.qg_subdiv \
+                and part.tree_type != TREE_C:
+            self.qg_start = True
+            self.dqp_coded = False
         node = TreeNode(x, y, max(w, h), part.qt_depth, w=w, h=h, part=part)
         node.split_mode = read_split_mode(dec, ps, x, y, w, h, part,
                                           self.sps, self.tree_idx)
@@ -910,7 +1054,10 @@ class SyntaxCoder:
                 node.chroma_cu = self._dec_chroma_cu(dec, ps, x, y, w, h,
                                                      part)
         else:
+            self._qg_leaf_start(ps, x, y)
             node.cu = self._dec_cu(dec, ps, node)
+            if self.use_dqp:
+                self._qg_cus.append(node.cu)
         return node
 
     def _dec_chroma_cu(self, dec, ps, x, y, w, h, part: PartInfo) -> CuData:
@@ -1018,6 +1165,7 @@ class SyntaxCoder:
         if not cu.is_inter or cu.root_cbf:
             if cu.luma_only:
                 cbf_y = dec.decode_bin(ct.CTX_SETS["QtCbfLuma"](0))
+                self._maybe_code_dqp(dec, cu, bool(cbf_y), encode=False)
                 if cbf_y:
                     cu.coeff_y = decode_residual(dec, w, h, True,
                                              dep_quant=self.dq, sign_hiding=self.sdh)
@@ -1029,6 +1177,8 @@ class SyntaxCoder:
                 cbf_y = 1  # inferred for inter with no chroma cbf
             else:
                 cbf_y = dec.decode_bin(ct.CTX_SETS["QtCbfLuma"](0))
+            self._maybe_code_dqp(dec, cu, bool(cbf_y or cbf_cb or cbf_cr),
+                                 encode=False)
             if cbf_y:
                 cu.coeff_y = decode_residual(dec, w, h, True,
                                              dep_quant=self.dq, sign_hiding=self.sdh)
@@ -1145,4 +1295,5 @@ def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
         ps.mark_chroma(cu.x, cu.y, cu.w, cu.h)
     else:
         ps.mark_cu(cu.x, cu.y, cu.w, cu.h, qt_depth, cu.luma_mode,
-                   is_intra=not cu.is_inter, with_chroma=not cu.luma_only)
+                   is_intra=not cu.is_inter, with_chroma=not cu.luma_only,
+                   qp=qp.qp_y)

@@ -364,19 +364,38 @@ class _BsMaps:
 
 def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                     ctu_size: int, bit_depth: int = 10,
-                    ref_pocs=None, is_b: bool = False) -> None:
+                    ref_pocs=None, is_b: bool = False,
+                    qp_map=None, chroma_qp_fn=None) -> None:
     """In-place deblocking of one picture.
 
     rec: {0: Y, 1: Cb, 2: Cr} planes (modified in place).
     cu_list: iterable of CuData-likes (x, y, w, h luma coords, TU == CU;
     inter CUs carry mv/ref_idx/coeff_*).  qp_*: constant per-component QPs
     (slice-level; chroma already mapped, WITHOUT the bit-depth offset).
+    qp_map: optional per-4x4-unit luma QP map (PictureState.qp_map); with
+    chroma_qp_fn(qp_y, comp) enables the per-CU-QP edge derivation
+    (vvenc LoopFilter.cpp:1041 luma avg, :1055-1060 per-side chroma map).
     ref_pocs: [l0 pocs, l1 pocs] resolving ref_idx for the BS motion check;
     is_b: slice is a B slice (selects the bi-directional BS rule).
     """
     h, w = rec[0].shape
     maps = _BsMaps(cu_list, w, h, ref_pocs)
     cu_w, cu_h = maps.cu_w, maps.cu_h
+
+    if qp_map is not None:
+        def luma_edge_qp(pu_y, pu_x, qu_y, qu_x):
+            return (int(qp_map[pu_y, pu_x]) + int(qp_map[qu_y, qu_x]) + 1) \
+                >> 1
+
+        def chroma_edge_qp(pu_y, pu_x, qu_y, qu_x, comp):
+            return (chroma_qp_fn(int(qp_map[pu_y, pu_x]), comp)
+                    + chroma_qp_fn(int(qp_map[qu_y, qu_x]), comp) + 1) >> 1
+    else:
+        def luma_edge_qp(pu_y, pu_x, qu_y, qu_x):
+            return qp_luma
+
+        def chroma_edge_qp(pu_y, pu_x, qu_y, qu_x, comp):
+            return qp_cb if comp == 1 else qp_cr
 
     def luma_maxlen(size_p, size_q):
         if size_p <= 4 or size_q <= 4:
@@ -398,7 +417,8 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                     size_q = cu.w
                     size_p = int(cu_w[yy >> 2, (x - 1) >> 2])
                     mp, mq = luma_maxlen(size_p, size_q)
-                    _filter_luma_edge_seg(rec[0], x, yy, True, qp_luma,
+                    eqp = luma_edge_qp(yy >> 2, (x - 1) >> 2, yy >> 2, x >> 2)
+                    _filter_luma_edge_seg(rec[0], x, yy, True, eqp,
                                           mp, mq, bit_depth, bs=bs_y)
             else:
                 if cu.y == 0:
@@ -412,7 +432,8 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                     size_q = cu.h
                     size_p = int(cu_h[(y - 1) >> 2, xx >> 2])
                     mp, mq = luma_maxlen(size_p, size_q)
-                    _filter_luma_edge_seg(rec[0], xx, y, False, qp_luma,
+                    eqp = luma_edge_qp((y - 1) >> 2, xx >> 2, y >> 2, xx >> 2)
+                    _filter_luma_edge_seg(rec[0], xx, y, False, eqp,
                                           mp, mq, bit_depth,
                                           at_ctu_hor=(y % ctu_size == 0),
                                           bs=bs_y)
@@ -432,9 +453,11 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                     size_q = cw
                     size_p = int(cu_w[(yy << 1) >> 2, ((cx - 1) << 1) >> 2]) >> 1
                     large = size_p >= 8 and size_q >= 8
-                    for qp_c, comp, bsc in ((qp_cb, 1, bs_cb),
-                                            (qp_cr, 2, bs_cr)):
+                    for comp, bsc in ((1, bs_cb), (2, bs_cr)):
                         if bsc == 2 or (large and bsc == 1):
+                            qp_c = chroma_edge_qp(
+                                (yy << 1) >> 2, ((cx - 1) << 1) >> 2,
+                                (yy << 1) >> 2, (cx << 1) >> 2, comp)
                             _filter_chroma_edge_seg(rec[comp], cx, yy, True,
                                                     qp_c, large, bit_depth,
                                                     bs=bsc)
@@ -450,9 +473,11 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                     size_q = ch
                     size_p = int(cu_h[((cy - 1) << 1) >> 2, (xx << 1) >> 2]) >> 1
                     large = size_p >= 8 and size_q >= 8
-                    for qp_c, comp, bsc in ((qp_cb, 1, bs_cb),
-                                            (qp_cr, 2, bs_cr)):
+                    for comp, bsc in ((1, bs_cb), (2, bs_cr)):
                         if bsc == 2 or (large and bsc == 1):
+                            qp_c = chroma_edge_qp(
+                                ((cy - 1) << 1) >> 2, (xx << 1) >> 2,
+                                (cy << 1) >> 2, (xx << 1) >> 2, comp)
                             _filter_chroma_edge_seg(rec[comp], xx, cy, False,
                                                     qp_c, large, bit_depth,
                                                     at_ctu_hor=at_ctu,

@@ -41,10 +41,18 @@ class PictureState:
         self.cu_w = np.zeros((uh, uw), dtype=np.int32)
         self.cu_h = np.zeros((uh, uw), dtype=np.int32)
         self.qt_depth = np.zeros((uh, uw), dtype=np.int32)
+        self.qp_map = np.zeros((uh, uw), dtype=np.int32)  # per-4x4 QpY
 
     # -- attribute queries (positions in luma samples) ---------------------
     def inside(self, x: int, y: int) -> bool:
         return 0 <= x < self.w and 0 <= y < self.h
+
+    def qp_at(self, x: int, y: int):
+        """Luma QP of the coded CU covering (x, y), or None (for
+        CU::predictQP neighbor lookups, vvenc UnitTools.cpp:324)."""
+        if not self.inside(x, y) or not self.is_coded(x, y):
+            return None
+        return int(self.qp_map[y >> 2, x >> 2])
 
     def is_coded(self, x: int, y: int) -> bool:
         return self.inside(x, y) and bool(self.coded_luma[y >> 2, x >> 2])
@@ -61,7 +69,7 @@ class PictureState:
 
     def mark_cu(self, x: int, y: int, w: int, h: int, qt_depth: int,
                 intra_mode: int, is_intra: bool = True, is_mip: bool = False,
-                with_chroma: bool = True):
+                with_chroma: bool = True, qp: int = 0):
         """Register a reconstructed CU's attributes + coded progress."""
         ux0, uy0 = x >> 2, y >> 2
         ux1, uy1 = (x + w) >> 2, (y + h) >> 2
@@ -72,6 +80,7 @@ class PictureState:
         self.cu_w[uy0:uy1, ux0:ux1] = w
         self.cu_h[uy0:uy1, ux0:ux1] = h
         self.qt_depth[uy0:uy1, ux0:ux1] = qt_depth
+        self.qp_map[uy0:uy1, ux0:ux1] = qp
         if with_chroma:
             self.mark_chroma(x, y, w, h)
 
@@ -103,6 +112,7 @@ class PictureState:
             self.cu_w[uy:uy1, ux:ux1].copy(),
             self.cu_h[uy:uy1, ux:ux1].copy(),
             self.qt_depth[uy:uy1, ux:ux1].copy(),
+            self.qp_map[uy:uy1, ux:ux1].copy(),
         )
 
     def restore_region(self, snap) -> None:
@@ -122,3 +132,4 @@ class PictureState:
         self.cu_w[uy:uy1, ux:ux1] = snap[9]
         self.cu_h[uy:uy1, ux:ux1] = snap[10]
         self.qt_depth[uy:uy1, ux:ux1] = snap[11]
+        self.qp_map[uy:uy1, ux:ux1] = snap[12]

@@ -50,15 +50,19 @@ def derive_chroma_qp_table(start: int, in_deltas_m1, out_deltas,
 class QpState:
     """Per-slice QP state: luma QP + derived per-component quantizer QPs."""
 
-    def __init__(self, sps, pps, slice_qp: int):
+    def __init__(self, sps, pps, slice_qp: int, sh=None):
         self.bit_depth = sps.bit_depth
         self.qp_bd_offset = 6 * (sps.bit_depth - 8)
         self.qp_y = slice_qp
+        self.slice_qp = slice_qp
         start, ins, outs = sps.chroma_qp_tables[0]
         self._ctab = derive_chroma_qp_table(start + 26, ins, outs,
                                             self.qp_bd_offset)
-        self.cb_off = pps.cb_qp_offset
-        self.cr_off = pps.cr_qp_offset
+        # total chroma offset = PPS + slice-level (VVC 8.7.1 CuQpOffset)
+        sh_cb = getattr(sh, "cb_qp_offset", 0) if sh is not None else 0
+        sh_cr = getattr(sh, "cr_qp_offset", 0) if sh is not None else 0
+        self.cb_off = pps.cb_qp_offset + sh_cb
+        self.cr_off = pps.cr_qp_offset + sh_cr
 
     def luma_qp(self) -> int:
         """Quantizer QP for luma (Qp'Y, includes bit-depth offset)."""
@@ -71,3 +75,15 @@ class QpState:
         off = self.cb_off if comp == 1 else self.cr_off
         qpc = max(-self.qp_bd_offset, min(63, qpc + off))
         return qpc + self.qp_bd_offset
+
+    def set_cu_qp(self, qp_y: int) -> None:
+        """Switch the state to one CU's luma QP (cu_qp_delta)."""
+        self.qp_y = qp_y if qp_y >= 0 else self.slice_qp
+
+    def chroma_deblock_qp(self, qp_y: int, comp: int) -> int:
+        """Chroma QP for the deblocking tc/beta lookup of a CU with luma
+        QP qp_y (QpParam.Qp(0) - qpBdOffset, vvenc LoopFilter.cpp:1057)."""
+        q = max(-self.qp_bd_offset, min(63, qp_y))
+        qpc = self._ctab[q + self.qp_bd_offset]
+        off = self.cb_off if comp == 1 else self.cr_off
+        return max(-self.qp_bd_offset, min(63, qpc + off))

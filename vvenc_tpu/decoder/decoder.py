@@ -23,6 +23,7 @@ class DecodedFrame:
     def __init__(self, ps: PictureState, poc: int, sh, mf=None,
                  ref_pocs=None):
         self.planes = ps.rec
+        self.ps = ps
         self.poc = poc
         self.slice_header = sh
         self.mf = mf                     # motion field (TMVP source)
@@ -78,7 +79,7 @@ def _decode_slice(rbsp: bytes, nal_type, sps_map, pps_map,
     sh = hls.parse_slice_header(br, sps, pps, is_idr)
 
     ps = PictureState(pps.pic_width, pps.pic_height, sps.bit_depth)
-    qp = QpState(sps, pps, sh.slice_qp)
+    qp = QpState(sps, pps, sh.slice_qp, sh=sh)
 
     ref_pics = [[], []]
     ref_pocs = [[], []]
@@ -146,7 +147,9 @@ def _decode_slice(rbsp: bytes, nal_type, sps_map, pps_map,
                         qp.chroma_qp(1) - qp.qp_bd_offset,
                         qp.chroma_qp(2) - qp.qp_bd_offset,
                         sps.ctu_size, sps.bit_depth,
-                        ref_pocs=ref_pocs, is_b=(sh.slice_type == SLICE_B))
+                        ref_pocs=ref_pocs, is_b=(sh.slice_type == SLICE_B),
+                        qp_map=ps.qp_map,
+                        chroma_qp_fn=qp.chroma_deblock_qp)
     if sao_on:
         from ..codec.sao import apply_sao_picture
         apply_sao_picture(ps.rec, sao_map, sps.ctu_size, sps.bit_depth,

@@ -268,7 +268,9 @@ class IntraEncoder:
                             qp_state.chroma_qp(2) - qp_state.qp_bd_offset,
                             cfg.ctu_size, cfg.bit_depth,
                             ref_pocs=ref_pocs,
-                            is_b=(slice_type == SLICE_B))
+                            is_b=(slice_type == SLICE_B),
+                            qp_map=ps.qp_map,
+                            chroma_qp_fn=qp_state.chroma_deblock_qp)
 
         if is_idr:
             nal_type = NalUnitType.IDR_N_LP if self.frames_done == 0 \

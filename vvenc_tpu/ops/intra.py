@@ -122,16 +122,21 @@ def intra_params(w: int, h: int, mode: int, is_luma: bool = True) -> IntraParams
 
 
 def filter_reference(top: np.ndarray, left: np.ndarray):
-    """[1 2 1]/4 reference smoothing (vvenc xFilterReferenceSamples:994)."""
+    """[1 2 1]/4 reference smoothing (vvenc xFilterReferenceSamples:994).
+
+    The LAST sample of each side (index 2W / 2H) stays unfiltered
+    (refBufFiltered[predSize] = refBufUnfiltered[predSize])."""
     ft = top.copy()
     fl = left.copy()
     corner = (int(top[0]) + int(top[1]) + int(left[0]) + int(left[1]) + 2) >> 2
-    n = len(top) - 1
+    n = len(top) - 3  # == predSize == 2W (arrays carry +3 padding)
     ft[1:n] = (top[:n - 1].astype(np.int32) + 2 * top[1:n] + top[2:n + 1] + 2) >> 2
     ft[0] = corner
-    m = len(left) - 1
+    ft[n:] = top[n]
+    m = len(left) - 3
     fl[1:m] = (left[:m - 1].astype(np.int32) + 2 * left[1:m] + left[2:m + 1] + 2) >> 2
     fl[0] = corner
+    fl[m:] = left[m]
     return ft, fl
 
 
