@@ -36,6 +36,8 @@ def parse_args(argv):
                    help="hierarchical-B GOP size (power of two; "
                         "1 = low-delay IPPP; default: 16 when inter)")
     p.add_argument("--recon", default=None, help="write reconstruction YUV")
+    p.add_argument("--qpa", type=int, default=None, choices=[0, 1],
+                   help="perceptual QP adaptation (default: config)")
     p.add_argument("--verify", action="store_true",
                    help="decode the produced stream and verify recon match")
     return p.parse_args(argv)
@@ -52,6 +54,8 @@ def main(argv=None):
                          input_bit_depth=args.input_bitdepth,
                          intra_period=args.intra_period, gop_size=gop_size)
     init_preset(cfg, Preset[args.preset.upper()])
+    if args.qpa is not None:
+        cfg.perceptual_qpa = args.qpa
     check_config(cfg)
 
     enc = IntraEncoder(EncoderConfig(
@@ -60,7 +64,8 @@ def main(argv=None):
         num_full_rd_modes=cfg.num_full_rd_modes,
         max_mtt_depth=cfg.max_mtt_depth_i, deblocking=bool(cfg.deblocking),
         intra_period=cfg.intra_period, gop_size=cfg.gop_size,
-        dep_quant=bool(cfg.dep_quant)))
+        dep_quant=bool(cfg.dep_quant), qpa=bool(cfg.perceptual_qpa),
+        fps_num=int(round(args.framerate)), fps_den=1))
 
     stats = SequenceStats(args.framerate)
     shift = 10 - cfg.input_bit_depth

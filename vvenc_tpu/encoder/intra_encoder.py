@@ -65,6 +65,7 @@ class EncoderConfig:
     max_tt_size: int = 32
     rdoq: bool = True              # rate-distortion optimized quantization
     dep_quant: bool = False        # trellis (dependent) quantization
+    qpa: bool = False              # perceptual QP adaptation (XPSNR model)
 
 
 def build_parameter_sets(cfg: EncoderConfig):
@@ -92,6 +93,9 @@ def build_parameter_sets(cfg: EncoderConfig):
     pps.deblocking_filter_control_present = 1
     pps.deblocking_filter_disabled = 0 if cfg.deblocking else 1
     sps.dep_quant_enabled = 1 if cfg.dep_quant else 0
+    if cfg.qpa:
+        pps.cu_qp_delta_enabled = 1
+        pps.slice_chroma_qp_flag = 1
     return sps, pps
 
 
@@ -116,6 +120,7 @@ class IntraEncoder:
         self.bits_by_poc = {}
         self.slice_type_by_poc = {}
         self.qp_by_poc = {}
+        self._orig_by_poc = {}         # display-order originals for QPA
 
     # ------------------------------------------------------------------
     def headers(self) -> bytes:
@@ -193,9 +198,22 @@ class IntraEncoder:
         is_idr = slice_type == SLICE_I
         slice_qp = self.slice_qp if is_idr else \
             max(0, min(63, cfg.qp + qp_offset))
-        qp_state = QpState(self.sps, self.pps, slice_qp)
         self.lmbda = lambda_for_qp(slice_qp, cfg.bit_depth)
         self.lmbda_sad = self.lmbda ** 0.5
+
+        qpa_res = None
+        if cfg.qpa:
+            from .qpa import apply_qpa_slice
+            self._orig_by_poc[poc] = src
+            from ..codec.qp import derive_chroma_qp_table
+            start, ins, outs = self.sps.chroma_qp_tables[0]
+            ctab = derive_chroma_qp_table(start + 26, ins, outs, 0)
+            qpa_res = apply_qpa_slice(
+                src, self._orig_by_poc.get(poc - 1),
+                self._orig_by_poc.get(poc - 2), slice_qp, self.lmbda,
+                cfg.ctu_size, cfg.bit_depth,
+                (cfg.fps_num + cfg.fps_den - 1) // cfg.fps_den, is_idr,
+                chroma_table=lambda q: ctab[max(0, min(63, q))])
 
         sh = SliceHeader()
         sh.slice_qp = slice_qp
@@ -221,6 +239,9 @@ class IntraEncoder:
             sh.num_ref_idx = [len(refs_l0), len(refs_l1)]
             if not refs_l1:
                 sh.rpls[1] = RefPicList()
+        if qpa_res is not None:
+            sh.cb_qp_offset, sh.cr_qp_offset = qpa_res.chroma_qp_offsets
+        qp_state = QpState(self.sps, self.pps, slice_qp, sh=sh)
 
         coder = SyntaxCoder(self.sps, self.pps, sh, qp_state, ref_pics,
                             ref_pocs)
@@ -241,7 +262,17 @@ class IntraEncoder:
         for cy in range(n_rows):
             coder.new_ctu_row()
             for cx in range(n_cols):
+                if qpa_res is not None:
+                    addr = cy * n_cols + cx
+                    ctu_qp = int(qpa_res.ctu_qps[addr])
+                    qp_state.set_cu_qp(ctu_qp)
+                    searcher.lmbda = self.lmbda = \
+                        float(qpa_res.ctu_lambdas[addr])
+                    searcher.lmbda_sad = self.lmbda_sad = \
+                        searcher.lmbda ** 0.5
                 tree = searcher.search_ctu(cx * ctu, cy * ctu, enc.ctx)
+                if qpa_res is not None:
+                    _set_tree_qp(tree, ctu_qp)
                 coder.encode_ctu(enc, ps, tree)
                 trees.append(tree)
         # end_of_slice: terminating bin + arithmetic flush + rbsp trailing
@@ -290,6 +321,17 @@ class IntraEncoder:
         if len(self.dpb) > 16:
             self.dpb.pop(0)
         return out
+
+
+def _set_tree_qp(node, qp: int) -> None:
+    """Stamp the QPA-decided CTU QP on every CU of a search tree (the
+    syntax writer codes the cu_qp_delta from these)."""
+    if node.cu is not None:
+        node.cu.qp = qp
+    if getattr(node, "chroma_cu", None) is not None:
+        node.chroma_cu.qp = qp
+    for c in node.children:
+        _set_tree_qp(c, qp)
 
 
 class _CtuSearcher:
