@@ -21,6 +21,15 @@ DATA = os.path.join(os.path.dirname(__file__), "data")
 # md5 of frame planes (uint16 LE, Y then U then V concatenated) from the
 # reference encoder's reconstruction output
 GOLDEN_HASHES = {
+    # MIP (matrix intra prediction) all-intra, CTU64 MTT1, deblocking on
+    # (--preset faster tools-off set + --MIP 1, q27)
+    "golden_ai_mip_416x240_qp27_f2.266": [
+        "363e2f1eea7d453b0fa84210c44122ee",
+        "19ad6eed9b580a0db1a045bf5895691a"],
+    # MRL (multi-reference-line intra), same config with --MRL 1
+    "golden_ai_mrl_416x240_qp27_f2.266": [
+        "8be58ac0e12ffd3f19183e4e82d08b6c",
+        "6854b36cd6fde6afbac1ebb253c5c1b3"],
     "golden_ai_minimal_416x240_qp37_f1.266": [
         "34453c0404da1000c586b0061ce6232b"],
     "golden_ai_qt_416x240_qp37_f3.266": [

@@ -68,3 +68,20 @@ def test_batched_best_mode_reasonable():
     costs = np.asarray(IB.mode_costs_batch(src, rm, top[None], left[None], w, h))
     best = int(np.argmin(costs[0]))
     assert abs(best - I.VER_IDX) <= 2, best  # near-vertical wins
+
+
+def test_mip_prediction_properties():
+    """MIP predictions stay in range and vary with mode/transpose."""
+    import numpy as np
+    from vvenc_tpu.ops import mip as M
+    rng = np.random.RandomState(11)
+    for (w, h) in ((4, 4), (8, 8), (4, 16), (16, 4), (16, 16), (32, 32)):
+        top = rng.randint(0, 1024, w * 2 + 3).astype(np.int32)
+        left = rng.randint(0, 1024, h * 2 + 3).astype(np.int32)
+        n = M.num_mip_modes(w, h)
+        preds = {(m, t): M.predict_mip(top[:w], left[:h], w, h, m, bool(t), 10)
+                 for m in range(n) for t in (0, 1)}
+        for p in preds.values():
+            assert p.shape == (h, w)
+            assert 0 <= p.min() and p.max() <= 1023
+        assert len({p.tobytes() for p in preds.values()}) > n // 2

@@ -24,6 +24,7 @@ import numpy as np
 from ..bitstream import ctx_tables as ct
 from ..bitstream.residual import encode_residual, decode_residual
 from ..ops import intra as I
+from ..ops import mip as MIP
 from ..ops import transforms as T
 from ..ops.interp import mc_block_np, bi_average_np
 from .picture import PictureState
@@ -65,6 +66,9 @@ class CuData:
     mvp_idx_l1: int = 0
     root_cbf: bool = True
     luma_mode: int = PLANAR
+    mip_flag: bool = False           # matrix intra prediction (luma_mode is
+    mip_transposed: bool = False     # then the MIP mode index)
+    ref_line: int = 0                # MRL reference line index (0, 1, 2)
     chroma_dir: int = DM_CHROMA      # signalled chroma mode (DM or mode value)
     coeff_y: Optional[np.ndarray] = None
     coeff_cb: Optional[np.ndarray] = None
@@ -457,6 +461,26 @@ def get_intra_mpms(ps: PictureState, x: int, y: int, w: int, h: int,
                    ((md + offset - 1) % mod) + 2,
                    (md % mod) + 2]
     return mpm
+
+
+def dm_luma_mode(cu) -> int:
+    """Luma mode as seen by chroma DM / candidate derivation: MIP CUs
+    count as PLANAR (VVC 8.4.3, vvenc PU::getCoLocatedIntraLumaMode)."""
+    return PLANAR if cu.mip_flag else cu.luma_mode
+
+
+def mip_flag_ctx(ps: PictureState, x: int, y: int, w: int, h: int) -> int:
+    """vvenc DeriveCtx::CtxMipFlag (ContextModelling.cpp)."""
+    if w > 2 * h or h > 2 * w:
+        return 3
+    ctx = 0
+    left = ps.cu_at(x - 1, y)
+    if left is not None and left[5]:
+        ctx += 1
+    above = ps.cu_at(x, y - 1)
+    if above is not None and above[5]:
+        ctx += 1
+    return ctx
 
 
 def chroma_cand_modes(luma_mode: int) -> list:
@@ -961,14 +985,36 @@ class SyntaxCoder:
                 self.mf.set_cu(cu.x, cu.y, cu.w, cu.h, None, False)
 
     def _enc_intra_luma_mode(self, enc, ps, cu: CuData) -> None:
+        # intra_mip_flag / mip modes (vvenc CABACWriter::mip_flag:2966,
+        # mip_pred_mode:2994)
+        if self.sps.mip:
+            ctx = mip_flag_ctx(ps, cu.x, cu.y, cu.w, cu.h)
+            enc.encode_bin(1 if cu.mip_flag else 0,
+                           ct.CTX_SETS["MipFlag"](ctx))
+            if cu.mip_flag:
+                enc.encode_bin_ep(1 if cu.mip_transposed else 0)
+                write_trunc_bin(enc, cu.luma_mode,
+                                MIP.num_mip_modes(cu.w, cu.h))
+                return
+        # intra_luma_ref_idx (MRL; vvenc CABACWriter::extend_ref_line:925)
+        if self.sps.mrl and (cu.y % self.ctu_size) != 0:
+            enc.encode_bin(1 if cu.ref_line != 0 else 0,
+                           ct.CTX_SETS["MultiRefLineIdx"](0))
+            if cu.ref_line != 0:
+                enc.encode_bin(1 if cu.ref_line != 1 else 0,
+                               ct.CTX_SETS["MultiRefLineIdx"](1))
         mpm = get_intra_mpms(ps, cu.x, cu.y, cu.w, cu.h, self.ctu_size)
         mode = cu.luma_mode
         mpm_idx = mpm.index(mode) if mode in mpm else NUM_MPM
-        enc.encode_bin(1 if mpm_idx < NUM_MPM else 0,
-                       ct.CTX_SETS["IntraLumaMpmFlag"](0))
+        if cu.ref_line:
+            assert 1 <= mpm_idx < NUM_MPM, "MRL modes must be non-planar MPMs"
+        else:
+            enc.encode_bin(1 if mpm_idx < NUM_MPM else 0,
+                           ct.CTX_SETS["IntraLumaMpmFlag"](0))
         if mpm_idx < NUM_MPM:
-            enc.encode_bin(1 if mpm_idx > 0 else 0,
-                           ct.CTX_SETS["IntraLumaPlanarFlag"](1))
+            if cu.ref_line == 0:
+                enc.encode_bin(1 if mpm_idx > 0 else 0,
+                               ct.CTX_SETS["IntraLumaPlanarFlag"](1))
             if mpm_idx:
                 enc.encode_bin_ep(1 if mpm_idx > 1 else 0)
             if mpm_idx > 1:
@@ -1001,7 +1047,7 @@ class SyntaxCoder:
         is_dm = cu.chroma_dir == DM_CHROMA
         enc.encode_bin(0 if is_dm else 1, ct.CTX_SETS["IntraChromaPredMode"](0))
         if not is_dm:
-            cands = chroma_cand_modes(cu.luma_mode)
+            cands = chroma_cand_modes(dm_luma_mode(cu))
             cand_id = cands.index(cu.chroma_dir)
             enc.encode_bins_ep(cand_id, 2)
 
@@ -1192,7 +1238,22 @@ class SyntaxCoder:
         return cu
 
     def _dec_intra_luma_mode(self, dec, ps, cu: CuData) -> int:
+        if self.sps.mip:
+            ctx = mip_flag_ctx(ps, cu.x, cu.y, cu.w, cu.h)
+            if dec.decode_bin(ct.CTX_SETS["MipFlag"](ctx)):
+                cu.mip_flag = True
+                cu.mip_transposed = bool(dec.decode_bin_ep())
+                return read_trunc_bin(dec, MIP.num_mip_modes(cu.w, cu.h))
+        if self.sps.mrl and (cu.y % self.ctu_size) != 0:
+            if dec.decode_bin(ct.CTX_SETS["MultiRefLineIdx"](0)):
+                cu.ref_line = 2 if dec.decode_bin(
+                    ct.CTX_SETS["MultiRefLineIdx"](1)) else 1
         mpm = get_intra_mpms(ps, cu.x, cu.y, cu.w, cu.h, self.ctu_size)
+        if cu.ref_line:
+            idx = 1
+            while idx < NUM_MPM - 1 and dec.decode_bin_ep():
+                idx += 1
+            return mpm[idx]
         if dec.decode_bin(ct.CTX_SETS["IntraLumaMpmFlag"](0)):
             if not dec.decode_bin(ct.CTX_SETS["IntraLumaPlanarFlag"](1)):
                 return mpm[0]
@@ -1215,7 +1276,7 @@ class SyntaxCoder:
         if not dec.decode_bin(ct.CTX_SETS["IntraChromaPredMode"](0)):
             return DM_CHROMA
         cand_id = dec.decode_bins_ep(2)
-        return chroma_cand_modes(cu.luma_mode)[cand_id]
+        return chroma_cand_modes(dm_luma_mode(cu))[cand_id]
 
 
 # ---------------------------------------------------------------------------
@@ -1234,16 +1295,24 @@ def predict_cu_component(ps: PictureState, cu: CuData, comp: int,
         mask = ps.coded_luma
         unit = PictureState.LUMA_UNIT
         is_luma = True
+        if cu.mip_flag:
+            top, left = I.build_reference_samples(rec, x, y, w, h, mask,
+                                                  unit, bit_depth)
+            return MIP.predict_mip(top[1:w + 1], left[1:h + 1], w, h,
+                                   cu.luma_mode, cu.mip_transposed, bit_depth)
     else:
-        mode = cu.luma_mode if cu.chroma_dir == DM_CHROMA else cu.chroma_dir
+        mode = dm_luma_mode(cu) if cu.chroma_dir == DM_CHROMA \
+            else cu.chroma_dir
         x, y, w, h = cu.x >> 1, cu.y >> 1, cu.w >> 1, cu.h >> 1
         rec = ps.rec[comp]
         mask = ps.coded_chroma
         unit = PictureState.CHROMA_UNIT
         is_luma = False
+    ref_line = cu.ref_line if comp == 0 else 0
     top, left = I.build_reference_samples(rec, x, y, w, h, mask, unit,
-                                          bit_depth)
-    return I.predict_intra(top, left, mode, w, h, bit_depth, is_luma)
+                                          bit_depth, ref_idx=ref_line)
+    return I.predict_intra(top, left, mode, w, h, bit_depth, is_luma,
+                           ref_idx=ref_line)
 
 
 def inter_predict(ref_pics, mv, ref_idx, x, y, w, h, comp, bit_depth):
@@ -1294,6 +1363,6 @@ def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
     if cu.chroma_only:
         ps.mark_chroma(cu.x, cu.y, cu.w, cu.h)
     else:
-        ps.mark_cu(cu.x, cu.y, cu.w, cu.h, qt_depth, cu.luma_mode,
-                   is_intra=not cu.is_inter, with_chroma=not cu.luma_only,
-                   qp=qp.qp_y)
+        ps.mark_cu(cu.x, cu.y, cu.w, cu.h, qt_depth, dm_luma_mode(cu),
+                   is_intra=not cu.is_inter, is_mip=cu.mip_flag,
+                   with_chroma=not cu.luma_only, qp=qp.qp_y)

@@ -66,6 +66,8 @@ class EncoderConfig:
     rdoq: bool = True              # rate-distortion optimized quantization
     dep_quant: bool = False        # trellis (dependent) quantization
     qpa: bool = False              # perceptual QP adaptation (XPSNR model)
+    mip: bool = False              # matrix intra prediction
+    mrl: bool = False              # multi-reference-line intra
 
 
 def build_parameter_sets(cfg: EncoderConfig):
@@ -93,6 +95,8 @@ def build_parameter_sets(cfg: EncoderConfig):
     pps.deblocking_filter_control_present = 1
     pps.deblocking_filter_disabled = 0 if cfg.deblocking else 1
     sps.dep_quant_enabled = 1 if cfg.dep_quant else 0
+    sps.mip = 1 if cfg.mip else 0
+    sps.mrl = 1 if cfg.mrl else 0
     if cfg.qpa:
         pps.cu_qp_delta_enabled = 1
         pps.slice_chroma_qp_flag = 1
@@ -474,28 +478,59 @@ class _CtuSearcher:
             bit_depth)
         mpm = get_intra_mpms(ps, x, y, w, h, self.cfg.ctu_size)
 
-        # SATD preselection over all modes
+        # SATD preselection over all modes (entry: cost, mode, pred,
+        # mip_flag, mip_transposed)
         cand = []
         for mode in range(I.NUM_LUMA_MODE):
             pred = I.predict_intra(top, left, mode, w, h, bit_depth, True)
             satd = R.satd_np(src_y, pred)
             mode_bits = (1.5 + mpm.index(mode) if mode in mpm else 7.0)
-            cand.append((satd + self.lmbda_sad * mode_bits, mode, pred))
+            cand.append((satd + self.lmbda_sad * mode_bits, mode, pred,
+                         False, False, 0))
+        if self.enc.sps.mip:
+            from ..ops import mip as MIPO
+            n_mip = MIPO.num_mip_modes(w, h)
+            mip_bits = 2.0 + n_mip.bit_length() - 1
+            for m in range(n_mip):
+                for t in (False, True):
+                    pred = MIPO.predict_mip(top[1:w + 1], left[1:h + 1],
+                                            w, h, m, t, bit_depth)
+                    satd = R.satd_np(src_y, pred)
+                    cand.append((satd + self.lmbda_sad * mip_bits, m, pred,
+                                 True, t, 0))
+        if self.enc.sps.mrl and (y % self.cfg.ctu_size) != 0:
+            for line in (1, 2):
+                rt, rl = I.build_reference_samples(
+                    ps.rec[0], x, y, w, h, ps.coded_luma,
+                    PictureState.LUMA_UNIT, bit_depth, ref_idx=line)
+                for mi in range(1, 6):
+                    mode = mpm[mi]
+                    if mode == I.PLANAR_IDX:
+                        continue
+                    pred = I.predict_intra(rt, rl, mode, w, h, bit_depth,
+                                           True, ref_idx=line)
+                    satd = R.satd_np(src_y, pred)
+                    cand.append((satd + self.lmbda_sad * (2.5 + mi), mode,
+                                 pred, False, False, line))
         cand.sort(key=lambda t: t[0])
         n_full = self.cfg.num_full_rd_modes
         full_modes = cand[:n_full]
         # ensure planar is tested (cheap DC of list)
-        if all(m != I.PLANAR_IDX for _, m, _ in full_modes):
-            full_modes.append(next(t for t in cand if t[1] == I.PLANAR_IDX))
+        if all(m != I.PLANAR_IDX or mf or rl
+               for _, m, _, mf, _, rl in full_modes):
+            full_modes.append(next(t for t in cand
+                                   if t[1] == I.PLANAR_IDX and not t[3]
+                                   and not t[5]))
 
         qy = self.qp.luma_qp()
         est_snap = self.est.snapshot()
         best = None
-        for _, mode, pred in full_modes:
+        for _, mode, pred, mip_f, mip_t, ref_line in full_modes:
             resi = src_y - pred
             coeff = self._q(T.fwd_transform_np(resi, bit_depth), qy, True,
                             ct.CTX_SETS["QtCbfLuma"](0))
-            cu = CuData(x, y, w, h, luma_mode=mode)
+            cu = CuData(x, y, w, h, luma_mode=mode, mip_flag=mip_f,
+                        mip_transposed=mip_t, ref_line=ref_line)
             if np.any(coeff):
                 cu.coeff_y = coeff
                 d = self._dq(coeff, qy)
@@ -563,13 +598,32 @@ class _CtuSearcher:
 
     def _est_cu_luma_syntax(self, cu: CuData, mpm) -> None:
         est = self.est
+        if self.enc.sps.mip:
+            from ..codec.ctu_syntax import mip_flag_ctx
+            from ..ops.mip import num_mip_modes
+            ctx = mip_flag_ctx(self.ps, cu.x, cu.y, cu.w, cu.h)
+            est.encode_bin(1 if cu.mip_flag else 0,
+                           ct.CTX_SETS["MipFlag"](ctx))
+            if cu.mip_flag:
+                est.encode_bin_ep(1 if cu.mip_transposed else 0)
+                n = num_mip_modes(cu.w, cu.h)
+                est.encode_bins_ep(0, n.bit_length() - 1)  # truncbin approx
+                return
+        if self.enc.sps.mrl and (cu.y % self.cfg.ctu_size) != 0:
+            est.encode_bin(1 if cu.ref_line else 0,
+                           ct.CTX_SETS["MultiRefLineIdx"](0))
+            if cu.ref_line:
+                est.encode_bin(1 if cu.ref_line != 1 else 0,
+                               ct.CTX_SETS["MultiRefLineIdx"](1))
         mode = cu.luma_mode
         mpm_idx = mpm.index(mode) if mode in mpm else 6
-        est.encode_bin(1 if mpm_idx < 6 else 0,
-                       ct.CTX_SETS["IntraLumaMpmFlag"](0))
+        if cu.ref_line == 0:
+            est.encode_bin(1 if mpm_idx < 6 else 0,
+                           ct.CTX_SETS["IntraLumaMpmFlag"](0))
         if mpm_idx < 6:
-            est.encode_bin(1 if mpm_idx > 0 else 0,
-                           ct.CTX_SETS["IntraLumaPlanarFlag"](1))
+            if cu.ref_line == 0:
+                est.encode_bin(1 if mpm_idx > 0 else 0,
+                               ct.CTX_SETS["IntraLumaPlanarFlag"](1))
             for t in range(1, 5):
                 if mpm_idx >= t:
                     est.encode_bin_ep(1 if mpm_idx > t else 0)

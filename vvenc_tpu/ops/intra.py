@@ -81,15 +81,19 @@ class IntraParams:
                  "interp", "apply_pdpc", "angular_scale", "pred_mode")
 
 
-def intra_params(w: int, h: int, mode: int, is_luma: bool = True) -> IntraParams:
-    """Derive prediction parameters (vvenc initPredIntraParams:409)."""
+def intra_params(w: int, h: int, mode: int, is_luma: bool = True,
+                 ref_idx: int = 0) -> IntraParams:
+    """Derive prediction parameters (vvenc initPredIntraParams:409).
+
+    ref_idx: multi-reference-line index (MRL); disables PDPC and reference
+    smoothing/interpolation-switch (vvenc initPredIntraParams:424,458)."""
     p = IntraParams()
     pred_mode = wide_angle_map(w, h, mode)
     p.pred_mode = pred_mode
     p.is_ver = pred_mode >= DIA_IDX
     p.ref_filter = False
     p.interp = False
-    p.apply_pdpc = w >= 4 and h >= 4
+    p.apply_pdpc = w >= 4 and h >= 4 and ref_idx == 0
     p.angle = 0
     p.abs_inv_angle = 0
     p.angular_scale = 0
@@ -106,7 +110,7 @@ def intra_params(w: int, h: int, mode: int, is_luma: bool = True) -> IntraParams
             p.angular_scale = min(2, (side.bit_length() - 1) -
                                   ((3 * p.abs_inv_angle - 2).bit_length() - 1 - 8))
             p.apply_pdpc = p.apply_pdpc and p.angular_scale >= 0
-    if not is_luma or mode == DC_IDX:
+    if not is_luma or mode == DC_IDX or ref_idx != 0:
         pass
     elif mode == PLANAR_IDX:
         p.ref_filter = w * h > 32
@@ -156,14 +160,16 @@ def _pred_planar(top: np.ndarray, left: np.ndarray, w: int, h: int) -> np.ndarra
     return ((hor << log2h) + (ver << log2w) + offset) >> (1 + log2w + log2h)
 
 
-def _pred_dc(top: np.ndarray, left: np.ndarray, w: int, h: int) -> np.ndarray:
+def _pred_dc(top: np.ndarray, left: np.ndarray, w: int, h: int,
+             ref_idx: int = 0) -> np.ndarray:
     denom = (w << 1) if w == h else max(w, h)
     shift = denom.bit_length() - 1
+    off = ref_idx + 1
     s = 0
     if w >= h:
-        s += int(top[1:w + 1].astype(np.int64).sum())
+        s += int(top[off:off + w].astype(np.int64).sum())
     if w <= h:
-        s += int(left[1:h + 1].astype(np.int64).sum())
+        s += int(left[off:off + h].astype(np.int64).sum())
     dc = (s + (denom >> 1)) >> shift
     return np.full((h, w), dc, dtype=np.int32)
 
@@ -182,63 +188,73 @@ def _pdpc_planar_dc(pred: np.ndarray, top: np.ndarray, left: np.ndarray,
 
 def predict_intra(top: np.ndarray, left: np.ndarray, mode: int, w: int, h: int,
                   bit_depth: int = 10, is_luma: bool = True,
-                  override_pdpc=None) -> np.ndarray:
+                  override_pdpc=None, ref_idx: int = 0) -> np.ndarray:
     """Full intra prediction for one block. top/left per module docstring,
-    each with at least 2*side+3 entries (padded by replication).
+    each with at least 2*side+ref_idx+3 entries (padded by replication);
+    for ref_idx > 0 they must come from build_reference_samples(...,
+    ref_idx) (the shifted reference line).
     override_pdpc: force PDPC on/off (None = spec behavior); used by the
     batched search kernel tests which omit PDPC in preselection."""
     top = np.asarray(top, dtype=np.int32)
     left = np.asarray(left, dtype=np.int32)
     maxval = (1 << bit_depth) - 1
-    p = intra_params(w, h, mode, is_luma)
+    p = intra_params(w, h, mode, is_luma, ref_idx)
     if override_pdpc is not None:
         p.apply_pdpc = override_pdpc
     if p.ref_filter:
         top, left = filter_reference(top, left)
     if mode == PLANAR_IDX:
+        assert ref_idx == 0, "planar is excluded with MRL"
         pred = _pred_planar(top, left, w, h)
         if p.apply_pdpc:
             pred = _pdpc_planar_dc(pred, top, left, w, h)
         return np.clip(pred, 0, maxval).astype(np.int32)
     if mode == DC_IDX:
-        pred = _pred_dc(top, left, w, h)
+        pred = _pred_dc(top, left, w, h, ref_idx)
         if p.apply_pdpc:
             pred = _pdpc_planar_dc(pred, top, left, w, h)
         return np.clip(pred, 0, maxval).astype(np.int32)
-    return _pred_angular(top, left, p, w, h, maxval, is_luma)
+    return _pred_angular(top, left, p, w, h, maxval, is_luma, ref_idx)
 
 
-def _build_ref_main_side(top, left, p, w, h):
-    """Construct refMain/refSide arrays (vvenc xPredIntraAng:534-573).
+def _build_ref_main_side(top, left, p, w, h, m: int = 0):
+    """Construct refMain/refSide arrays (vvenc xPredIntraAng:534-585).
 
-    Returns (ref_main, ref_side, base) where ref_main[base + k] corresponds
-    to refMain[k] in the reference code (k may be negative down to -side)."""
+    m is the multi-reference-line index; the returned base already includes
+    the `refMain += multiRefIdx` shift of the reference code.  Returns
+    (ref_main, ref_side, base) where ref_main[base + k] corresponds to
+    refMain[k] (k may be negative down to -(side - m))."""
     if p.angle < 0:
         side = h if p.is_ver else w
         main_src = top if p.is_ver else left
         side_src = left if p.is_ver else top
-        main_len = (w if p.is_ver else h) + 2
+        main_len = (w if p.is_ver else h) + 2 + m
         ref_main = np.zeros(side + main_len + 4, dtype=np.int32)
-        base = side
-        ref_main[base:base + main_len] = main_src[:main_len]
+        base_pre = side
+        ref_main[base_pre:base_pre + main_len] = main_src[:main_len]
         for k in range(-side, 0):
             idx = min((-k * p.abs_inv_angle + 256) >> 9, side)
-            ref_main[base + k] = side_src[idx]
-        ref_side = side_src
+            ref_main[base_pre + k] = side_src[idx]
+        base = base_pre + m
+        ref_side = side_src[m:]
     else:
         main_src = top if p.is_ver else left
         ref_len = 2 * (w if p.is_ver else h)
-        ref_main = np.zeros(ref_len + 8, dtype=np.int32)
-        base = 0
-        n = min(len(main_src), ref_len + 1)
+        log2_ratio = (w.bit_length() - 1) - (h.bit_length() - 1)
+        s = max(0, log2_ratio if p.is_ver else -log2_ratio)
+        max_index = (m << s) + 2
+        ref_main = np.zeros(ref_len + m + max_index + 8, dtype=np.int32)
+        n = min(len(main_src), ref_len + m + 1)
         ref_main[:n] = main_src[:n]
         ref_main[n:] = main_src[n - 1]  # replicate beyond
-        ref_side = left if p.is_ver else top
+        base = m
+        side_src = left if p.is_ver else top
+        ref_side = side_src[m:]
     return ref_main, ref_side, base
 
 
-def _pred_angular(top, left, p, w, h, maxval, is_luma):
-    ref_main, ref_side, base = _build_ref_main_side(top, left, p, w, h)
+def _pred_angular(top, left, p, w, h, maxval, is_luma, m: int = 0):
+    ref_main, ref_side, base = _build_ref_main_side(top, left, p, w, h, m)
     # work in "vertical" orientation; transpose at the end for horizontal
     tw, th = (w, h) if p.is_ver else (h, w)
     pred = np.zeros((th, tw), dtype=np.int32)
@@ -259,7 +275,7 @@ def _pred_angular(top, left, p, w, h, maxval, is_luma):
         # fraction is 0 (the smoothing filter still smooths there) —
         # vvenc IntraPredAngleLuma_Core:191 has no per-row copy shortcut.
         integer_slope = is_integer_slope(abs(p.angle))
-        delta_pos = p.angle
+        delta_pos = p.angle * (1 + m)
         for y in range(th):
             delta_int = delta_pos >> 5
             frac = delta_pos & 31
@@ -296,73 +312,64 @@ def _pred_angular(top, left, p, w, h, maxval, is_luma):
 
 def build_reference_samples(rec: np.ndarray, x: int, y: int, w: int, h: int,
                             coded_mask: np.ndarray, unit: int,
-                            bit_depth: int = 10):
+                            bit_depth: int = 10, ref_idx: int = 0):
     """Reference sample derivation with availability substitution
-    (vvenc xFillReferenceSamples:755, simplified to multiRefIdx == 0).
+    (vvenc xFillReferenceSamples:755).
 
     rec: full reconstructed plane (so far); coded_mask: bool per `unit`-sized
-    cell, True where samples are already reconstructed.  Returns (top, left)
-    arrays of length 2W+3 / 2H+3 (padded by replication for interpolation).
+    cell, True where samples are already reconstructed.  ref_idx (MRL line
+    index m) selects the reference line: the corner moves to
+    (x-1-m, y-1-m) and the border arrays gain m extra entries.  Returns
+    (top, left) arrays of length 2W+m+3 / 2H+m+3:
+      top[k]  = sample at (x - 1 - m + k, y - 1 - m)
+      left[k] = sample at (x - 1 - m, y - 1 - m + k)
+    (padded by replication for 4-tap interpolation access).
     """
-    pred_size = 2 * w
-    pred_hsize = 2 * h
+    m = ref_idx
+    pred_size = 2 * w + m
+    pred_hsize = 2 * h + m
     dc_val = 1 << (bit_depth - 1)
     ph, pw = rec.shape
+    x0, y0 = x - 1 - m, y - 1 - m  # corner coordinates
 
     def avail(px, py):
         if px < 0 or py < 0 or px >= pw or py >= ph:
             return False
         return bool(coded_mask[py // unit, px // unit])
 
-    # availability per unit along the borders (corner + above + left chains)
-    n_above = (pred_size + unit - 1) // unit
-    n_left = (pred_hsize + unit - 1) // unit
-    corner_ok = avail(x - 1, y - 1)
-    above_ok = [avail(x + i * unit, y - 1) for i in range(n_above)]
-    left_ok = [avail(x - 1, y + i * unit) for i in range(n_left)]
-
     top = np.full(pred_size + 3, dc_val, dtype=np.int32)
     left = np.full(pred_hsize + 3, dc_val, dtype=np.int32)
-    if corner_ok or any(above_ok) or any(left_ok):
-        # gather raw samples (clamped coordinates for out-of-picture reads)
-        filled_top = np.zeros(pred_size + 1, dtype=bool)
-        filled_left = np.zeros(pred_hsize + 1, dtype=bool)
-        if corner_ok:
-            top[0] = left[0] = rec[y - 1, x - 1]
-            filled_top[0] = filled_left[0] = True
-        for j in range(pred_size):
-            px, py = x + j, y - 1
-            ui = j // unit
-            if ui < n_above and above_ok[ui] and px < pw:
-                top[1 + j] = rec[py, px]
-                filled_top[1 + j] = True
-            elif ui < n_above and above_ok[ui] and px >= pw:
-                # unit marked available but sample outside: replicate later
-                pass
-        for i in range(pred_hsize):
-            px, py = x - 1, y + i
-            ui = i // unit
-            if ui < n_left and left_ok[ui] and py < ph:
-                left[1 + i] = rec[py, px]
-                filled_left[1 + i] = True
+    filled_top = np.zeros(pred_size + 1, dtype=bool)
+    filled_left = np.zeros(pred_hsize + 1, dtype=bool)
+    if avail(x0, y0):
+        top[0] = left[0] = rec[y0, x0]
+        filled_top[0] = filled_left[0] = True
+    for j in range(1, pred_size + 1):
+        px, py = x0 + j, y0
+        if avail(px, py):
+            top[j] = rec[py, px]
+            filled_top[j] = True
+    for i in range(1, pred_hsize + 1):
+        px, py = x0, y0 + i
+        if avail(px, py):
+            left[i] = rec[py, px]
+            filled_left[i] = True
+    if filled_top.any() or filled_left.any():
         # substitution (8.4.5.2.2): scan from bottom-left upwards then
         # left-to-right along the top, propagating the previous sample
         seq_filled = np.concatenate([filled_left[1:][::-1], [filled_left[0]],
                                      filled_top[1:]])
         seq_vals = np.concatenate([left[1:1 + pred_hsize][::-1],
                                    [left[0]], top[1:1 + pred_size]])
-        if not seq_filled.any():
-            pass  # all DC
-        else:
-            first = int(np.argmax(seq_filled))
-            seq_vals[:first] = seq_vals[first]
-            for k in range(first + 1, len(seq_vals)):
-                if not seq_filled[k]:
-                    seq_vals[k] = seq_vals[k - 1]
-            left[1:1 + pred_hsize] = seq_vals[:pred_hsize][::-1]
-            left[0] = seq_vals[pred_hsize]
-            top[0] = seq_vals[pred_hsize]
-            top[1:1 + pred_size] = seq_vals[pred_hsize + 1:]
+        first = int(np.argmax(seq_filled))
+        seq_vals[:first] = seq_vals[first]
+        for k in range(first + 1, len(seq_vals)):
+            if not seq_filled[k]:
+                seq_vals[k] = seq_vals[k - 1]
+        left[1:1 + pred_hsize] = seq_vals[:pred_hsize][::-1]
+        left[0] = seq_vals[pred_hsize]
+        top[0] = seq_vals[pred_hsize]
+        top[1:1 + pred_size] = seq_vals[pred_hsize + 1:]
     # padding for 4-tap access
     top[pred_size + 1:] = top[pred_size]
     left[pred_hsize + 1:] = left[pred_hsize]
