@@ -21,15 +21,24 @@ DATA = os.path.join(os.path.dirname(__file__), "data")
 # md5 of frame planes (uint16 LE, Y then U then V concatenated) from the
 # reference encoder's reconstruction output
 GOLDEN_HASHES = {
-    # MIP (matrix intra prediction) all-intra, CTU64 MTT1, deblocking on
-    # (--preset faster tools-off set + --MIP 1, q27)
-    "golden_ai_mip_416x240_qp27_f2.266": [
-        "363e2f1eea7d453b0fa84210c44122ee",
-        "19ad6eed9b580a0db1a045bf5895691a"],
-    # MRL (multi-reference-line intra), same config with --MRL 1
-    "golden_ai_mrl_416x240_qp27_f2.266": [
-        "8be58ac0e12ffd3f19183e4e82d08b6c",
-        "6854b36cd6fde6afbac1ebb253c5c1b3"],
+    # intra tool streams on busy content (--preset faster tools-off set,
+    # CTU64 MTT1, deblocking on, q24, /tmp/busy.yuv): one tool each, plus
+    # the combined LFNST+implicitMTS+MIP+MRL stream
+    "golden_ai_mip_416x240_qp24_f2.266": [
+        "d0027d6ee71ee46c50e5ed6d4a565bcb",
+        "bad97a826f994b1af7f43661b7daf71b"],
+    "golden_ai_mrl_416x240_qp24_f2.266": [
+        "3129d93b7be09faf94732d84272f5158",
+        "de5285a3e8ecc933cf3badb5553b5cae"],
+    "golden_ai_lfnst_416x240_qp24_f2.266": [
+        "5cf145d3f4b0a31afa8973d08fe4220c",
+        "91911e649ceded500e6dd22bc2812a5b"],
+    "golden_ai_mts_416x240_qp24_f2.266": [
+        "34f07657bd9e308af206220352a88ffc",
+        "02294a5d9991aebbacccfa1e4e2be519"],
+    "golden_ai_combo_416x240_qp24_f2.266": [
+        "204957a060d08a1a5cbfbed92ead4118",
+        "757a673b1e21b86ded8ecbf2a4b8ce91"],
     "golden_ai_minimal_416x240_qp37_f1.266": [
         "34453c0404da1000c586b0061ce6232b"],
     "golden_ai_qt_416x240_qp37_f3.266": [

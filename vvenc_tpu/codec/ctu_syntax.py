@@ -69,6 +69,8 @@ class CuData:
     mip_flag: bool = False           # matrix intra prediction (luma_mode is
     mip_transposed: bool = False     # then the MIP mode index)
     ref_line: int = 0                # MRL reference line index (0, 1, 2)
+    lfnst_idx: int = 0               # secondary transform index (0, 1, 2)
+    mts_idx: int = 0                 # explicit MTS (0=DCT2, 1..4 DST7/DCT8)
     chroma_dir: int = DM_CHROMA      # signalled chroma mode (DM or mode value)
     coeff_y: Optional[np.ndarray] = None
     coeff_cb: Optional[np.ndarray] = None
@@ -463,6 +465,26 @@ def get_intra_mpms(ps: PictureState, x: int, y: int, w: int, h: int,
     return mpm
 
 
+def scan_pos_last(coeff) -> int:
+    """Last significant position in grouped-diagonal scan order (-1 if
+    the block is empty / None)."""
+    if coeff is None:
+        return -1
+    from ..bitstream.residual import scan_info
+    h, w = coeff.shape
+    sx, sy, _, _, _, _ = scan_info(w.bit_length() - 1, h.bit_length() - 1)
+    nz = np.nonzero(coeff[sy, sx])[0]
+    return int(nz[-1]) if nz.size else -1
+
+
+def lfnst_chroma_mode(cu) -> int:
+    """Intra mode driving the LFNST set for a chroma TB (vvenc
+    xInvLfnst: CCLM -> co-located luma mode, DM -> derived mode)."""
+    if cu.chroma_dir in CCLM_MODES or cu.chroma_dir == DM_CHROMA:
+        return dm_luma_mode(cu)
+    return cu.chroma_dir
+
+
 def dm_luma_mode(cu) -> int:
     """Luma mode as seen by chroma DM / candidate derivation: MIP CUs
     count as PLANAR (VVC 8.4.3, vvenc PU::getCoLocatedIntraLumaMode)."""
@@ -659,6 +681,88 @@ class SyntaxCoder:
         self.dqp_coded = True
         self._qg_delta_at = len(self._qg_cus)
 
+    # -- LFNST / explicit-MTS signaling (end of intra coding_unit) ----------
+    # (vvenc CABACWriter::residual_lfnst_mode:2403, mts_idx:2351; constraint
+    # flags set in residual_coding, CABACWriter.cpp:2288-2334)
+    def _residual_tool_stats(self, cu):
+        viol = False
+        lfnst_last = False
+        mts_last = False
+        mts_viol = False
+        tbs = []
+        if not cu.chroma_only:
+            tbs.append((cu.w, cu.h, cu.coeff_y, True))
+        if not cu.luma_only:
+            tbs.append((cu.w >> 1, cu.h >> 1, cu.coeff_cb, False))
+            tbs.append((cu.w >> 1, cu.h >> 1, cu.coeff_cr, False))
+        for w, h, coeff, is_l in tbs:
+            if coeff is None or not np.any(coeff):
+                continue
+            last = scan_pos_last(coeff)
+            if w >= 4 and h >= 4:
+                maxpos = 7 if ((w == 4 and h == 4)
+                               or (w == 8 and h == 8)) else 15
+                if last > maxpos:
+                    viol = True
+                if last >= 1:
+                    lfnst_last = True
+            if is_l:
+                if last >= 1:
+                    mts_last = True
+                ys, xs = np.nonzero(coeff)
+                if ys.size and (int(xs.max()) >= 16 or int(ys.max()) >= 16):
+                    mts_viol = True
+        return viol, lfnst_last, mts_last, mts_viol
+
+    def _lfnst_allowed(self, cu) -> bool:
+        if not self.sps.lfnst or cu.is_inter:
+            return False
+        if cu.mip_flag and not (cu.w >= 16 and cu.h >= 16):
+            return False
+        if cu.chroma_only and min(cu.w >> 1, cu.h >> 1) < 4:
+            return False
+        if cu.w > 64 or cu.h > 64:  # max TB size
+            return False
+        return True
+
+    def _code_lfnst_mts(self, coder, cu, encode: bool) -> None:
+        if cu.is_inter:
+            return
+        viol, lfnst_last, mts_last, mts_viol = self._residual_tool_stats(cu)
+        sep_tree = cu.luma_only or cu.chroma_only
+        if self._lfnst_allowed(cu) and lfnst_last and not viol:
+            cctx = 1 if sep_tree else 0
+            if encode:
+                coder.encode_bin(1 if cu.lfnst_idx else 0,
+                                 ct.CTX_SETS["LFNSTIdx"](cctx))
+                if cu.lfnst_idx:
+                    coder.encode_bin(cu.lfnst_idx - 1,
+                                     ct.CTX_SETS["LFNSTIdx"](2))
+            else:
+                if coder.decode_bin(ct.CTX_SETS["LFNSTIdx"](cctx)):
+                    cu.lfnst_idx = 2 if coder.decode_bin(
+                        ct.CTX_SETS["LFNSTIdx"](2)) else 1
+        # tu_mts_idx (intra explicit MTS; luma TBs only)
+        if (self.sps.mts_intra and not cu.chroma_only
+                and cu.w <= 32 and cu.h <= 32 and mts_last and not mts_viol
+                and cu.lfnst_idx == 0):
+            if encode:
+                coder.encode_bin(1 if cu.mts_idx else 0,
+                                 ct.CTX_SETS["MTSIdx"](0))
+                if cu.mts_idx:
+                    for i in range(3):
+                        sym = 1 if cu.mts_idx > i + 1 else 0
+                        coder.encode_bin(sym, ct.CTX_SETS["MTSIdx"](i + 1))
+                        if not sym:
+                            break
+            else:
+                if coder.decode_bin(ct.CTX_SETS["MTSIdx"](0)):
+                    cu.mts_idx = 1
+                    for i in range(3):
+                        if not coder.decode_bin(ct.CTX_SETS["MTSIdx"](i + 1)):
+                            break
+                        cu.mts_idx += 1
+
     def _maybe_code_dqp(self, coder, cu, any_cbf: bool, encode: bool) -> None:
         """cu_qp_delta gate at the (single) TU of a CU (vvenc
         CABACWriter::transform_unit:2135-2145)."""
@@ -746,6 +850,7 @@ class SyntaxCoder:
             encode_residual(enc, cu.coeff_cb, False, dep_quant=self.dq)
         if cbf_cr:
             encode_residual(enc, cu.coeff_cr, False, dep_quant=self.dq)
+        self._code_lfnst_mts(enc, cu, encode=True)
         self.finish_cu(ps, cu, part.qt_depth, comps=(1, 2))
 
     def _enc_cu(self, enc, ps, node: TreeNode) -> None:
@@ -814,6 +919,7 @@ class SyntaxCoder:
             self._maybe_code_dqp(enc, cu, bool(cbf_y), encode=True)
             if cbf_y:
                 encode_residual(enc, cu.coeff_y, True, dep_quant=self.dq)
+            self._code_lfnst_mts(enc, cu, encode=True)
             self._finish_cu(ps, cu, node)
             return
         if not cu.is_inter or cu.root_cbf:
@@ -835,6 +941,7 @@ class SyntaxCoder:
                 encode_residual(enc, cu.coeff_cb, False, dep_quant=self.dq)
             if cbf_cr:
                 encode_residual(enc, cu.coeff_cr, False, dep_quant=self.dq)
+        self._code_lfnst_mts(enc, cu, encode=True)
         self._finish_cu(ps, cu, node)
 
     # -- shared inter helpers ---------------------------------------------
@@ -1124,6 +1231,7 @@ class SyntaxCoder:
         if cbf_cr:
             cu.coeff_cr = decode_residual(dec, w >> 1, h >> 1, False,
                                           dep_quant=self.dq, sign_hiding=self.sdh)
+        self._code_lfnst_mts(dec, cu, encode=False)
         self.finish_cu(ps, cu, part.qt_depth, comps=(1, 2))
         return cu
 
@@ -1215,6 +1323,7 @@ class SyntaxCoder:
                 if cbf_y:
                     cu.coeff_y = decode_residual(dec, w, h, True,
                                              dep_quant=self.dq, sign_hiding=self.sdh)
+                self._code_lfnst_mts(dec, cu, encode=False)
                 self._finish_cu(ps, cu, node)
                 return cu
             cbf_cb = dec.decode_bin(ct.CTX_SETS["QtCbfCb"](0))
@@ -1234,6 +1343,7 @@ class SyntaxCoder:
             if cbf_cr:
                 cu.coeff_cr = decode_residual(dec, w >> 1, h >> 1, False,
                                           dep_quant=self.dq, sign_hiding=self.sdh)
+        self._code_lfnst_mts(dec, cu, encode=False)
         self._finish_cu(ps, cu, node)
         return cu
 
@@ -1351,10 +1461,23 @@ def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
         else:
             pred = predict_cu_component(ps, cu, comp, bit_depth, ctu_size)
         if coeff is not None and np.any(coeff):
-            trh, trv = T.implicit_mts_types(
-                w, h, not cu.is_inter and comp == 0, implicit_mts)
+            if comp == 0 and cu.mts_idx:
+                trh, trv = T.mts_tr_types(cu.mts_idx)
+            else:
+                # implicit MTS only applies with lfnst_idx == 0 and for
+                # non-MIP intra luma (8.7.4.1)
+                trh, trv = T.implicit_mts_types(
+                    w, h, not cu.is_inter and comp == 0,
+                    implicit_mts and cu.lfnst_idx == 0 and not cu.mip_flag)
             d = (T.dequant_dq_np(coeff, q, bit_depth) if dep_quant
                  else T.dequant_np(coeff, q, bit_depth))
+            if cu.lfnst_idx and (comp == 0 or cu.chroma_only):
+                from ..ops.lfnst import inv_lfnst
+                if comp == 0:
+                    lmode = PLANAR if cu.mip_flag else cu.luma_mode
+                else:
+                    lmode = lfnst_chroma_mode(cu)
+                d = inv_lfnst(d, w, h, lmode, cu.lfnst_idx)
             resi = T.inv_transform_np(d, bit_depth, trh, trv)
             rec = np.clip(pred + resi, 0, maxval)
         else:

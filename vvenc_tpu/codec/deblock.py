@@ -314,12 +314,20 @@ class _BsMaps:
         for cu in cu_list:
             ys = slice(cu.y >> 2, (cu.y + cu.h) >> 2)
             xs = slice(cu.x >> 2, (cu.x + cu.w) >> 2)
+            if getattr(cu, "chroma_only", False):
+                # TREE_C chroma CU of a local dual tree: contributes only
+                # the chroma cbf flags (always intra)
+                for ci, a in ((1, "coeff_cb"), (2, "coeff_cr")):
+                    self.cbf[ci, ys, xs] = getattr(cu, a, None) is not None
+                continue
             self.cu_w[ys, xs] = cu.w
             self.cu_h[ys, xs] = cu.h
             is_inter = getattr(cu, "is_inter", False)
             self.intra[ys, xs] = not is_inter
-            for ci, a in ((0, "coeff_y"), (1, "coeff_cb"), (2, "coeff_cr")):
-                self.cbf[ci, ys, xs] = getattr(cu, a, None) is not None
+            self.cbf[0, ys, xs] = getattr(cu, "coeff_y", None) is not None
+            if not getattr(cu, "luma_only", False):
+                for ci, a in ((1, "coeff_cb"), (2, "coeff_cr")):
+                    self.cbf[ci, ys, xs] = getattr(cu, a, None) is not None
             if is_inter:
                 for li in range(2):
                     ri = cu.ref_idx[li]
@@ -381,6 +389,18 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
     h, w = rec[0].shape
     maps = _BsMaps(cu_list, w, h, ref_pocs)
     cu_w, cu_h = maps.cu_w, maps.cu_h
+    # chroma-tree geometry: blocks that carry chroma (with a local dual
+    # tree the TREE_C chroma CU spans several luma CUs)
+    chroma_cus = [cu for cu in cu_list
+                  if not getattr(cu, "luma_only", False)]
+    cuw2, cuh2 = max(1, (w >> 1) >> 1), max(1, (h >> 1) >> 1)
+    cblk_w = np.zeros((cuh2, cuw2), np.int32)
+    cblk_h = np.zeros((cuh2, cuw2), np.int32)
+    for cu in chroma_cus:
+        ys2 = slice((cu.y >> 1) >> 1, ((cu.y + cu.h) >> 1) >> 1)
+        xs2 = slice((cu.x >> 1) >> 1, ((cu.x + cu.w) >> 1) >> 1)
+        cblk_w[ys2, xs2] = cu.w >> 1
+        cblk_h[ys2, xs2] = cu.h >> 1
 
     if qp_map is not None:
         def luma_edge_qp(pu_y, pu_x, qu_y, qu_x):
@@ -405,6 +425,8 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
     # ---- vertical edges (whole picture), then horizontal -----------------
     for vertical in (True, False):
         for cu in cu_list:
+            if getattr(cu, "chroma_only", False):
+                continue
             if vertical:
                 if cu.x == 0:
                     continue
@@ -438,8 +460,12 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                                           at_ctu_hor=(y % ctu_size == 0),
                                           bs=bs_y)
         # chroma edges for this direction (8-chroma-sample grid only:
-        # vvenc loopFilterCu DEBLOCK_SMALLEST_BLOCK gating)
-        for cu in cu_list:
+        # vvenc loopFilterCu DEBLOCK_SMALLEST_BLOCK gating).  Edge geometry
+        # follows the CHROMA tree: with a local dual tree the chroma block
+        # spans several luma CUs, so edges/sizes come from the CUs that
+        # carry chroma (vvenc xSetMaxFilterLengthPQFromTransformSizes with
+        # ch == CH_C, LoopFilter.cpp:916)
+        for cu in chroma_cus:
             cx, cy = cu.x >> 1, cu.y >> 1
             cw, ch = cu.w >> 1, cu.h >> 1
             if vertical:
@@ -451,7 +477,7 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                                               (yy << 1) >> 2, (cx << 1) >> 2,
                                               is_b)
                     size_q = cw
-                    size_p = int(cu_w[(yy << 1) >> 2, ((cx - 1) << 1) >> 2]) >> 1
+                    size_p = int(cblk_w[yy >> 1, (cx - 1) >> 1])
                     large = size_p >= 8 and size_q >= 8
                     for comp, bsc in ((1, bs_cb), (2, bs_cr)):
                         if bsc == 2 or (large and bsc == 1):
@@ -471,7 +497,7 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                                               (cy << 1) >> 2, (xx << 1) >> 2,
                                               is_b)
                     size_q = ch
-                    size_p = int(cu_h[((cy - 1) << 1) >> 2, (xx << 1) >> 2]) >> 1
+                    size_p = int(cblk_h[(cy - 1) >> 1, xx >> 1])
                     large = size_p >= 8 and size_q >= 8
                     for comp, bsc in ((1, bs_cb), (2, bs_cr)):
                         if bsc == 2 or (large and bsc == 1):

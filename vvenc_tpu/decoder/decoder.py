@@ -141,6 +141,8 @@ def _decode_slice(rbsp: bytes, nal_type, sps_map, pps_map,
                 cus.append(node.cu)
             for c in node.children:
                 collect(c)
+            if node.chroma_cu is not None:
+                cus.append(node.chroma_cu)
         for t in trees:
             collect(t)
         deblock_picture(ps.rec, cus, sh.slice_qp,

@@ -296,6 +296,8 @@ class IntraEncoder:
                     cus.append(node.cu)
                 for c in node.children:
                     _collect(c)
+                if node.chroma_cu is not None:
+                    cus.append(node.chroma_cu)
             for t in trees:
                 _collect(t)
             deblock_picture(ps.rec, cus, slice_qp,

@@ -110,6 +110,12 @@ def tr_matrix(n: int, tr_type: int) -> np.ndarray:
     return dct2_matrix(n)
 
 
+def mts_tr_types(mts_idx: int):
+    """(trTypeHor, trTypeVer) for explicit MTS (tu_mts_idx 0..4)."""
+    return ((DCT2, DCT2), (DST7, DST7), (DCT8, DST7),
+            (DST7, DCT8), (DCT8, DCT8))[mts_idx]
+
+
 def implicit_mts_types(w: int, h: int, is_intra_luma: bool,
                        implicit_mts: bool):
     """(trTypeHor, trTypeVer) for implicit MTS (vvenc
