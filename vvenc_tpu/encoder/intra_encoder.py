@@ -68,6 +68,8 @@ class EncoderConfig:
     qpa: bool = False              # perceptual QP adaptation (XPSNR model)
     mip: bool = False              # matrix intra prediction
     mrl: bool = False              # multi-reference-line intra
+    lfnst: bool = False            # low-frequency non-separable transform
+    mts: bool = False              # explicit intra MTS (DST7/DCT8)
 
 
 def build_parameter_sets(cfg: EncoderConfig):
@@ -97,6 +99,10 @@ def build_parameter_sets(cfg: EncoderConfig):
     sps.dep_quant_enabled = 1 if cfg.dep_quant else 0
     sps.mip = 1 if cfg.mip else 0
     sps.mrl = 1 if cfg.mrl else 0
+    sps.lfnst = 1 if cfg.lfnst else 0
+    if cfg.mts:
+        sps.mts = 1
+        sps.mts_intra = 1
     if cfg.qpa:
         pps.cu_qp_delta_enabled = 1
         pps.slice_chroma_qp_flag = 1
@@ -527,31 +533,78 @@ class _CtuSearcher:
         qy = self.qp.luma_qp()
         est_snap = self.est.snapshot()
         best = None
-        for _, mode, pred, mip_f, mip_t, ref_line in full_modes:
+        sps = self.enc.sps
+        for cand_i, (_, mode, pred, mip_f, mip_t, ref_line) in \
+                enumerate(full_modes):
             resi = src_y - pred
-            coeff = self._q(T.fwd_transform_np(resi, bit_depth), qy, True,
-                            ct.CTX_SETS["QtCbfLuma"](0))
-            cu = CuData(x, y, w, h, luma_mode=mode, mip_flag=mip_f,
-                        mip_transposed=mip_t, ref_line=ref_line)
-            if np.any(coeff):
-                cu.coeff_y = coeff
-                d = self._dq(coeff, qy)
-                rec = np.clip(pred + T.inv_transform_np(d, bit_depth), 0,
-                              (1 << bit_depth) - 1)
-            else:
-                rec = pred
-            dist = R.sse_np(src_y, rec)
-            self.est.restore(est_snap)
-            b0 = self.est.frac_bits
-            self._est_cu_luma_syntax(cu, mpm)
-            self.est.encode_bin(1 if cu.coeff_y is not None else 0,
-                                ct.CTX_SETS["QtCbfLuma"](0))
-            if cu.coeff_y is not None:
-                encode_residual(self.est, cu.coeff_y, True, dep_quant=self.cfg.dep_quant)
-            bits = (self.est.frac_bits - b0) / (1 << 15)
-            cost = dist + self.lmbda * bits
-            if best is None or cost < best[0]:
-                best = (cost, cu, rec)
+            # transform variants: (lfnst_idx, mts_idx); extra variants only
+            # for the strongest SATD candidate to bound the search
+            variants = [(0, 0)]
+            if cand_i == 0 and sps.lfnst and w >= 4 and h >= 4 \
+                    and not (mip_f and not (w >= 16 and h >= 16)):
+                variants += [(1, 0), (2, 0)]
+            if cand_i == 0 and getattr(sps, "mts_intra", 0) \
+                    and w <= 32 and h <= 32 and not mip_f:
+                variants += [(0, m) for m in (1, 2, 3, 4)]
+            prim_dct2 = T.fwd_transform_np(resi, bit_depth)
+            for lfnst_i, mts_i in variants:
+                if mts_i:
+                    tcoef = T.fwd_transform_np(resi, bit_depth,
+                                               *T.mts_tr_types(mts_i))
+                elif lfnst_i:
+                    from ..ops.lfnst import fwd_lfnst
+                    lmode = I.PLANAR_IDX if mip_f else mode
+                    tcoef = prim_dct2.copy()
+                    tcoef[:min(h, 8), :] = tcoef[:min(h, 8), :]
+                    # coefficients outside the LFNST region must be zero
+                    tcoef2 = np.zeros_like(tcoef)
+                    tcoef2[:min(h, 8), :min(w, 8)] = tcoef[:min(h, 8),
+                                                           :min(w, 8)]
+                    tcoef = fwd_lfnst(tcoef2, w, h, lmode, lfnst_i)
+                else:
+                    tcoef = prim_dct2
+                coeff = self._q(tcoef, qy, True, ct.CTX_SETS["QtCbfLuma"](0))
+                cu = CuData(x, y, w, h, luma_mode=mode, mip_flag=mip_f,
+                            mip_transposed=mip_t, ref_line=ref_line,
+                            lfnst_idx=lfnst_i, mts_idx=mts_i)
+                if np.any(coeff):
+                    cu.coeff_y = coeff
+                else:
+                    cu.lfnst_idx = cu.mts_idx = 0
+                # drop variants whose signaling constraints fail
+                if cu.lfnst_idx or cu.mts_idx:
+                    viol, lf_last, mts_last, mts_viol = \
+                        self.coder._residual_tool_stats(cu)
+                    if cu.lfnst_idx and (viol or not lf_last):
+                        continue
+                    if cu.mts_idx and (mts_viol or not mts_last):
+                        continue
+                if cu.coeff_y is not None:
+                    d = self._dq(cu.coeff_y, qy)
+                    if cu.lfnst_idx:
+                        from ..ops.lfnst import inv_lfnst
+                        lmode = I.PLANAR_IDX if mip_f else mode
+                        d = inv_lfnst(d, w, h, lmode, cu.lfnst_idx)
+                    trh, trv = T.mts_tr_types(cu.mts_idx)
+                    rec = np.clip(pred + T.inv_transform_np(d, bit_depth,
+                                                            trh, trv), 0,
+                                  (1 << bit_depth) - 1)
+                else:
+                    rec = pred
+                dist = R.sse_np(src_y, rec)
+                self.est.restore(est_snap)
+                b0 = self.est.frac_bits
+                self._est_cu_luma_syntax(cu, mpm)
+                self.est.encode_bin(1 if cu.coeff_y is not None else 0,
+                                    ct.CTX_SETS["QtCbfLuma"](0))
+                if cu.coeff_y is not None:
+                    encode_residual(self.est, cu.coeff_y, True,
+                                    dep_quant=self.cfg.dep_quant)
+                    self.coder._code_lfnst_mts(self.est, cu, encode=True)
+                bits = (self.est.frac_bits - b0) / (1 << 15)
+                cost = dist + self.lmbda * bits
+                if best is None or cost < best[0]:
+                    best = (cost, cu, rec)
         cost, cu, rec_y = best
 
         # chroma: DM mode, residual per component
@@ -568,6 +621,20 @@ class _CtuSearcher:
             ccoeffs[comp] = coeff if np.any(coeff) else None
         cu.coeff_cb = ccoeffs[1]
         cu.coeff_cr = ccoeffs[2]
+
+        # chroma residuals can retract LFNST signalability (corner
+        # violation / DC-only): fall back to the primary-only transform
+        if cu.lfnst_idx:
+            viol, lf_last, _, _ = self.coder._residual_tool_stats(cu)
+            if viol or not lf_last:
+                cu.lfnst_idx = 0
+                pred0 = next(p_ for _, m_, p_, mf_, mt_, rl_ in full_modes
+                             if m_ == cu.luma_mode and mf_ == cu.mip_flag
+                             and mt_ == cu.mip_transposed
+                             and rl_ == cu.ref_line)
+                coeff = self._q(T.fwd_transform_np(src_y - pred0, bit_depth),
+                                qy, True, ct.CTX_SETS["QtCbfLuma"](0))
+                cu.coeff_y = coeff if np.any(coeff) else None
 
         # re-encode the full chosen CU syntax into the running estimator
         self.est.restore(est_snap)
@@ -586,6 +653,7 @@ class _CtuSearcher:
         for comp, coeff in ((1, cu.coeff_cb), (2, cu.coeff_cr)):
             if coeff is not None:
                 encode_residual(self.est, coeff, False, dep_quant=self.cfg.dep_quant)
+        self.coder._code_lfnst_mts(self.est, cu, encode=True)
         total_bits = (self.est.frac_bits - b0) / (1 << 15)
 
         # reconstruct CU into scratch state (also computes chroma rec + SSE)
