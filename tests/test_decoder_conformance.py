@@ -21,6 +21,26 @@ DATA = os.path.join(os.path.dirname(__file__), "data")
 # md5 of frame planes (uint16 LE, Y then U then V concatenated) from the
 # reference encoder's reconstruction output
 GOLDEN_HASHES = {
+    # ALF + CC-ALF + SAO (full in-loop filter chain), busy content
+    "golden_ai_alf_ccalf_sao_416x240_qp30_f2.266": [
+        "e52985f91a9c89c59fb8a3cc20d04ad5",
+        "4bd65148659abbe7af8e3e04921c1045"],
+    # non-linear (clipped) ALF luma+chroma
+    "golden_ai_alf_nonlinear_416x240_qp30_f2.266": [
+        "07a4183eadf227bc2d6a2f042b974207",
+        "11be91b062b7ce6e36518289535eff9b"],
+    # random access GOP16 with ALF/CC-ALF/SAO: temporal APS reuse across
+    # frames, inter slices (busy_moving clip)
+    "golden_ra_alf_ccalf_sao_416x240_qp30_f9.266": [
+        "8fda25558947f7af16b10103122f8c6c",
+        "434773fddfdbd600bd2872a01cc3a75a",
+        "6e89dfcabe15a82fed02da19962c4878",
+        "3475ab339251cc3aaa9ce831810001f9",
+        "cb52842c479cd103e7e9fe6db140aadd",
+        "09bfdb42bd2bea32d8befe7e9df9216c",
+        "b70609143383d38f94e0ed25f9aa3780",
+        "9642207d97295153c1c758356b33fc85",
+        "7774f43fda276e2f000ebb811cdd3270"],
     # intra tool streams on busy content (--preset faster tools-off set,
     # CTU64 MTT1, deblocking on, q24, /tmp/busy.yuv): one tool each, plus
     # the combined LFNST+implicitMTS+MIP+MRL stream

@@ -931,9 +931,25 @@ def write_slice_header(bw: BitWriter, sh: SliceHeader, sps: SPS, pps: PPS,
         bw.write_uvlc(sh.slice_type)
     if ph.gdr_or_irap:
         bw.write_flag(sh.no_output_of_prior_pics)
-    assert not (sps.alf_enabled and not pps.alf_info_in_ph) or True
     if sps.alf_enabled and not pps.alf_info_in_ph:
-        bw.write_flag(0)  # sh_alf_enabled_flag (per-slice ALF off)
+        # sh_alf_* (vvenc HLSWriter::codeSliceHeader, VLCWriter.cpp:1769)
+        bw.write_flag(sh.alf_enabled[0])
+        if sh.alf_enabled[0]:
+            bw.write(sh.num_alf_aps, 3)
+            for aid in sh.luma_aps_ids:
+                bw.write(aid, 3)
+            if sps.chroma_format_idc != 0:
+                bw.write_flag(sh.alf_enabled[1])
+                bw.write_flag(sh.alf_enabled[2])
+            if sh.alf_enabled[1] or sh.alf_enabled[2]:
+                bw.write(sh.chroma_aps_id, 3)
+            if sps.ccalf_enabled:
+                bw.write_flag(sh.cc_alf_enabled[0])
+                if sh.cc_alf_enabled[0]:
+                    bw.write(sh.cc_alf_aps_ids[0], 3)
+                bw.write_flag(sh.cc_alf_enabled[1])
+                if sh.cc_alf_enabled[1]:
+                    bw.write(sh.cc_alf_aps_ids[1], 3)
     if not pps.rpl_info_in_ph and (not is_idr or sps.idr_rpl_present):
         _write_sh_rpls(bw, sh, sps, pps)
         rpl0_n = sh.rpls[0].num_refs if sh.rpl_idx[0] == -1 else \
@@ -1030,8 +1046,22 @@ def parse_slice_header(br: BitReader, sps: SPS, pps: PPS, is_idr: bool) -> Slice
     if ph.gdr_or_irap:
         sh.no_output_of_prior_pics = br.read_flag()
     if sps.alf_enabled and not pps.alf_info_in_ph:
-        alf_on = br.read_flag()
-        assert not alf_on, "slice ALF parsing unsupported"
+        sh.alf_enabled[0] = br.read_flag()
+        if sh.alf_enabled[0]:
+            sh.num_alf_aps = br.read(3)
+            sh.luma_aps_ids = [br.read(3) for _ in range(sh.num_alf_aps)]
+            if sps.chroma_format_idc != 0:
+                sh.alf_enabled[1] = br.read_flag()
+                sh.alf_enabled[2] = br.read_flag()
+            if sh.alf_enabled[1] or sh.alf_enabled[2]:
+                sh.chroma_aps_id = br.read(3)
+            if sps.ccalf_enabled:
+                sh.cc_alf_enabled[0] = br.read_flag()
+                if sh.cc_alf_enabled[0]:
+                    sh.cc_alf_aps_ids[0] = br.read(3)
+                sh.cc_alf_enabled[1] = br.read_flag()
+                if sh.cc_alf_enabled[1]:
+                    sh.cc_alf_aps_ids[1] = br.read(3)
     if not pps.rpl_info_in_ph and (not is_idr or sps.idr_rpl_present):
         _parse_sh_rpls(br, sh, sps, pps)
         rpl0_n = sh.rpls[0].num_refs

@@ -285,6 +285,13 @@ class SliceHeader:
     dep_quant_used: int = 0
     sign_data_hiding_used: int = 0
     ts_residual_coding_disabled: int = 0
+    # ALF (sh_alf_*; vvenc VLCWriter.cpp:1769-1809)
+    alf_enabled: List[int] = field(default_factory=lambda: [0, 0, 0])
+    num_alf_aps: int = 0
+    luma_aps_ids: List[int] = field(default_factory=list)
+    chroma_aps_id: int = 0
+    cc_alf_enabled: List[int] = field(default_factory=lambda: [0, 0])
+    cc_alf_aps_ids: List[int] = field(default_factory=lambda: [0, 0])
 
     @property
     def is_intra(self) -> bool:

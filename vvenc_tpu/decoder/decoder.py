@@ -35,6 +35,7 @@ def decode_stream(data: bytes):
     units = split_annexb(data)
     sps_map = {}
     pps_map = {}
+    aps_map = {}   # ALF APS by id
     frames = []
     dpb = []  # (poc, {comp: plane}) decoded pictures in output order
     for nal_type, tid, rbsp in units:
@@ -50,11 +51,17 @@ def decode_stream(data: bytes):
             sps = sps_map[peek.read(4)]
             p = hls.parse_pps(br, sps)
             pps_map[p.pps_id] = p
+        elif nal_type in (NalUnitType.PREFIX_APS, NalUnitType.SUFFIX_APS):
+            from ..codec.alf import read_aps, ALF_APS
+            aps_type, aps_id, alf_p = read_aps(BitReader(rbsp))
+            if aps_type == ALF_APS:
+                aps_map[aps_id] = alf_p
         elif nal_type in VCL_NAL_TYPES:
             if nal_type in (NalUnitType.IDR_N_LP, NalUnitType.IDR_W_RADL,
                             NalUnitType.CRA):
                 dpb.clear()
-            frame = _decode_slice(rbsp, nal_type, sps_map, pps_map, dpb)
+            frame = _decode_slice(rbsp, nal_type, sps_map, pps_map, aps_map,
+                                  dpb)
             dpb.append((frame.poc, frame.planes, frame.mf, frame.ref_pocs))
             frames.append(frame)
         elif nal_type in (NalUnitType.PREFIX_SEI, NalUnitType.SUFFIX_SEI,
@@ -67,7 +74,7 @@ def decode_stream(data: bytes):
     return frames
 
 
-def _decode_slice(rbsp: bytes, nal_type, sps_map, pps_map,
+def _decode_slice(rbsp: bytes, nal_type, sps_map, pps_map, aps_map,
                   dpb=None) -> DecodedFrame:
     br = BitReader(rbsp)
     is_idr = nal_type in (NalUnitType.IDR_N_LP, NalUnitType.IDR_W_RADL)
@@ -119,6 +126,18 @@ def _decode_slice(rbsp: bytes, nal_type, sps_map, pps_map,
     h_ctus = (pps.pic_height + ctu - 1) // ctu
     sao_on = bool(sps.sao_enabled and (sh.sao_luma or sh.sao_chroma))
     sao_map = [None] * (w_ctus * h_ctus)
+    n_ctus = w_ctus * h_ctus
+    alf_on = any(sh.alf_enabled) or any(sh.cc_alf_enabled)
+    if alf_on:
+        from ..codec.alf import code_alf_ctu
+        alf_flags = np.zeros((3, n_ctus), np.int32)
+        alf_fidx = np.zeros(n_ctus, np.int32)
+        alf_alt = np.zeros((2, n_ctus), np.int32)
+        cc_ctrl = np.zeros((2, n_ctus), np.int32)
+        num_alts = aps_map[sh.chroma_aps_id].num_alts_chroma \
+            if (sh.alf_enabled[1] or sh.alf_enabled[2]) else 1
+        cc_counts = [aps_map[sh.cc_alf_aps_ids[i]].cc_filter_count[i]
+                     if sh.cc_alf_enabled[i] else 0 for i in range(2)]
     trees = []
     for cy in range(h_ctus):
         coder.new_ctu_row()
@@ -128,6 +147,11 @@ def _decode_slice(rbsp: bytes, nal_type, sps_map, pps_map,
                 sao_map[cy * w_ctus + cx] = parse_sao_ctu(
                     dec, sao_map, cx, cy, w_ctus,
                     (sh.sao_luma, sh.sao_chroma), sps.bit_depth)
+            if alf_on:
+                code_alf_ctu(dec, False, cy * w_ctus + cx, w_ctus,
+                             sh.alf_enabled, sh.num_alf_aps, num_alts,
+                             alf_flags, alf_fidx, alf_alt,
+                             sh.cc_alf_enabled, cc_counts, cc_ctrl)
             trees.append(coder.decode_ctu(dec, ps, cx * ctu, cy * ctu))
     term = dec.decode_bin_trm()
     assert term == 1, "expected end_of_slice terminating bin"
@@ -156,5 +180,15 @@ def _decode_slice(rbsp: bytes, nal_type, sps_map, pps_map,
         from ..codec.sao import apply_sao_picture
         apply_sao_picture(ps.rec, sao_map, sps.ctu_size, sps.bit_depth,
                           w_ctus, h_ctus)
+    if alf_on:
+        from ..codec.alf import apply_alf_picture
+        apply_alf_picture(ps.rec, sps.bit_depth, sps.ctu_size, w_ctus,
+                          h_ctus, aps_map, sh.luma_aps_ids,
+                          sh.chroma_aps_id
+                          if (sh.alf_enabled[1] or sh.alf_enabled[2])
+                          else None,
+                          sh.alf_enabled, num_alts,
+                          alf_flags, alf_fidx, alf_alt,
+                          sh.cc_alf_enabled, sh.cc_alf_aps_ids, cc_ctrl)
     return DecodedFrame(ps, sh.ph.poc_lsb, sh, mf=coder.mf,
                         ref_pocs=ref_pocs)
