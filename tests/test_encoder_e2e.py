@@ -99,3 +99,33 @@ def test_encode_decode_mtt():
     # verify at least one non-QT split was chosen somewhere OR stream is
     # simply small; mostly this pins the mtt path end-to-end
     assert _psnr(dec.planes[0], y) > 30.0
+
+
+def test_alf_encoder_roundtrip():
+    """ALF-enabled encode: stream decodes bit-exactly and chroma gains."""
+    import numpy as np
+    from vvenc_tpu.encoder import IntraEncoder, EncoderConfig
+    from vvenc_tpu.decoder import decode_stream
+    w, h = 128, 128
+    rng = np.random.RandomState(5)
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = np.clip(128 + 60 * np.sin((xx * 3 + yy * 7) / 9.0)
+                + rng.randn(h, w) * 10, 0, 255).astype(np.uint8)
+    u = np.clip(128 + 40 * np.sin(xx / 13.0), 0, 255)[::2, ::2].astype(np.uint8)
+    v = np.clip(128 + 40 * np.cos(yy / 11.0), 0, 255)[::2, ::2].astype(np.uint8)
+    frames = [(y, u, v)]
+    res = {}
+    for alf in (False, True):
+        enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=34,
+                                         ctu_size=64, min_qt=8,
+                                         max_mtt_depth=1, deblocking=True,
+                                         alf=alf))
+        stream = enc.encode_sequence(frames)
+        dec = sorted(decode_stream(stream), key=lambda f: f.poc)
+        for c in range(3):
+            assert np.array_equal(dec[0].planes[c], enc.recs_by_poc[0][c])
+        sse = sum(float(((enc.recs_by_poc[0][c]
+                          - (frames[0][c].astype(np.int64) << 2)) ** 2).sum())
+                  for c in range(3))
+        res[alf] = sse
+    assert res[True] <= res[False]

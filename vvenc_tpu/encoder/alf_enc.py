@@ -1,0 +1,156 @@
+"""ALF encoder: covariance statistics -> Wiener filter derivation ->
+per-CTU on/off decisions + APS construction.
+
+Simplified analog of vvenc EncoderLib/EncAdaptiveLoopFilter.cpp (covariance
+accumulation getBlkStats:~2000, filter derivation deriveFilter/
+xDeriveCoeffQuant, CTU decision xDeriveCtbAlfEnableFlags): we derive one
+merged luma filter (all 25 classes) and one chroma filter per picture with
+linear clipping (clip idx 0), quantize to the 7-bit fixed-point grid, and
+enable per CTU wherever filtering reduces SSE vs the original.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..codec.alf import (AlfParam, classify_luma, filter_luma_region,
+                         filter_chroma_region, reconstruct_luma_coeff,
+                         reconstruct_chroma_coeff, NUM_FIXED_FILTER_SETS,
+                         _TR7, _TR5)
+
+# geometric tap pair offsets (non-transposed), luma 7x7 then the center
+_LUMA_TAPS = [((3, 0), (-3, 0)), ((2, 1), (-2, -1)), ((2, 0), (-2, 0)),
+              ((2, -1), (-2, 1)), ((1, 2), (-1, -2)), ((1, 1), (-1, -1)),
+              ((1, 0), (-1, 0)), ((1, -1), (-1, 1)), ((1, -2), (-1, 2)),
+              ((0, 3), (0, -3)), ((0, 2), (0, -2)), ((0, 1), (0, -1))]
+_CHROMA_TAPS = [((2, 0), (-2, 0)), ((1, 1), (-1, -1)), ((1, 0), (-1, 0)),
+                ((1, -1), (-1, 1)), ((0, 2), (0, -2)), ((0, 1), (0, -1))]
+
+
+def _tap_planes(rec: np.ndarray, taps, ctu_size: int, is_chroma: bool):
+    """u_g planes: per geometric tap g, (v0 + v1 - 2*curr) with the ALF
+    virtual-boundary clamping per row."""
+    from ..codec.alf import _vb_taps
+    h, w = rec.shape
+    pad = 3
+    sp = np.pad(rec, pad, mode="edge").astype(np.int64)
+    vb_pos = ctu_size - (2 if is_chroma else 4)
+    planes = np.zeros((len(taps), h, w), np.int64)
+    curr = sp[pad:pad + h, pad:pad + w]
+    for yy in range(h):
+        yvb = yy & (ctu_size - 1)
+        o1, o2, o3, o4, o5, o6, _ = _vb_taps(yvb, vb_pos, is_chroma)
+        omap = {1: o1, -1: o2, 2: o3, -2: o4, 3: o5, -3: o6, 0: 0}
+        for g, ((dy0, dx0), (dy1, dx1)) in enumerate(taps):
+            r0 = yy + omap[dy0]
+            r1 = yy + omap[dy1]
+            v0 = sp[r0 + pad, pad + dx0:pad + dx0 + w]
+            v1 = sp[r1 + pad, pad + dx1:pad + dx1 + w]
+            planes[g, yy] = v0 + v1 - 2 * curr[yy]
+    return planes
+
+
+def _solve_quantized(A: np.ndarray, b: np.ndarray, n: int):
+    """Solve normal equations and quantize to 7-bit fixed point."""
+    try:
+        c = np.linalg.solve(A + np.eye(n) * 1e-7, b)
+    except np.linalg.LinAlgError:
+        return np.zeros(n, np.int32)
+    q = np.round(c * 128.0).astype(np.int64)
+    return np.clip(q, -127, 127).astype(np.int32)
+
+
+def derive_alf(orig, rec, bit_depth: int, ctu_size: int, lmbda: float):
+    """Derive ALF parameters + CTU decisions for one picture.
+
+    orig/rec: {comp: plane} (rec = post-deblock pre-ALF).  Returns
+    (AlfParam, enabled[3], ctu_flags[3][n], ctu_filter_idx[n],
+    ctu_alt[2][n], cls, trn) or None if no gain."""
+    h, w = rec[0].shape
+    w_ctus = (w + ctu_size - 1) // ctu_size
+    h_ctus = (h + ctu_size - 1) // ctu_size
+    n_ctus = w_ctus * h_ctus
+    cls, trn = classify_luma(rec[0], bit_depth, ctu_size)
+
+    # ---- luma: one Wiener filter per class (25 signalled filters) ----
+    u = _tap_planes(rec[0], _LUMA_TAPS, ctu_size, False)  # (12, h, w)
+    # coefficient-index mapping per pixel transpose: u_coeff[TR[t][g]] = u[g]
+    uc = np.zeros_like(u)
+    tmap = np.repeat(np.repeat(trn, 4, 0), 4, 1)[:h, :w]
+    for t in range(4):
+        m = tmap == t
+        if not m.any():
+            continue
+        for g in range(12):
+            uc[_TR7[t][g]][m] = u[g][m]
+    err = (orig[0].astype(np.int64) - rec[0].astype(np.int64))
+    cmap = np.repeat(np.repeat(cls, 4, 0), 4, 1)[:h, :w].reshape(-1)
+    flat = uc.reshape(12, -1).astype(np.float64)
+    errf = err.reshape(-1).astype(np.float64)
+    coeffs = np.zeros((25, 12), np.int32)
+    for c in range(25):
+        m = cmap == c
+        if m.sum() < 64:
+            continue
+        fc = flat[:, m]
+        A = fc @ fc.T
+        b = fc @ errf[m]
+        coeffs[c] = _solve_quantized(A, b, 12)
+
+    p = AlfParam()
+    p.new_filter[0] = 1
+    p.num_luma_filters = 25
+    p.luma_coeff = coeffs
+    p.luma_clip = np.zeros((25, 12), np.int32)
+    p.filter_idx = list(range(25))
+
+    # ---- chroma: one filter for both components ----
+    ctu_c = ctu_size >> 1
+    ucb = _tap_planes(rec[1], _CHROMA_TAPS, ctu_c, True)
+    ucr = _tap_planes(rec[2], _CHROMA_TAPS, ctu_c, True)
+    ec = np.concatenate([(orig[1].astype(np.int64)
+                          - rec[1].astype(np.int64)).reshape(-1),
+                         (orig[2].astype(np.int64)
+                          - rec[2].astype(np.int64)).reshape(-1)])
+    flatc = np.concatenate([ucb.reshape(6, -1), ucr.reshape(6, -1)],
+                           axis=1).astype(np.float64)
+    Ac = flatc @ flatc.T
+    bc = flatc @ ec.astype(np.float64)
+    ccq = _solve_quantized(Ac, bc, 6)
+    p.new_filter[1] = 1
+    p.num_alts_chroma = 1
+    p.chroma_coeff = ccq.reshape(1, 6)
+    p.chroma_clip = np.zeros((1, 6), np.int32)
+    p.cc_coeff = np.zeros((2, 4, 7), np.int32)
+
+    # ---- per-CTU decisions ----
+    coeff_l, clip_l = reconstruct_luma_coeff(p, bit_depth)
+    coeff_c, clip_c = reconstruct_chroma_coeff(p, 0, bit_depth)
+    filt = {0: rec[0].copy(), 1: rec[1].copy(), 2: rec[2].copy()}
+    filter_luma_region(rec[0], filt[0], 0, 0, w, h, cls, trn, coeff_l,
+                       clip_l, bit_depth, ctu_size)
+    for comp in (1, 2):
+        filter_chroma_region(rec[comp], filt[comp], 0, 0, w >> 1, h >> 1,
+                             coeff_c, clip_c, bit_depth, ctu_c)
+    ctu_flags = np.zeros((3, n_ctus), np.int32)
+    ctu_fidx = np.full(n_ctus, NUM_FIXED_FILTER_SETS, np.int32)
+    ctu_alt = np.zeros((2, n_ctus), np.int32)
+    flag_cost = lmbda * 2.0  # ~rate of the enable flag + filter idx
+    for ry in range(h_ctus):
+        for rx in range(w_ctus):
+            addr = ry * w_ctus + rx
+            for comp in range(3):
+                sc = 1 if comp else 0
+                x0, y0 = (rx * ctu_size) >> sc, (ry * ctu_size) >> sc
+                x1 = min(x0 + (ctu_size >> sc), w >> sc)
+                y1 = min(y0 + (ctu_size >> sc), h >> sc)
+                o = orig[comp][y0:y1, x0:x1].astype(np.int64)
+                d_off = ((o - rec[comp][y0:y1, x0:x1]) ** 2).sum()
+                d_on = ((o - filt[comp][y0:y1, x0:x1]) ** 2).sum()
+                if d_on + flag_cost < d_off:
+                    ctu_flags[comp][addr] = 1
+    enabled = [int(ctu_flags[c].any()) for c in range(3)]
+    if not any(enabled):
+        return None
+    # luma-disabled CTUs keep fidx; chroma uses alternative 0
+    return p, enabled, ctu_flags, ctu_fidx, ctu_alt, filt

@@ -70,6 +70,7 @@ class EncoderConfig:
     mrl: bool = False              # multi-reference-line intra
     lfnst: bool = False            # low-frequency non-separable transform
     mts: bool = False              # explicit intra MTS (DST7/DCT8)
+    alf: bool = False              # adaptive loop filter (encoder-derived)
 
 
 def build_parameter_sets(cfg: EncoderConfig):
@@ -103,6 +104,7 @@ def build_parameter_sets(cfg: EncoderConfig):
     if cfg.mts:
         sps.mts = 1
         sps.mts_intra = 1
+    sps.alf_enabled = 1 if cfg.alf else 0
     if cfg.qpa:
         pps.cu_qp_delta_enabled = 1
         pps.slice_chroma_qp_flag = 1
@@ -315,12 +317,74 @@ class IntraEncoder:
                             qp_map=ps.qp_map,
                             chroma_qp_fn=qp_state.chroma_deblock_qp)
 
+        aps_bytes = b""
+        if cfg.alf:
+            from .alf_enc import derive_alf
+            from ..codec.alf import write_alf_aps, apply_alf_picture, \
+                code_alf_ctu
+            res = derive_alf(src, ps.rec, cfg.bit_depth, cfg.ctu_size,
+                             self.lmbda)
+            if res is not None:
+                alf_p, enabled, alf_flags, alf_fidx, alf_alt, filt = res
+                sh.alf_enabled = enabled if enabled[0] else [0, 0, 0]
+                if not enabled[0]:
+                    alf_p.new_filter[0] = 0
+                if sh.alf_enabled[0]:
+                    sh.num_alf_aps = 1
+                    sh.luma_aps_ids = [0]
+                    sh.chroma_aps_id = 0
+                    aps_bw = BitWriter()
+                    write_alf_aps(aps_bw, 0, alf_p)
+                    aps_bytes = make_nal_unit(NalUnitType.PREFIX_APS,
+                                              aps_bw.get_bytes())
+                    # replay the slice entropy with ALF CTU syntax
+                    ps2 = PictureState(cfg.width, cfg.height, cfg.bit_depth)
+                    qp2 = QpState(self.sps, self.pps, slice_qp, sh=sh)
+                    coder2 = SyntaxCoder(self.sps, self.pps, sh, qp2,
+                                         ref_pics, ref_pocs)
+                    coder2.attach_motion(ps2)
+                    bw = BitWriter()
+                    hls.write_slice_header(bw, sh, self.sps, self.pps,
+                                           is_idr=is_idr)
+                    bw.write_byte_alignment()
+                    enc = CabacEncoder(bw)
+                    enc.init_ctx(slice_qp, 2 if is_idr else sh.slice_type)
+                    ti = 0
+                    for cy in range(n_rows):
+                        coder2.new_ctu_row()
+                        for cx in range(n_cols):
+                            addr = cy * n_cols + cx
+                            if qpa_res is not None:
+                                qp2.set_cu_qp(int(qpa_res.ctu_qps[addr]))
+                            code_alf_ctu(enc, True, addr, n_cols,
+                                         sh.alf_enabled, sh.num_alf_aps, 1,
+                                         alf_flags, alf_fidx, alf_alt,
+                                         [0, 0], [0, 0],
+                                         [[0] * (n_rows * n_cols)] * 2)
+                            coder2.encode_ctu(enc, ps2, trees[ti])
+                            ti += 1
+                    enc.encode_bin_trm(1)
+                    enc.finish()
+                    bw.write_rbsp_trailing_bits()
+                    # apply the decided ALF to the reconstruction
+                    for comp in range(3):
+                        sc = 1 if comp else 0
+                        csz = cfg.ctu_size >> sc
+                        for ry in range(n_rows):
+                            for rx in range(n_cols):
+                                if not (sh.alf_enabled[comp] and
+                                        alf_flags[comp][ry * n_cols + rx]):
+                                    continue
+                                y0, x0 = ry * csz, rx * csz
+                                ps.rec[comp][y0:y0 + csz, x0:x0 + csz] = \
+                                    filt[comp][y0:y0 + csz, x0:x0 + csz]
         if is_idr:
             nal_type = NalUnitType.IDR_N_LP if self.frames_done == 0 \
                 else NalUnitType.IDR_W_RADL
         else:
             nal_type = NalUnitType.TRAIL
         au = make_nal_unit(nal_type, bw.get_bytes())
+        au = aps_bytes + au
         out = (self.headers() + au) if self.frames_done == 0 else au
         self.frames_done += 1
         self.last_rec = ps
