@@ -21,6 +21,23 @@ DATA = os.path.join(os.path.dirname(__file__), "data")
 # md5 of frame planes (uint16 LE, Y then U then V concatenated) from the
 # reference encoder's reconstruction output
 GOLDEN_HASHES = {
+    # joint Cb-Cr residual (JCCR) with ALF+CCALF+SAO, random access GOP16:
+    # all three ICT modes, per-picture sign, joint-QP deblocking edges
+    "golden_ra_jccr_alf_416x240_qp28_f9.266": [
+        "9b533cd5ce5173a3c80f3ad218843b16",
+        "5da30858466524da391ec145a97ee62f",
+        "15e1156578cf46f9fdb8c026ac643c65",
+        "7114ef3b8c7698c140e9c24298bde3ea",
+        "9ddd910da5f457c584d14a1fa77e345a",
+        "ca008a44e634d9f13db62b9d58bb4195",
+        "011362e49ac35cadbc9b00cbbd400a96",
+        "a77372e48d6202c149ed393a91cd8df0",
+        "1fe07c9d13f2c123135937e7fe30e3c0"],
+    # "kitchen sink" intra: MIP+MRL+LFNST+implicitMTS+CCLM+JCCR+ALF+CCALF
+    # +SAO+deblock at MTT2
+    "golden_ai_sink_416x240_qp26_f2.266": [
+        "ba28c1dc450efd68fe753b18bea4def1",
+        "657ab78ec133b2db3561ba4919fe0b09"],
     # ALF + CC-ALF + SAO (full in-loop filter chain), busy content
     "golden_ai_alf_ccalf_sao_416x240_qp30_f2.266": [
         "e52985f91a9c89c59fb8a3cc20d04ad5",

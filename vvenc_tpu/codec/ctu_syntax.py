@@ -71,6 +71,7 @@ class CuData:
     ref_line: int = 0                # MRL reference line index (0, 1, 2)
     lfnst_idx: int = 0               # secondary transform index (0, 1, 2)
     mts_idx: int = 0                 # explicit MTS (0=DCT2, 1..4 DST7/DCT8)
+    joint_cbcr: int = 0              # JCCR cbf mask (0=off, 1/2/3)
     chroma_dir: int = DM_CHROMA      # signalled chroma mode (DM or mode value)
     coeff_y: Optional[np.ndarray] = None
     coeff_cb: Optional[np.ndarray] = None
@@ -573,6 +574,8 @@ class SyntaxCoder:
         # (vvenc SPS::getUseImplicitMTS, Slice.h:804)
         self.implicit_mts = bool(sps.mts and not sps.mts_intra)
         self.sdh = bool(getattr(sh, "sign_data_hiding_used", 0))
+        self.jccr = bool(getattr(sps, "joint_cbcr", 0))
+        self.jccr_sign = getattr(sh.ph, "joint_cbcr_sign", 0)
         self.dq = bool(getattr(sh, "dep_quant_used", 0))
         # cu_qp_delta (vvenc CABACWriter cuCtx.qp/qgStart/isDQPCoded)
         self.use_dqp = bool(getattr(pps, "cu_qp_delta_enabled", 0))
@@ -841,15 +844,27 @@ class SyntaxCoder:
     def _enc_chroma_cu(self, enc, ps, cu: CuData, part: PartInfo) -> None:
         """Mirror of _dec_chroma_cu (TREE_C region chroma)."""
         self._enc_intra_chroma_mode(enc, cu)
-        cbf_cb = cu.coeff_cb is not None and np.any(cu.coeff_cb)
-        cbf_cr = cu.coeff_cr is not None and np.any(cu.coeff_cr)
+        if cu.joint_cbcr:
+            cbf_cb = bool(cu.joint_cbcr & 2)
+            cbf_cr = bool(cu.joint_cbcr & 1)
+        else:
+            cbf_cb = cu.coeff_cb is not None and np.any(cu.coeff_cb)
+            cbf_cr = cu.coeff_cr is not None and np.any(cu.coeff_cr)
         enc.encode_bin(1 if cbf_cb else 0, ct.CTX_SETS["QtCbfCb"](0))
         enc.encode_bin(1 if cbf_cr else 0,
                        ct.CTX_SETS["QtCbfCr"](1 if cbf_cb else 0))
-        if cbf_cb:
-            encode_residual(enc, cu.coeff_cb, False, dep_quant=self.dq)
-        if cbf_cr:
-            encode_residual(enc, cu.coeff_cr, False, dep_quant=self.dq)
+        mask = (2 if cbf_cb else 0) + (1 if cbf_cr else 0)
+        if self.jccr and mask:
+            enc.encode_bin(1 if cu.joint_cbcr else 0,
+                           ct.CTX_SETS["JointCbCrFlag"](mask - 1))
+        if cu.joint_cbcr:
+            coded = cu.coeff_cb if cu.joint_cbcr in (2, 3) else cu.coeff_cr
+            encode_residual(enc, coded, False, dep_quant=self.dq)
+        else:
+            if cbf_cb:
+                encode_residual(enc, cu.coeff_cb, False, dep_quant=self.dq)
+            if cbf_cr:
+                encode_residual(enc, cu.coeff_cr, False, dep_quant=self.dq)
         self._code_lfnst_mts(enc, cu, encode=True)
         self.finish_cu(ps, cu, part.qt_depth, comps=(1, 2))
 
@@ -923,8 +938,12 @@ class SyntaxCoder:
             self._finish_cu(ps, cu, node)
             return
         if not cu.is_inter or cu.root_cbf:
-            cbf_cb = cu.coeff_cb is not None and np.any(cu.coeff_cb)
-            cbf_cr = cu.coeff_cr is not None and np.any(cu.coeff_cr)
+            if cu.joint_cbcr:
+                cbf_cb = bool(cu.joint_cbcr & 2)
+                cbf_cr = bool(cu.joint_cbcr & 1)
+            else:
+                cbf_cb = cu.coeff_cb is not None and np.any(cu.coeff_cb)
+                cbf_cr = cu.coeff_cr is not None and np.any(cu.coeff_cr)
             cbf_y = cu.coeff_y is not None and np.any(cu.coeff_y)
             enc.encode_bin(1 if cbf_cb else 0, ct.CTX_SETS["QtCbfCb"](0))
             enc.encode_bin(1 if cbf_cr else 0,
@@ -935,12 +954,23 @@ class SyntaxCoder:
                 enc.encode_bin(1 if cbf_y else 0, ct.CTX_SETS["QtCbfLuma"](0))
             self._maybe_code_dqp(enc, cu, bool(cbf_y or cbf_cb or cbf_cr),
                                  encode=True)
+            mask = (2 if cbf_cb else 0) + (1 if cbf_cr else 0)
+            if self.jccr and ((not cu.is_inter and mask) or mask == 3):
+                enc.encode_bin(1 if cu.joint_cbcr else 0,
+                               ct.CTX_SETS["JointCbCrFlag"](mask - 1))
             if cbf_y:
                 encode_residual(enc, cu.coeff_y, True, dep_quant=self.dq)
-            if cbf_cb:
-                encode_residual(enc, cu.coeff_cb, False, dep_quant=self.dq)
-            if cbf_cr:
-                encode_residual(enc, cu.coeff_cr, False, dep_quant=self.dq)
+            if cu.joint_cbcr:
+                coded = cu.coeff_cb if cu.joint_cbcr in (2, 3) \
+                    else cu.coeff_cr
+                encode_residual(enc, coded, False, dep_quant=self.dq)
+            else:
+                if cbf_cb:
+                    encode_residual(enc, cu.coeff_cb, False,
+                                    dep_quant=self.dq)
+                if cbf_cr:
+                    encode_residual(enc, cu.coeff_cr, False,
+                                    dep_quant=self.dq)
         self._code_lfnst_mts(enc, cu, encode=True)
         self._finish_cu(ps, cu, node)
 
@@ -1078,7 +1108,7 @@ class SyntaxCoder:
             self.qp.set_cu_qp(self.cur_qp)
         reconstruct_cu(ps, cu, self.qp, qt_depth, self.bit_depth,
                        self.ref_pics, comps, self.implicit_mts,
-                       self.ctu_size, self.dq)
+                       self.ctu_size, self.dq, self.jccr_sign)
         if cu.chroma_only:
             return
         if self.mf is not None:
@@ -1225,11 +1255,23 @@ class SyntaxCoder:
         cu.chroma_dir = self._dec_intra_chroma_mode(dec, cu)
         cbf_cb = dec.decode_bin(ct.CTX_SETS["QtCbfCb"](0))
         cbf_cr = dec.decode_bin(ct.CTX_SETS["QtCbfCr"](1 if cbf_cb else 0))
-        if cbf_cb:
-            cu.coeff_cb = decode_residual(dec, w >> 1, h >> 1, False,
+        mask = (2 if cbf_cb else 0) + (1 if cbf_cr else 0)
+        if self.jccr and mask:
+            if dec.decode_bin(ct.CTX_SETS["JointCbCrFlag"](mask - 1)):
+                cu.joint_cbcr = mask
+        if cu.joint_cbcr:
+            coded = decode_residual(dec, w >> 1, h >> 1, False,
+                                    dep_quant=self.dq, sign_hiding=self.sdh)
+            if cu.joint_cbcr in (2, 3):
+                cu.coeff_cb = coded
+            else:
+                cu.coeff_cr = coded
+        elif True:
+            if cbf_cb:
+                cu.coeff_cb = decode_residual(dec, w >> 1, h >> 1, False,
                                           dep_quant=self.dq, sign_hiding=self.sdh)
-        if cbf_cr:
-            cu.coeff_cr = decode_residual(dec, w >> 1, h >> 1, False,
+            if cbf_cr:
+                cu.coeff_cr = decode_residual(dec, w >> 1, h >> 1, False,
                                           dep_quant=self.dq, sign_hiding=self.sdh)
         self._code_lfnst_mts(dec, cu, encode=False)
         self.finish_cu(ps, cu, part.qt_depth, comps=(1, 2))
@@ -1334,14 +1376,27 @@ class SyntaxCoder:
                 cbf_y = dec.decode_bin(ct.CTX_SETS["QtCbfLuma"](0))
             self._maybe_code_dqp(dec, cu, bool(cbf_y or cbf_cb or cbf_cr),
                                  encode=False)
+            mask = (2 if cbf_cb else 0) + (1 if cbf_cr else 0)
+            if self.jccr and ((not cu.is_inter and mask) or mask == 3):
+                if dec.decode_bin(ct.CTX_SETS["JointCbCrFlag"](mask - 1)):
+                    cu.joint_cbcr = mask
             if cbf_y:
                 cu.coeff_y = decode_residual(dec, w, h, True,
                                              dep_quant=self.dq, sign_hiding=self.sdh)
-            if cbf_cb:
-                cu.coeff_cb = decode_residual(dec, w >> 1, h >> 1, False,
+            if cu.joint_cbcr:
+                coded = decode_residual(dec, w >> 1, h >> 1, False,
+                                        dep_quant=self.dq,
+                                        sign_hiding=self.sdh)
+                if cu.joint_cbcr in (2, 3):
+                    cu.coeff_cb = coded
+                else:
+                    cu.coeff_cr = coded
+            else:
+                if cbf_cb:
+                    cu.coeff_cb = decode_residual(dec, w >> 1, h >> 1, False,
                                           dep_quant=self.dq, sign_hiding=self.sdh)
-            if cbf_cr:
-                cu.coeff_cr = decode_residual(dec, w >> 1, h >> 1, False,
+                if cbf_cr:
+                    cu.coeff_cr = decode_residual(dec, w >> 1, h >> 1, False,
                                           dep_quant=self.dq, sign_hiding=self.sdh)
         self._code_lfnst_mts(dec, cu, encode=False)
         self._finish_cu(ps, cu, node)
@@ -1441,13 +1496,53 @@ def inter_predict(ref_pics, mv, ref_idx, x, y, w, h, comp, bit_depth):
                        is_luma=(comp == 0))
 
 
+def _ict_derive(coded: np.ndarray, mask: int, sign: int):
+    """Inverse ICT (spatial domain): coded residual -> (resCb, resCr)
+    (vvenc invTransformCbCr, TrQuant.cpp:148; g_ictModes Rom.cpp:1453)."""
+    mode = (0, 3, 1, 2)[mask] * (-1 if sign else 1)
+    am = abs(mode)
+    neg = -coded if mode < 0 else coded
+    if am == 1:
+        return coded, neg >> 1
+    if am == 2:
+        return coded, neg
+    return neg >> 1, coded  # am == 3: coded residual is Cr
+
+
 def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
                    bit_depth: int, ref_pics=None, comps=(0, 1, 2),
                    implicit_mts: bool = False, ctu_size: int = 64,
-                   dep_quant: bool = False) -> None:
+                   dep_quant: bool = False, jccr_sign: int = 0) -> None:
     maxval = (1 << bit_depth) - 1
+    joint_resi = {}
+    if cu.joint_cbcr and (1 in comps or 2 in comps):
+        coded_comp = 1 if cu.joint_cbcr in (2, 3) else 2
+        coeff = cu.coeff_cb if coded_comp == 1 else cu.coeff_cr
+        q = qp.joint_qp() if cu.joint_cbcr == 3 \
+            else qp.chroma_qp(coded_comp)
+        d = (T.dequant_dq_np(coeff, q, bit_depth) if dep_quant
+             else T.dequant_np(coeff, q, bit_depth))
+        if cu.lfnst_idx and cu.chroma_only:
+            from ..ops.lfnst import inv_lfnst
+            d = inv_lfnst(d, cu.w >> 1, cu.h >> 1, lfnst_chroma_mode(cu),
+                          cu.lfnst_idx)
+        resi = T.inv_transform_np(d, bit_depth)
+        rcb, rcr = _ict_derive(resi.astype(np.int64), cu.joint_cbcr,
+                               jccr_sign)
+        joint_resi = {1: rcb, 2: rcr}
     for comp, coeff in ((0, cu.coeff_y), (1, cu.coeff_cb), (2, cu.coeff_cr)):
         if comp not in comps:
+            continue
+        if comp in joint_resi:
+            x, y, w, h = cu.x >> 1, cu.y >> 1, cu.w >> 1, cu.h >> 1
+            if cu.is_inter:
+                pred = inter_predict(ref_pics, cu.mv, cu.ref_idx, x, y, w,
+                                     h, comp, bit_depth)
+            else:
+                pred = predict_cu_component(ps, cu, comp, bit_depth,
+                                            ctu_size)
+            ps.rec[comp][y:y + h, x:x + w] = \
+                np.clip(pred + joint_resi[comp], 0, maxval)
             continue
         if comp == 0:
             x, y, w, h = cu.x, cu.y, cu.w, cu.h

@@ -308,17 +308,23 @@ class _BsMaps:
         self.cu_h = np.zeros((uh, uw), np.int32)
         self.intra = np.ones((uh, uw), bool)
         self.cbf = np.zeros((3, uh, uw), bool)
+        self.joint3 = np.zeros((uh, uw), bool)
         self.mv = np.zeros((2, uh, uw, 2), np.int32)
         self.refpoc = np.full((2, uh, uw), -(10 ** 9), np.int64)
         rp = ref_pocs or [[], []]
         for cu in cu_list:
             ys = slice(cu.y >> 2, (cu.y + cu.h) >> 2)
             xs = slice(cu.x >> 2, (cu.x + cu.w) >> 2)
+            joint = getattr(cu, "joint_cbcr", 0)
+            if joint == 3:
+                self.joint3[ys, xs] = True
             if getattr(cu, "chroma_only", False):
                 # TREE_C chroma CU of a local dual tree: contributes only
-                # the chroma cbf flags (always intra)
+                # the chroma cbf flags (always intra).  JCCR: the SIGNALLED
+                # cbf mask drives the boundary strength.
                 for ci, a in ((1, "coeff_cb"), (2, "coeff_cr")):
-                    self.cbf[ci, ys, xs] = getattr(cu, a, None) is not None
+                    self.cbf[ci, ys, xs] = \
+                        (getattr(cu, a, None) is not None or joint != 0)
                 continue
             self.cu_w[ys, xs] = cu.w
             self.cu_h[ys, xs] = cu.h
@@ -326,8 +332,11 @@ class _BsMaps:
             self.intra[ys, xs] = not is_inter
             self.cbf[0, ys, xs] = getattr(cu, "coeff_y", None) is not None
             if not getattr(cu, "luma_only", False):
+                # any JCCR mode sets BOTH chroma cbf flags for BS
+                # (vvenc LoopFilter.cpp:1111-1112)
                 for ci, a in ((1, "coeff_cb"), (2, "coeff_cr")):
-                    self.cbf[ci, ys, xs] = getattr(cu, a, None) is not None
+                    self.cbf[ci, ys, xs] = \
+                        (getattr(cu, a, None) is not None or joint != 0)
             if is_inter:
                 for li in range(2):
                     ri = cu.ref_idx[li]
@@ -408,8 +417,13 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                 >> 1
 
         def chroma_edge_qp(pu_y, pu_x, qu_y, qu_x, comp):
-            return (chroma_qp_fn(int(qp_map[pu_y, pu_x]), comp)
-                    + chroma_qp_fn(int(qp_map[qu_y, qu_x]), comp) + 1) >> 1
+            # each side uses its own QpParam: joint-CbCr TUs (ICT mode |2|)
+            # take the joint QP (vvenc LoopFilter.cpp:1055, Quant QpParam)
+            qp_p = chroma_qp_fn(int(qp_map[pu_y, pu_x]), comp,
+                                bool(maps.joint3[pu_y, pu_x]))
+            qp_q = chroma_qp_fn(int(qp_map[qu_y, qu_x]), comp,
+                                bool(maps.joint3[qu_y, qu_x]))
+            return (qp_p + qp_q + 1) >> 1
     else:
         def luma_edge_qp(pu_y, pu_x, qu_y, qu_x):
             return qp_luma

@@ -63,6 +63,7 @@ class QpState:
         sh_cr = getattr(sh, "cr_qp_offset", 0) if sh is not None else 0
         self.cb_off = pps.cb_qp_offset + sh_cb
         self.cr_off = pps.cr_qp_offset + sh_cr
+        self.joint_off = getattr(pps, "joint_cbcr_qp_offset", 0)
 
     def luma_qp(self) -> int:
         """Quantizer QP for luma (Qp'Y, includes bit-depth offset)."""
@@ -76,14 +77,25 @@ class QpState:
         qpc = max(-self.qp_bd_offset, min(63, qpc + off))
         return qpc + self.qp_bd_offset
 
+    def joint_qp(self) -> int:
+        """Quantizer QP for a joint Cb-Cr residual with ICT mode |2|
+        (vvenc Quant QpParam: useJQP iff abs(ictMode) == 2)."""
+        q = max(-self.qp_bd_offset, min(63, self.qp_y))
+        qpc = self._ctab[q + self.qp_bd_offset]
+        qpc = max(-self.qp_bd_offset, min(63, qpc + self.joint_off))
+        return qpc + self.qp_bd_offset
+
     def set_cu_qp(self, qp_y: int) -> None:
         """Switch the state to one CU's luma QP (cu_qp_delta)."""
         self.qp_y = qp_y if qp_y >= 0 else self.slice_qp
 
-    def chroma_deblock_qp(self, qp_y: int, comp: int) -> int:
+    def chroma_deblock_qp(self, qp_y: int, comp: int,
+                          joint: bool = False) -> int:
         """Chroma QP for the deblocking tc/beta lookup of a CU with luma
-        QP qp_y (QpParam.Qp(0) - qpBdOffset, vvenc LoopFilter.cpp:1057)."""
+        QP qp_y (QpParam.Qp(0) - qpBdOffset, vvenc LoopFilter.cpp:1057).
+        joint: the TU uses joint Cb-Cr with ICT mode |2| (joint QP)."""
         q = max(-self.qp_bd_offset, min(63, qp_y))
         qpc = self._ctab[q + self.qp_bd_offset]
-        off = self.cb_off if comp == 1 else self.cr_off
+        off = self.joint_off if joint else \
+            (self.cb_off if comp == 1 else self.cr_off)
         return max(-self.qp_bd_offset, min(63, qpc + off))
