@@ -21,6 +21,28 @@ DATA = os.path.join(os.path.dirname(__file__), "data")
 # md5 of frame planes (uint16 LE, Y then U then V concatenated) from the
 # reference encoder's reconstruction output
 GOLDEN_HASHES = {
+    # AMVR (incl. half-pel alt interpolation filter), RA GOP16
+    "golden_ra_amvr_416x240_qp28_f9.266": [
+        "b62d36524775932868b8a504cb0fa3ba",
+        "540c979e388fde122d53c9f8964c8d60",
+        "7adc27d75228e3dbda098774fa9f637b",
+        "fc2f7dd9d42533b3d5482dc4227f68b6",
+        "e095a04ad8ef099b48bae2790b48ffe9",
+        "7586fc4147a4b9326f873db21e18e727",
+        "d2d230dd2a0e6600afb8a8a0eb70ded0",
+        "e5aaf41fe679702f35bce7d3c8d71299",
+        "6ee753a760c49c8a5113d0e5105e850f"],
+    # AMVR + MMVD + SMVD + BCW combined
+    "golden_ra_amvr_mmvd_smvd_bcw_416x240_qp28_f9.266": [
+        "8c8979ca0e711380d1d8405e907e75a2",
+        "fc9976544fbc80220ff4e97a12d084fd",
+        "f40cd33a8f164e1793b861162e21671f",
+        "9b8904205bbf823b9c085a57f60cfc5d",
+        "914d14cc3c897e7b4700ac13f7a8df36",
+        "30f701dcd8fb2a8203b780a870ae5237",
+        "0f3dfa4db2e23b723bb1941ded527487",
+        "e5aaf41fe679702f35bce7d3c8d71299",
+        "f5fd0e9817d07afca6dc8e72c02c465d"],
     # joint Cb-Cr residual (JCCR) with ALF+CCALF+SAO, random access GOP16:
     # all three ICT modes, per-picture sign, joint-QP deblocking edges
     "golden_ra_jccr_alf_416x240_qp28_f9.266": [

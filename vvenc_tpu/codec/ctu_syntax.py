@@ -30,8 +30,9 @@ from ..ops.interp import mc_block_np, bi_average_np
 from .picture import PictureState
 from .qp import QpState
 from .motion import (MotionInfo, MotionField, HmvpLut, get_merge_candidates,
-                     get_amvp_candidates, round_mv_quarter,
-                     hmvp_insertion_allowed)
+                     get_amvp_candidates, round_mv_quarter, round_mv_amvr,
+                     hmvp_insertion_allowed, AMVR_SHIFTS,
+                     _dist_scale_factor, _scale_mv)
 
 MV_MAX = (1 << 17) - 1
 MV_MIN = -(1 << 17)
@@ -72,6 +73,14 @@ class CuData:
     lfnst_idx: int = 0               # secondary transform index (0, 1, 2)
     mts_idx: int = 0                 # explicit MTS (0=DCT2, 1..4 DST7/DCT8)
     joint_cbcr: int = 0              # JCCR cbf mask (0=off, 1/2/3)
+    imv: int = 0                     # AMVR precision (0=1/4,1=int,2=4pel,3=half)
+    smvd: bool = False               # symmetric MVD mode
+    mmvd_flag: bool = False          # MMVD merge
+    mmvd_base: int = 0               # MMVD base candidate (0/1)
+    mmvd_step: int = 0               # MMVD distance step (0..7)
+    mmvd_pos: int = 0                # MMVD direction (0..3)
+    bcw_idx: int = 2                 # bi-prediction weight index
+    alt_hpel: bool = False           # alternative half-pel IF (AMVR half)
     chroma_dir: int = DM_CHROMA      # signalled chroma mode (DM or mode value)
     coeff_y: Optional[np.ndarray] = None
     coeff_cb: Optional[np.ndarray] = None
@@ -552,7 +561,7 @@ class SyntaxCoder:
     """Encodes/decodes one slice's CTU stream.  Holds slice-level params."""
 
     def __init__(self, sps, pps, sh, qp_state: QpState, ref_pics=None,
-                 ref_pocs=None, tmvp=None):
+                 ref_pocs=None, tmvp=None, cur_poc=None):
         self.sps = sps
         self.pps = pps
         self.sh = sh
@@ -576,6 +585,23 @@ class SyntaxCoder:
         self.sdh = bool(getattr(sh, "sign_data_hiding_used", 0))
         self.jccr = bool(getattr(sps, "joint_cbcr", 0))
         self.jccr_sign = getattr(sh.ph, "joint_cbcr_sign", 0)
+        # inter tools
+        self.amvr = bool(getattr(sps, "amvr", 0))
+        self.mmvd = bool(getattr(sps, "mmvd", 0))
+        self.smvd_en = bool(getattr(sps, "smvd", 0))
+        self.bcw_en = bool(getattr(sps, "bcw", 0))
+        self.cur_poc = cur_poc
+        # checkLDC: all reference POCs at or before the current picture
+        self.check_ldc = bool(
+            cur_poc is not None
+            and all(p <= cur_poc for li in range(2)
+                    for p in self.ref_pocs[li])
+            and any(self.ref_pocs[li] for li in range(2)))
+        self.bi_dir_pred = False
+        self.sym_ref = (-1, -1)
+        if (self.smvd_en and self.is_b and cur_poc is not None
+                and not self.check_ldc and not sh.ph.mvd_l1_zero):
+            self._derive_sym_refs()
         self.dq = bool(getattr(sh, "dep_quant_used", 0))
         # cu_qp_delta (vvenc CABACWriter cuCtx.qp/qgStart/isDQPCoded)
         self.use_dqp = bool(getattr(pps, "cu_qp_delta_enabled", 0))
@@ -588,6 +614,31 @@ class SyntaxCoder:
         self._qg_cus = []
         self.qg_pred_qp = sh.slice_qp
         self._qg_delta_at = None
+
+    def _derive_sym_refs(self):
+        """Nearest forward L0 / backward L1 reference pair (vvenc
+        Slice::checkBiDirRefs semantics, Slice.cpp:280-356)."""
+        cur = self.cur_poc
+
+        def nearest(pocs, forward):
+            best, idx = None, -1
+            for r, p in enumerate(pocs):
+                if forward and p < cur and (best is None or p > best):
+                    best, idx = p, r
+                if not forward and p > cur and (best is None or p < best):
+                    best, idx = p, r
+            return best, idx
+        f, i0 = nearest(self.ref_pocs[0], True)
+        b, i1 = nearest(self.ref_pocs[1], False)
+        if f is None or b is None:
+            f, i0 = nearest(self.ref_pocs[0], False)
+            b2, i1 = nearest(self.ref_pocs[1], True)
+            if f is None or b2 is None:
+                return
+            f, b = b2, f  # forward POC from L1, backward from L0
+        if f < cur and b > cur:
+            self.bi_dir_pred = True
+            self.sym_ref = (i0, i1)
 
     def attach_motion(self, ps: PictureState):
         """Create the per-picture motion field (once per picture)."""
@@ -880,7 +931,7 @@ class SyntaxCoder:
             enc.encode_bin(1 if cu.skip else 0,
                            ct.CTX_SETS["SkipFlag"](ctx_skip))
             if cu.skip:
-                self._enc_merge_idx(enc, cu.merge_idx)
+                self._enc_merge_data(enc, cu)
                 self._finish_cu(ps, cu, node)
                 return
         if self.is_intra_slice or mt == MODE_INTRA or is_4x4:
@@ -898,7 +949,7 @@ class SyntaxCoder:
         else:
             enc.encode_bin(1 if cu.merge else 0, ct.CTX_SETS["MergeFlag"](0))
             if cu.merge:
-                self._enc_merge_idx(enc, cu.merge_idx)
+                self._enc_merge_data(enc, cu)
             else:
                 inter_dir = (1 if cu.ref_idx[0] >= 0 else 0) | \
                             (2 if cu.ref_idx[1] >= 0 else 0)
@@ -913,17 +964,25 @@ class SyntaxCoder:
                     if inter_dir != 3:
                         enc.encode_bin(1 if inter_dir == 2 else 0,
                                        ct.CTX_SETS["InterDir"](5))
+                # sym_mvd_flag (vvenc CABACWriter::smvd_mode:1798)
+                if inter_dir == 3 and self.bi_dir_pred:
+                    enc.encode_bin(1 if cu.smvd else 0,
+                                   ct.CTX_SETS["SmvdFlag"](0))
                 if inter_dir != 2:
-                    if self.num_refs[0] > 1:
+                    if not cu.smvd and self.num_refs[0] > 1:
                         self._enc_ref_idx(enc, cu.ref_idx[0], self.num_refs[0])
                     self._enc_mvd(enc, cu.mvd)
                     enc.encode_bin(cu.mvp_idx, ct.CTX_SETS["MVPIdx"](0))
                 if inter_dir != 1:
-                    if self.num_refs[1] > 1:
-                        self._enc_ref_idx(enc, cu.ref_idx[1], self.num_refs[1])
-                    if not (self.sh.ph.mvd_l1_zero and inter_dir == 3):
-                        self._enc_mvd(enc, cu.mvd_l1)
+                    if not cu.smvd:
+                        if self.num_refs[1] > 1:
+                            self._enc_ref_idx(enc, cu.ref_idx[1],
+                                              self.num_refs[1])
+                        if not (self.sh.ph.mvd_l1_zero and inter_dir == 3):
+                            self._enc_mvd(enc, cu.mvd_l1)
                     enc.encode_bin(cu.mvp_idx_l1, ct.CTX_SETS["MVPIdx"](0))
+                self._enc_imv(enc, cu)
+                self._enc_bcw(enc, cu, inter_dir)
         # residual
         if cu.is_inter and not cu.merge:
             enc.encode_bin(1 if cu.root_cbf else 0,
@@ -973,6 +1032,150 @@ class SyntaxCoder:
                                     dep_quant=self.dq)
         self._code_lfnst_mts(enc, cu, encode=True)
         self._finish_cu(ps, cu, node)
+
+    # -- merge data (regular / MMVD) ----------------------------------------
+    # (vvenc CABACWriter::merge_data:757, mmvd_merge_idx:1676)
+    def _enc_merge_data(self, enc, cu) -> None:
+        if self.mmvd:
+            enc.encode_bin(1 if cu.mmvd_flag else 0,
+                           ct.CTX_SETS["MmvdFlag"](0))
+        if cu.mmvd_flag:
+            self._enc_mmvd_idx(enc, cu)
+        else:
+            self._enc_merge_idx(enc, cu.merge_idx)
+
+    def _dec_merge_data(self, dec, ps, cu) -> None:
+        if self.mmvd and dec.decode_bin(ct.CTX_SETS["MmvdFlag"](0)):
+            cu.mmvd_flag = True
+            self._dec_mmvd_idx(dec, cu)
+            self._apply_mmvd(ps, cu)
+        else:
+            cu.merge_idx = self._dec_merge_idx(dec)
+            self._apply_merge(ps, cu)
+
+    def _enc_mmvd_idx(self, enc, cu) -> None:
+        if self.sps.max_num_merge_cand > 1:
+            enc.encode_bin(cu.mmvd_base, ct.CTX_SETS["MmvdMergeIdx"](0))
+        if cu.mmvd_step == 0:
+            enc.encode_bin(0, ct.CTX_SETS["MmvdStepMvpIdx"](0))
+        else:
+            enc.encode_bin(1, ct.CTX_SETS["MmvdStepMvpIdx"](0))
+            for idx in range(1, 7):
+                enc.encode_bin_ep(0 if cu.mmvd_step == idx else 1)
+                if cu.mmvd_step == idx:
+                    break
+        enc.encode_bins_ep(cu.mmvd_pos, 2)
+
+    def _dec_mmvd_idx(self, dec, cu) -> None:
+        if self.sps.max_num_merge_cand > 1:
+            cu.mmvd_base = dec.decode_bin(ct.CTX_SETS["MmvdMergeIdx"](0))
+        step = 0
+        if dec.decode_bin(ct.CTX_SETS["MmvdStepMvpIdx"](0)):
+            step = 1
+            while step < 7 and dec.decode_bin_ep():
+                step += 1
+        cu.mmvd_step = step
+        cu.mmvd_pos = dec.decode_bins_ep(2)
+
+    def _apply_mmvd(self, ps, cu) -> None:
+        """Derive the MMVD motion (vvenc MergeCtx::setMmvdMergeCandiInfo,
+        getMmvdDeltaMv, ContextModelling.cpp:261-404)."""
+        cands = get_merge_candidates(ps, self.mf, self.hmvp, cu.x, cu.y,
+                                     cu.w, cu.h, self.sps.max_num_merge_cand,
+                                     self.is_b, self.num_refs, self.tmvp)
+        base = cands[cu.mmvd_base]
+        offset = 1 << (cu.mmvd_step + 2)  # MV_FRACTIONAL_BITS_DIFF = 2
+        if getattr(self.sh.ph, "fpel_mmvd", 0):
+            offset <<= 2
+        table = ((offset, 0), (-offset, 0), (0, offset), (0, -offset))
+        d0 = table[cu.mmvd_pos]
+        r0, r1 = base.ref_idx
+        mv = [base.mv[0], base.mv[1]]
+        if r0 >= 0 and r1 >= 0:
+            poc0 = self.ref_pocs[0][r0]
+            poc1 = self.ref_pocs[1][r1]
+            cur = self.cur_poc
+            if (poc0 - cur) == (poc1 - cur):
+                d1 = d0
+            elif abs(poc1 - cur) > abs(poc0 - cur):
+                d1 = d0
+                scale = _dist_scale_factor(cur, poc0, cur, poc1)
+                d0 = _scale_mv(d1, scale)
+            else:
+                scale = _dist_scale_factor(cur, poc1, cur, poc0)
+                d1 = _scale_mv(d0, scale)
+            mv[0] = (mv[0][0] + d0[0], mv[0][1] + d0[1])
+            mv[1] = (mv[1][0] + d1[0], mv[1][1] + d1[1])
+        elif r0 >= 0:
+            mv[0] = (mv[0][0] + d0[0], mv[0][1] + d0[1])
+        elif r1 >= 0:
+            mv[1] = (mv[1][0] + d0[0], mv[1][1] + d0[1])
+        cu.mv = (
+            (max(MV_MIN, min(MV_MAX, mv[0][0])),
+             max(MV_MIN, min(MV_MAX, mv[0][1]))),
+            (max(MV_MIN, min(MV_MAX, mv[1][0])),
+             max(MV_MIN, min(MV_MAX, mv[1][1]))))
+        cu.ref_idx = (r0, r1)
+        cu.alt_hpel = base.alt_hpel
+        cu.bcw_idx = base.bcw if (r0 >= 0 and r1 >= 0) else 2
+        if cu.w + cu.h == 12 and r0 >= 0 and r1 >= 0:
+            cu.ref_idx = (r0, -1)
+            cu.mv = (cu.mv[0], (0, 0))
+
+    # -- AMVR (imv) / BCW ----------------------------------------------------
+    def _has_nonzero_mvd(self, cu) -> bool:
+        return cu.mvd != (0, 0) or cu.mvd_l1 != (0, 0)
+
+    def _enc_imv(self, enc, cu) -> None:
+        if not self.amvr or not self._has_nonzero_mvd(cu):
+            return
+        enc.encode_bin(1 if cu.imv > 0 else 0, ct.CTX_SETS["ImvFlag"](0))
+        if cu.imv > 0:
+            enc.encode_bin(1 if cu.imv < 3 else 0, ct.CTX_SETS["ImvFlag"](4))
+            if cu.imv < 3:
+                enc.encode_bin(1 if cu.imv > 1 else 0,
+                               ct.CTX_SETS["ImvFlag"](1))
+
+    def _dec_imv(self, dec, cu) -> None:
+        if not self.amvr or not self._has_nonzero_mvd(cu):
+            return
+        if dec.decode_bin(ct.CTX_SETS["ImvFlag"](0)):
+            if dec.decode_bin(ct.CTX_SETS["ImvFlag"](4)):
+                cu.imv = 2 if dec.decode_bin(ct.CTX_SETS["ImvFlag"](1)) else 1
+            else:
+                cu.imv = 3
+                cu.alt_hpel = True
+
+    _BCW_CODING_ORDER = (4, 2, 0, 1, 3)
+    _BCW_PARSING_ORDER = (2, 3, 1, 4, 0)
+
+    def _bcw_coded(self, cu, inter_dir: int) -> bool:
+        return (self.bcw_en and self.is_b and inter_dir == 3
+                and not cu.merge and cu.w * cu.h >= 256)
+
+    def _enc_bcw(self, enc, cu, inter_dir: int) -> None:
+        if not self._bcw_coded(cu, inter_dir):
+            return
+        code_idx = self._BCW_CODING_ORDER[cu.bcw_idx]
+        num_bcw = 5 if self.check_ldc else 3
+        enc.encode_bin(0 if code_idx == 0 else 1, ct.CTX_SETS["BcwIdx"](0))
+        if num_bcw > 2 and code_idx != 0:
+            for i in range(1, num_bcw - 1):
+                if code_idx == i:
+                    enc.encode_bin_ep(0)
+                    break
+                enc.encode_bin_ep(1)
+
+    def _dec_bcw(self, dec, cu, inter_dir: int) -> None:
+        if not self._bcw_coded(cu, inter_dir):
+            return
+        code_idx = 0
+        if dec.decode_bin(ct.CTX_SETS["BcwIdx"](0)):
+            num_bcw = 5 if self.check_ldc else 3
+            code_idx = 1
+            while code_idx < num_bcw - 1 and dec.decode_bin_ep():
+                code_idx += 1
+        cu.bcw_idx = self._BCW_PARSING_ORDER[code_idx]
 
     # -- shared inter helpers ---------------------------------------------
     def _skip_ctx(self, ps, x, y):
@@ -1085,6 +1288,9 @@ class SyntaxCoder:
         mi = cands[cu.merge_idx]
         cu.mv = mi.mv
         cu.ref_idx = mi.ref_idx
+        cu.alt_hpel = mi.alt_hpel
+        cu.bcw_idx = mi.bcw if (mi.ref_idx[0] >= 0 and mi.ref_idx[1] >= 0) \
+            else 2
         # 4x8/8x4: bi merge candidates become uni-L0
         # (vvenc CU::restrictBiPredMergeCandsOne, UnitTools.cpp:3085)
         if cu.w + cu.h == 12 and cu.ref_idx[0] >= 0 and cu.ref_idx[1] >= 0:
@@ -1094,7 +1300,25 @@ class SyntaxCoder:
     def derive_amvp(self, ps, cu, list_idx=0):
         return get_amvp_candidates(ps, self.mf, self.hmvp, cu.x, cu.y,
                                    cu.w, cu.h, list_idx, cu.ref_idx[list_idx],
-                                   self.ref_pocs, self.tmvp)
+                                   self.ref_pocs, self.tmvp, imv=cu.imv)
+
+    def _derive_amvp_mvs(self, ps, cu) -> None:
+        """Final MVs from AMVP + signalled MVDs at the AMVR precision
+        (mvd scaling: vvenc Mv::changeTransPrecAmvr2Internal)."""
+        sh_amvr = AMVR_SHIFTS[cu.imv]
+        mvs = [(0, 0), (0, 0)]
+        for li in range(2):
+            if cu.ref_idx[li] < 0:
+                continue
+            amvp = self.derive_amvp(ps, cu, li)
+            mvp_i = cu.mvp_idx if li == 0 else cu.mvp_idx_l1
+            mvd = cu.mvd if li == 0 else cu.mvd_l1
+            mvp = amvp[mvp_i]
+            mvs[li] = (
+                max(MV_MIN, min(MV_MAX, mvp[0] + (mvd[0] << sh_amvr))),
+                max(MV_MIN, min(MV_MAX, mvp[1] + (mvd[1] << sh_amvr))))
+        cu.mv = (mvs[0], mvs[1])
+        cu.alt_hpel = cu.imv == 3
 
     def _finish_cu(self, ps, cu, node):
         comps = (0,) if cu.luma_only else (0, 1, 2)
@@ -1114,7 +1338,8 @@ class SyntaxCoder:
         if self.mf is not None:
             if cu.is_inter:
                 mi = MotionInfo((tuple(cu.mv[0]), tuple(cu.mv[1])),
-                                tuple(cu.ref_idx))
+                                tuple(cu.ref_idx), bcw=cu.bcw_idx,
+                                alt_hpel=cu.alt_hpel)
                 self.mf.set_cu(cu.x, cu.y, cu.w, cu.h, mi, cu.skip)
                 if hmvp_insertion_allowed(cu.x, cu.y, cu.w, cu.h):
                     self.hmvp.add(mi)
@@ -1293,8 +1518,7 @@ class SyntaxCoder:
                 cu.is_inter = True
                 cu.merge = True
                 cu.root_cbf = False
-                cu.merge_idx = self._dec_merge_idx(dec)
-                self._apply_merge(ps, cu)
+                self._dec_merge_data(dec, ps, cu)
                 self._finish_cu(ps, cu, node)
                 return cu
         # pred_mode_flag: inferred in I slices / 4x4 / constrained regions
@@ -1313,8 +1537,7 @@ class SyntaxCoder:
         else:
             cu.merge = bool(dec.decode_bin(ct.CTX_SETS["MergeFlag"](0)))
             if cu.merge:
-                cu.merge_idx = self._dec_merge_idx(dec)
-                self._apply_merge(ps, cu)
+                self._dec_merge_data(dec, ps, cu)
             else:
                 inter_dir = 1
                 if self.is_b:
@@ -1327,35 +1550,35 @@ class SyntaxCoder:
                         inter_dir = 3
                     elif dec.decode_bin(ct.CTX_SETS["InterDir"](5)):
                         inter_dir = 2
-                mvs = [(0, 0), (0, 0)]
+                if inter_dir == 3 and self.bi_dir_pred:
+                    cu.smvd = bool(dec.decode_bin(ct.CTX_SETS["SmvdFlag"](0)))
                 refs = [-1, -1]
                 mvds = [(0, 0), (0, 0)]
                 mvps = [0, 0]
                 if inter_dir != 2:
-                    refs[0] = self._dec_ref_idx(dec, self.num_refs[0])
+                    refs[0] = self.sym_ref[0] if cu.smvd else \
+                        self._dec_ref_idx(dec, self.num_refs[0])
                     mvds[0] = self._dec_mvd(dec)
                     mvps[0] = dec.decode_bin(ct.CTX_SETS["MVPIdx"](0))
                 if inter_dir != 1:
-                    refs[1] = self._dec_ref_idx(dec, self.num_refs[1])
-                    if self.sh.ph.mvd_l1_zero and inter_dir == 3:
-                        mvds[1] = (0, 0)
+                    if cu.smvd:
+                        refs[1] = self.sym_ref[1]
+                        mvds[1] = (-mvds[0][0], -mvds[0][1])
                     else:
-                        mvds[1] = self._dec_mvd(dec)
+                        refs[1] = self._dec_ref_idx(dec, self.num_refs[1])
+                        if self.sh.ph.mvd_l1_zero and inter_dir == 3:
+                            mvds[1] = (0, 0)
+                        else:
+                            mvds[1] = self._dec_mvd(dec)
                     mvps[1] = dec.decode_bin(ct.CTX_SETS["MVPIdx"](0))
                 cu.ref_idx = tuple(refs)
                 cu.mvd = mvds[0]
                 cu.mvp_idx = mvps[0]
                 cu.mvd_l1 = mvds[1]
                 cu.mvp_idx_l1 = mvps[1]
-                for li in range(2):
-                    if refs[li] < 0:
-                        continue
-                    amvp = self.derive_amvp(ps, cu, li)
-                    mvp = amvp[mvps[li]]
-                    mvs[li] = (
-                        max(MV_MIN, min(MV_MAX, mvp[0] + (mvds[li][0] << 2))),
-                        max(MV_MIN, min(MV_MAX, mvp[1] + (mvds[li][1] << 2))))
-                cu.mv = (mvs[0], mvs[1])
+                self._dec_imv(dec, cu)
+                self._dec_bcw(dec, cu, inter_dir)
+                self._derive_amvp_mvs(ps, cu)
         if cu.is_inter and not cu.merge:
             cu.root_cbf = bool(dec.decode_bin(ct.CTX_SETS["QtRootCbf"](0)))
         if not cu.is_inter or cu.root_cbf:
@@ -1480,20 +1703,26 @@ def predict_cu_component(ps: PictureState, cu: CuData, comp: int,
                            ref_idx=ref_line)
 
 
-def inter_predict(ref_pics, mv, ref_idx, x, y, w, h, comp, bit_depth):
+def inter_predict(ref_pics, mv, ref_idx, x, y, w, h, comp, bit_depth,
+                  bcw_idx: int = 2, alt_hpel: bool = False):
     """Uni/bi motion-compensated prediction for one component block."""
+    from ..ops.interp import bcw_average_np
     if ref_idx[0] >= 0 and ref_idx[1] >= 0:
         a = mc_block_np(ref_pics[0][ref_idx[0]][comp], x, y, w, h,
                         mv[0][0], mv[0][1], bit_depth,
-                        is_luma=(comp == 0), intermediate=True)
+                        is_luma=(comp == 0), intermediate=True,
+                        alt_hpel=alt_hpel)
         b = mc_block_np(ref_pics[1][ref_idx[1]][comp], x, y, w, h,
                         mv[1][0], mv[1][1], bit_depth,
-                        is_luma=(comp == 0), intermediate=True)
+                        is_luma=(comp == 0), intermediate=True,
+                        alt_hpel=alt_hpel)
+        if bcw_idx != 2:
+            return bcw_average_np(a, b, bcw_idx, bit_depth)
         return bi_average_np(a, b, bit_depth)
     li = 0 if ref_idx[0] >= 0 else 1
     ref = ref_pics[li][ref_idx[li]][comp]
     return mc_block_np(ref, x, y, w, h, mv[li][0], mv[li][1], bit_depth,
-                       is_luma=(comp == 0))
+                       is_luma=(comp == 0), alt_hpel=alt_hpel)
 
 
 def _ict_derive(coded: np.ndarray, mask: int, sign: int):
@@ -1537,7 +1766,8 @@ def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
             x, y, w, h = cu.x >> 1, cu.y >> 1, cu.w >> 1, cu.h >> 1
             if cu.is_inter:
                 pred = inter_predict(ref_pics, cu.mv, cu.ref_idx, x, y, w,
-                                     h, comp, bit_depth)
+                                     h, comp, bit_depth, cu.bcw_idx,
+                                     cu.alt_hpel)
             else:
                 pred = predict_cu_component(ps, cu, comp, bit_depth,
                                             ctu_size)
@@ -1552,7 +1782,7 @@ def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
             q = qp.chroma_qp(comp)
         if cu.is_inter:
             pred = inter_predict(ref_pics, cu.mv, cu.ref_idx, x, y, w, h,
-                                 comp, bit_depth)
+                                 comp, bit_depth, cu.bcw_idx, cu.alt_hpel)
         else:
             pred = predict_cu_component(ps, cu, comp, bit_depth, ctu_size)
         if coeff is not None and np.any(coeff):

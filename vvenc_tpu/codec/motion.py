@@ -23,9 +23,13 @@ MV_FRACTIONAL_BITS_INTERNAL = 4
 
 @dataclass(frozen=True)
 class MotionInfo:
-    """Uni/bi motion of a block: per-list (mv, ref_idx); ref_idx -1 = unused."""
+    """Uni/bi motion of a block: per-list (mv, ref_idx); ref_idx -1 = unused.
+    bcw: bi-prediction weight index (BCW_DEFAULT=2); alt_hpel: the block
+    used the alternative half-pel interpolation filter (AMVR half mode)."""
     mv: Tuple[Tuple[int, int], Tuple[int, int]] = ((0, 0), (0, 0))
     ref_idx: Tuple[int, int] = (-1, -1)
+    bcw: int = 2
+    alt_hpel: bool = False
 
     @property
     def inter_dir(self) -> int:
@@ -33,14 +37,36 @@ class MotionInfo:
                (2 if self.ref_idx[1] >= 0 else 0)
 
 
-def round_mv_quarter(mv: Tuple[int, int]) -> Tuple[int, int]:
-    """roundTransPrecInternal2Amvr(0): round 1/16 to 1/4 and back
-    (Mv.h:222 via changePrecision with the >=0 asymmetric offset)."""
+def same_motion(a: Optional["MotionInfo"], b: Optional["MotionInfo"]) -> bool:
+    """Motion equality for candidate pruning: refIdx + mv only (vvenc
+    MotionInfo::operator==, MotionInfo.h:115 — BcwIdx/altHpel excluded)."""
+    if a is None or b is None:
+        return a is b
+    for li in range(2):
+        if a.ref_idx[li] != b.ref_idx[li]:
+            return False
+        if a.ref_idx[li] >= 0 and a.mv[li] != b.mv[li]:
+            return False
+    return True
+
+
+AMVR_SHIFTS = (2, 4, 6, 3)  # imv 0=quarter, 1=int, 2=4pel, 3=half
+
+
+def round_mv_amvr(mv: Tuple[int, int], imv: int = 0) -> Tuple[int, int]:
+    """roundTransPrecInternal2Amvr: round 1/16 MV to the AMVR precision
+    and back (Mv.h:222 via changePrecision, asymmetric >=0 offset)."""
+    sh = AMVR_SHIFTS[imv]
+    off = 1 << (sh - 1)
+
     def r(v):
-        off = 2
-        v = (v + off - 1) >> 2 if v >= 0 else (v + off) >> 2
-        return v << 2
+        v = (v + off - 1) >> sh if v >= 0 else (v + off) >> sh
+        return v << sh
     return (r(mv[0]), r(mv[1]))
+
+
+def round_mv_quarter(mv: Tuple[int, int]) -> Tuple[int, int]:
+    return round_mv_amvr(mv, 0)
 
 
 def round_pairwise(v: int) -> int:
@@ -60,7 +86,7 @@ class HmvpLut:
     def add(self, mi: MotionInfo):
         pruned_idx = -1
         for i, e in enumerate(self.lut):
-            if e == mi:
+            if same_motion(e, mi):
                 pruned_idx = i
                 break
         if pruned_idx >= 0 or len(self.lut) == MAX_NUM_HMVP_CANDS:
@@ -242,19 +268,20 @@ def get_merge_candidates(ps, mf: MotionField, hmvp: HmvpLut, x, y, w, h,
     if mi_b1 is not None:
         cands.append(mi_b1)
     mi_a1 = _avail_inter(ps, mf, pos_lb[0] - 1, pos_lb[1])
-    if mi_a1 is not None and mi_a1 != mi_b1:
+    if mi_a1 is not None and not same_motion(mi_a1, mi_b1):
         cands.append(mi_a1)
     if len(cands) < max_cands:
         mi_b0 = _avail_inter(ps, mf, pos_rt[0] + 1, pos_rt[1] - 1)
-        if mi_b0 is not None and mi_b0 != mi_b1:
+        if mi_b0 is not None and not same_motion(mi_b0, mi_b1):
             cands.append(mi_b0)
     if len(cands) < max_cands:
         mi_a0 = _avail_inter(ps, mf, pos_lb[0] - 1, pos_lb[1] + 1)
-        if mi_a0 is not None and mi_a0 != mi_a1:
+        if mi_a0 is not None and not same_motion(mi_a0, mi_a1):
             cands.append(mi_a0)
     if len(cands) < max_cands and len(cands) < 4:
         mi_b2 = _avail_inter(ps, mf, x - 1, y - 1)
-        if mi_b2 is not None and mi_b2 != mi_a1 and mi_b2 != mi_b1:
+        if mi_b2 is not None and not same_motion(mi_b2, mi_a1) \
+                and not same_motion(mi_b2, mi_b1):
             cands.append(mi_b2)
     # TMVP (UnitTools.cpp:1112): ref idx 0 per list, C0 then C1, no pruning
     if tmvp is not None and w + h > 12 and len(cands) < max_cands:
@@ -270,8 +297,8 @@ def get_merge_candidates(ps, mf: MotionField, hmvp: HmvpLut, x, y, w, h,
         lut = hmvp.lut
         for mrg_idx in range(1, len(lut) + 1):
             mi_n = lut[len(lut) - mrg_idx]
-            if mrg_idx > 2 or ((mi_a1 is None or mi_n != mi_a1)
-                               and (mi_b1 is None or mi_n != mi_b1)):
+            if mrg_idx > 2 or (not same_motion(mi_n, mi_a1)
+                               and not same_motion(mi_n, mi_b1)):
                 cands.append(mi_n)
                 if len(cands) == max_cands - 1:
                     break
@@ -292,7 +319,10 @@ def get_merge_candidates(ps, mf: MotionField, hmvp: HmvpLut, x, y, w, h,
                 mv[li], ref[li] = cands[0].mv[li], ri
             else:
                 mv[li], ref[li] = cands[1].mv[li], rj
-        pair = MotionInfo((tuple(mv[0]), tuple(mv[1])), (ref[0], ref[1]))
+        alt = cands[0].alt_hpel if cands[0].alt_hpel == cands[1].alt_hpel \
+            else False
+        pair = MotionInfo((tuple(mv[0]), tuple(mv[1])), (ref[0], ref[1]),
+                          alt_hpel=alt)
         if pair.inter_dir:
             cands.append(pair)
     # zero candidates with increasing ref idx
@@ -321,9 +351,10 @@ def _mi_mv_for_ref(mi: MotionInfo, list_idx: int, ref_poc: int,
 
 def get_amvp_candidates(ps, mf: MotionField, hmvp: HmvpLut, x, y, w, h,
                         list_idx: int, ref_idx: int, ref_pocs,
-                        tmvp: Optional[TmvpCtx] = None
+                        tmvp: Optional[TmvpCtx] = None, imv: int = 0
                         ) -> List[Tuple[int, int]]:
-    """AMVP candidate list (fillMvpCand:1692) -> 2 entries."""
+    """AMVP candidate list (fillMvpCand:1692) -> 2 entries, rounded to
+    the AMVR precision of the CU."""
     ref_poc = ref_pocs[list_idx][ref_idx]
     cands: List[Tuple[int, int]] = []
     pos_lt = (x, y)
@@ -346,14 +377,14 @@ def get_amvp_candidates(ps, mf: MotionField, hmvp: HmvpLut, x, y, w, h,
             if mv is not None:
                 cands.append(mv)
                 break
-    cands = [round_mv_quarter(m) for m in cands]
+    cands = [round_mv_amvr(m, imv) for m in cands]
     if len(cands) == 2 and cands[0] == cands[1]:
         cands = cands[:1]
-    # TMVP (fillMvpCand:1749): quarter-rounded after scaling
+    # TMVP (fillMvpCand:1749): rounded after scaling
     if tmvp is not None and w + h > 12 and len(cands) < AMVP_MAX_NUM_CANDS:
         mv = tmvp_candidate(tmvp, x, y, w, h, list_idx, ref_idx)
         if mv is not None:
-            cands.append(round_mv_quarter(mv))
+            cands.append(round_mv_amvr(mv, imv))
     # HMVP (oldest first per reference loop lut[mrgIdx-1])
     if len(cands) < AMVP_MAX_NUM_CANDS:
         for mi_n in hmvp.lut[:MAX_NUM_HMVP_AMVP_CANDS]:
@@ -362,7 +393,7 @@ def get_amvp_candidates(ps, mf: MotionField, hmvp: HmvpLut, x, y, w, h,
                 r = mi_n.ref_idx[src]
                 if r >= 0 and r < len(ref_pocs[src]) and \
                         ref_pocs[src][r] == ref_poc:
-                    cands.append(round_mv_quarter(mi_n.mv[src]))
+                    cands.append(round_mv_amvr(mi_n.mv[src], imv))
                     if len(cands) >= AMVP_MAX_NUM_CANDS:
                         done = True
                         break

@@ -91,8 +91,8 @@ def _decode_slice(rbsp: bytes, nal_type, sps_map, pps_map, aps_map,
     ref_pics = [[], []]
     ref_pocs = [[], []]
     tmvp = None
+    cur_poc = sh.ph.poc_lsb
     if sh.slice_type != SLICE_I:
-        cur_poc = sh.ph.poc_lsb
         by_poc = {e[0]: e for e in (dpb or [])}
         for li in range(1 if sh.slice_type == 1 else 2):
             for delta in sh.rpls[li].delta_pocs[:max(1, sh.num_ref_idx[li])]:
@@ -112,7 +112,8 @@ def _decode_slice(rbsp: bytes, nal_type, sps_map, pps_map, aps_map,
                 tmvp = TmvpCtx(col[2], col[3], col_poc, cur_poc, ref_pocs,
                                sh.col_from_l0 if is_b else 1, check_ldc,
                                pps.pic_width, pps.pic_height, sps.ctu_size)
-    coder = SyntaxCoder(sps, pps, sh, qp, ref_pics, ref_pocs, tmvp=tmvp)
+    coder = SyntaxCoder(sps, pps, sh, qp, ref_pics, ref_pocs, tmvp=tmvp,
+                        cur_poc=cur_poc)
     coder.attach_motion(ps)
 
     dec = CabacDecoder(br)

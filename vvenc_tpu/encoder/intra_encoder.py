@@ -256,7 +256,7 @@ class IntraEncoder:
         qp_state = QpState(self.sps, self.pps, slice_qp, sh=sh)
 
         coder = SyntaxCoder(self.sps, self.pps, sh, qp_state, ref_pics,
-                            ref_pocs)
+                            ref_pocs, cur_poc=poc)
         coder.attach_motion(ps)
         searcher = _CtuSearcher(self, ps, qp_state, src, coder)
 
@@ -341,7 +341,7 @@ class IntraEncoder:
                     ps2 = PictureState(cfg.width, cfg.height, cfg.bit_depth)
                     qp2 = QpState(self.sps, self.pps, slice_qp, sh=sh)
                     coder2 = SyntaxCoder(self.sps, self.pps, sh, qp2,
-                                         ref_pics, ref_pocs)
+                                         ref_pics, ref_pocs, cur_poc=poc)
                     coder2.attach_motion(ps2)
                     bw = BitWriter()
                     hls.write_slice_header(bw, sh, self.sps, self.pps,

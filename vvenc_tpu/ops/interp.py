@@ -73,9 +73,19 @@ def _filter_1d(src, taps, axis, is_first, is_last, bit_depth):
     return val
 
 
+# 6-tap alternative half-pel luma filter (AMVR half-pel mode; vvenc
+# InterpolationFilter.cpp:106 m_lumaAltHpelIFilter)
+ALT_HPEL_FILTER = np.array([0, 3, 9, 20, 20, 9, 3, 0], dtype=np.int32)
+
+# BCW weights (vvenc Rom.cpp:1152)
+BCW_WEIGHTS = (-2, 3, 4, 5, 10)
+BCW_DEFAULT = 2
+
+
 def mc_block_np(ref_plane: np.ndarray, x: int, y: int, w: int, h: int,
                 mv_x: int, mv_y: int, bit_depth: int = 10,
-                is_luma: bool = True, intermediate: bool = False) -> np.ndarray:
+                is_luma: bool = True, intermediate: bool = False,
+                alt_hpel: bool = False) -> np.ndarray:
     """Motion-compensated prediction of one block.
 
     mv in units of 1/16 luma pel (1/32 chroma pel for chroma planes with
@@ -88,6 +98,11 @@ def mc_block_np(ref_plane: np.ndarray, x: int, y: int, w: int, h: int,
         frac_bits, taps_tbl, ntaps = 4, LUMA_FILTER, NTAPS_LUMA
     else:
         frac_bits, taps_tbl, ntaps = 5, CHROMA_FILTER, NTAPS_CHROMA
+
+    def taps_for(frac):
+        if is_luma and alt_hpel and frac == 8:
+            return ALT_HPEL_FILTER
+        return taps_tbl[frac]
     int_x, frac_x = x + (mv_x >> frac_bits), mv_x & ((1 << frac_bits) - 1)
     int_y, frac_y = y + (mv_y >> frac_bits), mv_y & ((1 << frac_bits) - 1)
     half = ntaps // 2 - 1
@@ -104,15 +119,15 @@ def mc_block_np(ref_plane: np.ndarray, x: int, y: int, w: int, h: int,
             out = (out.astype(np.int64) << head_room) - IF_INTERNAL_OFFS
         return out.astype(np.int32)
     if frac_y == 0:
-        out = _filter_1d(win[half:half + h, :], taps_tbl[frac_x], 1,
+        out = _filter_1d(win[half:half + h, :], taps_for(frac_x), 1,
                          True, last, bit_depth)
         return out.astype(np.int32)
     if frac_x == 0:
-        out = _filter_1d(win[:, half:half + w], taps_tbl[frac_y], 0,
+        out = _filter_1d(win[:, half:half + w], taps_for(frac_y), 0,
                          True, last, bit_depth)
         return out.astype(np.int32)
-    tmp = _filter_1d(win, taps_tbl[frac_x], 1, True, False, bit_depth)
-    out = _filter_1d(tmp, taps_tbl[frac_y], 0, False, last, bit_depth)
+    tmp = _filter_1d(win, taps_for(frac_x), 1, True, False, bit_depth)
+    out = _filter_1d(tmp, taps_for(frac_y), 0, False, last, bit_depth)
     return out.astype(np.int32)
 
 
@@ -122,6 +137,19 @@ def bi_average_np(a: np.ndarray, b: np.ndarray, bit_depth: int = 10) -> np.ndarr
     shift = max(2, IF_INTERNAL_PREC - bit_depth) + 1
     offset = (1 << (shift - 1)) + 2 * IF_INTERNAL_OFFS
     out = (a.astype(np.int64) + b.astype(np.int64) + offset) >> shift
+    return np.clip(out, 0, (1 << bit_depth) - 1).astype(np.int32)
+
+
+def bcw_average_np(a: np.ndarray, b: np.ndarray, bcw_idx: int,
+                   bit_depth: int = 10) -> np.ndarray:
+    """BCW weighted bi-prediction average (vvenc
+    AreaBuf<Pel>::addWeightedAvg, Buffer.cpp:522)."""
+    w1 = BCW_WEIGHTS[bcw_idx]
+    w0 = 8 - w1
+    shift = max(2, IF_INTERNAL_PREC - bit_depth) + 3
+    offset = (1 << (shift - 1)) + (IF_INTERNAL_OFFS << 3)
+    out = (a.astype(np.int64) * w0 + b.astype(np.int64) * w1 + offset) \
+        >> shift
     return np.clip(out, 0, (1 << bit_depth) - 1).astype(np.int32)
 
 
