@@ -21,6 +21,29 @@ DATA = os.path.join(os.path.dirname(__file__), "data")
 # md5 of frame planes (uint16 LE, Y then U then V concatenated) from the
 # reference encoder's reconstruction output
 GOLDEN_HASHES = {
+    # BDOF + DMVR (decoder-side refinement), RA GOP16
+    "golden_ra_bdof_dmvr_416x240_qp28_f9.266": [
+        "4da8a433c2b9ce0471f07a16b189f6d6",
+        "1022cc5bc826a52412cfa4a8a2e47de6",
+        "59770bcdd58ade723bfaf9387b857bc9",
+        "adde3a783039045cf91e5501041eee6c",
+        "0524b0d925bf2290a7fc756788a30c94",
+        "f7f90c456caa903dee0beffa14adbe68",
+        "47b1a4c0060c6efe29dc50ddf567c1c4",
+        "e5aaf41fe679702f35bce7d3c8d71299",
+        "54bfe7bb3d9b9755deeef14e601207eb"],
+    # the full inter tool sink: BDOF+DMVR+AMVR+MMVD+SMVD+BCW+TMVP with
+    # MIP/MRL/LFNST/implicitMTS/CCLM/JCCR/ALF/CCALF/SAO
+    "golden_ra_intersink_416x240_qp27_f9.266": [
+        "a39facb2a63209355e803f83f885fc05",
+        "ce523e6464a0769312e791b312496228",
+        "aa047597804c39b9d952c2c3e705f621",
+        "cbe455c5e840c24360c0a8afdb3bccd1",
+        "652348ab5f7814947e7db90288024064",
+        "58db667462ccbeeddbbdd509425f5c33",
+        "9c03c64e14ae346a476e59e1c2ada4dc",
+        "2bf67e5039d6c6738043692d9ec723d6",
+        "069fa8478d82c28786124778983b9900"],
     # AMVR (incl. half-pel alt interpolation filter), RA GOP16
     "golden_ra_amvr_416x240_qp28_f9.266": [
         "b62d36524775932868b8a504cb0fa3ba",

@@ -787,11 +787,11 @@ def write_picture_header(bw: BitWriter, ph: PictureHeader, sps: SPS, pps: PPS,
         if not pps.rpl_info_in_ph or ph.rpls[1].num_refs > 0:
             bw.write_flag(ph.mvd_l1_zero)
         if sps.bdof_present and (not pps.rpl_info_in_ph or ph.rpls[1].num_refs > 0):
-            bw.write_flag(0)  # ph_disable_bdof_flag
+            bw.write_flag(ph.dis_bdof)
         if sps.dmvr_present and (not pps.rpl_info_in_ph or ph.rpls[1].num_refs > 0):
-            bw.write_flag(0)  # ph_disable_dmvr_flag
+            bw.write_flag(ph.dis_dmvr)
         if sps.prof_present:
-            bw.write_flag(0)
+            bw.write_flag(ph.dis_prof)
         assert not ((pps.weighted_pred or pps.weighted_bipred) and pps.wp_info_in_ph)
     if pps.qp_delta_info_in_ph:
         bw.write_svlc(ph.qp_delta)
@@ -893,11 +893,11 @@ def parse_picture_header(br: BitReader, sps: SPS, pps: PPS) -> PictureHeader:
         if not pps.rpl_info_in_ph or ph.rpls[1].num_refs > 0:
             ph.mvd_l1_zero = br.read_flag()
         if sps.bdof_present and (not pps.rpl_info_in_ph or ph.rpls[1].num_refs > 0):
-            br.read_flag()
+            ph.dis_bdof = br.read_flag()
         if sps.dmvr_present and (not pps.rpl_info_in_ph or ph.rpls[1].num_refs > 0):
-            br.read_flag()
+            ph.dis_dmvr = br.read_flag()
         if sps.prof_present:
-            br.read_flag()
+            ph.dis_prof = br.read_flag()
         assert not ((pps.weighted_pred or pps.weighted_bipred) and pps.wp_info_in_ph)
     if pps.qp_delta_info_in_ph:
         ph.qp_delta = br.read_svlc()

@@ -255,6 +255,9 @@ class PictureHeader:
     mvd_l1_zero: int = 0
     qp_delta: int = 0
     joint_cbcr_sign: int = 0
+    dis_bdof: int = 0
+    dis_dmvr: int = 0
+    dis_prof: int = 0
     sao_luma: int = 0
     sao_chroma: int = 0
     # explicit RPLs in PH (when pps.rpl_info_in_ph)

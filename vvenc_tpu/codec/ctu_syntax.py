@@ -81,6 +81,8 @@ class CuData:
     mmvd_pos: int = 0                # MMVD direction (0..3)
     bcw_idx: int = 2                 # bi-prediction weight index
     alt_hpel: bool = False           # alternative half-pel IF (AMVR half)
+    dmvr_deltas: Optional[dict] = None  # {(sy,sx): (dx,dy) 1/16} per 16x16
+    dmvr_bdof: Optional[dict] = None    # per-sub-PU BDOF enable
     chroma_dir: int = DM_CHROMA      # signalled chroma mode (DM or mode value)
     coeff_y: Optional[np.ndarray] = None
     coeff_cb: Optional[np.ndarray] = None
@@ -587,6 +589,8 @@ class SyntaxCoder:
         self.jccr_sign = getattr(sh.ph, "joint_cbcr_sign", 0)
         # inter tools
         self.amvr = bool(getattr(sps, "amvr", 0))
+        self.bdof_on = bool(getattr(sps, "bdof_present", 0))
+        self.dmvr_on = bool(getattr(sps, "dmvr_present", 0))
         self.mmvd = bool(getattr(sps, "mmvd", 0))
         self.smvd_en = bool(getattr(sps, "smvd", 0))
         self.bcw_en = bool(getattr(sps, "bcw", 0))
@@ -614,6 +618,35 @@ class SyntaxCoder:
         self._qg_cus = []
         self.qg_pred_qp = sh.slice_qp
         self._qg_delta_at = None
+
+    def bdof_applies(self, cu) -> bool:
+        """BDOF application condition (vvenc InterPrediction.cpp:465-483,
+        CU::isBiPredFromDifferentDirEqDistPoc)."""
+        if not self.bdof_on or getattr(self.sh.ph, "dis_bdof", 0):
+            return False
+        if cu.ref_idx[0] < 0 or cu.ref_idx[1] < 0:
+            return False
+        if cu.smvd or cu.bcw_idx != 2:
+            return False
+        if min(cu.w, cu.h) < 8 or cu.w * cu.h < 128:
+            return False
+        poc0 = self.ref_pocs[0][cu.ref_idx[0]]
+        poc1 = self.ref_pocs[1][cu.ref_idx[1]]
+        return (self.cur_poc - poc0) == (poc1 - self.cur_poc)
+
+    def dmvr_applies(self, cu) -> bool:
+        """vvenc CU::checkDMVRCondition (UnitTools.cpp:1300)."""
+        if not self.dmvr_on or getattr(self.sh.ph, "dis_dmvr", 0):
+            return False
+        if not cu.merge or cu.mmvd_flag:
+            return False
+        if cu.ref_idx[0] < 0 or cu.ref_idx[1] < 0 or cu.bcw_idx != 2:
+            return False
+        if min(cu.w, cu.h) < 8 or cu.w * cu.h < 128:
+            return False
+        poc0 = self.ref_pocs[0][cu.ref_idx[0]]
+        poc1 = self.ref_pocs[1][cu.ref_idx[1]]
+        return (self.cur_poc - poc0) == (poc1 - self.cur_poc)
 
     def _derive_sym_refs(self):
         """Nearest forward L0 / backward L1 reference pair (vvenc
@@ -1330,9 +1363,21 @@ class SyntaxCoder:
             # dequant with the current QG QP (the delta, if any, is always
             # coded before the first residual of the QG)
             self.qp.set_cu_qp(self.cur_qp)
+        if cu.is_inter and self.dmvr_applies(cu):
+            from ..ops.dmvr import dmvr_refine
+            cu.dmvr_deltas, dmvr_bdof = dmvr_refine(
+                self.ref_pics[0][cu.ref_idx[0]][0],
+                self.ref_pics[1][cu.ref_idx[1]][0],
+                cu.x, cu.y, cu.w, cu.h, cu.mv[0], cu.mv[1],
+                self.bit_depth, ps.w, ps.h, self.ctu_size)
+            bdof_g = self.bdof_applies(cu)
+            cu.dmvr_bdof = {k: (v and bdof_g)
+                            for k, v in dmvr_bdof.items()}
         reconstruct_cu(ps, cu, self.qp, qt_depth, self.bit_depth,
                        self.ref_pics, comps, self.implicit_mts,
-                       self.ctu_size, self.dq, self.jccr_sign)
+                       self.ctu_size, self.dq, self.jccr_sign,
+                       bdof=(cu.is_inter and cu.dmvr_deltas is None
+                             and self.bdof_applies(cu)))
         if cu.chroma_only:
             return
         if self.mf is not None:
@@ -1738,10 +1783,113 @@ def _ict_derive(coded: np.ndarray, mask: int, sign: int):
     return neg >> 1, coded  # am == 3: coded residual is Cr
 
 
+def dmvr_predict(ref_pics, cu, comp, bit_depth, pic_w, pic_h, ctu_size):
+    """Prediction of one component of a DMVR-refined CU (final padded MC
+    per 16x16 sub-PU + optional BDOF; vvenc xProcessDMVR final stage)."""
+    from ..ops.dmvr import clip_mv, padded_window_mc
+    from ..ops.bdof import bdof_block_src
+    sc = 0 if comp == 0 else 1
+    sh = 4 + sc
+    ref0 = ref_pics[0][cu.ref_idx[0]][comp]
+    ref1 = ref_pics[1][cu.ref_idx[1]][comp]
+    out = np.zeros((cu.h >> sc, cu.w >> sc), np.int32)
+    for (sy, sx), delta in cu.dmvr_deltas.items():
+        bw = min(16, cu.w) >> sc
+        bh = min(16, cu.h) >> sc
+        bx = (cu.x + sx) >> sc
+        by = (cu.y + sy) >> sc
+        srcs = []
+        for li, sign in ((0, 1), (1, -1)):
+            merge = cu.mv[li]
+            ref = ref0 if li == 0 else ref1
+            rmv = (max(MV_MIN, min(MV_MAX, merge[0] + sign * delta[0])),
+                   max(MV_MIN, min(MV_MAX, merge[1] + sign * delta[1])))
+            d_ix = (rmv[0] >> sh) - (merge[0] >> sh)
+            d_iy = (rmv[1] >> sh) - (merge[1] >> sh)
+            if d_ix or d_iy:
+                srcs.append(("pad", ref, merge, rmv))
+            else:
+                cmv = clip_mv(rmv, bx << sc, by << sc, pic_w, pic_h,
+                              ctu_size)
+                srcs.append(("plain", ref, cmv))
+        preds = []
+        ext_srcs = []
+        for spec in srcs:
+            if spec[0] == "pad":
+                _, ref, merge, rmv = spec
+                preds.append(padded_window_mc(
+                    ref, bx, by, bw, bh, merge, rmv, sc, bit_depth,
+                    pic_w, pic_h, ctu_size, intermediate=True,
+                    alt_hpel=cu.alt_hpel))
+                if comp == 0:
+                    from ..ops.dmvr import DMVR_ITER, NTAPS_LUMA
+                    ext_srcs.append(None)  # rebuilt below
+            else:
+                _, ref, cmv = spec
+                preds.append(mc_block_np(ref, bx, by, bw, bh, cmv[0],
+                                         cmv[1], bit_depth,
+                                         is_luma=(comp == 0),
+                                         intermediate=True,
+                                         alt_hpel=cu.alt_hpel))
+        use_bdof = comp == 0 and cu.dmvr_bdof.get((sy, sx), False)
+        if use_bdof:
+            # BDOF needs (plane, x, y, mv) specs; padded windows get
+            # block-local coordinates
+            specs = []
+            for spec in srcs:
+                if spec[0] == "plain":
+                    specs.append((spec[1], bx, by, spec[2]))
+                else:
+                    _, ref, merge, rmv = spec
+                    from ..ops.dmvr import DMVR_ITER
+                    filt = 8
+                    ext = (filt >> 1) - 1
+                    pad = DMVR_ITER
+                    cmv0 = clip_mv(merge, bx, by, pic_w, pic_h, ctu_size)
+                    x0 = bx + (cmv0[0] >> 4) - ext
+                    y0 = by + (cmv0[1] >> 4) - ext
+                    ph_, pw_ = ref.shape
+                    xs = np.clip(np.arange(x0, x0 + bw + filt - 1), 0,
+                                 pw_ - 1)
+                    ys = np.clip(np.arange(y0, y0 + bh + filt - 1), 0,
+                                 ph_ - 1)
+                    padded = np.pad(ref[np.ix_(ys, xs)], pad, mode="edge")
+                    rcl = clip_mv(rmv, bx, by, pic_w, pic_h, ctu_size)
+                    d_ix = (rmv[0] >> 4) - (merge[0] >> 4)
+                    d_iy = (rmv[1] >> 4) - (merge[1] >> 4)
+                    fx = rcl[0] & 15
+                    fy = rcl[1] & 15
+                    specs.append((padded, pad + ext + d_ix,
+                                  pad + ext + d_iy, (fx, fy)))
+            blk = bdof_block_src(specs[0], specs[1], bw, bh, bit_depth,
+                                 cu.alt_hpel)
+        else:
+            blk = bi_average_np(preds[0], preds[1], bit_depth)
+        out[sy >> sc:(sy >> sc) + bh, sx >> sc:(sx >> sc) + bw] = blk
+    return out
+
+
+def bdof_predict_luma(ref0, ref1, cu, bit_depth):
+    """BDOF luma prediction, split into <=16x16 sub-PUs
+    (vvenc xSubPuBDOF, MAX_BDOF_APPLICATION_REGION=16)."""
+    from ..ops.bdof import bdof_block
+    out = np.zeros((cu.h, cu.w), dtype=np.int32)
+    step = 16
+    for sy in range(0, cu.h, step):
+        for sx in range(0, cu.w, step):
+            bw_ = min(step, cu.w - sx)
+            bh = min(step, cu.h - sy)
+            out[sy:sy + bh, sx:sx + bw_] = bdof_block(
+                ref0, ref1, cu.x + sx, cu.y + sy, bw_, bh,
+                cu.mv[0], cu.mv[1], bit_depth, cu.alt_hpel)
+    return out
+
+
 def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
                    bit_depth: int, ref_pics=None, comps=(0, 1, 2),
                    implicit_mts: bool = False, ctu_size: int = 64,
-                   dep_quant: bool = False, jccr_sign: int = 0) -> None:
+                   dep_quant: bool = False, jccr_sign: int = 0,
+                   bdof: bool = False) -> None:
     maxval = (1 << bit_depth) - 1
     joint_resi = {}
     if cu.joint_cbcr and (1 in comps or 2 in comps):
@@ -1781,8 +1929,17 @@ def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
             x, y, w, h = cu.x >> 1, cu.y >> 1, cu.w >> 1, cu.h >> 1
             q = qp.chroma_qp(comp)
         if cu.is_inter:
-            pred = inter_predict(ref_pics, cu.mv, cu.ref_idx, x, y, w, h,
-                                 comp, bit_depth, cu.bcw_idx, cu.alt_hpel)
+            if cu.dmvr_deltas is not None:
+                pred = dmvr_predict(ref_pics, cu, comp, bit_depth,
+                                    ps.w, ps.h, ctu_size)
+            elif bdof and comp == 0:
+                pred = bdof_predict_luma(ref_pics[0][cu.ref_idx[0]][0],
+                                         ref_pics[1][cu.ref_idx[1]][0],
+                                         cu, bit_depth)
+            else:
+                pred = inter_predict(ref_pics, cu.mv, cu.ref_idx, x, y, w,
+                                     h, comp, bit_depth, cu.bcw_idx,
+                                     cu.alt_hpel)
         else:
             pred = predict_cu_component(ps, cu, comp, bit_depth, ctu_size)
         if coeff is not None and np.any(coeff):
