@@ -1,0 +1,122 @@
+"""MCTF temporal pre-filter + rate control tests."""
+
+import numpy as np
+import pytest
+
+from vvenc_tpu.encoder import IntraEncoder, EncoderConfig
+from vvenc_tpu.encoder.mctf import (apply_mctf, mctf_filter_frame,
+                                    mctf_strengths, motion_estimate)
+from vvenc_tpu.encoder.ratectrl import RateCtrl
+from vvenc_tpu.decoder import decode_stream
+
+
+def _moving_seq(w, h, n, seed=3):
+    """Noisy static background + moving box: MCTF should denoise."""
+    rng = np.random.RandomState(seed)
+    base = rng.randint(60, 196, (h, w)).astype(np.float64)
+    frames = []
+    for t in range(n):
+        y = base + rng.normal(0, 6.0, (h, w))   # temporal noise
+        x0 = 8 + 2 * t
+        y[16:32, x0:x0 + 16] = 220
+        y = np.clip(np.round(y), 0, 255).astype(np.uint8)
+        u = np.full((h // 2, w // 2), 128, np.uint8)
+        v = np.full((h // 2, w // 2), 128, np.uint8)
+        frames.append((y, u, v))
+    return frames, base
+
+
+def test_mctf_strength_defaults():
+    mf, ms = mctf_strengths(32, 32)
+    assert mf == [16, 32]
+    assert ms[1] == pytest.approx(min(1.5, (32 - 4) * 3.0 / 32.0))
+    assert ms[0] == pytest.approx(min(2.0, (32 - 4) / 8.0) / 2)
+
+
+def test_mctf_motion_estimate_tracks_shift():
+    rng = np.random.RandomState(11)
+    ref = rng.randint(0, 255, (64, 96)).astype(np.int32)
+    cur = np.roll(ref, (2, -3), axis=(0, 1))
+    mvs, err = motion_estimate(cur, ref, bs=16)
+    # cur[y,x] = ref[y-2, x+3]; MC fetches ref[y+my, x+mx] -> mv=(+3,-2)
+    assert (mvs[1:-1, 1:-1, 0] == 3).all()
+    assert (mvs[1:-1, 1:-1, 1] == -2).all()
+    assert (err[1:-1, 1:-1] == 0).all()
+
+
+def test_mctf_reduces_temporal_noise():
+    frames, base = _moving_seq(96, 64, 5)
+    filt = mctf_filter_frame(frames, 2, strength=0.95, qp=32)
+    # evaluate on static background rows only (the box occupies 16:32)
+    sl = np.s_[40:, :]
+    noisy_mse = np.mean((frames[2][0][sl].astype(float) - base[sl]) ** 2)
+    filt_mse = np.mean((filt[0][sl].astype(float) - base[sl]) ** 2)
+    assert filt_mse < noisy_mse * 0.8      # clear denoising
+    assert filt[0].shape == frames[2][0].shape
+    assert filt[0].dtype == np.uint8
+
+
+def test_apply_mctf_only_subgop_boundaries():
+    frames, _ = _moving_seq(64, 32, 9)
+    out = apply_mctf(frames, gop_size=4, qp=32)
+    for i in range(9):
+        same = all(np.array_equal(out[i][c], frames[i][c]) for c in range(3))
+        if i % 2 == 0:
+            assert not same   # filtered (2 = 4>>1, 4 sub-GOP boundaries)
+        else:
+            assert same
+
+
+def test_mctf_encode_decodes(tmp_path):
+    frames, _ = _moving_seq(64, 32, 5)
+    enc = IntraEncoder(EncoderConfig(width=64, height=32, qp=32,
+                                     gop_size=4, intra_period=32,
+                                     mctf=True))
+    stream = enc.encode_sequence(frames)
+    dec = decode_stream(stream)
+    assert len(dec) == 5
+
+
+def test_rc_single_pass_converges():
+    rc = RateCtrl(target_bps=100_000, fps=25.0, base_qp=32)
+    # simulate an encoder whose bits halve per +6 QP, base 8000b @qp32
+    qp = 32
+    total = 0.0
+    n = 120
+    for poc in range(n):
+        qp = rc.pic_qp(poc, 32, n)
+        bits = 8000 * 2.0 ** ((32 - qp) / 6.0)
+        rc.update(poc, bits)
+        total += bits
+    achieved = total / n * 25.0
+    assert abs(achieved - 100_000) / 100_000 < 0.35
+    # final frames should be close to target rate
+    assert abs(bits - 4000) / 4000 < 0.2
+
+
+def test_rc_two_pass_stats_roundtrip(tmp_path):
+    rc1 = RateCtrl(0, 25.0, 32)
+    for poc in range(8):
+        rc1.add_stat(poc, 32, 10000, 1)
+    p = tmp_path / "stats.json"
+    rc1.write_stats(str(p))
+    stats = RateCtrl.read_stats(str(p))
+    assert len(stats) == 8 and stats[3]["bits"] == 10000
+    # pass 2: pass-1 spent 250kbps, target 125kbps -> shift ~ +6 QP
+    rc2 = RateCtrl(125_000, 25.0, 32, stats=stats)
+    assert rc2.pic_qp(0, 32, 8) == 38
+
+
+def test_rc_encode_two_pass_end_to_end(tmp_path):
+    frames, _ = _moving_seq(64, 32, 4)
+    sf = str(tmp_path / "s.json")
+    c1 = EncoderConfig(width=64, height=32, qp=30, rc_stats_out=sf)
+    e1 = IntraEncoder(c1)
+    s1 = e1.encode_sequence(frames)
+    target = len(s1) * 8 * 25.0 / 4 / 2     # half the pass-1 rate
+    c2 = EncoderConfig(width=64, height=32, qp=30, bitrate=int(target),
+                       rc_stats_in=sf)
+    e2 = IntraEncoder(c2)
+    s2 = e2.encode_sequence(frames)
+    assert len(s2) < len(s1)                # rate actually dropped
+    assert decode_stream(s2)                # still a valid stream

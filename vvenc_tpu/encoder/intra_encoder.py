@@ -71,6 +71,10 @@ class EncoderConfig:
     lfnst: bool = False            # low-frequency non-separable transform
     mts: bool = False              # explicit intra MTS (DST7/DCT8)
     alf: bool = False              # adaptive loop filter (encoder-derived)
+    mctf: bool = False             # motion-compensated temporal filtering
+    bitrate: int = 0               # target bps (0 = fixed QP)
+    rc_stats_in: str = ""          # two-pass: pass-1 stats file to read
+    rc_stats_out: str = ""         # pass-1: stats file to write
 
 
 def build_parameter_sets(cfg: EncoderConfig):
@@ -133,6 +137,13 @@ class IntraEncoder:
         self.slice_type_by_poc = {}
         self.qp_by_poc = {}
         self._orig_by_poc = {}         # display-order originals for QPA
+        self.rc = None
+        if cfg.bitrate > 0 or cfg.rc_stats_out:
+            from .ratectrl import RateCtrl
+            stats = RateCtrl.read_stats(cfg.rc_stats_in) \
+                if cfg.rc_stats_in else None
+            self.rc = RateCtrl(cfg.bitrate, cfg.fps_num / cfg.fps_den,
+                               cfg.qp, cfg.gop_size, stats)
 
     # ------------------------------------------------------------------
     def headers(self) -> bytes:
@@ -167,10 +178,16 @@ class IntraEncoder:
         cfg = self.cfg
         self.recs_by_poc = {}
         stream = bytearray()
+        if cfg.mctf and len(frames) > 2 and cfg.gop_size > 1:
+            from .mctf import apply_mctf
+            frames = apply_mctf(frames, cfg.gop_size, cfg.qp,
+                                cfg.input_bit_depth)
         if cfg.gop_size <= 1 or cfg.intra_period == 1:
             for f in frames:
                 stream += self.encode_frame(f)
                 self.recs_by_poc[self.frames_done - 1] = dict(self.last_rec.rec)
+            if self.rc is not None and self.cfg.rc_stats_out:
+                self.rc.write_stats(self.cfg.rc_stats_out)
             return bytes(stream)
         # random-access hierarchical GOPs
         gop = cfg.gop_size
@@ -198,6 +215,8 @@ class IntraEncoder:
                                       [poc - 1], [], 1)
             stream += au
             self.recs_by_poc[poc] = dict(self.last_rec.rec)
+        if self.rc is not None and self.cfg.rc_stats_out:
+            self.rc.write_stats(self.cfg.rc_stats_out)
         return bytes(stream)
 
     def _encode_picture(self, poc, planes8, slice_type, refs_l0, refs_l1,
@@ -210,6 +229,8 @@ class IntraEncoder:
         is_idr = slice_type == SLICE_I
         slice_qp = self.slice_qp if is_idr else \
             max(0, min(63, cfg.qp + qp_offset))
+        if self.rc is not None and cfg.bitrate > 0:
+            slice_qp = self.rc.pic_qp(poc, slice_qp, 0)
         self.lmbda = lambda_for_qp(slice_qp, cfg.bit_depth)
         self.lmbda_sad = self.lmbda ** 0.5
 
@@ -389,6 +410,10 @@ class IntraEncoder:
         self.frames_done += 1
         self.last_rec = ps
         self.bits_by_poc[poc] = len(out) * 8
+        if self.rc is not None:
+            if cfg.bitrate > 0:
+                self.rc.update(poc, len(out) * 8)
+            self.rc.add_stat(poc, slice_qp, len(out) * 8, slice_type)
         self.slice_type_by_poc[poc] = slice_type
         self.qp_by_poc[poc] = slice_qp
         if is_idr:
