@@ -21,6 +21,74 @@ DATA = os.path.join(os.path.dirname(__file__), "data")
 # md5 of frame planes (uint16 LE, Y then U then V concatenated) from the
 # reference encoder's reconstruction output
 GOLDEN_HASHES = {
+    # affine motion (4+6 param, --Affine 1), no PROF, rotating/zooming clip
+    "golden_ra_affine_416x240_qp28_f9.266": [
+        "5fcbe10a964f972bb7838367fcb12f2a",
+        "4f3c4691a77f89cbfb3edcc1d25dcb77",
+        "61a90382b93031d40ae5c535fe3acca4",
+        "1ddb0aabdecdda90120f49eeabb348fe",
+        "23d16f0681eeb89e307041fa708b8cb0",
+        "907dbb19eee603d7e64d7dd59609afd2",
+        "38a39b84a69796646932dd6b07d95aae",
+        "5ae46b11a70c9dd355cc3becafda7bd4",
+        "2ab4fe3c36069f74ca4b8d18a4508f0e"],
+    # affine + PROF (prediction refinement with optical flow)
+    "golden_ra_affine_prof_416x240_qp28_f9.266": [
+        "dd5bee4330ae062c64aa6d9d0f44d8c0",
+        "607c4ea9432432455f0b462921a3ab14",
+        "88168fe05a3675d016383bedf4cc3c4a",
+        "990acc1c97cab2d20dea3e2198c800a5",
+        "35ba6551f9900b0ad13e96b5ea664b41",
+        "3a489c96654a655b5ab5971b0d0f896d",
+        "434b6c74fc86e6a3a62159855fe2421b",
+        "5ae46b11a70c9dd355cc3becafda7bd4",
+        "25f100f9905aa0680c17674060982dbc"],
+    # SbTMVP only (subblock merge with maxNumAffineMergeCand == 1)
+    "golden_ra_sbtmvp_416x240_qp28_f9.266": [
+        "cf7ba50134d3fbf2eee5c97c433c6aa2",
+        "87efe4aaceeed3fb99d3006d50a3e0cb",
+        "9a7bba3aefb763104d84af55665dfcf1",
+        "74a287239bdf9b25ecd8d06113bc2b99",
+        "8c1cff79a5ac2aba379c287734075685",
+        "49bb5a109b7a8ddbed557d1e6198ac5e",
+        "330c0a06feaf3f8779eac2f946f461c7",
+        "5ae46b11a70c9dd355cc3becafda7bd4",
+        "4f41409c304df8990bc0006d2805f195"],
+    # affine + SbTMVP + PROF combined (shared subblock merge list)
+    "golden_ra_affine_sbtmvp_prof_416x240_qp28_f9.266": [
+        "bda84a3b7de4784b3c356d18d2b47891",
+        "7e334cab102d946b88e168477881ff77",
+        "8c5927d0f638d1c608f09153d99c558c",
+        "990acc1c97cab2d20dea3e2198c800a5",
+        "e3dc1104d1b82d2a24f8c26e0a4cabe8",
+        "8dce33fc8d9eba1ec2397e0e4174692b",
+        "3a4483b30d524ec5d6bd5fd37bb19e0a",
+        "5ae46b11a70c9dd355cc3becafda7bd4",
+        "25f100f9905aa0680c17674060982dbc"],
+    # 4-parameter-only affine (sps_affine_type_flag == 0) + PROF
+    "golden_ra_affine4p_prof_416x240_qp28_f9.266": [
+        "ed684172cfe1500ab0f70fcf32e4ccd3",
+        "0083e91fb7b29bba0593b08687cf2e34",
+        "ad60e5466cf6079eb6708f1fb9a96291",
+        "3f83d6f65befbbce98db2690a027912a",
+        "f2fe5912262242d42c3d32d4667b96ea",
+        "fb47e6f6dd7e1aa64fa42cc6a8530708",
+        "8f8a4a3b982d9d402da74cae21294ee9",
+        "5ae46b11a70c9dd355cc3becafda7bd4",
+        "36ecbf8b0af7c96cbb45960ef5677454"],
+    # affine tool sink: affine(5 cands)+SbTMVP+PROF+TMVP+AMVR+MMVD+SMVD
+    # +BCW+BDOF+DMVR+DepQuant+CCLM+implicitMTS+MIP+MRL+LFNST+JCCR
+    # +ALF+CCALF+SAO
+    "golden_ra_affine_toolsink_416x240_qp27_f9.266": [
+        "bbd9a0a708c95a8177a09509c967441a",
+        "0cd940b70eab42ff9402ee7650708908",
+        "bdf318586081f3e278601280f3ffcc92",
+        "817bbc89e611a0da8705d0db03af0326",
+        "3d5a5796ab9aa960d39442a4b6fc545d",
+        "d372aa224e07f19c3dbddc89042cf745",
+        "070e043a232c200d9ea81f1b18b55e1c",
+        "58168bf49b363d9fa28c324743dc74e7",
+        "862127228ff9fb21bf181b3dfdbfeb53"],
     # BDOF + DMVR (decoder-side refinement), RA GOP16
     "golden_ra_bdof_dmvr_416x240_qp28_f9.266": [
         "4da8a433c2b9ce0471f07a16b189f6d6",

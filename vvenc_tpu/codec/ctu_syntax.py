@@ -83,6 +83,16 @@ class CuData:
     alt_hpel: bool = False           # alternative half-pel IF (AMVR half)
     dmvr_deltas: Optional[dict] = None  # {(sy,sx): (dx,dy) 1/16} per 16x16
     dmvr_bdof: Optional[dict] = None    # per-sub-PU BDOF enable
+    affine: bool = False             # affine CU (incl. SbTMVP merge)
+    affine_type: int = 0             # 0 = 4-param, 1 = 6-param
+    sbtmvp: bool = False             # subblock merge type SUBPU_ATMVP
+    cpmv: tuple = (((0, 0),) * 3, ((0, 0),) * 3)  # CP MVs LT/RT/LB per list
+    aff_mvds: Optional[tuple] = None    # signalled CPMV mvds per list
+    sub_mi: Optional[list] = None       # per-4x4 MotionInfo grid
+    sub_mi_src: Optional[tuple] = None  # SbTMVP (8x8 grid, (pw, ph))
+    aff_grids: Optional[list] = None    # cached per-list sub-block MV grids
+    aff_dhv: Optional[list] = None      # cached per-list affine deltas
+    aff_spread: Optional[list] = None   # per-list spread-over-limit flags
     chroma_dir: int = DM_CHROMA      # signalled chroma mode (DM or mode value)
     coeff_y: Optional[np.ndarray] = None
     coeff_cb: Optional[np.ndarray] = None
@@ -90,6 +100,11 @@ class CuData:
     luma_only: bool = False          # TREE_L CU of a local dual tree
     chroma_only: bool = False        # TREE_C region chroma CU
     qp: int = -1                     # luma QpY (cu_qp_delta); -1 = slice QP
+
+    @property
+    def inter_dir(self) -> int:
+        return (1 if self.ref_idx[0] >= 0 else 0) | \
+               (2 if self.ref_idx[1] >= 0 else 0)
 
 
 # split modes
@@ -594,6 +609,21 @@ class SyntaxCoder:
         self.mmvd = bool(getattr(sps, "mmvd", 0))
         self.smvd_en = bool(getattr(sps, "smvd", 0))
         self.bcw_en = bool(getattr(sps, "bcw", 0))
+        # affine / SbTMVP / PROF (sps_affine_* flags; picHeader
+        # maxNumAffineMergeCand derivation EncGOP.cpp:2076)
+        self.affine_en = bool(getattr(sps, "affine", 0))
+        self.affine_type_en = bool(getattr(sps, "affine_type", 0))
+        self.affine_amvr_en = bool(getattr(sps, "affine_amvr", 0))
+        self.prof_en = bool(getattr(sps, "prof", 0)) and \
+            not getattr(sh.ph, "dis_prof", 0)
+        self.sbtmvp_en = bool(getattr(sps, "sbtmvp", 0))
+        self.sbtmvp_active = self.sbtmvp_en and tmvp is not None
+        if self.affine_en:
+            self.max_aff_merge = getattr(sps, "max_num_affine_merge_cand", 5)
+        else:
+            self.max_aff_merge = 1 if self.sbtmvp_active else 0
+        self.pic_w = pps.pic_width
+        self.pic_h = pps.pic_height
         self.cur_poc = cur_poc
         # checkLDC: all reference POCs at or before the current picture
         self.check_ldc = bool(
@@ -624,7 +654,7 @@ class SyntaxCoder:
         CU::isBiPredFromDifferentDirEqDistPoc)."""
         if not self.bdof_on or getattr(self.sh.ph, "dis_bdof", 0):
             return False
-        if cu.ref_idx[0] < 0 or cu.ref_idx[1] < 0:
+        if cu.ref_idx[0] < 0 or cu.ref_idx[1] < 0 or cu.affine:
             return False
         if cu.smvd or cu.bcw_idx != 2:
             return False
@@ -638,7 +668,7 @@ class SyntaxCoder:
         """vvenc CU::checkDMVRCondition (UnitTools.cpp:1300)."""
         if not self.dmvr_on or getattr(self.sh.ph, "dis_dmvr", 0):
             return False
-        if not cu.merge or cu.mmvd_flag:
+        if not cu.merge or cu.mmvd_flag or cu.affine:
             return False
         if cu.ref_idx[0] < 0 or cu.ref_idx[1] < 0 or cu.bcw_idx != 2:
             return False
@@ -964,7 +994,7 @@ class SyntaxCoder:
             enc.encode_bin(1 if cu.skip else 0,
                            ct.CTX_SETS["SkipFlag"](ctx_skip))
             if cu.skip:
-                self._enc_merge_data(enc, cu)
+                self._enc_merge_data(enc, ps, cu)
                 self._finish_cu(ps, cu, node)
                 return
         if self.is_intra_slice or mt == MODE_INTRA or is_4x4:
@@ -982,7 +1012,7 @@ class SyntaxCoder:
         else:
             enc.encode_bin(1 if cu.merge else 0, ct.CTX_SETS["MergeFlag"](0))
             if cu.merge:
-                self._enc_merge_data(enc, cu)
+                self._enc_merge_data(enc, ps, cu)
             else:
                 inter_dir = (1 if cu.ref_idx[0] >= 0 else 0) | \
                             (2 if cu.ref_idx[1] >= 0 else 0)
@@ -997,14 +1027,29 @@ class SyntaxCoder:
                     if inter_dir != 3:
                         enc.encode_bin(1 if inter_dir == 2 else 0,
                                        ct.CTX_SETS["InterDir"](5))
+                # inter_affine_flag / cu_affine_type_flag
+                # (vvenc CABACWriter::affine_flag:1512)
+                if not self.is_intra_slice and self.affine_en \
+                        and cu.w > 8 and cu.h > 8:
+                    enc.encode_bin(1 if cu.affine else 0,
+                                   ct.CTX_SETS["AffineFlag"](
+                                       self._aff_ctx(ps, cu.x, cu.y)))
+                    if cu.affine and self.affine_type_en:
+                        enc.encode_bin(cu.affine_type,
+                                       ct.CTX_SETS["AffineType"](0))
                 # sym_mvd_flag (vvenc CABACWriter::smvd_mode:1798)
-                if inter_dir == 3 and self.bi_dir_pred:
+                if inter_dir == 3 and self.bi_dir_pred and not cu.affine:
                     enc.encode_bin(1 if cu.smvd else 0,
                                    ct.CTX_SETS["SmvdFlag"](0))
+                n_cp = (3 if cu.affine_type else 2) if cu.affine else 1
                 if inter_dir != 2:
                     if not cu.smvd and self.num_refs[0] > 1:
                         self._enc_ref_idx(enc, cu.ref_idx[0], self.num_refs[0])
-                    self._enc_mvd(enc, cu.mvd)
+                    if cu.affine:
+                        for i in range(n_cp):
+                            self._enc_mvd(enc, cu.aff_mvds[0][i])
+                    else:
+                        self._enc_mvd(enc, cu.mvd)
                     enc.encode_bin(cu.mvp_idx, ct.CTX_SETS["MVPIdx"](0))
                 if inter_dir != 1:
                     if not cu.smvd:
@@ -1012,9 +1057,16 @@ class SyntaxCoder:
                             self._enc_ref_idx(enc, cu.ref_idx[1],
                                               self.num_refs[1])
                         if not (self.sh.ph.mvd_l1_zero and inter_dir == 3):
-                            self._enc_mvd(enc, cu.mvd_l1)
+                            if cu.affine:
+                                for i in range(n_cp):
+                                    self._enc_mvd(enc, cu.aff_mvds[1][i])
+                            else:
+                                self._enc_mvd(enc, cu.mvd_l1)
                     enc.encode_bin(cu.mvp_idx_l1, ct.CTX_SETS["MVPIdx"](0))
-                self._enc_imv(enc, cu)
+                if not cu.affine:
+                    self._enc_imv(enc, cu)
+                else:
+                    self._enc_affine_amvr(enc, cu)
                 self._enc_bcw(enc, cu, inter_dir)
         # residual
         if cu.is_inter and not cu.merge:
@@ -1066,9 +1118,30 @@ class SyntaxCoder:
         self._code_lfnst_mts(enc, cu, encode=True)
         self._finish_cu(ps, cu, node)
 
-    # -- merge data (regular / MMVD) ----------------------------------------
-    # (vvenc CABACWriter::merge_data:757, mmvd_merge_idx:1676)
-    def _enc_merge_data(self, enc, cu) -> None:
+    # -- merge data (subblock / regular / MMVD) ------------------------------
+    # (vvenc CABACWriter::merge_data:757, subblock_merge_flag:1501,
+    #  mmvd_merge_idx:1676)
+    def _aff_ctx(self, ps, x, y) -> int:
+        """DeriveCtx::CtxAffineFlag (ContextModelling.h:571)."""
+        c = 0
+        if ps.is_coded(x - 1, y) and self.mf.is_aff_at(x - 1, y):
+            c += 1
+        if ps.is_coded(x, y - 1) and self.mf.is_aff_at(x, y - 1):
+            c += 1
+        return c
+
+    def _subblock_merge_coded(self, cu) -> bool:
+        return (not self.is_intra_slice and self.max_aff_merge > 0
+                and cu.w >= 8 and cu.h >= 8)
+
+    def _enc_merge_data(self, enc, ps, cu) -> None:
+        if self._subblock_merge_coded(cu):
+            enc.encode_bin(1 if cu.affine else 0,
+                           ct.CTX_SETS["SubblockMergeFlag"](
+                               self._aff_ctx(ps, cu.x, cu.y)))
+        if cu.affine:
+            self._enc_aff_merge_idx(enc, cu.merge_idx)
+            return
         if self.mmvd:
             enc.encode_bin(1 if cu.mmvd_flag else 0,
                            ct.CTX_SETS["MmvdFlag"](0))
@@ -1078,6 +1151,13 @@ class SyntaxCoder:
             self._enc_merge_idx(enc, cu.merge_idx)
 
     def _dec_merge_data(self, dec, ps, cu) -> None:
+        if self._subblock_merge_coded(cu):
+            cu.affine = bool(dec.decode_bin(ct.CTX_SETS["SubblockMergeFlag"](
+                self._aff_ctx(ps, cu.x, cu.y))))
+        if cu.affine:
+            cu.merge_idx = self._dec_aff_merge_idx(dec)
+            self._apply_affine_merge(ps, cu)
+            return
         if self.mmvd and dec.decode_bin(ct.CTX_SETS["MmvdFlag"](0)):
             cu.mmvd_flag = True
             self._dec_mmvd_idx(dec, cu)
@@ -1085,6 +1165,53 @@ class SyntaxCoder:
         else:
             cu.merge_idx = self._dec_merge_idx(dec)
             self._apply_merge(ps, cu)
+
+    # -- affine merge (CABACWriter::merge_idx affine branch :1657) -----------
+    def _enc_aff_merge_idx(self, enc, idx: int) -> None:
+        n = self.max_aff_merge - 1
+        if n <= 0:
+            return
+        enc.encode_bin(0 if idx == 0 else 1, ct.CTX_SETS["AffMergeIdx"](0))
+        if idx > 0:
+            for k in range(1, n):
+                enc.encode_bin_ep(0 if idx == k else 1)
+                if idx == k:
+                    break
+
+    def _dec_aff_merge_idx(self, dec) -> int:
+        n = self.max_aff_merge - 1
+        if n <= 0:
+            return 0
+        if not dec.decode_bin(ct.CTX_SETS["AffMergeIdx"](0)):
+            return 0
+        idx = 1
+        while idx < n and dec.decode_bin_ep():
+            idx += 1
+        return idx
+
+    def _apply_affine_merge(self, ps, cu) -> None:
+        from .affine import affine_merge_list, derive_affine_grids
+        cands = affine_merge_list(self, ps, cu, self.max_aff_merge,
+                                  mrg_idx=cu.merge_idx)
+        cand = cands[cu.merge_idx]
+        cu.ref_idx = tuple(cand.ref_idx)
+        cu.bcw_idx = cand.bcw
+        cu.cpmv = cand.cpmv
+        cu.affine_type = cand.aff_type if not cand.is_sbtmvp else 0
+        if cand.is_sbtmvp:
+            cu.sbtmvp = True
+            cu.sub_mi_src = cand.sub_mi
+            # per-4x4 spanning grid from the 8x8 SbTMVP sub-blocks
+            grid, (pw, ph) = cand.sub_mi
+            sub = []
+            for uy in range(cu.h // 4):
+                row = []
+                for ux in range(cu.w // 4):
+                    row.append(grid[(uy * 4) // ph][(ux * 4) // pw])
+                sub.append(row)
+            cu.sub_mi = sub
+        else:
+            derive_affine_grids(self, cu)
 
     def _enc_mmvd_idx(self, enc, cu) -> None:
         if self.sps.max_num_merge_cand > 1:
@@ -1178,6 +1305,51 @@ class SyntaxCoder:
             else:
                 cu.imv = 3
                 cu.alt_hpel = True
+
+    # -- affine AMVR (CABACWriter::affine_amvr_mode:1629) --------------------
+    def _aff_has_mvd(self, cu) -> bool:
+        return any(d != (0, 0) for li in range(2) for d in cu.aff_mvds[li])
+
+    def _enc_affine_amvr(self, enc, cu) -> None:
+        if not self.affine_amvr_en or not self._aff_has_mvd(cu):
+            return
+        enc.encode_bin(1 if cu.imv > 0 else 0, ct.CTX_SETS["ImvFlag"](2))
+        if cu.imv > 0:
+            enc.encode_bin(1 if cu.imv > 1 else 0, ct.CTX_SETS["ImvFlag"](3))
+
+    def _dec_affine_amvr(self, dec, cu) -> None:
+        if not self.affine_amvr_en or not self._aff_has_mvd(cu):
+            return
+        if dec.decode_bin(ct.CTX_SETS["ImvFlag"](2)):
+            cu.imv = 2 if dec.decode_bin(ct.CTX_SETS["ImvFlag"](3)) else 1
+
+    def _derive_affine_amvp_mvs(self, ps, cu) -> None:
+        """CPMVs from the affine AMVP list + signalled (differential) MVDs:
+        cpmv[i] = mvp[i] + mvd[i] + (i>0 ? mvd[0] : 0)
+        (InterSearch.cpp:5145-5150 inverse)."""
+        from .affine import (affine_amvp_list, derive_affine_grids,
+                             AFF_AMVR_SHIFTS, _clip_stor)
+        sh = AFF_AMVR_SHIFTS[cu.imv]
+        cpmv = [((0, 0),) * 3, ((0, 0),) * 3]
+        n_cp = 3 if cu.affine_type else 2
+        for li in range(2):
+            if cu.ref_idx[li] < 0:
+                continue
+            mvps = affine_amvp_list(self, ps, cu, li, cu.ref_idx[li])
+            mvp_i = cu.mvp_idx if li == 0 else cu.mvp_idx_l1
+            pred = mvps[mvp_i]
+            d0 = cu.aff_mvds[li][0]
+            out = []
+            for i in range(n_cp):
+                d = cu.aff_mvds[li][i]
+                dx = (d[0] << sh) + ((d0[0] << sh) if i else 0)
+                dy = (d[1] << sh) + ((d0[1] << sh) if i else 0)
+                out.append(_clip_stor((pred[i][0] + dx, pred[i][1] + dy)))
+            while len(out) < 3:
+                out.append((0, 0))
+            cpmv[li] = tuple(out)
+        cu.cpmv = (cpmv[0], cpmv[1])
+        derive_affine_grids(self, cu)
 
     _BCW_CODING_ORDER = (4, 2, 0, 1, 3)
     _BCW_PARSING_ORDER = (2, 3, 1, 4, 0)
@@ -1377,11 +1549,23 @@ class SyntaxCoder:
                        self.ref_pics, comps, self.implicit_mts,
                        self.ctu_size, self.dq, self.jccr_sign,
                        bdof=(cu.is_inter and cu.dmvr_deltas is None
-                             and self.bdof_applies(cu)))
+                             and self.bdof_applies(cu)),
+                       coder=self)
         if cu.chroma_only:
             return
         if self.mf is not None:
-            if cu.is_inter:
+            if cu.is_inter and cu.affine:
+                # per-sub-block spanning; affine CUs do not update HMVP
+                # (CU::saveMotionInHMVP gate on !cu.affine, UnitTools:354)
+                aff_info = None
+                if not cu.sbtmvp:
+                    from .affine import AffineInfo
+                    aff_info = AffineInfo(
+                        cu.x, cu.y, cu.w, cu.h, cu.affine_type, cu.cpmv,
+                        cu.inter_dir, tuple(cu.ref_idx), cu.bcw_idx)
+                self.mf.set_sub_cu(cu.x, cu.y, cu.w, cu.h, cu.sub_mi,
+                                   cu.skip, aff_info)
+            elif cu.is_inter:
                 mi = MotionInfo((tuple(cu.mv[0]), tuple(cu.mv[1])),
                                 tuple(cu.ref_idx), bcw=cu.bcw_idx,
                                 alt_hpel=cu.alt_hpel)
@@ -1595,15 +1779,28 @@ class SyntaxCoder:
                         inter_dir = 3
                     elif dec.decode_bin(ct.CTX_SETS["InterDir"](5)):
                         inter_dir = 2
-                if inter_dir == 3 and self.bi_dir_pred:
+                if not self.is_intra_slice and self.affine_en \
+                        and w > 8 and h > 8:
+                    cu.affine = bool(dec.decode_bin(ct.CTX_SETS["AffineFlag"](
+                        self._aff_ctx(ps, cu.x, cu.y))))
+                    if cu.affine and self.affine_type_en:
+                        cu.affine_type = dec.decode_bin(
+                            ct.CTX_SETS["AffineType"](0))
+                if inter_dir == 3 and self.bi_dir_pred and not cu.affine:
                     cu.smvd = bool(dec.decode_bin(ct.CTX_SETS["SmvdFlag"](0)))
                 refs = [-1, -1]
+                n_cp = (3 if cu.affine_type else 2) if cu.affine else 1
+                aff_mvds = [[(0, 0)] * 3, [(0, 0)] * 3]
                 mvds = [(0, 0), (0, 0)]
                 mvps = [0, 0]
                 if inter_dir != 2:
                     refs[0] = self.sym_ref[0] if cu.smvd else \
                         self._dec_ref_idx(dec, self.num_refs[0])
-                    mvds[0] = self._dec_mvd(dec)
+                    if cu.affine:
+                        for i in range(n_cp):
+                            aff_mvds[0][i] = self._dec_mvd(dec)
+                    else:
+                        mvds[0] = self._dec_mvd(dec)
                     mvps[0] = dec.decode_bin(ct.CTX_SETS["MVPIdx"](0))
                 if inter_dir != 1:
                     if cu.smvd:
@@ -1612,7 +1809,10 @@ class SyntaxCoder:
                     else:
                         refs[1] = self._dec_ref_idx(dec, self.num_refs[1])
                         if self.sh.ph.mvd_l1_zero and inter_dir == 3:
-                            mvds[1] = (0, 0)
+                            pass  # all L1 mvds inferred zero
+                        elif cu.affine:
+                            for i in range(n_cp):
+                                aff_mvds[1][i] = self._dec_mvd(dec)
                         else:
                             mvds[1] = self._dec_mvd(dec)
                     mvps[1] = dec.decode_bin(ct.CTX_SETS["MVPIdx"](0))
@@ -1621,9 +1821,15 @@ class SyntaxCoder:
                 cu.mvp_idx = mvps[0]
                 cu.mvd_l1 = mvds[1]
                 cu.mvp_idx_l1 = mvps[1]
-                self._dec_imv(dec, cu)
-                self._dec_bcw(dec, cu, inter_dir)
-                self._derive_amvp_mvs(ps, cu)
+                if cu.affine:
+                    cu.aff_mvds = (tuple(aff_mvds[0]), tuple(aff_mvds[1]))
+                    self._dec_affine_amvr(dec, cu)
+                    self._dec_bcw(dec, cu, inter_dir)
+                    self._derive_affine_amvp_mvs(ps, cu)
+                else:
+                    self._dec_imv(dec, cu)
+                    self._dec_bcw(dec, cu, inter_dir)
+                    self._derive_amvp_mvs(ps, cu)
         if cu.is_inter and not cu.merge:
             cu.root_cbf = bool(dec.decode_bin(ct.CTX_SETS["QtRootCbf"](0)))
         if not cu.is_inter or cu.root_cbf:
@@ -1889,8 +2095,15 @@ def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
                    bit_depth: int, ref_pics=None, comps=(0, 1, 2),
                    implicit_mts: bool = False, ctu_size: int = 64,
                    dep_quant: bool = False, jccr_sign: int = 0,
-                   bdof: bool = False) -> None:
+                   bdof: bool = False, coder=None) -> None:
     maxval = (1 << bit_depth) - 1
+
+    def _inter_pred(comp, x, y, w, h):
+        if cu.affine:
+            from .affine import affine_predict
+            return affine_predict(coder, cu, comp)
+        return inter_predict(ref_pics, cu.mv, cu.ref_idx, x, y, w, h,
+                             comp, bit_depth, cu.bcw_idx, cu.alt_hpel)
     joint_resi = {}
     if cu.joint_cbcr and (1 in comps or 2 in comps):
         coded_comp = 1 if cu.joint_cbcr in (2, 3) else 2
@@ -1913,9 +2126,7 @@ def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
         if comp in joint_resi:
             x, y, w, h = cu.x >> 1, cu.y >> 1, cu.w >> 1, cu.h >> 1
             if cu.is_inter:
-                pred = inter_predict(ref_pics, cu.mv, cu.ref_idx, x, y, w,
-                                     h, comp, bit_depth, cu.bcw_idx,
-                                     cu.alt_hpel)
+                pred = _inter_pred(comp, x, y, w, h)
             else:
                 pred = predict_cu_component(ps, cu, comp, bit_depth,
                                             ctu_size)
@@ -1937,9 +2148,7 @@ def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
                                          ref_pics[1][cu.ref_idx[1]][0],
                                          cu, bit_depth)
             else:
-                pred = inter_predict(ref_pics, cu.mv, cu.ref_idx, x, y, w,
-                                     h, comp, bit_depth, cu.bcw_idx,
-                                     cu.alt_hpel)
+                pred = _inter_pred(comp, x, y, w, h)
         else:
             pred = predict_cu_component(ps, cu, comp, bit_depth, ctu_size)
         if coeff is not None and np.any(coeff):

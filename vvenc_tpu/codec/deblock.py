@@ -311,6 +311,7 @@ class _BsMaps:
         self.joint3 = np.zeros((uh, uw), bool)
         self.mv = np.zeros((2, uh, uw, 2), np.int32)
         self.refpoc = np.full((2, uh, uw), -(10 ** 9), np.int64)
+        self.subblk = np.zeros((uh, uw), bool)   # affine / SbTMVP CU
         rp = ref_pocs or [[], []]
         for cu in cu_list:
             ys = slice(cu.y >> 2, (cu.y + cu.h) >> 2)
@@ -338,6 +339,21 @@ class _BsMaps:
                     self.cbf[ci, ys, xs] = \
                         (getattr(cu, a, None) is not None or joint != 0)
             if is_inter:
+                sub_mi = getattr(cu, "sub_mi", None)
+                if sub_mi is not None:
+                    # affine / SbTMVP: per-4x4 sub-block motion
+                    self.subblk[ys, xs] = True
+                    for uy in range(cu.y >> 2, (cu.y + cu.h) >> 2):
+                        for ux in range(cu.x >> 2, (cu.x + cu.w) >> 2):
+                            mi = sub_mi[uy - (cu.y >> 2)][ux - (cu.x >> 2)]
+                            for li in range(2):
+                                ri = mi.ref_idx[li]
+                                if ri >= 0 and li < len(rp) \
+                                        and ri < len(rp[li]):
+                                    self.refpoc[li, uy, ux] = rp[li][ri]
+                                    self.mv[li, uy, ux, 0] = mi.mv[li][0]
+                                    self.mv[li, uy, ux, 1] = mi.mv[li][1]
+                    continue
                 for li in range(2):
                     ri = cu.ref_idx[li]
                     if ri >= 0 and li < len(rp) and ri < len(rp[li]):
@@ -345,14 +361,15 @@ class _BsMaps:
                         self.mv[li, ys, xs, 0] = cu.mv[li][0]
                         self.mv[li, ys, xs, 1] = cu.mv[li][1]
 
-    def bs(self, py, px, qy, qx, is_b):
+    def bs(self, py, px, qy, qx, is_b, tu_edge: bool = True):
         """(bs_y, bs_cb, bs_cr) for the edge between units P and Q
-        (vvenc xGetBoundaryStrengthSingle, LoopFilter.cpp:1022)."""
+        (vvenc xGetBoundaryStrengthSingle, LoopFilter.cpp:1022).
+        tu_edge=False: internal sub-block edge — cbf rule does not apply."""
         if self.intra[py, px] or self.intra[qy, qx]:
             return 2, 2, 2
         bs_cb = 1 if (self.cbf[1, py, px] or self.cbf[1, qy, qx]) else 0
         bs_cr = 1 if (self.cbf[2, py, px] or self.cbf[2, qy, qx]) else 0
-        if self.cbf[0, py, px] or self.cbf[0, qy, qx]:
+        if tu_edge and (self.cbf[0, py, px] or self.cbf[0, qy, qx]):
             return 1, bs_cb, bs_cr
         rp0, rp1 = self.refpoc[0, py, px], self.refpoc[1, py, px]
         rq0, rq1 = self.refpoc[0, qy, qx], self.refpoc[1, qy, qx]
@@ -431,48 +448,94 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
         def chroma_edge_qp(pu_y, pu_x, qu_y, qu_x, comp):
             return qp_cb if comp == 1 else qp_cr
 
-    def luma_maxlen(size_p, size_q):
+    def luma_maxlen(size_p, size_q, p_sub=False, q_sub=False):
+        """Max filter lengths; sub-block CUs shorten the long filters
+        (LoopFilter.cpp:906 cuP->affine -> 5;
+        xSetMaxFilterLengthPQForCodingSubBlocks:961 q side min 5)."""
         if size_p <= 4 or size_q <= 4:
             return 1, 1
-        return (7 if size_p >= 32 else 3), (7 if size_q >= 32 else 3)
+        mp = (5 if p_sub else 7) if size_p >= 32 else 3
+        mq = 7 if size_q >= 32 else 3
+        if q_sub:
+            mq = min(mq, 5)
+        return mp, mq
+
+    def _sub_maxlen(off, size):
+        """Internal sub-block edge lengths (LoopFilter.cpp:969-980,
+        TU == CU: only the 8-proximity cases arise)."""
+        return 2 if (off == 8 or off + 8 >= size) else 3
 
     # ---- vertical edges (whole picture), then horizontal -----------------
     for vertical in (True, False):
         for cu in cu_list:
             if getattr(cu, "chroma_only", False):
                 continue
+            q_sub = getattr(cu, "sub_mi", None) is not None
             if vertical:
-                if cu.x == 0:
-                    continue
                 x = cu.x
-                for yy in range(cu.y, cu.y + cu.h, 4):
-                    bs_y, _, _ = maps.bs(yy >> 2, (x - 1) >> 2,
-                                         yy >> 2, x >> 2, is_b)
-                    if not bs_y:
-                        continue
-                    size_q = cu.w
-                    size_p = int(cu_w[yy >> 2, (x - 1) >> 2])
-                    mp, mq = luma_maxlen(size_p, size_q)
-                    eqp = luma_edge_qp(yy >> 2, (x - 1) >> 2, yy >> 2, x >> 2)
-                    _filter_luma_edge_seg(rec[0], x, yy, True, eqp,
-                                          mp, mq, bit_depth, bs=bs_y)
+                if x != 0:
+                    for yy in range(cu.y, cu.y + cu.h, 4):
+                        bs_y, _, _ = maps.bs(yy >> 2, (x - 1) >> 2,
+                                             yy >> 2, x >> 2, is_b)
+                        if not bs_y:
+                            continue
+                        size_q = cu.w
+                        size_p = int(cu_w[yy >> 2, (x - 1) >> 2])
+                        mp, mq = luma_maxlen(
+                            size_p, size_q,
+                            bool(maps.subblk[yy >> 2, (x - 1) >> 2]), q_sub)
+                        eqp = luma_edge_qp(yy >> 2, (x - 1) >> 2, yy >> 2,
+                                           x >> 2)
+                        _filter_luma_edge_seg(rec[0], x, yy, True, eqp,
+                                              mp, mq, bit_depth, bs=bs_y)
+                if q_sub:
+                    for off in range(8, cu.w, 8):
+                        xi = cu.x + off
+                        ml = _sub_maxlen(off, cu.w)
+                        for yy in range(cu.y, cu.y + cu.h, 4):
+                            bs_y, _, _ = maps.bs(yy >> 2, (xi - 1) >> 2,
+                                                 yy >> 2, xi >> 2, is_b,
+                                                 tu_edge=False)
+                            if not bs_y:
+                                continue
+                            eqp = luma_edge_qp(yy >> 2, (xi - 1) >> 2,
+                                               yy >> 2, xi >> 2)
+                            _filter_luma_edge_seg(rec[0], xi, yy, True, eqp,
+                                                  ml, ml, bit_depth, bs=bs_y)
             else:
-                if cu.y == 0:
-                    continue
                 y = cu.y
-                for xx in range(cu.x, cu.x + cu.w, 4):
-                    bs_y, _, _ = maps.bs((y - 1) >> 2, xx >> 2,
-                                         y >> 2, xx >> 2, is_b)
-                    if not bs_y:
-                        continue
-                    size_q = cu.h
-                    size_p = int(cu_h[(y - 1) >> 2, xx >> 2])
-                    mp, mq = luma_maxlen(size_p, size_q)
-                    eqp = luma_edge_qp((y - 1) >> 2, xx >> 2, y >> 2, xx >> 2)
-                    _filter_luma_edge_seg(rec[0], xx, y, False, eqp,
-                                          mp, mq, bit_depth,
-                                          at_ctu_hor=(y % ctu_size == 0),
-                                          bs=bs_y)
+                if y != 0:
+                    for xx in range(cu.x, cu.x + cu.w, 4):
+                        bs_y, _, _ = maps.bs((y - 1) >> 2, xx >> 2,
+                                             y >> 2, xx >> 2, is_b)
+                        if not bs_y:
+                            continue
+                        size_q = cu.h
+                        size_p = int(cu_h[(y - 1) >> 2, xx >> 2])
+                        mp, mq = luma_maxlen(
+                            size_p, size_q,
+                            bool(maps.subblk[(y - 1) >> 2, xx >> 2]), q_sub)
+                        eqp = luma_edge_qp((y - 1) >> 2, xx >> 2, y >> 2,
+                                           xx >> 2)
+                        _filter_luma_edge_seg(rec[0], xx, y, False, eqp,
+                                              mp, mq, bit_depth,
+                                              at_ctu_hor=(y % ctu_size == 0),
+                                              bs=bs_y)
+                if q_sub:
+                    for off in range(8, cu.h, 8):
+                        yi = cu.y + off
+                        ml = _sub_maxlen(off, cu.h)
+                        for xx in range(cu.x, cu.x + cu.w, 4):
+                            bs_y, _, _ = maps.bs((yi - 1) >> 2, xx >> 2,
+                                                 yi >> 2, xx >> 2, is_b,
+                                                 tu_edge=False)
+                            if not bs_y:
+                                continue
+                            eqp = luma_edge_qp((yi - 1) >> 2, xx >> 2,
+                                               yi >> 2, xx >> 2)
+                            _filter_luma_edge_seg(rec[0], xx, yi, False, eqp,
+                                                  ml, ml, bit_depth,
+                                                  at_ctu_hor=False, bs=bs_y)
         # chroma edges for this direction (8-chroma-sample grid only:
         # vvenc loopFilterCu DEBLOCK_SMALLEST_BLOCK gating).  Edge geometry
         # follows the CHROMA tree: with a local dual tree the chroma block

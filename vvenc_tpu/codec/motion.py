@@ -102,17 +102,44 @@ class MotionField:
         self.mi: List[List[Optional[MotionInfo]]] = \
             [[None] * self.uw for _ in range(self.uh)]
         self.skip = [[False] * self.uw for _ in range(self.uh)]
+        # affine state: per-unit AffineInfo (CPMV inheritance source, real
+        # affine CUs only) and the cu.affine flag (incl. SbTMVP; ctx deriv)
+        self.aff = [[None] * self.uw for _ in range(self.uh)]
+        self.isaff = [[False] * self.uw for _ in range(self.uh)]
 
     def set_cu(self, x, y, w, h, mi: Optional[MotionInfo], skip=False):
         for uy in range(y >> 2, (y + h) >> 2):
             for ux in range(x >> 2, (x + w) >> 2):
                 self.mi[uy][ux] = mi
                 self.skip[uy][ux] = skip
+                self.aff[uy][ux] = None
+                self.isaff[uy][ux] = False
+
+    def set_sub_cu(self, x, y, w, h, sub_mi, skip=False,
+                   aff_info=None) -> None:
+        """Per-4x4 sub-block motion of an affine/SbTMVP CU (sub_mi indexed
+        [uy][ux] relative to the CU, one entry per 4x4)."""
+        for uy in range(y >> 2, (y + h) >> 2):
+            for ux in range(x >> 2, (x + w) >> 2):
+                self.mi[uy][ux] = sub_mi[uy - (y >> 2)][ux - (x >> 2)]
+                self.skip[uy][ux] = skip
+                self.aff[uy][ux] = aff_info
+                self.isaff[uy][ux] = True
 
     def at(self, x, y) -> Optional[MotionInfo]:
         if x < 0 or y < 0 or x >= self.uw * 4 or y >= self.uh * 4:
             return None
         return self.mi[y >> 2][x >> 2]
+
+    def aff_at(self, x, y):
+        if x < 0 or y < 0 or x >= self.uw * 4 or y >= self.uh * 4:
+            return None
+        return self.aff[y >> 2][x >> 2]
+
+    def is_aff_at(self, x, y) -> bool:
+        if x < 0 or y < 0 or x >= self.uw * 4 or y >= self.uh * 4:
+            return False
+        return self.isaff[y >> 2][x >> 2]
 
     def skip_at(self, x, y) -> bool:
         if x < 0 or y < 0 or x >= self.uw * 4 or y >= self.uh * 4:
@@ -125,13 +152,17 @@ class MotionField:
         uy1 = min(self.uh, (y + size) >> 2)
         return (ux0, uy0, ux1, uy1,
                 [row[ux0:ux1] for row in self.mi[uy0:uy1]],
-                [row[ux0:ux1] for row in self.skip[uy0:uy1]])
+                [row[ux0:ux1] for row in self.skip[uy0:uy1]],
+                [row[ux0:ux1] for row in self.aff[uy0:uy1]],
+                [row[ux0:ux1] for row in self.isaff[uy0:uy1]])
 
     def restore_region(self, snap):
-        ux0, uy0, ux1, uy1, mi, skip = snap
+        ux0, uy0, ux1, uy1, mi, skip, aff, isaff = snap
         for i, uy in enumerate(range(uy0, uy1)):
             self.mi[uy][ux0:ux1] = mi[i]
             self.skip[uy][ux0:ux1] = skip[i]
+            self.aff[uy][ux0:ux1] = aff[i]
+            self.isaff[uy][ux0:ux1] = isaff[i]
 
 
 def _avail_inter(ps, mf: MotionField, x: int, y: int) -> Optional[MotionInfo]:
@@ -209,20 +240,28 @@ class TmvpCtx:
     ctu_size: int
 
 
-def get_colocated_mvp(tmvp: TmvpCtx, list_idx: int, pos, ref_idx: int):
+def get_colocated_mvp(tmvp: TmvpCtx, list_idx: int, pos, ref_idx: int,
+                      sb_flag: bool = False):
     """vvenc CU::getColocatedMVP (UnitTools.cpp:1412).  Returns a scaled
-    1/16-pel MV or None."""
+    1/16-pel MV or None.  sb_flag: SbTMVP variant (strict list when the
+    current refs are not all past pictures, UnitTools.cpp:1454)."""
     px, py = pos[0] & ~7, pos[1] & ~7  # 8x8 temporal-motion granularity
     col_list = list_idx if tmvp.check_ldc else tmvp.col_from_l0
     mi = tmvp.col_mf.at(px, py)
     if mi is None:
         return None
-    col_ref = mi.ref_idx[col_list]
-    if col_ref < 0:
-        col_list = 1 - col_list
+    if sb_flag and not tmvp.check_ldc:
+        col_list = list_idx
         col_ref = mi.ref_idx[col_list]
         if col_ref < 0:
             return None
+    else:
+        col_ref = mi.ref_idx[col_list]
+        if col_ref < 0:
+            col_list = 1 - col_list
+            col_ref = mi.ref_idx[col_list]
+            if col_ref < 0:
+                return None
     mv = (_round_mv_storage(mi.mv[col_list][0]),
           _round_mv_storage(mi.mv[col_list][1]))
     col_ref_poc = tmvp.col_ref_pocs[col_list][col_ref]

@@ -85,7 +85,8 @@ BCW_DEFAULT = 2
 def mc_block_np(ref_plane: np.ndarray, x: int, y: int, w: int, h: int,
                 mv_x: int, mv_y: int, bit_depth: int = 10,
                 is_luma: bool = True, intermediate: bool = False,
-                alt_hpel: bool = False) -> np.ndarray:
+                alt_hpel: bool = False,
+                taps_override: np.ndarray = None) -> np.ndarray:
     """Motion-compensated prediction of one block.
 
     mv in units of 1/16 luma pel (1/32 chroma pel for chroma planes with
@@ -96,6 +97,8 @@ def mc_block_np(ref_plane: np.ndarray, x: int, y: int, w: int, h: int,
     """
     if is_luma:
         frac_bits, taps_tbl, ntaps = 4, LUMA_FILTER, NTAPS_LUMA
+        if taps_override is not None:
+            taps_tbl = taps_override   # e.g. the 6-tap affine luma filter
     else:
         frac_bits, taps_tbl, ntaps = 5, CHROMA_FILTER, NTAPS_CHROMA
 
