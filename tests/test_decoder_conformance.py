@@ -21,6 +21,53 @@ DATA = os.path.join(os.path.dirname(__file__), "data")
 # md5 of frame planes (uint16 LE, Y then U then V concatenated) from the
 # reference encoder's reconstruction output
 GOLDEN_HASHES = {
+    # GEO (geometric partitioning merge): 64 split modes, uni candidate
+    # extraction, weighted blend, per-4x4 motion storage
+    "golden_ra_geo_416x240_qp28_f9.266": [
+        "75ffc65c9eecb601e07e30ffcbe8a0e9",
+        "a3566100a34382dc0e4451f325d5e256",
+        "9267ade9621263c7ea41dcb367eef1e2",
+        "c974c97383be5da8a58e96836a3d2127",
+        "925fb59b456f10ab222bd43ac19ead14",
+        "ed3ea4e590cbc0e492873fd3b5c7c66d",
+        "0359210d4ff775d88b81d6d75fd2372b",
+        "5ae46b11a70c9dd355cc3becafda7bd4",
+        "4f41409c304df8990bc0006d2805f195"],
+    # CIIP (combined inter/intra): planar blend with neighbor-adaptive
+    # weights, BS 2 deblocking
+    "golden_ra_ciip_416x240_qp28_f9.266": [
+        "ad1e517fa03f71eeb45fa30a854761da",
+        "139439e04f81446f751b57c1ee4a643f",
+        "3c2b890af0e41f0a02ab2656008403c5",
+        "5d220ae54e36a71f44352e0aef390ef6",
+        "10a5f4fb59522378ed7c37546de06955",
+        "59cec2c16ca4d1859582696bfd0b8dd7",
+        "db50d2e7d3b04afb26ecfd88c9dd4745",
+        "5ae46b11a70c9dd355cc3becafda7bd4",
+        "4f41409c304df8990bc0006d2805f195"],
+    # GEO + CIIP + MMVD: regular_merge_flag / ciip_flag interplay
+    "golden_ra_geo_ciip_mmvd_416x240_qp28_f9.266": [
+        "a86a3a27cac627d97dc851434ede4f93",
+        "dcd5ecb009ed73e2948592fc7b1af19f",
+        "dde5f22e17ff0553a05db4aba854b62b",
+        "ae8a78f8340aca3284c4bd29025aca48",
+        "28528c8e21375184e5a160934a3c0b87",
+        "35868c8bf295a6f61beed5c4b5b43056",
+        "a9ca3eea6b7a692b655beed74d13a134",
+        "5ae46b11a70c9dd355cc3becafda7bd4",
+        "65e2f5bda9fb25d0fdf2258bb0f9f424"],
+    # the full inter tool sink + GEO + CIIP: every implemented inter tool
+    # plus CCLM/implicitMTS/MIP/MRL/LFNST/JCCR/DepQuant/ALF/CCALF/SAO
+    "golden_ra_ultimate_416x240_qp27_f9.266": [
+        "3952b76e7ec390429921f827de54d417",
+        "3ab0544b2773a5b3cb5e15ea412c7bda",
+        "75f3bd249dbeaa8355e2944e39c7eeb2",
+        "00ada8fe8ebac2dbdc9a12d1ab1a38a8",
+        "41661270e676c0beb92bd6ae9ded6a7f",
+        "b6561d4e8d3ac17802e4735d22c9d5bd",
+        "1348a845d9cd46642a101d2de95f08d9",
+        "58168bf49b363d9fa28c324743dc74e7",
+        "862127228ff9fb21bf181b3dfdbfeb53"],
     # affine motion (4+6 param, --Affine 1), no PROF, rotating/zooming clip
     "golden_ra_affine_416x240_qp28_f9.266": [
         "5fcbe10a964f972bb7838367fcb12f2a",

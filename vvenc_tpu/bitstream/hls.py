@@ -539,6 +539,8 @@ def parse_sps(br: BitReader) -> SPS:
         s.geo = br.read_flag()
         if s.geo and s.max_num_merge_cand >= 3:
             s.max_num_geo_cand = s.max_num_merge_cand - br.read_uvlc()
+        elif s.geo:
+            s.max_num_geo_cand = 2  # inferred (sps semantics)
     s.log2_parallel_merge_minus2 = br.read_uvlc()
     s.isp = br.read_flag()
     s.mrl = br.read_flag()

@@ -83,6 +83,12 @@ class CuData:
     alt_hpel: bool = False           # alternative half-pel IF (AMVR half)
     dmvr_deltas: Optional[dict] = None  # {(sy,sx): (dx,dy) 1/16} per 16x16
     dmvr_bdof: Optional[dict] = None    # per-sub-PU BDOF enable
+    geo: bool = False                # geometric partitioning merge
+    geo_split_dir: int = 0           # GPM split mode (0..63)
+    geo_idx0: int = 0                # GPM merge cand of partition 0
+    geo_idx1: int = 0                # GPM merge cand of partition 1
+    geo_mi: Optional[tuple] = None   # the two uni MotionInfos
+    ciip: bool = False               # combined inter/intra prediction
     affine: bool = False             # affine CU (incl. SbTMVP merge)
     affine_type: int = 0             # 0 = 4-param, 1 = 6-param
     sbtmvp: bool = False             # subblock merge type SUBPU_ATMVP
@@ -609,6 +615,9 @@ class SyntaxCoder:
         self.mmvd = bool(getattr(sps, "mmvd", 0))
         self.smvd_en = bool(getattr(sps, "smvd", 0))
         self.bcw_en = bool(getattr(sps, "bcw", 0))
+        self.geo_en = bool(getattr(sps, "geo", 0))
+        self.ciip_en = bool(getattr(sps, "ciip", 0))
+        self.max_geo_cand = getattr(sps, "max_num_geo_cand", 0)
         # affine / SbTMVP / PROF (sps_affine_* flags; picHeader
         # maxNumAffineMergeCand derivation EncGOP.cpp:2076)
         self.affine_en = bool(getattr(sps, "affine", 0))
@@ -654,7 +663,7 @@ class SyntaxCoder:
         CU::isBiPredFromDifferentDirEqDistPoc)."""
         if not self.bdof_on or getattr(self.sh.ph, "dis_bdof", 0):
             return False
-        if cu.ref_idx[0] < 0 or cu.ref_idx[1] < 0 or cu.affine:
+        if cu.ref_idx[0] < 0 or cu.ref_idx[1] < 0 or cu.affine or cu.ciip:
             return False
         if cu.smvd or cu.bcw_idx != 2:
             return False
@@ -668,7 +677,7 @@ class SyntaxCoder:
         """vvenc CU::checkDMVRCondition (UnitTools.cpp:1300)."""
         if not self.dmvr_on or getattr(self.sh.ph, "dis_dmvr", 0):
             return False
-        if not cu.merge or cu.mmvd_flag or cu.affine:
+        if not cu.merge or cu.mmvd_flag or cu.affine or cu.geo or cu.ciip:
             return False
         if cu.ref_idx[0] < 0 or cu.ref_idx[1] < 0 or cu.bcw_idx != 2:
             return False
@@ -1135,6 +1144,7 @@ class SyntaxCoder:
                 and cu.w >= 8 and cu.h >= 8)
 
     def _enc_merge_data(self, enc, ps, cu) -> None:
+        from .geo import geo_available, ciip_available
         if self._subblock_merge_coded(cu):
             enc.encode_bin(1 if cu.affine else 0,
                            ct.CTX_SETS["SubblockMergeFlag"](
@@ -1142,15 +1152,31 @@ class SyntaxCoder:
         if cu.affine:
             self._enc_aff_merge_idx(enc, cu.merge_idx)
             return
-        if self.mmvd:
-            enc.encode_bin(1 if cu.mmvd_flag else 0,
-                           ct.CTX_SETS["MmvdFlag"](0))
-        if cu.mmvd_flag:
-            self._enc_mmvd_idx(enc, cu)
+        geo_av = geo_available(self, cu)
+        ciip_av = ciip_available(self, cu)
+        if geo_av or ciip_av:
+            enc.encode_bin(0 if (cu.geo or cu.ciip) else 1,
+                           ct.CTX_SETS["RegularMergeFlag"](
+                               0 if cu.skip else 1))
+        if not cu.geo and not cu.ciip:
+            if self.mmvd:
+                enc.encode_bin(1 if cu.mmvd_flag else 0,
+                               ct.CTX_SETS["MmvdFlag"](0))
+            if cu.mmvd_flag:
+                self._enc_mmvd_idx(enc, cu)
+            else:
+                self._enc_merge_idx(enc, cu.merge_idx)
         else:
-            self._enc_merge_idx(enc, cu.merge_idx)
+            if geo_av and ciip_av:
+                enc.encode_bin(1 if cu.ciip else 0,
+                               ct.CTX_SETS["CiipFlag"](0))
+            if cu.geo:
+                self._enc_geo_idx(enc, cu)
+            else:
+                self._enc_merge_idx(enc, cu.merge_idx)
 
     def _dec_merge_data(self, dec, ps, cu) -> None:
+        from .geo import geo_available, ciip_available
         if self._subblock_merge_coded(cu):
             cu.affine = bool(dec.decode_bin(ct.CTX_SETS["SubblockMergeFlag"](
                 self._aff_ctx(ps, cu.x, cu.y))))
@@ -1158,13 +1184,82 @@ class SyntaxCoder:
             cu.merge_idx = self._dec_aff_merge_idx(dec)
             self._apply_affine_merge(ps, cu)
             return
-        if self.mmvd and dec.decode_bin(ct.CTX_SETS["MmvdFlag"](0)):
-            cu.mmvd_flag = True
-            self._dec_mmvd_idx(dec, cu)
-            self._apply_mmvd(ps, cu)
+        geo_av = geo_available(self, cu)
+        ciip_av = ciip_available(self, cu)
+        regular = True
+        if geo_av or ciip_av:
+            regular = bool(dec.decode_bin(ct.CTX_SETS["RegularMergeFlag"](
+                0 if cu.skip else 1)))
+        if regular:
+            if self.mmvd and dec.decode_bin(ct.CTX_SETS["MmvdFlag"](0)):
+                cu.mmvd_flag = True
+                self._dec_mmvd_idx(dec, cu)
+                self._apply_mmvd(ps, cu)
+            else:
+                cu.merge_idx = self._dec_merge_idx(dec)
+                self._apply_merge(ps, cu)
+            return
+        if geo_av and ciip_av:
+            cu.ciip = bool(dec.decode_bin(ct.CTX_SETS["CiipFlag"](0)))
+            cu.geo = not cu.ciip
+        elif ciip_av:
+            cu.ciip = True
+        else:
+            cu.geo = True
+        if cu.geo:
+            self._dec_geo_idx(dec, cu)
+            self._apply_geo(ps, cu)
         else:
             cu.merge_idx = self._dec_merge_idx(dec)
             self._apply_merge(ps, cu)
+
+    # -- GEO indices (CABACWriter::merge_idx geo branch :1685) ---------------
+    def _enc_geo_idx(self, enc, cu) -> None:
+        write_trunc_bin(enc, cu.geo_split_dir, 64)
+        i0, i1 = cu.geo_idx0, cu.geo_idx1
+        i1 -= 0 if i1 < i0 else 1
+        n2 = self.max_geo_cand - 2
+        enc.encode_bin(0 if i0 == 0 else 1, ct.CTX_SETS["MergeIdx"](0))
+        if i0 > 0:
+            self._unary_max_ep(enc, i0 - 1, n2)
+        if n2 > 0:
+            enc.encode_bin(0 if i1 == 0 else 1, ct.CTX_SETS["MergeIdx"](0))
+            if i1 > 0:
+                self._unary_max_ep(enc, i1 - 1, n2 - 1)
+
+    def _dec_geo_idx(self, dec, cu) -> None:
+        cu.geo_split_dir = read_trunc_bin(dec, 64)
+        n2 = self.max_geo_cand - 2
+        i0 = 0
+        if dec.decode_bin(ct.CTX_SETS["MergeIdx"](0)):
+            i0 = 1 + self._dec_unary_max_ep(dec, n2)
+        i1 = 0
+        if n2 > 0 and dec.decode_bin(ct.CTX_SETS["MergeIdx"](0)):
+            i1 = 1 + self._dec_unary_max_ep(dec, n2 - 1)
+        i1 += 1 if i1 >= i0 else 0
+        cu.geo_idx0, cu.geo_idx1 = i0, i1
+
+    @staticmethod
+    def _unary_max_ep(enc, v: int, vmax: int) -> None:
+        for _ in range(v):
+            enc.encode_bin_ep(1)
+        if v < vmax:
+            enc.encode_bin_ep(0)
+
+    @staticmethod
+    def _dec_unary_max_ep(dec, vmax: int) -> int:
+        v = 0
+        while v < vmax and dec.decode_bin_ep():
+            v += 1
+        return v
+
+    def _apply_geo(self, ps, cu) -> None:
+        from .geo import geo_merge_candidates, geo_motion_grid
+        cands = geo_merge_candidates(self, ps, cu)
+        mi0 = cands[cu.geo_idx0]
+        mi1 = cands[cu.geo_idx1]
+        cu.geo_mi = (mi0, mi1)
+        cu.sub_mi = geo_motion_grid(cu, mi0, mi1, cu.geo_split_dir)
 
     # -- affine merge (CABACWriter::merge_idx affine branch :1657) -----------
     def _enc_aff_merge_idx(self, enc, idx: int) -> None:
@@ -1565,6 +1660,10 @@ class SyntaxCoder:
                         cu.inter_dir, tuple(cu.ref_idx), cu.bcw_idx)
                 self.mf.set_sub_cu(cu.x, cu.y, cu.w, cu.h, cu.sub_mi,
                                    cu.skip, aff_info)
+            elif cu.is_inter and cu.geo:
+                # per-sub-block geo motion; geo CUs do not update HMVP
+                self.mf.set_sub_cu(cu.x, cu.y, cu.w, cu.h, cu.sub_mi,
+                                   cu.skip, None, is_aff=False)
             elif cu.is_inter:
                 mi = MotionInfo((tuple(cu.mv[0]), tuple(cu.mv[1])),
                                 tuple(cu.ref_idx), bcw=cu.bcw_idx,
@@ -2102,6 +2201,19 @@ def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
         if cu.affine:
             from .affine import affine_predict
             return affine_predict(coder, cu, comp)
+        if cu.geo:
+            from .geo import geo_predict
+            return geo_predict(coder, cu, comp)
+        if cu.ciip:
+            # CIIP: regular-average MC (BCW ignored, InterPrediction.cpp:973)
+            # blended with planar intra; chroma blend only for width > 2
+            from .geo import ciip_blend, ciip_num_intra
+            inter = inter_predict(ref_pics, cu.mv, cu.ref_idx, x, y, w, h,
+                                  comp, bit_depth, 2, cu.alt_hpel)
+            if comp != 0 and (cu.w >> 1) <= 2:
+                return inter
+            intra = predict_cu_component(ps, cu, comp, bit_depth, ctu_size)
+            return ciip_blend(inter, intra, ciip_num_intra(ps, cu))
         return inter_predict(ref_pics, cu.mv, cu.ref_idx, x, y, w, h,
                              comp, bit_depth, cu.bcw_idx, cu.alt_hpel)
     joint_resi = {}

@@ -312,6 +312,7 @@ class _BsMaps:
         self.mv = np.zeros((2, uh, uw, 2), np.int32)
         self.refpoc = np.full((2, uh, uw), -(10 ** 9), np.int64)
         self.subblk = np.zeros((uh, uw), bool)   # affine / SbTMVP CU
+        self.ciip = np.zeros((uh, uw), bool)
         rp = ref_pocs or [[], []]
         for cu in cu_list:
             ys = slice(cu.y >> 2, (cu.y + cu.h) >> 2)
@@ -339,10 +340,14 @@ class _BsMaps:
                     self.cbf[ci, ys, xs] = \
                         (getattr(cu, a, None) is not None or joint != 0)
             if is_inter:
+                if getattr(cu, "ciip", False):
+                    self.ciip[ys, xs] = True
                 sub_mi = getattr(cu, "sub_mi", None)
                 if sub_mi is not None:
-                    # affine / SbTMVP: per-4x4 sub-block motion
-                    self.subblk[ys, xs] = True
+                    # affine/SbTMVP/GEO: per-4x4 sub-block motion; only
+                    # affine-family CUs shorten the long filters
+                    if getattr(cu, "affine", False):
+                        self.subblk[ys, xs] = True
                     for uy in range(cu.y >> 2, (cu.y + cu.h) >> 2):
                         for ux in range(cu.x >> 2, (cu.x + cu.w) >> 2):
                             mi = sub_mi[uy - (cu.y >> 2)][ux - (cu.x >> 2)]
@@ -366,6 +371,8 @@ class _BsMaps:
         (vvenc xGetBoundaryStrengthSingle, LoopFilter.cpp:1022).
         tu_edge=False: internal sub-block edge — cbf rule does not apply."""
         if self.intra[py, px] or self.intra[qy, qx]:
+            return 2, 2, 2
+        if self.ciip[py, px] or self.ciip[qy, qx]:
             return 2, 2, 2
         bs_cb = 1 if (self.cbf[1, py, px] or self.cbf[1, qy, qx]) else 0
         bs_cr = 1 if (self.cbf[2, py, px] or self.cbf[2, qy, qx]) else 0
@@ -470,7 +477,9 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
         for cu in cu_list:
             if getattr(cu, "chroma_only", False):
                 continue
-            q_sub = getattr(cu, "sub_mi", None) is not None
+            # internal 8-grid edges only for affine-family CUs (refineBs;
+            # GEO stores per-subblock motion but adds no internal edges)
+            q_sub = bool(getattr(cu, "affine", False))
             if vertical:
                 x = cu.x
                 if x != 0:

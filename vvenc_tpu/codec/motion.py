@@ -116,15 +116,15 @@ class MotionField:
                 self.isaff[uy][ux] = False
 
     def set_sub_cu(self, x, y, w, h, sub_mi, skip=False,
-                   aff_info=None) -> None:
-        """Per-4x4 sub-block motion of an affine/SbTMVP CU (sub_mi indexed
-        [uy][ux] relative to the CU, one entry per 4x4)."""
+                   aff_info=None, is_aff=True) -> None:
+        """Per-4x4 sub-block motion of an affine/SbTMVP/GEO CU (sub_mi
+        indexed [uy][ux] relative to the CU, one entry per 4x4)."""
         for uy in range(y >> 2, (y + h) >> 2):
             for ux in range(x >> 2, (x + w) >> 2):
                 self.mi[uy][ux] = sub_mi[uy - (y >> 2)][ux - (x >> 2)]
                 self.skip[uy][ux] = skip
                 self.aff[uy][ux] = aff_info
-                self.isaff[uy][ux] = True
+                self.isaff[uy][ux] = is_aff
 
     def at(self, x, y) -> Optional[MotionInfo]:
         if x < 0 or y < 0 or x >= self.uw * 4 or y >= self.uh * 4:
