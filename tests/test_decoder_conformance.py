@@ -21,6 +21,27 @@ DATA = os.path.join(os.path.dirname(__file__), "data")
 # md5 of frame planes (uint16 LE, Y then U then V concatenated) from the
 # reference encoder's reconstruction output
 GOLDEN_HASHES = {
+    # ISP (intra sub-partitions): 1/2/4-wide TUs, 1-D transforms, implicit
+    # DST7, per-partition reference samples, internal TU deblock edges
+    "golden_ai_isp_416x240_qp24_f2.266": [
+        "124ce24a2d3941f1e0635d09efadba0e",
+        "00b2f559027c48947ea9440e0bdc5f3d"],
+    # ISP + LFNST (CU-dim wide-angle mapping) + implicitMTS + MIP + MRL
+    # + CCLM + JCCR
+    "golden_ai_isp_combo_416x240_qp24_f2.266": [
+        "70aca559b7ac1f75908a07731f4b7a7c",
+        "ce1984a2b71f3f809cd573e7ec741c77"],
+    # ISP (mode 3) inside random-access inter slices
+    "golden_ra_isp_416x240_qp27_f9.266": [
+        "2bdc0151181d9a19b7a4bd8b94f72b61",
+        "820a64b0d3b5d1d25eb720658c3eb7a9",
+        "4201980e504a354f5a0084fbfc77ccc8",
+        "56043ef04a43d3ccabce7d17216bfb97",
+        "cf3ab79672ea9c75e6179aa39cf54363",
+        "c89fb1a765fa3337aae7938886d57456",
+        "68e0f915c3b13f003e4ff367d3320bf1",
+        "e67f119153e61ed979f50fecc8a16107",
+        "47a528563924c60f2cebc827c090ca33"],
     # GEO (geometric partitioning merge): 64 split modes, uni candidate
     # extraction, weighted blend, per-4x4 motion storage
     "golden_ra_geo_416x240_qp28_f9.266": [

@@ -103,6 +103,8 @@ class CuData:
     coeff_y: Optional[np.ndarray] = None
     coeff_cb: Optional[np.ndarray] = None
     coeff_cr: Optional[np.ndarray] = None
+    isp_mode: int = 0                # 0 none, 1 horizontal, 2 vertical
+    isp_coeffs: Optional[list] = None   # per-partition luma coeff arrays
     luma_only: bool = False          # TREE_L CU of a local dual tree
     chroma_only: bool = False        # TREE_C region chroma CU
     qp: int = -1                     # luma QpY (cu_qp_delta); -1 = slice QP
@@ -524,6 +526,25 @@ def dm_luma_mode(cu) -> int:
     return PLANAR if cu.mip_flag else cu.luma_mode
 
 
+def isp_partitions(w: int, h: int, isp_mode: int):
+    """ISP partition rectangles (CU::getISPSplitDim, UnitTools.cpp:474):
+    list of (x_off, y_off, pw, ph)."""
+    if isp_mode == 1:      # horizontal split
+        split_dim, non_split = h, w
+    else:                  # vertical split
+        split_dim, non_split = w, h
+    factor = (16 // non_split) if non_split < 16 else 1
+    part = max(split_dim >> 2, factor)
+    n = split_dim // part
+    out = []
+    for k in range(n):
+        if isp_mode == 1:
+            out.append((0, k * part, w, part))
+        else:
+            out.append((k * part, 0, part, h))
+    return out
+
+
 def mip_flag_ctx(ps: PictureState, x: int, y: int, w: int, h: int) -> int:
     """vvenc DeriveCtx::CtxMipFlag (ContextModelling.cpp)."""
     if w > 2 * h or h > 2 * w:
@@ -816,7 +837,11 @@ class SyntaxCoder:
         mts_last = False
         mts_viol = False
         tbs = []
-        if not cu.chroma_only:
+        if cu.isp_mode and cu.isp_coeffs is not None:
+            for (px, py, pw, ph), c in zip(
+                    isp_partitions(cu.w, cu.h, cu.isp_mode), cu.isp_coeffs):
+                tbs.append((pw, ph, c, True))
+        elif not cu.chroma_only:
             tbs.append((cu.w, cu.h, cu.coeff_y, True))
         if not cu.luma_only:
             tbs.append((cu.w >> 1, cu.h >> 1, cu.coeff_cb, False))
@@ -840,9 +865,126 @@ class SyntaxCoder:
                     mts_viol = True
         return viol, lfnst_last, mts_last, mts_viol
 
+    def _isp_coded(self, cu) -> bool:
+        """isp_mode signalling condition (CABACWriter::isp_mode:2385,
+        CU::canUseISP:441)."""
+        if cu.is_inter or cu.chroma_only or cu.mip_flag or cu.ref_line:
+            return False
+        if not getattr(self.sps, "isp", 0):
+            return False
+        max_tb = self.sps.max_tb_size
+        if cu.w > max_tb or cu.h > max_tb:
+            return False
+        return (cu.w.bit_length() - 1) + (cu.h.bit_length() - 1) > 4
+
+    # -- ISP transform-unit loop (CABACWriter::transform_unit ISP path) -----
+    def _code_isp_tus(self, coder, cu, encode: bool) -> None:
+        parts = isp_partitions(cu.w, cu.h, cu.isp_mode)
+        n = len(parts)
+        with_chroma = not cu.luma_only
+        if encode:
+            cbfs = [cu.isp_coeffs[k] is not None and
+                    bool(np.any(cu.isp_coeffs[k])) for k in range(n)]
+        else:
+            cu.isp_coeffs = [None] * n
+            cbfs = [False] * n
+        dqp_done = False
+        for k, (px, py, pw, ph) in enumerate(parts):
+            is_last = k == n - 1
+            cbf_cb = cbf_cr = False
+            if is_last and with_chroma:
+                if encode:
+                    if cu.joint_cbcr:
+                        cbf_cb = bool(cu.joint_cbcr & 2)
+                        cbf_cr = bool(cu.joint_cbcr & 1)
+                    else:
+                        cbf_cb = cu.coeff_cb is not None and \
+                            bool(np.any(cu.coeff_cb))
+                        cbf_cr = cu.coeff_cr is not None and \
+                            bool(np.any(cu.coeff_cr))
+                    coder.encode_bin(1 if cbf_cb else 0,
+                                     ct.CTX_SETS["QtCbfCb"](0))
+                    coder.encode_bin(1 if cbf_cr else 0,
+                                     ct.CTX_SETS["QtCbfCr"](1 if cbf_cb
+                                                            else 0))
+                else:
+                    cbf_cb = bool(coder.decode_bin(ct.CTX_SETS["QtCbfCb"](0)))
+                    cbf_cr = bool(coder.decode_bin(
+                        ct.CTX_SETS["QtCbfCr"](1 if cbf_cb else 0)))
+            # luma cbf: ctx 2+prevCbf; last inferred 1 if all previous 0
+            inferred = is_last and not any(cbfs[:k])
+            prev = cbfs[k - 1] if k else False
+            if inferred:
+                cbfs[k] = True
+            elif encode:
+                coder.encode_bin(1 if cbfs[k] else 0,
+                                 ct.CTX_SETS["QtCbfLuma"](2 + int(prev)))
+            else:
+                cbfs[k] = bool(coder.decode_bin(
+                    ct.CTX_SETS["QtCbfLuma"](2 + int(prev))))
+            if not dqp_done and (cbfs[k] or cbf_cb or cbf_cr):
+                self._maybe_code_dqp(coder, cu, True, encode=encode)
+                dqp_done = True
+            jccr_mask = (2 if cbf_cb else 0) + (1 if cbf_cr else 0)
+            if is_last and with_chroma and self.jccr and jccr_mask:
+                if encode:
+                    coder.encode_bin(1 if cu.joint_cbcr else 0,
+                                     ct.CTX_SETS["JointCbCrFlag"](
+                                         jccr_mask - 1))
+                elif coder.decode_bin(ct.CTX_SETS["JointCbCrFlag"](
+                        jccr_mask - 1)):
+                    cu.joint_cbcr = jccr_mask
+            if cbfs[k]:
+                if encode:
+                    encode_residual(coder, cu.isp_coeffs[k], True,
+                                    dep_quant=self.dq)
+                else:
+                    cu.isp_coeffs[k] = decode_residual(
+                        coder, pw, ph, True, dep_quant=self.dq,
+                        sign_hiding=self.sdh)
+            if is_last and with_chroma:
+                if cu.joint_cbcr:
+                    coded = None
+                    if encode:
+                        coded = cu.coeff_cb if cu.joint_cbcr in (2, 3) \
+                            else cu.coeff_cr
+                        encode_residual(coder, coded, False,
+                                        dep_quant=self.dq)
+                    else:
+                        coded = decode_residual(coder, cu.w >> 1, cu.h >> 1,
+                                                False, dep_quant=self.dq,
+                                                sign_hiding=self.sdh)
+                        if cu.joint_cbcr in (2, 3):
+                            cu.coeff_cb = coded
+                        else:
+                            cu.coeff_cr = coded
+                else:
+                    if cbf_cb:
+                        if encode:
+                            encode_residual(coder, cu.coeff_cb, False,
+                                            dep_quant=self.dq)
+                        else:
+                            cu.coeff_cb = decode_residual(
+                                coder, cu.w >> 1, cu.h >> 1, False,
+                                dep_quant=self.dq, sign_hiding=self.sdh)
+                    if cbf_cr:
+                        if encode:
+                            encode_residual(coder, cu.coeff_cr, False,
+                                            dep_quant=self.dq)
+                        else:
+                            cu.coeff_cr = decode_residual(
+                                coder, cu.w >> 1, cu.h >> 1, False,
+                                dep_quant=self.dq, sign_hiding=self.sdh)
+
     def _lfnst_allowed(self, cu) -> bool:
         if not self.sps.lfnst or cu.is_inter:
             return False
+        if cu.isp_mode:
+            # LFNST with ISP only if the partitions are >= 4x4
+            # (CU::canUseLfnstWithISP, UnitTools.cpp:452)
+            _, _, pw, ph = isp_partitions(cu.w, cu.h, cu.isp_mode)[0]
+            if pw < 4 or ph < 4:
+                return False
         if cu.mip_flag and not (cu.w >= 16 and cu.h >= 16):
             return False
         if cu.chroma_only and min(cu.w >> 1, cu.h >> 1) < 4:
@@ -855,6 +997,10 @@ class SyntaxCoder:
         if cu.is_inter:
             return
         viol, lfnst_last, mts_last, mts_viol = self._residual_tool_stats(cu)
+        if cu.isp_mode:
+            # the lfnstLastScanPos gate is bypassed for ISP
+            # (CABACWriter::residual_lfnst_mode:2436)
+            lfnst_last = True
         sep_tree = cu.luma_only or cu.chroma_only
         if self._lfnst_allowed(cu) and lfnst_last and not viol:
             cctx = 1 if sep_tree else 0
@@ -868,8 +1014,8 @@ class SyntaxCoder:
                 if coder.decode_bin(ct.CTX_SETS["LFNSTIdx"](cctx)):
                     cu.lfnst_idx = 2 if coder.decode_bin(
                         ct.CTX_SETS["LFNSTIdx"](2)) else 1
-        # tu_mts_idx (intra explicit MTS; luma TBs only)
-        if (self.sps.mts_intra and not cu.chroma_only
+        # tu_mts_idx (intra explicit MTS; luma TBs only; never for ISP)
+        if (self.sps.mts_intra and not cu.chroma_only and not cu.isp_mode
                 and cu.w <= 32 and cu.h <= 32 and mts_last and not mts_viol
                 and cu.lfnst_idx == 0):
             if encode:
@@ -1081,6 +1227,11 @@ class SyntaxCoder:
         if cu.is_inter and not cu.merge:
             enc.encode_bin(1 if cu.root_cbf else 0,
                            ct.CTX_SETS["QtRootCbf"](0))
+        if cu.isp_mode:
+            self._code_isp_tus(enc, cu, encode=True)
+            self._code_lfnst_mts(enc, cu, encode=True)
+            self._finish_cu(ps, cu, node)
+            return
         if (not cu.is_inter or cu.root_cbf) and cu.luma_only:
             cbf_y = cu.coeff_y is not None and np.any(cu.coeff_y)
             enc.encode_bin(1 if cbf_y else 0, ct.CTX_SETS["QtCbfLuma"](0))
@@ -1693,6 +1844,11 @@ class SyntaxCoder:
             if cu.ref_line != 0:
                 enc.encode_bin(1 if cu.ref_line != 1 else 0,
                                ct.CTX_SETS["MultiRefLineIdx"](1))
+        # intra_subpartitions (vvenc CABACWriter::isp_mode:2383)
+        if self._isp_coded(cu):
+            enc.encode_bin(1 if cu.isp_mode else 0, ct.CTX_SETS["ISPMode"](0))
+            if cu.isp_mode:
+                enc.encode_bin(cu.isp_mode - 1, ct.CTX_SETS["ISPMode"](1))
         mpm = get_intra_mpms(ps, cu.x, cu.y, cu.w, cu.h, self.ctu_size)
         mode = cu.luma_mode
         mpm_idx = mpm.index(mode) if mode in mpm else NUM_MPM
@@ -1704,7 +1860,8 @@ class SyntaxCoder:
         if mpm_idx < NUM_MPM:
             if cu.ref_line == 0:
                 enc.encode_bin(1 if mpm_idx > 0 else 0,
-                               ct.CTX_SETS["IntraLumaPlanarFlag"](1))
+                               ct.CTX_SETS["IntraLumaPlanarFlag"](
+                                   0 if cu.isp_mode else 1))
             if mpm_idx:
                 enc.encode_bin_ep(1 if mpm_idx > 1 else 0)
             if mpm_idx > 1:
@@ -1931,6 +2088,11 @@ class SyntaxCoder:
                     self._derive_amvp_mvs(ps, cu)
         if cu.is_inter and not cu.merge:
             cu.root_cbf = bool(dec.decode_bin(ct.CTX_SETS["QtRootCbf"](0)))
+        if cu.isp_mode:
+            self._code_isp_tus(dec, cu, encode=False)
+            self._code_lfnst_mts(dec, cu, encode=False)
+            self._finish_cu(ps, cu, node)
+            return cu
         if not cu.is_inter or cu.root_cbf:
             if cu.luma_only:
                 cbf_y = dec.decode_bin(ct.CTX_SETS["QtCbfLuma"](0))
@@ -1986,6 +2148,9 @@ class SyntaxCoder:
             if dec.decode_bin(ct.CTX_SETS["MultiRefLineIdx"](0)):
                 cu.ref_line = 2 if dec.decode_bin(
                     ct.CTX_SETS["MultiRefLineIdx"](1)) else 1
+        if self._isp_coded(cu):
+            if dec.decode_bin(ct.CTX_SETS["ISPMode"](0)):
+                cu.isp_mode = 1 + dec.decode_bin(ct.CTX_SETS["ISPMode"](1))
         mpm = get_intra_mpms(ps, cu.x, cu.y, cu.w, cu.h, self.ctu_size)
         if cu.ref_line:
             idx = 1
@@ -1993,7 +2158,8 @@ class SyntaxCoder:
                 idx += 1
             return mpm[idx]
         if dec.decode_bin(ct.CTX_SETS["IntraLumaMpmFlag"](0)):
-            if not dec.decode_bin(ct.CTX_SETS["IntraLumaPlanarFlag"](1)):
+            if not dec.decode_bin(ct.CTX_SETS["IntraLumaPlanarFlag"](
+                    0 if cu.isp_mode else 1)):
                 return mpm[0]
             idx = 1
             while idx < NUM_MPM - 1 and dec.decode_bin_ep():
@@ -2190,6 +2356,42 @@ def bdof_predict_luma(ref0, ref1, cu, bit_depth):
     return out
 
 
+def _reconstruct_isp_luma(ps: PictureState, cu: CuData, q, bit_depth: int,
+                          dep_quant: bool, sps_mts: bool) -> None:
+    """Sequential ISP partition reconstruction: each partition predicts
+    from the previous partitions' reconstruction (IntraPrediction.cpp
+    ISP reference handling :1640-1742, spec refW/refH = nCb + nTb)."""
+    maxval = (1 << bit_depth) - 1
+    parts = isp_partitions(cu.w, cu.h, cu.isp_mode)
+    for k, (px, py, pw, ph) in enumerate(parts):
+        ax, ay = cu.x + px, cu.y + py
+
+        def avail_fn(qx, qy, ax=ax, ay=ay):
+            if cu.x <= qx < cu.x + cu.w and cu.y <= qy < cu.y + cu.h:
+                return (qy < ay) if cu.isp_mode == 1 else (qx < ax)
+            return bool(ps.coded_luma[qy >> 2, qx >> 2])
+        top, left = I.build_reference_samples(
+            ps.rec[0], ax, ay, pw, ph, ps.coded_luma,
+            PictureState.LUMA_UNIT, bit_depth,
+            pred_sizes=(cu.w + pw, cu.h + ph), avail_fn=avail_fn)
+        pred = I.predict_intra(top, left, cu.luma_mode, pw, ph, bit_depth,
+                               True, cu_dims=(cu.w, cu.h), isp=True)
+        coeff = cu.isp_coeffs[k] if cu.isp_coeffs else None
+        if coeff is not None and np.any(coeff):
+            trh, trv = T.isp_tr_types(pw, ph, cu.lfnst_idx, sps_mts)
+            d = (T.dequant_dq_np(coeff, q, bit_depth) if dep_quant
+                 else T.dequant_np(coeff, q, bit_depth))
+            if cu.lfnst_idx:
+                from ..ops.lfnst import inv_lfnst
+                d = inv_lfnst(d, pw, ph, cu.luma_mode, cu.lfnst_idx,
+                              map_dims=(cu.w, cu.h))
+            resi = T.inv_transform_np(d, bit_depth, trh, trv)
+            rec = np.clip(pred + resi, 0, maxval)
+        else:
+            rec = pred
+        ps.rec[0][ay:ay + ph, ax:ax + pw] = rec
+
+
 def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
                    bit_depth: int, ref_pics=None, comps=(0, 1, 2),
                    implicit_mts: bool = False, ctu_size: int = 64,
@@ -2248,6 +2450,10 @@ def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
         if comp == 0:
             x, y, w, h = cu.x, cu.y, cu.w, cu.h
             q = qp.luma_qp()
+            if cu.isp_mode:
+                _reconstruct_isp_luma(ps, cu, q, bit_depth, dep_quant,
+                                      bool(coder.sps.mts) if coder else True)
+                continue
         else:
             x, y, w, h = cu.x >> 1, cu.y >> 1, cu.w >> 1, cu.h >> 1
             q = qp.chroma_qp(comp)

@@ -328,8 +328,16 @@ class _BsMaps:
                     self.cbf[ci, ys, xs] = \
                         (getattr(cu, a, None) is not None or joint != 0)
                 continue
-            self.cu_w[ys, xs] = cu.w
-            self.cu_h[ys, xs] = cu.h
+            isp = getattr(cu, "isp_mode", 0)
+            if isp:
+                # ISP: luma TU dims drive the max-filter-length derivation
+                from .ctu_syntax import isp_partitions
+                _, _, pw_, ph_ = isp_partitions(cu.w, cu.h, isp)[0]
+                self.cu_w[ys, xs] = pw_
+                self.cu_h[ys, xs] = ph_
+            else:
+                self.cu_w[ys, xs] = cu.w
+                self.cu_h[ys, xs] = cu.h
             is_inter = getattr(cu, "is_inter", False)
             self.intra[ys, xs] = not is_inter
             self.cbf[0, ys, xs] = getattr(cu, "coeff_y", None) is not None
@@ -480,6 +488,7 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
             # internal 8-grid edges only for affine-family CUs (refineBs;
             # GEO stores per-subblock motion but adds no internal edges)
             q_sub = bool(getattr(cu, "affine", False))
+            isp = getattr(cu, "isp_mode", 0)
             if vertical:
                 x = cu.x
                 if x != 0:
@@ -488,7 +497,7 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                                              yy >> 2, x >> 2, is_b)
                         if not bs_y:
                             continue
-                        size_q = cu.w
+                        size_q = int(cu_w[yy >> 2, x >> 2])
                         size_p = int(cu_w[yy >> 2, (x - 1) >> 2])
                         mp, mq = luma_maxlen(
                             size_p, size_q,
@@ -511,6 +520,19 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                                                yy >> 2, xi >> 2)
                             _filter_luma_edge_seg(rec[0], xi, yy, True, eqp,
                                                   ml, ml, bit_depth, bs=bs_y)
+                if isp == 2:
+                    # vertical-split ISP: internal TU edges on the 4-grid
+                    # (BS 2 luma-only, LoopFilter.cpp:1083 cuQ.ispMode)
+                    pw_ = int(cu_w[cu.y >> 2, cu.x >> 2])
+                    step = max(4, pw_)
+                    mp, mq = luma_maxlen(pw_, pw_)
+                    for off in range(step, cu.w, step):
+                        xi = cu.x + off
+                        for yy in range(cu.y, cu.y + cu.h, 4):
+                            eqp = luma_edge_qp(yy >> 2, (xi - 1) >> 2,
+                                               yy >> 2, xi >> 2)
+                            _filter_luma_edge_seg(rec[0], xi, yy, True, eqp,
+                                                  mp, mq, bit_depth, bs=2)
             else:
                 y = cu.y
                 if y != 0:
@@ -519,7 +541,7 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                                              y >> 2, xx >> 2, is_b)
                         if not bs_y:
                             continue
-                        size_q = cu.h
+                        size_q = int(cu_h[y >> 2, xx >> 2])
                         size_p = int(cu_h[(y - 1) >> 2, xx >> 2])
                         mp, mq = luma_maxlen(
                             size_p, size_q,
@@ -545,6 +567,19 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                             _filter_luma_edge_seg(rec[0], xx, yi, False, eqp,
                                                   ml, ml, bit_depth,
                                                   at_ctu_hor=False, bs=bs_y)
+                if isp == 1:
+                    # horizontal-split ISP: internal TU edges on the 4-grid
+                    ph_ = int(cu_h[cu.y >> 2, cu.x >> 2])
+                    step = max(4, ph_)
+                    mp, mq = luma_maxlen(ph_, ph_)
+                    for off in range(step, cu.h, step):
+                        yi = cu.y + off
+                        for xx in range(cu.x, cu.x + cu.w, 4):
+                            eqp = luma_edge_qp((yi - 1) >> 2, xx >> 2,
+                                               yi >> 2, xx >> 2)
+                            _filter_luma_edge_seg(rec[0], xx, yi, False, eqp,
+                                                  mp, mq, bit_depth,
+                                                  at_ctu_hor=False, bs=2)
         # chroma edges for this direction (8-chroma-sample grid only:
         # vvenc loopFilterCu DEBLOCK_SMALLEST_BLOCK gating).  Edge geometry
         # follows the CHROMA tree: with a local dual tree the chroma block

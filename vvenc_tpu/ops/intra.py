@@ -82,13 +82,18 @@ class IntraParams:
 
 
 def intra_params(w: int, h: int, mode: int, is_luma: bool = True,
-                 ref_idx: int = 0) -> IntraParams:
+                 ref_idx: int = 0, cu_dims=None, isp: bool = False
+                 ) -> IntraParams:
     """Derive prediction parameters (vvenc initPredIntraParams:409).
 
     ref_idx: multi-reference-line index (MRL); disables PDPC and reference
-    smoothing/interpolation-switch (vvenc initPredIntraParams:424,458)."""
+    smoothing/interpolation-switch (vvenc initPredIntraParams:424,458).
+    cu_dims: (cuW, cuH) for ISP — the wide-angle mapping uses the CU shape
+    (initPredIntraParams:418 blockSize = useISP ? cuSize : puSize); isp
+    additionally disables reference smoothing / interpolation switching."""
     p = IntraParams()
-    pred_mode = wide_angle_map(w, h, mode)
+    ww, wh = cu_dims if cu_dims is not None else (w, h)
+    pred_mode = wide_angle_map(ww, wh, mode)
     p.pred_mode = pred_mode
     p.is_ver = pred_mode >= DIA_IDX
     p.ref_filter = False
@@ -110,7 +115,7 @@ def intra_params(w: int, h: int, mode: int, is_luma: bool = True,
             p.angular_scale = min(2, (side.bit_length() - 1) -
                                   ((3 * p.abs_inv_angle - 2).bit_length() - 1 - 8))
             p.apply_pdpc = p.apply_pdpc and p.angular_scale >= 0
-    if not is_luma or mode == DC_IDX or ref_idx != 0:
+    if not is_luma or mode == DC_IDX or ref_idx != 0 or isp:
         pass
     elif mode == PLANAR_IDX:
         p.ref_filter = w * h > 32
@@ -188,7 +193,8 @@ def _pdpc_planar_dc(pred: np.ndarray, top: np.ndarray, left: np.ndarray,
 
 def predict_intra(top: np.ndarray, left: np.ndarray, mode: int, w: int, h: int,
                   bit_depth: int = 10, is_luma: bool = True,
-                  override_pdpc=None, ref_idx: int = 0) -> np.ndarray:
+                  override_pdpc=None, ref_idx: int = 0,
+                  cu_dims=None, isp: bool = False) -> np.ndarray:
     """Full intra prediction for one block. top/left per module docstring,
     each with at least 2*side+ref_idx+3 entries (padded by replication);
     for ref_idx > 0 they must come from build_reference_samples(...,
@@ -198,7 +204,7 @@ def predict_intra(top: np.ndarray, left: np.ndarray, mode: int, w: int, h: int,
     top = np.asarray(top, dtype=np.int32)
     left = np.asarray(left, dtype=np.int32)
     maxval = (1 << bit_depth) - 1
-    p = intra_params(w, h, mode, is_luma, ref_idx)
+    p = intra_params(w, h, mode, is_luma, ref_idx, cu_dims=cu_dims, isp=isp)
     if override_pdpc is not None:
         p.apply_pdpc = override_pdpc
     if p.ref_filter:
@@ -214,10 +220,16 @@ def predict_intra(top: np.ndarray, left: np.ndarray, mode: int, w: int, h: int,
         if p.apply_pdpc:
             pred = _pdpc_planar_dc(pred, top, left, w, h)
         return np.clip(pred, 0, maxval).astype(np.int32)
-    return _pred_angular(top, left, p, w, h, maxval, is_luma, ref_idx)
+    main_len = None
+    if isp and cu_dims is not None:
+        # ISP positive-angle main reference spans cuDim + partDim
+        # (xPredIntraAng:554 with m_topRefLength = cuW + puW)
+        main_len = (cu_dims[0] + w) if p.is_ver else (cu_dims[1] + h)
+    return _pred_angular(top, left, p, w, h, maxval, is_luma, ref_idx,
+                         main_len=main_len)
 
 
-def _build_ref_main_side(top, left, p, w, h, m: int = 0):
+def _build_ref_main_side(top, left, p, w, h, m: int = 0, main_len=None):
     """Construct refMain/refSide arrays (vvenc xPredIntraAng:534-585).
 
     m is the multi-reference-line index; the returned base already includes
@@ -239,11 +251,16 @@ def _build_ref_main_side(top, left, p, w, h, m: int = 0):
         ref_side = side_src[m:]
     else:
         main_src = top if p.is_ver else left
-        ref_len = 2 * (w if p.is_ver else h)
+        ref_len = main_len if main_len is not None \
+            else 2 * (w if p.is_ver else h)
         log2_ratio = (w.bit_length() - 1) - (h.bit_length() - 1)
         s = max(0, log2_ratio if p.is_ver else -log2_ratio)
         max_index = (m << s) + 2
-        ref_main = np.zeros(ref_len + m + max_index + 8, dtype=np.int32)
+        rows = h if p.is_ver else w
+        need = m + ((rows * max(p.angle, 0)) >> 5) + \
+            (w if p.is_ver else h) + 8
+        ref_main = np.zeros(max(ref_len + m + max_index + 8, need),
+                            dtype=np.int32)
         n = min(len(main_src), ref_len + m + 1)
         ref_main[:n] = main_src[:n]
         ref_main[n:] = main_src[n - 1]  # replicate beyond
@@ -253,8 +270,10 @@ def _build_ref_main_side(top, left, p, w, h, m: int = 0):
     return ref_main, ref_side, base
 
 
-def _pred_angular(top, left, p, w, h, maxval, is_luma, m: int = 0):
-    ref_main, ref_side, base = _build_ref_main_side(top, left, p, w, h, m)
+def _pred_angular(top, left, p, w, h, maxval, is_luma, m: int = 0,
+                  main_len=None):
+    ref_main, ref_side, base = _build_ref_main_side(top, left, p, w, h, m,
+                                                    main_len=main_len)
     # work in "vertical" orientation; transpose at the end for horizontal
     tw, th = (w, h) if p.is_ver else (h, w)
     pred = np.zeros((th, tw), dtype=np.int32)
@@ -312,7 +331,8 @@ def _pred_angular(top, left, p, w, h, maxval, is_luma, m: int = 0):
 
 def build_reference_samples(rec: np.ndarray, x: int, y: int, w: int, h: int,
                             coded_mask: np.ndarray, unit: int,
-                            bit_depth: int = 10, ref_idx: int = 0):
+                            bit_depth: int = 10, ref_idx: int = 0,
+                            pred_sizes=None, avail_fn=None):
     """Reference sample derivation with availability substitution
     (vvenc xFillReferenceSamples:755).
 
@@ -326,8 +346,8 @@ def build_reference_samples(rec: np.ndarray, x: int, y: int, w: int, h: int,
     (padded by replication for 4-tap interpolation access).
     """
     m = ref_idx
-    pred_size = 2 * w + m
-    pred_hsize = 2 * h + m
+    pred_size = (2 * w if pred_sizes is None else pred_sizes[0]) + m
+    pred_hsize = (2 * h if pred_sizes is None else pred_sizes[1]) + m
     dc_val = 1 << (bit_depth - 1)
     ph, pw = rec.shape
     x0, y0 = x - 1 - m, y - 1 - m  # corner coordinates
@@ -335,6 +355,8 @@ def build_reference_samples(rec: np.ndarray, x: int, y: int, w: int, h: int,
     def avail(px, py):
         if px < 0 or py < 0 or px >= pw or py >= ph:
             return False
+        if avail_fn is not None:
+            return bool(avail_fn(px, py))
         return bool(coded_mask[py // unit, px // unit])
 
     top = np.full(pred_size + 3, dc_val, dtype=np.int32)

@@ -94,8 +94,12 @@ def _block_scan(w: int, h: int):
     return sx, sy
 
 
-def _params(w: int, h: int, intra_mode: int, lfnst_idx: int):
-    ext = lfnst_intra_mode(w, h, intra_mode)
+def _params(w: int, h: int, intra_mode: int, lfnst_idx: int,
+            map_dims=None):
+    """map_dims: (W, H) used for the wide-angle set mapping when it
+    differs from the block dims (ISP uses the CU dims, TrQuant.cpp:866)."""
+    mw, mh = map_dims if map_dims is not None else (w, h)
+    ext = lfnst_intra_mode(mw, mh, intra_mode)
     tset = int(LFNST_LUT[ext])
     tr = transpose_flag(ext)
     sb = 8 if (w >= 8 and h >= 8) else 4
@@ -125,9 +129,9 @@ def fwd_lfnst(coeff: np.ndarray, w: int, h: int, intra_mode: int,
 
 
 def inv_lfnst(coeff: np.ndarray, w: int, h: int, intra_mode: int,
-              lfnst_idx: int) -> np.ndarray:
+              lfnst_idx: int, map_dims=None) -> np.ndarray:
     """Inverse LFNST: 16 scan-ordered inputs -> 48/16-sample region."""
-    tr, sb, nonzero, mat = _params(w, h, intra_mode, lfnst_idx)
+    tr, sb, nonzero, mat = _params(w, h, intra_mode, lfnst_idx, map_dims)
     sx, sy = _block_scan(w, h)
     src = coeff[sy[:nonzero], sx[:nonzero]].astype(np.int64)
     out_v = np.clip((mat.T.astype(np.int64)[:, :nonzero] @ src + 64) >> 7,

@@ -116,6 +116,15 @@ def mts_tr_types(mts_idx: int):
             (DST7, DCT8), (DCT8, DCT8))[mts_idx]
 
 
+def isp_tr_types(w: int, h: int, lfnst_idx: int, sps_mts: bool):
+    """ISP implicit transform selection (TrQuant::xSetTrTypes:417-433):
+    DST7 per dimension in [4,16]; DCT2 with LFNST or sps_mts off."""
+    if not sps_mts or lfnst_idx:
+        return DCT2, DCT2
+    return (DST7 if 4 <= w <= 16 else DCT2,
+            DST7 if 4 <= h <= 16 else DCT2)
+
+
 def implicit_mts_types(w: int, h: int, is_intra_luma: bool,
                        implicit_mts: bool):
     """(trTypeHor, trTypeVer) for implicit MTS (vvenc
@@ -173,9 +182,21 @@ def _dct2_jnp(n: int):
 
 def fwd_transform_np(resi: np.ndarray, bit_depth: int = 10,
                      tr_hor: int = DCT2, tr_ver: int = DCT2) -> np.ndarray:
-    """Forward 2-D primary transform of one block [H, W] -> coeffs [H, W]."""
+    """Forward 2-D primary transform of one block [H, W] -> coeffs [H, W].
+    Width/height 1 -> single 1-D pass (vvenc TrQuant::xT:551-563)."""
     h, w = resi.shape
     log2w, log2h = w.bit_length() - 1, h.bit_length() - 1
+    if w == 1 or h == 1:
+        n, tr = (h, tr_ver) if w == 1 else (w, tr_hor)
+        shift = (n.bit_length() - 1) + bit_depth + 6 - MAX_LOG2_TR_DYN_RANGE
+        t = tr_matrix(n, tr).astype(np.int64)
+        vec = resi.reshape(n).astype(np.int64)
+        out = (t @ vec + (1 << (shift - 1))) >> shift
+        out = np.clip(out, COEFF_MIN, COEFF_MAX).astype(np.int32)
+        z = 16 if (tr != DCT2 and n == 32) else 32
+        if n > z:
+            out[z:] = 0
+        return out.reshape(resi.shape)
     shift1 = log2w + bit_depth + 6 - MAX_LOG2_TR_DYN_RANGE
     shift2 = log2h + 6
     tw = tr_matrix(w, tr_hor).astype(np.int64)
@@ -198,8 +219,17 @@ def fwd_transform_np(resi: np.ndarray, bit_depth: int = 10,
 
 def inv_transform_np(coeff: np.ndarray, bit_depth: int = 10,
                      tr_hor: int = DCT2, tr_ver: int = DCT2) -> np.ndarray:
-    """Inverse 2-D primary transform (H.266 8.7.4): [H, W] -> residual."""
+    """Inverse 2-D primary transform (H.266 8.7.4): [H, W] -> residual.
+    Width/height 1 -> single 1-D pass with shift 21-bd (xIT:615-627)."""
     h, w = coeff.shape
+    if w == 1 or h == 1:
+        n, tr = (h, tr_ver) if w == 1 else (w, tr_hor)
+        shift = 21 - bit_depth
+        t = tr_matrix(n, tr).astype(np.int64)
+        vec = coeff.reshape(n).astype(np.int64)
+        out = (t.T @ vec + (1 << (shift - 1))) >> shift
+        return np.clip(out, COEFF_MIN, COEFF_MAX).astype(
+            np.int32).reshape(coeff.shape)
     shift1 = 7
     shift2 = 20 - bit_depth
     tw = tr_matrix(w, tr_hor).astype(np.int64)
