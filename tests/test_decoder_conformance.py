@@ -21,6 +21,40 @@ DATA = os.path.join(os.path.dirname(__file__), "data")
 # md5 of frame planes (uint16 LE, Y then U then V concatenated) from the
 # reference encoder's reconstruction output
 GOLDEN_HASHES = {
+    # SBT (sub-block transform): half/quad splits, position-dependent
+    # DCT2 (sps_mts off), per-TU cbf/deblock geometry incl. chroma TUs
+    "golden_ra_sbt_416x240_qp27_f9.266": [
+        "9dfdba46a1799a7f4278d56fe63f98b4",
+        "d9f773e239c46e9e2928114a73c7e8d2",
+        "9def2955a7530614fa16a161da8ede96",
+        "99d1b9fbee4dd56f063ec8a05d06c9fb",
+        "a3b48b2f8c109dac7610aa49397d6ed8",
+        "d4162dd42bb31fcd25c802b72a2d8d29",
+        "3e0827c81696a8fcd05db3f18bbaa11a",
+        "e67f119153e61ed979f50fecc8a16107",
+        "cf840acea73b0492c166e5b6a241cea1"],
+    # SBT with sps_mts on: position-dependent DST7/DCT8 transform pairs
+    "golden_ra_sbt_mts_416x240_qp27_f9.266": [
+        "82f9653726d3316ad33d28e0d64954ee",
+        "21070999b060b238a8c4d4b19cdeb984",
+        "14ac86bc6bcc727e8ee86e2ec73aadba",
+        "bf13031cfd68fa4f803ec6f02a617516",
+        "7908b6aa3ba42e4b7bffcd14c3fcdab0",
+        "584da516c22e82d778d21aba10e78561",
+        "5cb79f8360b53c58adcfe2be72c0c0fe",
+        "e7b14166b3c3f608a2e98c4d1c48a0d4",
+        "88fa024a1b6697f381b6f7e3f56c84bf"],
+    # SBT + DepQuant + JCCR + TMVP + MMVD + GEO + CIIP
+    "golden_ra_sbt_combo_416x240_qp24_f9.266": [
+        "86eb66c2dc80b5daa5158c7fafe4c61f",
+        "f547aacefd47ffefe409832c84547719",
+        "111c020a1149162bb3ffa564ffcbe4b9",
+        "983f389786afd0c0caf062fb59ea307b",
+        "78b7d00d78a86517a37d51b65cfbf938",
+        "84cbc909489fe863d7ccadd067c740ac",
+        "3a58f628fa6723f5d036898179e03400",
+        "5e50281e545cf7f85c2c1313db5cb23c",
+        "4555bad988df9e1a689bc15e006d2bcf"],
     # ISP (intra sub-partitions): 1/2/4-wide TUs, 1-D transforms, implicit
     # DST7, per-partition reference samples, internal TU deblock edges
     "golden_ai_isp_416x240_qp24_f2.266": [

@@ -105,6 +105,8 @@ class CuData:
     coeff_cr: Optional[np.ndarray] = None
     isp_mode: int = 0                # 0 none, 1 horizontal, 2 vertical
     isp_coeffs: Optional[list] = None   # per-partition luma coeff arrays
+    sbt_idx: int = 0                 # 0 off, 1 VER_HALF, 2 HOR_HALF,
+    sbt_pos: int = 0                 # 3 VER_QUAD, 4 HOR_QUAD; pos 0/1
     luma_only: bool = False          # TREE_L CU of a local dual tree
     chroma_only: bool = False        # TREE_C region chroma CU
     qp: int = -1                     # luma QpY (cu_qp_delta); -1 = slice QP
@@ -545,6 +547,30 @@ def isp_partitions(w: int, h: int, isp_mode: int):
     return out
 
 
+def sbt_tu_rect(cu):
+    """Residual-TU rectangle of an SBT CU (luma coords, relative) and its
+    luma transform types (TrQuant::xSetTrTypes:435-466)."""
+    if cu.sbt_idx in (1, 3):        # vertical split
+        tw = cu.w >> (1 if cu.sbt_idx == 1 else 2)
+        tx = 0 if cu.sbt_pos == 0 else cu.w - tw
+        ty, th = 0, cu.h
+        if th > 32:
+            trh = trv = T.DCT2
+        else:
+            trh = T.DCT8 if cu.sbt_pos == 0 else T.DST7
+            trv = T.DST7
+    else:                            # horizontal split
+        th = cu.h >> (1 if cu.sbt_idx == 2 else 2)
+        ty = 0 if cu.sbt_pos == 0 else cu.h - th
+        tx, tw = 0, cu.w
+        if tw > 32:
+            trh = trv = T.DCT2
+        else:
+            trh = T.DST7
+            trv = T.DCT8 if cu.sbt_pos == 0 else T.DST7
+    return tx, ty, tw, th, trh, trv
+
+
 def mip_flag_ctx(ps: PictureState, x: int, y: int, w: int, h: int) -> int:
     """vvenc DeriveCtx::CtxMipFlag (ContextModelling.cpp)."""
     if w > 2 * h or h > 2 * w:
@@ -864,6 +890,67 @@ class SyntaxCoder:
                 if ys.size and (int(xs.max()) >= 16 or int(ys.max()) >= 16):
                     mts_viol = True
         return viol, lfnst_last, mts_last, mts_viol
+
+    # -- SBT (sub-block transform; CABACWriter::sbt_mode:1298) ---------------
+    def _sbt_allowed_bits(self, cu) -> int:
+        """CU::checkAllowedSbt (UnitTools.cpp:249): bit k set for SbtIdx k."""
+        if not getattr(self.sps, "sbt", 0) or not cu.is_inter or cu.ciip:
+            return 0
+        if max(cu.w, cu.h) > self.sps.max_tb_size:
+            return 0
+        bits = 0
+        if cu.w >= 8:
+            bits |= 1 << 1   # SBT_VER_HALF
+        if cu.h >= 8:
+            bits |= 1 << 2   # SBT_HOR_HALF
+        if cu.w >= 16:
+            bits |= 1 << 3   # SBT_VER_QUAD
+        if cu.h >= 16:
+            bits |= 1 << 4   # SBT_HOR_QUAD
+        return bits
+
+    def _code_sbt_mode(self, coder, cu, encode: bool) -> None:
+        bits = self._sbt_allowed_bits(cu)
+        if not bits:
+            return
+        ctx = 1 if cu.w * cu.h <= 256 else 0
+        if encode:
+            coder.encode_bin(1 if cu.sbt_idx else 0,
+                             ct.CTX_SETS["SbtFlag"](ctx))
+            if not cu.sbt_idx:
+                return
+        else:
+            if not coder.decode_bin(ct.CTX_SETS["SbtFlag"](ctx)):
+                return
+        half_allow = bool(bits & 0b00110)
+        quad_allow = bool(bits & 0b11000)
+        quad = False
+        if half_allow and quad_allow:
+            if encode:
+                quad = cu.sbt_idx in (3, 4)
+                coder.encode_bin(1 if quad else 0,
+                                 ct.CTX_SETS["SbtQuadFlag"](0))
+            else:
+                quad = bool(coder.decode_bin(ct.CTX_SETS["SbtQuadFlag"](0)))
+        elif quad_allow:
+            quad = True
+        ver_a = bool(bits & (1 << (3 if quad else 1)))
+        hor_a = bool(bits & (1 << (4 if quad else 2)))
+        if ver_a and hor_a:
+            hctx = 0 if cu.w == cu.h else (1 if cu.w < cu.h else 2)
+            if encode:
+                hor = cu.sbt_idx in (2, 4)
+                coder.encode_bin(1 if hor else 0,
+                                 ct.CTX_SETS["SbtHorFlag"](hctx))
+            else:
+                hor = bool(coder.decode_bin(ct.CTX_SETS["SbtHorFlag"](hctx)))
+        else:
+            hor = hor_a
+        if encode:
+            coder.encode_bin(cu.sbt_pos, ct.CTX_SETS["SbtPosFlag"](0))
+        else:
+            cu.sbt_pos = coder.decode_bin(ct.CTX_SETS["SbtPosFlag"](0))
+            cu.sbt_idx = (2 if hor else 1) + (2 if quad else 0)
 
     def _isp_coded(self, cu) -> bool:
         """isp_mode signalling condition (CABACWriter::isp_mode:2385,
@@ -1227,6 +1314,8 @@ class SyntaxCoder:
         if cu.is_inter and not cu.merge:
             enc.encode_bin(1 if cu.root_cbf else 0,
                            ct.CTX_SETS["QtRootCbf"](0))
+        if cu.is_inter and cu.root_cbf:
+            self._code_sbt_mode(enc, cu, encode=True)
         if cu.isp_mode:
             self._code_isp_tus(enc, cu, encode=True)
             self._code_lfnst_mts(enc, cu, encode=True)
@@ -2088,11 +2177,16 @@ class SyntaxCoder:
                     self._derive_amvp_mvs(ps, cu)
         if cu.is_inter and not cu.merge:
             cu.root_cbf = bool(dec.decode_bin(ct.CTX_SETS["QtRootCbf"](0)))
+        if cu.is_inter and cu.root_cbf:
+            self._code_sbt_mode(dec, cu, encode=False)
         if cu.isp_mode:
             self._code_isp_tus(dec, cu, encode=False)
             self._code_lfnst_mts(dec, cu, encode=False)
             self._finish_cu(ps, cu, node)
             return cu
+        tw, th = w, h
+        if cu.sbt_idx:
+            _, _, tw, th, _, _ = sbt_tu_rect(cu)
         if not cu.is_inter or cu.root_cbf:
             if cu.luma_only:
                 cbf_y = dec.decode_bin(ct.CTX_SETS["QtCbfLuma"](0))
@@ -2116,10 +2210,10 @@ class SyntaxCoder:
                 if dec.decode_bin(ct.CTX_SETS["JointCbCrFlag"](mask - 1)):
                     cu.joint_cbcr = mask
             if cbf_y:
-                cu.coeff_y = decode_residual(dec, w, h, True,
+                cu.coeff_y = decode_residual(dec, tw, th, True,
                                              dep_quant=self.dq, sign_hiding=self.sdh)
             if cu.joint_cbcr:
-                coded = decode_residual(dec, w >> 1, h >> 1, False,
+                coded = decode_residual(dec, tw >> 1, th >> 1, False,
                                         dep_quant=self.dq,
                                         sign_hiding=self.sdh)
                 if cu.joint_cbcr in (2, 3):
@@ -2128,10 +2222,10 @@ class SyntaxCoder:
                     cu.coeff_cr = coded
             else:
                 if cbf_cb:
-                    cu.coeff_cb = decode_residual(dec, w >> 1, h >> 1, False,
+                    cu.coeff_cb = decode_residual(dec, tw >> 1, th >> 1, False,
                                           dep_quant=self.dq, sign_hiding=self.sdh)
                 if cbf_cr:
-                    cu.coeff_cr = decode_residual(dec, w >> 1, h >> 1, False,
+                    cu.coeff_cr = decode_residual(dec, tw >> 1, th >> 1, False,
                                           dep_quant=self.dq, sign_hiding=self.sdh)
         self._code_lfnst_mts(dec, cu, encode=False)
         self._finish_cu(ps, cu, node)
@@ -2444,8 +2538,15 @@ def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
             else:
                 pred = predict_cu_component(ps, cu, comp, bit_depth,
                                             ctu_size)
+            jr = joint_resi[comp]
+            if cu.sbt_idx:
+                tx_, ty_ = sbt_tu_rect(cu)[:2]
+                full = np.zeros((h, w), np.int64)
+                full[ty_ >> 1:(ty_ >> 1) + jr.shape[0],
+                     tx_ >> 1:(tx_ >> 1) + jr.shape[1]] = jr
+                jr = full
             ps.rec[comp][y:y + h, x:x + w] = \
-                np.clip(pred + joint_resi[comp], 0, maxval)
+                np.clip(pred + jr, 0, maxval)
             continue
         if comp == 0:
             x, y, w, h = cu.x, cu.y, cu.w, cu.h
@@ -2470,7 +2571,13 @@ def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
         else:
             pred = predict_cu_component(ps, cu, comp, bit_depth, ctu_size)
         if coeff is not None and np.any(coeff):
-            if comp == 0 and cu.mts_idx:
+            if cu.sbt_idx:
+                tx_, ty_, _, _, trh, trv = sbt_tu_rect(cu)
+                # SBT DST7/DCT8 requires sps_mts (TrQuant::xSetTrTypes:424)
+                if comp != 0 or not (coder is not None
+                                     and getattr(coder.sps, "mts", 0)):
+                    trh = trv = T.DCT2
+            elif comp == 0 and cu.mts_idx:
                 trh, trv = T.mts_tr_types(cu.mts_idx)
             else:
                 # implicit MTS only applies with lfnst_idx == 0 and for
@@ -2488,6 +2595,12 @@ def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
                     lmode = lfnst_chroma_mode(cu)
                 d = inv_lfnst(d, w, h, lmode, cu.lfnst_idx)
             resi = T.inv_transform_np(d, bit_depth, trh, trv)
+            if cu.sbt_idx:
+                sc_ = 0 if comp == 0 else 1
+                full = np.zeros((h, w), resi.dtype)
+                full[ty_ >> sc_:(ty_ >> sc_) + resi.shape[0],
+                     tx_ >> sc_:(tx_ >> sc_) + resi.shape[1]] = resi
+                resi = full
             rec = np.clip(pred + resi, 0, maxval)
         else:
             rec = pred

@@ -329,24 +329,42 @@ class _BsMaps:
                         (getattr(cu, a, None) is not None or joint != 0)
                 continue
             isp = getattr(cu, "isp_mode", 0)
+            sbt = getattr(cu, "sbt_idx", 0)
             if isp:
                 # ISP: luma TU dims drive the max-filter-length derivation
                 from .ctu_syntax import isp_partitions
                 _, _, pw_, ph_ = isp_partitions(cu.w, cu.h, isp)[0]
                 self.cu_w[ys, xs] = pw_
                 self.cu_h[ys, xs] = ph_
+            elif sbt:
+                from .ctu_syntax import sbt_tu_rect
+                tx_, ty_, tw_, th_ = sbt_tu_rect(cu)[:4]
+                # per-position TU dims of the two SBT transform units
+                self.cu_w[ys, xs] = cu.w if sbt in (2, 4) else cu.w - tw_
+                self.cu_h[ys, xs] = cu.h if sbt in (1, 3) else cu.h - th_
+                rys = slice((cu.y + ty_) >> 2, (cu.y + ty_ + th_) >> 2)
+                rxs = slice((cu.x + tx_) >> 2, (cu.x + tx_ + tw_) >> 2)
+                self.cu_w[rys, rxs] = tw_ if sbt in (1, 3) else cu.w
+                self.cu_h[rys, rxs] = th_ if sbt in (2, 4) else cu.h
             else:
                 self.cu_w[ys, xs] = cu.w
                 self.cu_h[ys, xs] = cu.h
             is_inter = getattr(cu, "is_inter", False)
             self.intra[ys, xs] = not is_inter
-            self.cbf[0, ys, xs] = getattr(cu, "coeff_y", None) is not None
-            if not getattr(cu, "luma_only", False):
-                # any JCCR mode sets BOTH chroma cbf flags for BS
-                # (vvenc LoopFilter.cpp:1111-1112)
+            if sbt:
+                # cbf flags live only on the residual TU region
+                self.cbf[0, rys, rxs] = getattr(cu, "coeff_y", None) is not None
                 for ci, a in ((1, "coeff_cb"), (2, "coeff_cr")):
-                    self.cbf[ci, ys, xs] = \
+                    self.cbf[ci, rys, rxs] = \
                         (getattr(cu, a, None) is not None or joint != 0)
+            else:
+                self.cbf[0, ys, xs] = getattr(cu, "coeff_y", None) is not None
+                if not getattr(cu, "luma_only", False):
+                    # any JCCR mode sets BOTH chroma cbf flags for BS
+                    # (vvenc LoopFilter.cpp:1111-1112)
+                    for ci, a in ((1, "coeff_cb"), (2, "coeff_cr")):
+                        self.cbf[ci, ys, xs] = \
+                            (getattr(cu, a, None) is not None or joint != 0)
             if is_inter:
                 if getattr(cu, "ciip", False):
                     self.ciip[ys, xs] = True
@@ -440,8 +458,24 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
     for cu in chroma_cus:
         ys2 = slice((cu.y >> 1) >> 1, ((cu.y + cu.h) >> 1) >> 1)
         xs2 = slice((cu.x >> 1) >> 1, ((cu.x + cu.w) >> 1) >> 1)
-        cblk_w[ys2, xs2] = cu.w >> 1
-        cblk_h[ys2, xs2] = cu.h >> 1
+        sbt = getattr(cu, "sbt_idx", 0)
+        if sbt:
+            # SBT splits the chroma TUs as well
+            from .ctu_syntax import sbt_tu_rect
+            tx_, ty_, tw_, th_ = sbt_tu_rect(cu)[:4]
+            cblk_w[ys2, xs2] = (cu.w >> 1) if sbt in (2, 4) \
+                else (cu.w - tw_) >> 1
+            cblk_h[ys2, xs2] = (cu.h >> 1) if sbt in (1, 3) \
+                else (cu.h - th_) >> 1
+            rys2 = slice(((cu.y + ty_) >> 1) >> 1,
+                         ((cu.y + ty_ + th_) >> 1) >> 1)
+            rxs2 = slice(((cu.x + tx_) >> 1) >> 1,
+                         ((cu.x + tx_ + tw_) >> 1) >> 1)
+            cblk_w[rys2, rxs2] = (tw_ >> 1) if sbt in (1, 3) else (cu.w >> 1)
+            cblk_h[rys2, rxs2] = (th_ >> 1) if sbt in (2, 4) else (cu.h >> 1)
+        else:
+            cblk_w[ys2, xs2] = cu.w >> 1
+            cblk_h[ys2, xs2] = cu.h >> 1
 
     if qp_map is not None:
         def luma_edge_qp(pu_y, pu_x, qu_y, qu_x):
@@ -533,6 +567,23 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                                                yy >> 2, xi >> 2)
                             _filter_luma_edge_seg(rec[0], xi, yy, True, eqp,
                                                   mp, mq, bit_depth, bs=2)
+                sbt = getattr(cu, "sbt_idx", 0)
+                if sbt in (1, 3):
+                    # vertical SBT split: one internal transform edge
+                    from .ctu_syntax import sbt_tu_rect
+                    tx_, _, tw_, _ = sbt_tu_rect(cu)[:4]
+                    xi = cu.x + (tx_ + tw_ if cu.sbt_pos == 0 else tx_)
+                    for yy in range(cu.y, cu.y + cu.h, 4):
+                        bs_y, _, _ = maps.bs(yy >> 2, (xi - 1) >> 2,
+                                             yy >> 2, xi >> 2, is_b)
+                        if not bs_y:
+                            continue
+                        mp, mq = luma_maxlen(int(cu_w[yy >> 2, (xi - 1) >> 2]),
+                                             int(cu_w[yy >> 2, xi >> 2]))
+                        eqp = luma_edge_qp(yy >> 2, (xi - 1) >> 2,
+                                           yy >> 2, xi >> 2)
+                        _filter_luma_edge_seg(rec[0], xi, yy, True, eqp,
+                                              mp, mq, bit_depth, bs=bs_y)
             else:
                 y = cu.y
                 if y != 0:
@@ -580,6 +631,24 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                             _filter_luma_edge_seg(rec[0], xx, yi, False, eqp,
                                                   mp, mq, bit_depth,
                                                   at_ctu_hor=False, bs=2)
+                sbt = getattr(cu, "sbt_idx", 0)
+                if sbt in (2, 4):
+                    # horizontal SBT split: one internal transform edge
+                    from .ctu_syntax import sbt_tu_rect
+                    _, ty_, _, th_ = sbt_tu_rect(cu)[:4]
+                    yi = cu.y + (ty_ + th_ if cu.sbt_pos == 0 else ty_)
+                    for xx in range(cu.x, cu.x + cu.w, 4):
+                        bs_y, _, _ = maps.bs((yi - 1) >> 2, xx >> 2,
+                                             yi >> 2, xx >> 2, is_b)
+                        if not bs_y:
+                            continue
+                        mp, mq = luma_maxlen(int(cu_h[(yi - 1) >> 2, xx >> 2]),
+                                             int(cu_h[yi >> 2, xx >> 2]))
+                        eqp = luma_edge_qp((yi - 1) >> 2, xx >> 2,
+                                           yi >> 2, xx >> 2)
+                        _filter_luma_edge_seg(rec[0], xx, yi, False, eqp,
+                                              mp, mq, bit_depth,
+                                              at_ctu_hor=False, bs=bs_y)
         # chroma edges for this direction (8-chroma-sample grid only:
         # vvenc loopFilterCu DEBLOCK_SMALLEST_BLOCK gating).  Edge geometry
         # follows the CHROMA tree: with a local dual tree the chroma block
@@ -589,6 +658,46 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
         for cu in chroma_cus:
             cx, cy = cu.x >> 1, cu.y >> 1
             cw, ch = cu.w >> 1, cu.h >> 1
+            sbt = getattr(cu, "sbt_idx", 0)
+            if sbt:
+                # internal SBT chroma transform edge on the 8-chroma grid
+                from .ctu_syntax import sbt_tu_rect
+                tx_, ty_, tw_, th_ = sbt_tu_rect(cu)[:4]
+                if vertical and sbt in (1, 3):
+                    ex = (cu.x + (tx_ + tw_ if cu.sbt_pos == 0 else tx_)) >> 1
+                    if not (ex & 7):
+                        for yy in range(cy, cy + ch, 2):
+                            _, bs_cb, bs_cr = maps.bs(
+                                (yy << 1) >> 2, ((ex - 1) << 1) >> 2,
+                                (yy << 1) >> 2, (ex << 1) >> 2, is_b)
+                            large = (tw_ >> 1) >= 8 and \
+                                ((cu.w - tw_) >> 1) >= 8
+                            for comp, bsc in ((1, bs_cb), (2, bs_cr)):
+                                if bsc == 2 or (large and bsc == 1):
+                                    qp_c = chroma_edge_qp(
+                                        (yy << 1) >> 2, ((ex - 1) << 1) >> 2,
+                                        (yy << 1) >> 2, (ex << 1) >> 2, comp)
+                                    _filter_chroma_edge_seg(
+                                        rec[comp], ex, yy, True, qp_c,
+                                        large, bit_depth, bs=bsc)
+                elif not vertical and sbt in (2, 4):
+                    ey = (cu.y + (ty_ + th_ if cu.sbt_pos == 0 else ty_)) >> 1
+                    if not (ey & 7):
+                        for xx in range(cx, cx + cw, 2):
+                            _, bs_cb, bs_cr = maps.bs(
+                                ((ey - 1) << 1) >> 2, (xx << 1) >> 2,
+                                (ey << 1) >> 2, (xx << 1) >> 2, is_b)
+                            large = (th_ >> 1) >= 8 and \
+                                ((cu.h - th_) >> 1) >= 8
+                            for comp, bsc in ((1, bs_cb), (2, bs_cr)):
+                                if bsc == 2 or (large and bsc == 1):
+                                    qp_c = chroma_edge_qp(
+                                        ((ey - 1) << 1) >> 2, (xx << 1) >> 2,
+                                        (ey << 1) >> 2, (xx << 1) >> 2, comp)
+                                    _filter_chroma_edge_seg(
+                                        rec[comp], xx, ey, False, qp_c,
+                                        large, bit_depth,
+                                        at_ctu_hor=False, bs=bsc)
             if vertical:
                 if cx == 0 or (cx & 7):
                     continue
@@ -597,7 +706,7 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                                               ((cx - 1) << 1) >> 2,
                                               (yy << 1) >> 2, (cx << 1) >> 2,
                                               is_b)
-                    size_q = cw
+                    size_q = int(cblk_w[yy >> 1, cx >> 1])
                     size_p = int(cblk_w[yy >> 1, (cx - 1) >> 1])
                     large = size_p >= 8 and size_q >= 8
                     for comp, bsc in ((1, bs_cb), (2, bs_cr)):
@@ -617,7 +726,7 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                                               (xx << 1) >> 2,
                                               (cy << 1) >> 2, (xx << 1) >> 2,
                                               is_b)
-                    size_q = ch
+                    size_q = int(cblk_h[cy >> 1, xx >> 1])
                     size_p = int(cblk_h[(cy - 1) >> 1, xx >> 1])
                     large = size_p >= 8 and size_q >= 8
                     for comp, bsc in ((1, bs_cb), (2, bs_cr)):
