@@ -21,6 +21,33 @@ DATA = os.path.join(os.path.dirname(__file__), "data")
 # md5 of frame planes (uint16 LE, Y then U then V concatenated) from the
 # reference encoder's reconstruction output
 GOLDEN_HASHES = {
+    # transform skip: TSRC residual coding (forward scan, neighbor level
+    # prediction, context-coded signs, budgeted passes), TS dequant
+    "golden_ai_ts_416x240_qp30_f2.266": [
+        "1417b50cfadd4b0480aed2b334a70f44",
+        "0496e763bb74112f3119d8f43a509c17"],
+    # BDPCM luma+chroma: DPCM prediction/residual accumulation, special
+    # cbf/sign contexts, HOR/VER intra mode mapping
+    "golden_ai_bdpcm_416x240_qp30_f2.266": [
+        "e7456398f38d406fa38ec992a4589b79",
+        "2530c2c353e1d85117a6a53348b6a6ee"],
+    # IBC: block-vector merge/AMVP + HMVP-IBC, skip in I slices,
+    # truncated-BV chroma copy, dual-tree chroma BS derivation
+    "golden_ai_ibc_416x240_qp30_f2.266": [
+        "7b468e4a6140efa0127a048a14636e47",
+        "e43490114f858c952d9519a29062a7a0"],
+    # all SCC tools together (IBC + TS + BDPCM)
+    "golden_ai_scc_416x240_qp30_f2.266": [
+        "b5d44d8b512ee2bdc50a5f745fdaa171",
+        "5dc7394e7a7491759e544fefcd58c420"],
+    # SCC tools in random-access inter slices (+AMVR)
+    "golden_ra_scc_416x240_qp30_f6.266": [
+        "c2cdcdcff4cd57b637dba638f885a34a",
+        "af729ff1a8f282944f49649b7db97a91",
+        "a585992fc3d81d072fbd16db74267726",
+        "5ef5b1b01680459dba2a0eb7d34dfad0",
+        "5b50638b129e96e2caa5982aa960fe75",
+        "a6c08d42773b98614d54e1ca10894eab"],
     # SBT (sub-block transform): half/quad splits, position-dependent
     # DCT2 (sps_mts off), per-TU cbf/deblock geometry incl. chroma TUs
     "golden_ra_sbt_416x240_qp27_f9.266": [

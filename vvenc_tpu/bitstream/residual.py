@@ -490,3 +490,298 @@ def decode_residual(dec, w: int, h: int, is_luma: bool,
     for y, x in zip(ys, xs):
         coeff[y, x] = int(abs2d[y, x])
     return coeff
+
+
+# ---------------------------------------------------------------------------
+# transform-skip residual coding (TSRC, H.266 7.3.11.11)
+# ---------------------------------------------------------------------------
+# Behavioral reference: vvenc CABACWriter::residual_codingTS:2656,
+# residual_coding_subblockTS:2686, ContextModelling.h sigCtxIdAbsTS:271,
+# signCtxIdAbsTS:323, lrg1CtxIdAbsTS:294, deriveModCoeff:378,
+# decDeriveModCoeff:404, initSubblock TsSigCoeffGroup ctx:132.
+
+def _ts_sets(is_luma: bool):
+    return (ct.CTX_SETS["TsSigCoeffGroup"], ct.CTX_SETS["TsSigFlag"],
+            ct.CTX_SETS["TsResidualSign"], ct.CTX_SETS["TsLrg1Flag"],
+            ct.CTX_SETS["TsParFlag"], ct.CTX_SETS["TsGtxFlag"])
+
+
+def _dec_derive_mod(right: int, below: int, mod: int) -> int:
+    if mod == 0:
+        return 0
+    pred1 = max(abs(right), abs(below))
+    if mod == 1 and pred1 > 0:
+        return pred1
+    return mod - (1 if mod <= pred1 else 0)
+
+
+def _enc_derive_mod(right: int, below: int, a: int) -> int:
+    if a == 0:
+        return 0
+    pred1 = max(abs(right), abs(below))
+    if a == pred1:
+        return 1
+    return a + 1 if a < pred1 else a
+
+
+def decode_residual_ts(dec, w: int, h: int, is_luma: bool,
+                       bdpcm: int = 0) -> np.ndarray:
+    """Decode one transform-skip TU (forward scan, neighbor-predicted
+    levels, context-coded signs)."""
+    cctx = _Cctx(w, h, is_luma)
+    grp_set, sig_set, sign_set, lrg1_set, par_set, gtx_set = _ts_sets(is_luma)
+    coeff = np.zeros((h, w), dtype=np.int64)
+    rem_reg_bins = (cctx.n_coded * 7) >> 2
+    n_cgs = ((cctx.n_coded - 1) >> cctx.log2_cg) + 1
+    sig_cg = {}
+
+    def neigh(pos):
+        x, y = int(cctx.scan_x[pos]), int(cctx.scan_y[pos])
+        r = int(coeff[y, x - 1]) if x > 0 else 0
+        b = int(coeff[y - 1, x]) if y > 0 else 0
+        return x, y, r, b
+
+    for cg in range(n_cgs):
+        cg_pos = int(cctx.cg_pos[cg])
+        cgy, cgx = divmod(cg_pos, cctx.w_in_groups)
+        sig_left = sig_cg.get(cg_pos - 1, 0) if cgx > 0 else 0
+        sig_above = sig_cg.get(cg_pos - cctx.w_in_groups, 0) if cgy > 0 else 0
+        if cg == n_cgs - 1 and not any(
+                sig_cg.get(int(cctx.cg_pos[k]), 0) for k in range(cg)):
+            sig = 1   # inferred: at least one significant group
+        else:
+            sig = dec.decode_bin(grp_set(sig_left + sig_above))
+        sig_cg[cg_pos] = sig
+        if not sig:
+            continue
+        first_pos = cg << cctx.log2_cg
+        max_pos = first_pos + (1 << cctx.log2_cg) - 1
+        num_nz = 0
+        sig_flags = {}
+        gt1_flags = {}
+        par_flags = {}
+        last_p1 = -1
+        last_p2 = -1
+        pos = first_pos
+        while pos <= max_pos and rem_reg_bins >= 4:
+            x, y, r, b = neigh(pos)
+            if num_nz or pos != max_pos:
+                nsig = (1 if (x > 0 and coeff[y, x - 1]) else 0) + \
+                       (1 if (y > 0 and coeff[y - 1, x]) else 0)
+                sigf = dec.decode_bin(sig_set(nsig))
+                rem_reg_bins -= 1
+            else:
+                sigf = 1
+            sig_flags[pos] = sigf
+            if sigf:
+                if (r == 0 and b == 0) or (r * b < 0):
+                    sctx = 0
+                elif r >= 0 and b >= 0:
+                    sctx = 1
+                else:
+                    sctx = 2
+                if bdpcm:
+                    sctx += 3
+                sign = dec.decode_bin(sign_set(sctx))
+                rem_reg_bins -= 1
+                num_nz += 1
+                if bdpcm:
+                    npos = 3
+                else:
+                    npos = (1 if (x > 0 and coeff[y, x - 1]) else 0) + \
+                           (1 if (y > 0 and coeff[y - 1, x]) else 0)
+                gt1 = dec.decode_bin(lrg1_set(npos))
+                rem_reg_bins -= 1
+                par = 0
+                if gt1:
+                    par = dec.decode_bin(par_set(0))
+                    rem_reg_bins -= 1
+                gt1_flags[pos] = gt1
+                par_flags[pos] = par
+                mod = 1 + gt1 + (par if gt1 else 0)
+                # provisional value (refined by later passes)
+                coeff[y, x] = -mod if sign else mod
+                signs_pos = sign
+                sig_flags[pos] = (1, sign)
+            else:
+                sig_flags[pos] = (0, 0)
+            last_p1 = pos
+            pos += 1
+        # pass 2: gt3/gt5/gt7/gt9 flags
+        gtx_counts = {}
+        pos = first_pos
+        while pos <= max_pos and rem_reg_bins >= 4:
+            if pos <= last_p1 and sig_flags.get(pos, (0, 0))[0] and \
+                    gt1_flags.get(pos, 0):
+                cnt = 0
+                for i in range(4):
+                    cutoff = 2 + 2 * i
+                    # flag coded iff the level reached the cutoff so far
+                    if i == 0 or cnt == i:
+                        gtx = dec.decode_bin(gtx_set(cutoff >> 1))
+                        rem_reg_bins -= 1
+                        if gtx:
+                            cnt += 1
+                        else:
+                            break
+                gtx_counts[pos] = cnt
+                x, y = int(cctx.scan_x[pos]), int(cctx.scan_y[pos])
+                sgn = coeff[y, x] < 0
+                mod = 2 + par_flags[pos] + 2 * cnt
+                coeff[y, x] = -mod if sgn else mod
+            last_p2 = pos
+            pos += 1
+        # pass 3: remainders / bypass values
+        for pos in range(first_pos, max_pos + 1):
+            x, y = int(cctx.scan_x[pos]), int(cctx.scan_y[pos])
+            if pos <= last_p2:
+                cutoff = 10
+            elif pos <= last_p1:
+                cutoff = 2
+            else:
+                cutoff = 0
+            if cutoff == 0:
+                # fully bypass-coded position: value + EP sign
+                rem = dec.decode_remabs_ep(1, COEF_REMAIN_BIN_REDUCTION,
+                                           MAX_LOG2_TR_DYNAMIC_RANGE)
+                if rem:
+                    sign = dec.decode_bin_ep()
+                    coeff[y, x] = -rem if sign else rem
+                continue
+            if not sig_flags.get(pos, (0, 0))[0]:
+                continue
+            sgn = coeff[y, x] < 0
+            mod = abs(int(coeff[y, x]))
+            reached = (cutoff == 2 and gt1_flags.get(pos, 0)) or \
+                      (cutoff == 10 and gtx_counts.get(pos, 0) == 4)
+            if reached:
+                rem = dec.decode_remabs_ep(1, COEF_REMAIN_BIN_REDUCTION,
+                                           MAX_LOG2_TR_DYNAMIC_RANGE)
+                mod += 2 * rem
+                coeff[y, x] = -mod if sgn else mod
+        # map modified levels back to absolute levels (neighbor prediction)
+        if not bdpcm:
+            for pos in range(first_pos, max_pos + 1):
+                x, y, r, b = neigh(pos)
+                if pos > last_p1:
+                    continue  # bypass positions carry plain levels
+                mod = abs(int(coeff[y, x]))
+                if mod:
+                    v = _dec_derive_mod(r, b, mod)
+                    coeff[y, x] = -v if coeff[y, x] < 0 else v
+    return coeff.astype(np.int32)
+
+
+def encode_residual_ts(enc, coeff: np.ndarray, is_luma: bool,
+                       bdpcm: int = 0) -> None:
+    """Encode one transform-skip TU (inverse of decode_residual_ts)."""
+    h, w = coeff.shape
+    cctx = _Cctx(w, h, is_luma)
+    grp_set, sig_set, sign_set, lrg1_set, par_set, gtx_set = _ts_sets(is_luma)
+    c = coeff.astype(np.int64)
+    rem_reg_bins = (cctx.n_coded * 7) >> 2
+    n_cgs = ((cctx.n_coded - 1) >> cctx.log2_cg) + 1
+    sig_cg = {}
+
+    def neigh(pos):
+        x, y = int(cctx.scan_x[pos]), int(cctx.scan_y[pos])
+        r = int(c[y, x - 1]) if x > 0 else 0
+        b = int(c[y - 1, x]) if y > 0 else 0
+        return x, y, r, b
+
+    cg_sig = []
+    for cg in range(n_cgs):
+        first = cg << cctx.log2_cg
+        cg_sig.append(any(
+            c[int(cctx.scan_y[p]), int(cctx.scan_x[p])]
+            for p in range(first, first + (1 << cctx.log2_cg))))
+    for cg in range(n_cgs):
+        cg_pos = int(cctx.cg_pos[cg])
+        cgy, cgx = divmod(cg_pos, cctx.w_in_groups)
+        sig_left = sig_cg.get(cg_pos - 1, 0) if cgx > 0 else 0
+        sig_above = sig_cg.get(cg_pos - cctx.w_in_groups, 0) if cgy > 0 else 0
+        inferred = cg == n_cgs - 1 and not any(
+            sig_cg.get(int(cctx.cg_pos[k]), 0) for k in range(cg))
+        sig = 1 if cg_sig[cg] else 0
+        if not inferred:
+            enc.encode_bin(sig, grp_set(sig_left + sig_above))
+        sig_cg[cg_pos] = sig
+        if not sig:
+            continue
+        first_pos = cg << cctx.log2_cg
+        max_pos = first_pos + (1 << cctx.log2_cg) - 1
+        num_nz = 0
+        mods = {}
+        gt1s = {}
+        pars = {}
+        last_p1 = -1
+        last_p2 = -1
+        pos = first_pos
+        while pos <= max_pos and rem_reg_bins >= 4:
+            x, y, r, b = neigh(pos)
+            v = int(c[y, x])
+            sigf = 1 if v else 0
+            if num_nz or pos != max_pos:
+                nsig = (1 if (x > 0 and c[y, x - 1]) else 0) + \
+                       (1 if (y > 0 and c[y - 1, x]) else 0)
+                enc.encode_bin(sigf, sig_set(nsig))
+                rem_reg_bins -= 1
+            if sigf:
+                sign = 1 if v < 0 else 0
+                if (r == 0 and b == 0) or (r * b < 0):
+                    sctx = 0
+                elif r >= 0 and b >= 0:
+                    sctx = 1
+                else:
+                    sctx = 2
+                if bdpcm:
+                    sctx += 3
+                enc.encode_bin(sign, sign_set(sctx))
+                rem_reg_bins -= 1
+                num_nz += 1
+                mod = abs(v) if bdpcm else _enc_derive_mod(r, b, abs(v))
+                mods[pos] = mod
+                gt1 = 1 if mod > 1 else 0
+                npos = 3 if bdpcm else \
+                    (1 if (x > 0 and c[y, x - 1]) else 0) + \
+                    (1 if (y > 0 and c[y - 1, x]) else 0)
+                enc.encode_bin(gt1, lrg1_set(npos))
+                rem_reg_bins -= 1
+                if gt1:
+                    par = (mod - 2) & 1
+                    enc.encode_bin(par, par_set(0))
+                    rem_reg_bins -= 1
+                    pars[pos] = par
+                gt1s[pos] = gt1
+            last_p1 = pos
+            pos += 1
+        pos = first_pos
+        while pos <= max_pos and rem_reg_bins >= 4:
+            x, y, r, b = neigh(pos)
+            mod = mods.get(pos, 0) if pos <= last_p1 else 0
+            cutoff = 2
+            for i in range(4):
+                if mod >= cutoff:
+                    gtx = 1 if mod >= cutoff + 2 else 0
+                    enc.encode_bin(gtx, gtx_set(cutoff >> 1))
+                    rem_reg_bins -= 1
+                cutoff += 2
+            last_p2 = pos
+            pos += 1
+        for pos in range(first_pos, max_pos + 1):
+            x, y, r, b = neigh(pos)
+            if pos <= last_p2:
+                cutoff = 10
+            elif pos <= last_p1:
+                cutoff = 2
+            else:
+                cutoff = 0
+            v = int(c[y, x])
+            mod = abs(v) if (bdpcm or cutoff == 0) \
+                else _enc_derive_mod(r, b, abs(v))
+            if mod >= cutoff:
+                rem = (mod - cutoff) >> 1 if pos <= last_p1 else mod
+                enc.encode_remabs_ep(rem, 1, COEF_REMAIN_BIN_REDUCTION,
+                                     MAX_LOG2_TR_DYNAMIC_RANGE)
+                if mod and pos > last_p1:
+                    enc.encode_bin_ep(1 if v < 0 else 0)

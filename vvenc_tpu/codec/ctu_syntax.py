@@ -107,6 +107,12 @@ class CuData:
     isp_coeffs: Optional[list] = None   # per-partition luma coeff arrays
     sbt_idx: int = 0                 # 0 off, 1 VER_HALF, 2 HOR_HALF,
     sbt_pos: int = 0                 # 3 VER_QUAD, 4 HOR_QUAD; pos 0/1
+    ts_y: bool = False               # transform_skip_flag per component
+    ts_cb: bool = False
+    ts_cr: bool = False
+    bdpcm_y: int = 0                 # 0 off, 1 horizontal, 2 vertical
+    bdpcm_c: int = 0
+    is_ibc: bool = False             # intra block copy (BV in mv[0])
     luma_only: bool = False          # TREE_L CU of a local dual tree
     chroma_only: bool = False        # TREE_C region chroma CU
     qp: int = -1                     # luma QpY (cu_qp_delta); -1 = slice QP
@@ -662,6 +668,18 @@ class SyntaxCoder:
         self.mmvd = bool(getattr(sps, "mmvd", 0))
         self.smvd_en = bool(getattr(sps, "smvd", 0))
         self.bcw_en = bool(getattr(sps, "bcw", 0))
+        # transform skip / BDPCM (SCC)
+        self.ts_en = bool(getattr(sps, "transform_skip", 0))
+        self.max_ts_size = 1 << getattr(sps, "log2_max_ts_size", 2)
+        self.bdpcm_en = bool(getattr(sps, "bdpcm", 0))
+        self.min_qp_ts = 4 + 6 * getattr(sps, "internal_minus_input_bit_depth",
+                                         0)
+        self.ts_rc_disabled = bool(getattr(sh, "ts_residual_coding_disabled",
+                                           0))
+        self.ibc_en = bool(getattr(sps, "ibc", 0))
+        self.max_ibc_merge = getattr(sps, "max_num_ibc_merge_cand", 6)
+        from .motion import HmvpLut as _HL
+        self.hmvp_ibc = _HL()
         self.geo_en = bool(getattr(sps, "geo", 0))
         self.ciip_en = bool(getattr(sps, "ciip", 0))
         self.max_geo_cand = getattr(sps, "max_num_geo_cand", 0)
@@ -766,6 +784,7 @@ class SyntaxCoder:
 
     def new_ctu_row(self):
         self.hmvp.reset()
+        self.hmvp_ibc.reset()
 
     # -- cu_qp_delta / quantization groups ---------------------------------
     # (vvenc CABACWriter::cu_qp_delta:2173, CU::predictQP UnitTools.cpp:324)
@@ -894,7 +913,8 @@ class SyntaxCoder:
     # -- SBT (sub-block transform; CABACWriter::sbt_mode:1298) ---------------
     def _sbt_allowed_bits(self, cu) -> int:
         """CU::checkAllowedSbt (UnitTools.cpp:249): bit k set for SbtIdx k."""
-        if not getattr(self.sps, "sbt", 0) or not cu.is_inter or cu.ciip:
+        if not getattr(self.sps, "sbt", 0) or not cu.is_inter or cu.ciip \
+                or cu.is_ibc:
             return 0
         if max(cu.w, cu.h) > self.sps.max_tb_size:
             return 0
@@ -951,6 +971,84 @@ class SyntaxCoder:
         else:
             cu.sbt_pos = coder.decode_bin(ct.CTX_SETS["SbtPosFlag"](0))
             cu.sbt_idx = (2 if hor else 1) + (2 if quad else 0)
+
+    # -- transform skip / BDPCM ---------------------------------------------
+    def _ts_allowed(self, cu, comp: int) -> bool:
+        """TU::isTSAllowed (UnitTools.cpp:3593)."""
+        if not self.ts_en or cu.sbt_idx:
+            return False
+        if comp == 0 and (cu.isp_mode or cu.bdpcm_y):
+            return False
+        if comp != 0 and cu.bdpcm_c:
+            return False
+        sc = 0 if comp == 0 else 1
+        return (cu.w >> sc) <= self.max_ts_size and \
+            (cu.h >> sc) <= self.max_ts_size
+
+    def _code_ts_flag(self, coder, cu, comp: int, encode: bool) -> bool:
+        """ts_flag (CABACWriter::ts_flag:2338); BDPCM implies skip."""
+        if (cu.bdpcm_y if comp == 0 else cu.bdpcm_c):
+            return True
+        if not self._ts_allowed(cu, comp):
+            return False
+        ctx = 0 if comp == 0 else 1
+        cur = (cu.ts_y, cu.ts_cb, cu.ts_cr)[comp]
+        if encode:
+            coder.encode_bin(1 if cur else 0,
+                             ct.CTX_SETS["TransformSkipFlag"](ctx))
+            return cur
+        v = bool(coder.decode_bin(ct.CTX_SETS["TransformSkipFlag"](ctx)))
+        if comp == 0:
+            cu.ts_y = v
+        elif comp == 1:
+            cu.ts_cb = v
+        else:
+            cu.ts_cr = v
+        return v
+
+    def _residual_tb(self, coder, cu, comp: int, w: int, h: int,
+                     encode: bool, coeff=None):
+        """One TB: ts_flag + residual coding (regular or TSRC)."""
+        from ..bitstream.residual import (encode_residual_ts,
+                                          decode_residual_ts)
+        ts = self._code_ts_flag(coder, cu, comp, encode)
+        bd = cu.bdpcm_y if comp == 0 else cu.bdpcm_c
+        use_ts_rc = ts and not self.ts_rc_disabled
+        if encode:
+            if use_ts_rc:
+                encode_residual_ts(coder, coeff, comp == 0, bd)
+            else:
+                encode_residual(coder, coeff, comp == 0, dep_quant=self.dq)
+            return None
+        if use_ts_rc:
+            return decode_residual_ts(coder, w, h, comp == 0, bd)
+        return decode_residual(coder, w, h, comp == 0, dep_quant=self.dq,
+                               sign_hiding=self.sdh)
+
+    def _code_bdpcm_modes(self, coder, cu, encode: bool,
+                          chroma: bool) -> None:
+        """bdpcm_mode (CABACWriter::bdpcm_mode:799)."""
+        if not self.bdpcm_en:
+            return
+        sc = 1 if chroma else 0
+        if (cu.w >> sc) > self.max_ts_size or (cu.h >> sc) > self.max_ts_size:
+            return
+        base = 2 if chroma else 0
+        mode = cu.bdpcm_c if chroma else cu.bdpcm_y
+        if encode:
+            coder.encode_bin(1 if mode else 0,
+                             ct.CTX_SETS["BDPCMMode"](base))
+            if mode:
+                coder.encode_bin(1 if mode > 1 else 0,
+                                 ct.CTX_SETS["BDPCMMode"](base + 1))
+            return
+        if coder.decode_bin(ct.CTX_SETS["BDPCMMode"](base)):
+            mode = 1 + coder.decode_bin(ct.CTX_SETS["BDPCMMode"](base + 1))
+            if chroma:
+                cu.bdpcm_c = mode
+            else:
+                cu.bdpcm_y = mode
+                cu.luma_mode = VER if mode == 2 else HOR
 
     def _isp_coded(self, cu) -> bool:
         """isp_mode signalling condition (CABACWriter::isp_mode:2385,
@@ -1088,6 +1186,10 @@ class SyntaxCoder:
             # the lfnstLastScanPos gate is bypassed for ISP
             # (CABACWriter::residual_lfnst_mode:2436)
             lfnst_last = True
+        is_tr_skip = (cu.ts_y or cu.ts_cb or cu.ts_cr
+                      or cu.bdpcm_y or cu.bdpcm_c)
+        if is_tr_skip:
+            lfnst_last = False    # no LFNST with any transform-skip TU
         sep_tree = cu.luma_only or cu.chroma_only
         if self._lfnst_allowed(cu) and lfnst_last and not viol:
             cctx = 1 if sep_tree else 0
@@ -1101,8 +1203,9 @@ class SyntaxCoder:
                 if coder.decode_bin(ct.CTX_SETS["LFNSTIdx"](cctx)):
                     cu.lfnst_idx = 2 if coder.decode_bin(
                         ct.CTX_SETS["LFNSTIdx"](2)) else 1
-        # tu_mts_idx (intra explicit MTS; luma TBs only; never for ISP)
+        # tu_mts_idx (intra explicit MTS; luma TBs only; never for ISP/TS)
         if (self.sps.mts_intra and not cu.chroma_only and not cu.isp_mode
+                and not cu.ts_y and not cu.bdpcm_y
                 and cu.w <= 32 and cu.h <= 32 and mts_last and not mts_viol
                 and cu.lfnst_idx == 0):
             if encode:
@@ -1199,28 +1302,35 @@ class SyntaxCoder:
 
     def _enc_chroma_cu(self, enc, ps, cu: CuData, part: PartInfo) -> None:
         """Mirror of _dec_chroma_cu (TREE_C region chroma)."""
-        self._enc_intra_chroma_mode(enc, cu)
+        self._code_bdpcm_modes(enc, cu, encode=True, chroma=True)
+        if not cu.bdpcm_c:
+            self._enc_intra_chroma_mode(enc, cu)
         if cu.joint_cbcr:
             cbf_cb = bool(cu.joint_cbcr & 2)
             cbf_cr = bool(cu.joint_cbcr & 1)
         else:
             cbf_cb = cu.coeff_cb is not None and np.any(cu.coeff_cb)
             cbf_cr = cu.coeff_cr is not None and np.any(cu.coeff_cr)
-        enc.encode_bin(1 if cbf_cb else 0, ct.CTX_SETS["QtCbfCb"](0))
+        enc.encode_bin(1 if cbf_cb else 0, ct.CTX_SETS["QtCbfCb"](
+            1 if cu.bdpcm_c else 0))
         enc.encode_bin(1 if cbf_cr else 0,
-                       ct.CTX_SETS["QtCbfCr"](1 if cbf_cb else 0))
+                       ct.CTX_SETS["QtCbfCr"](
+                           2 if cu.bdpcm_c else (1 if cbf_cb else 0)))
         mask = (2 if cbf_cb else 0) + (1 if cbf_cr else 0)
-        if self.jccr and mask:
+        if self.jccr and not cu.bdpcm_c and mask:
             enc.encode_bin(1 if cu.joint_cbcr else 0,
                            ct.CTX_SETS["JointCbCrFlag"](mask - 1))
         if cu.joint_cbcr:
+            cc = 1 if cu.joint_cbcr in (2, 3) else 2
             coded = cu.coeff_cb if cu.joint_cbcr in (2, 3) else cu.coeff_cr
-            encode_residual(enc, coded, False, dep_quant=self.dq)
+            self._residual_tb(enc, cu, cc, cu.w >> 1, cu.h >> 1, True, coded)
         else:
             if cbf_cb:
-                encode_residual(enc, cu.coeff_cb, False, dep_quant=self.dq)
+                self._residual_tb(enc, cu, 1, cu.w >> 1, cu.h >> 1, True,
+                                  cu.coeff_cb)
             if cbf_cr:
-                encode_residual(enc, cu.coeff_cr, False, dep_quant=self.dq)
+                self._residual_tb(enc, cu, 2, cu.w >> 1, cu.h >> 1, True,
+                                  cu.coeff_cr)
         self._code_lfnst_mts(enc, cu, encode=True)
         self.finish_cu(ps, cu, part.qt_depth, comps=(1, 2))
 
@@ -1248,9 +1358,13 @@ class SyntaxCoder:
             enc.encode_bin(0 if cu.is_inter else 1,
                            ct.CTX_SETS["PredMode"](ctx_pm))
         if not cu.is_inter:
-            self._enc_intra_luma_mode(enc, ps, cu)
+            self._code_bdpcm_modes(enc, cu, encode=True, chroma=False)
+            if not cu.bdpcm_y:
+                self._enc_intra_luma_mode(enc, ps, cu)
             if not cu.luma_only:
-                self._enc_intra_chroma_mode(enc, cu)
+                self._code_bdpcm_modes(enc, cu, encode=True, chroma=True)
+                if not cu.bdpcm_c:
+                    self._enc_intra_chroma_mode(enc, cu)
         else:
             enc.encode_bin(1 if cu.merge else 0, ct.CTX_SETS["MergeFlag"](0))
             if cu.merge:
@@ -1323,10 +1437,14 @@ class SyntaxCoder:
             return
         if (not cu.is_inter or cu.root_cbf) and cu.luma_only:
             cbf_y = cu.coeff_y is not None and np.any(cu.coeff_y)
-            enc.encode_bin(1 if cbf_y else 0, ct.CTX_SETS["QtCbfLuma"](0))
+            if cu.is_inter:
+                assert cbf_y, "luma-only inter/IBC cbf inferred 1"
+            else:
+                enc.encode_bin(1 if cbf_y else 0, ct.CTX_SETS["QtCbfLuma"](
+                    1 if cu.bdpcm_y else 0))
             self._maybe_code_dqp(enc, cu, bool(cbf_y), encode=True)
             if cbf_y:
-                encode_residual(enc, cu.coeff_y, True, dep_quant=self.dq)
+                self._residual_tb(enc, cu, 0, w, h, True, cu.coeff_y)
             self._code_lfnst_mts(enc, cu, encode=True)
             self._finish_cu(ps, cu, node)
             return
@@ -1338,32 +1456,37 @@ class SyntaxCoder:
                 cbf_cb = cu.coeff_cb is not None and np.any(cu.coeff_cb)
                 cbf_cr = cu.coeff_cr is not None and np.any(cu.coeff_cr)
             cbf_y = cu.coeff_y is not None and np.any(cu.coeff_y)
-            enc.encode_bin(1 if cbf_cb else 0, ct.CTX_SETS["QtCbfCb"](0))
+            enc.encode_bin(1 if cbf_cb else 0, ct.CTX_SETS["QtCbfCb"](
+                1 if cu.bdpcm_c else 0))
             enc.encode_bin(1 if cbf_cr else 0,
-                           ct.CTX_SETS["QtCbfCr"](1 if cbf_cb else 0))
+                           ct.CTX_SETS["QtCbfCr"](
+                               2 if cu.bdpcm_c else (1 if cbf_cb else 0)))
             if cu.is_inter and not cbf_cb and not cbf_cr:
                 assert cbf_y, "inter luma cbf inferred 1 needs coefficients"
             else:
-                enc.encode_bin(1 if cbf_y else 0, ct.CTX_SETS["QtCbfLuma"](0))
+                enc.encode_bin(1 if cbf_y else 0, ct.CTX_SETS["QtCbfLuma"](
+                    1 if cu.bdpcm_y else 0))
             self._maybe_code_dqp(enc, cu, bool(cbf_y or cbf_cb or cbf_cr),
                                  encode=True)
             mask = (2 if cbf_cb else 0) + (1 if cbf_cr else 0)
-            if self.jccr and ((not cu.is_inter and mask) or mask == 3):
+            if self.jccr and not cu.bdpcm_c and \
+                    ((not cu.is_inter and mask) or mask == 3):
                 enc.encode_bin(1 if cu.joint_cbcr else 0,
                                ct.CTX_SETS["JointCbCrFlag"](mask - 1))
             if cbf_y:
-                encode_residual(enc, cu.coeff_y, True, dep_quant=self.dq)
+                self._residual_tb(enc, cu, 0, w, h, True, cu.coeff_y)
             if cu.joint_cbcr:
+                cc = 1 if cu.joint_cbcr in (2, 3) else 2
                 coded = cu.coeff_cb if cu.joint_cbcr in (2, 3) \
                     else cu.coeff_cr
-                encode_residual(enc, coded, False, dep_quant=self.dq)
+                self._residual_tb(enc, cu, cc, w >> 1, h >> 1, True, coded)
             else:
                 if cbf_cb:
-                    encode_residual(enc, cu.coeff_cb, False,
-                                    dep_quant=self.dq)
+                    self._residual_tb(enc, cu, 1, w >> 1, h >> 1, True,
+                                      cu.coeff_cb)
                 if cbf_cr:
-                    encode_residual(enc, cu.coeff_cr, False,
-                                    dep_quant=self.dq)
+                    self._residual_tb(enc, cu, 2, w >> 1, h >> 1, True,
+                                      cu.coeff_cr)
         self._code_lfnst_mts(enc, cu, encode=True)
         self._finish_cu(ps, cu, node)
 
@@ -1378,6 +1501,46 @@ class SyntaxCoder:
         if ps.is_coded(x, y - 1) and self.mf.is_aff_at(x, y - 1):
             c += 1
         return c
+
+    def _ibc_ctx(self, ps, x, y) -> int:
+        """DeriveCtx::CtxIBCFlag (ContextModelling.h:589)."""
+        c = 0
+        if ps.is_coded(x - 1, y) and self.mf.ibc_at(x - 1, y) is not None:
+            c += 1
+        if ps.is_coded(x, y - 1) and self.mf.ibc_at(x, y - 1) is not None:
+            c += 1
+        return c
+
+    def _dec_ibc_merge_idx(self, dec) -> int:
+        n = self.max_ibc_merge - 1
+        if n <= 0:
+            return 0
+        if not dec.decode_bin(ct.CTX_SETS["MergeIdx"](0)):
+            return 0
+        idx = 1
+        while idx < n and dec.decode_bin_ep():
+            idx += 1
+        return idx
+
+    def _enc_ibc_merge_idx(self, enc, idx: int) -> None:
+        n = self.max_ibc_merge - 1
+        if n <= 0:
+            return
+        enc.encode_bin(0 if idx == 0 else 1, ct.CTX_SETS["MergeIdx"](0))
+        if idx:
+            for k in range(1, n):
+                enc.encode_bin_ep(0 if idx == k else 1)
+                if idx == k:
+                    break
+
+    def _dec_ibc_merge(self, dec, ps, cu) -> None:
+        from .motion import get_ibc_merge_candidates
+        cu.merge_idx = self._dec_ibc_merge_idx(dec)
+        cands = get_ibc_merge_candidates(ps, self.mf, self.hmvp_ibc,
+                                         cu.x, cu.y, cu.w, cu.h,
+                                         self.max_ibc_merge)
+        cu.mv = (tuple(cands[cu.merge_idx]), (0, 0))
+        cu.ref_idx = (-1, -1)
 
     def _subblock_merge_coded(self, cu) -> bool:
         return (not self.is_intra_slice and self.max_aff_merge > 0
@@ -1889,7 +2052,15 @@ class SyntaxCoder:
         if cu.chroma_only:
             return
         if self.mf is not None:
-            if cu.is_inter and cu.affine:
+            if cu.is_inter and cu.is_ibc:
+                # store the BV for IBC neighbor/HMVP use; excluded from
+                # the inter motion field (spanMotionInfo MI_NOT_VALID)
+                self.mf.set_cu(cu.x, cu.y, cu.w, cu.h, None, cu.skip,
+                               ibc_bv=tuple(cu.mv[0]))
+                if cu.w * cu.h > 16:
+                    self.hmvp_ibc.add(MotionInfo((tuple(cu.mv[0]), (0, 0)),
+                                                 (0, -1)))
+            elif cu.is_inter and cu.affine:
                 # per-sub-block spanning; affine CUs do not update HMVP
                 # (CU::saveMotionInHMVP gate on !cu.affine, UnitTools:354)
                 aff_info = None
@@ -2051,27 +2222,31 @@ class SyntaxCoder:
         # DM derives from the co-located CENTER luma mode (VVC 8.4.3)
         cu.luma_mode = int(ps.intra_mode[(y + (h >> 1)) >> 2,
                                          (x + (w >> 1)) >> 2])
-        cu.chroma_dir = self._dec_intra_chroma_mode(dec, cu)
-        cbf_cb = dec.decode_bin(ct.CTX_SETS["QtCbfCb"](0))
-        cbf_cr = dec.decode_bin(ct.CTX_SETS["QtCbfCr"](1 if cbf_cb else 0))
+        self._code_bdpcm_modes(dec, cu, encode=False, chroma=True)
+        if not cu.bdpcm_c:
+            cu.chroma_dir = self._dec_intra_chroma_mode(dec, cu)
+        cbf_cb = dec.decode_bin(ct.CTX_SETS["QtCbfCb"](
+            1 if cu.bdpcm_c else 0))
+        cbf_cr = dec.decode_bin(ct.CTX_SETS["QtCbfCr"](
+            2 if cu.bdpcm_c else (1 if cbf_cb else 0)))
         mask = (2 if cbf_cb else 0) + (1 if cbf_cr else 0)
-        if self.jccr and mask:
+        if self.jccr and not cu.bdpcm_c and mask:
             if dec.decode_bin(ct.CTX_SETS["JointCbCrFlag"](mask - 1)):
                 cu.joint_cbcr = mask
         if cu.joint_cbcr:
-            coded = decode_residual(dec, w >> 1, h >> 1, False,
-                                    dep_quant=self.dq, sign_hiding=self.sdh)
+            cc = 1 if cu.joint_cbcr in (2, 3) else 2
+            coded = self._residual_tb(dec, cu, cc, w >> 1, h >> 1, False)
             if cu.joint_cbcr in (2, 3):
                 cu.coeff_cb = coded
             else:
                 cu.coeff_cr = coded
-        elif True:
+        else:
             if cbf_cb:
-                cu.coeff_cb = decode_residual(dec, w >> 1, h >> 1, False,
-                                          dep_quant=self.dq, sign_hiding=self.sdh)
+                cu.coeff_cb = self._residual_tb(dec, cu, 1, w >> 1, h >> 1,
+                                                False)
             if cbf_cr:
-                cu.coeff_cr = decode_residual(dec, w >> 1, h >> 1, False,
-                                          dep_quant=self.dq, sign_hiding=self.sdh)
+                cu.coeff_cr = self._residual_tb(dec, cu, 2, w >> 1, h >> 1,
+                                                False)
         self._code_lfnst_mts(dec, cu, encode=False)
         self.finish_cu(ps, cu, part.qt_depth, comps=(1, 2))
         return cu
@@ -2083,35 +2258,95 @@ class SyntaxCoder:
         mt = node.part.mode_type
         cu.luma_only = node.part.tree_type == TREE_L
         is_4x4 = w == 4 and h == 4
-        # cu_skip_flag: not coded in I slices, for 4x4, or under a
-        # MODE_TYPE_INTRA constraint (vvenc CABACWriter::cu_skip_flag:688)
-        if not self.is_intra_slice and mt != MODE_INTRA and not is_4x4:
+        # cu_skip_flag (vvenc CABACWriter::cu_skip_flag:688; with IBC the
+        # flag is also coded in I slices / for 4x4 / in intra-constrained
+        # regions)
+        intra_like = self.is_intra_slice or mt == MODE_INTRA
+        ibc_sz = self.ibc_en and w < 128 and h < 128
+        if intra_like:
+            if ibc_sz and not cu.luma_only or (ibc_sz and cu.luma_only):
+                ctx_skip = self._skip_ctx(ps, x, y)
+                cu.skip = bool(dec.decode_bin(
+                    ct.CTX_SETS["SkipFlag"](ctx_skip)))
+                if cu.skip:
+                    cu.is_inter = True
+                    cu.is_ibc = True
+                    cu.merge = True
+                    cu.root_cbf = False
+                    self._dec_ibc_merge(dec, ps, cu)
+                    self._finish_cu(ps, cu, node)
+                    return cu
+        elif not is_4x4 or self.ibc_en:
             ctx_skip = self._skip_ctx(ps, x, y)
             cu.skip = bool(dec.decode_bin(ct.CTX_SETS["SkipFlag"](ctx_skip)))
             if cu.skip:
                 cu.is_inter = True
                 cu.merge = True
                 cu.root_cbf = False
-                self._dec_merge_data(dec, ps, cu)
+                if self.ibc_en and mt != MODE_INTER:
+                    if is_4x4:
+                        cu.is_ibc = True
+                    elif ibc_sz and dec.decode_bin(ct.CTX_SETS["IBCFlag"](
+                            self._ibc_ctx(ps, x, y))):
+                        cu.is_ibc = True
+                if cu.is_ibc:
+                    self._dec_ibc_merge(dec, ps, cu)
+                else:
+                    self._dec_merge_data(dec, ps, cu)
                 self._finish_cu(ps, cu, node)
                 return cu
-        # pred_mode_flag: inferred in I slices / 4x4 / constrained regions
-        # (vvenc CABACWriter::pred_mode:728)
-        if self.is_intra_slice or mt == MODE_INTRA or is_4x4:
+        # pred_mode_flag (+ pred_mode_ibc_flag; vvenc pred_mode:728)
+        if intra_like or is_4x4:
             cu.is_inter = False
+            if ibc_sz and mt != MODE_INTER:
+                if dec.decode_bin(ct.CTX_SETS["IBCFlag"](
+                        self._ibc_ctx(ps, x, y))):
+                    cu.is_ibc = True
+                    cu.is_inter = True
         elif mt == MODE_INTER:
             cu.is_inter = True
         else:
             ctx_pm = self._pred_mode_ctx(ps, x, y)
             cu.is_inter = not dec.decode_bin(ct.CTX_SETS["PredMode"](ctx_pm))
+            if cu.is_inter and ibc_sz:
+                if dec.decode_bin(ct.CTX_SETS["IBCFlag"](
+                        self._ibc_ctx(ps, x, y))):
+                    cu.is_ibc = True
         if not cu.is_inter:
-            cu.luma_mode = self._dec_intra_luma_mode(dec, ps, cu)
+            self._code_bdpcm_modes(dec, cu, encode=False, chroma=False)
+            if not cu.bdpcm_y:
+                cu.luma_mode = self._dec_intra_luma_mode(dec, ps, cu)
             if not cu.luma_only:
-                cu.chroma_dir = self._dec_intra_chroma_mode(dec, cu)
+                self._code_bdpcm_modes(dec, cu, encode=False, chroma=True)
+                if not cu.bdpcm_c:
+                    cu.chroma_dir = self._dec_intra_chroma_mode(dec, cu)
         else:
             cu.merge = bool(dec.decode_bin(ct.CTX_SETS["MergeFlag"](0)))
-            if cu.merge:
+            if cu.merge and cu.is_ibc:
+                self._dec_ibc_merge(dec, ps, cu)
+            elif cu.merge:
                 self._dec_merge_data(dec, ps, cu)
+            elif cu.is_ibc:
+                # IBC AMVP: mvd (integer / 4-pel) + mvp_flag + amvr
+                # (CABACWriter::prediction_unit IBC branch :1403-1414,
+                #  imv_mode :1589-1627 IBC semantics)
+                from .motion import get_ibc_amvp_candidates
+                cu.mvd = self._dec_mvd(dec)
+                if self.max_ibc_merge > 1:
+                    cu.mvp_idx = dec.decode_bin(ct.CTX_SETS["MVPIdx"](0))
+                if self.amvr and cu.mvd != (0, 0):
+                    cu.imv = 2 if dec.decode_bin(
+                        ct.CTX_SETS["ImvFlag"](1)) else 1
+                amvp = get_ibc_amvp_candidates(ps, self.mf, self.hmvp_ibc,
+                                               cu.x, cu.y, cu.w, cu.h,
+                                               cu.imv)
+                sh = 6 if cu.imv == 2 else 4
+                mvp = amvp[cu.mvp_idx]
+                cu.mv = ((max(MV_MIN, min(MV_MAX, mvp[0] + (cu.mvd[0] << sh))),
+                          max(MV_MIN, min(MV_MAX,
+                                          mvp[1] + (cu.mvd[1] << sh)))),
+                         (0, 0))
+                cu.ref_idx = (-1, -1)
             else:
                 inter_dir = 1
                 if self.is_b:
@@ -2189,44 +2424,50 @@ class SyntaxCoder:
             _, _, tw, th, _, _ = sbt_tu_rect(cu)
         if not cu.is_inter or cu.root_cbf:
             if cu.luma_only:
-                cbf_y = dec.decode_bin(ct.CTX_SETS["QtCbfLuma"](0))
+                if cu.is_inter:
+                    cbf_y = 1   # inferred: no chroma TBs in this TU
+                else:
+                    cbf_y = dec.decode_bin(ct.CTX_SETS["QtCbfLuma"](
+                        1 if cu.bdpcm_y else 0))
                 self._maybe_code_dqp(dec, cu, bool(cbf_y), encode=False)
                 if cbf_y:
-                    cu.coeff_y = decode_residual(dec, w, h, True,
-                                             dep_quant=self.dq, sign_hiding=self.sdh)
+                    cu.coeff_y = self._residual_tb(dec, cu, 0, w, h, False)
                 self._code_lfnst_mts(dec, cu, encode=False)
                 self._finish_cu(ps, cu, node)
                 return cu
-            cbf_cb = dec.decode_bin(ct.CTX_SETS["QtCbfCb"](0))
-            cbf_cr = dec.decode_bin(ct.CTX_SETS["QtCbfCr"](1 if cbf_cb else 0))
+            cbf_cb = dec.decode_bin(ct.CTX_SETS["QtCbfCb"](
+                1 if cu.bdpcm_c else 0))
+            cbf_cr = dec.decode_bin(ct.CTX_SETS["QtCbfCr"](
+                2 if cu.bdpcm_c else (1 if cbf_cb else 0)))
             if cu.is_inter and not cbf_cb and not cbf_cr:
                 cbf_y = 1  # inferred for inter with no chroma cbf
             else:
-                cbf_y = dec.decode_bin(ct.CTX_SETS["QtCbfLuma"](0))
+                cbf_y = dec.decode_bin(ct.CTX_SETS["QtCbfLuma"](
+                    1 if cu.bdpcm_y else 0))
             self._maybe_code_dqp(dec, cu, bool(cbf_y or cbf_cb or cbf_cr),
                                  encode=False)
             mask = (2 if cbf_cb else 0) + (1 if cbf_cr else 0)
-            if self.jccr and ((not cu.is_inter and mask) or mask == 3):
+            if self.jccr and not cu.bdpcm_c and \
+                    ((not cu.is_inter and mask) or mask == 3):
                 if dec.decode_bin(ct.CTX_SETS["JointCbCrFlag"](mask - 1)):
                     cu.joint_cbcr = mask
             if cbf_y:
-                cu.coeff_y = decode_residual(dec, tw, th, True,
-                                             dep_quant=self.dq, sign_hiding=self.sdh)
+                cu.coeff_y = self._residual_tb(dec, cu, 0, tw, th, False)
             if cu.joint_cbcr:
-                coded = decode_residual(dec, tw >> 1, th >> 1, False,
-                                        dep_quant=self.dq,
-                                        sign_hiding=self.sdh)
+                cc = 1 if cu.joint_cbcr in (2, 3) else 2
+                coded = self._residual_tb(dec, cu, cc, tw >> 1, th >> 1,
+                                          False)
                 if cu.joint_cbcr in (2, 3):
                     cu.coeff_cb = coded
                 else:
                     cu.coeff_cr = coded
             else:
                 if cbf_cb:
-                    cu.coeff_cb = decode_residual(dec, tw >> 1, th >> 1, False,
-                                          dep_quant=self.dq, sign_hiding=self.sdh)
+                    cu.coeff_cb = self._residual_tb(dec, cu, 1, tw >> 1,
+                                                    th >> 1, False)
                 if cbf_cr:
-                    cu.coeff_cr = decode_residual(dec, tw >> 1, th >> 1, False,
-                                          dep_quant=self.dq, sign_hiding=self.sdh)
+                    cu.coeff_cr = self._residual_tb(dec, cu, 2, tw >> 1,
+                                                    th >> 1, False)
         self._code_lfnst_mts(dec, cu, encode=False)
         self._finish_cu(ps, cu, node)
         return cu
@@ -2284,6 +2525,22 @@ class SyntaxCoder:
 def predict_cu_component(ps: PictureState, cu: CuData, comp: int,
                          bit_depth: int, ctu_size: int = 64) -> np.ndarray:
     """Intra prediction for one component of a CU from current rec state."""
+    bdpcm = cu.bdpcm_y if comp == 0 else cu.bdpcm_c
+    if bdpcm:
+        # BDPCM: pure horizontal/vertical fill from unfiltered references
+        # (IntraPrediction::xPredIntraBDPCM:683)
+        if comp == 0:
+            x, y, w, h = cu.x, cu.y, cu.w, cu.h
+            rec, mask, unit = ps.rec[0], ps.coded_luma, PictureState.LUMA_UNIT
+        else:
+            x, y, w, h = cu.x >> 1, cu.y >> 1, cu.w >> 1, cu.h >> 1
+            rec, mask, unit = ps.rec[comp], ps.coded_chroma, \
+                PictureState.CHROMA_UNIT
+        top, left = I.build_reference_samples(rec, x, y, w, h, mask, unit,
+                                              bit_depth)
+        if bdpcm == 1:
+            return np.repeat(left[1:h + 1].reshape(h, 1), w, axis=1)
+        return np.repeat(top[1:w + 1].reshape(1, w), h, axis=0)
     if comp != 0 and cu.chroma_dir in CCLM_MODES:
         return cclm_predict(ps, cu, comp, bit_depth, ctu_size)
     if comp == 0:
@@ -2494,6 +2751,15 @@ def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
     maxval = (1 << bit_depth) - 1
 
     def _inter_pred(comp, x, y, w, h):
+        if cu.is_ibc:
+            # block copy from the unfiltered current reconstruction; the
+            # fractional part is dropped for IBC, also for chroma
+            # (InterPrediction::xPredInterBlk:786 isIBC -> frac = 0)
+            sh = 4 if comp == 0 else 5
+            return mc_block_np(ps.rec[comp], x, y, w, h,
+                               (cu.mv[0][0] >> sh) << sh,
+                               (cu.mv[0][1] >> sh) << sh, bit_depth,
+                               is_luma=(comp == 0))
         if cu.affine:
             from .affine import affine_predict
             return affine_predict(coder, cu, comp)
@@ -2518,13 +2784,18 @@ def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
         coeff = cu.coeff_cb if coded_comp == 1 else cu.coeff_cr
         q = qp.joint_qp() if cu.joint_cbcr == 3 \
             else qp.chroma_qp(coded_comp)
-        d = (T.dequant_dq_np(coeff, q, bit_depth) if dep_quant
-             else T.dequant_np(coeff, q, bit_depth))
-        if cu.lfnst_idx and cu.chroma_only:
-            from ..ops.lfnst import inv_lfnst
-            d = inv_lfnst(d, cu.w >> 1, cu.h >> 1, lfnst_chroma_mode(cu),
-                          cu.lfnst_idx)
-        resi = T.inv_transform_np(d, bit_depth)
+        ts_j = cu.ts_cb if coded_comp == 1 else cu.ts_cr
+        if ts_j:
+            resi = T.dequant_ts_np(coeff, q,
+                                   coder.min_qp_ts if coder else 16)
+        else:
+            d = (T.dequant_dq_np(coeff, q, bit_depth) if dep_quant
+                 else T.dequant_np(coeff, q, bit_depth))
+            if cu.lfnst_idx and cu.chroma_only:
+                from ..ops.lfnst import inv_lfnst
+                d = inv_lfnst(d, cu.w >> 1, cu.h >> 1,
+                              lfnst_chroma_mode(cu), cu.lfnst_idx)
+            resi = T.inv_transform_np(d, bit_depth)
         rcb, rcr = _ict_derive(resi.astype(np.int64), cu.joint_cbcr,
                                jccr_sign)
         joint_resi = {1: rcb, 2: rcr}
@@ -2570,6 +2841,16 @@ def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
                 pred = _inter_pred(comp, x, y, w, h)
         else:
             pred = predict_cu_component(ps, cu, comp, bit_depth, ctu_size)
+        ts_c = (cu.ts_y or cu.bdpcm_y) if comp == 0 else \
+            ((cu.ts_cb if comp == 1 else cu.ts_cr) or cu.bdpcm_c)
+        if ts_c and coeff is not None and np.any(coeff):
+            bd = cu.bdpcm_y if comp == 0 else cu.bdpcm_c
+            cc = T.inv_res_dpcm(coeff, bd) if bd else coeff
+            resi = T.dequant_ts_np(cc, q,
+                                   coder.min_qp_ts if coder else 16)
+            ps.rec[comp][y:y + h, x:x + w] = \
+                np.clip(pred + resi, 0, maxval)
+            continue
         if coeff is not None and np.any(coeff):
             if cu.sbt_idx:
                 tx_, ty_, _, _, trh, trv = sbt_tu_rect(cu)
@@ -2608,6 +2889,7 @@ def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
     if cu.chroma_only:
         ps.mark_chroma(cu.x, cu.y, cu.w, cu.h)
     else:
-        ps.mark_cu(cu.x, cu.y, cu.w, cu.h, qt_depth, dm_luma_mode(cu),
+        ps.mark_cu(cu.x, cu.y, cu.w, cu.h, qt_depth,
+                   dm_luma_mode(cu) if not cu.is_inter else DC,
                    is_intra=not cu.is_inter, is_mip=cu.mip_flag,
                    with_chroma=not cu.luma_only, qp=qp.qp_y)

@@ -313,6 +313,11 @@ class _BsMaps:
         self.refpoc = np.full((2, uh, uw), -(10 ** 9), np.int64)
         self.subblk = np.zeros((uh, uw), bool)   # affine / SbTMVP CU
         self.ciip = np.zeros((uh, uw), bool)
+        self.bdpcm_y = np.zeros((uh, uw), bool)
+        self.bdpcm_c = np.zeros((uh, uw), bool)
+        # chroma-channel intra-ness (differs from luma under a local dual
+        # tree: TREE_C chroma CUs are intra even over IBC/inter luma)
+        self.cintra = np.ones((uh, uw), bool)
         rp = ref_pocs or [[], []]
         for cu in cu_list:
             ys = slice(cu.y >> 2, (cu.y + cu.h) >> 2)
@@ -327,6 +332,9 @@ class _BsMaps:
                 for ci, a in ((1, "coeff_cb"), (2, "coeff_cr")):
                     self.cbf[ci, ys, xs] = \
                         (getattr(cu, a, None) is not None or joint != 0)
+                self.cintra[ys, xs] = True
+                if getattr(cu, "bdpcm_c", 0):
+                    self.bdpcm_c[ys, xs] = True
                 continue
             isp = getattr(cu, "isp_mode", 0)
             sbt = getattr(cu, "sbt_idx", 0)
@@ -351,6 +359,12 @@ class _BsMaps:
                 self.cu_h[ys, xs] = cu.h
             is_inter = getattr(cu, "is_inter", False)
             self.intra[ys, xs] = not is_inter
+            if not getattr(cu, "luma_only", False):
+                self.cintra[ys, xs] = not is_inter
+            if getattr(cu, "bdpcm_y", 0):
+                self.bdpcm_y[ys, xs] = True
+            if getattr(cu, "bdpcm_c", 0):
+                self.bdpcm_c[ys, xs] = True
             if sbt:
                 # cbf flags live only on the residual TU region
                 self.cbf[0, rys, rxs] = getattr(cu, "coeff_y", None) is not None
@@ -366,6 +380,13 @@ class _BsMaps:
                         self.cbf[ci, ys, xs] = \
                             (getattr(cu, a, None) is not None or joint != 0)
             if is_inter:
+                if getattr(cu, "is_ibc", False):
+                    # IBC: own-picture 'reference' sentinel + BV as motion
+                    # (xGetBoundaryStrengthSingle piRefP0 = slice.pic)
+                    self.refpoc[0, ys, xs] = 10 ** 8
+                    self.mv[0, ys, xs, 0] = cu.mv[0][0]
+                    self.mv[0, ys, xs, 1] = cu.mv[0][1]
+                    continue
                 if getattr(cu, "ciip", False):
                     self.ciip[ys, xs] = True
                 sub_mi = getattr(cu, "sub_mi", None)
@@ -396,12 +417,22 @@ class _BsMaps:
         """(bs_y, bs_cb, bs_cr) for the edge between units P and Q
         (vvenc xGetBoundaryStrengthSingle, LoopFilter.cpp:1022).
         tu_edge=False: internal sub-block edge — cbf rule does not apply."""
+        chroma_int = self.cintra[py, px] or self.cintra[qy, qx]
+        bs_c_intra = 0 if (self.bdpcm_c[py, px] and
+                           self.bdpcm_c[qy, qx]) else 2
         if self.intra[py, px] or self.intra[qy, qx]:
-            return 2, 2, 2
+            # BDPCM on both sides -> BS 0 (LoopFilter.cpp:1082,1068)
+            bs_y = 0 if (self.bdpcm_y[py, px] and self.bdpcm_y[qy, qx]) else 2
+            return bs_y, bs_c_intra, bs_c_intra
         if self.ciip[py, px] or self.ciip[qy, qx]:
+            if chroma_int:
+                return 2, bs_c_intra, bs_c_intra
             return 2, 2, 2
-        bs_cb = 1 if (self.cbf[1, py, px] or self.cbf[1, qy, qx]) else 0
-        bs_cr = 1 if (self.cbf[2, py, px] or self.cbf[2, qy, qx]) else 0
+        if chroma_int:
+            bs_cb = bs_cr = bs_c_intra
+        else:
+            bs_cb = 1 if (self.cbf[1, py, px] or self.cbf[1, qy, qx]) else 0
+            bs_cr = 1 if (self.cbf[2, py, px] or self.cbf[2, qy, qx]) else 0
         if tu_edge and (self.cbf[0, py, px] or self.cbf[0, qy, qx]):
             return 1, bs_cb, bs_cr
         rp0, rp1 = self.refpoc[0, py, px], self.refpoc[1, py, px]

@@ -106,14 +106,18 @@ class MotionField:
         # affine CUs only) and the cu.affine flag (incl. SbTMVP; ctx deriv)
         self.aff = [[None] * self.uw for _ in range(self.uh)]
         self.isaff = [[False] * self.uw for _ in range(self.uh)]
+        # IBC block vectors (internal 1/16); None = not an IBC unit
+        self.ibc = [[None] * self.uw for _ in range(self.uh)]
 
-    def set_cu(self, x, y, w, h, mi: Optional[MotionInfo], skip=False):
+    def set_cu(self, x, y, w, h, mi: Optional[MotionInfo], skip=False,
+               ibc_bv=None):
         for uy in range(y >> 2, (y + h) >> 2):
             for ux in range(x >> 2, (x + w) >> 2):
                 self.mi[uy][ux] = mi
                 self.skip[uy][ux] = skip
                 self.aff[uy][ux] = None
                 self.isaff[uy][ux] = False
+                self.ibc[uy][ux] = ibc_bv
 
     def set_sub_cu(self, x, y, w, h, sub_mi, skip=False,
                    aff_info=None, is_aff=True) -> None:
@@ -136,6 +140,11 @@ class MotionField:
             return None
         return self.aff[y >> 2][x >> 2]
 
+    def ibc_at(self, x, y):
+        if x < 0 or y < 0 or x >= self.uw * 4 or y >= self.uh * 4:
+            return None
+        return self.ibc[y >> 2][x >> 2]
+
     def is_aff_at(self, x, y) -> bool:
         if x < 0 or y < 0 or x >= self.uw * 4 or y >= self.uh * 4:
             return False
@@ -154,15 +163,17 @@ class MotionField:
                 [row[ux0:ux1] for row in self.mi[uy0:uy1]],
                 [row[ux0:ux1] for row in self.skip[uy0:uy1]],
                 [row[ux0:ux1] for row in self.aff[uy0:uy1]],
-                [row[ux0:ux1] for row in self.isaff[uy0:uy1]])
+                [row[ux0:ux1] for row in self.isaff[uy0:uy1]],
+                [row[ux0:ux1] for row in self.ibc[uy0:uy1]])
 
     def restore_region(self, snap):
-        ux0, uy0, ux1, uy1, mi, skip, aff, isaff = snap
+        ux0, uy0, ux1, uy1, mi, skip, aff, isaff, ibc = snap
         for i, uy in enumerate(range(uy0, uy1)):
             self.mi[uy][ux0:ux1] = mi[i]
             self.skip[uy][ux0:ux1] = skip[i]
             self.aff[uy][ux0:ux1] = aff[i]
             self.isaff[uy][ux0:ux1] = isaff[i]
+            self.ibc[uy][ux0:ux1] = ibc[i]
 
 
 def _avail_inter(ps, mf: MotionField, x: int, y: int) -> Optional[MotionInfo]:
@@ -448,3 +459,55 @@ def hmvp_insertion_allowed(x, y, w, h, log2_par_merge_level=2) -> bool:
     xbr, ybr = x + w, y + h
     return ((xbr >> log2_par_merge_level) > (x >> log2_par_merge_level)) and \
            ((ybr >> log2_par_merge_level) > (y >> log2_par_merge_level))
+
+
+# ---------------------------------------------------------------------------
+# IBC (intra block copy) merge / AMVP
+# ---------------------------------------------------------------------------
+
+def get_ibc_merge_candidates(ps, mf: MotionField, hmvp_ibc: HmvpLut,
+                             x, y, w, h, max_cands: int) -> List:
+    """CU::getIBCMergeCandidates (UnitTools.cpp:803): A1, B1, HMVP, zero.
+    Returns a list of BVs (internal 1/16 units)."""
+    cands: List = []
+    gt4x4 = w * h > 16
+    bv_a1 = bv_b1 = None
+    if gt4x4:
+        if ps.is_coded(x - 1, y + h - 1):
+            bv_a1 = mf.ibc_at(x - 1, y + h - 1)
+            if bv_a1 is not None:
+                cands.append(bv_a1)
+        if ps.is_coded(x + w - 1, y - 1):
+            bv_b1 = mf.ibc_at(x + w - 1, y - 1)
+            if bv_b1 is not None and (bv_a1 is None or bv_b1 != bv_a1):
+                cands.append(bv_b1)
+    # HMVP (newest first; prune only the first entry vs A1/B1 when >4x4)
+    lut = hmvp_ibc.lut
+    for mrg_idx in range(1, len(lut) + 1):
+        if len(cands) >= max_cands:
+            break
+        bv = lut[len(lut) - mrg_idx].mv[0]
+        if (mrg_idx > 1 or not gt4x4) or \
+                ((bv_a1 is None or bv != bv_a1) and
+                 (bv_b1 is None or bv != bv_b1)):
+            cands.append(bv)
+    while len(cands) < max_cands:
+        cands.append((0, 0))
+    return cands[:max_cands]
+
+
+def get_ibc_amvp_candidates(ps, mf: MotionField, hmvp_ibc: HmvpLut,
+                            x, y, w, h, imv: int) -> List:
+    """fillIBCMvpCand (UnitTools.cpp:1643): the first two IBC merge
+    candidates rounded to the AMVR precision (int / 4-pel)."""
+    cands = get_ibc_merge_candidates(ps, mf, hmvp_ibc, x, y, w, h, 2)
+    sh = 6 if imv == 2 else 4   # m_amvrPrecIbc: INT, INT, 4PEL
+    out = []
+    for bv in cands:
+        off = 1 << (sh - 1)
+
+        def r(v):
+            v = (v + off - 1) >> sh if v >= 0 else (v + off) >> sh
+            return v << sh
+        out.append((r(bv[0]), r(bv[1])))
+    return out

@@ -300,6 +300,37 @@ def dequant_np(qcoeff: np.ndarray, qp: int, bit_depth: int = 10) -> np.ndarray:
     return np.clip(d, COEFF_MIN, COEFF_MAX).astype(np.int32)
 
 
+def dequant_ts_np(qcoeff: np.ndarray, qp: int, min_qp_prime_ts: int = 16
+                  ) -> np.ndarray:
+    """Transform-skip dequant (Quant::dequant with isTransformSkip:
+    no transform shift, no sqrt2, QP floored at QpPrimeTsMin =
+    4 + 6*internalMinusInputBitDepth, Quant.cpp:119-125,560)."""
+    q_ts = max(qp, min_qp_prime_ts)
+    right_shift = 6 - q_ts // 6
+    scale = int(INV_QUANT_SCALES[0][q_ts % 6])
+    q = np.clip(qcoeff.astype(np.int64), -(1 << 15), (1 << 15) - 1)
+    if right_shift > 0:
+        add = 1 << (right_shift - 1)
+        d = (q * scale + add) >> right_shift
+    else:
+        d = (q * scale) << (-right_shift)
+    return np.clip(d, COEFF_MIN, COEFF_MAX).astype(np.int32)
+
+
+def inv_res_dpcm(coeff: np.ndarray, mode: int) -> np.ndarray:
+    """BDPCM inverse residual DPCM on quantized levels
+    (Quant.cpp invResDPCM:298): mode 1 horizontal, 2 vertical."""
+    out = coeff.astype(np.int64).copy()
+    if mode == 1:
+        for x in range(1, out.shape[1]):
+            out[:, x] = np.clip(out[:, x - 1] + out[:, x],
+                                COEFF_MIN, COEFF_MAX)
+    else:
+        for y in range(1, out.shape[0]):
+            out[y] = np.clip(out[y - 1] + out[y], COEFF_MIN, COEFF_MAX)
+    return out.astype(np.int32)
+
+
 def dequant_dq_np(qcoeff: np.ndarray, qp: int,
                   bit_depth: int = 10) -> np.ndarray:
     """Dependent-quantization dequant (vvenc DepQuant.cpp:574 dequantBlock).
