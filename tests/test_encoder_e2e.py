@@ -129,3 +129,50 @@ def test_alf_encoder_roundtrip():
                   for c in range(3))
         res[alf] = sse
     assert res[True] <= res[False]
+
+
+def test_sao_encoder_roundtrip():
+    """SAO-enabled encode: stream decodes bit-exactly and luma gains."""
+    import numpy as np
+    from vvenc_tpu.encoder import IntraEncoder, EncoderConfig
+    from vvenc_tpu.decoder import decode_stream
+    w, h = 128, 64
+    rng = np.random.RandomState(3)
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = np.clip(60 + 120 * ((xx // 9 + yy // 7) % 2) + rng.randn(h, w) * 6,
+                0, 255).astype(np.uint8)
+    u = np.clip(128 + 30 * ((xx // 11) % 2) + rng.randn(h, w) * 4,
+                0, 255)[::2, ::2].astype(np.uint8)
+    v = np.clip(128 - 25 * ((yy // 8) % 2) + rng.randn(h, w) * 4,
+                0, 255)[::2, ::2].astype(np.uint8)
+    res = {}
+    for sao in (False, True):
+        enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=37,
+                                         deblocking=True, sao=sao))
+        au = enc.encode_frame((y, u, v))
+        dec = decode_stream(au)[0]
+        for c in range(3):
+            assert np.array_equal(dec.planes[c], enc.last_rec.rec[c])
+        res[sao] = float(((dec.planes[0].astype(np.int64)
+                           - (y.astype(np.int64) << 2)) ** 2).sum())
+    assert res[True] < res[False]  # SAO must pay for its bits in luma SSE
+
+
+def test_sao_alf_combined_roundtrip():
+    """SAO+ALF both on: replay carries both syntax sets, bit-exact decode."""
+    import numpy as np
+    from vvenc_tpu.encoder import IntraEncoder, EncoderConfig
+    from vvenc_tpu.decoder import decode_stream
+    w, h = 128, 128
+    rng = np.random.RandomState(11)
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = np.clip(100 + 90 * ((xx // 13 + yy // 5) % 2)
+                + rng.randn(h, w) * 8, 0, 255).astype(np.uint8)
+    u = np.clip(128 + 30 * np.sin(xx / 9.0), 0, 255)[::2, ::2].astype(np.uint8)
+    v = np.clip(128 + 30 * np.cos(yy / 7.0), 0, 255)[::2, ::2].astype(np.uint8)
+    enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=35, ctu_size=64,
+                                     deblocking=True, sao=True, alf=True))
+    au = enc.encode_frame((y, u, v))
+    dec = decode_stream(au)[0]
+    for c in range(3):
+        assert np.array_equal(dec.planes[c], enc.last_rec.rec[c])

@@ -101,11 +101,21 @@ def parse_sao_ctu(dec, sao_map, ctu_x, ctu_y, n_cols, slice_sao,
 
 def write_sao_ctu(enc, blk: SaoBlkParam, sao_map, ctu_x, ctu_y, n_cols,
                   slice_sao, bit_depth: int) -> None:
-    """Encode one CTU's SAO parameters (merge not used by this encoder)."""
+    """Encode one CTU's SAO parameters.
+
+    Merge-left/up is signaled by object identity with the neighbor's params
+    (mirror of parse_sao_ctu, which stores the identical object on merge)."""
+    idx = ctu_y * n_cols + ctu_x
     if ctu_x > 0:
-        enc.encode_bin(0, ct.CTX_SETS["SaoMergeFlag"](0))
+        merge_left = blk is sao_map[idx - 1]
+        enc.encode_bin(1 if merge_left else 0, ct.CTX_SETS["SaoMergeFlag"](0))
+        if merge_left:
+            return
     if ctu_y > 0:
-        enc.encode_bin(0, ct.CTX_SETS["SaoMergeFlag"](0))
+        merge_up = blk is sao_map[idx - n_cols]
+        enc.encode_bin(1 if merge_up else 0, ct.CTX_SETS["SaoMergeFlag"](0))
+        if merge_up:
+            return
     enabled = (slice_sao[0], slice_sao[1], slice_sao[1])
     for comp in range(3):
         p = blk.comps[comp]

@@ -70,6 +70,7 @@ class EncoderConfig:
     mrl: bool = False              # multi-reference-line intra
     lfnst: bool = False            # low-frequency non-separable transform
     mts: bool = False              # explicit intra MTS (DST7/DCT8)
+    sao: bool = False              # sample adaptive offset (encoder RD)
     alf: bool = False              # adaptive loop filter (encoder-derived)
     mctf: bool = False             # motion-compensated temporal filtering
     bitrate: int = 0               # target bps (0 = fixed QP)
@@ -109,6 +110,7 @@ def build_parameter_sets(cfg: EncoderConfig):
         sps.mts = 1
         sps.mts_intra = 1
     sps.alf_enabled = 1 if cfg.alf else 0
+    sps.sao_enabled = 1 if cfg.sao else 0
     if cfg.qpa:
         pps.cu_qp_delta_enabled = 1
         pps.slice_chroma_qp_flag = 1
@@ -339,10 +341,20 @@ class IntraEncoder:
                             chroma_qp_fn=qp_state.chroma_deblock_qp)
 
         aps_bytes = b""
+        sao_map = None
+        if cfg.sao:
+            from .sao_enc import derive_sao
+            from ..codec.sao import apply_sao_picture
+            res = derive_sao(src, ps.rec, cfg.bit_depth, cfg.ctu_size,
+                             self.lmbda, n_cols, n_rows)
+            if res is not None:
+                sao_map, (sh.sao_luma, sh.sao_chroma) = res
+                apply_sao_picture(ps.rec, sao_map, cfg.ctu_size,
+                                  cfg.bit_depth, n_cols, n_rows)
+        alf_info = None
         if cfg.alf:
             from .alf_enc import derive_alf
-            from ..codec.alf import write_alf_aps, apply_alf_picture, \
-                code_alf_ctu
+            from ..codec.alf import write_alf_aps
             res = derive_alf(src, ps.rec, cfg.bit_depth, cfg.ctu_size,
                              self.lmbda)
             if res is not None:
@@ -358,47 +370,58 @@ class IntraEncoder:
                     write_alf_aps(aps_bw, 0, alf_p)
                     aps_bytes = make_nal_unit(NalUnitType.PREFIX_APS,
                                               aps_bw.get_bytes())
-                    # replay the slice entropy with ALF CTU syntax
-                    ps2 = PictureState(cfg.width, cfg.height, cfg.bit_depth)
-                    qp2 = QpState(self.sps, self.pps, slice_qp, sh=sh)
-                    coder2 = SyntaxCoder(self.sps, self.pps, sh, qp2,
-                                         ref_pics, ref_pocs, cur_poc=poc)
-                    coder2.attach_motion(ps2)
-                    bw = BitWriter()
-                    hls.write_slice_header(bw, sh, self.sps, self.pps,
-                                           is_idr=is_idr)
-                    bw.write_byte_alignment()
-                    enc = CabacEncoder(bw)
-                    enc.init_ctx(slice_qp, 2 if is_idr else sh.slice_type)
-                    ti = 0
-                    for cy in range(n_rows):
-                        coder2.new_ctu_row()
-                        for cx in range(n_cols):
-                            addr = cy * n_cols + cx
-                            if qpa_res is not None:
-                                qp2.set_cu_qp(int(qpa_res.ctu_qps[addr]))
-                            code_alf_ctu(enc, True, addr, n_cols,
-                                         sh.alf_enabled, sh.num_alf_aps, 1,
-                                         alf_flags, alf_fidx, alf_alt,
-                                         [0, 0], [0, 0],
-                                         [[0] * (n_rows * n_cols)] * 2)
-                            coder2.encode_ctu(enc, ps2, trees[ti])
-                            ti += 1
-                    enc.encode_bin_trm(1)
-                    enc.finish()
-                    bw.write_rbsp_trailing_bits()
-                    # apply the decided ALF to the reconstruction
-                    for comp in range(3):
-                        sc = 1 if comp else 0
-                        csz = cfg.ctu_size >> sc
-                        for ry in range(n_rows):
-                            for rx in range(n_cols):
-                                if not (sh.alf_enabled[comp] and
-                                        alf_flags[comp][ry * n_cols + rx]):
-                                    continue
-                                y0, x0 = ry * csz, rx * csz
-                                ps.rec[comp][y0:y0 + csz, x0:x0 + csz] = \
-                                    filt[comp][y0:y0 + csz, x0:x0 + csz]
+                    alf_info = (alf_flags, alf_fidx, alf_alt, filt)
+        if sao_map is not None or alf_info is not None:
+            # replay the slice entropy with SAO/ALF CTU syntax prepended
+            from ..codec.sao import write_sao_ctu
+            from ..codec.alf import code_alf_ctu
+            ps2 = PictureState(cfg.width, cfg.height, cfg.bit_depth)
+            qp2 = QpState(self.sps, self.pps, slice_qp, sh=sh)
+            coder2 = SyntaxCoder(self.sps, self.pps, sh, qp2,
+                                 ref_pics, ref_pocs, cur_poc=poc)
+            coder2.attach_motion(ps2)
+            bw = BitWriter()
+            hls.write_slice_header(bw, sh, self.sps, self.pps,
+                                   is_idr=is_idr)
+            bw.write_byte_alignment()
+            enc = CabacEncoder(bw)
+            enc.init_ctx(slice_qp, 2 if is_idr else sh.slice_type)
+            ti = 0
+            for cy in range(n_rows):
+                coder2.new_ctu_row()
+                for cx in range(n_cols):
+                    addr = cy * n_cols + cx
+                    if qpa_res is not None:
+                        qp2.set_cu_qp(int(qpa_res.ctu_qps[addr]))
+                    if sao_map is not None:
+                        write_sao_ctu(enc, sao_map[addr], sao_map, cx, cy,
+                                      n_cols, (sh.sao_luma, sh.sao_chroma),
+                                      cfg.bit_depth)
+                    if alf_info is not None:
+                        code_alf_ctu(enc, True, addr, n_cols,
+                                     sh.alf_enabled, sh.num_alf_aps, 1,
+                                     alf_info[0], alf_info[1], alf_info[2],
+                                     [0, 0], [0, 0],
+                                     [[0] * (n_rows * n_cols)] * 2)
+                    coder2.encode_ctu(enc, ps2, trees[ti])
+                    ti += 1
+            enc.encode_bin_trm(1)
+            enc.finish()
+            bw.write_rbsp_trailing_bits()
+        if alf_info is not None:
+            # apply the decided ALF to the reconstruction
+            alf_flags, _, _, filt = alf_info
+            for comp in range(3):
+                sc = 1 if comp else 0
+                csz = cfg.ctu_size >> sc
+                for ry in range(n_rows):
+                    for rx in range(n_cols):
+                        if not (sh.alf_enabled[comp] and
+                                alf_flags[comp][ry * n_cols + rx]):
+                            continue
+                        y0, x0 = ry * csz, rx * csz
+                        ps.rec[comp][y0:y0 + csz, x0:x0 + csz] = \
+                            filt[comp][y0:y0 + csz, x0:x0 + csz]
         if is_idr:
             nal_type = NalUnitType.IDR_N_LP if self.frames_done == 0 \
                 else NalUnitType.IDR_W_RADL
