@@ -60,12 +60,14 @@ class EncoderConfig:
     intra_period: int = 1          # 1 = all-intra; N>1 = IDR every N, P between
     gop_size: int = 1              # >1: hierarchical-B random access GOPs
     search_range: int = 8          # integer ME range around the predictor
+    tmvp: bool = True              # temporal MVP (collocated-picture MVs)
     max_mtt_depth: int = 0         # BT/TT depth for intra slices
     max_bt_size: int = 32
     max_tt_size: int = 32
     rdoq: bool = True              # rate-distortion optimized quantization
     dep_quant: bool = False        # trellis (dependent) quantization
     qpa: bool = False              # perceptual QP adaptation (XPSNR model)
+    cclm: bool = False             # cross-component linear model chroma
     mip: bool = False              # matrix intra prediction
     mrl: bool = False              # multi-reference-line intra
     lfnst: bool = False            # low-frequency non-separable transform
@@ -104,6 +106,7 @@ def build_parameter_sets(cfg: EncoderConfig):
     pps.deblocking_filter_disabled = 0 if cfg.deblocking else 1
     sps.dep_quant_enabled = 1 if cfg.dep_quant else 0
     sps.mip = 1 if cfg.mip else 0
+    sps.cclm = 1 if cfg.cclm else 0
     sps.mrl = 1 if cfg.mrl else 0
     sps.lfnst = 1 if cfg.lfnst else 0
     if cfg.mts:
@@ -111,6 +114,7 @@ def build_parameter_sets(cfg: EncoderConfig):
         sps.mts_intra = 1
     sps.alf_enabled = 1 if cfg.alf else 0
     sps.sao_enabled = 1 if cfg.sao else 0
+    sps.temporal_mvp = 1 if cfg.tmvp else 0
     if cfg.qpa:
         pps.cu_qp_delta_enabled = 1
         pps.slice_chroma_qp_flag = 1
@@ -139,6 +143,9 @@ class IntraEncoder:
         self.slice_type_by_poc = {}
         self.qp_by_poc = {}
         self._orig_by_poc = {}         # display-order originals for QPA
+        self._force_idr_pocs = set()   # scene cuts (PreProcess STA)
+        self.analysis = None           # per-frame PreProcess results
+        self.scc_detected = False
         self.rc = None
         if cfg.bitrate > 0 or cfg.rc_stats_out:
             from .ratectrl import RateCtrl
@@ -164,7 +171,8 @@ class IntraEncoder:
         or IPPP) -> Annex-B AU bytes (headers prepended on first frame)."""
         poc = self.frames_done
         cfg = self.cfg
-        is_idr = (cfg.intra_period <= 1) or (poc % cfg.intra_period == 0)
+        is_idr = (cfg.intra_period <= 1) or (poc % cfg.intra_period == 0) \
+            or poc in self._force_idr_pocs
         if is_idr:
             au = self._encode_picture(poc, planes8, SLICE_I, [], [])
         else:
@@ -180,6 +188,17 @@ class IntraEncoder:
         cfg = self.cfg
         self.recs_by_poc = {}
         stream = bytearray()
+        # PreProcess stage: visual activity + scene-cut (STA) + SCC
+        # detection over the original frames (vvenc PreProcess analog)
+        from .preprocess import PreProcess
+        pp = PreProcess(frame_rate=(cfg.fps_num + cfg.fps_den - 1)
+                        // cfg.fps_den)
+        self.analysis = [pp.push(f[0]) for f in frames]
+        self.scc_detected = pp.sequence_is_scc()
+        if cfg.intra_period != 1 and cfg.gop_size <= 1:
+            # adaptive intra placement: IDR at detected scene cuts
+            self._force_idr_pocs = {a.poc for a in self.analysis
+                                    if a.is_scene_cut}
         if cfg.mctf and len(frames) > 2 and cfg.gop_size > 1:
             from .mctf import apply_mctf
             frames = apply_mctf(frames, cfg.gop_size, cfg.qp,
@@ -257,29 +276,45 @@ class IntraEncoder:
         sh.ph.poc_lsb = poc & ((1 << self.sps.log2_max_poc_lsb) - 1)
         ref_pics = [[], []]
         ref_pocs = [[], []]
+        tmvp = None
         sh.slice_type = slice_type
         if not is_idr:
             sh.ph.gdr_or_irap = 0
             sh.ph.inter_slice_allowed = 1
             sh.ph.intra_slice_allowed = 1
-            by_poc = {p: planes for p, planes in self.dpb}
+            by_poc = {e[0]: e for e in self.dpb}
             for li, refs in ((0, refs_l0), (1, refs_l1)):
                 if not refs:
                     continue
                 sh.rpls[li] = RefPicList(
                     num_short_term=len(refs),
                     delta_pocs=[r - poc for r in refs])
-                ref_pics[li] = [by_poc[r] for r in refs]
+                ref_pics[li] = [by_poc[r][1] for r in refs]
                 ref_pocs[li] = list(refs)
             sh.num_ref_idx = [len(refs_l0), len(refs_l1)]
             if not refs_l1:
                 sh.rpls[1] = RefPicList()
+            if cfg.tmvp:
+                from ..codec.motion import TmvpCtx
+                is_b_sl = slice_type == SLICE_B
+                sh.ph.enable_tmvp = 1
+                sh.col_from_l0 = 1
+                sh.col_ref_idx = 0
+                pic_list = (1 - sh.col_from_l0) if is_b_sl else 0
+                col = by_poc[ref_pocs[pic_list][sh.col_ref_idx]]
+                if col[2] is not None:
+                    check_ldc = all(p <= poc for li in range(2)
+                                    for p in ref_pocs[li])
+                    tmvp = TmvpCtx(col[2], col[3], col[0], poc, ref_pocs,
+                                   sh.col_from_l0 if is_b_sl else 1,
+                                   check_ldc, cfg.width, cfg.height,
+                                   cfg.ctu_size)
         if qpa_res is not None:
             sh.cb_qp_offset, sh.cr_qp_offset = qpa_res.chroma_qp_offsets
         qp_state = QpState(self.sps, self.pps, slice_qp, sh=sh)
 
         coder = SyntaxCoder(self.sps, self.pps, sh, qp_state, ref_pics,
-                            ref_pocs, cur_poc=poc)
+                            ref_pocs, tmvp=tmvp, cur_poc=poc)
         coder.attach_motion(ps)
         searcher = _CtuSearcher(self, ps, qp_state, src, coder)
 
@@ -378,7 +413,7 @@ class IntraEncoder:
             ps2 = PictureState(cfg.width, cfg.height, cfg.bit_depth)
             qp2 = QpState(self.sps, self.pps, slice_qp, sh=sh)
             coder2 = SyntaxCoder(self.sps, self.pps, sh, qp2,
-                                 ref_pics, ref_pocs, cur_poc=poc)
+                                 ref_pics, ref_pocs, tmvp=tmvp, cur_poc=poc)
             coder2.attach_motion(ps2)
             bw = BitWriter()
             hls.write_slice_header(bw, sh, self.sps, self.pps,
@@ -441,7 +476,8 @@ class IntraEncoder:
         self.qp_by_poc[poc] = slice_qp
         if is_idr:
             self.dpb = []
-        self.dpb.append((poc, dict(ps.rec)))
+        self.dpb.append((poc, dict(ps.rec), coder.mf,
+                         [list(ref_pocs[0]), list(ref_pocs[1])]))
         if len(self.dpb) > 16:
             self.dpb.pop(0)
         return out
@@ -719,20 +755,12 @@ class _CtuSearcher:
                     best = (cost, cu, rec)
         cost, cu, rec_y = best
 
-        # chroma: DM mode, residual per component
-        ccoeffs = {}
-        for comp in (1, 2):
-            cx, cy2, cw, chh = x >> 1, y >> 1, w >> 1, h >> 1
-            src_c = self.src[comp][cy2:cy2 + chh, cx:cx + cw]
-            pred_c = predict_cu_component(ps, cu, comp, bit_depth)
-            qc = self.qp.chroma_qp(comp)
-            cbf_ctx = ct.CTX_SETS["QtCbfCb"](0) if comp == 1 else \
-                ct.CTX_SETS["QtCbfCr"](1 if ccoeffs[1] is not None else 0)
-            coeff = self._q(T.fwd_transform_np(src_c - pred_c, bit_depth),
-                            qc, False, cbf_ctx)
-            ccoeffs[comp] = coeff if np.any(coeff) else None
-        cu.coeff_cb = ccoeffs[1]
-        cu.coeff_cr = ccoeffs[2]
+        # chroma mode decision: DM + CCLM modes (+ candidate-list modes).
+        # CCLM reads the co-located reconstructed luma, so stage the luma
+        # reconstruction of this CU into the picture state first (finish_cu
+        # redoes it identically later).
+        ps.rec[0][y:y + h, x:x + w] = rec_y
+        self._rd_chroma(cu)
 
         # chroma residuals can retract LFNST signalability (corner
         # violation / DC-only): fall back to the primary-only transform
@@ -747,12 +775,22 @@ class _CtuSearcher:
                 coeff = self._q(T.fwd_transform_np(src_y - pred0, bit_depth),
                                 qy, True, ct.CTX_SETS["QtCbfLuma"](0))
                 cu.coeff_y = coeff if np.any(coeff) else None
+                if cu.coeff_y is not None:
+                    d = self._dq(cu.coeff_y, qy)
+                    ps.rec[0][y:y + h, x:x + w] = np.clip(
+                        pred0 + T.inv_transform_np(d, bit_depth), 0,
+                        (1 << bit_depth) - 1)
+                else:
+                    ps.rec[0][y:y + h, x:x + w] = pred0
+                # the luma reconstruction changed: redo the chroma decision
+                # so CCLM predicts from what the decoder will see
+                self._rd_chroma(cu)
 
         # re-encode the full chosen CU syntax into the running estimator
         self.est.restore(est_snap)
         b0 = self.est.frac_bits
         self._est_cu_luma_syntax(cu, mpm)
-        self.est.encode_bin(0, ct.CTX_SETS["IntraChromaPredMode"](0))  # DM
+        self.coder._enc_intra_chroma_mode(self.est, cu)
         cbf_cb = cu.coeff_cb is not None
         cbf_cr = cu.coeff_cr is not None
         self.est.encode_bin(1 if cbf_cb else 0, ct.CTX_SETS["QtCbfCb"](0))
@@ -777,6 +815,67 @@ class _CtuSearcher:
                              ps.rec[comp][cy2:cy2 + chh, cx:cx + cw])
         total_cost = dist + self.lmbda * total_bits
         return cu, total_cost
+
+    def _rd_chroma(self, cu: CuData) -> None:
+        """Chroma mode RD: DM + CCLM/MDLM (+ the 4-entry candidate list when
+        it differs from DM).  Sets cu.chroma_dir/coeff_cb/coeff_cr.
+
+        vvenc IntraSearch::estIntraPredChromaQT analog (IntraSearch.h:178):
+        per candidate mode, full transform/quant + SSE + estimated bits."""
+        from ..codec.ctu_syntax import chroma_cand_modes, dm_luma_mode
+        from ..codec.cclm import (LM_CHROMA_IDX, MDLM_L_IDX, MDLM_T_IDX)
+        ps, bit_depth = self.ps, self.cfg.bit_depth
+        x, y, w, h = cu.x, cu.y, cu.w, cu.h
+        cx, cy2, cw, chh = x >> 1, y >> 1, w >> 1, h >> 1
+        srcs = {c: self.src[c][cy2:cy2 + chh, cx:cx + cw] for c in (1, 2)}
+        cands = [DM_CHROMA]
+        if self.enc.sps.cclm:
+            cands += [LM_CHROMA_IDX, MDLM_L_IDX, MDLM_T_IDX]
+            dm = dm_luma_mode(cu)
+            cands += [m for m in chroma_cand_modes(dm) if m != dm]
+        snap = self.est.snapshot()
+        best = None
+        for cdir in cands:
+            cu.chroma_dir = cdir
+            dist = 0.0
+            coeffs, recs = {}, {}
+            for comp in (1, 2):
+                pred = predict_cu_component(ps, cu, comp, bit_depth,
+                                            self.cfg.ctu_size)
+                qc = self.qp.chroma_qp(comp)
+                cbf_ctx = ct.CTX_SETS["QtCbfCb"](0) if comp == 1 else \
+                    ct.CTX_SETS["QtCbfCr"](1 if coeffs[1] is not None else 0)
+                coeff = self._q(
+                    T.fwd_transform_np(srcs[comp] - pred, bit_depth), qc,
+                    False, cbf_ctx)
+                if np.any(coeff):
+                    coeffs[comp] = coeff
+                    rec = np.clip(pred + T.inv_transform_np(
+                        self._dq(coeff, qc), bit_depth), 0,
+                        (1 << bit_depth) - 1)
+                else:
+                    coeffs[comp] = None
+                    rec = pred
+                recs[comp] = rec
+                dist += R.sse_np(srcs[comp], rec)
+            self.est.restore(snap)
+            b0 = self.est.frac_bits
+            self.coder._enc_intra_chroma_mode(self.est, cu)
+            cbf_cb = coeffs[1] is not None
+            self.est.encode_bin(1 if cbf_cb else 0,
+                                ct.CTX_SETS["QtCbfCb"](0))
+            self.est.encode_bin(1 if coeffs[2] is not None else 0,
+                                ct.CTX_SETS["QtCbfCr"](1 if cbf_cb else 0))
+            for comp in (1, 2):
+                if coeffs[comp] is not None:
+                    encode_residual(self.est, coeffs[comp], False,
+                                    dep_quant=self.cfg.dep_quant)
+            bits = (self.est.frac_bits - b0) / (1 << 15)
+            cost = dist + self.lmbda * bits
+            if best is None or cost < best[0]:
+                best = (cost, cdir, coeffs[1], coeffs[2])
+        self.est.restore(snap)
+        _, cu.chroma_dir, cu.coeff_cb, cu.coeff_cr = best
 
     def _est_cu_luma_syntax(self, cu: CuData, mpm) -> None:
         est = self.est
@@ -833,7 +932,7 @@ class _CtuSearcher:
         is_b = coder.is_b
         merge_cands = get_merge_candidates(
             ps, coder.mf, coder.hmvp, x, y, w, h, sps.max_num_merge_cand,
-            is_b, coder.num_refs)
+            is_b, coder.num_refs, coder.tmvp)
 
         def mc_pred(mv_pair, ref_idx):
             py = inter_predict(coder.ref_pics, mv_pair, ref_idx, x, y, w, h,
@@ -883,7 +982,7 @@ class _CtuSearcher:
             probe = CuData(x, y, w, h, is_inter=True,
                            ref_idx=(0, -1) if li == 0 else (-1, 0))
             amvp = get_amvp_candidates(ps, coder.mf, coder.hmvp, x, y, w, h,
-                                       li, 0, coder.ref_pocs)
+                                       li, 0, coder.ref_pocs, coder.tmvp)
             mv, mvp_idx = self._motion_search(src_y, x, y, w, h, amvp,
                                               coder.ref_pics[li][0][0])
             mvd = ((mv[0] - amvp[mvp_idx][0]) >> 2,
