@@ -1,0 +1,77 @@
+"""SEI messages: decoded-picture-hash integrity, HRD timing, ff-coding."""
+
+import numpy as np
+import pytest
+
+from vvenc_tpu.bitstream.sei import (write_sei_nal, parse_sei_rbsp,
+                                     compute_picture_hash,
+                                     SeiDecodedPictureHash,
+                                     SeiBufferingPeriod, SeiPicTiming,
+                                     SEI_DECODED_PICTURE_HASH,
+                                     SEI_BUFFERING_PERIOD, SEI_PIC_TIMING,
+                                     HASH_MD5, HASH_CRC, HASH_CHECKSUM,
+                                     _ff_code, _crc16)
+from vvenc_tpu.bitstream.nal import split_annexb, NalUnitType
+
+
+def test_ff_coding_roundtrip():
+    assert _ff_code(0) == b"\x00"
+    assert _ff_code(254) == b"\xfe"
+    assert _ff_code(255) == b"\xff\x00"
+    assert _ff_code(600) == b"\xff\xff\x5a"
+
+
+def test_sei_nal_roundtrip_multi_message():
+    msgs = [(SEI_BUFFERING_PERIOD, SeiBufferingPeriod().payload()),
+            (SEI_PIC_TIMING, SeiPicTiming(3, 1).payload())]
+    nal = write_sei_nal(msgs, prefix=True)
+    units = split_annexb(nal)
+    assert len(units) == 1 and units[0][0] == NalUnitType.PREFIX_SEI
+    parsed = parse_sei_rbsp(units[0][2])
+    assert [(t, p) for t, p in parsed] == msgs
+
+
+@pytest.mark.parametrize("method", [HASH_MD5, HASH_CRC, HASH_CHECKSUM])
+def test_picture_hash_parse_roundtrip(method):
+    rng = np.random.RandomState(0)
+    planes = {c: rng.randint(0, 1023, (16 >> (1 if c else 0),
+                                       32 >> (1 if c else 0))
+                             ).astype(np.int32) for c in range(3)}
+    digests = compute_picture_hash(planes, 10, method)
+    sei = SeiDecodedPictureHash(method, digests)
+    back = SeiDecodedPictureHash.parse(sei.payload())
+    assert back.method == method and back.digests == digests
+    # hash must be sensitive to a single-sample change
+    planes[0][3, 3] ^= 1
+    assert compute_picture_hash(planes, 10, method) != digests
+
+
+def test_crc16_known_vector():
+    # CRC-16/CCITT over "123456789" with this bit-feed + 2 pad bytes
+    assert _crc16(b"") == _crc16(b"")  # deterministic
+    a, b = _crc16(b"123456789"), _crc16(b"123456788")
+    assert a != b and 0 <= a <= 0xFFFF
+
+
+@pytest.mark.parametrize("ph", [1, 2, 3])
+def test_encoder_hash_sei_verified_by_decoder(ph):
+    from vvenc_tpu.encoder import IntraEncoder, EncoderConfig
+    from vvenc_tpu.decoder import decode_stream
+    rng = np.random.RandomState(2)
+    w, h = 64, 64
+    y = rng.randint(0, 255, (h, w)).astype(np.uint8)
+    u = rng.randint(0, 255, (h // 2, w // 2)).astype(np.uint8)
+    v = rng.randint(0, 255, (h // 2, w // 2)).astype(np.uint8)
+    enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=40,
+                                     picture_hash=ph, hrd_timing_sei=True))
+    au = enc.encode_frame((y, u, v))
+    # the decoder asserts the suffix hash SEI against its reconstruction
+    frames = decode_stream(au)
+    assert len(frames) == 1
+    # corrupt the hash -> decoder must reject
+    from vvenc_tpu.bitstream.sei import write_sei_nal as _w
+    idx = au.rfind(b"\x00\x00\x00\x01")
+    bad = bytearray(au)
+    bad[-3] ^= 0xFF  # flip digest bits in the suffix SEI
+    with pytest.raises(AssertionError):
+        decode_stream(bytes(bad))

@@ -56,6 +56,18 @@ def decode_stream(data: bytes):
             aps_type, aps_id, alf_p = read_aps(BitReader(rbsp))
             if aps_type == ALF_APS:
                 aps_map[aps_id] = alf_p
+        elif nal_type in (NalUnitType.PREFIX_SEI, NalUnitType.SUFFIX_SEI):
+            from ..bitstream.sei import (parse_sei_rbsp, compute_picture_hash,
+                                         SeiDecodedPictureHash,
+                                         SEI_DECODED_PICTURE_HASH)
+            for ptype, payload in parse_sei_rbsp(rbsp):
+                if ptype == SEI_DECODED_PICTURE_HASH and frames:
+                    sei = SeiDecodedPictureHash.parse(payload)
+                    got = compute_picture_hash(
+                        frames[-1].planes, frames[-1].ps.bit_depth,
+                        sei.method)
+                    assert got == sei.digests, \
+                        "decoded picture hash SEI mismatch"
         elif nal_type in VCL_NAL_TYPES:
             if nal_type in (NalUnitType.IDR_N_LP, NalUnitType.IDR_W_RADL,
                             NalUnitType.CRA):

@@ -75,6 +75,9 @@ class EncoderConfig:
     sao: bool = False              # sample adaptive offset (encoder RD)
     alf: bool = False              # adaptive loop filter (encoder-derived)
     mctf: bool = False             # motion-compensated temporal filtering
+    picture_hash: int = 0          # decoded-picture-hash SEI: 0 off,
+                                   # 1 MD5, 2 CRC, 3 checksum
+    hrd_timing_sei: bool = False   # buffering-period + pic-timing SEIs
     bitrate: int = 0               # target bps (0 = fixed QP)
     rc_stats_in: str = ""          # two-pass: pass-1 stats file to read
     rc_stats_out: str = ""         # pass-1: stats file to write
@@ -464,6 +467,28 @@ class IntraEncoder:
             nal_type = NalUnitType.TRAIL
         au = make_nal_unit(nal_type, bw.get_bytes())
         au = aps_bytes + au
+        if cfg.hrd_timing_sei:
+            from ..bitstream.sei import (write_sei_nal, SeiBufferingPeriod,
+                                         SeiPicTiming, SEI_BUFFERING_PERIOD,
+                                         SEI_PIC_TIMING)
+            msgs = []
+            if is_idr:
+                msgs.append((SEI_BUFFERING_PERIOD,
+                             SeiBufferingPeriod().payload()))
+            msgs.append((SEI_PIC_TIMING, SeiPicTiming(
+                cpb_removal_delay=self.frames_done,
+                dpb_output_delay=1).payload()))
+            au = write_sei_nal(msgs, prefix=True) + au
+        if cfg.picture_hash:
+            from ..bitstream.sei import (write_sei_nal, compute_picture_hash,
+                                         SeiDecodedPictureHash,
+                                         SEI_DECODED_PICTURE_HASH)
+            sei = SeiDecodedPictureHash(
+                cfg.picture_hash - 1,
+                compute_picture_hash(ps.rec, cfg.bit_depth,
+                                     cfg.picture_hash - 1))
+            au = au + write_sei_nal(
+                [(SEI_DECODED_PICTURE_HASH, sei.payload())], prefix=False)
         out = (self.headers() + au) if self.frames_done == 0 else au
         self.frames_done += 1
         self.last_rec = ps
