@@ -1,0 +1,727 @@
+// Native host-side entropy kernels for vvenc_tpu.
+//
+// The reference encoder's entropy/quantization hot loops are C++
+// (vvenc EncoderLib/BinEncoder.cpp estimator, CommonLib/QuantRDOQ.cpp
+// xRateDistOptQuant, CABACWriter residual_coding); this module provides the
+// same role for our framework: bit-exact ports of the Python reference
+// implementations in vvenc_tpu/bitstream/{cabac,residual}.py and
+// vvenc_tpu/ops/rdoq.py, driven through a C ABI (ctypes).
+//
+// Contract: outputs are REQUIRED to be bit-identical to the Python paths
+// (tests/test_native.py enforces it on randomized TUs), so the Python and
+// native paths are interchangeable per call.
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <vector>
+#include <algorithm>
+#include <mutex>
+
+namespace {
+
+constexpr int PROB_BITS = 15;
+constexpr uint32_t MASK_0 = ((1u << 10) - 1) << (PROB_BITS - 10);  // 0x7FE0
+constexpr uint32_t MASK_1 = ((1u << 14) - 1) << (PROB_BITS - 14);  // 0x7FFE
+constexpr int SCALE_BITS = 15;
+constexpr int64_t EP_BIT = 1 << SCALE_BITS;
+
+constexpr int COEF_REMAIN_BIN_REDUCTION = 5;
+constexpr int MAX_LOG2_TR_DYNAMIC_RANGE = 15;
+constexpr int CTX_BIN_SAMPLE_RATIO = 28;
+constexpr int32_t COEFF_MIN = -(1 << MAX_LOG2_TR_DYNAMIC_RANGE);
+constexpr int32_t COEFF_MAX = (1 << MAX_LOG2_TR_DYNAMIC_RANGE) - 1;
+constexpr int64_t MAX_LEVEL = (1 << 15) - 1;
+
+// dependent-quantization state transition (residual.py STATE_TRANS)
+constexpr uint32_t STATE_TRANS = 32040;
+inline int next_state(int state, int64_t level) {
+  return (STATE_TRANS >> ((state << 2) + ((int(level) & 1) << 1))) & 3;
+}
+
+const int MIN_IN_GROUP[14] = {0, 1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96};
+const int GROUP_IDX_TAB[64] = {
+    0, 1, 2, 3, 4, 4, 5, 5, 6, 6, 6, 6, 7, 7, 7, 7,
+    8, 8, 8, 8, 8, 8, 8, 8, 9, 9, 9, 9, 9, 9, 9, 9,
+    10,10,10,10,10,10,10,10,10,10,10,10,10,10,10,10,
+    11,11,11,11,11,11,11,11,11,11,11,11,11,11,11,11};
+const int GO_RICE_PARS[32] = {
+    0,0,0,0,0,0,0, 1,1,1,1,1,1,1, 2,2,2,2,2,2,2,2,2,2,2,2,2,2, 3,3,3,3};
+const int LAST_PREFIX_CTX[7] = {0, 0, 0, 3, 6, 10, 15};
+
+// quant scales (ops/transforms.py QUANT_SCALES)
+const int64_t QUANT_SCALES[2][6] = {
+    {26214, 23302, 20560, 18396, 16384, 14564},
+    {18396, 16384, 14564, 13107, 11651, 10280}};
+
+// ---------------------------------------------------------------------------
+// context bases + frac-bits table, installed from Python at init
+// ---------------------------------------------------------------------------
+struct CtxBases {
+  // sig_flag sets in residual.py order: [luma0, chroma0, luma1, chroma1,
+  // luma2, chroma2]
+  int sig[6];
+  int par[2];        // [luma, chroma]
+  int gtx[4];        // [gt2 luma, gt2 chroma, gt1 luma, gt1 chroma]
+  int last_x[2];
+  int last_y[2];
+  int sig_group[2];
+};
+CtxBases g_bases;
+uint32_t g_frac[256][2];
+bool g_init = false;
+
+inline int state8(const uint16_t* s0, const uint16_t* s1, int ctx) {
+  return (int(s0[ctx]) + int(s1[ctx])) >> 8;
+}
+inline int64_t frac_bits(const uint16_t* s0, const uint16_t* s1, int ctx,
+                         int binval) {
+  return g_frac[state8(s0, s1, ctx)][binval];
+}
+inline void ctx_update(uint16_t* s0, uint16_t* s1, const uint8_t* r0,
+                       const uint8_t* r1, int ctx, int binval) {
+  int a = s0[ctx], b = s1[ctx];
+  a -= (a >> r0[ctx]) & int(MASK_0);
+  b -= (b >> r1[ctx]) & int(MASK_1);
+  if (binval) {
+    a += (0x7FFF >> r0[ctx]) & int(MASK_0);
+    b += (0x7FFF >> r1[ctx]) & int(MASK_1);
+  }
+  s0[ctx] = uint16_t(a);
+  s1[ctx] = uint16_t(b);
+}
+
+// ---------------------------------------------------------------------------
+// scan tables (residual.py scan_info port), cached per (log2w, log2h)
+// ---------------------------------------------------------------------------
+struct ScanInfo {
+  std::vector<int> sx, sy, blkpos, cg_pos;
+  int lcw, lch;
+};
+
+void log2_sbb(int lw, int lh, int& lcw, int& lch) {
+  if (lw == 0)      { lcw = 0; lch = std::min(lh, 4); }
+  else if (lh == 0) { lcw = std::min(lw, 4); lch = 0; }
+  else if (lw == 1) { if (lh == 1 || lh == 2) { lcw = 1; lch = 1; } else { lcw = 1; lch = 3; } }
+  else if (lh == 1) { if (lw == 1 || lw == 2) { lcw = 1; lch = 1; } else { lcw = 3; lch = 1; } }
+  else              { lcw = 2; lch = 2; }
+}
+
+void diag_scan(int w, int h, std::vector<int>& xs, std::vector<int>& ys) {
+  int x = 0, y = 0;
+  for (int i = 0; i < w * h; ++i) {
+    xs.push_back(x); ys.push_back(y);
+    if (x == w - 1 || y == 0) {
+      int ny = y + x + 1;
+      x = 0;
+      if (ny >= h) { x = ny - (h - 1); ny = h - 1; }
+      y = ny;
+    } else { ++x; --y; }
+  }
+}
+
+ScanInfo g_scan_cache[7][7];
+bool g_scan_ready[7][7] = {};
+std::mutex g_scan_mutex;
+
+const ScanInfo& scan_info(int log2w, int log2h) {
+  if (!g_scan_ready[log2w][log2h]) {
+    std::lock_guard<std::mutex> lock(g_scan_mutex);
+    if (!g_scan_ready[log2w][log2h]) {
+      ScanInfo si;
+      int w = 1 << log2w, h = 1 << log2h;
+      int zw = std::min(32, w), zh = std::min(32, h);
+      log2_sbb(log2w, log2h, si.lcw, si.lch);
+      int cgw = 1 << si.lcw, cgh = 1 << si.lch;
+      std::vector<int> cgx, cgy, px, py;
+      diag_scan(zw >> si.lcw, zh >> si.lch, cgx, cgy);
+      diag_scan(cgw, cgh, px, py);
+      for (size_t g = 0; g < cgx.size(); ++g) {
+        for (size_t k = 0; k < px.size(); ++k) {
+          int x = (cgx[g] << si.lcw) + px[k];
+          int y = (cgy[g] << si.lch) + py[k];
+          si.sx.push_back(x);
+          si.sy.push_back(y);
+          si.blkpos.push_back(y * w + x);
+        }
+        si.cg_pos.push_back(cgy[g] * (zw >> si.lcw) + cgx[g]);
+      }
+      g_scan_cache[log2w][log2h] = std::move(si);
+      g_scan_ready[log2w][log2h] = true;
+    }
+  }
+  return g_scan_cache[log2w][log2h];
+}
+
+// ---------------------------------------------------------------------------
+// per-TU coefficient-coding context (residual.py _Cctx port)
+// ---------------------------------------------------------------------------
+struct Cctx {
+  int w, h, log2w, log2h, ch;
+  const ScanInfo* si;
+  int log2_cg, n_coded, w_in_groups, h_in_groups;
+  int tmpl_diag = -1, tmpl_sum1 = -1;
+  int last_off_x, last_off_y, last_shift_x, last_shift_y;
+  int max_last_x, max_last_y;
+
+  Cctx(int w_, int h_, bool is_luma) : w(w_), h(h_) {
+    log2w = 31 - __builtin_clz(w);
+    log2h = 31 - __builtin_clz(h);
+    ch = is_luma ? 0 : 1;
+    si = &scan_info(log2w, log2h);
+    log2_cg = si->lcw + si->lch;
+    n_coded = int(si->sx.size());
+    w_in_groups = std::max(1, std::min(32, w) >> si->lcw);
+    h_in_groups = std::max(1, std::min(32, h) >> si->lch);
+    if (ch == 0) {
+      last_off_x = LAST_PREFIX_CTX[log2w];
+      last_off_y = LAST_PREFIX_CTX[log2h];
+      last_shift_x = (log2w + 1) >> 2;
+      last_shift_y = (log2h + 1) >> 2;
+    } else {
+      last_off_x = last_off_y = 0;
+      last_shift_x = std::min(std::max(0, w >> 3), 2);
+      last_shift_y = std::min(std::max(0, h >> 3), 2);
+    }
+    max_last_x = GROUP_IDX_TAB[std::min(32, w) - 1];
+    max_last_y = GROUP_IDX_TAB[std::min(32, h) - 1];
+  }
+
+  // sig_coeff_flag ctx id; coeff_cap: int32 [h*w] capped first-pass levels
+  int sig_ctx_id(int sp, const int32_t* coeff_cap, int state) {
+    int x = si->sx[sp], y = si->sy[sp];
+    int diag = x + y;
+    int s = 0, npos = 0;
+    static const int DX[5] = {1, 2, 1, 0, 0};
+    static const int DY[5] = {0, 0, 1, 1, 2};
+    for (int k = 0; k < 5; ++k) {
+      int nx = x + DX[k], ny = y + DY[k];
+      if (nx < w && ny < h) {
+        int v = coeff_cap[ny * w + nx];
+        s += v;
+        if (v) ++npos;
+      }
+    }
+    int ctx_ofs = std::min((s + 1) >> 1, 3) + (diag < 2 ? 4 : 0);
+    if (ch == 0) ctx_ofs += (diag < 5 ? 4 : 0);
+    tmpl_diag = diag;
+    tmpl_sum1 = s - npos;
+    int set = std::max(0, state - 1);
+    // sig set order [luma0, chroma0, luma1, chroma1, luma2, chroma2]
+    return g_bases.sig[ch + 2 * set] + ctx_ofs;
+  }
+
+  int ctx_offset_abs() const {
+    if (tmpl_diag == -1) return 0;
+    int off = std::min(tmpl_sum1, 4) + 1;
+    int d = tmpl_diag;
+    if (ch == 0)
+      off += (d == 0) ? 15 : (d < 3 ? 10 : (d < 10 ? 5 : 0));
+    else
+      off += (d == 0) ? 5 : 0;
+    return off;
+  }
+
+  // abs_coeff: int64 [h*w]
+  int template_abs_sum(int sp, const int64_t* abs_coeff, int base) const {
+    int x = si->sx[sp], y = si->sy[sp];
+    static const int DX[5] = {1, 2, 1, 0, 0};
+    static const int DY[5] = {0, 0, 1, 1, 2};
+    int64_t s = 0;
+    for (int k = 0; k < 5; ++k) {
+      int nx = x + DX[k], ny = y + DY[k];
+      if (nx < w && ny < h) s += abs_coeff[ny * w + nx];
+    }
+    return int(std::max<int64_t>(std::min<int64_t>(s - 5 * base, 31), 0));
+  }
+
+  int sig_group_ctx(int cg, const uint8_t* sig_groups) const {
+    int cg_pos = si->cg_pos[cg];
+    int cgy = cg_pos / w_in_groups, cgx = cg_pos % w_in_groups;
+    int right = (cgx + 1 < w_in_groups) ? sig_groups[cg_pos + 1] : 0;
+    int lower = (cgy + 1 < h_in_groups) ? sig_groups[cg_pos + w_in_groups] : 0;
+    return g_bases.sig_group[ch] + (right | lower);
+  }
+
+  int last_ctx_id(int ctx_last, bool is_x) const {
+    int off = is_x ? last_off_x : last_off_y;
+    int shift = is_x ? last_shift_x : last_shift_y;
+    int base = is_x ? g_bases.last_x[ch] : g_bases.last_y[ch];
+    return base + off + (ctx_last >> shift);
+  }
+};
+
+inline int min4_parity(int64_t a) {
+  return int(std::min<int64_t>(4 + (a & 1), a));
+}
+
+// EP-bin count of remabs binarization (cabac.py BitEstimator.encode_remabs_ep)
+int remabs_ep_bins(int64_t value, int rice, int cutoff, int max_log2) {
+  int64_t threshold = int64_t(cutoff) << rice;
+  if (value < threshold) return int((value >> rice) + 1 + rice);
+  int max_prefix_len = 32 - cutoff - max_log2;
+  int prefix_len = 0, suffix_len;
+  int64_t code_value = (value >> rice) - cutoff;
+  if (code_value >= (int64_t(1) << max_prefix_len) - 1) {
+    prefix_len = max_prefix_len;
+    suffix_len = max_log2;
+  } else {
+    while (code_value > (int64_t(2) << prefix_len) - 2) ++prefix_len;
+    suffix_len = prefix_len + rice + 1;
+  }
+  return cutoff + prefix_len + suffix_len;
+}
+
+}  // namespace
+
+extern "C" {
+
+// one-time install of context-set base offsets + the frac-bits table
+void vte_init(const int32_t* bases, const uint32_t* frac_table) {
+  int i = 0;
+  for (int k = 0; k < 6; ++k) g_bases.sig[k] = bases[i++];
+  for (int k = 0; k < 2; ++k) g_bases.par[k] = bases[i++];
+  for (int k = 0; k < 4; ++k) g_bases.gtx[k] = bases[i++];
+  for (int k = 0; k < 2; ++k) g_bases.last_x[k] = bases[i++];
+  for (int k = 0; k < 2; ++k) g_bases.last_y[k] = bases[i++];
+  for (int k = 0; k < 2; ++k) g_bases.sig_group[k] = bases[i++];
+  std::memcpy(g_frac, frac_table, sizeof(g_frac));
+  g_init = true;
+}
+
+// ---------------------------------------------------------------------------
+// estimator-path residual coding (residual.py encode_residual on a
+// BitEstimator): updates ctx state arrays in place, returns frac-bit delta
+// ---------------------------------------------------------------------------
+int64_t vte_est_residual(const int32_t* coeff, int w, int h, int is_luma,
+                         int dep_quant, uint16_t* s0, uint16_t* s1,
+                         const uint8_t* r0, const uint8_t* r1) {
+  Cctx cctx(w, h, is_luma != 0);
+  int64_t bits = 0;
+  auto enc_bin = [&](int binval, int ctx) {
+    bits += g_frac[state8(s0, s1, ctx)][binval];
+    ctx_update(s0, s1, r0, r1, ctx, binval);
+  };
+  const int n = cctx.n_coded;
+  const int par_base = g_bases.par[cctx.ch];
+  const int gt1_base = g_bases.gtx[cctx.ch + 2];
+  const int gt2_base = g_bases.gtx[cctx.ch];
+
+  // last significant scan position
+  int scan_pos_last = -1;
+  for (int sp = n - 1; sp >= 0; --sp)
+    if (coeff[cctx.si->blkpos[sp]]) { scan_pos_last = sp; break; }
+  if (scan_pos_last < 0) return 0;  // caller guarantees nonzero
+
+  int num_cgs = (scan_pos_last >> cctx.log2_cg) + 1;
+  std::vector<uint8_t> cg_has(num_cgs, 0);
+  for (int cg = 0; cg < num_cgs; ++cg) {
+    int p0 = cg << cctx.log2_cg;
+    int p1 = std::min(p0 + (1 << cctx.log2_cg), n);
+    for (int sp = p0; sp < p1; ++sp)
+      if (coeff[cctx.si->blkpos[sp]]) { cg_has[cg] = 1; break; }
+  }
+
+  // last position coding
+  int blk_last = cctx.si->blkpos[scan_pos_last];
+  int pos_y = blk_last / w, pos_x = blk_last % w;
+  int gx = GROUP_IDX_TAB[pos_x], gy = GROUP_IDX_TAB[pos_y];
+  for (int i = 0; i < gx; ++i) enc_bin(1, cctx.last_ctx_id(i, true));
+  if (gx < cctx.max_last_x) enc_bin(0, cctx.last_ctx_id(gx, true));
+  for (int i = 0; i < gy; ++i) enc_bin(1, cctx.last_ctx_id(i, false));
+  if (gy < cctx.max_last_y) enc_bin(0, cctx.last_ctx_id(gy, false));
+  if (gx > 3) bits += int64_t((gx - 2) >> 1) * EP_BIT;
+  if (gy > 3) bits += int64_t((gy - 2) >> 1) * EP_BIT;
+
+  // subblock coding
+  int state = 0;
+  int rem_reg_bins = (n * CTX_BIN_SAMPLE_RATIO) >> 4;
+  std::vector<int32_t> coeff_cap(size_t(w) * h, 0);
+  std::vector<int64_t> abs_coeff(size_t(w) * h);
+  for (int i = 0; i < w * h; ++i)
+    abs_coeff[i] = std::abs(int64_t(coeff[i]));
+  std::vector<uint8_t> sig_groups(size_t(cctx.w_in_groups) *
+                                  cctx.h_in_groups, 0);
+  int last_cg = scan_pos_last >> cctx.log2_cg;
+  for (int cg = last_cg; cg >= 0; --cg) {
+    bool is_last_cg = cg == last_cg;
+    bool is_not_first = cg != 0;
+    int min_sub = cg << cctx.log2_cg;
+    int max_sub = min_sub + (1 << cctx.log2_cg) - 1;
+    if (!is_last_cg && is_not_first) {
+      int ctx = cctx.sig_group_ctx(cg, sig_groups.data());
+      if (cg_has[cg]) enc_bin(1, ctx);
+      else { enc_bin(0, ctx); continue; }
+    }
+    if (cg_has[cg]) sig_groups[cctx.si->cg_pos[cg]] = 1;
+    int first_sig = is_last_cg ? scan_pos_last : max_sub;
+    int infer_sig_pos = (first_sig == scan_pos_last)
+                            ? first_sig
+                            : (is_not_first ? min_sub : -1);
+    int num_nonzero = 0;
+    int num_signs = 0;
+    int next_pos = first_sig;
+    for (; next_pos >= min_sub && rem_reg_bins >= 4; --next_pos) {
+      int blk = cctx.si->blkpos[next_pos];
+      int c = coeff[blk];
+      int64_t a = std::abs(int64_t(c));
+      int sig = c ? 1 : 0;
+      if (num_nonzero || next_pos != infer_sig_pos) {
+        int sig_ctx = cctx.sig_ctx_id(next_pos, coeff_cap.data(), state);
+        enc_bin(sig, sig_ctx);
+        --rem_reg_bins;
+      } else if (next_pos != scan_pos_last) {
+        cctx.sig_ctx_id(next_pos, coeff_cap.data(), state);
+      }
+      if (sig) {
+        int ctx_off = cctx.ctx_offset_abs();
+        ++num_nonzero;
+        ++num_signs;
+        int64_t rem = a - 1;
+        int gt1 = rem ? 1 : 0;
+        enc_bin(gt1, gt1_base + ctx_off);
+        --rem_reg_bins;
+        if (gt1) {
+          --rem;
+          enc_bin(int(rem & 1), par_base + ctx_off);
+          rem >>= 1;
+          --rem_reg_bins;
+          int gt2 = rem ? 1 : 0;
+          enc_bin(gt2, gt2_base + ctx_off);
+          --rem_reg_bins;
+        }
+        coeff_cap[blk] = min4_parity(a);
+      }
+      if (dep_quant) state = next_state(state, a);
+    }
+    int first_pos_mode2 = next_pos;
+    // second pass: go-rice remainders for levels >= 4
+    for (int sp = first_sig; sp > first_pos_mode2; --sp) {
+      int blk = cctx.si->blkpos[sp];
+      int64_t a = abs_coeff[blk];
+      if (a >= 4) {
+        int sum_all = cctx.template_abs_sum(sp, abs_coeff.data(), 4);
+        int rice = GO_RICE_PARS[sum_all];
+        bits += int64_t(remabs_ep_bins((a - 4) >> 1, rice,
+                                       COEF_REMAIN_BIN_REDUCTION,
+                                       MAX_LOG2_TR_DYNAMIC_RANGE)) * EP_BIT;
+      }
+    }
+    // bypass pass
+    for (int sp = first_pos_mode2; sp >= min_sub; --sp) {
+      int blk = cctx.si->blkpos[sp];
+      int c = coeff[blk];
+      int64_t a = std::abs(int64_t(c));
+      int sum_all = cctx.template_abs_sum(sp, abs_coeff.data(), 0);
+      int rice = GO_RICE_PARS[sum_all];
+      int64_t pos0 = int64_t(state < 2 ? 1 : 2) << rice;
+      int64_t rem = (a == 0) ? pos0 : (a <= pos0 ? a - 1 : a);
+      bits += int64_t(remabs_ep_bins(rem, rice, COEF_REMAIN_BIN_REDUCTION,
+                                     MAX_LOG2_TR_DYNAMIC_RANGE)) * EP_BIT;
+      if (dep_quant) state = next_state(state, a);
+      if (a) { ++num_nonzero; ++num_signs; }
+    }
+    bits += int64_t(num_signs) * EP_BIT;
+  }
+  return bits;
+}
+
+// ---------------------------------------------------------------------------
+// RDOQ (ops/rdoq.py rdoq_np port) — ctx arrays are read-only here
+// ---------------------------------------------------------------------------
+static inline int64_t golomb_bins(int64_t symbol, int rice) {
+  int threshold = COEF_REMAIN_BIN_REDUCTION;
+  if (symbol < (int64_t(threshold) << rice)) return (symbol >> rice) + 1 + rice;
+  int length = rice;
+  symbol -= int64_t(threshold) << rice;
+  while (symbol >= (int64_t(1) << length)) {
+    symbol -= int64_t(1) << length;
+    ++length;
+  }
+  return threshold + length + 1 - rice + length;
+}
+
+struct FB2 { int64_t b0, b1; };
+
+static inline int64_t ic_rate(int64_t level, FB2 par, FB2 gt1, FB2 gt2,
+                              int rem_reg_bins, int64_t go_rice_zero,
+                              int rice) {
+  if (rem_reg_bins < 4) {
+    int64_t symbol = (level == 0) ? go_rice_zero
+                     : (level <= go_rice_zero ? level - 1 : level);
+    return EP_BIT + golomb_bins(symbol, rice) * EP_BIT;
+  }
+  if (level == 0) return 0;
+  int64_t rate = EP_BIT;  // sign
+  if (level >= 4) {
+    rate += golomb_bins((level - 4) >> 1, rice) * EP_BIT;
+    rate += gt1.b1 + (((level - 2) & 1) ? par.b1 : par.b0) + gt2.b1;
+  } else if (level == 1) {
+    rate += gt1.b0;
+  } else if (level == 2) {
+    rate += gt1.b1 + par.b0 + gt2.b0;
+  } else {
+    rate += gt1.b1 + par.b1 + gt2.b0;
+  }
+  return rate;
+}
+
+void vte_rdoq(const int32_t* coeff, int w, int h, int qp, int bit_depth,
+              int is_luma, double lmbda, int cbf_ctx_id /* -1 = none */,
+              const uint16_t* s0, const uint16_t* s1, int32_t* out) {
+  Cctx cctx(w, h, is_luma != 0);
+  const int n = cctx.n_coded;
+  const int par_base = g_bases.par[cctx.ch];
+  const int gt1_base = g_bases.gtx[cctx.ch + 2];
+  const int gt2_base = g_bases.gtx[cctx.ch];
+  auto fb = [&](int ctx, int binval) -> int64_t {
+    return g_frac[state8(s0, s1, ctx)][binval];
+  };
+
+  int lw = cctx.log2w, lh = cctx.log2h;
+  bool sqrt2 = (((63 - __builtin_clzll(uint64_t(w) * h)) & 1) == 1);
+  int tshift = MAX_LOG2_TR_DYNAMIC_RANGE - bit_depth - ((lw + lh) >> 1);
+  int qbits = 14 + qp / 6 + tshift + (sqrt2 ? -1 : 0);
+  int64_t scale = QUANT_SCALES[sqrt2 ? 1 : 0][qp % 6];
+  double tshift_eff = tshift - (sqrt2 ? 0.5 : 0.0);
+  double err_scale = std::pow(2.0, -2.0 * tshift_eff) /
+                     double(scale * scale);
+  double lam = lmbda / double(EP_BIT);
+
+  std::memset(out, 0, sizeof(int32_t) * size_t(w) * h);
+
+  std::vector<int64_t> level_double(n), max_abs(n);
+  std::vector<double> cost_uncoded(n);
+  double block_uncoded_cost = 0.0;
+  int last_scan_pos = -1;
+  for (int sp = 0; sp < n; ++sp) {
+    int64_t ld = std::abs(int64_t(coeff[cctx.si->blkpos[sp]])) * scale;
+    level_double[sp] = ld;
+    int64_t ma = std::min((ld + (int64_t(1) << (qbits - 1))) >> qbits,
+                          MAX_LEVEL);
+    max_abs[sp] = ma;
+    double cu = double(ld) * double(ld) * err_scale;
+    cost_uncoded[sp] = cu;
+    block_uncoded_cost += cu;
+    if (ma) last_scan_pos = sp;
+  }
+  if (last_scan_pos < 0) return;
+
+  int cg_size = 1 << cctx.log2_cg;
+  int cg_m1 = cg_size - 1;
+  int n_cg = n >> cctx.log2_cg;
+  int cg_last = last_scan_pos >> cctx.log2_cg;
+
+  std::vector<int64_t> dst_abs(size_t(w) * h, 0);
+  std::vector<int32_t> dst_cap(size_t(w) * h, 0);
+  std::vector<double> cost_coeff(n, 0.0), cost_sig(n, 0.0);
+  std::vector<double> cost_cg_sig(std::max(n_cg, 1), 0.0);
+  std::vector<uint8_t> sig_groups(size_t(cctx.w_in_groups) *
+                                  cctx.h_in_groups, 0);
+
+  double base_cost = 0.0;
+  for (int sp = (cg_last + 1) * cg_size; sp < n; ++sp) {
+    base_cost += cost_uncoded[sp];
+    cost_coeff[sp] = cost_uncoded[sp];
+  }
+
+  int rem_reg_bins = (n * CTX_BIN_SAMPLE_RATIO) >> 4;
+  int go_rice = 0;
+
+  for (int cg = cg_last; cg >= 0; --cg) {
+    int rem_reg_bins_cg = rem_reg_bins;
+    int min_sub = cg << cctx.log2_cg;
+    bool cg_sig = false;
+    double st_sig_cost = 0.0, st_sig_cost_0 = 0.0;
+    double st_coded_dist = 0.0, st_uncoded_dist = 0.0;
+    int st_nnz_before_pos0 = 0;
+    for (int pos_in_cg = cg_m1; pos_in_cg >= 0; --pos_in_cg) {
+      int sp = min_sub + pos_in_cg;
+      int blk = cctx.si->blkpos[sp];
+      if (sp > last_scan_pos) {
+        base_cost += cost_uncoded[sp];
+        cost_coeff[sp] = cost_uncoded[sp];
+        continue;
+      }
+      bool is_last = sp == last_scan_pos;
+      FB2 fb_sig{0, 0};
+      if (!is_last) {
+        int sig_ctx = cctx.sig_ctx_id(sp, dst_cap.data(), 0);
+        fb_sig = {fb(sig_ctx, 0), fb(sig_ctx, 1)};
+      }
+      int ctx_off = cctx.ctx_offset_abs();
+      FB2 fb_par{fb(par_base + ctx_off, 0), fb(par_base + ctx_off, 1)};
+      FB2 fb_gt1{fb(gt1_base + ctx_off, 0), fb(gt1_base + ctx_off, 1)};
+      FB2 fb_gt2{fb(gt2_base + ctx_off, 0), fb(gt2_base + ctx_off, 1)};
+      int64_t go_rice_zero = 0;
+      if (rem_reg_bins < 4) {
+        int sum_abs = cctx.template_abs_sum(sp, dst_abs.data(), 0);
+        go_rice = GO_RICE_PARS[sum_abs];
+        go_rice_zero = int64_t(1) << go_rice;
+      }
+      // ---- _coded_level inline ----
+      int64_t ld = level_double[sp];
+      int64_t ma = max_abs[sp];
+      double cost0 = double(ld) * double(ld) * err_scale;
+      double best_sig = 0.0, best_cost;
+      int64_t best_level = 0;
+      bool early0 = false;
+      if (!is_last && ma < 3) {
+        best_sig = lam * double(fb_sig.b0);
+        best_cost = cost0 + best_sig;
+        if (ma == 0) early0 = true;
+      } else {
+        best_cost = 1e300;
+      }
+      if (!early0) {
+        double sig1 = is_last ? 0.0 : lam * double(fb_sig.b1);
+        int64_t lo = ma > 1 ? ma - 1 : 1;
+        for (int64_t level = ma; level >= lo; --level) {
+          double err = double(ld - (level << qbits));
+          double cost = err * err * err_scale +
+                        lam * double(ic_rate(level, fb_par, fb_gt1, fb_gt2,
+                                             rem_reg_bins, go_rice_zero,
+                                             go_rice)) +
+                        sig1;
+          if (cost < best_cost) {
+            best_cost = cost;
+            best_level = level;
+            best_sig = sig1;
+          }
+        }
+      }
+      int64_t level = best_level;
+      double c_coeff = best_cost, c_sig = best_sig;
+      // ---- end _coded_level ----
+      cost_coeff[sp] = c_coeff;
+      cost_sig[sp] = c_sig;
+      dst_abs[blk] = level;
+      dst_cap[blk] = min4_parity(level);
+      base_cost += c_coeff;
+      if ((sp & cg_m1) == 0 && sp > 0) {
+        go_rice = 0;
+      } else if (rem_reg_bins >= 4) {
+        int sum_all = cctx.template_abs_sum(sp, dst_abs.data(), 4);
+        go_rice = GO_RICE_PARS[sum_all];
+        rem_reg_bins -= int(level < 2 ? level : 3) + (is_last ? 0 : 1);
+      }
+      st_sig_cost += c_sig;
+      if (pos_in_cg == 0) st_sig_cost_0 = c_sig;
+      if (level) {
+        cg_sig = true;
+        st_coded_dist += c_coeff - c_sig;
+        st_uncoded_dist += cost_uncoded[sp];
+        if (pos_in_cg != 0) ++st_nnz_before_pos0;
+      }
+    }
+    if (cg == 0) {
+      sig_groups[cctx.si->cg_pos[0]] = 1;
+      continue;
+    }
+    if (!cg_sig) {
+      int gctx = cctx.sig_group_ctx(cg, sig_groups.data());
+      double r0v = lam * double(fb(gctx, 0));
+      base_cost += r0v - st_sig_cost;
+      cost_cg_sig[cg] = r0v;
+      continue;
+    }
+    sig_groups[cctx.si->cg_pos[cg]] = 1;
+    if (cg >= cg_last) continue;
+    if (st_nnz_before_pos0 == 0) {
+      base_cost -= st_sig_cost_0;
+      st_sig_cost -= st_sig_cost_0;
+    }
+    int gctx = cctx.sig_group_ctx(cg, sig_groups.data());
+    double cost_zero_cg = base_cost + lam * double(fb(gctx, 0));
+    base_cost += lam * double(fb(gctx, 1));
+    cost_cg_sig[cg] = lam * double(fb(gctx, 1));
+    cost_zero_cg += st_uncoded_dist - st_coded_dist - st_sig_cost;
+    if (cost_zero_cg < base_cost) {
+      sig_groups[cctx.si->cg_pos[cg]] = 0;
+      base_cost = cost_zero_cg;
+      rem_reg_bins = rem_reg_bins_cg;
+      cost_cg_sig[cg] = lam * double(fb(gctx, 0));
+      for (int pos_in_cg = cg_m1; pos_in_cg >= 0; --pos_in_cg) {
+        int sp = min_sub + pos_in_cg;
+        int blk = cctx.si->blkpos[sp];
+        if (dst_abs[blk]) {
+          dst_abs[blk] = 0;
+          dst_cap[blk] = 0;
+          cost_coeff[sp] = cost_uncoded[sp];
+          cost_sig[sp] = 0.0;
+        }
+      }
+    }
+  }
+
+  // last-position sweep
+  double best_cost;
+  if (cbf_ctx_id >= 0) {
+    best_cost = block_uncoded_cost + lam * double(fb(cbf_ctx_id, 0));
+    base_cost += lam * double(fb(cbf_ctx_id, 1));
+  } else {
+    best_cost = block_uncoded_cost;
+  }
+  int best_last_p1 = 0;
+  int dimx = std::min(32, w), dimy = std::min(32, h);
+  std::vector<int64_t> last_bits_x(GROUP_IDX_TAB[dimx - 1] + 1, 0);
+  std::vector<int64_t> last_bits_y(GROUP_IDX_TAB[dimy - 1] + 1, 0);
+  {
+    int64_t bits = 0;
+    for (int ci = 0; ci < GROUP_IDX_TAB[dimx - 1]; ++ci) {
+      int cid = cctx.last_ctx_id(ci, true);
+      last_bits_x[ci] = bits + fb(cid, 0);
+      bits += fb(cid, 1);
+    }
+    last_bits_x[GROUP_IDX_TAB[dimx - 1]] = bits;
+    bits = 0;
+    for (int ci = 0; ci < GROUP_IDX_TAB[dimy - 1]; ++ci) {
+      int cid = cctx.last_ctx_id(ci, false);
+      last_bits_y[ci] = bits + fb(cid, 0);
+      bits += fb(cid, 1);
+    }
+    last_bits_y[GROUP_IDX_TAB[dimy - 1]] = bits;
+  }
+
+  bool found_last = false;
+  for (int cg = cg_last; cg >= 0 && !found_last; --cg) {
+    base_cost -= cost_cg_sig[cg];
+    if (!sig_groups[cctx.si->cg_pos[cg]]) continue;
+    for (int pos_in_cg = cg_m1; pos_in_cg >= 0; --pos_in_cg) {
+      int sp = (cg << cctx.log2_cg) + pos_in_cg;
+      if (sp > last_scan_pos) continue;
+      int blk = cctx.si->blkpos[sp];
+      int yy = blk / w, xx = blk % w;
+      if (dst_abs[blk]) {
+        int gx = GROUP_IDX_TAB[xx], gy = GROUP_IDX_TAB[yy];
+        double cost_last = lam * double(last_bits_x[gx] + last_bits_y[gy]);
+        if (gx > 3) cost_last += lam * double(EP_BIT) * ((gx - 2) >> 1);
+        if (gy > 3) cost_last += lam * double(EP_BIT) * ((gy - 2) >> 1);
+        double total = base_cost + cost_last - cost_sig[sp];
+        if (total < best_cost) {
+          best_last_p1 = sp + 1;
+          best_cost = total;
+        }
+        if (dst_abs[blk] > 1) {
+          found_last = true;
+          break;
+        }
+        base_cost += cost_uncoded[sp] - cost_coeff[sp];
+      } else {
+        base_cost -= cost_sig[sp];
+      }
+    }
+  }
+
+  for (int sp = 0; sp < best_last_p1; ++sp) {
+    int blk = cctx.si->blkpos[sp];
+    int64_t lv = dst_abs[blk];
+    if (lv) {
+      int64_t v = coeff[blk] < 0 ? -lv : lv;
+      out[blk] = int32_t(std::max<int64_t>(COEFF_MIN,
+                                           std::min<int64_t>(COEFF_MAX, v)));
+    }
+  }
+}
+
+}  // extern "C"

@@ -1,0 +1,79 @@
+"""Native C++ entropy kernels vs the Python reference — bit-exact.
+
+Mirror of the reference's SIMD-vs-scalar equivalence strategy
+(vvenc test/vvenc_unit_test: randomized inputs, exact compare)."""
+
+import numpy as np
+import pytest
+
+from vvenc_tpu import native
+from vvenc_tpu.bitstream.cabac import CtxModels, BitEstimator
+from vvenc_tpu.bitstream.residual import encode_residual
+from vvenc_tpu.bitstream import ctx_tables as ct
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library unavailable")
+
+SIZES = [(4, 4), (8, 8), (16, 16), (32, 32), (4, 16), (32, 8), (2, 8),
+         (16, 4), (64, 64), (8, 2)]
+
+
+def _rand_coeff(w, h, rng, scale, sparsity):
+    c = (rng.randn(h, w) * scale).astype(np.int32)
+    mask = rng.rand(h, w) < sparsity
+    c *= mask
+    return c
+
+
+def _rand_ctx(rng):
+    ctx = CtxModels()
+    ctx.init(int(rng.randint(0, 64)), int(rng.randint(0, 3)))
+    # random walk some states so we're not only at init values
+    for _ in range(200):
+        i = int(rng.randint(0, len(ctx.state0)))
+        ctx.update(i, int(rng.randint(0, 2)))
+    return ctx
+
+
+@pytest.mark.parametrize("w,h", SIZES)
+def test_est_residual_bit_exact(w, h):
+    rng = np.random.RandomState(w * 100 + h)
+    for trial in range(8):
+        for dep_quant in (False, True):
+            c = _rand_coeff(w, h, rng, scale=rng.choice([1, 3, 40, 900]),
+                            sparsity=rng.choice([0.05, 0.3, 0.9]))
+            if w > 32 or h > 32:
+                c[32:, :] = 0
+                c[:, 32:] = 0
+            if not np.any(c):
+                c[0, 0] = 1
+            ctx = _rand_ctx(rng)
+            ctx_n = CtxModels(ctx)
+            est = BitEstimator(CtxModels(ctx))
+            encode_residual(est, c, is_luma=bool(trial % 2),
+                            dep_quant=dep_quant)
+            bits_native = native.est_residual(c, bool(trial % 2), dep_quant,
+                                              ctx_n)
+            assert bits_native == est.frac_bits, (w, h, trial, dep_quant)
+            assert np.array_equal(ctx_n.state0, est.ctx.state0)
+            assert np.array_equal(ctx_n.state1, est.ctx.state1)
+
+
+@pytest.mark.parametrize("w,h", SIZES)
+def test_rdoq_bit_exact(w, h):
+    from vvenc_tpu.ops.rdoq import _rdoq_py
+    rng = np.random.RandomState(w * 31 + h)
+    for trial in range(6):
+        qp = int(rng.randint(10, 51))
+        lm = 0.57 * 2.0 ** ((qp - 12) / 3.0) * 16
+        c = _rand_coeff(w, h, rng, scale=rng.choice([20, 200, 4000]),
+                        sparsity=rng.choice([0.1, 0.5, 1.0]))
+        if w > 32 or h > 32:
+            c[32:, :] = 0
+            c[:, 32:] = 0
+        ctx = _rand_ctx(rng)
+        is_luma = bool(trial % 2)
+        cbf = ct.CTX_SETS["QtCbfLuma"](0) if trial % 3 else None
+        ref = _rdoq_py(c, qp, 10, is_luma, lm, ctx, cbf)
+        got = native.rdoq(c, qp, 10, is_luma, lm, ctx, cbf)
+        assert np.array_equal(ref, got), (w, h, trial, qp)

@@ -38,9 +38,40 @@ def parse_args(argv):
     p.add_argument("--recon", default=None, help="write reconstruction YUV")
     p.add_argument("--qpa", type=int, default=None, choices=[0, 1],
                    help="perceptual QP adaptation (default: config)")
+    p.add_argument("--bitrate", type=int, default=0,
+                   help="target bitrate in bps (0 = fixed QP)")
+    p.add_argument("--passes", type=int, default=1, choices=[1, 2],
+                   help="rate-control passes (2 = two-pass VBR)")
+    p.add_argument("--rc-statsfile", default=None,
+                   help="two-pass stats file (default: <output>.rcstats)")
+    p.add_argument("--picture-hash", type=int, default=0,
+                   choices=[0, 1, 2, 3],
+                   help="decoded-picture-hash SEI (1=MD5, 2=CRC, 3=checksum)")
+    p.add_argument("--sei-timing", action="store_true",
+                   help="emit buffering-period/pic-timing SEIs")
+    p.add_argument("--set", action="append", default=[], metavar="K=V",
+                   help="expert string-param API (vvenc_set_param analog)")
     p.add_argument("--verify", action="store_true",
                    help="decode the produced stream and verify recon match")
     return p.parse_args(argv)
+
+
+def encoder_config_from(cfg, args) -> "EncoderConfig":
+    """Map the flat config onto the live encoder's parameters."""
+    return EncoderConfig(
+        width=cfg.width, height=cfg.height, qp=cfg.qp,
+        ctu_size=cfg.ctu_size, min_qt=cfg.min_qt_size,
+        input_bit_depth=cfg.input_bit_depth,
+        num_full_rd_modes=cfg.num_full_rd_modes,
+        max_mtt_depth=cfg.max_mtt_depth_i, deblocking=bool(cfg.deblocking),
+        intra_period=cfg.intra_period, gop_size=cfg.gop_size,
+        dep_quant=bool(cfg.dep_quant), qpa=bool(cfg.perceptual_qpa),
+        sao=bool(cfg.sao), alf=bool(cfg.alf), mctf=bool(cfg.mctf),
+        lfnst=bool(cfg.lfnst), mts=bool(cfg.mts), mip=bool(cfg.mip),
+        mrl=bool(cfg.mrl), cclm=bool(cfg.lm_chroma), tmvp=bool(cfg.tmvp),
+        bitrate=cfg.target_bitrate, picture_hash=cfg.picture_hash,
+        hrd_timing_sei=bool(cfg.hrd_timing_sei),
+        fps_num=cfg.fps_num, fps_den=cfg.fps_den)
 
 
 def main(argv=None):
@@ -52,25 +83,37 @@ def main(argv=None):
         (1 if all_intra else 16)
     cfg = VvencTpuConfig(width=w, height=h, qp=args.qp,
                          input_bit_depth=args.input_bitdepth,
-                         intra_period=args.intra_period, gop_size=gop_size)
+                         intra_period=args.intra_period, gop_size=gop_size,
+                         target_bitrate=args.bitrate, rc_passes=args.passes,
+                         picture_hash=args.picture_hash,
+                         hrd_timing_sei=1 if args.sei_timing else 0,
+                         fps_num=int(round(args.framerate)), fps_den=1)
     init_preset(cfg, Preset[args.preset.upper()])
     if args.qpa is not None:
         cfg.perceptual_qpa = args.qpa
+    from .config.config import set_param
+    for kv in args.set:
+        k, _, v = kv.partition("=")
+        set_param(cfg, k, v)
     check_config(cfg)
-
-    enc = IntraEncoder(EncoderConfig(
-        width=w, height=h, qp=cfg.qp, ctu_size=cfg.ctu_size,
-        min_qt=cfg.min_qt_size, input_bit_depth=cfg.input_bit_depth,
-        num_full_rd_modes=cfg.num_full_rd_modes,
-        max_mtt_depth=cfg.max_mtt_depth_i, deblocking=bool(cfg.deblocking),
-        intra_period=cfg.intra_period, gop_size=cfg.gop_size,
-        dep_quant=bool(cfg.dep_quant), qpa=bool(cfg.perceptual_qpa),
-        fps_num=int(round(args.framerate)), fps_den=1))
 
     stats = SequenceStats(args.framerate)
     shift = 10 - cfg.input_bit_depth
     frames = list(read_yuv(args.input, w, h, cfg.input_bit_depth, args.frames))
     t0 = time.time()
+    if cfg.rc_passes == 2 and cfg.target_bitrate:
+        # two-pass: pass 1 collects stats (vvenc_init_pass analog), pass 2
+        # encodes against them (vvencapp.cpp:293 pass loop)
+        statsf = args.rc_statsfile or (args.output + ".rcstats")
+        ecfg1 = encoder_config_from(cfg, args)
+        ecfg1.rc_stats_out = statsf
+        ecfg1.num_full_rd_modes = 1      # FIRSTPASS-preset-style fast pass
+        IntraEncoder(ecfg1).encode_sequence(frames)
+        ecfg2 = encoder_config_from(cfg, args)
+        ecfg2.rc_stats_in = statsf
+        enc = IntraEncoder(ecfg2)
+    else:
+        enc = IntraEncoder(encoder_config_from(cfg, args))
     stream = enc.encode_sequence(frames)
     elapsed = time.time() - t0
     for poc in sorted(enc.recs_by_poc):

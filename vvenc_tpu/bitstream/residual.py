@@ -211,6 +211,12 @@ def encode_residual(enc, coeff: np.ndarray, is_luma: bool,
     """
     assert not sign_hiding, "SDH encode not wired yet"
     assert not (dep_quant and sign_hiding)
+    if type(enc).__name__ == "BitEstimator":
+        from .. import native
+        if native.available():
+            enc.frac_bits += native.est_residual(coeff, is_luma, dep_quant,
+                                                 enc.ctx)
+            return
     h, w = coeff.shape
     cctx = _Cctx(w, h, is_luma)
     flat = coeff.reshape(-1)

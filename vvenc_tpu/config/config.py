@@ -83,6 +83,9 @@ class VvencTpuConfig:
     transform_skip: int = 0
     bdpcm: int = 0
     ibc: int = 0
+    tmvp: int = 1                    # on in all vvenc presets
+    picture_hash: int = 0            # decoded-picture-hash SEI method
+    hrd_timing_sei: int = 0
     # -- parallelization (device mesh shape) --------------------------------
     num_tile_cols: int = 1
     num_tile_rows: int = 1
@@ -97,27 +100,29 @@ class VvencTpuConfig:
 # exist in this framework today; remaining knobs join as tools land)
 _PRESET_MATRIX = {
     Preset.FIRSTPASS: dict(ctu_size=32, max_mtt_depth_i=0, mctf=2, bim=1,
+                           sao=1, lm_chroma=1, mts_implicit=1,
                            num_full_rd_modes=1),
     Preset.FASTER: dict(ctu_size=32, max_mtt_depth_i=0, mctf=2, bim=1,
+                        sao=1, lm_chroma=1, mts_implicit=1,
                         alf=1, ccalf=1, dmvr=1, num_full_rd_modes=2),
-    Preset.FAST: dict(ctu_size=32, max_mtt_depth_i=1, mctf=2, bim=1,
+    Preset.FAST: dict(sao=1, ctu_size=32, max_mtt_depth_i=1, mctf=2, bim=1,
                       alf=1, ccalf=1, dmvr=1, bdof=1, dep_quant=1, lfnst=1,
                       affine=5, amvr=5, mmvd=3, mrl=1, prof=1, sbtmvp=1,
                       joint_cbcr=1, lm_chroma=1, mts_implicit=1,
                       num_full_rd_modes=3),
-    Preset.MEDIUM: dict(ctu_size=128, max_mtt_depth=1, max_mtt_depth_i=2,
+    Preset.MEDIUM: dict(sao=1, ctu_size=128, max_mtt_depth=1, max_mtt_depth_i=2,
                         mctf=2, bim=1, alf=1, ccalf=1, dmvr=1, bdof=1,
                         dep_quant=1, lfnst=1, affine=4, amvr=5, mmvd=3,
                         mrl=1, prof=1, sbtmvp=1, joint_cbcr=1, lm_chroma=1,
                         mts_implicit=1, mip=1, isp=3, smvd=3, geo=4,
                         num_full_rd_modes=3),
-    Preset.SLOW: dict(ctu_size=128, max_mtt_depth=2, max_mtt_depth_i=3,
+    Preset.SLOW: dict(sao=1, ctu_size=128, max_mtt_depth=2, max_mtt_depth_i=3,
                       mctf=2, alf=1, ccalf=1, dmvr=1, bdof=1, dep_quant=1,
                       lfnst=1, affine=3, amvr=1, mmvd=1, mrl=1, prof=1,
                       sbtmvp=1, joint_cbcr=1, lm_chroma=1, mts_implicit=1,
                       mip=1, isp=3, smvd=3, geo=2, ciip=1, sbt=1, bcw=2,
                       num_full_rd_modes=4),
-    Preset.SLOWER: dict(ctu_size=128, max_mtt_depth=3, max_mtt_depth_i=3,
+    Preset.SLOWER: dict(sao=1, ctu_size=128, max_mtt_depth=3, max_mtt_depth_i=3,
                         mctf=2, alf=1, ccalf=1, dmvr=1, bdof=1, dep_quant=1,
                         lfnst=1, affine=1, amvr=1, mmvd=1, mrl=1, prof=1,
                         sbtmvp=1, joint_cbcr=1, lm_chroma=1, mts=1, mip=1,
@@ -131,14 +136,18 @@ _PRESET_MATRIX = {
                           bdpcm=1, ibc=1, num_full_rd_modes=3),
 }
 
-# tools the current build actually implements end-to-end
-_IMPLEMENTED = {"mctf": 0, "bim": 0, "alf": 0, "ccalf": 0, "sao": 0,
+# tool levels the current build implements END-TO-END in the encoder
+# (the subset decoder additionally decodes: ISP, SBT, GEO, CIIP, affine,
+# PROF, SbTMVP, BDOF, DMVR, AMVR, MMVD, SMVD, BCW, JCCR, TS, BDPCM, IBC,
+# SDH, CC-ALF — encoder-side search for those lands tool by tool)
+_IMPLEMENTED = {"mctf": 2, "bim": 0, "alf": 1, "ccalf": 0, "sao": 1,
                 "deblocking": 1, "dep_quant": 1, "sign_data_hiding": 0,
-                "lfnst": 0, "mts": 0, "mts_implicit": 0, "mip": 0, "isp": 0,
-                "mrl": 0, "lm_chroma": 0, "joint_cbcr": 0, "affine": 0,
+                "lfnst": 1, "mts": 1, "mts_implicit": 0, "mip": 1, "isp": 0,
+                "mrl": 1, "lm_chroma": 1, "joint_cbcr": 0, "affine": 0,
                 "dmvr": 0, "bdof": 0, "mmvd": 0, "smvd": 0, "geo": 0,
                 "ciip": 0, "sbt": 0, "bcw": 0, "sbtmvp": 0, "amvr": 0,
-                "prof": 0, "transform_skip": 0, "bdpcm": 0, "ibc": 0}
+                "prof": 0, "transform_skip": 0, "bdpcm": 0, "ibc": 0,
+                "tmvp": 1}
 
 
 def init_preset(cfg: VvencTpuConfig, preset: Preset,
@@ -179,8 +188,10 @@ def check_config(cfg: VvencTpuConfig) -> None:
         raise NotImplementedError("CTU > 32 lands with the TU-tiling work")
     if cfg.gop_size > 1 and (cfg.gop_size & (cfg.gop_size - 1)):
         raise ValueError("GOP size must be a power of two")
-    if cfg.target_bitrate:
-        raise NotImplementedError("rate control")
+    if cfg.target_bitrate < 0:
+        raise ValueError("negative target bitrate")
+    if cfg.rc_passes not in (1, 2):
+        raise ValueError("rc_passes must be 1 or 2")
     for k, max_v in _IMPLEMENTED.items():
         if getattr(cfg, k) > max_v:
             raise NotImplementedError(f"tool '{k}' not implemented yet")

@@ -174,8 +174,15 @@ class IntraEncoder:
         or IPPP) -> Annex-B AU bytes (headers prepended on first frame)."""
         poc = self.frames_done
         cfg = self.cfg
-        is_idr = (cfg.intra_period <= 1) or (poc % cfg.intra_period == 0) \
-            or poc in self._force_idr_pocs
+        # intra_period semantics follow vvenc: 1 = all-intra, 0/-1 = only
+        # the first picture is intra, N>1 = IDR every N pictures
+        if cfg.intra_period == 1:
+            is_idr = True
+        elif cfg.intra_period <= 0:
+            is_idr = poc == 0
+        else:
+            is_idr = (poc % cfg.intra_period == 0)
+        is_idr = is_idr or poc in self._force_idr_pocs
         if is_idr:
             au = self._encode_picture(poc, planes8, SLICE_I, [], [])
         else:

@@ -1,0 +1,125 @@
+"""Native (C++) host-side entropy kernels, loaded via ctypes.
+
+The reference encoder's host runtime is C++ (BinEncoder estimator, RDOQ,
+residual syntax); this package provides the same for vvenc_tpu: a lazily
+g++-compiled shared library (native/entropy.cpp) with bit-exact ports of
+the Python reference paths.  The Python implementations remain the golden
+reference; tests/test_native.py enforces exact equivalence, and the
+encoder transparently dispatches to the native path when available.
+
+Set VVENC_TPU_NATIVE=0 to force the pure-Python paths.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import pathlib
+import subprocess
+
+import numpy as np
+
+_REPO = pathlib.Path(__file__).resolve().parents[2]
+_SRC = _REPO / "native" / "entropy.cpp"
+_BUILD_DIR = _REPO / "native" / "build"
+
+
+def _load():
+    if os.environ.get("VVENC_TPU_NATIVE", "1") == "0":
+        return None
+    if not _SRC.exists():
+        return None
+    src = _SRC.read_bytes()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    so = _BUILD_DIR / f"entropy-{tag}.so"
+    if not so.exists():
+        _BUILD_DIR.mkdir(parents=True, exist_ok=True)
+        tmp = so.with_suffix(".so.tmp")
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                 "-o", str(tmp), str(_SRC)],
+                check=True, capture_output=True)
+            os.replace(tmp, so)
+        except (subprocess.CalledProcessError, OSError):
+            return None
+    try:
+        lib = ctypes.CDLL(str(so))
+    except OSError:
+        return None
+
+    lib.vte_init.argtypes = [ctypes.POINTER(ctypes.c_int32),
+                             ctypes.POINTER(ctypes.c_uint32)]
+    lib.vte_init.restype = None
+    lib.vte_est_residual.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8)]
+    lib.vte_est_residual.restype = ctypes.c_int64
+    lib.vte_rdoq.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_int32)]
+    lib.vte_rdoq.restype = None
+
+    # install context-set bases + the estimator frac-bits table
+    from ..bitstream import ctx_tables as ct
+    from ..bitstream.cabac import FRAC_BITS_TABLE
+    bases = []
+    bases += [s.offset for s in ct.SIG_FLAG]          # 6
+    bases += [s.offset for s in ct.PAR_FLAG]          # 2
+    bases += [s.offset for s in ct.GTX_FLAG]          # 4
+    bases += [s.offset for s in ct.LAST_X]            # 2
+    bases += [s.offset for s in ct.LAST_Y]            # 2
+    bases += [s.offset for s in ct.SIG_COEFF_GROUP]   # 2
+    bases_np = np.asarray(bases, dtype=np.int32)
+    frac_np = np.ascontiguousarray(FRAC_BITS_TABLE, dtype=np.uint32)
+    lib.vte_init(bases_np.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                 frac_np.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    return lib
+
+
+_LIB = _load()
+
+
+def available() -> bool:
+    return _LIB is not None
+
+
+def _u16p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
+
+
+def _u8p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _i32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def est_residual(coeff: np.ndarray, is_luma: bool, dep_quant: bool,
+                 ctx) -> int:
+    """Estimator-path residual coding: updates ctx state arrays in place,
+    returns the frac-bit delta (SCALE_BITS fixed point)."""
+    h, w = coeff.shape
+    c = np.ascontiguousarray(coeff, dtype=np.int32)
+    return int(_LIB.vte_est_residual(
+        _i32p(c), w, h, 1 if is_luma else 0, 1 if dep_quant else 0,
+        _u16p(ctx.state0), _u16p(ctx.state1),
+        _u8p(ctx.rate0), _u8p(ctx.rate1)))
+
+
+def rdoq(coeff: np.ndarray, qp: int, bit_depth: int, is_luma: bool,
+         lmbda: float, ctx, cbf_ctx_id=None) -> np.ndarray:
+    h, w = coeff.shape
+    c = np.ascontiguousarray(coeff, dtype=np.int32)
+    out = np.zeros((h, w), dtype=np.int32)
+    _LIB.vte_rdoq(_i32p(c), w, h, qp, bit_depth, 1 if is_luma else 0,
+                  float(lmbda), -1 if cbf_ctx_id is None else int(cbf_ctx_id),
+                  _u16p(ctx.state0), _u16p(ctx.state1), _i32p(out))
+    return out

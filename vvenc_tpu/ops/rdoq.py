@@ -103,6 +103,17 @@ def _coded_level(level_double, max_abs, fb_sig, fb_par, fb_gt1, fb_gt2,
 
 def rdoq_np(coeff: np.ndarray, qp: int, bit_depth: int, is_luma: bool,
             lmbda: float, ctx, cbf_ctx_id=None) -> np.ndarray:
+    """RDOQ dispatcher: native C++ kernel when available (bit-exact port,
+    tests/test_native.py), else the Python reference below."""
+    from .. import native
+    if native.available():
+        return native.rdoq(coeff, qp, bit_depth, is_luma, lmbda, ctx,
+                           cbf_ctx_id)
+    return _rdoq_py(coeff, qp, bit_depth, is_luma, lmbda, ctx, cbf_ctx_id)
+
+
+def _rdoq_py(coeff: np.ndarray, qp: int, bit_depth: int, is_luma: bool,
+             lmbda: float, ctx, cbf_ctx_id=None) -> np.ndarray:
     """RD-optimized quantization of one TU.
 
     coeff: forward-transform output [h, w] (int).  ctx: CtxModels carrying
