@@ -69,6 +69,7 @@ def encoder_config_from(cfg, args) -> "EncoderConfig":
         sao=bool(cfg.sao), alf=bool(cfg.alf), mctf=bool(cfg.mctf),
         lfnst=bool(cfg.lfnst), mts=bool(cfg.mts), mip=bool(cfg.mip),
         mrl=bool(cfg.mrl), cclm=bool(cfg.lm_chroma), tmvp=bool(cfg.tmvp),
+        bdof=bool(cfg.bdof), dmvr=bool(cfg.dmvr),
         bitrate=cfg.target_bitrate, picture_hash=cfg.picture_hash,
         hrd_timing_sei=bool(cfg.hrd_timing_sei),
         fps_num=cfg.fps_num, fps_den=cfg.fps_den)

@@ -752,6 +752,38 @@ class SyntaxCoder:
         poc1 = self.ref_pocs[1][cu.ref_idx[1]]
         return (self.cur_poc - poc0) == (poc1 - self.cur_poc)
 
+    def prepare_refinement(self, ps, cu) -> None:
+        """Run DMVR refinement for a candidate CU (what finish_cu will do);
+        lets an encoder compute residuals against the refined prediction."""
+        cu.dmvr_deltas = cu.dmvr_bdof = None
+        if cu.is_inter and self.dmvr_applies(cu):
+            from ..ops.dmvr import dmvr_refine
+            cu.dmvr_deltas, dmvr_bdof = dmvr_refine(
+                self.ref_pics[0][cu.ref_idx[0]][0],
+                self.ref_pics[1][cu.ref_idx[1]][0],
+                cu.x, cu.y, cu.w, cu.h, cu.mv[0], cu.mv[1],
+                self.bit_depth, ps.w, ps.h, self.ctu_size)
+            bdof_g = self.bdof_applies(cu)
+            cu.dmvr_bdof = {k: (v and bdof_g)
+                            for k, v in dmvr_bdof.items()}
+
+    def pred_cu_inter(self, ps, cu, comp):
+        """Prediction of one component of a regular inter CU including
+        DMVR/BDOF (prepare_refinement must have run for DMVR CUs)."""
+        if comp == 0:
+            x, y, w, h = cu.x, cu.y, cu.w, cu.h
+        else:
+            x, y, w, h = cu.x >> 1, cu.y >> 1, cu.w >> 1, cu.h >> 1
+        if cu.dmvr_deltas is not None:
+            return dmvr_predict(self.ref_pics, cu, comp, self.bit_depth,
+                                ps.w, ps.h, self.ctu_size)
+        if comp == 0 and self.bdof_applies(cu):
+            return bdof_predict_luma(self.ref_pics[0][cu.ref_idx[0]][0],
+                                     self.ref_pics[1][cu.ref_idx[1]][0],
+                                     cu, self.bit_depth)
+        return inter_predict(self.ref_pics, cu.mv, cu.ref_idx, x, y, w, h,
+                             comp, self.bit_depth, cu.bcw_idx, cu.alt_hpel)
+
     def _derive_sym_refs(self):
         """Nearest forward L0 / backward L1 reference pair (vvenc
         Slice::checkBiDirRefs semantics, Slice.cpp:280-356)."""

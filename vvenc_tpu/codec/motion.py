@@ -511,3 +511,35 @@ def get_ibc_amvp_candidates(ps, mf: MotionField, hmvp_ibc: HmvpLut,
             return v << sh
         out.append((r(bv[0]), r(bv[1])))
     return out
+
+
+def refine_mf_with_dmvr(mf, trees) -> None:
+    """Write DMVR-refined MVs into the stored motion field (the TMVP
+    source for later pictures — vvenc setRefinedMotionFieldCTU).  Shared
+    by the decoder and the encoder (both keep the same field)."""
+    def walk(node):
+        cu = node.cu
+        if cu is not None and getattr(cu, "dmvr_deltas", None):
+            for (sy, sx), (dx_, dy_) in cu.dmvr_deltas.items():
+                if dx_ == 0 and dy_ == 0:
+                    continue
+                mi = MotionInfo(
+                    ((cu.mv[0][0] + dx_, cu.mv[0][1] + dy_),
+                     (cu.mv[1][0] - dx_, cu.mv[1][1] - dy_)),
+                    tuple(cu.ref_idx), bcw=cu.bcw_idx,
+                    alt_hpel=cu.alt_hpel)
+                # sparse 8x8-grid refinement (vvenc refineCU)
+                x0a, y0a = cu.x + sx, cu.y + sy
+                x1a = min(x0a + 16, cu.x + cu.w)
+                y1a = min(y0a + 16, cu.y + cu.h)
+                y2 = ((y0a - 1) & ~7) + 8
+                while y2 < y1a:
+                    x2 = ((x0a - 1) & ~7) + 8
+                    while x2 < x1a:
+                        mf.mi[y2 >> 2][x2 >> 2] = mi
+                        x2 += 8
+                    y2 += 8
+        for c in node.children:
+            walk(c)
+    for t in trees:
+        walk(t)

@@ -171,33 +171,8 @@ def _decode_slice(rbsp: bytes, nal_type, sps_map, pps_map, aps_map,
 
     # DMVR: the stored motion field (TMVP source for later pictures)
     # carries the refined MVs (vvenc setRefinedMotionFieldCTU)
-    def _refine_mf(node):
-        cu = node.cu
-        if cu is not None and getattr(cu, "dmvr_deltas", None):
-            from ..codec.motion import MotionInfo
-            for (sy, sx), (dx_, dy_) in cu.dmvr_deltas.items():
-                if dx_ == 0 and dy_ == 0:
-                    continue
-                mi = MotionInfo(
-                    ((cu.mv[0][0] + dx_, cu.mv[0][1] + dy_),
-                     (cu.mv[1][0] - dx_, cu.mv[1][1] - dy_)),
-                    tuple(cu.ref_idx), bcw=cu.bcw_idx,
-                    alt_hpel=cu.alt_hpel)
-                # sparse 8x8-grid refinement (vvenc refineCU)
-                x0a, y0a = cu.x + sx, cu.y + sy
-                x1a = min(x0a + 16, cu.x + cu.w)
-                y1a = min(y0a + 16, cu.y + cu.h)
-                y2 = ((y0a - 1) & ~7) + 8
-                while y2 < y1a:
-                    x2 = ((x0a - 1) & ~7) + 8
-                    while x2 < x1a:
-                        coder.mf.mi[y2 >> 2][x2 >> 2] = mi
-                        x2 += 8
-                    y2 += 8
-        for c in node.children:
-            _refine_mf(c)
-    for t in trees:
-        _refine_mf(t)
+    from ..codec.motion import refine_mf_with_dmvr
+    refine_mf_with_dmvr(coder.mf, trees)
 
     if not pps.deblocking_filter_disabled:
         from ..codec.deblock import deblock_picture

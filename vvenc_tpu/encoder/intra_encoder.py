@@ -61,6 +61,8 @@ class EncoderConfig:
     gop_size: int = 1              # >1: hierarchical-B random access GOPs
     search_range: int = 8          # integer ME range around the predictor
     tmvp: bool = True              # temporal MVP (collocated-picture MVs)
+    bdof: bool = False             # bi-directional optical flow
+    dmvr: bool = False             # decoder-side MV refinement
     max_mtt_depth: int = 0         # BT/TT depth for intra slices
     max_bt_size: int = 32
     max_tt_size: int = 32
@@ -118,6 +120,10 @@ def build_parameter_sets(cfg: EncoderConfig):
     sps.alf_enabled = 1 if cfg.alf else 0
     sps.sao_enabled = 1 if cfg.sao else 0
     sps.temporal_mvp = 1 if cfg.tmvp else 0
+    if cfg.bdof:
+        sps.bdof = sps.bdof_present = 1
+    if cfg.dmvr:
+        sps.dmvr = sps.dmvr_present = 1
     if cfg.qpa:
         pps.cu_qp_delta_enabled = 1
         pps.slice_chroma_qp_flag = 1
@@ -362,6 +368,12 @@ class IntraEncoder:
         enc.encode_bin_trm(1)
         enc.finish()
         bw.write_rbsp_trailing_bits()
+
+        if cfg.dmvr:
+            # refined MVs land in the stored motion field (TMVP source),
+            # mirroring the decoder (vvenc setRefinedMotionFieldCTU)
+            from ..codec.motion import refine_mf_with_dmvr
+            refine_mf_with_dmvr(coder.mf, trees)
 
         if cfg.deblocking:
             from ..codec.deblock import deblock_picture
@@ -991,19 +1003,23 @@ class _CtuSearcher:
         trials = []
         qy = self.qp.luma_qp()
         for _, idx, mi in scored[:2]:
-            py, pcb, pcr = mc_pred(mi.mv, mi.ref_idx)
-            coeffs = self._quant_resid(src_y, src_cb, src_cr, py, pcb, pcr)
-            any_c = any(c is not None for c in coeffs)
             # skip trial (no residual)
             cu = CuData(x, y, w, h, is_inter=True, skip=True, merge=True,
                         merge_idx=idx, mv=mi.mv, ref_idx=mi.ref_idx,
                         root_cbf=False)
             trials.append(cu)
-            if any_c and coeffs[0] is not None:
-                cu = CuData(x, y, w, h, is_inter=True, merge=True,
-                            merge_idx=idx, mv=mi.mv, ref_idx=mi.ref_idx,
-                            coeff_y=coeffs[0], coeff_cb=coeffs[1],
-                            coeff_cr=coeffs[2])
+            # residual trial: prediction through the real decoder path
+            # (DMVR/BDOF refinement included) so coefficients match what
+            # the reconstruction will subtract
+            cu = CuData(x, y, w, h, is_inter=True, merge=True,
+                        merge_idx=idx, mv=mi.mv, ref_idx=mi.ref_idx)
+            coder.prepare_refinement(ps, cu)
+            py = coder.pred_cu_inter(ps, cu, 0)
+            pcb = coder.pred_cu_inter(ps, cu, 1)
+            pcr = coder.pred_cu_inter(ps, cu, 2)
+            coeffs = self._quant_resid(src_y, src_cb, src_cr, py, pcb, pcr)
+            if coeffs[0] is not None:
+                cu.coeff_y, cu.coeff_cb, cu.coeff_cr = coeffs
                 trials.append(cu)
 
         # AMVP trials: uni per list (+ bi combination for B slices)
@@ -1037,15 +1053,17 @@ class _CtuSearcher:
         if is_b and 0 in uni and 1 in uni:
             mv_pair = (uni[0][0], uni[1][0])
             ref_idx = (0, 0)
-            py, pcb, pcr = mc_pred(mv_pair, ref_idx)
-            coeffs = self._quant_resid(src_y, src_cb, src_cr, py, pcb, pcr)
             cu = CuData(x, y, w, h, is_inter=True, merge=False,
                         mv=mv_pair, ref_idx=ref_idx,
                         mvd=uni[0][2], mvp_idx=uni[0][1],
-                        mvd_l1=uni[1][2], mvp_idx_l1=uni[1][1],
-                        root_cbf=any(c is not None for c in coeffs),
-                        coeff_y=coeffs[0], coeff_cb=coeffs[1],
-                        coeff_cr=coeffs[2])
+                        mvd_l1=uni[1][2], mvp_idx_l1=uni[1][1])
+            # BDOF applies to AMVP bi-pred as well: predict via the real path
+            py = coder.pred_cu_inter(ps, cu, 0)
+            pcb = coder.pred_cu_inter(ps, cu, 1)
+            pcr = coder.pred_cu_inter(ps, cu, 2)
+            coeffs = self._quant_resid(src_y, src_cb, src_cr, py, pcb, pcr)
+            cu.root_cbf = any(c is not None for c in coeffs)
+            cu.coeff_y, cu.coeff_cb, cu.coeff_cr = coeffs
             trials.append(cu)
 
         # intra fallback: best-SATD mode, full residual
