@@ -250,3 +250,56 @@ def test_tmvp_encoder_roundtrip():
     # strongest check: last frame recon matches encoder state
     for c in range(3):
         assert np.array_equal(decs[-1].planes[c], enc.last_rec.rec[c])
+
+
+def test_jccr_encoder_roundtrip():
+    """Joint Cb-Cr residual coding in the chroma RD: bit-exact decode and
+    a bitrate win on anti-correlated chroma."""
+    import numpy as np
+    from vvenc_tpu.encoder import IntraEncoder, EncoderConfig
+    from vvenc_tpu.decoder import decode_stream
+    rng = np.random.RandomState(3)
+    w, h = 128, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = np.clip(60 + 120 * np.sin(xx / 11.) * np.cos(yy / 7.)
+                + rng.randn(h, w) * 4 + 60, 0, 255).astype(np.uint8)
+    u = np.clip(128 + 0.45 * (y.astype(int) - 128),
+                0, 255)[::2, ::2].astype(np.uint8)
+    v = np.clip(128 - 0.45 * (y.astype(int) - 128),
+                0, 255)[::2, ::2].astype(np.uint8)
+    res = {}
+    for jccr in (False, True):
+        enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=30,
+                                         jccr=jccr))
+        au = enc.encode_frame((y, u, v))
+        dec = decode_stream(au)[0]
+        for c in range(3):
+            assert np.array_equal(dec.planes[c], enc.last_rec.rec[c])
+        res[jccr] = len(au)
+    assert res[True] < res[False]
+
+
+def test_intra_toolchain_combined():
+    """All intra tools on at once: MIP+MRL+CCLM+LFNST+MTS+JCCR+SAO+ALF+
+    deblock with MTT — the full replay must stay bit-exact."""
+    import numpy as np
+    from vvenc_tpu.encoder import IntraEncoder, EncoderConfig
+    from vvenc_tpu.decoder import decode_stream
+    rng = np.random.RandomState(21)
+    w, h = 96, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = np.clip(110 + 70 * np.sin((xx + 2 * yy) / 5.0)
+                + 50 * ((xx // 7) % 2) + rng.randn(h, w) * 7,
+                0, 255).astype(np.uint8)
+    u = np.clip(128 + 0.4 * (y.astype(int) - 128),
+                0, 255)[::2, ::2].astype(np.uint8)
+    v = np.clip(128 - 0.3 * (y.astype(int) - 128),
+                0, 255)[::2, ::2].astype(np.uint8)
+    enc = IntraEncoder(EncoderConfig(
+        width=w, height=h, qp=32, max_mtt_depth=1, mip=True, mrl=True,
+        cclm=True, lfnst=True, mts=True, jccr=True, sao=True, alf=True,
+        deblocking=True, dep_quant=True))
+    au = enc.encode_frame((y, u, v))
+    dec = decode_stream(au)[0]
+    for c in range(3):
+        assert np.array_equal(dec.planes[c], enc.last_rec.rec[c])

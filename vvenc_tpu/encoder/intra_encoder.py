@@ -70,6 +70,7 @@ class EncoderConfig:
     dep_quant: bool = False        # trellis (dependent) quantization
     qpa: bool = False              # perceptual QP adaptation (XPSNR model)
     cclm: bool = False             # cross-component linear model chroma
+    jccr: bool = False             # joint Cb-Cr residual coding
     mip: bool = False              # matrix intra prediction
     mrl: bool = False              # multi-reference-line intra
     lfnst: bool = False            # low-frequency non-separable transform
@@ -112,6 +113,7 @@ def build_parameter_sets(cfg: EncoderConfig):
     sps.dep_quant_enabled = 1 if cfg.dep_quant else 0
     sps.mip = 1 if cfg.mip else 0
     sps.cclm = 1 if cfg.cclm else 0
+    sps.joint_cbcr = 1 if cfg.jccr else 0
     sps.mrl = 1 if cfg.mrl else 0
     sps.lfnst = 1 if cfg.lfnst else 0
     if cfg.mts:
@@ -290,6 +292,13 @@ class IntraEncoder:
         sh.dep_quant_used = 1 if self.cfg.dep_quant else 0
         sh.ph = PictureHeader()
         sh.ph.poc_lsb = poc & ((1 << self.sps.log2_max_poc_lsb) - 1)
+        if cfg.jccr:
+            # picture-level joint Cb-Cr sign from source chroma high-pass
+            # correlation (vvenc derives it from collected residual stats;
+            # the high-pass of the source is the available proxy)
+            hcb = np.diff(src[1].astype(np.int64), axis=1)
+            hcr = np.diff(src[2].astype(np.int64), axis=1)
+            sh.ph.joint_cbcr_sign = 1 if int((hcb * hcr).sum()) < 0 else 0
         ref_pics = [[], []]
         ref_pocs = [[], []]
         tmvp = None
@@ -835,18 +844,30 @@ class _CtuSearcher:
         b0 = self.est.frac_bits
         self._est_cu_luma_syntax(cu, mpm)
         self.coder._enc_intra_chroma_mode(self.est, cu)
-        cbf_cb = cu.coeff_cb is not None
-        cbf_cr = cu.coeff_cr is not None
+        if cu.joint_cbcr:
+            cbf_cb, cbf_cr = bool(cu.joint_cbcr & 2), bool(cu.joint_cbcr & 1)
+        else:
+            cbf_cb = cu.coeff_cb is not None
+            cbf_cr = cu.coeff_cr is not None
         self.est.encode_bin(1 if cbf_cb else 0, ct.CTX_SETS["QtCbfCb"](0))
         self.est.encode_bin(1 if cbf_cr else 0,
                             ct.CTX_SETS["QtCbfCr"](1 if cbf_cb else 0))
+        mask_ = (2 if cbf_cb else 0) + (1 if cbf_cr else 0)
+        if self.enc.sps.joint_cbcr and mask_:
+            self.est.encode_bin(1 if cu.joint_cbcr else 0,
+                                ct.CTX_SETS["JointCbCrFlag"](mask_ - 1))
         self.est.encode_bin(1 if cu.coeff_y is not None else 0,
                             ct.CTX_SETS["QtCbfLuma"](0))
         if cu.coeff_y is not None:
             encode_residual(self.est, cu.coeff_y, True, dep_quant=self.cfg.dep_quant)
-        for comp, coeff in ((1, cu.coeff_cb), (2, cu.coeff_cr)):
-            if coeff is not None:
-                encode_residual(self.est, coeff, False, dep_quant=self.cfg.dep_quant)
+        if cu.joint_cbcr:
+            coded = cu.coeff_cb if cu.joint_cbcr in (2, 3) else cu.coeff_cr
+            encode_residual(self.est, coded, False,
+                            dep_quant=self.cfg.dep_quant)
+        else:
+            for comp, coeff in ((1, cu.coeff_cb), (2, cu.coeff_cr)):
+                if coeff is not None:
+                    encode_residual(self.est, coeff, False, dep_quant=self.cfg.dep_quant)
         self.coder._code_lfnst_mts(self.est, cu, encode=True)
         total_bits = (self.est.frac_bits - b0) / (1 << 15)
 
@@ -862,7 +883,8 @@ class _CtuSearcher:
 
     def _rd_chroma(self, cu: CuData) -> None:
         """Chroma mode RD: DM + CCLM/MDLM (+ the 4-entry candidate list when
-        it differs from DM).  Sets cu.chroma_dir/coeff_cb/coeff_cr.
+        it differs from DM), plus joint Cb-Cr (JCCR) trials on the winner.
+        Sets cu.chroma_dir/coeff_cb/coeff_cr/joint_cbcr.
 
         vvenc IntraSearch::estIntraPredChromaQT analog (IntraSearch.h:178):
         per candidate mode, full transform/quant + SSE + estimated bits."""
@@ -872,20 +894,54 @@ class _CtuSearcher:
         x, y, w, h = cu.x, cu.y, cu.w, cu.h
         cx, cy2, cw, chh = x >> 1, y >> 1, w >> 1, h >> 1
         srcs = {c: self.src[c][cy2:cy2 + chh, cx:cx + cw] for c in (1, 2)}
+        jccr_on = bool(self.enc.sps.joint_cbcr)
         cands = [DM_CHROMA]
         if self.enc.sps.cclm:
             cands += [LM_CHROMA_IDX, MDLM_L_IDX, MDLM_T_IDX]
             dm = dm_luma_mode(cu)
             cands += [m for m in chroma_cand_modes(dm) if m != dm]
         snap = self.est.snapshot()
+
+        def chroma_bits(coded, mask):
+            """Estimated chroma syntax bits for one trial.
+            mask: JCCR cbf mask (0 = separate coding, coded = {1: cb, 2: cr}
+            or single coded residual)."""
+            self.est.restore(snap)
+            b0 = self.est.frac_bits
+            self.coder._enc_intra_chroma_mode(self.est, cu)
+            if mask:
+                cbf_cb, cbf_cr = bool(mask & 2), bool(mask & 1)
+            else:
+                cbf_cb = coded[1] is not None
+                cbf_cr = coded[2] is not None
+            self.est.encode_bin(1 if cbf_cb else 0,
+                                ct.CTX_SETS["QtCbfCb"](0))
+            self.est.encode_bin(1 if cbf_cr else 0,
+                                ct.CTX_SETS["QtCbfCr"](1 if cbf_cb else 0))
+            cm = (2 if cbf_cb else 0) + (1 if cbf_cr else 0)
+            if jccr_on and cm:
+                self.est.encode_bin(1 if mask else 0,
+                                    ct.CTX_SETS["JointCbCrFlag"](cm - 1))
+            if mask:
+                encode_residual(self.est, coded, False,
+                                dep_quant=self.cfg.dep_quant)
+            else:
+                for comp in (1, 2):
+                    if coded[comp] is not None:
+                        encode_residual(self.est, coded[comp], False,
+                                        dep_quant=self.cfg.dep_quant)
+            return (self.est.frac_bits - b0) / (1 << 15)
+
         best = None
+        preds_best = None
         for cdir in cands:
             cu.chroma_dir = cdir
             dist = 0.0
-            coeffs, recs = {}, {}
+            coeffs, preds = {}, {}
             for comp in (1, 2):
                 pred = predict_cu_component(ps, cu, comp, bit_depth,
                                             self.cfg.ctu_size)
+                preds[comp] = pred
                 qc = self.qp.chroma_qp(comp)
                 cbf_ctx = ct.CTX_SETS["QtCbfCb"](0) if comp == 1 else \
                     ct.CTX_SETS["QtCbfCr"](1 if coeffs[1] is not None else 0)
@@ -900,26 +956,52 @@ class _CtuSearcher:
                 else:
                     coeffs[comp] = None
                     rec = pred
-                recs[comp] = rec
                 dist += R.sse_np(srcs[comp], rec)
-            self.est.restore(snap)
-            b0 = self.est.frac_bits
-            self.coder._enc_intra_chroma_mode(self.est, cu)
-            cbf_cb = coeffs[1] is not None
-            self.est.encode_bin(1 if cbf_cb else 0,
-                                ct.CTX_SETS["QtCbfCb"](0))
-            self.est.encode_bin(1 if coeffs[2] is not None else 0,
-                                ct.CTX_SETS["QtCbfCr"](1 if cbf_cb else 0))
-            for comp in (1, 2):
-                if coeffs[comp] is not None:
-                    encode_residual(self.est, coeffs[comp], False,
-                                    dep_quant=self.cfg.dep_quant)
-            bits = (self.est.frac_bits - b0) / (1 << 15)
-            cost = dist + self.lmbda * bits
+            cost = dist + self.lmbda * chroma_bits(coeffs, 0)
             if best is None or cost < best[0]:
-                best = (cost, cdir, coeffs[1], coeffs[2])
+                best = (cost, cdir, coeffs[1], coeffs[2], 0)
+                preds_best = preds
+
+        # JCCR trials on the winning mode (vvenc tests joint modes in the
+        # chroma RD loop; we bound it to the best separate mode)
+        if jccr_on:
+            from ..codec.ctu_syntax import _ict_derive
+            cu.chroma_dir = best[1]
+            sign_flag = self.coder.jccr_sign
+            s = -1 if sign_flag else 1
+            res = {c: srcs[c].astype(np.int64) - preds_best[c]
+                   for c in (1, 2)}
+            for mask in (3, 2, 1):
+                if mask == 3:
+                    coded_res = (res[1] + s * res[2]) >> 1
+                    qc = self.qp.joint_qp()
+                elif mask == 2:
+                    coded_res = (4 * res[1] + 2 * s * res[2]) // 5
+                    qc = self.qp.chroma_qp(1)
+                else:
+                    coded_res = (4 * res[2] + 2 * s * res[1]) // 5
+                    qc = self.qp.chroma_qp(2)
+                cbf_ctx = ct.CTX_SETS["QtCbfCb"](0) if mask & 2 else \
+                    ct.CTX_SETS["QtCbfCr"](0)
+                coeff = self._q(T.fwd_transform_np(coded_res, bit_depth),
+                                qc, False, cbf_ctx)
+                if not np.any(coeff):
+                    continue
+                r = T.inv_transform_np(self._dq(coeff, qc), bit_depth)
+                rcb, rcr = _ict_derive(r.astype(np.int64), mask, sign_flag)
+                dist = 0.0
+                for comp, rr in ((1, rcb), (2, rcr)):
+                    rec = np.clip(preds_best[comp] + rr, 0,
+                                  (1 << bit_depth) - 1)
+                    dist += R.sse_np(srcs[comp], rec)
+                cost = dist + self.lmbda * chroma_bits(coeff, mask)
+                if cost < best[0]:
+                    cb = coeff if mask in (2, 3) else None
+                    cr = coeff if mask == 1 else None
+                    best = (cost, best[1], cb, cr, mask)
+
         self.est.restore(snap)
-        _, cu.chroma_dir, cu.coeff_cb, cu.coeff_cr = best
+        _, cu.chroma_dir, cu.coeff_cb, cu.coeff_cr, cu.joint_cbcr = best
 
     def _est_cu_luma_syntax(self, cu: CuData, mpm) -> None:
         est = self.est
