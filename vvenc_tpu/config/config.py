@@ -164,8 +164,8 @@ def init_preset(cfg: VvencTpuConfig, preset: Preset,
         for k, max_v in _IMPLEMENTED.items():
             if getattr(cfg, k) > max_v:
                 setattr(cfg, k, max_v)
-        # round-1 encoder constraints
-        cfg.ctu_size = min(cfg.ctu_size, 32)
+        # current encoder constraints (decoder handles CTU 128)
+        cfg.ctu_size = min(cfg.ctu_size, 64)
         cfg.max_mtt_depth = min(cfg.max_mtt_depth, 2)
         cfg.max_mtt_depth_i = min(cfg.max_mtt_depth_i, 2)
     return cfg
@@ -184,8 +184,9 @@ def check_config(cfg: VvencTpuConfig) -> None:
         raise ValueError("CTU size must be 32, 64 or 128")
     if cfg.internal_bit_depth != 10:
         raise NotImplementedError("internal bit depth other than 10")
-    if cfg.ctu_size != 32:
-        raise NotImplementedError("CTU > 32 lands with the TU-tiling work")
+    if cfg.ctu_size > 64:
+        raise NotImplementedError(
+            "CTU 128 needs TU tiling (max TB is 64); use 64")
     if cfg.gop_size > 1 and (cfg.gop_size & (cfg.gop_size - 1)):
         raise ValueError("GOP size must be a power of two")
     if cfg.target_bitrate < 0:
