@@ -70,7 +70,9 @@ def encoder_config_from(cfg, args) -> "EncoderConfig":
         lfnst=bool(cfg.lfnst), mts=bool(cfg.mts), mip=bool(cfg.mip),
         mrl=bool(cfg.mrl), cclm=bool(cfg.lm_chroma), tmvp=bool(cfg.tmvp),
         bdof=bool(cfg.bdof), dmvr=bool(cfg.dmvr),
-        jccr=bool(cfg.joint_cbcr),
+        jccr=bool(cfg.joint_cbcr), mmvd=bool(cfg.mmvd),
+        smvd=bool(cfg.smvd), bcw=bool(cfg.bcw), ciip=bool(cfg.ciip),
+        amvr=bool(cfg.amvr),
         bitrate=cfg.target_bitrate, picture_hash=cfg.picture_hash,
         hrd_timing_sei=bool(cfg.hrd_timing_sei),
         fps_num=cfg.fps_num, fps_den=cfg.fps_den)

@@ -774,6 +774,16 @@ class SyntaxCoder:
             x, y, w, h = cu.x, cu.y, cu.w, cu.h
         else:
             x, y, w, h = cu.x >> 1, cu.y >> 1, cu.w >> 1, cu.h >> 1
+        if cu.ciip:
+            from .geo import ciip_blend, ciip_num_intra
+            inter = inter_predict(self.ref_pics, cu.mv, cu.ref_idx, x, y,
+                                  w, h, comp, self.bit_depth, 2,
+                                  cu.alt_hpel)
+            if comp != 0 and (cu.w >> 1) <= 2:
+                return inter
+            intra = predict_cu_component(ps, cu, comp, self.bit_depth,
+                                         self.ctu_size)
+            return ciip_blend(inter, intra, ciip_num_intra(ps, cu))
         if cu.dmvr_deltas is not None:
             return dmvr_predict(self.ref_pics, cu, comp, self.bit_depth,
                                 ps.w, ps.h, self.ctu_size)

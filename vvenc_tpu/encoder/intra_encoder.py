@@ -63,6 +63,11 @@ class EncoderConfig:
     tmvp: bool = True              # temporal MVP (collocated-picture MVs)
     bdof: bool = False             # bi-directional optical flow
     dmvr: bool = False             # decoder-side MV refinement
+    mmvd: bool = False             # merge with MVD
+    smvd: bool = False             # symmetric MVD (B slices)
+    bcw: bool = False              # bi-prediction with CU weights
+    ciip: bool = False             # combined inter/intra prediction
+    amvr: bool = False             # adaptive MV resolution (IMV)
     max_mtt_depth: int = 0         # BT/TT depth for intra slices
     max_bt_size: int = 32
     max_tt_size: int = 32
@@ -126,6 +131,11 @@ def build_parameter_sets(cfg: EncoderConfig):
         sps.bdof = sps.bdof_present = 1
     if cfg.dmvr:
         sps.dmvr = sps.dmvr_present = 1
+    sps.mmvd = 1 if cfg.mmvd else 0
+    sps.smvd = 1 if cfg.smvd else 0
+    sps.bcw = 1 if cfg.bcw else 0
+    sps.ciip = 1 if cfg.ciip else 0
+    sps.amvr = 1 if cfg.amvr else 0
     if cfg.qpa:
         pps.cu_qp_delta_enabled = 1
         pps.slice_chroma_qp_flag = 1
@@ -158,6 +168,9 @@ class IntraEncoder:
         self.analysis = None           # per-frame PreProcess results
         self.scc_detected = False
         self.rc = None
+        # test/debug hook: restrict the inter mode competition (forces a
+        # specific tool's coded path; None = full competition)
+        self.trial_filter = None
         if cfg.bitrate > 0 or cfg.rc_stats_out:
             from .ratectrl import RateCtrl
             stats = RateCtrl.read_stats(cfg.rc_stats_in) \
@@ -1084,17 +1097,11 @@ class _CtuSearcher:
 
         trials = []
         qy = self.qp.luma_qp()
-        for _, idx, mi in scored[:2]:
-            # skip trial (no residual)
-            cu = CuData(x, y, w, h, is_inter=True, skip=True, merge=True,
-                        merge_idx=idx, mv=mi.mv, ref_idx=mi.ref_idx,
-                        root_cbf=False)
-            trials.append(cu)
-            # residual trial: prediction through the real decoder path
-            # (DMVR/BDOF refinement included) so coefficients match what
-            # the reconstruction will subtract
-            cu = CuData(x, y, w, h, is_inter=True, merge=True,
-                        merge_idx=idx, mv=mi.mv, ref_idx=mi.ref_idx)
+
+        def add_resid_trial(cu):
+            """Residual trial: prediction through the real decoder path
+            (DMVR/BDOF/CIIP/BCW included) so coefficients match what the
+            reconstruction will subtract."""
             coder.prepare_refinement(ps, cu)
             py = coder.pred_cu_inter(ps, cu, 0)
             pcb = coder.pred_cu_inter(ps, cu, 1)
@@ -1102,7 +1109,61 @@ class _CtuSearcher:
             coeffs = self._quant_resid(src_y, src_cb, src_cr, py, pcb, pcr)
             if coeffs[0] is not None:
                 cu.coeff_y, cu.coeff_cb, cu.coeff_cr = coeffs
+                cu.root_cbf = True
                 trials.append(cu)
+                return True
+            return False
+
+        for _, idx, mi in scored[:2]:
+            # skip trial (no residual); _apply_merge fills mv/ref/bcw/
+            # alt-hpel exactly as the decoder will
+            cu = CuData(x, y, w, h, is_inter=True, skip=True, merge=True,
+                        merge_idx=idx, root_cbf=False)
+            coder._apply_merge(ps, cu)
+            trials.append(cu)
+            cu = CuData(x, y, w, h, is_inter=True, merge=True,
+                        merge_idx=idx)
+            coder._apply_merge(ps, cu)
+            add_resid_trial(cu)
+
+        # CIIP trial on the best merge candidate
+        if scored:
+            from ..codec.geo import ciip_available
+            probe = CuData(x, y, w, h, is_inter=True, merge=True, ciip=True,
+                           merge_idx=scored[0][1])
+            if ciip_available(coder, probe):
+                coder._apply_merge(ps, probe)
+                add_resid_trial(probe)
+
+        # MMVD trials: offsets around the first merge bases; luma-SSE
+        # preselection over (base, step, pos), full trial for the winner
+        if coder.mmvd and scored:
+            best_m = None
+            n_base = 2 if sps.max_num_merge_cand > 1 else 1
+            for base in range(n_base):
+                for step in range(3):
+                    for pos_ in range(4):
+                        cu = CuData(x, y, w, h, is_inter=True, merge=True,
+                                    mmvd_flag=True, mmvd_base=base,
+                                    mmvd_step=step, mmvd_pos=pos_)
+                        coder._apply_mmvd(ps, cu)
+                        py = inter_predict(coder.ref_pics, cu.mv,
+                                           cu.ref_idx, x, y, w, h, 0,
+                                           bit_depth, cu.bcw_idx,
+                                           cu.alt_hpel)
+                        c = R.sse_np(src_y, py)
+                        if best_m is None or c < best_m[0]:
+                            best_m = (c, cu)
+            if best_m is not None:
+                cu = best_m[1]
+                skip_cu = CuData(x, y, w, h, is_inter=True, skip=True,
+                                 merge=True, mmvd_flag=True,
+                                 mmvd_base=cu.mmvd_base,
+                                 mmvd_step=cu.mmvd_step,
+                                 mmvd_pos=cu.mmvd_pos, root_cbf=False)
+                coder._apply_mmvd(ps, skip_cu)
+                trials.append(skip_cu)
+                add_resid_trial(cu)
 
         # AMVP trials: uni per list (+ bi combination for B slices)
         uni = {}
@@ -1135,18 +1196,75 @@ class _CtuSearcher:
         if is_b and 0 in uni and 1 in uni:
             mv_pair = (uni[0][0], uni[1][0])
             ref_idx = (0, 0)
-            cu = CuData(x, y, w, h, is_inter=True, merge=False,
-                        mv=mv_pair, ref_idx=ref_idx,
-                        mvd=uni[0][2], mvp_idx=uni[0][1],
-                        mvd_l1=uni[1][2], mvp_idx_l1=uni[1][1])
-            # BDOF applies to AMVP bi-pred as well: predict via the real path
-            py = coder.pred_cu_inter(ps, cu, 0)
-            pcb = coder.pred_cu_inter(ps, cu, 1)
-            pcr = coder.pred_cu_inter(ps, cu, 2)
-            coeffs = self._quant_resid(src_y, src_cb, src_cr, py, pcb, pcr)
-            cu.root_cbf = any(c is not None for c in coeffs)
-            cu.coeff_y, cu.coeff_cb, cu.coeff_cr = coeffs
-            trials.append(cu)
+            # BCW weight loop (vvenc xEstimateInterResidual bcw loop):
+            # default weight always; side weights when signalable
+            bcw_list = [2]
+            if coder.bcw_en and w * h >= 256:
+                bcw_list += [1, 3] + ([0, 4] if coder.check_ldc else [])
+            for bcw_i in bcw_list:
+                cu = CuData(x, y, w, h, is_inter=True, merge=False,
+                            mv=mv_pair, ref_idx=ref_idx,
+                            mvd=uni[0][2], mvp_idx=uni[0][1],
+                            mvd_l1=uni[1][2], mvp_idx_l1=uni[1][1],
+                            bcw_idx=bcw_i)
+                # BDOF applies to AMVP bi-pred: predict via the real path
+                py = coder.pred_cu_inter(ps, cu, 0)
+                pcb = coder.pred_cu_inter(ps, cu, 1)
+                pcr = coder.pred_cu_inter(ps, cu, 2)
+                coeffs = self._quant_resid(src_y, src_cb, src_cr, py, pcb,
+                                           pcr)
+                cu.root_cbf = any(c is not None for c in coeffs)
+                cu.coeff_y, cu.coeff_cb, cu.coeff_cr = coeffs
+                trials.append(cu)
+
+        # SMVD trial: one coded MVD, mirrored on the symmetric ref pair
+        if is_b and coder.bi_dir_pred:
+            sym0, sym1 = coder.sym_ref
+            probe = CuData(x, y, w, h, is_inter=True, smvd=True,
+                           ref_idx=(sym0, sym1))
+            amvp0 = coder.derive_amvp(ps, probe, 0)
+            amvp1 = coder.derive_amvp(ps, probe, 1)
+            mv0, mvp0 = self._motion_search(
+                src_y, x, y, w, h, amvp0, coder.ref_pics[0][sym0][0])
+            mvd = ((mv0[0] - amvp0[mvp0][0]) >> 2,
+                   (mv0[1] - amvp0[mvp0][1]) >> 2)
+            if mvd != (0, 0):
+                mv1 = (amvp1[0][0] - (mvd[0] << 2),
+                       amvp1[0][1] - (mvd[1] << 2))
+                cu = CuData(x, y, w, h, is_inter=True, merge=False,
+                            smvd=True, ref_idx=(sym0, sym1),
+                            mv=(mv0, mv1), mvd=mvd, mvp_idx=mvp0,
+                            mvd_l1=(-mvd[0], -mvd[1]), mvp_idx_l1=0)
+                py = coder.pred_cu_inter(ps, cu, 0)
+                pcb = coder.pred_cu_inter(ps, cu, 1)
+                pcr = coder.pred_cu_inter(ps, cu, 2)
+                coeffs = self._quant_resid(src_y, src_cb, src_cr, py, pcb,
+                                           pcr)
+                cu.root_cbf = any(c is not None for c in coeffs)
+                cu.coeff_y, cu.coeff_cb, cu.coeff_cr = coeffs
+                trials.append(cu)
+
+        # AMVR trial: integer-pel MVD on the uni-L0 winner
+        if coder.amvr and 0 in uni:
+            probe = CuData(x, y, w, h, is_inter=True,
+                           ref_idx=(0, -1), imv=1)
+            amvp_i = coder.derive_amvp(ps, probe, 0)
+            mv_q = uni[0][0]
+            mv_int = (((mv_q[0] + 8) >> 4) << 4, ((mv_q[1] + 8) >> 4) << 4)
+            mvd_i = ((mv_int[0] - amvp_i[0][0]) >> 4,
+                     (mv_int[1] - amvp_i[0][1]) >> 4)
+            if mvd_i != (0, 0):
+                mv0 = (amvp_i[0][0] + (mvd_i[0] << 4),
+                       amvp_i[0][1] + (mvd_i[1] << 4))
+                cu = CuData(x, y, w, h, is_inter=True, merge=False,
+                            mv=(mv0, (0, 0)), ref_idx=(0, -1),
+                            mvd=mvd_i, mvp_idx=0, imv=1)
+                py, pcb, pcr = mc_pred((mv0, (0, 0)), (0, -1))
+                coeffs = self._quant_resid(src_y, src_cb, src_cr, py, pcb,
+                                           pcr)
+                cu.root_cbf = any(c is not None for c in coeffs)
+                cu.coeff_y, cu.coeff_cb, cu.coeff_cr = coeffs
+                trials.append(cu)
 
         # intra fallback: best-SATD mode, full residual
         top, left = I.build_reference_samples(
@@ -1178,6 +1296,10 @@ class _CtuSearcher:
         trials.append(cu)
 
         # evaluate all trials through the real syntax writer + estimator
+        if self.enc.trial_filter is not None:
+            kept = [t for t in trials if self.enc.trial_filter(t)]
+            if kept:
+                trials = kept
         state0 = self._save(x, y, max(w, h))
         best = None
         node = TreeNode(x, y, max(w, h), part.qt_depth, w=w, h=h, part=part)
