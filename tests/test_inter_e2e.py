@@ -178,6 +178,8 @@ import pytest
     ("bcw", lambda cu: cu.bcw_idx != 2),
     ("ciip", lambda cu: cu.ciip),
     ("amvr", lambda cu: cu.imv != 0),
+    ("geo", lambda cu: cu.geo),
+    ("sbt", lambda cu: cu.sbt_idx != 0),
 ])
 def test_inter_tool_forced_roundtrip(tool, pred):
     """Force each new inter tool's coded path to win (trial_filter hook)
@@ -218,7 +220,7 @@ def test_inter_tools_combined_roundtrip():
                                      intra_period=0, gop_size=8,
                                      mmvd=True, smvd=True, bcw=True,
                                      ciip=True, amvr=True, bdof=True,
-                                     dmvr=True))
+                                     dmvr=True, geo=True, sbt=True))
     stream = enc.encode_sequence(frames)
     decs = sorted(decode_stream(stream), key=lambda f: f.poc)
     for p in range(len(frames)):

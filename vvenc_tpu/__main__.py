@@ -72,7 +72,7 @@ def encoder_config_from(cfg, args) -> "EncoderConfig":
         bdof=bool(cfg.bdof), dmvr=bool(cfg.dmvr),
         jccr=bool(cfg.joint_cbcr), mmvd=bool(cfg.mmvd),
         smvd=bool(cfg.smvd), bcw=bool(cfg.bcw), ciip=bool(cfg.ciip),
-        amvr=bool(cfg.amvr),
+        amvr=bool(cfg.amvr), geo=bool(cfg.geo), sbt=bool(cfg.sbt),
         bitrate=cfg.target_bitrate, picture_hash=cfg.picture_hash,
         hrd_timing_sei=bool(cfg.hrd_timing_sei),
         fps_num=cfg.fps_num, fps_den=cfg.fps_den)

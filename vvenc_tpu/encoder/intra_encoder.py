@@ -68,6 +68,8 @@ class EncoderConfig:
     bcw: bool = False              # bi-prediction with CU weights
     ciip: bool = False             # combined inter/intra prediction
     amvr: bool = False             # adaptive MV resolution (IMV)
+    geo: bool = False              # geometric partitioning merge
+    sbt: bool = False              # sub-block transform for inter residual
     max_mtt_depth: int = 0         # BT/TT depth for intra slices
     max_bt_size: int = 32
     max_tt_size: int = 32
@@ -136,6 +138,10 @@ def build_parameter_sets(cfg: EncoderConfig):
     sps.bcw = 1 if cfg.bcw else 0
     sps.ciip = 1 if cfg.ciip else 0
     sps.amvr = 1 if cfg.amvr else 0
+    sps.sbt = 1 if cfg.sbt else 0
+    if cfg.geo:
+        sps.geo = 1
+        sps.max_num_geo_cand = 3
     if cfg.qpa:
         pps.cu_qp_delta_enabled = 1
         pps.slice_chroma_qp_flag = 1
@@ -1098,21 +1104,28 @@ class _CtuSearcher:
         trials = []
         qy = self.qp.luma_qp()
 
-        def add_resid_trial(cu):
+        def add_resid_trial(cu, try_sbt=False):
             """Residual trial: prediction through the real decoder path
             (DMVR/BDOF/CIIP/BCW included) so coefficients match what the
-            reconstruction will subtract."""
+            reconstruction will subtract.  try_sbt adds sub-block-transform
+            variants (half splits) of the same prediction."""
             coder.prepare_refinement(ps, cu)
             py = coder.pred_cu_inter(ps, cu, 0)
             pcb = coder.pred_cu_inter(ps, cu, 1)
             pcr = coder.pred_cu_inter(ps, cu, 2)
             coeffs = self._quant_resid(src_y, src_cb, src_cr, py, pcb, pcr)
+            added = False
             if coeffs[0] is not None:
                 cu.coeff_y, cu.coeff_cb, cu.coeff_cr = coeffs
                 cu.root_cbf = True
                 trials.append(cu)
-                return True
-            return False
+                added = True
+            if try_sbt:
+                allowed = coder._sbt_allowed_bits(cu)
+                if allowed:
+                    self._add_sbt_trials(cu, allowed, src_y - py,
+                                         src_cb - pcb, src_cr - pcr, trials)
+            return added
 
         for _, idx, mi in scored[:2]:
             # skip trial (no residual); _apply_merge fills mv/ref/bcw/
@@ -1124,7 +1137,7 @@ class _CtuSearcher:
             cu = CuData(x, y, w, h, is_inter=True, merge=True,
                         merge_idx=idx)
             coder._apply_merge(ps, cu)
-            add_resid_trial(cu)
+            add_resid_trial(cu, try_sbt=True)
 
         # CIIP trial on the best merge candidate
         if scored:
@@ -1163,6 +1176,38 @@ class _CtuSearcher:
                                  mmvd_pos=cu.mmvd_pos, root_cbf=False)
                 coder._apply_mmvd(ps, skip_cu)
                 trials.append(skip_cu)
+                add_resid_trial(cu)
+
+        # GEO trials: luma-SSE preselection over split directions x the
+        # first uni candidate pairs, skip + residual variants of the winner
+        if coder.geo_en and is_b:
+            from ..codec.geo import geo_available, geo_predict
+            probe = CuData(x, y, w, h, is_inter=True, merge=True, geo=True,
+                           geo_split_dir=0, geo_idx0=0, geo_idx1=1)
+            if geo_available(coder, probe):
+                best_g = None
+                pairs = [(0, 1), (1, 0)]
+                if coder.max_geo_cand > 2:
+                    pairs += [(0, 2), (2, 0)]
+                for sd in range(0, 64, 4):
+                    for i0, i1 in pairs:
+                        cu = CuData(x, y, w, h, is_inter=True, merge=True,
+                                    geo=True, geo_split_dir=sd,
+                                    geo_idx0=i0, geo_idx1=i1)
+                        coder._apply_geo(ps, cu)
+                        c = R.sse_np(src_y, geo_predict(coder, cu, 0))
+                        if best_g is None or c < best_g[0]:
+                            best_g = (c, sd, i0, i1)
+                _, sd, i0, i1 = best_g
+                skip_cu = CuData(x, y, w, h, is_inter=True, skip=True,
+                                 merge=True, geo=True, geo_split_dir=sd,
+                                 geo_idx0=i0, geo_idx1=i1, root_cbf=False)
+                coder._apply_geo(ps, skip_cu)
+                trials.append(skip_cu)
+                cu = CuData(x, y, w, h, is_inter=True, merge=True,
+                            geo=True, geo_split_dir=sd, geo_idx0=i0,
+                            geo_idx1=i1)
+                coder._apply_geo(ps, cu)
                 add_resid_trial(cu)
 
         # AMVP trials: uni per list (+ bi combination for B slices)
@@ -1320,6 +1365,46 @@ class _CtuSearcher:
                 best = (cost, cu, self._save(x, y, max(w, h)))
         self._restore(best[2])
         return best[1], best[0]
+
+    def _add_sbt_trials(self, base_cu, allowed, resi_y, resi_cb, resi_cr,
+                        trials):
+        """Sub-block-transform variants: the residual lives in one half of
+        the CU (DST7/DCT8 per position when MTS is on), the rest is zeroed
+        (vvenc InterSearch xEstimateInterResidual SBT loop)."""
+        import copy
+        from ..codec.ctu_syntax import sbt_tu_rect
+        qy = self.qp.luma_qp()
+        for sbt_idx in (1, 2):                 # VER_HALF / HOR_HALF
+            if not (allowed >> sbt_idx) & 1:
+                continue
+            for pos_ in (0, 1):
+                cu = copy.copy(base_cu)
+                cu.sbt_idx, cu.sbt_pos = sbt_idx, pos_
+                tx, ty, tw, th, trh, trv = sbt_tu_rect(cu)
+                if not self.enc.sps.mts:
+                    trh = trv = T.DCT2
+                coeff_y = self._q(
+                    T.fwd_transform_np(resi_y[ty:ty + th, tx:tx + tw],
+                                       self.cfg.bit_depth, trh, trv),
+                    qy, True, ct.CTX_SETS["QtCbfLuma"](0),
+                    intra_slice=False)
+                if not np.any(coeff_y):
+                    continue
+                cu.coeff_y = coeff_y
+                for comp, resi_c in ((1, resi_cb), (2, resi_cr)):
+                    sub = resi_c[ty >> 1:(ty + th) >> 1,
+                                 tx >> 1:(tx + tw) >> 1]
+                    cc = self._q(
+                        T.fwd_transform_np(sub, self.cfg.bit_depth),
+                        self.qp.chroma_qp(comp), False, None,
+                        intra_slice=False)
+                    cc = cc if np.any(cc) else None
+                    if comp == 1:
+                        cu.coeff_cb = cc
+                    else:
+                        cu.coeff_cr = cc
+                cu.root_cbf = True
+                trials.append(cu)
 
     def _quant_resid(self, src_y, src_cb, src_cr, py, pcb, pcr):
         import numpy as _np
