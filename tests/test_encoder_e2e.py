@@ -303,3 +303,54 @@ def test_intra_toolchain_combined():
     dec = decode_stream(au)[0]
     for c in range(3):
         assert np.array_equal(dec.planes[c], enc.last_rec.rec[c])
+
+
+def test_isp_encoder_roundtrip_forced():
+    """ISP trial path: forced to win (cost override) -> ISP CUs are coded
+    and the stream decodes bit-exactly; also free competition round-trip."""
+    import numpy as np
+    import vvenc_tpu.encoder.intra_encoder as ie
+    import vvenc_tpu.codec.ctu_syntax as cs
+    from vvenc_tpu.encoder import IntraEncoder, EncoderConfig
+    from vvenc_tpu.decoder import decode_stream
+    rng = np.random.RandomState(9)
+    w, h = 96, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = np.clip(100 + 80 * np.sin((xx + 2 * yy) / 6.0)
+                + rng.randn(h, w) * 6, 0, 255).astype(np.uint8)
+    u = np.clip(60 + 0.6 * y, 0, 255)[::2, ::2].astype(np.uint8)
+    v = np.clip(210 - 0.5 * y, 0, 255)[::2, ::2].astype(np.uint8)
+    # free competition
+    enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=30,
+                                     max_mtt_depth=1, isp=True))
+    au = enc.encode_frame((y, u, v))
+    dec = decode_stream(au)[0]
+    for c in range(3):
+        assert np.array_equal(dec.planes[c], enc.last_rec.rec[c])
+    # forced win: the ISP coded path must round-trip
+    orig = ie._CtuSearcher._rd_isp
+
+    def forced(self, *a, **k):
+        cu, cost = orig(self, *a, **k)
+        return (cu, -1e30) if cu is not None else (cu, cost)
+    ie._CtuSearcher._rd_isp = forced
+    o2 = cs.SyntaxCoder._code_isp_tus
+    decoded_isp = [0]
+
+    def p2(self, coder, cu, encode):
+        if not encode:
+            decoded_isp[0] += 1
+        return o2(self, coder, cu, encode)
+    cs.SyntaxCoder._code_isp_tus = p2
+    try:
+        enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=30,
+                                         max_mtt_depth=1, isp=True,
+                                         cclm=True, jccr=True))
+        au = enc.encode_frame((y, u, v))
+        dec = decode_stream(au)[0]
+    finally:
+        ie._CtuSearcher._rd_isp = orig
+        cs.SyntaxCoder._code_isp_tus = o2
+    assert decoded_isp[0] > 0, "no ISP CUs coded"
+    for c in range(3):
+        assert np.array_equal(dec.planes[c], enc.last_rec.rec[c])

@@ -70,7 +70,7 @@ def encoder_config_from(cfg, args) -> "EncoderConfig":
         lfnst=bool(cfg.lfnst), mts=bool(cfg.mts), mip=bool(cfg.mip),
         mrl=bool(cfg.mrl), cclm=bool(cfg.lm_chroma), tmvp=bool(cfg.tmvp),
         bdof=bool(cfg.bdof), dmvr=bool(cfg.dmvr),
-        jccr=bool(cfg.joint_cbcr), mmvd=bool(cfg.mmvd),
+        jccr=bool(cfg.joint_cbcr), isp=bool(cfg.isp), mmvd=bool(cfg.mmvd),
         smvd=bool(cfg.smvd), bcw=bool(cfg.bcw), ciip=bool(cfg.ciip),
         amvr=bool(cfg.amvr), geo=bool(cfg.geo), sbt=bool(cfg.sbt),
         bitrate=cfg.target_bitrate, picture_hash=cfg.picture_hash,

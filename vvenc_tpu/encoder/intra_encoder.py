@@ -78,6 +78,7 @@ class EncoderConfig:
     qpa: bool = False              # perceptual QP adaptation (XPSNR model)
     cclm: bool = False             # cross-component linear model chroma
     jccr: bool = False             # joint Cb-Cr residual coding
+    isp: bool = False              # intra sub-partitions
     mip: bool = False              # matrix intra prediction
     mrl: bool = False              # multi-reference-line intra
     lfnst: bool = False            # low-frequency non-separable transform
@@ -121,6 +122,7 @@ def build_parameter_sets(cfg: EncoderConfig):
     sps.mip = 1 if cfg.mip else 0
     sps.cclm = 1 if cfg.cclm else 0
     sps.joint_cbcr = 1 if cfg.jccr else 0
+    sps.isp = 1 if cfg.isp else 0
     sps.mrl = 1 if cfg.mrl else 0
     sps.lfnst = 1 if cfg.lfnst else 0
     if cfg.mts:
@@ -700,6 +702,7 @@ class _CtuSearcher:
         ps = self.ps
         src_y = self.src[0][y:y + h, x:x + w]
         bit_depth = self.cfg.bit_depth
+        entry_snap = self._save(x, y, max(w, h))  # pre-CU state (ISP trials)
 
         top, left = I.build_reference_samples(
             ps.rec[0], x, y, w, h, ps.coded_luma, PictureState.LUMA_UNIT,
@@ -898,7 +901,95 @@ class _CtuSearcher:
             dist += R.sse_np(self.src[comp][cy2:cy2 + chh, cx:cx + cw],
                              ps.rec[comp][cy2:cy2 + chh, cx:cx + cw])
         total_cost = dist + self.lmbda * total_bits
+
+        # ISP competition on the winning mode (vvenc IntraSearch ISP loop)
+        isp_probe = CuData(x, y, w, h, luma_mode=cu.luma_mode)
+        if getattr(self.enc.sps, "isp", 0) and self.coder.is_intra_slice \
+                and not cu.mip_flag and not cu.ref_line \
+                and self.coder._isp_coded(isp_probe):
+            best_state = self._save(x, y, max(w, h))
+            isp_cu, isp_cost = self._rd_isp(x, y, w, h, cu.luma_mode, mpm,
+                                            part, entry_snap)
+            if isp_cu is not None and isp_cost < total_cost:
+                cu, total_cost = isp_cu, isp_cost  # state already staged
+            else:
+                self._restore(best_state)
         return cu, total_cost
+
+    def _rd_isp(self, x, y, w, h, mode, mpm, part, entry_snap):
+        """ISP (intra sub-partition) trial for one luma mode: sequential
+        per-part predict/transform/quant/reconstruct (mirror of
+        _reconstruct_isp_luma), chroma decision on the staged luma, cost
+        via the real ISP TU syntax.  Leaves the winning trial's state
+        staged and returns (cu, cost), or (None, inf)."""
+        from ..codec.ctu_syntax import isp_partitions
+        cfg = self.cfg
+        ps = self.ps
+        bd = cfg.bit_depth
+        qy = self.qp.luma_qp()
+        maxval = (1 << bd) - 1
+        best = (None, float("inf"))
+        best_state = None
+        for m in (1, 2):
+            self._restore(entry_snap)
+            parts = isp_partitions(w, h, m)
+            coeffs = []
+            for px, py_, pw, ph in parts:
+                ax, ay = x + px, y + py_
+
+                def avail_fn(qx, qy2, ax=ax, ay=ay):
+                    if x <= qx < x + w and y <= qy2 < y + h:
+                        return (qy2 < ay) if m == 1 else (qx < ax)
+                    return bool(ps.coded_luma[qy2 >> 2, qx >> 2])
+                top, left = I.build_reference_samples(
+                    ps.rec[0], ax, ay, pw, ph, ps.coded_luma,
+                    PictureState.LUMA_UNIT, bd,
+                    pred_sizes=(w + pw, h + ph), avail_fn=avail_fn)
+                pred = I.predict_intra(top, left, mode, pw, ph, bd, True,
+                                       cu_dims=(w, h), isp=True)
+                resi = self.src[0][ay:ay + ph, ax:ax + pw] - pred
+                trh, trv = T.isp_tr_types(pw, ph, 0,
+                                          bool(self.enc.sps.mts))
+                coeff = self._q(T.fwd_transform_np(resi, bd, trh, trv),
+                                qy, True, None)
+                c = coeff if np.any(coeff) else None
+                coeffs.append(c)
+                if c is not None:
+                    d = self._dq(c, qy)
+                    rec = np.clip(pred + T.inv_transform_np(d, bd, trh,
+                                                            trv),
+                                  0, maxval)
+                else:
+                    rec = pred
+                ps.rec[0][ay:ay + ph, ax:ax + pw] = rec
+            # invalid if the (inferred-1) last cbf has no coefficients
+            if all(c is None for c in coeffs[:-1]) and coeffs[-1] is None:
+                continue
+            cu2 = CuData(x, y, w, h, luma_mode=mode, isp_mode=m,
+                         isp_coeffs=coeffs)
+            self._rd_chroma(cu2)
+            b0 = self.est.frac_bits
+            self._est_cu_luma_syntax(cu2, mpm)
+            self.est.encode_bin(1, ct.CTX_SETS["ISPMode"](0))
+            self.est.encode_bin(m - 1, ct.CTX_SETS["ISPMode"](1))
+            self.coder._enc_intra_chroma_mode(self.est, cu2)
+            self.coder._code_isp_tus(self.est, cu2, encode=True)
+            self.coder._code_lfnst_mts(self.est, cu2, encode=True)
+            bits = (self.est.frac_bits - b0) / (1 << 15)
+            self.coder.finish_cu(ps, cu2, part.qt_depth)
+            dist = R.sse_np(self.src[0][y:y + h, x:x + w],
+                            ps.rec[0][y:y + h, x:x + w])
+            cx, cy2, cw, chh = x >> 1, y >> 1, w >> 1, h >> 1
+            for comp in (1, 2):
+                dist += R.sse_np(self.src[comp][cy2:cy2 + chh, cx:cx + cw],
+                                 ps.rec[comp][cy2:cy2 + chh, cx:cx + cw])
+            cost = dist + self.lmbda * bits
+            if cost < best[1]:
+                best = (cu2, cost)
+                best_state = self._save(x, y, max(w, h))
+        if best[0] is not None:
+            self._restore(best_state)
+        return best
 
     def _rd_chroma(self, cu: CuData) -> None:
         """Chroma mode RD: DM + CCLM/MDLM (+ the 4-entry candidate list when
