@@ -354,3 +354,60 @@ def test_isp_encoder_roundtrip_forced():
     assert decoded_isp[0] > 0, "no ISP CUs coded"
     for c in range(3):
         assert np.array_equal(dec.planes[c], enc.last_rec.rec[c])
+
+
+def test_scc_tools_encoder_roundtrip():
+    """Transform-skip + BDPCM trials on screen content: both tools engage,
+    compress dramatically better, and decode bit-exactly; scc_auto turns
+    them on from the PreProcess detection."""
+    import numpy as np
+    import vvenc_tpu.codec.ctu_syntax as cs
+    from vvenc_tpu.encoder import IntraEncoder, EncoderConfig
+    from vvenc_tpu.decoder import decode_stream
+    w, h = 96, 64
+    y = np.full((h, w), 235, np.uint8)
+    for r in range(4, h - 4, 8):
+        for c in range(4, w - 4, 6):
+            if (r // 8 + c // 6) % 3:
+                y[r:r + 5, c:c + 3] = 16
+    u = np.full((h // 2, w // 2), 128, np.uint8)
+    v = u.copy()
+    cnt = {"ts": 0, "bdpcm": 0}
+    o_ts = cs.SyntaxCoder._code_ts_flag
+    o_bd = cs.SyntaxCoder._code_bdpcm_modes
+
+    def p_ts(self, coder, cu, comp, encode):
+        r = o_ts(self, coder, cu, comp, encode)
+        if not encode and comp == 0 and cu.ts_y and not cu.bdpcm_y:
+            cnt["ts"] += 1
+        return r
+
+    def p_bd(self, coder, cu, encode, chroma):
+        r = o_bd(self, coder, cu, encode, chroma)
+        if not encode and not chroma and cu.bdpcm_y:
+            cnt["bdpcm"] += 1
+        return r
+    cs.SyntaxCoder._code_ts_flag = p_ts
+    cs.SyntaxCoder._code_bdpcm_modes = p_bd
+    try:
+        enc0 = IntraEncoder(EncoderConfig(width=w, height=h, qp=32))
+        base = enc0.encode_frame((y, u, v))
+        enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=32,
+                                         transform_skip=True, bdpcm=True))
+        au = enc.encode_frame((y, u, v))
+        dec = decode_stream(au)[0]
+    finally:
+        cs.SyntaxCoder._code_ts_flag = o_ts
+        cs.SyntaxCoder._code_bdpcm_modes = o_bd
+    for c in range(3):
+        assert np.array_equal(dec.planes[c], enc.last_rec.rec[c])
+    assert cnt["ts"] + cnt["bdpcm"] > 5, cnt
+    assert len(au) < len(base) // 2  # SCC tools must pay off massively
+    # auto mode: PreProcess SCC detection flips the tools on
+    enc2 = IntraEncoder(EncoderConfig(width=w, height=h, qp=32,
+                                      scc_auto=True))
+    stream = enc2.encode_sequence([(y, u, v)])
+    assert enc2.scc_detected and enc2.cfg.transform_skip
+    dec2 = decode_stream(stream)[0]
+    for c in range(3):
+        assert np.array_equal(dec2.planes[c], enc2.recs_by_poc[0][c])

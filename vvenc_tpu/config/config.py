@@ -146,7 +146,7 @@ _IMPLEMENTED = {"mctf": 2, "bim": 0, "alf": 1, "ccalf": 0, "sao": 1,
                 "mrl": 1, "lm_chroma": 1, "joint_cbcr": 1, "affine": 0,
                 "dmvr": 1, "bdof": 1, "mmvd": 3, "smvd": 3, "geo": 4,
                 "ciip": 1, "sbt": 1, "bcw": 2, "sbtmvp": 0, "amvr": 5,
-                "prof": 0, "transform_skip": 0, "bdpcm": 0, "ibc": 0,
+                "prof": 0, "transform_skip": 2, "bdpcm": 2, "ibc": 0,
                 "tmvp": 1}
 
 
@@ -158,6 +158,12 @@ def init_preset(cfg: VvencTpuConfig, preset: Preset,
     implemented level instead of failing validation (the growing-framework
     default); pass False to see the full target matrix.
     """
+    # baseline applied to every preset before the matrix
+    # (vvencCfg.cpp:2588-2653: RDOQ=1, SAO=1, TMVP=1, SCC tools auto)
+    cfg.rdoq = 1
+    cfg.tmvp = 1
+    cfg.transform_skip = 2
+    cfg.bdpcm = 2
     for k, v in _PRESET_MATRIX[preset].items():
         setattr(cfg, k, v)
     if clamp_to_implemented:

@@ -79,6 +79,9 @@ class EncoderConfig:
     cclm: bool = False             # cross-component linear model chroma
     jccr: bool = False             # joint Cb-Cr residual coding
     isp: bool = False              # intra sub-partitions
+    transform_skip: bool = False   # transform skip (SCC)
+    bdpcm: bool = False            # block DPCM (SCC)
+    scc_auto: bool = False         # auto-enable SCC tools on detection
     mip: bool = False              # matrix intra prediction
     mrl: bool = False              # multi-reference-line intra
     lfnst: bool = False            # low-frequency non-separable transform
@@ -123,6 +126,11 @@ def build_parameter_sets(cfg: EncoderConfig):
     sps.cclm = 1 if cfg.cclm else 0
     sps.joint_cbcr = 1 if cfg.jccr else 0
     sps.isp = 1 if cfg.isp else 0
+    sps.transform_skip = 1 if cfg.transform_skip else 0
+    if cfg.transform_skip:
+        sps.log2_max_ts_size = 5  # allow TS up to 32x32
+    sps.bdpcm = 1 if (cfg.bdpcm and cfg.transform_skip) else 0
+    sps.internal_minus_input_bit_depth = cfg.bit_depth - cfg.input_bit_depth
     sps.mrl = 1 if cfg.mrl else 0
     sps.lfnst = 1 if cfg.lfnst else 0
     if cfg.mts:
@@ -234,6 +242,13 @@ class IntraEncoder:
                         // cfg.fps_den)
         self.analysis = [pp.push(f[0]) for f in frames]
         self.scc_detected = pp.sequence_is_scc()
+        if cfg.scc_auto and self.scc_detected and not cfg.transform_skip:
+            # vvenc "auto" SCC tools (IBC=2/TS=2/BDPCM=2): enable on the
+            # PreProcess screen-content decision
+            cfg.transform_skip = True
+            cfg.bdpcm = True
+            self.sps, self.pps = build_parameter_sets(cfg)
+            self._headers = None
         if cfg.intra_period != 1 and cfg.gop_size <= 1:
             # adaptive intra placement: IDR at detected scene cuts
             self._force_idr_pocs = {a.poc for a in self.analysis
@@ -760,18 +775,26 @@ class _CtuSearcher:
         for cand_i, (_, mode, pred, mip_f, mip_t, ref_line) in \
                 enumerate(full_modes):
             resi = src_y - pred
-            # transform variants: (lfnst_idx, mts_idx); extra variants only
-            # for the strongest SATD candidate to bound the search
-            variants = [(0, 0)]
+            # transform variants: (lfnst_idx, mts_idx, ts); extra variants
+            # only for the strongest SATD candidate to bound the search
+            variants = [(0, 0, False)]
             if cand_i == 0 and sps.lfnst and w >= 4 and h >= 4 \
                     and not (mip_f and not (w >= 16 and h >= 16)):
-                variants += [(1, 0), (2, 0)]
+                variants += [(1, 0, False), (2, 0, False)]
             if cand_i == 0 and getattr(sps, "mts_intra", 0) \
                     and w <= 32 and h <= 32 and not mip_f:
-                variants += [(0, m) for m in (1, 2, 3, 4)]
+                variants += [(0, m, False) for m in (1, 2, 3, 4)]
+            ts_ok = (getattr(sps, "transform_skip", 0)
+                     and w <= self.coder.max_ts_size
+                     and h <= self.coder.max_ts_size)
+            if ts_ok:
+                variants.append((0, 0, True))
             prim_dct2 = T.fwd_transform_np(resi, bit_depth)
-            for lfnst_i, mts_i in variants:
-                if mts_i:
+            for lfnst_i, mts_i, ts_f in variants:
+                if ts_f:
+                    tcoef = None
+                    coeff = T.quant_ts_np(resi, qy, self.coder.min_qp_ts)
+                elif mts_i:
                     tcoef = T.fwd_transform_np(resi, bit_depth,
                                                *T.mts_tr_types(mts_i))
                 elif lfnst_i:
@@ -786,10 +809,13 @@ class _CtuSearcher:
                     tcoef = fwd_lfnst(tcoef2, w, h, lmode, lfnst_i)
                 else:
                     tcoef = prim_dct2
-                coeff = self._q(tcoef, qy, True, ct.CTX_SETS["QtCbfLuma"](0))
+                if not ts_f:
+                    coeff = self._q(tcoef, qy, True,
+                                    ct.CTX_SETS["QtCbfLuma"](0))
                 cu = CuData(x, y, w, h, luma_mode=mode, mip_flag=mip_f,
                             mip_transposed=mip_t, ref_line=ref_line,
-                            lfnst_idx=lfnst_i, mts_idx=mts_i)
+                            lfnst_idx=lfnst_i, mts_idx=mts_i,
+                            ts_y=ts_f and bool(np.any(coeff)))
                 if np.any(coeff):
                     cu.coeff_y = coeff
                 else:
@@ -803,15 +829,22 @@ class _CtuSearcher:
                     if cu.mts_idx and (mts_viol or not mts_last):
                         continue
                 if cu.coeff_y is not None:
-                    d = self._dq(cu.coeff_y, qy)
-                    if cu.lfnst_idx:
-                        from ..ops.lfnst import inv_lfnst
-                        lmode = I.PLANAR_IDX if mip_f else mode
-                        d = inv_lfnst(d, w, h, lmode, cu.lfnst_idx)
-                    trh, trv = T.mts_tr_types(cu.mts_idx)
-                    rec = np.clip(pred + T.inv_transform_np(d, bit_depth,
-                                                            trh, trv), 0,
-                                  (1 << bit_depth) - 1)
+                    if cu.ts_y:
+                        rec = np.clip(
+                            pred + T.dequant_ts_np(cu.coeff_y, qy,
+                                                   self.coder.min_qp_ts),
+                            0, (1 << bit_depth) - 1)
+                    else:
+                        d = self._dq(cu.coeff_y, qy)
+                        if cu.lfnst_idx:
+                            from ..ops.lfnst import inv_lfnst
+                            lmode = I.PLANAR_IDX if mip_f else mode
+                            d = inv_lfnst(d, w, h, lmode, cu.lfnst_idx)
+                        trh, trv = T.mts_tr_types(cu.mts_idx)
+                        rec = np.clip(
+                            pred + T.inv_transform_np(d, bit_depth, trh,
+                                                      trv), 0,
+                            (1 << bit_depth) - 1)
                 else:
                     rec = pred
                 dist = R.sse_np(src_y, rec)
@@ -821,8 +854,16 @@ class _CtuSearcher:
                 self.est.encode_bin(1 if cu.coeff_y is not None else 0,
                                     ct.CTX_SETS["QtCbfLuma"](0))
                 if cu.coeff_y is not None:
-                    encode_residual(self.est, cu.coeff_y, True,
-                                    dep_quant=self.cfg.dep_quant)
+                    if ts_ok:
+                        self.est.encode_bin(
+                            1 if cu.ts_y else 0,
+                            ct.CTX_SETS["TransformSkipFlag"](0))
+                    if cu.ts_y:
+                        from ..bitstream.residual import encode_residual_ts
+                        encode_residual_ts(self.est, cu.coeff_y, True)
+                    else:
+                        encode_residual(self.est, cu.coeff_y, True,
+                                        dep_quant=self.cfg.dep_quant)
                     self.coder._code_lfnst_mts(self.est, cu, encode=True)
                 bits = (self.est.frac_bits - b0) / (1 << 15)
                 cost = dist + self.lmbda * bits
@@ -881,7 +922,12 @@ class _CtuSearcher:
         self.est.encode_bin(1 if cu.coeff_y is not None else 0,
                             ct.CTX_SETS["QtCbfLuma"](0))
         if cu.coeff_y is not None:
-            encode_residual(self.est, cu.coeff_y, True, dep_quant=self.cfg.dep_quant)
+            if cu.ts_y:
+                from ..bitstream.residual import encode_residual_ts
+                encode_residual_ts(self.est, cu.coeff_y, True)
+            else:
+                encode_residual(self.est, cu.coeff_y, True,
+                                dep_quant=self.cfg.dep_quant)
         if cu.joint_cbcr:
             coded = cu.coeff_cb if cu.joint_cbcr in (2, 3) else cu.coeff_cr
             encode_residual(self.est, coded, False,
@@ -902,6 +948,18 @@ class _CtuSearcher:
                              ps.rec[comp][cy2:cy2 + chh, cx:cx + cw])
         total_cost = dist + self.lmbda * total_bits
 
+        # BDPCM competition (SCC tool: DPCM-coded transform-skip residual
+        # on a pure horizontal/vertical fill prediction)
+        if self.coder.bdpcm_en and self.coder.is_intra_slice \
+                and w <= self.coder.max_ts_size \
+                and h <= self.coder.max_ts_size:
+            cur_state = self._save(x, y, max(w, h))
+            bd_cu, bd_cost = self._rd_bdpcm(x, y, w, h, part, entry_snap)
+            if bd_cu is not None and bd_cost < total_cost:
+                cu, total_cost = bd_cu, bd_cost
+            else:
+                self._restore(cur_state)
+
         # ISP competition on the winning mode (vvenc IntraSearch ISP loop)
         isp_probe = CuData(x, y, w, h, luma_mode=cu.luma_mode)
         if getattr(self.enc.sps, "isp", 0) and self.coder.is_intra_slice \
@@ -915,6 +973,58 @@ class _CtuSearcher:
             else:
                 self._restore(best_state)
         return cu, total_cost
+
+    def _rd_bdpcm(self, x, y, w, h, part, entry_snap):
+        """BDPCM trial (modes 1=horizontal, 2=vertical): TS-quantized
+        residual of the directional fill prediction, DPCM-coded levels.
+        Leaves the winner staged; returns (cu, cost) or (None, inf)."""
+        from ..bitstream.residual import encode_residual_ts
+        from ..codec.ctu_syntax import HOR, VER
+        ps, bd = self.ps, self.cfg.bit_depth
+        qy = self.qp.luma_qp()
+        maxval = (1 << bd) - 1
+        src_y = self.src[0][y:y + h, x:x + w]
+        best = (None, float("inf"))
+        best_state = None
+        for m in (1, 2):
+            self._restore(entry_snap)
+            cu = CuData(x, y, w, h, bdpcm_y=m,
+                        luma_mode=(VER if m == 2 else HOR), ts_y=True)
+            pred = predict_cu_component(ps, cu, 0, bd, self.cfg.ctu_size)
+            levels = T.quant_ts_np(src_y - pred, qy, self.coder.min_qp_ts)
+            coded = T.fwd_res_dpcm(levels, m)
+            cu.coeff_y = coded if np.any(coded) else None
+            if cu.coeff_y is not None:
+                rec = np.clip(pred + T.dequant_ts_np(
+                    T.inv_res_dpcm(coded, m), qy, self.coder.min_qp_ts),
+                    0, maxval)
+            else:
+                rec = pred
+            ps.rec[0][y:y + h, x:x + w] = rec
+            self._rd_chroma(cu)
+            b0 = self.est.frac_bits
+            self.est.encode_bin(1, ct.CTX_SETS["BDPCMMode"](0))
+            self.est.encode_bin(1 if m > 1 else 0,
+                                ct.CTX_SETS["BDPCMMode"](1))
+            self.coder._enc_intra_chroma_mode(self.est, cu)
+            self.est.encode_bin(1 if cu.coeff_y is not None else 0,
+                                ct.CTX_SETS["QtCbfLuma"](1))
+            if cu.coeff_y is not None:
+                encode_residual_ts(self.est, cu.coeff_y, True, bdpcm=m)
+            bits = (self.est.frac_bits - b0) / (1 << 15)
+            self.coder.finish_cu(ps, cu, part.qt_depth)
+            dist = R.sse_np(src_y, ps.rec[0][y:y + h, x:x + w])
+            cx, cy2, cw, chh = x >> 1, y >> 1, w >> 1, h >> 1
+            for comp in (1, 2):
+                dist += R.sse_np(self.src[comp][cy2:cy2 + chh, cx:cx + cw],
+                                 ps.rec[comp][cy2:cy2 + chh, cx:cx + cw])
+            cost = dist + self.lmbda * bits
+            if cost < best[1]:
+                best = (cu, cost)
+                best_state = self._save(x, y, max(w, h))
+        if best[0] is not None:
+            self._restore(best_state)
+        return best
 
     def _rd_isp(self, x, y, w, h, mode, mpm, part, entry_snap):
         """ISP (intra sub-partition) trial for one luma mode: sequential

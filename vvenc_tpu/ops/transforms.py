@@ -317,6 +317,31 @@ def dequant_ts_np(qcoeff: np.ndarray, qp: int, min_qp_prime_ts: int = 16
     return np.clip(d, COEFF_MIN, COEFF_MAX).astype(np.int32)
 
 
+def quant_ts_np(resi: np.ndarray, qp: int, min_qp_prime_ts: int = 16,
+                is_intra_slice: bool = True) -> np.ndarray:
+    """Transform-skip forward quantization: the spatial residual is
+    quantized directly (no transform shift, no sqrt2, QP floored at
+    QpPrimeTsMin) with the same deadzone as Quant::xQuant."""
+    q_ts = max(qp, min_qp_prime_ts)
+    qbits = 14 + q_ts // 6
+    scale = int(QUANT_SCALES[0][q_ts % 6])
+    add = (171 if is_intra_slice else 85) << (qbits - 9)
+    r = resi.astype(np.int64)
+    mag = (np.abs(r) * scale + add) >> qbits
+    return np.clip(np.sign(r) * mag, COEFF_MIN, COEFF_MAX).astype(np.int32)
+
+
+def fwd_res_dpcm(levels: np.ndarray, mode: int) -> np.ndarray:
+    """BDPCM forward residual DPCM on quantized levels (differences along
+    the prediction direction; exact inverse of inv_res_dpcm)."""
+    out = levels.astype(np.int64).copy()
+    if mode == 1:
+        out[:, 1:] = out[:, 1:] - levels.astype(np.int64)[:, :-1]
+    else:
+        out[1:, :] = out[1:, :] - levels.astype(np.int64)[:-1, :]
+    return np.clip(out, COEFF_MIN, COEFF_MAX).astype(np.int32)
+
+
 def inv_res_dpcm(coeff: np.ndarray, mode: int) -> np.ndarray:
     """BDPCM inverse residual DPCM on quantized levels
     (Quant.cpp invResDPCM:298): mode 1 horizontal, 2 vertical."""
