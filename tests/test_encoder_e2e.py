@@ -411,3 +411,29 @@ def test_scc_tools_encoder_roundtrip():
     dec2 = decode_stream(stream)[0]
     for c in range(3):
         assert np.array_equal(dec2.planes[c], enc2.recs_by_poc[0][c])
+
+
+def test_mts_implicit_encoder_roundtrip():
+    """Implicit MTS: DST-7 forward/inverse on 4..16 intra luma dims; the
+    encoder's forward path must match the shared reconstruction."""
+    import numpy as np
+    from vvenc_tpu.encoder import IntraEncoder, EncoderConfig
+    from vvenc_tpu.decoder import decode_stream
+    rng = np.random.RandomState(9)
+    w, h = 32, 16
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = np.clip(100 + 80 * np.sin((xx + 2 * yy) / 3.)
+                + rng.randn(h, w) * 8, 0, 255).astype(np.uint8)
+    u = np.clip(60 + 0.6 * y, 0, 255)[::2, ::2].astype(np.uint8)
+    v = np.clip(210 - 0.5 * y, 0, 255)[::2, ::2].astype(np.uint8)
+    res = {}
+    for impl in (False, True):
+        enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=30,
+                                         min_qt=8, mts_implicit=impl))
+        au = enc.encode_frame((y, u, v))
+        dec = decode_stream(au)[0]
+        for c in range(3):
+            assert np.array_equal(dec.planes[c], enc.last_rec.rec[c])
+        res[impl] = float(((dec.planes[0].astype(np.int64)
+                            - (y.astype(np.int64) << 2)) ** 2).sum())
+    assert res[True] != res[False]  # DST-7 actually engaged

@@ -67,7 +67,8 @@ def encoder_config_from(cfg, args) -> "EncoderConfig":
         intra_period=cfg.intra_period, gop_size=cfg.gop_size,
         dep_quant=bool(cfg.dep_quant), qpa=bool(cfg.perceptual_qpa),
         sao=bool(cfg.sao), alf=bool(cfg.alf), mctf=bool(cfg.mctf),
-        lfnst=bool(cfg.lfnst), mts=bool(cfg.mts), mip=bool(cfg.mip),
+        lfnst=bool(cfg.lfnst), mts=bool(cfg.mts),
+        mts_implicit=bool(cfg.mts_implicit), mip=bool(cfg.mip),
         mrl=bool(cfg.mrl), cclm=bool(cfg.lm_chroma), tmvp=bool(cfg.tmvp),
         bdof=bool(cfg.bdof), dmvr=bool(cfg.dmvr),
         jccr=bool(cfg.joint_cbcr), isp=bool(cfg.isp), mmvd=bool(cfg.mmvd),

@@ -142,7 +142,7 @@ _PRESET_MATRIX = {
 # SDH, CC-ALF — encoder-side search for those lands tool by tool)
 _IMPLEMENTED = {"mctf": 2, "bim": 0, "alf": 1, "ccalf": 0, "sao": 1,
                 "deblocking": 1, "dep_quant": 1, "sign_data_hiding": 0,
-                "lfnst": 1, "mts": 1, "mts_implicit": 0, "mip": 1, "isp": 3,
+                "lfnst": 1, "mts": 1, "mts_implicit": 1, "mip": 1, "isp": 3,
                 "mrl": 1, "lm_chroma": 1, "joint_cbcr": 1, "affine": 0,
                 "dmvr": 1, "bdof": 1, "mmvd": 3, "smvd": 3, "geo": 4,
                 "ciip": 1, "sbt": 1, "bcw": 2, "sbtmvp": 0, "amvr": 5,

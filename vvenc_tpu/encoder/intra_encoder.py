@@ -86,6 +86,7 @@ class EncoderConfig:
     mrl: bool = False              # multi-reference-line intra
     lfnst: bool = False            # low-frequency non-separable transform
     mts: bool = False              # explicit intra MTS (DST7/DCT8)
+    mts_implicit: bool = False     # implicit MTS (DST7 on small intra TBs)
     sao: bool = False              # sample adaptive offset (encoder RD)
     alf: bool = False              # adaptive loop filter (encoder-derived)
     mctf: bool = False             # motion-compensated temporal filtering
@@ -136,6 +137,8 @@ def build_parameter_sets(cfg: EncoderConfig):
     if cfg.mts:
         sps.mts = 1
         sps.mts_intra = 1
+    elif cfg.mts_implicit:
+        sps.mts = 1  # implicit MTS: DST-7 on 4..16 intra luma dims
     sps.alf_enabled = 1 if cfg.alf else 0
     sps.sao_enabled = 1 if cfg.sao else 0
     sps.temporal_mvp = 1 if cfg.tmvp else 0
@@ -789,7 +792,11 @@ class _CtuSearcher:
                      and h <= self.coder.max_ts_size)
             if ts_ok:
                 variants.append((0, 0, True))
+            impl_on = self.coder.implicit_mts and not mip_f
+            th_i, tv_i = T.implicit_mts_types(w, h, True, impl_on)
             prim_dct2 = T.fwd_transform_np(resi, bit_depth)
+            prim_main = prim_dct2 if (th_i, tv_i) == (T.DCT2, T.DCT2) \
+                else T.fwd_transform_np(resi, bit_depth, th_i, tv_i)
             for lfnst_i, mts_i, ts_f in variants:
                 if ts_f:
                     tcoef = None
@@ -808,7 +815,7 @@ class _CtuSearcher:
                                                            :min(w, 8)]
                     tcoef = fwd_lfnst(tcoef2, w, h, lmode, lfnst_i)
                 else:
-                    tcoef = prim_dct2
+                    tcoef = prim_main
                 if not ts_f:
                     coeff = self._q(tcoef, qy, True,
                                     ct.CTX_SETS["QtCbfLuma"](0))
@@ -840,7 +847,12 @@ class _CtuSearcher:
                             from ..ops.lfnst import inv_lfnst
                             lmode = I.PLANAR_IDX if mip_f else mode
                             d = inv_lfnst(d, w, h, lmode, cu.lfnst_idx)
-                        trh, trv = T.mts_tr_types(cu.mts_idx)
+                        if cu.mts_idx:
+                            trh, trv = T.mts_tr_types(cu.mts_idx)
+                        elif cu.lfnst_idx:
+                            trh = trv = T.DCT2
+                        else:
+                            trh, trv = th_i, tv_i
                         rec = np.clip(
                             pred + T.inv_transform_np(d, bit_depth, trh,
                                                       trv), 0,
@@ -888,14 +900,17 @@ class _CtuSearcher:
                              if m_ == cu.luma_mode and mf_ == cu.mip_flag
                              and mt_ == cu.mip_transposed
                              and rl_ == cu.ref_line)
-                coeff = self._q(T.fwd_transform_np(src_y - pred0, bit_depth),
+                th0, tv0 = T.implicit_mts_types(
+                    w, h, True, self.coder.implicit_mts and not cu.mip_flag)
+                coeff = self._q(T.fwd_transform_np(src_y - pred0, bit_depth,
+                                                   th0, tv0),
                                 qy, True, ct.CTX_SETS["QtCbfLuma"](0))
                 cu.coeff_y = coeff if np.any(coeff) else None
                 if cu.coeff_y is not None:
                     d = self._dq(cu.coeff_y, qy)
                     ps.rec[0][y:y + h, x:x + w] = np.clip(
-                        pred0 + T.inv_transform_np(d, bit_depth), 0,
-                        (1 << bit_depth) - 1)
+                        pred0 + T.inv_transform_np(d, bit_depth, th0, tv0),
+                        0, (1 << bit_depth) - 1)
                 else:
                     ps.rec[0][y:y + h, x:x + w] = pred0
                 # the luma reconstruction changed: redo the chroma decision
@@ -1524,7 +1539,10 @@ class _CtuSearcher:
                 best_satd = (c, mode, pred)
         mode = best_satd[1]
         cu = CuData(x, y, w, h, is_inter=False, luma_mode=mode)
-        coeff = self._q(T.fwd_transform_np(src_y - best_satd[2], bit_depth),
+        th0, tv0 = T.implicit_mts_types(w, h, True,
+                                        self.coder.implicit_mts)
+        coeff = self._q(T.fwd_transform_np(src_y - best_satd[2], bit_depth,
+                                           th0, tv0),
                         qy, True, ct.CTX_SETS["QtCbfLuma"](0),
                         intra_slice=False)
         cu.coeff_y = coeff if _np.any(coeff) else None
