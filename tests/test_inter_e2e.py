@@ -180,6 +180,8 @@ import pytest
     ("amvr", lambda cu: cu.imv != 0),
     ("geo", lambda cu: cu.geo),
     ("sbt", lambda cu: cu.sbt_idx != 0),
+    ("sbtmvp", lambda cu: cu.sbtmvp),
+    ("affine", lambda cu: cu.affine and not cu.sbtmvp),
 ])
 def test_inter_tool_forced_roundtrip(tool, pred):
     """Force each new inter tool's coded path to win (trial_filter hook)
@@ -220,7 +222,8 @@ def test_inter_tools_combined_roundtrip():
                                      intra_period=0, gop_size=8,
                                      mmvd=True, smvd=True, bcw=True,
                                      ciip=True, amvr=True, bdof=True,
-                                     dmvr=True, geo=True, sbt=True))
+                                     dmvr=True, geo=True, sbt=True,
+                                     sbtmvp=True, affine=True, prof=True))
     stream = enc.encode_sequence(frames)
     decs = sorted(decode_stream(stream), key=lambda f: f.poc)
     for p in range(len(frames)):

@@ -75,6 +75,8 @@ def encoder_config_from(cfg, args) -> "EncoderConfig":
         smvd=bool(cfg.smvd), bcw=bool(cfg.bcw), ciip=bool(cfg.ciip),
         amvr=bool(cfg.amvr), geo=bool(cfg.geo), sbt=bool(cfg.sbt),
         transform_skip=cfg.transform_skip == 1, bdpcm=cfg.bdpcm == 1,
+        sbtmvp=bool(cfg.sbtmvp), affine=bool(cfg.affine),
+        prof=bool(cfg.prof),
         scc_auto=cfg.transform_skip == 2,
         bitrate=cfg.target_bitrate, picture_hash=cfg.picture_hash,
         hrd_timing_sei=bool(cfg.hrd_timing_sei),

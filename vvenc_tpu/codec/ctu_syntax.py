@@ -774,6 +774,9 @@ class SyntaxCoder:
             x, y, w, h = cu.x, cu.y, cu.w, cu.h
         else:
             x, y, w, h = cu.x >> 1, cu.y >> 1, cu.w >> 1, cu.h >> 1
+        if cu.affine:
+            from .affine import affine_predict
+            return affine_predict(self, cu, comp)
         if cu.geo:
             from .geo import geo_predict
             return geo_predict(self, cu, comp)

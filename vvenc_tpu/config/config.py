@@ -143,10 +143,10 @@ _PRESET_MATRIX = {
 _IMPLEMENTED = {"mctf": 2, "bim": 0, "alf": 1, "ccalf": 0, "sao": 1,
                 "deblocking": 1, "dep_quant": 1, "sign_data_hiding": 0,
                 "lfnst": 1, "mts": 1, "mts_implicit": 1, "mip": 1, "isp": 3,
-                "mrl": 1, "lm_chroma": 1, "joint_cbcr": 1, "affine": 0,
+                "mrl": 1, "lm_chroma": 1, "joint_cbcr": 1, "affine": 5,
                 "dmvr": 1, "bdof": 1, "mmvd": 3, "smvd": 3, "geo": 4,
-                "ciip": 1, "sbt": 1, "bcw": 2, "sbtmvp": 0, "amvr": 5,
-                "prof": 0, "transform_skip": 2, "bdpcm": 2, "ibc": 0,
+                "ciip": 1, "sbt": 1, "bcw": 2, "sbtmvp": 1, "amvr": 5,
+                "prof": 1, "transform_skip": 2, "bdpcm": 2, "ibc": 0,
                 "tmvp": 1}
 
 

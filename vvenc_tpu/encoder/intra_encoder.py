@@ -69,6 +69,9 @@ class EncoderConfig:
     ciip: bool = False             # combined inter/intra prediction
     amvr: bool = False             # adaptive MV resolution (IMV)
     geo: bool = False              # geometric partitioning merge
+    sbtmvp: bool = False           # subblock temporal MVP merge
+    affine: bool = False           # affine motion (merge candidates)
+    prof: bool = False             # prediction refinement w/ optical flow
     sbt: bool = False              # sub-block transform for inter residual
     max_mtt_depth: int = 0         # BT/TT depth for intra slices
     max_bt_size: int = 32
@@ -152,6 +155,12 @@ def build_parameter_sets(cfg: EncoderConfig):
     sps.ciip = 1 if cfg.ciip else 0
     sps.amvr = 1 if cfg.amvr else 0
     sps.sbt = 1 if cfg.sbt else 0
+    if cfg.sbtmvp and cfg.tmvp:
+        sps.sbtmvp = 1
+    if cfg.affine:
+        sps.affine = 1
+        sps.affine_type = 1
+        sps.prof = 1 if cfg.prof else 0
     if cfg.geo:
         sps.geo = 1
         sps.max_num_geo_cand = 3
@@ -1392,6 +1401,31 @@ class _CtuSearcher:
                                  mmvd_pos=cu.mmvd_pos, root_cbf=False)
                 coder._apply_mmvd(ps, skip_cu)
                 trials.append(skip_cu)
+                add_resid_trial(cu)
+
+        # subblock merge trials: SbTMVP (candidate 0 when active) + affine
+        # merge candidates, luma-SSE preselected
+        if coder.max_aff_merge > 0 and w >= 8 and h >= 8:
+            n_try = min(coder.max_aff_merge,
+                        3 if coder.affine_en else 1)
+            best_a = None
+            for k in range(n_try):
+                cu = CuData(x, y, w, h, is_inter=True, merge=True,
+                            affine=True, merge_idx=k)
+                coder._apply_affine_merge(ps, cu)
+                c = R.sse_np(src_y, coder.pred_cu_inter(ps, cu, 0))
+                if best_a is None or c < best_a[0]:
+                    best_a = (c, k)
+            if best_a is not None:
+                k = best_a[1]
+                skip_cu = CuData(x, y, w, h, is_inter=True, skip=True,
+                                 merge=True, affine=True, merge_idx=k,
+                                 root_cbf=False)
+                coder._apply_affine_merge(ps, skip_cu)
+                trials.append(skip_cu)
+                cu = CuData(x, y, w, h, is_inter=True, merge=True,
+                            affine=True, merge_idx=k)
+                coder._apply_affine_merge(ps, cu)
                 add_resid_trial(cu)
 
         # GEO trials: luma-SSE preselection over split directions x the
