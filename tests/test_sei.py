@@ -75,3 +75,57 @@ def test_encoder_hash_sei_verified_by_decoder(ph):
     bad[-3] ^= 0xFF  # flip digest bits in the suffix SEI
     with pytest.raises(AssertionError):
         decode_stream(bytes(bad))
+
+
+def test_film_grain_sei_roundtrip():
+    from vvenc_tpu.encoder.filmgrain import (SeiFilmGrain, FilmGrainModel,
+                                             analyze_grain, derive_fgc_sei)
+    m = FilmGrainModel(intervals=[(0, 63, [12]), (64, 255, [5])])
+    sei = SeiFilmGrain(comp_models=[m, None, None])
+    back = SeiFilmGrain.parse(sei.payload())
+    assert back.comp_models[0].intervals == m.intervals
+    assert back.comp_models[1] is None and back.model_id == 0
+
+
+def test_film_grain_analysis_detects_noise():
+    import numpy as np
+    from vvenc_tpu.encoder.filmgrain import analyze_grain, derive_fgc_sei
+    rng = np.random.RandomState(3)
+    h, w = 128, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    clean = np.clip(60 + 0.5 * xx + 0.3 * yy, 0, 255).astype(np.uint8)
+    noisy = np.clip(clean.astype(np.int32)
+                    + (rng.randn(h, w) * 6).astype(np.int32),
+                    0, 255).astype(np.uint8)
+    assert derive_fgc_sei([clean]) is None
+    sei = derive_fgc_sei([noisy])
+    assert sei is not None and sei.comp_models[0].intervals
+    # model values scale with the noise level
+    _, sig_n = analyze_grain(noisy)
+    _, sig_c = analyze_grain(clean)
+    assert np.nanmean(sig_n) > np.nanmean(sig_c) + 2
+
+
+def test_film_grain_sei_emitted_in_stream():
+    import numpy as np
+    from vvenc_tpu.encoder import IntraEncoder, EncoderConfig
+    from vvenc_tpu.decoder import decode_stream
+    from vvenc_tpu.bitstream.nal import split_annexb, NalUnitType
+    from vvenc_tpu.bitstream.sei import parse_sei_rbsp
+    from vvenc_tpu.encoder.filmgrain import SEI_FILM_GRAIN
+    rng = np.random.RandomState(5)
+    w, h = 96, 64
+    y = np.clip(100 + (rng.randn(h, w) * 8).astype(np.int32),
+                0, 255).astype(np.uint8)
+    u = np.full((h // 2, w // 2), 128, np.uint8)
+    v = u.copy()
+    enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=32,
+                                     film_grain=True))
+    stream = enc.encode_sequence([(y, u, v)])
+    types = []
+    for nal_type, tid, rbsp in split_annexb(stream):
+        if nal_type == NalUnitType.PREFIX_SEI:
+            types += [t for t, _ in parse_sei_rbsp(rbsp)]
+    assert SEI_FILM_GRAIN in types
+    decs = decode_stream(stream)   # decoder skips/ignores FGC cleanly
+    assert len(decs) == 1

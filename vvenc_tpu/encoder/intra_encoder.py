@@ -96,6 +96,7 @@ class EncoderConfig:
     picture_hash: int = 0          # decoded-picture-hash SEI: 0 off,
                                    # 1 MD5, 2 CRC, 3 checksum
     hrd_timing_sei: bool = False   # buffering-period + pic-timing SEIs
+    film_grain: bool = False       # film grain analysis -> FGC SEI
     bitrate: int = 0               # target bps (0 = fixed QP)
     rc_stats_in: str = ""          # two-pass: pass-1 stats file to read
     rc_stats_out: str = ""         # pass-1: stats file to write
@@ -265,6 +266,15 @@ class IntraEncoder:
             # adaptive intra placement: IDR at detected scene cuts
             self._force_idr_pocs = {a.poc for a in self.analysis
                                     if a.is_scene_cut}
+        self._fgc_sei = None
+        if cfg.film_grain:
+            from .filmgrain import derive_fgc_sei, SEI_FILM_GRAIN
+            from ..bitstream.sei import write_sei_nal
+            sei = derive_fgc_sei([f[0] for f in frames],
+                                 cfg.input_bit_depth)
+            if sei is not None:
+                self._fgc_sei = write_sei_nal(
+                    [(SEI_FILM_GRAIN, sei.payload())], prefix=True)
         if cfg.mctf and len(frames) > 2 and cfg.gop_size > 1:
             from .mctf import apply_mctf
             frames = apply_mctf(frames, cfg.gop_size, cfg.qp,
@@ -555,6 +565,8 @@ class IntraEncoder:
                 cpb_removal_delay=self.frames_done,
                 dpb_output_delay=1).payload()))
             au = write_sei_nal(msgs, prefix=True) + au
+        if getattr(self, "_fgc_sei", None) and is_idr:
+            au = self._fgc_sei + au
         if cfg.picture_hash:
             from ..bitstream.sei import (write_sei_nal, compute_picture_hash,
                                          SeiDecodedPictureHash,
