@@ -98,3 +98,58 @@ def test_residual_remregbins_exhaustion():
     coeff[coeff == 0] = 3
     out, _ = _roundtrip_tu(coeff, True)
     assert np.array_equal(out, coeff)
+
+
+def test_sdh_encode_decode_roundtrip():
+    """Sign-data hiding: parity-adjusted levels + dropped sign bit decode
+    back exactly (per-TU, randomized)."""
+    import numpy as np
+    from vvenc_tpu.bitstream.bitwriter import BitWriter, BitReader
+    from vvenc_tpu.bitstream.cabac import CabacEncoder, CabacDecoder
+    from vvenc_tpu.bitstream.residual import (encode_residual,
+                                              decode_residual)
+    from vvenc_tpu.ops.transforms import sdh_adjust
+    rng = np.random.RandomState(11)
+    hidden = 0
+    for trial in range(30):
+        w = h = int(rng.choice([4, 8, 16]))
+        tcoef = (rng.randn(h, w) * 300).astype(np.int32)
+        tcoef *= rng.rand(h, w) < 0.6
+        from vvenc_tpu.ops.transforms import quant_np
+        q = quant_np(tcoef, 30, 10)
+        q2 = sdh_adjust(q, tcoef, 30, 10)
+        if not np.any(q2):
+            continue
+        if not np.array_equal(q, q2):
+            hidden += 1
+        bw = BitWriter()
+        enc = CabacEncoder(bw)
+        enc.init_ctx(30, 2)
+        encode_residual(enc, q2, True, sign_hiding=True)
+        enc.encode_bin_trm(1)
+        enc.finish()
+        bw.write_rbsp_trailing_bits()
+        dec = CabacDecoder(BitReader(bw.get_bytes()))
+        dec.init_ctx(30, 2)
+        out = decode_residual(dec, w, h, True, sign_hiding=True)
+        assert np.array_equal(out, q2), trial
+    assert hidden > 0  # the parity fixup must have engaged somewhere
+
+
+def test_sdh_encoder_e2e():
+    import numpy as np
+    from vvenc_tpu.encoder import IntraEncoder, EncoderConfig
+    from vvenc_tpu.decoder import decode_stream
+    rng = np.random.RandomState(3)
+    w, h = 128, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = np.clip(60 + 120 * np.sin(xx / 11.) * np.cos(yy / 7.)
+                + rng.randn(h, w) * 5 + 60, 0, 255).astype(np.uint8)
+    u = np.clip(80 + 0.5 * y, 0, 255)[::2, ::2].astype(np.uint8)
+    v = np.clip(200 - 0.4 * y, 0, 255)[::2, ::2].astype(np.uint8)
+    enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=27,
+                                     sign_data_hiding=True))
+    au = enc.encode_frame((y, u, v))
+    dec = decode_stream(au)[0]
+    for c in range(3):
+        assert np.array_equal(dec.planes[c], enc.last_rec.rec[c])

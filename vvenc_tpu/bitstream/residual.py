@@ -208,10 +208,13 @@ def encode_residual(enc, coeff: np.ndarray, is_luma: bool,
     """Encode one TU's coefficients (must contain at least one nonzero).
 
     enc: CabacEncoder (or BitEstimator-compatible).  coeff: int array [h, w].
+
+    sign_hiding: drop the lowest-scan-position sign of each qualifying CG
+    (span >= SBH_THRESHOLD); the caller must have parity-adjusted the
+    levels (transforms.sdh_adjust) so the decoder's inference matches.
     """
-    assert not sign_hiding, "SDH encode not wired yet"
     assert not (dep_quant and sign_hiding)
-    if type(enc).__name__ == "BitEstimator":
+    if type(enc).__name__ == "BitEstimator" and not sign_hiding:
         from .. import native
         if native.available():
             enc.frac_bits += native.est_residual(coeff, is_luma, dep_quant,
@@ -280,6 +283,7 @@ def encode_residual(enc, coeff: np.ndarray, is_luma: bool,
             (min_sub if is_not_first else -1)
         num_nonzero = 0
         sign_pattern = []
+        sign_pos = []
         next_pos = first_sig
         while next_pos >= min_sub and rem_reg_bins >= 4:
             blk = int(cctx.blkpos[next_pos])
@@ -296,9 +300,8 @@ def encode_residual(enc, coeff: np.ndarray, is_luma: bool,
                 ctx_off = cctx.ctx_offset_abs()
                 num_nonzero += 1
                 rem = a - 1
-                if next_pos != scan_pos_last:
-                    pass
                 sign_pattern.append(1 if c < 0 else 0)
+                sign_pos.append(next_pos)
                 gt1 = 1 if rem else 0
                 enc.encode_bin(gt1, cctx.gt1_set(ctx_off))
                 rem_reg_bins -= 1
@@ -342,11 +345,17 @@ def encode_residual(enc, coeff: np.ndarray, is_luma: bool,
             if a:
                 num_nonzero += 1
                 sign_pattern.append(1 if c < 0 else 0)
-        # signs
+                sign_pos.append(sp)
+        # signs (SDH: the lowest-position sign is inferred from the CG
+        # abs-sum parity when the nonzero span reaches SBH_THRESHOLD)
+        n_signs = len(sign_pattern)
+        if sign_hiding and n_signs and \
+                sign_pos[0] - sign_pos[-1] >= SBH_THRESHOLD:
+            n_signs -= 1
         bits = 0
-        for s in sign_pattern:
+        for s in sign_pattern[:n_signs]:
             bits = (bits << 1) | s
-        enc.encode_bins_ep(bits, len(sign_pattern))
+        enc.encode_bins_ep(bits, n_signs)
 
 
 # dependent-quantization state transition table [state][parity] packed the

@@ -1066,7 +1066,8 @@ class SyntaxCoder:
             if use_ts_rc:
                 encode_residual_ts(coder, coeff, comp == 0, bd)
             else:
-                encode_residual(coder, coeff, comp == 0, dep_quant=self.dq)
+                encode_residual(coder, coeff, comp == 0, dep_quant=self.dq,
+                                sign_hiding=self.sdh)
             return None
         if use_ts_rc:
             return decode_residual_ts(coder, w, h, comp == 0, bd)

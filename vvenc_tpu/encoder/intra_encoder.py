@@ -78,6 +78,7 @@ class EncoderConfig:
     max_tt_size: int = 32
     rdoq: bool = True              # rate-distortion optimized quantization
     dep_quant: bool = False        # trellis (dependent) quantization
+    sign_data_hiding: bool = False # SDH (excludes dep_quant)
     qpa: bool = False              # perceptual QP adaptation (XPSNR model)
     cclm: bool = False             # cross-component linear model chroma
     jccr: bool = False             # joint Cb-Cr residual coding
@@ -127,6 +128,8 @@ def build_parameter_sets(cfg: EncoderConfig):
     pps.deblocking_filter_control_present = 1
     pps.deblocking_filter_disabled = 0 if cfg.deblocking else 1
     sps.dep_quant_enabled = 1 if cfg.dep_quant else 0
+    sps.sign_data_hiding = 1 if (cfg.sign_data_hiding
+                                 and not cfg.dep_quant) else 0
     sps.mip = 1 if cfg.mip else 0
     sps.cclm = 1 if cfg.cclm else 0
     sps.joint_cbcr = 1 if cfg.jccr else 0
@@ -348,6 +351,8 @@ class IntraEncoder:
         sh = SliceHeader()
         sh.slice_qp = slice_qp
         sh.dep_quant_used = 1 if self.cfg.dep_quant else 0
+        sh.sign_data_hiding_used = 1 if (self.cfg.sign_data_hiding and
+                                         not self.cfg.dep_quant) else 0
         sh.ph = PictureHeader()
         sh.ph.poc_lsb = poc & ((1 << self.sps.log2_max_poc_lsb) - 1)
         if cfg.jccr:
@@ -658,10 +663,15 @@ class _CtuSearcher:
                                self.lmbda, self.est.ctx, cbf_ctx)
         if self.cfg.rdoq:
             from ..ops.rdoq import rdoq_np
-            return rdoq_np(tcoef, qp, self.cfg.bit_depth, is_luma,
-                           self.lmbda, self.est.ctx, cbf_ctx)
-        return T.quant_np(tcoef, qp, self.cfg.bit_depth,
-                          is_intra_slice=intra_slice)
+            out = rdoq_np(tcoef, qp, self.cfg.bit_depth, is_luma,
+                          self.lmbda, self.est.ctx, cbf_ctx)
+        else:
+            out = T.quant_np(tcoef, qp, self.cfg.bit_depth,
+                             is_intra_slice=intra_slice)
+        if self.cfg.sign_data_hiding and not self.cfg.dep_quant \
+                and np.any(out):
+            out = T.sdh_adjust(out, tcoef, qp, self.cfg.bit_depth)
+        return out
 
     def _dq(self, coeff, qp):
         return (T.dequant_dq_np(coeff, qp, self.cfg.bit_depth)
@@ -896,7 +906,8 @@ class _CtuSearcher:
                         encode_residual_ts(self.est, cu.coeff_y, True)
                     else:
                         encode_residual(self.est, cu.coeff_y, True,
-                                        dep_quant=self.cfg.dep_quant)
+                                        dep_quant=self.cfg.dep_quant,
+                                        sign_hiding=self.cfg.sign_data_hiding)
                     self.coder._code_lfnst_mts(self.est, cu, encode=True)
                 bits = (self.est.frac_bits - b0) / (1 << 15)
                 cost = dist + self.lmbda * bits
@@ -963,15 +974,19 @@ class _CtuSearcher:
                 encode_residual_ts(self.est, cu.coeff_y, True)
             else:
                 encode_residual(self.est, cu.coeff_y, True,
-                                dep_quant=self.cfg.dep_quant)
+                                dep_quant=self.cfg.dep_quant,
+                                sign_hiding=self.cfg.sign_data_hiding)
         if cu.joint_cbcr:
             coded = cu.coeff_cb if cu.joint_cbcr in (2, 3) else cu.coeff_cr
             encode_residual(self.est, coded, False,
-                            dep_quant=self.cfg.dep_quant)
+                            dep_quant=self.cfg.dep_quant,
+                            sign_hiding=self.cfg.sign_data_hiding)
         else:
             for comp, coeff in ((1, cu.coeff_cb), (2, cu.coeff_cr)):
                 if coeff is not None:
-                    encode_residual(self.est, coeff, False, dep_quant=self.cfg.dep_quant)
+                    encode_residual(self.est, coeff, False,
+                                    dep_quant=self.cfg.dep_quant,
+                                    sign_hiding=self.cfg.sign_data_hiding)
         self.coder._code_lfnst_mts(self.est, cu, encode=True)
         total_bits = (self.est.frac_bits - b0) / (1 << 15)
 
@@ -1185,7 +1200,8 @@ class _CtuSearcher:
                 for comp in (1, 2):
                     if coded[comp] is not None:
                         encode_residual(self.est, coded[comp], False,
-                                        dep_quant=self.cfg.dep_quant)
+                                        dep_quant=self.cfg.dep_quant,
+                                        sign_hiding=self.cfg.sign_data_hiding)
             return (self.est.frac_bits - b0) / (1 << 15)
 
         best = None

@@ -317,6 +317,64 @@ def dequant_ts_np(qcoeff: np.ndarray, qp: int, min_qp_prime_ts: int = 16
     return np.clip(d, COEFF_MIN, COEFF_MAX).astype(np.int32)
 
 
+def sdh_adjust(qcoeff: np.ndarray, tcoef: np.ndarray, qp: int,
+               bit_depth: int = 10) -> np.ndarray:
+    """Sign-data-hiding parity fixup (vvenc Quant::xSignBitHidingHDQ):
+    for each CG whose nonzero span reaches SBH_THRESHOLD, make the
+    abs-level parity match the sign of the lowest-scan nonzero by a +-1
+    adjustment at the position of least quantization-error increase."""
+    from ..bitstream.residual import scan_info, SBH_THRESHOLD
+    h, w = qcoeff.shape
+    out = qcoeff.astype(np.int64).copy()
+    sx, sy, blkpos, cg_pos, lcw, lch = scan_info(
+        w.bit_length() - 1, h.bit_length() - 1)
+    cg_size = 1 << (lcw + lch)
+    n = len(blkpos)
+    sqrt2 = needs_sqrt2(w, h)
+    tshift = transform_shift(w, h, bit_depth) + (-1 if sqrt2 else 0)
+    qbits = 14 + qp // 6 + tshift
+    scale = int(QUANT_SCALES[1 if sqrt2 else 0][qp % 6])
+    tflat = tcoef.astype(np.int64).reshape(-1)
+    qflat = out.reshape(-1)
+    for cg0 in range(0, n, cg_size):
+        pos = [sp for sp in range(cg0, cg0 + cg_size)
+               if qflat[blkpos[sp]] != 0]
+        if not pos:
+            continue
+        first_nz, last_nz = pos[0], pos[-1]
+        if last_nz - first_nz < SBH_THRESHOLD:
+            continue
+        parity = int(sum(abs(int(qflat[blkpos[sp]])) for sp in pos)) & 1
+        want = 1 if qflat[blkpos[first_nz]] < 0 else 0
+        if parity == want:
+            continue
+        # candidate adjustments that cannot change first/last nz position
+        best = None
+        for sp in range(cg0, cg0 + cg_size):
+            blk = int(blkpos[sp])
+            q = int(qflat[blk])
+            ld = abs(int(tflat[blk])) * scale
+            for dq in (+1, -1):
+                if q == 0:
+                    if dq < 0 or not (first_nz < sp < last_nz):
+                        continue
+                    nq = 1 if tflat[blk] >= 0 else -1
+                elif dq < 0:
+                    if abs(q) == 1 and sp in (first_nz, last_nz):
+                        continue
+                    nq = q - 1 if q > 0 else q + 1
+                else:
+                    nq = q + 1 if q > 0 else q - 1
+                err0 = abs(ld - (abs(q) << qbits))
+                err1 = abs(ld - (abs(nq) << qbits))
+                inc = err1 - err0
+                if best is None or inc < best[0]:
+                    best = (inc, blk, nq)
+        if best is not None:
+            qflat[best[1]] = best[2]
+    return np.clip(out, COEFF_MIN, COEFF_MAX).astype(np.int32)
+
+
 def quant_ts_np(resi: np.ndarray, qp: int, min_qp_prime_ts: int = 16,
                 is_intra_slice: bool = True) -> np.ndarray:
     """Transform-skip forward quantization: the spatial residual is
