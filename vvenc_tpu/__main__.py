@@ -65,7 +65,9 @@ def encoder_config_from(cfg, args) -> "EncoderConfig":
         num_full_rd_modes=cfg.num_full_rd_modes,
         max_mtt_depth=cfg.max_mtt_depth_i, deblocking=bool(cfg.deblocking),
         intra_period=cfg.intra_period, gop_size=cfg.gop_size,
-        dep_quant=bool(cfg.dep_quant), qpa=bool(cfg.perceptual_qpa),
+        dep_quant=bool(cfg.dep_quant),
+        sign_data_hiding=bool(cfg.sign_data_hiding),
+        qpa=bool(cfg.perceptual_qpa),
         sao=bool(cfg.sao), alf=bool(cfg.alf), mctf=bool(cfg.mctf),
         lfnst=bool(cfg.lfnst), mts=bool(cfg.mts),
         mts_implicit=bool(cfg.mts_implicit), mip=bool(cfg.mip),

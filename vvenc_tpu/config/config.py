@@ -141,7 +141,7 @@ _PRESET_MATRIX = {
 # PROF, SbTMVP, BDOF, DMVR, AMVR, MMVD, SMVD, BCW, JCCR, TS, BDPCM, IBC,
 # SDH, CC-ALF — encoder-side search for those lands tool by tool)
 _IMPLEMENTED = {"mctf": 2, "bim": 0, "alf": 1, "ccalf": 0, "sao": 1,
-                "deblocking": 1, "dep_quant": 1, "sign_data_hiding": 0,
+                "deblocking": 1, "dep_quant": 1, "sign_data_hiding": 1,
                 "lfnst": 1, "mts": 1, "mts_implicit": 1, "mip": 1, "isp": 3,
                 "mrl": 1, "lm_chroma": 1, "joint_cbcr": 1, "affine": 5,
                 "dmvr": 1, "bdof": 1, "mmvd": 3, "smvd": 3, "geo": 4,
