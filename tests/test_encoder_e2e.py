@@ -437,3 +437,33 @@ def test_mts_implicit_encoder_roundtrip():
         res[impl] = float(((dec.planes[0].astype(np.int64)
                             - (y.astype(np.int64) << 2)) ** 2).sum())
     assert res[True] != res[False]  # DST-7 actually engaged
+
+
+def test_ccalf_encoder_roundtrip():
+    """CC-ALF: cross-component correction derived on the ALF-applied
+    chroma from pre-ALF luma; bit-exact decode and a chroma SSE win."""
+    import numpy as np
+    from vvenc_tpu.encoder import IntraEncoder, EncoderConfig
+    from vvenc_tpu.decoder import decode_stream
+    w, h = 128, 128
+    rng = np.random.RandomState(5)
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = np.clip(128 + 60 * np.sin((xx * 3 + yy * 7) / 9.)
+                + rng.randn(h, w) * 10, 0, 255).astype(np.uint8)
+    u = np.clip(128 + 0.35 * (y.astype(int) - 128) + rng.randn(h, w) * 4,
+                0, 255)[::2, ::2].astype(np.uint8)
+    v = np.clip(128 - 0.3 * (y.astype(int) - 128) + rng.randn(h, w) * 4,
+                0, 255)[::2, ::2].astype(np.uint8)
+    res = {}
+    for cc in (False, True):
+        enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=34,
+                                         ctu_size=64, deblocking=True,
+                                         alf=True, ccalf=cc))
+        au = enc.encode_frame((y, u, v))
+        dec = decode_stream(au)[0]
+        for c in range(3):
+            assert np.array_equal(dec.planes[c], enc.last_rec.rec[c])
+        res[cc] = sum(float(((dec.planes[c].astype(np.int64)
+                              - ((u if c == 1 else v).astype(np.int64)
+                                 << 2)) ** 2).sum()) for c in (1, 2))
+    assert res[True] < res[False]

@@ -68,7 +68,8 @@ def encoder_config_from(cfg, args) -> "EncoderConfig":
         dep_quant=bool(cfg.dep_quant),
         sign_data_hiding=bool(cfg.sign_data_hiding),
         qpa=bool(cfg.perceptual_qpa),
-        sao=bool(cfg.sao), alf=bool(cfg.alf), mctf=bool(cfg.mctf),
+        sao=bool(cfg.sao), alf=bool(cfg.alf), ccalf=bool(cfg.ccalf),
+        mctf=bool(cfg.mctf),
         lfnst=bool(cfg.lfnst), mts=bool(cfg.mts),
         mts_implicit=bool(cfg.mts_implicit), mip=bool(cfg.mip),
         mrl=bool(cfg.mrl), cclm=bool(cfg.lm_chroma), tmvp=bool(cfg.tmvp),

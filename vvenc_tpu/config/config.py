@@ -140,7 +140,7 @@ _PRESET_MATRIX = {
 # (the subset decoder additionally decodes: ISP, SBT, GEO, CIIP, affine,
 # PROF, SbTMVP, BDOF, DMVR, AMVR, MMVD, SMVD, BCW, JCCR, TS, BDPCM, IBC,
 # SDH, CC-ALF — encoder-side search for those lands tool by tool)
-_IMPLEMENTED = {"mctf": 2, "bim": 0, "alf": 1, "ccalf": 0, "sao": 1,
+_IMPLEMENTED = {"mctf": 2, "bim": 0, "alf": 1, "ccalf": 1, "sao": 1,
                 "deblocking": 1, "dep_quant": 1, "sign_data_hiding": 1,
                 "lfnst": 1, "mts": 1, "mts_implicit": 1, "mip": 1, "isp": 3,
                 "mrl": 1, "lm_chroma": 1, "joint_cbcr": 1, "affine": 5,

@@ -154,3 +154,100 @@ def derive_alf(orig, rec, bit_depth: int, ctu_size: int, lmbda: float):
         return None
     # luma-disabled CTUs keep fidx; chroma uses alternative 0
     return p, enabled, ctu_flags, ctu_fidx, ctu_alt, filt
+
+
+# ---------------------------------------------------------------------------
+# CC-ALF (cross-component ALF) encoder
+# ---------------------------------------------------------------------------
+
+def _cc_tap_planes(luma: np.ndarray, hc: int, wc: int, ctu_size: int):
+    """7 tap-difference planes of the 3x4 luma diamond sampled at chroma
+    positions (mirror of codec.alf.filter_ccalf_region geometry incl. the
+    virtual-boundary offsets)."""
+    pad = 2
+    lp = np.pad(luma, pad, mode="edge").astype(np.int64)
+    vb_pos = ctu_size - 4
+    planes = np.zeros((7, hc, wc), np.int64)
+    lx = np.arange(wc) << 1
+    for yy in range(hc):
+        ly = yy << 1
+        pos = ly & (ctu_size - 1)
+        off1, off2, off3 = 1, -1, 2
+        if pos == vb_pos - 2 or pos == vb_pos + 1:
+            off3 = off1
+        elif pos == vb_pos - 1 or pos == vb_pos:
+            off1 = off2 = off3 = 0
+        curr = lp[ly + pad, lx + pad]
+        planes[0, yy] = lp[ly + off2 + pad, lx + pad] - curr
+        planes[1, yy] = lp[ly + pad, lx - 1 + pad] - curr
+        planes[2, yy] = lp[ly + pad, lx + 1 + pad] - curr
+        planes[3, yy] = lp[ly + off1 + pad, lx - 1 + pad] - curr
+        planes[4, yy] = lp[ly + off1 + pad, lx + pad] - curr
+        planes[5, yy] = lp[ly + off1 + pad, lx + 1 + pad] - curr
+        planes[6, yy] = lp[ly + off3 + pad, lx + pad] - curr
+    return planes
+
+
+def _quant_pow2(v: float) -> int:
+    """Nearest CC-ALF-legal coefficient: 0 or +-2^k, k in 0..6
+    (1/128 fixed point; the APS codes 1 + log2|c| and a sign)."""
+    q = v * 128.0
+    cands = [0] + [s * (1 << k) for k in range(7) for s in (1, -1)]
+    return min(cands, key=lambda c: abs(q - c))
+
+
+def derive_ccalf(orig, applied, luma_pre, bit_depth: int, ctu_size: int,
+                 lmbda: float):
+    """Derive one CC-ALF filter per chroma component.
+
+    orig: {comp: plane} originals; applied: {1,2} ALF-filtered chroma;
+    luma_pre: post-SAO pre-ALF luma (the CC filter's input).
+    Returns (cc_coeff[2,4,7], counts[2], enabled[2], cc_ctrl[2,n]) or
+    None when neither component gains."""
+    from ..codec.alf import filter_ccalf_region
+    hc, wc = applied[1].shape
+    planes = _cc_tap_planes(luma_pre, hc, wc, ctu_size)
+    flat = planes.reshape(7, -1).astype(np.float64)
+    ctu_c = ctu_size >> 1
+    w_ctus = (wc + ctu_c - 1) // ctu_c
+    h_ctus = (hc + ctu_c - 1) // ctu_c
+    n = w_ctus * h_ctus
+    cc_coeff = np.zeros((2, 4, 7), np.int32)
+    cc_ctrl = np.zeros((2, n), np.int32)
+    enabled = [0, 0]
+    for cc in range(2):
+        comp = cc + 1
+        err = (orig[comp].astype(np.int64)
+               - applied[comp].astype(np.int64)).reshape(-1)
+        A = flat @ flat.T
+        b = flat @ err.astype(np.float64)
+        try:
+            c = np.linalg.solve(A + np.eye(7) * 1e-6, b)
+        except np.linalg.LinAlgError:
+            continue
+        coeff = np.array([_quant_pow2(v) for v in c], np.int32)
+        if not coeff.any():
+            continue
+        # filtered candidate plane
+        cand = applied[comp].copy()
+        filter_ccalf_region(luma_pre, cand, 0, 0, wc, hc, coeff,
+                            bit_depth, ctu_size)
+        # per-CTU on/off
+        any_on = False
+        for ry in range(h_ctus):
+            for rx in range(w_ctus):
+                x0, y0 = rx * ctu_c, ry * ctu_c
+                x1, y1 = min(x0 + ctu_c, wc), min(y0 + ctu_c, hc)
+                o = orig[comp][y0:y1, x0:x1].astype(np.int64)
+                d_off = ((o - applied[comp][y0:y1, x0:x1]) ** 2).sum()
+                d_on = ((o - cand[y0:y1, x0:x1]) ** 2).sum()
+                if d_on + lmbda * 2.0 < d_off:
+                    cc_ctrl[cc][ry * w_ctus + rx] = 1  # filter idc 1
+                    any_on = True
+        if any_on:
+            enabled[cc] = 1
+            cc_coeff[cc][0] = coeff
+    if not any(enabled):
+        return None
+    return cc_coeff, [1 if enabled[c] else 0 for c in range(2)], \
+        enabled, cc_ctrl

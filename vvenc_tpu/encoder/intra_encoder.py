@@ -93,6 +93,7 @@ class EncoderConfig:
     mts_implicit: bool = False     # implicit MTS (DST7 on small intra TBs)
     sao: bool = False              # sample adaptive offset (encoder RD)
     alf: bool = False              # adaptive loop filter (encoder-derived)
+    ccalf: bool = False            # cross-component ALF (needs alf)
     mctf: bool = False             # motion-compensated temporal filtering
     picture_hash: int = 0          # decoded-picture-hash SEI: 0 off,
                                    # 1 MD5, 2 CRC, 3 checksum
@@ -147,6 +148,7 @@ def build_parameter_sets(cfg: EncoderConfig):
     elif cfg.mts_implicit:
         sps.mts = 1  # implicit MTS: DST-7 on 4..16 intra luma dims
     sps.alf_enabled = 1 if cfg.alf else 0
+    sps.ccalf_enabled = 1 if (cfg.ccalf and cfg.alf) else 0
     sps.sao_enabled = 1 if cfg.sao else 0
     sps.temporal_mvp = 1 if cfg.tmvp else 0
     if cfg.bdof:
@@ -481,9 +483,11 @@ class IntraEncoder:
                 apply_sao_picture(ps.rec, sao_map, cfg.ctu_size,
                                   cfg.bit_depth, n_cols, n_rows)
         alf_info = None
+        cc_ctrl = np.zeros((2, n_rows * n_cols), np.int32)
+        cc_counts = [0, 0]
         if cfg.alf:
-            from .alf_enc import derive_alf
-            from ..codec.alf import write_alf_aps
+            from .alf_enc import derive_alf, derive_ccalf
+            from ..codec.alf import write_alf_aps, apply_alf_picture
             res = derive_alf(src, ps.rec, cfg.bit_depth, cfg.ctu_size,
                              self.lmbda)
             if res is not None:
@@ -495,11 +499,31 @@ class IntraEncoder:
                     sh.num_alf_aps = 1
                     sh.luma_aps_ids = [0]
                     sh.chroma_aps_id = 0
+                    if cfg.ccalf:
+                        # CC-ALF derivation needs the ALF-applied chroma
+                        # and the pre-ALF luma (the filter's input)
+                        applied = {c: ps.rec[c].copy() for c in range(3)}
+                        apply_alf_picture(
+                            applied, cfg.bit_depth, cfg.ctu_size, n_cols,
+                            n_rows, {0: alf_p}, sh.luma_aps_ids,
+                            sh.chroma_aps_id, sh.alf_enabled, 1, alf_flags,
+                            alf_fidx, alf_alt, [0, 0], [0, 0], cc_ctrl)
+                        ccres = derive_ccalf(
+                            src, {1: applied[1], 2: applied[2]}, ps.rec[0],
+                            cfg.bit_depth, cfg.ctu_size, self.lmbda)
+                        if ccres is not None:
+                            cc_coeff, cc_counts, cc_en, cc_ctrl = ccres
+                            alf_p.cc_coeff = cc_coeff
+                            alf_p.cc_filter_signal = list(cc_counts)
+                            alf_p.cc_filter_count = [max(1, c)
+                                                     for c in cc_counts]
+                            sh.cc_alf_enabled = list(cc_en)
+                            sh.cc_alf_aps_ids = [0, 0]
                     aps_bw = BitWriter()
                     write_alf_aps(aps_bw, 0, alf_p)
                     aps_bytes = make_nal_unit(NalUnitType.PREFIX_APS,
                                               aps_bw.get_bytes())
-                    alf_info = (alf_flags, alf_fidx, alf_alt, filt)
+                    alf_info = (alf_flags, alf_fidx, alf_alt, alf_p)
         if sao_map is not None or alf_info is not None:
             # replay the slice entropy with SAO/ALF CTU syntax prepended
             from ..codec.sao import write_sao_ctu
@@ -530,27 +554,23 @@ class IntraEncoder:
                         code_alf_ctu(enc, True, addr, n_cols,
                                      sh.alf_enabled, sh.num_alf_aps, 1,
                                      alf_info[0], alf_info[1], alf_info[2],
-                                     [0, 0], [0, 0],
-                                     [[0] * (n_rows * n_cols)] * 2)
+                                     sh.cc_alf_enabled, cc_counts, cc_ctrl)
                     coder2.encode_ctu(enc, ps2, trees[ti])
                     ti += 1
             enc.encode_bin_trm(1)
             enc.finish()
             bw.write_rbsp_trailing_bits()
         if alf_info is not None:
-            # apply the decided ALF to the reconstruction
-            alf_flags, _, _, filt = alf_info
-            for comp in range(3):
-                sc = 1 if comp else 0
-                csz = cfg.ctu_size >> sc
-                for ry in range(n_rows):
-                    for rx in range(n_cols):
-                        if not (sh.alf_enabled[comp] and
-                                alf_flags[comp][ry * n_cols + rx]):
-                            continue
-                        y0, x0 = ry * csz, rx * csz
-                        ps.rec[comp][y0:y0 + csz, x0:x0 + csz] = \
-                            filt[comp][y0:y0 + csz, x0:x0 + csz]
+            # apply ALF + CC-ALF exactly as the decoder will
+            from ..codec.alf import apply_alf_picture
+            alf_flags, alf_fidx, alf_alt, alf_p = alf_info
+            apply_alf_picture(
+                ps.rec, cfg.bit_depth, cfg.ctu_size, n_cols, n_rows,
+                {0: alf_p}, sh.luma_aps_ids,
+                sh.chroma_aps_id
+                if (sh.alf_enabled[1] or sh.alf_enabled[2]) else None,
+                sh.alf_enabled, 1, alf_flags, alf_fidx, alf_alt,
+                sh.cc_alf_enabled, sh.cc_alf_aps_ids, cc_ctrl)
         if is_idr:
             nal_type = NalUnitType.IDR_N_LP if self.frames_done == 0 \
                 else NalUnitType.IDR_W_RADL
