@@ -1,0 +1,64 @@
+"""Python side of the C API bridge (capi/vvenc_tpu_capi.cpp).
+
+The C library embeds CPython and calls these functions; handles are
+integers indexing a registry.  Mirrors the reference's C API lifecycle
+(vvenc.h.in: create/open/encode(+flush)/close)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .encoder import IntraEncoder, EncoderConfig
+from .config.config import VvencTpuConfig, Preset, init_preset, \
+    check_config, set_param
+
+_handles = {}
+_next_id = 1
+
+
+def capi_open(params: str) -> int:
+    """params: semicolon-separated key=value pairs; must include
+    width/height.  'preset=<name>' applies a preset first.  Returns a
+    handle (>0) or raises."""
+    cfg = VvencTpuConfig()
+    preset = None
+    kv = []
+    for tok in params.split(";"):
+        tok = tok.strip()
+        if not tok:
+            continue
+        k, _, v = tok.partition("=")
+        if k.strip().lower() == "preset":
+            preset = Preset[v.strip().upper()]
+        else:
+            kv.append((k.strip(), v.strip()))
+    if preset is not None:
+        init_preset(cfg, preset)
+    for k, v in kv:
+        set_param(cfg, k, v)
+    check_config(cfg)
+    from .__main__ import encoder_config_from
+    enc = IntraEncoder(encoder_config_from(cfg, None))
+    global _next_id
+    h = _next_id
+    _next_id += 1
+    _handles[h] = (enc, cfg)
+    return h
+
+
+def capi_encode(handle: int, y: bytes, u: bytes, v: bytes) -> bytes:
+    """Encode one frame (8-bit planar 4:2:0) -> Annex-B AU bytes."""
+    enc, cfg = _handles[handle]
+    w, h = cfg.width, cfg.height
+    yp = np.frombuffer(y, np.uint8).reshape(h, w)
+    up = np.frombuffer(u, np.uint8).reshape(h // 2, w // 2)
+    vp = np.frombuffer(v, np.uint8).reshape(h // 2, w // 2)
+    return enc.encode_frame((yp, up, vp))
+
+
+def capi_close(handle: int) -> None:
+    _handles.pop(handle, None)
+
+
+def capi_version() -> str:
+    return "vvenc_tpu-0.1"
