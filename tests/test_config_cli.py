@@ -84,3 +84,27 @@ def test_cli_smoke(tmp_path):
     assert r.returncode == 0, r.stdout + r.stderr
     assert "verify decode: OK" in r.stdout
     assert os.path.getsize(out) > 0
+
+
+def test_ffapp_cfg_file(tmp_path):
+    """Expert app: VTM-style cfg file drives the encoder (vvencFFapp
+    analog) and the result verifies."""
+    import numpy as np
+    clip = tmp_path / "in.yuv"
+    W, H, N = 64, 32, 2
+    rng = np.random.RandomState(1)
+    with open(clip, "wb") as f:
+        for t in range(N):
+            y = rng.randint(0, 255, (H, W), dtype=np.uint8)
+            u = rng.randint(0, 255, (H // 2, W // 2), dtype=np.uint8)
+            v = rng.randint(0, 255, (H // 2, W // 2), dtype=np.uint8)
+            f.write(y.tobytes() + u.tobytes() + v.tobytes())
+    cfg = tmp_path / "enc.cfg"
+    cfg.write_text(
+        f"InputFile : {clip}\n"
+        f"BitstreamFile : {tmp_path / 'out.266'}\n"
+        "Size : 64x32\nQP : 40\nFramesToBeEncoded : 2\n"
+        "IntraPeriod : 1\nSAO : 1\nWPP : 1\n")
+    from vvenc_tpu.ffapp import main as ffmain
+    assert ffmain(["-c", str(cfg), "--verify"]) == 0
+    assert (tmp_path / "out.266").stat().st_size > 0

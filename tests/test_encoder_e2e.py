@@ -467,3 +467,62 @@ def test_ccalf_encoder_roundtrip():
                               - ((u if c == 1 else v).astype(np.int64)
                                  << 2)) ** 2).sum()) for c in (1, 2))
     assert res[True] < res[False]
+
+
+def test_wpp_entry_points_roundtrip():
+    """WPP (entropy_coding_sync): per-CTU-row byte-aligned substreams with
+    entry point offsets in the slice header; ctx synced from the first CTU
+    of the row above. Bit-exact decode incl. SAO/ALF replay and inter."""
+    import numpy as np
+    from vvenc_tpu.encoder import IntraEncoder, EncoderConfig
+    from vvenc_tpu.decoder import decode_stream
+    rng = np.random.RandomState(3)
+    w, h = 128, 96
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = np.clip(60 + 120 * np.sin(xx / 11.) * np.cos(yy / 7.)
+                + rng.randn(h, w) * 5 + 60, 0, 255).astype(np.uint8)
+    u = np.clip(80 + 0.5 * y, 0, 255)[::2, ::2].astype(np.uint8)
+    v = np.clip(200 - 0.4 * y, 0, 255)[::2, ::2].astype(np.uint8)
+    enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=32, wpp=True,
+                                     sao=True, deblocking=True))
+    au = enc.encode_frame((y, u, v))
+    dec = decode_stream(au)[0]
+    for c in range(3):
+        assert np.array_equal(dec.planes[c], enc.last_rec.rec[c])
+    # the header must carry n_rows-1 entry points
+    from vvenc_tpu.bitstream.nal import split_annexb, VCL_NAL_TYPES
+    from vvenc_tpu.bitstream import hls
+    from vvenc_tpu.bitstream.bitwriter import BitReader
+    for nal_type, tid, rbsp in split_annexb(au):
+        if nal_type in VCL_NAL_TYPES:
+            sps = enc.sps
+            sh = hls.parse_slice_header(BitReader(rbsp), sps, enc.pps,
+                                        is_idr=True)
+            assert len(sh.entry_point_offsets) == 96 // 32 - 1
+
+
+def test_frame_parallel_bit_identical():
+    """Frame-parallel all-intra encode must produce a byte-identical
+    stream to the sequential encode (vvenc's threaded-vs-serial
+    bitstream-compare contract, vvencTests.cmake:71-73)."""
+    import numpy as np
+    from vvenc_tpu.encoder import IntraEncoder, EncoderConfig
+    rng = np.random.RandomState(3)
+    w, h = 96, 48
+    frames = []
+    for t in range(3):
+        yy, xx = np.mgrid[0:h, 0:w]
+        y = np.clip(60 + 120 * np.sin((xx + t) / 11.) * np.cos(yy / 7.)
+                    + rng.randn(h, w) * 5 + 60, 0, 255).astype(np.uint8)
+        frames.append((y, (y[::2, ::2] // 2 + 60).astype(np.uint8),
+                       (128 - y[::2, ::2] // 3).astype(np.uint8)))
+    seq = IntraEncoder(EncoderConfig(width=w, height=h, qp=34, qpa=True))
+    s1 = seq.encode_sequence(frames)
+    par = IntraEncoder(EncoderConfig(width=w, height=h, qp=34, qpa=True,
+                                     max_parallel_frames=2))
+    s2 = par.encode_sequence(frames)
+    assert s1 == s2
+    for p in range(3):
+        for c in range(3):
+            assert np.array_equal(seq.recs_by_poc[p][c],
+                                  par.recs_by_poc[p][c])

@@ -51,6 +51,10 @@ def parse_args(argv):
                    help="emit buffering-period/pic-timing SEIs")
     p.add_argument("--set", action="append", default=[], metavar="K=V",
                    help="expert string-param API (vvenc_set_param analog)")
+    p.add_argument("--threads", type=int, default=0,
+                   help="frame-parallel workers (all-intra)")
+    p.add_argument("--wpp", action="store_true",
+                   help="WPP: per-CTU-row substreams + entry points")
     p.add_argument("--verify", action="store_true",
                    help="decode the produced stream and verify recon match")
     return p.parse_args(argv)
@@ -73,6 +77,8 @@ def encoder_config_from(cfg, args) -> "EncoderConfig":
         lfnst=bool(cfg.lfnst), mts=bool(cfg.mts),
         mts_implicit=bool(cfg.mts_implicit), mip=bool(cfg.mip),
         mrl=bool(cfg.mrl), cclm=bool(cfg.lm_chroma), tmvp=bool(cfg.tmvp),
+        wpp=bool(cfg.wpp),
+        max_parallel_frames=cfg.max_parallel_frames,
         bdof=bool(cfg.bdof), dmvr=bool(cfg.dmvr),
         jccr=bool(cfg.joint_cbcr), isp=bool(cfg.isp), mmvd=bool(cfg.mmvd),
         smvd=bool(cfg.smvd), bcw=bool(cfg.bcw), ciip=bool(cfg.ciip),
@@ -103,6 +109,10 @@ def main(argv=None):
     init_preset(cfg, Preset[args.preset.upper()])
     if args.qpa is not None:
         cfg.perceptual_qpa = args.qpa
+    if args.wpp:
+        cfg.wpp = 1
+    if args.threads:
+        cfg.max_parallel_frames = args.threads
     from .config.config import set_param
     for kv in args.set:
         k, _, v = kv.partition("=")

@@ -1007,6 +1007,13 @@ def write_slice_header(bw: BitWriter, sh: SliceHeader, sps: SPS, pps: PPS,
         bw.write_flag(sh.ts_residual_coding_disabled)
     if pps.slice_header_extension:
         bw.write_uvlc(0)
+    if sps.entry_points_present and sh.entry_point_offsets:
+        # WPP: one substream per CTU row (H.266 7.3.7.1)
+        max_off = max(sh.entry_point_offsets)
+        off_len = max(1, (max_off - 1).bit_length())
+        bw.write_uvlc(off_len - 1)
+        for off in sh.entry_point_offsets:
+            bw.write(off - 1, off_len)
     # NB: byte_alignment() before slice data is done by the caller
 
 
@@ -1125,9 +1132,12 @@ def parse_slice_header(br: BitReader, sps: SPS, pps: PPS, is_idr: bool) -> Slice
     # entry point offsets: with a single tile and no WPP there are none
     # (H.266 7.3.7.1 sh_entry_offset_len_minus1 only if NumEntryPoints > 0)
     if sps.entry_points_present:
-        num_entry_points = 0  # single-slice, no tiles, no wavefront sync
-        if sps.entropy_coding_sync or not pps.no_pic_partition:
-            raise NotImplementedError("entry point counting for tiles/WPP")
+        num_entry_points = 0  # single slice covering the picture
+        if not pps.no_pic_partition:
+            raise NotImplementedError("entry point counting for tiles")
+        if sps.entropy_coding_sync:
+            n_rows = (sps.max_height + sps.ctu_size - 1) // sps.ctu_size
+            num_entry_points = n_rows - 1
         if num_entry_points > 0:
             offset_len = br.read_uvlc() + 1
             sh.entry_point_offsets = [br.read(offset_len) + 1

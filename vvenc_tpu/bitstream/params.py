@@ -293,6 +293,7 @@ class SliceHeader:
     num_alf_aps: int = 0
     luma_aps_ids: List[int] = field(default_factory=list)
     chroma_aps_id: int = 0
+    entry_point_offsets: List[int] = field(default_factory=list)
     cc_alf_enabled: List[int] = field(default_factory=lambda: [0, 0])
     cc_alf_aps_ids: List[int] = field(default_factory=lambda: [0, 0])
 

@@ -92,6 +92,7 @@ class VvencTpuConfig:
     max_parallel_frames: int = 0
     num_parallel_gops: int = 0
     threads: int = 0
+    wpp: int = 0                     # entropy_coding_sync + entry points
     # -- misc --------------------------------------------------------------
     num_full_rd_modes: int = 3
 

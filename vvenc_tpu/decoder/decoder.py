@@ -128,15 +128,30 @@ def _decode_slice(rbsp: bytes, nal_type, sps_map, pps_map, aps_map,
                         cur_poc=cur_poc)
     coder.attach_motion(ps)
 
-    dec = CabacDecoder(br)
     init_id = 2 if sh.slice_type == SLICE_I else sh.slice_type
     if pps.cabac_init_present and sh.cabac_init_flag and init_id != 2:
         init_id = 1 - init_id  # swap B <-> P tables
-    dec.init_ctx(sh.slice_qp, init_id)
 
     ctu = sps.ctu_size
     w_ctus = (pps.pic_width + ctu - 1) // ctu
     h_ctus = (pps.pic_height + ctu - 1) // ctu
+
+    wpp = bool(sps.entropy_coding_sync)
+    if wpp:
+        # split the slice data into per-CTU-row substreams (entry points)
+        data = rbsp[br.pos_bits // 8:]
+        starts = [0]
+        for off in sh.entry_point_offsets:
+            starts.append(starts[-1] + off)
+        subs = [data[starts[i]:(starts[i + 1] if i + 1 < len(starts)
+                                else len(data))]
+                for i in range(len(starts))]
+        assert len(subs) == h_ctus, (len(subs), h_ctus)
+        dec = CabacDecoder(BitReader(subs[0]))
+        dec.init_ctx(sh.slice_qp, init_id)
+    else:
+        dec = CabacDecoder(br)
+        dec.init_ctx(sh.slice_qp, init_id)
     sao_on = bool(sps.sao_enabled and (sh.sao_luma or sh.sao_chroma))
     sao_map = [None] * (w_ctus * h_ctus)
     n_ctus = w_ctus * h_ctus
@@ -152,7 +167,16 @@ def _decode_slice(rbsp: bytes, nal_type, sps_map, pps_map, aps_map,
         cc_counts = [aps_map[sh.cc_alf_aps_ids[i]].cc_filter_count[i]
                      if sh.cc_alf_enabled[i] else 0 for i in range(2)]
     trees = []
+    sync_ctx = None
+    from ..bitstream.cabac import CtxModels
     for cy in range(h_ctus):
+        if wpp and cy > 0:
+            # close the previous substream, open the next with the ctx
+            # state synced from after the first CTU of the row above
+            assert dec.decode_bin_trm() == 1, "end_of_subset bin"
+            dec = CabacDecoder(BitReader(subs[cy]),
+                               ctx=CtxModels(sync_ctx))
+            dec.start()
         coder.new_ctu_row()
         for cx in range(w_ctus):
             if sao_on:
@@ -166,6 +190,8 @@ def _decode_slice(rbsp: bytes, nal_type, sps_map, pps_map, aps_map,
                              alf_flags, alf_fidx, alf_alt,
                              sh.cc_alf_enabled, cc_counts, cc_ctrl)
             trees.append(coder.decode_ctu(dec, ps, cx * ctu, cy * ctu))
+            if wpp and cx == 0:
+                sync_ctx = CtxModels(dec.ctx)
     term = dec.decode_bin_trm()
     assert term == 1, "expected end_of_slice terminating bin"
 

@@ -95,6 +95,9 @@ class EncoderConfig:
     alf: bool = False              # adaptive loop filter (encoder-derived)
     ccalf: bool = False            # cross-component ALF (needs alf)
     mctf: bool = False             # motion-compensated temporal filtering
+    wpp: bool = False              # WPP: per-CTU-row substreams + entry
+                                   # points (entropy_coding_sync)
+    max_parallel_frames: int = 0   # frame-parallel all-intra encode
     picture_hash: int = 0          # decoded-picture-hash SEI: 0 off,
                                    # 1 MD5, 2 CRC, 3 checksum
     hrd_timing_sei: bool = False   # buffering-period + pic-timing SEIs
@@ -151,6 +154,9 @@ def build_parameter_sets(cfg: EncoderConfig):
     sps.ccalf_enabled = 1 if (cfg.ccalf and cfg.alf) else 0
     sps.sao_enabled = 1 if cfg.sao else 0
     sps.temporal_mvp = 1 if cfg.tmvp else 0
+    if cfg.wpp:
+        sps.entropy_coding_sync = 1
+        sps.entry_points_present = 1
     if cfg.bdof:
         sps.bdof = sps.bdof_present = 1
     if cfg.dmvr:
@@ -174,6 +180,47 @@ def build_parameter_sets(cfg: EncoderConfig):
         pps.cu_qp_delta_enabled = 1
         pps.slice_chroma_qp_flag = 1
     return sps, pps
+
+
+class _SliceWriter:
+    """Slice-data writer with optional WPP substreams.
+
+    Non-WPP: one CABAC stream.  WPP (entropy_coding_sync): one byte-aligned
+    substream per CTU row, contexts synced from after the first CTU of the
+    row above (H.266 9.3.1 storage/synchronization process); finish()
+    returns (payload, entry_point_offsets)."""
+
+    def __init__(self, slice_qp: int, init_id: int, wpp: bool):
+        self.wpp = wpp
+        self.subs = []
+        self.bw = BitWriter()
+        self.enc = CabacEncoder(self.bw)
+        self.enc.init_ctx(slice_qp, init_id)
+        self.sync_ctx = None
+
+    def new_row(self, row: int) -> None:
+        if not self.wpp or row == 0:
+            return
+        # end_of_subset_one_bit + flush + byte alignment, then a fresh
+        # arithmetic engine seeded with the synced contexts
+        self.enc.encode_bin_trm(1)
+        self.enc.finish()
+        self.bw.write_rbsp_trailing_bits()
+        self.subs.append(self.bw.get_bytes())
+        self.bw = BitWriter()
+        self.enc = CabacEncoder(self.bw, ctx=CtxModels(self.sync_ctx))
+
+    def after_first_ctu(self) -> None:
+        if self.wpp:
+            self.sync_ctx = CtxModels(self.enc.ctx)
+
+    def finish(self):
+        self.enc.encode_bin_trm(1)
+        self.enc.finish()
+        self.bw.write_rbsp_trailing_bits()
+        self.subs.append(self.bw.get_bytes())
+        payload = b"".join(self.subs)
+        return payload, [len(s) for s in self.subs[:-1]]
 
 
 def lambda_for_qp(qp: int, bit_depth: int) -> float:
@@ -285,6 +332,10 @@ class IntraEncoder:
             frames = apply_mctf(frames, cfg.gop_size, cfg.qp,
                                 cfg.input_bit_depth)
         if cfg.gop_size <= 1 or cfg.intra_period == 1:
+            if (cfg.max_parallel_frames > 1 and cfg.intra_period == 1
+                    and cfg.bitrate == 0 and not cfg.rc_stats_out
+                    and len(frames) > 1):
+                return self._encode_all_intra_parallel(frames)
             for f in frames:
                 stream += self.encode_frame(f)
                 self.recs_by_poc[self.frames_done - 1] = dict(self.last_rec.rec)
@@ -319,6 +370,38 @@ class IntraEncoder:
             self.recs_by_poc[poc] = dict(self.last_rec.rec)
         if self.rc is not None and self.cfg.rc_stats_out:
             self.rc.write_stats(self.cfg.rc_stats_out)
+        return bytes(stream)
+
+    def _encode_all_intra_parallel(self, frames) -> bytes:
+        """Frame-parallel all-intra encode (vvenc maxParallelFrames
+        analog): every picture is independent, so a process pool encodes
+        them concurrently; the output is BYTE-IDENTICAL to the sequential
+        encode (the determinism contract the reference pins with its
+        threaded-vs-serial bitstream-compare tests)."""
+        from concurrent.futures import ProcessPoolExecutor
+        cfg = self.cfg
+        shift = cfg.bit_depth - cfg.input_bit_depth
+        jobs = []
+        for poc in range(len(frames)):
+            prev = frames[poc - 1] if cfg.qpa and poc >= 1 else None
+            prev2 = frames[poc - 2] if cfg.qpa and poc >= 2 else None
+            jobs.append((cfg, poc, frames[poc], prev, prev2,
+                         getattr(self, "_fgc_sei", None)))
+        stream = bytearray()
+        with ProcessPoolExecutor(max_workers=cfg.max_parallel_frames) as ex:
+            for poc, (au, rec, bits, qp) in enumerate(
+                    ex.map(_encode_intra_frame_job, jobs)):
+                stream += au
+                self.recs_by_poc[poc] = rec
+                self.bits_by_poc[poc] = bits
+                self.slice_type_by_poc[poc] = SLICE_I
+                self.qp_by_poc[poc] = qp
+                self.frames_done = poc + 1
+        # expose the final picture like the sequential path does
+        last = PictureState(cfg.width, cfg.height, cfg.bit_depth)
+        for c in range(3):
+            last.rec[c][:] = self.recs_by_poc[len(frames) - 1][c]
+        self.last_rec = last
         return bytes(stream)
 
     def _encode_picture(self, poc, planes8, slice_type, refs_l0, refs_l1,
@@ -408,18 +491,16 @@ class IntraEncoder:
         coder.attach_motion(ps)
         searcher = _CtuSearcher(self, ps, qp_state, src, coder)
 
-        bw = BitWriter()
-        hls.write_slice_header(bw, sh, self.sps, self.pps, is_idr=is_idr)
-        bw.write_byte_alignment()
-        enc = CabacEncoder(bw)
-        # context init id: I=2, P=1, B=0 (must match the decoder's mapping)
-        enc.init_ctx(slice_qp, 2 if is_idr else sh.slice_type)
-
+        # slice data is written first (WPP needs the per-row substream
+        # sizes to write the entry points in the header)
+        init_id = 2 if is_idr else sh.slice_type
+        sw = _SliceWriter(slice_qp, init_id, bool(cfg.wpp))
         ctu = cfg.ctu_size
         n_cols = (cfg.width + ctu - 1) // ctu
         n_rows = (cfg.height + ctu - 1) // ctu
         trees = []
         for cy in range(n_rows):
+            sw.new_row(cy)
             coder.new_ctu_row()
             for cx in range(n_cols):
                 if qpa_res is not None:
@@ -430,18 +511,22 @@ class IntraEncoder:
                         float(qpa_res.ctu_lambdas[addr])
                     searcher.lmbda_sad = self.lmbda_sad = \
                         searcher.lmbda ** 0.5
-                tree = searcher.search_ctu(cx * ctu, cy * ctu, enc.ctx)
+                tree = searcher.search_ctu(cx * ctu, cy * ctu, sw.enc.ctx)
                 if qpa_res is not None:
                     _set_tree_qp(tree, ctu_qp)
-                coder.encode_ctu(enc, ps, tree)
+                coder.encode_ctu(sw.enc, ps, tree)
+                if cx == 0:
+                    sw.after_first_ctu()
                 trees.append(tree)
         # end_of_slice: terminating bin + arithmetic flush + rbsp trailing
         # bits.  The stop '1' bit completes the terminator code interval
         # (the flush drops the low byte; '1000...' padding lands the decoded
         # point inside [low, low+256) — vvenc writeByteAlignment semantics).
-        enc.encode_bin_trm(1)
-        enc.finish()
-        bw.write_rbsp_trailing_bits()
+        payload, sh.entry_point_offsets = sw.finish()
+        bw = BitWriter()
+        hls.write_slice_header(bw, sh, self.sps, self.pps, is_idr=is_idr)
+        bw.write_byte_alignment()
+        bw.append_bytes(payload)
 
         if cfg.dmvr:
             # refined MVs land in the stored motion field (TMVP source),
@@ -533,33 +618,36 @@ class IntraEncoder:
             coder2 = SyntaxCoder(self.sps, self.pps, sh, qp2,
                                  ref_pics, ref_pocs, tmvp=tmvp, cur_poc=poc)
             coder2.attach_motion(ps2)
-            bw = BitWriter()
-            hls.write_slice_header(bw, sh, self.sps, self.pps,
-                                   is_idr=is_idr)
-            bw.write_byte_alignment()
-            enc = CabacEncoder(bw)
-            enc.init_ctx(slice_qp, 2 if is_idr else sh.slice_type)
+            sw = _SliceWriter(slice_qp, 2 if is_idr else sh.slice_type,
+                              bool(cfg.wpp))
             ti = 0
             for cy in range(n_rows):
+                sw.new_row(cy)
                 coder2.new_ctu_row()
                 for cx in range(n_cols):
                     addr = cy * n_cols + cx
                     if qpa_res is not None:
                         qp2.set_cu_qp(int(qpa_res.ctu_qps[addr]))
                     if sao_map is not None:
-                        write_sao_ctu(enc, sao_map[addr], sao_map, cx, cy,
-                                      n_cols, (sh.sao_luma, sh.sao_chroma),
+                        write_sao_ctu(sw.enc, sao_map[addr], sao_map, cx,
+                                      cy, n_cols,
+                                      (sh.sao_luma, sh.sao_chroma),
                                       cfg.bit_depth)
                     if alf_info is not None:
-                        code_alf_ctu(enc, True, addr, n_cols,
+                        code_alf_ctu(sw.enc, True, addr, n_cols,
                                      sh.alf_enabled, sh.num_alf_aps, 1,
                                      alf_info[0], alf_info[1], alf_info[2],
                                      sh.cc_alf_enabled, cc_counts, cc_ctrl)
-                    coder2.encode_ctu(enc, ps2, trees[ti])
+                    coder2.encode_ctu(sw.enc, ps2, trees[ti])
+                    if cx == 0:
+                        sw.after_first_ctu()
                     ti += 1
-            enc.encode_bin_trm(1)
-            enc.finish()
-            bw.write_rbsp_trailing_bits()
+            payload, sh.entry_point_offsets = sw.finish()
+            bw = BitWriter()
+            hls.write_slice_header(bw, sh, self.sps, self.pps,
+                                   is_idr=is_idr)
+            bw.write_byte_alignment()
+            bw.append_bytes(payload)
         if alf_info is not None:
             # apply ALF + CC-ALF exactly as the decoder will
             from ..codec.alf import apply_alf_picture
@@ -1772,3 +1860,24 @@ class _CtuSearcher:
                            self.cfg.bit_depth, True)
         bits = ((abs(mv[0] - mvp[0]) + abs(mv[1] - mvp[1])) >> 2) * 1.5 + 2
         return R.sse_np(src_y, pred) + self.lmbda * bits
+
+
+def _encode_intra_frame_job(args):
+    """Process-pool worker: encode one all-intra picture standalone.
+
+    Reproduces exactly what the sequential encoder would emit for this
+    POC (headers only on POC 0, IDR_W_RADL after, QPA fed with the same
+    neighbouring originals)."""
+    cfg, poc, frame, prev, prev2, fgc = args
+    enc = IntraEncoder(cfg)
+    enc._fgc_sei = fgc
+    enc.frames_done = poc
+    shift = cfg.bit_depth - cfg.input_bit_depth
+    if prev is not None:
+        enc._orig_by_poc[poc - 1] = {c: prev[c].astype(np.int32) << shift
+                                     for c in range(3)}
+    if prev2 is not None:
+        enc._orig_by_poc[poc - 2] = {c: prev2[c].astype(np.int32) << shift
+                                     for c in range(3)}
+    au = enc.encode_frame(frame)
+    return au, dict(enc.last_rec.rec), len(au) * 8, enc.qp_by_poc[poc]
