@@ -33,20 +33,32 @@ def main():
 
     src, rm, tops, lefts = _example_inputs(batch=batch, w=w, h=h, seed=3)
 
+    import jax.numpy as jnp
+    iters = 10  # on-device scan length (amortizes the tunnel dispatch)
+
     @jax.jit
-    def step(src, rm, tops, lefts):
-        return search_step(src, rm, tops, lefts, w=w, h=h, qp=46)
+    def loop(src, rm, tops, lefts):
+        def body(carry, _):
+            out = search_step(src + carry, rm, tops, lefts, w=w, h=h,
+                              qp=46)
+            # fold the result back so iterations cannot be elided
+            return ((out[0].astype(src.dtype).sum() % 7)
+                    .astype(src.dtype), out[0].sum())
+        return jax.lax.scan(body, jnp.zeros((), src.dtype), None,
+                            length=iters)[1]
 
     # warmup / compile
-    out = step(src, rm, tops, lefts)
-    jax.block_until_ready(out)
+    jax.block_until_ready(loop(src, rm, tops, lefts))
 
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(src, rm, tops, lefts)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    # the shared chip throttles unpredictably: report the median of
+    # several repetitions
+    times = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        jax.block_until_ready(loop(src, rm, tops, lefts))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    dt = times[len(times) // 2]
 
     blocks_per_s = batch * iters / dt
     frames_per_s = blocks_per_s / blocks_per_1080p_luma
