@@ -526,3 +526,42 @@ def test_frame_parallel_bit_identical():
         for c in range(3):
             assert np.array_equal(seq.recs_by_poc[p][c],
                                   par.recs_by_poc[p][c])
+
+
+def test_ibc_encoder_roundtrip():
+    """IBC: BV search over the causal window (merge + AMVP trials through
+    the real writer incl. the pred-mode/skip IBC syntax); massive win on
+    repeating screen content, bit-exact decode."""
+    import numpy as np
+    import vvenc_tpu.codec.ctu_syntax as cs
+    from vvenc_tpu.encoder import IntraEncoder, EncoderConfig
+    from vvenc_tpu.decoder import decode_stream
+    w, h = 96, 64
+    y = np.full((h, w), 235, np.uint8)
+    for r in range(4, h - 4, 8):
+        for c in range(4, w - 4, 6):
+            if (r // 8 + c // 6) % 3:
+                y[r:r + 5, c:c + 3] = 16
+    u = np.full((h // 2, w // 2), 128, np.uint8)
+    v = u.copy()
+    decoded_ibc = [0]
+    orig = cs.SyntaxCoder._dec_ibc_merge
+
+    def patched(self, dec, ps, cu):
+        decoded_ibc[0] += 1
+        return orig(self, dec, ps, cu)
+    cs.SyntaxCoder._dec_ibc_merge = patched
+    try:
+        base = IntraEncoder(EncoderConfig(width=w, height=h, qp=32))
+        au0 = base.encode_frame((y, u, v))
+        enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=32,
+                                         ibc=True, transform_skip=True,
+                                         bdpcm=True))
+        au = enc.encode_frame((y, u, v))
+        dec = decode_stream(au)[0]
+    finally:
+        cs.SyntaxCoder._dec_ibc_merge = orig
+    for c in range(3):
+        assert np.array_equal(dec.planes[c], enc.last_rec.rec[c])
+    assert decoded_ibc[0] > 5, "IBC never engaged"
+    assert len(au) < len(au0) // 2

@@ -84,6 +84,7 @@ def encoder_config_from(cfg, args) -> "EncoderConfig":
         smvd=bool(cfg.smvd), bcw=bool(cfg.bcw), ciip=bool(cfg.ciip),
         amvr=bool(cfg.amvr), geo=bool(cfg.geo), sbt=bool(cfg.sbt),
         transform_skip=cfg.transform_skip == 1, bdpcm=cfg.bdpcm == 1,
+        ibc=cfg.ibc == 1,
         sbtmvp=bool(cfg.sbtmvp), affine=bool(cfg.affine),
         prof=bool(cfg.prof),
         scc_auto=cfg.transform_skip == 2,

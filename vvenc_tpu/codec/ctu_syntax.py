@@ -1390,22 +1390,51 @@ class SyntaxCoder:
         mt = node.part.mode_type
         cu.luma_only = node.part.tree_type == TREE_L
         is_4x4 = w == 4 and h == 4
-        if not self.is_intra_slice and mt != MODE_INTRA and not is_4x4:
+        # mirror of _dec_tree's cu_skip_flag / pred_mode / IBC structure
+        intra_like = self.is_intra_slice or mt == MODE_INTRA
+        ibc_sz = self.ibc_en and w < 128 and h < 128
+        if intra_like:
+            if ibc_sz:
+                ctx_skip = self._skip_ctx(ps, cu.x, cu.y)
+                enc.encode_bin(1 if cu.skip else 0,
+                               ct.CTX_SETS["SkipFlag"](ctx_skip))
+                if cu.skip:
+                    assert cu.is_ibc
+                    self._enc_ibc_merge_idx(enc, cu.merge_idx)
+                    self._finish_cu(ps, cu, node)
+                    return
+        elif not is_4x4 or self.ibc_en:
             ctx_skip = self._skip_ctx(ps, cu.x, cu.y)
             enc.encode_bin(1 if cu.skip else 0,
                            ct.CTX_SETS["SkipFlag"](ctx_skip))
             if cu.skip:
-                self._enc_merge_data(enc, ps, cu)
+                if self.ibc_en and mt != MODE_INTER and not is_4x4 \
+                        and ibc_sz:
+                    enc.encode_bin(1 if cu.is_ibc else 0,
+                                   ct.CTX_SETS["IBCFlag"](
+                                       self._ibc_ctx(ps, cu.x, cu.y)))
+                if cu.is_ibc:
+                    self._enc_ibc_merge_idx(enc, cu.merge_idx)
+                else:
+                    self._enc_merge_data(enc, ps, cu)
                 self._finish_cu(ps, cu, node)
                 return
-        if self.is_intra_slice or mt == MODE_INTRA or is_4x4:
-            assert not cu.is_inter
+        if intra_like or is_4x4:
+            if ibc_sz and mt != MODE_INTER:
+                enc.encode_bin(1 if cu.is_ibc else 0,
+                               ct.CTX_SETS["IBCFlag"](
+                                   self._ibc_ctx(ps, cu.x, cu.y)))
+            assert cu.is_ibc or not cu.is_inter
         elif mt == MODE_INTER:
             assert cu.is_inter
         else:
             ctx_pm = self._pred_mode_ctx(ps, cu.x, cu.y)
             enc.encode_bin(0 if cu.is_inter else 1,
                            ct.CTX_SETS["PredMode"](ctx_pm))
+            if cu.is_inter and ibc_sz:
+                enc.encode_bin(1 if cu.is_ibc else 0,
+                               ct.CTX_SETS["IBCFlag"](
+                                   self._ibc_ctx(ps, cu.x, cu.y)))
         if not cu.is_inter:
             self._code_bdpcm_modes(enc, cu, encode=True, chroma=False)
             if not cu.bdpcm_y:
@@ -1416,8 +1445,18 @@ class SyntaxCoder:
                     self._enc_intra_chroma_mode(enc, cu)
         else:
             enc.encode_bin(1 if cu.merge else 0, ct.CTX_SETS["MergeFlag"](0))
-            if cu.merge:
+            if cu.merge and cu.is_ibc:
+                self._enc_ibc_merge_idx(enc, cu.merge_idx)
+            elif cu.merge:
                 self._enc_merge_data(enc, ps, cu)
+            elif cu.is_ibc:
+                # IBC AMVP: BVD + mvp_flag + IBC AMVR
+                self._enc_mvd(enc, cu.mvd)
+                if self.max_ibc_merge > 1:
+                    enc.encode_bin(cu.mvp_idx, ct.CTX_SETS["MVPIdx"](0))
+                if self.amvr and cu.mvd != (0, 0):
+                    enc.encode_bin(1 if cu.imv == 2 else 0,
+                                   ct.CTX_SETS["ImvFlag"](1))
             else:
                 inter_dir = (1 if cu.ref_idx[0] >= 0 else 0) | \
                             (2 if cu.ref_idx[1] >= 0 else 0)

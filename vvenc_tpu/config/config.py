@@ -147,7 +147,7 @@ _IMPLEMENTED = {"mctf": 2, "bim": 0, "alf": 1, "ccalf": 1, "sao": 1,
                 "mrl": 1, "lm_chroma": 1, "joint_cbcr": 1, "affine": 5,
                 "dmvr": 1, "bdof": 1, "mmvd": 3, "smvd": 3, "geo": 4,
                 "ciip": 1, "sbt": 1, "bcw": 2, "sbtmvp": 1, "amvr": 5,
-                "prof": 1, "transform_skip": 2, "bdpcm": 2, "ibc": 0,
+                "prof": 1, "transform_skip": 2, "bdpcm": 2, "ibc": 2,
                 "tmvp": 1}
 
 
@@ -165,6 +165,7 @@ def init_preset(cfg: VvencTpuConfig, preset: Preset,
     cfg.tmvp = 1
     cfg.transform_skip = 2
     cfg.bdpcm = 2
+    cfg.ibc = 2
     for k, v in _PRESET_MATRIX[preset].items():
         setattr(cfg, k, v)
     if clamp_to_implemented:

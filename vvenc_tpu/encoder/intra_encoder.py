@@ -85,6 +85,7 @@ class EncoderConfig:
     isp: bool = False              # intra sub-partitions
     transform_skip: bool = False   # transform skip (SCC)
     bdpcm: bool = False            # block DPCM (SCC)
+    ibc: bool = False              # intra block copy (SCC)
     scc_auto: bool = False         # auto-enable SCC tools on detection
     mip: bool = False              # matrix intra prediction
     mrl: bool = False              # multi-reference-line intra
@@ -142,6 +143,7 @@ def build_parameter_sets(cfg: EncoderConfig):
     if cfg.transform_skip:
         sps.log2_max_ts_size = 5  # allow TS up to 32x32
     sps.bdpcm = 1 if (cfg.bdpcm and cfg.transform_skip) else 0
+    sps.ibc = 1 if cfg.ibc else 0
     sps.internal_minus_input_bit_depth = cfg.bit_depth - cfg.input_bit_depth
     sps.mrl = 1 if cfg.mrl else 0
     sps.lfnst = 1 if cfg.lfnst else 0
@@ -312,6 +314,7 @@ class IntraEncoder:
             # PreProcess screen-content decision
             cfg.transform_skip = True
             cfg.bdpcm = True
+            cfg.ibc = True
             self.sps, self.pps = build_parameter_sets(cfg)
             self._headers = None
         if cfg.intra_period != 1 and cfg.gop_size <= 1:
@@ -751,8 +754,9 @@ class _CtuSearcher:
         coder = self.coder
         mf_snap = coder.mf.save_region(x, y, size) if coder.mf else None
         hm_snap = list(coder.hmvp.lut)
+        hm_ibc_snap = list(coder.hmvp_ibc.lut)
         return (self.ps.save_region(x, y, size), self.est.snapshot(),
-                mf_snap, hm_snap)
+                mf_snap, hm_snap, hm_ibc_snap)
 
     def _restore(self, snap):
         self.ps.restore_region(snap[0])
@@ -760,6 +764,7 @@ class _CtuSearcher:
         if snap[2] is not None:
             self.coder.mf.restore_region(snap[2])
         self.coder.hmvp.lut = list(snap[3])
+        self.coder.hmvp_ibc.lut = list(snap[4])
 
     def _q(self, tcoef, qp, is_luma, cbf_ctx=None, intra_slice=True):
         """Quantize one TU: trellis (dependent) quantization when enabled
@@ -1107,6 +1112,17 @@ class _CtuSearcher:
                              ps.rec[comp][cy2:cy2 + chh, cx:cx + cw])
         total_cost = dist + self.lmbda * total_bits
 
+        # IBC competition (SCC tool: block copy from the coded area of the
+        # current picture; trials evaluated through the real writer)
+        if self.coder.ibc_en and w < 128 and h < 128 \
+                and self.coder.is_intra_slice:
+            cur_state = self._save(x, y, max(w, h))
+            ibc_cu, ibc_cost = self._rd_ibc(x, y, w, h, part, entry_snap)
+            if ibc_cu is not None and ibc_cost < total_cost:
+                cu, total_cost = ibc_cu, ibc_cost
+            else:
+                self._restore(cur_state)
+
         # BDPCM competition (SCC tool: DPCM-coded transform-skip residual
         # on a pure horizontal/vertical fill prediction)
         if self.coder.bdpcm_en and self.coder.is_intra_slice \
@@ -1132,6 +1148,117 @@ class _CtuSearcher:
             else:
                 self._restore(best_state)
         return cu, total_cost
+
+    def _rd_ibc(self, x, y, w, h, part, entry_snap):
+        """IBC trial: BV candidates from the IBC merge list + a causal-area
+        scanline search (current + left CTU, vvenc's reference window);
+        skip / merge / AMVP variants evaluated through the real writer.
+        Leaves the winner staged; returns (cu, cost) or (None, inf)."""
+        from ..codec.motion import (get_ibc_merge_candidates,
+                                    get_ibc_amvp_candidates)
+        coder, ps, cfg = self.coder, self.ps, self.cfg
+        ctu = cfg.ctu_size
+        src_y = self.src[0][y:y + h, x:x + w]
+
+        def bv_valid(bx, by):
+            tx, ty = x + bx, y + by
+            if tx < 0 or ty < 0 or tx + w > ps.w or ty + h > ps.h:
+                return False
+            if ty + h > y and tx + w > x and ty < y + h and tx < x + w:
+                return False  # overlaps the current block
+            # reference window: current + left CTU, same CTU row
+            if ty < (y // ctu) * ctu or ty + h > min(ps.h,
+                                                     (y // ctu + 1) * ctu):
+                return False
+            if tx < max(0, (x // ctu - 1) * ctu):
+                return False
+            # fully reconstructed
+            m = ps.coded_luma[ty >> 2:(ty + h) >> 2, tx >> 2:(tx + w) >> 2]
+            return bool(m.all())
+
+        merge_cands = get_ibc_merge_candidates(ps, coder.mf,
+                                               coder.hmvp_ibc, x, y, w, h,
+                                               coder.max_ibc_merge)
+        cand = []
+        for i, bv in enumerate(merge_cands):
+            if bv is None:
+                continue
+            bx, by = bv[0] >> 4, bv[1] >> 4
+            if (bx or by) and bv_valid(bx, by):
+                cand.append((bx, by, i))
+        # scanline search left / above (integer pel)
+        for bx in range(-w, -min(2 * ctu, x + w) - 1, -4):
+            if bv_valid(bx, 0):
+                cand.append((bx, 0, -1))
+        for by in range(-h, -min(ctu, y + h) - 1, -4):
+            if bv_valid(0, by):
+                cand.append((0, by, -1))
+        if not cand:
+            return None, float("inf")
+        best_bv = min(cand, key=lambda c: R.sse_np(
+            src_y, ps.rec[0][y + c[1]:y + c[1] + h,
+                             x + c[0]:x + c[0] + w]))
+
+        trials = []
+        bx, by, midx = best_bv
+        if midx >= 0:
+            # skip + merge trials reuse the candidate list index
+            trials.append(CuData(x, y, w, h, is_inter=True, is_ibc=True,
+                                 skip=True, merge=True, merge_idx=midx,
+                                 mv=((bx << 4, by << 4), (0, 0)),
+                                 ref_idx=(-1, -1), root_cbf=False))
+        # AMVP trial: BVD against the IBC AMVP list
+        imv = 1 if coder.amvr else 0
+        amvp = get_ibc_amvp_candidates(ps, coder.mf, coder.hmvp_ibc,
+                                       x, y, w, h, imv)
+        sh = 4
+        mvp_idx = 0
+        mvd = ((bx << 4) - amvp[0][0] >> sh, (by << 4) - amvp[0][1] >> sh)
+        mv0 = (amvp[0][0] + (mvd[0] << sh), amvp[0][1] + (mvd[1] << sh))
+        if mvd != (0, 0) and bv_valid(mv0[0] >> 4, mv0[1] >> 4):
+            cu = CuData(x, y, w, h, is_inter=True, is_ibc=True,
+                        merge=False, mv=(mv0, (0, 0)), ref_idx=(-1, -1),
+                        mvd=mvd, mvp_idx=mvp_idx,
+                        imv=imv if coder.amvr else 0)
+            # residual against the block-copy prediction
+            pred = ps.rec[0][y + (mv0[1] >> 4):y + (mv0[1] >> 4) + h,
+                             x + (mv0[0] >> 4):x + (mv0[0] >> 4) + w]
+            qy = self.qp.luma_qp()
+            coeff = self._q(T.fwd_transform_np(src_y - pred,
+                                               cfg.bit_depth), qy, True,
+                            None, intra_slice=False)
+            cu.coeff_y = coeff if np.any(coeff) else None
+            cu.root_cbf = cu.coeff_y is not None
+            trials.append(cu)
+        if not trials:
+            return None, float("inf")
+
+        best = (None, float("inf"))
+        best_state = None
+        node = TreeNode(x, y, max(w, h), part.qt_depth, w=w, h=h,
+                        part=part)
+        for cu in trials:
+            self._restore(entry_snap)
+            b0 = self.est.frac_bits
+            node.cu = cu
+            try:
+                coder._enc_cu(self.est, ps, node)
+            except AssertionError:
+                continue
+            bits = (self.est.frac_bits - b0) / (1 << 15)
+            dist = R.sse_np(src_y, ps.rec[0][y:y + h, x:x + w])
+            cx, cy2, cw, chh = x >> 1, y >> 1, w >> 1, h >> 1
+            for comp in (1, 2):
+                dist += R.sse_np(self.src[comp][cy2:cy2 + chh,
+                                                cx:cx + cw],
+                                 ps.rec[comp][cy2:cy2 + chh, cx:cx + cw])
+            cost = dist + self.lmbda * bits
+            if cost < best[1]:
+                best = (cu, cost)
+                best_state = self._save(x, y, max(w, h))
+        if best[0] is not None:
+            self._restore(best_state)
+        return best
 
     def _rd_bdpcm(self, x, y, w, h, part, entry_snap):
         """BDPCM trial (modes 1=horizontal, 2=vertical): TS-quantized

@@ -44,7 +44,7 @@ _SET_MAP = {
     "geo": "geo", "ciip": "ciip", "sbt": "sbt", "bcw": "bcw",
     "amvr": "amvr", "imv": "amvr", "tmvp": "tmvp",
     "transformskip": "transform_skip", "bdpcm": "bdpcm",
-    "mctf": "mctf",
+    "mctf": "mctf", "ibc": "ibc",
 }
 
 
