@@ -478,6 +478,25 @@ GOLDEN_HASHES = {
         "29802bdff52fd1f8c4ad26ca94aed36d",
         "1c5546bd82079e21a95108c93d58063e",
         "2917f688314e5d60d974bef702ca7510"],
+    # LMCS all-intra: LMCS APS parse, PH lmcs flags, mapped-domain intra
+    # coding, chroma residual scaling (VPDU-neighbor chromaAdj), inverse
+    # luma mapping before deblocking (lmcs_clip, q27)
+    "golden_ai_lmcs_416x240_qp27_f2.266": [
+        "34237b8f09b77fe2fda8f158f8b59fb6",
+        "8a2c31161c8737298db192a48258f821"],
+    # LMCS random access GOP16: forward-mapped inter luma prediction,
+    # mapped-domain residual add, inverse mapping before loop filters,
+    # chroma scaling in B slices
+    "golden_ra_lmcs_416x240_qp27_f9.266": [
+        "ad158e3c487c8c0c6771175908fd8b32",
+        "590ccda634cc1d9da5012882b184fa2d",
+        "2ccc1aa1ec9fc5b430dd437e27c2b7e3",
+        "c6bc7659d2921f0c61e211de3429ab93",
+        "e42439012ca2e2bea5bc40871debfd35",
+        "18237385cf33cd96b71ab54b134ba9c9",
+        "d402962422dcec4dbed4293ba743e3dc",
+        "3fa58bc37e2497f750735597eb3b6f2b",
+        "11782f3af5cc4f160eb41243fb973997"],
 }
 
 

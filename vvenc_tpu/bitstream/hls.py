@@ -765,7 +765,11 @@ def write_picture_header(bw: BitWriter, ph: PictureHeader, sps: SPS, pps: PPS,
     if sps.poc_msb_flag:
         raise NotImplementedError("poc msb")
     assert not (sps.alf_enabled and pps.alf_info_in_ph), "alf-in-ph unsupported"
-    assert not sps.lmcs_enabled, "lmcs unsupported"
+    if sps.lmcs_enabled:
+        bw.write_flag(ph.lmcs_enabled)
+        if ph.lmcs_enabled:
+            bw.write(ph.lmcs_aps_id, 2)
+            bw.write_flag(ph.chroma_residual_scale)  # ChromaArrayType != 0
     assert not sps.scaling_list_enabled
     if pps.output_flag_present and not ph.non_ref_pic:
         bw.write_flag(1)
@@ -868,7 +872,11 @@ def parse_picture_header(br: BitReader, sps: SPS, pps: PPS) -> PictureHeader:
         ph.recovery_poc_cnt = br.read_uvlc()
     assert not sps.poc_msb_flag
     assert not (sps.alf_enabled and pps.alf_info_in_ph)
-    assert not sps.lmcs_enabled
+    if sps.lmcs_enabled:
+        ph.lmcs_enabled = br.read_flag()
+        if ph.lmcs_enabled:
+            ph.lmcs_aps_id = br.read(2)
+            ph.chroma_residual_scale = br.read_flag()
     assert not sps.scaling_list_enabled
     if pps.output_flag_present and not ph.non_ref_pic:
         br.read_flag()
@@ -952,6 +960,8 @@ def write_slice_header(bw: BitWriter, sh: SliceHeader, sps: SPS, pps: PPS,
                 bw.write_flag(sh.cc_alf_enabled[1])
                 if sh.cc_alf_enabled[1]:
                     bw.write(sh.cc_alf_aps_ids[1], 3)
+    if ph.lmcs_enabled and not sh.picture_header_in_slice_header:
+        bw.write_flag(sh.lmcs_enabled)  # sh_lmcs_used_flag
     if not pps.rpl_info_in_ph and (not is_idr or sps.idr_rpl_present):
         _write_sh_rpls(bw, sh, sps, pps)
         rpl0_n = sh.rpls[0].num_refs if sh.rpl_idx[0] == -1 else \
@@ -1071,6 +1081,9 @@ def parse_slice_header(br: BitReader, sps: SPS, pps: PPS, is_idr: bool) -> Slice
                 sh.cc_alf_enabled[1] = br.read_flag()
                 if sh.cc_alf_enabled[1]:
                     sh.cc_alf_aps_ids[1] = br.read(3)
+    if ph.lmcs_enabled:
+        sh.lmcs_enabled = (br.read_flag()
+                           if not sh.picture_header_in_slice_header else 1)
     if not pps.rpl_info_in_ph and (not is_idr or sps.idr_rpl_present):
         _parse_sh_rpls(br, sh, sps, pps)
         rpl0_n = sh.rpls[0].num_refs

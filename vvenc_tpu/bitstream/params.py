@@ -249,6 +249,9 @@ class PictureHeader:
     # partition overrides / dqp subdiv omitted (not used round 1)
     cu_qp_delta_subdiv_intra: int = 0
     cu_qp_delta_subdiv_inter: int = 0
+    lmcs_enabled: int = 0
+    lmcs_aps_id: int = 0
+    chroma_residual_scale: int = 0
     enable_tmvp: int = 0
     pic_col_from_l0: int = 1
     col_ref_idx: int = 0
@@ -276,6 +279,7 @@ class SliceHeader:
     rpls: List[RefPicList] = field(default_factory=lambda: [RefPicList(), RefPicList()])
     num_ref_idx: List[int] = field(default_factory=lambda: [0, 0])
     cabac_init_flag: int = 0
+    lmcs_enabled: int = 0             # sh_lmcs_used_flag
     col_from_l0: int = 1
     col_ref_idx: int = 0
     slice_qp: int = 32

@@ -142,6 +142,9 @@ def read_aps(br):
     aps_type = br.read(3)
     aps_id = br.read(5)
     chroma_present = br.read_flag()
+    if aps_type == LMCS_APS:
+        from .lmcs import read_lmcs_payload
+        return aps_type, aps_id, read_lmcs_payload(br, chroma_present)
     if aps_type != ALF_APS:
         return aps_type, aps_id, None
     p = AlfParam()

@@ -637,7 +637,7 @@ class SyntaxCoder:
     """Encodes/decodes one slice's CTU stream.  Holds slice-level params."""
 
     def __init__(self, sps, pps, sh, qp_state: QpState, ref_pics=None,
-                 ref_pocs=None, tmvp=None, cur_poc=None):
+                 ref_pocs=None, tmvp=None, cur_poc=None, reshape=None):
         self.sps = sps
         self.pps = pps
         self.sh = sh
@@ -716,6 +716,19 @@ class SyntaxCoder:
         self.qg_subdiv = (getattr(sh.ph, "cu_qp_delta_subdiv_intra", 0)
                           if sh.slice_type == 2 else
                           getattr(sh.ph, "cu_qp_delta_subdiv_inter", 0))
+        # LMCS (Reshape): reshape is a codec.lmcs.ReshapeState or None.
+        # CTU flag semantics per the reference: inter-CU prediction mapping
+        # only in non-I slices (EncGOP::xInitLMCS, EncGOP.cpp:2347-2351);
+        # chroma scaling in I slices too (DecCu.cpp:161-167).
+        self.reshape = reshape
+        lmcs_used = reshape is not None and bool(
+            getattr(sh, "lmcs_enabled", 0))
+        self.lmcs_ctu_flag = lmcs_used and sh.slice_type != 2
+        self.lmcs_chroma_scale = (lmcs_used
+                                  and bool(getattr(sh.ph,
+                                                   "chroma_residual_scale", 0))
+                                  and (sh.slice_type == 2
+                                       or self.lmcs_ctu_flag))
         self.cur_qp = sh.slice_qp
         self.qg_start = False
         self.dqp_coded = True
@@ -2838,6 +2851,31 @@ def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
                    bdof: bool = False, coder=None) -> None:
     maxval = (1 << bit_depth) - 1
 
+    # LMCS: forward-map inter luma prediction into the mapped domain
+    # (DecCu.cpp:337 — gated off for CIIP [mapped pre-blend, :316] and IBC)
+    lmcs_fwd = (coder is not None and coder.lmcs_ctu_flag and cu.is_inter
+                and not cu.is_ibc)
+    _adj_cache = []
+
+    def _chroma_adj():
+        if not _adj_cache:
+            from .lmcs import chroma_adj_vpdu_nei
+            tx0, ty0 = cu.x, cu.y
+            if cu.sbt_idx:
+                r = sbt_tu_rect(cu)
+                tx0, ty0 = cu.x + r[0], cu.y + r[1]
+            _adj_cache.append(chroma_adj_vpdu_nei(
+                ps, coder.reshape, tx0, ty0,
+                int(ctu_size).bit_length() - 1))
+        return _adj_cache[0]
+
+    def _scale_chroma(resi, tw, th):
+        """Chroma residual scaling (DecCu.cpp:202-205; blocks > 4 samples)."""
+        if (coder is None or not coder.lmcs_chroma_scale or tw * th <= 4):
+            return resi
+        from .lmcs import scale_chroma_resi_inv
+        return scale_chroma_resi_inv(resi, _chroma_adj(), bit_depth)
+
     def _inter_pred(comp, x, y, w, h):
         if cu.is_ibc:
             # block copy from the unfiltered current reconstruction; the
@@ -2862,6 +2900,9 @@ def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
                                   comp, bit_depth, 2, cu.alt_hpel)
             if comp != 0 and (cu.w >> 1) <= 2:
                 return inter
+            if comp == 0 and coder is not None and coder.lmcs_ctu_flag:
+                # CIIP: map the inter part before blending (DecCu.cpp:316)
+                inter = coder.reshape.fwd_lut[inter]
             intra = predict_cu_component(ps, cu, comp, bit_depth, ctu_size)
             return ciip_blend(inter, intra, ciip_num_intra(ps, cu))
         return inter_predict(ref_pics, cu.mv, cu.ref_idx, x, y, w, h,
@@ -2886,6 +2927,8 @@ def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
             resi = T.inv_transform_np(d, bit_depth)
         rcb, rcr = _ict_derive(resi.astype(np.int64), cu.joint_cbcr,
                                jccr_sign)
+        rcb = _scale_chroma(rcb, rcb.shape[1], rcb.shape[0])
+        rcr = _scale_chroma(rcr, rcr.shape[1], rcr.shape[0])
         joint_resi = {1: rcb, 2: rcr}
     for comp, coeff in ((0, cu.coeff_y), (1, cu.coeff_cb), (2, cu.coeff_cr)):
         if comp not in comps:
@@ -2931,11 +2974,15 @@ def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
             pred = predict_cu_component(ps, cu, comp, bit_depth, ctu_size)
         ts_c = (cu.ts_y or cu.bdpcm_y) if comp == 0 else \
             ((cu.ts_cb if comp == 1 else cu.ts_cr) or cu.bdpcm_c)
+        if comp == 0 and lmcs_fwd and not cu.ciip:
+            pred = coder.reshape.fwd_lut[pred]
         if ts_c and coeff is not None and np.any(coeff):
             bd = cu.bdpcm_y if comp == 0 else cu.bdpcm_c
             cc = T.inv_res_dpcm(coeff, bd) if bd else coeff
             resi = T.dequant_ts_np(cc, q,
                                    coder.min_qp_ts if coder else 16)
+            if comp != 0:
+                resi = _scale_chroma(resi, resi.shape[1], resi.shape[0])
             ps.rec[comp][y:y + h, x:x + w] = \
                 np.clip(pred + resi, 0, maxval)
             continue
@@ -2964,6 +3011,8 @@ def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
                     lmode = lfnst_chroma_mode(cu)
                 d = inv_lfnst(d, w, h, lmode, cu.lfnst_idx)
             resi = T.inv_transform_np(d, bit_depth, trh, trv)
+            if comp != 0:
+                resi = _scale_chroma(resi, resi.shape[1], resi.shape[0])
             if cu.sbt_idx:
                 sc_ = 0 if comp == 0 else 1
                 full = np.zeros((h, w), resi.dtype)

@@ -40,6 +40,8 @@ class PictureState:
         self.is_mip = np.zeros((uh, uw), dtype=bool)
         self.cu_w = np.zeros((uh, uw), dtype=np.int32)
         self.cu_h = np.zeros((uh, uw), dtype=np.int32)
+        self.cu_x = np.zeros((uh, uw), dtype=np.int32)
+        self.cu_y = np.zeros((uh, uw), dtype=np.int32)
         self.qt_depth = np.zeros((uh, uw), dtype=np.int32)
         self.qp_map = np.zeros((uh, uw), dtype=np.int32)  # per-4x4 QpY
 
@@ -79,6 +81,8 @@ class PictureState:
         self.is_mip[uy0:uy1, ux0:ux1] = is_mip
         self.cu_w[uy0:uy1, ux0:ux1] = w
         self.cu_h[uy0:uy1, ux0:ux1] = h
+        self.cu_x[uy0:uy1, ux0:ux1] = x
+        self.cu_y[uy0:uy1, ux0:ux1] = y
         self.qt_depth[uy0:uy1, ux0:ux1] = qt_depth
         self.qp_map[uy0:uy1, ux0:ux1] = qp
         if with_chroma:
@@ -113,6 +117,8 @@ class PictureState:
             self.cu_h[uy:uy1, ux:ux1].copy(),
             self.qt_depth[uy:uy1, ux:ux1].copy(),
             self.qp_map[uy:uy1, ux:ux1].copy(),
+            self.cu_x[uy:uy1, ux:ux1].copy(),
+            self.cu_y[uy:uy1, ux:ux1].copy(),
         )
 
     def restore_region(self, snap) -> None:
@@ -133,3 +139,5 @@ class PictureState:
         self.cu_h[uy:uy1, ux:ux1] = snap[10]
         self.qt_depth[uy:uy1, ux:ux1] = snap[11]
         self.qp_map[uy:uy1, ux:ux1] = snap[12]
+        self.cu_x[uy:uy1, ux:ux1] = snap[13]
+        self.cu_y[uy:uy1, ux:ux1] = snap[14]

@@ -36,6 +36,7 @@ def decode_stream(data: bytes):
     sps_map = {}
     pps_map = {}
     aps_map = {}   # ALF APS by id
+    lmcs_aps_map = {}  # LMCS APS by id
     frames = []
     dpb = []  # (poc, {comp: plane}) decoded pictures in output order
     for nal_type, tid, rbsp in units:
@@ -52,10 +53,12 @@ def decode_stream(data: bytes):
             p = hls.parse_pps(br, sps)
             pps_map[p.pps_id] = p
         elif nal_type in (NalUnitType.PREFIX_APS, NalUnitType.SUFFIX_APS):
-            from ..codec.alf import read_aps, ALF_APS
-            aps_type, aps_id, alf_p = read_aps(BitReader(rbsp))
+            from ..codec.alf import read_aps, ALF_APS, LMCS_APS
+            aps_type, aps_id, aps_p = read_aps(BitReader(rbsp))
             if aps_type == ALF_APS:
-                aps_map[aps_id] = alf_p
+                aps_map[aps_id] = aps_p
+            elif aps_type == LMCS_APS:
+                lmcs_aps_map[aps_id] = aps_p
         elif nal_type in (NalUnitType.PREFIX_SEI, NalUnitType.SUFFIX_SEI):
             from ..bitstream.sei import (parse_sei_rbsp, compute_picture_hash,
                                          SeiDecodedPictureHash,
@@ -73,7 +76,7 @@ def decode_stream(data: bytes):
                             NalUnitType.CRA):
                 dpb.clear()
             frame = _decode_slice(rbsp, nal_type, sps_map, pps_map, aps_map,
-                                  dpb)
+                                  dpb, lmcs_aps_map)
             dpb.append((frame.poc, frame.planes, frame.mf, frame.ref_pocs))
             frames.append(frame)
         elif nal_type in (NalUnitType.PREFIX_SEI, NalUnitType.SUFFIX_SEI,
@@ -87,7 +90,7 @@ def decode_stream(data: bytes):
 
 
 def _decode_slice(rbsp: bytes, nal_type, sps_map, pps_map, aps_map,
-                  dpb=None) -> DecodedFrame:
+                  dpb=None, lmcs_aps_map=None) -> DecodedFrame:
     br = BitReader(rbsp)
     is_idr = nal_type in (NalUnitType.IDR_N_LP, NalUnitType.IDR_W_RADL)
     # slice header needs pps id first; with PH-in-SH the pps id comes after a
@@ -124,8 +127,13 @@ def _decode_slice(rbsp: bytes, nal_type, sps_map, pps_map, aps_map,
                 tmvp = TmvpCtx(col[2], col[3], col_poc, cur_poc, ref_pocs,
                                sh.col_from_l0 if is_b else 1, check_ldc,
                                pps.pic_width, pps.pic_height, sps.ctu_size)
+    reshape = None
+    if getattr(sh, "lmcs_enabled", 0):
+        from ..codec.lmcs import ReshapeState
+        reshape = ReshapeState(lmcs_aps_map[sh.ph.lmcs_aps_id],
+                               sps.bit_depth)
     coder = SyntaxCoder(sps, pps, sh, qp, ref_pics, ref_pocs, tmvp=tmvp,
-                        cur_poc=cur_poc)
+                        cur_poc=cur_poc, reshape=reshape)
     coder.attach_motion(ps)
 
     init_id = 2 if sh.slice_type == SLICE_I else sh.slice_type
@@ -199,6 +207,11 @@ def _decode_slice(rbsp: bytes, nal_type, sps_map, pps_map, aps_map,
     # carries the refined MVs (vvenc setRefinedMotionFieldCTU)
     from ..codec.motion import refine_mf_with_dmvr
     refine_mf_with_dmvr(coder.mf, trees)
+
+    if reshape is not None:
+        # inverse luma mapping before the in-loop filters
+        # (EncSlice.cpp:1016 reco.rspSignal(invLUT))
+        ps.rec[0] = reshape.inv_map(ps.rec[0]).astype(ps.rec[0].dtype)
 
     if not pps.deblocking_filter_disabled:
         from ..codec.deblock import deblock_picture
