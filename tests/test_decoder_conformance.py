@@ -497,6 +497,33 @@ GOLDEN_HASHES = {
         "d402962422dcec4dbed4293ba743e3dc",
         "3fa58bc37e2497f750735597eb3b6f2b",
         "11782f3af5cc4f160eb41243fb973997"],
+    # the full intra+inter tool matrix in one RA stream (DepQuant, LFNST,
+    # implicit MTS, MIP/MRL/ISP, CCLM, JCCR, ALF/CC-ALF/SAO, TS/BDPCM/IBC,
+    # affine, SbTMVP, AMVR, BDOF/DMVR, MMVD/SMVD/GEO/CIIP/SBT/BCW) —
+    # pins tool interactions (ISP chroma TS flags, LFNST-vs-BDPCM cbf
+    # gating, narrow-ISP 4-wide prediction regions)
+    "golden_ra_fulltools_416x240_qp26_f9.266": [
+        "7bffae1c12513497934b62381a193061",
+        "7896fa22213da13b5ad49fc9a2da9036",
+        "65aa7916119c93bd9b42582c0e1d5e2d",
+        "48485b733b8d9c771c6029410f48bf17",
+        "7909f48ea7a2fb323867f42d2288b233",
+        "061442aa21a4723c540c272d90f384b1",
+        "731402d7fe8634ce24eb050a292e19d1",
+        "6abf253075bd2ee38bd7c4eabd3d14d4",
+        "be695d8ba1f53ab769290609ae6322f8"],
+    # same full tool matrix with LMCS on top (mapped-domain coding with
+    # every prediction path + chroma scaling with every residual path)
+    "golden_ra_lmcs_combo_416x240_qp26_f9.266": [
+        "c958fa84ec68b10e3db6ea65cb596673",
+        "ca2051c6fd6721a7d8c1d7d1d1c10261",
+        "adbc928b5da2abaeb669fc8d1793fc19",
+        "bf23567cab9ad1e92128f1777782a4c4",
+        "424b79d6d96e1db5f3a10286e9c8befc",
+        "7895f71073043865b6273f38c105895d",
+        "ba5817707fa805adfb9360346536c4bf",
+        "6abf253075bd2ee38bd7c4eabd3d14d4",
+        "f1aa4612988d1bc86ebce9a153a959f1"],
 }
 
 

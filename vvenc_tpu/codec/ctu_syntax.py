@@ -1190,38 +1190,40 @@ class SyntaxCoder:
                         coder, pw, ph, True, dep_quant=self.dq,
                         sign_hiding=self.sdh)
             if is_last and with_chroma:
+                # chroma TBs go through the regular TB path so that the
+                # transform_skip flag is coded when TS is allowed for the
+                # chroma size (ISP restricts TS for luma only,
+                # TU::isTSAllowed — missing this desyncs when
+                # max_ts_size >= the chroma TB size)
+                cw, chh = cu.w >> 1, cu.h >> 1
                 if cu.joint_cbcr:
-                    coded = None
+                    cc = 1 if cu.joint_cbcr in (2, 3) else 2
                     if encode:
-                        coded = cu.coeff_cb if cu.joint_cbcr in (2, 3) \
-                            else cu.coeff_cr
-                        encode_residual(coder, coded, False,
-                                        dep_quant=self.dq)
+                        coded = cu.coeff_cb if cc == 1 else cu.coeff_cr
+                        self._residual_tb(coder, cu, cc, cw, chh, True,
+                                          coded)
                     else:
-                        coded = decode_residual(coder, cu.w >> 1, cu.h >> 1,
-                                                False, dep_quant=self.dq,
-                                                sign_hiding=self.sdh)
-                        if cu.joint_cbcr in (2, 3):
+                        coded = self._residual_tb(coder, cu, cc, cw, chh,
+                                                  False)
+                        if cc == 1:
                             cu.coeff_cb = coded
                         else:
                             cu.coeff_cr = coded
                 else:
                     if cbf_cb:
                         if encode:
-                            encode_residual(coder, cu.coeff_cb, False,
-                                            dep_quant=self.dq)
+                            self._residual_tb(coder, cu, 1, cw, chh, True,
+                                              cu.coeff_cb)
                         else:
-                            cu.coeff_cb = decode_residual(
-                                coder, cu.w >> 1, cu.h >> 1, False,
-                                dep_quant=self.dq, sign_hiding=self.sdh)
+                            cu.coeff_cb = self._residual_tb(
+                                coder, cu, 1, cw, chh, False)
                     if cbf_cr:
                         if encode:
-                            encode_residual(coder, cu.coeff_cr, False,
-                                            dep_quant=self.dq)
+                            self._residual_tb(coder, cu, 2, cw, chh, True,
+                                              cu.coeff_cr)
                         else:
-                            cu.coeff_cr = decode_residual(
-                                coder, cu.w >> 1, cu.h >> 1, False,
-                                dep_quant=self.dq, sign_hiding=self.sdh)
+                            cu.coeff_cr = self._residual_tb(
+                                coder, cu, 2, cw, chh, False)
 
     def _lfnst_allowed(self, cu) -> bool:
         if not self.sps.lfnst or cu.is_inter:
@@ -1248,10 +1250,20 @@ class SyntaxCoder:
             # the lfnstLastScanPos gate is bypassed for ISP
             # (CABACWriter::residual_lfnst_mode:2436)
             lfnst_last = True
-        is_tr_skip = (cu.ts_y or cu.ts_cb or cu.ts_cr
-                      or cu.bdpcm_y or cu.bdpcm_c)
+        # a transform-skip TU blocks LFNST only if its cbf is set
+        # (residual_lfnst_mode isTrSkip: getCbf && mtsIdx == MTS_SKIP,
+        # CABACWriter.cpp:2423-2433)
+        def _cbf(c):
+            return c is not None and bool(np.any(c))
+        cbf_y = (any(_cbf(c) for c in (cu.isp_coeffs or []))
+                 if cu.isp_mode else _cbf(cu.coeff_y))
+        cbf_cb = _cbf(cu.coeff_cb) or cu.joint_cbcr in (2, 3)
+        cbf_cr = _cbf(cu.coeff_cr) or cu.joint_cbcr in (1, 3)
+        is_tr_skip = (((cu.ts_y or cu.bdpcm_y) and cbf_y)
+                      or ((cu.ts_cb or cu.bdpcm_c) and cbf_cb)
+                      or ((cu.ts_cr or cu.bdpcm_c) and cbf_cr))
         if is_tr_skip:
-            lfnst_last = False    # no LFNST with any transform-skip TU
+            lfnst_last = False    # no LFNST with a coded transform-skip TU
         sep_tree = cu.luma_only or cu.chroma_only
         if self._lfnst_allowed(cu) and lfnst_last and not viol:
             cctx = 1 if sep_tree else 0
@@ -2808,6 +2820,46 @@ def bdof_predict_luma(ref0, ref1, cu, bit_depth):
     return out
 
 
+def isp_pred_reg_diff(w: int, h: int, isp_mode: int) -> bool:
+    """Vertical ISP with partitions narrower than 4 predicts in 4-wide
+    regions (CU::isPredRegDiffFromTB, UnitTools.cpp:3404; PRED_REG_MIN_WIDTH
+    = 4): prediction runs once per region, TUs reuse its columns."""
+    return isp_mode == 2 and (w == 4 or (w == 8 and h > 4))
+
+
+def isp_predict_part(ps: PictureState, cu_x: int, cu_y: int, cu_w: int,
+                     cu_h: int, isp_mode: int, mode: int, bit_depth: int,
+                     px: int, py: int, pw: int, ph: int,
+                     region_cache: dict) -> np.ndarray:
+    """Prediction for one ISP partition: per-partition references
+    (IntraPrediction.cpp initIntraPatternChTypeISP:1633-1742), with the
+    4-wide prediction-region grouping for narrow vertical partitions
+    (DecCu.cpp:108-126, CU::adjustPredArea)."""
+    reg = isp_pred_reg_diff(cu_w, cu_h, isp_mode)
+    rw = max(4, pw) if reg else pw
+    if reg and (px % 4) != 0:
+        # not the first TB in its prediction region: reuse
+        rx = region_cache["px"]
+        return region_cache["pred"][:, px - rx:px - rx + pw]
+    ax, ay = cu_x + px, cu_y + py
+
+    def avail_fn(qx, qy, ax=ax, ay=ay):
+        if cu_x <= qx < cu_x + cu_w and cu_y <= qy < cu_y + cu_h:
+            return (qy < ay) if isp_mode == 1 else (qx < ax)
+        return bool(ps.coded_luma[qy >> 2, qx >> 2])
+    top, left = I.build_reference_samples(
+        ps.rec[0], ax, ay, rw, ph, ps.coded_luma,
+        PictureState.LUMA_UNIT, bit_depth,
+        pred_sizes=(cu_w + rw, cu_h + ph), avail_fn=avail_fn)
+    pred = I.predict_intra(top, left, mode, rw, ph, bit_depth,
+                           True, cu_dims=(cu_w, cu_h), isp=True)
+    if reg:
+        region_cache["px"] = px
+        region_cache["pred"] = pred
+        return pred[:, :pw]
+    return pred
+
+
 def _reconstruct_isp_luma(ps: PictureState, cu: CuData, q, bit_depth: int,
                           dep_quant: bool, sps_mts: bool) -> None:
     """Sequential ISP partition reconstruction: each partition predicts
@@ -2815,19 +2867,12 @@ def _reconstruct_isp_luma(ps: PictureState, cu: CuData, q, bit_depth: int,
     ISP reference handling :1640-1742, spec refW/refH = nCb + nTb)."""
     maxval = (1 << bit_depth) - 1
     parts = isp_partitions(cu.w, cu.h, cu.isp_mode)
+    region_cache = {}
     for k, (px, py, pw, ph) in enumerate(parts):
         ax, ay = cu.x + px, cu.y + py
-
-        def avail_fn(qx, qy, ax=ax, ay=ay):
-            if cu.x <= qx < cu.x + cu.w and cu.y <= qy < cu.y + cu.h:
-                return (qy < ay) if cu.isp_mode == 1 else (qx < ax)
-            return bool(ps.coded_luma[qy >> 2, qx >> 2])
-        top, left = I.build_reference_samples(
-            ps.rec[0], ax, ay, pw, ph, ps.coded_luma,
-            PictureState.LUMA_UNIT, bit_depth,
-            pred_sizes=(cu.w + pw, cu.h + ph), avail_fn=avail_fn)
-        pred = I.predict_intra(top, left, cu.luma_mode, pw, ph, bit_depth,
-                               True, cu_dims=(cu.w, cu.h), isp=True)
+        pred = isp_predict_part(ps, cu.x, cu.y, cu.w, cu.h, cu.isp_mode,
+                                cu.luma_mode, bit_depth, px, py, pw, ph,
+                                region_cache)
         coeff = cu.isp_coeffs[k] if cu.isp_coeffs else None
         if coeff is not None and np.any(coeff):
             trh, trv = T.isp_tr_types(pw, ph, cu.lfnst_idx, sps_mts)

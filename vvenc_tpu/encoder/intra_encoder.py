@@ -1318,7 +1318,7 @@ class _CtuSearcher:
         _reconstruct_isp_luma), chroma decision on the staged luma, cost
         via the real ISP TU syntax.  Leaves the winning trial's state
         staged and returns (cu, cost), or (None, inf)."""
-        from ..codec.ctu_syntax import isp_partitions
+        from ..codec.ctu_syntax import isp_partitions, isp_predict_part
         cfg = self.cfg
         ps = self.ps
         bd = cfg.bit_depth
@@ -1330,19 +1330,11 @@ class _CtuSearcher:
             self._restore(entry_snap)
             parts = isp_partitions(w, h, m)
             coeffs = []
+            region_cache = {}
             for px, py_, pw, ph in parts:
                 ax, ay = x + px, y + py_
-
-                def avail_fn(qx, qy2, ax=ax, ay=ay):
-                    if x <= qx < x + w and y <= qy2 < y + h:
-                        return (qy2 < ay) if m == 1 else (qx < ax)
-                    return bool(ps.coded_luma[qy2 >> 2, qx >> 2])
-                top, left = I.build_reference_samples(
-                    ps.rec[0], ax, ay, pw, ph, ps.coded_luma,
-                    PictureState.LUMA_UNIT, bd,
-                    pred_sizes=(w + pw, h + ph), avail_fn=avail_fn)
-                pred = I.predict_intra(top, left, mode, pw, ph, bd, True,
-                                       cu_dims=(w, h), isp=True)
+                pred = isp_predict_part(ps, x, y, w, h, m, mode, bd,
+                                        px, py_, pw, ph, region_cache)
                 resi = self.src[0][ay:ay + ph, ax:ax + pw] - pred
                 trh, trv = T.isp_tr_types(pw, ph, 0,
                                           bool(self.enc.sps.mts))
