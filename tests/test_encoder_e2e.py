@@ -565,3 +565,39 @@ def test_ibc_encoder_roundtrip():
         assert np.array_equal(dec.planes[c], enc.last_rec.rec[c])
     assert decoded_ibc[0] > 5, "IBC never engaged"
     assert len(au) < len(au0) // 2
+
+
+def test_lmcs_encoder_roundtrip_ai():
+    """All-intra LMCS: mapped-domain coding + chroma scaling + inverse
+    mapping before loop filters; decoder must match the encoder recon."""
+    w, h = 128, 64
+    frames = [_synth_frame(w, h, t=t) for t in range(2)]
+    enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=30,
+                                     intra_period=1, deblocking=True,
+                                     lmcs=1, lmcs_update_ctrl=1))
+    stream = enc.encode_sequence(frames)
+    dec = decode_stream(stream)
+    assert len(dec) == 2
+    for poc, fr in enumerate(sorted(dec, key=lambda f: f.poc)):
+        for c in range(3):
+            assert np.array_equal(fr.planes[c], enc.recs_by_poc[poc][c])
+    assert _psnr(dec[0].planes[0], frames[0][0]) > 33.0
+
+
+def test_lmcs_encoder_roundtrip_ra():
+    """RA GOP LMCS: forward-mapped inter prediction, JCCR + CIIP + SBT
+    interplay, model reuse across inter slices."""
+    w, h = 128, 64
+    frames = [_synth_frame(w, h, t=t) for t in range(5)]
+    enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=30,
+                                     intra_period=0, gop_size=4,
+                                     deblocking=True, lmcs=1,
+                                     jccr=True, ciip=True, sbt=True,
+                                     sao=True))
+    stream = enc.encode_sequence(frames)
+    dec = decode_stream(stream)
+    assert len(dec) == 5
+    for fr in dec:
+        for c in range(3):
+            assert np.array_equal(fr.planes[c],
+                                  enc.recs_by_poc[fr.poc][c])

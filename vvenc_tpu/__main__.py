@@ -88,6 +88,8 @@ def encoder_config_from(cfg, args) -> "EncoderConfig":
         sbtmvp=bool(cfg.sbtmvp), affine=bool(cfg.affine),
         prof=bool(cfg.prof),
         scc_auto=cfg.transform_skip == 2,
+        lmcs=cfg.lmcs, lmcs_update_ctrl=cfg.lmcs_update_ctrl,
+        lmcs_offset=cfg.lmcs_offset,
         bitrate=cfg.target_bitrate, picture_hash=cfg.picture_hash,
         hrd_timing_sei=bool(cfg.hrd_timing_sei),
         fps_num=cfg.fps_num, fps_den=cfg.fps_den)

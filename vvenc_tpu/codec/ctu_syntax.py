@@ -780,19 +780,26 @@ class SyntaxCoder:
             cu.dmvr_bdof = {k: (v and bdof_g)
                             for k, v in dmvr_bdof.items()}
 
-    def pred_cu_inter(self, ps, cu, comp):
+    def pred_cu_inter(self, ps, cu, comp, mapped: bool = False):
         """Prediction of one component of a regular inter CU including
-        DMVR/BDOF (prepare_refinement must have run for DMVR CUs)."""
+        DMVR/BDOF (prepare_refinement must have run for DMVR CUs).
+        mapped=True returns the prediction as the reconstruction will use
+        it (LMCS forward-mapped luma; CIIP maps its inter part pre-blend)."""
         if comp == 0:
             x, y, w, h = cu.x, cu.y, cu.w, cu.h
         else:
             x, y, w, h = cu.x >> 1, cu.y >> 1, cu.w >> 1, cu.h >> 1
+        lmcs_map = (mapped and comp == 0 and self.lmcs_ctu_flag
+                    and not cu.is_ibc)
+
+        def _map(p):
+            return self.reshape.fwd_lut[p] if lmcs_map else p
         if cu.affine:
             from .affine import affine_predict
-            return affine_predict(self, cu, comp)
+            return _map(affine_predict(self, cu, comp))
         if cu.geo:
             from .geo import geo_predict
-            return geo_predict(self, cu, comp)
+            return _map(geo_predict(self, cu, comp))
         if cu.ciip:
             from .geo import ciip_blend, ciip_num_intra
             inter = inter_predict(self.ref_pics, cu.mv, cu.ref_idx, x, y,
@@ -800,18 +807,21 @@ class SyntaxCoder:
                                   cu.alt_hpel)
             if comp != 0 and (cu.w >> 1) <= 2:
                 return inter
+            inter = _map(inter)   # CIIP maps pre-blend (DecCu.cpp:316)
             intra = predict_cu_component(ps, cu, comp, self.bit_depth,
                                          self.ctu_size)
             return ciip_blend(inter, intra, ciip_num_intra(ps, cu))
         if cu.dmvr_deltas is not None:
-            return dmvr_predict(self.ref_pics, cu, comp, self.bit_depth,
-                                ps.w, ps.h, self.ctu_size)
+            return _map(dmvr_predict(self.ref_pics, cu, comp,
+                                     self.bit_depth, ps.w, ps.h,
+                                     self.ctu_size))
         if comp == 0 and self.bdof_applies(cu):
-            return bdof_predict_luma(self.ref_pics[0][cu.ref_idx[0]][0],
-                                     self.ref_pics[1][cu.ref_idx[1]][0],
-                                     cu, self.bit_depth)
-        return inter_predict(self.ref_pics, cu.mv, cu.ref_idx, x, y, w, h,
-                             comp, self.bit_depth, cu.bcw_idx, cu.alt_hpel)
+            return _map(bdof_predict_luma(
+                self.ref_pics[0][cu.ref_idx[0]][0],
+                self.ref_pics[1][cu.ref_idx[1]][0], cu, self.bit_depth))
+        return _map(inter_predict(self.ref_pics, cu.mv, cu.ref_idx, x, y,
+                                  w, h, comp, self.bit_depth, cu.bcw_idx,
+                                  cu.alt_hpel))
 
     def _derive_sym_refs(self):
         """Nearest forward L0 / backward L1 reference pair (vvenc

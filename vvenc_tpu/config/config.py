@@ -83,6 +83,9 @@ class VvencTpuConfig:
     transform_skip: int = 0
     bdpcm: int = 0
     ibc: int = 0
+    lmcs: int = 0                    # LMCS (deprecated upstream, supported)
+    lmcs_update_ctrl: int = 0        # 0 RA, 1 AI, 2 LDB/LDP
+    lmcs_offset: int = 6             # chroma residual scaling offset
     tmvp: int = 1                    # on in all vvenc presets
     picture_hash: int = 0            # decoded-picture-hash SEI method
     hrd_timing_sei: int = 0

@@ -92,6 +92,10 @@ class EncoderConfig:
     lfnst: bool = False            # low-frequency non-separable transform
     mts: bool = False              # explicit intra MTS (DST7/DCT8)
     mts_implicit: bool = False     # implicit MTS (DST7 on small intra TBs)
+    lmcs: int = 0                  # luma mapping w/ chroma scaling (LMCS)
+    lmcs_update_ctrl: int = 0      # model update: 0 RA, 1 AI, 2 LDB/LDP
+    lmcs_offset: int = 6           # chroma residual scaling offset
+                                   # (vvenc preset baseline, vvencCfg:2601)
     sao: bool = False              # sample adaptive offset (encoder RD)
     alf: bool = False              # adaptive loop filter (encoder-derived)
     ccalf: bool = False            # cross-component ALF (needs alf)
@@ -155,6 +159,7 @@ def build_parameter_sets(cfg: EncoderConfig):
     sps.alf_enabled = 1 if cfg.alf else 0
     sps.ccalf_enabled = 1 if (cfg.ccalf and cfg.alf) else 0
     sps.sao_enabled = 1 if cfg.sao else 0
+    sps.lmcs_enabled = 1 if cfg.lmcs else 0
     sps.temporal_mvp = 1 if cfg.tmvp else 0
     if cfg.wpp:
         sps.entropy_coding_sync = 1
@@ -260,6 +265,14 @@ class IntraEncoder:
                 if cfg.rc_stats_in else None
             self.rc = RateCtrl(cfg.bitrate, cfg.fps_num / cfg.fps_den,
                                cfg.qp, cfg.gop_size, stats)
+        self.lmcs = None
+        if cfg.lmcs:
+            from .lmcs_enc import LmcsEncoder
+            fps = (cfg.fps_num + cfg.fps_den - 1) // cfg.fps_den
+            self.lmcs = LmcsEncoder(
+                cfg.bit_depth, cfg.qp, cfg.width * cfg.height,
+                update_ctrl=cfg.lmcs_update_ctrl, crs_offset=cfg.lmcs_offset,
+                fps_to_ip=max(16, 16 * int(round(fps / 16.0))))
 
     # ------------------------------------------------------------------
     def headers(self) -> bytes:
@@ -359,7 +372,8 @@ class IntraEncoder:
                 st = SLICE_B if refs_l1 else SLICE_P
                 qp_off = e.qp_offset
                 au = self._encode_picture(poc, frames[poc], st, refs_l0,
-                                          refs_l1, qp_off)
+                                          refs_l1, qp_off,
+                                          tlayer=e.temporal_layer)
                 stream += au
                 self.recs_by_poc[poc] = dict(self.last_rec.rec)
             base += gop
@@ -408,7 +422,7 @@ class IntraEncoder:
         return bytes(stream)
 
     def _encode_picture(self, poc, planes8, slice_type, refs_l0, refs_l1,
-                        qp_offset=0) -> bytes:
+                        qp_offset=0, tlayer=0) -> bytes:
         cfg = self.cfg
         shift = cfg.bit_depth - cfg.input_bit_depth
         src = {c: planes8[c].astype(np.int32) << shift for c in range(3)}
@@ -443,6 +457,32 @@ class IntraEncoder:
                                          not self.cfg.dep_quant) else 0
         sh.ph = PictureHeader()
         sh.ph.poc_lsb = poc & ((1 << self.sps.log2_max_poc_lsb) - 1)
+
+        # LMCS (EncGOP::xInitLMCS analog): derive/select the reshaper
+        # model, code the slice in the mapped luma domain
+        reshape = None
+        lmcs_aps_bytes = b""
+        if self.lmcs is not None:
+            use_lmcs = not (cfg.lmcs == 2 and self.scc_detected)
+            lmcs_en, model_present, chroma_scale = self.lmcs.init_picture(
+                (src[0], src[1], src[2]), poc,
+                slice_type == SLICE_I, tlayer, use_lmcs)
+            if model_present:
+                from ..codec.lmcs import write_lmcs_aps
+                aps_bw = BitWriter()
+                write_lmcs_aps(aps_bw, 0, self.lmcs.cur_param)
+                lmcs_aps_bytes = make_nal_unit(NalUnitType.PREFIX_APS,
+                                               aps_bw.get_bytes())
+            if lmcs_en:
+                reshape = self.lmcs.cur_state
+                sh.ph.lmcs_enabled = 1
+                sh.ph.lmcs_aps_id = 0
+                sh.ph.chroma_residual_scale = 1 if chroma_scale else 0
+                sh.lmcs_enabled = 1
+        src_coding = src
+        if reshape is not None:
+            src_coding = dict(src)
+            src_coding[0] = reshape.fwd_map(src[0]).astype(np.int32)
         if cfg.jccr:
             # picture-level joint Cb-Cr sign from source chroma high-pass
             # correlation (vvenc derives it from collected residual stats;
@@ -490,9 +530,11 @@ class IntraEncoder:
         qp_state = QpState(self.sps, self.pps, slice_qp, sh=sh)
 
         coder = SyntaxCoder(self.sps, self.pps, sh, qp_state, ref_pics,
-                            ref_pocs, tmvp=tmvp, cur_poc=poc)
+                            ref_pocs, tmvp=tmvp, cur_poc=poc,
+                            reshape=reshape)
         coder.attach_motion(ps)
-        searcher = _CtuSearcher(self, ps, qp_state, src, coder)
+        searcher = _CtuSearcher(self, ps, qp_state, src_coding, coder,
+                                src_me_y=src[0])
 
         # slice data is written first (WPP needs the per-row substream
         # sizes to write the entry points in the header)
@@ -536,6 +578,11 @@ class IntraEncoder:
             # mirroring the decoder (vvenc setRefinedMotionFieldCTU)
             from ..codec.motion import refine_mf_with_dmvr
             refine_mf_with_dmvr(coder.mf, trees)
+
+        if reshape is not None:
+            # inverse luma mapping before the in-loop filters
+            # (EncSlice.cpp:1016)
+            ps.rec[0] = reshape.inv_map(ps.rec[0]).astype(ps.rec[0].dtype)
 
         if cfg.deblocking:
             from ..codec.deblock import deblock_picture
@@ -619,7 +666,8 @@ class IntraEncoder:
             ps2 = PictureState(cfg.width, cfg.height, cfg.bit_depth)
             qp2 = QpState(self.sps, self.pps, slice_qp, sh=sh)
             coder2 = SyntaxCoder(self.sps, self.pps, sh, qp2,
-                                 ref_pics, ref_pocs, tmvp=tmvp, cur_poc=poc)
+                                 ref_pics, ref_pocs, tmvp=tmvp, cur_poc=poc,
+                                 reshape=reshape)
             coder2.attach_motion(ps2)
             sw = _SliceWriter(slice_qp, 2 if is_idr else sh.slice_type,
                               bool(cfg.wpp))
@@ -668,7 +716,7 @@ class IntraEncoder:
         else:
             nal_type = NalUnitType.TRAIL
         au = make_nal_unit(nal_type, bw.get_bytes())
-        au = aps_bytes + au
+        au = lmcs_aps_bytes + aps_bytes + au
         if cfg.hrd_timing_sei:
             from ..bitstream.sei import (write_sei_nal, SeiBufferingPeriod,
                                          SeiPicTiming, SEI_BUFFERING_PERIOD,
@@ -727,15 +775,28 @@ class _CtuSearcher:
     """Depth-first QT RD search for one picture."""
 
     def __init__(self, enc: IntraEncoder, ps: PictureState, qp: QpState,
-                 src, coder: SyntaxCoder):
+                 src, coder: SyntaxCoder, src_me_y=None):
         self.enc = enc
         self.cfg = enc.cfg
         self.ps = ps
         self.qp = qp
-        self.src = src
+        self.src = src                 # coding-domain source (LMCS: mapped)
+        # original-domain luma for motion estimation (refs are unmapped)
+        self.src_me_y = src[0] if src_me_y is None else src_me_y
         self.coder = coder
         self.lmbda = enc.lmbda
         self.lmbda_sad = enc.lmbda_sad
+
+    def _chroma_scale(self, x: int, y: int, tw: int, th: int):
+        """LMCS chroma residual scale for a TU at luma pos (x, y), or None
+        (gates per DecCu.cpp:161-205: slice chroma-scaling on, > 4 chroma
+        samples)."""
+        c = self.coder
+        if c.reshape is None or not c.lmcs_chroma_scale or tw * th <= 4:
+            return None
+        from ..codec.lmcs import chroma_adj_vpdu_nei
+        return chroma_adj_vpdu_nei(self.ps, c.reshape, x, y,
+                                   self.cfg.ctu_size.bit_length() - 1)
 
     def search_ctu(self, x: int, y: int, live_ctx: CtxModels) -> TreeNode:
         """RD-decide the coding tree of one CTU.
@@ -1431,6 +1492,22 @@ class _CtuSearcher:
                                         sign_hiding=self.cfg.sign_data_hiding)
             return (self.est.frac_bits - b0) / (1 << 15)
 
+        cscale = self._chroma_scale(x, y, cw, chh)
+
+        def _fwd_scale(resi):
+            if cscale is None:
+                return resi
+            from ..codec.lmcs import scale_chroma_resi_fwd
+            return scale_chroma_resi_fwd(np.asarray(resi, np.int64),
+                                         cscale, bit_depth)
+
+        def _inv_scale(resi):
+            if cscale is None:
+                return resi
+            from ..codec.lmcs import scale_chroma_resi_inv
+            return scale_chroma_resi_inv(np.asarray(resi, np.int64),
+                                         cscale, bit_depth)
+
         best = None
         preds_best = None
         for cdir in cands:
@@ -1445,12 +1522,13 @@ class _CtuSearcher:
                 cbf_ctx = ct.CTX_SETS["QtCbfCb"](0) if comp == 1 else \
                     ct.CTX_SETS["QtCbfCr"](1 if coeffs[1] is not None else 0)
                 coeff = self._q(
-                    T.fwd_transform_np(srcs[comp] - pred, bit_depth), qc,
+                    T.fwd_transform_np(_fwd_scale(srcs[comp] - pred),
+                                       bit_depth), qc,
                     False, cbf_ctx)
                 if np.any(coeff):
                     coeffs[comp] = coeff
-                    rec = np.clip(pred + T.inv_transform_np(
-                        self._dq(coeff, qc), bit_depth), 0,
+                    rec = np.clip(pred + _inv_scale(T.inv_transform_np(
+                        self._dq(coeff, qc), bit_depth)), 0,
                         (1 << bit_depth) - 1)
                 else:
                     coeffs[comp] = None
@@ -1468,7 +1546,7 @@ class _CtuSearcher:
             cu.chroma_dir = best[1]
             sign_flag = self.coder.jccr_sign
             s = -1 if sign_flag else 1
-            res = {c: srcs[c].astype(np.int64) - preds_best[c]
+            res = {c: _fwd_scale(srcs[c].astype(np.int64) - preds_best[c])
                    for c in (1, 2)}
             for mask in (3, 2, 1):
                 if mask == 3:
@@ -1489,7 +1567,7 @@ class _CtuSearcher:
                 r = T.inv_transform_np(self._dq(coeff, qc), bit_depth)
                 rcb, rcr = _ict_derive(r.astype(np.int64), mask, sign_flag)
                 dist = 0.0
-                for comp, rr in ((1, rcb), (2, rcr)):
+                for comp, rr in ((1, _inv_scale(rcb)), (2, _inv_scale(rcr))):
                     rec = np.clip(preds_best[comp] + rr, 0,
                                   (1 << bit_depth) - 1)
                     dist += R.sse_np(srcs[comp], rec)
@@ -1553,6 +1631,11 @@ class _CtuSearcher:
         cx, cy2, cw, chh = x >> 1, y >> 1, w >> 1, h >> 1
         src_cb = self.src[1][cy2:cy2 + chh, cx:cx + cw]
         src_cr = self.src[2][cy2:cy2 + chh, cx:cx + cw]
+        # LMCS: ME/preselection compare unmapped predictions against the
+        # unmapped source; residuals form in the mapped domain
+        src_me = self.src_me_y[y:y + h, x:x + w]
+        lmcs_map = coder.lmcs_ctu_flag
+        cscale = self._chroma_scale(x, y, cw, chh)
 
         is_b = coder.is_b
         merge_cands = get_merge_candidates(
@@ -1578,7 +1661,7 @@ class _CtuSearcher:
             seen.add(key)
             py = inter_predict(coder.ref_pics, mi.mv, mi.ref_idx, x, y, w, h,
                                0, bit_depth)
-            scored.append((R.sse_np(src_y, py), idx, mi))
+            scored.append((R.sse_np(src_me, py), idx, mi))
         scored.sort(key=lambda t: t[0])
 
         trials = []
@@ -1590,10 +1673,11 @@ class _CtuSearcher:
             reconstruction will subtract.  try_sbt adds sub-block-transform
             variants (half splits) of the same prediction."""
             coder.prepare_refinement(ps, cu)
-            py = coder.pred_cu_inter(ps, cu, 0)
+            py = coder.pred_cu_inter(ps, cu, 0, mapped=True)
             pcb = coder.pred_cu_inter(ps, cu, 1)
             pcr = coder.pred_cu_inter(ps, cu, 2)
-            coeffs = self._quant_resid(src_y, src_cb, src_cr, py, pcb, pcr)
+            coeffs = self._quant_resid(src_y, src_cb, src_cr, py, pcb, pcr,
+                                       cscale=cscale)
             added = False
             if coeffs[0] is not None:
                 cu.coeff_y, cu.coeff_cb, cu.coeff_cr = coeffs
@@ -1644,7 +1728,7 @@ class _CtuSearcher:
                                            cu.ref_idx, x, y, w, h, 0,
                                            bit_depth, cu.bcw_idx,
                                            cu.alt_hpel)
-                        c = R.sse_np(src_y, py)
+                        c = R.sse_np(src_me, py)
                         if best_m is None or c < best_m[0]:
                             best_m = (c, cu)
             if best_m is not None:
@@ -1668,7 +1752,7 @@ class _CtuSearcher:
                 cu = CuData(x, y, w, h, is_inter=True, merge=True,
                             affine=True, merge_idx=k)
                 coder._apply_affine_merge(ps, cu)
-                c = R.sse_np(src_y, coder.pred_cu_inter(ps, cu, 0))
+                c = R.sse_np(src_me, coder.pred_cu_inter(ps, cu, 0))
                 if best_a is None or c < best_a[0]:
                     best_a = (c, k)
             if best_a is not None:
@@ -1700,7 +1784,7 @@ class _CtuSearcher:
                                     geo=True, geo_split_dir=sd,
                                     geo_idx0=i0, geo_idx1=i1)
                         coder._apply_geo(ps, cu)
-                        c = R.sse_np(src_y, geo_predict(coder, cu, 0))
+                        c = R.sse_np(src_me, geo_predict(coder, cu, 0))
                         if best_g is None or c < best_g[0]:
                             best_g = (c, sd, i0, i1)
                 _, sd, i0, i1 = best_g
@@ -1724,7 +1808,7 @@ class _CtuSearcher:
                            ref_idx=(0, -1) if li == 0 else (-1, 0))
             amvp = get_amvp_candidates(ps, coder.mf, coder.hmvp, x, y, w, h,
                                        li, 0, coder.ref_pocs, coder.tmvp)
-            mv, mvp_idx = self._motion_search(src_y, x, y, w, h, amvp,
+            mv, mvp_idx = self._motion_search(src_me, x, y, w, h, amvp,
                                               coder.ref_pics[li][0][0])
             mvd = ((mv[0] - amvp[mvp_idx][0]) >> 2,
                    (mv[1] - amvp[mvp_idx][1]) >> 2)
@@ -1732,7 +1816,10 @@ class _CtuSearcher:
             mv_pair = (mv, (0, 0)) if li == 0 else ((0, 0), mv)
             ref_idx = (0, -1) if li == 0 else (-1, 0)
             py, pcb, pcr = mc_pred(mv_pair, ref_idx)
-            coeffs = self._quant_resid(src_y, src_cb, src_cr, py, pcb, pcr)
+            if lmcs_map:
+                py = coder.reshape.fwd_lut[py]
+            coeffs = self._quant_resid(src_y, src_cb, src_cr, py, pcb, pcr,
+                                       cscale=cscale)
             cu = CuData(x, y, w, h, is_inter=True, merge=False,
                         mv=mv_pair, ref_idx=ref_idx,
                         root_cbf=any(c is not None for c in coeffs),
@@ -1758,11 +1845,11 @@ class _CtuSearcher:
                             mvd_l1=uni[1][2], mvp_idx_l1=uni[1][1],
                             bcw_idx=bcw_i)
                 # BDOF applies to AMVP bi-pred: predict via the real path
-                py = coder.pred_cu_inter(ps, cu, 0)
+                py = coder.pred_cu_inter(ps, cu, 0, mapped=True)
                 pcb = coder.pred_cu_inter(ps, cu, 1)
                 pcr = coder.pred_cu_inter(ps, cu, 2)
                 coeffs = self._quant_resid(src_y, src_cb, src_cr, py, pcb,
-                                           pcr)
+                                           pcr, cscale=cscale)
                 cu.root_cbf = any(c is not None for c in coeffs)
                 cu.coeff_y, cu.coeff_cb, cu.coeff_cr = coeffs
                 trials.append(cu)
@@ -1775,7 +1862,7 @@ class _CtuSearcher:
             amvp0 = coder.derive_amvp(ps, probe, 0)
             amvp1 = coder.derive_amvp(ps, probe, 1)
             mv0, mvp0 = self._motion_search(
-                src_y, x, y, w, h, amvp0, coder.ref_pics[0][sym0][0])
+                src_me, x, y, w, h, amvp0, coder.ref_pics[0][sym0][0])
             mvd = ((mv0[0] - amvp0[mvp0][0]) >> 2,
                    (mv0[1] - amvp0[mvp0][1]) >> 2)
             if mvd != (0, 0):
@@ -1785,11 +1872,11 @@ class _CtuSearcher:
                             smvd=True, ref_idx=(sym0, sym1),
                             mv=(mv0, mv1), mvd=mvd, mvp_idx=mvp0,
                             mvd_l1=(-mvd[0], -mvd[1]), mvp_idx_l1=0)
-                py = coder.pred_cu_inter(ps, cu, 0)
+                py = coder.pred_cu_inter(ps, cu, 0, mapped=True)
                 pcb = coder.pred_cu_inter(ps, cu, 1)
                 pcr = coder.pred_cu_inter(ps, cu, 2)
                 coeffs = self._quant_resid(src_y, src_cb, src_cr, py, pcb,
-                                           pcr)
+                                           pcr, cscale=cscale)
                 cu.root_cbf = any(c is not None for c in coeffs)
                 cu.coeff_y, cu.coeff_cb, cu.coeff_cr = coeffs
                 trials.append(cu)
@@ -1810,8 +1897,10 @@ class _CtuSearcher:
                             mv=(mv0, (0, 0)), ref_idx=(0, -1),
                             mvd=mvd_i, mvp_idx=0, imv=1)
                 py, pcb, pcr = mc_pred((mv0, (0, 0)), (0, -1))
+                if lmcs_map:
+                    py = coder.reshape.fwd_lut[py]
                 coeffs = self._quant_resid(src_y, src_cb, src_cr, py, pcb,
-                                           pcr)
+                                           pcr, cscale=cscale)
                 cu.root_cbf = any(c is not None for c in coeffs)
                 cu.coeff_y, cu.coeff_cb, cu.coeff_cr = coeffs
                 trials.append(cu)
@@ -1837,10 +1926,17 @@ class _CtuSearcher:
         cu.coeff_y = coeff if _np.any(coeff) else None
         pred_cb = predict_cu_component(ps, cu, 1, bit_depth)
         pred_cr = predict_cu_component(ps, cu, 2, bit_depth)
-        ccb = self._q(T.fwd_transform_np(src_cb - pred_cb, bit_depth),
+        rcb, rcr = src_cb - pred_cb, src_cr - pred_cr
+        if cscale is not None:
+            from ..codec.lmcs import scale_chroma_resi_fwd
+            rcb = scale_chroma_resi_fwd(rcb.astype(_np.int64), cscale,
+                                        bit_depth)
+            rcr = scale_chroma_resi_fwd(rcr.astype(_np.int64), cscale,
+                                        bit_depth)
+        ccb = self._q(T.fwd_transform_np(rcb, bit_depth),
                       self.qp.chroma_qp(1), False,
                       ct.CTX_SETS["QtCbfCb"](0), intra_slice=False)
-        ccr = self._q(T.fwd_transform_np(src_cr - pred_cr, bit_depth),
+        ccr = self._q(T.fwd_transform_np(rcr, bit_depth),
                       self.qp.chroma_qp(2), False,
                       ct.CTX_SETS["QtCbfCr"](1 if _np.any(ccb) else 0),
                       intra_slice=False)
@@ -1899,9 +1995,17 @@ class _CtuSearcher:
                 if not np.any(coeff_y):
                     continue
                 cu.coeff_y = coeff_y
+                # LMCS chroma scale at the SBT TU's luma position
+                cscale = self._chroma_scale(base_cu.x + tx, base_cu.y + ty,
+                                            tw >> 1, th >> 1)
                 for comp, resi_c in ((1, resi_cb), (2, resi_cr)):
                     sub = resi_c[ty >> 1:(ty + th) >> 1,
                                  tx >> 1:(tx + tw) >> 1]
+                    if cscale is not None:
+                        from ..codec.lmcs import scale_chroma_resi_fwd
+                        sub = scale_chroma_resi_fwd(
+                            sub.astype(np.int64), cscale,
+                            self.cfg.bit_depth)
                     cc = self._q(
                         T.fwd_transform_np(sub, self.cfg.bit_depth),
                         self.qp.chroma_qp(comp), False, None,
@@ -1914,7 +2018,8 @@ class _CtuSearcher:
                 cu.root_cbf = True
                 trials.append(cu)
 
-    def _quant_resid(self, src_y, src_cb, src_cr, py, pcb, pcr):
+    def _quant_resid(self, src_y, src_cb, src_cr, py, pcb, pcr,
+                     cscale=None):
         import numpy as _np
         bit_depth = self.cfg.bit_depth
         out = []
@@ -1925,7 +2030,12 @@ class _CtuSearcher:
                  (src_cr, pcr, self.qp.chroma_qp(2)))):
             cbf_ctx = cbfs[i] if i < 2 else \
                 ct.CTX_SETS["QtCbfCr"](1 if out[1] is not None else 0)
-            c = self._q(T.fwd_transform_np(src - pred, bit_depth), q, i == 0,
+            resi = src - pred
+            if i and cscale is not None:
+                from ..codec.lmcs import scale_chroma_resi_fwd
+                resi = scale_chroma_resi_fwd(resi.astype(_np.int64),
+                                             cscale, bit_depth)
+            c = self._q(T.fwd_transform_np(resi, bit_depth), q, i == 0,
                         cbf_ctx, intra_slice=False)
             out.append(c if _np.any(c) else None)
         return out
