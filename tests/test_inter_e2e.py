@@ -229,3 +229,38 @@ def test_inter_tools_combined_roundtrip():
     for p in range(len(frames)):
         for c in range(3):
             assert np.array_equal(decs[p].planes[c], enc.recs_by_poc[p][c])
+
+
+def test_affine_amvp_gradient_search_roundtrip():
+    """Affine AMVP ME (gradient CPMV search): forced-win round-trip plus
+    a compression win on rotating/zooming content."""
+    import numpy as np
+    from vvenc_tpu.encoder import IntraEncoder, EncoderConfig
+    from vvenc_tpu.decoder import decode_stream
+    W, H = 96, 64
+
+    def frame(t):
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        ang, s = 0.02 * t, 1.0 + 0.015 * t
+        cx, cy = W / 2, H / 2
+        xs = (np.cos(ang) * (xx - cx) - np.sin(ang) * (yy - cy)) / s + cx
+        ys = (np.sin(ang) * (xx - cx) + np.cos(ang) * (yy - cy)) / s + cy
+        y = np.clip(128 + 80 * np.sin(xs / 6.0) * np.cos(ys / 7.0),
+                    0, 255).astype(np.uint8)
+        u = np.full((H // 2, W // 2), 120, np.uint8)
+        v = np.full((H // 2, W // 2), 130, np.uint8)
+        return y, u, v
+    frames = [frame(t) for t in range(3)]
+    cfg = EncoderConfig(width=W, height=H, qp=30, ctu_size=32,
+                        intra_period=0, gop_size=1, deblocking=True,
+                        affine=True, prof=True)
+    enc = IntraEncoder(cfg)
+    enc.trial_filter = lambda cu: not cu.is_inter or \
+        (cu.affine and not cu.merge)
+    stream = enc.encode_sequence(frames)
+    dec = decode_stream(stream)
+    assert len(dec) == 3
+    for fr in dec:
+        for c in range(3):
+            assert np.array_equal(fr.planes[c],
+                                  enc.recs_by_poc[fr.poc][c])

@@ -1905,6 +1905,66 @@ class _CtuSearcher:
                 cu.coeff_y, cu.coeff_cb, cu.coeff_cr = coeffs
                 trials.append(cu)
 
+        # affine AMVP trials: gradient-based CPMV search per list
+        # (InterSearch::xAffineMotionEstimation analog, uni prediction)
+        if coder.affine_en and w >= 16 and h >= 16:
+            from ..codec.affine import (affine_amvp_list,
+                                        derive_affine_grids,
+                                        affine_predict_list)
+            from ..ops.affine_search import affine_search
+            for aff_type in ((0, 1) if coder.affine_type_en else (0,)):
+                n_cp = 3 if aff_type else 2
+                for li in range(2 if is_b else 1):
+                    if coder.num_refs[li] == 0:
+                        continue
+                    ref_idx = (0, -1) if li == 0 else (-1, 0)
+                    probe = CuData(x, y, w, h, is_inter=True, affine=True,
+                                   affine_type=aff_type, merge=False,
+                                   ref_idx=ref_idx)
+                    mvps = affine_amvp_list(coder, ps, probe, li, 0)
+                    pred_cps = mvps[0]
+
+                    def pred_fn(cp, probe=probe, li=li):
+                        cpmv = [((0, 0),) * 3, ((0, 0),) * 3]
+                        cpmv[li] = tuple(cp)
+                        probe.cpmv = tuple(cpmv)
+                        derive_affine_grids(coder, probe)
+                        return affine_predict_list(coder, probe, li, 0,
+                                                   False)
+                    cp, _ = affine_search(src_me, pred_fn,
+                                          [tuple(m) for m in pred_cps],
+                                          aff_type == 1, w, h)
+                    d0 = ((cp[0][0] - pred_cps[0][0]) >> 2,
+                          (cp[0][1] - pred_cps[0][1]) >> 2)
+                    mvds = [d0]
+                    for i in range(1, n_cp):
+                        mvds.append(
+                            (((cp[i][0] - pred_cps[i][0]) >> 2) - d0[0],
+                             ((cp[i][1] - pred_cps[i][1]) >> 2) - d0[1]))
+                    if all(d == (0, 0) for d in mvds):
+                        continue
+                    amvds = [[(0, 0)] * 3, [(0, 0)] * 3]
+                    amvds[li] = mvds + [(0, 0)] * (3 - n_cp)
+                    cu = CuData(x, y, w, h, is_inter=True, merge=False,
+                                affine=True, affine_type=aff_type,
+                                ref_idx=ref_idx,
+                                aff_mvds=(amvds[0], amvds[1]))
+                    if li == 0:
+                        cu.mvp_idx = 0
+                    else:
+                        cu.mvp_idx_l1 = 0
+                    # derive CPMVs/grids exactly as the decoder will
+                    coder._derive_affine_amvp_mvs(ps, cu)
+                    py = coder.pred_cu_inter(ps, cu, 0, mapped=True)
+                    pcb = coder.pred_cu_inter(ps, cu, 1)
+                    pcr = coder.pred_cu_inter(ps, cu, 2)
+                    coeffs = self._quant_resid(src_y, src_cb, src_cr,
+                                               py, pcb, pcr, cscale=cscale)
+                    cu.root_cbf = any(c is not None for c in coeffs)
+                    cu.coeff_y, cu.coeff_cb, cu.coeff_cr = coeffs
+                    if cu.root_cbf:
+                        trials.append(cu)
+
         # intra fallback: best-SATD mode, full residual
         top, left = I.build_reference_samples(
             ps.rec[0], x, y, w, h, ps.coded_luma, PictureState.LUMA_UNIT,
