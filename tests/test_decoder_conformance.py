@@ -512,6 +512,23 @@ GOLDEN_HASHES = {
         "731402d7fe8634ce24eb050a292e19d1",
         "6abf253075bd2ee38bd7c4eabd3d14d4",
         "be695d8ba1f53ab769290609ae6322f8"],
+    # tiles: 3x2 all-intra — per-tile CABAC init, entry points, implicit
+    # tile-size expansion, availability cut at tile boundaries
+    "golden_ai_tiles3x2_416x240_qp27_f2.266": [
+        "c9991f85504b5faebe5e9a2d2f4c31f2",
+        "63c482187b91229ff5fd5f5e3fdf71d1"],
+    # tiles: 2x2 random access GOP16 — inter availability across tile
+    # boundaries, HMVP per-tile reset, deblock across tile edges
+    "golden_ra_tiles2x2_416x240_qp27_f9.266": [
+        "b59aab747961aec854f2d2a4e9bc241b",
+        "73a9d971a25849f53c1bb981ac744fb6",
+        "dea67cf96643c95a2bfa6024bc19ae19",
+        "611620e0a50b50f0740cbd66a27bb42f",
+        "a8692df3d4c75ac740025523b5ef885b",
+        "c0152642239f2008c0ab5f073a3105c0",
+        "45e66b11578fded3259ee69f88a6aaab",
+        "5789efb61c8360834dc1e51ffbb0626b",
+        "fa426d523e89135b4e26d94947fbd020"],
     # same full tool matrix with LMCS on top (mapped-domain coding with
     # every prediction path + chroma scaling with every residual path)
     "golden_ra_lmcs_combo_416x240_qp26_f9.266": [

@@ -601,3 +601,37 @@ def test_lmcs_encoder_roundtrip_ra():
         for c in range(3):
             assert np.array_equal(fr.planes[c],
                                   enc.recs_by_poc[fr.poc][c])
+
+
+def test_tiles_encoder_roundtrip():
+    """Tiled encode: per-tile CABAC substreams + entry points, availability
+    cut at tile boundaries; decoder must reproduce the encoder recon."""
+    w, h = 192, 128
+    frames = [_synth_frame(w, h, t=t) for t in range(3)]
+    enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=30, ctu_size=32,
+                                     intra_period=0, gop_size=1,
+                                     deblocking=True, sao=True,
+                                     tile_cols=3, tile_rows=2))
+    stream = enc.encode_sequence(frames)
+    dec = decode_stream(stream)
+    assert len(dec) == 3
+    for fr in dec:
+        for c in range(3):
+            assert np.array_equal(fr.planes[c],
+                                  enc.recs_by_poc[fr.poc][c])
+
+
+def test_gop_parallel_byte_identical():
+    """GOP-segment parallel encode (numParallelGOPs analog): byte-identical
+    to the serial encode for any worker count; stream decodes."""
+    w, h = 96, 64
+    frames = [_synth_frame(w, h, t=t) for t in range(6)]
+    kw = dict(width=w, height=h, qp=32, ctu_size=32, intra_period=3,
+              gop_size=2, deblocking=True)
+    enc1 = IntraEncoder(EncoderConfig(parallel_gops=0, **kw))
+    s1 = enc1.encode_sequence(frames)
+    enc2 = IntraEncoder(EncoderConfig(parallel_gops=2, **kw))
+    s2 = enc2.encode_sequence(frames)
+    assert s1 == s2
+    dec = decode_stream(s1)
+    assert len(dec) == 6

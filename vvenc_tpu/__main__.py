@@ -90,6 +90,9 @@ def encoder_config_from(cfg, args) -> "EncoderConfig":
         scc_auto=cfg.transform_skip == 2,
         lmcs=cfg.lmcs, lmcs_update_ctrl=cfg.lmcs_update_ctrl,
         lmcs_offset=cfg.lmcs_offset,
+        tile_cols=max(1, cfg.num_tile_cols),
+        tile_rows=max(1, cfg.num_tile_rows),
+        parallel_gops=cfg.num_parallel_gops,
         bitrate=cfg.target_bitrate, picture_hash=cfg.picture_hash,
         hrd_timing_sei=bool(cfg.hrd_timing_sei),
         fps_num=cfg.fps_num, fps_den=cfg.fps_den)
@@ -165,12 +168,24 @@ def main(argv=None):
                 for poc in sorted(enc.recs_by_poc)]
         write_yuv(args.recon, recs, 10)
     if args.verify:
-        frames_dec = sorted(decode_stream(stream), key=lambda f: f.poc)
         import numpy as np
+        # POC restarts at every IDR (GOP segments): map each decoded
+        # frame to a global display index = segment base + local POC
+        decoded = decode_stream(stream)
+        globs = []
+        seg_base = 0
+        seen_in_seg = 0
+        for fr in decoded:
+            if fr.poc == 0 and seen_in_seg > 0:
+                seg_base += seen_in_seg
+                seen_in_seg = 0
+            seen_in_seg += 1
+            globs.append((seg_base + fr.poc, fr))
+        globs.sort(key=lambda t: t[0])
         by_poc = sorted(enc.recs_by_poc)
-        ok = (len(frames_dec) == len(by_poc)) and all(
+        ok = (len(globs) == len(by_poc)) and all(
             np.array_equal(fr.planes[c], enc.recs_by_poc[poc][c])
-            for fr, poc in zip(frames_dec, by_poc) for c in range(3))
+            for (g, fr), poc in zip(globs, by_poc) for c in range(3))
         print("verify decode:", "OK" if ok else "MISMATCH")
         if not ok:
             return 1

@@ -688,7 +688,20 @@ def parse_pps(br: BitReader, sps: SPS) -> PPS:
         nrows = br.read_uvlc() + 1
         p.tile_col_widths = [br.read_uvlc() + 1 for _ in range(ncols)]
         p.tile_row_heights = [br.read_uvlc() + 1 for _ in range(nrows)]
-        num_tiles = ncols * nrows  # NB: explicit tiles must cover the picture
+        # NumTilesInPic uses the counts AFTER implicit repetition of the
+        # last explicit size (H.266 6.5.1), not the explicit counts
+        ctu = 1 << p.log2_ctu_size
+
+        def _expand_count(sizes, total):
+            out = list(sizes)
+            while sum(out) < total:
+                out.append(sizes[-1])
+            return len(out)
+        n_tc = _expand_count(p.tile_col_widths,
+                             (p.pic_width + ctu - 1) // ctu)
+        n_tr = _expand_count(p.tile_row_heights,
+                             (p.pic_height + ctu - 1) // ctu)
+        num_tiles = n_tc * n_tr
         if num_tiles > 1:
             p.loop_filter_across_tiles = br.read_flag()
             p.rect_slice = br.read_flag()
@@ -1147,8 +1160,10 @@ def parse_slice_header(br: BitReader, sps: SPS, pps: PPS, is_idr: bool) -> Slice
     if sps.entry_points_present:
         num_entry_points = 0  # single slice covering the picture
         if not pps.no_pic_partition:
-            raise NotImplementedError("entry point counting for tiles")
-        if sps.entropy_coding_sync:
+            cols, rows = tile_grid(pps, sps)
+            assert not sps.entropy_coding_sync, "tiles+WPP TBD"
+            num_entry_points = len(cols) * len(rows) - 1
+        elif sps.entropy_coding_sync:
             n_rows = (sps.max_height + sps.ctu_size - 1) // sps.ctu_size
             num_entry_points = n_rows - 1
         if num_entry_points > 0:
@@ -1158,6 +1173,26 @@ def parse_slice_header(br: BitReader, sps: SPS, pps: PPS, is_idr: bool) -> Slice
     br.read_flag()  # byte_alignment: alignment bit = 1
     br.byte_align()
     return sh
+
+
+def tile_grid(pps, sps):
+    """CTU-unit tile column widths / row heights with the spec's implicit
+    repetition of the last explicit size (H.266 6.5.1)."""
+    ctu = sps.ctu_size
+    w_ctus = (pps.pic_width + ctu - 1) // ctu
+    h_ctus = (pps.pic_height + ctu - 1) // ctu
+
+    def expand(sizes, total):
+        out = list(sizes)
+        while sum(out) < total:
+            out.append(sizes[-1])
+        if sum(out) > total:
+            # trim the final entry to the picture boundary
+            out[-1] -= sum(out) - total
+            out = [s for s in out if s > 0]
+        return out
+    return (expand(pps.tile_col_widths, w_ctus),
+            expand(pps.tile_row_heights, h_ctus))
 
 
 def _parse_sh_rpls(br, sh, sps, pps):

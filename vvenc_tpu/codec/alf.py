@@ -509,7 +509,8 @@ def filter_ccalf_region(luma: np.ndarray, chroma_dst: np.ndarray,
 def code_alf_ctu(coder, encode: bool, ctu_addr: int, w_ctus: int,
                  alf_enabled, num_aps: int, num_alts_chroma: int,
                  ctu_flags, ctu_filter_idx, ctu_alt,
-                 cc_enabled, cc_filter_count, cc_control):
+                 cc_enabled, cc_filter_count, cc_control,
+                 avail_left=None, avail_up=None):
     """Read/write the per-CTU ALF syntax at the start of a CTU
     (vvenc CABACWriter::coding_tree_unit:168-203).
 
@@ -518,13 +519,15 @@ def code_alf_ctu(coder, encode: bool, ctu_addr: int, w_ctus: int,
     cc_control: [2][n_ctus] cc-alf filter control idc."""
     rx = ctu_addr % w_ctus
     ry = ctu_addr // w_ctus
+    has_left = rx > 0 if avail_left is None else avail_left
+    has_up = ry > 0 if avail_up is None else avail_up
     for comp in range(3):
         if not alf_enabled[comp]:
             continue
         ctx = 0
-        if rx > 0 and ctu_flags[comp][ctu_addr - 1]:
+        if has_left and ctu_flags[comp][ctu_addr - 1]:
             ctx += 1
-        if ry > 0 and ctu_flags[comp][ctu_addr - w_ctus]:
+        if has_up and ctu_flags[comp][ctu_addr - w_ctus]:
             ctx += 1
         cset = ct.CTX_SETS["CtbAlfFlag"](comp * 3 + ctx)
         if encode:
@@ -552,9 +555,9 @@ def code_alf_ctu(coder, encode: bool, ctu_addr: int, w_ctus: int,
         if not cc_enabled[cc]:
             continue
         ctx = 0
-        if rx > 0 and cc_control[cc][ctu_addr - 1]:
+        if has_left and cc_control[cc][ctu_addr - 1]:
             ctx += 1
-        if ry > 0 and cc_control[cc][ctu_addr - w_ctus]:
+        if has_up and cc_control[cc][ctu_addr - w_ctus]:
             ctx += 1
         ctx += 3 if cc == 1 else 0
         cset = ct.CTX_SETS["CcAlfFilterControlFlag"](ctx)

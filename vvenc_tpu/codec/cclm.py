@@ -84,7 +84,7 @@ def cclm_predict(ps, cu, comp: int, bit_depth: int, ctu_size: int
     x0, y0 = cu.x, cu.y          # luma position
     luma = ps.rec[0]
     chroma = ps.rec[comp]
-    coded = ps.coded_chroma
+    coded = ps.avail_chroma()
     uh, uw = coded.shape
 
     # availability in 2x2-chroma units (vvenc isAbove/Left/AR/BL-Available)

@@ -2654,10 +2654,10 @@ def predict_cu_component(ps: PictureState, cu: CuData, comp: int,
         # (IntraPrediction::xPredIntraBDPCM:683)
         if comp == 0:
             x, y, w, h = cu.x, cu.y, cu.w, cu.h
-            rec, mask, unit = ps.rec[0], ps.coded_luma, PictureState.LUMA_UNIT
+            rec, mask, unit = ps.rec[0], ps.avail_luma(), PictureState.LUMA_UNIT
         else:
             x, y, w, h = cu.x >> 1, cu.y >> 1, cu.w >> 1, cu.h >> 1
-            rec, mask, unit = ps.rec[comp], ps.coded_chroma, \
+            rec, mask, unit = ps.rec[comp], ps.avail_chroma(), \
                 PictureState.CHROMA_UNIT
         top, left = I.build_reference_samples(rec, x, y, w, h, mask, unit,
                                               bit_depth)
@@ -2670,7 +2670,7 @@ def predict_cu_component(ps: PictureState, cu: CuData, comp: int,
         mode = cu.luma_mode
         x, y, w, h = cu.x, cu.y, cu.w, cu.h
         rec = ps.rec[0]
-        mask = ps.coded_luma
+        mask = ps.avail_luma()
         unit = PictureState.LUMA_UNIT
         is_luma = True
         if cu.mip_flag:
@@ -2683,7 +2683,7 @@ def predict_cu_component(ps: PictureState, cu: CuData, comp: int,
             else cu.chroma_dir
         x, y, w, h = cu.x >> 1, cu.y >> 1, cu.w >> 1, cu.h >> 1
         rec = ps.rec[comp]
-        mask = ps.coded_chroma
+        mask = ps.avail_chroma()
         unit = PictureState.CHROMA_UNIT
         is_luma = False
     ref_line = cu.ref_line if comp == 0 else 0
@@ -2856,9 +2856,9 @@ def isp_predict_part(ps: PictureState, cu_x: int, cu_y: int, cu_w: int,
     def avail_fn(qx, qy, ax=ax, ay=ay):
         if cu_x <= qx < cu_x + cu_w and cu_y <= qy < cu_y + cu_h:
             return (qy < ay) if isp_mode == 1 else (qx < ax)
-        return bool(ps.coded_luma[qy >> 2, qx >> 2])
+        return ps.is_coded(qx, qy)
     top, left = I.build_reference_samples(
-        ps.rec[0], ax, ay, rw, ph, ps.coded_luma,
+        ps.rec[0], ax, ay, rw, ph, ps.avail_luma(),
         PictureState.LUMA_UNIT, bit_depth,
         pred_sizes=(cu_w + rw, cu_h + ph), avail_fn=avail_fn)
     pred = I.predict_intra(top, left, mode, rw, ph, bit_depth,

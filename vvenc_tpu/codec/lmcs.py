@@ -190,11 +190,11 @@ def chroma_adj_vpdu_nei(ps, reshape: ReshapeState, x: int, y: int,
     rec = ps.rec[0]
     total = 0
     pelnum = 0
-    if cux > 0:
+    if cux > 0 and ps.is_coded(cux - 1, cuy):
         pelnum += 1
         ks = np.minimum(cuy + np.arange(n), ps.h - 1) - cuy
         total += int(rec[cuy + ks, cux - 1].sum())
-    if cuy > 0:
+    if cuy > 0 and ps.is_coded(cux, cuy - 1):
         pelnum += 1
         ks = np.minimum(cux + np.arange(n), ps.w - 1) - cux
         total += int(rec[cuy - 1, cux + ks].sum())

@@ -44,6 +44,11 @@ class PictureState:
         self.cu_y = np.zeros((uh, uw), dtype=np.int32)
         self.qt_depth = np.zeros((uh, uw), dtype=np.int32)
         self.qp_map = np.zeros((uh, uw), dtype=np.int32)  # per-4x4 QpY
+        # tiles: per-4x4 tile index; availability is gated to the current
+        # tile (CUs of other tiles are treated as outside the picture,
+        # vvenc getCURestricted tileIdx check)
+        self.tile_map = None            # None = single tile
+        self.cur_tile = 0
 
     # -- attribute queries (positions in luma samples) ---------------------
     def inside(self, x: int, y: int) -> bool:
@@ -57,7 +62,43 @@ class PictureState:
         return int(self.qp_map[y >> 2, x >> 2])
 
     def is_coded(self, x: int, y: int) -> bool:
-        return self.inside(x, y) and bool(self.coded_luma[y >> 2, x >> 2])
+        if not self.inside(x, y) or not bool(self.coded_luma[y >> 2, x >> 2]):
+            return False
+        return self.tile_map is None or \
+            int(self.tile_map[y >> 2, x >> 2]) == self.cur_tile
+
+    # -- tiles -------------------------------------------------------------
+    def set_tiles(self, col_bounds, row_bounds) -> None:
+        """col_bounds/row_bounds: pixel x/y start positions of tile columns/
+        rows (ascending, starting at 0)."""
+        uh, uw = self.coded_luma.shape
+        self.tile_map = np.zeros((uh, uw), dtype=np.int32)
+        ncols = len(col_bounds)
+        xs = np.arange(uw) << 2
+        ys = np.arange(uh) << 2
+        col_idx = np.searchsorted(np.asarray(col_bounds), xs, "right") - 1
+        row_idx = np.searchsorted(np.asarray(row_bounds), ys, "right") - 1
+        self.tile_map[:] = row_idx[:, None] * ncols + col_idx[None, :]
+
+    def tile_at(self, x: int, y: int) -> int:
+        if self.tile_map is None:
+            return 0
+        return int(self.tile_map[y >> 2, x >> 2])
+
+    def avail_luma(self) -> np.ndarray:
+        """Effective luma availability mask (coded AND same tile)."""
+        if self.tile_map is None:
+            return self.coded_luma
+        return self.coded_luma & (self.tile_map == self.cur_tile)
+
+    def avail_chroma(self) -> np.ndarray:
+        if self.tile_map is None:
+            return self.coded_chroma
+        # chroma coded mask is per 2x2-chroma (= 4x4-luma) unit: the tile
+        # map has the same granularity
+        ch, cw = self.coded_chroma.shape
+        sub = self.tile_map[:ch, :cw]
+        return self.coded_chroma & (sub == self.cur_tile)
 
     def cu_at(self, x: int, y: int):
         """(w, h, qt_depth, intra_mode, is_intra, is_mip) of the CU covering

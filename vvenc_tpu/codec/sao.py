@@ -57,11 +57,13 @@ def _write_uvlc_trunc_ep(enc, v, cmax):
 
 
 def parse_sao_ctu(dec, sao_map, ctu_x, ctu_y, n_cols, slice_sao,
-                  bit_depth: int) -> SaoBlkParam:
-    """Parse one CTU's SAO parameters (slice_sao = (luma_on, chroma_on))."""
+                  bit_depth: int, avail_left=None,
+                  avail_up=None) -> SaoBlkParam:
+    """Parse one CTU's SAO parameters (slice_sao = (luma_on, chroma_on)).
+    avail_left/avail_up override merge availability at tile boundaries."""
     idx = ctu_y * n_cols + ctu_x
-    left_avail = ctu_x > 0
-    above_avail = ctu_y > 0
+    left_avail = ctu_x > 0 if avail_left is None else avail_left
+    above_avail = ctu_y > 0 if avail_up is None else avail_up
     if left_avail and dec.decode_bin(ct.CTX_SETS["SaoMergeFlag"](0)):
         return sao_map[idx - 1]
     if above_avail and dec.decode_bin(ct.CTX_SETS["SaoMergeFlag"](0)):
@@ -100,18 +102,20 @@ def parse_sao_ctu(dec, sao_map, ctu_x, ctu_y, n_cols, slice_sao,
 
 
 def write_sao_ctu(enc, blk: SaoBlkParam, sao_map, ctu_x, ctu_y, n_cols,
-                  slice_sao, bit_depth: int) -> None:
+                  slice_sao, bit_depth: int, avail_left=None,
+                  avail_up=None) -> None:
     """Encode one CTU's SAO parameters.
 
     Merge-left/up is signaled by object identity with the neighbor's params
-    (mirror of parse_sao_ctu, which stores the identical object on merge)."""
+    (mirror of parse_sao_ctu, which stores the identical object on merge).
+    avail_left/avail_up override merge availability at tile boundaries."""
     idx = ctu_y * n_cols + ctu_x
-    if ctu_x > 0:
+    if (ctu_x > 0 if avail_left is None else avail_left):
         merge_left = blk is sao_map[idx - 1]
         enc.encode_bin(1 if merge_left else 0, ct.CTX_SETS["SaoMergeFlag"](0))
         if merge_left:
             return
-    if ctu_y > 0:
+    if (ctu_y > 0 if avail_up is None else avail_up):
         merge_up = blk is sao_map[idx - n_cols]
         enc.encode_bin(1 if merge_up else 0, ct.CTX_SETS["SaoMergeFlag"](0))
         if merge_up:

@@ -144,9 +144,20 @@ def _decode_slice(rbsp: bytes, nal_type, sps_map, pps_map, aps_map,
     w_ctus = (pps.pic_width + ctu - 1) // ctu
     h_ctus = (pps.pic_height + ctu - 1) // ctu
 
-    wpp = bool(sps.entropy_coding_sync)
-    if wpp:
-        # split the slice data into per-CTU-row substreams (entry points)
+    tiles = None
+    if not pps.no_pic_partition:
+        cols, rows = hls.tile_grid(pps, sps)
+        if len(cols) * len(rows) > 1:
+            # tile raster scan: per-tile CTU ranges + pixel boundaries
+            cs = np.cumsum([0] + cols)
+            rs = np.cumsum([0] + rows)
+            tiles = [(int(cs[i]), int(cs[i + 1]), int(rs[j]),
+                      int(rs[j + 1]))
+                     for j in range(len(rows)) for i in range(len(cols))]
+            ps.set_tiles([int(c) * ctu for c in cs[:-1]],
+                         [int(r) * ctu for r in rs[:-1]])
+
+    def _substreams(n):
         data = rbsp[br.pos_bits // 8:]
         starts = [0]
         for off in sh.entry_point_offsets:
@@ -154,7 +165,17 @@ def _decode_slice(rbsp: bytes, nal_type, sps_map, pps_map, aps_map,
         subs = [data[starts[i]:(starts[i + 1] if i + 1 < len(starts)
                                 else len(data))]
                 for i in range(len(starts))]
-        assert len(subs) == h_ctus, (len(subs), h_ctus)
+        assert len(subs) == n, (len(subs), n)
+        return subs
+
+    wpp = bool(sps.entropy_coding_sync)
+    if wpp:
+        # per-CTU-row substreams (entry points)
+        subs = _substreams(h_ctus)
+        dec = CabacDecoder(BitReader(subs[0]))
+        dec.init_ctx(sh.slice_qp, init_id)
+    elif tiles is not None:
+        subs = _substreams(len(tiles))
         dec = CabacDecoder(BitReader(subs[0]))
         dec.init_ctx(sh.slice_qp, init_id)
     else:
@@ -174,32 +195,60 @@ def _decode_slice(rbsp: bytes, nal_type, sps_map, pps_map, aps_map,
             if (sh.alf_enabled[1] or sh.alf_enabled[2]) else 1
         cc_counts = [aps_map[sh.cc_alf_aps_ids[i]].cc_filter_count[i]
                      if sh.cc_alf_enabled[i] else 0 for i in range(2)]
-    trees = []
+    trees = [None] * (w_ctus * h_ctus)
     sync_ctx = None
     from ..bitstream.cabac import CtxModels
-    for cy in range(h_ctus):
-        if wpp and cy > 0:
-            # close the previous substream, open the next with the ctx
-            # state synced from after the first CTU of the row above
-            assert dec.decode_bin_trm() == 1, "end_of_subset bin"
-            dec = CabacDecoder(BitReader(subs[cy]),
-                               ctx=CtxModels(sync_ctx))
-            dec.start()
-        coder.new_ctu_row()
-        for cx in range(w_ctus):
-            if sao_on:
-                from ..codec.sao import parse_sao_ctu
-                sao_map[cy * w_ctus + cx] = parse_sao_ctu(
-                    dec, sao_map, cx, cy, w_ctus,
-                    (sh.sao_luma, sh.sao_chroma), sps.bit_depth)
-            if alf_on:
-                code_alf_ctu(dec, False, cy * w_ctus + cx, w_ctus,
-                             sh.alf_enabled, sh.num_alf_aps, num_alts,
-                             alf_flags, alf_fidx, alf_alt,
-                             sh.cc_alf_enabled, cc_counts, cc_ctrl)
-            trees.append(coder.decode_ctu(dec, ps, cx * ctu, cy * ctu))
-            if wpp and cx == 0:
-                sync_ctx = CtxModels(dec.ctx)
+    if tiles is not None:
+        # tile raster scan; fresh context init per tile
+        for ti, (tx0, tx1, ty0, ty1) in enumerate(tiles):
+            if ti > 0:
+                assert dec.decode_bin_trm() == 1, "end_of_tile bin"
+                dec = CabacDecoder(BitReader(subs[ti]))
+                dec.init_ctx(sh.slice_qp, init_id)
+            ps.cur_tile = ti
+            for cy in range(ty0, ty1):
+                coder.new_ctu_row()
+                for cx in range(tx0, tx1):
+                    if sao_on:
+                        from ..codec.sao import parse_sao_ctu
+                        sao_map[cy * w_ctus + cx] = parse_sao_ctu(
+                            dec, sao_map, cx, cy, w_ctus,
+                            (sh.sao_luma, sh.sao_chroma), sps.bit_depth,
+                            avail_left=cx > tx0, avail_up=cy > ty0)
+                    if alf_on:
+                        code_alf_ctu(dec, False, cy * w_ctus + cx, w_ctus,
+                                     sh.alf_enabled, sh.num_alf_aps,
+                                     num_alts, alf_flags, alf_fidx,
+                                     alf_alt, sh.cc_alf_enabled, cc_counts,
+                                     cc_ctrl, avail_left=cx > tx0,
+                                     avail_up=cy > ty0)
+                    trees[cy * w_ctus + cx] = coder.decode_ctu(
+                        dec, ps, cx * ctu, cy * ctu)
+    else:
+        for cy in range(h_ctus):
+            if wpp and cy > 0:
+                # close the previous substream, open the next with the ctx
+                # state synced from after the first CTU of the row above
+                assert dec.decode_bin_trm() == 1, "end_of_subset bin"
+                dec = CabacDecoder(BitReader(subs[cy]),
+                                   ctx=CtxModels(sync_ctx))
+                dec.start()
+            coder.new_ctu_row()
+            for cx in range(w_ctus):
+                if sao_on:
+                    from ..codec.sao import parse_sao_ctu
+                    sao_map[cy * w_ctus + cx] = parse_sao_ctu(
+                        dec, sao_map, cx, cy, w_ctus,
+                        (sh.sao_luma, sh.sao_chroma), sps.bit_depth)
+                if alf_on:
+                    code_alf_ctu(dec, False, cy * w_ctus + cx, w_ctus,
+                                 sh.alf_enabled, sh.num_alf_aps, num_alts,
+                                 alf_flags, alf_fidx, alf_alt,
+                                 sh.cc_alf_enabled, cc_counts, cc_ctrl)
+                trees[cy * w_ctus + cx] = coder.decode_ctu(
+                    dec, ps, cx * ctu, cy * ctu)
+                if wpp and cx == 0:
+                    sync_ctx = CtxModels(dec.ctx)
     term = dec.decode_bin_trm()
     assert term == 1, "expected end_of_slice terminating bin"
 

@@ -102,6 +102,10 @@ class EncoderConfig:
     mctf: bool = False             # motion-compensated temporal filtering
     wpp: bool = False              # WPP: per-CTU-row substreams + entry
                                    # points (entropy_coding_sync)
+    tile_cols: int = 1             # tile columns (spatial sharding axis)
+    tile_rows: int = 1             # tile rows
+    parallel_gops: int = 0         # GOP/segment-parallel encode workers
+                                   # (segments split at the intra period)
     max_parallel_frames: int = 0   # frame-parallel all-intra encode
     picture_hash: int = 0          # decoded-picture-hash SEI: 0 off,
                                    # 1 MD5, 2 CRC, 3 checksum
@@ -164,6 +168,23 @@ def build_parameter_sets(cfg: EncoderConfig):
     if cfg.wpp:
         sps.entropy_coding_sync = 1
         sps.entry_points_present = 1
+    if cfg.tile_cols > 1 or cfg.tile_rows > 1:
+        assert not cfg.wpp, "tiles+WPP combination TBD"
+        ctus_w = (cfg.width + cfg.ctu_size - 1) // cfg.ctu_size
+        ctus_h = (cfg.height + cfg.ctu_size - 1) // cfg.ctu_size
+        nc = max(1, min(cfg.tile_cols, ctus_w))
+        nr = max(1, min(cfg.tile_rows, ctus_h))
+
+        def split(total, n):
+            base, rem = divmod(total, n)
+            return [base + (1 if i < rem else 0) for i in range(n)]
+        pps.no_pic_partition = 0
+        pps.log2_ctu_size = cfg.ctu_size.bit_length() - 1
+        pps.tile_col_widths = split(ctus_w, nc)
+        pps.tile_row_heights = split(ctus_h, nr)
+        pps.loop_filter_across_tiles = 1
+        pps.loop_filter_across_slices = 1
+        sps.entry_points_present = 1
     if cfg.bdof:
         sps.bdof = sps.bdof_present = 1
     if cfg.dmvr:
@@ -199,6 +220,8 @@ class _SliceWriter:
 
     def __init__(self, slice_qp: int, init_id: int, wpp: bool):
         self.wpp = wpp
+        self.slice_qp = slice_qp
+        self.init_id = init_id
         self.subs = []
         self.bw = BitWriter()
         self.enc = CabacEncoder(self.bw)
@@ -216,6 +239,19 @@ class _SliceWriter:
         self.subs.append(self.bw.get_bytes())
         self.bw = BitWriter()
         self.enc = CabacEncoder(self.bw, ctx=CtxModels(self.sync_ctx))
+
+    def new_tile(self, tile_idx: int) -> None:
+        """Tile boundary: end_of_tile_one_bit + byte alignment, then a
+        fresh CABAC engine with re-initialized contexts (H.266 9.3.1)."""
+        if tile_idx == 0:
+            return
+        self.enc.encode_bin_trm(1)
+        self.enc.finish()
+        self.bw.write_rbsp_trailing_bits()
+        self.subs.append(self.bw.get_bytes())
+        self.bw = BitWriter()
+        self.enc = CabacEncoder(self.bw)
+        self.enc.init_ctx(self.slice_qp, self.init_id)
 
     def after_first_ctu(self) -> None:
         if self.wpp:
@@ -359,6 +395,12 @@ class IntraEncoder:
                 self.rc.write_stats(self.cfg.rc_stats_out)
             return bytes(stream)
         # random-access hierarchical GOPs
+        if cfg.intra_period > 1 and len(frames) > cfg.intra_period:
+            # segment the sequence at the intra period: every segment
+            # starts with an IDR and is fully independent (vvenc
+            # numParallelGOPs analog; bitstream is identical for any
+            # worker count — the reference's determinism contract)
+            return self._encode_gop_segments(frames)
         gop = cfg.gop_size
         entries = build_gop(gop)
         stream += self._encode_picture(0, frames[0], SLICE_I, [], [])
@@ -387,6 +429,46 @@ class IntraEncoder:
             self.recs_by_poc[poc] = dict(self.last_rec.rec)
         if self.rc is not None and self.cfg.rc_stats_out:
             self.rc.write_stats(self.cfg.rc_stats_out)
+        return bytes(stream)
+
+    def _encode_gop_segments(self, frames) -> bytes:
+        """Segment-parallel random-access encode (vvenc numParallelGOPs,
+        vvencCfg.h:786): the sequence splits at the intra period into
+        independently-decodable IDR segments; a process pool encodes them
+        concurrently.  Output is byte-identical for any worker count."""
+        import copy
+        from concurrent.futures import ProcessPoolExecutor
+        cfg = self.cfg
+        ip = cfg.intra_period
+        seg_cfg = copy.copy(cfg)
+        seg_cfg.intra_period = 0      # one IDR per segment
+        seg_cfg.parallel_gops = 0
+        segs = [frames[s:s + ip] for s in range(0, len(frames), ip)]
+        jobs = [(seg_cfg, i, segs[i], getattr(self, "_fgc_sei", None))
+                for i in range(len(segs))]
+        workers = max(1, cfg.parallel_gops)
+        stream = bytearray()
+        if workers == 1:
+            results = map(_encode_gop_segment_job, jobs)
+        else:
+            ex = ProcessPoolExecutor(max_workers=workers)
+            results = ex.map(_encode_gop_segment_job, jobs)
+        base = 0
+        for si, (au, recs, bits, qps, stypes) in enumerate(results):
+            stream += au
+            for lpoc, rec in recs.items():
+                self.recs_by_poc[base + lpoc] = rec
+                self.bits_by_poc[base + lpoc] = bits[lpoc]
+                self.qp_by_poc[base + lpoc] = qps[lpoc]
+                self.slice_type_by_poc[base + lpoc] = stypes[lpoc]
+            base += len(segs[si])
+            self.frames_done = base
+        if workers > 1:
+            ex.shutdown()
+        last = PictureState(cfg.width, cfg.height, cfg.bit_depth)
+        for c in range(3):
+            last.rec[c][:] = self.recs_by_poc[len(frames) - 1][c]
+        self.last_rec = last
         return bytes(stream)
 
     def _encode_all_intra_parallel(self, frames) -> bytes:
@@ -543,26 +625,58 @@ class IntraEncoder:
         ctu = cfg.ctu_size
         n_cols = (cfg.width + ctu - 1) // ctu
         n_rows = (cfg.height + ctu - 1) // ctu
-        trees = []
-        for cy in range(n_rows):
-            sw.new_row(cy)
-            coder.new_ctu_row()
-            for cx in range(n_cols):
-                if qpa_res is not None:
-                    addr = cy * n_cols + cx
-                    ctu_qp = int(qpa_res.ctu_qps[addr])
-                    qp_state.set_cu_qp(ctu_qp)
-                    searcher.lmbda = self.lmbda = \
-                        float(qpa_res.ctu_lambdas[addr])
-                    searcher.lmbda_sad = self.lmbda_sad = \
-                        searcher.lmbda ** 0.5
-                tree = searcher.search_ctu(cx * ctu, cy * ctu, sw.enc.ctx)
-                if qpa_res is not None:
-                    _set_tree_qp(tree, ctu_qp)
-                coder.encode_ctu(sw.enc, ps, tree)
-                if cx == 0:
-                    sw.after_first_ctu()
-                trees.append(tree)
+
+        tiles_enc = None
+        if not self.pps.no_pic_partition:
+            cols, rows_ = hls.tile_grid(self.pps, self.sps)
+            if len(cols) * len(rows_) > 1:
+                cs_ = np.cumsum([0] + cols)
+                rs_ = np.cumsum([0] + rows_)
+                tiles_enc = [(int(cs_[i]), int(cs_[i + 1]), int(rs_[j]),
+                              int(rs_[j + 1]))
+                             for j in range(len(rows_))
+                             for i in range(len(cols))]
+                ps.set_tiles([int(c) * ctu for c in cs_[:-1]],
+                             [int(r) * ctu for r in rs_[:-1]])
+        # tile-scan CTU traversal (single tile = plain raster)
+        scan = []
+        if tiles_enc is not None:
+            for ti, (tx0, tx1, ty0, ty1) in enumerate(tiles_enc):
+                for cy in range(ty0, ty1):
+                    for cx in range(tx0, tx1):
+                        scan.append((ti, cx, cy, cx == tx0))
+        else:
+            for cy in range(n_rows):
+                for cx in range(n_cols):
+                    scan.append((0, cx, cy, cx == 0))
+
+        trees = [None] * (n_cols * n_rows)
+        prev_tile, prev_cy = -1, -1
+        for ti, cx, cy, row_start in scan:
+            if tiles_enc is not None and ti != prev_tile:
+                sw.new_tile(ti)
+                ps.cur_tile = ti
+                prev_tile = ti
+            if row_start or cy != prev_cy:
+                if tiles_enc is None:
+                    sw.new_row(cy)
+                coder.new_ctu_row()
+                prev_cy = cy
+            if qpa_res is not None:
+                addr = cy * n_cols + cx
+                ctu_qp = int(qpa_res.ctu_qps[addr])
+                qp_state.set_cu_qp(ctu_qp)
+                searcher.lmbda = self.lmbda = \
+                    float(qpa_res.ctu_lambdas[addr])
+                searcher.lmbda_sad = self.lmbda_sad = \
+                    searcher.lmbda ** 0.5
+            tree = searcher.search_ctu(cx * ctu, cy * ctu, sw.enc.ctx)
+            if qpa_res is not None:
+                _set_tree_qp(tree, ctu_qp)
+            coder.encode_ctu(sw.enc, ps, tree)
+            if tiles_enc is None and cx == 0:
+                sw.after_first_ctu()
+            trees[cy * n_cols + cx] = tree
         # end_of_slice: terminating bin + arithmetic flush + rbsp trailing
         # bits.  The stop '1' bit completes the terminator code interval
         # (the flush drops the low byte; '1000...' padding lands the decoded
@@ -611,8 +725,15 @@ class IntraEncoder:
         if cfg.sao:
             from .sao_enc import derive_sao
             from ..codec.sao import apply_sao_picture
+            tile_of = None
+            if tiles_enc is not None:
+                tile_of = [0] * (n_cols * n_rows)
+                for ti_, (tx0, tx1, ty0, ty1) in enumerate(tiles_enc):
+                    for cy_ in range(ty0, ty1):
+                        for cx_ in range(tx0, tx1):
+                            tile_of[cy_ * n_cols + cx_] = ti_
             res = derive_sao(src, ps.rec, cfg.bit_depth, cfg.ctu_size,
-                             self.lmbda, n_cols, n_rows)
+                             self.lmbda, n_cols, n_rows, tile_of=tile_of)
             if res is not None:
                 sao_map, (sh.sao_luma, sh.sao_chroma) = res
                 apply_sao_picture(ps.rec, sao_map, cfg.ctu_size,
@@ -664,6 +785,8 @@ class IntraEncoder:
             from ..codec.sao import write_sao_ctu
             from ..codec.alf import code_alf_ctu
             ps2 = PictureState(cfg.width, cfg.height, cfg.bit_depth)
+            if tiles_enc is not None:
+                ps2.tile_map = ps.tile_map
             qp2 = QpState(self.sps, self.pps, slice_qp, sh=sh)
             coder2 = SyntaxCoder(self.sps, self.pps, sh, qp2,
                                  ref_pics, ref_pocs, tmvp=tmvp, cur_poc=poc,
@@ -671,28 +794,39 @@ class IntraEncoder:
             coder2.attach_motion(ps2)
             sw = _SliceWriter(slice_qp, 2 if is_idr else sh.slice_type,
                               bool(cfg.wpp))
-            ti = 0
-            for cy in range(n_rows):
-                sw.new_row(cy)
-                coder2.new_ctu_row()
-                for cx in range(n_cols):
-                    addr = cy * n_cols + cx
-                    if qpa_res is not None:
-                        qp2.set_cu_qp(int(qpa_res.ctu_qps[addr]))
-                    if sao_map is not None:
-                        write_sao_ctu(sw.enc, sao_map[addr], sao_map, cx,
-                                      cy, n_cols,
-                                      (sh.sao_luma, sh.sao_chroma),
-                                      cfg.bit_depth)
-                    if alf_info is not None:
-                        code_alf_ctu(sw.enc, True, addr, n_cols,
-                                     sh.alf_enabled, sh.num_alf_aps, 1,
-                                     alf_info[0], alf_info[1], alf_info[2],
-                                     sh.cc_alf_enabled, cc_counts, cc_ctrl)
-                    coder2.encode_ctu(sw.enc, ps2, trees[ti])
-                    if cx == 0:
-                        sw.after_first_ctu()
-                    ti += 1
+            prev_tile, prev_cy = -1, -1
+            for ti, cx, cy, row_start in scan:
+                if tiles_enc is not None and ti != prev_tile:
+                    sw.new_tile(ti)
+                    ps2.cur_tile = ti
+                    prev_tile = ti
+                if row_start or cy != prev_cy:
+                    if tiles_enc is None:
+                        sw.new_row(cy)
+                    coder2.new_ctu_row()
+                    prev_cy = cy
+                addr = cy * n_cols + cx
+                al = au_ = None
+                if tiles_enc is not None:
+                    tx0, _, ty0, _ = tiles_enc[ti]
+                    al, au_ = cx > tx0, cy > ty0
+                if qpa_res is not None:
+                    qp2.set_cu_qp(int(qpa_res.ctu_qps[addr]))
+                if sao_map is not None:
+                    write_sao_ctu(sw.enc, sao_map[addr], sao_map, cx,
+                                  cy, n_cols,
+                                  (sh.sao_luma, sh.sao_chroma),
+                                  cfg.bit_depth, avail_left=al,
+                                  avail_up=au_)
+                if alf_info is not None:
+                    code_alf_ctu(sw.enc, True, addr, n_cols,
+                                 sh.alf_enabled, sh.num_alf_aps, 1,
+                                 alf_info[0], alf_info[1], alf_info[2],
+                                 sh.cc_alf_enabled, cc_counts, cc_ctrl,
+                                 avail_left=al, avail_up=au_)
+                coder2.encode_ctu(sw.enc, ps2, trees[addr])
+                if tiles_enc is None and cx == 0:
+                    sw.after_first_ctu()
             payload, sh.entry_point_offsets = sw.finish()
             bw = BitWriter()
             hls.write_slice_header(bw, sh, self.sps, self.pps,
@@ -928,7 +1062,7 @@ class _CtuSearcher:
         entry_snap = self._save(x, y, max(w, h))  # pre-CU state (ISP trials)
 
         top, left = I.build_reference_samples(
-            ps.rec[0], x, y, w, h, ps.coded_luma, PictureState.LUMA_UNIT,
+            ps.rec[0], x, y, w, h, ps.avail_luma(), PictureState.LUMA_UNIT,
             bit_depth)
         mpm = get_intra_mpms(ps, x, y, w, h, self.cfg.ctu_size)
 
@@ -955,7 +1089,7 @@ class _CtuSearcher:
         if self.enc.sps.mrl and (y % self.cfg.ctu_size) != 0:
             for line in (1, 2):
                 rt, rl = I.build_reference_samples(
-                    ps.rec[0], x, y, w, h, ps.coded_luma,
+                    ps.rec[0], x, y, w, h, ps.avail_luma(),
                     PictureState.LUMA_UNIT, bit_depth, ref_idx=line)
                 for mi in range(1, 6):
                     mode = mpm[mi]
@@ -1234,7 +1368,8 @@ class _CtuSearcher:
             if tx < max(0, (x // ctu - 1) * ctu):
                 return False
             # fully reconstructed
-            m = ps.coded_luma[ty >> 2:(ty + h) >> 2, tx >> 2:(tx + w) >> 2]
+            m = ps.avail_luma()[ty >> 2:(ty + h) >> 2,
+                                tx >> 2:(tx + w) >> 2]
             return bool(m.all())
 
         merge_cands = get_ibc_merge_candidates(ps, coder.mf,
@@ -1967,7 +2102,7 @@ class _CtuSearcher:
 
         # intra fallback: best-SATD mode, full residual
         top, left = I.build_reference_samples(
-            ps.rec[0], x, y, w, h, ps.coded_luma, PictureState.LUMA_UNIT,
+            ps.rec[0], x, y, w, h, ps.avail_luma(), PictureState.LUMA_UNIT,
             bit_depth)
         best_satd = None
         for mode in (I.PLANAR_IDX, I.DC_IDX, I.HOR_IDX, I.VER_IDX):
@@ -2149,6 +2284,21 @@ class _CtuSearcher:
                            self.cfg.bit_depth, True)
         bits = ((abs(mv[0] - mvp[0]) + abs(mv[1] - mvp[1])) >> 2) * 1.5 + 2
         return R.sse_np(src_y, pred) + self.lmbda * bits
+
+
+def _encode_gop_segment_job(args):
+    """Process-pool worker: encode one IDR segment standalone.
+
+    Headers are emitted by the first segment only; each segment's POC
+    restarts at 0 (IDR semantics), so segments are fully independent."""
+    cfg, seg_idx, frames_seg, fgc = args
+    enc = IntraEncoder(cfg)
+    enc._fgc_sei = fgc if seg_idx == 0 else None
+    if seg_idx > 0:
+        enc._headers = b""
+    au = enc.encode_sequence(list(frames_seg))
+    return (au, enc.recs_by_poc, enc.bits_by_poc, enc.qp_by_poc,
+            enc.slice_type_by_poc)
 
 
 def _encode_intra_frame_job(args):

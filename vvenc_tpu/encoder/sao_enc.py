@@ -158,7 +158,8 @@ def _param_bits(p: SaoCompParam, cmax: int, first_of_ch: bool) -> float:
 
 
 def derive_sao(src, rec, bit_depth: int, ctu_size: int, lmbda: float,
-               n_cols: int, n_rows: int) -> Optional[List[SaoBlkParam]]:
+               n_cols: int, n_rows: int,
+               tile_of=None) -> Optional[List[SaoBlkParam]]:
     """Derive per-CTU SAO params from deblocked rec vs original.
 
     Returns (sao_map, (luma_on, chroma_on)) or None if SAO is all-off.
@@ -227,19 +228,24 @@ def derive_sao(src, rec, bit_depth: int, ctu_size: int, lmbda: float,
             new_blk.comps[0] = ly[0]
             cc, cost_c = comp_best(1, joint_with=2)
             new_blk.comps[1], new_blk.comps[2] = cc[0], cc[1]
+            # merge availability stops at tile boundaries
+            has_left = rx > 0 and (tile_of is None
+                                   or tile_of[idx - 1] == tile_of[idx])
+            has_up = ry > 0 and (tile_of is None
+                                 or tile_of[idx - n_cols] == tile_of[idx])
             new_cost = cost_y + cost_c + lmb[0] * (
-                (1 if rx > 0 else 0) + (1 if ry > 0 else 0))
+                (1 if has_left else 0) + (1 if has_up else 0))
 
             # merge candidates: whole-blk reuse of left / above params
             cands = [(new_cost, new_blk)]
-            for mi, nb in ((0, idx - 1 if rx > 0 else -1),
-                           (1, idx - n_cols if ry > 0 else -1)):
+            for mi, nb in ((0, idx - 1 if has_left else -1),
+                           (1, idx - n_cols if has_up else -1)):
                 if nb < 0 or sao_map[nb] is None:
                     continue
                 mb = sao_map[nb]
                 d = sum(_dist_with_params(stats_eo[c], stats_bo[c],
                                           mb.comps[c]) for c in range(3))
-                bits = 1.0 + (1.0 if mi == 1 and rx > 0 else 0.0)
+                bits = 1.0 + (1.0 if mi == 1 and has_left else 0.0)
                 cands.append((d + lmb[0] * bits, mb))
             cands.sort(key=lambda t: t[0])
             blk = cands[0][1]
