@@ -53,6 +53,77 @@ def search_step(src, rm, tops, lefts, *, w, h, qp, bit_depth=10):
     return best, q, bits_proxy
 
 
+def make_mesh2d(devices=None, shape=None,
+                axes=("gops", "tiles")) -> Mesh:
+    """2-D device mesh: GOP/frame parallelism (data axis) x tile columns
+    (spatial axis) — the two sharding axes of SURVEY.md §2.5 (frame pool +
+    tile columns)."""
+    import numpy as np
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if shape is None:
+        g = 1
+        for cand in (4, 2):
+            if n % cand == 0 and n // cand > 1:
+                g = cand
+                break
+        shape = (g, n // g)
+    return Mesh(np.array(devices).reshape(shape), axes)
+
+
+def sharded_encode_step2d(mesh: Mesh, *, w, h, qp, bit_depth=10):
+    """Sharded encode step over a (gops, tiles) mesh with the two
+    inter-chip communication patterns of the tiled/pipelined encoder:
+
+    - ppermute along the tile axis: each tile column sends its right
+      reconstruction-apron column to the neighbour (the reference-sample
+      exchange at tile boundaries / IFP-style pipelining),
+    - hierarchical psum: per-GOP rate over the tile axis (frame bit
+      budgeting) and global rate over both axes (rate control).
+
+    Inputs are [G, T, B, ...] with G sharded over 'gops' and T over
+    'tiles'.  Built with shard_map so the collectives are explicit.
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    def local_step(src, rm, tops, lefts):
+        # src: [Gl, Tl, B, h, w] local shard
+        gl, tl, b = src.shape[0], src.shape[1], src.shape[2]
+
+        def flat(x):
+            return x.reshape((gl * tl * b,) + x.shape[3:])
+        best, q, bits = search_step(flat(src), flat(rm), flat(tops),
+                                    flat(lefts), w=w, h=h, qp=qp,
+                                    bit_depth=bit_depth)
+        best = best.reshape(gl, tl, b)
+        q = q.reshape(gl, tl, b, h, w)
+        bits = bits.reshape(gl, tl, b)
+
+        # tile-boundary apron: reconstruct-domain right edge of each
+        # tile column -> left reference of the neighbour column
+        apron = src[..., -1]                       # [Gl, Tl, B, h]
+        nt = jax.lax.psum(1, "tiles")
+        perm = [(i, (i + 1) % nt) for i in range(nt)]
+        nbr = jax.lax.ppermute(apron, "tiles", perm)
+        # boundary-continuity term folds the received apron into the
+        # result (keeps the collective live in the compiled program)
+        bd_err = jnp.sum(jnp.abs(src[..., 0] - nbr), axis=-1)  # [Gl,Tl,B]
+
+        per_gop_bits = jax.lax.psum(jnp.sum(bits, axis=(1, 2)), "tiles")
+        total_bits = jax.lax.psum(jnp.sum(bits), ("gops", "tiles"))
+        return best, q, bd_err, per_gop_bits, total_bits
+
+    gspec = P("gops", "tiles")
+    return jax.jit(shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P("gops", "tiles"), P("gops", "tiles"),
+                  P("gops", "tiles"), P("gops", "tiles")),
+        out_specs=(gspec, gspec, gspec, P("gops"), P())))
+
+
 def sharded_search_step(mesh: Mesh, axis: str = "tiles", *, w, h, qp,
                         bit_depth=10):
     """Build a pjit-ed sharded search step over `mesh`.
