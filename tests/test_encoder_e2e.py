@@ -635,3 +635,22 @@ def test_gop_parallel_byte_identical():
     assert s1 == s2
     dec = decode_stream(s1)
     assert len(dec) == 6
+
+
+def test_frame_parallel_inter_byte_identical():
+    """FPP analog: frames of one temporal layer encode as parallel waves
+    (TL-independent GOP refs); byte-identical for any worker count."""
+    w, h = 96, 48
+    frames = [_synth_frame(w, h, t=t) for t in range(5)]
+    kw = dict(width=w, height=h, qp=34, ctu_size=32, intra_period=0,
+              gop_size=4, deblocking=True)
+    e2 = IntraEncoder(EncoderConfig(max_parallel_frames=2, **kw))
+    s2 = e2.encode_sequence(frames)
+    e3 = IntraEncoder(EncoderConfig(max_parallel_frames=3, **kw))
+    s3 = e3.encode_sequence(frames)
+    assert s2 == s3
+    dec = decode_stream(s2)
+    assert len(dec) == 5
+    for fr in dec:
+        for c in range(3):
+            assert np.array_equal(fr.planes[c], e2.recs_by_poc[fr.poc][c])

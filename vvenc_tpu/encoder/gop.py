@@ -27,8 +27,15 @@ class GopEntry:
         return bool(self.refs_future)
 
 
-def build_gop(gop_size: int, max_refs: int = 2) -> List[GopEntry]:
-    """Dyadic hierarchy in coding order for one GOP (anchors at 0 and N)."""
+def build_gop(gop_size: int, max_refs: int = 2,
+              parallel: bool = False) -> List[GopEntry]:
+    """Dyadic hierarchy in coding order for one GOP (anchors at 0 and N).
+
+    parallel=True restricts each picture's references to its dyadic
+    interval endpoints (strictly lower temporal layers), making all
+    pictures of one temporal layer mutually independent — the structure
+    the frame-parallel encoder dispatches as TL waves (the TPU answer to
+    vvenc's ref-reconstructed gating, EncGOP::xGetProcessingLists)."""
     assert gop_size & (gop_size - 1) == 0, "GOP size must be a power of two"
     entries: List[GopEntry] = []
     order = [0]
@@ -46,8 +53,14 @@ def build_gop(gop_size: int, max_refs: int = 2) -> List[GopEntry]:
         if hi - lo <= 1:
             return
         mid = (lo + hi) // 2
-        past = sorted([p for p in coded if p < mid], key=lambda p: mid - p)
-        fut = sorted([p for p in coded if p > mid], key=lambda p: p - mid)
+        if parallel:
+            past = [lo]
+            fut = [hi] + ([gop_size] if hi != gop_size else [])
+        else:
+            past = sorted([p for p in coded if p < mid],
+                          key=lambda p: mid - p)
+            fut = sorted([p for p in coded if p > mid],
+                         key=lambda p: p - mid)
         entries.append(GopEntry(mid, len(entries), tl,
                                 qp_off(tl, False),
                                 refs_past=past[:max_refs],

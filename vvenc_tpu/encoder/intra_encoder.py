@@ -402,22 +402,29 @@ class IntraEncoder:
             # worker count — the reference's determinism contract)
             return self._encode_gop_segments(frames)
         gop = cfg.gop_size
-        entries = build_gop(gop)
+        frame_parallel = (cfg.max_parallel_frames > 1 and cfg.bitrate == 0
+                          and not cfg.rc_stats_out and not cfg.qpa)
+        # frame-parallel encodes use the TL-independent GOP structure
+        entries = build_gop(gop, parallel=frame_parallel)
         stream += self._encode_picture(0, frames[0], SLICE_I, [], [])
         self.recs_by_poc[0] = dict(self.last_rec.rec)
         base = 0
         while base + gop < len(frames):
-            for e in entries:
-                poc = base + e.poc_in_gop
-                refs_l0 = [base + r for r in e.refs_past] or [base]
-                refs_l1 = [base + r for r in e.refs_future]
-                st = SLICE_B if refs_l1 else SLICE_P
-                qp_off = e.qp_offset
-                au = self._encode_picture(poc, frames[poc], st, refs_l0,
-                                          refs_l1, qp_off,
-                                          tlayer=e.temporal_layer)
-                stream += au
-                self.recs_by_poc[poc] = dict(self.last_rec.rec)
+            if frame_parallel:
+                stream += self._encode_gop_frames_parallel(
+                    frames, base, entries)
+            else:
+                for e in entries:
+                    poc = base + e.poc_in_gop
+                    refs_l0 = [base + r for r in e.refs_past] or [base]
+                    refs_l1 = [base + r for r in e.refs_future]
+                    st = SLICE_B if refs_l1 else SLICE_P
+                    qp_off = e.qp_offset
+                    au = self._encode_picture(poc, frames[poc], st, refs_l0,
+                                              refs_l1, qp_off,
+                                              tlayer=e.temporal_layer)
+                    stream += au
+                    self.recs_by_poc[poc] = dict(self.last_rec.rec)
             base += gop
         # tail: IPPP on remaining frames
         for poc in range(base + 1, len(frames)):
@@ -429,6 +436,60 @@ class IntraEncoder:
             self.recs_by_poc[poc] = dict(self.last_rec.rec)
         if self.rc is not None and self.cfg.rc_stats_out:
             self.rc.write_stats(self.cfg.rc_stats_out)
+        return bytes(stream)
+
+    def _encode_gop_frames_parallel(self, frames, base, entries) -> bytes:
+        """Frame-parallel encode of one GOP (vvenc maxParallelFrames /
+        FPP analog): frames of the same temporal layer are mutually
+        independent in the dyadic GOP, so each TL encodes as one parallel
+        wave (the reference's TL-serial processing lists,
+        EncGOP::xGetProcessingLists).  Output stays in coding order and is
+        byte-identical to the serial encode."""
+        from concurrent.futures import ProcessPoolExecutor
+        cfg = self.cfg
+        aus = {}
+        by_tl = {}
+        for e in entries:
+            by_tl.setdefault(e.temporal_layer, []).append(e)
+        with ProcessPoolExecutor(
+                max_workers=cfg.max_parallel_frames) as ex:
+            for tl in sorted(by_tl):
+                wave = by_tl[tl]
+                jobs = []
+                for e in wave:
+                    poc = base + e.poc_in_gop
+                    refs_l0 = [base + r for r in e.refs_past] or [base]
+                    refs_l1 = [base + r for r in e.refs_future]
+                    st = SLICE_B if refs_l1 else SLICE_P
+                    need = sorted(set(refs_l0 + refs_l1))
+                    dpb_sub = [d for d in self.dpb if d[0] in need]
+                    jobs.append((cfg, poc, frames[poc], st, refs_l0,
+                                 refs_l1, e.qp_offset, e.temporal_layer,
+                                 dpb_sub, self.lmcs))
+                if len(wave) == 1:
+                    results = [_encode_inter_frame_job(jobs[0])]
+                else:
+                    results = list(ex.map(_encode_inter_frame_job, jobs))
+                for e, (au, rec, mf, ref_pocs, qp) in zip(wave, results):
+                    poc = base + e.poc_in_gop
+                    aus[poc] = au
+                    self.recs_by_poc[poc] = rec
+                    self.bits_by_poc[poc] = len(au) * 8
+                    self.qp_by_poc[poc] = qp
+                    self.slice_type_by_poc[poc] = \
+                        SLICE_B if e.refs_future else SLICE_P
+                    self.dpb.append((poc, rec, mf, ref_pocs))
+                    if len(self.dpb) > 16:
+                        self.dpb.pop(0)
+                    self.frames_done += 1
+        stream = bytearray()
+        for e in entries:
+            stream += aus[base + e.poc_in_gop]
+        # keep last_rec pointing at the last coded picture like serial
+        last = PictureState(cfg.width, cfg.height, cfg.bit_depth)
+        for c in range(3):
+            last.rec[c][:] = self.recs_by_poc[base + entries[-1].poc_in_gop][c]
+        self.last_rec = last
         return bytes(stream)
 
     def _encode_gop_segments(self, frames) -> bytes:
@@ -2284,6 +2345,23 @@ class _CtuSearcher:
                            self.cfg.bit_depth, True)
         bits = ((abs(mv[0] - mvp[0]) + abs(mv[1] - mvp[1])) >> 2) * 1.5 + 2
         return R.sse_np(src_y, pred) + self.lmbda * bits
+
+
+def _encode_inter_frame_job(args):
+    """Process-pool worker: encode one inter picture against a DPB
+    subset (FPP worker).  Returns (au, rec, motion_field, ref_pocs, qp)."""
+    (cfg, poc, frame, st, refs_l0, refs_l1, qp_off, tlayer, dpb_sub,
+     lmcs) = args
+    enc = IntraEncoder(cfg)
+    enc.frames_done = 1          # inter pictures: no headers, TRAIL type
+    enc.dpb = list(dpb_sub)
+    enc.lmcs = lmcs
+    au = enc._encode_picture(poc, frame, st, refs_l0, refs_l1, qp_off,
+                             tlayer=tlayer)
+    rec = dict(enc.last_rec.rec)
+    mf = enc.dpb[-1][2]
+    ref_pocs = enc.dpb[-1][3]
+    return au, rec, mf, ref_pocs, enc.qp_by_poc[poc]
 
 
 def _encode_gop_segment_job(args):
