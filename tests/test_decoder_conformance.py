@@ -529,6 +529,35 @@ GOLDEN_HASHES = {
         "45e66b11578fded3259ee69f88a6aaab",
         "5789efb61c8360834dc1e51ffbb0626b",
         "fa426d523e89135b4e26d94947fbd020"],
+    # dual-tree intra (DualITree 1, the preset default) with every intra
+    # tool (DepQuant/LFNST/MTSImplicit/MIP/MRL/ISP/CCLM/JCCR/ALF/CCALF/
+    # SAO/TS/BDPCM/IBC): separate luma/chroma trees, chroma-tree split
+    # constraints, dual-tree CCLM gate, CTU64 MTT2
+    "golden_ai_dualtree_all_416x240_qp26_f2.266": [
+        "4c0ecef511814d33ea3160fb6ea67261",
+        "951c100de052d0741d27f98b3694e569"],
+    # TRUE PRESET STREAMS (only MCTF/BIM/QPA/threads pinned off): the
+    # full vvenc default tool matrices at CTU128 with dual-tree intra
+    # and implicit max-TB transform tiling of >64 inter CUs
+    "golden_ai_preset_medium_416x240_qp30_f2.266": [
+        "f8d80bc7b65ac636cd95dc52e2d5387c",
+        "80117a1c3f1563f4f829f3c0546575aa"],
+    "golden_ra_preset_medium_416x240_qp30_f9.266": [
+        "5f531e05d60b613b87399b4566ec94bb",
+        "54a790359736466517d7d8643d2a95a7",
+        "219faa6a22f516d3981830006e0b2629",
+        "3e4d544784ca3f1eae8c5462f3b7844c",
+        "fce03dbd8ec7c3d4ed9ab0df649aa6ab",
+        "e4629c24b1cc1095fd88bb9801a16355",
+        "e410a8391e945c9e98f5cfb8f9946b5a",
+        "946d80b28f707522b804a86aec7915a1",
+        "70807690fc5d629c5d9c5d3c1b31023a"],
+    "golden_ra_preset_slow_416x240_qp30_f5.266": [
+        "ab39c855229ac5307655c8479b4101fb",
+        "748349d0cbb102483aff307c98d97190",
+        "f9904b2e51df01d3d444819b979ecb39",
+        "3509b864840bf26bb7333cb25f059925",
+        "ec79a54823c88fe72ced49832e8934cb"],
     # same full tool matrix with LMCS on top (mapped-domain coding with
     # every prediction path + chroma scaling with every residual path)
     "golden_ra_lmcs_combo_416x240_qp26_f9.266": [

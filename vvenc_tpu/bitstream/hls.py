@@ -896,7 +896,37 @@ def parse_picture_header(br: BitReader, sps: SPS, pps: PPS) -> PictureHeader:
     if pps.rpl_info_in_ph:
         _parse_ph_rpls(br, ph, sps, pps)
     if sps.partition_override:
-        assert br.read_flag() == 0, "partition override unsupported"
+        # ph_partition_constraints_override (7.3.2.7): per-picture QTBTT
+        # constraint overrides keyed like the SPS arrays (0=intra luma,
+        # 1=inter, 2=intra chroma)
+        if br.read_flag():
+            ov = {}
+            lmin = sps.log2_min_cb_size
+            if ph.intra_slice_allowed:
+                lmq = br.read_uvlc() + lmin
+                d = br.read_uvlc()
+                bt = tt = 1 << lmq
+                if d:
+                    bt = 1 << (br.read_uvlc() + lmq)
+                    tt = 1 << (br.read_uvlc() + lmq)
+                ov[0] = (1 << lmq, d, bt, tt)
+                if sps.dual_i_tree:
+                    lmq = br.read_uvlc() + lmin
+                    d = br.read_uvlc()
+                    bt = tt = 1 << lmq
+                    if d:
+                        bt = 1 << (br.read_uvlc() + lmq)
+                        tt = 1 << (br.read_uvlc() + lmq)
+                    ov[2] = (1 << lmq, d, bt, tt)
+            if ph.inter_slice_allowed:
+                lmq = br.read_uvlc() + lmin
+                d = br.read_uvlc()
+                bt = tt = 1 << lmq
+                if d:
+                    bt = 1 << (br.read_uvlc() + lmq)
+                    tt = 1 << (br.read_uvlc() + lmq)
+                ov[1] = (1 << lmq, d, bt, tt)
+            ph.partition_override = ov
     if ph.intra_slice_allowed:
         if pps.cu_qp_delta_enabled:
             ph.cu_qp_delta_subdiv_intra = br.read_uvlc()

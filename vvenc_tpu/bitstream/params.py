@@ -10,7 +10,7 @@ loud, not silent.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List
+from typing import List, Optional
 
 
 @dataclass
@@ -246,6 +246,9 @@ class PictureHeader:
     pps_id: int = 0
     poc_lsb: int = 0
     recovery_poc_cnt: int = 0
+    # per-picture QTBTT constraint overrides: {set_idx: (minQT, mttDepth,
+    # maxBT, maxTT)} (ph_partition_constraints_override)
+    partition_override: Optional[dict] = None
     # partition overrides / dqp subdiv omitted (not used round 1)
     cu_qp_delta_subdiv_intra: int = 0
     cu_qp_delta_subdiv_inter: int = 0

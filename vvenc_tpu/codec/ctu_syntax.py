@@ -115,6 +115,9 @@ class CuData:
     is_ibc: bool = False             # intra block copy (BV in mv[0])
     luma_only: bool = False          # TREE_L CU of a local dual tree
     chroma_only: bool = False        # TREE_C region chroma CU
+    cclm_allowed: bool = True        # CU::checkCCLMAllowed (dual tree)
+    mtb_tus: Optional[list] = None   # implicit max-TB TU tiling: per-TU
+                                     # (tx, ty, tw, th, cy, ccb, ccr, joint)
     qp: int = -1                     # luma QpY (cu_qp_delta); -1 = slice QP
 
     @property
@@ -128,8 +131,12 @@ NO_SPLIT, QT_SPLIT, BT_H, BT_V, TT_H, TT_V = 0, 1, 2, 3, 4, 5
 
 # mode-constraint types (vvenc ModeType, CommonDef: MODE_TYPE_ALL/INTER/INTRA)
 MODE_ALL, MODE_INTER, MODE_INTRA = 0, 1, 2
-# tree types for the local dual tree (vvenc TreeType: TREE_D/L/C)
+# tree types for the local dual tree (vvenc TreeType: TREE_D/L/C).
+# CHROMA_TREE marks the full dual-tree-intra chroma pass (DUAL_TREE_CHROMA):
+# unlike TREE_C (the unsplittable SCIPU region chroma), it partitions with
+# the chroma constraint set (UnitPartitioner canSplit areaC rules).
 TREE_D, TREE_L, TREE_C = 0, 1, 2
+CHROMA_TREE = 3
 # signalModeCons results (vvenc LDT_MODE_TYPE_*)
 LDT_INHERIT, LDT_INFER, LDT_SIGNAL = 0, 1, 2
 
@@ -163,11 +170,14 @@ class PartInfo:
     mode_type: int = MODE_ALL  # SCIPU constraint inherited from ancestors
     tree_type: int = TREE_D    # TREE_L inside a chroma-not-split region
     subdiv: int = 0            # cbSubdiv (QG depth; vvenc currSubdiv)
+    split_path: tuple = ()     # splits from the (dual-tree) root
+                               # (CU::getSplitAtDepth series analog)
 
     def child(self, split: int, idx: int, implicit: bool = False) -> "PartInfo":
         p = PartInfo(self.qt_depth, self.mtt_depth, self.bt_depth,
                      self.impl_bt_depth, split, idx,
-                     self.mode_type, self.tree_type, self.subdiv)
+                     self.mode_type, self.tree_type, self.subdiv,
+                     self.split_path + (split,))
         if split == QT_SPLIT:
             p.qt_depth += 1
             p.mtt_depth = 0
@@ -271,11 +281,20 @@ def split_options_full(ps: PictureState, x: int, y: int, w: int, h: int,
     if w <= sps.min_qt_size[tree_idx]:
         can_qt = False
 
+    # full dual-tree chroma pass: chroma-sample minimums
+    # (UnitPartitioner::canSplit areaC rules, MIN_DUALTREE_CHROMA_*)
+    ctree = part.tree_type == CHROMA_TREE
+    wc, hc = w >> 1, h >> 1
+    if ctree and wc <= 4:
+        can_qt = False
+
     impl = implicit_split(ps, x, y, w, h, part, sps, tree_idx)
     if impl != NO_SPLIT:
         can_no = can_th = can_tv = False
         can_bh = impl == BT_H
         can_bv = impl == BT_V
+        if ctree and wc == 4:
+            can_bv = False
         if not can_bh and not can_bv and not can_qt:
             can_qt = True
         return [can_no, can_qt, can_bh, can_bv, can_th, can_tv]
@@ -300,17 +319,25 @@ def split_options_full(ps: PictureState, x: int, y: int, w: int, h: int,
         can_bh = False
     if w > MAX_TB and h <= MAX_TB:
         can_bh = False
+    if ctree and wc * hc <= 16:
+        can_bh = False
     if w <= min_t:
         can_bv = False
     if w <= MAX_TB and h > MAX_TB:
+        can_bv = False
+    if ctree and (wc * hc <= 16 or wc == 4):
         can_bv = False
     if h <= 2 * min_t or h > max_tt or w > max_tt:
         can_th = False
     if w > MAX_TB or h > MAX_TB:
         can_th = False
+    if ctree and wc * hc <= 32:
+        can_th = False
     if w <= 2 * min_t or w > max_tt or h > max_tt:
         can_tv = False
     if w > MAX_TB or h > MAX_TB:
+        can_tv = False
+    if ctree and (wc * hc <= 32 or wc == 8):
         can_tv = False
     # inside a MODE_TYPE_INTER region no 4x4/4x8/8x4 luma may be created
     # (vvenc UnitPartitioner.cpp:518,527)
@@ -326,8 +353,13 @@ def split_ctx_ids(ps: PictureState, x: int, y: int, w: int, h: int,
     """Context indices for split_cu_mode (vvenc DeriveCtx::CtxSplit:147).
 
     Returns (ctx_split, ctx_qt, ctx_hv, ctx_h12, ctx_v12)."""
-    left = ps.cu_at(x - 1, y)
-    above = ps.cu_at(x, y - 1)
+    if part.tree_type == CHROMA_TREE:
+        # chroma-tree neighbours come from the chroma CU maps
+        left = ps.chroma_cu_at(x - 1, y)
+        above = ps.chroma_cu_at(x, y - 1)
+    else:
+        left = ps.cu_at(x - 1, y)
+        above = ps.cu_at(x, y - 1)
     ctx_split = 0
     if left is not None:
         ctx_split += 1 if left[1] < h else 0
@@ -645,6 +677,27 @@ class SyntaxCoder:
         self.ctu_size = sps.ctu_size
         self.min_qt = sps.min_qt_size[0]
         self.tree_idx = 0 if sh.slice_type == 2 else 1  # SPS constraint set
+        if getattr(sh.ph, "partition_override", None):
+            # per-picture QTBTT constraints (ph override): shallow-copy the
+            # SPS with replaced constraint arrays
+            import copy as _copy
+            sps = _copy.copy(sps)
+            sps.min_qt_size = list(sps.min_qt_size)
+            sps.max_mtt_depth = list(sps.max_mtt_depth)
+            sps.max_bt_size = list(sps.max_bt_size)
+            sps.max_tt_size = list(sps.max_tt_size)
+            for idx, (mq, d, bt, tt) in sh.ph.partition_override.items():
+                sps.min_qt_size[idx] = mq
+                sps.max_mtt_depth[idx] = d
+                sps.max_bt_size[idx] = bt
+                sps.max_tt_size[idx] = tt
+            self.sps = sps
+        # full dual tree in intra slices (sps_qtbtt_dual_tree_intra_flag)
+        self.dual_tree_intra = bool(getattr(sps, "dual_i_tree", 0)) \
+            and sh.slice_type == 2
+        # per-64x64-unit luma records for the dual-tree CCLM gate
+        # (CU::checkCCLMAllowed): (first split of the 64 node, 64x64-ISP)
+        self.luma64 = {}
         self.bit_depth = sps.bit_depth
         # inter state (None for I slices): ref_pics[list][ref] = {comp: plane}
         self.ref_pics = ref_pics or [[], []]
@@ -1235,6 +1288,110 @@ class SyntaxCoder:
                             cu.coeff_cr = self._residual_tb(
                                 coder, cu, 2, cw, chh, False)
 
+    def _code_max_tb_tus(self, coder, cu, encode: bool) -> None:
+        """Implicit max-TB TU tiling of an inter CU larger than the max
+        transform size (VVC 7.3.11.9 transform_tree TU_MAX_TR_SPLIT;
+        vvenc CABACWriter::transform_tree maxTrSplit path): each maxTB
+        tile codes cbf_cb / cbf_cr / cbf_luma explicitly (trDepth > 0)."""
+        sw = min(cu.w, MAX_TB)
+        sh_ = min(cu.h, MAX_TB)
+        if not encode:
+            cu.mtb_tus = []
+        for k, (tx, ty) in enumerate(
+                [(tx, ty) for ty in range(0, cu.h, sh_)
+                 for tx in range(0, cu.w, sw)]):
+            if encode:
+                (_, _, _, _, cy_, ccb, ccr, joint,
+                 _tscb, _tscr) = cu.mtb_tus[k]
+            else:
+                cy_ = ccb = ccr = None
+                joint = 0
+            cbf_cb = (ccb is not None or joint in (2, 3)) if encode else 0
+            cbf_cr = (ccr is not None or joint in (1, 3)) if encode else 0
+            if encode:
+                coder.encode_bin(1 if cbf_cb else 0,
+                                 ct.CTX_SETS["QtCbfCb"](0))
+                coder.encode_bin(1 if cbf_cr else 0,
+                                 ct.CTX_SETS["QtCbfCr"](1 if cbf_cb else 0))
+                cbf_y = cy_ is not None
+                coder.encode_bin(1 if cbf_y else 0,
+                                 ct.CTX_SETS["QtCbfLuma"](0))
+            else:
+                cbf_cb = coder.decode_bin(ct.CTX_SETS["QtCbfCb"](0))
+                cbf_cr = coder.decode_bin(
+                    ct.CTX_SETS["QtCbfCr"](1 if cbf_cb else 0))
+                cbf_y = coder.decode_bin(ct.CTX_SETS["QtCbfLuma"](0))
+            self._maybe_code_dqp(coder, cu, bool(cbf_y or cbf_cb or cbf_cr),
+                                 encode=encode)
+            mask = (2 if cbf_cb else 0) + (1 if cbf_cr else 0)
+            if self.jccr and mask == 3:
+                if encode:
+                    coder.encode_bin(1 if joint else 0,
+                                     ct.CTX_SETS["JointCbCrFlag"](mask - 1))
+                elif coder.decode_bin(ct.CTX_SETS["JointCbCrFlag"](
+                        mask - 1)):
+                    joint = mask
+            if encode:
+                ts_cb, ts_cr = cu.mtb_tus[k][8], cu.mtb_tus[k][9]
+            else:
+                ts_cb = ts_cr = False
+            ts_ok = (self.ts_en and (sw >> 1) <= self.max_ts_size
+                     and (sh_ >> 1) <= self.max_ts_size)
+
+            def _ts_flag(cur: bool, comp: int) -> bool:
+                # per-TU transform_skip flag (chroma TBs within the max-TB
+                # size; luma TUs are always maxTB > maxTsSize)
+                if not ts_ok:
+                    return False
+                cset = ct.CTX_SETS["TransformSkipFlag"](1)
+                if encode:
+                    coder.encode_bin(1 if cur else 0, cset)
+                    return cur
+                return bool(coder.decode_bin(cset))
+
+            def _resid(data, is_luma, ww, hh, ts):
+                use_ts = ts and not self.ts_rc_disabled
+                if encode:
+                    if use_ts:
+                        from ..bitstream.residual import encode_residual_ts
+                        encode_residual_ts(coder, data, is_luma, 0)
+                    else:
+                        encode_residual(coder, data, is_luma,
+                                        dep_quant=self.dq,
+                                        sign_hiding=self.sdh)
+                    return data
+                if use_ts:
+                    from ..bitstream.residual import decode_residual_ts
+                    return decode_residual_ts(coder, ww, hh, is_luma, 0)
+                return decode_residual(coder, ww, hh, is_luma,
+                                       dep_quant=self.dq,
+                                       sign_hiding=self.sdh)
+            if cbf_y:
+                cy_ = _resid(cy_, True, sw, sh_, False)
+            if joint:
+                cc = 1 if joint in (2, 3) else 2
+                ts_j = _ts_flag(ts_cb if cc == 1 else ts_cr, cc)
+                if cc == 1:
+                    ts_cb = ts_j
+                else:
+                    ts_cr = ts_j
+                cdat = _resid(ccb if cc == 1 else ccr, False,
+                              sw >> 1, sh_ >> 1, ts_j)
+                if cc == 1:
+                    ccb = cdat
+                else:
+                    ccr = cdat
+            else:
+                if cbf_cb:
+                    ts_cb = _ts_flag(ts_cb, 1)
+                    ccb = _resid(ccb, False, sw >> 1, sh_ >> 1, ts_cb)
+                if cbf_cr:
+                    ts_cr = _ts_flag(ts_cr, 2)
+                    ccr = _resid(ccr, False, sw >> 1, sh_ >> 1, ts_cr)
+            if not encode:
+                cu.mtb_tus.append((tx, ty, sw, sh_, cy_, ccb, ccr, joint,
+                                   ts_cb, ts_cr))
+
     def _lfnst_allowed(self, cu) -> bool:
         if not self.sps.lfnst or cu.is_inter:
             return False
@@ -1324,7 +1481,11 @@ class SyntaxCoder:
     def encode_ctu(self, enc, ps: PictureState, node: TreeNode) -> None:
         """Encode one CTU's coding tree; reconstructs into ps as it goes
         (the encoder relies on ps for neighbor-dependent syntax)."""
-        self._enc_tree(enc, ps, node)
+        if self.dual_tree_intra:
+            for child in node.children:
+                self._enc_tree(enc, ps, child)
+        else:
+            self._enc_tree(enc, ps, node)
         if self.use_dqp:
             self._finalize_qg(ps)
 
@@ -1332,12 +1493,21 @@ class SyntaxCoder:
         x, y, w, h = node.x, node.y, node.w, node.h
         part = node.part
         if self.use_dqp and part.subdiv <= self.qg_subdiv \
-                and part.tree_type != TREE_C:
+                and part.tree_type not in (TREE_C, CHROMA_TREE):
             self.qg_start = True
             self.dqp_coded = False
+        tidx = 2 if part.tree_type == CHROMA_TREE else self.tree_idx
         write_split_mode(enc, ps, x, y, w, h, part, self.sps,
-                         node.split_mode, self.tree_idx)
+                         node.split_mode, tidx)
+        if self.dual_tree_intra and part.tree_type == TREE_L \
+                and part.last_split == -1:
+            self.luma64[(x, y)] = [
+                node.split_mode,
+                bool(node.cu.isp_mode) if node.cu is not None else False]
         if node.split_mode == NO_SPLIT:
+            if part.tree_type == CHROMA_TREE:
+                self._enc_chroma_cu(enc, ps, node.cu, part)
+                return
             self._qg_leaf_start(ps, x, y)
             self._enc_cu(enc, ps, node)
             if self.use_dqp:
@@ -1556,6 +1726,10 @@ class SyntaxCoder:
         if cu.isp_mode:
             self._code_isp_tus(enc, cu, encode=True)
             self._code_lfnst_mts(enc, cu, encode=True)
+            self._finish_cu(ps, cu, node)
+            return
+        if cu.is_inter and cu.root_cbf and (w > MAX_TB or h > MAX_TB):
+            self._code_max_tb_tus(enc, cu, encode=True)
             self._finish_cu(ps, cu, node)
             return
         if (not cu.is_inter or cu.root_cbf) and cu.luma_only:
@@ -2264,7 +2438,7 @@ class SyntaxCoder:
     def _enc_intra_chroma_mode(self, enc, cu: CuData) -> None:
         # vvenc CABACWriter::intra_chroma_pred_mode:1177 (CCLM always
         # allowed in single tree, CU::checkCCLMAllowed:177)
-        if self.sps.cclm:
+        if self.sps.cclm and cu.cclm_allowed:
             is_lm = cu.chroma_dir in CCLM_MODES
             enc.encode_bin(1 if is_lm else 0, ct.CTX_SETS["CclmModeFlag"](0))
             if is_lm:
@@ -2283,24 +2457,53 @@ class SyntaxCoder:
 
     # -- decoding ----------------------------------------------------------
     def decode_ctu(self, dec, ps: PictureState, ctu_x: int, ctu_y: int) -> TreeNode:
-        node = self._dec_tree(dec, ps, ctu_x, ctu_y, self.ctu_size,
-                              self.ctu_size, PartInfo())
+        if self.dual_tree_intra:
+            node = self._dual_tree_units(
+                ps, ctu_x, ctu_y,
+                lambda x, y, u, pl: self._dec_tree(dec, ps, x, y, u, u, pl))
+        else:
+            node = self._dec_tree(dec, ps, ctu_x, ctu_y, self.ctu_size,
+                                  self.ctu_size, PartInfo())
         if self.use_dqp:
             self._finalize_qg(ps)
         return node
 
+    def _dual_tree_units(self, ps, ctu_x, ctu_y, tree_fn) -> TreeNode:
+        """Dual-tree-intra CTU: implicit QT down to 64x64 units, each coding
+        a luma tree then a chroma tree (VVC 7.3.11.2 dual_tree_implicit_qt,
+        vvenc EncCu::xCompressCtu dual-tree dispatch)."""
+        ctu = self.ctu_size
+        node = TreeNode(ctu_x, ctu_y, ctu, 0, w=ctu, h=ctu, part=PartInfo())
+        unit = min(64, ctu)
+        qtd = 1 if ctu > 64 else 0
+        subdiv = 2 * qtd
+        for uy in range(ctu_y, ctu_y + ctu, unit):
+            for ux in range(ctu_x, ctu_x + ctu, unit):
+                if ux >= ps.w or uy >= ps.h:
+                    continue
+                pl = PartInfo(qt_depth=qtd, subdiv=subdiv,
+                              mode_type=MODE_INTRA, tree_type=TREE_L)
+                node.children.append(tree_fn(ux, uy, unit, pl))
+                pc = PartInfo(qt_depth=qtd, subdiv=subdiv,
+                              mode_type=MODE_INTRA, tree_type=CHROMA_TREE)
+                node.children.append(tree_fn(ux, uy, unit, pc))
+        return node
+
     def _dec_tree(self, dec, ps, x, y, w, h, part: PartInfo) -> TreeNode:
         if self.use_dqp and part.subdiv <= self.qg_subdiv \
-                and part.tree_type != TREE_C:
+                and part.tree_type not in (TREE_C, CHROMA_TREE):
             self.qg_start = True
             self.dqp_coded = False
         node = TreeNode(x, y, max(w, h), part.qt_depth, w=w, h=h, part=part)
+        tidx = 2 if part.tree_type == CHROMA_TREE else self.tree_idx
         node.split_mode = read_split_mode(dec, ps, x, y, w, h, part,
-                                          self.sps, self.tree_idx)
+                                          self.sps, tidx)
+        if self.dual_tree_intra and part.tree_type == TREE_L \
+                and part.last_split == -1:
+            self.luma64[(x, y)] = [node.split_mode, False]
         node.split = node.split_mode != NO_SPLIT
         if node.split:
-            impl = implicit_split(ps, x, y, w, h, part, self.sps,
-                                  self.tree_idx)
+            impl = implicit_split(ps, x, y, w, h, part, self.sps, tidx)
             is_impl = node.split_mode == impl
             # SCIPU mode constraint (vvenc CABACWriter::mode_constraint:540)
             val = signal_mode_cons(w, h, node.split_mode, part.mode_type,
@@ -2329,12 +2532,44 @@ class SyntaxCoder:
             if chroma_not_split:
                 node.chroma_cu = self._dec_chroma_cu(dec, ps, x, y, w, h,
                                                      part)
+        elif part.tree_type == CHROMA_TREE:
+            node.cu = self._dec_chroma_cu(dec, ps, x, y, w, h, part)
         else:
             self._qg_leaf_start(ps, x, y)
             node.cu = self._dec_cu(dec, ps, node)
             if self.use_dqp:
                 self._qg_cus.append(node.cu)
+            if self.dual_tree_intra and part.tree_type == TREE_L \
+                    and part.last_split == -1:
+                self.luma64[(x, y)][1] = bool(node.cu.isp_mode)
         return node
+
+    def _cclm_allowed(self, ps, cu, part) -> bool:
+        """Dual-tree CCLM gate (CU::checkCCLMAllowed, UnitTools.cpp:177):
+        with CTU >= 64 the chroma-tree 64-node must split QT / HBT(+VBT) /
+        not at all, and the collocated luma 64-node must be QT-split (or an
+        unsplit non-ISP 64x64 CU)."""
+        if not self.dual_tree_intra or self.ctu_size <= 32:
+            return True
+        sp = part.split_path
+        p1 = sp[0] if len(sp) > 0 else NO_SPLIT
+        p2 = sp[1] if len(sp) > 1 else NO_SPLIT
+        allow = (p1 == QT_SPLIT
+                 or (p1 == BT_H and p2 == BT_V)
+                 or p1 == NO_SPLIT
+                 or (p1 == BT_H and p2 == NO_SPLIT))
+        if not allow:
+            return False
+        rec = self.luma64.get((cu.x & ~63, cu.y & ~63))
+        lw = int(ps.cu_w[cu.y >> 2, cu.x >> 2])
+        lh = int(ps.cu_h[cu.y >> 2, cu.x >> 2])
+        if lw < 64 or lh < 64:
+            # luma 64-node was split: only a QT first split keeps CCLM
+            if rec is None or rec[0] != QT_SPLIT:
+                return False
+        elif rec is not None and rec[1]:
+            return False       # unsplit 64x64 luma CU using ISP
+        return True
 
     def _dec_chroma_cu(self, dec, ps, x, y, w, h, part: PartInfo) -> CuData:
         """Region chroma CU of a local dual tree (treeType TREE_C; vvenc
@@ -2345,6 +2580,7 @@ class SyntaxCoder:
         # DM derives from the co-located CENTER luma mode (VVC 8.4.3)
         cu.luma_mode = int(ps.intra_mode[(y + (h >> 1)) >> 2,
                                          (x + (w >> 1)) >> 2])
+        cu.cclm_allowed = self._cclm_allowed(ps, cu, part)
         self._code_bdpcm_modes(dec, cu, encode=False, chroma=True)
         if not cu.bdpcm_c:
             cu.chroma_dir = self._dec_intra_chroma_mode(dec, cu)
@@ -2542,6 +2778,11 @@ class SyntaxCoder:
             self._code_lfnst_mts(dec, cu, encode=False)
             self._finish_cu(ps, cu, node)
             return cu
+        if cu.is_inter and cu.root_cbf and (w > MAX_TB or h > MAX_TB):
+            # implicit TU_MAX_TR_SPLIT tiling (transform_tree, 7.3.11.9)
+            self._code_max_tb_tus(dec, cu, encode=False)
+            self._finish_cu(ps, cu, node)
+            return cu
         tw, th = w, h
         if cu.sbt_idx:
             _, _, tw, th, _, _ = sbt_tu_rect(cu)
@@ -2630,7 +2871,7 @@ class SyntaxCoder:
         return m
 
     def _dec_intra_chroma_mode(self, dec, cu: CuData) -> int:
-        if self.sps.cclm:
+        if self.sps.cclm and cu.cclm_allowed:
             if dec.decode_bin(ct.CTX_SETS["CclmModeFlag"](0)):
                 if not dec.decode_bin(ct.CTX_SETS["CclmModeIdx"](0)):
                     return LM_CHROMA_IDX
@@ -2962,6 +3203,76 @@ def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
             return ciip_blend(inter, intra, ciip_num_intra(ps, cu))
         return inter_predict(ref_pics, cu.mv, cu.ref_idx, x, y, w, h,
                              comp, bit_depth, cu.bcw_idx, cu.alt_hpel)
+    if cu.mtb_tus is not None:
+        # implicit max-TB tiling: whole-CU prediction, per-TU residuals
+        for comp in comps:
+            if comp == 0:
+                x, y, w, h = cu.x, cu.y, cu.w, cu.h
+                q = qp.luma_qp()
+            else:
+                x, y, w, h = cu.x >> 1, cu.y >> 1, cu.w >> 1, cu.h >> 1
+                q = qp.chroma_qp(comp)
+            if cu.dmvr_deltas is not None:
+                pred = dmvr_predict(ref_pics, cu, comp, bit_depth,
+                                    ps.w, ps.h, ctu_size)
+            elif bdof and comp == 0:
+                pred = bdof_predict_luma(ref_pics[0][cu.ref_idx[0]][0],
+                                         ref_pics[1][cu.ref_idx[1]][0],
+                                         cu, bit_depth)
+            else:
+                pred = _inter_pred(comp, x, y, w, h)
+            pred = np.asarray(pred).astype(np.int64)
+            if comp == 0 and lmcs_fwd:
+                pred = coder.reshape.fwd_lut[pred]
+            rec = pred.copy()
+            for (tx, ty, tw_, th_, cy_, ccb, ccr, joint,
+                 ts_cb, ts_cr) in cu.mtb_tus:
+                sc = 0 if comp == 0 else 1
+                ox, oy = tx >> sc, ty >> sc
+                if comp == 0:
+                    coeff = cy_
+                elif joint:
+                    cc_ = 1 if joint in (2, 3) else 2
+                    coeff = ccb if cc_ == 1 else ccr
+                else:
+                    coeff = ccb if comp == 1 else ccr
+                if coeff is None or not np.any(coeff):
+                    continue
+                qq = qp.joint_qp() if (comp != 0 and joint == 3) else q
+                if comp == 0:
+                    ts_ = False
+                elif joint:
+                    ts_ = ts_cb if joint in (2, 3) else ts_cr
+                else:
+                    ts_ = ts_cb if comp == 1 else ts_cr
+                if ts_:
+                    resi = T.dequant_ts_np(coeff, qq,
+                                           coder.min_qp_ts if coder else 16)
+                else:
+                    d = (T.dequant_dq_np(coeff, qq, bit_depth) if dep_quant
+                         else T.dequant_np(coeff, qq, bit_depth))
+                    resi = T.inv_transform_np(d, bit_depth)
+                if comp != 0:
+                    if joint:
+                        rcb, rcr = _ict_derive(resi.astype(np.int64),
+                                               joint, jccr_sign)
+                        resi = rcb if comp == 1 else rcr
+                    # LMCS chroma scaling with the TU-position adj
+                    if (coder is not None and coder.lmcs_chroma_scale
+                            and (tw_ >> 1) * (th_ >> 1) > 4):
+                        from .lmcs import (chroma_adj_vpdu_nei,
+                                           scale_chroma_resi_inv)
+                        adj = chroma_adj_vpdu_nei(
+                            ps, coder.reshape, cu.x + tx, cu.y + ty,
+                            int(ctu_size).bit_length() - 1)
+                        resi = scale_chroma_resi_inv(resi, adj, bit_depth)
+                rec[oy:oy + (th_ >> sc), ox:ox + (tw_ >> sc)] += resi
+            ps.rec[comp][y:y + h, x:x + w] = np.clip(rec, 0, maxval)
+        ps.mark_cu(cu.x, cu.y, cu.w, cu.h, qt_depth, DC,
+                   is_intra=False, is_mip=False,
+                   with_chroma=not cu.luma_only, qp=qp.qp_y)
+        return
+
     joint_resi = {}
     if cu.joint_cbcr and (1 in comps or 2 in comps):
         coded_comp = 1 if cu.joint_cbcr in (2, 3) else 2
@@ -3079,7 +3390,7 @@ def reconstruct_cu(ps: PictureState, cu: CuData, qp: QpState, qt_depth: int,
             rec = pred
         ps.rec[comp][y:y + h, x:x + w] = rec
     if cu.chroma_only:
-        ps.mark_chroma(cu.x, cu.y, cu.w, cu.h)
+        ps.mark_chroma(cu.x, cu.y, cu.w, cu.h, qt_depth)
     else:
         ps.mark_cu(cu.x, cu.y, cu.w, cu.h, qt_depth,
                    dm_luma_mode(cu) if not cu.is_inter else DC,

@@ -354,6 +354,13 @@ class _BsMaps:
                 rxs = slice((cu.x + tx_) >> 2, (cu.x + tx_ + tw_) >> 2)
                 self.cu_w[rys, rxs] = tw_ if sbt in (1, 3) else cu.w
                 self.cu_h[rys, rxs] = th_ if sbt in (2, 4) else cu.h
+            elif getattr(cu, "mtb_tus", None) is not None:
+                # implicit max-TB tiling: TU dims drive the filter lengths
+                for (tx, ty, tw_, th_, *_rest) in cu.mtb_tus:
+                    rys = slice((cu.y + ty) >> 2, (cu.y + ty + th_) >> 2)
+                    rxs = slice((cu.x + tx) >> 2, (cu.x + tx + tw_) >> 2)
+                    self.cu_w[rys, rxs] = tw_
+                    self.cu_h[rys, rxs] = th_
             else:
                 self.cu_w[ys, xs] = cu.w
                 self.cu_h[ys, xs] = cu.h
@@ -371,6 +378,15 @@ class _BsMaps:
                 for ci, a in ((1, "coeff_cb"), (2, "coeff_cr")):
                     self.cbf[ci, rys, rxs] = \
                         (getattr(cu, a, None) is not None or joint != 0)
+            elif getattr(cu, "mtb_tus", None) is not None:
+                for (tx, ty, tw_, th_, cy_, ccb, ccr, j_, _tb, _tr) in cu.mtb_tus:
+                    rys = slice((cu.y + ty) >> 2, (cu.y + ty + th_) >> 2)
+                    rxs = slice((cu.x + tx) >> 2, (cu.x + tx + tw_) >> 2)
+                    self.cbf[0, rys, rxs] = cy_ is not None
+                    self.cbf[1, rys, rxs] = (ccb is not None) or j_ != 0
+                    self.cbf[2, rys, rxs] = (ccr is not None) or j_ != 0
+                    if j_ == 3:
+                        self.joint3[rys, rxs] = True
             else:
                 self.cbf[0, ys, xs] = getattr(cu, "coeff_y", None) is not None
                 if not getattr(cu, "luma_only", False):
@@ -413,10 +429,14 @@ class _BsMaps:
                         self.mv[li, ys, xs, 0] = cu.mv[li][0]
                         self.mv[li, ys, xs, 1] = cu.mv[li][1]
 
-    def bs(self, py, px, qy, qx, is_b, tu_edge: bool = True):
+    def bs(self, py, px, qy, qx, is_b, tu_edge: bool = True,
+           pu_edge: bool = True):
         """(bs_y, bs_cb, bs_cr) for the edge between units P and Q
         (vvenc xGetBoundaryStrengthSingle, LoopFilter.cpp:1022).
-        tu_edge=False: internal sub-block edge — cbf rule does not apply."""
+        tu_edge=False: internal sub-block edge — cbf rule does not apply.
+        pu_edge=False: transform-only internal edge (SBT / max-TB split) —
+        the motion comparison does not apply (edge-type gate,
+        LoopFilter.cpp: BsGet(bs, MAX_NUM_COMP) != 3 early return)."""
         chroma_int = self.cintra[py, px] or self.cintra[qy, qx]
         bs_c_intra = 0 if (self.bdpcm_c[py, px] and
                            self.bdpcm_c[qy, qx]) else 2
@@ -435,6 +455,8 @@ class _BsMaps:
             bs_cr = 1 if (self.cbf[2, py, px] or self.cbf[2, qy, qx]) else 0
         if tu_edge and (self.cbf[0, py, px] or self.cbf[0, qy, qx]):
             return 1, bs_cb, bs_cr
+        if not pu_edge:
+            return 0, bs_cb, bs_cr
         rp0, rp1 = self.refpoc[0, py, px], self.refpoc[1, py, px]
         rq0, rq1 = self.refpoc[0, qy, qx], self.refpoc[1, qy, qx]
         mp0, mp1 = self.mv[0, py, px], self.mv[1, py, px]
@@ -504,6 +526,14 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                          ((cu.x + tx_ + tw_) >> 1) >> 1)
             cblk_w[rys2, rxs2] = (tw_ >> 1) if sbt in (1, 3) else (cu.w >> 1)
             cblk_h[rys2, rxs2] = (th_ >> 1) if sbt in (2, 4) else (cu.h >> 1)
+        elif getattr(cu, "mtb_tus", None) is not None:
+            for (tx, ty, tw_, th_, *_rest) in cu.mtb_tus:
+                rys2 = slice(((cu.y + ty) >> 1) >> 1,
+                             ((cu.y + ty + th_) >> 1) >> 1)
+                rxs2 = slice(((cu.x + tx) >> 1) >> 1,
+                             ((cu.x + tx + tw_) >> 1) >> 1)
+                cblk_w[rys2, rxs2] = tw_ >> 1
+                cblk_h[rys2, rxs2] = th_ >> 1
         else:
             cblk_w[ys2, xs2] = cu.w >> 1
             cblk_h[ys2, xs2] = cu.h >> 1
@@ -554,6 +584,23 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
             # GEO stores per-subblock motion but adds no internal edges)
             q_sub = bool(getattr(cu, "affine", False))
             isp = getattr(cu, "isp_mode", 0)
+            # internal transform-edge x/y offsets (SBT halves / max-TB
+            # tiling) — these coincide with 8-grid subblock edges in
+            # affine/SbTMVP CUs and then carry BOTH edge flags
+            tu_xs, tu_ys = set(), set()
+            sbt_ = getattr(cu, "sbt_idx", 0)
+            if sbt_:
+                from .ctu_syntax import sbt_tu_rect
+                tx0_, ty0_, tw0_, th0_ = sbt_tu_rect(cu)[:4]
+                if sbt_ in (1, 3):
+                    tu_xs.add(cu.x + (tx0_ + tw0_ if cu.sbt_pos == 0
+                                      else tx0_))
+                else:
+                    tu_ys.add(cu.y + (ty0_ + th0_ if cu.sbt_pos == 0
+                                      else ty0_))
+            if getattr(cu, "mtb_tus", None) is not None:
+                tu_xs.update(cu.x + o for o in range(64, cu.w, 64))
+                tu_ys.update(cu.y + o for o in range(64, cu.h, 64))
             if vertical:
                 x = cu.x
                 if x != 0:
@@ -574,6 +621,8 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                 if q_sub:
                     for off in range(8, cu.w, 8):
                         xi = cu.x + off
+                        if xi in tu_xs:
+                            continue   # handled as a combined TU+PU edge
                         ml = _sub_maxlen(off, cu.w)
                         for yy in range(cu.y, cu.y + cu.h, 4):
                             bs_y, _, _ = maps.bs(yy >> 2, (xi - 1) >> 2,
@@ -606,15 +655,36 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                     xi = cu.x + (tx_ + tw_ if cu.sbt_pos == 0 else tx_)
                     for yy in range(cu.y, cu.y + cu.h, 4):
                         bs_y, _, _ = maps.bs(yy >> 2, (xi - 1) >> 2,
-                                             yy >> 2, xi >> 2, is_b)
+                                             yy >> 2, xi >> 2, is_b,
+                                             pu_edge=q_sub)
                         if not bs_y:
                             continue
                         mp, mq = luma_maxlen(int(cu_w[yy >> 2, (xi - 1) >> 2]),
-                                             int(cu_w[yy >> 2, xi >> 2]))
+                                             int(cu_w[yy >> 2, xi >> 2]),
+                                             q_sub, q_sub)
                         eqp = luma_edge_qp(yy >> 2, (xi - 1) >> 2,
                                            yy >> 2, xi >> 2)
                         _filter_luma_edge_seg(rec[0], xi, yy, True, eqp,
                                               mp, mq, bit_depth, bs=bs_y)
+                if getattr(cu, "mtb_tus", None) is not None and cu.w > 64:
+                    # internal max-TB transform edges on the 64-grid
+                    for off in range(64, cu.w, 64):
+                        xi = cu.x + off
+                        for yy in range(cu.y, cu.y + cu.h, 4):
+                            bs_y, _, _ = maps.bs(yy >> 2, (xi - 1) >> 2,
+                                                 yy >> 2, xi >> 2, is_b,
+                                                 pu_edge=q_sub)
+                            if not bs_y:
+                                continue
+                            mp, mq = luma_maxlen(
+                                int(cu_w[yy >> 2, (xi - 1) >> 2]),
+                                int(cu_w[yy >> 2, xi >> 2]),
+                                q_sub, q_sub)
+                            eqp = luma_edge_qp(yy >> 2, (xi - 1) >> 2,
+                                               yy >> 2, xi >> 2)
+                            _filter_luma_edge_seg(rec[0], xi, yy, True, eqp,
+                                                  mp, mq, bit_depth,
+                                                  bs=bs_y)
             else:
                 y = cu.y
                 if y != 0:
@@ -637,6 +707,8 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                 if q_sub:
                     for off in range(8, cu.h, 8):
                         yi = cu.y + off
+                        if yi in tu_ys:
+                            continue   # handled as a combined TU+PU edge
                         ml = _sub_maxlen(off, cu.h)
                         for xx in range(cu.x, cu.x + cu.w, 4):
                             bs_y, _, _ = maps.bs((yi - 1) >> 2, xx >> 2,
@@ -670,16 +742,37 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                     yi = cu.y + (ty_ + th_ if cu.sbt_pos == 0 else ty_)
                     for xx in range(cu.x, cu.x + cu.w, 4):
                         bs_y, _, _ = maps.bs((yi - 1) >> 2, xx >> 2,
-                                             yi >> 2, xx >> 2, is_b)
+                                             yi >> 2, xx >> 2, is_b,
+                                             pu_edge=q_sub)
                         if not bs_y:
                             continue
                         mp, mq = luma_maxlen(int(cu_h[(yi - 1) >> 2, xx >> 2]),
-                                             int(cu_h[yi >> 2, xx >> 2]))
+                                             int(cu_h[yi >> 2, xx >> 2]),
+                                             q_sub, q_sub)
                         eqp = luma_edge_qp((yi - 1) >> 2, xx >> 2,
                                            yi >> 2, xx >> 2)
                         _filter_luma_edge_seg(rec[0], xx, yi, False, eqp,
                                               mp, mq, bit_depth,
                                               at_ctu_hor=False, bs=bs_y)
+                if getattr(cu, "mtb_tus", None) is not None and cu.h > 64:
+                    for off in range(64, cu.h, 64):
+                        yi = cu.y + off
+                        for xx in range(cu.x, cu.x + cu.w, 4):
+                            bs_y, _, _ = maps.bs((yi - 1) >> 2, xx >> 2,
+                                                 yi >> 2, xx >> 2, is_b,
+                                                 pu_edge=q_sub)
+                            if not bs_y:
+                                continue
+                            mp, mq = luma_maxlen(
+                                int(cu_h[(yi - 1) >> 2, xx >> 2]),
+                                int(cu_h[yi >> 2, xx >> 2]),
+                                q_sub, q_sub)
+                            eqp = luma_edge_qp((yi - 1) >> 2, xx >> 2,
+                                               yi >> 2, xx >> 2)
+                            _filter_luma_edge_seg(rec[0], xx, yi, False,
+                                                  eqp, mp, mq, bit_depth,
+                                                  at_ctu_hor=False,
+                                                  bs=bs_y)
         # chroma edges for this direction (8-chroma-sample grid only:
         # vvenc loopFilterCu DEBLOCK_SMALLEST_BLOCK gating).  Edge geometry
         # follows the CHROMA tree: with a local dual tree the chroma block
@@ -700,7 +793,8 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                         for yy in range(cy, cy + ch, 2):
                             _, bs_cb, bs_cr = maps.bs(
                                 (yy << 1) >> 2, ((ex - 1) << 1) >> 2,
-                                (yy << 1) >> 2, (ex << 1) >> 2, is_b)
+                                (yy << 1) >> 2, (ex << 1) >> 2, is_b,
+                                pu_edge=False)
                             large = (tw_ >> 1) >= 8 and \
                                 ((cu.w - tw_) >> 1) >= 8
                             for comp, bsc in ((1, bs_cb), (2, bs_cr)):
@@ -717,7 +811,8 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                         for xx in range(cx, cx + cw, 2):
                             _, bs_cb, bs_cr = maps.bs(
                                 ((ey - 1) << 1) >> 2, (xx << 1) >> 2,
-                                (ey << 1) >> 2, (xx << 1) >> 2, is_b)
+                                (ey << 1) >> 2, (xx << 1) >> 2, is_b,
+                                pu_edge=False)
                             large = (th_ >> 1) >= 8 and \
                                 ((cu.h - th_) >> 1) >= 8
                             for comp, bsc in ((1, bs_cb), (2, bs_cr)):
@@ -728,6 +823,45 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                                     _filter_chroma_edge_seg(
                                         rec[comp], xx, ey, False, qp_c,
                                         large, bit_depth,
+                                        at_ctu_hor=False, bs=bsc)
+            if getattr(cu, "mtb_tus", None) is not None:
+                # internal max-TB chroma transform edges (32-chroma grid)
+                if vertical and cu.w > 64:
+                    for off in range(64, cu.w, 64):
+                        ex = (cu.x + off) >> 1
+                        for yy in range(cy, cy + ch, 2):
+                            _, bs_cb, bs_cr = maps.bs(
+                                (yy << 1) >> 2, ((ex - 1) << 1) >> 2,
+                                (yy << 1) >> 2, (ex << 1) >> 2, is_b,
+                                pu_edge=False)
+                            for comp, bsc in ((1, bs_cb), (2, bs_cr)):
+                                if bsc == 2 or bsc == 1:
+                                    qp_c = chroma_edge_qp(
+                                        (yy << 1) >> 2,
+                                        ((ex - 1) << 1) >> 2,
+                                        (yy << 1) >> 2, (ex << 1) >> 2,
+                                        comp)
+                                    _filter_chroma_edge_seg(
+                                        rec[comp], ex, yy, True, qp_c,
+                                        True, bit_depth, bs=bsc)
+                elif not vertical and cu.h > 64:
+                    for off in range(64, cu.h, 64):
+                        ey = (cu.y + off) >> 1
+                        for xx in range(cx, cx + cw, 2):
+                            _, bs_cb, bs_cr = maps.bs(
+                                ((ey - 1) << 1) >> 2, (xx << 1) >> 2,
+                                (ey << 1) >> 2, (xx << 1) >> 2, is_b,
+                                pu_edge=False)
+                            for comp, bsc in ((1, bs_cb), (2, bs_cr)):
+                                if bsc == 2 or bsc == 1:
+                                    qp_c = chroma_edge_qp(
+                                        ((ey - 1) << 1) >> 2,
+                                        (xx << 1) >> 2,
+                                        (ey << 1) >> 2, (xx << 1) >> 2,
+                                        comp)
+                                    _filter_chroma_edge_seg(
+                                        rec[comp], xx, ey, False, qp_c,
+                                        True, bit_depth,
                                         at_ctu_hor=False, bs=bsc)
             if vertical:
                 if cx == 0 or (cx & 7):

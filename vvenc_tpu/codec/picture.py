@@ -42,6 +42,11 @@ class PictureState:
         self.cu_h = np.zeros((uh, uw), dtype=np.int32)
         self.cu_x = np.zeros((uh, uw), dtype=np.int32)
         self.cu_y = np.zeros((uh, uw), dtype=np.int32)
+        # dual-tree chroma CU attribute maps (luma-unit dims; used for the
+        # chroma tree's split contexts, same grid as coded_chroma)
+        self.ccu_w = np.zeros((cuh, cuw), dtype=np.int32)
+        self.ccu_h = np.zeros((cuh, cuw), dtype=np.int32)
+        self.cqt_depth = np.zeros((cuh, cuw), dtype=np.int32)
         self.qt_depth = np.zeros((uh, uw), dtype=np.int32)
         self.qp_map = np.zeros((uh, uw), dtype=np.int32)  # per-4x4 QpY
         # tiles: per-4x4 tile index; availability is gated to the current
@@ -127,13 +132,32 @@ class PictureState:
         self.qt_depth[uy0:uy1, ux0:ux1] = qt_depth
         self.qp_map[uy0:uy1, ux0:ux1] = qp
         if with_chroma:
-            self.mark_chroma(x, y, w, h)
+            self.mark_chroma(x, y, w, h, qt_depth)
 
-    def mark_chroma(self, x: int, y: int, w: int, h: int):
-        """Chroma coded mask (4:2:0), luma coordinates."""
+    def mark_chroma(self, x: int, y: int, w: int, h: int,
+                    qt_depth: int = 0):
+        """Chroma coded mask + chroma-tree CU attributes (4:2:0, luma
+        coordinates; dims stored in luma units)."""
         cx0, cy0 = (x >> 1) >> 1, (y >> 1) >> 1
         cx1, cy1 = ((x + w) >> 1) >> 1, ((y + h) >> 1) >> 1
         self.coded_chroma[cy0:cy1, cx0:cx1] = True
+        self.ccu_w[cy0:cy1, cx0:cx1] = w
+        self.ccu_h[cy0:cy1, cx0:cx1] = h
+        self.cqt_depth[cy0:cy1, cx0:cx1] = qt_depth
+
+    def chroma_cu_at(self, x: int, y: int):
+        """(w, h, qt_depth) of the chroma-tree CU covering luma (x, y),
+        in luma units, or None."""
+        if not self.inside(x, y):
+            return None
+        cy, cx = (y >> 1) >> 1, (x >> 1) >> 1
+        if not bool(self.coded_chroma[cy, cx]):
+            return None
+        if self.tile_map is not None and \
+                int(self.tile_map[y >> 2, x >> 2]) != self.cur_tile:
+            return None
+        return (int(self.ccu_w[cy, cx]), int(self.ccu_h[cy, cx]),
+                int(self.cqt_depth[cy, cx]))
 
     # -- RD-search state checkpointing ------------------------------------
     def save_region(self, x: int, y: int, size: int):
@@ -160,6 +184,9 @@ class PictureState:
             self.qp_map[uy:uy1, ux:ux1].copy(),
             self.cu_x[uy:uy1, ux:ux1].copy(),
             self.cu_y[uy:uy1, ux:ux1].copy(),
+            self.ccu_w[hy:hy1, hx:hx1].copy(),
+            self.ccu_h[hy:hy1, hx:hx1].copy(),
+            self.cqt_depth[hy:hy1, hx:hx1].copy(),
         )
 
     def restore_region(self, snap) -> None:
@@ -182,3 +209,6 @@ class PictureState:
         self.qp_map[uy:uy1, ux:ux1] = snap[12]
         self.cu_x[uy:uy1, ux:ux1] = snap[13]
         self.cu_y[uy:uy1, ux:ux1] = snap[14]
+        self.ccu_w[hy:hy1, hx:hx1] = snap[15]
+        self.ccu_h[hy:hy1, hx:hx1] = snap[16]
+        self.cqt_depth[hy:hy1, hx:hx1] = snap[17]
