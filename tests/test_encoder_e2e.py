@@ -621,6 +621,81 @@ def test_tiles_encoder_roundtrip():
                                   enc.recs_by_poc[fr.poc][c])
 
 
+def test_dual_tree_encoder_roundtrip():
+    """Dual-tree intra encode: separate luma/chroma tree RD (luma pass
+    first, chroma pass with CCLM from the staged luma recon); decoder
+    must reproduce the encoder recon bit-exactly."""
+    from vvenc_tpu.codec import ctu_syntax as cs
+    w, h = 128, 64
+    frames = [_synth_frame(w, h, t=t) for t in range(2)]
+    chroma_leaves = [0]
+    orig = cs.SyntaxCoder._dec_chroma_cu
+
+    def patched(self, dec, ps, x, y, cw, ch, part):
+        chroma_leaves[0] += 1
+        return orig(self, dec, ps, x, y, cw, ch, part)
+    cs.SyntaxCoder._dec_chroma_cu = patched
+    try:
+        enc = IntraEncoder(EncoderConfig(
+            width=w, height=h, qp=30, ctu_size=64, min_qt=8,
+            max_mtt_depth=1, dual_tree=True, cclm=True, jccr=True,
+            deblocking=True, mip=True, isp=True, lfnst=True))
+        stream = enc.encode_sequence(frames)
+        dec = decode_stream(stream)
+    finally:
+        cs.SyntaxCoder._dec_chroma_cu = orig
+    assert len(dec) == 2
+    for poc, fr in enumerate(sorted(dec, key=lambda f: f.poc)):
+        for c in range(3):
+            assert np.array_equal(fr.planes[c], enc.recs_by_poc[poc][c])
+    assert chroma_leaves[0] >= 2 * 2, "chroma tree never decoded"
+
+
+def test_ifp_byte_identical_and_restricted():
+    """IFP (CTU-line-synchronized inter-frame parallelism): the bitstream
+    must be byte-identical for any worker count, decode bit-exactly, and
+    differ from the unrestricted encode (the static motion window is part
+    of the mode's bitstream contract, like vvenc --ifp)."""
+    w, h = 96, 96   # 3 CTU rows at 32
+    frames = [_synth_frame(w, h, t=t) for t in range(9)]
+    kw = dict(width=w, height=h, qp=32, ctu_size=32, intra_period=0,
+              gop_size=8, deblocking=True, search_range=12,
+              mmvd=True, sbt=True, dmvr=True, sbtmvp=True, affine=True)
+    e1 = IntraEncoder(EncoderConfig(ifp=True, max_parallel_frames=1, **kw))
+    s1 = e1.encode_sequence(frames)
+    e3 = IntraEncoder(EncoderConfig(ifp=True, max_parallel_frames=3, **kw))
+    s3 = e3.encode_sequence(frames)
+    assert s1 == s3, "IFP bitstream depends on worker count"
+    dec = sorted(decode_stream(s1), key=lambda f: f.poc)
+    assert len(dec) == 9
+    for poc, fr in enumerate(dec):
+        for c in range(3):
+            assert np.array_equal(fr.planes[c], e1.recs_by_poc[poc][c])
+    e0 = IntraEncoder(EncoderConfig(ifp=False, **kw))
+    s0 = e0.encode_sequence(frames)
+    assert s0 != s1, "IFP motion restriction never engaged"
+
+
+def test_ifp_sao_barrier_mode():
+    """IFP with SAO on: filtered progress publishes at frame completion
+    (whole-picture SAO derivation); output must still be deterministic
+    across worker counts and decode bit-exactly."""
+    w, h = 96, 64
+    frames = [_synth_frame(w, h, t=t) for t in range(5)]
+    kw = dict(width=w, height=h, qp=32, ctu_size=32, intra_period=0,
+              gop_size=4, deblocking=True, sao=True, ifp=True)
+    e1 = IntraEncoder(EncoderConfig(max_parallel_frames=1, **kw))
+    s1 = e1.encode_sequence(frames)
+    e2 = IntraEncoder(EncoderConfig(max_parallel_frames=4, **kw))
+    s2 = e2.encode_sequence(frames)
+    assert s1 == s2
+    dec = decode_stream(s1)
+    assert len(dec) == 5
+    for fr in dec:
+        for c in range(3):
+            assert np.array_equal(fr.planes[c], e1.recs_by_poc[fr.poc][c])
+
+
 def test_gop_parallel_byte_identical():
     """GOP-segment parallel encode (numParallelGOPs analog): byte-identical
     to the serial encode for any worker count; stream decodes."""

@@ -77,8 +77,10 @@ def encoder_config_from(cfg, args) -> "EncoderConfig":
         lfnst=bool(cfg.lfnst), mts=bool(cfg.mts),
         mts_implicit=bool(cfg.mts_implicit), mip=bool(cfg.mip),
         mrl=bool(cfg.mrl), cclm=bool(cfg.lm_chroma), tmvp=bool(cfg.tmvp),
+        dual_tree=bool(cfg.dual_i_tree),
         wpp=bool(cfg.wpp),
         max_parallel_frames=cfg.max_parallel_frames,
+        ifp=bool(cfg.ifp), ifp_lines=cfg.ifp_lines,
         bdof=bool(cfg.bdof), dmvr=bool(cfg.dmvr),
         jccr=bool(cfg.joint_cbcr), isp=bool(cfg.isp), mmvd=bool(cfg.mmvd),
         smvd=bool(cfg.smvd), bcw=bool(cfg.bcw), ciip=bool(cfg.ciip),

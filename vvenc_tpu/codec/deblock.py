@@ -485,8 +485,17 @@ class _BsMaps:
 def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                     ctu_size: int, bit_depth: int = 10,
                     ref_pocs=None, is_b: bool = False,
-                    qp_map=None, chroma_qp_fn=None) -> None:
+                    qp_map=None, chroma_qp_fn=None, y_band=None) -> None:
     """In-place deblocking of one picture.
+
+    y_band=(y0, y1): filter only edges of CUs whose top-left y falls in
+    [y0, y1) — CTU-row banding for IFP-style pipelining.  Per-row banded
+    calls in raster order compose to exactly the monolithic result: a
+    row's edges only read/write rows r-1 and r, and the spec's
+    all-vertical-then-all-horizontal order commutes across disjoint row
+    bands (vvenc EncSlice CTU-task LoopFilter stages).  cu_list may be
+    the partial list of CUs coded so far; the band's BS derivation only
+    reads map rows r-1/r.
 
     rec: {0: Y, 1: Cb, 2: Cr} planes (modified in place).
     cu_list: iterable of CuData-likes (x, y, w, h luma coords, TU == CU;
@@ -578,6 +587,8 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
     # ---- vertical edges (whole picture), then horizontal -----------------
     for vertical in (True, False):
         for cu in cu_list:
+            if y_band is not None and not (y_band[0] <= cu.y < y_band[1]):
+                continue
             if getattr(cu, "chroma_only", False):
                 continue
             # internal 8-grid edges only for affine-family CUs (refineBs;
@@ -780,6 +791,8 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
         # carry chroma (vvenc xSetMaxFilterLengthPQFromTransformSizes with
         # ch == CH_C, LoopFilter.cpp:916)
         for cu in chroma_cus:
+            if y_band is not None and not (y_band[0] <= cu.y < y_band[1]):
+                continue
             cx, cy = cu.x >> 1, cu.y >> 1
             cw, ch = cu.w >> 1, cu.h >> 1
             sbt = getattr(cu, "sbt_idx", 0)

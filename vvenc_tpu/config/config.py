@@ -94,6 +94,8 @@ class VvencTpuConfig:
     num_tile_rows: int = 1
     max_parallel_frames: int = 0
     num_parallel_gops: int = 0
+    ifp: int = 0                     # inter-frame parallel (CTU-line sync)
+    ifp_lines: int = 2
     threads: int = 0
     wpp: int = 0                     # entropy_coding_sync + entry points
     # -- misc --------------------------------------------------------------
@@ -151,7 +153,7 @@ _IMPLEMENTED = {"mctf": 2, "bim": 0, "alf": 1, "ccalf": 1, "sao": 1,
                 "dmvr": 1, "bdof": 1, "mmvd": 3, "smvd": 3, "geo": 4,
                 "ciip": 1, "sbt": 1, "bcw": 2, "sbtmvp": 1, "amvr": 5,
                 "prof": 1, "transform_skip": 2, "bdpcm": 2, "ibc": 2,
-                "tmvp": 1}
+                "tmvp": 1, "dual_i_tree": 1}
 
 
 def init_preset(cfg: VvencTpuConfig, preset: Preset,
@@ -163,12 +165,14 @@ def init_preset(cfg: VvencTpuConfig, preset: Preset,
     default); pass False to see the full target matrix.
     """
     # baseline applied to every preset before the matrix
-    # (vvencCfg.cpp:2588-2653: RDOQ=1, SAO=1, TMVP=1, SCC tools auto)
+    # (vvencCfg.cpp:2588-2653: RDOQ=1, SAO=1, TMVP=1, SCC tools auto;
+    # every preset sets m_dualITree = 1, vvencCfg.cpp:2668..3025)
     cfg.rdoq = 1
     cfg.tmvp = 1
     cfg.transform_skip = 2
     cfg.bdpcm = 2
     cfg.ibc = 2
+    cfg.dual_i_tree = 1
     for k, v in _PRESET_MATRIX[preset].items():
         setattr(cfg, k, v)
     if clamp_to_implemented:

@@ -25,6 +25,7 @@ from ..bitstream import hls
 from ..bitstream.params import SPS, PPS, SliceHeader, PictureHeader
 from ..codec.ctu_syntax import (SyntaxCoder, TreeNode, CuData, DM_CHROMA,
                                 PartInfo, NO_SPLIT, QT_SPLIT,
+                                TREE_L, CHROMA_TREE,
                                 get_intra_mpms, split_options_full,
                                 split_geometry, write_split_mode,
                                 implicit_split,
@@ -51,6 +52,7 @@ class EncoderConfig:
     intra_qp_offset: int = -3      # vvenc default for intra slices
     ctu_size: int = 32
     min_qt: int = 8
+    dual_tree: bool = False        # separate luma/chroma trees in I slices
     bit_depth: int = 10
     input_bit_depth: int = 8
     fps_num: int = 15
@@ -107,6 +109,10 @@ class EncoderConfig:
     parallel_gops: int = 0         # GOP/segment-parallel encode workers
                                    # (segments split at the intra period)
     max_parallel_frames: int = 0   # frame-parallel all-intra encode
+    ifp: bool = False              # inter-frame parallelism w/ CTU-line
+                                   # sync (vvenc --ifp: restricted ME,
+                                   # worker-count-independent bitstream)
+    ifp_lines: int = 2             # reference row lead (vvenc m_ifpLines)
     picture_hash: int = 0          # decoded-picture-hash SEI: 0 off,
                                    # 1 MD5, 2 CRC, 3 checksum
     hrd_timing_sei: bool = False   # buffering-period + pic-timing SEIs
@@ -130,6 +136,13 @@ def build_parameter_sets(cfg: EncoderConfig):
     # keep min CB at 8 when MTT is on: chroma stays >= 4x4, so the
     # local-dual-tree machinery (spec modeTypeCondition) never triggers
     sps.log2_min_cb_size = 3 if cfg.max_mtt_depth else 2
+    if cfg.dual_tree:
+        # dual-tree intra: chroma-tree constraint set (index 2); the
+        # reference emits chroma minQT = luma/2 (vvencCfg m_MinQT[2]),
+        # floored at the min CB size
+        sps.dual_i_tree = 1
+        sps.min_qt_size[2] = max(1 << sps.log2_min_cb_size,
+                                 cfg.min_qt >> 1)
     sps.log2_max_tb_size = min(6, sps.ctu_size_log2)
     sps.ptl.level_idc = 35
     sps.max_dec_pic_buffering = [2]
@@ -402,7 +415,14 @@ class IntraEncoder:
             # worker count — the reference's determinism contract)
             return self._encode_gop_segments(frames)
         gop = cfg.gop_size
-        frame_parallel = (cfg.max_parallel_frames > 1 and cfg.bitrate == 0
+        # IFP (CTU-line-synchronized inter-frame parallelism): the motion
+        # restriction is part of the bitstream contract, so the mode must
+        # not depend on the worker count
+        ifp_mode = (cfg.ifp and cfg.bitrate == 0 and not cfg.rc_stats_out
+                    and not cfg.qpa and not cfg.lmcs and not cfg.wpp
+                    and cfg.tile_cols == 1 and cfg.tile_rows == 1)
+        frame_parallel = (not ifp_mode and cfg.max_parallel_frames > 1
+                          and cfg.bitrate == 0
                           and not cfg.rc_stats_out and not cfg.qpa)
         # frame-parallel encodes use the TL-independent GOP structure
         entries = build_gop(gop, parallel=frame_parallel)
@@ -410,7 +430,10 @@ class IntraEncoder:
         self.recs_by_poc[0] = dict(self.last_rec.rec)
         base = 0
         while base + gop < len(frames):
-            if frame_parallel:
+            if ifp_mode:
+                stream += self._encode_gop_frames_ifp(frames, base,
+                                                      entries)
+            elif frame_parallel:
                 stream += self._encode_gop_frames_parallel(
                     frames, base, entries)
             else:
@@ -492,6 +515,69 @@ class IntraEncoder:
         self.last_rec = last
         return bytes(stream)
 
+    def _encode_gop_frames_ifp(self, frames, base, entries) -> bytes:
+        """Inter-frame parallelism with CTU-line sync (vvenc --ifp):
+        every frame of the GOP encodes concurrently in threads; a frame's
+        CTU row r waits until each reference has ifp_lines more FILTERED
+        CTU rows, and motion is statically restricted to that window
+        (encoder/ifp.py), so the bitstream is byte-identical for any
+        worker count."""
+        from concurrent.futures import ThreadPoolExecutor
+        from .ifp import IfpProgress, IfpPicture
+        from ..codec.motion import MotionField
+        cfg = self.cfg
+        ctu = cfg.ctu_size
+        n_rows = (cfg.height + ctu - 1) // ctu
+        prog = IfpProgress()
+        for d in self.dpb:               # completed pictures: fully final
+            prog.register(d[0], n_rows)
+        handles = {}
+        jobs = []
+        for e in entries:
+            poc = base + e.poc_in_gop
+            refs_l0 = [base + r for r in e.refs_past] or [base]
+            refs_l1 = [base + r for r in e.refs_future]
+            frec = {c: np.zeros_like(self.dpb[-1][1][c]) for c in range(3)}
+            mf = MotionField(cfg.width, cfg.height)
+            prog.register(poc, 0)
+            handles[poc] = IfpPicture(prog, poc, frec, mf,
+                                      sorted(set(refs_l0 + refs_l1)),
+                                      cfg.ifp_lines, n_rows)
+            # live DPB entry: dependents MC from frec / TMVP from mf,
+            # gated by the progress table
+            self.dpb.append((poc, frec, mf,
+                             [list(refs_l0), list(refs_l1)]))
+            jobs.append((e, poc, refs_l0, refs_l1))
+
+        def run(job):
+            e, poc, l0, l1 = job
+            st = SLICE_B if l1 else SLICE_P
+            try:
+                return self._encode_picture(poc, frames[poc], st, l0, l1,
+                                            e.qp_offset,
+                                            tlayer=e.temporal_layer,
+                                            ifp=handles[poc])
+            except BaseException as exc:
+                prog.fail(exc)
+                raise
+        workers = max(1, cfg.max_parallel_frames or 1)
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            aus = list(ex.map(run, jobs))
+        stream = bytearray()
+        for (e, poc, _, _), au in zip(jobs, aus):
+            stream += au
+            self.recs_by_poc[poc] = dict(handles[poc].frec)
+            self.bits_by_poc[poc] = len(au) * 8
+            self.frames_done += 1
+        while len(self.dpb) > 16:
+            self.dpb.pop(0)
+        last = PictureState(cfg.width, cfg.height, cfg.bit_depth)
+        for c in range(3):
+            last.rec[c][:] = \
+                self.recs_by_poc[base + entries[-1].poc_in_gop][c]
+        self.last_rec = last
+        return bytes(stream)
+
     def _encode_gop_segments(self, frames) -> bytes:
         """Segment-parallel random-access encode (vvenc numParallelGOPs,
         vvencCfg.h:786): the sequence splits at the intra period into
@@ -565,7 +651,7 @@ class IntraEncoder:
         return bytes(stream)
 
     def _encode_picture(self, poc, planes8, slice_type, refs_l0, refs_l1,
-                        qp_offset=0, tlayer=0) -> bytes:
+                        qp_offset=0, tlayer=0, ifp=None) -> bytes:
         cfg = self.cfg
         shift = cfg.bit_depth - cfg.input_bit_depth
         src = {c: planes8[c].astype(np.int32) << shift for c in range(3)}
@@ -576,8 +662,12 @@ class IntraEncoder:
             max(0, min(63, cfg.qp + qp_offset))
         if self.rc is not None and cfg.bitrate > 0:
             slice_qp = self.rc.pic_qp(poc, slice_qp, 0)
-        self.lmbda = lambda_for_qp(slice_qp, cfg.bit_depth)
-        self.lmbda_sad = self.lmbda ** 0.5
+        # lmbda stays picture-local: IFP encodes pictures concurrently in
+        # threads of this object (encoder/ifp.py)
+        lmbda = lambda_for_qp(slice_qp, cfg.bit_depth)
+        lmbda_sad = lmbda ** 0.5
+        if ifp is None:
+            self.lmbda, self.lmbda_sad = lmbda, lmbda_sad
 
         qpa_res = None
         if cfg.qpa:
@@ -588,7 +678,7 @@ class IntraEncoder:
             ctab = derive_chroma_qp_table(start + 26, ins, outs, 0)
             qpa_res = apply_qpa_slice(
                 src, self._orig_by_poc.get(poc - 1),
-                self._orig_by_poc.get(poc - 2), slice_qp, self.lmbda,
+                self._orig_by_poc.get(poc - 2), slice_qp, lmbda,
                 cfg.ctu_size, cfg.bit_depth,
                 (cfg.fps_num + cfg.fps_den - 1) // cfg.fps_den, is_idr,
                 chroma_table=lambda q: ctab[max(0, min(63, q))])
@@ -675,9 +765,14 @@ class IntraEncoder:
         coder = SyntaxCoder(self.sps, self.pps, sh, qp_state, ref_pics,
                             ref_pocs, tmvp=tmvp, cur_poc=poc,
                             reshape=reshape)
+        if ifp is not None:
+            # pre-created motion field: TMVP source for dependent frames
+            # of the same IFP wave (gated by coded-row progress)
+            coder.mf = ifp.mf
         coder.attach_motion(ps)
         searcher = _CtuSearcher(self, ps, qp_state, src_coding, coder,
-                                src_me_y=src[0])
+                                src_me_y=src[0], lmbda=lmbda,
+                                lmbda_sad=lmbda_sad)
 
         # slice data is written first (WPP needs the per-row substream
         # sizes to write the entry points in the header)
@@ -712,6 +807,64 @@ class IntraEncoder:
                     scan.append((0, cx, cy, cx == 0))
 
         trees = [None] * (n_cols * n_rows)
+
+        # IFP: CTU-row pipeline hooks (encoder/ifp.py).  Banded mode
+        # (deblock-only filters) finalizes + publishes the filtered rows
+        # as coding progresses; otherwise progress publishes on frame
+        # completion only (SAO/ALF derivations are whole-picture).
+        ifp_banded = (ifp is not None and cfg.deblocking
+                      and not cfg.sao and not cfg.alf)
+        ifp_nofilter = (ifp is not None and not cfg.deblocking
+                        and not cfg.sao and not cfg.alf)
+        if ifp is not None:
+            assert tiles_enc is None and not cfg.wpp \
+                and reshape is None and qpa_res is None, \
+                "IFP v1: raster scan, no LMCS/QPA"
+
+        def _tree_cus(node, out):
+            if node.cu is not None:
+                out.append(node.cu)
+            for c_ in node.children:
+                _tree_cus(c_, out)
+            if node.chroma_cu is not None:
+                out.append(node.chroma_cu)
+
+        def _ifp_row_done(r):
+            """CTU row r fully coded: refine its motion field rows, band-
+            filter into the shared filtered recon, publish progress."""
+            if cfg.dmvr:
+                from ..codec.motion import refine_mf_with_dmvr
+                refine_mf_with_dmvr(
+                    coder.mf,
+                    [t for t in trees[r * n_cols:(r + 1) * n_cols]
+                     if t is not None])
+            if not (ifp_banded or ifp_nofilter):
+                return
+            y0b, y1b = r * ctu, min(ps.h, (r + 1) * ctu)
+            for c_ in (0, 1, 2):
+                sc_ = 1 if c_ else 0
+                ifp.frec[c_][y0b >> sc_:y1b >> sc_] = \
+                    ps.rec[c_][y0b >> sc_:y1b >> sc_]
+            if ifp_banded:
+                from ..codec.deblock import deblock_picture
+                cus_ = []
+                for t_ in trees:
+                    if t_ is not None:
+                        _tree_cus(t_, cus_)
+                deblock_picture(
+                    ifp.frec, cus_, slice_qp,
+                    qp_state.chroma_qp(1) - qp_state.qp_bd_offset,
+                    qp_state.chroma_qp(2) - qp_state.qp_bd_offset,
+                    cfg.ctu_size, cfg.bit_depth, ref_pocs=ref_pocs,
+                    is_b=(slice_type == SLICE_B), qp_map=ps.qp_map,
+                    chroma_qp_fn=qp_state.chroma_deblock_qp,
+                    y_band=(y0b, y0b + ctu))
+            # progress = bands processed; in banded-deblock mode the last
+            # 7 pixel rows of band r may still change when band r+1's
+            # horizontal edges filter across the row boundary — the IFP
+            # motion bound subtracts that strip (see the CTU loop)
+            ifp.publish(r + 1)
+
         prev_tile, prev_cy = -1, -1
         for ti, cx, cy, row_start in scan:
             if tiles_enc is not None and ti != prev_tile:
@@ -719,6 +872,15 @@ class IntraEncoder:
                 ps.cur_tile = ti
                 prev_tile = ti
             if row_start or cy != prev_cy:
+                if ifp is not None:
+                    if prev_cy >= 0:
+                        _ifp_row_done(prev_cy)
+                    ifp.wait_refs(cy)
+                    # -8: bands published as "processed" leave a 7-row
+                    # strip that the next band's horizontal deblock edges
+                    # may still modify
+                    bot = (cy + ifp.lines) * ctu - 8
+                    searcher.ifp_bottom = bot if bot < ps.h else None
                 if tiles_enc is None:
                     sw.new_row(cy)
                 coder.new_ctu_row()
@@ -738,6 +900,8 @@ class IntraEncoder:
             if tiles_enc is None and cx == 0:
                 sw.after_first_ctu()
             trees[cy * n_cols + cx] = tree
+        if ifp is not None and prev_cy >= 0:
+            _ifp_row_done(prev_cy)
         # end_of_slice: terminating bin + arithmetic flush + rbsp trailing
         # bits.  The stop '1' bit completes the terminator code interval
         # (the flush drops the low byte; '1000...' padding lands the decoded
@@ -748,9 +912,10 @@ class IntraEncoder:
         bw.write_byte_alignment()
         bw.append_bytes(payload)
 
-        if cfg.dmvr:
+        if cfg.dmvr and ifp is None:
             # refined MVs land in the stored motion field (TMVP source),
-            # mirroring the decoder (vvenc setRefinedMotionFieldCTU)
+            # mirroring the decoder (vvenc setRefinedMotionFieldCTU);
+            # under IFP this ran per CTU row (_ifp_row_done)
             from ..codec.motion import refine_mf_with_dmvr
             refine_mf_with_dmvr(coder.mf, trees)
 
@@ -759,7 +924,12 @@ class IntraEncoder:
             # (EncSlice.cpp:1016)
             ps.rec[0] = reshape.inv_map(ps.rec[0]).astype(ps.rec[0].dtype)
 
-        if cfg.deblocking:
+        if ifp_banded:
+            # the per-row banded deblock already produced the filtered
+            # picture in ifp.frec; adopt it as this picture's recon
+            for c in (0, 1, 2):
+                ps.rec[c][:] = ifp.frec[c]
+        elif cfg.deblocking:
             from ..codec.deblock import deblock_picture
             cus = []
 
@@ -794,7 +964,7 @@ class IntraEncoder:
                         for cx_ in range(tx0, tx1):
                             tile_of[cy_ * n_cols + cx_] = ti_
             res = derive_sao(src, ps.rec, cfg.bit_depth, cfg.ctu_size,
-                             self.lmbda, n_cols, n_rows, tile_of=tile_of)
+                             lmbda, n_cols, n_rows, tile_of=tile_of)
             if res is not None:
                 sao_map, (sh.sao_luma, sh.sao_chroma) = res
                 apply_sao_picture(ps.rec, sao_map, cfg.ctu_size,
@@ -806,7 +976,7 @@ class IntraEncoder:
             from .alf_enc import derive_alf, derive_ccalf
             from ..codec.alf import write_alf_aps, apply_alf_picture
             res = derive_alf(src, ps.rec, cfg.bit_depth, cfg.ctu_size,
-                             self.lmbda)
+                             lmbda)
             if res is not None:
                 alf_p, enabled, alf_flags, alf_fidx, alf_alt, filt = res
                 sh.alf_enabled = enabled if enabled[0] else [0, 0, 0]
@@ -827,7 +997,7 @@ class IntraEncoder:
                             alf_fidx, alf_alt, [0, 0], [0, 0], cc_ctrl)
                         ccres = derive_ccalf(
                             src, {1: applied[1], 2: applied[2]}, ps.rec[0],
-                            cfg.bit_depth, cfg.ctu_size, self.lmbda)
+                            cfg.bit_depth, cfg.ctu_size, lmbda)
                         if ccres is not None:
                             cc_coeff, cc_counts, cc_en, cc_ctrl = ccres
                             alf_p.cc_coeff = cc_coeff
@@ -936,6 +1106,17 @@ class IntraEncoder:
                                      cfg.picture_hash - 1))
             au = au + write_sei_nal(
                 [(SEI_DECODED_PICTURE_HASH, sei.payload())], prefix=False)
+        if ifp is not None:
+            # barrier modes (SAO/ALF) fill the filtered recon only now;
+            # publish full progress and leave shared encoder state to the
+            # wave scheduler (threads share this object)
+            if not (ifp_banded or ifp_nofilter):
+                for c in (0, 1, 2):
+                    ifp.frec[c][:] = ps.rec[c]
+            ifp.publish(ifp.n_rows)
+            self.qp_by_poc[poc] = slice_qp
+            self.slice_type_by_poc[poc] = slice_type
+            return au
         out = (self.headers() + au) if self.frames_done == 0 else au
         self.frames_done += 1
         self.last_rec = ps
@@ -970,7 +1151,8 @@ class _CtuSearcher:
     """Depth-first QT RD search for one picture."""
 
     def __init__(self, enc: IntraEncoder, ps: PictureState, qp: QpState,
-                 src, coder: SyntaxCoder, src_me_y=None):
+                 src, coder: SyntaxCoder, src_me_y=None, lmbda=None,
+                 lmbda_sad=None):
         self.enc = enc
         self.cfg = enc.cfg
         self.ps = ps
@@ -979,8 +1161,12 @@ class _CtuSearcher:
         # original-domain luma for motion estimation (refs are unmapped)
         self.src_me_y = src[0] if src_me_y is None else src_me_y
         self.coder = coder
-        self.lmbda = enc.lmbda
-        self.lmbda_sad = enc.lmbda_sad
+        self.lmbda = enc.lmbda if lmbda is None else lmbda
+        self.lmbda_sad = enc.lmbda_sad if lmbda_sad is None else lmbda_sad
+        # IFP motion restriction: no reference read at or below this
+        # picture row (None = unrestricted); set per CTU row by the
+        # encode loop (encoder/ifp.py)
+        self.ifp_bottom = None
 
     def _chroma_scale(self, x: int, y: int, tw: int, th: int):
         """LMCS chroma residual scale for a TU at luma pos (x, y), or None
@@ -1001,8 +1187,24 @@ class _CtuSearcher:
         reconstructs into the same state deterministically)."""
         self.est = BitEstimator(CtxModels(live_ctx))
         snap = self._save(x, y, self.cfg.ctu_size)
-        node, _cost = self._rd_node(x, y, self.cfg.ctu_size,
-                                    self.cfg.ctu_size, PartInfo())
+        if self.coder.dual_tree_intra:
+            # dual-tree intra: search the luma tree of each 64-unit first
+            # (leaving its reconstruction staged so the chroma search sees
+            # the luma the decoder will), then the chroma tree
+            # (vvenc EncCu::xCompressCtu dual-tree dispatch)
+            def tree_fn(ux, uy, u, pl):
+                tnode, _ = self._rd_node(ux, uy, u, u, pl)
+                if pl.tree_type == TREE_L:
+                    # 64-unit luma record for the chroma CCLM gate
+                    self.coder.luma64[(ux, uy)] = [
+                        tnode.split_mode,
+                        bool(tnode.cu.isp_mode)
+                        if tnode.cu is not None else False]
+                return tnode
+            node = self.coder._dual_tree_units(self.ps, x, y, tree_fn)
+        else:
+            node, _cost = self._rd_node(x, y, self.cfg.ctu_size,
+                                        self.cfg.ctu_size, PartInfo())
         self._restore(snap)
         return node
 
@@ -1051,8 +1253,8 @@ class _CtuSearcher:
     def _rd_node(self, x: int, y: int, w: int, h: int, part: PartInfo):
         ps = self.ps
         sps = self.enc.sps
-        can_spl = split_options_full(ps, x, y, w, h, part, sps,
-                                     self.coder.tree_idx)
+        tidx = 2 if part.tree_type == CHROMA_TREE else self.coder.tree_idx
+        can_spl = split_options_full(ps, x, y, w, h, part, sps, tidx)
 
         best_node = None
         best_cost = float("inf")
@@ -1080,15 +1282,14 @@ class _CtuSearcher:
                             split=split != NO_SPLIT)
             b0 = self.est.frac_bits
             write_split_mode(self.est, ps, x, y, w, h, part, sps, split,
-                             self.coder.tree_idx)
+                             tidx)
             cost = self.lmbda * (self.est.frac_bits - b0) / (1 << 15)
             if split == NO_SPLIT:
                 cu, cu_cost = self._rd_cu(x, y, w, h, part)
                 node.cu = cu
                 cost += cu_cost
             else:
-                impl = implicit_split(ps, x, y, w, h, part, sps,
-                                      self.coder.tree_idx)
+                impl = implicit_split(ps, x, y, w, h, part, sps, tidx)
                 is_impl = split == impl
                 aborted = False
                 for idx, (cx, cy, cw, chh) in enumerate(
@@ -1112,14 +1313,40 @@ class _CtuSearcher:
 
     # -- per-CU mode decision ---------------------------------------------
     def _rd_cu(self, x: int, y: int, w: int, h: int, part: PartInfo):
+        if part.tree_type == CHROMA_TREE:
+            return self._rd_cu_chroma(x, y, w, h, part)
         if self.coder.is_intra_slice:
             return self._rd_cu_intra(x, y, w, h, part)
         return self._rd_cu_inter(x, y, w, h, part)
+
+    def _rd_cu_chroma(self, x: int, y: int, w: int, h: int, part: PartInfo):
+        """CHROMA_TREE leaf (dual-tree intra): chroma mode + JCCR RD for
+        the (x>>1, y>>1) chroma block of the luma-coordinate region; the
+        winner is coded/reconstructed through the real chroma-CU writer
+        (vvenc IntraSearch::estIntraPredChromaQT on the chroma pass)."""
+        ps = self.ps
+        cu = CuData(x, y, w, h)
+        cu.chroma_only = True
+        # DM derives from the co-located CENTER luma mode (VVC 8.4.3)
+        cu.luma_mode = int(ps.intra_mode[(y + (h >> 1)) >> 2,
+                                         (x + (w >> 1)) >> 2])
+        cu.cclm_allowed = self.coder._cclm_allowed(ps, cu, part)
+        self._rd_chroma(cu)
+        b0 = self.est.frac_bits
+        self.coder._enc_chroma_cu(self.est, ps, cu, part)
+        bits = (self.est.frac_bits - b0) / (1 << 15)
+        cx, cy2, cw, chh = x >> 1, y >> 1, w >> 1, h >> 1
+        dist = 0.0
+        for comp in (1, 2):
+            dist += R.sse_np(self.src[comp][cy2:cy2 + chh, cx:cx + cw],
+                             ps.rec[comp][cy2:cy2 + chh, cx:cx + cw])
+        return cu, dist + self.lmbda * bits
 
     def _rd_cu_intra(self, x: int, y: int, w: int, h: int, part: PartInfo):
         ps = self.ps
         src_y = self.src[0][y:y + h, x:x + w]
         bit_depth = self.cfg.bit_depth
+        lo = part.tree_type == TREE_L   # dual-tree luma pass: no chroma
         entry_snap = self._save(x, y, max(w, h))  # pre-CU state (ISP trials)
 
         top, left = I.build_reference_samples(
@@ -1222,6 +1449,7 @@ class _CtuSearcher:
                 cu = CuData(x, y, w, h, luma_mode=mode, mip_flag=mip_f,
                             mip_transposed=mip_t, ref_line=ref_line,
                             lfnst_idx=lfnst_i, mts_idx=mts_i,
+                            luma_only=lo,
                             ts_y=ts_f and bool(np.any(coeff)))
                 if np.any(coeff):
                     cu.coeff_y = coeff
@@ -1289,11 +1517,12 @@ class _CtuSearcher:
         # reconstruction of this CU into the picture state first (finish_cu
         # redoes it identically later).
         ps.rec[0][y:y + h, x:x + w] = rec_y
-        self._rd_chroma(cu)
+        if not lo:
+            self._rd_chroma(cu)
 
         # chroma residuals can retract LFNST signalability (corner
         # violation / DC-only): fall back to the primary-only transform
-        if cu.lfnst_idx:
+        if cu.lfnst_idx and not lo:
             viol, lf_last, _, _ = self.coder._residual_tool_stats(cu)
             if viol or not lf_last:
                 cu.lfnst_idx = 0
@@ -1322,19 +1551,22 @@ class _CtuSearcher:
         self.est.restore(est_snap)
         b0 = self.est.frac_bits
         self._est_cu_luma_syntax(cu, mpm)
-        self.coder._enc_intra_chroma_mode(self.est, cu)
-        if cu.joint_cbcr:
-            cbf_cb, cbf_cr = bool(cu.joint_cbcr & 2), bool(cu.joint_cbcr & 1)
-        else:
-            cbf_cb = cu.coeff_cb is not None
-            cbf_cr = cu.coeff_cr is not None
-        self.est.encode_bin(1 if cbf_cb else 0, ct.CTX_SETS["QtCbfCb"](0))
-        self.est.encode_bin(1 if cbf_cr else 0,
-                            ct.CTX_SETS["QtCbfCr"](1 if cbf_cb else 0))
-        mask_ = (2 if cbf_cb else 0) + (1 if cbf_cr else 0)
-        if self.enc.sps.joint_cbcr and mask_:
-            self.est.encode_bin(1 if cu.joint_cbcr else 0,
-                                ct.CTX_SETS["JointCbCrFlag"](mask_ - 1))
+        if not lo:
+            self.coder._enc_intra_chroma_mode(self.est, cu)
+            if cu.joint_cbcr:
+                cbf_cb = bool(cu.joint_cbcr & 2)
+                cbf_cr = bool(cu.joint_cbcr & 1)
+            else:
+                cbf_cb = cu.coeff_cb is not None
+                cbf_cr = cu.coeff_cr is not None
+            self.est.encode_bin(1 if cbf_cb else 0,
+                                ct.CTX_SETS["QtCbfCb"](0))
+            self.est.encode_bin(1 if cbf_cr else 0,
+                                ct.CTX_SETS["QtCbfCr"](1 if cbf_cb else 0))
+            mask_ = (2 if cbf_cb else 0) + (1 if cbf_cr else 0)
+            if self.enc.sps.joint_cbcr and mask_:
+                self.est.encode_bin(1 if cu.joint_cbcr else 0,
+                                    ct.CTX_SETS["JointCbCrFlag"](mask_ - 1))
         self.est.encode_bin(1 if cu.coeff_y is not None else 0,
                             ct.CTX_SETS["QtCbfLuma"](0))
         if cu.coeff_y is not None:
@@ -1345,24 +1577,28 @@ class _CtuSearcher:
                 encode_residual(self.est, cu.coeff_y, True,
                                 dep_quant=self.cfg.dep_quant,
                                 sign_hiding=self.cfg.sign_data_hiding)
-        if cu.joint_cbcr:
-            coded = cu.coeff_cb if cu.joint_cbcr in (2, 3) else cu.coeff_cr
-            encode_residual(self.est, coded, False,
+        if not lo:
+            if cu.joint_cbcr:
+                coded = cu.coeff_cb if cu.joint_cbcr in (2, 3) \
+                    else cu.coeff_cr
+                encode_residual(self.est, coded, False,
+                                dep_quant=self.cfg.dep_quant,
+                                sign_hiding=self.cfg.sign_data_hiding)
+            else:
+                for comp, coeff in ((1, cu.coeff_cb), (2, cu.coeff_cr)):
+                    if coeff is not None:
+                        encode_residual(
+                            self.est, coeff, False,
                             dep_quant=self.cfg.dep_quant,
                             sign_hiding=self.cfg.sign_data_hiding)
-        else:
-            for comp, coeff in ((1, cu.coeff_cb), (2, cu.coeff_cr)):
-                if coeff is not None:
-                    encode_residual(self.est, coeff, False,
-                                    dep_quant=self.cfg.dep_quant,
-                                    sign_hiding=self.cfg.sign_data_hiding)
         self.coder._code_lfnst_mts(self.est, cu, encode=True)
         total_bits = (self.est.frac_bits - b0) / (1 << 15)
 
         # reconstruct CU into scratch state (also computes chroma rec + SSE)
-        self.coder.finish_cu(ps, cu, part.qt_depth)
+        self.coder.finish_cu(ps, cu, part.qt_depth,
+                             comps=(0,) if lo else (0, 1, 2))
         dist = R.sse_np(src_y, ps.rec[0][y:y + h, x:x + w])
-        for comp in (1, 2):
+        for comp in () if lo else (1, 2):
             cx, cy2, cw, chh = x >> 1, y >> 1, w >> 1, h >> 1
             dist += R.sse_np(self.src[comp][cy2:cy2 + chh, cx:cx + cw],
                              ps.rec[comp][cy2:cy2 + chh, cx:cx + cw])
@@ -1505,7 +1741,7 @@ class _CtuSearcher:
             bits = (self.est.frac_bits - b0) / (1 << 15)
             dist = R.sse_np(src_y, ps.rec[0][y:y + h, x:x + w])
             cx, cy2, cw, chh = x >> 1, y >> 1, w >> 1, h >> 1
-            for comp in (1, 2):
+            for comp in () if part.tree_type == TREE_L else (1, 2):
                 dist += R.sse_np(self.src[comp][cy2:cy2 + chh,
                                                 cx:cx + cw],
                                  ps.rec[comp][cy2:cy2 + chh, cx:cx + cw])
@@ -1529,9 +1765,10 @@ class _CtuSearcher:
         src_y = self.src[0][y:y + h, x:x + w]
         best = (None, float("inf"))
         best_state = None
+        lo = part.tree_type == TREE_L
         for m in (1, 2):
             self._restore(entry_snap)
-            cu = CuData(x, y, w, h, bdpcm_y=m,
+            cu = CuData(x, y, w, h, bdpcm_y=m, luma_only=lo,
                         luma_mode=(VER if m == 2 else HOR), ts_y=True)
             pred = predict_cu_component(ps, cu, 0, bd, self.cfg.ctu_size)
             levels = T.quant_ts_np(src_y - pred, qy, self.coder.min_qp_ts)
@@ -1544,21 +1781,24 @@ class _CtuSearcher:
             else:
                 rec = pred
             ps.rec[0][y:y + h, x:x + w] = rec
-            self._rd_chroma(cu)
+            if not lo:
+                self._rd_chroma(cu)
             b0 = self.est.frac_bits
             self.est.encode_bin(1, ct.CTX_SETS["BDPCMMode"](0))
             self.est.encode_bin(1 if m > 1 else 0,
                                 ct.CTX_SETS["BDPCMMode"](1))
-            self.coder._enc_intra_chroma_mode(self.est, cu)
+            if not lo:
+                self.coder._enc_intra_chroma_mode(self.est, cu)
             self.est.encode_bin(1 if cu.coeff_y is not None else 0,
                                 ct.CTX_SETS["QtCbfLuma"](1))
             if cu.coeff_y is not None:
                 encode_residual_ts(self.est, cu.coeff_y, True, bdpcm=m)
             bits = (self.est.frac_bits - b0) / (1 << 15)
-            self.coder.finish_cu(ps, cu, part.qt_depth)
+            self.coder.finish_cu(ps, cu, part.qt_depth,
+                                 comps=(0,) if lo else (0, 1, 2))
             dist = R.sse_np(src_y, ps.rec[0][y:y + h, x:x + w])
             cx, cy2, cw, chh = x >> 1, y >> 1, w >> 1, h >> 1
-            for comp in (1, 2):
+            for comp in () if lo else (1, 2):
                 dist += R.sse_np(self.src[comp][cy2:cy2 + chh, cx:cx + cw],
                                  ps.rec[comp][cy2:cy2 + chh, cx:cx + cw])
             cost = dist + self.lmbda * bits
@@ -1583,6 +1823,7 @@ class _CtuSearcher:
         maxval = (1 << bd) - 1
         best = (None, float("inf"))
         best_state = None
+        lo = part.tree_type == TREE_L
         for m in (1, 2):
             self._restore(entry_snap)
             parts = isp_partitions(w, h, m)
@@ -1611,21 +1852,24 @@ class _CtuSearcher:
             if all(c is None for c in coeffs[:-1]) and coeffs[-1] is None:
                 continue
             cu2 = CuData(x, y, w, h, luma_mode=mode, isp_mode=m,
-                         isp_coeffs=coeffs)
-            self._rd_chroma(cu2)
+                         isp_coeffs=coeffs, luma_only=lo)
+            if not lo:
+                self._rd_chroma(cu2)
             b0 = self.est.frac_bits
             self._est_cu_luma_syntax(cu2, mpm)
             self.est.encode_bin(1, ct.CTX_SETS["ISPMode"](0))
             self.est.encode_bin(m - 1, ct.CTX_SETS["ISPMode"](1))
-            self.coder._enc_intra_chroma_mode(self.est, cu2)
+            if not lo:
+                self.coder._enc_intra_chroma_mode(self.est, cu2)
             self.coder._code_isp_tus(self.est, cu2, encode=True)
             self.coder._code_lfnst_mts(self.est, cu2, encode=True)
             bits = (self.est.frac_bits - b0) / (1 << 15)
-            self.coder.finish_cu(ps, cu2, part.qt_depth)
+            self.coder.finish_cu(ps, cu2, part.qt_depth,
+                                 comps=(0,) if lo else (0, 1, 2))
             dist = R.sse_np(self.src[0][y:y + h, x:x + w],
                             ps.rec[0][y:y + h, x:x + w])
             cx, cy2, cw, chh = x >> 1, y >> 1, w >> 1, h >> 1
-            for comp in (1, 2):
+            for comp in () if lo else (1, 2):
                 dist += R.sse_np(self.src[comp][cy2:cy2 + chh, cx:cx + cw],
                                  ps.rec[comp][cy2:cy2 + chh, cx:cx + cw])
             cost = dist + self.lmbda * bits
@@ -1848,6 +2092,7 @@ class _CtuSearcher:
             return py, pcb, pcr
 
         # preselect merge candidates by luma SSE
+        from .ifp import mv_access_ok
         scored = []
         seen = set()
         for idx, mi in enumerate(merge_cands):
@@ -1855,6 +2100,9 @@ class _CtuSearcher:
             if key in seen:
                 continue
             seen.add(key)
+            if not mv_access_ok(None, self.ifp_bottom, y, h,
+                                mv_pair=mi.mv, ref_idx=mi.ref_idx):
+                continue   # IFP: reads below the reference window
             py = inter_predict(coder.ref_pics, mi.mv, mi.ref_idx, x, y, w, h,
                                0, bit_depth)
             scored.append((R.sse_np(src_me, py), idx, mi))
@@ -1920,6 +2168,8 @@ class _CtuSearcher:
                                     mmvd_flag=True, mmvd_base=base,
                                     mmvd_step=step, mmvd_pos=pos_)
                         coder._apply_mmvd(ps, cu)
+                        if not mv_access_ok(cu, self.ifp_bottom, y, h):
+                            continue
                         py = inter_predict(coder.ref_pics, cu.mv,
                                            cu.ref_idx, x, y, w, h, 0,
                                            bit_depth, cu.bcw_idx,
@@ -1948,6 +2198,8 @@ class _CtuSearcher:
                 cu = CuData(x, y, w, h, is_inter=True, merge=True,
                             affine=True, merge_idx=k)
                 coder._apply_affine_merge(ps, cu)
+                if not mv_access_ok(cu, self.ifp_bottom, y, h):
+                    continue
                 c = R.sse_np(src_me, coder.pred_cu_inter(ps, cu, 0))
                 if best_a is None or c < best_a[0]:
                     best_a = (c, k)
@@ -1969,8 +2221,8 @@ class _CtuSearcher:
             from ..codec.geo import geo_available, geo_predict
             probe = CuData(x, y, w, h, is_inter=True, merge=True, geo=True,
                            geo_split_dir=0, geo_idx0=0, geo_idx1=1)
+            best_g = None
             if geo_available(coder, probe):
-                best_g = None
                 pairs = [(0, 1), (1, 0)]
                 if coder.max_geo_cand > 2:
                     pairs += [(0, 2), (2, 0)]
@@ -1980,9 +2232,12 @@ class _CtuSearcher:
                                     geo=True, geo_split_dir=sd,
                                     geo_idx0=i0, geo_idx1=i1)
                         coder._apply_geo(ps, cu)
+                        if not mv_access_ok(cu, self.ifp_bottom, y, h):
+                            continue
                         c = R.sse_np(src_me, geo_predict(coder, cu, 0))
                         if best_g is None or c < best_g[0]:
                             best_g = (c, sd, i0, i1)
+            if best_g is not None:
                 _, sd, i0, i1 = best_g
                 skip_cu = CuData(x, y, w, h, is_inter=True, skip=True,
                                  merge=True, geo=True, geo_split_dir=sd,
@@ -2005,7 +2260,8 @@ class _CtuSearcher:
             amvp = get_amvp_candidates(ps, coder.mf, coder.hmvp, x, y, w, h,
                                        li, 0, coder.ref_pocs, coder.tmvp)
             mv, mvp_idx = self._motion_search(src_me, x, y, w, h, amvp,
-                                              coder.ref_pics[li][0][0])
+                                              coder.ref_pics[li][0][0],
+                                              max_bottom=self.ifp_bottom)
             mvd = ((mv[0] - amvp[mvp_idx][0]) >> 2,
                    (mv[1] - amvp[mvp_idx][1]) >> 2)
             uni[li] = (mv, mvp_idx, mvd)
@@ -2058,7 +2314,8 @@ class _CtuSearcher:
             amvp0 = coder.derive_amvp(ps, probe, 0)
             amvp1 = coder.derive_amvp(ps, probe, 1)
             mv0, mvp0 = self._motion_search(
-                src_me, x, y, w, h, amvp0, coder.ref_pics[0][sym0][0])
+                src_me, x, y, w, h, amvp0, coder.ref_pics[0][sym0][0],
+                max_bottom=self.ifp_bottom)
             mvd = ((mv0[0] - amvp0[mvp0][0]) >> 2,
                    (mv0[1] - amvp0[mvp0][1]) >> 2)
             if mvd != (0, 0):
@@ -2068,6 +2325,11 @@ class _CtuSearcher:
                             smvd=True, ref_idx=(sym0, sym1),
                             mv=(mv0, mv1), mvd=mvd, mvp_idx=mvp0,
                             mvd_l1=(-mvd[0], -mvd[1]), mvp_idx_l1=0)
+                if not mv_access_ok(cu, self.ifp_bottom, y, h):
+                    cu = None
+            else:
+                cu = None
+            if cu is not None:
                 py = coder.pred_cu_inter(ps, cu, 0, mapped=True)
                 pcb = coder.pred_cu_inter(ps, cu, 1)
                 pcr = coder.pred_cu_inter(ps, cu, 2)
@@ -2092,6 +2354,9 @@ class _CtuSearcher:
                 cu = CuData(x, y, w, h, is_inter=True, merge=False,
                             mv=(mv0, (0, 0)), ref_idx=(0, -1),
                             mvd=mvd_i, mvp_idx=0, imv=1)
+            else:
+                cu = None
+            if cu is not None and mv_access_ok(cu, self.ifp_bottom, y, h):
                 py, pcb, pcr = mc_pred((mv0, (0, 0)), (0, -1))
                 if lmcs_map:
                     py = coder.reshape.fwd_lut[py]
@@ -2102,8 +2367,12 @@ class _CtuSearcher:
                 trials.append(cu)
 
         # affine AMVP trials: gradient-based CPMV search per list
-        # (InterSearch::xAffineMotionEstimation analog, uni prediction)
-        if coder.affine_en and w >= 16 and h >= 16:
+        # (InterSearch::xAffineMotionEstimation analog, uni prediction).
+        # Skipped under an IFP window (the gradient iteration's reads are
+        # unbounded); the restriction is a static function of the CTU row,
+        # so the bitstream stays worker-count independent.
+        if coder.affine_en and w >= 16 and h >= 16 \
+                and self.ifp_bottom is None:
             from ..codec.affine import (affine_amvp_list,
                                         derive_affine_grids,
                                         affine_predict_list)
@@ -2296,10 +2565,17 @@ class _CtuSearcher:
             out.append(c if _np.any(c) else None)
         return out
 
-    def _motion_search(self, src_y, x, y, w, h, amvp, ref_y):
+    def _motion_search(self, src_y, x, y, w, h, amvp, ref_y,
+                       max_bottom=None):
         """Integer full search around the first predictor + half/quarter
-        refinement; chooses the mvp index minimizing mvd bits."""
+        refinement; chooses the mvp index minimizing mvd bits.
+
+        max_bottom: IFP window — candidates whose motion-compensated
+        read would touch that picture row or below are excluded (the
+        half/quarter refinement moves the MV by < 1 integer pel, which
+        the ifp.MC_MARGIN already covers)."""
         import numpy as _np
+        from .ifp import MC_MARGIN
         R_ = self.cfg.search_range
         ph, pw = ref_y.shape
         # clamp the search center into the valid window so at least one
@@ -2307,11 +2583,16 @@ class _CtuSearcher:
         # predictor must not empty the search)
         cx0 = min(max(x + (amvp[0][0] >> 4), -w), pw)
         cy0 = min(max(y + (amvp[0][1] >> 4), -h), ph)
+        if max_bottom is not None:
+            cy0 = min(cy0, max_bottom - h - MC_MARGIN)
         best = None
         for dy in range(-R_, R_ + 1):
             for dx in range(-R_, R_ + 1):
                 sx, sy = cx0 + dx, cy0 + dy
                 if sx < -w or sy < -h or sx > pw or sy > ph:
+                    continue
+                if max_bottom is not None \
+                        and sy + h + MC_MARGIN > max_bottom:
                     continue
                 xs = _np.clip(_np.arange(sx, sx + w), 0, pw - 1)
                 ys = _np.clip(_np.arange(sy, sy + h), 0, ph - 1)
@@ -2319,6 +2600,8 @@ class _CtuSearcher:
                 c = R.sse_np(src_y, blk)
                 if best is None or c < best[0]:
                     best = (c, ((sx - x) << 4, (sy - y) << 4))
+        if best is None:
+            best = (0.0, ((cx0 - x) << 4, (cy0 - y) << 4))
         mv = best[1]
         # half then quarter refinement (steps of 8 and 4 in 1/16 units)
         for step in (8, 4):

@@ -44,7 +44,8 @@ _SET_MAP = {
     "geo": "geo", "ciip": "ciip", "sbt": "sbt", "bcw": "bcw",
     "amvr": "amvr", "imv": "amvr", "tmvp": "tmvp",
     "transformskip": "transform_skip", "bdpcm": "bdpcm",
-    "mctf": "mctf", "ibc": "ibc",
+    "mctf": "mctf", "ibc": "ibc", "dualitree": "dual_i_tree",
+    "ifp": "ifp", "ifplines": "ifp_lines",
 }
 
 
