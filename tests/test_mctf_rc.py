@@ -94,6 +94,60 @@ def test_rc_single_pass_converges():
     assert abs(bits - 4000) / 4000 < 0.2
 
 
+def test_rc_lookahead_allocation():
+    """Lookahead complexities shift per-picture QP: a picture twice as
+    complex as the window mean gets ~+3 QP (bits ~ sqrt(complexity)
+    allocation), while rate convergence is preserved."""
+    rc = RateCtrl(target_bps=100_000, fps=25.0, base_qp=32)
+    rc.set_lookahead({0: 1.0, 1: 2.0, 2: 0.5, 3: 1.0})
+    q_simple = rc.pic_qp(2, 32, 4)
+    q_mean = rc.pic_qp(0, 32, 4)
+    q_complex = rc.pic_qp(1, 32, 4)
+    assert q_complex > q_mean > q_simple
+    assert q_complex - q_mean == 3 and q_mean - q_simple == 3
+    # convergence with a complexity-modulated simulator (bits scale
+    # linearly with complexity at fixed QP, halve per +6 QP)
+    import itertools
+    comp = list(itertools.islice(itertools.cycle([1.0, 2.0, 0.5, 1.0]),
+                                 120))
+    rc = RateCtrl(target_bps=100_000, fps=25.0, base_qp=32)
+    rc.set_lookahead({i: c for i, c in enumerate(comp)})
+    total = 0.0
+    for poc, c in enumerate(comp):
+        qp = rc.pic_qp(poc, 32, len(comp))
+        bits = 8000 * c * 2.0 ** ((32 - qp) / 6.0)
+        rc.update(poc, bits)
+        total += bits
+    achieved = total / len(comp) * 25.0
+    assert abs(achieved - 100_000) / 100_000 < 0.35
+
+
+def test_rc_lookahead_encode_end_to_end():
+    """Single-pass ABR with the lookahead pre-analysis: the encoder hits
+    the target rate on a mixed-complexity clip and the stream decodes."""
+    from vvenc_tpu.encoder.intra_encoder import IntraEncoder, EncoderConfig
+    from vvenc_tpu.decoder.decoder import decode_stream
+    rng = np.random.RandomState(3)
+    frames = []
+    for t in range(12):
+        if t < 6:
+            y = np.full((64, 96), 90 + 4 * t, np.uint8)  # flat, easy
+        else:
+            y = rng.randint(0, 255, (64, 96)).astype(np.uint8)  # noisy
+        u = np.full((32, 48), 110, np.uint8)
+        frames.append((y, u, 255 - u))
+    target = 400_000
+    enc = IntraEncoder(EncoderConfig(
+        width=96, height=64, qp=32, ctu_size=32, intra_period=0,
+        gop_size=4, fps_num=25, fps_den=1, bitrate=target))
+    stream = enc.encode_sequence(frames)
+    achieved = len(stream) * 8 * 25.0 / 12
+    assert abs(achieved - target) / target < 0.5
+    assert len(decode_stream(stream)) == 12
+    # the lookahead installed complexities for the coded GOPs
+    assert enc.rc.la and max(enc.rc.la.values()) > min(enc.rc.la.values())
+
+
 def test_rc_two_pass_stats_roundtrip(tmp_path):
     rc1 = RateCtrl(0, 25.0, 32)
     for poc in range(8):

@@ -81,6 +81,7 @@ def encoder_config_from(cfg, args) -> "EncoderConfig":
         wpp=bool(cfg.wpp),
         max_parallel_frames=cfg.max_parallel_frames,
         ifp=bool(cfg.ifp), ifp_lines=cfg.ifp_lines,
+        lookahead=bool(cfg.look_ahead),
         bdof=bool(cfg.bdof), dmvr=bool(cfg.dmvr),
         jccr=bool(cfg.joint_cbcr), isp=bool(cfg.isp), mmvd=bool(cfg.mmvd),
         smvd=bool(cfg.smvd), bcw=bool(cfg.bcw), ciip=bool(cfg.ciip),

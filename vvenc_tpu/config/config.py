@@ -96,6 +96,7 @@ class VvencTpuConfig:
     num_parallel_gops: int = 0
     ifp: int = 0                     # inter-frame parallel (CTU-line sync)
     ifp_lines: int = 2
+    look_ahead: int = 1              # RC lookahead pre-analysis (1-pass)
     threads: int = 0
     wpp: int = 0                     # entropy_coding_sync + entry points
     # -- misc --------------------------------------------------------------

@@ -118,6 +118,8 @@ class EncoderConfig:
     hrd_timing_sei: bool = False   # buffering-period + pic-timing SEIs
     film_grain: bool = False       # film grain analysis -> FGC SEI
     bitrate: int = 0               # target bps (0 = fixed QP)
+    lookahead: bool = True         # RC lookahead pre-analysis (vvenc
+                                   # m_LookAhead; single-pass ABR only)
     rc_stats_in: str = ""          # two-pass: pass-1 stats file to read
     rc_stats_out: str = ""         # pass-1: stats file to write
 
@@ -396,11 +398,18 @@ class IntraEncoder:
             from .mctf import apply_mctf
             frames = apply_mctf(frames, cfg.gop_size, cfg.qp,
                                 cfg.input_bit_depth)
+        # RC lookahead (vvenc m_LookAhead): complexity pre-analysis feeds
+        # the single-pass controller's per-picture allocation
+        la_on = (cfg.lookahead and self.rc is not None and cfg.bitrate > 0
+                 and self.rc.stats is None)
         if cfg.gop_size <= 1 or cfg.intra_period == 1:
             if (cfg.max_parallel_frames > 1 and cfg.intra_period == 1
                     and cfg.bitrate == 0 and not cfg.rc_stats_out
                     and len(frames) > 1):
                 return self._encode_all_intra_parallel(frames)
+            if la_on and cfg.intra_period == 1:
+                from .lookahead import analyze_intra
+                self.rc.set_lookahead(analyze_intra(frames))
             for f in frames:
                 stream += self.encode_frame(f)
                 self.recs_by_poc[self.frames_done - 1] = dict(self.last_rec.rec)
@@ -430,6 +439,9 @@ class IntraEncoder:
         self.recs_by_poc[0] = dict(self.last_rec.rec)
         base = 0
         while base + gop < len(frames):
+            if la_on:
+                from .lookahead import analyze_gop
+                self.rc.set_lookahead(analyze_gop(frames, base, entries))
             if ifp_mode:
                 stream += self._encode_gop_frames_ifp(frames, base,
                                                       entries)

@@ -1,0 +1,72 @@
+"""Rate-control lookahead (vvenc m_LookAhead analog).
+
+vvenc's --LookAhead runs the rate-control pre-analysis one GOP ahead of
+the encoder inside a single pass (EncoderLib/EncGOP look-ahead staging,
+vvencCfg m_LookAhead), replacing the separate first pass: per-picture
+complexity estimates drive the bit allocation before each picture is
+coded.
+
+Our analog estimates a per-picture complexity from the same hierarchical
+block ME the MCTF stage uses (encoder/mctf.py motion_estimate):
+
+  intra pictures: mean spatial gradient (no reference available)
+  inter pictures: mean motion-compensated SAD against the nearest
+                  reference in coding order
+
+RateCtrl converts the complexity RATIO within the lookahead window into
+a per-picture QP offset on top of its feedback loop: at a fixed QP,
+bits scale roughly linearly with complexity, while the R-lambda
+allocation gives a complex picture only ~sqrt more bits, so
+
+  dQP(poc) = 3 * log2(c_poc / mean_c)        (clamped)
+
+matching the classic complexity^0.5 bit split (bits halve per +6 QP).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+
+def _spatial_activity(y: np.ndarray) -> float:
+    """Mean absolute gradient — intra complexity proxy."""
+    gx = np.abs(np.diff(y.astype(np.int32), axis=1)).mean()
+    gy = np.abs(np.diff(y.astype(np.int32), axis=0)).mean()
+    return float(gx + gy) + 1e-3
+
+
+def _inter_complexity(cur: np.ndarray, ref: np.ndarray) -> float:
+    """Mean motion-compensated SAD per pixel (16x16 hierarchical ME);
+    small pictures (where the 3-level pyramid degenerates) fall back to
+    the zero-motion frame difference."""
+    if min(cur.shape) >= 128:
+        from .mctf import motion_estimate
+        _, err = motion_estimate(cur.astype(np.float32),
+                                 ref.astype(np.float32))
+        return float(np.mean(err)) / 256.0 + 1e-3
+    d = np.abs(cur.astype(np.int32) - ref.astype(np.int32))
+    return float(d.mean()) + 1e-3
+
+
+def analyze_gop(frames: List, base: int, entries) -> Dict[int, float]:
+    """Lookahead complexities for one GOP about to be coded.
+
+    frames: full sequence of (Y, U, V); entries: gop.build_gop entries
+    (coding order).  Returns {poc: complexity}."""
+    out: Dict[int, float] = {}
+    for e in entries:
+        poc = base + e.poc_in_gop
+        if poc >= len(frames):
+            continue
+        refs = [base + r for r in e.refs_past] or [base]
+        refs += [base + r for r in e.refs_future]
+        ref = min(refs, key=lambda r: abs(r - poc))
+        out[poc] = _inter_complexity(frames[poc][0], frames[ref][0])
+    return out
+
+
+def analyze_intra(frames: List) -> Dict[int, float]:
+    """Lookahead complexities for an all-intra sequence."""
+    return {i: _spatial_activity(f[0]) for i, f in enumerate(frames)}

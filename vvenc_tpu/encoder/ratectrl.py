@@ -51,6 +51,25 @@ class RateCtrl:
             total = sum(s["bits"] for s in stats)
             self.pass1_total = max(1, total)
         self.collected: List[dict] = []
+        # lookahead complexities (encoder/lookahead.py; vvenc m_LookAhead):
+        # {poc: complexity} for the window about to be coded
+        self.la: Dict[int, float] = {}
+        self._la_mean = 1.0
+
+    def set_lookahead(self, complexities: Dict[int, float]) -> None:
+        """Install the lookahead window's per-picture complexities."""
+        self.la.update(complexities)
+        vals = list(complexities.values())
+        if vals:
+            self._la_mean = max(1e-6, sum(vals) / len(vals))
+
+    def _la_shift(self, poc: int) -> float:
+        """Per-picture QP offset from the lookahead complexity ratio
+        (bits ~ complexity at fixed QP; allocation ~ sqrt(complexity))."""
+        c = self.la.get(poc)
+        if c is None:
+            return 0.0
+        return max(-4.0, min(4.0, 3.0 * math.log2(c / self._la_mean)))
 
     # -- pass-1 collection --------------------------------------------------
     def add_stat(self, poc: int, qp: int, bits: int, slice_type: int,
@@ -94,7 +113,8 @@ class RateCtrl:
         if self.norm_ewma is not None:
             ff = 6.0 * math.log2(max(1e-6, self.norm_ewma
                                      / self.frame_budget))
-        shift = max(-12.0, min(12.0, ff + self.delta))
+        shift = max(-12.0, min(12.0, ff + self.delta)) \
+            + self._la_shift(poc)
         self._last_shift = shift
         return int(round(max(1, min(63, base_pic_qp + shift))))
 

@@ -45,7 +45,7 @@ _SET_MAP = {
     "amvr": "amvr", "imv": "amvr", "tmvp": "tmvp",
     "transformskip": "transform_skip", "bdpcm": "bdpcm",
     "mctf": "mctf", "ibc": "ibc", "dualitree": "dual_i_tree",
-    "ifp": "ifp", "ifplines": "ifp_lines",
+    "ifp": "ifp", "ifplines": "ifp_lines", "lookahead": "look_ahead",
 }
 
 
