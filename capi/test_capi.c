@@ -44,6 +44,15 @@ int main(int argc, char **argv) {
     fwrite(au, 1, au_len, f);
     total += au_len;
   }
+  {
+    /* NULL-picture flush analog: all-intra has nothing buffered, but
+     * the call must succeed and return an (empty) AU */
+    const uint8_t *au = NULL;
+    size_t au_len = 1;
+    if (vvenc_tpu_flush(enc, &au, &au_len) != VVENC_TPU_OK) return 5;
+    fwrite(au, 1, au_len, f);
+    total += au_len;
+  }
   fclose(f);
   if (vvenc_tpu_encoder_close(enc) != VVENC_TPU_OK) return 4;
   printf("capi ok: %zu bytes (%s by %s)\n", total, out_path,

@@ -37,6 +37,12 @@ int vvenc_tpu_encode(vvenc_tpu_encoder *enc,
                      const uint8_t *y, const uint8_t *u, const uint8_t *v,
                      const uint8_t **au, size_t *au_len);
 
+/* Flush: drain any buffered pictures (hierarchical-B GOP tail) —
+ * the analog of the reference's NULL-picture encode call.  *au/*au_len
+ * receive the remaining access units (may be empty). */
+int vvenc_tpu_flush(vvenc_tpu_encoder *enc,
+                    const uint8_t **au, size_t *au_len);
+
 /* Close and free the encoder. */
 int vvenc_tpu_encoder_close(vvenc_tpu_encoder *enc);
 

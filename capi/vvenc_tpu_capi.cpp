@@ -109,6 +109,32 @@ int vvenc_tpu_encode(vvenc_tpu_encoder *enc, const uint8_t *y,
   return ret;
 }
 
+int vvenc_tpu_flush(vvenc_tpu_encoder *enc, const uint8_t **au,
+                    size_t *au_len) {
+  if (!enc || !au || !au_len) return VVENC_TPU_ERR_PARAMETER;
+  PyGILState_STATE g = PyGILState_Ensure();
+  int ret = VVENC_TPU_ERR_UNSPECIFIED;
+  PyObject *mod = capi_module();
+  if (mod) {
+    PyObject *r = PyObject_CallMethod(mod, "capi_flush", "l", enc->handle);
+    if (r && PyBytes_Check(r)) {
+      enc->last_au.assign(PyBytes_AsString(r),
+                          size_t(PyBytes_Size(r)));
+      *au = reinterpret_cast<const uint8_t *>(enc->last_au.data());
+      *au_len = enc->last_au.size();
+      ret = VVENC_TPU_OK;
+    }
+    Py_XDECREF(r);
+    Py_DECREF(mod);
+  }
+  if (PyErr_Occurred()) {
+    PyErr_Print();
+    ret = VVENC_TPU_ERR_UNSPECIFIED;
+  }
+  PyGILState_Release(g);
+  return ret;
+}
+
 int vvenc_tpu_encoder_close(vvenc_tpu_encoder *enc) {
   if (!enc) return VVENC_TPU_ERR_PARAMETER;
   PyGILState_STATE g = PyGILState_Ensure();

@@ -43,6 +43,34 @@ def _decode_with_banding(path, partial_lists):
     return frames
 
 
+def test_batched_deblock_matches_sequential():
+    """The vectorized batch kernel (ops/deblock_batch.py) must reproduce
+    the sequential per-segment filter bit-exactly on the richest
+    conformance stream (long filters, subblock CUs, SBT/max-TB edges,
+    per-CU QP)."""
+    path = os.path.join(DATA,
+                        "golden_ra_preset_medium_416x240_qp30_f9.266")
+    orig = db.deblock_picture
+
+    def sequential(rec, cu_list, *args, **kw):
+        kw["batch"] = False
+        orig(rec, cu_list, *args, **kw)
+
+    db.deblock_picture = sequential
+    try:
+        ref = sorted(decode_stream(open(path, "rb").read()),
+                     key=lambda fr: fr.poc)
+    finally:
+        db.deblock_picture = orig
+    batched = sorted(decode_stream(open(path, "rb").read()),
+                     key=lambda fr: fr.poc)
+    assert len(ref) == len(batched)
+    for a, b in zip(ref, batched):
+        for c in (0, 1, 2):
+            assert np.array_equal(a.planes[c], b.planes[c]), \
+                f"poc {a.poc} comp {c}"
+
+
 @pytest.mark.parametrize("partial_lists", [False, True])
 def test_banded_deblock_matches_monolithic(partial_lists):
     path = os.path.join(DATA,

@@ -1,0 +1,166 @@
+"""VVEncImpl — the library-facing encoder object with the reference's
+lifecycle state machine (vvenc source/Lib/vvenc/vvencimpl.cpp).
+
+The reference API is streaming: open with a config, feed pictures one
+at a time, receive access units as they complete, pass NULL to flush,
+close.  Errors are returned as codes (vvenc.h VVENC_OK / VVENC_ERR_*),
+and calls are validated against the internal state
+(VVEncImpl::m_eState: UNINITIALIZED -> INITIALIZED -> FLUSHING).
+
+This impl wraps IntraEncoder with the same contract:
+
+  impl = VVEncImpl()
+  impl.init(cfg)                      # -> VVENC_OK or error code
+  au, done = impl.encode(planes)      # may return b"" while buffering
+  au, done = impl.encode(None)        # flush: drains the GOP buffer
+  impl.close()
+
+Hierarchical-B needs gop_size+1 pictures before the first GOP can be
+coded, so access units are emitted in bursts exactly like the
+reference's DPB-delayed output.  Whole-sequence stages of the batch
+path (MCTF, scene-cut IDR placement, RC lookahead over all frames) are
+not available in streaming mode — matching vvenc, where those run on
+a bounded future window only.
+"""
+
+from __future__ import annotations
+
+from enum import IntEnum
+from typing import Optional, Tuple
+
+from .bitstream.params import SLICE_B, SLICE_I, SLICE_P
+from .config.config import VvencTpuConfig, check_config
+from .encoder.gop import build_gop
+from .encoder.intra_encoder import IntraEncoder
+
+# vvenc.h error codes
+VVENC_OK = 0
+VVENC_ERR_UNSPECIFIED = -1
+VVENC_ERR_INITIALIZE = -2
+VVENC_ERR_ALLOCATE = -3
+VVENC_NOT_ENOUGH_MEM = -5
+VVENC_ERR_PARAMETER = -7
+VVENC_ERR_NOT_SUPPORTED = -10
+VVENC_ERR_RESTART_REQUIRED = -11
+
+
+class State(IntEnum):
+    UNINITIALIZED = 0
+    INITIALIZED = 1
+    FLUSHED = 2
+
+
+class VVEncImpl:
+    """Streaming encoder with lifecycle validation."""
+
+    def __init__(self):
+        self._state = State.UNINITIALIZED
+        self._err = ""
+        self._enc: Optional[IntraEncoder] = None
+        self._cfg: Optional[VvencTpuConfig] = None
+
+    # -- lifecycle -----------------------------------------------------------
+    def init(self, cfg: VvencTpuConfig) -> int:
+        if self._state != State.UNINITIALIZED:
+            return self._fail(VVENC_ERR_INITIALIZE,
+                              "encoder already initialized")
+        try:
+            check_config(cfg)
+        except Exception as e:              # noqa: BLE001
+            return self._fail(VVENC_ERR_PARAMETER, str(e))
+        from .__main__ import encoder_config_from
+        try:
+            self._enc = IntraEncoder(encoder_config_from(cfg, None))
+        except Exception as e:              # noqa: BLE001
+            return self._fail(VVENC_ERR_INITIALIZE, str(e))
+        self._cfg = cfg
+        self._frames = {}          # poc -> planes
+        self._in_poc = 0
+        self._base = 0             # first POC of the next GOP
+        self._started = False
+        self._entries = build_gop(max(1, cfg.gop_size))
+        self._state = State.INITIALIZED
+        return VVENC_OK
+
+    def close(self) -> int:
+        self._state = State.UNINITIALIZED
+        self._enc = None
+        self._frames = {}
+        return VVENC_OK
+
+    @property
+    def state(self) -> State:
+        return self._state
+
+    def last_error(self) -> str:
+        return self._err
+
+    def _fail(self, code: int, msg: str) -> int:
+        self._err = msg
+        return code
+
+    # -- encoding -------------------------------------------------------------
+    def encode(self, planes) -> Tuple[bytes, bool, int]:
+        """Feed one picture (Y, U, V) or None to flush.
+
+        Returns (au_bytes, encode_done, ret_code).  au_bytes may cover
+        zero or several access units (GOP bursts)."""
+        if self._state == State.UNINITIALIZED:
+            return b"", False, self._fail(VVENC_ERR_INITIALIZE,
+                                          "encoder not initialized")
+        if self._state == State.FLUSHED:
+            return b"", True, self._fail(VVENC_ERR_UNSPECIFIED,
+                                         "encoder already flushed")
+        flush = planes is None
+        if not flush:
+            self._frames[self._in_poc] = planes
+            self._in_poc += 1
+        out = self._drain(flush)
+        if flush:
+            self._state = State.FLUSHED
+        return out, flush, VVENC_OK
+
+    def _drain(self, flush: bool) -> bytes:
+        enc, cfg = self._enc, self._enc.cfg
+        out = bytearray()
+        if cfg.gop_size <= 1 or cfg.intra_period == 1:
+            # all-intra / low-delay IPPP path: code-as-they-come
+            while self._base < self._in_poc:
+                out += enc.encode_frame(self._frames.pop(self._base))
+                enc.recs_by_poc[self._base] = dict(enc.last_rec.rec)
+                self._base += 1
+            return bytes(out)
+        gop = cfg.gop_size
+        if not self._started and self._in_poc > 0:
+            out += enc._encode_picture(0, self._frames[0], SLICE_I, [], [])
+            enc.recs_by_poc[0] = dict(enc.last_rec.rec)
+            self._started = True
+        while self._started and self._base + gop < self._in_poc:
+            for e in self._entries:
+                poc = self._base + e.poc_in_gop
+                refs_l0 = [self._base + r for r in e.refs_past] \
+                    or [self._base]
+                refs_l1 = [self._base + r for r in e.refs_future]
+                st = SLICE_B if refs_l1 else SLICE_P
+                out += enc._encode_picture(poc, self._frames[poc], st,
+                                           refs_l0, refs_l1, e.qp_offset,
+                                           tlayer=e.temporal_layer)
+                enc.recs_by_poc[poc] = dict(enc.last_rec.rec)
+            for p in range(self._base, self._base + gop):
+                self._frames.pop(p, None)
+            self._base += gop
+        if flush and self._started:
+            # tail: IPPP on the remaining pictures (mirror of
+            # encode_sequence's tail handling)
+            for poc in range(self._base + 1, self._in_poc):
+                if poc in enc.recs_by_poc:
+                    continue
+                out += enc._encode_picture(poc, self._frames[poc],
+                                           SLICE_P, [poc - 1], [], 1)
+                enc.recs_by_poc[poc] = dict(enc.last_rec.rec)
+            self._frames.clear()
+        return bytes(out)
+
+
+def version() -> str:
+    return "vvenc_tpu-0.1"

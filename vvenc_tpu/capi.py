@@ -2,15 +2,15 @@
 
 The C library embeds CPython and calls these functions; handles are
 integers indexing a registry.  Mirrors the reference's C API lifecycle
-(vvenc.h.in: create/open/encode(+flush)/close)."""
+(vvenc.h.in: create/open/encode(+NULL flush)/close) through the
+VVEncImpl state machine (api.py)."""
 
 from __future__ import annotations
 
 import numpy as np
 
-from .encoder import IntraEncoder, EncoderConfig
-from .config.config import VvencTpuConfig, Preset, init_preset, \
-    check_config, set_param
+from .api import VVEncImpl, VVENC_OK
+from .config.config import VvencTpuConfig, Preset, init_preset, set_param
 
 _handles = {}
 _next_id = 1
@@ -36,28 +36,44 @@ def capi_open(params: str) -> int:
         init_preset(cfg, preset)
     for k, v in kv:
         set_param(cfg, k, v)
-    check_config(cfg)
-    from .__main__ import encoder_config_from
-    enc = IntraEncoder(encoder_config_from(cfg, None))
+    impl = VVEncImpl()
+    rc = impl.init(cfg)
+    if rc != VVENC_OK:
+        raise ValueError(f"init failed ({rc}): {impl.last_error()}")
     global _next_id
     h = _next_id
     _next_id += 1
-    _handles[h] = (enc, cfg)
+    _handles[h] = (impl, cfg)
     return h
 
 
 def capi_encode(handle: int, y: bytes, u: bytes, v: bytes) -> bytes:
-    """Encode one frame (8-bit planar 4:2:0) -> Annex-B AU bytes."""
-    enc, cfg = _handles[handle]
+    """Encode one frame (8-bit planar 4:2:0) -> Annex-B AU bytes
+    (possibly empty while the GOP buffers, like the reference)."""
+    impl, cfg = _handles[handle]
     w, h = cfg.width, cfg.height
     yp = np.frombuffer(y, np.uint8).reshape(h, w)
     up = np.frombuffer(u, np.uint8).reshape(h // 2, w // 2)
     vp = np.frombuffer(v, np.uint8).reshape(h // 2, w // 2)
-    return enc.encode_frame((yp, up, vp))
+    au, _done, rc = impl.encode((yp, up, vp))
+    if rc != VVENC_OK:
+        raise RuntimeError(f"encode failed ({rc}): {impl.last_error()}")
+    return au
+
+
+def capi_flush(handle: int) -> bytes:
+    """NULL-picture flush: drain the buffered GOP tail."""
+    impl, _cfg = _handles[handle]
+    au, _done, rc = impl.encode(None)
+    if rc != VVENC_OK:
+        raise RuntimeError(f"flush failed ({rc}): {impl.last_error()}")
+    return au
 
 
 def capi_close(handle: int) -> None:
-    _handles.pop(handle, None)
+    entry = _handles.pop(handle, None)
+    if entry is not None:
+        entry[0].close()
 
 
 def capi_version() -> str:

@@ -482,10 +482,77 @@ class _BsMaps:
         return m_bs, bs_cb, bs_cr
 
 
+class _BatchCollector:
+    """Collects edge segments per direction and applies them through the
+    vectorized batch kernel (ops/deblock_batch.py) in dependency waves —
+    bit-exact vs the sequential per-segment filtering."""
+
+    def __init__(self, rec, bit_depth):
+        self.rec = rec
+        self.bd = bit_depth
+        self._reset()
+
+    def _reset(self):
+        self.luma_segs = []
+        self.chroma_segs = {1: [], 2: []}
+
+    def luma(self, plane, x, y, vertical, qp, max_p, max_q, bit_depth,
+             tc_off_div2=0, beta_off_div2=0, at_ctu_hor=False, bs=2):
+        self.luma_segs.append((x, y, qp, max_p, max_q, bs, at_ctu_hor))
+
+    def chroma(self, plane, x, y, vertical, qp, large, bit_depth,
+               lines=2, at_ctu_hor=False, tc_off_div2=0,
+               beta_off_div2=0, bs=2):
+        comp = 1 if plane is self.rec[1] else 2
+        self.chroma_segs[comp].append((x, y, qp, large, lines,
+                                       at_ctu_hor, bs))
+
+    def flush(self, vertical: bool) -> None:
+        from ..ops.deblock_batch import (filter_luma_edges,
+                                         filter_chroma_edges, plan_waves)
+        segs = self.luma_segs
+        if segs:
+            xs = [s[0] for s in segs]
+            ys = [s[1] for s in segs]
+            # effective (post-CTU-cap) extents drive the wave planning
+            mp_eff = [min(s[3], 3) if s[6] else s[3] for s in segs]
+            p_lg = [s[3] > 3 and not s[6] for s in segs]
+            q_lg = [s[4] > 3 for s in segs]
+            ts = xs if vertical else ys
+            pars = ys if vertical else xs
+            waves = plan_waves(ts, pars, mp_eff, [s[4] for s in segs],
+                               p_lg, q_lg)
+            for w in range(max(waves) + 1):
+                idx = [i for i, wv in enumerate(waves) if wv == w]
+                filter_luma_edges(self.rec[0], {
+                    "x": [xs[i] for i in idx],
+                    "y": [ys[i] for i in idx],
+                    "qp": [segs[i][2] for i in idx],
+                    "max_p": [segs[i][3] for i in idx],
+                    "max_q": [segs[i][4] for i in idx],
+                    "bs": [segs[i][5] for i in idx],
+                    "at_ctu": [segs[i][6] for i in idx],
+                    "vertical": vertical}, self.bd)
+        for comp in (1, 2):
+            cs = self.chroma_segs[comp]
+            if cs:
+                filter_chroma_edges(self.rec[comp], {
+                    "x": [s[0] for s in cs],
+                    "y": [s[1] for s in cs],
+                    "qp": [s[2] for s in cs],
+                    "large": [s[3] for s in cs],
+                    "lines": [s[4] for s in cs],
+                    "at_ctu": [s[5] for s in cs],
+                    "bs": [s[6] for s in cs],
+                    "vertical": vertical}, self.bd)
+        self._reset()
+
+
 def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                     ctu_size: int, bit_depth: int = 10,
                     ref_pocs=None, is_b: bool = False,
-                    qp_map=None, chroma_qp_fn=None, y_band=None) -> None:
+                    qp_map=None, chroma_qp_fn=None, y_band=None,
+                    batch=True) -> None:
     """In-place deblocking of one picture.
 
     y_band=(y0, y1): filter only edges of CUs whose top-left y falls in
@@ -509,6 +576,12 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
     """
     h, w = rec[0].shape
     maps = _BsMaps(cu_list, w, h, ref_pocs)
+    # batched edge filtering: collect each direction's segments, then
+    # apply them via the vectorized kernel in dependency waves
+    # (ops/deblock_batch.py); bit-exact vs the sequential path
+    collector = _BatchCollector(rec, bit_depth) if batch else None
+    flt_luma = collector.luma if batch else _filter_luma_edge_seg
+    flt_chroma = collector.chroma if batch else _filter_chroma_edge_seg
     cu_w, cu_h = maps.cu_w, maps.cu_h
     # chroma-tree geometry: blocks that carry chroma (with a local dual
     # tree the TREE_C chroma CU spans several luma CUs)
@@ -627,7 +700,7 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                             bool(maps.subblk[yy >> 2, (x - 1) >> 2]), q_sub)
                         eqp = luma_edge_qp(yy >> 2, (x - 1) >> 2, yy >> 2,
                                            x >> 2)
-                        _filter_luma_edge_seg(rec[0], x, yy, True, eqp,
+                        flt_luma(rec[0], x, yy, True, eqp,
                                               mp, mq, bit_depth, bs=bs_y)
                 if q_sub:
                     for off in range(8, cu.w, 8):
@@ -643,7 +716,7 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                                 continue
                             eqp = luma_edge_qp(yy >> 2, (xi - 1) >> 2,
                                                yy >> 2, xi >> 2)
-                            _filter_luma_edge_seg(rec[0], xi, yy, True, eqp,
+                            flt_luma(rec[0], xi, yy, True, eqp,
                                                   ml, ml, bit_depth, bs=bs_y)
                 if isp == 2:
                     # vertical-split ISP: internal TU edges on the 4-grid
@@ -656,7 +729,7 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                         for yy in range(cu.y, cu.y + cu.h, 4):
                             eqp = luma_edge_qp(yy >> 2, (xi - 1) >> 2,
                                                yy >> 2, xi >> 2)
-                            _filter_luma_edge_seg(rec[0], xi, yy, True, eqp,
+                            flt_luma(rec[0], xi, yy, True, eqp,
                                                   mp, mq, bit_depth, bs=2)
                 sbt = getattr(cu, "sbt_idx", 0)
                 if sbt in (1, 3):
@@ -675,7 +748,7 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                                              q_sub, q_sub)
                         eqp = luma_edge_qp(yy >> 2, (xi - 1) >> 2,
                                            yy >> 2, xi >> 2)
-                        _filter_luma_edge_seg(rec[0], xi, yy, True, eqp,
+                        flt_luma(rec[0], xi, yy, True, eqp,
                                               mp, mq, bit_depth, bs=bs_y)
                 if getattr(cu, "mtb_tus", None) is not None and cu.w > 64:
                     # internal max-TB transform edges on the 64-grid
@@ -693,7 +766,7 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                                 q_sub, q_sub)
                             eqp = luma_edge_qp(yy >> 2, (xi - 1) >> 2,
                                                yy >> 2, xi >> 2)
-                            _filter_luma_edge_seg(rec[0], xi, yy, True, eqp,
+                            flt_luma(rec[0], xi, yy, True, eqp,
                                                   mp, mq, bit_depth,
                                                   bs=bs_y)
             else:
@@ -711,7 +784,7 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                             bool(maps.subblk[(y - 1) >> 2, xx >> 2]), q_sub)
                         eqp = luma_edge_qp((y - 1) >> 2, xx >> 2, y >> 2,
                                            xx >> 2)
-                        _filter_luma_edge_seg(rec[0], xx, y, False, eqp,
+                        flt_luma(rec[0], xx, y, False, eqp,
                                               mp, mq, bit_depth,
                                               at_ctu_hor=(y % ctu_size == 0),
                                               bs=bs_y)
@@ -729,7 +802,7 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                                 continue
                             eqp = luma_edge_qp((yi - 1) >> 2, xx >> 2,
                                                yi >> 2, xx >> 2)
-                            _filter_luma_edge_seg(rec[0], xx, yi, False, eqp,
+                            flt_luma(rec[0], xx, yi, False, eqp,
                                                   ml, ml, bit_depth,
                                                   at_ctu_hor=False, bs=bs_y)
                 if isp == 1:
@@ -742,7 +815,7 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                         for xx in range(cu.x, cu.x + cu.w, 4):
                             eqp = luma_edge_qp((yi - 1) >> 2, xx >> 2,
                                                yi >> 2, xx >> 2)
-                            _filter_luma_edge_seg(rec[0], xx, yi, False, eqp,
+                            flt_luma(rec[0], xx, yi, False, eqp,
                                                   mp, mq, bit_depth,
                                                   at_ctu_hor=False, bs=2)
                 sbt = getattr(cu, "sbt_idx", 0)
@@ -762,7 +835,7 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                                              q_sub, q_sub)
                         eqp = luma_edge_qp((yi - 1) >> 2, xx >> 2,
                                            yi >> 2, xx >> 2)
-                        _filter_luma_edge_seg(rec[0], xx, yi, False, eqp,
+                        flt_luma(rec[0], xx, yi, False, eqp,
                                               mp, mq, bit_depth,
                                               at_ctu_hor=False, bs=bs_y)
                 if getattr(cu, "mtb_tus", None) is not None and cu.h > 64:
@@ -780,7 +853,7 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                                 q_sub, q_sub)
                             eqp = luma_edge_qp((yi - 1) >> 2, xx >> 2,
                                                yi >> 2, xx >> 2)
-                            _filter_luma_edge_seg(rec[0], xx, yi, False,
+                            flt_luma(rec[0], xx, yi, False,
                                                   eqp, mp, mq, bit_depth,
                                                   at_ctu_hor=False,
                                                   bs=bs_y)
@@ -815,7 +888,7 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                                     qp_c = chroma_edge_qp(
                                         (yy << 1) >> 2, ((ex - 1) << 1) >> 2,
                                         (yy << 1) >> 2, (ex << 1) >> 2, comp)
-                                    _filter_chroma_edge_seg(
+                                    flt_chroma(
                                         rec[comp], ex, yy, True, qp_c,
                                         large, bit_depth, bs=bsc)
                 elif not vertical and sbt in (2, 4):
@@ -833,7 +906,7 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                                     qp_c = chroma_edge_qp(
                                         ((ey - 1) << 1) >> 2, (xx << 1) >> 2,
                                         (ey << 1) >> 2, (xx << 1) >> 2, comp)
-                                    _filter_chroma_edge_seg(
+                                    flt_chroma(
                                         rec[comp], xx, ey, False, qp_c,
                                         large, bit_depth,
                                         at_ctu_hor=False, bs=bsc)
@@ -854,7 +927,7 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                                         ((ex - 1) << 1) >> 2,
                                         (yy << 1) >> 2, (ex << 1) >> 2,
                                         comp)
-                                    _filter_chroma_edge_seg(
+                                    flt_chroma(
                                         rec[comp], ex, yy, True, qp_c,
                                         True, bit_depth, bs=bsc)
                 elif not vertical and cu.h > 64:
@@ -872,7 +945,7 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                                         (xx << 1) >> 2,
                                         (ey << 1) >> 2, (xx << 1) >> 2,
                                         comp)
-                                    _filter_chroma_edge_seg(
+                                    flt_chroma(
                                         rec[comp], xx, ey, False, qp_c,
                                         True, bit_depth,
                                         at_ctu_hor=False, bs=bsc)
@@ -892,7 +965,7 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                             qp_c = chroma_edge_qp(
                                 (yy << 1) >> 2, ((cx - 1) << 1) >> 2,
                                 (yy << 1) >> 2, (cx << 1) >> 2, comp)
-                            _filter_chroma_edge_seg(rec[comp], cx, yy, True,
+                            flt_chroma(rec[comp], cx, yy, True,
                                                     qp_c, large, bit_depth,
                                                     bs=bsc)
             else:
@@ -912,7 +985,9 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
                             qp_c = chroma_edge_qp(
                                 ((cy - 1) << 1) >> 2, (xx << 1) >> 2,
                                 (cy << 1) >> 2, (xx << 1) >> 2, comp)
-                            _filter_chroma_edge_seg(rec[comp], xx, cy, False,
+                            flt_chroma(rec[comp], xx, cy, False,
                                                     qp_c, large, bit_depth,
                                                     at_ctu_hor=at_ctu,
                                                     bs=bsc)
+        if collector is not None:
+            collector.flush(vertical)
