@@ -558,6 +558,17 @@ GOLDEN_HASHES = {
         "f9904b2e51df01d3d444819b979ecb39",
         "3509b864840bf26bb7333cb25f059925",
         "ec79a54823c88fe72ced49832e8934cb"],
+    # slower-preset ALL-INTRA (deepest intra tool matrix + MTT 3) and a
+    # 10-bit-input medium RA stream (InternalBitDepth path end to end)
+    "golden_ai_preset_slower_416x240_qp30_f2.266": [
+        "e01b61d606c4ad910850d60fe645379e",
+        "44ffcecc4b43e24208f9b6ed9d33d41c"],
+    "golden_ra_10bit_medium_416x240_qp30_f5.266": [
+        "b8de0378e70648cfcd9e89aef340ab23",
+        "49d6f76a075d0f31ed35ee5a9c495bc5",
+        "e3643773497bbb29c4a0be44cc482c89",
+        "2f23abb96fb134935a055c65c9abb1ab",
+        "3053addab32753bcc1a84395742a2214"],
     # same full tool matrix with LMCS on top (mapped-domain coding with
     # every prediction path + chroma scaling with every residual path)
     "golden_ra_lmcs_combo_416x240_qp26_f9.266": [

@@ -651,6 +651,35 @@ def test_dual_tree_encoder_roundtrip():
     assert chroma_leaves[0] >= 2 * 2, "chroma tree never decoded"
 
 
+def test_mode_cache_roundtrip_and_hits():
+    """EncModeCtrl save/load cache: revisited areas (MTT reshuffles) skip
+    the mode re-sweep; the encode must still round-trip bit-exactly and
+    the cache must actually be consulted."""
+    from vvenc_tpu.encoder import intra_encoder as ie
+    w, h = 96, 64
+    y, u, v = _synth_frame(w, h, t=1)
+    hits = [0]
+    orig = ie._CtuSearcher._rd_cu_intra
+
+    def spy(self, x, yy, cw, ch, part):
+        if self.cfg.mode_cache and \
+                (x, yy, cw, ch, part.tree_type) in self.mode_cache:
+            hits[0] += 1
+        return orig(self, x, yy, cw, ch, part)
+    ie._CtuSearcher._rd_cu_intra = spy
+    try:
+        enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=30,
+                                         ctu_size=32, max_mtt_depth=2,
+                                         deblocking=True))
+        au = enc.headers() + enc.encode_frame((y, u, v))
+    finally:
+        ie._CtuSearcher._rd_cu_intra = orig
+    dec = decode_stream(au)[0]
+    for c in range(3):
+        assert np.array_equal(dec.planes[c], enc.last_rec.rec[c])
+    assert hits[0] > 10, "mode cache never hit"
+
+
 def test_ifp_byte_identical_and_restricted():
     """IFP (CTU-line-synchronized inter-frame parallelism): the bitstream
     must be byte-identical for any worker count, decode bit-exactly, and

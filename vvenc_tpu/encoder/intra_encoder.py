@@ -58,6 +58,9 @@ class EncoderConfig:
     fps_num: int = 15
     fps_den: int = 1
     num_full_rd_modes: int = 3     # full-RD candidates after SATD preselection
+    mode_cache: bool = True        # EncModeCtrl save/load: reuse an area's
+                                   # winning intra modes across partitioning
+                                   # paths (skips the 67-mode re-sweep)
     deblocking: bool = False       # in-loop deblocking filter
     intra_period: int = 1          # 1 = all-intra; N>1 = IDR every N, P between
     gop_size: int = 1              # >1: hierarchical-B random access GOPs
@@ -1179,6 +1182,8 @@ class _CtuSearcher:
         # picture row (None = unrestricted); set per CTU row by the
         # encode loop (encoder/ifp.py)
         self.ifp_bottom = None
+        # EncModeCtrl save/load: winning intra modes per revisited area
+        self.mode_cache = {}
 
     def _chroma_scale(self, x: int, y: int, tw: int, th: int):
         """LMCS chroma residual scale for a TU at luma pos (x, y), or None
@@ -1366,49 +1371,80 @@ class _CtuSearcher:
             bit_depth)
         mpm = get_intra_mpms(ps, x, y, w, h, self.cfg.ctu_size)
 
-        # SATD preselection over all modes (entry: cost, mode, pred,
-        # mip_flag, mip_transposed)
-        cand = []
-        for mode in range(I.NUM_LUMA_MODE):
-            pred = I.predict_intra(top, left, mode, w, h, bit_depth, True)
-            satd = R.satd_np(src_y, pred)
-            mode_bits = (1.5 + mpm.index(mode) if mode in mpm else 7.0)
-            cand.append((satd + self.lmbda_sad * mode_bits, mode, pred,
-                         False, False, 0))
-        if self.enc.sps.mip:
-            from ..ops import mip as MIPO
-            n_mip = MIPO.num_mip_modes(w, h)
-            mip_bits = 2.0 + n_mip.bit_length() - 1
-            for m in range(n_mip):
-                for t in (False, True):
+        # EncModeCtrl save/load cache (vvenc BestEncInfoCache / saveLoadTag,
+        # EncModeCtrl.h): a CU area revisited under a different parent
+        # split order reuses the previous visit's winning modes instead of
+        # re-running the full SATD preselection; the winners are re-RD'd
+        # against the CURRENT context, so the result stays exact for the
+        # chosen mode while skipping the wide sweep.
+        ck = (x, y, w, h, part.tree_type)
+        cached = self.mode_cache.get(ck) if self.cfg.mode_cache else None
+        if cached is not None:
+            full_modes = []
+            for mode, mip_f, mip_t, ref_line in cached:
+                if mip_f:
+                    from ..ops import mip as MIPO
                     pred = MIPO.predict_mip(top[1:w + 1], left[1:h + 1],
-                                            w, h, m, t, bit_depth)
-                    satd = R.satd_np(src_y, pred)
-                    cand.append((satd + self.lmbda_sad * mip_bits, m, pred,
-                                 True, t, 0))
-        if self.enc.sps.mrl and (y % self.cfg.ctu_size) != 0:
-            for line in (1, 2):
-                rt, rl = I.build_reference_samples(
-                    ps.rec[0], x, y, w, h, ps.avail_luma(),
-                    PictureState.LUMA_UNIT, bit_depth, ref_idx=line)
-                for mi in range(1, 6):
-                    mode = mpm[mi]
-                    if mode == I.PLANAR_IDX:
-                        continue
+                                            w, h, mode, mip_t, bit_depth)
+                elif ref_line:
+                    rt, rl = I.build_reference_samples(
+                        ps.rec[0], x, y, w, h, ps.avail_luma(),
+                        PictureState.LUMA_UNIT, bit_depth,
+                        ref_idx=ref_line)
                     pred = I.predict_intra(rt, rl, mode, w, h, bit_depth,
-                                           True, ref_idx=line)
-                    satd = R.satd_np(src_y, pred)
-                    cand.append((satd + self.lmbda_sad * (2.5 + mi), mode,
-                                 pred, False, False, line))
-        cand.sort(key=lambda t: t[0])
-        n_full = self.cfg.num_full_rd_modes
-        full_modes = cand[:n_full]
-        # ensure planar is tested (cheap DC of list)
-        if all(m != I.PLANAR_IDX or mf or rl
-               for _, m, _, mf, _, rl in full_modes):
-            full_modes.append(next(t for t in cand
-                                   if t[1] == I.PLANAR_IDX and not t[3]
-                                   and not t[5]))
+                                           True, ref_idx=ref_line)
+                else:
+                    pred = I.predict_intra(top, left, mode, w, h,
+                                           bit_depth, True)
+                full_modes.append((0.0, mode, pred, mip_f, mip_t,
+                                   ref_line))
+        else:
+            # SATD preselection over all modes (entry: cost, mode, pred,
+            # mip_flag, mip_transposed)
+            cand = []
+            for mode in range(I.NUM_LUMA_MODE):
+                pred = I.predict_intra(top, left, mode, w, h, bit_depth,
+                                       True)
+                satd = R.satd_np(src_y, pred)
+                mode_bits = (1.5 + mpm.index(mode) if mode in mpm else 7.0)
+                cand.append((satd + self.lmbda_sad * mode_bits, mode, pred,
+                             False, False, 0))
+            if self.enc.sps.mip:
+                from ..ops import mip as MIPO
+                n_mip = MIPO.num_mip_modes(w, h)
+                mip_bits = 2.0 + n_mip.bit_length() - 1
+                for m in range(n_mip):
+                    for t in (False, True):
+                        pred = MIPO.predict_mip(top[1:w + 1],
+                                                left[1:h + 1],
+                                                w, h, m, t, bit_depth)
+                        satd = R.satd_np(src_y, pred)
+                        cand.append((satd + self.lmbda_sad * mip_bits, m,
+                                     pred, True, t, 0))
+            if self.enc.sps.mrl and (y % self.cfg.ctu_size) != 0:
+                for line in (1, 2):
+                    rt, rl = I.build_reference_samples(
+                        ps.rec[0], x, y, w, h, ps.avail_luma(),
+                        PictureState.LUMA_UNIT, bit_depth, ref_idx=line)
+                    for mi in range(1, 6):
+                        mode = mpm[mi]
+                        if mode == I.PLANAR_IDX:
+                            continue
+                        pred = I.predict_intra(rt, rl, mode, w, h,
+                                               bit_depth, True,
+                                               ref_idx=line)
+                        satd = R.satd_np(src_y, pred)
+                        cand.append((satd + self.lmbda_sad * (2.5 + mi),
+                                     mode, pred, False, False, line))
+            cand.sort(key=lambda t: t[0])
+            n_full = self.cfg.num_full_rd_modes
+            full_modes = cand[:n_full]
+            # ensure planar is tested (cheap DC of list)
+            if all(m != I.PLANAR_IDX or mf or rl
+                   for _, m, _, mf, _, rl in full_modes):
+                full_modes.append(next(t for t in cand
+                                       if t[1] == I.PLANAR_IDX and not t[3]
+                                       and not t[5]))
 
         qy = self.qp.luma_qp()
         est_snap = self.est.snapshot()
@@ -1523,6 +1559,16 @@ class _CtuSearcher:
                 if best is None or cost < best[0]:
                     best = (cost, cu, rec)
         cost, cu, rec_y = best
+        if cached is None and self.cfg.mode_cache:
+            ent = [(cu.luma_mode, cu.mip_flag, cu.mip_transposed,
+                    cu.ref_line)]
+            for _, m_, _, mf_, mt_, rl_ in full_modes:
+                t_ = (m_, mf_, mt_, rl_)
+                if t_ not in ent:
+                    ent.append(t_)
+                if len(ent) >= 3:
+                    break
+            self.mode_cache[ck] = ent
 
         # chroma mode decision: DM + CCLM modes (+ candidate-list modes).
         # CCLM reads the co-located reconstructed luma, so stage the luma
