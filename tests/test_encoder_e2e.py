@@ -651,6 +651,43 @@ def test_dual_tree_encoder_roundtrip():
     assert chroma_leaves[0] >= 2 * 2, "chroma tree never decoded"
 
 
+def test_ctu128_encoder_roundtrip():
+    """CTU 128 encode: dual-tree implicit 64-units in I slices, >maxTB
+    inter CUs with searcher-produced implicit TU tiling; bit-exact
+    round-trip through the decoder."""
+    from vvenc_tpu.codec import ctu_syntax as cs
+    w, h = 256, 128
+    rng = np.random.RandomState(8)
+    noise = rng.randint(0, 255, (h, w)).astype(np.uint8)
+
+    def fr(i):
+        y = (np.roll(noise, (i, 2 * i), axis=(0, 1)) // 2 + i) \
+            .astype(np.uint8)
+        u = np.full((h // 2, w // 2), 110 + 5 * i, np.uint8)
+        return y, u, 255 - u
+    frames = [fr(i) for i in range(3)]
+    mtb = [0]
+    orig = cs.SyntaxCoder._code_max_tb_tus
+
+    def spy(self, *a, **k):
+        mtb[0] += 1
+        return orig(self, *a, **k)
+    cs.SyntaxCoder._code_max_tb_tus = spy
+    try:
+        enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=34,
+                                         ctu_size=128, min_qt=32,
+                                         intra_period=0, gop_size=2,
+                                         deblocking=True, search_range=4))
+        s = enc.encode_sequence(frames)
+        dec = sorted(decode_stream(s), key=lambda f: f.poc)
+    finally:
+        cs.SyntaxCoder._code_max_tb_tus = orig
+    for p in range(3):
+        for c in range(3):
+            assert np.array_equal(dec[p].planes[c], enc.recs_by_poc[p][c])
+    assert mtb[0] > 0, ">maxTB TU tiling never engaged"
+
+
 def test_mode_cache_roundtrip_and_hits():
     """EncModeCtrl save/load cache: revisited areas (MTT reshuffles) skip
     the mode re-sweep; the encode must still round-trip bit-exactly and

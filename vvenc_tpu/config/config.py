@@ -180,7 +180,8 @@ def init_preset(cfg: VvencTpuConfig, preset: Preset,
         for k, max_v in _IMPLEMENTED.items():
             if getattr(cfg, k) > max_v:
                 setattr(cfg, k, max_v)
-        # current encoder constraints (decoder handles CTU 128)
+        # encoder supports CTU 128 (dual-tree intra units + implicit
+        # max-TB TU tiling); presets clamp to 64 for host-search speed
         cfg.ctu_size = min(cfg.ctu_size, 64)
         cfg.max_mtt_depth = min(cfg.max_mtt_depth, 2)
         cfg.max_mtt_depth_i = min(cfg.max_mtt_depth_i, 2)

@@ -141,6 +141,11 @@ def build_parameter_sets(cfg: EncoderConfig):
     # keep min CB at 8 when MTT is on: chroma stays >= 4x4, so the
     # local-dual-tree machinery (spec modeTypeCondition) never triggers
     sps.log2_min_cb_size = 3 if cfg.max_mtt_depth else 2
+    if cfg.ctu_size >= 128:
+        # CTU 128: intra CUs are capped at 64 (no 128 intra pred/TB), so
+        # I-slices need the dual tree's implicit 64-unit QT — exactly why
+        # the reference keeps m_dualITree on in every preset
+        cfg.dual_tree = True
     if cfg.dual_tree:
         # dual-tree intra: chroma-tree constraint set (index 2); the
         # reference emits chroma minQT = luma/2 (vvencCfg m_MinQT[2]),
@@ -2178,6 +2183,13 @@ class _CtuSearcher:
             py = coder.pred_cu_inter(ps, cu, 0, mapped=True)
             pcb = coder.pred_cu_inter(ps, cu, 1)
             pcr = coder.pred_cu_inter(ps, cu, 2)
+            if w > 64 or h > 64:
+                # >maxTB CU: implicit 64x64 TU tiling
+                added = self._quant_resid_mtb(cu, src_y, src_cb, src_cr,
+                                              py, pcb, pcr)
+                if added:
+                    trials.append(cu)
+                return added
             coeffs = self._quant_resid(src_y, src_cb, src_cr, py, pcb, pcr,
                                        cscale=cscale)
             added = False
@@ -2328,13 +2340,21 @@ class _CtuSearcher:
             py, pcb, pcr = mc_pred(mv_pair, ref_idx)
             if lmcs_map:
                 py = coder.reshape.fwd_lut[py]
-            coeffs = self._quant_resid(src_y, src_cb, src_cr, py, pcb, pcr,
-                                       cscale=cscale)
             cu = CuData(x, y, w, h, is_inter=True, merge=False,
-                        mv=mv_pair, ref_idx=ref_idx,
-                        root_cbf=any(c is not None for c in coeffs),
-                        coeff_y=coeffs[0], coeff_cb=coeffs[1],
-                        coeff_cr=coeffs[2])
+                        mv=mv_pair, ref_idx=ref_idx)
+            if w > 64 or h > 64:
+                self._quant_resid_mtb(cu, src_y, src_cb, src_cr, py, pcb,
+                                      pcr)
+            else:
+                if w > 64 or h > 64:
+                    self._quant_resid_mtb(cu, src_y, src_cb, src_cr,
+                                          py, pcb, pcr)
+                else:
+                    coeffs = self._quant_resid(src_y, src_cb, src_cr,
+                                               py, pcb, pcr,
+                                               cscale=cscale)
+                    cu.root_cbf = any(c is not None for c in coeffs)
+                    cu.coeff_y, cu.coeff_cb, cu.coeff_cr = coeffs
             if li == 0:
                 cu.mvd, cu.mvp_idx = mvd, mvp_idx
             else:
@@ -2358,10 +2378,15 @@ class _CtuSearcher:
                 py = coder.pred_cu_inter(ps, cu, 0, mapped=True)
                 pcb = coder.pred_cu_inter(ps, cu, 1)
                 pcr = coder.pred_cu_inter(ps, cu, 2)
-                coeffs = self._quant_resid(src_y, src_cb, src_cr, py, pcb,
-                                           pcr, cscale=cscale)
-                cu.root_cbf = any(c is not None for c in coeffs)
-                cu.coeff_y, cu.coeff_cb, cu.coeff_cr = coeffs
+                if w > 64 or h > 64:
+                    self._quant_resid_mtb(cu, src_y, src_cb, src_cr,
+                                          py, pcb, pcr)
+                else:
+                    coeffs = self._quant_resid(src_y, src_cb, src_cr,
+                                               py, pcb, pcr,
+                                               cscale=cscale)
+                    cu.root_cbf = any(c is not None for c in coeffs)
+                    cu.coeff_y, cu.coeff_cb, cu.coeff_cr = coeffs
                 trials.append(cu)
 
         # SMVD trial: one coded MVD, mirrored on the symmetric ref pair
@@ -2391,10 +2416,15 @@ class _CtuSearcher:
                 py = coder.pred_cu_inter(ps, cu, 0, mapped=True)
                 pcb = coder.pred_cu_inter(ps, cu, 1)
                 pcr = coder.pred_cu_inter(ps, cu, 2)
-                coeffs = self._quant_resid(src_y, src_cb, src_cr, py, pcb,
-                                           pcr, cscale=cscale)
-                cu.root_cbf = any(c is not None for c in coeffs)
-                cu.coeff_y, cu.coeff_cb, cu.coeff_cr = coeffs
+                if w > 64 or h > 64:
+                    self._quant_resid_mtb(cu, src_y, src_cb, src_cr,
+                                          py, pcb, pcr)
+                else:
+                    coeffs = self._quant_resid(src_y, src_cb, src_cr,
+                                               py, pcb, pcr,
+                                               cscale=cscale)
+                    cu.root_cbf = any(c is not None for c in coeffs)
+                    cu.coeff_y, cu.coeff_cb, cu.coeff_cr = coeffs
                 trials.append(cu)
 
         # AMVR trial: integer-pel MVD on the uni-L0 winner
@@ -2418,10 +2448,15 @@ class _CtuSearcher:
                 py, pcb, pcr = mc_pred((mv0, (0, 0)), (0, -1))
                 if lmcs_map:
                     py = coder.reshape.fwd_lut[py]
-                coeffs = self._quant_resid(src_y, src_cb, src_cr, py, pcb,
-                                           pcr, cscale=cscale)
-                cu.root_cbf = any(c is not None for c in coeffs)
-                cu.coeff_y, cu.coeff_cb, cu.coeff_cr = coeffs
+                if w > 64 or h > 64:
+                    self._quant_resid_mtb(cu, src_y, src_cb, src_cr,
+                                          py, pcb, pcr)
+                else:
+                    coeffs = self._quant_resid(src_y, src_cb, src_cr,
+                                               py, pcb, pcr,
+                                               cscale=cscale)
+                    cu.root_cbf = any(c is not None for c in coeffs)
+                    cu.coeff_y, cu.coeff_cb, cu.coeff_cr = coeffs
                 trials.append(cu)
 
         # affine AMVP trials: gradient-based CPMV search per list
@@ -2481,14 +2516,45 @@ class _CtuSearcher:
                     py = coder.pred_cu_inter(ps, cu, 0, mapped=True)
                     pcb = coder.pred_cu_inter(ps, cu, 1)
                     pcr = coder.pred_cu_inter(ps, cu, 2)
-                    coeffs = self._quant_resid(src_y, src_cb, src_cr,
-                                               py, pcb, pcr, cscale=cscale)
-                    cu.root_cbf = any(c is not None for c in coeffs)
-                    cu.coeff_y, cu.coeff_cb, cu.coeff_cr = coeffs
+                    if w > 64 or h > 64:
+                        self._quant_resid_mtb(cu, src_y, src_cb, src_cr,
+                                              py, pcb, pcr)
+                    else:
+                        coeffs = self._quant_resid(src_y, src_cb, src_cr,
+                                                   py, pcb, pcr,
+                                                   cscale=cscale)
+                        cu.root_cbf = any(c is not None for c in coeffs)
+                        cu.coeff_y, cu.coeff_cb, cu.coeff_cr = coeffs
                     if cu.root_cbf:
                         trials.append(cu)
 
-        # intra fallback: best-SATD mode, full residual
+        # intra fallback: best-SATD mode, full residual.  Intra CUs are
+        # capped at 64 (no larger intra pred/TB): >maxTB CUs rely on the
+        # always-present merge/AMVP trials instead.
+        if w > 64 or h > 64:
+            state0 = self._save(x, y, max(w, h))
+            best = None
+            node = TreeNode(x, y, max(w, h), part.qt_depth, w=w, h=h,
+                            part=part)
+            for cu in trials:
+                self._restore(state0)
+                b0 = self.est.frac_bits
+                node.cu = cu
+                try:
+                    coder._enc_cu(self.est, ps, node)
+                except AssertionError:
+                    continue
+                bits = (self.est.frac_bits - b0) / (1 << 15)
+                dist = R.sse_np(src_y, ps.rec[0][y:y + h, x:x + w])
+                dist += R.sse_np(src_cb,
+                                 ps.rec[1][cy2:cy2 + chh, cx:cx + cw])
+                dist += R.sse_np(src_cr,
+                                 ps.rec[2][cy2:cy2 + chh, cx:cx + cw])
+                cost = dist + self.lmbda * bits
+                if best is None or cost < best[0]:
+                    best = (cost, cu, self._save(x, y, max(w, h)))
+            self._restore(best[2])
+            return best[1], best[0]
         top, left = I.build_reference_samples(
             ps.rec[0], x, y, w, h, ps.avail_luma(), PictureState.LUMA_UNIT,
             bit_depth)
@@ -2600,6 +2666,53 @@ class _CtuSearcher:
                         cu.coeff_cr = cc
                 cu.root_cbf = True
                 trials.append(cu)
+
+    def _quant_resid_mtb(self, cu, src_y, src_cb, src_cr, py, pcb, pcr):
+        """Residual of a >maxTB inter CU: implicit 64x64 TU tiling
+        (TU_MAX_TR_SPLIT searcher side — the counterpart of the coder's
+        _code_max_tb_tus / reconstruct_cu mtb branch).  Fills cu.mtb_tus
+        with (tx, ty, tw, th, cy, ccb, ccr, joint, ts_cb, ts_cr) tuples
+        and cu.root_cbf; mtb_tus stays None when every TU is empty
+        (matching the decoder's root_cbf == 0 state)."""
+        import numpy as _np
+        bd = self.cfg.bit_depth
+        qy = self.qp.luma_qp()
+        sw, sh_ = min(cu.w, 64), min(cu.h, 64)
+        tus = []
+        any_c = False
+        for ty in range(0, cu.h, sh_):
+            for tx in range(0, cu.w, sw):
+                ry = src_y[ty:ty + sh_, tx:tx + sw] \
+                    - py[ty:ty + sh_, tx:tx + sw]
+                cy_ = self._q(T.fwd_transform_np(ry, bd), qy, True, None,
+                              intra_slice=False)
+                cy_ = cy_ if _np.any(cy_) else None
+                cx2, cy2 = tx >> 1, ty >> 1
+                cw2, ch2 = sw >> 1, sh_ >> 1
+                # per-TU LMCS chroma scale (decoder dequantizes each TU
+                # with the scale at ITS position)
+                csc = self._chroma_scale(cu.x + tx, cu.y + ty, cw2, ch2)
+                cc = []
+                for comp, (srcc, predc) in ((1, (src_cb, pcb)),
+                                            (2, (src_cr, pcr))):
+                    rc = srcc[cy2:cy2 + ch2, cx2:cx2 + cw2] \
+                        - predc[cy2:cy2 + ch2, cx2:cx2 + cw2]
+                    if csc is not None:
+                        from ..codec.lmcs import scale_chroma_resi_fwd
+                        rc = scale_chroma_resi_fwd(
+                            rc.astype(_np.int64), csc, bd)
+                    c = self._q(T.fwd_transform_np(rc, bd),
+                                self.qp.chroma_qp(comp), False, None,
+                                intra_slice=False)
+                    cc.append(c if _np.any(c) else None)
+                if cy_ is not None or cc[0] is not None \
+                        or cc[1] is not None:
+                    any_c = True
+                tus.append((tx, ty, sw, sh_, cy_, cc[0], cc[1], 0,
+                            False, False))
+        cu.mtb_tus = tus if any_c else None
+        cu.root_cbf = any_c
+        return any_c
 
     def _quant_resid(self, src_y, src_cb, src_cr, py, pcb, pcr,
                      cscale=None):
