@@ -255,6 +255,127 @@ inline int min4_parity(int64_t a) {
   return int(std::min<int64_t>(4 + (a & 1), a));
 }
 
+// ---------------------------------------------------------------------------
+// binary arithmetic encoder (cabac.py CabacEncoder port, H.266 9.3.4.4)
+// ---------------------------------------------------------------------------
+const int RENORM_TABLE_32[32] = {6, 5, 4, 4, 3, 3, 3, 3, 2, 2, 2, 2,
+                                 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1,
+                                 1, 1, 1, 1, 1, 1, 1, 1};
+
+struct Engine {
+  uint64_t low;
+  int range, buffered_byte, num_buffered_bytes, bits_left;
+  uint16_t* s0;
+  uint16_t* s1;
+  const uint8_t* r0;
+  const uint8_t* r1;
+  uint8_t* out;
+  int n_out = 0;
+
+  void write_out() {
+    uint32_t lead_byte = uint32_t(low >> (24 - bits_left));
+    bits_left += 8;
+    low &= 0xFFFFFFFFull >> bits_left;
+    if (lead_byte == 0xFF) {
+      ++num_buffered_bytes;
+    } else if (num_buffered_bytes > 0) {
+      uint32_t carry = lead_byte >> 8;
+      out[n_out++] = uint8_t((buffered_byte + carry) & 0xFF);
+      buffered_byte = lead_byte & 0xFF;
+      uint8_t fill = uint8_t((0xFF + carry) & 0xFF);
+      while (num_buffered_bytes > 1) {
+        out[n_out++] = fill;
+        --num_buffered_bytes;
+      }
+    } else {
+      num_buffered_bytes = 1;
+      buffered_byte = lead_byte & 0xFF;
+    }
+  }
+
+  void encode_bin(int binval, int ctx) {
+    int st8 = state8(s0, s1, ctx);
+    int q = st8;
+    if (q & 0x80) q ^= 0xFF;
+    int lps = (((q >> 2) * (range >> 5)) >> 1) + 4;
+    range -= lps;
+    if (binval != (st8 >> 7)) {
+      int num_bits = RENORM_TABLE_32[lps >> 3];
+      bits_left -= num_bits;
+      low = (low + uint64_t(range)) << num_bits;
+      range = lps << num_bits;
+      if (bits_left < 12) write_out();
+    } else if (range < 256) {
+      --bits_left;
+      low <<= 1;
+      range <<= 1;
+      if (bits_left < 12) write_out();
+    }
+    ctx_update(s0, s1, r0, r1, ctx, binval);
+  }
+
+  void encode_bin_ep(int binval) {
+    low <<= 1;
+    if (binval) low += uint64_t(range);
+    --bits_left;
+    if (bits_left < 12) write_out();
+  }
+
+  void encode_bins_ep(uint64_t bins, int num_bins) {
+    if (range == 256) {  // aligned mode
+      int rem = num_bins;
+      while (rem > 0) {
+        int take = std::min(rem, 8);
+        uint64_t mask = (uint64_t(1) << take) - 1;
+        uint64_t nb = (bins >> (rem - take)) & mask;
+        low = (low << take) + (nb << 8);
+        rem -= take;
+        bits_left -= take;
+        if (bits_left < 12) write_out();
+      }
+      return;
+    }
+    while (num_bins > 8) {
+      num_bins -= 8;
+      uint64_t pattern = bins >> num_bins;
+      low = (low << 8) + uint64_t(range) * pattern;
+      bins -= pattern << num_bins;
+      bits_left -= 8;
+      if (bits_left < 12) write_out();
+    }
+    low = (low << num_bins) + uint64_t(range) * bins;
+    bits_left -= num_bins;
+    if (bits_left < 12) write_out();
+  }
+
+  void encode_remabs_ep(int64_t value, int rice, int cutoff, int max_log2) {
+    int64_t threshold = int64_t(cutoff) << rice;
+    if (value < threshold) {
+      int length = int(value >> rice) + 1;
+      encode_bins_ep((uint64_t(1) << length) - 2, length);
+      if (rice) encode_bins_ep(uint64_t(value) & ((1u << rice) - 1), rice);
+    } else {
+      int max_prefix_len = 32 - cutoff - max_log2;
+      int prefix_len = 0, suffix_len;
+      int64_t code_value = (value >> rice) - cutoff;
+      if (code_value >= (int64_t(1) << max_prefix_len) - 1) {
+        prefix_len = max_prefix_len;
+        suffix_len = max_log2;
+      } else {
+        while (code_value > (int64_t(2) << prefix_len) - 2) ++prefix_len;
+        suffix_len = prefix_len + rice + 1;
+      }
+      int total_prefix_len = prefix_len + cutoff;
+      uint64_t prefix = (uint64_t(1) << total_prefix_len) - 1;
+      uint64_t suffix =
+          (uint64_t(code_value - ((int64_t(1) << prefix_len) - 1)) << rice) |
+          (uint64_t(value) & ((uint64_t(1) << rice) - 1));
+      encode_bins_ep(prefix, total_prefix_len);
+      encode_bins_ep(suffix, suffix_len);
+    }
+  }
+};
+
 // EP-bin count of remabs binarization (cabac.py BitEstimator.encode_remabs_ep)
 int remabs_ep_bins(int64_t value, int rice, int cutoff, int max_log2) {
   int64_t threshold = int64_t(cutoff) << rice;
@@ -294,8 +415,8 @@ void vte_init(const int32_t* bases, const uint32_t* frac_table) {
 // BitEstimator): updates ctx state arrays in place, returns frac-bit delta
 // ---------------------------------------------------------------------------
 int64_t vte_est_residual(const int32_t* coeff, int w, int h, int is_luma,
-                         int dep_quant, uint16_t* s0, uint16_t* s1,
-                         const uint8_t* r0, const uint8_t* r1) {
+                         int dep_quant, int sign_hiding, uint16_t* s0,
+                         uint16_t* s1, const uint8_t* r0, const uint8_t* r1) {
   Cctx cctx(w, h, is_luma != 0);
   int64_t bits = 0;
   auto enc_bin = [&](int binval, int ctx) {
@@ -360,6 +481,7 @@ int64_t vte_est_residual(const int32_t* coeff, int w, int h, int is_luma,
                             : (is_not_first ? min_sub : -1);
     int num_nonzero = 0;
     int num_signs = 0;
+    int first_sign_sp = -1, last_sign_sp = -1;  // SDH span tracking
     int next_pos = first_sig;
     for (; next_pos >= min_sub && rem_reg_bins >= 4; --next_pos) {
       int blk = cctx.si->blkpos[next_pos];
@@ -377,6 +499,8 @@ int64_t vte_est_residual(const int32_t* coeff, int w, int h, int is_luma,
         int ctx_off = cctx.ctx_offset_abs();
         ++num_nonzero;
         ++num_signs;
+        if (first_sign_sp < 0) first_sign_sp = next_pos;
+        last_sign_sp = next_pos;
         int64_t rem = a - 1;
         int gt1 = rem ? 1 : 0;
         enc_bin(gt1, gt1_base + ctx_off);
@@ -419,11 +543,190 @@ int64_t vte_est_residual(const int32_t* coeff, int w, int h, int is_luma,
       bits += int64_t(remabs_ep_bins(rem, rice, COEF_REMAIN_BIN_REDUCTION,
                                      MAX_LOG2_TR_DYNAMIC_RANGE)) * EP_BIT;
       if (dep_quant) state = next_state(state, a);
-      if (a) { ++num_nonzero; ++num_signs; }
+      if (a) {
+        ++num_nonzero;
+        ++num_signs;
+        if (first_sign_sp < 0) first_sign_sp = sp;
+        last_sign_sp = sp;
+      }
     }
+    // sign-data hiding: the lowest-scan-pos sign of a qualifying CG is
+    // inferred from the abs-sum parity, so it costs no bits
+    if (sign_hiding && num_signs &&
+        first_sign_sp - last_sign_sp >= 4 /* SBH_THRESHOLD */)
+      --num_signs;
     bits += int64_t(num_signs) * EP_BIT;
   }
   return bits;
+}
+
+// ---------------------------------------------------------------------------
+// writer-path residual coding (residual.py encode_residual on a real
+// CabacEncoder): encodes actual bins through the arithmetic engine,
+// appending produced bytes to `out`.  engine_state io layout:
+// [low, range, buffered_byte, num_buffered_bytes, bits_left]
+// ---------------------------------------------------------------------------
+int vte_write_residual(const int32_t* coeff, int w, int h, int is_luma,
+                       int dep_quant, int sign_hiding, uint16_t* s0,
+                       uint16_t* s1, const uint8_t* r0, const uint8_t* r1,
+                       int64_t* engine_state, uint8_t* out) {
+  Cctx cctx(w, h, is_luma != 0);
+  Engine e;
+  e.low = uint64_t(engine_state[0]);
+  e.range = int(engine_state[1]);
+  e.buffered_byte = int(engine_state[2]);
+  e.num_buffered_bytes = int(engine_state[3]);
+  e.bits_left = int(engine_state[4]);
+  e.s0 = s0; e.s1 = s1; e.r0 = r0; e.r1 = r1;
+  e.out = out;
+
+  const int n = cctx.n_coded;
+  const int par_base = g_bases.par[cctx.ch];
+  const int gt1_base = g_bases.gtx[cctx.ch + 2];
+  const int gt2_base = g_bases.gtx[cctx.ch];
+
+  int scan_pos_last = -1;
+  for (int sp = n - 1; sp >= 0; --sp)
+    if (coeff[cctx.si->blkpos[sp]]) { scan_pos_last = sp; break; }
+  if (scan_pos_last < 0) return 0;  // caller guarantees nonzero
+
+  int num_cgs = (scan_pos_last >> cctx.log2_cg) + 1;
+  std::vector<uint8_t> cg_has(num_cgs, 0);
+  for (int cg = 0; cg < num_cgs; ++cg) {
+    int p0 = cg << cctx.log2_cg;
+    int p1 = std::min(p0 + (1 << cctx.log2_cg), n);
+    for (int sp = p0; sp < p1; ++sp)
+      if (coeff[cctx.si->blkpos[sp]]) { cg_has[cg] = 1; break; }
+  }
+
+  // last position coding
+  int blk_last = cctx.si->blkpos[scan_pos_last];
+  int pos_y = blk_last / w, pos_x = blk_last % w;
+  int gx = GROUP_IDX_TAB[pos_x], gy = GROUP_IDX_TAB[pos_y];
+  for (int i = 0; i < gx; ++i) e.encode_bin(1, cctx.last_ctx_id(i, true));
+  if (gx < cctx.max_last_x) e.encode_bin(0, cctx.last_ctx_id(gx, true));
+  for (int i = 0; i < gy; ++i) e.encode_bin(1, cctx.last_ctx_id(i, false));
+  if (gy < cctx.max_last_y) e.encode_bin(0, cctx.last_ctx_id(gy, false));
+  if (gx > 3) {
+    int v = pos_x - MIN_IN_GROUP[gx];
+    for (int i = ((gx - 2) >> 1) - 1; i >= 0; --i)
+      e.encode_bin_ep((v >> i) & 1);
+  }
+  if (gy > 3) {
+    int v = pos_y - MIN_IN_GROUP[gy];
+    for (int i = ((gy - 2) >> 1) - 1; i >= 0; --i)
+      e.encode_bin_ep((v >> i) & 1);
+  }
+
+  // subblock coding
+  int state = 0;
+  int rem_reg_bins = (n * CTX_BIN_SAMPLE_RATIO) >> 4;
+  std::vector<int32_t> coeff_cap(size_t(w) * h, 0);
+  std::vector<int64_t> abs_coeff(size_t(w) * h);
+  for (int i = 0; i < w * h; ++i)
+    abs_coeff[i] = std::abs(int64_t(coeff[i]));
+  std::vector<uint8_t> sig_groups(size_t(cctx.w_in_groups) *
+                                  cctx.h_in_groups, 0);
+  int last_cg = scan_pos_last >> cctx.log2_cg;
+  for (int cg = last_cg; cg >= 0; --cg) {
+    bool is_last_cg = cg == last_cg;
+    bool is_not_first = cg != 0;
+    int min_sub = cg << cctx.log2_cg;
+    int max_sub = min_sub + (1 << cctx.log2_cg) - 1;
+    if (!is_last_cg && is_not_first) {
+      int ctx = cctx.sig_group_ctx(cg, sig_groups.data());
+      if (cg_has[cg]) e.encode_bin(1, ctx);
+      else { e.encode_bin(0, ctx); continue; }
+    }
+    if (cg_has[cg]) sig_groups[cctx.si->cg_pos[cg]] = 1;
+    int first_sig = is_last_cg ? scan_pos_last : max_sub;
+    int infer_sig_pos = (first_sig == scan_pos_last)
+                            ? first_sig
+                            : (is_not_first ? min_sub : -1);
+    int num_nonzero = 0;
+    std::vector<int> sign_pattern, sign_pos;
+    int next_pos = first_sig;
+    for (; next_pos >= min_sub && rem_reg_bins >= 4; --next_pos) {
+      int blk = cctx.si->blkpos[next_pos];
+      int c = coeff[blk];
+      int64_t a = std::abs(int64_t(c));
+      int sig = c ? 1 : 0;
+      if (num_nonzero || next_pos != infer_sig_pos) {
+        int sig_ctx = cctx.sig_ctx_id(next_pos, coeff_cap.data(), state);
+        e.encode_bin(sig, sig_ctx);
+        --rem_reg_bins;
+      } else if (next_pos != scan_pos_last) {
+        cctx.sig_ctx_id(next_pos, coeff_cap.data(), state);
+      }
+      if (sig) {
+        int ctx_off = cctx.ctx_offset_abs();
+        ++num_nonzero;
+        int64_t rem = a - 1;
+        sign_pattern.push_back(c < 0 ? 1 : 0);
+        sign_pos.push_back(next_pos);
+        int gt1 = rem ? 1 : 0;
+        e.encode_bin(gt1, gt1_base + ctx_off);
+        --rem_reg_bins;
+        if (gt1) {
+          --rem;
+          e.encode_bin(int(rem & 1), par_base + ctx_off);
+          rem >>= 1;
+          --rem_reg_bins;
+          int gt2 = rem ? 1 : 0;
+          e.encode_bin(gt2, gt2_base + ctx_off);
+          --rem_reg_bins;
+        }
+        coeff_cap[blk] = min4_parity(a);
+      }
+      if (dep_quant) state = next_state(state, a);
+    }
+    int first_pos_mode2 = next_pos;
+    // second pass: go-rice remainders for levels >= 4
+    for (int sp = first_sig; sp > first_pos_mode2; --sp) {
+      int blk = cctx.si->blkpos[sp];
+      int64_t a = abs_coeff[blk];
+      if (a >= 4) {
+        int sum_all = cctx.template_abs_sum(sp, abs_coeff.data(), 4);
+        int rice = GO_RICE_PARS[sum_all];
+        e.encode_remabs_ep((a - 4) >> 1, rice, COEF_REMAIN_BIN_REDUCTION,
+                           MAX_LOG2_TR_DYNAMIC_RANGE);
+      }
+    }
+    // bypass pass
+    for (int sp = first_pos_mode2; sp >= min_sub; --sp) {
+      int blk = cctx.si->blkpos[sp];
+      int c = coeff[blk];
+      int64_t a = std::abs(int64_t(c));
+      int sum_all = cctx.template_abs_sum(sp, abs_coeff.data(), 0);
+      int rice = GO_RICE_PARS[sum_all];
+      int64_t pos0 = int64_t(state < 2 ? 1 : 2) << rice;
+      int64_t rem = (a == 0) ? pos0 : (a <= pos0 ? a - 1 : a);
+      e.encode_remabs_ep(rem, rice, COEF_REMAIN_BIN_REDUCTION,
+                         MAX_LOG2_TR_DYNAMIC_RANGE);
+      if (dep_quant) state = next_state(state, a);
+      if (a) {
+        ++num_nonzero;
+        sign_pattern.push_back(c < 0 ? 1 : 0);
+        sign_pos.push_back(sp);
+      }
+    }
+    // signs (SDH: lowest-scan-pos sign inferred from abs-sum parity)
+    int n_signs = int(sign_pattern.size());
+    if (sign_hiding && n_signs &&
+        sign_pos.front() - sign_pos.back() >= 4 /* SBH_THRESHOLD */)
+      --n_signs;
+    uint64_t bits = 0;
+    for (int i = 0; i < n_signs; ++i)
+      bits = (bits << 1) | uint64_t(sign_pattern[i]);
+    e.encode_bins_ep(bits, n_signs);
+  }
+
+  engine_state[0] = int64_t(e.low);
+  engine_state[1] = e.range;
+  engine_state[2] = e.buffered_byte;
+  engine_state[3] = e.num_buffered_bytes;
+  engine_state[4] = e.bits_left;
+  return e.n_out;
 }
 
 // ---------------------------------------------------------------------------

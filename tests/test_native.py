@@ -35,11 +35,18 @@ def _rand_ctx(rng):
     return ctx
 
 
+class _PyBitEstimator(BitEstimator):
+    """Subclass with a different __name__ so encode_residual takes the
+    pure-Python path (the golden reference) instead of dispatching to the
+    native kernel under test."""
+
+
 @pytest.mark.parametrize("w,h", SIZES)
 def test_est_residual_bit_exact(w, h):
     rng = np.random.RandomState(w * 100 + h)
     for trial in range(8):
-        for dep_quant in (False, True):
+        for dep_quant, sign_hiding in ((False, False), (True, False),
+                                       (False, True)):
             c = _rand_coeff(w, h, rng, scale=rng.choice([1, 3, 40, 900]),
                             sparsity=rng.choice([0.05, 0.3, 0.9]))
             if w > 32 or h > 32:
@@ -49,14 +56,59 @@ def test_est_residual_bit_exact(w, h):
                 c[0, 0] = 1
             ctx = _rand_ctx(rng)
             ctx_n = CtxModels(ctx)
-            est = BitEstimator(CtxModels(ctx))
+            est = _PyBitEstimator(CtxModels(ctx))
             encode_residual(est, c, is_luma=bool(trial % 2),
-                            dep_quant=dep_quant)
+                            dep_quant=dep_quant, sign_hiding=sign_hiding)
             bits_native = native.est_residual(c, bool(trial % 2), dep_quant,
-                                              ctx_n)
-            assert bits_native == est.frac_bits, (w, h, trial, dep_quant)
+                                              ctx_n, sign_hiding)
+            assert bits_native == est.frac_bits, (w, h, trial, dep_quant,
+                                                  sign_hiding)
             assert np.array_equal(ctx_n.state0, est.ctx.state0)
             assert np.array_equal(ctx_n.state1, est.ctx.state1)
+
+
+@pytest.mark.parametrize("w,h", SIZES)
+def test_write_residual_bit_exact(w, h):
+    from vvenc_tpu.bitstream.bitwriter import BitWriter
+    from vvenc_tpu.bitstream.cabac import CabacEncoder
+
+    class _PyCabacEncoder(CabacEncoder):
+        """Different __name__ -> encode_residual takes the Python path."""
+
+    rng = np.random.RandomState(w * 7 + h + 5)
+    for trial in range(6):
+        for dep_quant, sign_hiding in ((False, False), (True, False),
+                                       (False, True)):
+            c = _rand_coeff(w, h, rng, scale=rng.choice([1, 3, 40, 900]),
+                            sparsity=rng.choice([0.05, 0.3, 0.9]))
+            if w > 32 or h > 32:
+                c[32:, :] = 0
+                c[:, 32:] = 0
+            if not np.any(c):
+                c[0, 0] = 1
+            ctx = _rand_ctx(rng)
+            enc_py = _PyCabacEncoder(BitWriter(), CtxModels(ctx))
+            enc_nv = CabacEncoder(BitWriter(), CtxModels(ctx))
+            # stir the engines identically so state isn't at start()
+            for _ in range(int(rng.randint(0, 40))):
+                b, cid = int(rng.randint(0, 2)), int(rng.randint(0, 300))
+                enc_py.encode_bin(b, cid)
+                ctx2 = enc_nv.ctx
+                enc_nv.encode_bin(b, cid)
+            is_luma = bool(trial % 2)
+            encode_residual(enc_py, c, is_luma, dep_quant=dep_quant,
+                            sign_hiding=sign_hiding)
+            encode_residual(enc_nv, c, is_luma, dep_quant=dep_quant,
+                            sign_hiding=sign_hiding)
+            enc_py.finish()
+            enc_nv.finish()
+            assert enc_py.bw.num_bits == enc_nv.bw.num_bits
+            enc_py.bw.align_zero()
+            enc_nv.bw.align_zero()
+            assert enc_py.bw.get_bytes() == enc_nv.bw.get_bytes(), \
+                (w, h, trial, dep_quant, sign_hiding)
+            assert np.array_equal(enc_py.ctx.state0, enc_nv.ctx.state0)
+            assert np.array_equal(enc_py.ctx.state1, enc_nv.ctx.state1)
 
 
 @pytest.mark.parametrize("w,h", SIZES)

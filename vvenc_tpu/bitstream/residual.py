@@ -214,11 +214,18 @@ def encode_residual(enc, coeff: np.ndarray, is_luma: bool,
     levels (transforms.sdh_adjust) so the decoder's inference matches.
     """
     assert not (dep_quant and sign_hiding)
-    if type(enc).__name__ == "BitEstimator" and not sign_hiding:
+    tname = type(enc).__name__
+    if tname == "BitEstimator":
         from .. import native
         if native.available():
             enc.frac_bits += native.est_residual(coeff, is_luma, dep_quant,
-                                                 enc.ctx)
+                                                 enc.ctx, sign_hiding)
+            return
+    elif tname == "CabacEncoder":
+        from .. import native
+        if native.available():
+            native.write_residual(coeff, is_luma, dep_quant, sign_hiding,
+                                  enc)
             return
     h, w = coeff.shape
     cctx = _Cctx(w, h, is_luma)

@@ -388,13 +388,17 @@ def _clip_alf(clip, curr, v0, v1):
 
 
 def filter_luma_region(src: np.ndarray, dst: np.ndarray, x0, y0, w0, h0,
-                       cls, trn, coeff, clipv, bit_depth, ctu_size):
+                       cls, trn, coeff, clipv, bit_depth, ctu_size,
+                       sp=None):
     """7x7 diamond clipped ALF over region (x0, y0, w0, h0) of src -> dst.
 
-    cls/trn: per-4x4 classification of the picture; coeff/clipv: [25][13]."""
+    cls/trn: per-4x4 classification of the picture; coeff/clipv: [25][13].
+    sp: optional pre-padded (pad=3, edge) int64 copy of src — pass it when
+    filtering many regions of one plane (apply_alf_picture)."""
     h, w = src.shape
     pad = 3
-    sp = np.pad(src, pad, mode="edge").astype(np.int64)
+    if sp is None:
+        sp = np.pad(src, pad, mode="edge").astype(np.int64)
     vb_pos = ctu_size - 4
     maxval = (1 << bit_depth) - 1
     shift = NUM_BITS - 1
@@ -405,64 +409,81 @@ def filter_luma_region(src: np.ndarray, dst: np.ndarray, x0, y0, w0, h0,
             ((2, -1), (-2, 1)), ((1, 2), (-1, -2)), ((1, 1), (-1, -1)),
             ((1, 0), (-1, 0)), ((1, -1), (-1, 1)), ((1, -2), (-1, 2)),
             ((0, 3), (0, -3)), ((0, 2), (0, -2)), ((0, 1), (0, -1))]
-    for yy in range(y0, min(y0 + h0, h)):
-        yvb = yy & (ctu_size - 1)
-        o1, o2, o3, o4, o5, o6, near = _vb_taps(yvb, vb_pos, False)
-        omap = {1: o1, -1: o2, 2: o3, -2: o4, 3: o5, -3: o6, 0: 0}
-        row_shift = shift + 3 if near else shift
-        row_off = 1 << (row_shift - 1)
-        xs = np.arange(x0, min(x0 + w0, w))
-        curr = sp[yy + pad, xs + pad]
-        bcls = cls[yy >> 2, xs >> 2]
-        btrn = trn[yy >> 2, xs >> 2]
-        co = coeff[bcls]     # (n, 13)
-        cl = clipv[bcls]
-        # apply transpose shuffles
-        for t in (1, 2, 3):
-            m = btrn == t
-            if m.any():
-                co[m] = co[m][:, _TR7[t]]
-                cl[m] = cl[m][:, _TR7[t]]
-        acc = np.zeros(len(xs), np.int64)
-        for ci, ((dy0, dx0), (dy1, dx1)) in enumerate(taps):
-            r0 = yy + omap[dy0] if dy0 else yy
-            r1 = yy + omap[dy1] if dy1 else yy
-            v0 = sp[r0 + pad, xs + dx0 + pad]
-            v1 = sp[r1 + pad, xs + dx1 + pad]
-            acc += co[:, ci] * _clip_alf(cl[:, ci], curr, v0, v1)
-        out = (acc + row_off) >> row_shift
-        out = np.clip(curr + out, 0, maxval)
-        dst[yy, xs] = out
+    ys = np.arange(y0, min(y0 + h0, h))
+    xs = np.arange(x0, min(x0 + w0, w))
+    ny = len(ys)
+    # per-row VB-dependent tap offsets + shift
+    omap = {0: np.zeros(ny, np.int32)}
+    near_v = np.zeros(ny, bool)
+    offs = np.zeros((ny, 6), np.int32)
+    for i, yy in enumerate(ys):
+        o1, o2, o3, o4, o5, o6, near = _vb_taps(int(yy) & (ctu_size - 1),
+                                                vb_pos, False)
+        offs[i] = (o1, o2, o3, o4, o5, o6)
+        near_v[i] = near
+    omap[1], omap[-1], omap[2] = offs[:, 0], offs[:, 1], offs[:, 2]
+    omap[-2], omap[3], omap[-3] = offs[:, 3], offs[:, 4], offs[:, 5]
+    row_shift = np.where(near_v, shift + 3, shift)[:, None]
+    row_off = (np.int64(1) << (row_shift - 1))
+
+    curr = sp[ys[:, None] + pad, xs[None, :] + pad]
+    bcls = cls[ys[:, None] >> 2, xs[None, :] >> 2]
+    btrn = trn[ys[:, None] >> 2, xs[None, :] >> 2]
+    co = coeff[bcls]     # (ny, nx, 13)
+    cl = clipv[bcls]
+    for t in (1, 2, 3):  # transpose shuffles
+        m = btrn == t
+        if m.any():
+            co[m] = co[m][:, _TR7[t]]
+            cl[m] = cl[m][:, _TR7[t]]
+    acc = np.zeros((ny, len(xs)), np.int64)
+    for ci, ((dy0, dx0), (dy1, dx1)) in enumerate(taps):
+        r0 = ys + omap[dy0]
+        r1 = ys + omap[dy1]
+        v0 = sp[r0[:, None] + pad, (xs + dx0)[None, :] + pad]
+        v1 = sp[r1[:, None] + pad, (xs + dx1)[None, :] + pad]
+        acc += co[:, :, ci] * _clip_alf(cl[:, :, ci], curr, v0, v1)
+    out = (acc + row_off) >> row_shift
+    dst[ys[:, None], xs[None, :]] = np.clip(curr + out, 0, maxval)
 
 
 def filter_chroma_region(src: np.ndarray, dst: np.ndarray, x0, y0, w0, h0,
-                         coeff, clipv, bit_depth, ctu_size_c):
+                         coeff, clipv, bit_depth, ctu_size_c, sp=None):
     """5x5 diamond chroma ALF (single filter per alternative)."""
     h, w = src.shape
     pad = 2
-    sp = np.pad(src, pad, mode="edge").astype(np.int64)
+    if sp is None:
+        sp = np.pad(src, pad, mode="edge").astype(np.int64)
     vb_pos = ctu_size_c - 2
     maxval = (1 << bit_depth) - 1
     shift = NUM_BITS - 1
     taps = [((2, 0), (-2, 0)), ((1, 1), (-1, -1)), ((1, 0), (-1, 0)),
             ((1, -1), (-1, 1)), ((0, 2), (0, -2)), ((0, 1), (0, -1))]
-    for yy in range(y0, min(y0 + h0, h)):
-        yvb = yy & (ctu_size_c - 1)
-        o1, o2, o3, o4, _, _, near = _vb_taps(yvb, vb_pos, True)
-        omap = {1: o1, -1: o2, 2: o3, -2: o4, 0: 0}
-        row_shift = shift + 3 if near else shift
-        row_off = 1 << (row_shift - 1)
-        xs = np.arange(x0, min(x0 + w0, w))
-        curr = sp[yy + pad, xs + pad]
-        acc = np.zeros(len(xs), np.int64)
-        for ci, ((dy0, dx0), (dy1, dx1)) in enumerate(taps):
-            r0 = yy + omap[dy0] if dy0 else yy
-            r1 = yy + omap[dy1] if dy1 else yy
-            v0 = sp[r0 + pad, xs + dx0 + pad]
-            v1 = sp[r1 + pad, xs + dx1 + pad]
-            acc += int(coeff[ci]) * _clip_alf(int(clipv[ci]), curr, v0, v1)
-        out = (acc + row_off) >> row_shift
-        dst[yy, xs] = np.clip(curr + out, 0, maxval)
+    ys = np.arange(y0, min(y0 + h0, h))
+    xs = np.arange(x0, min(x0 + w0, w))
+    ny = len(ys)
+    omap = {0: np.zeros(ny, np.int32)}
+    near_v = np.zeros(ny, bool)
+    offs = np.zeros((ny, 4), np.int32)
+    for i, yy in enumerate(ys):
+        o1, o2, o3, o4, _, _, near = _vb_taps(int(yy) & (ctu_size_c - 1),
+                                              vb_pos, True)
+        offs[i] = (o1, o2, o3, o4)
+        near_v[i] = near
+    omap[1], omap[-1], omap[2], omap[-2] = (offs[:, 0], offs[:, 1],
+                                            offs[:, 2], offs[:, 3])
+    row_shift = np.where(near_v, shift + 3, shift)[:, None]
+    row_off = (np.int64(1) << (row_shift - 1))
+    curr = sp[ys[:, None] + pad, xs[None, :] + pad]
+    acc = np.zeros((ny, len(xs)), np.int64)
+    for ci, ((dy0, dx0), (dy1, dx1)) in enumerate(taps):
+        r0 = ys + omap[dy0]
+        r1 = ys + omap[dy1]
+        v0 = sp[r0[:, None] + pad, (xs + dx0)[None, :] + pad]
+        v1 = sp[r1[:, None] + pad, (xs + dx1)[None, :] + pad]
+        acc += int(coeff[ci]) * _clip_alf(int(clipv[ci]), curr, v0, v1)
+    out = (acc + row_off) >> row_shift
+    dst[ys[:, None], xs[None, :]] = np.clip(curr + out, 0, maxval)
 
 
 def filter_ccalf_region(luma: np.ndarray, chroma_dst: np.ndarray,
@@ -639,6 +660,10 @@ def apply_alf_picture(rec, bit_depth, ctu_size, w_ctus, h_ctus,
             chroma_sets.append(reconstruct_chroma_coeff(p, alt, bit_depth))
 
     csz = ctu_size >> 1
+    # pad each source plane once for all CTU region calls
+    sp_y = np.pad(src[0], 3, mode="edge").astype(np.int64)
+    sp_c = {c: np.pad(src[c], 2, mode="edge").astype(np.int64)
+            for c in (1, 2) if alf_enabled[c]}
     for ry in range(h_ctus):
         for rx in range(w_ctus):
             addr = ry * w_ctus + rx
@@ -647,13 +672,13 @@ def apply_alf_picture(rec, bit_depth, ctu_size, w_ctus, h_ctus,
                 coeff, clipv = luma_sets[ctu_filter_idx[addr]]
                 filter_luma_region(src[0], rec[0], x0, y0, ctu_size,
                                    ctu_size, cls, trn, coeff, clipv,
-                                   bit_depth, ctu_size)
+                                   bit_depth, ctu_size, sp=sp_y)
             for comp in (1, 2):
                 if alf_enabled[comp] and ctu_flags[comp][addr]:
                     coeff, clipv = chroma_sets[ctu_alt[comp - 1][addr]]
                     filter_chroma_region(src[comp], rec[comp], x0 >> 1,
                                          y0 >> 1, csz, csz, coeff, clipv,
-                                         bit_depth, csz)
+                                         bit_depth, csz, sp=sp_c[comp])
     # CC-ALF runs on the SAO-filtered luma and adds to the ALF output
     for cc in range(2):
         if not cc_enabled[cc]:

@@ -20,48 +20,46 @@ _DIV_SIG_TABLE = [0, 7, 6, 5, 5, 4, 4, 3, 3, 2, 2, 1, 1, 1, 1, 0]
 
 def _ds_interior(luma, x0, y0, cw, ch, left_avail):
     """6-tap 4:2:0 downsample of the co-located luma block -> [ch, cw]."""
-    out = np.empty((ch, cw), np.int32)
-    L = luma
-    for j in range(ch):
-        ly = y0 + 2 * j
-        for i in range(cw):
-            lx = x0 + 2 * i
-            lm1 = lx if (i == 0 and not left_avail) else lx - 1
-            s = (4 + 2 * L[ly, lx] + L[ly, lx + 1] + L[ly, lm1]
-                 + 2 * L[ly + 1, lx] + L[ly + 1, lx + 1] + L[ly + 1, lm1])
-            out[j, i] = s >> 3
-    return out
+    ys = np.arange(y0, y0 + 2 * ch, 2)
+    xs = np.arange(x0, x0 + 2 * cw, 2)
+    lm1 = xs - 1
+    if not left_avail:
+        lm1 = lm1.copy()
+        lm1[0] = xs[0]
+    r0 = luma[np.ix_(ys, xs)].astype(np.int32)
+    r1 = luma[np.ix_(ys + 1, xs)].astype(np.int32)
+    s = (4 + 2 * r0 + luma[np.ix_(ys, xs + 1)] + luma[np.ix_(ys, lm1)]
+         + 2 * r1 + luma[np.ix_(ys + 1, xs + 1)] + luma[np.ix_(ys + 1, lm1)])
+    return (s >> 3).astype(np.int32)
 
 
 def _ds_above(luma, x0, y0, n, left_avail, first_ctu_row):
     """Downsampled above-template luma row of length n (chroma units)."""
-    out = np.empty(n, np.int32)
-    L = luma
-    for i in range(n):
-        lx = x0 + 2 * i
-        lm1 = lx if (i == 0 and not left_avail) else lx - 1
-        if first_ctu_row:
-            ly = y0 - 1
-            out[i] = (2 + 2 * L[ly, lx] + L[ly, lm1] + L[ly, lx + 1]) >> 2
-        else:
-            ly = y0 - 2
-            s = (4 + 2 * L[ly, lx] + L[ly, lx + 1] + L[ly, lm1]
-                 + 2 * L[ly + 1, lx] + L[ly + 1, lx + 1] + L[ly + 1, lm1])
-            out[i] = s >> 3
-    return out
+    xs = np.arange(x0, x0 + 2 * n, 2)
+    lm1 = xs - 1
+    if not left_avail:
+        lm1 = lm1.copy()
+        lm1[0] = xs[0]
+    if first_ctu_row:
+        ly = y0 - 1
+        s = (2 + 2 * luma[ly, xs].astype(np.int32) + luma[ly, lm1]
+             + luma[ly, xs + 1])
+        return (s >> 2).astype(np.int32)
+    ly = y0 - 2
+    s = (4 + 2 * luma[ly, xs].astype(np.int32) + luma[ly, xs + 1]
+         + luma[ly, lm1] + 2 * luma[ly + 1, xs].astype(np.int32)
+         + luma[ly + 1, xs + 1] + luma[ly + 1, lm1])
+    return (s >> 3).astype(np.int32)
 
 
 def _ds_left(luma, x0, y0, n):
     """Downsampled left-template luma column of length n (chroma units)."""
-    out = np.empty(n, np.int32)
-    L = luma
-    for j in range(n):
-        ly = y0 + 2 * j
-        lx = x0 - 2
-        s = (4 + 2 * L[ly, lx] + L[ly, lx + 1] + L[ly, lx - 1]
-             + 2 * L[ly + 1, lx] + L[ly + 1, lx + 1] + L[ly + 1, lx - 1])
-        out[j] = s >> 3
-    return out
+    ys = np.arange(y0, y0 + 2 * n, 2)
+    lx = x0 - 2
+    s = (4 + 2 * luma[ys, lx].astype(np.int32) + luma[ys, lx + 1]
+         + luma[ys, lx - 1] + 2 * luma[ys + 1, lx].astype(np.int32)
+         + luma[ys + 1, lx + 1] + luma[ys + 1, lx - 1])
+    return (s >> 3).astype(np.int32)
 
 
 def _count_avail(coded, ux, uy, n, dx, dy, uw, uh):

@@ -40,6 +40,7 @@ from ..bitstream.residual import encode_residual
 from ..codec.picture import PictureState
 from ..codec.qp import QpState
 from ..ops import intra as I
+from ..ops import intra_vec as IV
 from ..ops import transforms as T
 from ..ops import rdcost as R
 
@@ -1405,42 +1406,44 @@ class _CtuSearcher:
                                    ref_line))
         else:
             # SATD preselection over all modes (entry: cost, mode, pred,
-            # mip_flag, mip_transposed)
+            # mip_flag, mip_transposed) — one vectorized sweep per family
+            # (ops/intra_vec.py), bit-identical to the per-mode scalar loop
             cand = []
+            preds67 = IV.predict_intra_modes(
+                top, left, range(I.NUM_LUMA_MODE), w, h, bit_depth)
+            satds67 = IV.satd_modes(src_y, preds67)
             for mode in range(I.NUM_LUMA_MODE):
-                pred = I.predict_intra(top, left, mode, w, h, bit_depth,
-                                       True)
-                satd = R.satd_np(src_y, pred)
                 mode_bits = (1.5 + mpm.index(mode) if mode in mpm else 7.0)
-                cand.append((satd + self.lmbda_sad * mode_bits, mode, pred,
-                             False, False, 0))
+                cand.append((int(satds67[mode]) + self.lmbda_sad * mode_bits,
+                             mode, preds67[mode], False, False, 0))
             if self.enc.sps.mip:
                 from ..ops import mip as MIPO
                 n_mip = MIPO.num_mip_modes(w, h)
                 mip_bits = 2.0 + n_mip.bit_length() - 1
+                mip_preds = MIPO.predict_mip_all_modes(
+                    top[1:w + 1], left[1:h + 1], w, h, bit_depth)
+                mip_satds = IV.satd_modes(
+                    src_y, mip_preds.reshape(-1, h, w)).reshape(n_mip, 2)
                 for m in range(n_mip):
                     for t in (False, True):
-                        pred = MIPO.predict_mip(top[1:w + 1],
-                                                left[1:h + 1],
-                                                w, h, m, t, bit_depth)
-                        satd = R.satd_np(src_y, pred)
-                        cand.append((satd + self.lmbda_sad * mip_bits, m,
-                                     pred, True, t, 0))
+                        cand.append((int(mip_satds[m, int(t)])
+                                     + self.lmbda_sad * mip_bits, m,
+                                     mip_preds[m, int(t)], True, t, 0))
             if self.enc.sps.mrl and (y % self.cfg.ctu_size) != 0:
                 for line in (1, 2):
                     rt, rl = I.build_reference_samples(
                         ps.rec[0], x, y, w, h, ps.avail_luma(),
                         PictureState.LUMA_UNIT, bit_depth, ref_idx=line)
-                    for mi in range(1, 6):
-                        mode = mpm[mi]
-                        if mode == I.PLANAR_IDX:
-                            continue
-                        pred = I.predict_intra(rt, rl, mode, w, h,
-                                               bit_depth, True,
-                                               ref_idx=line)
-                        satd = R.satd_np(src_y, pred)
-                        cand.append((satd + self.lmbda_sad * (2.5 + mi),
-                                     mode, pred, False, False, line))
+                    mrl_modes = [(mi, mpm[mi]) for mi in range(1, 6)
+                                 if mpm[mi] != I.PLANAR_IDX]
+                    mrl_preds = IV.predict_intra_modes(
+                        rt, rl, [m for _, m in mrl_modes], w, h, bit_depth,
+                        ref_idx=line)
+                    mrl_satds = IV.satd_modes(src_y, mrl_preds)
+                    for i, (mi, mode) in enumerate(mrl_modes):
+                        cand.append((int(mrl_satds[i])
+                                     + self.lmbda_sad * (2.5 + mi),
+                                     mode, mrl_preds[i], False, False, line))
             cand.sort(key=lambda t: t[0])
             n_full = self.cfg.num_full_rd_modes
             full_modes = cand[:n_full]
@@ -1951,7 +1954,8 @@ class _CtuSearcher:
         vvenc IntraSearch::estIntraPredChromaQT analog (IntraSearch.h:178):
         per candidate mode, full transform/quant + SSE + estimated bits."""
         from ..codec.ctu_syntax import chroma_cand_modes, dm_luma_mode
-        from ..codec.cclm import (LM_CHROMA_IDX, MDLM_L_IDX, MDLM_T_IDX)
+        from ..codec.cclm import (LM_CHROMA_IDX, MDLM_L_IDX, MDLM_T_IDX,
+                                  CCLM_MODES)
         ps, bit_depth = self.ps, self.cfg.bit_depth
         x, y, w, h = cu.x, cu.y, cu.w, cu.h
         cx, cy2, cw, chh = x >> 1, y >> 1, w >> 1, h >> 1
@@ -2011,6 +2015,35 @@ class _CtuSearcher:
             return scale_chroma_resi_inv(np.asarray(resi, np.int64),
                                          cscale, bit_depth)
 
+        # batch the angular candidate predictions per component (one
+        # vectorized sweep over shared references instead of per-mode
+        # reference rebuilds; CCLM/BDPCM stay on the scalar model)
+        pred_cache = {}
+        if not cu.bdpcm_c:
+            ang = []
+            for cdir_ in cands:
+                if cdir_ not in CCLM_MODES:
+                    m_ = dm_luma_mode(cu) if cdir_ == DM_CHROMA else cdir_
+                    if m_ not in ang:
+                        ang.append(m_)
+            if ang:
+                for comp in (1, 2):
+                    rt, rl = I.build_reference_samples(
+                        ps.rec[comp], cx, cy2, cw, chh, ps.avail_chroma(),
+                        PictureState.CHROMA_UNIT, bit_depth)
+                    cpreds = IV.predict_intra_modes(rt, rl, ang, cw, chh,
+                                                    bit_depth, is_luma=False)
+                    for m_, p_ in zip(ang, cpreds):
+                        pred_cache[(comp, m_)] = p_
+
+        def _pred_comp(comp):
+            if not cu.bdpcm_c and cu.chroma_dir not in CCLM_MODES:
+                m_ = dm_luma_mode(cu) if cu.chroma_dir == DM_CHROMA \
+                    else cu.chroma_dir
+                return pred_cache[(comp, m_)]
+            return predict_cu_component(ps, cu, comp, bit_depth,
+                                        self.cfg.ctu_size)
+
         best = None
         preds_best = None
         for cdir in cands:
@@ -2018,8 +2051,7 @@ class _CtuSearcher:
             dist = 0.0
             coeffs, preds = {}, {}
             for comp in (1, 2):
-                pred = predict_cu_component(ps, cu, comp, bit_depth,
-                                            self.cfg.ctu_size)
+                pred = _pred_comp(comp)
                 preds[comp] = pred
                 qc = self.qp.chroma_qp(comp)
                 cbf_ctx = ct.CTX_SETS["QtCbfCb"](0) if comp == 1 else \

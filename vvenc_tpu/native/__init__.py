@@ -54,7 +54,7 @@ def _load():
     lib.vte_init.restype = None
     lib.vte_est_residual.argtypes = [
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint16),
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8)]
     lib.vte_est_residual.restype = ctypes.c_int64
@@ -65,6 +65,13 @@ def _load():
         ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint16),
         ctypes.POINTER(ctypes.c_int32)]
     lib.vte_rdoq.restype = None
+    lib.vte_write_residual.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint8)]
+    lib.vte_write_residual.restype = ctypes.c_int
 
     # install context-set bases + the estimator frac-bits table
     from ..bitstream import ctx_tables as ct
@@ -103,15 +110,66 @@ def _i32p(a):
 
 
 def est_residual(coeff: np.ndarray, is_luma: bool, dep_quant: bool,
-                 ctx) -> int:
+                 ctx, sign_hiding: bool = False) -> int:
     """Estimator-path residual coding: updates ctx state arrays in place,
     returns the frac-bit delta (SCALE_BITS fixed point)."""
     h, w = coeff.shape
     c = np.ascontiguousarray(coeff, dtype=np.int32)
     return int(_LIB.vte_est_residual(
         _i32p(c), w, h, 1 if is_luma else 0, 1 if dep_quant else 0,
+        1 if sign_hiding else 0,
         _u16p(ctx.state0), _u16p(ctx.state1),
         _u8p(ctx.rate0), _u8p(ctx.rate1)))
+
+
+_TLS = None
+
+
+def _tls():
+    global _TLS
+    if _TLS is None:
+        import threading
+        _TLS = threading.local()
+    if not hasattr(_TLS, "wr_buf"):
+        _TLS.wr_buf = np.empty(1 << 16, dtype=np.uint8)
+        _TLS.wr_state = np.empty(5, dtype=np.int64)
+    return _TLS
+
+
+def write_residual(coeff: np.ndarray, is_luma: bool, dep_quant: bool,
+                   sign_hiding: bool, enc) -> None:
+    """Writer-path residual coding on a CabacEncoder: encodes the TU's bins
+    through the native arithmetic engine, bit-exact vs the Python path."""
+    import ctypes as _ct
+    h, w = coeff.shape
+    c = np.ascontiguousarray(coeff, dtype=np.int32)
+    tls = _tls()
+    st, buf = tls.wr_state, tls.wr_buf
+    st[0] = enc.low
+    st[1] = enc.range
+    st[2] = enc.buffered_byte
+    st[3] = enc.num_buffered_bytes
+    st[4] = enc.bits_left
+    ctx = enc.ctx
+    nb = _LIB.vte_write_residual(
+        _i32p(c), w, h, 1 if is_luma else 0, 1 if dep_quant else 0,
+        1 if sign_hiding else 0,
+        _u16p(ctx.state0), _u16p(ctx.state1),
+        _u8p(ctx.rate0), _u8p(ctx.rate1),
+        st.ctypes.data_as(_ct.POINTER(_ct.c_int64)), _u8p(buf))
+    enc.low = int(st[0])
+    enc.range = int(st[1])
+    enc.buffered_byte = int(st[2])
+    enc.num_buffered_bytes = int(st[3])
+    enc.bits_left = int(st[4])
+    if nb:
+        bw = enc.bw
+        data = buf[:nb].tobytes()
+        if bw.is_byte_aligned():
+            bw.append_bytes(data)
+        else:
+            for b in data:
+                bw.write(b, 8)
 
 
 def rdoq(coeff: np.ndarray, qp: int, bit_depth: int, is_luma: bool,

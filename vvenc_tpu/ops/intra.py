@@ -352,30 +352,48 @@ def build_reference_samples(rec: np.ndarray, x: int, y: int, w: int, h: int,
     ph, pw = rec.shape
     x0, y0 = x - 1 - m, y - 1 - m  # corner coordinates
 
-    def avail(px, py):
-        if px < 0 or py < 0 or px >= pw or py >= ph:
-            return False
-        if avail_fn is not None:
-            return bool(avail_fn(px, py))
-        return bool(coded_mask[py // unit, px // unit])
-
     top = np.full(pred_size + 3, dc_val, dtype=np.int32)
     left = np.full(pred_hsize + 3, dc_val, dtype=np.int32)
-    filled_top = np.zeros(pred_size + 1, dtype=bool)
-    filled_left = np.zeros(pred_hsize + 1, dtype=bool)
-    if avail(x0, y0):
-        top[0] = left[0] = rec[y0, x0]
-        filled_top[0] = filled_left[0] = True
-    for j in range(1, pred_size + 1):
-        px, py = x0 + j, y0
-        if avail(px, py):
-            top[j] = rec[py, px]
-            filled_top[j] = True
-    for i in range(1, pred_hsize + 1):
-        px, py = x0, y0 + i
-        if avail(px, py):
-            left[i] = rec[py, px]
-            filled_left[i] = True
+    if avail_fn is not None:
+        # custom availability (ISP inner partitions): scalar path
+        def avail(px, py):
+            if px < 0 or py < 0 or px >= pw or py >= ph:
+                return False
+            return bool(avail_fn(px, py))
+
+        filled_top = np.zeros(pred_size + 1, dtype=bool)
+        filled_left = np.zeros(pred_hsize + 1, dtype=bool)
+        if avail(x0, y0):
+            top[0] = left[0] = rec[y0, x0]
+            filled_top[0] = filled_left[0] = True
+        for j in range(1, pred_size + 1):
+            px, py = x0 + j, y0
+            if avail(px, py):
+                top[j] = rec[py, px]
+                filled_top[j] = True
+        for i in range(1, pred_hsize + 1):
+            px, py = x0, y0 + i
+            if avail(px, py):
+                left[i] = rec[py, px]
+                filled_left[i] = True
+    else:
+        # vectorized coded-mask availability
+        jx = x0 + np.arange(pred_size + 1)
+        if y0 >= 0:
+            jc = np.clip(jx, 0, pw - 1)
+            filled_top = (jx >= 0) & (jx < pw) & \
+                coded_mask[y0 // unit, jc // unit]
+            np.copyto(top[:pred_size + 1], rec[y0, jc], where=filled_top)
+        else:
+            filled_top = np.zeros(pred_size + 1, dtype=bool)
+        iy = y0 + np.arange(pred_hsize + 1)
+        if x0 >= 0:
+            ic = np.clip(iy, 0, ph - 1)
+            filled_left = (iy >= 0) & (iy < ph) & \
+                coded_mask[ic // unit, x0 // unit]
+            np.copyto(left[:pred_hsize + 1], rec[ic, x0], where=filled_left)
+        else:
+            filled_left = np.zeros(pred_hsize + 1, dtype=bool)
     if filled_top.any() or filled_left.any():
         # substitution (8.4.5.2.2): scan from bottom-left upwards then
         # left-to-right along the top, propagating the previous sample
@@ -384,10 +402,12 @@ def build_reference_samples(rec: np.ndarray, x: int, y: int, w: int, h: int,
         seq_vals = np.concatenate([left[1:1 + pred_hsize][::-1],
                                    [left[0]], top[1:1 + pred_size]])
         first = int(np.argmax(seq_filled))
-        seq_vals[:first] = seq_vals[first]
-        for k in range(first + 1, len(seq_vals)):
-            if not seq_filled[k]:
-                seq_vals[k] = seq_vals[k - 1]
+        # forward-fill: each position takes the value of the nearest filled
+        # position at or before it (positions before `first` take `first`)
+        idx = np.maximum.accumulate(
+            np.where(seq_filled, np.arange(len(seq_vals)), -1))
+        idx = np.where(idx < 0, first, idx)
+        seq_vals = seq_vals[idx]
         left[1:1 + pred_hsize] = seq_vals[:pred_hsize][::-1]
         left[0] = seq_vals[pred_hsize]
         top[0] = seq_vals[pred_hsize]

@@ -1,0 +1,258 @@
+"""Frame-level batched intra mode preselection on device (TPU).
+
+The TPU-first inversion of vvenc's per-block HAD pre-pass (IntraSearch::
+xEstimateLumaRdModeList, IntraSearch.cpp): instead of sweeping 67 modes of
+one CU at a time inside the tree recursion, ALL candidate blocks of a
+partition size class are evaluated as ONE dense device program per frame:
+
+  host:   block grid per (w, h) class (4-pel-aligned positions), reference
+          rows/columns gathered from the SOURCE plane (edge-replicated)
+  device: filtered refs, per-mode extended main references, 67 angular/
+          planar/DC predictions incl. PDPC, SATD vs source -> costs [B, 67]
+
+Using source samples as references decouples the preselection from the
+reconstruction order (the encoder's only sequential dependency), which is
+what makes frame-level batching legal: the full-RD stage re-predicts the
+chosen candidates from the true reconstructed references, so the coded
+bitstream stays exact; only the *ranking* is approximate (same trade
+vvenc's save/load mode cache makes, EncModeCtrl.h saveLoadTag).
+
+All static per-(w, h) control flow comes from ops/intra_vec._shape_tables —
+the same tables the bit-exact host path gathers with, so device and host
+agree on the prediction math; the kernel's SATD uses float32 matmuls on the
+MXU (exact: all intermediates < 2^24).
+
+Reference analog: the SIMD kernel surface IntraPredX86.h + RdCostX86.h
+driven by the mode loop — here one XLA program per size class.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import intra as I
+from .intra_vec import _shape_tables
+from .rdcost import _hadamard
+
+NUM_MODES = I.NUM_LUMA_MODE  # 67
+
+
+def _filter_refs_jnp(tops, lefts, w, h):
+    """[1 2 1]/4 reference smoothing on device (I.filter_reference)."""
+    corner = (tops[:, 0] + tops[:, 1] + lefts[:, 0] + lefts[:, 1] + 2) >> 2
+    n = 2 * w  # top pred size (arrays carry +3 padding)
+    ft = tops
+    ft = ft.at[:, 1:n].set((tops[:, :n - 1] + 2 * tops[:, 1:n]
+                            + tops[:, 2:n + 1] + 2) >> 2)
+    ft = ft.at[:, 0].set(corner)
+    ft = ft.at[:, n:].set(tops[:, n:n + 1])
+    m = 2 * h
+    fl = lefts
+    fl = fl.at[:, 1:m].set((lefts[:, :m - 1] + 2 * lefts[:, 1:m]
+                            + lefts[:, 2:m + 1] + 2) >> 2)
+    fl = fl.at[:, 0].set(corner)
+    fl = fl.at[:, m:].set(lefts[:, m:m + 1])
+    return ft, fl
+
+
+@partial(jax.jit, static_argnames=("w", "h", "bit_depth"))
+def presel_costs(src_blocks: jax.Array, tops: jax.Array, lefts: jax.Array,
+                 w: int, h: int, bit_depth: int = 10) -> jax.Array:
+    """SATD cost of all 67 intra modes for a batch of blocks.
+
+    src_blocks: [B, h, w] int32; tops: [B, >=2w+3]; lefts: [B, >=2h+3]
+    returns costs [B, 67] int32 (SATD only; mode-bit terms are added on
+    host where the context-dependent MPM list is known).
+    """
+    t = _shape_tables(w, h, True, 0)
+    B = src_blocks.shape[0]
+    maxval = (1 << bit_depth) - 1
+    LPAD = t.LPAD
+    tops = tops[:, :LPAD]
+    lefts = lefts[:, :LPAD]
+    ftop, fleft = _filter_refs_jnp(tops, lefts, w, h)
+    srcs = jnp.stack([tops, ftop, lefts, fleft], axis=1)     # [B, 4, LPAD]
+    flat = srcs.reshape(B, 4 * LPAD)
+    rm_flat_idx = jnp.asarray(t.rm_src.astype(np.int32) * LPAD + t.rm_idx)
+    rm = flat[:, rm_flat_idx]                                 # [B, 65, LR]
+
+    preds = jnp.zeros((B, NUM_MODES, h, w), dtype=jnp.int32)
+    for group, (tw, th) in ((True, (w, h)), (False, (h, w))):
+        gsel = np.nonzero(t.is_ver == group)[0]
+        if len(gsel) == 0:
+            continue
+        grm = rm[:, gsel]                                     # [B, ng, LR]
+        rs = t.row_start[gsel][:, :th]                        # [ng, th]
+        filt = jnp.asarray(t.filt[gsel][:, :th])              # [ng, th, 4]
+        idx = rs[:, :, None] + np.arange(tw, dtype=np.int32)[None, None, :]
+        acc = None
+        for k in range(4):
+            gk = jnp.take_along_axis(
+                grm, jnp.asarray((idx + k).reshape(1, len(gsel), -1)),
+                axis=2).reshape(B, len(gsel), th, tw)
+            term = filt[None, :, :, None, k] * gk
+            acc = term if acc is None else acc + term
+        pred = (acc + jnp.asarray(t.round[gsel])[None, :, None, None]) >> \
+            jnp.asarray(t.shift[gsel])[None, :, None, None]
+        pred = jnp.clip(pred, 0, maxval)  # identity except cubic (exact)
+        # PDPC
+        pd = t.pdpc_on[gsel]
+        if pd.any():
+            ssrc = srcs[:, t.pdpc_side_src[gsel]]             # [B, ng, LPAD]
+            sidx = t.pdpc_side_idx[gsel][:, :th, :tw]
+            lval = jnp.take_along_axis(
+                ssrc, jnp.asarray(sidx.reshape(1, len(gsel), -1)),
+                axis=2).reshape(B, len(gsel), th, tw)
+            wl = jnp.asarray(t.pdpc_wl[gsel])[None, :, None, :tw]
+            a0 = t.pdpc_ang0[gsel]
+            reg_m = jnp.asarray(pd & ~a0)[None, :, None, None]
+            upd_reg = pred + ((wl * (lval - pred) + 32) >> 6)
+            pred = jnp.where(reg_m, upd_reg, pred)
+            if a0.any():
+                tl = grm[:, :, t.B0][:, :, None, None]
+                upd0 = jnp.clip(pred + ((wl * (lval - tl) + 32) >> 6),
+                                0, maxval)
+                a0_m = jnp.asarray(pd & a0)[None, :, None, None] & (wl != 0)
+                pred = jnp.where(a0_m, upd0, pred)
+        pred = jnp.clip(pred, 0, maxval)
+        if not group:
+            pred = pred.swapaxes(2, 3)
+        preds = preds.at[:, gsel + 2].set(pred)
+
+    # planar (mirrors I._pred_planar + planar/DC PDPC)
+    log2w, log2h = w.bit_length() - 1, h.bit_length() - 1
+    pf = (w * h > 32)  # planar MDIS
+    p_top, p_left = (ftop, fleft) if pf else (tops, lefts)
+    top_row = p_top[:, 1:w + 2]
+    left_col = p_left[:, 1:h + 2]
+    br = left_col[:, h][:, None, None]
+    tr = top_row[:, w][:, None, None]
+    xg = jnp.arange(w, dtype=jnp.int32)[None, None, :]
+    yg = jnp.arange(h, dtype=jnp.int32)[None, :, None]
+    lc = left_col[:, :h, None]
+    tr_row = top_row[:, None, :w]
+    hor = (lc << log2w) + (xg + 1) * (tr - lc)
+    ver = (tr_row << log2h) + (yg + 1) * (br - tr_row)
+    planar = ((hor << log2h) + (ver << log2w) + (1 << (log2w + log2h))) \
+        >> (1 + log2w + log2h)
+    if w >= 4 and h >= 4:
+        planar = _pdpc_planar_dc_jnp(planar, p_top, p_left, w, h)
+    planar = jnp.clip(planar, 0, maxval)
+    preds = preds.at[:, I.PLANAR_IDX].set(planar)
+
+    # DC (non-square: average of the longer side only)
+    denom = (w << 1) if w == h else max(w, h)
+    shift_dc = denom.bit_length() - 1
+    s = jnp.zeros((B,), jnp.int32)
+    if w >= h:
+        s = s + jnp.sum(tops[:, 1:1 + w], axis=1)
+    if w <= h:
+        s = s + jnp.sum(lefts[:, 1:1 + h], axis=1)
+    dc = (s + (denom >> 1)) >> shift_dc
+    dcp = jnp.broadcast_to(dc[:, None, None], (B, h, w))
+    if w >= 4 and h >= 4:
+        dcp = _pdpc_planar_dc_jnp(dcp, tops, lefts, w, h)
+    dcp = jnp.clip(dcp, 0, maxval)
+    preds = preds.at[:, I.DC_IDX].set(dcp)
+
+    # SATD via fp32 Hadamard matmuls (exact: |coeff| <= 64*1023 < 2^24)
+    tile = 8 if (w % 8 == 0 and h % 8 == 0) else 4
+    hm = jnp.asarray(_hadamard(tile), dtype=jnp.float32)
+    d = (src_blocks[:, None, :, :] - preds).astype(jnp.float32)
+    tt = d.reshape(B, NUM_MODES, h // tile, tile, w // tile, tile) \
+          .transpose(0, 1, 2, 4, 3, 5)
+    tt = jnp.einsum("ij,bmxyjk,kl->bmxyil", hm, tt, hm,
+                    preferred_element_type=jnp.float32)
+    s = jnp.sum(jnp.abs(tt), axis=(-2, -1)).astype(jnp.int32)
+    if tile == 8:
+        s = (s + 2) >> 2
+    else:
+        dc_t = jnp.abs(tt[..., 0, 0]).astype(jnp.int32)
+        s = ((s - dc_t + (dc_t >> 2)) + 1) >> 1
+    return jnp.sum(s, axis=(2, 3))                            # [B, 67]
+
+
+def _pdpc_planar_dc_jnp(pred, top, left, w, h):
+    scale = (((w * h).bit_length() - 1) - 2) >> 2
+    y = jnp.arange(h, dtype=jnp.int32)
+    x = jnp.arange(w, dtype=jnp.int32)
+    wt = (32 >> jnp.minimum(31, (y << 1) >> scale))[None, :, None]
+    wl = (32 >> jnp.minimum(31, (x << 1) >> scale))[None, None, :]
+    lc = left[:, 1:h + 1][:, :, None]
+    tp = top[:, 1:w + 1][:, None, :]
+    return pred + ((wl * (lc - pred) + wt * (tp - pred) + 32) >> 6)
+
+
+# ---------------------------------------------------------------------------
+# host orchestration: per-frame cost tables
+# ---------------------------------------------------------------------------
+
+def _class_grid(W, H, w, h):
+    """Candidate block positions of one size class (4-pel aligned; covers
+    every position QT/BT/TT can produce for blocks fully inside)."""
+    ax = max(4, w // 4)
+    ay = max(4, h // 4)
+    xs = np.arange(0, W - w + 1, ax, dtype=np.int32)
+    ys = np.arange(0, H - h + 1, ay, dtype=np.int32)
+    return xs, ys, ax, ay
+
+
+def _gather_refs(sp, pad, xs, ys, w, h):
+    """tops [B, 2w+3] / lefts [B, 2h+3] from the edge-padded source sp."""
+    gx, gy = np.meshgrid(xs, ys)            # [ny, nx]
+    bx = gx.reshape(-1).astype(np.int32)
+    by = gy.reshape(-1).astype(np.int32)
+    jt = np.arange(2 * w + 3, dtype=np.int32)
+    tops = sp[(by + pad - 1)[:, None], (bx + pad - 1)[:, None] + jt[None, :]]
+    jl = np.arange(2 * h + 3, dtype=np.int32)
+    lefts = sp[(by + pad - 1)[:, None] + jl[None, :], (bx + pad - 1)[:, None]]
+    return bx, by, tops, lefts
+
+
+class FramePresel:
+    """Per-frame device-computed intra preselection cost tables.
+
+    lookup(x, y, w, h) -> int32 costs[67] or None (position not in the
+    class grid — caller falls back to the exact host sweep)."""
+
+    def __init__(self, src_y: np.ndarray, bit_depth: int, shapes,
+                 chunk: int = 512, device: bool = True):
+        H, W = src_y.shape
+        self.tables = {}
+        pad = 80
+        sp = np.pad(src_y, pad, mode="edge").astype(np.int32)
+        for (w, h) in shapes:
+            if w > W or h > H:
+                continue
+            xs, ys, ax, ay = _class_grid(W, H, w, h)
+            bx, by, tops, lefts = _gather_refs(sp, pad, xs, ys, w, h)
+            B = len(bx)
+            blocks = np.empty((B, h, w), np.int32)
+            for i in range(B):
+                blocks[i] = src_y[by[i]:by[i] + h, bx[i]:bx[i] + w]
+            costs = np.empty((B, NUM_MODES), np.int32)
+            for c0 in range(0, B, chunk):
+                c1 = min(c0 + chunk, B)
+                out = presel_costs(jnp.asarray(blocks[c0:c1]),
+                                   jnp.asarray(tops[c0:c1]),
+                                   jnp.asarray(lefts[c0:c1]),
+                                   w, h, bit_depth)
+                costs[c0:c1] = np.asarray(out)
+            self.tables[(w, h)] = (xs, ys, ax, ay, len(xs), costs)
+
+    def lookup(self, x, y, w, h):
+        ent = self.tables.get((w, h))
+        if ent is None:
+            return None
+        xs, ys, ax, ay, nx, costs = ent
+        if x % ax or y % ay:
+            return None
+        ix, iy = x // ax, y // ay
+        if ix >= nx or iy >= len(ys):
+            return None
+        return costs[iy * nx + ix]

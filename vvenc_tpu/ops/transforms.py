@@ -110,6 +110,16 @@ def tr_matrix(n: int, tr_type: int) -> np.ndarray:
     return dct2_matrix(n)
 
 
+@lru_cache(maxsize=None)
+def _tr_matrix_i64(n: int, tr_type: int) -> np.ndarray:
+    return tr_matrix(n, tr_type).astype(np.int64)
+
+
+@lru_cache(maxsize=None)
+def _tr_matrix_i64_t(n: int, tr_type: int) -> np.ndarray:
+    return np.ascontiguousarray(tr_matrix(n, tr_type).astype(np.int64).T)
+
+
 def mts_tr_types(mts_idx: int):
     """(trTypeHor, trTypeVer) for explicit MTS (tu_mts_idx 0..4)."""
     return ((DCT2, DCT2), (DST7, DST7), (DCT8, DST7),
@@ -189,7 +199,7 @@ def fwd_transform_np(resi: np.ndarray, bit_depth: int = 10,
     if w == 1 or h == 1:
         n, tr = (h, tr_ver) if w == 1 else (w, tr_hor)
         shift = (n.bit_length() - 1) + bit_depth + 6 - MAX_LOG2_TR_DYN_RANGE
-        t = tr_matrix(n, tr).astype(np.int64)
+        t = _tr_matrix_i64(n, tr)
         vec = resi.reshape(n).astype(np.int64)
         out = (t @ vec + (1 << (shift - 1))) >> shift
         out = np.clip(out, COEFF_MIN, COEFF_MAX).astype(np.int32)
@@ -199,10 +209,10 @@ def fwd_transform_np(resi: np.ndarray, bit_depth: int = 10,
         return out.reshape(resi.shape)
     shift1 = log2w + bit_depth + 6 - MAX_LOG2_TR_DYN_RANGE
     shift2 = log2h + 6
-    tw = tr_matrix(w, tr_hor).astype(np.int64)
-    th = tr_matrix(h, tr_ver).astype(np.int64)
+    twt = _tr_matrix_i64_t(w, tr_hor)
+    th = _tr_matrix_i64(h, tr_ver)
     # horizontal stage: rows of resi against T_w^T
-    tmp = (resi.astype(np.int64) @ tw.T + (1 << (shift1 - 1))) >> shift1
+    tmp = (resi.astype(np.int64) @ twt + (1 << (shift1 - 1))) >> shift1
     tmp = np.clip(tmp, COEFF_MIN, COEFF_MAX)
     out = (th @ tmp + (1 << (shift2 - 1))) >> shift2
     out = np.clip(out, COEFF_MIN, COEFF_MAX).astype(np.int32)
@@ -225,17 +235,17 @@ def inv_transform_np(coeff: np.ndarray, bit_depth: int = 10,
     if w == 1 or h == 1:
         n, tr = (h, tr_ver) if w == 1 else (w, tr_hor)
         shift = 21 - bit_depth
-        t = tr_matrix(n, tr).astype(np.int64)
+        t = _tr_matrix_i64(n, tr)
         vec = coeff.reshape(n).astype(np.int64)
         out = (t.T @ vec + (1 << (shift - 1))) >> shift
         return np.clip(out, COEFF_MIN, COEFF_MAX).astype(
             np.int32).reshape(coeff.shape)
     shift1 = 7
     shift2 = 20 - bit_depth
-    tw = tr_matrix(w, tr_hor).astype(np.int64)
-    th = tr_matrix(h, tr_ver).astype(np.int64)
+    tw = _tr_matrix_i64(w, tr_hor)
+    tht = _tr_matrix_i64_t(h, tr_ver)
     # vertical stage first (columns), then horizontal
-    tmp = (th.T @ coeff.astype(np.int64) + (1 << (shift1 - 1))) >> shift1
+    tmp = (tht @ coeff.astype(np.int64) + (1 << (shift1 - 1))) >> shift1
     tmp = np.clip(tmp, COEFF_MIN, COEFF_MAX)
     out = (tmp @ tw + (1 << (shift2 - 1))) >> shift2
     return np.clip(out, COEFF_MIN, COEFF_MAX).astype(np.int32)
