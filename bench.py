@@ -1,76 +1,92 @@
-"""TPU benchmark: fused intra mode-search + transform/quant throughput.
+"""End-to-end encoder benchmark on the TPU chip (BASELINE config 1).
 
-Round-1 scope: the encoder's hot kernel (67-mode batched intra search with
-SATD costing, forward DCT-2 and quantization) measured on one chip at
-1080p-equivalent block volume.  The e2e encoder currently runs its
-entropy/control path on host Python; as rounds progress the full pipeline
-moves on-device and this bench switches to end-to-end frames/s.
+Encodes real frames through the FULL production pipeline — frame-level
+batched intra preselection on device (ops/intra_presel.py), host RDO/
+entropy with the native C++ kernels — and reports decodable-bitstream
+encode throughput.  This replaces the round-1 kernel-only bench: the
+metric is now the thing the mandate asks for (e2e frames/s), not a
+component throughput.
 
-Baseline: the reference encoder (vvencFFapp --preset medium, 1080p,
-single-thread) measured on this container's CPU encodes 0.845 frames/s
-(16 frames of synthetic 1080p in 18.94 s; see BASELINE.md).
+Config 1 (BASELINE.md): all-intra 416x240 8-bit, 10 frames, QP 37,
+preset faster.
+
+Baseline: the reference encoder (vvencFFapp --preset faster --IntraPeriod=1
+--Threads=1, same clip/config) measured on this container's CPU encodes
+11.6 frames/s (10 frames in 0.861 s).  vs_baseline = ours / reference.
+
+The first encode pass is a warmup (XLA executable load through the axon
+tunnel is erratically slow, 50-350 s/program, and is a per-process one-time
+cost); the reported number is the steady-state rate of the second pass.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
+VVENC_FASTER_AI_416_FPS = 11.6  # measured in this container (CPU, 1 thread)
 
-VVENC_MEDIUM_1080P_ST_FPS = 0.845  # measured in this container (CPU, 1 thread)
+W, H, FRAMES, QP = 416, 240, 10, 37
+
+
+def make_clip(path: str) -> None:
+    rng = np.random.RandomState(7)
+    try:
+        import scipy.ndimage as ndi
+        base = ndi.gaussian_filter(
+            rng.randint(0, 255, (H + 64, W + 64)).astype(np.float32), 3)
+    except ImportError:
+        base = rng.randint(0, 255, (H + 64, W + 64)).astype(np.float32)
+    base = (base - base.min()) / (base.max() - base.min()) * 200 + 20
+    with open(path, "wb") as f:
+        for i in range(FRAMES):
+            y = base[i:i + H, 2 * i:2 * i + W].astype(np.uint8)
+            u = (y[::2, ::2] // 2 + 60).astype(np.uint8)
+            v = (128 - y[::2, ::2] // 3).astype(np.uint8)
+            f.write(y.tobytes())
+            f.write(u.tobytes())
+            f.write(v.tobytes())
+
+
+def encode_once(clip: str, out: str) -> float:
+    from vvenc_tpu.__main__ import main
+    t0 = time.time()
+    main(["-i", clip, "-o", out, "-s", f"{W}x{H}", "-q", str(QP),
+          "-f", str(FRAMES), "--preset", "faster", "--intra-period", "1"])
+    return time.time() - t0
 
 
 def main():
-    import jax
-    from vvenc_tpu.parallel.mesh import search_step
-    from __graft_entry__ import _example_inputs
+    from vvenc_tpu.utils import enable_jax_compile_cache
+    enable_jax_compile_cache()
+    clip = "/tmp/bench_clip.yuv"
+    make_clip(clip)
 
-    w = h = 32
-    blocks_per_1080p_luma = (1920 // w) * (1088 // h)  # 2040
-    batch = 512
+    # warmup pass: compiles + loads every device program for this config
+    encode_once(clip, "/tmp/bench_warm.266")
+    # steady-state pass (measured)
+    dt = encode_once(clip, "/tmp/bench_out.266")
+    fps = FRAMES / dt
 
-    src, rm, tops, lefts = _example_inputs(batch=batch, w=w, h=h, seed=3)
+    # sanity: the produced stream must decode
+    from vvenc_tpu.decoder.decoder import decode_stream
+    frames = decode_stream(open("/tmp/bench_out.266", "rb").read())
+    assert len(frames) == FRAMES, "bench stream failed to decode"
 
-    import jax.numpy as jnp
-    iters = 10  # on-device scan length (amortizes the tunnel dispatch)
-
-    @jax.jit
-    def loop(src, rm, tops, lefts):
-        def body(carry, _):
-            out = search_step(src + carry, rm, tops, lefts, w=w, h=h,
-                              qp=46)
-            # fold the result back so iterations cannot be elided
-            return ((out[0].astype(src.dtype).sum() % 7)
-                    .astype(src.dtype), out[0].sum())
-        return jax.lax.scan(body, jnp.zeros((), src.dtype), None,
-                            length=iters)[1]
-
-    # warmup / compile
-    jax.block_until_ready(loop(src, rm, tops, lefts))
-
-    # the shared chip throttles unpredictably: report the median of
-    # several repetitions
-    times = []
-    for _ in range(7):
-        t0 = time.perf_counter()
-        jax.block_until_ready(loop(src, rm, tops, lefts))
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    dt = times[len(times) // 2]
-
-    blocks_per_s = batch * iters / dt
-    frames_per_s = blocks_per_s / blocks_per_1080p_luma
     print(json.dumps({
-        "metric": ("intra 67-mode search + DCT2 + quant kernel throughput, "
-                   "1080p-luma-equivalent frames/s on one chip "
-                   "(vs vvenc medium 1080p single-thread full encode)"),
-        "value": round(frames_per_s, 3),
+        "metric": ("e2e all-intra 416x240 QP37 preset-faster encode, "
+                   "steady-state frames/s on one chip (BASELINE config 1; "
+                   "vs vvencFFapp same config single-thread CPU)"),
+        "value": round(fps, 4),
         "unit": "frames/s",
-        "vs_baseline": round(frames_per_s / VVENC_MEDIUM_1080P_ST_FPS, 3),
+        "vs_baseline": round(fps / VVENC_FASTER_AI_416_FPS, 4),
     }))
 
 
 if __name__ == "__main__":
+    sys.stderr.write("bench: %s\n" % os.uname().nodename)
     main()

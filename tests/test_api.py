@@ -97,3 +97,30 @@ def test_streaming_matches_batch_ra():
     assert any(e == 0 for e in emitted[1:5])
     dec = decode_stream(bytes(stream))
     assert len(dec) == n
+
+
+def test_streaming_matches_batch_ra_mctf():
+    """Streaming with bounded-window MCTF (+BIM) is byte-identical to the
+    batch CLI path for the same cfg (VERDICT round-1 item 9; the EncStage
+    queue-discipline analog: MCTF lead = +-RANGE input pictures)."""
+    from vvenc_tpu.encoder.mctf import apply_mctf
+    frames = _frames(64, 64, 20, seed=9)
+    cfg = VvencTpuConfig(width=64, height=64, qp=34, ctu_size=32,
+                         gop_size=8, intra_period=0, mctf=2, bim=1)
+    ecfg = EncoderConfig(width=64, height=64, qp=34, ctu_size=32,
+                         gop_size=8, intra_period=0, mctf=True, bim=True)
+    enc = IntraEncoder(ecfg)
+    batch = enc.encode_sequence(list(frames))
+
+    impl = VVEncImpl()
+    assert impl.init(cfg) == VVENC_OK
+    stream = bytearray()
+    for f in frames:
+        au, done, rc = impl.encode(f)
+        assert rc == VVENC_OK
+        stream += au
+    au, done, rc = impl.encode(None)
+    assert rc == VVENC_OK and done
+    stream += au
+    assert bytes(stream) == batch, "streaming+MCTF != batch bitstream"
+    assert len(decode_stream(bytes(stream))) == 20

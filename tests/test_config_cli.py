@@ -18,15 +18,23 @@ def test_presets_apply_and_clamp():
                              gop_size=1)
         init_preset(cfg, preset)
         check_config(cfg)  # clamped config must validate
-        assert cfg.ctu_size <= 64  # current encoder clamp (CTU 128 pending)
+        # every preset deblocks (vvencCfg.cpp never disables the loop
+        # filter) and the partitioning matches SURVEY.md §7.1
+        assert cfg.deblocking == 1
+    cfg = VvencTpuConfig(width=416, height=240, qp=32, intra_period=1,
+                         gop_size=1)
+    init_preset(cfg, Preset.MEDIUM)
+    assert cfg.ctu_size == 128 and cfg.max_mtt_depth_i == 2
+    init_preset(cfg, Preset.FASTER)
+    assert cfg.ctu_size == 64 and cfg.max_mtt_depth_i == 0
 
 
 def test_preset_target_matrix_unclamped():
     cfg = VvencTpuConfig(width=416, height=240)
     init_preset(cfg, Preset.MEDIUM, clamp_to_implemented=False)
     assert cfg.ctu_size == 128 and cfg.alf == 1 and cfg.dep_quant == 1
-    with pytest.raises(NotImplementedError):
-        check_config(cfg)
+    # the full medium tool matrix now validates unclamped
+    check_config(cfg)
 
 
 def test_check_config_rejects_bad():

@@ -174,3 +174,35 @@ def test_rc_encode_two_pass_end_to_end(tmp_path):
     s2 = e2.encode_sequence(frames)
     assert len(s2) < len(s1)                # rate actually dropped
     assert decode_stream(s2)                # still a valid stream
+
+
+def test_two_pass_hits_target_on_scene_change(tmp_path):
+    """Two-pass VBR on a 2-scene clip lands within ~5% of the target
+    (VERDICT round-1 item 7 'done' criterion; the R(QP) model reallocates
+    at the pass-1 complexity spike)."""
+    import subprocess, sys, os
+    import numpy as np
+    w, h, n = 128, 64, 16
+    rng = np.random.RandomState(4)
+    clip = tmp_path / "scenes.yuv"
+    with open(clip, "wb") as f:
+        for i in range(n):
+            if i < n // 2:   # flat, easy scene
+                y = (np.full((h, w), 90) + np.arange(w)[None, :] // 4
+                     + i).astype(np.uint8)
+            else:            # noisy, hard scene
+                y = rng.randint(0, 255, (h, w)).astype(np.uint8)
+            c = (y[::2, ::2] // 2 + 60).astype(np.uint8)
+            f.write(y.tobytes()); f.write(c.tobytes()); f.write(c.tobytes())
+    out = tmp_path / "out.266"
+    target = 400_000  # bps
+    from vvenc_tpu.__main__ import main
+    rc = main(["-i", str(clip), "-o", str(out), "-s", f"{w}x{h}",
+               "-f", str(n), "-r", "15", "--preset", "faster",
+               "--intra-period", "8", "--gop-size", "8",
+               "--bitrate", str(target), "--passes", "2"])
+    assert rc in (0, None)
+    bits = os.path.getsize(out) * 8
+    achieved = bits * 15 / n
+    err = abs(achieved - target) / target
+    assert err < 0.06, f"rate error {err:.1%} ({achieved:.0f} vs {target})"

@@ -19,10 +19,14 @@ from vvenc_tpu.parallel.mesh import (make_mesh, make_mesh2d, shard_batch,
 
 
 def _inputs(batch, w, h, seed=0):
-    import sys
-    sys.path.insert(0, "/root/repo")
-    from __graft_entry__ import _example_inputs
-    return _example_inputs(batch=batch, w=w, h=h, seed=seed)
+    from vvenc_tpu.ops.intra_batch import build_ref_mains
+    rng = np.random.RandomState(seed)
+    src = rng.randint(0, 1024, size=(batch, h, w)).astype(np.int32)
+    tops = rng.randint(0, 1024, size=(batch, 2 * w + 3)).astype(np.int32)
+    lefts = rng.randint(0, 1024, size=(batch, 2 * h + 3)).astype(np.int32)
+    lefts[:, 0] = tops[:, 0]
+    rm = build_ref_mains(tops, lefts, w, h)
+    return src, rm, tops, lefts
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
@@ -74,3 +78,57 @@ def test_sharded_2d_gops_x_tiles():
         expect = np.abs(srcr[:, t, :, :, 0]
                         - srcr[:, prev, :, :, -1]).sum(axis=-1)
         assert np.array_equal(np.asarray(bd_err)[:, t], expect)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_presel_matches_single_device():
+    """The PRODUCTION preselection kernel sharded over the 2-D mesh is
+    bit-identical to the single-device run (incl. a non-divisible batch)."""
+    from vvenc_tpu.parallel.mesh import sharded_presel_costs
+    from vvenc_tpu.ops.intra_presel import presel_costs
+    mesh = make_mesh2d(jax.devices()[:8])
+    rng = np.random.RandomState(3)
+    for (w, h), batch in (((8, 8), 19), ((16, 8), 24)):
+        src = rng.randint(0, 1024, (batch, h, w)).astype(np.int32)
+        tops = rng.randint(0, 1024, (batch, 2 * w + 3)).astype(np.int32)
+        lefts = rng.randint(0, 1024, (batch, 2 * h + 3)).astype(np.int32)
+        costs, total = sharded_presel_costs(mesh, src, tops, lefts,
+                                            w=w, h=h, bit_depth=10)
+        ref = np.asarray(presel_costs(src, tops, lefts, w, h, 10))
+        assert np.array_equal(np.asarray(costs), ref)
+        assert int(total) == int(ref.min(axis=1).sum())
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_bitstream_chip_count_invariant(tmp_path):
+    """Encoding with the frame-level device preselection sharded over an
+    8-device mesh produces a byte-identical bitstream to the 1-device run
+    (the WppBitEqual analog for chips, SURVEY.md §4.5)."""
+    from vvenc_tpu.ops import intra_presel
+    from vvenc_tpu.__main__ import main
+
+    w, h, n = 64, 64, 2
+    rng = np.random.RandomState(9)
+    yuv = tmp_path / "clip.yuv"
+    with open(yuv, "wb") as f:
+        for i in range(n):
+            y = np.clip(rng.randint(0, 255, (h, w)) // 2
+                        + np.arange(w)[None, :] + 3 * i, 0,
+                        255).astype(np.uint8)
+            c = (y[::2, ::2] // 2 + 64).astype(np.uint8)
+            f.write(y.tobytes())
+            f.write(c.tobytes())
+            f.write(c.tobytes())
+    args = ["-i", str(yuv), "-s", f"{w}x{h}", "-q", "35", "-f", str(n),
+            "--preset", "faster", "--intra-period", "1",
+            "--set", "intra_presel=source"]
+    out1, out8 = tmp_path / "one.266", tmp_path / "eight.266"
+    assert intra_presel.MESH is None
+    main(args + ["-o", str(out1)])
+    intra_presel.MESH = make_mesh2d(jax.devices()[:8])
+    try:
+        main(args + ["-o", str(out8)])
+    finally:
+        intra_presel.MESH = None
+    b1, b8 = out1.read_bytes(), out8.read_bytes()
+    assert len(b1) > 0 and b1 == b8

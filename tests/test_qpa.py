@@ -80,3 +80,69 @@ def test_qpa_encode_decode_roundtrip():
     # the stream really carries per-CTU QPs (not all equal to slice QP)
     qpm = frames[0].ps.qp_map
     assert len(np.unique(qpm)) > 1
+
+
+def test_min_noise_levels_clip():
+    """clipQPValToEstimatedMinimStats port: unset levels don't clip; a
+    known noise floor raises low QPs; neighbors fill blanks."""
+    import numpy as np
+    from vvenc_tpu.encoder.qpa import (new_min_noise_levels,
+                                       update_min_noise_levels,
+                                       clip_qp_to_min_stats)
+    lv = new_min_noise_levels()
+    assert clip_qp_to_min_stats(lv, 10, 512, 1.0, 0, 20) == 20  # all unset
+    update_min_noise_levels(lv, 10, 512, 12.0)
+    assert lv[4] == 12
+    q = clip_qp_to_min_stats(lv, 10, 512, 1.0, 0, 5)
+    assert q > 5  # noise floor raises the QP
+    assert clip_qp_to_min_stats(lv, 10, 512, 1.0, 0, 50) == 50  # no lower
+    # neighbor fill: bucket 3 unset but bucket-4 noise bounds it
+    q2 = clip_qp_to_min_stats(lv, 10, 3 << 7, 1.0, 0, 0)
+    assert q2 >= 0
+
+
+def test_qpa_subctu_matches_slice_scale():
+    """Sub-CTU adaptation at CTU granularity tracks the slice-level CTU
+    adaptation (same model evaluated on the same area)."""
+    import numpy as np
+    from vvenc_tpu.encoder.qpa import apply_qpa_slice, apply_qpa_subctu
+    rng = np.random.RandomState(5)
+    w, h = 128, 128
+    y = (rng.randint(0, 1024, (h, w))).astype(np.int32)
+    y[:64] //= 8  # calm top half, noisy bottom
+    orig = {0: y, 1: np.full((h // 2, w // 2), 512, np.int32),
+            2: np.full((h // 2, w // 2), 512, np.int32)}
+    res = apply_qpa_slice(orig, None, None, 32, 100.0, 64, 10, 30, True)
+    subs = [apply_qpa_subctu(orig, None, None, x0, y0, 64, 64, 32, 10, 30,
+                             True)
+            for y0 in (0, 64) for x0 in (0, 64)]
+    # the noisy half must get higher QPs in both models
+    assert subs[2] > subs[0] and subs[3] > subs[1]
+    assert res.ctu_qps[2] > res.ctu_qps[0]
+
+
+def test_bim_offsets_zero_mean_and_importance():
+    """BIM: static (well-predicted) regions get non-positive offsets vs
+    noisy regions; the map is zero-mean (MCTF.cpp:1048-1054)."""
+    import numpy as np
+    from vvenc_tpu.encoder.mctf import apply_mctf
+    from vvenc_tpu.encoder.qpa import new_min_noise_levels
+    rng = np.random.RandomState(2)
+    w, h, n = 128, 64, 9
+    base = rng.randint(0, 255, (h, w)).astype(np.uint8)
+    frames = []
+    for i in range(n):
+        y = base.copy()
+        y[:, :64] = np.roll(base[:, :64], i, axis=1)     # moving, coherent
+        y[:, 64:] = rng.randint(0, 255, (h, 64))          # temporal noise
+        c = np.full((h // 2, w // 2), 128, np.uint8)
+        frames.append((y, c, c))
+    mn = new_min_noise_levels()
+    out, bim = apply_mctf(frames, 8, 32, 8, bim_ctu_size=64, min_noise=mn)
+    assert bim, "no BIM maps produced"
+    for poc, off in bim.items():
+        assert off.shape == (2,)
+        assert abs(int(off.sum())) <= 2  # ~zero mean after normalization
+        # noisy CTU (right) is less important (higher QP) than coherent
+        assert off[1] >= off[0]
+    assert (mn < 255).any(), "min-noise levels never updated"

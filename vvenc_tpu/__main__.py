@@ -14,6 +14,7 @@ from .config import VvencTpuConfig, Preset, init_preset, check_config
 from .encoder import IntraEncoder, EncoderConfig
 from .utils.yuv_io import read_yuv
 from .utils.stats import SequenceStats, psnr
+from .utils.msglog import LOG
 from .decoder import decode_stream
 
 
@@ -73,7 +74,7 @@ def encoder_config_from(cfg, args) -> "EncoderConfig":
         sign_data_hiding=bool(cfg.sign_data_hiding),
         qpa=bool(cfg.perceptual_qpa),
         sao=bool(cfg.sao), alf=bool(cfg.alf), ccalf=bool(cfg.ccalf),
-        mctf=bool(cfg.mctf),
+        mctf=bool(cfg.mctf), bim=bool(cfg.bim),
         lfnst=bool(cfg.lfnst), mts=bool(cfg.mts),
         mts_implicit=bool(cfg.mts_implicit), mip=bool(cfg.mip),
         mrl=bool(cfg.mrl), cclm=bool(cfg.lm_chroma), tmvp=bool(cfg.tmvp),
@@ -96,12 +97,16 @@ def encoder_config_from(cfg, args) -> "EncoderConfig":
         tile_cols=max(1, cfg.num_tile_cols),
         tile_rows=max(1, cfg.num_tile_rows),
         parallel_gops=cfg.num_parallel_gops,
-        bitrate=cfg.target_bitrate, picture_hash=cfg.picture_hash,
+        bitrate=cfg.target_bitrate, max_bitrate=cfg.max_bitrate,
+        picture_hash=cfg.picture_hash,
         hrd_timing_sei=bool(cfg.hrd_timing_sei),
-        fps_num=cfg.fps_num, fps_den=cfg.fps_den)
+        fps_num=cfg.fps_num, fps_den=cfg.fps_den,
+        intra_presel=cfg.intra_presel, search_range=cfg.search_range)
 
 
 def main(argv=None):
+    from .utils import enable_jax_compile_cache
+    enable_jax_compile_cache()
     args = parse_args(argv if argv is not None else sys.argv[1:])
     w, h = (int(t) for t in args.size.lower().split("x"))
 
@@ -156,14 +161,16 @@ def main(argv=None):
         bits = enc.bits_by_poc.get(poc, 0)
         st = enc.slice_type_by_poc.get(poc, 2)
         stats.add_frame(poc, bits, p)
-        print(f"POC {poc:5d} ( {'BPI'[st]}-SLICE, QP "
-              f"{enc.qp_by_poc.get(poc, enc.slice_qp)} ) {bits:8d} bits "
-              f"[Y {p[0]:.4f} dB  U {p[1]:.4f} dB  V {p[2]:.4f} dB]")
+        LOG.info(f"POC {poc:5d} ( {'BPI'[st]}-SLICE, QP "
+                 f"{enc.qp_by_poc.get(poc, enc.slice_qp)} ) {bits:8d} bits "
+                 f"[Y {p[0]:.4f} dB  U {p[1]:.4f} dB  V {p[2]:.4f} dB]")
 
     with open(args.output, "wb") as f:
         f.write(stream)
-    print("summary:", stats.summary(),
-          f"| {len(stats.frames)/elapsed:.3f} fps")
+    LOG.info("summary: %s | %.3f fps", stats.summary(),
+             len(stats.frames) / elapsed)
+    from .utils.profiler import PROF
+    PROF.report()
 
     if args.recon:
         from .utils.yuv_io import write_yuv

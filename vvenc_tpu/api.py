@@ -75,6 +75,7 @@ class VVEncImpl:
             return self._fail(VVENC_ERR_INITIALIZE, str(e))
         self._cfg = cfg
         self._frames = {}          # poc -> planes
+        self._filt = {}            # poc -> MCTF-filtered planes
         self._in_poc = 0
         self._base = 0             # first POC of the next GOP
         self._started = False
@@ -120,45 +121,100 @@ class VVEncImpl:
             self._state = State.FLUSHED
         return out, flush, VVENC_OK
 
+    # -- bounded-window MCTF (EncStage queue discipline) ---------------------
+    def _mctf_on(self) -> bool:
+        cfg = self._enc.cfg
+        return bool(cfg.mctf and cfg.gop_size > 1)
+
+    def _mctf_lead(self, flush: bool) -> int:
+        """Input pictures that must exist beyond a POC before it can be
+        temporally filtered exactly like the batch path (vvenc MCTF stage
+        minQueueSize = leadFrames + 1 + MCTF_RANGE, EncLib.cpp:251)."""
+        from .encoder.mctf import RANGE
+        return 0 if (flush or not self._mctf_on()) else RANGE
+
+    def _get_frame(self, poc: int, flush: bool):
+        """Picture for encoding: MCTF-filtered over the same +-RANGE
+        window the batch path uses (cache per POC; byte-identical)."""
+        if not self._mctf_on():
+            return self._frames[poc]
+        if flush and self._in_poc <= 2:
+            return self._frames[poc]   # batch gate: len(frames) > 2
+        if poc in self._filt:
+            return self._filt[poc]
+        from .encoder.mctf import mctf_strengths, mctf_filter_frame, RANGE
+        cfg = self._enc.cfg
+        mf, ms = mctf_strengths(cfg.gop_size, cfg.qp)
+        sidx = -1
+        for k in range(len(mf)):
+            if poc % mf[k] == 0:
+                sidx = k
+        if sidx < 0:
+            return self._frames[poc]
+        start = max(0, poc - RANGE)
+        end = min(self._in_poc, poc + RANGE + 1)
+        win = [self._frames[j] for j in range(start, end)]
+        if cfg.bim:
+            filt, bim = mctf_filter_frame(
+                win, poc - start, ms[sidx], cfg.qp, cfg.input_bit_depth,
+                bim_ctu_size=cfg.ctu_size, min_noise=self._enc.min_noise)
+            if bim is not None:
+                self._enc._bim_map[poc] = bim
+        else:
+            filt = mctf_filter_frame(win, poc - start, ms[sidx], cfg.qp,
+                                     cfg.input_bit_depth)
+        self._filt[poc] = filt
+        return filt
+
     def _drain(self, flush: bool) -> bytes:
         enc, cfg = self._enc, self._enc.cfg
         out = bytearray()
+        lead = self._mctf_lead(flush)
         if cfg.gop_size <= 1 or cfg.intra_period == 1:
             # all-intra / low-delay IPPP path: code-as-they-come
-            while self._base < self._in_poc:
-                out += enc.encode_frame(self._frames.pop(self._base))
+            while self._base + lead < self._in_poc or \
+                    (flush and self._base < self._in_poc):
+                out += enc.encode_frame(self._get_frame(self._base, flush))
+                self._frames.pop(self._base - lead - 1, None)
                 enc.recs_by_poc[self._base] = dict(enc.last_rec.rec)
                 self._base += 1
             return bytes(out)
         gop = cfg.gop_size
-        if not self._started and self._in_poc > 0:
-            out += enc._encode_picture(0, self._frames[0], SLICE_I, [], [])
+        if not self._started and (self._in_poc > lead
+                                  or (flush and self._in_poc > 0)):
+            out += enc._encode_picture(0, self._get_frame(0, flush),
+                                       SLICE_I, [], [])
             enc.recs_by_poc[0] = dict(enc.last_rec.rec)
             self._started = True
-        while self._started and self._base + gop < self._in_poc:
+        while self._started and self._base + gop + lead < self._in_poc:
             for e in self._entries:
                 poc = self._base + e.poc_in_gop
                 refs_l0 = [self._base + r for r in e.refs_past] \
                     or [self._base]
                 refs_l1 = [self._base + r for r in e.refs_future]
                 st = SLICE_B if refs_l1 else SLICE_P
-                out += enc._encode_picture(poc, self._frames[poc], st,
+                out += enc._encode_picture(poc,
+                                           self._get_frame(poc, flush), st,
                                            refs_l0, refs_l1, e.qp_offset,
                                            tlayer=e.temporal_layer)
                 enc.recs_by_poc[poc] = dict(enc.last_rec.rec)
             for p in range(self._base, self._base + gop):
+                self._filt.pop(p, None)
+            for p in range(self._base - lead, self._base + gop - lead):
                 self._frames.pop(p, None)
             self._base += gop
         if flush and self._started:
-            # tail: IPPP on the remaining pictures (mirror of
+            # remaining full GOPs first (the lead gate is lifted)
+            # then tail: IPPP on the remaining pictures (mirror of
             # encode_sequence's tail handling)
             for poc in range(self._base + 1, self._in_poc):
                 if poc in enc.recs_by_poc:
                     continue
-                out += enc._encode_picture(poc, self._frames[poc],
+                out += enc._encode_picture(poc, self._get_frame(poc, True),
                                            SLICE_P, [poc - 1], [], 1)
                 enc.recs_by_poc[poc] = dict(enc.last_rec.rec)
             self._frames.clear()
+            self._filt.clear()
         return bytes(out)
 
 

@@ -38,6 +38,7 @@ class VvencTpuConfig:
     qp: int = 32
     intra_qp_offset: int = -3
     target_bitrate: int = 0          # 0: fixed QP
+    max_bitrate: int = 0             # VBR rate cap (vvenc m_RCMaxBitrate)
     rc_passes: int = 1
     perceptual_qpa: int = 0
     # -- structure ---------------------------------------------------------
@@ -100,36 +101,47 @@ class VvencTpuConfig:
     threads: int = 0
     wpp: int = 0                     # entropy_coding_sync + entry points
     # -- misc --------------------------------------------------------------
+    search_range: int = 64           # ME search range (vvenc m_SearchRange)
     num_full_rd_modes: int = 3
+    # intra preselection engine: "exact" = per-CU 67-mode sweep on the true
+    # reconstructed references (bit-exact legacy path); "source" = frame-
+    # level batched device kernel on source-sample references
+    # (ops/intra_presel.py); "auto" = "source" on an accelerator backend,
+    # "exact" on CPU (keeps the CPU test suite fast)
+    intra_presel: str = "auto"
 
 
 # tool values per preset, mirroring SURVEY.md §7.1 (subset of knobs that
 # exist in this framework today; remaining knobs join as tools land)
 _PRESET_MATRIX = {
-    Preset.FIRSTPASS: dict(ctu_size=32, max_mtt_depth_i=0, mctf=2, bim=1,
-                           sao=1, lm_chroma=1, mts_implicit=1,
+    Preset.FIRSTPASS: dict(ctu_size=64, max_mtt_depth_i=0, mctf=2, bim=1,
+                           sao=1, deblocking=1, lm_chroma=1, mts_implicit=1,
                            num_full_rd_modes=1),
-    Preset.FASTER: dict(ctu_size=32, max_mtt_depth_i=0, mctf=2, bim=1,
-                        sao=1, lm_chroma=1, mts_implicit=1,
+    Preset.FASTER: dict(ctu_size=64, max_mtt_depth_i=0, mctf=2, bim=1,
+                        sao=1, deblocking=1, lm_chroma=1, mts_implicit=1,
                         alf=1, ccalf=1, dmvr=1, num_full_rd_modes=2),
-    Preset.FAST: dict(sao=1, ctu_size=32, max_mtt_depth_i=1, mctf=2, bim=1,
+    Preset.FAST: dict(sao=1, deblocking=1, ctu_size=64, max_mtt_depth_i=1,
+                      mctf=2, bim=1,
                       alf=1, ccalf=1, dmvr=1, bdof=1, dep_quant=1, lfnst=1,
                       affine=5, amvr=5, mmvd=3, mrl=1, prof=1, sbtmvp=1,
                       joint_cbcr=1, lm_chroma=1, mts_implicit=1,
                       num_full_rd_modes=3),
-    Preset.MEDIUM: dict(sao=1, ctu_size=128, max_mtt_depth=1, max_mtt_depth_i=2,
+    Preset.MEDIUM: dict(sao=1, deblocking=1, ctu_size=128, max_mtt_depth=1,
+                        max_mtt_depth_i=2,
                         mctf=2, bim=1, alf=1, ccalf=1, dmvr=1, bdof=1,
                         dep_quant=1, lfnst=1, affine=4, amvr=5, mmvd=3,
                         mrl=1, prof=1, sbtmvp=1, joint_cbcr=1, lm_chroma=1,
                         mts_implicit=1, mip=1, isp=3, smvd=3, geo=4,
                         num_full_rd_modes=3),
-    Preset.SLOW: dict(sao=1, ctu_size=128, max_mtt_depth=2, max_mtt_depth_i=3,
+    Preset.SLOW: dict(sao=1, deblocking=1, ctu_size=128, max_mtt_depth=2,
+                      max_mtt_depth_i=3,
                       mctf=2, alf=1, ccalf=1, dmvr=1, bdof=1, dep_quant=1,
                       lfnst=1, affine=3, amvr=1, mmvd=1, mrl=1, prof=1,
                       sbtmvp=1, joint_cbcr=1, lm_chroma=1, mts_implicit=1,
                       mip=1, isp=3, smvd=3, geo=2, ciip=1, sbt=1, bcw=2,
                       num_full_rd_modes=4),
-    Preset.SLOWER: dict(sao=1, ctu_size=128, max_mtt_depth=3, max_mtt_depth_i=3,
+    Preset.SLOWER: dict(sao=1, deblocking=1, ctu_size=128, max_mtt_depth=3,
+                        max_mtt_depth_i=3,
                         mctf=2, alf=1, ccalf=1, dmvr=1, bdof=1, dep_quant=1,
                         lfnst=1, affine=1, amvr=1, mmvd=1, mrl=1, prof=1,
                         sbtmvp=1, joint_cbcr=1, lm_chroma=1, mts=1, mip=1,
@@ -139,7 +151,8 @@ _PRESET_MATRIX = {
                           mctf=1, alf=1, ccalf=1, dmvr=1, bdof=1, dep_quant=1,
                           lfnst=1, affine=1, amvr=1, mmvd=1, mrl=1, prof=1,
                           sbtmvp=1, joint_cbcr=1, mts=1, mip=1, isp=1, smvd=1,
-                          geo=1, ciip=1, sbt=1, bcw=1, sao=1, transform_skip=1,
+                          geo=1, ciip=1, sbt=1, bcw=1, sao=1, deblocking=1,
+                          transform_skip=1,
                           bdpcm=1, ibc=1, num_full_rd_modes=3),
 }
 
@@ -147,7 +160,7 @@ _PRESET_MATRIX = {
 # (the subset decoder additionally decodes: ISP, SBT, GEO, CIIP, affine,
 # PROF, SbTMVP, BDOF, DMVR, AMVR, MMVD, SMVD, BCW, JCCR, TS, BDPCM, IBC,
 # SDH, CC-ALF — encoder-side search for those lands tool by tool)
-_IMPLEMENTED = {"mctf": 2, "bim": 0, "alf": 1, "ccalf": 1, "sao": 1,
+_IMPLEMENTED = {"mctf": 2, "bim": 1, "alf": 1, "ccalf": 1, "sao": 1,
                 "deblocking": 1, "dep_quant": 1, "sign_data_hiding": 1,
                 "lfnst": 1, "mts": 1, "mts_implicit": 1, "mip": 1, "isp": 3,
                 "mrl": 1, "lm_chroma": 1, "joint_cbcr": 1, "affine": 5,
@@ -180,11 +193,6 @@ def init_preset(cfg: VvencTpuConfig, preset: Preset,
         for k, max_v in _IMPLEMENTED.items():
             if getattr(cfg, k) > max_v:
                 setattr(cfg, k, max_v)
-        # encoder supports CTU 128 (dual-tree intra units + implicit
-        # max-TB TU tiling); presets clamp to 64 for host-search speed
-        cfg.ctu_size = min(cfg.ctu_size, 64)
-        cfg.max_mtt_depth = min(cfg.max_mtt_depth, 2)
-        cfg.max_mtt_depth_i = min(cfg.max_mtt_depth_i, 2)
     return cfg
 
 
@@ -201,9 +209,6 @@ def check_config(cfg: VvencTpuConfig) -> None:
         raise ValueError("CTU size must be 32, 64 or 128")
     if cfg.internal_bit_depth != 10:
         raise NotImplementedError("internal bit depth other than 10")
-    if cfg.ctu_size > 64:
-        raise NotImplementedError(
-            "CTU 128 needs TU tiling (max TB is 64); use 64")
     if cfg.gop_size > 1 and (cfg.gop_size & (cfg.gop_size - 1)):
         raise ValueError("GOP size must be a power of two")
     if cfg.target_bitrate < 0:

@@ -41,6 +41,7 @@ from ..codec.picture import PictureState
 from ..codec.qp import QpState
 from ..ops import intra as I
 from ..ops import intra_vec as IV
+from ..utils.profiler import PROF
 from ..ops import transforms as T
 from ..ops import rdcost as R
 
@@ -65,7 +66,9 @@ class EncoderConfig:
     deblocking: bool = False       # in-loop deblocking filter
     intra_period: int = 1          # 1 = all-intra; N>1 = IDR every N, P between
     gop_size: int = 1              # >1: hierarchical-B random access GOPs
-    search_range: int = 8          # integer ME range around the predictor
+    search_range: int = 64         # integer ME range around the predictors
+                                   # (hierarchical: 1/4-res coarse grid over
+                                   # the full range + full-res refine)
     tmvp: bool = True              # temporal MVP (collocated-picture MVs)
     bdof: bool = False             # bi-directional optical flow
     dmvr: bool = False             # decoder-side MV refinement
@@ -106,6 +109,8 @@ class EncoderConfig:
     alf: bool = False              # adaptive loop filter (encoder-derived)
     ccalf: bool = False            # cross-component ALF (needs alf)
     mctf: bool = False             # motion-compensated temporal filtering
+    bim: bool = False              # block importance mapping (MCTF-based
+                                   # per-CTU QP offsets + noise tracking)
     wpp: bool = False              # WPP: per-CTU-row substreams + entry
                                    # points (entropy_coding_sync)
     tile_cols: int = 1             # tile columns (spatial sharding axis)
@@ -122,10 +127,19 @@ class EncoderConfig:
     hrd_timing_sei: bool = False   # buffering-period + pic-timing SEIs
     film_grain: bool = False       # film grain analysis -> FGC SEI
     bitrate: int = 0               # target bps (0 = fixed QP)
+    max_bitrate: int = 0           # rate cap in bps (0 = uncapped)
     lookahead: bool = True         # RC lookahead pre-analysis (vvenc
                                    # m_LookAhead; single-pass ABR only)
     rc_stats_in: str = ""          # two-pass: pass-1 stats file to read
     rc_stats_out: str = ""         # pass-1: stats file to write
+                                   # ("collect:" = in-memory, parent merges)
+    rc_stats_data: Optional[list] = None  # two-pass: stats records passed
+                                   # directly (segment workers)
+    intra_presel: str = "auto"     # "exact": per-CU 67-mode sweep on true
+                                   # refs; "source": frame-level batched
+                                   # device preselection (source refs);
+                                   # "auto": source on accelerator, exact
+                                   # on CPU
 
 
 def build_parameter_sets(cfg: EncoderConfig):
@@ -228,7 +242,7 @@ def build_parameter_sets(cfg: EncoderConfig):
     if cfg.geo:
         sps.geo = 1
         sps.max_num_geo_cand = 3
-    if cfg.qpa:
+    if cfg.qpa or cfg.bim:
         pps.cu_qp_delta_enabled = 1
         pps.slice_chroma_qp_flag = 1
     return sps, pps
@@ -319,12 +333,18 @@ class IntraEncoder:
         # test/debug hook: restrict the inter mode competition (forces a
         # specific tool's coded path; None = full competition)
         self.trial_filter = None
+        # sequence-shared minimum noise levels (PicShared m_minNoiseLevels)
+        from .qpa import new_min_noise_levels
+        self.min_noise = new_min_noise_levels()
+        self._bim_map = {}
         if cfg.bitrate > 0 or cfg.rc_stats_out:
             from .ratectrl import RateCtrl
-            stats = RateCtrl.read_stats(cfg.rc_stats_in) \
-                if cfg.rc_stats_in else None
+            stats = cfg.rc_stats_data if cfg.rc_stats_data is not None \
+                else (RateCtrl.read_stats(cfg.rc_stats_in)
+                      if cfg.rc_stats_in else None)
             self.rc = RateCtrl(cfg.bitrate, cfg.fps_num / cfg.fps_den,
-                               cfg.qp, cfg.gop_size, stats)
+                               cfg.qp, cfg.gop_size, stats,
+                               max_bps=cfg.max_bitrate)
         self.lmcs = None
         if cfg.lmcs:
             from .lmcs_enc import LmcsEncoder
@@ -405,8 +425,15 @@ class IntraEncoder:
                     [(SEI_FILM_GRAIN, sei.payload())], prefix=True)
         if cfg.mctf and len(frames) > 2 and cfg.gop_size > 1:
             from .mctf import apply_mctf
-            frames = apply_mctf(frames, cfg.gop_size, cfg.qp,
-                                cfg.input_bit_depth)
+            with PROF.section("stage.mctf"):
+                if cfg.bim:
+                    frames, self._bim_map = apply_mctf(
+                        frames, cfg.gop_size, cfg.qp, cfg.input_bit_depth,
+                        bim_ctu_size=cfg.ctu_size,
+                        min_noise=self.min_noise)
+                else:
+                    frames = apply_mctf(frames, cfg.gop_size, cfg.qp,
+                                        cfg.input_bit_depth)
         # RC lookahead (vvenc m_LookAhead): complexity pre-analysis feeds
         # the single-pass controller's per-picture allocation
         la_on = (cfg.lookahead and self.rc is not None and cfg.bitrate > 0
@@ -422,7 +449,8 @@ class IntraEncoder:
             for f in frames:
                 stream += self.encode_frame(f)
                 self.recs_by_poc[self.frames_done - 1] = dict(self.last_rec.rec)
-            if self.rc is not None and self.cfg.rc_stats_out:
+            if self.rc is not None and self.cfg.rc_stats_out \
+                    and self.cfg.rc_stats_out != "collect:":
                 self.rc.write_stats(self.cfg.rc_stats_out)
             return bytes(stream)
         # random-access hierarchical GOPs
@@ -478,7 +506,8 @@ class IntraEncoder:
                                       [poc - 1], [], 1)
             stream += au
             self.recs_by_poc[poc] = dict(self.last_rec.rec)
-        if self.rc is not None and self.cfg.rc_stats_out:
+        if self.rc is not None and self.cfg.rc_stats_out \
+                and self.cfg.rc_stats_out != "collect:":
             self.rc.write_stats(self.cfg.rc_stats_out)
         return bytes(stream)
 
@@ -608,12 +637,32 @@ class IntraEncoder:
         from concurrent.futures import ProcessPoolExecutor
         cfg = self.cfg
         ip = cfg.intra_period
-        seg_cfg = copy.copy(cfg)
-        seg_cfg.intra_period = 0      # one IDR per segment
-        seg_cfg.parallel_gops = 0
         segs = [frames[s:s + ip] for s in range(0, len(frames), ip)]
-        jobs = [(seg_cfg, i, segs[i], getattr(self, "_fgc_sei", None))
-                for i in range(len(segs))]
+        jobs = []
+        for i in range(len(segs)):
+            seg_cfg = copy.copy(cfg)
+            seg_cfg.intra_period = 0      # one IDR per segment
+            seg_cfg.parallel_gops = 0
+            if cfg.rc_stats_out:
+                # pass 1: segments collect in-memory; the parent merges to
+                # global POCs and writes the stats file once
+                seg_cfg.rc_stats_out = "collect:"
+            if self.rc is not None and self.rc.stats is not None:
+                # pass 2: hand each segment its global-stats slice
+                # (re-indexed to local POC) and its proportional share of
+                # the sequence budget (per-GOP budgeting from pass-1 data)
+                s0 = i * ip
+                sl = [dict(s, poc=s["poc"] - s0) for s in self.rc.stats
+                      if s0 <= s["poc"] < s0 + ip]
+                seg_cfg.rc_stats_data = sl
+                seg_cfg.rc_stats_in = ""
+                pred_total = sum(max(1, s["bits"]) for s in self.rc.stats)
+                pred_seg = sum(max(1, s["bits"]) for s in sl)
+                share = pred_seg / max(1, pred_total)
+                seg_cfg.bitrate = int(round(
+                    cfg.bitrate * share * len(frames) / max(1, len(segs[i]))))
+            jobs.append((seg_cfg, i, segs[i],
+                         getattr(self, "_fgc_sei", None)))
         workers = max(1, cfg.parallel_gops)
         stream = bytearray()
         if workers == 1:
@@ -622,17 +671,23 @@ class IntraEncoder:
             ex = ProcessPoolExecutor(max_workers=workers)
             results = ex.map(_encode_gop_segment_job, jobs)
         base = 0
-        for si, (au, recs, bits, qps, stypes) in enumerate(results):
+        merged_stats = []
+        for si, (au, recs, bits, qps, stypes, stats) in enumerate(results):
             stream += au
             for lpoc, rec in recs.items():
                 self.recs_by_poc[base + lpoc] = rec
                 self.bits_by_poc[base + lpoc] = bits[lpoc]
                 self.qp_by_poc[base + lpoc] = qps[lpoc]
                 self.slice_type_by_poc[base + lpoc] = stypes[lpoc]
+            for s in stats:
+                merged_stats.append(dict(s, poc=base + s["poc"]))
             base += len(segs[si])
             self.frames_done = base
         if workers > 1:
             ex.shutdown()
+        if cfg.rc_stats_out and self.rc is not None:
+            self.rc.collected = merged_stats
+            self.rc.write_stats(cfg.rc_stats_out)
         last = PictureState(cfg.width, cfg.height, cfg.bit_depth)
         for c in range(3):
             last.rec[c][:] = self.recs_by_poc[len(frames) - 1][c]
@@ -702,7 +757,22 @@ class IntraEncoder:
                 self._orig_by_poc.get(poc - 2), slice_qp, lmbda,
                 cfg.ctu_size, cfg.bit_depth,
                 (cfg.fps_num + cfg.fps_den - 1) // cfg.fps_den, is_idr,
-                chroma_table=lambda q: ctab[max(0, min(63, q))])
+                chroma_table=lambda q: ctab[max(0, min(63, q))],
+                min_noise=self.min_noise, tl=tlayer,
+                intra_qp_offset=cfg.intra_qp_offset,
+                bim_offsets=getattr(self, "_bim_map", {}).get(poc))
+        elif cfg.bim and getattr(self, "_bim_map", {}).get(poc) is not None \
+                and np.any(self._bim_map[poc]):
+            # BIM without QPA: per-CTU QP = slice QP + importance offset
+            from .qpa import QpaResult, MAX_QP
+            bim = self._bim_map[poc]
+            qpa_res = QpaResult()
+            qpa_res.ctu_qps = np.clip(slice_qp + bim, 0, MAX_QP) \
+                .astype(np.int32)
+            qpa_res.ctu_lambdas = lmbda * np.exp2(
+                (qpa_res.ctu_qps - slice_qp) / 3.0)
+            qpa_res.avg_qp = int(round(qpa_res.ctu_qps.mean()))
+            qpa_res.chroma_qp_offsets = (0, 0)
 
         sh = SliceHeader()
         sh.slice_qp = slice_qp
@@ -914,10 +984,12 @@ class IntraEncoder:
                     float(qpa_res.ctu_lambdas[addr])
                 searcher.lmbda_sad = self.lmbda_sad = \
                     searcher.lmbda ** 0.5
-            tree = searcher.search_ctu(cx * ctu, cy * ctu, sw.enc.ctx)
+            with PROF.section("slice.ctu_search"):
+                tree = searcher.search_ctu(cx * ctu, cy * ctu, sw.enc.ctx)
             if qpa_res is not None:
                 _set_tree_qp(tree, ctu_qp)
-            coder.encode_ctu(sw.enc, ps, tree)
+            with PROF.section("slice.ctu_encode"):
+                coder.encode_ctu(sw.enc, ps, tree)
             if tiles_enc is None and cx == 0:
                 sw.after_first_ctu()
             trees[cy * n_cols + cx] = tree
@@ -984,8 +1056,9 @@ class IntraEncoder:
                     for cy_ in range(ty0, ty1):
                         for cx_ in range(tx0, tx1):
                             tile_of[cy_ * n_cols + cx_] = ti_
-            res = derive_sao(src, ps.rec, cfg.bit_depth, cfg.ctu_size,
-                             lmbda, n_cols, n_rows, tile_of=tile_of)
+            with PROF.section("stage.sao"):
+                res = derive_sao(src, ps.rec, cfg.bit_depth, cfg.ctu_size,
+                                 lmbda, n_cols, n_rows, tile_of=tile_of)
             if res is not None:
                 sao_map, (sh.sao_luma, sh.sao_chroma) = res
                 apply_sao_picture(ps.rec, sao_map, cfg.ctu_size,
@@ -996,7 +1069,8 @@ class IntraEncoder:
         if cfg.alf:
             from .alf_enc import derive_alf, derive_ccalf
             from ..codec.alf import write_alf_aps, apply_alf_picture
-            res = derive_alf(src, ps.rec, cfg.bit_depth, cfg.ctu_size,
+            with PROF.section("stage.alf"):
+              res = derive_alf(src, ps.rec, cfg.bit_depth, cfg.ctu_size,
                              lmbda)
             if res is not None:
                 alf_p, enabled, alf_flags, alf_fidx, alf_alt, filt = res
@@ -1190,6 +1264,26 @@ class _CtuSearcher:
         self.ifp_bottom = None
         # EncModeCtrl save/load: winning intra modes per revisited area
         self.mode_cache = {}
+
+    def _use_presel(self) -> bool:
+        """Resolve the intra_presel mode ("auto" -> backend-dependent)."""
+        mode = self.cfg.intra_presel
+        if mode == "auto":
+            import jax
+            mode = "source" if jax.default_backend() != "cpu" else "exact"
+            self.cfg.intra_presel = mode
+        return mode == "source"
+
+    def _get_presel(self):
+        """Per-picture frame-level device preselection tables (lazy)."""
+        if getattr(self, "_presel_tab", None) is None:
+            from ..ops.intra_presel import FramePresel, shapes_for_config
+            with PROF.section("device.frame_presel"):
+                self._presel_tab = FramePresel(
+                    self.src[0], self.cfg.bit_depth,
+                    shapes_for_config(self.cfg.ctu_size,
+                                      self.cfg.max_mtt_depth))
+        return self._presel_tab
 
     def _chroma_scale(self, x: int, y: int, tw: int, th: int):
         """LMCS chroma residual scale for a TU at luma pos (x, y), or None
@@ -1406,16 +1500,25 @@ class _CtuSearcher:
                                    ref_line))
         else:
             # SATD preselection over all modes (entry: cost, mode, pred,
-            # mip_flag, mip_transposed) — one vectorized sweep per family
-            # (ops/intra_vec.py), bit-identical to the per-mode scalar loop
+            # mip_flag, mip_transposed) — either the frame-level device
+            # table (source refs, ops/intra_presel.py) or one vectorized
+            # host sweep (ops/intra_vec.py, bit-identical to the per-mode
+            # scalar loop); predictions of device-ranked candidates are
+            # materialized from the true references after ranking
             cand = []
-            preds67 = IV.predict_intra_modes(
-                top, left, range(I.NUM_LUMA_MODE), w, h, bit_depth)
-            satds67 = IV.satd_modes(src_y, preds67)
+            satds67 = preds67 = None
+            if self._use_presel():
+                satds67 = self._get_presel().lookup(x, y, w, h)
+            if satds67 is None:
+                preds67 = IV.predict_intra_modes(
+                    top, left, range(I.NUM_LUMA_MODE), w, h, bit_depth)
+                satds67 = IV.satd_modes(src_y, preds67)
             for mode in range(I.NUM_LUMA_MODE):
                 mode_bits = (1.5 + mpm.index(mode) if mode in mpm else 7.0)
                 cand.append((int(satds67[mode]) + self.lmbda_sad * mode_bits,
-                             mode, preds67[mode], False, False, 0))
+                             mode,
+                             preds67[mode] if preds67 is not None else None,
+                             False, False, 0))
             if self.enc.sps.mip:
                 from ..ops import mip as MIPO
                 n_mip = MIPO.num_mip_modes(w, h)
@@ -1453,6 +1556,16 @@ class _CtuSearcher:
                 full_modes.append(next(t for t in cand
                                        if t[1] == I.PLANAR_IDX and not t[3]
                                        and not t[5]))
+            # device-ranked entries carry no prediction: materialize the
+            # chosen few from the true reconstructed references
+            miss = [i for i, t in enumerate(full_modes) if t[2] is None]
+            if miss:
+                mp = IV.predict_intra_modes(
+                    top, left, [full_modes[i][1] for i in miss], w, h,
+                    bit_depth)
+                for j, i in enumerate(miss):
+                    c_, m_, _, mf_, mt_, rl_ = full_modes[i]
+                    full_modes[i] = (c_, m_, mp[j], mf_, mt_, rl_)
 
         qy = self.qp.luma_qp()
         est_snap = self.est.snapshot()
@@ -2768,10 +2881,44 @@ class _CtuSearcher:
             out.append(c if _np.any(c) else None)
         return out
 
+    def _valid_pos(self, sx, sy, w, h, pw, ph, max_bottom):
+        from .ifp import MC_MARGIN
+        if sx < -w or sy < -h or sx > pw or sy > ph:
+            return False
+        if max_bottom is not None and sy + h + MC_MARGIN > max_bottom:
+            return False
+        return True
+
+    def _sse_grid(self, src_y, ref_y, cx0, cy0, w, h, rx, ry):
+        """SSE of src at every integer displacement in the window
+        [cx0-rx, cx0+rx] x [cy0-ry, cy0+ry], vectorized (sliding windows).
+        Returns costs [2ry+1, 2rx+1] int64 (edge-clamped ref reads)."""
+        import numpy as _np
+        ph, pw = ref_y.shape
+        xs = _np.clip(_np.arange(cx0 - rx, cx0 + rx + w), 0, pw - 1)
+        ys = _np.clip(_np.arange(cy0 - ry, cy0 + ry + h), 0, ph - 1)
+        win = ref_y[_np.ix_(ys, xs)].astype(_np.int64)
+        sw = _np.lib.stride_tricks.sliding_window_view(win, (h, w))
+        # SSE = sum(src^2) + box(win^2) - 2*corr; corr via tensordot over
+        # the window dims (exact integer arithmetic)
+        s = src_y.astype(_np.int64)
+        corr = _np.tensordot(sw, s, axes=([2, 3], [0, 1]))
+        # integral-image box sums of win^2
+        ii = _np.pad(win * win, ((1, 0), (1, 0))).cumsum(0).cumsum(1)
+        b2 = (ii[h:, w:] - ii[:-h, w:] - ii[h:, :-w] + ii[:-h, :-w])
+        return (s * s).sum() + b2 - 2 * corr
+
     def _motion_search(self, src_y, x, y, w, h, amvp, ref_y,
                        max_bottom=None):
-        """Integer full search around the first predictor + half/quarter
-        refinement; chooses the mvp index minimizing mvd bits.
+        """Hierarchical integer ME (TZ-search coverage analog,
+        vvenc InterSearch::xTZSearch semantics: predictor-centered,
+        SearchRange-wide) + half/quarter refinement; chooses the mvp
+        index minimizing mvd bits.
+
+        Integer stage: dense SSE grid at 1/4 resolution over the full
+        search range around each start candidate (both AMVP predictors +
+        zero MV), then a dense full-resolution +-4 refine around the
+        best coarse position and around each start candidate.
 
         max_bottom: IFP window — candidates whose motion-compensated
         read would touch that picture row or below are excluded (the
@@ -2781,30 +2928,68 @@ class _CtuSearcher:
         from .ifp import MC_MARGIN
         R_ = self.cfg.search_range
         ph, pw = ref_y.shape
-        # clamp the search center into the valid window so at least one
-        # candidate survives the bounds check (a far-out-of-picture
-        # predictor must not empty the search)
-        cx0 = min(max(x + (amvp[0][0] >> 4), -w), pw)
-        cy0 = min(max(y + (amvp[0][1] >> 4), -h), ph)
-        if max_bottom is not None:
-            cy0 = min(cy0, max_bottom - h - MC_MARGIN)
+
+        def clamp_center(px, py):
+            cx = min(max(px, -w), pw)
+            cy = min(max(py, -h), ph)
+            if max_bottom is not None:
+                cy = min(cy, max_bottom - h - MC_MARGIN)
+            return cx, cy
+
+        centers = []
+        for p in (amvp[0], amvp[1], (0, 0)):
+            c = clamp_center(x + (p[0] >> 4), y + (p[1] >> 4))
+            if c not in centers:
+                centers.append(c)
+
+        fine = []                      # full-res refine centers
+        if R_ > 8 and w >= 8 and h >= 8 and (w % 4 == 0 and h % 4 == 0):
+            # coarse stage at 1/4 resolution over the whole range
+            ds_key = ("me_ds4", id(ref_y))
+            cache = getattr(self, "_me_cache", None)
+            if cache is None:
+                cache = self._me_cache = {}
+            ref_ds = cache.get(ds_key)
+            if ref_ds is None:
+                hh, ww = (ph // 4) * 4, (pw // 4) * 4
+                ref_ds = ref_y[:hh, :ww].reshape(hh // 4, 4, ww // 4, 4) \
+                    .astype(_np.int64).mean(axis=(1, 3)).astype(_np.int32)
+                cache[ds_key] = ref_ds
+            sh, sw_ = h // 4, w // 4
+            src_ds = src_y[:sh * 4, :sw_ * 4] \
+                .reshape(sh, 4, sw_, 4).astype(_np.int64) \
+                .mean(axis=(1, 3)).astype(_np.int32)
+            rq = max(1, R_ // 4)
+            for (cx0, cy0) in centers:
+                costs = self._sse_grid(src_ds, ref_ds, cx0 // 4, cy0 // 4,
+                                       sw_, sh, rq, rq)
+                dy_, dx_ = _np.unravel_index(int(costs.argmin()),
+                                             costs.shape)
+                fx = (cx0 // 4 - rq + int(dx_)) * 4
+                fy = (cy0 // 4 - rq + int(dy_)) * 4
+                fine.append(clamp_center(fx, fy))
+        fine += centers
+
         best = None
-        for dy in range(-R_, R_ + 1):
-            for dx in range(-R_, R_ + 1):
-                sx, sy = cx0 + dx, cy0 + dy
-                if sx < -w or sy < -h or sx > pw or sy > ph:
-                    continue
-                if max_bottom is not None \
-                        and sy + h + MC_MARGIN > max_bottom:
-                    continue
-                xs = _np.clip(_np.arange(sx, sx + w), 0, pw - 1)
-                ys = _np.clip(_np.arange(sy, sy + h), 0, ph - 1)
-                blk = ref_y[_np.ix_(ys, xs)]
-                c = R.sse_np(src_y, blk)
-                if best is None or c < best[0]:
-                    best = (c, ((sx - x) << 4, (sy - y) << 4))
+        rr = 4 if R_ > 8 else R_
+        seen = set()
+        for (cx0, cy0) in fine:
+            if (cx0, cy0) in seen:
+                continue
+            seen.add((cx0, cy0))
+            costs = self._sse_grid(src_y, ref_y, cx0, cy0, w, h, rr, rr)
+            for dy in range(-rr, rr + 1):
+                for dx in range(-rr, rr + 1):
+                    sx, sy = cx0 + dx, cy0 + dy
+                    if not self._valid_pos(sx, sy, w, h, pw, ph,
+                                           max_bottom):
+                        continue
+                    c = int(costs[dy + rr, dx + rr])
+                    if best is None or c < best[0]:
+                        best = (c, ((sx - x) << 4, (sy - y) << 4))
         if best is None:
-            best = (0.0, ((cx0 - x) << 4, (cy0 - y) << 4))
+            best = (0.0, ((centers[0][0] - x) << 4,
+                          (centers[0][1] - y) << 4))
         mv = best[1]
         # half then quarter refinement (steps of 8 and 4 in 1/16 units)
         for step in (8, 4):
@@ -2861,8 +3046,9 @@ def _encode_gop_segment_job(args):
     if seg_idx > 0:
         enc._headers = b""
     au = enc.encode_sequence(list(frames_seg))
+    stats = enc.rc.collected if enc.rc is not None else []
     return (au, enc.recs_by_poc, enc.bits_by_poc, enc.qp_by_poc,
-            enc.slice_type_by_poc)
+            enc.slice_type_by_poc, stats)
 
 
 def _encode_intra_frame_job(args):

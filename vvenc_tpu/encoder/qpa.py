@@ -102,6 +102,99 @@ def _plane_activity(plane, prev1, prev2, frame_rate, bit_depth,
     return max(act_min, hp_spat + 2.0 * hp_temp)
 
 
+QPA_MAX_NOISE_LEVELS = 8
+
+
+def new_min_noise_levels() -> np.ndarray:
+    """Sequence-shared per-luma-region minimum noise levels
+    (vvenc PicShared::m_minNoiseLevels, init 255 = unset)."""
+    return np.full(QPA_MAX_NOISE_LEVELS, 255, dtype=np.uint8)
+
+
+def update_min_noise_levels(levels: np.ndarray, bit_depth: int,
+                            avg_value: int, noise: float) -> None:
+    """vvenc updateMinNoiseLevelsPic (BitAllocation.cpp:323)."""
+    idx = min(QPA_MAX_NOISE_LEVELS - 1, int(avg_value) >> (bit_depth - 3))
+    n = int(0.5 + noise)
+    if n < int(levels[idx]):
+        levels[idx] = np.uint8(max(0, min(255, n)))
+
+
+def clip_qp_to_min_stats(levels: np.ndarray, bit_depth: int, avg_value: int,
+                         res_fac: float, extra_qp_offset: int,
+                         qp: int) -> int:
+    """vvenc clipQPValToEstimatedMinimStats (BitAllocation.cpp:335): raise
+    the adapted QP to the level implied by the sequence's estimated
+    minimum noise for this luma region (don't spend bits coding noise)."""
+    idx = min(QPA_MAX_NOISE_LEVELS - 1, int(avg_value) >> (bit_depth - 3))
+    x = QPA_MAX_NOISE_LEVELS - 1
+    i = int(levels[idx])
+    # fill in the blanks in the luma range (peak smoothing)
+    if idx == 0 and i > int(levels[1]):
+        i = int(levels[1])
+    if idx == x and i > int(levels[x - 1]):
+        i = int(levels[x - 1])
+    if 0 < idx < x:
+        nb = max(int(levels[idx - 1]), int(levels[idx + 1]))
+        if i > nb:
+            i = nb
+    if i >= 255:
+        return qp
+    d = min(1.0, res_fac) * i * i
+    i = max(0, appr_i3_log2(d) - 15 + extra_qp_offset)  # 3*log2(i^2)=6*log2
+    return max(qp, i)
+
+
+def apply_qpa_subctu(orig, prev1_orig, prev2_orig, x0: int, y0: int,
+                     bw: int, bh: int, pic_initial_qp: int, bit_depth: int,
+                     frame_rate: int, is_intra: bool,
+                     min_noise=None, tl: int = 0,
+                     intra_qp_offset: int = -3) -> int:
+    """Sub-CTU QP adaptation (vvenc applyQPAdaptationSubCtu,
+    BitAllocation.cpp:812): the slice-level activity model evaluated on
+    one sub-area (used for the 64-luma sub-blocks of 128 CTUs)."""
+    y = orig[0]
+    h, w = y.shape
+    guard = 1
+    wx0, wy0 = max(0, x0 - guard), max(0, y0 - guard)
+    wx1, wy1 = min(w, x0 + bw + guard), min(h, y0 + bh + guard)
+    act_min = float(1 << (bit_depth - 6))
+    win = y[wy0:wy1, wx0:wx1]
+    sp = _spatial_hp_map(win)
+    cnt = float((wx1 - wx0 - 2) * (wy1 - wy0 - 2))
+    hp_spat = float(sp[1:-1, 1:-1].sum()) / cnt
+    hp_temp = 0.0
+    if prev1_orig is not None:
+        tm = _temporal_hp_map(
+            win, prev1_orig[0][wy0:wy1, wx0:wx1],
+            prev2_orig[0][wy0:wy1, wx0:wx1] if prev2_orig else None,
+            frame_rate)
+        hp_temp = float(tm[1:-1, 1:-1].sum()) / cnt
+    act = max(act_min, hp_spat + 2.0 * hp_temp)
+    norm = 1.0 / average_picture_activity(w, h, not is_intra, bit_depth)
+    qp = max(0, min(MAX_QP, pic_initial_qp + appr_i3_log2(act * norm)))
+    if qp < MAX_QP:
+        x1, y1 = min(w, x0 + bw), min(h, y0 + bh)
+        area = float((x1 - x0) * (y1 - y0))
+        mean_l = int(y[y0:y1, x0:x1].astype(np.int64).sum() / area)
+        mean_cb = int(orig[1][y0 >> 1:y1 >> 1, x0 >> 1:x1 >> 1].mean())
+        mean_cr = int(orig[2][y0 >> 1:y1 >> 1, x0 >> 1:x1 >> 1].mean())
+        mid = 1 << (bit_depth - 1)
+        chr_min = min(mean_cb, mean_cr)
+        v = mean_l - chr_min
+        if v > mid:
+            qp = min(MAX_QP, qp + appr_i3_log2(float(v * v)
+                                               / float(mid * mid)))
+    if min_noise is not None:
+        x1, y1 = min(w, x0 + bw), min(h, y0 + bh)
+        mean_l = int(y[y0:y1, x0:x1].mean())
+        res_fac = math.sqrt(float(w * h) / (3840.0 * 2160.0))
+        extra = (intra_qp_offset >> 1) if is_intra else min(4, tl)
+        qp = clip_qp_to_min_stats(min_noise, bit_depth, mean_l, res_fac,
+                                  extra, qp)
+    return qp
+
+
 class QpaResult:
     __slots__ = ("ctu_qps", "ctu_lambdas", "chroma_qp_offsets", "avg_qp")
 
@@ -109,7 +202,9 @@ class QpaResult:
 def apply_qpa_slice(orig, prev1_orig, prev2_orig, slice_qp: int,
                     slice_lambda: float, ctu_size: int, bit_depth: int,
                     frame_rate: int, is_intra: bool,
-                    chroma_table=None) -> QpaResult:
+                    chroma_table=None, min_noise=None, tl: int = 0,
+                    intra_qp_offset: int = -3,
+                    bim_offsets=None) -> QpaResult:
     """Per-CTU adapted QPs + lambdas (vvenc applyQPAdaptationSlice:508,
     CQF path).
 
@@ -177,6 +272,8 @@ def apply_qpa_slice(orig, prev1_orig, prev2_orig, slice_qp: int,
         return 0
 
     # per-CTU adapted QP
+    res_fac = math.sqrt(float(w * h) / (3840.0 * 2160.0))
+    extra = (intra_qp_offset >> 1) if is_intra else min(4, tl)
     qps = np.zeros(n_ctu, dtype=np.int32)
     for addr in range(n_ctu):
         q = max(0, min(MAX_QP,
@@ -185,6 +282,14 @@ def apply_qpa_slice(orig, prev1_orig, prev2_orig, slice_qp: int,
             q += glaring_offset(ctu_mean_luma[addr], ctu_mean_cb[addr],
                                 ctu_mean_cr[addr])
             q = min(q, MAX_QP)
+        if min_noise is not None:
+            # don't spend bits coding sequence noise (BitAllocation.cpp:445)
+            q = min(MAX_QP, clip_qp_to_min_stats(
+                min_noise, bit_depth, int(ctu_mean_luma[addr]), res_fac,
+                extra, q))
+        if bim_offsets is not None:
+            # block importance mapping delta (MCTF BIM, MCTF.cpp:1046)
+            q = max(0, min(MAX_QP, q + int(bim_offsets[addr])))
         qps[addr] = q
 
     lambdas = slice_lambda * np.exp2((qps - slice_qp) / 3.0)

@@ -34,12 +34,14 @@ class RateCtrl:
     mode: 0 = off, 1 = single-pass ABR, 2 = two-pass (needs stats)."""
 
     def __init__(self, target_bps: float, fps: float, base_qp: int,
-                 gop_size: int = 1, stats: Optional[List[dict]] = None):
+                 gop_size: int = 1, stats: Optional[List[dict]] = None,
+                 max_bps: float = 0.0):
         self.target_bps = float(target_bps)
         self.fps = max(1e-6, float(fps))
         self.base_qp = base_qp
         self.gop_size = max(1, gop_size)
         self.frame_budget = self.target_bps / self.fps
+        self.max_bps = float(max_bps)
         self.spent = 0.0
         self.coded = 0
         self.delta = 0.0            # integral QP corrector
@@ -50,6 +52,16 @@ class RateCtrl:
         if stats:
             total = sum(s["bits"] for s in stats)
             self.pass1_total = max(1, total)
+            # R(QP) model from pass 1: bits halve per +6 QP, so
+            # alpha_f = bits1 * 2^(qp1/6) is a QP-invariant complexity;
+            # predicted remaining bits at the pass-1 QPs drive the
+            # per-GOP/remaining-budget allocation (EncRCPic analog)
+            self._rem_pred = float(sum(max(1, s["bits"]) for s in stats))
+            self._coded_pocs = set()
+            # per-temporal-layer model correction (observed/predicted,
+            # log2-EWMA) — RateCtrl's per-TL parameter update analog
+            self._tl_corr: Dict[int, float] = {}
+            self._applied: Dict[int, float] = {}
         self.collected: List[dict] = []
         # lookahead complexities (encoder/lookahead.py; vvenc m_LookAhead):
         # {poc: complexity} for the window about to be coded
@@ -94,18 +106,30 @@ class RateCtrl:
         base_pic_qp: the fixed-QP cascade value (slice QP incl. hierarchy
         offsets); the controller shifts the whole cascade."""
         if self.stats is not None:
-            # two-pass: scale the whole sequence to the target, preserving
-            # the pass-1 relative allocation (bits halve per +6 QP)
+            # two-pass R(QP) model: the remaining budget is distributed
+            # over the remaining pictures proportionally to their pass-1
+            # complexity (predicted bits at the pass-1 QPs), i.e. the QP
+            # shift re-solves Σ bits1_f·2^(-shift/6) = remaining_budget
+            # after every coded picture — scene cuts reallocate naturally
+            # because their pass-1 bits spike (processFirstPassData analog)
             target_total = self.target_bps / self.fps * len(self.stats)
-            ratio = self.pass1_total / max(1.0, target_total)
-            shift = 6.0 * math.log2(max(1e-6, ratio))
-            # buffer feedback on top
-            fb = 0.0
-            if self.coded > 4:
-                err = (self.spent - self.coded * self.frame_budget) \
-                    / max(1.0, self.coded * self.frame_budget)
-                fb = max(-3.0, min(3.0, 6.0 * err))
-            return int(round(max(1, min(63, base_pic_qp + shift + fb))))
+            rem_budget = max(1.0, target_total - self.spent)
+            rem_pred = max(1.0, self._rem_pred)
+            shift = 6.0 * math.log2(rem_pred / rem_budget)
+            shift = max(-12.0, min(12.0, shift))
+            st = self._stats_by_poc.get(poc)
+            tl = st.get("tl", 0) if st else 0
+            corr = self._tl_corr.get(tl, 0.0)
+            qp = base_pic_qp + shift + 6.0 * corr
+            # max-rate cap: clamp the picture's predicted bits to a burst
+            # window of the max rate (vvenc rate-cap, RateCtrl.cpp:432+)
+            if self.max_bps > 0 and st is not None:
+                cap = 4.0 * self.max_bps / self.fps
+                pred = st["bits"] * 2.0 ** (-(qp - st["qp"]) / 6.0)
+                if pred > cap:
+                    qp = st["qp"] + 6.0 * math.log2(st["bits"] / cap)
+            self._applied[poc] = qp - base_pic_qp
+            return int(round(max(1, min(63, qp))))
         # single-pass ABR: model feedforward (R halves per +6 QP) on an
         # EWMA of bits renormalized to the base cascade, plus an integral
         # trim on the cumulative buffer error.
@@ -121,6 +145,24 @@ class RateCtrl:
     def update(self, poc: int, bits: int) -> None:
         self.spent += bits
         self.coded += 1
+        if self.stats is not None:
+            st = self._stats_by_poc.get(poc)
+            if st is not None and poc not in self._coded_pocs:
+                self._coded_pocs.add(poc)
+                self._rem_pred -= max(1, st["bits"])
+                # per-TL model correction: log2(actual / predicted) EWMA
+                shift_applied = self._applied.get(poc, 0.0)
+                pred = max(1.0, st["bits"] * 2.0 ** (-shift_applied / 6.0))
+                tl = st.get("tl", 0)
+                # model-parameter update, weighted by picture size: tiny
+                # pictures (headers dominate) carry no model information
+                # and would otherwise swing the correction wildly
+                if pred >= 2048:
+                    err = math.log2(max(1e-6, bits / pred))
+                    prev = self._tl_corr.get(tl, 0.0)
+                    upd = 0.75 * prev + 0.25 * err
+                    self._tl_corr[tl] = max(-0.5, min(0.5, upd))
+            return
         if self.stats is None:
             # renormalize observed bits back to the base cascade
             norm = bits * 2.0 ** (self._last_shift / 6.0)

@@ -97,6 +97,8 @@ def cfg_to_argv(pairs):
 
 
 def main(argv=None):
+    from .utils import enable_jax_compile_cache
+    enable_jax_compile_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     pairs = []
     rest = []

@@ -68,6 +68,12 @@ def presel_costs(src_blocks: jax.Array, tops: jax.Array, lefts: jax.Array,
     src_blocks: [B, h, w] int32; tops: [B, >=2w+3]; lefts: [B, >=2h+3]
     returns costs [B, 67] int32 (SATD only; mode-bit terms are added on
     host where the context-dependent MPM list is known).
+
+    Layout notes (TPU): every gather uses STATIC index tables composed on
+    host (reference layout x tap geometry), so XLA lowers them to plain
+    gathers with constant start-index tensors; predictions are assembled
+    with concatenate + one static permutation take (never scatter), and
+    PDPC runs on a <=12-column slab (its support), not the full block.
     """
     t = _shape_tables(w, h, True, 0)
     B = src_blocks.shape[0]
@@ -76,53 +82,61 @@ def presel_costs(src_blocks: jax.Array, tops: jax.Array, lefts: jax.Array,
     tops = tops[:, :LPAD]
     lefts = lefts[:, :LPAD]
     ftop, fleft = _filter_refs_jnp(tops, lefts, w, h)
-    srcs = jnp.stack([tops, ftop, lefts, fleft], axis=1)     # [B, 4, LPAD]
-    flat = srcs.reshape(B, 4 * LPAD)
-    rm_flat_idx = jnp.asarray(t.rm_src.astype(np.int32) * LPAD + t.rm_idx)
-    rm = flat[:, rm_flat_idx]                                 # [B, 65, LR]
+    # int16 reference pool (samples <= 2^bit_depth-1): halves gather traffic
+    flat = jnp.concatenate([tops, ftop, lefts, fleft],
+                           axis=1).astype(jnp.int16)            # [B, 4*LPAD]
+    # rm position -> flat position (static)
+    rm_flat = t.rm_src.astype(np.int64) * LPAD + t.rm_idx       # [65, LR]
 
-    preds = jnp.zeros((B, NUM_MODES, h, w), dtype=jnp.int32)
+    group_preds = []
+    group_modes = []
     for group, (tw, th) in ((True, (w, h)), (False, (h, w))):
         gsel = np.nonzero(t.is_ver == group)[0]
         if len(gsel) == 0:
             continue
-        grm = rm[:, gsel]                                     # [B, ng, LR]
+        ng = len(gsel)
         rs = t.row_start[gsel][:, :th]                        # [ng, th]
         filt = jnp.asarray(t.filt[gsel][:, :th])              # [ng, th, 4]
-        idx = rs[:, :, None] + np.arange(tw, dtype=np.int32)[None, None, :]
+        # window gather straight from flat refs: [B, ng, th, tw+3]
+        widx = rm_flat[gsel][
+            np.arange(ng)[:, None, None],
+            rs[:, :, None] + np.arange(tw + 3, dtype=np.int32)[None, None]]
+        win = flat[:, jnp.asarray(widx)]
         acc = None
         for k in range(4):
-            gk = jnp.take_along_axis(
-                grm, jnp.asarray((idx + k).reshape(1, len(gsel), -1)),
-                axis=2).reshape(B, len(gsel), th, tw)
-            term = filt[None, :, :, None, k] * gk
+            term = filt[None, :, :, None, k] * \
+                win[..., k:k + tw].astype(jnp.int32)
             acc = term if acc is None else acc + term
         pred = (acc + jnp.asarray(t.round[gsel])[None, :, None, None]) >> \
             jnp.asarray(t.shift[gsel])[None, :, None, None]
         pred = jnp.clip(pred, 0, maxval)  # identity except cubic (exact)
-        # PDPC
+        # PDPC on its support slab (first <= 12 columns)
         pd = t.pdpc_on[gsel]
         if pd.any():
-            ssrc = srcs[:, t.pdpc_side_src[gsel]]             # [B, ng, LPAD]
-            sidx = t.pdpc_side_idx[gsel][:, :th, :tw]
-            lval = jnp.take_along_axis(
-                ssrc, jnp.asarray(sidx.reshape(1, len(gsel), -1)),
-                axis=2).reshape(B, len(gsel), th, tw)
-            wl = jnp.asarray(t.pdpc_wl[gsel])[None, :, None, :tw]
+            pw = min(int(t.pdpc_wl[gsel].astype(bool).sum(axis=1).max()), tw)
+            side_flat = (t.pdpc_side_src[gsel].astype(np.int64)[:, None, None]
+                         * LPAD + t.pdpc_side_idx[gsel][:, :th, :pw])
+            lval = flat[:, jnp.asarray(side_flat)].astype(jnp.int32)
+            wl = jnp.asarray(t.pdpc_wl[gsel][:, :pw])[None, :, None, :]
             a0 = t.pdpc_ang0[gsel]
+            p12 = pred[..., :pw]
             reg_m = jnp.asarray(pd & ~a0)[None, :, None, None]
-            upd_reg = pred + ((wl * (lval - pred) + 32) >> 6)
-            pred = jnp.where(reg_m, upd_reg, pred)
+            upd_reg = p12 + ((wl * (lval - p12) + 32) >> 6)
+            p12 = jnp.where(reg_m, upd_reg, p12)
             if a0.any():
-                tl = grm[:, :, t.B0][:, :, None, None]
-                upd0 = jnp.clip(pred + ((wl * (lval - tl) + 32) >> 6),
+                tl_idx = rm_flat[gsel, t.B0]                  # [ng]
+                tl = flat[:, jnp.asarray(tl_idx)].astype(jnp.int32)
+                tl = tl[:, :, None, None]
+                upd0 = jnp.clip(p12 + ((wl * (lval - tl) + 32) >> 6),
                                 0, maxval)
                 a0_m = jnp.asarray(pd & a0)[None, :, None, None] & (wl != 0)
-                pred = jnp.where(a0_m, upd0, pred)
-        pred = jnp.clip(pred, 0, maxval)
+                p12 = jnp.where(a0_m, upd0, p12)
+            pred = jnp.concatenate([p12, pred[..., pw:]], axis=-1)
+        pred = jnp.clip(pred, 0, maxval).astype(jnp.int16)
         if not group:
             pred = pred.swapaxes(2, 3)
-        preds = preds.at[:, gsel + 2].set(pred)
+        group_preds.append(pred)
+        group_modes.append(gsel + 2)
 
     # planar (mirrors I._pred_planar + planar/DC PDPC)
     log2w, log2h = w.bit_length() - 1, h.bit_length() - 1
@@ -142,8 +156,7 @@ def presel_costs(src_blocks: jax.Array, tops: jax.Array, lefts: jax.Array,
         >> (1 + log2w + log2h)
     if w >= 4 and h >= 4:
         planar = _pdpc_planar_dc_jnp(planar, p_top, p_left, w, h)
-    planar = jnp.clip(planar, 0, maxval)
-    preds = preds.at[:, I.PLANAR_IDX].set(planar)
+    planar = jnp.clip(planar, 0, maxval).astype(jnp.int16)
 
     # DC (non-square: average of the longer side only)
     denom = (w << 1) if w == h else max(w, h)
@@ -157,24 +170,34 @@ def presel_costs(src_blocks: jax.Array, tops: jax.Array, lefts: jax.Array,
     dcp = jnp.broadcast_to(dc[:, None, None], (B, h, w))
     if w >= 4 and h >= 4:
         dcp = _pdpc_planar_dc_jnp(dcp, tops, lefts, w, h)
-    dcp = jnp.clip(dcp, 0, maxval)
-    preds = preds.at[:, I.DC_IDX].set(dcp)
+    dcp = jnp.clip(dcp, 0, maxval).astype(jnp.int16)
 
-    # SATD via fp32 Hadamard matmuls (exact: |coeff| <= 64*1023 < 2^24)
+    # assemble [B, 67, h, w] via concat + one static permutation (no scatter)
+    order = np.concatenate([np.array([I.PLANAR_IDX, I.DC_IDX])]
+                           + group_modes)
+    pos = np.empty(NUM_MODES, dtype=np.int32)
+    pos[order] = np.arange(NUM_MODES, dtype=np.int32)
+    preds = jnp.concatenate(
+        [planar[:, None], dcp[:, None]] + group_preds, axis=1)
+    preds = jnp.take(preds, jnp.asarray(pos), axis=1)
+
+    # SATD via fp32 Hadamard matmuls, transpose-free: rows then columns
+    # (exact: |coeff| <= 64*1023 < 2^24)
     tile = 8 if (w % 8 == 0 and h % 8 == 0) else 4
     hm = jnp.asarray(_hadamard(tile), dtype=jnp.float32)
-    d = (src_blocks[:, None, :, :] - preds).astype(jnp.float32)
-    tt = d.reshape(B, NUM_MODES, h // tile, tile, w // tile, tile) \
-          .transpose(0, 1, 2, 4, 3, 5)
-    tt = jnp.einsum("ij,bmxyjk,kl->bmxyil", hm, tt, hm,
-                    preferred_element_type=jnp.float32)
-    s = jnp.sum(jnp.abs(tt), axis=(-2, -1)).astype(jnp.int32)
+    d = (src_blocks[:, None, :, :].astype(jnp.int16) - preds) \
+        .astype(jnp.float32)
+    # row stage: [B*67*(h/t), t, w] = hm @ d
+    t1 = hm @ d.reshape(-1, tile, w)
+    # column stage: contract the last axis tile-wise: [.., t, w/t, t] @ hm
+    t2 = t1.reshape(-1, tile, w // tile, tile) @ hm
+    s = jnp.sum(jnp.abs(t2), axis=(1, 3)).astype(jnp.int32)   # [N, w/t]
     if tile == 8:
         s = (s + 2) >> 2
     else:
-        dc_t = jnp.abs(tt[..., 0, 0]).astype(jnp.int32)
+        dc_t = jnp.abs(t2[:, 0, :, 0]).astype(jnp.int32)
         s = ((s - dc_t + (dc_t >> 2)) + 1) >> 1
-    return jnp.sum(s, axis=(2, 3))                            # [B, 67]
+    return jnp.sum(s.reshape(B, NUM_MODES, -1), axis=2)       # [B, 67]
 
 
 def _pdpc_planar_dc_jnp(pred, top, left, w, h):
@@ -191,6 +214,19 @@ def _pdpc_planar_dc_jnp(pred, top, left, w, h):
 # ---------------------------------------------------------------------------
 # host orchestration: per-frame cost tables
 # ---------------------------------------------------------------------------
+
+def shapes_for_config(ctu_size: int, max_mtt_depth_i: int):
+    """Size classes the intra partitioner can visit (max TB 64; MTT adds
+    the rectangular classes, aspect ratio capped at 8 per VVC)."""
+    sizes = [s for s in (4, 8, 16, 32, 64) if s <= min(ctu_size, 64)]
+    shapes = [(s, s) for s in sizes]
+    if max_mtt_depth_i > 0:
+        for w in sizes:
+            for h in sizes:
+                if w != h and max(w, h) // min(w, h) <= 8:
+                    shapes.append((w, h))
+    return shapes
+
 
 def _class_grid(W, H, w, h):
     """Candidate block positions of one size class (4-pel aligned; covers
@@ -214,35 +250,76 @@ def _gather_refs(sp, pad, xs, ys, w, h):
     return bx, by, tops, lefts
 
 
+def _class_chunk(w: int, h: int) -> int:
+    """Fixed device batch per class: bounds the [B, 67, h, w] prediction
+    intermediate to ~512 MB and gives ONE compiled program per class
+    (short batches are zero-padded up to the chunk)."""
+    return max(64, (1 << 29) // (NUM_MODES * 4 * w * h))
+
+
+# optional device mesh: when set (jax.sharding.Mesh), FramePresel runs every
+# class through parallel.mesh.sharded_presel_costs — same results for any
+# mesh shape (chip-count invariance; tests/test_mesh.py asserts bitstream
+# equality 1-device vs 8-device)
+MESH = None
+
+
 class FramePresel:
     """Per-frame device-computed intra preselection cost tables.
+
+    All classes are dispatched before any result is fetched (JAX async
+    dispatch overlaps the device work with the host-side grid prep and
+    the transfers of later classes).
 
     lookup(x, y, w, h) -> int32 costs[67] or None (position not in the
     class grid — caller falls back to the exact host sweep)."""
 
-    def __init__(self, src_y: np.ndarray, bit_depth: int, shapes,
-                 chunk: int = 512, device: bool = True):
+    def __init__(self, src_y: np.ndarray, bit_depth: int, shapes):
         H, W = src_y.shape
         self.tables = {}
         pad = 80
         sp = np.pad(src_y, pad, mode="edge").astype(np.int32)
+        pending = []
         for (w, h) in shapes:
             if w > W or h > H:
                 continue
             xs, ys, ax, ay = _class_grid(W, H, w, h)
             bx, by, tops, lefts = _gather_refs(sp, pad, xs, ys, w, h)
             B = len(bx)
-            blocks = np.empty((B, h, w), np.int32)
-            for i in range(B):
-                blocks[i] = src_y[by[i]:by[i] + h, bx[i]:bx[i] + w]
-            costs = np.empty((B, NUM_MODES), np.int32)
+            win = np.lib.stride_tricks.sliding_window_view(src_y, (h, w))
+            blocks = np.ascontiguousarray(win[by, bx]).astype(np.int32)
+            if MESH is not None:
+                from ..parallel.mesh import sharded_presel_costs
+                costs_d, _tot = sharded_presel_costs(
+                    MESH, jnp.asarray(blocks), jnp.asarray(tops),
+                    jnp.asarray(lefts), w=w, h=h, bit_depth=bit_depth)
+                pending.append(((w, h), xs, ys, ax, ay, B,
+                                [(0, B, costs_d)]))
+                continue
+            chunk = min(_class_chunk(w, h), -(-B // 512) * 512)
+            outs = []
             for c0 in range(0, B, chunk):
                 c1 = min(c0 + chunk, B)
-                out = presel_costs(jnp.asarray(blocks[c0:c1]),
-                                   jnp.asarray(tops[c0:c1]),
-                                   jnp.asarray(lefts[c0:c1]),
-                                   w, h, bit_depth)
-                costs[c0:c1] = np.asarray(out)
+                if c1 - c0 < chunk:  # pad to the class's one static shape
+                    pb = np.zeros((chunk, h, w), np.int32)
+                    pt = np.zeros((chunk, tops.shape[1]), np.int32)
+                    pl = np.zeros((chunk, lefts.shape[1]), np.int32)
+                    pb[:c1 - c0] = blocks[c0:c1]
+                    pt[:c1 - c0] = tops[c0:c1]
+                    pl[:c1 - c0] = lefts[c0:c1]
+                    out = presel_costs(jnp.asarray(pb), jnp.asarray(pt),
+                                       jnp.asarray(pl), w, h, bit_depth)
+                else:
+                    out = presel_costs(jnp.asarray(blocks[c0:c1]),
+                                       jnp.asarray(tops[c0:c1]),
+                                       jnp.asarray(lefts[c0:c1]),
+                                       w, h, bit_depth)
+                outs.append((c0, c1, out))
+            pending.append(((w, h), xs, ys, ax, ay, B, outs))
+        for (w, h), xs, ys, ax, ay, B, outs in pending:
+            costs = np.empty((B, NUM_MODES), np.int32)
+            for c0, c1, out in outs:
+                costs[c0:c1] = np.asarray(out)[:c1 - c0]
             self.tables[(w, h)] = (xs, ys, ax, ay, len(xs), costs)
 
     def lookup(self, x, y, w, h):

@@ -124,6 +124,58 @@ def sharded_encode_step2d(mesh: Mesh, *, w, h, qp, bit_depth=10):
         out_specs=(gspec, gspec, gspec, P("gops"), P())))
 
 
+def _shard_map():
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    return shard_map
+
+
+def sharded_presel_costs(mesh: Mesh, blocks, tops, lefts, *, w, h,
+                         bit_depth=10):
+    """The PRODUCTION frame-level intra preselection kernel
+    (ops/intra_presel.presel_costs) sharded across the device mesh.
+
+    The block batch of one size class is split over every mesh axis
+    (flattened); each device runs the identical 67-mode program on its
+    shard, and the frame-total best-SATD statistic — the input to rate
+    allocation — is psum-reduced across the whole mesh (the collective
+    that replaces vvenc's shared-memory rate accumulation,
+    EncGOP rcUpdateList ordering).
+
+    Returns (costs [B, 67] replicated-gathered, total int32).  Results
+    are bit-identical to the single-device kernel for any mesh shape
+    (the chip-count-invariance property, SURVEY.md §4.5 analog).
+    """
+    import numpy as np
+    from ..ops.intra_presel import presel_costs
+    shard_map = _shard_map()
+    axes = tuple(mesh.axis_names)
+    n = int(np.prod([mesh.shape[a] for a in axes]))
+    B = blocks.shape[0]
+    pad = (-B) % n
+    if pad:
+        blocks = jnp.concatenate([blocks, jnp.zeros((pad,) + blocks.shape[1:],
+                                                    blocks.dtype)])
+        tops = jnp.concatenate([tops, jnp.zeros((pad,) + tops.shape[1:],
+                                                tops.dtype)])
+        lefts = jnp.concatenate([lefts, jnp.zeros((pad,) + lefts.shape[1:],
+                                                  lefts.dtype)])
+
+    def local(bl, tp, lf):
+        costs = presel_costs(bl, tp, lf, w, h, bit_depth)
+        total = jax.lax.psum(jnp.sum(jnp.min(costs, axis=1)), axes)
+        return costs, total
+
+    fn = jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axes), P(axes), P(axes)),
+        out_specs=(P(axes), P())))
+    costs, total = fn(blocks, tops, lefts)
+    return costs[:B], total
+
+
 def sharded_search_step(mesh: Mesh, axis: str = "tiles", *, w, h, qp,
                         bit_depth=10):
     """Build a pjit-ed sharded search step over `mesh`.
