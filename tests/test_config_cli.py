@@ -116,3 +116,33 @@ def test_ffapp_cfg_file(tmp_path):
     from vvenc_tpu.ffapp import main as ffmain
     assert ffmain(["-c", str(cfg), "--verify"]) == 0
     assert (tmp_path / "out.266").stat().st_size > 0
+
+
+def test_aux_subsystems_units():
+    """MsgLog callback + TimeProfiler accumulation + DTrace rules."""
+    from vvenc_tpu.utils.msglog import MsgLog, INFO, ERROR
+    got = []
+    log = MsgLog()
+    log.set_callback(lambda lv, txt: got.append((lv, txt)))
+    log.info("hello %d", 7)
+    log.error("bad")
+    log.set_level(0)
+    log.info("suppressed")
+    assert got == [(INFO, "hello 7"), (ERROR, "bad")]
+
+    from vvenc_tpu.utils.profiler import Profiler
+    prof = Profiler(enabled=True)
+    with prof.section("a"):
+        pass
+    with prof.section("a"):
+        pass
+    rep = prof.report(out=open(os.devnull, "w"))
+    assert "a" in rep and prof._acc["a"][1] == 2
+
+    from vvenc_tpu.utils.dtrace import DTrace
+    dt = DTrace()
+    dt.configure("D_SYNTAX:poc>=2,final==1")
+    dt.update_ctx(poc=1, final=1)
+    assert not dt._match("D_SYNTAX")
+    dt.update_ctx(poc=3)
+    assert dt._match("D_SYNTAX") and not dt._match("D_CABAC")

@@ -94,3 +94,33 @@ def test_slice_header_reserialize_bit_exact(path):
         assert bw.get_bytes() == rbsp[:header_bits // 8]
         n_slices += 1
     assert n_slices >= 1
+
+
+def test_sps_vui_roundtrip():
+    """VUI write + parse round-trip incl. the byte-counted payload
+    (H.266 7.3.4.2; vvenc VLCWriter.cpp:1035-1053)."""
+    from vvenc_tpu.bitstream.params import SPS, VUI, detect_level
+    from vvenc_tpu.bitstream.hls import write_sps, parse_sps
+    from vvenc_tpu.bitstream.bitwriter import BitWriter, BitReader
+    s = SPS()
+    s.max_width, s.max_height = 416, 240
+    s.vui_present = 1
+    s.vui = VUI(progressive_source=1, aspect_ratio_info_present=1,
+                aspect_ratio_idc=255, sar_width=4, sar_height=3,
+                colour_description_present=1, colour_primaries=9,
+                transfer_characteristics=16, matrix_coefficients=9,
+                video_full_range=1, chroma_loc_info_present=1,
+                chroma_sample_loc_type=2)
+    bw = BitWriter()
+    write_sps(bw, s)
+    s2 = parse_sps(BitReader(bw.get_bytes()))
+    assert s2.vui_present and s2.vui is not None
+    for f in ("aspect_ratio_idc", "sar_width", "sar_height",
+              "colour_primaries", "transfer_characteristics",
+              "matrix_coefficients", "video_full_range",
+              "chroma_sample_loc_type"):
+        assert getattr(s2.vui, f) == getattr(s.vui, f), f
+    # level auto-detection anchors (H.266 Table A.1/A.2)
+    assert detect_level(416, 240, 30) == 32       # 2.0
+    assert detect_level(1920, 1080, 60) == 67     # 4.1
+    assert detect_level(3840, 2160, 60) == 83     # 5.1

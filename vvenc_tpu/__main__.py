@@ -101,7 +101,8 @@ def encoder_config_from(cfg, args) -> "EncoderConfig":
         picture_hash=cfg.picture_hash,
         hrd_timing_sei=bool(cfg.hrd_timing_sei),
         fps_num=cfg.fps_num, fps_den=cfg.fps_den,
-        intra_presel=cfg.intra_presel, search_range=cfg.search_range)
+        intra_presel=cfg.intra_presel, search_range=cfg.search_range,
+        num_refs=cfg.num_refs)
 
 
 def main(argv=None):

@@ -23,6 +23,7 @@ import math
 import numpy as np
 
 from .ctx_tables import INIT_VALUES, RATE_VALUES, NUM_CTX
+from ..utils.dtrace import DTRACE
 
 PROB_BITS = 15
 PROB_BITS_0 = 10
@@ -150,6 +151,9 @@ class CabacEncoder:
     def encode_bin(self, binval: int, ctx_id: int) -> None:
         c = self.ctx
         s8 = c.state8(ctx_id)
+        if DTRACE.enabled:
+            DTRACE.trace("D_CABAC", "bin=%d ctx=%d range=%d state=%d",
+                         binval, ctx_id, self.range, s8)
         lps = c.lps_range(s8, self.range)
         self.range -= lps
         if binval != (s8 >> 7):
@@ -328,6 +332,9 @@ class CabacDecoder:
     def decode_bin(self, ctx_id: int) -> int:
         c = self.ctx
         s8 = c.state8(ctx_id)
+        if DTRACE.enabled:
+            DTRACE.trace("D_CABAC", "bin ctx=%d range=%d state=%d",
+                         ctx_id, self.range, s8)
         binval = s8 >> 7
         lps = c.lps_range(s8, self.range)
         self.range -= lps

@@ -383,9 +383,85 @@ def write_sps(bw: BitWriter, s: SPS) -> None:
             write_ols_hrd(bw, s.general_hrd, s.ols_hrd, first, s.max_tlayers - 1)
     bw.write_flag(s.field_seq)
     bw.write_flag(s.vui_present)
-    assert not s.vui_present, "VUI writing unsupported"
+    if s.vui_present:
+        # payload is byte-counted: build it standalone first
+        # (vvenc VLCWriter.cpp:1035-1053)
+        vb = BitWriter()
+        write_vui(vb, s.vui)
+        payload = vb.get_bytes()
+        bw.write_uvlc(len(payload) - 1)   # sps_vui_payload_size_minus1
+        while not bw.is_byte_aligned():
+            bw.write_flag(0)              # sps_vui_alignment_zero_bit
+        bw.append_bytes(payload)
     bw.write_flag(0)  # sps_extension_present_flag
     bw.write_rbsp_trailing_bits()
+
+
+def write_vui(bw: BitWriter, v) -> None:
+    """vui_payload (H.266 7.3.4.2; vvenc HLSWriter::codeVUI:576)."""
+    bw.write_flag(v.progressive_source)
+    bw.write_flag(v.interlaced_source)
+    bw.write_flag(v.non_packed)
+    bw.write_flag(v.non_projected)
+    bw.write_flag(v.aspect_ratio_info_present)
+    if v.aspect_ratio_info_present:
+        bw.write_flag(v.aspect_ratio_constant)
+        bw.write(v.aspect_ratio_idc, 8)
+        if v.aspect_ratio_idc == 255:
+            bw.write(v.sar_width, 16)
+            bw.write(v.sar_height, 16)
+    bw.write_flag(v.overscan_info_present)
+    if v.overscan_info_present:
+        bw.write_flag(v.overscan_appropriate)
+    bw.write_flag(v.colour_description_present)
+    if v.colour_description_present:
+        bw.write(v.colour_primaries, 8)
+        bw.write(v.transfer_characteristics, 8)
+        bw.write(v.matrix_coefficients, 8)
+        bw.write_flag(v.video_full_range)
+    bw.write_flag(v.chroma_loc_info_present)
+    if v.chroma_loc_info_present:
+        if v.progressive_source and not v.interlaced_source:
+            bw.write_uvlc(v.chroma_sample_loc_type)
+        else:
+            bw.write_uvlc(v.chroma_sample_loc_type_top)
+            bw.write_uvlc(v.chroma_sample_loc_type_bottom)
+    if not bw.is_byte_aligned():
+        bw.write_flag(1)                  # vui_payload_bit_equal_to_one
+        bw.align_zero()
+
+
+def parse_vui(br: BitReader, payload_size: int):
+    from .params import VUI
+    v = VUI()
+    v.progressive_source = br.read_flag()
+    v.interlaced_source = br.read_flag()
+    v.non_packed = br.read_flag()
+    v.non_projected = br.read_flag()
+    v.aspect_ratio_info_present = br.read_flag()
+    if v.aspect_ratio_info_present:
+        v.aspect_ratio_constant = br.read_flag()
+        v.aspect_ratio_idc = br.read(8)
+        if v.aspect_ratio_idc == 255:
+            v.sar_width = br.read(16)
+            v.sar_height = br.read(16)
+    v.overscan_info_present = br.read_flag()
+    if v.overscan_info_present:
+        v.overscan_appropriate = br.read_flag()
+    v.colour_description_present = br.read_flag()
+    if v.colour_description_present:
+        v.colour_primaries = br.read(8)
+        v.transfer_characteristics = br.read(8)
+        v.matrix_coefficients = br.read(8)
+        v.video_full_range = br.read_flag()
+    v.chroma_loc_info_present = br.read_flag()
+    if v.chroma_loc_info_present:
+        if v.progressive_source and not v.interlaced_source:
+            v.chroma_sample_loc_type = br.read_uvlc()
+        else:
+            v.chroma_sample_loc_type_top = br.read_uvlc()
+            v.chroma_sample_loc_type_bottom = br.read_uvlc()
+    return v
 
 
 def parse_sps(br: BitReader) -> SPS:
@@ -576,7 +652,14 @@ def parse_sps(br: BitReader) -> SPS:
             s.ols_hrd = parse_ols_hrd(br, s.general_hrd, first, s.max_tlayers - 1)
     s.field_seq = br.read_flag()
     s.vui_present = br.read_flag()
-    assert not s.vui_present, "VUI parsing unsupported"
+    if s.vui_present:
+        size = br.read_uvlc() + 1          # sps_vui_payload_size_minus1
+        br.byte_align()                    # sps_vui_alignment_zero_bit
+        p0 = br.pos_bits
+        s.vui = parse_vui(br, size)
+        # skip any vui_payload alignment bits up to the counted size
+        while br.pos_bits < p0 + 8 * size:
+            br.read(1)
     assert br.read_flag() == 0, "sps extensions unsupported"
     return s
 

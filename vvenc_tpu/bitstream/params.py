@@ -26,6 +26,63 @@ class ProfileTierLevel:
 
 
 @dataclass
+class VUI:
+    """VUI parameters (H.266 7.3.4.2; vvenc VLCWriter codeVUI:576)."""
+    progressive_source: int = 1
+    interlaced_source: int = 0
+    non_packed: int = 0
+    non_projected: int = 0
+    aspect_ratio_info_present: int = 0
+    aspect_ratio_constant: int = 1
+    aspect_ratio_idc: int = 0
+    sar_width: int = 0
+    sar_height: int = 0
+    overscan_info_present: int = 0
+    overscan_appropriate: int = 0
+    colour_description_present: int = 0
+    colour_primaries: int = 2
+    transfer_characteristics: int = 2
+    matrix_coefficients: int = 2
+    video_full_range: int = 0
+    chroma_loc_info_present: int = 0
+    chroma_sample_loc_type: int = 0
+    chroma_sample_loc_type_top: int = 0
+    chroma_sample_loc_type_bottom: int = 0
+
+
+# VVC level limits (H.266 Table A.1/A.2; vvenc ProfileLevelTier.cpp:30-60):
+# level_idc -> (MaxLumaPs, MaxLumaSr) for the Main tier
+LEVEL_LIMITS = (
+    (16, 36864, 552960),          # 1.0
+    (32, 122880, 3686400),        # 2.0
+    (35, 245760, 7372800),        # 2.1
+    (48, 552960, 16588800),       # 3.0
+    (51, 983040, 33177600),       # 3.1
+    (64, 2228224, 66846720),      # 4.0
+    (67, 2228224, 133693440),     # 4.1
+    (80, 8912896, 267386880),     # 5.0
+    (83, 8912896, 534773760),     # 5.1
+    (86, 8912896, 1069547520),    # 5.2
+    (96, 35651584, 1069547520),   # 6.0
+    (99, 35651584, 2139095040),   # 6.1
+    (102, 35651584, 4278190080),  # 6.2
+    (105, 142606336, 4812963840),  # 6.3
+)
+
+
+def detect_level(width: int, height: int, fps: float) -> int:
+    """Smallest level whose luma picture size and sample rate fit
+    (vvenc LevelTierFeatures::getLevelTierFeatures / level auto-detection,
+    ProfileLevelTier.cpp:237)."""
+    luma_ps = width * height
+    luma_sr = luma_ps * max(1.0, fps)
+    for idc, max_ps, max_sr in LEVEL_LIMITS:
+        if luma_ps <= max_ps and luma_sr <= max_sr:
+            return idc
+    return 255  # level 15.5 (unconstrained)
+
+
+@dataclass
 class RefPicList:
     """One candidate reference picture list (H.266 7.3.10 ref_pic_list_struct).
 
@@ -167,6 +224,7 @@ class SPS:
     ols_hrd: List[OlsHrd] = field(default_factory=list)
     field_seq: int = 0
     vui_present: int = 0
+    vui: "VUI" = None
 
     @property
     def ctu_size(self) -> int:

@@ -102,6 +102,7 @@ class VvencTpuConfig:
     wpp: int = 0                     # entropy_coding_sync + entry points
     # -- misc --------------------------------------------------------------
     search_range: int = 64           # ME search range (vvenc m_SearchRange)
+    num_refs: int = 2                # active refs per list (numRefPicsActive)
     num_full_rd_modes: int = 3
     # intra preselection engine: "exact" = per-CU 67-mode sweep on the true
     # reconstructed references (bit-exact legacy path); "source" = frame-

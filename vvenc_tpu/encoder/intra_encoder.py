@@ -66,6 +66,9 @@ class EncoderConfig:
     deblocking: bool = False       # in-loop deblocking filter
     intra_period: int = 1          # 1 = all-intra; N>1 = IDR every N, P between
     gop_size: int = 1              # >1: hierarchical-B random access GOPs
+    num_refs: int = 2              # active references per list (GOPCfg
+                                   # numRefPicsActive analog; dyadic lists
+                                   # support up to 4 past / 2 future)
     search_range: int = 64         # integer ME range around the predictors
                                    # (hierarchical: 1/4-res coarse grid over
                                    # the full range + full-res refine)
@@ -169,7 +172,15 @@ def build_parameter_sets(cfg: EncoderConfig):
         sps.min_qt_size[2] = max(1 << sps.log2_min_cb_size,
                                  cfg.min_qt >> 1)
     sps.log2_max_tb_size = min(6, sps.ctu_size_log2)
-    sps.ptl.level_idc = 35
+    # level auto-detection from size + rate (ProfileLevelTier.cpp:237)
+    from ..bitstream.params import detect_level, VUI
+    sps.ptl.level_idc = detect_level(cfg.width, cfg.height,
+                                     cfg.fps_num / max(1, cfg.fps_den))
+    # VUI: signal progressive source + SDR colour description
+    sps.vui_present = 1
+    sps.vui = VUI(progressive_source=1, colour_description_present=1,
+                  colour_primaries=1, transfer_characteristics=1,
+                  matrix_coefficients=1)
     sps.max_dec_pic_buffering = [2]
     sps.rpl_lists = [[], []]
     pps = PPS()
@@ -471,7 +482,8 @@ class IntraEncoder:
                           and cfg.bitrate == 0
                           and not cfg.rc_stats_out and not cfg.qpa)
         # frame-parallel encodes use the TL-independent GOP structure
-        entries = build_gop(gop, parallel=frame_parallel)
+        entries = build_gop(gop, max_refs=cfg.num_refs,
+                            parallel=frame_parallel)
         stream += self._encode_picture(0, frames[0], SLICE_I, [], [])
         self.recs_by_poc[0] = dict(self.last_rec.rec)
         base = 0
@@ -745,6 +757,9 @@ class IntraEncoder:
         if ifp is None:
             self.lmbda, self.lmbda_sad = lmbda, lmbda_sad
 
+        from ..utils.dtrace import DTRACE
+        if DTRACE.enabled:
+            DTRACE.update_ctx(poc=poc, final=1)
         qpa_res = None
         if cfg.qpa:
             from .qpa import apply_qpa_slice
@@ -1173,9 +1188,15 @@ class IntraEncoder:
         if is_idr:
             nal_type = NalUnitType.IDR_N_LP if self.frames_done == 0 \
                 else NalUnitType.IDR_W_RADL
+        elif tlayer > 0 and tlayer >= max(1, cfg.gop_size.bit_length() - 1):
+            # top-temporal-layer pictures are never referenced in the
+            # dyadic hierarchy -> stepwise temporal sublayer access
+            # (vvenc GOPCfg STSA marking, GOPCfg.cpp xSetSTSA)
+            nal_type = NalUnitType.STSA
         else:
             nal_type = NalUnitType.TRAIL
-        au = make_nal_unit(nal_type, bw.get_bytes())
+        au = make_nal_unit(nal_type, bw.get_bytes(),
+                           temporal_id=max(0, tlayer))
         au = lmcs_aps_bytes + aps_bytes + au
         if cfg.hrd_timing_sei:
             from ..bitstream.sei import (write_sei_nal, SeiBufferingPeriod,
@@ -1405,6 +1426,14 @@ class _CtuSearcher:
                 cu, cu_cost = self._rd_cu(x, y, w, h, part)
                 node.cu = cu
                 cost += cu_cost
+                # EncModeCtrl early termination (EncModeCtrl.cpp
+                # earlySkip): a SKIP winner (merge, zero residual) at this
+                # level makes deeper partitions near-certain losers —
+                # don't descend
+                if getattr(cu, "skip", False) and cost < best_cost:
+                    best_node, best_cost = node, cost
+                    best_after = self._save(x, y, max(w, h))
+                    break
             else:
                 impl = implicit_split(ps, x, y, w, h, part, sps, tidx)
                 is_impl = split == impl
