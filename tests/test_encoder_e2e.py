@@ -737,9 +737,28 @@ def test_ifp_byte_identical_and_restricted():
     for poc, fr in enumerate(dec):
         for c in range(3):
             assert np.array_equal(fr.planes[c], e1.recs_by_poc[poc][c])
-    e0 = IntraEncoder(EncoderConfig(ifp=False, **kw))
-    s0 = e0.encode_sequence(frames)
-    assert s0 != s1, "IFP motion restriction never engaged"
+    # the motion-window restriction must actually engage: count candidate
+    # rejections by the window test itself (a stream-vs-unrestricted byte
+    # comparison is content-fragile: mode decisions can coincide)
+    from vvenc_tpu.encoder import ifp as ifp_mod
+    rejected = [0]
+    real = ifp_mod.mv_access_ok
+
+    def counting(cu, bottom, y, h, *a, **k):
+        ok = real(cu, bottom, y, h, *a, **k)
+        if not ok and bottom is not None:
+            rejected[0] += 1
+        return ok
+
+    ifp_mod.mv_access_ok = counting
+    try:
+        er = IntraEncoder(EncoderConfig(ifp=True, max_parallel_frames=1,
+                                        **kw))
+        sr = er.encode_sequence(frames)
+    finally:
+        ifp_mod.mv_access_ok = real
+    assert sr == s1
+    assert rejected[0] > 0, "IFP motion restriction never engaged"
 
 
 def test_ifp_sao_barrier_mode():

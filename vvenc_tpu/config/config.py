@@ -104,6 +104,10 @@ class VvencTpuConfig:
     search_range: int = 64           # ME search range (vvenc m_SearchRange)
     num_refs: int = 2                # active refs per list (numRefPicsActive)
     num_full_rd_modes: int = 3
+    # chroma modes taken to full RD after SATD preselection (0 = all;
+    # vvenc ReduceIntraChromaModesFullRD analog, IntraSearch.cpp
+    # estIntraPredChromaQT)
+    num_chroma_rd_modes: int = 0
     # intra preselection engine: "exact" = per-CU 67-mode sweep on the true
     # reconstructed references (bit-exact legacy path); "source" = frame-
     # level batched device kernel on source-sample references
@@ -117,23 +121,25 @@ class VvencTpuConfig:
 _PRESET_MATRIX = {
     Preset.FIRSTPASS: dict(ctu_size=64, max_mtt_depth_i=0, mctf=2, bim=1,
                            sao=1, deblocking=1, lm_chroma=1, mts_implicit=1,
-                           num_full_rd_modes=1),
+                           num_full_rd_modes=1, num_chroma_rd_modes=1),
     Preset.FASTER: dict(ctu_size=64, max_mtt_depth_i=0, mctf=2, bim=1,
                         sao=1, deblocking=1, lm_chroma=1, mts_implicit=1,
-                        alf=1, ccalf=1, dmvr=1, num_full_rd_modes=2),
+                        alf=1, ccalf=1, dmvr=1, num_full_rd_modes=2,
+                        num_chroma_rd_modes=2),
     Preset.FAST: dict(sao=1, deblocking=1, ctu_size=64, max_mtt_depth_i=1,
                       mctf=2, bim=1,
                       alf=1, ccalf=1, dmvr=1, bdof=1, dep_quant=1, lfnst=1,
                       affine=5, amvr=5, mmvd=3, mrl=1, prof=1, sbtmvp=1,
                       joint_cbcr=1, lm_chroma=1, mts_implicit=1,
-                      num_full_rd_modes=3),
+                      num_full_rd_modes=3,
+                      num_chroma_rd_modes=3),
     Preset.MEDIUM: dict(sao=1, deblocking=1, ctu_size=128, max_mtt_depth=1,
                         max_mtt_depth_i=2,
                         mctf=2, bim=1, alf=1, ccalf=1, dmvr=1, bdof=1,
                         dep_quant=1, lfnst=1, affine=4, amvr=5, mmvd=3,
                         mrl=1, prof=1, sbtmvp=1, joint_cbcr=1, lm_chroma=1,
                         mts_implicit=1, mip=1, isp=3, smvd=3, geo=4,
-                        num_full_rd_modes=3),
+                        num_full_rd_modes=3, num_chroma_rd_modes=4),
     Preset.SLOW: dict(sao=1, deblocking=1, ctu_size=128, max_mtt_depth=2,
                       max_mtt_depth_i=3,
                       mctf=2, alf=1, ccalf=1, dmvr=1, bdof=1, dep_quant=1,

@@ -60,6 +60,7 @@ class EncoderConfig:
     fps_num: int = 15
     fps_den: int = 1
     num_full_rd_modes: int = 3     # full-RD candidates after SATD preselection
+    num_chroma_rd_modes: int = 0   # chroma full-RD modes (0 = all)
     mode_cache: bool = True        # EncModeCtrl save/load: reuse an area's
                                    # winning intra modes across partitioning
                                    # paths (skips the 67-mode re-sweep)
@@ -2157,9 +2158,10 @@ class _CtuSearcher:
             return scale_chroma_resi_inv(np.asarray(resi, np.int64),
                                          cscale, bit_depth)
 
-        # batch the angular candidate predictions per component (one
-        # vectorized sweep over shared references instead of per-mode
-        # reference rebuilds; CCLM/BDPCM stay on the scalar model)
+        # batch the candidate predictions per component: one vectorized
+        # angular sweep over shared references, and one shared-downsample
+        # CCLM pass for all LM modes x components (BDPCM stays on the
+        # scalar model)
         pred_cache = {}
         if not cu.bdpcm_c:
             ang = []
@@ -2177,14 +2179,44 @@ class _CtuSearcher:
                                                     bit_depth, is_luma=False)
                     for m_, p_ in zip(ang, cpreds):
                         pred_cache[(comp, m_)] = p_
+            lm_modes = [m for m in cands if m in CCLM_MODES]
+            if lm_modes:
+                from ..codec.cclm import cclm_predict_many
+                for (m_, comp), p_ in cclm_predict_many(
+                        ps, cu, bit_depth, self.cfg.ctu_size,
+                        lm_modes).items():
+                    pred_cache[(comp, ("lm", m_))] = p_
+
+        def _pred_for(cdir_, comp):
+            if cu.bdpcm_c:
+                return predict_cu_component(ps, cu, comp, bit_depth,
+                                            self.cfg.ctu_size)
+            if cdir_ in CCLM_MODES:
+                return pred_cache[(comp, ("lm", cdir_))]
+            m_ = dm_luma_mode(cu) if cdir_ == DM_CHROMA else cdir_
+            return pred_cache[(comp, m_)]
 
         def _pred_comp(comp):
-            if not cu.bdpcm_c and cu.chroma_dir not in CCLM_MODES:
-                m_ = dm_luma_mode(cu) if cu.chroma_dir == DM_CHROMA \
-                    else cu.chroma_dir
-                return pred_cache[(comp, m_)]
-            return predict_cu_component(ps, cu, comp, bit_depth,
-                                        self.cfg.ctu_size)
+            return _pred_for(cu.chroma_dir, comp)
+
+        # SATD preselection: full-RD only the strongest K candidates
+        # (vvenc estIntraPredChromaQT mode reduction; DM always kept)
+        n_ch = self.cfg.num_chroma_rd_modes
+        if not cu.bdpcm_c and n_ch and len(cands) > n_ch:
+            use_satd = (cw % 4 == 0) and (chh % 4 == 0)
+            tot = np.zeros(len(cands), np.int64)
+            for comp in (1, 2):
+                preds = np.stack([_pred_for(c_, comp) for c_ in cands])
+                if use_satd:
+                    tot += IV.satd_modes(srcs[comp], preds)
+                else:
+                    tot += np.abs(srcs[comp].astype(np.int64)
+                                  - preds).sum(axis=(1, 2))
+            scored = sorted(zip(tot.tolist(), cands))
+            kept = [m for _, m in scored[:n_ch]]
+            if DM_CHROMA not in kept:
+                kept.append(DM_CHROMA)
+            cands = kept
 
         best = None
         preds_best = None
