@@ -1028,3 +1028,266 @@ void vte_rdoq(const int32_t* coeff, int w, int h, int qp, int bit_depth,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fused transform/quant/recon RD trial (encoder inner-loop hot path).
+//
+// One native call replaces the Python sequence
+//   fwd_transform_np -> rdoq_np -> [sdh_adjust] -> dequant_np ->
+//   inv_transform_np -> clip(pred + r) -> sse_np
+// (ops/transforms.py, ops/rdoq.py); each stage is a bit-exact port of the
+// corresponding Python golden model.  Behavioral reference: vvenc
+// TrQuant::transformNxN + Quant + xIT + RdCost (TrQuant.cpp:551, Quant.cpp,
+// RdCost.cpp) — there the same fusion exists implicitly because all stages
+// are C++ SIMD kernels called from one loop.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// transform matrices, registered from Python ROM (ops/transforms.py
+// tr_matrix) so the table stays single-sourced: [tr_type][log2n]
+static std::vector<int32_t> g_trmat[3][7];
+
+void vte_set_trmat(int tr_type, int n, const int32_t* m) {
+  int l = 31 - __builtin_clz(unsigned(n));
+  g_trmat[tr_type][l].assign(m, m + size_t(n) * n);
+}
+
+}  // extern "C"
+
+static inline int32_t clip_coeff(int64_t v) {
+  return int32_t(std::max<int64_t>(COEFF_MIN,
+                                   std::min<int64_t>(COEFF_MAX, v)));
+}
+
+// fwd_transform_np port (2-D case; callers guarantee w, h >= 4)
+static void tq_fwd(const int32_t* resi, int w, int h, int trh, int trv,
+                   int bit_depth, int32_t* out) {
+  int lw = 31 - __builtin_clz(unsigned(w));
+  int lh = 31 - __builtin_clz(unsigned(h));
+  const int32_t* Tw = g_trmat[trh][lw].data();
+  const int32_t* Th = g_trmat[trv][lh].data();
+  int shift1 = lw + bit_depth + 6 - MAX_LOG2_TR_DYNAMIC_RANGE;
+  int shift2 = lh + 6;
+  int64_t rnd1 = int64_t(1) << (shift1 - 1);
+  int64_t rnd2 = int64_t(1) << (shift2 - 1);
+  std::vector<int32_t> tmp(size_t(h) * w);
+  for (int i = 0; i < h; ++i) {
+    const int32_t* rrow = resi + size_t(i) * w;
+    for (int k = 0; k < w; ++k) {
+      const int32_t* trow = Tw + size_t(k) * w;
+      int64_t acc = 0;
+      for (int j = 0; j < w; ++j) acc += int64_t(rrow[j]) * trow[j];
+      tmp[size_t(i) * w + k] = clip_coeff((acc + rnd1) >> shift1);
+    }
+  }
+  int zw = (trh != 0 && w == 32) ? 16 : 32;
+  int zh = (trv != 0 && h == 32) ? 16 : 32;
+  for (int r = 0; r < h; ++r) {
+    int32_t* orow = out + size_t(r) * w;
+    if (r >= zh) {
+      std::memset(orow, 0, sizeof(int32_t) * w);
+      continue;
+    }
+    const int32_t* trow = Th + size_t(r) * h;
+    for (int k = 0; k < w; ++k) {
+      if (k >= zw) { orow[k] = 0; continue; }
+      int64_t acc = 0;
+      for (int i = 0; i < h; ++i)
+        acc += int64_t(trow[i]) * tmp[size_t(i) * w + k];
+      orow[k] = clip_coeff((acc + rnd2) >> shift2);
+    }
+  }
+}
+
+// dequant_np + inv_transform_np + clip(pred + r) + SSE (one pass)
+static void tq_inv_rec(const int32_t* qc, const int32_t* pred,
+                       const int32_t* src, int w, int h, int trh, int trv,
+                       int qp, int bit_depth, int32_t* rec, int64_t* dist) {
+  static const int64_t INV_QUANT_SCALES[2][6] = {
+      {40, 45, 51, 57, 64, 72}, {57, 64, 72, 80, 90, 102}};
+  int lw = 31 - __builtin_clz(unsigned(w));
+  int lh = 31 - __builtin_clz(unsigned(h));
+  bool sqrt2 = ((lw + lh) & 1) == 1;
+  int tshift = MAX_LOG2_TR_DYNAMIC_RANGE - bit_depth - ((lw + lh) >> 1) +
+               (sqrt2 ? -1 : 0);
+  int right_shift = 6 - (tshift + qp / 6);
+  int64_t scale = INV_QUANT_SCALES[sqrt2 ? 1 : 0][qp % 6];
+  std::vector<int32_t> d(size_t(h) * w);
+  for (size_t i = 0; i < size_t(h) * w; ++i) {
+    int64_t q = std::max<int64_t>(-(1 << 15),
+                                  std::min<int64_t>((1 << 15) - 1, qc[i]));
+    int64_t v;
+    if (right_shift > 0)
+      v = (q * scale + (int64_t(1) << (right_shift - 1))) >> right_shift;
+    else
+      v = (q * scale) << (-right_shift);
+    d[i] = clip_coeff(v);
+  }
+  const int32_t* Tw = g_trmat[trh][lw].data();
+  const int32_t* Th = g_trmat[trv][lh].data();
+  int shift2 = 20 - bit_depth;
+  int64_t rnd1 = 1 << 6;
+  int64_t rnd2 = int64_t(1) << (shift2 - 1);
+  // vertical stage: tmp[i][j] = sum_r Th[r][i] * d[r][j]
+  std::vector<int32_t> tmp(size_t(h) * w);
+  for (int i = 0; i < h; ++i)
+    for (int j = 0; j < w; ++j) {
+      int64_t acc = 0;
+      for (int r = 0; r < h; ++r)
+        acc += int64_t(Th[size_t(r) * h + i]) * d[size_t(r) * w + j];
+      tmp[size_t(i) * w + j] = clip_coeff((acc + rnd1) >> 7);
+    }
+  int32_t maxpix = (1 << bit_depth) - 1;
+  int64_t sse = 0;
+  for (int i = 0; i < h; ++i) {
+    int32_t* rrow = rec + size_t(i) * w;
+    const int32_t* prow = pred + size_t(i) * w;
+    const int32_t* srow = src + size_t(i) * w;
+    for (int j = 0; j < w; ++j) {
+      int64_t acc = 0;
+      for (int k = 0; k < w; ++k)
+        acc += int64_t(tmp[size_t(i) * w + k]) * Tw[size_t(k) * w + j];
+      int32_t r = clip_coeff((acc + rnd2) >> shift2);
+      int32_t px = prow[j] + r;
+      px = px < 0 ? 0 : (px > maxpix ? maxpix : px);
+      rrow[j] = px;
+      int64_t e = int64_t(srow[j]) - px;
+      sse += e * e;
+    }
+  }
+  *dist = sse;
+}
+
+// sdh_adjust port (ops/transforms.py): sign-data-hiding parity fixup
+static void tq_sdh(int32_t* qflat, const int32_t* tflat, int w, int h,
+                   int qp, int bit_depth, int is_luma) {
+  Cctx cctx(w, h, is_luma != 0);
+  int n = cctx.n_coded;
+  int cg_size = 1 << cctx.log2_cg;
+  int lw = cctx.log2w, lh = cctx.log2h;
+  bool sqrt2 = ((lw + lh) & 1) == 1;
+  int tshift = MAX_LOG2_TR_DYNAMIC_RANGE - bit_depth - ((lw + lh) >> 1) +
+               (sqrt2 ? -1 : 0);
+  int qbits = 14 + qp / 6 + tshift;
+  int64_t scale = QUANT_SCALES[sqrt2 ? 1 : 0][qp % 6];
+  for (int cg0 = 0; cg0 < n; cg0 += cg_size) {
+    int first_nz = -1, last_nz = -1;
+    int64_t abs_sum = 0;
+    for (int sp = cg0; sp < cg0 + cg_size; ++sp) {
+      int32_t q = qflat[cctx.si->blkpos[sp]];
+      if (q) {
+        if (first_nz < 0) first_nz = sp;
+        last_nz = sp;
+        abs_sum += std::abs(int64_t(q));
+      }
+    }
+    if (first_nz < 0 || last_nz - first_nz < 4 /* SBH_THRESHOLD */)
+      continue;
+    int parity = int(abs_sum & 1);
+    int want = qflat[cctx.si->blkpos[first_nz]] < 0 ? 1 : 0;
+    if (parity == want) continue;
+    bool have_best = false;
+    int64_t best_inc = 0;
+    int best_blk = 0;
+    int32_t best_nq = 0;
+    for (int sp = cg0; sp < cg0 + cg_size; ++sp) {
+      int blk = cctx.si->blkpos[sp];
+      int32_t q = qflat[blk];
+      int64_t ld = std::abs(int64_t(tflat[blk])) * scale;
+      for (int pass = 0; pass < 2; ++pass) {
+        int dq = pass == 0 ? +1 : -1;
+        int32_t nq;
+        if (q == 0) {
+          if (dq < 0 || !(first_nz < sp && sp < last_nz)) continue;
+          nq = tflat[blk] >= 0 ? 1 : -1;
+        } else if (dq < 0) {
+          if (std::abs(q) == 1 && (sp == first_nz || sp == last_nz))
+            continue;
+          nq = q > 0 ? q - 1 : q + 1;
+        } else {
+          nq = q > 0 ? q + 1 : q - 1;
+        }
+        int64_t err0 = std::abs(ld - (std::abs(int64_t(q)) << qbits));
+        int64_t err1 = std::abs(ld - (std::abs(int64_t(nq)) << qbits));
+        int64_t inc = err1 - err0;
+        if (!have_best || inc < best_inc) {
+          have_best = true;
+          best_inc = inc;
+          best_blk = blk;
+          best_nq = nq;
+        }
+      }
+    }
+    if (have_best)
+      qflat[best_blk] = int32_t(std::max<int64_t>(
+          COEFF_MIN, std::min<int64_t>(COEFF_MAX, best_nq)));
+  }
+}
+
+extern "C" {
+
+// returns cbf (1 if any nonzero level).  out_rec/out_dist always filled
+// (rec = pred when cbf == 0).  ctx state arrays are read-only (RDOQ rate
+// lookups), matching the Python _q() contract.
+int vte_tq_trial(const int32_t* resi, const int32_t* pred,
+                 const int32_t* src, int w, int h, int trh, int trv,
+                 int qp, int bit_depth, int is_luma, double lmbda,
+                 int cbf_ctx_id, int sdh, const uint16_t* s0,
+                 const uint16_t* s1, int32_t* out_coeff, int32_t* out_rec,
+                 int64_t* out_dist) {
+  std::vector<int32_t> tc(size_t(h) * w);
+  tq_fwd(resi, w, h, trh, trv, bit_depth, tc.data());
+  vte_rdoq(tc.data(), w, h, qp, bit_depth, is_luma, lmbda, cbf_ctx_id,
+           s0, s1, out_coeff);
+  int cbf = 0;
+  for (size_t i = 0; i < size_t(h) * w; ++i)
+    if (out_coeff[i]) { cbf = 1; break; }
+  if (cbf && sdh) {
+    tq_sdh(out_coeff, tc.data(), w, h, qp, bit_depth, is_luma);
+    cbf = 0;
+    for (size_t i = 0; i < size_t(h) * w; ++i)
+      if (out_coeff[i]) { cbf = 1; break; }
+  }
+  if (cbf) {
+    tq_inv_rec(out_coeff, pred, src, w, h, trh, trv, qp, bit_depth,
+               out_rec, out_dist);
+  } else {
+    int64_t sse = 0;
+    for (size_t i = 0; i < size_t(h) * w; ++i) {
+      out_rec[i] = pred[i];
+      int64_t e = int64_t(src[i]) - pred[i];
+      sse += e * e;
+    }
+    *out_dist = sse;
+  }
+  return cbf;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// fwd transform + RDOQ (+SDH) only — for call sites that reconstruct
+// elsewhere (inter residuals, ISP partitions).  Returns cbf.
+int vte_tq_quant(const int32_t* resi, int w, int h, int trh, int trv,
+                 int qp, int bit_depth, int is_luma, double lmbda,
+                 int cbf_ctx_id, int sdh, const uint16_t* s0,
+                 const uint16_t* s1, int32_t* out_coeff) {
+  std::vector<int32_t> tc(size_t(h) * w);
+  tq_fwd(resi, w, h, trh, trv, bit_depth, tc.data());
+  vte_rdoq(tc.data(), w, h, qp, bit_depth, is_luma, lmbda, cbf_ctx_id,
+           s0, s1, out_coeff);
+  int cbf = 0;
+  for (size_t i = 0; i < size_t(h) * w; ++i)
+    if (out_coeff[i]) { cbf = 1; break; }
+  if (cbf && sdh) {
+    tq_sdh(out_coeff, tc.data(), w, h, qp, bit_depth, is_luma);
+    cbf = 0;
+    for (size_t i = 0; i < size_t(h) * w; ++i)
+      if (out_coeff[i]) { cbf = 1; break; }
+  }
+  return cbf;
+}
+
+}  // extern "C"

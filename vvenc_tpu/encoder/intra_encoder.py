@@ -1284,6 +1284,7 @@ class _CtuSearcher:
         # picture row (None = unrestricted); set per CTU row by the
         # encode loop (encoder/ifp.py)
         self.ifp_bottom = None
+        self._native_tq_ok = None
         # EncModeCtrl save/load: winning intra modes per revisited area
         self.mode_cache = {}
 
@@ -1362,6 +1363,33 @@ class _CtuSearcher:
             self.coder.mf.restore_region(snap[2])
         self.coder.hmvp.lut = list(snap[3])
         self.coder.hmvp_ibc.lut = list(snap[4])
+
+    def _native_tq(self) -> bool:
+        """True when the fused native transform/RDOQ/recon trial
+        (native.tq_trial) matches this config's quantizer: RDOQ without
+        trellis (depquant keeps the Python/JAX path for now)."""
+        v = self._native_tq_ok
+        if v is None:
+            from .. import native
+            v = self._native_tq_ok = (native.available() and self.cfg.rdoq
+                                      and not self.cfg.dep_quant)
+        return v
+
+    def _tq(self, resi, qp, is_luma, cbf_ctx=None, trh=0, trv=0,
+            intra_slice=True):
+        """Forward transform + quantize one TU; returns the levels [h, w]
+        or None when the TU quantizes to all-zero.  Dispatches to the
+        fused native kernel (native.tq_quant: one crossing for transform
+        + RDOQ + SDH) when the config matches, else the Python pair."""
+        h, w = resi.shape
+        if w >= 4 and h >= 4 and self._native_tq():
+            from .. import native
+            return native.tq_quant(resi, trh, trv, qp, self.cfg.bit_depth,
+                                   is_luma, self.lmbda, self.est.ctx,
+                                   cbf_ctx, self.cfg.sign_data_hiding)
+        c = self._q(T.fwd_transform_np(resi, self.cfg.bit_depth, trh, trv),
+                    qp, is_luma, cbf_ctx, intra_slice=intra_slice)
+        return c if np.any(c) else None
 
     def _q(self, tcoef, qp, is_luma, cbf_ctx=None, intra_slice=True):
         """Quantize one TU: trellis (dependent) quantization when enabled
@@ -1601,6 +1629,32 @@ class _CtuSearcher:
         est_snap = self.est.snapshot()
         best = None
         sps = self.enc.sps
+
+        def trial_tail(cu, rec, dist, ts_ok):
+            """Estimate the CU's luma bits and keep the best trial."""
+            nonlocal best
+            self.est.restore(est_snap)
+            b0 = self.est.frac_bits
+            self._est_cu_luma_syntax(cu, mpm)
+            self.est.encode_bin(1 if cu.coeff_y is not None else 0,
+                                ct.CTX_SETS["QtCbfLuma"](0))
+            if cu.coeff_y is not None:
+                if ts_ok:
+                    self.est.encode_bin(
+                        1 if cu.ts_y else 0,
+                        ct.CTX_SETS["TransformSkipFlag"](0))
+                if cu.ts_y:
+                    from ..bitstream.residual import encode_residual_ts
+                    encode_residual_ts(self.est, cu.coeff_y, True)
+                else:
+                    encode_residual(self.est, cu.coeff_y, True,
+                                    dep_quant=self.cfg.dep_quant,
+                                    sign_hiding=self.cfg.sign_data_hiding)
+                self.coder._code_lfnst_mts(self.est, cu, encode=True)
+            bits = (self.est.frac_bits - b0) / (1 << 15)
+            cost = dist + self.lmbda * bits
+            if best is None or cost < best[0]:
+                best = (cost, cu, rec)
         for cand_i, (_, mode, pred, mip_f, mip_t, ref_line) in \
                 enumerate(full_modes):
             resi = src_y - pred
@@ -1620,10 +1674,39 @@ class _CtuSearcher:
                 variants.append((0, 0, True))
             impl_on = self.coder.implicit_mts and not mip_f
             th_i, tv_i = T.implicit_mts_types(w, h, True, impl_on)
-            prim_dct2 = T.fwd_transform_np(resi, bit_depth)
-            prim_main = prim_dct2 if (th_i, tv_i) == (T.DCT2, T.DCT2) \
-                else T.fwd_transform_np(resi, bit_depth, th_i, tv_i)
+            use_ntq = self._native_tq()
+            prim_dct2 = prim_main = None
+            if not use_ntq or any(v[0] for v in variants):
+                prim_dct2 = T.fwd_transform_np(resi, bit_depth)
+            if not use_ntq:
+                prim_main = prim_dct2 if (th_i, tv_i) == (T.DCT2, T.DCT2) \
+                    else T.fwd_transform_np(resi, bit_depth, th_i, tv_i)
             for lfnst_i, mts_i, ts_f in variants:
+                if use_ntq and not ts_f and not lfnst_i:
+                    # fused native trial: fwd transform + RDOQ(+SDH) +
+                    # dequant + inverse + recon + SSE in one call
+                    from .. import native
+                    trh_v, trv_v = T.mts_tr_types(mts_i) if mts_i \
+                        else (th_i, tv_i)
+                    coeff_n, rec, dist = native.tq_trial(
+                        resi, pred, src_y, trh_v, trv_v, qy, bit_depth,
+                        True, self.lmbda, self.est.ctx,
+                        ct.CTX_SETS["QtCbfLuma"](0),
+                        self.cfg.sign_data_hiding)
+                    cu = CuData(x, y, w, h, luma_mode=mode, mip_flag=mip_f,
+                                mip_transposed=mip_t, ref_line=ref_line,
+                                lfnst_idx=0, mts_idx=mts_i, luma_only=lo,
+                                ts_y=False)
+                    cu.coeff_y = coeff_n
+                    if coeff_n is None:
+                        cu.mts_idx = 0
+                    if cu.mts_idx:
+                        _, _, mts_last, mts_viol = \
+                            self.coder._residual_tool_stats(cu)
+                        if mts_viol or not mts_last:
+                            continue
+                    trial_tail(cu, rec, dist, ts_ok)
+                    continue
                 if ts_f:
                     tcoef = None
                     coeff = T.quant_ts_np(resi, qy, self.coder.min_qp_ts)
@@ -1687,28 +1770,7 @@ class _CtuSearcher:
                 else:
                     rec = pred
                 dist = R.sse_np(src_y, rec)
-                self.est.restore(est_snap)
-                b0 = self.est.frac_bits
-                self._est_cu_luma_syntax(cu, mpm)
-                self.est.encode_bin(1 if cu.coeff_y is not None else 0,
-                                    ct.CTX_SETS["QtCbfLuma"](0))
-                if cu.coeff_y is not None:
-                    if ts_ok:
-                        self.est.encode_bin(
-                            1 if cu.ts_y else 0,
-                            ct.CTX_SETS["TransformSkipFlag"](0))
-                    if cu.ts_y:
-                        from ..bitstream.residual import encode_residual_ts
-                        encode_residual_ts(self.est, cu.coeff_y, True)
-                    else:
-                        encode_residual(self.est, cu.coeff_y, True,
-                                        dep_quant=self.cfg.dep_quant,
-                                        sign_hiding=self.cfg.sign_data_hiding)
-                    self.coder._code_lfnst_mts(self.est, cu, encode=True)
-                bits = (self.est.frac_bits - b0) / (1 << 15)
-                cost = dist + self.lmbda * bits
-                if best is None or cost < best[0]:
-                    best = (cost, cu, rec)
+                trial_tail(cu, rec, dist, ts_ok)
         cost, cu, rec_y = best
         if cached is None and self.cfg.mode_cache:
             ent = [(cu.luma_mode, cu.mip_flag, cu.mip_transposed,
@@ -1741,10 +1803,9 @@ class _CtuSearcher:
                              and rl_ == cu.ref_line)
                 th0, tv0 = T.implicit_mts_types(
                     w, h, True, self.coder.implicit_mts and not cu.mip_flag)
-                coeff = self._q(T.fwd_transform_np(src_y - pred0, bit_depth,
-                                                   th0, tv0),
-                                qy, True, ct.CTX_SETS["QtCbfLuma"](0))
-                cu.coeff_y = coeff if np.any(coeff) else None
+                cu.coeff_y = self._tq(src_y - pred0, qy, True,
+                                      ct.CTX_SETS["QtCbfLuma"](0),
+                                      th0, tv0)
                 if cu.coeff_y is not None:
                     d = self._dq(cu.coeff_y, qy)
                     ps.rec[0][y:y + h, x:x + w] = np.clip(
@@ -1926,10 +1987,8 @@ class _CtuSearcher:
             pred = ps.rec[0][y + (mv0[1] >> 4):y + (mv0[1] >> 4) + h,
                              x + (mv0[0] >> 4):x + (mv0[0] >> 4) + w]
             qy = self.qp.luma_qp()
-            coeff = self._q(T.fwd_transform_np(src_y - pred,
-                                               cfg.bit_depth), qy, True,
-                            None, intra_slice=False)
-            cu.coeff_y = coeff if np.any(coeff) else None
+            cu.coeff_y = self._tq(src_y - pred, qy, True, None,
+                                  intra_slice=False)
             cu.root_cbf = cu.coeff_y is not None
             trials.append(cu)
         if not trials:
@@ -2045,9 +2104,7 @@ class _CtuSearcher:
                 resi = self.src[0][ay:ay + ph, ax:ax + pw] - pred
                 trh, trv = T.isp_tr_types(pw, ph, 0,
                                           bool(self.enc.sps.mts))
-                coeff = self._q(T.fwd_transform_np(resi, bd, trh, trv),
-                                qy, True, None)
-                c = coeff if np.any(coeff) else None
+                c = self._tq(resi, qy, True, None, trh, trv)
                 coeffs.append(c)
                 if c is not None:
                     d = self._dq(c, qy)
@@ -2230,6 +2287,15 @@ class _CtuSearcher:
                 qc = self.qp.chroma_qp(comp)
                 cbf_ctx = ct.CTX_SETS["QtCbfCb"](0) if comp == 1 else \
                     ct.CTX_SETS["QtCbfCr"](1 if coeffs[1] is not None else 0)
+                if cscale is None and self._native_tq():
+                    from .. import native
+                    coeffs[comp], rec, d_ = native.tq_trial(
+                        srcs[comp].astype(np.int64) - pred, pred,
+                        srcs[comp], T.DCT2, T.DCT2, qc, bit_depth, False,
+                        self.lmbda, self.est.ctx, cbf_ctx,
+                        self.cfg.sign_data_hiding)
+                    dist += d_
+                    continue
                 coeff = self._q(
                     T.fwd_transform_np(_fwd_scale(srcs[comp] - pred),
                                        bit_depth), qc,
@@ -2269,9 +2335,8 @@ class _CtuSearcher:
                     qc = self.qp.chroma_qp(2)
                 cbf_ctx = ct.CTX_SETS["QtCbfCb"](0) if mask & 2 else \
                     ct.CTX_SETS["QtCbfCr"](0)
-                coeff = self._q(T.fwd_transform_np(coded_res, bit_depth),
-                                qc, False, cbf_ctx)
-                if not np.any(coeff):
+                coeff = self._tq(coded_res, qc, False, cbf_ctx)
+                if coeff is None:
                     continue
                 r = T.inv_transform_np(self._dq(coeff, qc), bit_depth)
                 rcb, rcr = _ict_derive(r.astype(np.int64), mask, sign_flag)
@@ -2774,11 +2839,9 @@ class _CtuSearcher:
         cu = CuData(x, y, w, h, is_inter=False, luma_mode=mode)
         th0, tv0 = T.implicit_mts_types(w, h, True,
                                         self.coder.implicit_mts)
-        coeff = self._q(T.fwd_transform_np(src_y - best_satd[2], bit_depth,
-                                           th0, tv0),
-                        qy, True, ct.CTX_SETS["QtCbfLuma"](0),
-                        intra_slice=False)
-        cu.coeff_y = coeff if _np.any(coeff) else None
+        cu.coeff_y = self._tq(src_y - best_satd[2], qy, True,
+                              ct.CTX_SETS["QtCbfLuma"](0), th0, tv0,
+                              intra_slice=False)
         pred_cb = predict_cu_component(ps, cu, 1, bit_depth)
         pred_cr = predict_cu_component(ps, cu, 2, bit_depth)
         rcb, rcr = src_cb - pred_cb, src_cr - pred_cr
@@ -2788,15 +2851,13 @@ class _CtuSearcher:
                                         bit_depth)
             rcr = scale_chroma_resi_fwd(rcr.astype(_np.int64), cscale,
                                         bit_depth)
-        ccb = self._q(T.fwd_transform_np(rcb, bit_depth),
-                      self.qp.chroma_qp(1), False,
-                      ct.CTX_SETS["QtCbfCb"](0), intra_slice=False)
-        ccr = self._q(T.fwd_transform_np(rcr, bit_depth),
-                      self.qp.chroma_qp(2), False,
-                      ct.CTX_SETS["QtCbfCr"](1 if _np.any(ccb) else 0),
-                      intra_slice=False)
-        cu.coeff_cb = ccb if _np.any(ccb) else None
-        cu.coeff_cr = ccr if _np.any(ccr) else None
+        ccb = self._tq(rcb, self.qp.chroma_qp(1), False,
+                       ct.CTX_SETS["QtCbfCb"](0), intra_slice=False)
+        ccr = self._tq(rcr, self.qp.chroma_qp(2), False,
+                       ct.CTX_SETS["QtCbfCr"](1 if ccb is not None else 0),
+                       intra_slice=False)
+        cu.coeff_cb = ccb
+        cu.coeff_cr = ccr
         trials.append(cu)
 
         # evaluate all trials through the real syntax writer + estimator
@@ -2842,12 +2903,10 @@ class _CtuSearcher:
                 tx, ty, tw, th, trh, trv = sbt_tu_rect(cu)
                 if not self.enc.sps.mts:
                     trh = trv = T.DCT2
-                coeff_y = self._q(
-                    T.fwd_transform_np(resi_y[ty:ty + th, tx:tx + tw],
-                                       self.cfg.bit_depth, trh, trv),
-                    qy, True, ct.CTX_SETS["QtCbfLuma"](0),
-                    intra_slice=False)
-                if not np.any(coeff_y):
+                coeff_y = self._tq(resi_y[ty:ty + th, tx:tx + tw], qy,
+                                   True, ct.CTX_SETS["QtCbfLuma"](0),
+                                   trh, trv, intra_slice=False)
+                if coeff_y is None:
                     continue
                 cu.coeff_y = coeff_y
                 # LMCS chroma scale at the SBT TU's luma position
@@ -2861,11 +2920,8 @@ class _CtuSearcher:
                         sub = scale_chroma_resi_fwd(
                             sub.astype(np.int64), cscale,
                             self.cfg.bit_depth)
-                    cc = self._q(
-                        T.fwd_transform_np(sub, self.cfg.bit_depth),
-                        self.qp.chroma_qp(comp), False, None,
-                        intra_slice=False)
-                    cc = cc if np.any(cc) else None
+                    cc = self._tq(sub, self.qp.chroma_qp(comp), False,
+                                  None, intra_slice=False)
                     if comp == 1:
                         cu.coeff_cb = cc
                     else:
@@ -2890,9 +2946,7 @@ class _CtuSearcher:
             for tx in range(0, cu.w, sw):
                 ry = src_y[ty:ty + sh_, tx:tx + sw] \
                     - py[ty:ty + sh_, tx:tx + sw]
-                cy_ = self._q(T.fwd_transform_np(ry, bd), qy, True, None,
-                              intra_slice=False)
-                cy_ = cy_ if _np.any(cy_) else None
+                cy_ = self._tq(ry, qy, True, None, intra_slice=False)
                 cx2, cy2 = tx >> 1, ty >> 1
                 cw2, ch2 = sw >> 1, sh_ >> 1
                 # per-TU LMCS chroma scale (decoder dequantizes each TU
@@ -2907,10 +2961,8 @@ class _CtuSearcher:
                         from ..codec.lmcs import scale_chroma_resi_fwd
                         rc = scale_chroma_resi_fwd(
                             rc.astype(_np.int64), csc, bd)
-                    c = self._q(T.fwd_transform_np(rc, bd),
-                                self.qp.chroma_qp(comp), False, None,
-                                intra_slice=False)
-                    cc.append(c if _np.any(c) else None)
+                    cc.append(self._tq(rc, self.qp.chroma_qp(comp),
+                                       False, None, intra_slice=False))
                 if cy_ is not None or cc[0] is not None \
                         or cc[1] is not None:
                     any_c = True
@@ -2937,9 +2989,8 @@ class _CtuSearcher:
                 from ..codec.lmcs import scale_chroma_resi_fwd
                 resi = scale_chroma_resi_fwd(resi.astype(_np.int64),
                                              cscale, bit_depth)
-            c = self._q(T.fwd_transform_np(resi, bit_depth), q, i == 0,
-                        cbf_ctx, intra_slice=False)
-            out.append(c if _np.any(c) else None)
+            out.append(self._tq(resi, q, i == 0, cbf_ctx,
+                                intra_slice=False))
         return out
 
     def _valid_pos(self, sx, sy, w, h, pw, ph, max_bottom):

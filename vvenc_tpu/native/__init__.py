@@ -73,6 +73,26 @@ def _load():
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint8)]
     lib.vte_write_residual.restype = ctypes.c_int
 
+    lib.vte_set_trmat.argtypes = [ctypes.c_int, ctypes.c_int,
+                                  ctypes.POINTER(ctypes.c_int32)]
+    lib.vte_set_trmat.restype = None
+    lib.vte_tq_trial.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64)]
+    lib.vte_tq_trial.restype = ctypes.c_int
+    lib.vte_tq_quant.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_int32)]
+    lib.vte_tq_quant.restype = ctypes.c_int
+
     # install context-set bases + the estimator frac-bits table
     from ..bitstream import ctx_tables as ct
     from ..bitstream.cabac import FRAC_BITS_TABLE
@@ -87,6 +107,18 @@ def _load():
     frac_np = np.ascontiguousarray(FRAC_BITS_TABLE, dtype=np.uint32)
     lib.vte_init(bases_np.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                  frac_np.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+
+    # register the transform ROM (single-sourced from ops/transforms.py)
+    from ..ops import transforms as T
+    for n in (2, 4, 8, 16, 32, 64):
+        m = np.ascontiguousarray(T.tr_matrix(n, T.DCT2), dtype=np.int32)
+        lib.vte_set_trmat(T.DCT2, n,
+                          m.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    for tt in (T.DST7, T.DCT8):
+        for n in (4, 8, 16, 32):
+            m = np.ascontiguousarray(T.tr_matrix(n, tt), dtype=np.int32)
+            lib.vte_set_trmat(
+                tt, n, m.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return lib
 
 
@@ -170,6 +202,44 @@ def write_residual(coeff: np.ndarray, is_luma: bool, dep_quant: bool,
         else:
             for b in data:
                 bw.write(b, 8)
+
+
+def tq_trial(resi: np.ndarray, pred: np.ndarray, src: np.ndarray,
+             trh: int, trv: int, qp: int, bit_depth: int, is_luma: bool,
+             lmbda: float, ctx, cbf_ctx_id=None, sdh: bool = False):
+    """Fused forward-transform + RDOQ (+SDH) + dequant + inverse-transform
+    + reconstruction + SSE, one native call (the encoder RD inner loop).
+    Returns (coeff|None, rec, dist); coeff is None when the TU quantizes
+    to all-zero (rec == clipped pred)."""
+    h, w = resi.shape
+    r = np.ascontiguousarray(resi, dtype=np.int32)
+    p = np.ascontiguousarray(pred, dtype=np.int32)
+    s = np.ascontiguousarray(src, dtype=np.int32)
+    coeff = np.empty((h, w), dtype=np.int32)
+    rec = np.empty((h, w), dtype=np.int32)
+    dist = ctypes.c_int64()
+    cbf = _LIB.vte_tq_trial(
+        _i32p(r), _i32p(p), _i32p(s), w, h, trh, trv, qp, bit_depth,
+        1 if is_luma else 0, float(lmbda),
+        -1 if cbf_ctx_id is None else int(cbf_ctx_id), 1 if sdh else 0,
+        _u16p(ctx.state0), _u16p(ctx.state1),
+        _i32p(coeff), _i32p(rec), ctypes.byref(dist))
+    return (coeff if cbf else None), rec, int(dist.value)
+
+
+def tq_quant(resi: np.ndarray, trh: int, trv: int, qp: int, bit_depth: int,
+             is_luma: bool, lmbda: float, ctx, cbf_ctx_id=None,
+             sdh: bool = False):
+    """Fused forward-transform + RDOQ (+SDH), one native call.  Returns
+    the quantized levels [h, w] int32, or None when all-zero."""
+    h, w = resi.shape
+    r = np.ascontiguousarray(resi, dtype=np.int32)
+    coeff = np.empty((h, w), dtype=np.int32)
+    cbf = _LIB.vte_tq_quant(
+        _i32p(r), w, h, trh, trv, qp, bit_depth, 1 if is_luma else 0,
+        float(lmbda), -1 if cbf_ctx_id is None else int(cbf_ctx_id),
+        1 if sdh else 0, _u16p(ctx.state0), _u16p(ctx.state1), _i32p(coeff))
+    return coeff if cbf else None
 
 
 def rdoq(coeff: np.ndarray, qp: int, bit_depth: int, is_luma: bool,
