@@ -1291,3 +1291,349 @@ int vte_tq_quant(const int32_t* resi, int w, int h, int trh, int trv,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Intra prediction (ops/intra.py port — H.266 8.4.5.2; behavioral
+// reference vvenc IntraPrediction.cpp xPredIntraPlanar_Core:79,
+// xGetPredValDc:302, initPredIntraParams:409, xPredIntraAng:518,
+// xFilterReferenceSamples:994, PDPC :137-189).  Bit-exact vs the Python
+// golden model (tests/test_native.py fuzz + the 67 decoder-conformance
+// streams once the shared decode model dispatches here).
+// ---------------------------------------------------------------------------
+
+namespace intra {
+
+constexpr int PLANAR_IDX = 0, DC_IDX = 1, HOR_IDX = 18, DIA_IDX = 34,
+              VER_IDX = 50, VDIA_IDX = 66, NUM_LUMA_MODE = 67;
+
+static const int32_t ANG_TABLE[32] = {
+    0, 1, 2, 3, 4, 6, 8, 10, 12, 14, 16, 18, 20, 23, 26, 29, 32, 35,
+    39, 45, 51, 57, 64, 73, 86, 102, 128, 171, 256, 341, 512, 1024};
+static const int32_t INV_ANG_TABLE[32] = {
+    0, 16384, 8192, 5461, 4096, 2731, 2048, 1638, 1365, 1170, 1024, 910,
+    819, 712, 630, 565, 512, 468, 420, 364, 321, 287, 256, 224, 191, 161,
+    128, 96, 64, 48, 32, 16};
+static const int MDIS_THRESH[8] = {24, 24, 24, 14, 2, 0, 0, 0};
+static const int32_t CHROMA_FILTER[33][4] = {
+    {0, 64, 0, 0},   {-1, 63, 2, 0},  {-2, 62, 4, 0},  {-2, 60, 7, -1},
+    {-2, 58, 10, -2}, {-3, 57, 12, -2}, {-4, 56, 14, -2}, {-4, 55, 15, -2},
+    {-4, 54, 16, -2}, {-5, 53, 18, -2}, {-6, 52, 20, -2}, {-6, 49, 24, -3},
+    {-6, 46, 28, -4}, {-5, 44, 29, -4}, {-4, 42, 30, -4}, {-4, 39, 33, -4},
+    {-4, 36, 36, -4}, {-4, 33, 39, -4}, {-4, 30, 42, -4}, {-4, 29, 44, -5},
+    {-4, 28, 46, -6}, {-3, 24, 49, -6}, {-2, 20, 52, -6}, {-2, 18, 53, -5},
+    {-2, 16, 54, -4}, {-2, 15, 55, -4}, {-2, 14, 56, -4}, {-2, 12, 57, -3},
+    {-2, 10, 58, -2}, {-1, 7, 60, -2}, {0, 4, 62, -2},  {0, 2, 63, -1},
+    {0, 0, 64, 0}};
+
+static inline int log2i(int n) { return 31 - __builtin_clz(unsigned(n)); }
+
+static int wide_angle_map(int w, int h, int mode) {
+  if (mode > DC_IDX && mode <= VDIA_IDX) {
+    static const int mode_shift[6] = {0, 6, 10, 12, 14, 15};
+    int delta = std::abs(log2i(w) - log2i(h));
+    if (w > h && mode < 2 + mode_shift[delta])
+      mode += VDIA_IDX - 1;
+    else if (h > w && mode > VDIA_IDX - mode_shift[delta])
+      mode -= VDIA_IDX - 1;
+  }
+  return mode;
+}
+
+struct Params {
+  bool is_ver, ref_filter, interp, apply_pdpc;
+  int angle, abs_inv_angle, angular_scale, pred_mode;
+};
+
+static Params params(int w, int h, int mode, bool is_luma, int ref_idx,
+                     int cuw, int cuh, bool isp) {
+  Params p{};
+  int ww = cuw > 0 ? cuw : w, wh = cuh > 0 ? cuh : h;
+  p.pred_mode = wide_angle_map(ww, wh, mode);
+  p.is_ver = p.pred_mode >= DIA_IDX;
+  p.ref_filter = false;
+  p.interp = false;
+  p.apply_pdpc = w >= 4 && h >= 4 && ref_idx == 0;
+  p.angle = 0;
+  p.abs_inv_angle = 0;
+  p.angular_scale = 0;
+  int angle_mode = p.is_ver ? (p.pred_mode - VER_IDX)
+                            : -(p.pred_mode - HOR_IDX);
+  int abs_ang = 0;
+  if (mode > DC_IDX && mode < NUM_LUMA_MODE) {
+    abs_ang = ANG_TABLE[std::abs(angle_mode)];
+    p.abs_inv_angle = INV_ANG_TABLE[std::abs(angle_mode)];
+    p.angle = angle_mode >= 0 ? abs_ang : -abs_ang;
+    if (angle_mode < 0) {
+      p.apply_pdpc = false;
+    } else if (angle_mode > 0) {
+      int side = p.is_ver ? h : w;
+      p.angular_scale = std::min(
+          2, log2i(side) - (log2i(3 * p.abs_inv_angle - 2) - 8));
+      p.apply_pdpc = p.apply_pdpc && p.angular_scale >= 0;
+    }
+  }
+  if (!is_luma || mode == DC_IDX || ref_idx != 0 || isp) {
+    // no smoothing / interp switch
+  } else if (mode == PLANAR_IDX) {
+    p.ref_filter = w * h > 32;
+  } else {
+    int diff = std::min(std::abs(p.pred_mode - HOR_IDX),
+                        std::abs(p.pred_mode - VER_IDX));
+    int log2_size = (log2i(w) + log2i(h)) >> 1;
+    if (diff > MDIS_THRESH[log2_size]) {
+      if ((abs_ang & 31) == 0)
+        p.ref_filter = true;
+      else
+        p.interp = true;
+    }
+  }
+  return p;
+}
+
+// [1 2 1]/4 smoothing; last sample of each side stays unfiltered
+static void filter_ref(const int32_t* top, int tl, const int32_t* left,
+                       int ll, int32_t* ft, int32_t* fl) {
+  int corner = (top[0] + top[1] + left[0] + left[1] + 2) >> 2;
+  int n = tl - 3;
+  ft[0] = corner;
+  for (int i = 1; i < n; ++i)
+    ft[i] = (top[i - 1] + 2 * top[i] + top[i + 1] + 2) >> 2;
+  for (int i = n; i < tl; ++i) ft[i] = top[n];
+  int m = ll - 3;
+  fl[0] = corner;
+  for (int i = 1; i < m; ++i)
+    fl[i] = (left[i - 1] + 2 * left[i] + left[i + 1] + 2) >> 2;
+  for (int i = m; i < ll; ++i) fl[i] = left[m];
+}
+
+static void pred_planar(const int32_t* top, const int32_t* left, int w,
+                        int h, int32_t* out) {
+  int log2w = log2i(w), log2h = log2i(h);
+  int bl = left[1 + h], tr = top[1 + w];
+  int64_t offset = int64_t(1) << (log2w + log2h);
+  for (int y = 0; y < h; ++y)
+    for (int x = 0; x < w; ++x) {
+      int64_t hor = (int64_t(left[1 + y]) << log2w) +
+                    int64_t(x + 1) * (tr - left[1 + y]);
+      int64_t ver = (int64_t(top[1 + x]) << log2h) +
+                    int64_t(y + 1) * (bl - top[1 + x]);
+      out[y * w + x] =
+          int32_t(((hor << log2h) + (ver << log2w) + offset) >>
+                  (1 + log2w + log2h));
+    }
+}
+
+static void pred_dc(const int32_t* top, const int32_t* left, int w, int h,
+                    int ref_idx, int32_t* out) {
+  int denom = (w == h) ? (w << 1) : std::max(w, h);
+  int shift = log2i(denom);
+  int off = ref_idx + 1;
+  int64_t s = 0;
+  if (w >= h)
+    for (int i = 0; i < w; ++i) s += top[off + i];
+  if (w <= h)
+    for (int i = 0; i < h; ++i) s += left[off + i];
+  int32_t dc = int32_t((s + (denom >> 1)) >> shift);
+  for (int i = 0; i < w * h; ++i) out[i] = dc;
+}
+
+static void pdpc_planar_dc(int32_t* pred, const int32_t* top,
+                           const int32_t* left, int w, int h) {
+  int scale = (log2i(w * h) - 2) >> 2;
+  for (int y = 0; y < h; ++y) {
+    int wt = 32 >> std::min(31, (y << 1) >> scale);
+    for (int x = 0; x < w; ++x) {
+      int wl = 32 >> std::min(31, (x << 1) >> scale);
+      int32_t p = pred[y * w + x];
+      pred[y * w + x] =
+          p + ((wl * (left[1 + y] - p) + wt * (top[1 + x] - p) + 32) >> 6);
+    }
+  }
+}
+
+// main prediction entry; out [h*w]
+static void predict(const int32_t* top_in, int top_len,
+                    const int32_t* left_in, int left_len, int mode, int w,
+                    int h, int bit_depth, bool is_luma, int ref_idx,
+                    int cuw, int cuh, bool isp, int override_pdpc,
+                    int32_t* out) {
+  int maxval = (1 << bit_depth) - 1;
+  Params p = params(w, h, mode, is_luma, ref_idx, cuw, cuh, isp);
+  if (override_pdpc >= 0) p.apply_pdpc = override_pdpc != 0;
+  std::vector<int32_t> ftop, fleft;
+  const int32_t* top = top_in;
+  const int32_t* left = left_in;
+  if (p.ref_filter) {
+    ftop.resize(top_len);
+    fleft.resize(left_len);
+    filter_ref(top_in, top_len, left_in, left_len, ftop.data(),
+               fleft.data());
+    top = ftop.data();
+    left = fleft.data();
+  }
+  if (mode == PLANAR_IDX || mode == DC_IDX) {
+    if (mode == PLANAR_IDX)
+      pred_planar(top, left, w, h, out);
+    else
+      pred_dc(top, left, w, h, ref_idx, out);
+    if (p.apply_pdpc) pdpc_planar_dc(out, top, left, w, h);
+    for (int i = 0; i < w * h; ++i)
+      out[i] = std::min(std::max(out[i], 0), maxval);
+    return;
+  }
+  // angular: work in vertical orientation, transpose for horizontal
+  int m = ref_idx;
+  int tw = p.is_ver ? w : h, th = p.is_ver ? h : w;
+  const int32_t* main_src = p.is_ver ? top : left;
+  int main_src_len = p.is_ver ? top_len : left_len;
+  const int32_t* side_src = p.is_ver ? left : top;
+  int side_src_len = p.is_ver ? left_len : top_len;
+  int isp_main_len = -1;
+  if (isp && cuw > 0)
+    isp_main_len = p.is_ver ? (cuw + w) : (cuh + h);
+
+  std::vector<int32_t> ref_main_v;
+  int base;
+  if (p.angle < 0) {
+    int side = p.is_ver ? h : w;
+    int main_len = (p.is_ver ? w : h) + 2 + m;
+    ref_main_v.assign(size_t(side) + main_len + 4, 0);
+    int base_pre = side;
+    for (int i = 0; i < main_len && i < main_src_len; ++i)
+      ref_main_v[base_pre + i] = main_src[i];
+    for (int k = -side; k < 0; ++k) {
+      int idx = std::min((-k * p.abs_inv_angle + 256) >> 9, side);
+      if (idx >= side_src_len) idx = side_src_len - 1;
+      ref_main_v[base_pre + k] = side_src[idx];
+    }
+    base = base_pre + m;
+  } else {
+    int ref_len = isp_main_len > 0 ? isp_main_len
+                                   : 2 * (p.is_ver ? w : h);
+    int log2_ratio = log2i(w) - log2i(h);
+    int s = std::max(0, p.is_ver ? log2_ratio : -log2_ratio);
+    int max_index = (m << s) + 2;
+    int rows = th;
+    int need = m + ((rows * std::max(p.angle, 0)) >> 5) +
+               (p.is_ver ? w : h) + 8;
+    int alloc = std::max(ref_len + m + max_index + 8, need);
+    ref_main_v.assign(size_t(alloc), 0);
+    int n = std::min(main_src_len, ref_len + m + 1);
+    for (int i = 0; i < n; ++i) ref_main_v[i] = main_src[i];
+    for (int i = n; i < alloc; ++i) ref_main_v[i] = main_src[n - 1];
+    base = m;
+  }
+  const int32_t* ref_main = ref_main_v.data();
+  // ref_side[k] == side_src[m + k]
+  std::vector<int32_t> pred(size_t(th) * tw);
+  if (p.angle == 0) {
+    for (int y = 0; y < th; ++y)
+      for (int x = 0; x < tw; ++x)
+        pred[y * tw + x] = ref_main[base + 1 + x];
+    if (p.apply_pdpc) {
+      int scale = (log2i(tw * th) - 2) >> 2;
+      int top_left = ref_main[base];
+      for (int y = 0; y < th; ++y) {
+        int sidx = m + 1 + y;
+        int lval = side_src[std::min(sidx, side_src_len - 1)];
+        int xmax = std::min(3 << scale, tw);
+        for (int x = 0; x < xmax; ++x) {
+          int wl = 32 >> ((2 * x) >> scale);
+          int v = pred[y * tw + x] + ((wl * (lval - top_left) + 32) >> 6);
+          pred[y * tw + x] = std::min(std::max(v, 0), maxval);
+        }
+      }
+    }
+  } else {
+    bool integer_slope = (std::abs(p.angle) & 31) == 0;
+    int64_t delta_pos = int64_t(p.angle) * (1 + m);
+    for (int y = 0; y < th; ++y) {
+      int delta_int = int(delta_pos >> 5);
+      int frac = int(delta_pos & 31);
+      int32_t* row = pred.data() + size_t(y) * tw;
+      if (integer_slope) {
+        for (int x = 0; x < tw; ++x)
+          row[x] = ref_main[base + delta_int + 1 + x];
+      } else if (is_luma) {
+        int32_t f[4];
+        if (!p.interp) {
+          f[0] = CHROMA_FILTER[frac][0];
+          f[1] = CHROMA_FILTER[frac][1];
+          f[2] = CHROMA_FILTER[frac][2];
+          f[3] = CHROMA_FILTER[frac][3];
+        } else {
+          f[0] = 16 - (frac >> 1);
+          f[1] = 32 - (frac >> 1);
+          f[2] = 16 + (frac >> 1);
+          f[3] = frac >> 1;
+        }
+        for (int x = 0; x < tw; ++x) {
+          int i0 = base + delta_int + x;
+          int v = (f[0] * ref_main[i0] + f[1] * ref_main[i0 + 1] +
+                   f[2] * ref_main[i0 + 2] + f[3] * ref_main[i0 + 3] + 32)
+                  >> 6;
+          if (!p.interp) v = std::min(std::max(v, 0), maxval);
+          row[x] = v;
+        }
+      } else {
+        for (int x = 0; x < tw; ++x) {
+          int i0 = base + delta_int + 1 + x;
+          row[x] = ((32 - frac) * ref_main[i0] + frac * ref_main[i0 + 1] +
+                    16) >> 5;
+        }
+      }
+      delta_pos += p.angle;
+    }
+    if (p.apply_pdpc) {
+      int scale = p.angular_scale;
+      for (int y = 0; y < th; ++y) {
+        int inv_sum = 256;
+        int xmax = std::min(3 << scale, tw);
+        for (int x = 0; x < xmax; ++x) {
+          inv_sum += p.abs_inv_angle;
+          int wl = 32 >> ((2 * x) >> scale);
+          int sidx = m + y + (inv_sum >> 9) + 1;
+          int lval = side_src[std::min(sidx, side_src_len - 1)];
+          int32_t pv = pred[y * tw + x];
+          pred[y * tw + x] = pv + ((wl * (lval - pv) + 32) >> 6);
+        }
+      }
+    }
+  }
+  if (p.is_ver) {
+    for (int i = 0; i < th * tw; ++i)
+      out[i] = std::min(std::max(pred[i], 0), maxval);
+  } else {
+    for (int y = 0; y < h; ++y)
+      for (int x = 0; x < w; ++x) {
+        int32_t v = pred[size_t(x) * tw + y];
+        out[y * w + x] = std::min(std::max(v, 0), maxval);
+      }
+  }
+}
+
+}  // namespace intra
+
+extern "C" {
+
+void vte_predict_intra(const int32_t* top, int top_len, const int32_t* left,
+                       int left_len, int mode, int w, int h, int bit_depth,
+                       int is_luma, int ref_idx, int cuw, int cuh, int isp,
+                       int override_pdpc, int32_t* out) {
+  intra::predict(top, top_len, left, left_len, mode, w, h, bit_depth,
+                 is_luma != 0, ref_idx, cuw, cuh, isp != 0, override_pdpc,
+                 out);
+}
+
+// batch entry: n modes over the SAME references -> out [n, h, w]
+void vte_predict_modes(const int32_t* top, int top_len, const int32_t* left,
+                       int left_len, const int32_t* modes, int n, int w,
+                       int h, int bit_depth, int is_luma, int ref_idx,
+                       int override_pdpc, int32_t* out) {
+  for (int i = 0; i < n; ++i)
+    intra::predict(top, top_len, left, left_len, modes[i], w, h, bit_depth,
+                   is_luma != 0, ref_idx, -1, -1, false, override_pdpc,
+                   out + size_t(i) * w * h);
+}
+
+}  // extern "C"

@@ -146,3 +146,50 @@ def test_aux_subsystems_units():
     assert not dt._match("D_SYNTAX")
     dt.update_ctx(poc=3)
     assert dt._match("D_SYNTAX") and not dt._match("D_CABAC")
+
+
+def test_apply_derived_mt_profile_and_refresh_sec():
+    """mtProfile auto-boost (vvencCfg.cpp:2307-2342 analog), auto thread
+    count (vvencCfg.h:435) and intra-period-in-seconds derivation."""
+    from vvenc_tpu.config.config import (VvencTpuConfig, apply_derived,
+                                         default_thread_count)
+    # auto thread count scales with resolution (capped to cores)
+    lo = VvencTpuConfig(width=640, height=360)
+    hi = VvencTpuConfig(width=3840, height=2160)
+    assert default_thread_count(lo) <= default_thread_count(hi)
+
+    cfg = VvencTpuConfig(width=640, height=360, threads=-1)
+    apply_derived(cfg)
+    assert cfg.threads >= 1
+
+    # boost ladder: 1x default -> WPP, 1.5x -> IFP, 2x -> tiles
+    cfg = VvencTpuConfig(width=640, height=360, threads=4, mt_profile=1)
+    apply_derived(cfg)
+    assert cfg.wpp == 1 and cfg.ifp == 0 and cfg.num_tile_cols == 1
+    cfg = VvencTpuConfig(width=640, height=360, threads=6, mt_profile=1)
+    apply_derived(cfg)
+    assert cfg.wpp == 1 and cfg.ifp == 1 and cfg.num_tile_cols == 1
+    cfg = VvencTpuConfig(width=640, height=360, threads=8, mt_profile=1)
+    apply_derived(cfg)
+    assert cfg.wpp == 1 and cfg.ifp == 1 and cfg.num_tile_cols == 2
+    assert cfg.max_parallel_frames > 0
+    # explicit user settings are never reduced
+    cfg = VvencTpuConfig(width=640, height=360, threads=2, mt_profile=1,
+                         num_tile_cols=3)
+    apply_derived(cfg)
+    assert cfg.num_tile_cols == 3
+
+    # refresh_sec -> intra period in frames, rounded up to a GOP multiple
+    cfg = VvencTpuConfig(width=64, height=64, fps_num=30, fps_den=1,
+                         gop_size=16, refresh_sec=1.0)
+    apply_derived(cfg)
+    assert cfg.intra_period == 32          # 30 frames -> next GOP multiple
+    cfg = VvencTpuConfig(width=64, height=64, fps_num=32, fps_den=1,
+                         gop_size=16, refresh_sec=1.0)
+    apply_derived(cfg)
+    assert cfg.intra_period == 32
+    # explicit intra_period wins over refresh_sec
+    cfg = VvencTpuConfig(width=64, height=64, fps_num=30, fps_den=1,
+                         gop_size=16, refresh_sec=1.0, intra_period=64)
+    apply_derived(cfg)
+    assert cfg.intra_period == 64

@@ -129,3 +129,43 @@ def test_rdoq_bit_exact(w, h):
         ref = _rdoq_py(c, qp, 10, is_luma, lm, ctx, cbf)
         got = native.rdoq(c, qp, 10, is_luma, lm, ctx, cbf)
         assert np.array_equal(ref, got), (w, h, trial, qp)
+
+
+def test_native_predict_intra_matches_python_golden():
+    """Native intra predictor == Python golden model, all mode classes
+    (planar/DC/angular x MDIS/PDPC/MRL/ISP/chroma)."""
+    import numpy as np
+    from vvenc_tpu import native
+    from vvenc_tpu.ops import intra as I
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(5)
+    trials = 0
+    for _ in range(600):
+        w = int(rng.choice([4, 8, 16, 32, 64]))
+        h = int(rng.choice([4, 8, 16, 32, 64]))
+        is_luma = bool(rng.randint(2))
+        if not is_luma:
+            w, h = max(2, w // 2), max(2, h // 2)
+        ref_idx = int(rng.choice([0, 0, 0, 1, 2])) if is_luma else 0
+        mode = int(rng.randint(0, 67))
+        if ref_idx and mode == 0:
+            mode = 1
+        lt, ll = 2 * w + ref_idx + 5, 2 * h + ref_idx + 5
+        top = rng.randint(0, 1 << 10, lt).astype(np.int32)
+        left = rng.randint(0, 1 << 10, ll).astype(np.int32)
+        left[0] = top[0]
+        isp, cd = False, None
+        if rng.randint(4) == 0 and ref_idx == 0 and is_luma:
+            isp, cd = True, (w * int(rng.choice([1, 2])), h)
+        try:
+            ref = I._predict_intra_py(top, left, mode, w, h, 10, is_luma,
+                                      ref_idx=ref_idx, cu_dims=cd, isp=isp)
+        except (AssertionError, IndexError, ValueError):
+            continue
+        got = native.predict_intra(top, left, mode, w, h, 10, is_luma,
+                                   ref_idx, cd, isp)
+        assert np.array_equal(ref, got), (w, h, mode, is_luma, ref_idx)
+        trials += 1
+    assert trials > 300

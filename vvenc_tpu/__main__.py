@@ -53,7 +53,12 @@ def parse_args(argv):
     p.add_argument("--set", action="append", default=[], metavar="K=V",
                    help="expert string-param API (vvenc_set_param analog)")
     p.add_argument("--threads", type=int, default=0,
-                   help="frame-parallel workers (all-intra)")
+                   help="worker-thread budget (-1 = auto from size)")
+    p.add_argument("--mt-profile", action="store_true",
+                   help="auto-enable WPP/IFP/tiles from the thread budget "
+                        "(vvenc mtProfile analog)")
+    p.add_argument("-rs", "--refreshsec", type=float, default=0.0,
+                   help="intra period in seconds (rounded to GOP)")
     p.add_argument("--wpp", action="store_true",
                    help="WPP: per-CTU-row substreams + entry points")
     p.add_argument("--verify", action="store_true",
@@ -127,12 +132,20 @@ def main(argv=None):
         cfg.perceptual_qpa = args.qpa
     if args.wpp:
         cfg.wpp = 1
+    if args.refreshsec:
+        cfg.refresh_sec = args.refreshsec
+    if args.mt_profile:
+        cfg.mt_profile = 1
     if args.threads:
-        cfg.max_parallel_frames = args.threads
-    from .config.config import set_param
+        cfg.threads = args.threads
+    from .config.config import set_param, apply_derived
     for kv in args.set:
         k, _, v = kv.partition("=")
         set_param(cfg, k, v)
+    apply_derived(cfg)
+    if not cfg.mt_profile and cfg.threads > 0 \
+            and cfg.max_parallel_frames == 0:
+        cfg.max_parallel_frames = cfg.threads
     check_config(cfg)
 
     stats = SequenceStats(args.framerate)

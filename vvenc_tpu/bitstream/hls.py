@@ -1338,3 +1338,66 @@ def _parse_sh_rpls(br, sh, sps, pps):
         sh.rpl_idx[1] = -1
         sh.rpls[1] = parse_rpl(br, sps.long_term_refs, sps.log2_max_poc_lsb,
                                forbid_zero, -1)
+
+
+# ---------------------------------------------------------------------------
+# AUD / DCI / VPS (vvenc HLSWriter::codeAUD, codeDCI, codeVPS —
+# VLCWriter.cpp; single-layer VPS scope)
+# ---------------------------------------------------------------------------
+
+def write_aud(bw: BitWriter, irap_or_gdr: bool, pic_type: int) -> None:
+    """Access-unit delimiter (H.266 7.3.2.10): pic_type 0 = I only,
+    1 = I/P, 2 = I/P/B."""
+    bw.write_flag(1 if irap_or_gdr else 0)
+    bw.write(pic_type, 3)
+    bw.write_rbsp_trailing_bits()
+
+
+def parse_aud(br: BitReader):
+    irap_or_gdr = br.read_flag()
+    pic_type = br.read(3)
+    return irap_or_gdr, pic_type
+
+
+def write_dci(bw: BitWriter, ptl: ProfileTierLevel,
+              max_sublayers: int = 1) -> None:
+    """Decoding-capability information (H.266 7.3.2.1)."""
+    bw.write(0, 4)                       # dci_reserved_zero_4bits
+    bw.write(0, 4)                       # dci_num_ptls_minus1
+    write_ptl(bw, ptl, True, max_sublayers - 1)
+    bw.write_flag(0)                     # dci_extension_flag
+    bw.write_rbsp_trailing_bits()
+
+
+def parse_dci(br: BitReader, max_sublayers: int = 1) -> ProfileTierLevel:
+    br.read(4)
+    n = br.read(4) + 1
+    assert n == 1, "multi-PTL DCI unsupported"
+    ptl = parse_ptl(br, True, max_sublayers - 1)
+    br.read_flag()
+    return ptl
+
+
+def write_vps(bw: BitWriter, ptl: ProfileTierLevel, vps_id: int = 1,
+              max_sublayers: int = 1) -> None:
+    """Minimal single-layer VPS (H.266 7.3.2.3).  Single-layer bitstreams
+    do not require a VPS (sps_video_parameter_set_id == 0); this writer
+    exists for API parity with HLSWriter::codeVPS."""
+    assert vps_id > 0 and max_sublayers == 1
+    bw.write(vps_id, 4)                  # vps_video_parameter_set_id
+    bw.write(0, 6)                       # vps_max_layers_minus1
+    bw.write(0, 3)                       # vps_max_sublayers_minus1
+    # single layer + single sublayer: default-ptl / all-independent /
+    # OLS-mode syntax all absent (guarded by vps_max_layers_minus1 > 0)
+    bw.write(0, 6)                       # vps_layer_id[0]
+    bw.write(0, 8)                       # vps_num_ptls_minus1
+    while not bw.is_byte_aligned():
+        bw.write_flag(0)                 # vps_ptl_alignment_zero_bit
+    write_ptl(bw, ptl, True, 0)
+    # each layer is an OLS (inferred): no DPB/HRD blocks
+    bw.write_flag(0)                     # vps_extension_flag
+    bw.write_rbsp_trailing_bits()
+
+
+def parse_vps(br: BitReader) -> int:
+    return br.read(4)

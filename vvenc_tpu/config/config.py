@@ -44,6 +44,8 @@ class VvencTpuConfig:
     # -- structure ---------------------------------------------------------
     gop_size: int = 32
     intra_period: int = 0            # 0: single IDR then inter (frames)
+    refresh_sec: float = 0.0         # intra period in seconds (vvenc
+                                     # m_IntraPeriodSec / --refreshsec)
     decoding_refresh_type: str = "idr"
     # -- partitioning ------------------------------------------------------
     ctu_size: int = 32               # round 1: 32 (max TB 32); target 128
@@ -98,7 +100,8 @@ class VvencTpuConfig:
     ifp: int = 0                     # inter-frame parallel (CTU-line sync)
     ifp_lines: int = 2
     look_ahead: int = 1              # RC lookahead pre-analysis (1-pass)
-    threads: int = 0
+    threads: int = 0                 # worker budget (-1 = auto from size)
+    mt_profile: int = 0              # auto-boost WPP/IFP/tiles from threads
     wpp: int = 0                     # entropy_coding_sync + entry points
     # -- misc --------------------------------------------------------------
     search_range: int = 64           # ME search range (vvenc m_SearchRange)
@@ -201,6 +204,47 @@ def init_preset(cfg: VvencTpuConfig, preset: Preset,
             if getattr(cfg, k) > max_v:
                 setattr(cfg, k, max_v)
     return cfg
+
+
+def default_thread_count(cfg: VvencTpuConfig) -> int:
+    """Size-scaled default worker-thread count (vvencCfg.h:435: 4 below
+    720p, 8 below 2880p, 12 otherwise, capped to available cores)."""
+    import os
+    base = 4 if cfg.height < 720 else (8 if cfg.height < 2880 else 12)
+    return max(1, min(base, os.cpu_count() or 1))
+
+
+def apply_derived(cfg: VvencTpuConfig) -> None:
+    """Derive auto settings before validation (vvenc_init_config analog).
+
+    - threads == -1 resolves to the size-scaled default
+      (vvencCfg.h:435).
+    - mt_profile auto-boost (vvencCfg.cpp:2307-2342): as the thread
+      budget crosses 1x / 1.5x / 2x of the size default, enable WPP,
+      then IFP, then a second tile column; frame parallelism takes the
+      remaining budget.
+    - refresh_sec converts an intra period given in seconds to frames,
+      rounded up to a GOP multiple (vvencCfg.cpp m_IntraPeriodSec
+      derivation).
+    """
+    if cfg.threads < 0:
+        cfg.threads = default_thread_count(cfg)
+    if cfg.mt_profile and cfg.threads > 1:
+        base = 4 if cfg.height < 720 else (8 if cfg.height < 2880 else 12)
+        t = cfg.threads
+        if t >= base:
+            cfg.wpp = max(cfg.wpp, 1)
+        if 2 * t >= 3 * base:
+            cfg.ifp = max(cfg.ifp, 1)
+        if t >= 2 * base:
+            cfg.num_tile_cols = max(cfg.num_tile_cols, 2)
+        if cfg.max_parallel_frames == 0:
+            cfg.max_parallel_frames = min(t, 4)
+    if cfg.refresh_sec > 0 and cfg.intra_period == 0:
+        fps = cfg.fps_num / max(1, cfg.fps_den)
+        frames = max(1, int(round(cfg.refresh_sec * fps)))
+        gop = max(1, cfg.gop_size)
+        cfg.intra_period = max(gop, -(-frames // gop) * gop)
 
 
 def check_config(cfg: VvencTpuConfig) -> None:

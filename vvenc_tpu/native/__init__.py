@@ -92,6 +92,20 @@ def _load():
         ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint16),
         ctypes.POINTER(ctypes.c_int32)]
     lib.vte_tq_quant.restype = ctypes.c_int
+    lib.vte_predict_intra.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int32)]
+    lib.vte_predict_intra.restype = None
+    lib.vte_predict_modes.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int32)]
+    lib.vte_predict_modes.restype = None
 
     # install context-set bases + the estimator frac-bits table
     from ..bitstream import ctx_tables as ct
@@ -240,6 +254,40 @@ def tq_quant(resi: np.ndarray, trh: int, trv: int, qp: int, bit_depth: int,
         float(lmbda), -1 if cbf_ctx_id is None else int(cbf_ctx_id),
         1 if sdh else 0, _u16p(ctx.state0), _u16p(ctx.state1), _i32p(coeff))
     return coeff if cbf else None
+
+
+def predict_intra(top: np.ndarray, left: np.ndarray, mode: int, w: int,
+                  h: int, bit_depth: int, is_luma: bool, ref_idx: int = 0,
+                  cu_dims=None, isp: bool = False, override_pdpc=None
+                  ) -> np.ndarray:
+    """Native intra prediction (ops/intra.py port) -> [h, w] int32."""
+    t = np.ascontiguousarray(top, dtype=np.int32)
+    l_ = np.ascontiguousarray(left, dtype=np.int32)
+    out = np.empty((h, w), dtype=np.int32)
+    cw, ch = cu_dims if cu_dims is not None else (-1, -1)
+    _LIB.vte_predict_intra(
+        _i32p(t), len(t), _i32p(l_), len(l_), mode, w, h, bit_depth,
+        1 if is_luma else 0, ref_idx, cw, ch, 1 if isp else 0,
+        -1 if override_pdpc is None else int(bool(override_pdpc)),
+        _i32p(out))
+    return out
+
+
+def predict_modes(top: np.ndarray, left: np.ndarray, modes, w: int, h: int,
+                  bit_depth: int, is_luma: bool, ref_idx: int = 0,
+                  override_pdpc=None) -> np.ndarray:
+    """Native batched intra prediction over shared references ->
+    [len(modes), h, w] int32 (one crossing for the whole mode list)."""
+    t = np.ascontiguousarray(top, dtype=np.int32)
+    l_ = np.ascontiguousarray(left, dtype=np.int32)
+    m = np.ascontiguousarray(modes, dtype=np.int32)
+    out = np.empty((len(m), h, w), dtype=np.int32)
+    _LIB.vte_predict_modes(
+        _i32p(t), len(t), _i32p(l_), len(l_), _i32p(m), len(m), w, h,
+        bit_depth, 1 if is_luma else 0, ref_idx,
+        -1 if override_pdpc is None else int(bool(override_pdpc)),
+        _i32p(out))
+    return out
 
 
 def rdoq(coeff: np.ndarray, qp: int, bit_depth: int, is_luma: bool,

@@ -195,6 +195,23 @@ def predict_intra(top: np.ndarray, left: np.ndarray, mode: int, w: int, h: int,
                   bit_depth: int = 10, is_luma: bool = True,
                   override_pdpc=None, ref_idx: int = 0,
                   cu_dims=None, isp: bool = False) -> np.ndarray:
+    """Full intra prediction for one block (dispatches to the bit-exact
+    native C++ port when available; _predict_intra_py below is the
+    golden model and fallback — tests/test_native.py enforces exact
+    equivalence)."""
+    from .. import native
+    if native.available():
+        return native.predict_intra(top, left, mode, w, h, bit_depth,
+                                    is_luma, ref_idx, cu_dims, isp,
+                                    override_pdpc)
+    return _predict_intra_py(top, left, mode, w, h, bit_depth, is_luma,
+                             override_pdpc, ref_idx, cu_dims, isp)
+
+
+def _predict_intra_py(top: np.ndarray, left: np.ndarray, mode: int, w: int,
+                      h: int, bit_depth: int = 10, is_luma: bool = True,
+                      override_pdpc=None, ref_idx: int = 0,
+                      cu_dims=None, isp: bool = False) -> np.ndarray:
     """Full intra prediction for one block. top/left per module docstring,
     each with at least 2*side+ref_idx+3 entries (padded by replication);
     for ref_idx > 0 they must come from build_reference_samples(...,

@@ -199,6 +199,10 @@ def predict_intra_modes(top: np.ndarray, left: np.ndarray, modes,
     rejected when ref_idx > 0 (spec).  No ISP/cu_dims support here (the
     ISP path stays on the scalar model).
     """
+    from .. import native
+    if native.available():
+        return native.predict_modes(top, left, list(modes), w, h,
+                                    bit_depth, is_luma, ref_idx)
     top = np.asarray(top, dtype=np.int32)
     left = np.asarray(left, dtype=np.int32)
     modes = np.asarray(modes, dtype=np.int32)
