@@ -1637,3 +1637,159 @@ void vte_predict_modes(const int32_t* top, int top_len, const int32_t* left,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// SATD + fused intra preselection + reference-sample builder
+// (ops/rdcost.py satd / ops/intra_vec.py satd_modes /
+//  ops/intra.py build_reference_samples ports; vvenc RdCostX86.h xGetHADs
+//  and IntraPrediction xFillReferenceSamples:755 analogs)
+// ---------------------------------------------------------------------------
+
+namespace satd {
+
+// vvenc-convention Hadamard SATD of one ts x ts tile of differences
+static int64_t tile(const int32_t* d, int stride, int ts) {
+  int64_t m[8][8], t[8][8];
+  // rows: H @ d  (Hadamard via butterflies would be faster; the direct
+  // form keeps the port obviously identical to the numpy model)
+  static const int H4[4][4] = {
+      {1, 1, 1, 1}, {1, -1, 1, -1}, {1, 1, -1, -1}, {1, -1, -1, 1}};
+  static const int H8[8][8] = {
+      {1, 1, 1, 1, 1, 1, 1, 1},   {1, -1, 1, -1, 1, -1, 1, -1},
+      {1, 1, -1, -1, 1, 1, -1, -1}, {1, -1, -1, 1, 1, -1, -1, 1},
+      {1, 1, 1, 1, -1, -1, -1, -1}, {1, -1, 1, -1, -1, 1, -1, 1},
+      {1, 1, -1, -1, -1, -1, 1, 1}, {1, -1, -1, 1, -1, 1, 1, -1}};
+  for (int i = 0; i < ts; ++i)
+    for (int j = 0; j < ts; ++j) {
+      int64_t acc = 0;
+      for (int k = 0; k < ts; ++k)
+        acc += int64_t(ts == 8 ? H8[i][k] : H4[i][k]) * d[k * stride + j];
+      t[i][j] = acc;
+    }
+  for (int i = 0; i < ts; ++i)
+    for (int j = 0; j < ts; ++j) {
+      int64_t acc = 0;
+      for (int k = 0; k < ts; ++k)
+        acc += t[i][k] * int64_t(ts == 8 ? H8[k][j] : H4[k][j]);
+      m[i][j] = acc;
+    }
+  int64_t s = 0;
+  for (int i = 0; i < ts; ++i)
+    for (int j = 0; j < ts; ++j) s += std::abs(m[i][j]);
+  if (ts == 8) return (s + 2) >> 2;
+  int64_t dc = std::abs(m[0][0]);
+  return ((s - dc + (dc >> 2)) + 1) >> 1;
+}
+
+static int64_t block(const int32_t* src, const int32_t* pred, int w,
+                     int h) {
+  int ts = (h % 8 == 0 && w % 8 == 0) ? 8 : 4;
+  std::vector<int32_t> d(size_t(h) * w);
+  for (size_t i = 0; i < size_t(h) * w; ++i) d[i] = src[i] - pred[i];
+  int64_t s = 0;
+  for (int by = 0; by < h; by += ts)
+    for (int bx = 0; bx < w; bx += ts)
+      s += tile(d.data() + size_t(by) * w + bx, w, ts);
+  return s;
+}
+
+}  // namespace satd
+
+extern "C" {
+
+// SATD of src vs M stacked predictions -> out[M]
+void vte_satd_modes(const int32_t* src, const int32_t* preds, int n, int w,
+                    int h, int64_t* out) {
+  for (int i = 0; i < n; ++i)
+    out[i] = satd::block(src, preds + size_t(i) * w * h, w, h);
+}
+
+// fused preselection: predict each mode over the shared references and
+// return its SATD vs src, never materializing predictions to Python
+void vte_presel_satd(const int32_t* top, int top_len, const int32_t* left,
+                     int left_len, const int32_t* src, const int32_t* modes,
+                     int n, int w, int h, int bit_depth, int is_luma,
+                     int ref_idx, int64_t* out) {
+  std::vector<int32_t> pred(size_t(h) * w);
+  for (int i = 0; i < n; ++i) {
+    intra::predict(top, top_len, left, left_len, modes[i], w, h, bit_depth,
+                   is_luma != 0, ref_idx, -1, -1, false, -1, pred.data());
+    out[i] = satd::block(src, pred.data(), w, h);
+  }
+}
+
+// reference-sample builder (coded-mask availability path of
+// ops/intra.py build_reference_samples; vvenc xFillReferenceSamples:755)
+void vte_build_refs(const int32_t* rec, int ph, int pw, int x, int y,
+                    int w, int h, const uint8_t* coded, int cuh, int cuw,
+                    int unit, int bit_depth, int ref_idx, int pred_size_in,
+                    int pred_hsize_in, int32_t* top, int32_t* left) {
+  int m = ref_idx;
+  int pred_size = (pred_size_in > 0 ? pred_size_in : 2 * w) + m;
+  int pred_hsize = (pred_hsize_in > 0 ? pred_hsize_in : 2 * h) + m;
+  int32_t dc_val = 1 << (bit_depth - 1);
+  int x0 = x - 1 - m, y0 = y - 1 - m;
+  int tl = pred_size + 3, ll = pred_hsize + 3;
+  for (int i = 0; i < tl; ++i) top[i] = dc_val;
+  for (int i = 0; i < ll; ++i) left[i] = dc_val;
+  std::vector<uint8_t> ft(pred_size + 1, 0), fl(pred_hsize + 1, 0);
+  bool any = false;
+  if (y0 >= 0) {
+    for (int j = 0; j <= pred_size; ++j) {
+      int jx = x0 + j;
+      if (jx < 0 || jx >= pw) continue;
+      if (coded[(y0 / unit) * cuw + jx / unit]) {
+        top[j] = rec[size_t(y0) * pw + jx];
+        ft[j] = 1;
+        any = true;
+      }
+    }
+  }
+  if (x0 >= 0) {
+    for (int i = 0; i <= pred_hsize; ++i) {
+      int iy = y0 + i;
+      if (iy < 0 || iy >= ph) continue;
+      if (coded[(iy / unit) * cuw + x0 / unit]) {
+        left[i] = rec[size_t(iy) * pw + x0];
+        fl[i] = 1;
+        any = true;
+      }
+    }
+  }
+  if (any) {
+    // substitution scan: bottom-left upwards, corner, then along the top
+    int total = pred_hsize + 1 + pred_size;
+    std::vector<int32_t> vals(total);
+    std::vector<uint8_t> filled(total);
+    for (int i = 0; i < pred_hsize; ++i) {
+      vals[i] = left[pred_hsize - i];
+      filled[i] = fl[pred_hsize - i];
+    }
+    vals[pred_hsize] = left[0];
+    filled[pred_hsize] = fl[0];
+    for (int j = 0; j < pred_size; ++j) {
+      vals[pred_hsize + 1 + j] = top[1 + j];
+      filled[pred_hsize + 1 + j] = ft[1 + j];
+    }
+    int first = 0;
+    while (first < total && !filled[first]) ++first;
+    int32_t cur = vals[first];
+    for (int i = 0; i < total; ++i) {
+      if (filled[i])
+        cur = vals[i];
+      else
+        vals[i] = cur;
+      if (i < first) vals[i] = vals[first];
+    }
+    // NB: positions before `first` take vals[first]; handled above since
+    // cur starts at vals[first]
+    for (int i = 0; i < pred_hsize; ++i) left[pred_hsize - i] = vals[i];
+    left[0] = vals[pred_hsize];
+    top[0] = vals[pred_hsize];
+    for (int j = 0; j < pred_size; ++j) top[1 + j] = vals[pred_hsize + 1 + j];
+  }
+  for (int i = pred_size + 1; i < tl; ++i) top[i] = top[pred_size];
+  for (int i = pred_hsize + 1; i < ll; ++i) left[i] = left[pred_hsize];
+}
+
+}  // extern "C"

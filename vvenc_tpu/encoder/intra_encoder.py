@@ -1568,9 +1568,16 @@ class _CtuSearcher:
             if self._use_presel():
                 satds67 = self._get_presel().lookup(x, y, w, h)
             if satds67 is None:
-                preds67 = IV.predict_intra_modes(
-                    top, left, range(I.NUM_LUMA_MODE), w, h, bit_depth)
-                satds67 = IV.satd_modes(src_y, preds67)
+                from .. import native
+                if native.available():
+                    # fused native sweep: predictions stay in C++
+                    satds67 = native.presel_satd(
+                        top, left, src_y, range(I.NUM_LUMA_MODE), w, h,
+                        bit_depth)
+                else:
+                    preds67 = IV.predict_intra_modes(
+                        top, left, range(I.NUM_LUMA_MODE), w, h, bit_depth)
+                    satds67 = IV.satd_modes(src_y, preds67)
             for mode in range(I.NUM_LUMA_MODE):
                 mode_bits = (1.5 + mpm.index(mode) if mode in mpm else 7.0)
                 cand.append((int(satds67[mode]) + self.lmbda_sad * mode_bits,

@@ -20,6 +20,11 @@ import subprocess
 
 import numpy as np
 
+# array arguments are passed as raw addresses (ctypes.c_void_p): the
+# wrappers guarantee dtype + C-contiguity via ascontiguousarray, and the
+# int address path is ~3x cheaper per argument than data_as/ndpointer
+_PI32 = _PU16 = _PU8 = _PI64 = ctypes.c_void_p
+
 _REPO = pathlib.Path(__file__).resolve().parents[2]
 _SRC = _REPO / "native" / "entropy.cpp"
 _BUILD_DIR = _REPO / "native" / "build"
@@ -49,63 +54,77 @@ def _load():
     except OSError:
         return None
 
-    lib.vte_init.argtypes = [ctypes.POINTER(ctypes.c_int32),
+    lib.vte_init.argtypes = [_PI32,
                              ctypes.POINTER(ctypes.c_uint32)]
     lib.vte_init.restype = None
     lib.vte_est_residual.argtypes = [
-        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+        _PI32, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint16),
-        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8)]
+        _PU16, _PU16,
+        _PU8, _PU8]
     lib.vte_est_residual.restype = ctypes.c_int64
     lib.vte_rdoq.argtypes = [
-        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+        _PI32, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
         ctypes.c_int,
-        ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint16),
-        ctypes.POINTER(ctypes.c_int32)]
+        _PU16, _PU16,
+        _PI32]
     lib.vte_rdoq.restype = None
     lib.vte_write_residual.argtypes = [
-        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+        _PI32, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint16),
-        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
-        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint8)]
+        _PU16, _PU16,
+        _PU8, _PU8,
+        _PI64, _PU8]
     lib.vte_write_residual.restype = ctypes.c_int
 
     lib.vte_set_trmat.argtypes = [ctypes.c_int, ctypes.c_int,
-                                  ctypes.POINTER(ctypes.c_int32)]
+                                  _PI32]
     lib.vte_set_trmat.restype = None
     lib.vte_tq_trial.argtypes = [
-        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+        _PI32, _PI32,
+        _PI32, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint16),
-        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_int64)]
+        _PU16, _PU16,
+        _PI32, _PI32,
+        _PI64]
     lib.vte_tq_trial.restype = ctypes.c_int
     lib.vte_tq_quant.argtypes = [
-        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+        _PI32, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint16),
-        ctypes.POINTER(ctypes.c_int32)]
+        _PU16, _PU16,
+        _PI32]
     lib.vte_tq_quant.restype = ctypes.c_int
     lib.vte_predict_intra.argtypes = [
-        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
-        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        _PI32, ctypes.c_int,
+        _PI32, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int32)]
+        ctypes.c_int, ctypes.c_int, _PI32]
     lib.vte_predict_intra.restype = None
     lib.vte_predict_modes.argtypes = [
-        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
-        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
-        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+        _PI32, ctypes.c_int,
+        _PI32, ctypes.c_int,
+        _PI32, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.POINTER(ctypes.c_int32)]
+        ctypes.c_int, _PI32]
     lib.vte_predict_modes.restype = None
+    lib.vte_satd_modes.argtypes = [
+        _PI32, _PI32, ctypes.c_int, ctypes.c_int, ctypes.c_int, _PI64]
+    lib.vte_satd_modes.restype = None
+    lib.vte_presel_satd.argtypes = [
+        _PI32, ctypes.c_int, _PI32, ctypes.c_int, _PI32, _PI32,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, _PI64]
+    lib.vte_presel_satd.restype = None
+    lib.vte_build_refs.argtypes = [
+        _PI32, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, _PU8, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, _PI32, _PI32]
+    lib.vte_build_refs.restype = None
 
     # install context-set bases + the estimator frac-bits table
     from ..bitstream import ctx_tables as ct
@@ -119,20 +138,18 @@ def _load():
     bases += [s.offset for s in ct.SIG_COEFF_GROUP]   # 2
     bases_np = np.asarray(bases, dtype=np.int32)
     frac_np = np.ascontiguousarray(FRAC_BITS_TABLE, dtype=np.uint32)
-    lib.vte_init(bases_np.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    lib.vte_init(bases_np.ctypes.data,
                  frac_np.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
 
     # register the transform ROM (single-sourced from ops/transforms.py)
     from ..ops import transforms as T
     for n in (2, 4, 8, 16, 32, 64):
         m = np.ascontiguousarray(T.tr_matrix(n, T.DCT2), dtype=np.int32)
-        lib.vte_set_trmat(T.DCT2, n,
-                          m.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        lib.vte_set_trmat(T.DCT2, n, m.ctypes.data)
     for tt in (T.DST7, T.DCT8):
         for n in (4, 8, 16, 32):
             m = np.ascontiguousarray(T.tr_matrix(n, tt), dtype=np.int32)
-            lib.vte_set_trmat(
-                tt, n, m.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+            lib.vte_set_trmat(tt, n, m.ctypes.data)
     return lib
 
 
@@ -143,16 +160,18 @@ def available() -> bool:
     return _LIB is not None
 
 
+# raw-address helpers: a.ctypes.data is the cheapest per-argument
+# marshaling path (argtypes declare c_void_p)
 def _u16p(a):
-    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
+    return a.ctypes.data
 
 
 def _u8p(a):
-    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    return a.ctypes.data
 
 
 def _i32p(a):
-    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    return a.ctypes.data
 
 
 def est_residual(coeff: np.ndarray, is_luma: bool, dep_quant: bool,
@@ -186,7 +205,6 @@ def write_residual(coeff: np.ndarray, is_luma: bool, dep_quant: bool,
                    sign_hiding: bool, enc) -> None:
     """Writer-path residual coding on a CabacEncoder: encodes the TU's bins
     through the native arithmetic engine, bit-exact vs the Python path."""
-    import ctypes as _ct
     h, w = coeff.shape
     c = np.ascontiguousarray(coeff, dtype=np.int32)
     tls = _tls()
@@ -202,7 +220,7 @@ def write_residual(coeff: np.ndarray, is_luma: bool, dep_quant: bool,
         1 if sign_hiding else 0,
         _u16p(ctx.state0), _u16p(ctx.state1),
         _u8p(ctx.rate0), _u8p(ctx.rate1),
-        st.ctypes.data_as(_ct.POINTER(_ct.c_int64)), _u8p(buf))
+        st.ctypes.data, _u8p(buf))
     enc.low = int(st[0])
     enc.range = int(st[1])
     enc.buffered_byte = int(st[2])
@@ -231,14 +249,14 @@ def tq_trial(resi: np.ndarray, pred: np.ndarray, src: np.ndarray,
     s = np.ascontiguousarray(src, dtype=np.int32)
     coeff = np.empty((h, w), dtype=np.int32)
     rec = np.empty((h, w), dtype=np.int32)
-    dist = ctypes.c_int64()
+    dist = np.zeros(1, dtype=np.int64)
     cbf = _LIB.vte_tq_trial(
         _i32p(r), _i32p(p), _i32p(s), w, h, trh, trv, qp, bit_depth,
         1 if is_luma else 0, float(lmbda),
         -1 if cbf_ctx_id is None else int(cbf_ctx_id), 1 if sdh else 0,
         _u16p(ctx.state0), _u16p(ctx.state1),
-        _i32p(coeff), _i32p(rec), ctypes.byref(dist))
-    return (coeff if cbf else None), rec, int(dist.value)
+        _i32p(coeff), _i32p(rec), dist.ctypes.data)
+    return (coeff if cbf else None), rec, int(dist[0])
 
 
 def tq_quant(resi: np.ndarray, trh: int, trv: int, qp: int, bit_depth: int,
@@ -288,6 +306,55 @@ def predict_modes(top: np.ndarray, left: np.ndarray, modes, w: int, h: int,
         -1 if override_pdpc is None else int(bool(override_pdpc)),
         _i32p(out))
     return out
+
+
+def satd_modes(src: np.ndarray, preds: np.ndarray) -> np.ndarray:
+    """vvenc-convention SATD of src [h, w] vs preds [M, h, w] -> [M]."""
+    m, h, w = preds.shape
+    s = np.ascontiguousarray(src, dtype=np.int32)
+    p = np.ascontiguousarray(preds, dtype=np.int32)
+    out = np.empty(m, dtype=np.int64)
+    _LIB.vte_satd_modes(s.ctypes.data, p.ctypes.data, m, w, h,
+                        out.ctypes.data)
+    return out
+
+
+def presel_satd(top: np.ndarray, left: np.ndarray, src: np.ndarray,
+                modes, w: int, h: int, bit_depth: int,
+                is_luma: bool = True, ref_idx: int = 0) -> np.ndarray:
+    """Fused predict+SATD over shared references -> int64 [len(modes)];
+    predictions never cross back into Python."""
+    t = np.ascontiguousarray(top, dtype=np.int32)
+    l_ = np.ascontiguousarray(left, dtype=np.int32)
+    s = np.ascontiguousarray(src, dtype=np.int32)
+    m = np.ascontiguousarray(modes, dtype=np.int32)
+    out = np.empty(len(m), dtype=np.int64)
+    _LIB.vte_presel_satd(t.ctypes.data, len(t), l_.ctypes.data,
+                         len(l_), s.ctypes.data, m.ctypes.data, len(m),
+                         w, h, bit_depth, 1 if is_luma else 0, ref_idx,
+                         out.ctypes.data)
+    return out
+
+
+def build_refs(rec: np.ndarray, x: int, y: int, w: int, h: int,
+               coded_mask: np.ndarray, unit: int, bit_depth: int,
+               ref_idx: int = 0, pred_sizes=None):
+    """Reference-sample builder (coded-mask path) -> (top, left)."""
+    ph, pw = rec.shape
+    cuh, cuw = coded_mask.shape
+    psz, phs = pred_sizes if pred_sizes is not None else (-1, -1)
+    eff_ps = (psz if psz > 0 else 2 * w) + ref_idx
+    eff_hs = (phs if phs > 0 else 2 * h) + ref_idx
+    top = np.empty(eff_ps + 3, dtype=np.int32)
+    left = np.empty(eff_hs + 3, dtype=np.int32)
+    r = np.ascontiguousarray(rec, dtype=np.int32)
+    c = coded_mask.view(np.uint8) if coded_mask.dtype == np.bool_ \
+        and coded_mask.flags.c_contiguous \
+        else np.ascontiguousarray(coded_mask, dtype=np.uint8)
+    _LIB.vte_build_refs(r.ctypes.data, ph, pw, x, y, w, h,
+                        c.ctypes.data, cuh, cuw, unit, bit_depth, ref_idx,
+                        psz, phs, top.ctypes.data, left.ctypes.data)
+    return top, left
 
 
 def rdoq(coeff: np.ndarray, qp: int, bit_depth: int, is_luma: bool,

@@ -362,6 +362,12 @@ def build_reference_samples(rec: np.ndarray, x: int, y: int, w: int, h: int,
       left[k] = sample at (x - 1 - m, y - 1 - m + k)
     (padded by replication for 4-tap interpolation access).
     """
+    if avail_fn is None:
+        from .. import native
+        if native.available() and rec.dtype == np.int32 \
+                and rec.flags.c_contiguous:
+            return native.build_refs(rec, x, y, w, h, coded_mask, unit,
+                                     bit_depth, ref_idx, pred_sizes)
     m = ref_idx
     pred_size = (2 * w if pred_sizes is None else pred_sizes[0]) + m
     pred_hsize = (2 * h if pred_sizes is None else pred_sizes[1]) + m

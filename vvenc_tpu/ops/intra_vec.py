@@ -279,6 +279,9 @@ def satd_modes(src: np.ndarray, preds: np.ndarray) -> np.ndarray:
 
     Bit-exact vs R.satd_np per mode (same 8x8/4x4 tiling + normalization).
     """
+    from .. import native
+    if native.available():
+        return native.satd_modes(src, preds)
     from .rdcost import _hadamard
     M, h, w = preds.shape
     d = src.astype(np.int64)[None] - preds.astype(np.int64)
