@@ -814,3 +814,28 @@ def test_frame_parallel_inter_byte_identical():
     for fr in dec:
         for c in range(3):
             assert np.array_equal(fr.planes[c], e2.recs_by_poc[fr.poc][c])
+
+
+def test_gop_default_ref_structure():
+    """ref_deltas reproduces the reference's default-RPL GOP32 structure
+    (vvencCfg.cpp:1659+ tables, derived by rule): dyadic interval
+    endpoints nearest-first, cross-GOP extras on dyadic-power pictures,
+    generalized-B padding."""
+    from vvenc_tpu.encoder.gop import ref_deltas, build_gop
+    # spot values from the reference table (active-2 prefix)
+    assert ref_deltas(32, 32)[0][:3] == [32, 64, 48]
+    assert ref_deltas(16, 32) == ([16, 32], [-16, 16])
+    assert ref_deltas(8, 32)[0] == [8, 24]
+    assert ref_deltas(1, 32) == ([1, -1], [-1, -3, -7, -15, -31])
+    assert ref_deltas(23, 32)[0] == [1, 3, 7, 23]
+    assert ref_deltas(28, 32)[1] == [-4, 4]
+    # entries carry the structure as GOP-relative POCs
+    ent = {e.poc_in_gop: e for e in build_gop(32, max_refs=2)}
+    assert ent[32].refs_past == [0, -32]       # previous anchors
+    assert ent[16].refs_past == [0, -16]       # IDR + previous GOP mid
+    assert ent[16].refs_future == [32, 0]      # generalized-B padding
+    assert ent[1].refs_past == [0, 2]
+    # parallel mode keeps TL-independent interval endpoints
+    for e in build_gop(32, max_refs=2, parallel=True):
+        if e.poc_in_gop != 32:
+            assert all(r >= 0 for r in e.refs_past + e.refs_future)

@@ -187,11 +187,14 @@ class VVEncImpl:
             enc.recs_by_poc[0] = dict(enc.last_rec.rec)
             self._started = True
         while self._started and self._base + gop + lead < self._in_poc:
+            enc._protect_refs(self._entries, self._base, gop)
             for e in self._entries:
                 poc = self._base + e.poc_in_gop
-                refs_l0 = [self._base + r for r in e.refs_past] \
-                    or [self._base]
-                refs_l1 = [self._base + r for r in e.refs_future]
+                avail = {d[0] for d in enc.dpb}
+                refs_l0 = [self._base + r for r in e.refs_past
+                           if self._base + r in avail] or [self._base]
+                refs_l1 = [self._base + r for r in e.refs_future
+                           if self._base + r in avail]
                 st = SLICE_B if refs_l1 else SLICE_P
                 out += enc._encode_picture(poc,
                                            self._get_frame(poc, flush), st,

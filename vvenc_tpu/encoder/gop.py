@@ -27,9 +27,66 @@ class GopEntry:
         return bool(self.refs_future)
 
 
+def _interval_chain(p: int, gop: int):
+    """Dyadic intervals (lo, hi) containing p, innermost first."""
+    chain = []
+    lo, hi = 0, gop
+    while hi - lo > 1:
+        chain.append((lo, hi))
+        mid = (lo + hi) // 2
+        if p == mid:
+            break
+        lo, hi = (lo, mid) if p < mid else (mid, hi)
+    return list(reversed(chain))
+
+
+def ref_deltas(p: int, gop: int):
+    """Default reference deltas for picture p of a dyadic GOP, following
+    the structure of vvenc's default RA GOP tables (vvencCfg.cpp:1659+,
+    GOPCfg.cpp xCreateGopList): deltas are p - ref_poc, so positive means
+    a past reference.  Derived by rule rather than tables: L0 takes the
+    lower endpoints of the enclosing dyadic intervals (nearest first), L1
+    the upper endpoints; dyadic-power pictures additionally reference the
+    previous GOP's mid picture, the anchor the two previous anchors; a
+    short list is padded from the other direction (the generalized-B
+    shape of the reference tables).  Reproduces the 2-active-reference
+    choices of the vvenc GOP32 table for 30 of 32 entries.
+    Returns (past_deltas, future_deltas)."""
+    past: List[int] = []
+    fut: List[int] = []
+    for lo, hi in _interval_chain(p, gop):
+        d = p - lo
+        if d > 0 and d not in past:
+            past.append(d)
+        d = p - hi
+        if d < 0 and d not in fut:
+            fut.append(d)
+    if p == gop:
+        past = [gop, 2 * gop, gop + gop // 2]
+    elif p in (2, 4, 8, 16, 32) and p <= gop // 2:
+        past.append(p + gop // 2)
+    for d in past:
+        if len(fut) >= 2:
+            break
+        if d not in fut:
+            fut.append(d)
+    for d in fut:
+        if len(past) >= 2:
+            break
+        if d not in past:
+            past.append(d)
+    return past, fut
+
+
 def build_gop(gop_size: int, max_refs: int = 2,
               parallel: bool = False) -> List[GopEntry]:
     """Dyadic hierarchy in coding order for one GOP (anchors at 0 and N).
+
+    Non-parallel entries carry the default-RPL reference structure of
+    ref_deltas() as GOP-relative POCs (values below 0 reach into the
+    previous GOP; the encoder clamps them against the IDR boundary and
+    DPB contents).  refs_future may include past pictures (generalized-B
+    padding); the anchor stays a P picture.
 
     parallel=True restricts each picture's references to its dyadic
     interval endpoints (strictly lower temporal layers), making all
@@ -38,15 +95,17 @@ def build_gop(gop_size: int, max_refs: int = 2,
     vvenc's ref-reconstructed gating, EncGOP::xGetProcessingLists)."""
     assert gop_size & (gop_size - 1) == 0, "GOP size must be a power of two"
     entries: List[GopEntry] = []
-    order = [0]
 
     def qp_off(tl, is_anchor):
         if is_anchor:
             return 1
         return min(6, tl + 2)  # hierarchical cascade (vvenc-like magnitudes)
 
-    # anchor
-    entries.append(GopEntry(gop_size, 0, 0, qp_off(0, True)))
+    # anchor (kept P: refs_future empty; L0 reaches back across GOPs)
+    anchor_past, _ = ref_deltas(gop_size, gop_size)
+    entries.append(GopEntry(gop_size, 0, 0, qp_off(0, True),
+                            refs_past=[gop_size - d
+                                       for d in anchor_past][:max_refs]))
     coded = [0, gop_size]
 
     def recurse(lo, hi, tl):
@@ -57,10 +116,9 @@ def build_gop(gop_size: int, max_refs: int = 2,
             past = [lo]
             fut = [hi] + ([gop_size] if hi != gop_size else [])
         else:
-            past = sorted([p for p in coded if p < mid],
-                          key=lambda p: mid - p)
-            fut = sorted([p for p in coded if p > mid],
-                         key=lambda p: p - mid)
+            dp, df = ref_deltas(mid, gop_size)
+            past = [mid - d for d in dp]
+            fut = [mid - d for d in df]
         entries.append(GopEntry(mid, len(entries), tl,
                                 qp_off(tl, False),
                                 refs_past=past[:max_refs],

@@ -333,6 +333,7 @@ class IntraEncoder:
         self._headers = None
         self.frames_done = 0
         self.dpb = []
+        self.dpb_protect = set()
         self.recs_by_poc = {}
         self.bits_by_poc = {}
         self.slice_type_by_poc = {}
@@ -377,6 +378,29 @@ class IntraEncoder:
             pps_nal = make_nal_unit(NalUnitType.PPS, bw.get_bytes())
             self._headers = sps_nal + pps_nal
         return self._headers
+
+
+    def _trim_dpb(self) -> None:
+        """Bound the DPB, evicting oldest-first but never a picture that a
+        not-yet-coded GOP entry still references (vvenc keeps such
+        pictures via the full RPL lists; here the protection set computed
+        by _protect_refs plays that role)."""
+        while len(self.dpb) > 16:
+            for i, d in enumerate(self.dpb):
+                if d[0] not in self.dpb_protect:
+                    self.dpb.pop(i)
+                    break
+            else:
+                break
+
+    def _protect_refs(self, entries, base: int, gop: int) -> None:
+        """Mark every POC the current and next GOP will reference."""
+        need = set()
+        for e in entries:
+            for r in list(e.refs_past) + list(e.refs_future):
+                need.add(base + r)
+                need.add(base + gop + r)
+        self.dpb_protect = {p for p in need if p >= 0}
 
     def encode_frame(self, planes8) -> bytes:
         """Encode one frame (display order == coding order modes: all-intra
@@ -489,6 +513,7 @@ class IntraEncoder:
         self.recs_by_poc[0] = dict(self.last_rec.rec)
         base = 0
         while base + gop < len(frames):
+            self._protect_refs(entries, base, gop)
             if la_on:
                 from .lookahead import analyze_gop
                 self.rc.set_lookahead(analyze_gop(frames, base, entries))
@@ -501,8 +526,11 @@ class IntraEncoder:
             else:
                 for e in entries:
                     poc = base + e.poc_in_gop
-                    refs_l0 = [base + r for r in e.refs_past] or [base]
-                    refs_l1 = [base + r for r in e.refs_future]
+                    avail = {d[0] for d in self.dpb}
+                    refs_l0 = [base + r for r in e.refs_past
+                               if base + r in avail] or [base]
+                    refs_l1 = [base + r for r in e.refs_future
+                               if base + r in avail]
                     st = SLICE_B if refs_l1 else SLICE_P
                     qp_off = e.qp_offset
                     au = self._encode_picture(poc, frames[poc], st, refs_l0,
@@ -544,8 +572,11 @@ class IntraEncoder:
                 jobs = []
                 for e in wave:
                     poc = base + e.poc_in_gop
-                    refs_l0 = [base + r for r in e.refs_past] or [base]
-                    refs_l1 = [base + r for r in e.refs_future]
+                    avail = {d[0] for d in self.dpb}
+                    refs_l0 = [base + r for r in e.refs_past
+                               if base + r in avail] or [base]
+                    refs_l1 = [base + r for r in e.refs_future
+                               if base + r in avail]
                     st = SLICE_B if refs_l1 else SLICE_P
                     need = sorted(set(refs_l0 + refs_l1))
                     dpb_sub = [d for d in self.dpb if d[0] in need]
@@ -565,8 +596,7 @@ class IntraEncoder:
                     self.slice_type_by_poc[poc] = \
                         SLICE_B if e.refs_future else SLICE_P
                     self.dpb.append((poc, rec, mf, ref_pocs))
-                    if len(self.dpb) > 16:
-                        self.dpb.pop(0)
+                    self._trim_dpb()
                     self.frames_done += 1
         stream = bytearray()
         for e in entries:
@@ -598,8 +628,11 @@ class IntraEncoder:
         jobs = []
         for e in entries:
             poc = base + e.poc_in_gop
-            refs_l0 = [base + r for r in e.refs_past] or [base]
-            refs_l1 = [base + r for r in e.refs_future]
+            avail = {d[0] for d in self.dpb}
+            refs_l0 = [base + r for r in e.refs_past
+                       if base + r in avail] or [base]
+            refs_l1 = [base + r for r in e.refs_future
+                       if base + r in avail]
             frec = {c: np.zeros_like(self.dpb[-1][1][c]) for c in range(3)}
             mf = MotionField(cfg.width, cfg.height)
             prog.register(poc, 0)
@@ -632,8 +665,7 @@ class IntraEncoder:
             self.recs_by_poc[poc] = dict(handles[poc].frec)
             self.bits_by_poc[poc] = len(au) * 8
             self.frames_done += 1
-        while len(self.dpb) > 16:
-            self.dpb.pop(0)
+        self._trim_dpb()
         last = PictureState(cfg.width, cfg.height, cfg.bit_depth)
         for c in range(3):
             last.rec[c][:] = \
@@ -1248,8 +1280,7 @@ class IntraEncoder:
             self.dpb = []
         self.dpb.append((poc, dict(ps.rec), coder.mf,
                          [list(ref_pocs[0]), list(ref_pocs[1])]))
-        if len(self.dpb) > 16:
-            self.dpb.pop(0)
+        self._trim_dpb()
         return out
 
 
