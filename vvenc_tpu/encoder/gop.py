@@ -129,3 +129,45 @@ def build_gop(gop_size: int, max_refs: int = 2,
 
     recurse(0, gop_size, 1)
     return entries
+
+
+def derive_dpb_params(gop_size: int, max_refs: int = 2):
+    """(max_dec_pic_buffering, num_reorder_pics) for the default GOP
+    structure, by simulating two steady-state GOPs (vvenc GOPCfg
+    getMaxDpbSize / xSetDefaultRPL analog, derived rather than tabled).
+
+    Occupancy counts decoded pictures that are still referenced by a
+    later picture in coding order or not yet bumped out in POC order.
+    """
+    if gop_size <= 1:
+        return 2, 0
+    entries = build_gop(gop_size, max_refs=max_refs)
+    reorder = max(sum(1 for e2 in entries
+                      if e2.coding_order < e.coding_order
+                      and e2.poc_in_gop > e.poc_in_gop)
+                  for e in entries)
+    # absolute two-GOP schedule in coding order (POC 0 is the IDR)
+    sched = [(0, [])]
+    for g in (0, 1):
+        base = g * gop_size
+        for e in entries:
+            refs = [base + r for r in list(e.refs_past)
+                    + list(e.refs_future) if base + r >= 0]
+            sched.append((base + e.poc_in_gop, refs))
+    last_use = {}
+    for step, (_, refs) in enumerate(sched):
+        for r in refs:
+            last_use[r] = step
+    decoded = set()
+    next_out = 0
+    max_occ = 0
+    for step, (poc, _) in enumerate(sched):
+        decoded.add(poc)
+        occ = sum(1 for p in decoded
+                  if last_use.get(p, -1) > step or p >= next_out)
+        max_occ = max(max_occ, occ)
+        while next_out in decoded:
+            next_out += 1
+        decoded = {p for p in decoded
+                   if last_use.get(p, -1) > step or p >= next_out}
+    return max_occ, reorder

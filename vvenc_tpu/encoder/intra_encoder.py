@@ -182,7 +182,14 @@ def build_parameter_sets(cfg: EncoderConfig):
     sps.vui = VUI(progressive_source=1, colour_description_present=1,
                   colour_primaries=1, transfer_characteristics=1,
                   matrix_coefficients=1)
-    sps.max_dec_pic_buffering = [2]
+    # DPB parameters derived from the GOP structure (GOPCfg getMaxDpbSize
+    # analog, simulated rather than tabled — encoder/gop.py)
+    from .gop import derive_dpb_params
+    mdpb, reorder = derive_dpb_params(
+        cfg.gop_size if cfg.intra_period != 1 else 1, cfg.num_refs)
+    sps.max_dec_pic_buffering = [mdpb]
+    sps.num_reorder_pics = [reorder]
+    sps.max_latency_increase = [0]
     sps.rpl_lists = [[], []]
     pps = PPS()
     pps.pic_width = cfg.width
@@ -880,6 +887,21 @@ class IntraEncoder:
                 ref_pics[li] = [by_poc[r][1] for r in refs]
                 ref_pocs[li] = list(refs)
             sh.num_ref_idx = [len(refs_l0), len(refs_l1)]
+            # keep-alive entries: pictures a later GOP entry still needs
+            # are signaled as INACTIVE list-0 references so a spec
+            # decoder's RPL-based DPB marking retains them (the role of
+            # the long inactive tails in vvenc's default RPL tables,
+            # vvencCfg.cpp:1659+); prediction uses only the active prefix
+            if refs_l0 and self.dpb_protect:
+                keep = sorted((p for p in by_poc
+                               if p in self.dpb_protect and p != poc
+                               and p not in refs_l0 and p not in refs_l1),
+                              key=lambda p: abs(p - poc))
+                if keep:
+                    rl = sh.rpls[0]
+                    rl.num_short_term += len(keep)
+                    rl.delta_pocs = list(rl.delta_pocs) + \
+                        [p - poc for p in keep]
             if not refs_l1:
                 sh.rpls[1] = RefPicList()
             if cfg.tmvp:
