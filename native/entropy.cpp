@@ -1793,3 +1793,278 @@ void vte_build_refs(const int32_t* rec, int ph, int pw, int x, int y,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// standalone transform/quant stage entries (ops/transforms.py ports) so
+// the shared decode model's reconstruction paths (ctu_syntax
+// reconstruct_cu and friends) run native without restructuring call
+// sites.  2-D blocks only; the 1-D ISP cases stay on the Python model.
+
+void vte_fwd_transform(const int32_t* resi, int w, int h, int trh, int trv,
+                       int bit_depth, int32_t* out) {
+  tq_fwd(resi, w, h, trh, trv, bit_depth, out);
+}
+
+void vte_dequant(const int32_t* qc, int w, int h, int qp, int bit_depth,
+                 int32_t* out) {
+  static const int64_t INV_QUANT_SCALES[2][6] = {
+      {40, 45, 51, 57, 64, 72}, {57, 64, 72, 80, 90, 102}};
+  int lw = 31 - __builtin_clz(unsigned(w));
+  int lh = 31 - __builtin_clz(unsigned(h));
+  bool sqrt2 = ((lw + lh) & 1) == 1;
+  int tshift = MAX_LOG2_TR_DYNAMIC_RANGE - bit_depth - ((lw + lh) >> 1) +
+               (sqrt2 ? -1 : 0);
+  int right_shift = 6 - (tshift + qp / 6);
+  int64_t scale = INV_QUANT_SCALES[sqrt2 ? 1 : 0][qp % 6];
+  for (size_t i = 0; i < size_t(h) * w; ++i) {
+    int64_t q = std::max<int64_t>(-(1 << 15),
+                                  std::min<int64_t>((1 << 15) - 1, qc[i]));
+    int64_t v;
+    if (right_shift > 0)
+      v = (q * scale + (int64_t(1) << (right_shift - 1))) >> right_shift;
+    else
+      v = (q * scale) << (-right_shift);
+    out[i] = clip_coeff(v);
+  }
+}
+
+void vte_inv_transform(const int32_t* d, int w, int h, int trh, int trv,
+                       int bit_depth, int32_t* out) {
+  const int32_t* Tw = g_trmat[trh][31 - __builtin_clz(unsigned(w))].data();
+  const int32_t* Th = g_trmat[trv][31 - __builtin_clz(unsigned(h))].data();
+  int shift2 = 20 - bit_depth;
+  int64_t rnd1 = 1 << 6;
+  int64_t rnd2 = int64_t(1) << (shift2 - 1);
+  std::vector<int32_t> tmp(size_t(h) * w);
+  for (int i = 0; i < h; ++i)
+    for (int j = 0; j < w; ++j) {
+      int64_t acc = 0;
+      for (int r = 0; r < h; ++r)
+        acc += int64_t(Th[size_t(r) * h + i]) * d[size_t(r) * w + j];
+      tmp[size_t(i) * w + j] = clip_coeff((acc + rnd1) >> 7);
+    }
+  for (int i = 0; i < h; ++i)
+    for (int j = 0; j < w; ++j) {
+      int64_t acc = 0;
+      for (int k = 0; k < w; ++k)
+        acc += int64_t(tmp[size_t(i) * w + k]) * Tw[size_t(k) * w + j];
+      out[size_t(i) * w + j] = clip_coeff((acc + rnd2) >> shift2);
+    }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// CCLM (codec/cclm.py port — H.266 8.4.5.2.13/14; vvenc
+// IntraPrediction::loadLMLumaRecPels:1165, xGetLMParameters:1408,
+// predIntraChromaLM:385).  Shared availability walk + downsamples across
+// all (mode, component) pairs, mirroring cclm_predict_many.
+// ---------------------------------------------------------------------------
+
+namespace cclm {
+
+constexpr int LM = 81, MDLM_L = 82, MDLM_T = 83;
+static const int DIV_SIG[16] = {0, 7, 6, 5, 5, 4, 4, 3,
+                                3, 2, 2, 1, 1, 1, 1, 0};
+
+static int count_avail(const uint8_t* coded, int uw, int uh, int ux,
+                       int uy, int n, int dx, int dy) {
+  int cnt = 0;
+  for (int k = 0; k < n; ++k) {
+    int x = ux + k * dx, y = uy + k * dy;
+    if (x < 0 || y < 0 || x >= uw || y >= uh || !coded[y * uw + x]) break;
+    ++cnt;
+  }
+  return cnt;
+}
+
+}  // namespace cclm
+
+extern "C" {
+
+// preds layout: [n_modes][2][ch*cw] (component order Cb, Cr)
+void vte_cclm_predict(const int32_t* luma, const int32_t* cb,
+                      const int32_t* cr, int ph, int pw, int cph, int cpw,
+                      const uint8_t* coded, int uh, int uw, int cux,
+                      int cuy, int cuw, int cuh, int ctu_size,
+                      int bit_depth, const int32_t* modes, int n_modes,
+                      int32_t* preds) {
+  using namespace cclm;
+  int cx = cux >> 1, cy = cuy >> 1;
+  int cw = cuw >> 1, ch = cuh >> 1;
+  int x0 = cux, y0 = cuy;
+  int above_units = cw >> 1, left_units = ch >> 1;
+  bool above_avail =
+      cy > 0 && count_avail(coded, uw, uh, cx >> 1, (cy - 1) >> 1,
+                            above_units, 1, 0) == above_units;
+  bool left_avail =
+      cx > 0 && count_avail(coded, uw, uh, (cx - 1) >> 1, cy >> 1,
+                            left_units, 0, 1) == left_units;
+  int ar_units = 0, bl_units = 0;
+  if (above_avail)
+    ar_units = count_avail(coded, uw, uh, (cx + cw) >> 1, (cy - 1) >> 1,
+                           above_units, 1, 0);
+  if (left_avail)
+    bl_units = count_avail(coded, uw, uh, (cx - 1) >> 1, (cy + ch) >> 1,
+                           left_units, 0, 1);
+  bool first_ctu_row = (y0 & (ctu_size - 1)) == 0;
+
+  // 6-tap interior downsample -> ds[ch][cw]
+  std::vector<int32_t> ds(size_t(ch) * cw);
+  for (int i = 0; i < ch; ++i) {
+    int yy = y0 + 2 * i;
+    for (int j = 0; j < cw; ++j) {
+      int xx = x0 + 2 * j;
+      int xm1 = (j == 0 && !left_avail) ? xx : xx - 1;
+      int s = 4 + 2 * luma[size_t(yy) * pw + xx] +
+              luma[size_t(yy) * pw + xx + 1] + luma[size_t(yy) * pw + xm1] +
+              2 * luma[size_t(yy + 1) * pw + xx] +
+              luma[size_t(yy + 1) * pw + xx + 1] +
+              luma[size_t(yy + 1) * pw + xm1];
+      ds[size_t(i) * cw + j] = s >> 3;
+    }
+  }
+  // per-mode geometry + shared boundary downsamples at max lengths
+  int top_max = 0, left_max = 0;
+  struct Geo { bool ua, ul; int tn, ln; } geo[8];
+  for (int mi = 0; mi < n_modes; ++mi) {
+    int mode = modes[mi];
+    bool ua = above_avail, ul = left_avail;
+    int tn = 0, ln = 0;
+    if (mode == MDLM_T) {
+      ul = false;
+      tn = above_avail
+               ? 2 * ((cw >> 1) + std::min(ar_units, ch >> 1)) : 0;
+    } else if (mode == MDLM_L) {
+      ua = false;
+      ln = left_avail
+               ? 2 * ((ch >> 1) + std::min(bl_units, cw >> 1)) : 0;
+    } else {
+      tn = above_avail ? cw : 0;
+      ln = left_avail ? ch : 0;
+    }
+    geo[mi] = {ua, ul, tn, ln};
+    if (ua) top_max = std::max(top_max, tn);
+    if (ul) left_max = std::max(left_max, ln);
+  }
+  std::vector<int32_t> ds_above(std::max(top_max, 1));
+  std::vector<int32_t> ds_left(std::max(left_max, 1));
+  for (int j = 0; j < top_max; ++j) {
+    int xx = x0 + 2 * j;
+    int xm1 = (j == 0 && !left_avail) ? xx : xx - 1;
+    if (first_ctu_row) {
+      int ly = y0 - 1;
+      int s = 2 + 2 * luma[size_t(ly) * pw + xx] +
+              luma[size_t(ly) * pw + xm1] + luma[size_t(ly) * pw + xx + 1];
+      ds_above[j] = s >> 2;
+    } else {
+      int ly = y0 - 2;
+      int s = 4 + 2 * luma[size_t(ly) * pw + xx] +
+              luma[size_t(ly) * pw + xx + 1] + luma[size_t(ly) * pw + xm1] +
+              2 * luma[size_t(ly + 1) * pw + xx] +
+              luma[size_t(ly + 1) * pw + xx + 1] +
+              luma[size_t(ly + 1) * pw + xm1];
+      ds_above[j] = s >> 3;
+    }
+  }
+  for (int i = 0; i < left_max; ++i) {
+    int yy = y0 + 2 * i;
+    int lx = x0 - 2;
+    int s = 4 + 2 * luma[size_t(yy) * pw + lx] +
+            luma[size_t(yy) * pw + lx + 1] + luma[size_t(yy) * pw + lx - 1] +
+            2 * luma[size_t(yy + 1) * pw + lx] +
+            luma[size_t(yy + 1) * pw + lx + 1] +
+            luma[size_t(yy + 1) * pw + lx - 1];
+    ds_left[i] = s >> 3;
+  }
+
+  int maxval = (1 << bit_depth) - 1;
+  for (int mi = 0; mi < n_modes; ++mi) {
+    bool ua = geo[mi].ua, ul = geo[mi].ul;
+    int tn = geo[mi].tn, ln = geo[mi].ln;
+    int above_is4 = ul ? 0 : 1;
+    int left_is4 = ua ? 0 : 1;
+    int pos_t[4], pos_l[4];
+    int cnt_t = 0, cnt_l = 0;
+    if (ua) {
+      cnt_t = std::min(tn, (1 + above_is4) << 1);
+      int start = tn >> (2 + above_is4);
+      int step = std::max(1, tn >> (1 + above_is4));
+      for (int k = 0; k < cnt_t; ++k) pos_t[k] = start + k * step;
+    }
+    if (ul) {
+      cnt_l = std::min(ln, (1 + left_is4) << 1);
+      int start = ln >> (2 + left_is4);
+      int step = std::max(1, ln >> (1 + left_is4));
+      for (int k = 0; k < cnt_l; ++k) pos_l[k] = start + k * step;
+    }
+    for (int comp = 0; comp < 2; ++comp) {
+      const int32_t* chroma = comp == 0 ? cb : cr;
+      int64_t sel_l[4] = {0, 0, 0, 0}, sel_c[4] = {0, 0, 0, 0};
+      for (int k = 0; k < cnt_t; ++k) {
+        sel_l[k] = ds_above[pos_t[k]];
+        sel_c[k] = chroma[size_t(cy - 1) * cpw + cx + pos_t[k]];
+      }
+      for (int k = 0; k < cnt_l; ++k) {
+        sel_l[cnt_t + k] = ds_left[pos_l[k]];
+        sel_c[cnt_t + k] = chroma[size_t(cy + pos_l[k]) * cpw + cx - 1];
+      }
+      int cnt = cnt_t + cnt_l;
+      if (cnt == 2) {
+        sel_l[3] = sel_l[0]; sel_c[3] = sel_c[0];
+        sel_l[2] = sel_l[1]; sel_c[2] = sel_c[1];
+        sel_l[0] = sel_l[1]; sel_c[0] = sel_c[1];
+        sel_l[1] = sel_l[3]; sel_c[1] = sel_c[3];
+      }
+      int64_t a = 0, b = 1 << (bit_depth - 1);
+      int shift = 0;
+      if (ua || ul) {
+        int mn[2] = {0, 2}, mx[2] = {1, 3};
+        if (sel_l[mn[0]] > sel_l[mn[1]]) std::swap(mn[0], mn[1]);
+        if (sel_l[mx[0]] > sel_l[mx[1]]) std::swap(mx[0], mx[1]);
+        if (sel_l[mn[0]] > sel_l[mx[1]]) {
+          std::swap(mn[0], mx[0]);
+          std::swap(mn[1], mx[1]);
+        }
+        if (sel_l[mn[1]] > sel_l[mx[0]]) std::swap(mn[1], mx[0]);
+        int64_t min_l = (sel_l[mn[0]] + sel_l[mn[1]] + 1) >> 1;
+        int64_t min_c = (sel_c[mn[0]] + sel_c[mn[1]] + 1) >> 1;
+        int64_t max_l = (sel_l[mx[0]] + sel_l[mx[1]] + 1) >> 1;
+        int64_t max_c = (sel_c[mx[0]] + sel_c[mx[1]] + 1) >> 1;
+        int64_t diff = max_l - min_l;
+        if (diff > 0) {
+          int64_t diff_c = max_c - min_c;
+          int x = 63 - __builtin_clzll(uint64_t(diff));
+          int norm_diff = int(((diff << 4) >> x) & 15);
+          int64_t v = DIV_SIG[norm_diff] | 8;
+          x += int(norm_diff != 0);
+          int y = 0;
+          if (diff_c != 0) {
+            uint64_t ad = uint64_t(diff_c < 0 ? -diff_c : diff_c);
+            y = 64 - __builtin_clzll(ad);
+          }
+          int64_t add = (int64_t(1) << y) >> 1;
+          a = (diff_c * v + add) >> y;
+          shift = 3 + x - y;
+          if (shift < 1) {
+            shift = 1;
+            a = a == 0 ? 0 : (a < 0 ? -15 : 15);
+          }
+          b = min_c - ((a * min_l) >> shift);
+        } else {
+          a = 0;
+          b = min_c;
+          shift = 0;
+        }
+      }
+      int32_t* out = preds + (size_t(mi) * 2 + comp) * ch * cw;
+      for (size_t i = 0; i < size_t(ch) * cw; ++i) {
+        int64_t v = ((a * ds[i]) >> shift) + b;
+        out[i] = int32_t(std::min<int64_t>(maxval, std::max<int64_t>(0, v)));
+      }
+    }
+  }
+}
+
+}  // extern "C"

@@ -94,6 +94,11 @@ def cclm_predict_many(ps, cu, bit_depth: int, ctu_size: int,
     cheap while this host path was the profile's second-hottest entry.
     Returns {(mode, comp): pred[ch, cw] int32}.
     """
+    from .. import native
+    if native.available() and ps.rec[0].dtype == np.int32 \
+            and ps.rec[0].flags.c_contiguous:
+        return native.cclm_predict_many(ps, cu, bit_depth, ctu_size,
+                                        modes, comps)
     cx, cy = cu.x >> 1, cu.y >> 1
     cw, ch = cu.w >> 1, cu.h >> 1
     x0, y0 = cu.x, cu.y          # luma position

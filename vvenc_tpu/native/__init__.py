@@ -125,6 +125,20 @@ def _load():
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, _PI32, _PI32]
     lib.vte_build_refs.restype = None
+    for nm in ("vte_fwd_transform", "vte_inv_transform"):
+        getattr(lib, nm).argtypes = [
+            _PI32, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, _PI32]
+        getattr(lib, nm).restype = None
+    lib.vte_dequant.argtypes = [_PI32, ctypes.c_int, ctypes.c_int,
+                                ctypes.c_int, ctypes.c_int, _PI32]
+    lib.vte_dequant.restype = None
+    lib.vte_cclm_predict.argtypes = [
+        _PI32, _PI32, _PI32, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, _PU8, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, _PI32, ctypes.c_int, _PI32]
+    lib.vte_cclm_predict.restype = None
 
     # install context-set bases + the estimator frac-bits table
     from ..bitstream import ctx_tables as ct
@@ -355,6 +369,62 @@ def build_refs(rec: np.ndarray, x: int, y: int, w: int, h: int,
                         c.ctypes.data, cuh, cuw, unit, bit_depth, ref_idx,
                         psz, phs, top.ctypes.data, left.ctypes.data)
     return top, left
+
+
+def cclm_predict_many(ps, cu, bit_depth: int, ctu_size: int, modes,
+                      comps=(1, 2)) -> dict:
+    """Native CCLM predictions for modes x components -> {(mode, comp):
+    pred [ch, cw] int32}; shared availability/downsample work in C++."""
+    luma = ps.rec[0]
+    cb, cr = ps.rec[1], ps.rec[2]
+    coded = ps.avail_chroma()
+    c = coded.view(np.uint8) if coded.dtype == np.bool_ \
+        and coded.flags.c_contiguous \
+        else np.ascontiguousarray(coded, dtype=np.uint8)
+    uh, uw = coded.shape
+    ph, pw = luma.shape
+    cph, cpw = cb.shape
+    cw, ch = cu.w >> 1, cu.h >> 1
+    m = np.ascontiguousarray(list(modes), dtype=np.int32)
+    preds = np.empty((len(m), 2, ch, cw), dtype=np.int32)
+    _LIB.vte_cclm_predict(
+        luma.ctypes.data, cb.ctypes.data, cr.ctypes.data, ph, pw, cph,
+        cpw, c.ctypes.data, uh, uw, cu.x, cu.y, cu.w, cu.h, ctu_size,
+        bit_depth, m.ctypes.data, len(m), preds.ctypes.data)
+    out = {}
+    for i, mode in enumerate(m.tolist()):
+        for ci, comp in enumerate((1, 2)):
+            if comp in comps:
+                out[(mode, comp)] = preds[i, ci]
+    return out
+
+
+def fwd_transform(resi: np.ndarray, bit_depth: int, trh: int, trv: int
+                  ) -> np.ndarray:
+    h, w = resi.shape
+    r = np.ascontiguousarray(resi, dtype=np.int32)
+    out = np.empty((h, w), dtype=np.int32)
+    _LIB.vte_fwd_transform(r.ctypes.data, w, h, trh, trv, bit_depth,
+                           out.ctypes.data)
+    return out
+
+
+def inv_transform(d: np.ndarray, bit_depth: int, trh: int, trv: int
+                  ) -> np.ndarray:
+    h, w = d.shape
+    c = np.ascontiguousarray(d, dtype=np.int32)
+    out = np.empty((h, w), dtype=np.int32)
+    _LIB.vte_inv_transform(c.ctypes.data, w, h, trh, trv, bit_depth,
+                           out.ctypes.data)
+    return out
+
+
+def dequant(qc: np.ndarray, qp: int, bit_depth: int) -> np.ndarray:
+    h, w = qc.shape
+    c = np.ascontiguousarray(qc, dtype=np.int32)
+    out = np.empty((h, w), dtype=np.int32)
+    _LIB.vte_dequant(c.ctypes.data, w, h, qp, bit_depth, out.ctypes.data)
+    return out
 
 
 def rdoq(coeff: np.ndarray, qp: int, bit_depth: int, is_luma: bool,

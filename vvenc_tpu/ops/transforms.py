@@ -190,6 +190,17 @@ def _dct2_jnp(n: int):
 # numpy golden model (spec semantics, used by the subset decoder)
 # ---------------------------------------------------------------------------
 
+def _native_tr(w: int, h: int, tr_hor: int, tr_ver: int) -> bool:
+    """True when the native transform kernels cover this block (2-D, all
+    registered matrix sizes: DCT2 2..64, DST7/DCT8 4..32)."""
+    from .. import native
+    if not native.available():
+        return False
+    ok_h = (2 <= w <= 64) if tr_hor == DCT2 else (4 <= w <= 32)
+    ok_v = (2 <= h <= 64) if tr_ver == DCT2 else (4 <= h <= 32)
+    return ok_h and ok_v
+
+
 def fwd_transform_np(resi: np.ndarray, bit_depth: int = 10,
                      tr_hor: int = DCT2, tr_ver: int = DCT2) -> np.ndarray:
     """Forward 2-D primary transform of one block [H, W] -> coeffs [H, W].
@@ -207,6 +218,9 @@ def fwd_transform_np(resi: np.ndarray, bit_depth: int = 10,
         if n > z:
             out[z:] = 0
         return out.reshape(resi.shape)
+    if _native_tr(w, h, tr_hor, tr_ver):
+        from .. import native
+        return native.fwd_transform(resi, bit_depth, tr_hor, tr_ver)
     shift1 = log2w + bit_depth + 6 - MAX_LOG2_TR_DYN_RANGE
     shift2 = log2h + 6
     twt = _tr_matrix_i64_t(w, tr_hor)
@@ -240,6 +254,9 @@ def inv_transform_np(coeff: np.ndarray, bit_depth: int = 10,
         out = (t.T @ vec + (1 << (shift - 1))) >> shift
         return np.clip(out, COEFF_MIN, COEFF_MAX).astype(
             np.int32).reshape(coeff.shape)
+    if _native_tr(w, h, tr_hor, tr_ver):
+        from .. import native
+        return native.inv_transform(coeff, bit_depth, tr_hor, tr_ver)
     shift1 = 7
     shift2 = 20 - bit_depth
     tw = _tr_matrix_i64(w, tr_hor)
@@ -297,6 +314,10 @@ def quant_np(coeff: np.ndarray, qp: int, bit_depth: int = 10,
 def dequant_np(qcoeff: np.ndarray, qp: int, bit_depth: int = 10) -> np.ndarray:
     """Spec dequantization (H.266 8.7.3, flat scaling list)."""
     h, w = qcoeff.shape
+    if w > 1 and h > 1:
+        from .. import native
+        if native.available():
+            return native.dequant(qcoeff, qp, bit_depth)
     sqrt2 = needs_sqrt2(w, h)
     tshift = transform_shift(w, h, bit_depth) + (-1 if sqrt2 else 0)
     right_shift = 6 - (tshift + qp // 6)
