@@ -124,3 +124,78 @@ def test_streaming_matches_batch_ra_mctf():
     stream += au
     assert bytes(stream) == batch, "streaming+MCTF != batch bitstream"
     assert len(decode_stream(bytes(stream))) == 20
+
+
+def test_drap_period_mode():
+    """Dependent-RAP mode (vvenc m_drapPeriod analog): the DRAP anchor
+    references only the IDR, trailing pictures never reach below the
+    DRAP (except the IDR), the DRAP SEI is emitted, and streaming
+    output stays byte-identical to batch."""
+    import numpy as np
+    from vvenc_tpu.encoder import IntraEncoder, EncoderConfig
+    from vvenc_tpu.encoder.intra_encoder import IntraEncoder as _IE
+    from vvenc_tpu.decoder import decode_stream
+    from vvenc_tpu.bitstream.nal import split_annexb, NalUnitType
+    from vvenc_tpu.bitstream.sei import parse_sei_rbsp, SEI_DEPENDENT_RAP
+
+    w, h = 96, 48
+    rng = np.random.RandomState(9)
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for t in range(25):
+        y = np.clip(100 + 60 * np.sin((xx + 3 * t) / 9.0)
+                    + rng.randn(h, w) * 2, 0, 255).astype(np.uint8)
+        u = np.full((h // 2, w // 2), 120, np.uint8)
+        v = np.full((h // 2, w // 2), 130, np.uint8)
+        frames.append((y, u, v))
+    kw = dict(width=w, height=h, qp=34, ctu_size=32, intra_period=0,
+              gop_size=8, deblocking=True, drap_period=16, mctf=False)
+    seen = {}
+    orig = _IE._encode_picture
+
+    def spy(self, poc, fr, st, l0, l1, *a, **k):
+        seen[poc] = (list(l0), list(l1))
+        return orig(self, poc, fr, st, l0, l1, *a, **k)
+
+    _IE._encode_picture = spy
+    try:
+        enc = IntraEncoder(EncoderConfig(**kw))
+        stream = enc.encode_sequence(frames)
+    finally:
+        _IE._encode_picture = orig
+    # DRAP anchor at POC 16 references only the IDR
+    assert seen[16] == ([0], [])
+    # trailing pictures (POC > 16) never reference below the DRAP
+    for poc, (l0, l1) in seen.items():
+        if poc > 16:
+            assert all(r >= 16 or r == 0 for r in l0 + l1), (poc, l0, l1)
+    # the DRAP indication SEI is in the stream
+    found = False
+    for nt, _, payload in split_annexb(stream):
+        if nt == NalUnitType.PREFIX_SEI:
+            for pt, _ in parse_sei_rbsp(payload):
+                if pt == SEI_DEPENDENT_RAP:
+                    found = True
+    assert found, "DRAP SEI missing"
+    # stream decodes fully and matches the encoder recon
+    dec = sorted(decode_stream(stream), key=lambda f: f.poc)
+    assert len(dec) == 25
+    for fr in dec:
+        for c in range(3):
+            assert np.array_equal(fr.planes[c], enc.recs_by_poc[fr.poc][c])
+    # streaming parity with DRAP enabled
+    from vvenc_tpu.api import VVEncImpl, VVENC_OK
+    from vvenc_tpu.config.config import VvencTpuConfig
+    cfg = VvencTpuConfig(width=w, height=h, qp=34, ctu_size=32,
+                         intra_period=0, gop_size=8, deblocking=1,
+                         drap_period=16)
+    impl = VVEncImpl()
+    assert impl.init(cfg) == VVENC_OK
+    out = b""
+    for f in frames:
+        au, done, rc = impl.encode(f)
+        assert rc == VVENC_OK
+        out += au
+    au, done, rc = impl.encode(None)
+    out += au
+    assert out == stream

@@ -74,6 +74,7 @@ def encoder_config_from(cfg, args) -> "EncoderConfig":
         input_bit_depth=cfg.input_bit_depth,
         num_full_rd_modes=cfg.num_full_rd_modes,
         num_chroma_rd_modes=cfg.num_chroma_rd_modes,
+        drap_period=cfg.drap_period,
         max_mtt_depth=cfg.max_mtt_depth_i, deblocking=bool(cfg.deblocking),
         intra_period=cfg.intra_period, gop_size=cfg.gop_size,
         dep_quant=bool(cfg.dep_quant),

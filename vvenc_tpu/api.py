@@ -191,15 +191,38 @@ class VVEncImpl:
             for e in self._entries:
                 poc = self._base + e.poc_in_gop
                 avail = {d[0] for d in enc.dpb}
-                refs_l0 = [self._base + r for r in e.refs_past
-                           if self._base + r in avail] or [self._base]
-                refs_l1 = [self._base + r for r in e.refs_future
-                           if self._base + r in avail]
+
+                def _ok(p):
+                    if p not in avail:
+                        return False
+                    if poc > enc._drap_floor:
+                        return p >= enc._drap_floor or p == 0
+                    return True
+                is_drap = (cfg.drap_period > 0
+                           and e.poc_in_gop == cfg.gop_size
+                           and poc % cfg.drap_period == 0)
+                if is_drap:
+                    refs_l0, refs_l1 = [0], []
+                else:
+                    refs_l0 = [self._base + r for r in e.refs_past
+                               if _ok(self._base + r)] or [self._base]
+                    refs_l1 = [self._base + r for r in e.refs_future
+                               if _ok(self._base + r)]
                 st = SLICE_B if refs_l1 else SLICE_P
-                out += enc._encode_picture(poc,
-                                           self._get_frame(poc, flush), st,
-                                           refs_l0, refs_l1, e.qp_offset,
-                                           tlayer=e.temporal_layer)
+                au = enc._encode_picture(poc,
+                                         self._get_frame(poc, flush), st,
+                                         refs_l0, refs_l1, e.qp_offset,
+                                         tlayer=e.temporal_layer)
+                if is_drap:
+                    from .bitstream.sei import (write_sei_nal,
+                                                SeiDrapIndication,
+                                                SEI_DEPENDENT_RAP)
+                    au = write_sei_nal(
+                        [(SEI_DEPENDENT_RAP,
+                          SeiDrapIndication().payload())],
+                        prefix=True) + au
+                    enc._drap_floor = poc
+                out += au
                 enc.recs_by_poc[poc] = dict(enc.last_rec.rec)
             for p in range(self._base, self._base + gop):
                 self._filt.pop(p, None)

@@ -31,6 +31,7 @@ SEI_PIC_TIMING = 1
 SEI_DECODED_PICTURE_HASH = 132
 SEI_MASTERING_DISPLAY = 137
 SEI_CONTENT_LIGHT_LEVEL = 144
+SEI_DEPENDENT_RAP = 145
 SEI_ALTERNATIVE_TRANSFER = 147
 
 HASH_MD5, HASH_CRC, HASH_CHECKSUM = 0, 1, 2
@@ -169,6 +170,29 @@ class SeiContentLightLevel:
     def payload(self) -> bytes:
         return self.max_cll.to_bytes(2, "big") + \
             self.max_fall.to_bytes(2, "big")
+
+
+@dataclass
+class SeiDrapIndication:
+    """Dependent-RAP indication (H.274 8.2.x; vvenc SEI.h:269
+    SEIDependentRAPIndication): presence-only payload — the picture
+    references only the associated IRAP, so decoding can start at it.
+    The payload is empty syntax; the byte carries the payload-alignment
+    stop bit (vvenc SEIwrite xWriteSEIpayloadData alignment)."""
+
+    def payload(self) -> bytes:
+        return b"\x80"
+
+
+@dataclass
+class SeiAlternativeTransfer:
+    """Alternative transfer characteristics (vvenc SEI.h:533): signals a
+    preferred transfer function (e.g. HLG ARIB-STD B67 = 18) on top of
+    the VUI one."""
+    preferred_transfer_characteristics: int = 18
+
+    def payload(self) -> bytes:
+        return bytes([self.preferred_transfer_characteristics])
 
 
 @dataclass

@@ -47,6 +47,8 @@ class VvencTpuConfig:
     refresh_sec: float = 0.0         # intra period in seconds (vvenc
                                      # m_IntraPeriodSec / --refreshsec)
     decoding_refresh_type: str = "idr"
+    drap_period: int = 0             # dependent-RAP SEI period
+                                     # (vvenc m_drapPeriod)
     # -- partitioning ------------------------------------------------------
     ctu_size: int = 32               # round 1: 32 (max TB 32); target 128
     min_qt_size: int = 8

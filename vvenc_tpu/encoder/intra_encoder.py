@@ -61,6 +61,7 @@ class EncoderConfig:
     fps_den: int = 1
     num_full_rd_modes: int = 3     # full-RD candidates after SATD preselection
     num_chroma_rd_modes: int = 0   # chroma full-RD modes (0 = all)
+    drap_period: int = 0           # dependent-RAP period (frames; 0 off)
     mode_cache: bool = True        # EncModeCtrl save/load: reuse an area's
                                    # winning intra modes across partitioning
                                    # paths (skips the 67-mode re-sweep)
@@ -341,6 +342,7 @@ class IntraEncoder:
         self.frames_done = 0
         self.dpb = []
         self.dpb_protect = set()
+        self._drap_floor = 0       # POC of the last DRAP picture
         self.recs_by_poc = {}
         self.bits_by_poc = {}
         self.slice_type_by_poc = {}
@@ -534,15 +536,39 @@ class IntraEncoder:
                 for e in entries:
                     poc = base + e.poc_in_gop
                     avail = {d[0] for d in self.dpb}
-                    refs_l0 = [base + r for r in e.refs_past
-                               if base + r in avail] or [base]
-                    refs_l1 = [base + r for r in e.refs_future
-                               if base + r in avail]
+
+                    def _ok(p):
+                        if p not in avail:
+                            return False
+                        # after a DRAP, trailing pictures may only reach
+                        # the DRAP or the IRAP (H.274 DRAP semantics)
+                        if poc > self._drap_floor:
+                            return p >= self._drap_floor or p == 0
+                        return True
+                    is_drap = (cfg.drap_period > 0
+                               and e.poc_in_gop == cfg.gop_size
+                               and poc % cfg.drap_period == 0)
+                    if is_drap:
+                        refs_l0, refs_l1 = [0], []
+                    else:
+                        refs_l0 = [base + r for r in e.refs_past
+                                   if _ok(base + r)] or [base]
+                        refs_l1 = [base + r for r in e.refs_future
+                                   if _ok(base + r)]
                     st = SLICE_B if refs_l1 else SLICE_P
                     qp_off = e.qp_offset
                     au = self._encode_picture(poc, frames[poc], st, refs_l0,
                                               refs_l1, qp_off,
                                               tlayer=e.temporal_layer)
+                    if is_drap:
+                        from ..bitstream.sei import (write_sei_nal,
+                                                     SeiDrapIndication,
+                                                     SEI_DEPENDENT_RAP)
+                        au = write_sei_nal(
+                            [(SEI_DEPENDENT_RAP,
+                              SeiDrapIndication().payload())],
+                            prefix=True) + au
+                        self._drap_floor = poc
                     stream += au
                     self.recs_by_poc[poc] = dict(self.last_rec.rec)
             base += gop
