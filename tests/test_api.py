@@ -199,3 +199,39 @@ def test_drap_period_mode():
     au, done, rc = impl.encode(None)
     out += au
     assert out == stream
+
+
+def test_drap_irap_survives_dpb_trim():
+    """Regression (round-2 advisor, high): once the sequence outgrows the
+    16-entry DPB the associated IRAP (POC 0) must stay protected so the
+    third DRAP can still reference it — previously _trim_dpb evicted it
+    (KeyError: 0 at the POC-32 DRAP with 40 frames, gop 8, period 16)."""
+    from vvenc_tpu.decoder import decode_stream
+
+    w, h = 64, 32
+    frames = _frames(w, h, 41, seed=11)
+    cfg = EncoderConfig(width=w, height=h, qp=37, ctu_size=32,
+                        intra_period=0, gop_size=8, drap_period=16,
+                        mctf=False, deblocking=False)
+    enc = IntraEncoder(cfg)
+    stream = enc.encode_sequence(frames)
+    dec = sorted(decode_stream(stream), key=lambda f: f.poc)
+    assert len(dec) == 41
+    for fr in dec:
+        for c in range(3):
+            assert np.array_equal(fr.planes[c], enc.recs_by_poc[fr.poc][c])
+
+
+def test_drap_period_validation():
+    """check_config rejects unsound drap_period combinations (round-2
+    advisor, low): non-multiple of gop_size, or multiple IRAPs."""
+    import pytest
+    from vvenc_tpu.config.config import check_config
+
+    base = dict(width=64, height=64, qp=32, gop_size=8)
+    with pytest.raises(ValueError):
+        check_config(VvencTpuConfig(drap_period=12, **base))
+    with pytest.raises(ValueError):
+        check_config(VvencTpuConfig(drap_period=16, intra_period=32,
+                                    **base))
+    check_config(VvencTpuConfig(drap_period=16, **base))

@@ -116,6 +116,10 @@ def run_ref(ref_bin, clip, w, h, n, qp, preset, intra_period, gop, fr, tmp):
     if intra_period == 1:
         cmd += ["--IntraPeriod=1"]
     elif gop:
+        # the reference only supports GOP 16/32 with picture reordering
+        # (vvencCfg.cpp:1617 rejects GOPSize=8 unless low-delay)
+        assert gop in (16, 32), \
+            f"reference RA comparison needs --gop 16 or 32, got {gop}"
         cmd += [f"--GOPSize={gop}", f"--IntraPeriod={intra_period}"]
     r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     assert r.returncode == 0, r.stdout + r.stderr

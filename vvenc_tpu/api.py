@@ -29,7 +29,7 @@ from enum import IntEnum
 from typing import Optional, Tuple
 
 from .bitstream.params import SLICE_B, SLICE_I, SLICE_P
-from .config.config import VvencTpuConfig, check_config
+from .config.config import VvencTpuConfig, apply_derived, check_config
 from .encoder.gop import build_gop
 from .encoder.intra_encoder import IntraEncoder
 
@@ -65,6 +65,11 @@ class VVEncImpl:
             return self._fail(VVENC_ERR_INITIALIZE,
                               "encoder already initialized")
         try:
+            # derive auto settings (threads=-1, mtProfile boost,
+            # refresh_sec -> intra_period) before validating — the
+            # reference does this in vvenc_init_config for every entry
+            # point, not just the CLI (vvencCfg.cpp vvenc_init_config)
+            apply_derived(cfg)
             check_config(cfg)
         except Exception as e:              # noqa: BLE001
             return self._fail(VVENC_ERR_PARAMETER, str(e))
@@ -202,6 +207,8 @@ class VVEncImpl:
                            and e.poc_in_gop == cfg.gop_size
                            and poc % cfg.drap_period == 0)
                 if is_drap:
+                    assert 0 in avail, \
+                        "DRAP: associated IRAP evicted from DPB"
                     refs_l0, refs_l1 = [0], []
                 else:
                     refs_l0 = [self._base + r for r in e.refs_past
@@ -211,7 +218,8 @@ class VVEncImpl:
                 st = SLICE_B if refs_l1 else SLICE_P
                 au = enc._encode_picture(poc,
                                          self._get_frame(poc, flush), st,
-                                         refs_l0, refs_l1, e.qp_offset,
+                                         refs_l0, refs_l1,
+                                         e.final_qp_offset(cfg.qp),
                                          tlayer=e.temporal_layer)
                 if is_drap:
                     from .bitstream.sei import (write_sei_nal,

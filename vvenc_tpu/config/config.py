@@ -268,6 +268,18 @@ def check_config(cfg: VvencTpuConfig) -> None:
         raise ValueError("negative target bitrate")
     if cfg.rc_passes not in (1, 2):
         raise ValueError("rc_passes must be 1 or 2")
+    if cfg.drap_period:
+        # the DRAP implementation anchors on POC 0 as the associated
+        # IRAP: only one IRAP is allowed (intra_period <= 0) and the
+        # period must land on GOP boundaries
+        if cfg.drap_period < 0 or cfg.gop_size < 1 \
+                or cfg.drap_period % max(1, cfg.gop_size):
+            raise ValueError(
+                "drap_period must be a positive multiple of gop_size")
+        if cfg.intra_period > 0 or cfg.refresh_sec > 0:
+            raise ValueError(
+                "drap_period requires a single IRAP "
+                "(intra_period <= 0, refresh_sec = 0)")
     for k, max_v in _IMPLEMENTED.items():
         if getattr(cfg, k) > max_v:
             raise NotImplementedError(f"tool '{k}' not implemented yet")

@@ -21,10 +21,51 @@ class GopEntry:
     qp_offset: int
     refs_past: List[int] = field(default_factory=list)    # POCs (gop-relative)
     refs_future: List[int] = field(default_factory=list)
+    # QPOffsetModel (vvenc GOPEntry m_QPOffsetModelOffset/Scale): an
+    # extra 0..3 QP that grows with the base QP, applied at encode time
+    qp_model_off: float = 0.0
+    qp_model_scale: float = 0.0
 
     @property
     def is_b(self) -> bool:
         return bool(self.refs_future)
+
+    def final_qp_offset(self, base_qp: int) -> int:
+        """Total QP offset for this entry at a given base QP: the table
+        offset plus the clipped QPOffsetModel term (the reference's
+        EncSlice::xGetQPForPicture, EncSlice.cpp:434-441)."""
+        qp = base_qp + self.qp_offset
+        dq = qp * self.qp_model_scale + self.qp_model_off + 0.5
+        import math
+        return self.qp_offset + int(math.floor(min(3.0, max(0.0, dq))))
+
+
+# per-temporal-layer (QPOffset, QPOffsetModelOffset, QPOffsetModelScale)
+# from the reference's default GOP tables (vvencCfg.cpp:1630-1690: GOP16
+# rows 0-15, GOP32 rows 0-31); GOP8 hierarchical has no reference table
+# (the reference only supports GOP8 low-delay) — it reuses the GOP16
+# layers with the top layer aligned
+_QP_CASCADE = {
+    16: {0: (1, 0.0, 0.0), 1: (1, -4.8848, 0.2061),
+         2: (4, -5.7476, 0.2286), 3: (5, -5.90, 0.2333),
+         4: (6, -7.1444, 0.3)},
+    32: {0: (-1, 0.0, 0.0), 1: (0, -4.9309, 0.2265),
+         2: (0, -3.0625, 0.1875), 3: (3, -5.4095, 0.2571),
+         4: (5, -4.4895, 0.1947), 5: (6, -5.4429, 0.2429)},
+}
+
+
+def _cascade_entry(gop_size: int, tl: int):
+    """(qp_offset, model_off, model_scale) for temporal layer tl."""
+    tab = _QP_CASCADE.get(gop_size)
+    if tab is None:
+        # align the TOP layer of this GOP with the top of the GOP16
+        # table so the highest layers keep the strongest cascade
+        tab = _QP_CASCADE[16]
+        if tl > 0:
+            depth = max(1, gop_size.bit_length() - 1)
+            tl = min(4, tl + (4 - depth))
+    return tab[min(tl, max(tab))]
 
 
 def _interval_chain(p: int, gop: int):
@@ -96,16 +137,13 @@ def build_gop(gop_size: int, max_refs: int = 2,
     assert gop_size & (gop_size - 1) == 0, "GOP size must be a power of two"
     entries: List[GopEntry] = []
 
-    def qp_off(tl, is_anchor):
-        if is_anchor:
-            return 1
-        return min(6, tl + 2)  # hierarchical cascade (vvenc-like magnitudes)
-
     # anchor (kept P: refs_future empty; L0 reaches back across GOPs)
     anchor_past, _ = ref_deltas(gop_size, gop_size)
-    entries.append(GopEntry(gop_size, 0, 0, qp_off(0, True),
+    a_off, a_moff, a_mscale = _cascade_entry(gop_size, 0)
+    entries.append(GopEntry(gop_size, 0, 0, a_off,
                             refs_past=[gop_size - d
-                                       for d in anchor_past][:max_refs]))
+                                       for d in anchor_past][:max_refs],
+                            qp_model_off=a_moff, qp_model_scale=a_mscale))
     coded = [0, gop_size]
 
     def recurse(lo, hi, tl):
@@ -119,10 +157,11 @@ def build_gop(gop_size: int, max_refs: int = 2,
             dp, df = ref_deltas(mid, gop_size)
             past = [mid - d for d in dp]
             fut = [mid - d for d in df]
-        entries.append(GopEntry(mid, len(entries), tl,
-                                qp_off(tl, False),
+        off, moff, mscale = _cascade_entry(gop_size, tl)
+        entries.append(GopEntry(mid, len(entries), tl, off,
                                 refs_past=past[:max_refs],
-                                refs_future=fut[:max_refs]))
+                                refs_future=fut[:max_refs],
+                                qp_model_off=moff, qp_model_scale=mscale))
         coded.append(mid)
         recurse(lo, mid, tl + 1)
         recurse(mid, hi, tl + 1)

@@ -409,6 +409,15 @@ class IntraEncoder:
             for r in list(e.refs_past) + list(e.refs_future):
                 need.add(base + r)
                 need.add(base + gop + r)
+        if self.cfg.drap_period > 0:
+            # DRAP pictures reference the associated IRAP (POC 0) and
+            # trailing pictures may reference the most recent DRAP; keep
+            # both alive permanently (the reference retains the
+            # associated IRAP for m_drapPeriod via its RPL tables) —
+            # they also land in the keep-alive inactive RPL entries so a
+            # spec decoder's DPB marking retains them
+            need.add(0)
+            need.add(self._drap_floor)
         self.dpb_protect = {p for p in need if p >= 0}
 
     def encode_frame(self, planes8) -> bytes:
@@ -549,6 +558,8 @@ class IntraEncoder:
                                and e.poc_in_gop == cfg.gop_size
                                and poc % cfg.drap_period == 0)
                     if is_drap:
+                        assert 0 in avail, \
+                            "DRAP: associated IRAP evicted from DPB"
                         refs_l0, refs_l1 = [0], []
                     else:
                         refs_l0 = [base + r for r in e.refs_past
@@ -556,7 +567,7 @@ class IntraEncoder:
                         refs_l1 = [base + r for r in e.refs_future
                                    if _ok(base + r)]
                     st = SLICE_B if refs_l1 else SLICE_P
-                    qp_off = e.qp_offset
+                    qp_off = e.final_qp_offset(cfg.qp)
                     au = self._encode_picture(poc, frames[poc], st, refs_l0,
                                               refs_l1, qp_off,
                                               tlayer=e.temporal_layer)
@@ -614,8 +625,8 @@ class IntraEncoder:
                     need = sorted(set(refs_l0 + refs_l1))
                     dpb_sub = [d for d in self.dpb if d[0] in need]
                     jobs.append((cfg, poc, frames[poc], st, refs_l0,
-                                 refs_l1, e.qp_offset, e.temporal_layer,
-                                 dpb_sub, self.lmcs))
+                                 refs_l1, e.final_qp_offset(cfg.qp),
+                                 e.temporal_layer, dpb_sub, self.lmcs))
                 if len(wave) == 1:
                     results = [_encode_inter_frame_job(jobs[0])]
                 else:
@@ -683,7 +694,7 @@ class IntraEncoder:
             st = SLICE_B if l1 else SLICE_P
             try:
                 return self._encode_picture(poc, frames[poc], st, l0, l1,
-                                            e.qp_offset,
+                                            e.final_qp_offset(cfg.qp),
                                             tlayer=e.temporal_layer,
                                             ifp=handles[poc])
             except BaseException as exc:
