@@ -12,8 +12,11 @@
 // native paths are interchangeable per call.
 
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <cmath>
+#include <map>
 #include <vector>
 #include <algorithm>
 #include <mutex>
@@ -1891,6 +1894,9 @@ void vte_cclm_predict(const int32_t* luma, const int32_t* cb,
                       int bit_depth, const int32_t* modes, int n_modes,
                       int32_t* preds) {
   using namespace cclm;
+  // geo[] below is a fixed stack array; clamp against oversized mode
+  // lists from the wrapper (call sites pass at most 3 CCLM modes)
+  if (n_modes > 8) n_modes = 8;
   int cx = cux >> 1, cy = cuy >> 1;
   int cw = cuw >> 1, ch = cuh >> 1;
   int x0 = cux, y0 = cuy;
@@ -2065,6 +2071,1315 @@ void vte_cclm_predict(const int32_t* luma, const int32_t* cb,
       }
     }
   }
+}
+
+}  // extern "C"
+
+// ===========================================================================
+// Native CTU search driver (EncCu::xCompressCtu analog, EncCu.cpp:520):
+// the full intra-slice QT(/MTT) RD search of one CTU runs as ONE native
+// call — tree recursion, 67-mode preselection, full-RD trials (fused
+// transform/RDOQ/recon/SSE), chroma mode RD incl. CCLM, dual-tree intra,
+// and exact CABAC bit estimation — a bit-exact port of the Python
+// searcher (encoder/intra_encoder.py _CtuSearcher) so the bitstream is
+// byte-identical while eliminating the per-CU Python orchestration.
+// Scope (the caller verifies and falls back to Python otherwise):
+// intra slices, RDOQ (no trellis), no MIP/MRL/ISP/LFNST/explicit-MTS/
+// TS/BDPCM/IBC/JCCR, no LMCS, no per-CU DQP, no tiles.
+// ===========================================================================
+
+namespace ctusearch {
+
+constexpr int NUM_CTX_ALL = 512;  // upper bound; actual size passed at init
+constexpr int NO_SPLIT = 0, QT_SPLIT = 1, BT_H = 2, BT_V = 3, TT_H = 4,
+              TT_V = 5;
+constexpr int MODE_ALL = 0, MODE_INTER = 1, MODE_INTRA = 2;
+constexpr int TREE_D = 0, TREE_L = 1, TREE_C = 2, CHROMA_TREE = 3;
+constexpr int LDT_INHERIT = 0, LDT_INFER = 1, LDT_SIGNAL = 2;
+constexpr int PLANAR = 0, DC = 1, HOR = 18, VER = 50, VDIA = 66;
+constexpr int N_MODES = 67;
+constexpr int DM_CHROMA = 67;
+constexpr int LM_CHROMA = 81, MDLM_L = 82, MDLM_T = 83;
+constexpr int MAX_TB = 64;
+constexpr int TR_DCT2 = 0, TR_DST7 = 2;
+
+// context-set offsets, installed from Python (vte_search_init)
+struct SOffs {
+  int split, qt, hv, h12, mpm_flag, planar_flag, chroma_mode, cclm_flag,
+      cclm_idx, cbf_y, cbf_cb, cbf_cr;
+  int num_ctx;
+};
+SOffs g_soffs;
+
+// ---- bit estimator (bitstream/cabac.py BitEstimator port) ----------------
+struct Est {
+  std::vector<uint16_t> s0, s1;
+  std::vector<uint8_t> r0, r1;
+  int64_t frac = 0;
+  void init(const uint16_t* ls0, const uint16_t* ls1, const uint8_t* lr0,
+            const uint8_t* lr1, int n) {
+    s0.assign(ls0, ls0 + n);
+    s1.assign(ls1, ls1 + n);
+    r0.assign(lr0, lr0 + n);
+    r1.assign(lr1, lr1 + n);
+    frac = 0;
+  }
+  inline void bin(int b, int ctx) {
+    frac += g_frac[state8(s0.data(), s1.data(), ctx)][b];
+    ctx_update(s0.data(), s1.data(), r0.data(), r1.data(), ctx, b);
+  }
+  inline void ep(int nbins) { frac += int64_t(nbins) << SCALE_BITS; }
+};
+struct EstSnap {
+  std::vector<uint16_t> s0, s1;
+  int64_t frac;
+};
+static void est_save(const Est& e, EstSnap& s) {
+  s.s0 = e.s0;
+  s.s1 = e.s1;
+  s.frac = e.frac;
+}
+static void est_load(Est& e, const EstSnap& s) {
+  e.s0 = s.s0;
+  e.s1 = s.s1;
+  e.frac = s.frac;
+}
+
+// ---- parameters ----------------------------------------------------------
+struct Params {
+  int pic_w, pic_h, bit_depth, ctu_size;
+  int min_qt[3], max_mtt[3], max_bt[3], max_tt[3], min_cb_log2;
+  int qp_y, qp_cb, qp_cr, slice_qp_y;
+  double lmbda, lmbda_sad;
+  int n_full_rd, n_chroma_rd;
+  bool sdh, dual_tree, cclm_en, implicit_mts;
+  int tree_idx;  // 0 for intra-slice luma syntax constraints
+};
+
+struct PreselClass {
+  int w, h, ax, ay, nx, ny;
+  const int32_t* costs;  // [ny*nx][67]
+};
+
+// ---- picture state (codec/picture.py PictureState port: live pointers) ---
+struct Pic {
+  int W, H, uw, uh, cw2, ch2;  // luma-unit + chroma-unit grid dims
+  int32_t* rec[3];
+  const int32_t* src[3];
+  uint8_t *coded_luma, *is_intra, *is_mip;
+  int32_t *intra_mode, *cu_w, *cu_h, *qt_depth, *qp_map;
+  uint8_t* coded_chroma;
+  int32_t *ccu_w, *ccu_h, *cqt_depth;
+
+  struct CuInfo {
+    int w, h, qtd, mode;
+    bool is_intra, is_mip;
+  };
+  bool cu_at(int x, int y, CuInfo& out) const {
+    if (x < 0 || y < 0 || x >= W || y >= H) return false;
+    int u = (y >> 2) * uw + (x >> 2);
+    if (!coded_luma[u]) return false;
+    out = {int(cu_w[u]), int(cu_h[u]), int(qt_depth[u]), int(intra_mode[u]),
+           is_intra[u] != 0, is_mip[u] != 0};
+    return true;
+  }
+  bool chroma_cu_at(int x, int y, int* w, int* h, int* qtd) const {
+    if (x < 0 || y < 0 || x >= W || y >= H) return false;
+    int u = ((y >> 1) >> 1) * cw2 + ((x >> 1) >> 1);
+    if (!coded_chroma[u]) return false;
+    *w = ccu_w[u];
+    *h = ccu_h[u];
+    *qtd = cqt_depth[u];
+    return true;
+  }
+  void mark_cu(int x, int y, int w, int h, int qtd, int mode, bool intra_f,
+               bool mip_f, bool with_chroma, int qp) {
+    int ux0 = x >> 2, uy0 = y >> 2, ux1 = (x + w) >> 2, uy1 = (y + h) >> 2;
+    for (int uy = uy0; uy < uy1 && uy < uh; ++uy)
+      for (int ux = ux0; ux < ux1 && ux < uw; ++ux) {
+        int u = uy * uw + ux;
+        coded_luma[u] = 1;
+        intra_mode[u] = mode;
+        is_intra[u] = intra_f;
+        is_mip[u] = mip_f;
+        cu_w[u] = w;
+        cu_h[u] = h;
+        qt_depth[u] = qtd;
+        qp_map[u] = qp;
+      }
+    if (with_chroma) mark_chroma(x, y, w, h, qtd);
+  }
+  void mark_chroma(int x, int y, int w, int h, int qtd) {
+    int cx0 = (x >> 1) >> 1, cy0 = (y >> 1) >> 1;
+    int cx1 = ((x + w) >> 1) >> 1, cy1 = ((y + h) >> 1) >> 1;
+    for (int cy = cy0; cy < cy1 && cy < ch2; ++cy)
+      for (int cx = cx0; cx < cx1 && cx < cw2; ++cx) {
+        int u = cy * cw2 + cx;
+        coded_chroma[u] = 1;
+        ccu_w[u] = w;
+        ccu_h[u] = h;
+        cqt_depth[u] = qtd;
+      }
+  }
+};
+
+// region snapshot (picture.py save_region/restore_region port)
+struct RegionSnap {
+  int x, y, x1, y1;
+  std::vector<int32_t> rec0, rec1, rec2;
+  std::vector<uint8_t> cl, cc, ii, im;
+  std::vector<int32_t> imode, cuw, cuh, qtd, qpm, ccw, cch, cqt;
+};
+template <typename T>
+static void copy_rect_out(const T* a, int stride, int rx0, int ry0, int rx1,
+                          int ry1, std::vector<T>& out) {
+  out.resize(size_t(ry1 - ry0) * (rx1 - rx0));
+  for (int yy = ry0; yy < ry1; ++yy)
+    std::memcpy(out.data() + size_t(yy - ry0) * (rx1 - rx0),
+                a + size_t(yy) * stride + rx0, sizeof(T) * (rx1 - rx0));
+}
+template <typename T>
+static void copy_rect_in(T* a, int stride, int rx0, int ry0, int rx1,
+                         int ry1, const std::vector<T>& in) {
+  for (int yy = ry0; yy < ry1; ++yy)
+    std::memcpy(a + size_t(yy) * stride + rx0,
+                in.data() + size_t(yy - ry0) * (rx1 - rx0),
+                sizeof(T) * (rx1 - rx0));
+}
+static void region_save(const Pic& p, int x, int y, int size, RegionSnap& s) {
+  s.x = x;
+  s.y = y;
+  s.x1 = std::min(x + size, p.W);
+  s.y1 = std::min(y + size, p.H);
+  int cx = x >> 1, cy = y >> 1, cx1 = (s.x1 + 1) >> 1, cy1 = (s.y1 + 1) >> 1;
+  int ux = x >> 2, uy = y >> 2, ux1 = (s.x1 + 3) >> 2, uy1 = (s.y1 + 3) >> 2;
+  int hx = cx >> 1, hy = cy >> 1, hx1 = (cx1 + 1) >> 1, hy1 = (cy1 + 1) >> 1;
+  copy_rect_out(p.rec[0], p.W, x, y, s.x1, s.y1, s.rec0);
+  copy_rect_out(p.rec[1], p.W >> 1, cx, cy, cx1, cy1, s.rec1);
+  copy_rect_out(p.rec[2], p.W >> 1, cx, cy, cx1, cy1, s.rec2);
+  copy_rect_out(p.coded_luma, p.uw, ux, uy, ux1, uy1, s.cl);
+  copy_rect_out(p.coded_chroma, p.cw2, hx, hy, hx1, hy1, s.cc);
+  copy_rect_out(p.intra_mode, p.uw, ux, uy, ux1, uy1, s.imode);
+  copy_rect_out(p.is_intra, p.uw, ux, uy, ux1, uy1, s.ii);
+  copy_rect_out(p.is_mip, p.uw, ux, uy, ux1, uy1, s.im);
+  copy_rect_out(p.cu_w, p.uw, ux, uy, ux1, uy1, s.cuw);
+  copy_rect_out(p.cu_h, p.uw, ux, uy, ux1, uy1, s.cuh);
+  copy_rect_out(p.qt_depth, p.uw, ux, uy, ux1, uy1, s.qtd);
+  copy_rect_out(p.qp_map, p.uw, ux, uy, ux1, uy1, s.qpm);
+  copy_rect_out(p.ccu_w, p.cw2, hx, hy, hx1, hy1, s.ccw);
+  copy_rect_out(p.ccu_h, p.cw2, hx, hy, hx1, hy1, s.cch);
+  copy_rect_out(p.cqt_depth, p.cw2, hx, hy, hx1, hy1, s.cqt);
+}
+static void region_restore(Pic& p, const RegionSnap& s) {
+  int x = s.x, y = s.y;
+  int cx = x >> 1, cy = y >> 1, cx1 = (s.x1 + 1) >> 1, cy1 = (s.y1 + 1) >> 1;
+  int ux = x >> 2, uy = y >> 2, ux1 = (s.x1 + 3) >> 2, uy1 = (s.y1 + 3) >> 2;
+  int hx = cx >> 1, hy = cy >> 1, hx1 = (cx1 + 1) >> 1, hy1 = (cy1 + 1) >> 1;
+  copy_rect_in(p.rec[0], p.W, x, y, s.x1, s.y1, s.rec0);
+  copy_rect_in(p.rec[1], p.W >> 1, cx, cy, cx1, cy1, s.rec1);
+  copy_rect_in(p.rec[2], p.W >> 1, cx, cy, cx1, cy1, s.rec2);
+  copy_rect_in(p.coded_luma, p.uw, ux, uy, ux1, uy1, s.cl);
+  copy_rect_in(p.coded_chroma, p.cw2, hx, hy, hx1, hy1, s.cc);
+  copy_rect_in(p.intra_mode, p.uw, ux, uy, ux1, uy1, s.imode);
+  copy_rect_in(p.is_intra, p.uw, ux, uy, ux1, uy1, s.ii);
+  copy_rect_in(p.is_mip, p.uw, ux, uy, ux1, uy1, s.im);
+  copy_rect_in(p.cu_w, p.uw, ux, uy, ux1, uy1, s.cuw);
+  copy_rect_in(p.cu_h, p.uw, ux, uy, ux1, uy1, s.cuh);
+  copy_rect_in(p.qt_depth, p.uw, ux, uy, ux1, uy1, s.qtd);
+  copy_rect_in(p.qp_map, p.uw, ux, uy, ux1, uy1, s.qpm);
+  copy_rect_in(p.ccu_w, p.cw2, hx, hy, hx1, hy1, s.ccw);
+  copy_rect_in(p.ccu_h, p.cw2, hx, hy, hx1, hy1, s.cch);
+  copy_rect_in(p.cqt_depth, p.cw2, hx, hy, hx1, hy1, s.cqt);
+}
+
+// ---- partitioner state (ctu_syntax.py PartInfo port) ---------------------
+struct PartInfo {
+  int qt_depth = 0, mtt_depth = 0, bt_depth = 0, impl_bt_depth = 0;
+  int last_split = -1, part_idx = 0;
+  int mode_type = MODE_ALL, tree_type = TREE_D;
+  int split_path0 = NO_SPLIT, split_path1 = NO_SPLIT, path_len = 0;
+  PartInfo child(int split, int idx, bool implicit) const {
+    PartInfo p = *this;
+    p.last_split = split;
+    p.part_idx = idx;
+    if (p.path_len == 0)
+      p.split_path0 = split;
+    else if (p.path_len == 1)
+      p.split_path1 = split;
+    p.path_len++;
+    if (split == QT_SPLIT) {
+      p.qt_depth++;
+      p.mtt_depth = 0;
+      p.bt_depth = 0;
+    } else {
+      p.mtt_depth++;
+      p.bt_depth += 1 + ((split == TT_H || split == TT_V) ? 1 : 0);
+      if (implicit) p.impl_bt_depth++;
+    }
+    return p;
+  }
+};
+
+static void split_geometry(int split, int x, int y, int w, int h,
+                           int out[4][4], int* n) {
+  if (split == QT_SPLIT) {
+    int hw = w >> 1, hh = h >> 1;
+    int g[4][4] = {{x, y, hw, hh},
+                   {x + hw, y, hw, hh},
+                   {x, y + hh, hw, hh},
+                   {x + hw, y + hh, hw, hh}};
+    std::memcpy(out, g, sizeof(g));
+    *n = 4;
+  } else if (split == BT_H) {
+    int hh = h >> 1;
+    int g[2][4] = {{x, y, w, hh}, {x, y + hh, w, hh}};
+    std::memcpy(out, g, sizeof(g));
+    *n = 2;
+  } else if (split == BT_V) {
+    int hw = w >> 1;
+    int g[2][4] = {{x, y, hw, h}, {x + hw, y, hw, h}};
+    std::memcpy(out, g, sizeof(g));
+    *n = 2;
+  } else if (split == TT_H) {
+    int q = h >> 2;
+    int g[3][4] = {{x, y, w, q}, {x, y + q, w, h >> 1},
+                   {x, y + 3 * q, w, q}};
+    std::memcpy(out, g, sizeof(g));
+    *n = 3;
+  } else {
+    int q = w >> 2;
+    int g[3][4] = {{x, y, q, h}, {x + q, y, w >> 1, h},
+                   {x + 3 * q, y, q, h}};
+    std::memcpy(out, g, sizeof(g));
+    *n = 3;
+  }
+}
+
+static int signal_mode_cons(int w, int h, int split, int mode_type_parent,
+                            bool is_intra_slice) {
+  if (mode_type_parent != MODE_ALL) return LDT_INHERIT;
+  int min_luma_area =
+      (w * h) >> ((split == QT_SPLIT || split == TT_H || split == TT_V) ? 2
+                                                                        : 1);
+  int min_chroma_block = min_luma_area >> 2;
+  bool is_2xn =
+      ((w >> 1) == 4 && split == BT_V) || ((w >> 1) == 8 && split == TT_V);
+  if (min_chroma_block >= 16 && !is_2xn) return LDT_INHERIT;
+  return (min_luma_area < 32 || is_intra_slice) ? LDT_INFER : LDT_SIGNAL;
+}
+
+static int implicit_split_of(const Pic& ps, const Params& pp, int x, int y,
+                             int w, int h, const PartInfo& part, int tidx) {
+  bool bl_in = (x < ps.W) && (y + h <= ps.H);
+  bool tr_in = (x + w <= ps.W) && (y < ps.H);
+  if (bl_in && tr_in) return NO_SPLIT;
+  int max_btd = pp.max_mtt[tidx] + part.impl_bt_depth;
+  bool bt_ok = (w <= pp.max_bt[tidx] && h <= pp.max_bt[tidx] &&
+                part.mtt_depth < max_btd);
+  bool qt_ok = w > pp.min_qt[tidx] && part.bt_depth == 0;
+  if (!bl_in && !tr_in && qt_ok) return QT_SPLIT;
+  if (!bl_in && bt_ok && w <= MAX_TB) return BT_H;
+  if (!tr_in && bt_ok && h <= MAX_TB) return BT_V;
+  return QT_SPLIT;
+}
+
+static void split_options_full(const Pic& ps, const Params& pp, int x, int y,
+                               int w, int h, const PartInfo& part, int tidx,
+                               bool can[6]) {
+  int min_t = 1 << pp.min_cb_log2;
+  int max_bt = pp.max_bt[tidx], max_tt = pp.max_tt[tidx];
+  int max_btd = pp.max_mtt[tidx] + part.impl_bt_depth;
+  bool can_no = true, can_qt = true, can_bh = true, can_bv = true,
+       can_th = true, can_tv = true;
+  bool can_btt = part.mtt_depth < max_btd;
+  if (part.last_split != -1 && part.last_split != QT_SPLIT) can_qt = false;
+  if (w <= pp.min_qt[tidx]) can_qt = false;
+  bool ctree = part.tree_type == CHROMA_TREE;
+  int wc = w >> 1, hc = h >> 1;
+  if (ctree && wc <= 4) can_qt = false;
+  int impl = implicit_split_of(ps, pp, x, y, w, h, part, tidx);
+  if (impl != NO_SPLIT) {
+    can_no = can_th = can_tv = false;
+    can_bh = impl == BT_H;
+    can_bv = impl == BT_V;
+    if (ctree && wc == 4) can_bv = false;
+    if (!can_bh && !can_bv && !can_qt) can_qt = true;
+    can[0] = can_no; can[1] = can_qt; can[2] = can_bh;
+    can[3] = can_bv; can[4] = can_th; can[5] = can_tv;
+    return;
+  }
+  if ((part.last_split == TT_H || part.last_split == TT_V) &&
+      part.part_idx == 1) {
+    if (part.last_split == TT_H)
+      can_bh = false;
+    else
+      can_bv = false;
+  }
+  if (can_btt && (w <= min_t && h <= min_t)) can_btt = false;
+  if (can_btt && (w > max_bt || h > max_bt) && (w > max_tt || h > max_tt))
+    can_btt = false;
+  if (!can_btt) {
+    can[0] = can_no; can[1] = can_qt;
+    can[2] = can[3] = can[4] = can[5] = false;
+    return;
+  }
+  if (w > max_bt || h > max_bt) can_bh = can_bv = false;
+  if (h <= min_t) can_bh = false;
+  if (w > MAX_TB && h <= MAX_TB) can_bh = false;
+  if (ctree && wc * hc <= 16) can_bh = false;
+  if (w <= min_t) can_bv = false;
+  if (w <= MAX_TB && h > MAX_TB) can_bv = false;
+  if (ctree && (wc * hc <= 16 || wc == 4)) can_bv = false;
+  if (h <= 2 * min_t || h > max_tt || w > max_tt) can_th = false;
+  if (w > MAX_TB || h > MAX_TB) can_th = false;
+  if (ctree && wc * hc <= 32) can_th = false;
+  if (w <= 2 * min_t || w > max_tt || h > max_tt) can_tv = false;
+  if (w > MAX_TB || h > MAX_TB) can_tv = false;
+  if (ctree && (wc * hc <= 32 || wc == 8)) can_tv = false;
+  if (part.mode_type == MODE_INTER && w * h == 32) can_bh = can_bv = false;
+  if (part.mode_type == MODE_INTER && w * h == 64) can_th = can_tv = false;
+  can[0] = can_no; can[1] = can_qt; can[2] = can_bh;
+  can[3] = can_bv; can[4] = can_th; can[5] = can_tv;
+}
+
+static void split_ctx_ids(const Pic& ps, int x, int y, int w, int h,
+                          const PartInfo& part, const bool can[6], int* c_split,
+                          int* c_qt, int* c_hv, int* c_h12, int* c_v12) {
+  int lw = 0, lh = 0, lq = 0, aw = 0, ah = 0, aq = 0;
+  bool has_l = false, has_a = false;
+  if (part.tree_type == CHROMA_TREE) {
+    int qd;
+    has_l = ps.chroma_cu_at(x - 1, y, &lw, &lh, &qd), lq = qd;
+    has_a = ps.chroma_cu_at(x, y - 1, &aw, &ah, &qd), aq = qd;
+  } else {
+    Pic::CuInfo ci;
+    if (ps.cu_at(x - 1, y, ci)) {
+      has_l = true; lw = ci.w; lh = ci.h; lq = ci.qtd;
+    }
+    if (ps.cu_at(x, y - 1, ci)) {
+      has_a = true; aw = ci.w; ah = ci.h; aq = ci.qtd;
+    }
+  }
+  int cs = 0;
+  if (has_l) cs += lh < h ? 1 : 0;
+  if (has_a) cs += aw < w ? 1 : 0;
+  int num_split = (can[1] ? 2 : 0) + (can[2] ? 1 : 0) + (can[3] ? 1 : 0) +
+                  (can[4] ? 1 : 0) + (can[5] ? 1 : 0);
+  if (num_split > 0) num_split -= 1;
+  cs += 3 * (num_split >> 1);
+  int cq = 0;
+  if (has_l && lq > part.qt_depth) cq += 1;
+  if (has_a && aq > part.qt_depth) cq += 1;
+  cq += part.qt_depth < 2 ? 0 : 3;
+  int num_hor = (can[2] ? 1 : 0) + (can[4] ? 1 : 0);
+  int num_ver = (can[3] ? 1 : 0) + (can[5] ? 1 : 0);
+  int chv;
+  if (num_ver == num_hor) {
+    int w_above = has_a ? aw : 1;
+    int h_left = has_l ? lh : 1;
+    int dep_above = w / w_above;
+    int dep_left = h / h_left;
+    if (dep_above == dep_left || !has_l || !has_a)
+      chv = 0;
+    else if (dep_above < dep_left)
+      chv = 1;
+    else
+      chv = 2;
+  } else if (num_ver < num_hor) {
+    chv = 3;
+  } else {
+    chv = 4;
+  }
+  *c_split = cs;
+  *c_qt = cq;
+  *c_hv = chv;
+  *c_h12 = part.mtt_depth <= 1 ? 1 : 0;
+  *c_v12 = part.mtt_depth <= 1 ? 3 : 2;
+}
+
+static void write_split_mode(Est& est, const Pic& ps, const Params& pp,
+                             int x, int y, int w, int h, const PartInfo& part,
+                             int split, int tidx) {
+  bool can[6];
+  split_options_full(ps, pp, x, y, w, h, part, tidx, can);
+  int cs, cq, chv, ch12, cv12;
+  split_ctx_ids(ps, x, y, w, h, part, can, &cs, &cq, &chv, &ch12, &cv12);
+  bool can_no = can[0];
+  bool can_any = can[1] || can[2] || can[3] || can[4] || can[5];
+  bool is_no = split == NO_SPLIT;
+  if (can_no && can_any) est.bin(is_no ? 0 : 1, g_soffs.split + cs);
+  if (is_no) return;
+  bool can_btt = can[2] || can[3] || can[4] || can[5];
+  bool is_qt = split == QT_SPLIT;
+  if (can[1] && can_btt) est.bin(is_qt ? 1 : 0, g_soffs.qt + cq);
+  if (is_qt) return;
+  bool can_hor = can[2] || can[4];
+  bool can_ver = can[3] || can[5];
+  bool is_ver = split == BT_V || split == TT_V;
+  if (can_ver && can_hor) est.bin(is_ver ? 1 : 0, g_soffs.hv + chv);
+  bool can14 = is_ver ? can[5] : can[4];
+  bool can12 = is_ver ? can[3] : can[2];
+  bool is12 = split == (is_ver ? BT_V : BT_H);
+  if (can12 && can14)
+    est.bin(is12 ? 1 : 0, g_soffs.h12 + (is_ver ? cv12 : ch12));
+}
+
+// ---- MPM list (ctu_syntax.py get_intra_mpms port) ------------------------
+static void get_mpms(const Pic& ps, int x, int y, int w, int h, int ctu_size,
+                     int mpm[6]) {
+  int left_dir = PLANAR, above_dir = PLANAR;
+  Pic::CuInfo ci;
+  if (ps.cu_at(x - 1, y + h - 1, ci) && ci.is_intra && !ci.is_mip)
+    left_dir = ci.mode;
+  if ((y % ctu_size) != 0 && ps.cu_at(x + w - 1, y - 1, ci) && ci.is_intra &&
+      !ci.is_mip)
+    above_dir = ci.mode;
+  const int offset = N_MODES - 6;  // 61
+  const int mod = offset + 3;      // 64
+  int m[6] = {PLANAR, DC, VER, HOR, VER - 4, VER + 4};
+  auto wrap = [&](int v) { return ((v % mod) + mod) % mod; };
+  if (left_dir == above_dir) {
+    if (left_dir > DC) {
+      m[0] = PLANAR;
+      m[1] = left_dir;
+      m[2] = wrap(left_dir + offset) + 2;
+      m[3] = wrap(left_dir - 1) + 2;
+      m[4] = wrap(left_dir + offset - 1) + 2;
+      m[5] = wrap(left_dir) + 2;
+    }
+  } else {
+    if (left_dir > DC && above_dir > DC) {
+      m[0] = PLANAR;
+      m[1] = left_dir;
+      m[2] = above_dir;
+      int mx = std::max(left_dir, above_dir);
+      int mn = std::min(left_dir, above_dir);
+      if (mx - mn == 1) {
+        m[3] = wrap(mn + offset) + 2;
+        m[4] = wrap(mx - 1) + 2;
+        m[5] = wrap(mn + offset - 1) + 2;
+      } else if (mx - mn >= 62) {
+        m[3] = wrap(mn - 1) + 2;
+        m[4] = wrap(mx + offset) + 2;
+        m[5] = wrap(mn) + 2;
+      } else if (mx - mn == 2) {
+        m[3] = wrap(mn - 1) + 2;
+        m[4] = wrap(mn + offset) + 2;
+        m[5] = wrap(mx - 1) + 2;
+      } else {
+        m[3] = wrap(mn + offset) + 2;
+        m[4] = wrap(mn - 1) + 2;
+        m[5] = wrap(mx + offset) + 2;
+      }
+    } else if (left_dir + above_dir >= 2) {
+      int md = std::max(left_dir, above_dir);
+      m[0] = PLANAR;
+      m[1] = md;
+      m[2] = wrap(md + offset) + 2;
+      m[3] = wrap(md - 1) + 2;
+      m[4] = wrap(md + offset - 1) + 2;
+      m[5] = wrap(md) + 2;
+    }
+  }
+  std::memcpy(mpm, m, sizeof(m));
+}
+
+// ---- CU record for serialization -----------------------------------------
+struct CuRec {
+  int x, y, w, h;
+  int luma_mode = PLANAR;
+  int chroma_dir = DM_CHROMA;
+  bool luma_only = false, chroma_only = false;
+  bool cclm_allowed = true;
+  std::vector<int32_t> coeff_y, coeff_cb, coeff_cr;  // empty = no cbf
+};
+struct Node {
+  int x, y, w, h, split_mode = NO_SPLIT;
+  std::vector<Node> children;
+  CuRec cu;
+  bool has_cu = false;
+};
+
+// ---- the searcher --------------------------------------------------------
+struct Searcher {
+  Pic ps;
+  Params pp;
+  Est est;
+  std::vector<PreselClass> presel;
+  // per-CTU dual-tree luma64 records: first-level split of each 64 unit
+  struct L64 { int x, y, split; };
+  std::vector<L64> luma64;
+
+  const int32_t* presel_lookup(int x, int y, int w, int h) const {
+    for (const auto& c : presel) {
+      if (c.w != w || c.h != h) continue;
+      if (x % c.ax || y % c.ay) return nullptr;
+      int ix = x / c.ax, iy = y / c.ay;
+      if (ix >= c.nx || iy >= c.ny) return nullptr;
+      return c.costs + size_t(iy * c.nx + ix) * N_MODES;
+    }
+    return nullptr;
+  }
+
+  // -- luma syntax estimation (intra_encoder.py _est_cu_luma_syntax,
+  //    MIP/MRL off) --
+  void est_cu_luma_syntax(const CuRec& cu, const int mpm[6]) {
+    int mode = cu.luma_mode;
+    int mpm_idx = 6;
+    for (int i = 0; i < 6; ++i)
+      if (mpm[i] == mode) { mpm_idx = i; break; }
+    est.bin(mpm_idx < 6 ? 1 : 0, g_soffs.mpm_flag);
+    if (mpm_idx < 6) {
+      est.bin(mpm_idx > 0 ? 1 : 0, g_soffs.planar_flag + 1);
+      for (int t = 1; t < 5; ++t)
+        if (mpm_idx >= t) est.ep(1);
+    } else {
+      est.ep(6);  // truncated-binary payload approx (same as Python est)
+    }
+  }
+
+  // -- chroma mode syntax (ctu_syntax.py _enc_intra_chroma_mode) --
+  void enc_intra_chroma_mode(const CuRec& cu) {
+    if (pp.cclm_en && cu.cclm_allowed) {
+      bool is_lm = cu.chroma_dir >= LM_CHROMA && cu.chroma_dir <= MDLM_T;
+      est.bin(is_lm ? 1 : 0, g_soffs.cclm_flag);
+      if (is_lm) {
+        int sym = cu.chroma_dir - LM_CHROMA;
+        est.bin(sym == 0 ? 0 : 1, g_soffs.cclm_idx);
+        if (sym > 0) est.ep(1);
+        return;
+      }
+    }
+    bool is_dm = cu.chroma_dir == DM_CHROMA;
+    est.bin(is_dm ? 0 : 1, g_soffs.chroma_mode);
+    if (!is_dm) est.ep(2);
+  }
+
+  static void chroma_cand_modes(int luma_mode, int out[4]) {
+    int m[4] = {PLANAR, VER, HOR, DC};
+    for (int i = 0; i < 4; ++i)
+      if (m[i] == luma_mode) { m[i] = VDIA; break; }
+    std::memcpy(out, m, sizeof(m));
+  }
+
+  int64_t est_residual_block(const int32_t* coeff, int w, int h,
+                             bool is_luma) {
+    int64_t bits = vte_est_residual(coeff, w, h, is_luma ? 1 : 0, 0,
+                                    pp.sdh ? 1 : 0, est.s0.data(),
+                                    est.s1.data(), est.r0.data(),
+                                    est.r1.data());
+    est.frac += bits;  // vte_est_residual updates ctx only; the frac-bit
+                       // delta is returned (native/__init__.py adds it
+                       // the same way on the Python estimator)
+    return bits;
+  }
+
+  // -- CCLM availability gate (ctu_syntax.py _cclm_allowed) --
+  bool cclm_allowed_for(const CuRec& cu, const PartInfo& part) const {
+    if (!pp.dual_tree || pp.ctu_size <= 32) return true;
+    int p1 = part.path_len > 0 ? part.split_path0 : NO_SPLIT;
+    int p2 = part.path_len > 1 ? part.split_path1 : NO_SPLIT;
+    bool allow = (p1 == QT_SPLIT) || (p1 == BT_H && p2 == BT_V) ||
+                 (p1 == NO_SPLIT) || (p1 == BT_H && p2 == NO_SPLIT);
+    if (!allow) return false;
+    int rx = cu.x & ~63, ry = cu.y & ~63;
+    int rec_split = -1;
+    for (const auto& r : luma64)
+      if (r.x == rx && r.y == ry) { rec_split = r.split; break; }
+    int u = (cu.y >> 2) * ps.uw + (cu.x >> 2);
+    int lw = ps.cu_w[u], lh = ps.cu_h[u];
+    if (lw < 64 || lh < 64) {
+      if (rec_split != QT_SPLIT) return false;
+    }
+    // ISP is off in this driver's scope, so the unsplit-64x64-with-ISP
+    // exclusion never triggers
+    return true;
+  }
+
+  // -- chroma mode RD (intra_encoder.py _rd_chroma, no LMCS/JCCR/BDPCM) --
+  void rd_chroma(CuRec& cu, const PartInfo& part) {
+    int x = cu.x, y = cu.y, w = cu.w, h = cu.h;
+    int cx = x >> 1, cy = y >> 1, cw = w >> 1, ch = h >> 1;
+    int cW = ps.W >> 1;
+    int maxval = (1 << pp.bit_depth) - 1;
+    // gather chroma sources
+    std::vector<int32_t> src_cb(size_t(ch) * cw), src_cr(size_t(ch) * cw);
+    for (int i = 0; i < ch; ++i)
+      for (int j = 0; j < cw; ++j) {
+        src_cb[size_t(i) * cw + j] = ps.src[1][size_t(cy + i) * cW + cx + j];
+        src_cr[size_t(i) * cw + j] = ps.src[2][size_t(cy + i) * cW + cx + j];
+      }
+    int dm = cu.luma_mode;  // dm_luma_mode: MIP off
+    std::vector<int> cands = {DM_CHROMA};
+    if (pp.cclm_en) {
+      cands.push_back(LM_CHROMA);
+      cands.push_back(MDLM_L);
+      cands.push_back(MDLM_T);
+      int cm[4];
+      chroma_cand_modes(dm, cm);
+      for (int i = 0; i < 4; ++i)
+        if (cm[i] != dm) cands.push_back(cm[i]);
+    }
+    EstSnap snap;
+    est_save(est, snap);
+
+    // prediction cache: angular per (comp, mode); CCLM per (mode, comp)
+    std::vector<int> ang;
+    for (int c : cands)
+      if (c < LM_CHROMA || c == DM_CHROMA) {
+        int m = c == DM_CHROMA ? dm : c;
+        bool seen = false;
+        for (int a : ang) seen |= a == m;
+        if (!seen) ang.push_back(m);
+      }
+    // angular preds from chroma references (unit 2, chroma coords)
+    std::map<std::pair<int, int>, std::vector<int32_t>> pcache;
+    for (int comp = 1; comp <= 2; ++comp) {
+      std::vector<int32_t> top(2 * cw + 3), left(2 * ch + 3);
+      vte_build_refs(ps.rec[comp], ps.H >> 1, cW, cx, cy, cw, ch,
+                     ps.coded_chroma, ps.ch2, ps.cw2, 2, pp.bit_depth, 0,
+                     -1, -1, top.data(), left.data());
+      for (int m : ang) {
+        std::vector<int32_t> pr(size_t(ch) * cw);
+        intra::predict(top.data(), int(top.size()), left.data(),
+                       int(left.size()), m, cw, ch, pp.bit_depth, false, 0,
+                       -1, -1, false, -1, pr.data());
+        pcache[{comp, m}] = std::move(pr);
+      }
+    }
+    std::vector<int> lm_modes;
+    for (int c : cands)
+      if (c >= LM_CHROMA && c <= MDLM_T) lm_modes.push_back(c);
+    std::vector<int32_t> lm_preds;
+    if (!lm_modes.empty()) {
+      lm_preds.resize(size_t(lm_modes.size()) * 2 * ch * cw);
+      std::vector<int32_t> mm(lm_modes.begin(), lm_modes.end());
+      vte_cclm_predict(ps.rec[0], ps.rec[1], ps.rec[2], ps.H, ps.W,
+                       ps.H >> 1, cW, ps.coded_chroma, ps.ch2, ps.cw2, x, y,
+                       w, h, pp.ctu_size, pp.bit_depth, mm.data(),
+                       int(mm.size()), lm_preds.data());
+    }
+    auto pred_for = [&](int cdir, int comp) -> const int32_t* {
+      if (cdir >= LM_CHROMA && cdir <= MDLM_T) {
+        for (size_t i = 0; i < lm_modes.size(); ++i)
+          if (lm_modes[i] == cdir)
+            return lm_preds.data() + (i * 2 + (comp - 1)) * size_t(ch) * cw;
+        return nullptr;
+      }
+      int m = cdir == DM_CHROMA ? dm : cdir;
+      return pcache[{comp, m}].data();
+    };
+
+    // SATD/SAD preselection to the strongest n_chroma_rd (DM always kept)
+    int n_ch = pp.n_chroma_rd;
+    if (n_ch && int(cands.size()) > n_ch) {
+      bool use_satd = (cw % 4 == 0) && (ch % 4 == 0);
+      std::vector<std::pair<int64_t, int>> scored;
+      for (int c : cands) {
+        int64_t tot = 0;
+        for (int comp = 1; comp <= 2; ++comp) {
+          const int32_t* pr = pred_for(c, comp);
+          const int32_t* sc = comp == 1 ? src_cb.data() : src_cr.data();
+          if (use_satd) {
+            tot += satd::block(sc, pr, cw, ch);
+          } else {
+            for (size_t i = 0; i < size_t(ch) * cw; ++i)
+              tot += std::abs(int64_t(sc[i]) - pr[i]);
+          }
+        }
+        scored.push_back({tot, c});
+      }
+      std::sort(scored.begin(), scored.end());
+      std::vector<int> kept;
+      for (int i = 0; i < n_ch; ++i) kept.push_back(scored[i].second);
+      bool has_dm = false;
+      for (int k : kept) has_dm |= k == DM_CHROMA;
+      if (!has_dm) kept.push_back(DM_CHROMA);
+      cands = kept;
+    }
+
+    // chroma bits of one trial (estimator restored to snap first)
+    auto chroma_bits = [&](const std::vector<int32_t>* ccb,
+                           const std::vector<int32_t>* ccr) -> double {
+      est_load(est, snap);
+      int64_t b0 = est.frac;
+      enc_intra_chroma_mode(cu);
+      bool cbf_cb = ccb != nullptr, cbf_cr = ccr != nullptr;
+      est.bin(cbf_cb ? 1 : 0, g_soffs.cbf_cb);
+      est.bin(cbf_cr ? 1 : 0, g_soffs.cbf_cr + (cbf_cb ? 1 : 0));
+      if (cbf_cb) est_residual_block(ccb->data(), cw, ch, false);
+      if (cbf_cr) est_residual_block(ccr->data(), cw, ch, false);
+      return double(est.frac - b0) / double(1 << 15);
+    };
+
+    double best_cost = 0;
+    int best_dir = -1;
+    std::vector<int32_t> best_cb, best_cr, best_rec_cb, best_rec_cr;
+    std::vector<int32_t> tcoeff(size_t(ch) * cw), trec(size_t(ch) * cw);
+    for (int cdir : cands) {
+      cu.chroma_dir = cdir;
+      double dist = 0;
+      std::vector<int32_t> ccb, ccr, rcb, rcr;
+      for (int comp = 1; comp <= 2; ++comp) {
+        const int32_t* pr = pred_for(cdir, comp);
+        const int32_t* sc = comp == 1 ? src_cb.data() : src_cr.data();
+        int qc = comp == 1 ? pp.qp_cb : pp.qp_cr;
+        int cbf_ctx = comp == 1 ? g_soffs.cbf_cb
+                                : g_soffs.cbf_cr + (!ccb.empty() ? 1 : 0);
+        std::vector<int32_t> resi(size_t(ch) * cw);
+        for (size_t i = 0; i < size_t(ch) * cw; ++i)
+          resi[i] = sc[i] - pr[i];
+        int64_t d = 0;
+        int cbf = vte_tq_trial(resi.data(), pr, sc, cw, ch, TR_DCT2,
+                               TR_DCT2, qc, pp.bit_depth, 0, pp.lmbda,
+                               cbf_ctx, pp.sdh ? 1 : 0, est.s0.data(),
+                               est.s1.data(), tcoeff.data(), trec.data(),
+                               &d);
+        dist += double(d);
+        if (comp == 1) {
+          if (cbf) ccb = tcoeff;
+          rcb = trec;
+        } else {
+          if (cbf) ccr = tcoeff;
+          rcr = trec;
+        }
+      }
+      double cost = dist + pp.lmbda * chroma_bits(ccb.empty() ? nullptr : &ccb,
+                                                  ccr.empty() ? nullptr : &ccr);
+      if (best_dir < 0 || cost < best_cost) {
+        best_cost = cost;
+        best_dir = cdir;
+        best_cb = ccb;
+        best_cr = ccr;
+        best_rec_cb = rcb;
+        best_rec_cr = rcr;
+      }
+    }
+    est_load(est, snap);
+    cu.chroma_dir = best_dir;
+    cu.coeff_cb = std::move(best_cb);
+    cu.coeff_cr = std::move(best_cr);
+    // stage the winning chroma reconstruction (identical to what
+    // reconstruct_cu recomputes: same pred + same inverse path)
+    for (int i = 0; i < ch; ++i)
+      for (int j = 0; j < cw; ++j) {
+        ps.rec[1][size_t(cy + i) * cW + cx + j] =
+            best_rec_cb[size_t(i) * cw + j];
+        ps.rec[2][size_t(cy + i) * cW + cx + j] =
+            best_rec_cr[size_t(i) * cw + j];
+      }
+    (void)maxval;
+    (void)part;
+  }
+
+  // -- luma CU mode decision (intra_encoder.py _rd_cu_intra, v1 scope:
+  //    67 angular/planar/DC, implicit MTS, RDOQ+SDH; no MIP/MRL/ISP/
+  //    LFNST/explicit MTS/TS/IBC/BDPCM) --
+  double rd_cu_intra(CuRec& cu, const PartInfo& part) {
+    int x = cu.x, y = cu.y, w = cu.w, h = cu.h;
+    bool lo = part.tree_type == TREE_L;  // dual-tree luma pass
+    cu.luma_only = lo;
+    int maxval = (1 << pp.bit_depth) - 1;
+    // source block
+    std::vector<int32_t> src_y(size_t(h) * w);
+    for (int i = 0; i < h; ++i)
+      for (int j = 0; j < w; ++j)
+        src_y[size_t(i) * w + j] = ps.src[0][size_t(y + i) * ps.W + x + j];
+    // reference samples from the current reconstruction
+    std::vector<int32_t> top(2 * w + 3), left(2 * h + 3);
+    vte_build_refs(ps.rec[0], ps.H, ps.W, x, y, w, h, ps.coded_luma, ps.uh,
+                   ps.uw, 4, pp.bit_depth, 0, -1, -1, top.data(),
+                   left.data());
+    int mpm[6];
+    get_mpms(ps, x, y, w, h, pp.ctu_size, mpm);
+
+    // SATD preselection: device table when present, else native sweep
+    int64_t satds[N_MODES];
+    const int32_t* tab = presel_lookup(x, y, w, h);
+    if (tab) {
+      for (int m = 0; m < N_MODES; ++m) satds[m] = tab[m];
+    } else {
+      int32_t modes[N_MODES];
+      for (int m = 0; m < N_MODES; ++m) modes[m] = m;
+      vte_presel_satd(top.data(), int(top.size()), left.data(),
+                      int(left.size()), src_y.data(), modes, N_MODES, w, h,
+                      pp.bit_depth, 1, 0, satds);
+    }
+    struct Cand { double cost; int mode; };
+    std::vector<Cand> cand(N_MODES);
+    for (int m = 0; m < N_MODES; ++m) {
+      double mode_bits = 7.0;
+      for (int i = 0; i < 6; ++i)
+        if (mpm[i] == m) { mode_bits = 1.5 + i; break; }
+      cand[m] = {double(satds[m]) + pp.lmbda_sad * mode_bits, m};
+    }
+    std::stable_sort(cand.begin(), cand.end(),
+                     [](const Cand& a, const Cand& b) {
+                       return a.cost < b.cost;
+                     });
+    int n_full = std::min(pp.n_full_rd, N_MODES);
+    std::vector<int> full_modes;
+    for (int i = 0; i < n_full; ++i) full_modes.push_back(cand[i].mode);
+    bool has_planar = false;
+    for (int m : full_modes) has_planar |= m == PLANAR;
+    if (!has_planar) full_modes.push_back(PLANAR);
+
+    int qy = pp.qp_y;
+    EstSnap est_snap;
+    est_save(est, est_snap);
+    // implicit MTS types (ops/transforms.py implicit_mts_types)
+    int th_i = TR_DCT2, tv_i = TR_DCT2;
+    if (pp.implicit_mts) {
+      if (4 <= w && w <= 16) th_i = TR_DST7;
+      if (4 <= h && h <= 16) tv_i = TR_DST7;
+    }
+
+    double best_cost = 0;
+    bool have_best = false;
+    int best_mode = PLANAR;
+    std::vector<int32_t> best_coeff, best_rec;
+    std::vector<int32_t> pred(size_t(h) * w), resi(size_t(h) * w);
+    std::vector<int32_t> tcoeff(size_t(h) * w), trec(size_t(h) * w);
+    for (int mode : full_modes) {
+      intra::predict(top.data(), int(top.size()), left.data(),
+                     int(left.size()), mode, w, h, pp.bit_depth, true, 0,
+                     -1, -1, false, -1, pred.data());
+      for (size_t i = 0; i < size_t(h) * w; ++i)
+        resi[i] = src_y[i] - pred[i];
+      int64_t d = 0;
+      int cbf = vte_tq_trial(resi.data(), pred.data(), src_y.data(), w, h,
+                             th_i, tv_i, qy, pp.bit_depth, 1, pp.lmbda,
+                             g_soffs.cbf_y, pp.sdh ? 1 : 0, est.s0.data(),
+                             est.s1.data(), tcoeff.data(), trec.data(), &d);
+      // trial tail: estimate luma bits against the entry snapshot
+      est_load(est, est_snap);
+      int64_t b0 = est.frac;
+      CuRec tmp = cu;
+      tmp.luma_mode = mode;
+      est_cu_luma_syntax(tmp, mpm);
+      est.bin(cbf ? 1 : 0, g_soffs.cbf_y);
+      if (cbf) est_residual_block(tcoeff.data(), w, h, true);
+      double bits = double(est.frac - b0) / double(1 << 15);
+      double cost = double(d) + pp.lmbda * bits;
+      if (!have_best || cost < best_cost) {
+        have_best = true;
+        best_cost = cost;
+        best_mode = mode;
+        best_coeff.clear();
+        if (cbf) best_coeff = tcoeff;
+        best_rec = trec;
+      }
+    }
+    cu.luma_mode = best_mode;
+    cu.coeff_y = std::move(best_coeff);
+
+    // stage luma reconstruction (CCLM in the chroma RD reads it)
+    for (int i = 0; i < h; ++i)
+      for (int j = 0; j < w; ++j)
+        ps.rec[0][size_t(y + i) * ps.W + x + j] =
+            best_rec[size_t(i) * w + j];
+    if (!lo) rd_chroma(cu, part);
+
+    // re-encode the chosen CU syntax into the running estimator
+    est_load(est, est_snap);
+    int64_t b0 = est.frac;
+    est_cu_luma_syntax(cu, mpm);
+    if (!lo) {
+      enc_intra_chroma_mode(cu);
+      bool cbf_cb = !cu.coeff_cb.empty();
+      bool cbf_cr = !cu.coeff_cr.empty();
+      est.bin(cbf_cb ? 1 : 0, g_soffs.cbf_cb);
+      est.bin(cbf_cr ? 1 : 0, g_soffs.cbf_cr + (cbf_cb ? 1 : 0));
+    }
+    est.bin(cu.coeff_y.empty() ? 0 : 1, g_soffs.cbf_y);
+    if (!cu.coeff_y.empty())
+      est_residual_block(cu.coeff_y.data(), w, h, true);
+    if (!lo) {
+      if (!cu.coeff_cb.empty())
+        est_residual_block(cu.coeff_cb.data(), w >> 1, h >> 1, false);
+      if (!cu.coeff_cr.empty())
+        est_residual_block(cu.coeff_cr.data(), w >> 1, h >> 1, false);
+    }
+    double total_bits = double(est.frac - b0) / double(1 << 15);
+
+    // finish: maps marked (recon already staged; finish_cu recomputes the
+    // identical samples in the Python path)
+    ps.mark_cu(x, y, w, h, part.qt_depth, cu.luma_mode, true, false, !lo,
+               pp.slice_qp_y);
+    double dist = 0;
+    for (int i = 0; i < h; ++i)
+      for (int j = 0; j < w; ++j) {
+        int64_t e = int64_t(ps.src[0][size_t(y + i) * ps.W + x + j]) -
+                    ps.rec[0][size_t(y + i) * ps.W + x + j];
+        dist += double(e * e);
+      }
+    if (!lo) {
+      int cx = x >> 1, cy = y >> 1, cw = w >> 1, ch = h >> 1, cW = ps.W >> 1;
+      for (int comp = 1; comp <= 2; ++comp) {
+        double dd = 0;
+        for (int i = 0; i < ch; ++i)
+          for (int j = 0; j < cw; ++j) {
+            int64_t e =
+                int64_t(ps.src[comp][size_t(cy + i) * cW + cx + j]) -
+                ps.rec[comp][size_t(cy + i) * cW + cx + j];
+            dd += double(e * e);
+          }
+        dist += dd;
+      }
+    }
+    (void)maxval;
+    return dist + pp.lmbda * total_bits;
+  }
+
+  // -- CHROMA_TREE leaf (intra_encoder.py _rd_cu_chroma) --
+  double rd_cu_chroma(CuRec& cu, const PartInfo& part) {
+    cu.chroma_only = true;
+    int x = cu.x, y = cu.y, w = cu.w, h = cu.h;
+    // DM derives from the co-located CENTER luma mode
+    cu.luma_mode =
+        ps.intra_mode[((y + (h >> 1)) >> 2) * ps.uw + ((x + (w >> 1)) >> 2)];
+    cu.cclm_allowed = cclm_allowed_for(cu, part);
+    rd_chroma(cu, part);
+    int64_t b0 = est.frac;
+    // _enc_chroma_cu on the estimator: mode + cbfs + residuals, then the
+    // reconstruction/marking side effect (finish_cu comps=(1,2))
+    enc_intra_chroma_mode(cu);
+    bool cbf_cb = !cu.coeff_cb.empty();
+    bool cbf_cr = !cu.coeff_cr.empty();
+    est.bin(cbf_cb ? 1 : 0, g_soffs.cbf_cb);
+    est.bin(cbf_cr ? 1 : 0, g_soffs.cbf_cr + (cbf_cb ? 1 : 0));
+    if (cbf_cb)
+      est_residual_block(cu.coeff_cb.data(), w >> 1, h >> 1, false);
+    if (cbf_cr)
+      est_residual_block(cu.coeff_cr.data(), w >> 1, h >> 1, false);
+    ps.mark_chroma(x, y, w, h, part.qt_depth);
+    double bits = double(est.frac - b0) / double(1 << 15);
+    // distortion vs the staged chroma reconstruction
+    int cx = x >> 1, cy = y >> 1, cw = w >> 1, ch = h >> 1, cW = ps.W >> 1;
+    double dist = 0;
+    for (int comp = 1; comp <= 2; ++comp)
+      for (int i = 0; i < ch; ++i)
+        for (int j = 0; j < cw; ++j) {
+          int64_t e = int64_t(ps.src[comp][size_t(cy + i) * cW + cx + j]) -
+                      ps.rec[comp][size_t(cy + i) * cW + cx + j];
+          dist += double(e * e);
+        }
+    return dist + pp.lmbda * bits;
+  }
+
+  // -- recursive tree search (intra_encoder.py _rd_node) --
+  struct NodeResult {
+    Node node;
+    double cost;
+  };
+  bool rd_node(int x, int y, int w, int h, const PartInfo& part,
+               NodeResult& out, double parent_budget) {
+    int tidx = part.tree_type == CHROMA_TREE ? 2 : pp.tree_idx;
+    bool can[6];
+    split_options_full(ps, pp, x, y, w, h, part, tidx, can);
+    // SCIPU-free split filter (intra slice: LDT_INHERIT only)
+    std::vector<int> tries;
+    for (int s = 0; s < 6; ++s) {
+      if (!can[s]) continue;
+      if (s == NO_SPLIT ||
+          signal_mode_cons(w, h, s, part.mode_type, true) == LDT_INHERIT)
+        tries.push_back(s);
+    }
+    if (tries.empty()) return false;
+
+    RegionSnap state0;
+    EstSnap est0;
+    region_save(ps, x, y, std::max(w, h), state0);
+    est_save(est, est0);
+
+    bool have_best = false;
+    double best_cost = 0;
+    Node best_node;
+    RegionSnap best_after;
+    EstSnap best_est;
+    int impl = implicit_split_of(ps, pp, x, y, w, h, part, tidx);
+
+    for (size_t ti = 0; ti < tries.size(); ++ti) {
+      int split = tries[ti];
+      if (ti > 0) {
+        region_restore(ps, state0);
+        est_load(est, est0);
+      }
+      Node node;
+      node.x = x;
+      node.y = y;
+      node.w = w;
+      node.h = h;
+      node.split_mode = split;
+      int64_t b0 = est.frac;
+      write_split_mode(est, ps, pp, x, y, w, h, part, split, tidx);
+      double cost = pp.lmbda * double(est.frac - b0) / double(1 << 15);
+      if (split == NO_SPLIT) {
+        node.has_cu = true;
+        node.cu.x = x;
+        node.cu.y = y;
+        node.cu.w = w;
+        node.cu.h = h;
+        double cu_cost;
+        if (part.tree_type == CHROMA_TREE)
+          cu_cost = rd_cu_chroma(node.cu, part);
+        else
+          cu_cost = rd_cu_intra(node.cu, part);
+        cost += cu_cost;
+      } else {
+        bool is_impl = split == impl;
+        int geo[4][4], ng;
+        split_geometry(split, x, y, w, h, geo, &ng);
+        bool aborted = false;
+        for (int idx = 0; idx < ng; ++idx) {
+          int cx = geo[idx][0], cy = geo[idx][1];
+          int cw = geo[idx][2], chh = geo[idx][3];
+          if (cx >= ps.W || cy >= ps.H) continue;
+          PartInfo cp = part.child(split, idx, is_impl);
+          NodeResult cres;
+          if (!rd_node(cx, cy, cw, chh, cp, cres,
+                       have_best ? best_cost - cost : 1e300))
+            return false;
+          node.children.push_back(std::move(cres.node));
+          cost += cres.cost;
+          if (have_best && cost >= best_cost) {
+            aborted = true;
+            break;
+          }
+        }
+        if (aborted) continue;
+      }
+      if (!have_best || cost < best_cost) {
+        have_best = true;
+        best_cost = cost;
+        best_node = std::move(node);
+        region_save(ps, x, y, std::max(w, h), best_after);
+        est_save(est, best_est);
+      }
+    }
+    if (!have_best) return false;
+    region_restore(ps, best_after);
+    est_load(est, best_est);
+    out.node = std::move(best_node);
+    out.cost = best_cost;
+    (void)parent_budget;
+    return true;
+  }
+
+  // -- CTU entry (intra_encoder.py search_ctu) --
+  bool search(int ctu_x, int ctu_y, Node& out) {
+    RegionSnap snap;
+    region_save(ps, ctu_x, ctu_y, pp.ctu_size, snap);
+    luma64.clear();
+    bool ok = true;
+    if (pp.dual_tree) {
+      out = Node();
+      out.x = ctu_x;
+      out.y = ctu_y;
+      out.w = pp.ctu_size;
+      out.h = pp.ctu_size;
+      out.split_mode = -2;  // dual-tree container marker
+      int unit = std::min(64, pp.ctu_size);
+      int qtd = pp.ctu_size > 64 ? 1 : 0;
+      for (int uy = ctu_y; uy < ctu_y + pp.ctu_size && ok; uy += unit)
+        for (int ux = ctu_x; ux < ctu_x + pp.ctu_size && ok; ux += unit) {
+          if (ux >= ps.W || uy >= ps.H) continue;
+          PartInfo pl;
+          pl.qt_depth = qtd;
+          pl.mode_type = MODE_INTRA;
+          pl.tree_type = TREE_L;
+          NodeResult r;
+          ok = rd_node(ux, uy, unit, unit, pl, r, 1e300);
+          if (!ok) break;
+          luma64.push_back({ux, uy, r.node.split_mode});
+          out.children.push_back(std::move(r.node));
+          PartInfo pc;
+          pc.qt_depth = qtd;
+          pc.mode_type = MODE_INTRA;
+          pc.tree_type = CHROMA_TREE;
+          NodeResult rc;
+          ok = rd_node(ux, uy, unit, unit, pc, rc, 1e300);
+          if (!ok) break;
+          out.children.push_back(std::move(rc.node));
+        }
+    } else {
+      PartInfo p0;
+      NodeResult r;
+      ok = rd_node(ctu_x, ctu_y, pp.ctu_size, pp.ctu_size, p0, r, 1e300);
+      if (ok) out = std::move(r.node);
+    }
+    region_restore(ps, snap);
+    return ok;
+  }
+};
+
+// ---- serialization -------------------------------------------------------
+struct Writer {
+  int32_t* tree;
+  int tree_cap, tree_n = 0;
+  int32_t* coeff;
+  int coeff_cap, coeff_n = 0;
+  bool ok = true;
+  void put(int32_t v) {
+    if (tree_n >= tree_cap) { ok = false; return; }
+    tree[tree_n++] = v;
+  }
+  void put_coeff(const std::vector<int32_t>& c) {
+    if (coeff_n + int(c.size()) > coeff_cap) { ok = false; return; }
+    std::memcpy(coeff + coeff_n, c.data(), c.size() * 4);
+    coeff_n += int(c.size());
+  }
+};
+
+static void serialize(const Node& n, Writer& w, bool chroma_tree) {
+  w.put(n.split_mode);
+  if (!w.ok) return;
+  if (n.split_mode != NO_SPLIT) {
+    for (const auto& c : n.children) serialize(c, w, chroma_tree);
+    return;
+  }
+  const CuRec& cu = n.cu;
+  if (chroma_tree) {
+    w.put(cu.luma_mode);  // center co-located luma mode (DM source)
+    w.put(cu.chroma_dir);
+    w.put(cu.cclm_allowed ? 1 : 0);
+    w.put(cu.coeff_cb.empty() ? 0 : 1);
+    w.put(cu.coeff_cr.empty() ? 0 : 1);
+    if (!cu.coeff_cb.empty()) w.put_coeff(cu.coeff_cb);
+    if (!cu.coeff_cr.empty()) w.put_coeff(cu.coeff_cr);
+    return;
+  }
+  w.put(cu.luma_mode);
+  w.put(cu.coeff_y.empty() ? 0 : 1);
+  if (!cu.coeff_y.empty()) w.put_coeff(cu.coeff_y);
+  if (!cu.luma_only) {
+    w.put(cu.chroma_dir);
+    w.put(cu.coeff_cb.empty() ? 0 : 1);
+    w.put(cu.coeff_cr.empty() ? 0 : 1);
+    if (!cu.coeff_cb.empty()) w.put_coeff(cu.coeff_cb);
+    if (!cu.coeff_cr.empty()) w.put_coeff(cu.coeff_cr);
+  }
+}
+
+}  // namespace ctusearch
+
+extern "C" {
+
+void vte_search_init(const int32_t* offs) {
+  using namespace ctusearch;
+  g_soffs.split = offs[0];
+  g_soffs.qt = offs[1];
+  g_soffs.hv = offs[2];
+  g_soffs.h12 = offs[3];
+  g_soffs.mpm_flag = offs[4];
+  g_soffs.planar_flag = offs[5];
+  g_soffs.chroma_mode = offs[6];
+  g_soffs.cclm_flag = offs[7];
+  g_soffs.cclm_idx = offs[8];
+  g_soffs.cbf_y = offs[9];
+  g_soffs.cbf_cb = offs[10];
+  g_soffs.cbf_cr = offs[11];
+  g_soffs.num_ctx = offs[12];
+}
+
+// full intra CTU search; returns 0 on success, <0 on overflow/error
+int vte_search_ctu(
+    int pic_w, int pic_h, int bit_depth, int ctu_x, int ctu_y, int ctu_size,
+    int32_t* rec_y, int32_t* rec_cb, int32_t* rec_cr, const int32_t* src_y,
+    const int32_t* src_cb, const int32_t* src_cr, uint8_t* coded_luma,
+    int32_t* intra_mode, uint8_t* is_intra, uint8_t* is_mip, int32_t* cu_w,
+    int32_t* cu_h, int32_t* qt_depth, int32_t* qp_map, int uh, int uw,
+    uint8_t* coded_chroma, int32_t* ccu_w, int32_t* ccu_h,
+    int32_t* cqt_depth, int ch2, int cw2, const uint16_t* live_s0,
+    const uint16_t* live_s1, const uint8_t* live_r0, const uint8_t* live_r1,
+    const int32_t* min_qt, const int32_t* max_mtt, const int32_t* max_bt,
+    const int32_t* max_tt, int min_cb_log2, int qp_y, int qp_cb, int qp_cr,
+    int slice_qp_y, double lmbda, double lmbda_sad, int n_full_rd,
+    int n_chroma_rd, int sdh, int dual_tree, int cclm_en, int implicit_mts,
+    int tree_idx, int n_presel, const int32_t* presel_meta,
+    const int64_t* presel_ptrs, int32_t* out_tree, int tree_cap,
+    int32_t* out_coeff, int coeff_cap, int32_t* out_n) {
+  using namespace ctusearch;
+  Searcher s;
+  s.ps.W = pic_w;
+  s.ps.H = pic_h;
+  s.ps.uw = uw;
+  s.ps.uh = uh;
+  s.ps.cw2 = cw2;
+  s.ps.ch2 = ch2;
+  s.ps.rec[0] = rec_y;
+  s.ps.rec[1] = rec_cb;
+  s.ps.rec[2] = rec_cr;
+  s.ps.src[0] = src_y;
+  s.ps.src[1] = src_cb;
+  s.ps.src[2] = src_cr;
+  s.ps.coded_luma = coded_luma;
+  s.ps.intra_mode = intra_mode;
+  s.ps.is_intra = is_intra;
+  s.ps.is_mip = is_mip;
+  s.ps.cu_w = cu_w;
+  s.ps.cu_h = cu_h;
+  s.ps.qt_depth = qt_depth;
+  s.ps.qp_map = qp_map;
+  s.ps.coded_chroma = coded_chroma;
+  s.ps.ccu_w = ccu_w;
+  s.ps.ccu_h = ccu_h;
+  s.ps.cqt_depth = cqt_depth;
+  Params& p = s.pp;
+  p.pic_w = pic_w;
+  p.pic_h = pic_h;
+  p.bit_depth = bit_depth;
+  p.ctu_size = ctu_size;
+  for (int i = 0; i < 3; ++i) {
+    p.min_qt[i] = min_qt[i];
+    p.max_mtt[i] = max_mtt[i];
+    p.max_bt[i] = max_bt[i];
+    p.max_tt[i] = max_tt[i];
+  }
+  p.min_cb_log2 = min_cb_log2;
+  p.qp_y = qp_y;
+  p.qp_cb = qp_cb;
+  p.qp_cr = qp_cr;
+  p.slice_qp_y = slice_qp_y;
+  p.lmbda = lmbda;
+  p.lmbda_sad = lmbda_sad;
+  p.n_full_rd = n_full_rd;
+  p.n_chroma_rd = n_chroma_rd;
+  p.sdh = sdh != 0;
+  p.dual_tree = dual_tree != 0;
+  p.cclm_en = cclm_en != 0;
+  p.implicit_mts = implicit_mts != 0;
+  p.tree_idx = tree_idx;
+  s.est.init(live_s0, live_s1, live_r0, live_r1, g_soffs.num_ctx);
+  for (int i = 0; i < n_presel; ++i) {
+    PreselClass c;
+    c.w = presel_meta[i * 6 + 0];
+    c.h = presel_meta[i * 6 + 1];
+    c.ax = presel_meta[i * 6 + 2];
+    c.ay = presel_meta[i * 6 + 3];
+    c.nx = presel_meta[i * 6 + 4];
+    c.ny = presel_meta[i * 6 + 5];
+    c.costs = reinterpret_cast<const int32_t*>(presel_ptrs[i]);
+    s.presel.push_back(c);
+  }
+  Node root;
+  if (!s.search(ctu_x, ctu_y, root)) return -1;
+  Writer wtr;
+  wtr.tree = out_tree;
+  wtr.tree_cap = tree_cap;
+  wtr.coeff = out_coeff;
+  wtr.coeff_cap = coeff_cap;
+  if (p.dual_tree) {
+    // container: children alternate luma tree / chroma tree per 64 unit
+    for (size_t i = 0; i < root.children.size(); ++i)
+      serialize(root.children[i], wtr, (i & 1) != 0);
+  } else {
+    serialize(root, wtr, false);
+  }
+  if (!wtr.ok) return -2;
+  out_n[0] = wtr.tree_n;
+  out_n[1] = wtr.coeff_n;
+  return 0;
 }
 
 }  // extern "C"

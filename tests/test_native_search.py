@@ -1,0 +1,94 @@
+"""Native CTU search driver (entropy.cpp vte_search_ctu): bit-exactness
+vs the Python golden searcher, across the driver's v1 scope (the
+faster/firstpass intra path: QT-only luma, dual-tree, CCLM, implicit
+MTS, RDOQ+SDH)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from vvenc_tpu import native
+from vvenc_tpu.decoder.decoder import decode_stream
+from vvenc_tpu.encoder.intra_encoder import EncoderConfig, IntraEncoder
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library unavailable")
+
+
+def _frame(w, h, seed):
+    import scipy.ndimage as ndi
+    rng = np.random.RandomState(seed)
+    base = ndi.gaussian_filter(
+        rng.randint(0, 255, (h + 8, w + 8)).astype(np.float32), 1.5)
+    y = ((base - base.min()) / (base.max() - base.min()) * 230
+         + 10)[:h, :w].astype(np.uint8)
+    u = (y[::2, ::2] // 2 + 60).astype(np.uint8)
+    v = (128 - y[::2, ::2] // 3).astype(np.uint8)
+    return y, u, v
+
+
+def _run(cfg_kw, seed=11):
+    """Encode one frame with the check-mode dispatcher: the native tree
+    is asserted equal to the Python searcher's tree at every CTU."""
+    w, h = cfg_kw.pop("width"), cfg_kw.pop("height")
+    frame = _frame(w, h, seed)
+    old = os.environ.get("VVENC_TPU_NATIVE_SEARCH")
+    os.environ["VVENC_TPU_NATIVE_SEARCH"] = "check"
+    try:
+        enc = IntraEncoder(EncoderConfig(
+            width=w, height=h, intra_period=1, gop_size=1, mctf=False,
+            intra_presel="exact", **cfg_kw))
+        au = enc.encode_frame(frame)
+    finally:
+        if old is None:
+            del os.environ["VVENC_TPU_NATIVE_SEARCH"]
+        else:
+            os.environ["VVENC_TPU_NATIVE_SEARCH"] = old
+    dec = decode_stream(au)
+    assert len(dec) == 1
+    for c in range(3):
+        assert np.array_equal(dec[0].planes[c], enc.last_rec.rec[c])
+    return au
+
+
+def test_single_tree_basic():
+    _run(dict(width=128, height=64, qp=30, ctu_size=64, deblocking=False))
+
+
+def test_dual_tree_full_faster_toolset():
+    """The BASELINE config-1 tool set: dual-tree intra, CCLM, implicit
+    MTS, SDH, deblocking, boundary CTUs (416x240)."""
+    _run(dict(width=416, height=240, qp=37, ctu_size=64, deblocking=True,
+              dual_tree=True, cclm=True, mts_implicit=True,
+              sign_data_hiding=True, num_full_rd_modes=2,
+              num_chroma_rd_modes=2))
+
+
+def test_qp_sweep_small():
+    for qp in (22, 32, 42):
+        _run(dict(width=96, height=48, qp=qp, ctu_size=32,
+                  deblocking=True, cclm=True), seed=qp)
+
+
+def test_native_eligibility_gates():
+    """Tools outside the driver's scope must fall back to Python."""
+    from vvenc_tpu.encoder.intra_encoder import _CtuSearcher
+
+    enc = IntraEncoder(EncoderConfig(
+        width=64, height=64, qp=30, ctu_size=64, intra_period=1,
+        gop_size=1, mctf=False, lfnst=True))
+    frame = _frame(64, 64, 3)
+    calls = {"n": 0}
+    orig = native.search_ctu
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    native.search_ctu = spy
+    try:
+        enc.encode_frame(frame)
+    finally:
+        native.search_ctu = orig
+    assert calls["n"] == 0, "native search must not run with LFNST on"

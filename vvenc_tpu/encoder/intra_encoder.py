@@ -639,7 +639,7 @@ class IntraEncoder:
                     self.qp_by_poc[poc] = qp
                     self.slice_type_by_poc[poc] = \
                         SLICE_B if e.refs_future else SLICE_P
-                    self.dpb.append((poc, rec, mf, ref_pocs))
+                    self.dpb.append((poc, rec, mf, ref_pocs, qp))
                     self._trim_dpb()
                     self.frames_done += 1
         stream = bytearray()
@@ -686,7 +686,10 @@ class IntraEncoder:
             # live DPB entry: dependents MC from frec / TMVP from mf,
             # gated by the progress table
             self.dpb.append((poc, frec, mf,
-                             [list(refs_l0), list(refs_l1)]))
+                             [list(refs_l0), list(refs_l1)],
+                             self.slice_qp if poc == 0 else
+                             max(0, min(63, self.cfg.qp +
+                                        e.final_qp_offset(self.cfg.qp)))))
             jobs.append((e, poc, refs_l0, refs_l1))
 
         def run(job):
@@ -945,7 +948,18 @@ class IntraEncoder:
                 from ..codec.motion import TmvpCtx
                 is_b_sl = slice_type == SLICE_B
                 sh.ph.enable_tmvp = 1
+                # collocated picture choice (EncGOP::xInitSliceColFromL0Flag,
+                # EncGOP.cpp:2219): for B slices pick the reference with
+                # the HIGHER slice QP (= higher temporal layer = nearer
+                # picture whose motion field carries usable TMVP
+                # candidates); an I-picture collocate has no motion at all
                 sh.col_from_l0 = 1
+                if is_b_sl and refs_l1:
+                    e0 = by_poc[refs_l0[0]]
+                    e1 = by_poc[refs_l1[0]]
+                    qp0 = e0[4] if len(e0) > 4 else 0
+                    qp1 = e1[4] if len(e1) > 4 else 0
+                    sh.col_from_l0 = 1 if qp0 > qp1 else 0
                 sh.col_ref_idx = 0
                 pic_list = (1 - sh.col_from_l0) if is_b_sl else 0
                 col = by_poc[ref_pocs[pic_list][sh.col_ref_idx]]
@@ -1083,16 +1097,29 @@ class IntraEncoder:
                     sw.new_row(cy)
                 coder.new_ctu_row()
                 prev_cy = cy
+            saved_cur_qp = None
             if qpa_res is not None:
                 addr = cy * n_cols + cx
                 ctu_qp = int(qpa_res.ctu_qps[addr])
                 qp_state.set_cu_qp(ctu_qp)
+                # pin the QG state to this CTU's QP FOR THE SEARCH ONLY:
+                # finish_cu consults coder.cur_qp during the search too,
+                # and a stale value from the previous CTU's replay would
+                # make the search dequantize at the wrong QP, corrupting
+                # the staged reconstruction at every per-CTU QP change
+                # (15 dB loss at QPA/BIM transitions before this fix).
+                # The writer's running predictor state is restored before
+                # the replay — the dqp delta coding depends on it.
+                saved_cur_qp = coder.cur_qp
+                coder.cur_qp = ctu_qp
                 searcher.lmbda = self.lmbda = \
                     float(qpa_res.ctu_lambdas[addr])
                 searcher.lmbda_sad = self.lmbda_sad = \
                     searcher.lmbda ** 0.5
             with PROF.section("slice.ctu_search"):
                 tree = searcher.search_ctu(cx * ctu, cy * ctu, sw.enc.ctx)
+            if saved_cur_qp is not None:
+                coder.cur_qp = saved_cur_qp
             if qpa_res is not None:
                 _set_tree_qp(tree, ctu_qp)
             with PROF.section("slice.ctu_encode"):
@@ -1338,7 +1365,7 @@ class IntraEncoder:
         if is_idr:
             self.dpb = []
         self.dpb.append((poc, dict(ps.rec), coder.mf,
-                         [list(ref_pocs[0]), list(ref_pocs[1])]))
+                         [list(ref_pocs[0]), list(ref_pocs[1])], slice_qp))
         self._trim_dpb()
         return out
 
@@ -1352,6 +1379,32 @@ def _set_tree_qp(node, qp: int) -> None:
         node.chroma_cu.qp = qp
     for c in node.children:
         _set_tree_qp(c, qp)
+
+
+def _assert_trees_equal(a, b, path="ctu"):
+    """Debug helper (VVENC_TPU_NATIVE_SEARCH=check): native search tree
+    must equal the Python searcher's tree exactly."""
+    assert (a.x, a.y, a.w, a.h, a.split_mode) == \
+        (b.x, b.y, b.w, b.h, b.split_mode), \
+        (path, (a.x, a.y, a.w, a.h, a.split_mode),
+         (b.x, b.y, b.w, b.h, b.split_mode))
+    assert len(a.children) == len(b.children), path
+    for i, (ca, cb) in enumerate(zip(a.children, b.children)):
+        _assert_trees_equal(ca, cb, f"{path}.{i}")
+    if (a.cu is None) != (b.cu is None):
+        raise AssertionError(f"{path}: cu presence differs")
+    if a.cu is not None:
+        ca, cb = a.cu, b.cu
+        assert ca.luma_mode == cb.luma_mode, \
+            (path, "mode", ca.luma_mode, cb.luma_mode)
+        assert ca.chroma_dir == cb.chroma_dir, \
+            (path, "chroma", ca.chroma_dir, cb.chroma_dir)
+        for f in ("coeff_y", "coeff_cb", "coeff_cr"):
+            va, vb = getattr(ca, f), getattr(cb, f)
+            if va is None and vb is None:
+                continue
+            assert va is not None and vb is not None, (path, f)
+            assert np.array_equal(va, vb), (path, f)
 
 
 class _CtuSearcher:
@@ -1414,7 +1467,29 @@ class _CtuSearcher:
 
         Works on a scratch copy of the picture/motion state region; the
         caller replays the returned tree through the real coder (which
-        reconstructs into the same state deterministically)."""
+        reconstructs into the same state deterministically).
+
+        When the picture's tool set is covered by the native C++ CTU
+        search driver (native.search_eligible — the faster/firstpass
+        intra path), the whole search runs as one native call
+        (EncCu::xCompressCtu as a native driver, bit-exact vs this
+        Python implementation; tests/test_native_search.py)."""
+        import os
+        nmode = os.environ.get("VVENC_TPU_NATIVE_SEARCH", "1")
+        if nmode != "0":
+            from .. import native
+            if native.available() and native.search_eligible(self):
+                node = native.search_ctu(self, x, y, live_ctx)
+                if node is not None:
+                    if nmode == "check":
+                        ref = self._search_ctu_py(x, y, live_ctx)
+                        _assert_trees_equal(ref, node)
+                    return node
+        return self._search_ctu_py(x, y, live_ctx)
+
+    def _search_ctu_py(self, x: int, y: int, live_ctx: CtxModels
+                       ) -> TreeNode:
+        """Pure-Python golden search (the native driver's reference)."""
         self.est = BitEstimator(CtxModels(live_ctx))
         snap = self._save(x, y, self.cfg.ctu_size)
         if self.coder.dual_tree_intra:
@@ -2923,39 +2998,58 @@ class _CtuSearcher:
                     best = (cost, cu, self._save(x, y, max(w, h)))
             self._restore(best[2])
             return best[1], best[0]
+        # intra competition in inter slices (EncCu xCheckRDCostIntra in
+        # inter pictures): full 67-mode SATD preselection, top-N + planar
+        # coded as separate trials with DM chroma — essential for new
+        # content (scene edges, pans) where inter prediction fails; the
+        # old 4-mode fallback lost ~2 dB on uncovered regions
         top, left = I.build_reference_samples(
             ps.rec[0], x, y, w, h, ps.avail_luma(), PictureState.LUMA_UNIT,
             bit_depth)
-        best_satd = None
-        for mode in (I.PLANAR_IDX, I.DC_IDX, I.HOR_IDX, I.VER_IDX):
-            pred = I.predict_intra(top, left, mode, w, h, bit_depth, True)
-            c = R.satd_np(src_y, pred)
-            if best_satd is None or c < best_satd[0]:
-                best_satd = (c, mode, pred)
-        mode = best_satd[1]
-        cu = CuData(x, y, w, h, is_inter=False, luma_mode=mode)
+        from .. import native as _native
+        if _native.available():
+            satds = _native.presel_satd(top, left, src_y,
+                                        range(I.NUM_LUMA_MODE), w, h,
+                                        bit_depth)
+        else:
+            preds_all = IV.predict_intra_modes(
+                top, left, range(I.NUM_LUMA_MODE), w, h, bit_depth)
+            satds = IV.satd_modes(src_y, preds_all)
+        mpm_i = get_intra_mpms(ps, x, y, w, h, self.cfg.ctu_size)
+        ranked = sorted(
+            range(I.NUM_LUMA_MODE),
+            key=lambda m: float(satds[m]) + self.lmbda_sad *
+            ((1.5 + mpm_i.index(m)) if m in mpm_i else 7.0))
+        n_try = max(1, min(2, self.cfg.num_full_rd_modes))
+        modes_try = ranked[:n_try]
+        if I.PLANAR_IDX not in modes_try:
+            modes_try.append(I.PLANAR_IDX)
         th0, tv0 = T.implicit_mts_types(w, h, True,
                                         self.coder.implicit_mts)
-        cu.coeff_y = self._tq(src_y - best_satd[2], qy, True,
-                              ct.CTX_SETS["QtCbfLuma"](0), th0, tv0,
-                              intra_slice=False)
-        pred_cb = predict_cu_component(ps, cu, 1, bit_depth)
-        pred_cr = predict_cu_component(ps, cu, 2, bit_depth)
-        rcb, rcr = src_cb - pred_cb, src_cr - pred_cr
-        if cscale is not None:
-            from ..codec.lmcs import scale_chroma_resi_fwd
-            rcb = scale_chroma_resi_fwd(rcb.astype(_np.int64), cscale,
-                                        bit_depth)
-            rcr = scale_chroma_resi_fwd(rcr.astype(_np.int64), cscale,
-                                        bit_depth)
-        ccb = self._tq(rcb, self.qp.chroma_qp(1), False,
-                       ct.CTX_SETS["QtCbfCb"](0), intra_slice=False)
-        ccr = self._tq(rcr, self.qp.chroma_qp(2), False,
-                       ct.CTX_SETS["QtCbfCr"](1 if ccb is not None else 0),
-                       intra_slice=False)
-        cu.coeff_cb = ccb
-        cu.coeff_cr = ccr
-        trials.append(cu)
+        for mode in modes_try:
+            pred = I.predict_intra(top, left, mode, w, h, bit_depth, True)
+            cu = CuData(x, y, w, h, is_inter=False, luma_mode=mode)
+            cu.coeff_y = self._tq(src_y - pred, qy, True,
+                                  ct.CTX_SETS["QtCbfLuma"](0), th0, tv0,
+                                  intra_slice=False)
+            pred_cb = predict_cu_component(ps, cu, 1, bit_depth)
+            pred_cr = predict_cu_component(ps, cu, 2, bit_depth)
+            rcb, rcr = src_cb - pred_cb, src_cr - pred_cr
+            if cscale is not None:
+                from ..codec.lmcs import scale_chroma_resi_fwd
+                rcb = scale_chroma_resi_fwd(rcb.astype(_np.int64), cscale,
+                                            bit_depth)
+                rcr = scale_chroma_resi_fwd(rcr.astype(_np.int64), cscale,
+                                            bit_depth)
+            ccb = self._tq(rcb, self.qp.chroma_qp(1), False,
+                           ct.CTX_SETS["QtCbfCb"](0), intra_slice=False)
+            ccr = self._tq(rcr, self.qp.chroma_qp(2), False,
+                           ct.CTX_SETS["QtCbfCr"](1 if ccb is not None
+                                                  else 0),
+                           intra_slice=False)
+            cu.coeff_cb = ccb
+            cu.coeff_cr = ccr
+            trials.append(cu)
 
         # evaluate all trials through the real syntax writer + estimator
         if self.enc.trial_filter is not None:

@@ -436,3 +436,230 @@ def rdoq(coeff: np.ndarray, qp: int, bit_depth: int, is_luma: bool,
                   float(lmbda), -1 if cbf_ctx_id is None else int(cbf_ctx_id),
                   _u16p(ctx.state0), _u16p(ctx.state1), _i32p(out))
     return out
+
+
+# ---------------------------------------------------------------------------
+# native CTU search driver (EncCu::xCompressCtu analog): the full
+# intra-slice RD search of one CTU in one C++ call (entropy.cpp
+# vte_search_ctu) — bit-exact vs the Python _CtuSearcher
+# ---------------------------------------------------------------------------
+
+_SEARCH_READY = False
+
+
+def _search_setup():
+    """Declare + initialize the search entry points (lazy, once)."""
+    global _SEARCH_READY
+    if _SEARCH_READY or _LIB is None:
+        return _LIB is not None
+    from ..bitstream import ctx_tables as ct
+    _LIB.vte_search_init.argtypes = [_PI32]
+    _LIB.vte_search_init.restype = None
+    _LIB.vte_search_ctu.argtypes = (
+        [ctypes.c_int] * 6 + [ctypes.c_void_p] * 6
+        + [ctypes.c_void_p] * 8 + [ctypes.c_int] * 2
+        + [ctypes.c_void_p] * 4 + [ctypes.c_int] * 2
+        + [ctypes.c_void_p] * 4
+        + [ctypes.c_void_p] * 4 + [ctypes.c_int] * 5
+        + [ctypes.c_double] * 2 + [ctypes.c_int] * 7
+        + [ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
+        + [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+           ctypes.c_void_p])
+    _LIB.vte_search_ctu.restype = ctypes.c_int
+    offs = np.asarray([
+        ct.CTX_SETS["SplitFlag"](0), ct.CTX_SETS["SplitQtFlag"](0),
+        ct.CTX_SETS["SplitHvFlag"](0), ct.CTX_SETS["Split12Flag"](0),
+        ct.CTX_SETS["IntraLumaMpmFlag"](0),
+        ct.CTX_SETS["IntraLumaPlanarFlag"](0),
+        ct.CTX_SETS["IntraChromaPredMode"](0),
+        ct.CTX_SETS["CclmModeFlag"](0), ct.CTX_SETS["CclmModeIdx"](0),
+        ct.CTX_SETS["QtCbfLuma"](0), ct.CTX_SETS["QtCbfCb"](0),
+        ct.CTX_SETS["QtCbfCr"](0), ct.NUM_CTX], dtype=np.int32)
+    _LIB.vte_search_init(offs.ctypes.data)
+    _SEARCH_READY = True
+    return True
+
+
+def search_eligible(searcher) -> bool:
+    """True when the native driver covers this picture's tool set
+    (the v1 scope: intra slice, RDOQ without trellis, no MIP/MRL/ISP/
+    LFNST/explicit-MTS/TS/BDPCM/IBC/JCCR/LMCS/DQP/tiles, luma MTT off
+    — the faster/firstpass preset intra path)."""
+    if _LIB is None or not _search_setup():
+        return False
+    coder, cfg, sps = searcher.coder, searcher.cfg, searcher.enc.sps
+    ps = searcher.ps
+    return (coder.is_intra_slice
+            and not getattr(searcher.enc, "trial_filter", None)
+            and bool(cfg.rdoq) and not cfg.dep_quant
+            and not sps.mip and not sps.mrl and not sps.isp
+            and not sps.lfnst and not sps.mts_intra
+            and not sps.transform_skip and not getattr(sps, "bdpcm", 0)
+            and not coder.ibc_en and not coder.bdpcm_en and not coder.jccr
+            and coder.reshape is None and not coder.use_dqp
+            and ps.tile_map is None
+            and sps.max_mtt_depth[0] == 0
+            and searcher.ifp_bottom is None)
+
+
+def search_ctu(searcher, ctu_x: int, ctu_y: int, live_ctx):
+    """Run the native CTU search; returns the TreeNode (same tree the
+    Python searcher produces) or None on native-side failure."""
+    from ..codec.ctu_syntax import (CHROMA_TREE, MODE_INTRA, NO_SPLIT,
+                                    TREE_L, CuData, PartInfo, TreeNode,
+                                    implicit_split, split_geometry)
+    ps = searcher.ps
+    cfg = searcher.cfg
+    sps = searcher.enc.sps
+    coder = searcher.coder
+    qp = searcher.qp
+
+    # per-picture prepared state (cached on the searcher)
+    prep = getattr(searcher, "_nsearch_prep", None)
+    if prep is None:
+        src = [np.ascontiguousarray(p, dtype=np.int32)
+               for p in (searcher.src[0], searcher.src[1], searcher.src[2])]
+        presel_meta = np.zeros((0, 6), np.int32)
+        presel_ptrs = np.zeros(0, np.int64)
+        presel_keep = []
+        if searcher._use_presel():
+            tab = searcher._get_presel()
+            metas, ptrs = [], []
+            for (w, h), (xs, ys, ax, ay, nx, costs) in tab.tables.items():
+                c = np.ascontiguousarray(costs, dtype=np.int32)
+                presel_keep.append(c)
+                metas.append((w, h, ax, ay, nx, len(ys)))
+                ptrs.append(c.ctypes.data)
+            if metas:
+                presel_meta = np.asarray(metas, dtype=np.int32)
+                presel_ptrs = np.asarray(ptrs, dtype=np.int64)
+        sps_arr = {
+            "min_qt": np.asarray(sps.min_qt_size, np.int32),
+            "max_mtt": np.asarray(sps.max_mtt_depth, np.int32),
+            "max_bt": np.asarray(sps.max_bt_size, np.int32),
+            "max_tt": np.asarray(sps.max_tt_size, np.int32),
+        }
+        out_tree = np.empty(1 << 16, np.int32)
+        out_coeff = np.empty(1 << 16, np.int32)
+        out_n = np.empty(2, np.int32)
+        prep = (src, presel_meta, presel_ptrs, presel_keep, sps_arr,
+                out_tree, out_coeff, out_n)
+        searcher._nsearch_prep = prep
+    (src, presel_meta, presel_ptrs, _keep, sps_arr, out_tree, out_coeff,
+     out_n) = prep
+
+    def b8(a):
+        return a.view(np.uint8) if a.dtype == np.bool_ else a
+
+    rc = _LIB.vte_search_ctu(
+        ps.w, ps.h, cfg.bit_depth, ctu_x, ctu_y, cfg.ctu_size,
+        _i32p(ps.rec[0]), _i32p(ps.rec[1]), _i32p(ps.rec[2]),
+        _i32p(src[0]), _i32p(src[1]), _i32p(src[2]),
+        _u8p(b8(ps.coded_luma)), _i32p(ps.intra_mode),
+        _u8p(b8(ps.is_intra)), _u8p(b8(ps.is_mip)), _i32p(ps.cu_w),
+        _i32p(ps.cu_h), _i32p(ps.qt_depth), _i32p(ps.qp_map),
+        ps.coded_luma.shape[0], ps.coded_luma.shape[1],
+        _u8p(b8(ps.coded_chroma)), _i32p(ps.ccu_w), _i32p(ps.ccu_h),
+        _i32p(ps.cqt_depth),
+        ps.coded_chroma.shape[0], ps.coded_chroma.shape[1],
+        _u16p(live_ctx.state0), _u16p(live_ctx.state1),
+        _u8p(live_ctx.rate0), _u8p(live_ctx.rate1),
+        _i32p(sps_arr["min_qt"]), _i32p(sps_arr["max_mtt"]),
+        _i32p(sps_arr["max_bt"]), _i32p(sps_arr["max_tt"]),
+        sps.log2_min_cb_size, qp.luma_qp(), qp.chroma_qp(1),
+        qp.chroma_qp(2), qp.qp_y, float(searcher.lmbda),
+        float(searcher.lmbda_sad), cfg.num_full_rd_modes,
+        cfg.num_chroma_rd_modes, 1 if cfg.sign_data_hiding else 0,
+        1 if coder.dual_tree_intra else 0, 1 if sps.cclm else 0,
+        1 if coder.implicit_mts else 0, coder.tree_idx,
+        len(presel_meta), _i32p(presel_meta), presel_ptrs.ctypes.data,
+        _i32p(out_tree), len(out_tree), _i32p(out_coeff), len(out_coeff),
+        out_n.ctypes.data)
+    if rc != 0:
+        return None
+
+    # deserialize into the TreeNode structure the Python searcher builds
+    state = {"ti": 0, "ci": 0}
+    tree, coeff = out_tree, out_coeff
+
+    def tok():
+        v = int(tree[state["ti"]])
+        state["ti"] += 1
+        return v
+
+    def block(h, w):
+        n = h * w
+        a = coeff[state["ci"]:state["ci"] + n].reshape(h, w).copy()
+        state["ci"] += n
+        return a
+
+    def read_node(x, y, w, h, part):
+        split = tok()
+        node = TreeNode(x, y, max(w, h), part.qt_depth, w=w, h=h, part=part,
+                        split_mode=split, split=split != NO_SPLIT)
+        tidx = 2 if part.tree_type == CHROMA_TREE else coder.tree_idx
+        if split != NO_SPLIT:
+            impl = implicit_split(ps, x, y, w, h, part, sps, tidx)
+            is_impl = split == impl
+            for idx, (cx, cy, cw, chh) in enumerate(
+                    split_geometry(split, x, y, w, h)):
+                if cx >= ps.w or cy >= ps.h:
+                    continue
+                node.children.append(
+                    read_node(cx, cy, cw, chh,
+                              part.child(split, idx, is_impl)))
+            return node
+        if part.tree_type == CHROMA_TREE:
+            cu = CuData(x, y, w, h)
+            cu.chroma_only = True
+            cu.luma_mode = tok()
+            cu.chroma_dir = tok()
+            cu.cclm_allowed = bool(tok())
+            cbf_cb, cbf_cr = tok(), tok()
+            if cbf_cb:
+                cu.coeff_cb = block(h >> 1, w >> 1)
+            if cbf_cr:
+                cu.coeff_cr = block(h >> 1, w >> 1)
+            node.cu = cu
+            return node
+        lo = part.tree_type == TREE_L
+        cu = CuData(x, y, w, h, luma_only=lo)
+        cu.luma_mode = tok()
+        if tok():
+            cu.coeff_y = block(h, w)
+        if not lo:
+            cu.chroma_dir = tok()
+            cbf_cb, cbf_cr = tok(), tok()
+            if cbf_cb:
+                cu.coeff_cb = block(h >> 1, w >> 1)
+            if cbf_cr:
+                cu.coeff_cr = block(h >> 1, w >> 1)
+        node.cu = cu
+        return node
+
+    ctu = cfg.ctu_size
+    if coder.dual_tree_intra:
+        node = TreeNode(ctu_x, ctu_y, ctu, 0, w=ctu, h=ctu, part=PartInfo())
+        unit = min(64, ctu)
+        qtd = 1 if ctu > 64 else 0
+        for uy in range(ctu_y, ctu_y + ctu, unit):
+            for ux in range(ctu_x, ctu_x + ctu, unit):
+                if ux >= ps.w or uy >= ps.h:
+                    continue
+                pl = PartInfo(qt_depth=qtd, subdiv=2 * qtd,
+                              mode_type=MODE_INTRA, tree_type=TREE_L)
+                lnode = read_node(ux, uy, unit, unit, pl)
+                # luma64 record for the replay's CCLM gate
+                coder.luma64[(ux, uy)] = [
+                    lnode.split_mode,
+                    bool(lnode.cu.isp_mode) if lnode.cu is not None
+                    else False]
+                node.children.append(lnode)
+                pc = PartInfo(qt_depth=qtd, subdiv=2 * qtd,
+                              mode_type=MODE_INTRA, tree_type=CHROMA_TREE)
+                node.children.append(read_node(ux, uy, unit, unit, pc))
+    else:
+        node = read_node(ctu_x, ctu_y, ctu, ctu, PartInfo())
+    assert state["ti"] == int(out_n[0]) and state["ci"] == int(out_n[1]), \
+        "native search serialization mismatch"
+    return node

@@ -216,8 +216,10 @@ def _pdpc_planar_dc_jnp(pred, top, left, w, h):
 # ---------------------------------------------------------------------------
 
 def shapes_for_config(ctu_size: int, max_mtt_depth_i: int):
-    """Size classes the intra partitioner can visit (max TB 64; MTT adds
-    the rectangular classes, aspect ratio capped at 8 per VVC)."""
+    """(shapes, mtt) — size classes the intra partitioner can visit (max
+    TB 64; MTT adds the rectangular classes, aspect ratio capped at 8
+    per VVC); mtt tells the grid whether sub-size-aligned positions are
+    reachable."""
     sizes = [s for s in (4, 8, 16, 32, 64) if s <= min(ctu_size, 64)]
     shapes = [(s, s) for s in sizes]
     if max_mtt_depth_i > 0:
@@ -225,14 +227,18 @@ def shapes_for_config(ctu_size: int, max_mtt_depth_i: int):
             for h in sizes:
                 if w != h and max(w, h) // min(w, h) <= 8:
                     shapes.append((w, h))
-    return shapes
+    return shapes, max_mtt_depth_i > 0
 
 
-def _class_grid(W, H, w, h):
-    """Candidate block positions of one size class (4-pel aligned; covers
-    every position QT/BT/TT can produce for blocks fully inside)."""
-    ax = max(4, w // 4)
-    ay = max(4, h // 4)
+def _class_grid(W, H, w, h, mtt: bool = True):
+    """Candidate block positions of one size class.
+
+    mtt=True: 4-pel-aligned sub-grid (covers every position nested
+    BT/TT can produce).  mtt=False (QT-only partitioning, the
+    faster/firstpass presets): blocks of size (w, h) only ever occur at
+    size-aligned positions — 16x fewer candidates per class."""
+    ax = w if not mtt else max(4, w // 4)
+    ay = h if not mtt else max(4, h // 4)
     xs = np.arange(0, W - w + 1, ax, dtype=np.int32)
     ys = np.arange(0, H - h + 1, ay, dtype=np.int32)
     return xs, ys, ax, ay
@@ -276,6 +282,10 @@ class FramePresel:
 
     def __init__(self, src_y: np.ndarray, bit_depth: int, shapes):
         H, W = src_y.shape
+        if isinstance(shapes, tuple):
+            shapes, mtt = shapes
+        else:
+            mtt = True
         self.tables = {}
         pad = 80
         sp = np.pad(src_y, pad, mode="edge").astype(np.int32)
@@ -283,7 +293,7 @@ class FramePresel:
         for (w, h) in shapes:
             if w > W or h > H:
                 continue
-            xs, ys, ax, ay = _class_grid(W, H, w, h)
+            xs, ys, ax, ay = _class_grid(W, H, w, h, mtt)
             bx, by, tops, lefts = _gather_refs(sp, pad, xs, ys, w, h)
             B = len(bx)
             win = np.lib.stride_tricks.sliding_window_view(src_y, (h, w))
