@@ -456,7 +456,10 @@ def test_ccalf_encoder_roundtrip():
                 0, 255)[::2, ::2].astype(np.uint8)
     res = {}
     for cc in (False, True):
-        enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=34,
+        # qp 32: the picture-level ALF RD gate (APS cost vs gain) must
+        # pass for this clip — the test's purpose is the CC-ALF
+        # derivation itself, so run at a point where ALF pays for itself
+        enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=32,
                                          ctu_size=64, deblocking=True,
                                          alf=True, ccalf=cc))
         au = enc.encode_frame((y, u, v))

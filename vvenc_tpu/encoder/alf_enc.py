@@ -136,6 +136,7 @@ def derive_alf(orig, rec, bit_depth: int, ctu_size: int, lmbda: float):
     ctu_fidx = np.full(n_ctus, NUM_FIXED_FILTER_SETS, np.int32)
     ctu_alt = np.zeros((2, n_ctus), np.int32)
     flag_cost = lmbda * 2.0  # ~rate of the enable flag + filter idx
+    total_gain = 0.0
     for ry in range(h_ctus):
         for rx in range(w_ctus):
             addr = ry * w_ctus + rx
@@ -149,8 +150,20 @@ def derive_alf(orig, rec, bit_depth: int, ctu_size: int, lmbda: float):
                 d_on = ((o - filt[comp][y0:y1, x0:x1]) ** 2).sum()
                 if d_on + flag_cost < d_off:
                     ctu_flags[comp][addr] = 1
+                    total_gain += float(d_off - d_on) - flag_cost
     enabled = [int(ctu_flags[c].any()) for c in range(3)]
     if not any(enabled):
+        return None
+    # picture-level gate: the APS must pay for itself (vvenc accounts the
+    # filter-signalling rate inside the ALF RD; without this, high-TL
+    # pictures with ~200-bit budgets were spending 1-2 kbit on an APS
+    # for marginal gains).  The APS cost is the real serialized size.
+    from ..bitstream.hls import BitWriter
+    from ..codec.alf import write_alf_aps
+    bw = BitWriter()
+    write_alf_aps(bw, 0, p)
+    aps_bits = len(bw.get_bytes()) * 8 + 48  # + NAL header/EBSP overhead
+    if total_gain <= lmbda * aps_bits:
         return None
     # luma-disabled CTUs keep fidx; chroma uses alternative 0
     return p, enabled, ctu_flags, ctu_fidx, ctu_alt, filt
