@@ -2893,25 +2893,57 @@ struct Searcher {
     int mpm[6];
     get_mpms(ps, x, y, w, h, pp.ctu_size, mpm);
 
-    // SATD preselection: device table when present, else native sweep
-    int64_t satds[N_MODES];
-    const int32_t* tab = presel_lookup(x, y, w, h);
-    if (tab) {
-      for (int m = 0; m < N_MODES; ++m) satds[m] = tab[m];
-    } else {
-      int32_t modes[N_MODES];
-      for (int m = 0; m < N_MODES; ++m) modes[m] = m;
-      vte_presel_satd(top.data(), int(top.size()), left.data(),
-                      int(left.size()), src_y.data(), modes, N_MODES, w, h,
-                      pp.bit_depth, 1, 0, satds);
-    }
-    struct Cand { double cost; int mode; };
-    std::vector<Cand> cand(N_MODES);
-    for (int m = 0; m < N_MODES; ++m) {
+    // SATD preselection: device table when present, else the subset
+    // sweep + refinement (mirror of the Python golden: every 2nd
+    // angular mode, then the odd neighbors of the strongest candidates)
+    auto mode_cost = [&](int m, int64_t satd) {
       double mode_bits = 7.0;
       for (int i = 0; i < 6; ++i)
         if (mpm[i] == m) { mode_bits = 1.5 + i; break; }
-      cand[m] = {double(satds[m]) + pp.lmbda_sad * mode_bits, m};
+      return double(satd) + pp.lmbda_sad * mode_bits;
+    };
+    struct Cand { double cost; int mode; };
+    std::vector<Cand> cand;
+    const int32_t* tab = presel_lookup(x, y, w, h);
+    if (tab) {
+      cand.resize(N_MODES);
+      for (int m = 0; m < N_MODES; ++m)
+        cand[m] = {mode_cost(m, tab[m]), m};
+    } else {
+      std::vector<int32_t> s0 = {0, 1};
+      for (int m = 2; m < N_MODES; m += 2) s0.push_back(m);
+      std::vector<int64_t> sat0(s0.size());
+      vte_presel_satd(top.data(), int(top.size()), left.data(),
+                      int(left.size()), src_y.data(), s0.data(),
+                      int(s0.size()), w, h, pp.bit_depth, 1, 0,
+                      sat0.data());
+      for (size_t i = 0; i < s0.size(); ++i)
+        cand.push_back({mode_cost(s0[i], sat0[i]), s0[i]});
+      std::vector<Cand> order0 = cand;
+      std::stable_sort(order0.begin(), order0.end(),
+                       [](const Cand& a, const Cand& b) {
+                         return a.cost < b.cost;
+                       });
+      std::vector<int32_t> refine;
+      int top_k = std::min<int>(pp.n_full_rd + 1, int(order0.size()));
+      for (int i = 0; i < top_k; ++i) {
+        int m = order0[i].mode;
+        if (m < 2) continue;
+        for (int nb : {m - 1, m + 1}) {
+          if (nb >= 3 && nb <= 65 && (nb & 1) &&
+              std::find(refine.begin(), refine.end(), nb) == refine.end())
+            refine.push_back(nb);
+        }
+      }
+      if (!refine.empty()) {
+        std::vector<int64_t> sat1(refine.size());
+        vte_presel_satd(top.data(), int(top.size()), left.data(),
+                        int(left.size()), src_y.data(), refine.data(),
+                        int(refine.size()), w, h, pp.bit_depth, 1, 0,
+                        sat1.data());
+        for (size_t i = 0; i < refine.size(); ++i)
+          cand.push_back({mode_cost(refine[i], sat1[i]), refine[i]});
+      }
     }
     std::stable_sort(cand.begin(), cand.end(),
                      [](const Cand& a, const Cand& b) {
@@ -3380,6 +3412,273 @@ int vte_search_ctu(
   out_n[0] = wtr.tree_n;
   out_n[1] = wtr.coeff_n;
   return 0;
+}
+
+}  // extern "C"
+
+// ===========================================================================
+// ALF kernels (codec/alf.py ports): 4x4 classification, 7x7/5x5 clipped
+// diamond filtering, CC-ALF — the AdaptiveLoopFilterX86.h analog.  Bit-exact
+// vs the Python/numpy reference (tests/test_native.py alf cases).
+// ===========================================================================
+
+namespace alf {
+
+const int TR7[4][13] = {{0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12},
+                        {9, 4, 10, 8, 1, 5, 11, 7, 3, 0, 2, 6, 12},
+                        {0, 3, 2, 1, 8, 7, 6, 5, 4, 9, 10, 11, 12},
+                        {9, 8, 10, 4, 3, 7, 11, 5, 1, 0, 2, 6, 12}};
+const int ACT_TH[16] = {0, 1, 2, 2, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3, 3, 4};
+const int TRANSPOSE_TAB[8] = {0, 1, 0, 2, 2, 3, 1, 3};
+constexpr int ALF_NUM_BITS = 8;
+constexpr int CC_SCALE_BITS = 7;
+const int LUMA_TAPS[12][2][2] = {
+    {{3, 0}, {-3, 0}}, {{2, 1}, {-2, -1}}, {{2, 0}, {-2, 0}},
+    {{2, -1}, {-2, 1}}, {{1, 2}, {-1, -2}}, {{1, 1}, {-1, -1}},
+    {{1, 0}, {-1, 0}}, {{1, -1}, {-1, 1}}, {{1, -2}, {-1, 2}},
+    {{0, 3}, {0, -3}}, {{0, 2}, {0, -2}}, {{0, 1}, {0, -1}}};
+const int CHROMA_TAPS[6][2][2] = {
+    {{2, 0}, {-2, 0}}, {{1, 1}, {-1, -1}}, {{1, 0}, {-1, 0}},
+    {{1, -1}, {-1, 1}}, {{0, 2}, {0, -2}}, {{0, 1}, {0, -1}}};
+
+// per-row vertical-boundary tap clamping (codec/alf.py _vb_taps)
+static void vb_taps(int yvb, int vb_pos, bool is_chroma, int o[6],
+                    bool* near) {
+  o[0] = 1; o[1] = -1; o[2] = 2; o[3] = -2; o[4] = 3; o[5] = -3;
+  int rng = is_chroma ? 2 : 4;
+  if (yvb < vb_pos && yvb >= vb_pos - rng) {
+    if (yvb == vb_pos - 1) { o[0] = 0; o[1] = 0; }
+    if (yvb >= vb_pos - 2) { o[2] = o[0]; o[3] = o[1]; }
+    if (yvb >= vb_pos - 3) { o[4] = o[2]; o[5] = o[3]; }
+  } else if (yvb >= vb_pos && yvb <= vb_pos + rng - 1) {
+    if (yvb == vb_pos) { o[0] = 0; o[1] = 0; }
+    if (yvb <= vb_pos + 1) { o[2] = o[0]; o[3] = o[1]; }
+    if (yvb <= vb_pos + 2) { o[4] = o[2]; o[5] = o[3]; }
+  }
+  *near = yvb == vb_pos - 1 || yvb == vb_pos;
+}
+
+static inline int off_of(const int o[6], int d) {
+  switch (d) {
+    case 1: return o[0];
+    case -1: return o[1];
+    case 2: return o[2];
+    case -2: return o[3];
+    case 3: return o[4];
+    case -3: return o[5];
+    default: return 0;
+  }
+}
+
+static inline int64_t clip_alf(int64_t clip, int64_t curr, int64_t v0,
+                               int64_t v1) {
+  int64_t a = v0 - curr;
+  a = a < -clip ? -clip : (a > clip ? clip : a);
+  int64_t b = v1 - curr;
+  b = b < -clip ? -clip : (b > clip ? clip : b);
+  return a + b;
+}
+
+// edge-clamped sample access
+static inline int64_t at(const int32_t* p, int h, int w, int y, int x) {
+  y = y < 0 ? 0 : (y >= h ? h - 1 : y);
+  x = x < 0 ? 0 : (x >= w ? w - 1 : x);
+  return p[size_t(y) * w + x];
+}
+
+}  // namespace alf
+
+extern "C" {
+
+// 7x7 clipped luma ALF over region (x0, y0, w0, h0) of src -> dst
+// (codec/alf.py filter_luma_region)
+void vte_alf_luma(const int32_t* src, int32_t* dst, int h, int w, int x0,
+                  int y0, int w0, int h0, const int32_t* cls,
+                  const int32_t* trn, int cls_w, const int32_t* coeff,
+                  const int32_t* clipv, int bit_depth, int ctu_size) {
+  using namespace alf;
+  int vb_pos = ctu_size - 4;
+  int maxval = (1 << bit_depth) - 1;
+  int shift = ALF_NUM_BITS - 1;
+  int y1 = std::min(y0 + h0, h), x1 = std::min(x0 + w0, w);
+  for (int y = y0; y < y1; ++y) {
+    int o[6];
+    bool near;
+    vb_taps(y & (ctu_size - 1), vb_pos, false, o, &near);
+    int row_shift = near ? shift + 3 : shift;
+    int64_t row_off = int64_t(1) << (row_shift - 1);
+    for (int x = x0; x < x1; ++x) {
+      int c = cls[(y >> 2) * cls_w + (x >> 2)];
+      int t = trn[(y >> 2) * cls_w + (x >> 2)];
+      const int32_t* co = coeff + size_t(c) * 13;
+      const int32_t* cl = clipv + size_t(c) * 13;
+      int64_t curr = src[size_t(y) * w + x];
+      int64_t acc = 0;
+      for (int ci = 0; ci < 12; ++ci) {
+        int g = TR7[t][ci];  // co[TR[t]] permutation (gather)
+        int dy0 = LUMA_TAPS[ci][0][0], dx0 = LUMA_TAPS[ci][0][1];
+        int dy1 = LUMA_TAPS[ci][1][0], dx1 = LUMA_TAPS[ci][1][1];
+        int64_t v0 = at(src, h, w, y + off_of(o, dy0), x + dx0);
+        int64_t v1 = at(src, h, w, y + off_of(o, dy1), x + dx1);
+        acc += int64_t(co[g]) * clip_alf(cl[g], curr, v0, v1);
+      }
+      int64_t out = (acc + row_off) >> row_shift;
+      int64_t r = curr + out;
+      dst[size_t(y) * w + x] =
+          int32_t(r < 0 ? 0 : (r > maxval ? maxval : r));
+    }
+  }
+}
+
+// 5x5 chroma ALF (codec/alf.py filter_chroma_region)
+void vte_alf_chroma(const int32_t* src, int32_t* dst, int h, int w, int x0,
+                    int y0, int w0, int h0, const int32_t* coeff,
+                    const int32_t* clipv, int bit_depth, int ctu_size_c) {
+  using namespace alf;
+  int vb_pos = ctu_size_c - 2;
+  int maxval = (1 << bit_depth) - 1;
+  int shift = ALF_NUM_BITS - 1;
+  int y1 = std::min(y0 + h0, h), x1 = std::min(x0 + w0, w);
+  for (int y = y0; y < y1; ++y) {
+    int o[6];
+    bool near;
+    vb_taps(y & (ctu_size_c - 1), vb_pos, true, o, &near);
+    int row_shift = near ? shift + 3 : shift;
+    int64_t row_off = int64_t(1) << (row_shift - 1);
+    for (int x = x0; x < x1; ++x) {
+      int64_t curr = src[size_t(y) * w + x];
+      int64_t acc = 0;
+      for (int ci = 0; ci < 6; ++ci) {
+        int dy0 = CHROMA_TAPS[ci][0][0], dx0 = CHROMA_TAPS[ci][0][1];
+        int dy1 = CHROMA_TAPS[ci][1][0], dx1 = CHROMA_TAPS[ci][1][1];
+        int64_t v0 = at(src, h, w, y + off_of(o, dy0), x + dx0);
+        int64_t v1 = at(src, h, w, y + off_of(o, dy1), x + dx1);
+        acc += int64_t(coeff[ci]) * clip_alf(clipv[ci], curr, v0, v1);
+      }
+      int64_t out = (acc + row_off) >> row_shift;
+      int64_t r = curr + out;
+      dst[size_t(y) * w + x] =
+          int32_t(r < 0 ? 0 : (r > maxval ? maxval : r));
+    }
+  }
+}
+
+// CC-ALF 3x4 diamond on co-located luma -> chroma correction
+// (codec/alf.py filter_ccalf_region; 4:2:0)
+void vte_alf_ccalf(const int32_t* luma, int32_t* chroma, int hc, int wc,
+                   int h, int w, int x0c, int y0c, int w0c, int h0c,
+                   const int32_t* coeff, int bit_depth, int ctu_size) {
+  using namespace alf;
+  int vb_pos = ctu_size - 4;
+  int maxval = (1 << bit_depth) - 1;
+  int half = (1 << bit_depth) >> 1;
+  int y1 = std::min(y0c + h0c, hc), x1 = std::min(x0c + w0c, wc);
+  for (int yy = y0c; yy < y1; ++yy) {
+    int ly = yy << 1;
+    int pos = ly & (ctu_size - 1);
+    int off1 = 1, off2 = -1, off3 = 2;
+    if (pos == vb_pos - 2 || pos == vb_pos + 1) {
+      off3 = off1;
+    } else if (pos == vb_pos - 1 || pos == vb_pos) {
+      off1 = off2 = off3 = 0;
+    }
+    for (int xx = x0c; xx < x1; ++xx) {
+      int lx = xx << 1;
+      int64_t curr = at(luma, h, w, ly, lx);
+      int64_t s = 0;
+      s += int64_t(coeff[0]) * (at(luma, h, w, ly + off2, lx) - curr);
+      s += int64_t(coeff[1]) * (at(luma, h, w, ly, lx - 1) - curr);
+      s += int64_t(coeff[2]) * (at(luma, h, w, ly, lx + 1) - curr);
+      s += int64_t(coeff[3]) * (at(luma, h, w, ly + off1, lx - 1) - curr);
+      s += int64_t(coeff[4]) * (at(luma, h, w, ly + off1, lx) - curr);
+      s += int64_t(coeff[5]) * (at(luma, h, w, ly + off1, lx + 1) - curr);
+      s += int64_t(coeff[6]) * (at(luma, h, w, ly + off3, lx) - curr);
+      s = (s + ((1 << CC_SCALE_BITS) >> 1)) >> CC_SCALE_BITS;
+      int64_t v = s + half;
+      v = v < 0 ? 0 : (v > maxval ? maxval : v);
+      s = v - half;
+      int64_t r = chroma[size_t(yy) * wc + xx] + s;
+      chroma[size_t(yy) * wc + xx] =
+          int32_t(r < 0 ? 0 : (r > maxval ? maxval : r));
+    }
+  }
+}
+
+// 4x4 classification (codec/alf.py classify_luma; deriveClassificationBlk)
+void vte_alf_classify(const int32_t* rec, int h, int w, int bit_depth,
+                      int ctu_size, int32_t* cls_out, int32_t* trn_out) {
+  using namespace alf;
+  int shift = bit_depth + 4;
+  int vb_pos = ctu_size - 4;
+  int n_by = h / 4, n_bx = w / 4;
+  // laplacian grid: points (y_c, x_c) at even offsets starting -2;
+  // value = lap(y_c, x_c) + lap(y_c+1, x_c+1) with the VB row rules
+  int gh = (h + 4) / 2, gw = (w + 4) / 2;  // grid dims
+  std::vector<int64_t> gv(size_t(gh) * gw), gho(size_t(gh) * gw),
+      gd0(size_t(gh) * gw), gd1(size_t(gh) * gw);
+  auto lap = [&](int y, int x, int64_t* v, int64_t* hh, int64_t* d0,
+                 int64_t* d1) {
+    // VB row substitution: above(y)=y iff y%ctu==vb_pos,
+    // below(y)=y iff y%ctu==vb_pos-1 (only for y > 0)
+    int ym = y - 1, yp = y + 1;
+    if (y > 0 && (y & (ctu_size - 1)) == vb_pos) ym = y;
+    if (y > 0 && (y & (ctu_size - 1)) == vb_pos - 1) yp = y;
+    int64_t c2 = 2 * at(rec, h, w, y, x);
+    *v = std::abs(c2 - at(rec, h, w, ym, x) - at(rec, h, w, yp, x));
+    *hh = std::abs(c2 - at(rec, h, w, y, x - 1) - at(rec, h, w, y, x + 1));
+    *d0 = std::abs(c2 - at(rec, h, w, ym, x - 1) - at(rec, h, w, yp, x + 1));
+    *d1 = std::abs(c2 - at(rec, h, w, yp, x - 1) - at(rec, h, w, ym, x + 1));
+  };
+  for (int gy = 0; gy < gh; ++gy) {
+    int y_c = -2 + 2 * gy;
+    for (int gx = 0; gx < gw; ++gx) {
+      int x_c = -2 + 2 * gx;
+      int64_t v0, h0, d00, d10, v1, h1, d01, d11;
+      lap(y_c, x_c, &v0, &h0, &d00, &d10);
+      lap(y_c + 1, x_c + 1, &v1, &h1, &d01, &d11);
+      gv[size_t(gy) * gw + gx] = v0 + v1;
+      gho[size_t(gy) * gw + gx] = h0 + h1;
+      gd0[size_t(gy) * gw + gx] = d00 + d01;
+      gd1[size_t(gy) * gw + gx] = d10 + d11;
+    }
+  }
+  for (int by = 0; by < n_by; ++by) {
+    int blk_vb = (by * 4) & (ctu_size - 1);
+    int r0 = 0, r1 = 4, mult = 64;
+    if (blk_vb == vb_pos - 4) { r1 = 3; mult = 96; }
+    else if (blk_vb == vb_pos) { r0 = 1; mult = 96; }
+    for (int bx = 0; bx < n_bx; ++bx) {
+      int64_t sv = 0, sh = 0, sd0 = 0, sd1 = 0;
+      for (int r = r0; r < r1; ++r) {
+        int gy = by * 2 + r;
+        for (int cc = 0; cc < 4; ++cc) {
+          int gx = bx * 2 + cc;
+          sv += gv[size_t(gy) * gw + gx];
+          sh += gho[size_t(gy) * gw + gx];
+          sd0 += gd0[size_t(gy) * gw + gx];
+          sd1 += gd1[size_t(gy) * gw + gx];
+        }
+      }
+      int64_t act = ((sv + sh) * mult) >> shift;
+      act = act < 0 ? 0 : (act > 15 ? 15 : act);
+      int cls = ACT_TH[act];
+      bool hv_swap = sv > sh;
+      int64_t hv1 = hv_swap ? sv : sh, hv0 = hv_swap ? sh : sv;
+      int dir_hv = hv_swap ? 1 : 3;
+      bool d_swap = sd0 > sd1;
+      int64_t dd1 = d_swap ? sd0 : sd1, dd0 = d_swap ? sd1 : sd0;
+      int dir_d = d_swap ? 0 : 2;
+      bool use_d = dd1 * hv0 > hv1 * dd0;
+      int64_t hvd1 = use_d ? dd1 : hv1, hvd0 = use_d ? dd0 : hv0;
+      int main_dir = use_d ? dir_d : dir_hv;
+      int sec_dir = use_d ? dir_hv : dir_d;
+      int strength = (hvd1 > 2 * hvd0 ? 1 : 0) + (hvd1 * 2 > 9 * hvd0 ? 1 : 0);
+      if (strength > 0) cls += (((main_dir & 1) << 1) + strength) * 5;
+      cls_out[size_t(by) * n_bx + bx] = cls;
+      trn_out[size_t(by) * n_bx + bx] =
+          TRANSPOSE_TAB[main_dir * 2 + (sec_dir >> 1)];
+    }
+  }
 }
 
 }  // extern "C"

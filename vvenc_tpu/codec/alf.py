@@ -260,6 +260,9 @@ def classify_luma(rec: np.ndarray, bit_depth: int, ctu_size: int):
     rec: post-SAO luma plane.  Returns (class_idx, transpose_idx) arrays of
     shape (H//4, W//4)."""
     h, w = rec.shape
+    from .. import native
+    if native.available():
+        return native.alf_classify(rec, bit_depth, ctu_size)
     shift = bit_depth + 4
     vb_pos = ctu_size - 4
     pad = 4
@@ -396,6 +399,11 @@ def filter_luma_region(src: np.ndarray, dst: np.ndarray, x0, y0, w0, h0,
     sp: optional pre-padded (pad=3, edge) int64 copy of src — pass it when
     filtering many regions of one plane (apply_alf_picture)."""
     h, w = src.shape
+    from .. import native
+    if native.available():
+        native.alf_luma(src, dst, x0, y0, w0, h0, cls, trn, coeff, clipv,
+                        bit_depth, ctu_size)
+        return
     pad = 3
     if sp is None:
         sp = np.pad(src, pad, mode="edge").astype(np.int64)
@@ -451,6 +459,11 @@ def filter_chroma_region(src: np.ndarray, dst: np.ndarray, x0, y0, w0, h0,
                          coeff, clipv, bit_depth, ctu_size_c, sp=None):
     """5x5 diamond chroma ALF (single filter per alternative)."""
     h, w = src.shape
+    from .. import native
+    if native.available():
+        native.alf_chroma(src, dst, x0, y0, w0, h0, coeff, clipv,
+                          bit_depth, ctu_size_c)
+        return
     pad = 2
     if sp is None:
         sp = np.pad(src, pad, mode="edge").astype(np.int64)
@@ -494,6 +507,11 @@ def filter_ccalf_region(luma: np.ndarray, chroma_dst: np.ndarray,
     pre-ALF? no: SAO-filtered luma) plane."""
     hc, wc = chroma_dst.shape
     h, w = luma.shape
+    from .. import native
+    if native.available():
+        native.alf_ccalf(luma, chroma_dst, x0c, y0c, w0c, h0c, coeff,
+                         bit_depth, ctu_size)
+        return
     pad = 2
     lp = np.pad(luma, pad, mode="edge").astype(np.int64)
     vb_pos = ctu_size - 4

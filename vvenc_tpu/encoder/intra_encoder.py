@@ -262,7 +262,12 @@ def build_parameter_sets(cfg: EncoderConfig):
     if cfg.geo:
         sps.geo = 1
         sps.max_num_geo_cand = 3
-    if cfg.qpa or cfg.bim:
+    # cu_qp_delta only when a per-CTU QP source can actually fire: QPA,
+    # or BIM (which needs the MCTF stage, i.e. gop_size > 1).  Leaving
+    # it on for all-intra/BIM-less configs wasted syntax and blocked the
+    # native CTU search driver (its scope excludes DQP).
+    bim_active = cfg.bim and cfg.mctf and cfg.gop_size > 1
+    if cfg.qpa or bim_active:
         pps.cu_qp_delta_enabled = 1
         pps.slice_chroma_qp_flag = 1
     return sps, pps
@@ -1732,23 +1737,49 @@ class _CtuSearcher:
             satds67 = preds67 = None
             if self._use_presel():
                 satds67 = self._get_presel().lookup(x, y, w, h)
-            if satds67 is None:
+
+            def _mode_cost(mode, satd):
+                mb = (1.5 + mpm.index(mode) if mode in mpm else 7.0)
+                return float(satd) + self.lmbda_sad * mb
+            if satds67 is not None:
+                for mode in range(I.NUM_LUMA_MODE):
+                    cand.append((_mode_cost(mode, int(satds67[mode])),
+                                 mode, None, False, False, 0))
+            else:
                 from .. import native
                 if native.available():
-                    # fused native sweep: predictions stay in C++
-                    satds67 = native.presel_satd(
-                        top, left, src_y, range(I.NUM_LUMA_MODE), w, h,
-                        bit_depth)
+                    # subset sweep + refinement (vvenc
+                    # xEstimateLumaRdModeList two-pass HAD: every 2nd
+                    # angular mode first, then the odd neighbors of the
+                    # strongest candidates) — 35+~6 fused native
+                    # predict+SATD calls instead of 67
+                    s0_modes = [0, 1] + list(range(2, I.NUM_LUMA_MODE, 2))
+                    sat0 = native.presel_satd(top, left, src_y, s0_modes,
+                                              w, h, bit_depth)
+                    ent0 = [( _mode_cost(m, int(sat0[i])), m)
+                            for i, m in enumerate(s0_modes)]
+                    order0 = sorted(ent0, key=lambda t: t[0])
+                    refine = []
+                    for _, m in order0[:self.cfg.num_full_rd_modes + 1]:
+                        if m < 2:
+                            continue
+                        for nb in (m - 1, m + 1):
+                            if 3 <= nb <= 65 and (nb & 1) \
+                                    and nb not in refine:
+                                refine.append(nb)
+                    if refine:
+                        sat1 = native.presel_satd(top, left, src_y,
+                                                  refine, w, h, bit_depth)
+                        ent0 += [(_mode_cost(m, int(sat1[i])), m)
+                                 for i, m in enumerate(refine)]
+                    cand = [(c, m, None, False, False, 0) for c, m in ent0]
                 else:
                     preds67 = IV.predict_intra_modes(
                         top, left, range(I.NUM_LUMA_MODE), w, h, bit_depth)
                     satds67 = IV.satd_modes(src_y, preds67)
-            for mode in range(I.NUM_LUMA_MODE):
-                mode_bits = (1.5 + mpm.index(mode) if mode in mpm else 7.0)
-                cand.append((int(satds67[mode]) + self.lmbda_sad * mode_bits,
-                             mode,
-                             preds67[mode] if preds67 is not None else None,
-                             False, False, 0))
+                    for mode in range(I.NUM_LUMA_MODE):
+                        cand.append((_mode_cost(mode, int(satds67[mode])),
+                                     mode, preds67[mode], False, False, 0))
             if self.enc.sps.mip:
                 from ..ops import mip as MIPO
                 n_mip = MIPO.num_mip_modes(w, h)

@@ -663,3 +663,84 @@ def search_ctu(searcher, ctu_x: int, ctu_y: int, live_ctx):
     assert state["ti"] == int(out_n[0]) and state["ci"] == int(out_n[1]), \
         "native search serialization mismatch"
     return node
+
+
+# ---------------------------------------------------------------------------
+# ALF kernels (codec/alf.py hot loops as C++: classification + 7x7/5x5
+# clipped diamond filters + CC-ALF — the AdaptiveLoopFilterX86.h analog)
+# ---------------------------------------------------------------------------
+
+_ALF_READY = False
+
+
+def _alf_setup():
+    global _ALF_READY
+    if _ALF_READY or _LIB is None:
+        return _LIB is not None
+    _LIB.vte_alf_luma.argtypes = [
+        _PI32, _PI32] + [ctypes.c_int] * 6 + [_PI32, _PI32, ctypes.c_int,
+                                              _PI32, _PI32] + \
+        [ctypes.c_int] * 2
+    _LIB.vte_alf_luma.restype = None
+    _LIB.vte_alf_chroma.argtypes = [
+        _PI32, _PI32] + [ctypes.c_int] * 6 + [_PI32, _PI32] + \
+        [ctypes.c_int] * 2
+    _LIB.vte_alf_chroma.restype = None
+    _LIB.vte_alf_ccalf.argtypes = [
+        _PI32, _PI32] + [ctypes.c_int] * 8 + [_PI32] + [ctypes.c_int] * 2
+    _LIB.vte_alf_ccalf.restype = None
+    _LIB.vte_alf_classify.argtypes = [
+        _PI32] + [ctypes.c_int] * 4 + [_PI32, _PI32]
+    _LIB.vte_alf_classify.restype = None
+    _ALF_READY = True
+    return True
+
+
+def alf_classify(rec, bit_depth, ctu_size):
+    _alf_setup()
+    h, w = rec.shape
+    r = np.ascontiguousarray(rec, dtype=np.int32)
+    cls = np.empty((h // 4, w // 4), np.int32)
+    trn = np.empty((h // 4, w // 4), np.int32)
+    _LIB.vte_alf_classify(_i32p(r), h, w, bit_depth, ctu_size,
+                          _i32p(cls), _i32p(trn))
+    return cls, trn
+
+
+def alf_luma(src, dst, x0, y0, w0, h0, cls, trn, coeff, clipv, bit_depth,
+             ctu_size):
+    _alf_setup()
+    h, w = src.shape
+    s = np.ascontiguousarray(src, dtype=np.int32)
+    assert dst.dtype == np.int32 and dst.flags.c_contiguous
+    c = np.ascontiguousarray(cls, dtype=np.int32)
+    t = np.ascontiguousarray(trn, dtype=np.int32)
+    co = np.ascontiguousarray(coeff, dtype=np.int32)
+    cl = np.ascontiguousarray(clipv, dtype=np.int32)
+    _LIB.vte_alf_luma(_i32p(s), _i32p(dst), h, w, x0, y0, w0, h0,
+                      _i32p(c), _i32p(t), c.shape[1], _i32p(co), _i32p(cl),
+                      bit_depth, ctu_size)
+
+
+def alf_chroma(src, dst, x0, y0, w0, h0, coeff, clipv, bit_depth,
+               ctu_size_c):
+    _alf_setup()
+    h, w = src.shape
+    s = np.ascontiguousarray(src, dtype=np.int32)
+    assert dst.dtype == np.int32 and dst.flags.c_contiguous
+    co = np.ascontiguousarray(coeff, dtype=np.int32)
+    cl = np.ascontiguousarray(clipv, dtype=np.int32)
+    _LIB.vte_alf_chroma(_i32p(s), _i32p(dst), h, w, x0, y0, w0, h0,
+                        _i32p(co), _i32p(cl), bit_depth, ctu_size_c)
+
+
+def alf_ccalf(luma, chroma_dst, x0c, y0c, w0c, h0c, coeff, bit_depth,
+              ctu_size):
+    _alf_setup()
+    hc, wc = chroma_dst.shape
+    h, w = luma.shape
+    lm = np.ascontiguousarray(luma, dtype=np.int32)
+    assert chroma_dst.dtype == np.int32 and chroma_dst.flags.c_contiguous
+    co = np.ascontiguousarray(coeff, dtype=np.int32)
+    _LIB.vte_alf_ccalf(_i32p(lm), _i32p(chroma_dst), hc, wc, h, w,
+                       x0c, y0c, w0c, h0c, _i32p(co), bit_depth, ctu_size)
