@@ -60,23 +60,14 @@ def _filter_refs_jnp(tops, lefts, w, h):
     return ft, fl
 
 
-@partial(jax.jit, static_argnames=("w", "h", "bit_depth"))
-def presel_costs(src_blocks: jax.Array, tops: jax.Array, lefts: jax.Array,
-                 w: int, h: int, bit_depth: int = 10) -> jax.Array:
-    """SATD cost of all 67 intra modes for a batch of blocks.
-
-    src_blocks: [B, h, w] int32; tops: [B, >=2w+3]; lefts: [B, >=2h+3]
-    returns costs [B, 67] int32 (SATD only; mode-bit terms are added on
-    host where the context-dependent MPM list is known).
-
-    Layout notes (TPU): every gather uses STATIC index tables composed on
-    host (reference layout x tap geometry), so XLA lowers them to plain
-    gathers with constant start-index tensors; predictions are assembled
-    with concatenate + one static permutation take (never scatter), and
-    PDPC runs on a <=12-column slab (its support), not the full block.
-    """
+def predict_all_modes(tops: jax.Array, lefts: jax.Array, w: int, h: int,
+                      bit_depth: int = 10, B: int | None = None
+                      ) -> jax.Array:
+    """All 67 intra predictions for a batch of reference rows/columns ->
+    [B, 67, h, w] int16 (the device prediction stage shared by the
+    preselection SATD kernel and the sharded trial kernel)."""
     t = _shape_tables(w, h, True, 0)
-    B = src_blocks.shape[0]
+    B = tops.shape[0] if B is None else B
     maxval = (1 << bit_depth) - 1
     LPAD = t.LPAD
     tops = tops[:, :LPAD]
@@ -179,17 +170,20 @@ def presel_costs(src_blocks: jax.Array, tops: jax.Array, lefts: jax.Array,
     pos[order] = np.arange(NUM_MODES, dtype=np.int32)
     preds = jnp.concatenate(
         [planar[:, None], dcp[:, None]] + group_preds, axis=1)
-    preds = jnp.take(preds, jnp.asarray(pos), axis=1)
+    return jnp.take(preds, jnp.asarray(pos), axis=1)
 
-    # SATD via fp32 Hadamard matmuls, transpose-free: rows then columns
-    # (exact: |coeff| <= 64*1023 < 2^24)
+
+def satd_batch(src_blocks: jax.Array, preds: jax.Array, w: int, h: int
+               ) -> jax.Array:
+    """vvenc-convention SATD of src [B, h, w] vs preds [B, M, h, w] ->
+    [B, M] int32, via fp32 Hadamard matmuls on the MXU (exact: all
+    intermediates < 2^24)."""
+    B, M = preds.shape[0], preds.shape[1]
     tile = 8 if (w % 8 == 0 and h % 8 == 0) else 4
     hm = jnp.asarray(_hadamard(tile), dtype=jnp.float32)
     d = (src_blocks[:, None, :, :].astype(jnp.int16) - preds) \
         .astype(jnp.float32)
-    # row stage: [B*67*(h/t), t, w] = hm @ d
     t1 = hm @ d.reshape(-1, tile, w)
-    # column stage: contract the last axis tile-wise: [.., t, w/t, t] @ hm
     t2 = t1.reshape(-1, tile, w // tile, tile) @ hm
     s = jnp.sum(jnp.abs(t2), axis=(1, 3)).astype(jnp.int32)   # [N, w/t]
     if tile == 8:
@@ -197,7 +191,27 @@ def presel_costs(src_blocks: jax.Array, tops: jax.Array, lefts: jax.Array,
     else:
         dc_t = jnp.abs(t2[:, 0, :, 0]).astype(jnp.int32)
         s = ((s - dc_t + (dc_t >> 2)) + 1) >> 1
-    return jnp.sum(s.reshape(B, NUM_MODES, -1), axis=2)       # [B, 67]
+    return jnp.sum(s.reshape(B, M, -1), axis=2)               # [B, M]
+
+
+@partial(jax.jit, static_argnames=("w", "h", "bit_depth"))
+def presel_costs(src_blocks: jax.Array, tops: jax.Array, lefts: jax.Array,
+                 w: int, h: int, bit_depth: int = 10) -> jax.Array:
+    """SATD cost of all 67 intra modes for a batch of blocks.
+
+    src_blocks: [B, h, w] int32; tops: [B, >=2w+3]; lefts: [B, >=2h+3]
+    returns costs [B, 67] int32 (SATD only; mode-bit terms are added on
+    host where the context-dependent MPM list is known).
+
+    Layout notes (TPU): every gather uses STATIC index tables composed on
+    host (reference layout x tap geometry), so XLA lowers them to plain
+    gathers with constant start-index tensors; predictions are assembled
+    with concatenate + one static permutation take (never scatter), and
+    PDPC runs on a <=12-column slab (its support), not the full block.
+    """
+    preds = predict_all_modes(tops, lefts, w, h, bit_depth,
+                              B=src_blocks.shape[0])
+    return satd_batch(src_blocks, preds, w, h)
 
 
 def _pdpc_planar_dc_jnp(pred, top, left, w, h):

@@ -14,8 +14,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.intra_batch import mode_costs_batch, NUM_MODES
-from ..ops.transforms import fwd_transform_batch, quant_batch
+from ..ops.intra_presel import predict_all_modes, satd_batch
+from ..ops.transforms import (dequant_batch, fwd_transform_batch,
+                              inv_transform_batch, quant_batch)
 
 
 def make_mesh(devices=None, axis: str = "tiles") -> Mesh:
@@ -30,27 +31,38 @@ def shard_batch(mesh: Mesh, arr, axis_name: str = "tiles"):
     return jax.device_put(arr, NamedSharding(mesh, spec))
 
 
-def search_step(src, rm, tops, lefts, *, w, h, qp, bit_depth=10):
-    """One fused mode-search + transform step for a batch of blocks.
+def search_step(src, tops, lefts, *, w, h, qp, bit_depth=10):
+    """One partition-level RD trial for a batch of blocks — the device
+    program of the batch-everything design (SURVEY.md §7): all candidate
+    blocks of one size class run the full prediction -> cost -> residual
+    -> reconstruction pipeline in one fused program.
 
-    Returns (best_mode [B], coeffs of best mode [B, H, W], total_bits_proxy).
-    The bits proxy (sum of |levels|) stands in for the rate aggregation that
-    becomes a cross-chip psum in the sharded program.
+    67-mode intra prediction (the production predict_all_modes stage) ->
+    SATD mode decision -> DCT2 -> scalar quant (rate proxy) -> dequant ->
+    inverse -> reconstruction + SSE.  Exact RDOQ/CABAC re-cost of the
+    survivors stays on host (native driver) — this kernel is the device
+    side of the trial loop.
+
+    Returns (best_mode [B], levels [B, h, w], recon [B, h, w],
+    bits_proxy [B], sse [B]).
     """
-    costs = mode_costs_batch(src, rm, tops, lefts, w, h, bit_depth)
-    best = jnp.argmin(costs, axis=1)                      # [B]
-    # gather best-mode predictions by re-deriving from costs is wasteful;
-    # search_step recomputes the chosen prediction via one-hot contraction
-    # (cheap relative to the 67-mode sweep, keeps everything fused)
-    onehot = jax.nn.one_hot(best, NUM_MODES, dtype=jnp.int32)  # [B, M]
-    # re-run prediction tensor? mode_costs_batch doesn't expose preds; for
-    # the step we transform the residual of the SATD-best mode approximated
-    # by DC-removed source (keeps this step self-contained and jittable).
-    resi = src - (jnp.sum(src, axis=(1, 2), keepdims=True) // (w * h))
+    maxval = (1 << bit_depth) - 1
+    src = jnp.asarray(src)
+    preds = predict_all_modes(jnp.asarray(tops), jnp.asarray(lefts), w, h,
+                              bit_depth, B=src.shape[0])
+    satds = satd_batch(src, preds, w, h)
+    best = jnp.argmin(satds, axis=1)                       # [B]
+    pred = jnp.take_along_axis(
+        preds, best[:, None, None, None], axis=1)[:, 0].astype(jnp.int32)
+    resi = src - pred
     coeff = fwd_transform_batch(resi, w, h, bit_depth)
     q = quant_batch(coeff, w, h, qp, bit_depth)
     bits_proxy = jnp.sum(jnp.abs(q), axis=(1, 2))
-    return best, q, bits_proxy
+    d = dequant_batch(q, w, h, qp, bit_depth)
+    rec = jnp.clip(pred + inv_transform_batch(d, w, h, bit_depth),
+                   0, maxval)
+    sse = jnp.sum((src - rec).astype(jnp.int64) ** 2, axis=(1, 2))
+    return best, q, rec, bits_proxy, sse
 
 
 def make_mesh2d(devices=None, shape=None,
@@ -90,31 +102,56 @@ def sharded_encode_step2d(mesh: Mesh, *, w, h, qp, bit_depth=10):
         from jax.experimental.shard_map import shard_map
 
     def local_step(src, rm, tops, lefts):
-        # src: [Gl, Tl, B, h, w] local shard
+        # src: [Gl, Tl, B, h, w] local shard; rm kept for API compat
+        del rm
         gl, tl, b = src.shape[0], src.shape[1], src.shape[2]
 
         def flat(x):
             return x.reshape((gl * tl * b,) + x.shape[3:])
-        best, q, bits = search_step(flat(src), flat(rm), flat(tops),
-                                    flat(lefts), w=w, h=h, qp=qp,
-                                    bit_depth=bit_depth)
-        best = best.reshape(gl, tl, b)
-        q = q.reshape(gl, tl, b, h, w)
-        bits = bits.reshape(gl, tl, b)
 
-        # tile-boundary apron: reconstruct-domain right edge of each
-        # tile column -> left reference of the neighbour column
-        apron = src[..., -1]                       # [Gl, Tl, B, h]
+        def unflat(x):
+            return x.reshape((gl, tl, b) + x.shape[1:])
+        best, q, rec, bits, sse = search_step(
+            flat(src), flat(tops), flat(lefts), w=w, h=h, qp=qp,
+            bit_depth=bit_depth)
+        best, q, rec = unflat(best), unflat(q), unflat(rec)
+        bits, sse = unflat(bits), unflat(sse)
+
+        # tile-boundary apron: the RECONSTRUCTED right edge of each tile
+        # column travels to the right neighbour, which redoes its first
+        # block column with the received samples as the left reference
+        # (the real tile/IFP dependency: reconstruction crossing a chip
+        # boundary, SURVEY.md §2.5 tile-column sharding)
+        apron = rec[..., -1]                       # [Gl, Tl, B, h]
         nt = jax.lax.psum(1, "tiles")
         perm = [(i, (i + 1) % nt) for i in range(nt)]
         nbr = jax.lax.ppermute(apron, "tiles", perm)
-        # boundary-continuity term folds the received apron into the
-        # result (keeps the collective live in the compiled program)
-        bd_err = jnp.sum(jnp.abs(src[..., 0] - nbr), axis=-1)  # [Gl,Tl,B]
+        # refine pass with the true left reference: rebuild the left
+        # reference columns from the neighbour recon and re-run the
+        # trial for every block of the column (blocks are a tile
+        # column's CTU stack, so all of them border the seam)
+        ref_col = flat(nbr)                        # [N, h]
+        L = flat(lefts).shape[1]
+        pad_len = L - (h + 1)
+        lefts_new = jnp.concatenate(
+            [ref_col[:, :1], ref_col,
+             jnp.repeat(ref_col[:, -1:], pad_len, axis=1)], axis=1)[:, :L]
+        best2, q2, rec2, bits2, sse2 = search_step(
+            flat(src), flat(tops), lefts_new, w=w, h=h, qp=qp,
+            bit_depth=bit_depth)
+        # keep the better trial per block (lower SSE+rate proxy cost)
+        better = (sse2 + bits2.astype(jnp.int64)
+                  < flat(sse) + flat(bits).astype(jnp.int64))
+        q = jnp.where(better[:, None, None], q2, flat(q)).reshape(
+            gl, tl, b, h, w)
+        rec = jnp.where(better[:, None, None], rec2, flat(rec)).reshape(
+            gl, tl, b, h, w)
+        best = jnp.where(better, best2, flat(best)).reshape(gl, tl, b)
+        bits = jnp.where(better, bits2, flat(bits)).reshape(gl, tl, b)
 
         per_gop_bits = jax.lax.psum(jnp.sum(bits, axis=(1, 2)), "tiles")
         total_bits = jax.lax.psum(jnp.sum(bits), ("gops", "tiles"))
-        return best, q, bd_err, per_gop_bits, total_bits
+        return best, q, rec, per_gop_bits, total_bits
 
     gspec = P("gops", "tiles")
     return jax.jit(shard_map(
@@ -178,20 +215,21 @@ def sharded_presel_costs(mesh: Mesh, blocks, tops, lefts, *, w, h,
 
 def sharded_search_step(mesh: Mesh, axis: str = "tiles", *, w, h, qp,
                         bit_depth=10):
-    """Build a pjit-ed sharded search step over `mesh`.
+    """Build a pjit-ed sharded trial step over `mesh`.
 
-    Inputs sharded on the block axis; outputs: per-block decisions stay
-    sharded, the rate total is psum-reduced across shards (the rate-control
-    aggregation collective).
+    Inputs sharded on the block axis; outputs: per-block decisions and
+    reconstructions stay sharded, the rate total is psum-reduced across
+    shards (the rate-control aggregation collective).
     """
     @partial(jax.jit,
              out_shardings=(NamedSharding(mesh, P(axis)),
                             NamedSharding(mesh, P(axis, None, None)),
+                            NamedSharding(mesh, P(axis, None, None)),
                             NamedSharding(mesh, P())))
-    def step(src, rm, tops, lefts):
-        best, q, bits = search_step(src, rm, tops, lefts, w=w, h=h, qp=qp,
-                                    bit_depth=bit_depth)
+    def step(src, tops, lefts):
+        best, q, rec, bits, sse = search_step(src, tops, lefts, w=w, h=h,
+                                              qp=qp, bit_depth=bit_depth)
         total_bits = jnp.sum(bits)  # all-reduce across the sharded axis
-        return best, q, total_bits
+        return best, q, rec, total_bits
 
     return step
