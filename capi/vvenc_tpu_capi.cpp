@@ -16,7 +16,11 @@ struct vvenc_tpu_encoder {
   long handle;
   int width;
   int height;
-  std::string last_au;  // returned buffer storage
+  std::string last_au;    // returned buffer storage
+  std::string last_hdrs;  // get_headers storage
+  vvenc_tpu_rec_cb rec_cb = nullptr;
+  void *rec_ctx = nullptr;
+  std::string rec_y, rec_u, rec_v;  // callback plane storage
 };
 
 namespace {
@@ -35,6 +39,39 @@ bool ensure_python() {
 
 PyObject *capi_module() {
   return PyImport_ImportModule("vvenc_tpu.capi");
+}
+
+// drain newly reconstructed pictures and invoke the callback (requires
+// the GIL to be held by the caller)
+void deliver_recons(vvenc_tpu_encoder *enc) {
+  if (!enc->rec_cb) return;
+  PyObject *mod = capi_module();
+  if (!mod) return;
+  PyObject *lst = PyObject_CallMethod(mod, "capi_take_recons", "l",
+                                      enc->handle);
+  if (lst && PyList_Check(lst)) {
+    for (Py_ssize_t i = 0; i < PyList_Size(lst); ++i) {
+      PyObject *t = PyList_GetItem(lst, i);  // (poc, w, h, y, u, v)
+      long poc = PyLong_AsLong(PyTuple_GetItem(t, 0));
+      long w = PyLong_AsLong(PyTuple_GetItem(t, 1));
+      long h = PyLong_AsLong(PyTuple_GetItem(t, 2));
+      char *yb, *ub, *vb;
+      Py_ssize_t yl, ul, vl;
+      PyBytes_AsStringAndSize(PyTuple_GetItem(t, 3), &yb, &yl);
+      PyBytes_AsStringAndSize(PyTuple_GetItem(t, 4), &ub, &ul);
+      PyBytes_AsStringAndSize(PyTuple_GetItem(t, 5), &vb, &vl);
+      enc->rec_y.assign(yb, size_t(yl));
+      enc->rec_u.assign(ub, size_t(ul));
+      enc->rec_v.assign(vb, size_t(vl));
+      enc->rec_cb(enc->rec_ctx, int(poc),
+                  reinterpret_cast<const uint16_t *>(enc->rec_y.data()),
+                  reinterpret_cast<const uint16_t *>(enc->rec_u.data()),
+                  reinterpret_cast<const uint16_t *>(enc->rec_v.data()),
+                  int(w), int(h));
+    }
+  }
+  Py_XDECREF(lst);
+  Py_DECREF(mod);
 }
 
 }  // namespace
@@ -101,6 +138,7 @@ int vvenc_tpu_encode(vvenc_tpu_encoder *enc, const uint8_t *y,
     Py_XDECREF(r);
     Py_DECREF(mod);
   }
+  if (ret == VVENC_TPU_OK) deliver_recons(enc);
   if (PyErr_Occurred()) {
     PyErr_Print();
     ret = VVENC_TPU_ERR_UNSPECIFIED;
@@ -123,6 +161,89 @@ int vvenc_tpu_flush(vvenc_tpu_encoder *enc, const uint8_t **au,
       *au = reinterpret_cast<const uint8_t *>(enc->last_au.data());
       *au_len = enc->last_au.size();
       ret = VVENC_TPU_OK;
+    }
+    Py_XDECREF(r);
+    Py_DECREF(mod);
+  }
+  if (ret == VVENC_TPU_OK) deliver_recons(enc);
+  if (PyErr_Occurred()) {
+    PyErr_Print();
+    ret = VVENC_TPU_ERR_UNSPECIFIED;
+  }
+  PyGILState_Release(g);
+  return ret;
+}
+
+int vvenc_tpu_get_headers(vvenc_tpu_encoder *enc, const uint8_t **buf,
+                          size_t *len) {
+  if (!enc || !buf || !len) return VVENC_TPU_ERR_PARAMETER;
+  PyGILState_STATE g = PyGILState_Ensure();
+  int ret = VVENC_TPU_ERR_UNSPECIFIED;
+  PyObject *mod = capi_module();
+  if (mod) {
+    PyObject *r = PyObject_CallMethod(mod, "capi_get_headers", "l",
+                                      enc->handle);
+    if (r && PyBytes_Check(r)) {
+      enc->last_hdrs.assign(PyBytes_AsString(r), size_t(PyBytes_Size(r)));
+      *buf = reinterpret_cast<const uint8_t *>(enc->last_hdrs.data());
+      *len = enc->last_hdrs.size();
+      ret = VVENC_TPU_OK;
+    }
+    Py_XDECREF(r);
+    Py_DECREF(mod);
+  }
+  if (PyErr_Occurred()) {
+    PyErr_Print();
+    ret = VVENC_TPU_ERR_UNSPECIFIED;
+  }
+  PyGILState_Release(g);
+  return ret;
+}
+
+int vvenc_tpu_reconfig(vvenc_tpu_encoder *enc, const char *params) {
+  if (!enc || !params) return VVENC_TPU_ERR_PARAMETER;
+  PyGILState_STATE g = PyGILState_Ensure();
+  int ret = VVENC_TPU_ERR_UNSPECIFIED;
+  PyObject *mod = capi_module();
+  if (mod) {
+    PyObject *r = PyObject_CallMethod(mod, "capi_reconfig", "ls",
+                                      enc->handle, params);
+    if (r && PyLong_Check(r)) {
+      long rc = PyLong_AsLong(r);
+      ret = rc == 0 ? VVENC_TPU_OK
+                    : (rc == -11 ? VVENC_TPU_ERR_RESTART_REQUIRED
+                                 : VVENC_TPU_ERR_PARAMETER);
+    }
+    Py_XDECREF(r);
+    Py_DECREF(mod);
+  }
+  if (PyErr_Occurred()) {
+    PyErr_Print();
+    ret = VVENC_TPU_ERR_UNSPECIFIED;
+  }
+  PyGILState_Release(g);
+  return ret;
+}
+
+int vvenc_tpu_set_rec_callback(vvenc_tpu_encoder *enc, vvenc_tpu_rec_cb cb,
+                               void *ctx) {
+  if (!enc) return VVENC_TPU_ERR_PARAMETER;
+  enc->rec_cb = cb;
+  enc->rec_ctx = ctx;
+  return VVENC_TPU_OK;
+}
+
+int vvenc_tpu_init_pass(vvenc_tpu_encoder *enc, int pass,
+                        const char *stats_file) {
+  if (!enc || !stats_file) return VVENC_TPU_ERR_PARAMETER;
+  PyGILState_STATE g = PyGILState_Ensure();
+  int ret = VVENC_TPU_ERR_UNSPECIFIED;
+  PyObject *mod = capi_module();
+  if (mod) {
+    PyObject *r = PyObject_CallMethod(mod, "capi_init_pass", "lis",
+                                      enc->handle, pass, stats_file);
+    if (r && PyLong_Check(r)) {
+      ret = PyLong_AsLong(r) == 0 ? VVENC_TPU_OK : VVENC_TPU_ERR_PARAMETER;
     }
     Py_XDECREF(r);
     Py_DECREF(mod);

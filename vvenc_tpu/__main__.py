@@ -105,6 +105,7 @@ def encoder_config_from(cfg, args) -> "EncoderConfig":
         tile_rows=max(1, cfg.num_tile_rows),
         parallel_gops=cfg.num_parallel_gops,
         bitrate=cfg.target_bitrate, max_bitrate=cfg.max_bitrate,
+        rc_stats_out=cfg.rc_stats_out, rc_stats_in=cfg.rc_stats_in,
         picture_hash=cfg.picture_hash,
         hrd_timing_sei=bool(cfg.hrd_timing_sei),
         fps_num=cfg.fps_num, fps_den=cfg.fps_den,

@@ -94,6 +94,79 @@ class VVEncImpl:
         self._frames = {}
         return VVENC_OK
 
+    # -- header extraction / reconfig / 2-pass (vvenc.h.in:286-365) ----------
+    def get_headers(self) -> bytes:
+        """Parameter-set NALs (SPS+PPS) without encoding a picture
+        (vvenc_get_headers analog, vvenc.h.in:365)."""
+        if self._enc is None:
+            return b""
+        return self._enc.headers()
+
+    # fields reconfigurable without an encoder restart (the reference
+    # returns VVENC_ERR_RESTART_REQUIRED for anything structural,
+    # vvenc.h.in:347 + vvencimpl checkReconfig)
+    _RECONFIG_OK = ("qp",)
+
+    def reconfig(self, cfg: VvencTpuConfig) -> int:
+        """Adopt a changed configuration mid-stream when legal; returns
+        VVENC_OK or VVENC_ERR_RESTART_REQUIRED (vvenc_reconfig analog)."""
+        if self._state != State.INITIALIZED or self._cfg is None:
+            return self._fail(VVENC_ERR_INITIALIZE, "not initialized")
+        from dataclasses import fields as _fields
+        changed = [f.name for f in _fields(self._cfg)
+                   if getattr(self._cfg, f.name) != getattr(cfg, f.name)]
+        if any(k not in self._RECONFIG_OK for k in changed):
+            bad = [k for k in changed if k not in self._RECONFIG_OK]
+            return self._fail(VVENC_ERR_RESTART_REQUIRED,
+                              f"structural change requires restart: {bad}")
+        for k in changed:
+            setattr(self._cfg, k, getattr(cfg, k))
+        if "qp" in changed and self._enc is not None:
+            from .encoder.intra_encoder import lambda_for_qp
+            e = self._enc
+            e.cfg.qp = cfg.qp
+            e.slice_qp = max(0, min(63,
+                                    cfg.qp + e.cfg.intra_qp_offset))
+            e.lmbda = lambda_for_qp(e.slice_qp, e.cfg.bit_depth)
+            e.lmbda_sad = e.lmbda ** 0.5
+        return VVENC_OK
+
+    def init_pass(self, pass_no: int, stats_fname: str) -> int:
+        """Two-pass rate control (vvenc_init_pass analog, vvenc.h.in:306):
+        pass 0 collects statistics into stats_fname, pass 1 consumes
+        them.  Reinitializes the encoding state; the configuration is
+        kept.  Must be called before the first picture of each pass."""
+        if self._cfg is None:
+            return self._fail(VVENC_ERR_INITIALIZE, "not initialized")
+        if pass_no not in (0, 1):
+            return self._fail(VVENC_ERR_PARAMETER, "pass must be 0 or 1")
+        if self._cfg.target_bitrate <= 0:
+            return self._fail(VVENC_ERR_PARAMETER,
+                              "two-pass needs target_bitrate > 0")
+        cfg = self._cfg
+        cfg.rc_stats_out = stats_fname if pass_no == 0 else ""
+        cfg.rc_stats_in = stats_fname if pass_no == 1 else ""
+        self._state = State.UNINITIALIZED
+        self._cfg = None
+        return self.init(cfg)
+
+    def take_recons(self):
+        """Newly reconstructed pictures since the last call, in POC
+        order: [(poc, {0: Y, 1: Cb, 2: Cr})] (the rec-YUV output hook
+        behind the reference's vvenc_encode recon parameter,
+        vvenc.h.in:286-296)."""
+        if self._enc is None:
+            return []
+        if not hasattr(self, "_recs_taken"):
+            self._recs_taken = set()
+        out = []
+        for poc in sorted(self._enc.recs_by_poc):
+            if poc in self._recs_taken:
+                continue
+            self._recs_taken.add(poc)
+            out.append((poc, self._enc.recs_by_poc[poc]))
+        return out
+
     @property
     def state(self) -> State:
         return self._state
@@ -123,6 +196,13 @@ class VVEncImpl:
             self._in_poc += 1
         out = self._drain(flush)
         if flush:
+            # 2-pass: persist the collected first-pass statistics
+            # (the batch path writes them at encode_sequence end)
+            enc = self._enc
+            if enc is not None and enc.rc is not None \
+                    and enc.cfg.rc_stats_out \
+                    and enc.cfg.rc_stats_out != "collect:":
+                enc.rc.write_stats(enc.cfg.rc_stats_out)
             self._state = State.FLUSHED
         return out, flush, VVENC_OK
 

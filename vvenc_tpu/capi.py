@@ -78,3 +78,45 @@ def capi_close(handle: int) -> None:
 
 def capi_version() -> str:
     return "vvenc_tpu-0.1"
+
+
+def capi_get_headers(handle: int) -> bytes:
+    """Parameter-set NALs without encoding (vvenc_get_headers analog)."""
+    impl, _cfg = _handles[handle]
+    return impl.get_headers()
+
+
+def capi_reconfig(handle: int, params: str) -> int:
+    """Apply changed key=value pairs; 0 = OK, -11 = restart required
+    (vvenc_reconfig analog)."""
+    import copy
+    impl, cfg = _handles[handle]
+    cfg2 = copy.deepcopy(cfg)
+    for tok in params.split(";"):
+        tok = tok.strip()
+        if not tok:
+            continue
+        k, _, v = tok.partition("=")
+        set_param(cfg2, k.strip(), v.strip())
+    rc = impl.reconfig(cfg2)
+    return int(rc)
+
+
+def capi_init_pass(handle: int, pass_no: int, stats_fname: str) -> int:
+    """Two-pass rate control pass switch (vvenc_init_pass analog)."""
+    impl, _cfg = _handles[handle]
+    return int(impl.init_pass(pass_no, stats_fname))
+
+
+def capi_take_recons(handle: int):
+    """Newly reconstructed pictures since the last call ->
+    [(poc, w, h, y_le16, u_le16, v_le16)] (10-bit little-endian planar;
+    the rec-YUV callback source, vvenc.h.in:286-296)."""
+    impl, cfg = _handles[handle]
+    out = []
+    for poc, rec in impl.take_recons():
+        y = np.ascontiguousarray(rec[0], np.uint16).tobytes()
+        u = np.ascontiguousarray(rec[1], np.uint16).tobytes()
+        v = np.ascontiguousarray(rec[2], np.uint16).tobytes()
+        out.append((poc, cfg.width, cfg.height, y, u, v))
+    return out

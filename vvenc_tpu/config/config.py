@@ -38,6 +38,8 @@ class VvencTpuConfig:
     qp: int = 32
     intra_qp_offset: int = -3
     target_bitrate: int = 0          # 0: fixed QP
+    rc_stats_out: str = ""           # 2-pass: stats file to write (pass 0)
+    rc_stats_in: str = ""            # 2-pass: stats file to read (pass 1)
     max_bitrate: int = 0             # VBR rate cap (vvenc m_RCMaxBitrate)
     rc_passes: int = 1
     perceptual_qpa: int = 0

@@ -13,8 +13,11 @@ per-CTU SIMD loops; everything here is O(pixels) numpy executed once per
 frame on the host preprocessing path (a JAX port is a direct transcription
 of the same arrays if profiling ever shows it hot).
 
-Scope (round 1): the CQF path — no rate control coupling, no HDR luma
-mapping, no SCC weighting, no lookahead/minNoiseLevels clipping, no BIM.
+Scope: CQF + minNoiseLevels clipping (BitAllocation.cpp:323/335 ports),
+sub-CTU adaptation (:812), glaring-color offsets, chroma offsets, and
+BIM coupling (per-CTU importance offsets from the MCTF stage).  Not yet
+ported: rate-control coupling of the QPA offsets, HDR luma mapping,
+SCC weighting.
 """
 
 from __future__ import annotations
