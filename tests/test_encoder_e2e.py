@@ -842,3 +842,50 @@ def test_gop_default_ref_structure():
     for e in build_gop(32, max_refs=2, parallel=True):
         if e.poc_in_gop != 32:
             assert all(r >= 0 for r in e.refs_past + e.refs_future)
+
+
+def test_alf_nonlinear_encoder_roundtrip():
+    """Nonlinear (clipped) ALF derivation — the slower-preset requirement
+    (vvencCfg.cpp:3083): coordinate descent over per-tap clip indices
+    must produce a bit-exact decodable stream with at least the linear
+    filter's chroma+luma SSE (clips start at the linear point and only
+    replace when the training error improves)."""
+    import numpy as np
+    from vvenc_tpu.encoder import IntraEncoder, EncoderConfig
+    from vvenc_tpu.decoder import decode_stream
+
+    w, h = 128, 128
+    rng = np.random.RandomState(7)
+    yy, xx = np.mgrid[0:h, 0:w]
+    # sharp edges + noise: the content clipped filters are built for
+    y = np.clip(80 + 120 * ((xx // 16 + yy // 16) % 2)
+                + rng.randn(h, w) * 12, 0, 255).astype(np.uint8)
+    u = (y[::2, ::2] // 2 + 60).astype(np.uint8)
+    v = (128 - y[::2, ::2] // 3).astype(np.uint8)
+    # e2e: the nonlinear config must produce a bit-exact decodable stream
+    enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=32,
+                                     ctu_size=64, deblocking=True,
+                                     alf=True, alf_nonlinear=True))
+    au = enc.encode_frame((y, u, v))
+    dec = decode_stream(au)[0]
+    for c in range(3):
+        assert np.array_equal(dec.planes[c], enc.last_rec.rec[c])
+
+    # derivation: on a noisy reconstruction the clipped filter must
+    # reduce the filtering error at least as much as the linear one
+    # (the alternative gate keeps linear when clipping does not pay)
+    from vvenc_tpu.encoder.alf_enc import derive_alf
+    orig = {0: y.astype(np.int64) << 2,
+            1: u.astype(np.int64) << 2, 2: v.astype(np.int64) << 2}
+    rng2 = np.random.RandomState(1)
+    rec = {c: np.clip(orig[c] + rng2.randint(-24, 25, orig[c].shape),
+                      0, 1023).astype(np.int32) for c in orig}
+    res = {}
+    for nl in (False, True):
+        r = derive_alf(orig, {c: rec[c].copy() for c in rec}, 10, 64,
+                       lmbda=1.0, nonlinear=nl)
+        assert r is not None
+        filt = r[5]
+        res[nl] = sum(float(((orig[c] - filt[c]) ** 2).sum())
+                      for c in range(3))
+    assert res[True] <= res[False] * 1.0001, res

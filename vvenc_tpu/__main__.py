@@ -37,6 +37,15 @@ def parse_args(argv):
                    help="hierarchical-B GOP size (power of two; "
                         "1 = low-delay IPPP; default: 16 when inter)")
     p.add_argument("--recon", default=None, help="write reconstruction YUV")
+    p.add_argument("--segment", default="off",
+                   choices=["off", "first", "mid", "last"],
+                   help="segment-concatenation position (vvenc "
+                        "SegmentMode): encode one restartable chunk of "
+                        "a long sequence; MCTF lead/trail context frames "
+                        "are read around the coded range automatically")
+    p.add_argument("--skip", type=int, default=0,
+                   help="skip this many input frames before the first "
+                        "coded frame (segment start position)")
     p.add_argument("--qpa", type=int, default=None, choices=[0, 1],
                    help="perceptual QP adaptation (default: config)")
     p.add_argument("--bitrate", type=int, default=0,
@@ -81,6 +90,7 @@ def encoder_config_from(cfg, args) -> "EncoderConfig":
         sign_data_hiding=bool(cfg.sign_data_hiding),
         qpa=bool(cfg.perceptual_qpa),
         sao=bool(cfg.sao), alf=bool(cfg.alf), ccalf=bool(cfg.ccalf),
+        alf_nonlinear=bool(cfg.alf_nonlinear),
         mctf=bool(cfg.mctf), bim=bool(cfg.bim),
         lfnst=bool(cfg.lfnst), mts=bool(cfg.mts),
         mts_implicit=bool(cfg.mts_implicit), mip=bool(cfg.mip),
@@ -106,6 +116,7 @@ def encoder_config_from(cfg, args) -> "EncoderConfig":
         parallel_gops=cfg.num_parallel_gops,
         bitrate=cfg.target_bitrate, max_bitrate=cfg.max_bitrate,
         rc_stats_out=cfg.rc_stats_out, rc_stats_in=cfg.rc_stats_in,
+        lead_frames=cfg.lead_frames, trail_frames=cfg.trail_frames,
         picture_hash=cfg.picture_hash,
         hrd_timing_sei=bool(cfg.hrd_timing_sei),
         fps_num=cfg.fps_num, fps_den=cfg.fps_den,
@@ -138,6 +149,8 @@ def main(argv=None):
         cfg.refresh_sec = args.refreshsec
     if args.mt_profile:
         cfg.mt_profile = 1
+    if args.segment != "off":
+        cfg.segment_mode = args.segment
     if args.threads:
         cfg.threads = args.threads
     from .config.config import set_param, apply_derived
@@ -152,7 +165,17 @@ def main(argv=None):
 
     stats = SequenceStats(args.framerate)
     shift = 10 - cfg.input_bit_depth
-    frames = list(read_yuv(args.input, w, h, cfg.input_bit_depth, args.frames))
+    lead = min(cfg.lead_frames, args.skip)
+    n_read = None if args.frames is None else \
+        lead + args.frames + cfg.trail_frames
+    frames = list(read_yuv(args.input, w, h, cfg.input_bit_depth, n_read,
+                           start=args.skip - lead))
+    if args.frames is not None and cfg.trail_frames:
+        # fewer trail frames than derived near the end of the file
+        short = lead + args.frames + cfg.trail_frames - len(frames)
+        if short > 0:
+            cfg.trail_frames = max(0, cfg.trail_frames - short)
+    cfg.lead_frames = lead
     t0 = time.time()
     if cfg.rc_passes == 2 and cfg.target_bitrate:
         # two-pass: pass 1 collects stats (vvenc_init_pass analog), pass 2
@@ -167,11 +190,17 @@ def main(argv=None):
         enc = IntraEncoder(ecfg2)
     else:
         enc = IntraEncoder(encoder_config_from(cfg, args))
+    if args.segment in ("mid", "last"):
+        # concatenation: parameter sets come from the FIRST segment
+        # (byte-identity with the one-shot encode; the reference's
+        # segment chunks concatenate the same way)
+        enc._headers = b""
     stream = enc.encode_sequence(frames)
     elapsed = time.time() - t0
     for poc in sorted(enc.recs_by_poc):
         rec = enc.recs_by_poc[poc]
-        y, u, v = frames[poc]
+        # segment mode: coded POC 0 is frames[lead_frames]
+        y, u, v = frames[cfg.lead_frames + poc]
         p = (psnr(rec[0], y.astype("i4") << shift, 10),
              psnr(rec[1], u.astype("i4") << shift, 10),
              psnr(rec[2], v.astype("i4") << shift, 10))

@@ -61,6 +61,7 @@ class VvencTpuConfig:
     mctf: int = 0
     bim: int = 0
     alf: int = 0
+    alf_nonlinear: int = 0           # clipped-filter derivation (slower)
     ccalf: int = 0
     sao: int = 0
     deblocking: int = 0
@@ -101,6 +102,12 @@ class VvencTpuConfig:
     num_tile_rows: int = 1
     max_parallel_frames: int = 0
     num_parallel_gops: int = 0
+    segment_mode: str = "off"        # segment concatenation position
+                                     # (vvenc m_SegmentMode: off/first/
+                                     # mid/last); lead/trail frames are
+                                     # derived in apply_derived
+    lead_frames: int = 0             # MCTF context before POC 0 (derived)
+    trail_frames: int = 0            # MCTF context after the last frame
     ifp: int = 0                     # inter-frame parallel (CTU-line sync)
     ifp_lines: int = 2
     look_ahead: int = 1              # RC lookahead pre-analysis (1-pass)
@@ -155,7 +162,7 @@ _PRESET_MATRIX = {
                       mip=1, isp=3, smvd=3, geo=2, ciip=1, sbt=1, bcw=2,
                       num_full_rd_modes=4),
     Preset.SLOWER: dict(sao=1, deblocking=1, ctu_size=128, max_mtt_depth=3,
-                        max_mtt_depth_i=3,
+                        max_mtt_depth_i=3, alf_nonlinear=1,
                         mctf=2, alf=1, ccalf=1, dmvr=1, bdof=1, dep_quant=1,
                         lfnst=1, affine=1, amvr=1, mmvd=1, mrl=1, prof=1,
                         sbtmvp=1, joint_cbcr=1, lm_chroma=1, mts=1, mip=1,
@@ -244,6 +251,13 @@ def apply_derived(cfg: VvencTpuConfig) -> None:
             cfg.num_tile_cols = max(cfg.num_tile_cols, 2)
         if cfg.max_parallel_frames == 0:
             cfg.max_parallel_frames = min(t, 4)
+    if cfg.segment_mode != "off":
+        # lead/trail frame derivation (vvencCfg.cpp:1460-1480): MCTF
+        # needs +-RANGE context frames across segment joins so a
+        # concatenated encode is identical to the one-shot encode
+        mctf_frames = 4 if cfg.mctf else 0   # encoder/mctf.py RANGE
+        cfg.lead_frames = 0 if cfg.segment_mode == "first" else mctf_frames
+        cfg.trail_frames = 0 if cfg.segment_mode == "last" else mctf_frames
     if cfg.refresh_sec > 0 and cfg.intra_period == 0:
         fps = cfg.fps_num / max(1, cfg.fps_den)
         frames = max(1, int(round(cfg.refresh_sec * fps)))
@@ -270,6 +284,12 @@ def check_config(cfg: VvencTpuConfig) -> None:
         raise ValueError("negative target bitrate")
     if cfg.rc_passes not in (1, 2):
         raise ValueError("rc_passes must be 1 or 2")
+    if cfg.segment_mode not in ("off", "first", "mid", "last"):
+        raise ValueError("segment_mode must be off/first/mid/last")
+    if cfg.segment_mode != "off" and cfg.target_bitrate > 0:
+        raise ValueError(
+            "segment concatenation not available with rate control "
+            "(vvencCfg.cpp:1457)")
     if cfg.drap_period:
         # the DRAP implementation anchors on POC 0 as the associated
         # IRAP: only one IRAP is allowed (intra_period <= 0) and the

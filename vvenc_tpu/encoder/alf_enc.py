@@ -27,15 +27,19 @@ _CHROMA_TAPS = [((2, 0), (-2, 0)), ((1, 1), (-1, -1)), ((1, 0), (-1, 0)),
                 ((1, -1), (-1, 1)), ((0, 2), (0, -2)), ((0, 1), (0, -1))]
 
 
-def _tap_planes(rec: np.ndarray, taps, ctu_size: int, is_chroma: bool):
+def _tap_planes(rec: np.ndarray, taps, ctu_size: int, is_chroma: bool,
+                halves: bool = False):
     """u_g planes: per geometric tap g, (v0 + v1 - 2*curr) with the ALF
-    virtual-boundary clamping per row."""
+    virtual-boundary clamping per row.  halves=True returns the two
+    difference half-planes (v0-curr, v1-curr) separately — the inputs of
+    the CLIPPED regression (clip(v0-curr,c)+clip(v1-curr,c))."""
     from ..codec.alf import _vb_taps
     h, w = rec.shape
     pad = 3
     sp = np.pad(rec, pad, mode="edge").astype(np.int64)
     vb_pos = ctu_size - (2 if is_chroma else 4)
-    planes = np.zeros((len(taps), h, w), np.int64)
+    n = len(taps)
+    planes = np.zeros((2 * n if halves else n, h, w), np.int64)
     curr = sp[pad:pad + h, pad:pad + w]
     for yy in range(h):
         yvb = yy & (ctu_size - 1)
@@ -46,8 +50,67 @@ def _tap_planes(rec: np.ndarray, taps, ctu_size: int, is_chroma: bool):
             r1 = yy + omap[dy1]
             v0 = sp[r0 + pad, pad + dx0:pad + dx0 + w]
             v1 = sp[r1 + pad, pad + dx1:pad + dx1 + w]
-            planes[g, yy] = v0 + v1 - 2 * curr[yy]
+            if halves:
+                planes[g, yy] = v0 - curr[yy]
+                planes[n + g, yy] = v1 - curr[yy]
+            else:
+                planes[g, yy] = v0 + v1 - 2 * curr[yy]
     return planes
+
+
+def _derive_clipped(halves, errf, n_taps, bit_depth, passes=2):
+    """Clipped Wiener derivation for one class/filter (vvenc
+    EncAdaptiveLoopFilter deriveCoeffQuant with clipping): coordinate
+    descent over per-tap clip indices, solving the normal equations of
+    clip(v0-curr,c)+clip(v1-curr,c) inputs at each step.
+
+    halves: [2*n_taps, N] (v0-curr rows then v1-curr rows, transpose-
+    mapped); errf: [N] target.  Returns (coeff int32 [n_taps],
+    clip_idx int32 [n_taps])."""
+    from ..codec.alf import clipping_values
+    clips = clipping_values(bit_depth)              # [4] descending
+    n_clip = len(clips)
+    # clipped tap matrix per clip index: U[c] = [n_taps, N]
+    d0, d1 = halves[:n_taps], halves[n_taps:]
+    U = np.empty((n_clip, n_taps, halves.shape[1]), np.float64)
+    for c in range(n_clip):
+        cv = int(clips[c])
+        U[c] = (np.clip(d0, -cv, cv) + np.clip(d1, -cv, cv))
+    flat = U.reshape(n_clip * n_taps, -1)
+    G = flat @ flat.T                               # [4n, 4n] gram
+    B = flat @ errf                                 # [4n]
+    k = np.zeros(n_taps, np.int64)
+
+    def reduction(kv):
+        rows = kv * n_taps + np.arange(n_taps)
+        A = G[np.ix_(rows, rows)] + np.eye(n_taps) * 1e-7
+        b = B[rows]
+        try:
+            c = np.linalg.solve(A, b)
+        except np.linalg.LinAlgError:
+            return -1.0, None
+        return float(c @ b), c
+
+    best_red, _ = reduction(k)
+    for _ in range(passes):
+        changed = False
+        for g in range(n_taps):
+            for cand in range(n_clip):
+                if cand == k[g]:
+                    continue
+                k2 = k.copy()
+                k2[g] = cand
+                red, _ = reduction(k2)
+                if red > best_red:
+                    best_red, k = red, k2
+                    changed = True
+        if not changed:
+            break
+    _, csol = reduction(k)
+    if csol is None:
+        return np.zeros(n_taps, np.int32), np.zeros(n_taps, np.int32)
+    q = np.clip(np.round(csol * 128.0), -127, 127).astype(np.int32)
+    return q, k.astype(np.int32)
 
 
 def _solve_quantized(A: np.ndarray, b: np.ndarray, n: int):
@@ -60,11 +123,14 @@ def _solve_quantized(A: np.ndarray, b: np.ndarray, n: int):
     return np.clip(q, -127, 127).astype(np.int32)
 
 
-def derive_alf(orig, rec, bit_depth: int, ctu_size: int, lmbda: float):
+def derive_alf(orig, rec, bit_depth: int, ctu_size: int, lmbda: float,
+               nonlinear: bool = False):
     """Derive ALF parameters + CTU decisions for one picture.
 
-    orig/rec: {comp: plane} (rec = post-deblock pre-ALF).  Returns
-    (AlfParam, enabled[3], ctu_flags[3][n], ctu_filter_idx[n],
+    orig/rec: {comp: plane} (rec = post-deblock pre-ALF).  nonlinear:
+    clipped-filter derivation (the slower-preset requirement,
+    vvencCfg.cpp:3083; coordinate descent over per-tap clip indices).
+    Returns (AlfParam, enabled[3], ctu_flags[3][n], ctu_filter_idx[n],
     ctu_alt[2][n], cls, trn) or None if no gain."""
     h, w = rec[0].shape
     w_ctus = (w + ctu_size - 1) // ctu_size
@@ -73,7 +139,8 @@ def derive_alf(orig, rec, bit_depth: int, ctu_size: int, lmbda: float):
     cls, trn = classify_luma(rec[0], bit_depth, ctu_size)
 
     # ---- luma: one Wiener filter per class (25 signalled filters) ----
-    u = _tap_planes(rec[0], _LUMA_TAPS, ctu_size, False)  # (12, h, w)
+    u = _tap_planes(rec[0], _LUMA_TAPS, ctu_size, False,
+                    halves=nonlinear)  # (12 or 24, h, w)
     # coefficient-index mapping per pixel transpose: u_coeff[TR[t][g]] = u[g]
     uc = np.zeros_like(u)
     tmap = np.repeat(np.repeat(trn, 4, 0), 4, 1)[:h, :w]
@@ -83,45 +150,108 @@ def derive_alf(orig, rec, bit_depth: int, ctu_size: int, lmbda: float):
             continue
         for g in range(12):
             uc[_TR7[t][g]][m] = u[g][m]
+            if nonlinear:
+                uc[12 + _TR7[t][g]][m] = u[12 + g][m]
     err = (orig[0].astype(np.int64) - rec[0].astype(np.int64))
     cmap = np.repeat(np.repeat(cls, 4, 0), 4, 1)[:h, :w].reshape(-1)
-    flat = uc.reshape(12, -1).astype(np.float64)
+    flat = uc.reshape(uc.shape[0], -1).astype(np.float64)
     errf = err.reshape(-1).astype(np.float64)
     coeffs = np.zeros((25, 12), np.int32)
+    clips = np.zeros((25, 12), np.int32)
     for c in range(25):
         m = cmap == c
         if m.sum() < 64:
             continue
         fc = flat[:, m]
-        A = fc @ fc.T
-        b = fc @ errf[m]
-        coeffs[c] = _solve_quantized(A, b, 12)
+        if nonlinear:
+            coeffs[c], clips[c] = _derive_clipped(fc, errf[m], 12,
+                                                  bit_depth)
+        else:
+            A = fc @ fc.T
+            b = fc @ errf[m]
+            coeffs[c] = _solve_quantized(A, b, 12)
 
     p = AlfParam()
     p.new_filter[0] = 1
     p.num_luma_filters = 25
     p.luma_coeff = coeffs
-    p.luma_clip = np.zeros((25, 12), np.int32)
+    p.luma_clip = clips
+    p.nonlinear[0] = 1 if (nonlinear and clips.any()) else 0
     p.filter_idx = list(range(25))
 
     # ---- chroma: one filter for both components ----
     ctu_c = ctu_size >> 1
-    ucb = _tap_planes(rec[1], _CHROMA_TAPS, ctu_c, True)
-    ucr = _tap_planes(rec[2], _CHROMA_TAPS, ctu_c, True)
+    nch = 12 if nonlinear else 6
+    ucb = _tap_planes(rec[1], _CHROMA_TAPS, ctu_c, True, halves=nonlinear)
+    ucr = _tap_planes(rec[2], _CHROMA_TAPS, ctu_c, True, halves=nonlinear)
     ec = np.concatenate([(orig[1].astype(np.int64)
                           - rec[1].astype(np.int64)).reshape(-1),
                          (orig[2].astype(np.int64)
                           - rec[2].astype(np.int64)).reshape(-1)])
-    flatc = np.concatenate([ucb.reshape(6, -1), ucr.reshape(6, -1)],
+    flatc = np.concatenate([ucb.reshape(nch, -1), ucr.reshape(nch, -1)],
                            axis=1).astype(np.float64)
-    Ac = flatc @ flatc.T
-    bc = flatc @ ec.astype(np.float64)
-    ccq = _solve_quantized(Ac, bc, 6)
+    if nonlinear:
+        ccq, cclip = _derive_clipped(flatc, ec.astype(np.float64), 6,
+                                     bit_depth)
+        # alternative selection: the quantized clipped filter must beat
+        # the quantized LINEAR filter on the actual filtering error,
+        # else keep linear (mirrors the luma alternative gate below)
+        fl = flatc[:6]
+        lq = _solve_quantized(fl @ fl.T, fl @ ec.astype(np.float64), 6)
+        from ..codec.alf import clipping_values as _cv
+        cvals = _cv(bit_depth)
+        d0c, d1c = flatc[:6], flatc[6:]
+
+        def _cerr(q, k):
+            cc = np.asarray([np.clip(d0c[g], -cvals[k[g]], cvals[k[g]])
+                             + np.clip(d1c[g], -cvals[k[g]], cvals[k[g]])
+                             for g in range(6)])
+            pred = (q.astype(np.float64) @ cc) / 128.0
+            d = ec.astype(np.float64) - pred
+            return float((d * d).sum())
+        if _cerr(lq, np.zeros(6, np.int64)) <= _cerr(ccq, cclip):
+            ccq, cclip = lq, np.zeros(6, np.int32)
+    else:
+        Ac = flatc @ flatc.T
+        bc = flatc @ ec.astype(np.float64)
+        ccq = _solve_quantized(Ac, bc, 6)
+        cclip = np.zeros(6, np.int32)
     p.new_filter[1] = 1
     p.num_alts_chroma = 1
     p.chroma_coeff = ccq.reshape(1, 6)
-    p.chroma_clip = np.zeros((1, 6), np.int32)
+    p.chroma_clip = cclip.reshape(1, 6)
+    p.nonlinear[1] = 1 if (nonlinear and cclip.any()) else 0
     p.cc_coeff = np.zeros((2, 4, 7), np.int32)
+
+    if nonlinear:
+        # alternative selection (vvenc derives linear AND clipped filter
+        # alternatives and RD-picks): keep the clipped set only when it
+        # actually filters better than the linear solution — the float
+        # training gain does not always survive coefficient quantization
+        lin_coeffs = np.zeros((25, 12), np.int32)
+        for c in range(25):
+            m = cmap == c
+            if m.sum() < 64:
+                continue
+            fc = flat[:12, m]
+            lin_coeffs[c] = _solve_quantized(fc @ fc.T, fc @ errf[m], 12)
+        import copy as _copy
+        p_lin = _copy.deepcopy(p)
+        p_lin.luma_coeff = lin_coeffs
+        p_lin.luma_clip = np.zeros((25, 12), np.int32)
+        p_lin.nonlinear[0] = 0
+
+        def _luma_sse(params):
+            co, cl = reconstruct_luma_coeff(params, bit_depth)
+            out = rec[0].copy()
+            filter_luma_region(rec[0], out, 0, 0, w, h, cls, trn, co, cl,
+                               bit_depth, ctu_size)
+            d = orig[0].astype(np.int64) - out
+            return float((d * d).sum())
+        if _luma_sse(p_lin) < _luma_sse(p):
+            p.luma_coeff = p_lin.luma_coeff
+            p.luma_clip = p_lin.luma_clip
+            p.nonlinear[0] = 0
 
     # ---- per-CTU decisions ----
     coeff_l, clip_l = reconstruct_luma_coeff(p, bit_depth)

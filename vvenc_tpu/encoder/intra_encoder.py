@@ -62,6 +62,9 @@ class EncoderConfig:
     num_full_rd_modes: int = 3     # full-RD candidates after SATD preselection
     num_chroma_rd_modes: int = 0   # chroma full-RD modes (0 = all)
     drap_period: int = 0           # dependent-RAP period (frames; 0 off)
+    lead_frames: int = 0           # segment mode: MCTF-only context
+    trail_frames: int = 0          # frames around the coded range
+    alf_nonlinear: bool = False    # clipped ALF derivation (slower preset)
     mode_cache: bool = True        # EncModeCtrl save/load: reuse an area's
                                    # winning intra modes across partitioning
                                    # paths (skips the 67-mode re-sweep)
@@ -489,10 +492,23 @@ class IntraEncoder:
                     frames, self._bim_map = apply_mctf(
                         frames, cfg.gop_size, cfg.qp, cfg.input_bit_depth,
                         bim_ctu_size=cfg.ctu_size,
-                        min_noise=self.min_noise)
+                        min_noise=self.min_noise,
+                        poc_offset=-cfg.lead_frames)
                 else:
                     frames = apply_mctf(frames, cfg.gop_size, cfg.qp,
-                                        cfg.input_bit_depth)
+                                        cfg.input_bit_depth,
+                                        poc_offset=-cfg.lead_frames)
+        if cfg.lead_frames or cfg.trail_frames:
+            # segment mode (vvencCfg.h:460/758-759): the lead/trail
+            # frames existed only as MCTF context across the segment
+            # joins; drop them before coding so the coded pictures match
+            # the one-shot encode of the same range byte for byte
+            lead, trail = cfg.lead_frames, cfg.trail_frames
+            frames = frames[lead:len(frames) - trail if trail else None]
+            self.analysis = self.analysis[
+                lead:len(self.analysis) - trail if trail else None]
+            self._bim_map = {p - lead: m for p, m in self._bim_map.items()
+                            if lead <= p < lead + len(frames)}
         # RC lookahead (vvenc m_LookAhead): complexity pre-analysis feeds
         # the single-pass controller's per-picture allocation
         la_on = (cfg.lookahead and self.rc is not None and cfg.bitrate > 0
@@ -740,6 +756,11 @@ class IntraEncoder:
             seg_cfg = copy.copy(cfg)
             seg_cfg.intra_period = 0      # one IDR per segment
             seg_cfg.parallel_gops = 0
+            # MCTF (+BIM) already ran over the WHOLE sequence in this
+            # encode_sequence call — the worker must not filter again
+            # (double filtering skewed the segments until round 3)
+            seg_cfg.mctf = 0
+            seg_cfg.lead_frames = seg_cfg.trail_frames = 0
             if cfg.rc_stats_out:
                 # pass 1: segments collect in-memory; the parent merges to
                 # global POCs and writes the stats file once
@@ -758,8 +779,11 @@ class IntraEncoder:
                 share = pred_seg / max(1, pred_total)
                 seg_cfg.bitrate = int(round(
                     cfg.bitrate * share * len(frames) / max(1, len(segs[i]))))
+            s0 = i * ip
+            bim_seg = {p - s0: m for p, m in self._bim_map.items()
+                       if s0 <= p < s0 + ip}
             jobs.append((seg_cfg, i, segs[i],
-                         getattr(self, "_fgc_sei", None)))
+                         getattr(self, "_fgc_sei", None), bim_seg))
         workers = max(1, cfg.parallel_gops)
         stream = bytearray()
         if workers == 1:
@@ -1210,7 +1234,7 @@ class IntraEncoder:
             from ..codec.alf import write_alf_aps, apply_alf_picture
             with PROF.section("stage.alf"):
               res = derive_alf(src, ps.rec, cfg.bit_depth, cfg.ctu_size,
-                             lmbda)
+                             lmbda, nonlinear=cfg.alf_nonlinear)
             if res is not None:
                 alf_p, enabled, alf_flags, alf_fidx, alf_alt, filt = res
                 sh.alf_enabled = enabled if enabled[0] else [0, 0, 0]
@@ -3374,9 +3398,10 @@ def _encode_gop_segment_job(args):
 
     Headers are emitted by the first segment only; each segment's POC
     restarts at 0 (IDR semantics), so segments are fully independent."""
-    cfg, seg_idx, frames_seg, fgc = args
+    cfg, seg_idx, frames_seg, fgc, bim_seg = args
     enc = IntraEncoder(cfg)
     enc._fgc_sei = fgc if seg_idx == 0 else None
+    enc._bim_map = dict(bim_seg)
     if seg_idx > 0:
         enc._headers = b""
     au = enc.encode_sequence(list(frames_seg))

@@ -431,18 +431,23 @@ def mctf_filter_frame(frames: List, idx: int, strength: float, qp: int,
 
 def apply_mctf(frames: List, gop_size: int, qp: int,
                input_bit_depth: int = 8, bim_ctu_size: int = 0,
-               min_noise=None):
+               min_noise=None, poc_offset: int = 0):
     """Filter all sub-GOP boundary frames; returns a new frame list, or
     (frames, {poc: per-CTU BIM QP offsets}) when bim_ctu_size > 0
     (block importance mapping, vvenc MCTF.cpp BIM path; min_noise, when
-    given, is updated in place with the motion-noise estimates)."""
+    given, is updated in place with the motion-noise estimates).
+
+    poc_offset shifts the filter-period phase: segment-mode encodes pass
+    -lead_frames so local indices filter exactly like their global POCs
+    in the one-shot encode (segments start at intra-period boundaries,
+    multiples of every filter period)."""
     mf, ms = mctf_strengths(gop_size, qp)
     out = list(frames)
     bim_map = {}
     for i in range(len(frames)):
         sidx = -1
         for k in range(len(mf)):
-            if i % mf[k] == 0:
+            if (i + poc_offset) % mf[k] == 0:
                 sidx = k
         if sidx < 0:
             continue
