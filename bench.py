@@ -130,28 +130,40 @@ def main():
     assert len(frames) == FRAMES, "bench stream failed to decode"
 
     secondary = {}
-    # config 2: random-access 832x480 GOP16 preset faster (9 frames: one
-    # IDR + GOP8 window keeps the bench bounded; fps is honest e2e)
-    try:
-        make_clip("/tmp/bench_c2.yuv", 832, 480, 9)
-        dt2 = encode_once("/tmp/bench_c2.yuv", "/tmp/bench_c2.266",
-                          832, 480, 9, 37, "faster",
-                          ["--gop-size", "8", "--intra-period", "0"])
-        secondary["ra_832x480_gop8_faster_fps"] = round(9 / dt2, 4)
-    except Exception as e:                                 # noqa: BLE001
-        secondary["ra_832x480_gop8_faster_fps"] = None
-        sys.stderr.write("bench config2 failed: %s\n" % e)
-    # config 3: 1080p random-access preset medium + QPA (5 frames)
-    try:
-        make_clip("/tmp/bench_c3.yuv", 1920, 1080, 5)
-        dt3 = encode_once("/tmp/bench_c3.yuv", "/tmp/bench_c3.266",
-                          1920, 1080, 5, 32, "medium",
-                          ["--gop-size", "4", "--intra-period", "0",
-                           "--qpa", "1"])
-        secondary["ra_1080p_gop4_medium_qpa_fps"] = round(5 / dt3, 4)
-    except Exception as e:                                 # noqa: BLE001
-        secondary["ra_1080p_gop4_medium_qpa_fps"] = None
-        sys.stderr.write("bench config3 failed: %s\n" % e)
+
+    def timed_subprocess_encode(key, w2, h2, n2, qp2, preset, extra,
+                                timeout_s):
+        """Secondary configs run in a subprocess with a hard timeout so
+        a slow path can never hang the driver's bench run."""
+        clip2 = f"/tmp/bench_{key}.yuv"
+        make_clip(clip2, w2, h2, n2)
+        cmd = [sys.executable, "-m", "vvenc_tpu", "-i", clip2,
+               "-o", f"/tmp/bench_{key}.266", "-s", f"{w2}x{h2}",
+               "-q", str(qp2), "-f", str(n2), "--preset", preset] + extra
+        try:
+            t0 = time.time()
+            r = subprocess.run(cmd, capture_output=True, timeout=timeout_s)
+            dt = time.time() - t0
+            if r.returncode == 0:
+                secondary[key] = round(n2 / dt, 4)
+                return
+            sys.stderr.write("bench %s rc=%d: %s\n"
+                             % (key, r.returncode, r.stderr[-300:]))
+        except subprocess.TimeoutExpired:
+            sys.stderr.write("bench %s timed out (%ds)\n"
+                             % (key, timeout_s))
+        secondary[key] = None
+
+    # config 2: random-access 832x480 GOP8 preset faster
+    timed_subprocess_encode("ra_832x480_gop8_faster_fps", 832, 480, 9, 37,
+                            "faster",
+                            ["--gop-size", "8", "--intra-period", "0"],
+                            timeout_s=1200)
+    # config 3: 1080p random-access preset medium + perceptual QPA
+    timed_subprocess_encode("ra_1080p_gop4_medium_qpa_fps", 1920, 1080, 3,
+                            32, "medium",
+                            ["--gop-size", "2", "--intra-period", "0",
+                             "--qpa", "1"], timeout_s=1800)
 
     where = "on one chip" if on_chip else "HOST FALLBACK (tunnel down)"
     print(json.dumps({
