@@ -1461,11 +1461,18 @@ class _CtuSearcher:
         self.mode_cache = {}
 
     def _use_presel(self) -> bool:
-        """Resolve the intra_presel mode ("auto" -> backend-dependent)."""
+        """Resolve the intra_presel mode ("auto" -> backend- and
+        size-dependent): the frame-level device preselection pays off
+        when the per-frame batch is large enough to amortize dispatch
+        latency; small frames run the native host sweep instead (the
+        same kind of size-gated dispatch the reference's SIMD layer
+        makes per block size)."""
         mode = self.cfg.intra_presel
         if mode == "auto":
             import jax
-            mode = "source" if jax.default_backend() != "cpu" else "exact"
+            big = self.cfg.width * self.cfg.height >= 832 * 480
+            mode = "source" if (big and jax.default_backend() != "cpu") \
+                else "exact"
             self.cfg.intra_presel = mode
         return mode == "source"
 
