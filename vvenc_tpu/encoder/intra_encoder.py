@@ -42,6 +42,7 @@ from ..codec.qp import QpState
 from ..ops import intra as I
 from ..ops import intra_vec as IV
 from ..utils.profiler import PROF
+from ..utils.searchspace import bump as _ss_bump
 from ..ops import transforms as T
 from ..ops import rdcost as R
 
@@ -1643,6 +1644,7 @@ class _CtuSearcher:
             raise AssertionError(
                 f"no SCIPU-free split at ({x},{y}) {w}x{h}")
         for trial_i, split in enumerate(tries):
+            _ss_bump("split_trial" if split else "no_split_trial")
             if trial_i > 0:
                 self._restore(state0)
             node = TreeNode(x, y, max(w, h), part.qt_depth, w=w, h=h,
@@ -1916,6 +1918,7 @@ class _CtuSearcher:
                 prim_main = prim_dct2 if (th_i, tv_i) == (T.DCT2, T.DCT2) \
                     else T.fwd_transform_np(resi, bit_depth, th_i, tv_i)
             for lfnst_i, mts_i, ts_f in variants:
+                _ss_bump("intra_luma_trial")
                 if use_ntq and not ts_f and not lfnst_i:
                     # fused native trial: fwd transform + RDOQ(+SDH) +
                     # dequant + inverse + recon + SSE in one call
@@ -2512,6 +2515,7 @@ class _CtuSearcher:
         best = None
         preds_best = None
         for cdir in cands:
+            _ss_bump("intra_chroma_trial")
             cu.chroma_dir = cdir
             dist = 0.0
             coeffs, preds = {}, {}
@@ -3122,6 +3126,16 @@ class _CtuSearcher:
         best = None
         node = TreeNode(x, y, max(w, h), part.qt_depth, w=w, h=h, part=part)
         for cu in trials:
+            _ss_bump("inter_skip" if cu.skip else
+                     "inter_geo" if cu.geo else
+                     "inter_mmvd" if cu.mmvd_flag else
+                     "inter_affine" if cu.affine else
+                     "inter_ciip" if cu.ciip else
+                     "inter_merge" if cu.merge else
+                     "inter_sbt" if cu.sbt_idx else
+                     "inter_smvd" if cu.smvd else
+                     "inter_amvp" if cu.is_inter else
+                     "intra_in_inter")
             self._restore(state0)
             b0 = self.est.frac_bits
             node.cu = cu
