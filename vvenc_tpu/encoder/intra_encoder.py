@@ -858,11 +858,17 @@ class IntraEncoder:
         is_idr = slice_type == SLICE_I
         slice_qp = self.slice_qp if is_idr else \
             max(0, min(63, cfg.qp + qp_offset))
+        qp_frac = None
         if self.rc is not None and cfg.bitrate > 0:
-            slice_qp = self.rc.pic_qp(poc, slice_qp, 0)
+            # per-picture lambda from the RC model's FRACTIONAL QP (the
+            # reference's picInitialQP/picInitialLambda split,
+            # RateCtrl.cpp:1175): the signalled QP rounds, lambda tracks
+            # the model exactly
+            slice_qp, qp_frac = self.rc.pic_qp_lambda(poc, slice_qp, 0)
         # lmbda stays picture-local: IFP encodes pictures concurrently in
         # threads of this object (encoder/ifp.py)
-        lmbda = lambda_for_qp(slice_qp, cfg.bit_depth)
+        lmbda = lambda_for_qp(qp_frac if qp_frac is not None else slice_qp,
+                              cfg.bit_depth)
         lmbda_sad = lmbda ** 0.5
         if ifp is None:
             self.lmbda, self.lmbda_sad = lmbda, lmbda_sad

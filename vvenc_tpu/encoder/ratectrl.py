@@ -101,7 +101,15 @@ class RateCtrl:
 
     # -- QP decisions ---------------------------------------------------------
     def pic_qp(self, poc: int, base_pic_qp: int, num_frames: int) -> int:
-        """QP for the picture about to be coded.
+        """Integer QP for the picture about to be coded (signalled)."""
+        return self.pic_qp_lambda(poc, base_pic_qp, num_frames)[0]
+
+    def pic_qp_lambda(self, poc: int, base_pic_qp: int, num_frames: int):
+        """(int_qp, fractional_qp) for the picture about to be coded —
+        the fractional value drives the RD lambda (the reference keeps
+        picInitialQP and picInitialLambda separate so lambda tracks the
+        model exactly while the signalled QP rounds,
+        RateCtrl.cpp:1175 initRateControlPic / estimatePicLambda).
 
         base_pic_qp: the fixed-QP cascade value (slice QP incl. hierarchy
         offsets); the controller shifts the whole cascade."""
@@ -129,7 +137,8 @@ class RateCtrl:
                 if pred > cap:
                     qp = st["qp"] + 6.0 * math.log2(st["bits"] / cap)
             self._applied[poc] = qp - base_pic_qp
-            return int(round(max(1, min(63, qp))))
+            qf = max(1.0, min(63.0, qp))
+            return int(round(qf)), qf
         # single-pass ABR: model feedforward (R halves per +6 QP) on an
         # EWMA of bits renormalized to the base cascade, plus an integral
         # trim on the cumulative buffer error.
@@ -140,7 +149,8 @@ class RateCtrl:
         shift = max(-12.0, min(12.0, ff + self.delta)) \
             + self._la_shift(poc)
         self._last_shift = shift
-        return int(round(max(1, min(63, base_pic_qp + shift))))
+        qf = max(1.0, min(63.0, base_pic_qp + shift))
+        return int(round(qf)), qf
 
     def update(self, poc: int, bits: int) -> None:
         self.spent += bits
