@@ -149,9 +149,15 @@ def main():
                 return
             sys.stderr.write("bench %s rc=%d: %s\n"
                              % (key, r.returncode, r.stderr[-300:]))
-        except subprocess.TimeoutExpired:
-            sys.stderr.write("bench %s timed out (%ds)\n"
-                             % (key, timeout_s))
+        except subprocess.TimeoutExpired as e:
+            # salvage a lower-bound rate from the frames that completed
+            # (the CLI prints one POC line per coded picture)
+            out = (e.stderr or b"") + (e.stdout or b"")
+            done = out.count(b"POC ")
+            sys.stderr.write("bench %s timed out (%ds, %d frames done)\n"
+                             % (key, timeout_s, done))
+            if done:
+                secondary[key + "_partial"] = round(done / timeout_s, 4)
         secondary[key] = None
 
     # config 2: random-access 832x480 GOP8 preset faster
@@ -159,11 +165,15 @@ def main():
                             "faster",
                             ["--gop-size", "8", "--intra-period", "0"],
                             timeout_s=1200)
-    # config 3: 1080p random-access preset medium + perceptual QPA
-    timed_subprocess_encode("ra_1080p_gop4_medium_qpa_fps", 1920, 1080, 3,
+    # config 3: 1080p random-access preset medium + perceptual QPA.
+    # The medium tool set (MIP/ISP/LFNST) is outside the native CTU
+    # driver's v1 scope, so this path is still Python-search-bound and
+    # very slow at 1080p — the salvage path reports a lower-bound fps
+    # from the frames that completed inside the timeout.
+    timed_subprocess_encode("ra_1080p_gop4_medium_qpa_fps", 1920, 1080, 6,
                             32, "medium",
                             ["--gop-size", "2", "--intra-period", "0",
-                             "--qpa", "1"], timeout_s=1800)
+                             "--qpa", "1"], timeout_s=2400)
 
     where = "on one chip" if on_chip else "HOST FALLBACK (tunnel down)"
     print(json.dumps({
