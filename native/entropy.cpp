@@ -14,6 +14,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
+#include <array>
 #include <cstring>
 #include <cmath>
 #include <map>
@@ -3679,6 +3680,538 @@ void vte_alf_classify(const int32_t* rec, int h, int w, int bit_depth,
           TRANSPOSE_TAB[main_dir * 2 + (sec_dir >> 1)];
     }
   }
+}
+
+}  // extern "C"
+
+// ===========================================================================
+// Dependent quantization: 4-state trellis (ops/depquant.py port — the
+// DepQuant.cpp analog).  Bit-exact vs the Python golden model: float64
+// costs with the same operation order, full per-state level maps.
+// ===========================================================================
+
+namespace dq {
+
+constexpr double STATE_INF = 1.0e30;
+constexpr double DEC_INF = 1.0e29;
+constexpr int RICEMAX = 32;
+constexpr int64_t EP = 1 << 15;
+constexpr int ISCSBB = 0, SOCSBB = 1, EOCSBB = 2;
+
+static int64_t GOLOMB_BITS[4][RICEMAX];
+static bool g_golomb_init = false;
+static void init_golomb() {
+  if (g_golomb_init) return;
+  for (int p = 0; p < 4; ++p)
+    for (int v = 0; v < RICEMAX; ++v) {
+      int t = 5 << p;
+      if (v < t) {
+        GOLOMB_BITS[p][v] = int64_t((v >> p) + 1 + p) << SCALE_BITS;
+      } else {
+        int len = p, s = v - t;
+        while (s >= (1 << len)) {
+          s -= 1 << len;
+          ++len;
+        }
+        GOLOMB_BITS[p][v] = int64_t(5 + len + 1 - p + len) << SCALE_BITS;
+      }
+    }
+  g_golomb_init = true;
+}
+
+static const int TPL_DX[5] = {1, 2, 1, 0, 0};
+static const int TPL_DY[5] = {0, 0, 1, 1, 2};
+
+struct DqState {
+  double rd = STATE_INF;
+  std::vector<int32_t> levels;  // [h*w]
+  std::vector<uint8_t> sbb;     // [n_sbb]
+  int rem_reg_bins = 4;
+  int num_sig = 0;
+  int64_t sbb_bits0 = 0, sbb_bits1 = 0;
+  int64_t sig0 = 0, sig1 = 0;
+  const int64_t* cff_row = nullptr;  // [6]
+  int rice_par = 0, rice_zero = 0;
+};
+
+struct TplSums {
+  int raw, s1, num;
+};
+static TplSums tpl_sums(const int32_t* levels, int x, int y, int w, int h) {
+  TplSums r{0, 0, 0};
+  for (int k = 0; k < 5; ++k) {
+    int nx = x + TPL_DX[k], ny = y + TPL_DY[k];
+    if (nx < w && ny < h) {
+      int t = levels[ny * w + nx];
+      if (t) {
+        r.raw += t;
+        r.s1 += int(std::min<int64_t>(4 + (t & 1), t));
+        r.num += 1;
+      }
+    }
+  }
+  return r;
+}
+
+static int64_t level_bits(int level, const int64_t* cff_row,
+                          const int64_t* rice_tab) {
+  if (level < 4) return cff_row[level];
+  int val = (level - 4) >> 1;
+  return cff_row[level - (val << 1)] +
+         rice_tab[std::min(val, RICEMAX - 1)];
+}
+
+}  // namespace dq
+
+extern "C" {
+
+// trellis-quantize one TU (ops/depquant.py depquant_np); returns 1 when
+// any level is nonzero
+int vte_depquant(const int32_t* coeff, int w, int h, int qp, int bit_depth,
+                 int is_luma, double lmbda, int cbf_ctx_id, int thr_val,
+                 const uint16_t* s0, const uint16_t* s1, int32_t* out) {
+  using namespace dq;
+  init_golomb();
+  Cctx cctx(w, h, is_luma != 0);
+  const int n = cctx.n_coded;
+  const int ch = cctx.ch;
+  bool sqrt2 = ((31 - __builtin_clz(unsigned(w * h))) & 1) == 1;
+  int tshift_i = MAX_LOG2_TR_DYNAMIC_RANGE - bit_depth -
+                 ((cctx.log2w + cctx.log2h) >> 1);
+  int tshift = tshift_i + (sqrt2 ? -1 : 0);
+  int qp_dq = qp + 1;
+  int q_shift = 14 - 1 + qp_dq / 6 + tshift;
+  int64_t q_add = -((int64_t(3) << q_shift) >> 1);
+  int64_t q_scale = QUANT_SCALES[sqrt2 ? 1 : 0][qp_dq % 6];
+  const int max_qidx = (1 << 15) - 4;
+  double tshift_eff = double(tshift_i) - (sqrt2 ? 0.5 : 0.0);
+  double dist_fact = std::pow(2.0, -2.0 * tshift_eff + SCALE_BITS + q_shift)
+                     / (double(q_scale) * double(q_scale) * lmbda);
+
+  std::memset(out, 0, sizeof(int32_t) * size_t(w) * h);
+  std::vector<int64_t> abs_scan(n);
+  for (int sp = 0; sp < n; ++sp)
+    abs_scan[sp] = std::llabs(int64_t(coeff[cctx.si->blkpos[sp]]));
+
+  int64_t thres_last = q_shift > 0 ? (int64_t(thr_val) << (q_shift - 1))
+                                   : int64_t(thr_val >> 1) << q_shift;
+  int64_t default_th = thres_last / (q_scale << 2);
+  int first_pos = n - 1;
+  while (first_pos >= 0 && abs_scan[first_pos] <= default_th) --first_pos;
+  if (first_pos < 0) return 0;
+
+  auto fb = [&](int ctx, int b) -> int64_t {
+    return g_frac[state8(s0, s1, ctx)][b];
+  };
+
+  // rate tables
+  const int n_sig_ctx = ch == 0 ? 12 : 8;
+  std::vector<int64_t> sig_tab(3 * n_sig_ctx * 2);
+  for (int s = 0; s < 3; ++s)
+    for (int c = 0; c < n_sig_ctx; ++c) {
+      int id = g_bases.sig[ch + 2 * s] + c;
+      sig_tab[(s * n_sig_ctx + c) * 2] = fb(id, 0);
+      sig_tab[(s * n_sig_ctx + c) * 2 + 1] = fb(id, 1);
+    }
+  const int n_gtx_ctx = ch == 0 ? 21 : 11;
+  std::vector<int64_t> gtx_tab(size_t(n_gtx_ctx) * 6);
+  for (int c = 0; c < n_gtx_ctx; ++c) {
+    int64_t p0 = EP + fb(g_bases.par[ch] + c, 0);
+    int64_t p1 = EP + fb(g_bases.par[ch] + c, 1);
+    int64_t g1_0 = fb(g_bases.gtx[ch + 2] + c, 0);
+    int64_t g1_1 = fb(g_bases.gtx[ch + 2] + c, 1);
+    int64_t g2_0 = fb(g_bases.gtx[ch] + c, 0);
+    int64_t g2_1 = fb(g_bases.gtx[ch] + c, 1);
+    int64_t* row = &gtx_tab[size_t(c) * 6];
+    row[0] = 0;
+    row[1] = g1_0 + EP;
+    row[2] = g1_1 + p0 + g2_0;
+    row[3] = g1_1 + p1 + g2_0;
+    row[4] = g1_1 + p0 + g2_1;
+    row[5] = g1_1 + p1 + g2_1;
+  }
+  int64_t sbb_tab[2][2];
+  for (int c = 0; c < 2; ++c) {
+    sbb_tab[c][0] = fb(g_bases.sig_group[ch] + c, 0);
+    sbb_tab[c][1] = fb(g_bases.sig_group[ch] + c, 1);
+  }
+  int64_t cbf_delta = 0;
+  if (cbf_ctx_id >= 0) cbf_delta = fb(cbf_ctx_id, 1) - fb(cbf_ctx_id, 0);
+  // last-position rate per coordinate
+  std::vector<int64_t> last_bits[2];
+  for (int axis = 0; axis < 2; ++axis) {
+    int size = std::min(32, axis ? h : w);
+    int max_gi = GROUP_IDX_TAB[size - 1];
+    int64_t bit_off = axis ? cbf_delta : 0;
+    std::vector<int64_t> ctx_bits(max_gi + 1, 0);
+    int64_t sum_fb = 0;
+    for (int gi = 0; gi < max_gi; ++gi) {
+      int cid = cctx.last_ctx_id(gi, axis == 0);
+      ctx_bits[gi] = sum_fb + fb(cid, 0) +
+                     (gi > 3 ? (int64_t((gi - 2) >> 1) << SCALE_BITS) : 0) +
+                     bit_off;
+      sum_fb += fb(cid, 1);
+    }
+    ctx_bits[max_gi] =
+        sum_fb +
+        (max_gi > 3 ? (int64_t((max_gi - 2) >> 1) << SCALE_BITS) : 0) +
+        bit_off;
+    last_bits[axis].resize(size);
+    for (int p = 0; p < size; ++p)
+      last_bits[axis][p] = ctx_bits[GROUP_IDX_TAB[p]];
+  }
+
+  const int log2_cg = cctx.log2_cg;
+  const int cg_size = 1 << log2_cg;
+  const int cg_mask = cg_size - 1;
+  const int n_sbb = n >> log2_cg;
+  const int w_in_g = cctx.w_in_groups;
+  const int init_rrb = (n * CTX_BIN_SAMPLE_RATIO) >> 4;
+
+  std::vector<DqState> states(4);
+  for (int k = 0; k < 4; ++k) {
+    states[k].levels.assign(size_t(w) * h, 0);
+    states[k].sbb.assign(std::max(1, n_sbb), 0);
+    states[k].cff_row = &gtx_tab[0];
+    int set = std::max(0, k - 1);
+    states[k].sig0 = sig_tab[(set * n_sig_ctx + 0) * 2];
+    states[k].sig1 = sig_tab[(set * n_sig_ctx + 0) * 2 + 1];
+  }
+  struct Skip {
+    bool valid = false;
+    double rd = 0;
+    std::vector<int32_t> levels;
+    std::vector<uint8_t> sbb;
+    int rem_reg_bins = 0;
+    int64_t sbb_bits0 = 0;
+  };
+  std::vector<Skip> skip(4);
+
+  // decisions per position
+  std::vector<double> lane_rd(size_t(first_pos + 1) * 4);
+  std::vector<int32_t> lane_lvl(size_t(first_pos + 1) * 4);
+  std::vector<int32_t> lane_prev(size_t(first_pos + 1) * 4);
+  std::map<int, std::pair<std::array<int32_t, 4>, std::array<int32_t, 4>>>
+      lane1;  // EOS: (lvl[4], prev[4])
+
+  for (int sp = first_pos; sp >= 0; --sp) {
+    int x = cctx.si->sx[sp], y = cctx.si->sy[sp];
+    int inside = sp & cg_mask;
+    int spt = ISCSBB;
+    if (inside == cg_mask && sp > cg_size && sp < n - 1)
+      spt = SOCSBB;
+    else if (inside == 0 && 0 < sp && sp < n - cg_size)
+      spt = EOCSBB;
+
+    double dec_rd[4] = {DEC_INF, DEC_INF, DEC_INF, DEC_INF};
+    int dec_lvl[4] = {0, 0, 0, 0};
+    int dec_prev[4] = {-2, -2, -2, -2};
+
+    auto set_rice = [&](DqState& st, bool ge4) {
+      if (st.rem_reg_bins < 4 || ge4) {
+        int raw = tpl_sums(st.levels.data(), x, y, w, h).raw;
+        int sub = st.rem_reg_bins < 4 ? 0 : 20;
+        st.rice_par = GO_RICE_PARS[std::max(std::min(31, raw - sub), 0)];
+      }
+    };
+
+    int64_t last_off = last_bits[0][x] + last_bits[1][y];
+
+    int64_t u = abs_scan[sp] * q_scale;
+    int64_t qidx = (u + q_add) >> q_shift;
+    auto dd = [&](int64_t qc) {
+      return dist_fact * (double(qc) * double(qc) * double(int64_t(1) << q_shift)
+                          - 2.0 * double(qc) * double(u));
+    };
+
+    auto check = [&](int st_id, int lvl_a, double dd_a, int lvl_b,
+                     double dd_b, int idx_az, int idx_b) {
+      DqState& st = states[st_id];
+      const int64_t* rice_tab = GOLOMB_BITS[st.rice_par];
+      double rd_a = st.rd + dd_a;
+      double rd_b = st.rd + dd_b;
+      double rd_z = st.rd;
+      if (st.rem_reg_bins >= 4) {
+        rd_a += double(level_bits(lvl_a, st.cff_row, rice_tab));
+        rd_b += double(level_bits(lvl_b, st.cff_row, rice_tab));
+        if (spt == ISCSBB) {
+          rd_a += double(st.sig1);
+          rd_b += double(st.sig1);
+          rd_z += double(st.sig0);
+        } else if (spt == SOCSBB) {
+          rd_a += double(st.sbb_bits1 + st.sig1);
+          rd_b += double(st.sbb_bits1 + st.sig1);
+          rd_z += double(st.sbb_bits1 + st.sig0);
+        } else if (st.num_sig) {
+          rd_a += double(st.sig1);
+          rd_b += double(st.sig1);
+          rd_z += double(st.sig0);
+        } else {
+          rd_z = STATE_INF;
+        }
+      } else {
+        int zp = st.rice_zero;
+        rd_a += double(EP + rice_tab[lvl_a <= zp ? lvl_a - 1
+                                     : std::min(lvl_a, RICEMAX - 1)]);
+        rd_b += double(EP + rice_tab[lvl_b <= zp ? lvl_b - 1
+                                     : std::min(lvl_b, RICEMAX - 1)]);
+        rd_z += double(rice_tab[zp]);
+      }
+      if (rd_a < rd_z && rd_a < dec_rd[idx_az]) {
+        dec_rd[idx_az] = rd_a;
+        dec_lvl[idx_az] = lvl_a;
+        dec_prev[idx_az] = st_id;
+      } else if (rd_z < dec_rd[idx_az]) {
+        dec_rd[idx_az] = rd_z;
+        dec_lvl[idx_az] = 0;
+        dec_prev[idx_az] = st_id;
+      }
+      if (rd_b < dec_rd[idx_b]) {
+        dec_rd[idx_b] = rd_b;
+        dec_lvl[idx_b] = lvl_b;
+        dec_prev[idx_b] = st_id;
+      }
+    };
+
+    auto check_odd1 = [&](int st_id, double dd1, int idx_a, int idx_z) {
+      DqState& st = states[st_id];
+      double rd_a = st.rd + dd1;
+      double rd_z = st.rd;
+      if (st.rem_reg_bins >= 4) {
+        rd_a += double(st.cff_row[1]);
+        if (spt == ISCSBB) {
+          rd_a += double(st.sig1);
+          rd_z += double(st.sig0);
+        } else if (spt == SOCSBB) {
+          rd_a += double(st.sbb_bits1 + st.sig1);
+          rd_z += double(st.sbb_bits1 + st.sig0);
+        } else if (st.num_sig) {
+          rd_a += double(st.sig1);
+          rd_z += double(st.sig0);
+        } else {
+          rd_z = STATE_INF;
+        }
+      } else {
+        const int64_t* rice_tab = GOLOMB_BITS[st.rice_par];
+        rd_a += double(EP + rice_tab[0]);
+        rd_z += double(rice_tab[st.rice_zero]);
+      }
+      if (rd_a < dec_rd[idx_a]) {
+        dec_rd[idx_a] = rd_a;
+        dec_lvl[idx_a] = 1;
+        dec_prev[idx_a] = st_id;
+      }
+      if (rd_z < dec_rd[idx_z]) {
+        dec_rd[idx_z] = rd_z;
+        dec_lvl[idx_z] = 0;
+        dec_prev[idx_z] = st_id;
+      }
+    };
+
+    auto check_start = [&](int lvl, double ddv, int idx) {
+      double rd = ddv + double(last_off) +
+                  double(level_bits(lvl, &gtx_tab[0], GOLOMB_BITS[0]));
+      if (rd < dec_rd[idx]) {
+        dec_rd[idx] = rd;
+        dec_lvl[idx] = lvl;
+        dec_prev[idx] = -1;
+      }
+    };
+
+    if (qidx < 0) {
+      double dd_a = dd(1);
+      double dd_b = dd(2);
+      set_rice(states[0], false);
+      check_odd1(0, dd_b, 2, 0);
+      set_rice(states[1], false);
+      check_odd1(1, dd_b, 0, 2);
+      set_rice(states[2], false);
+      check_odd1(2, dd_a, 3, 1);
+      set_rice(states[3], false);
+      check_odd1(3, dd_a, 1, 3);
+      check_start(1, dd_b, 2);
+    } else {
+      qidx = std::max<int64_t>(1, std::min<int64_t>(max_qidx, qidx));
+      int pq_lvl[4];
+      double pq_dd[4];
+      for (int k = 0; k < 4; ++k) {
+        int64_t qc = qidx + k;
+        pq_lvl[qc & 3] = int((qc + 1) >> 1);
+        pq_dd[qc & 3] = dd(qc);
+      }
+      bool ge4_02 = pq_lvl[0] >= 4;
+      bool ge4_13 = pq_lvl[3] >= 4;
+      set_rice(states[0], ge4_02);
+      set_rice(states[1], ge4_02);
+      set_rice(states[2], ge4_13);
+      set_rice(states[3], ge4_13);
+      check(0, pq_lvl[0], pq_dd[0], pq_lvl[2], pq_dd[2], 0, 2);
+      check(1, pq_lvl[0], pq_dd[0], pq_lvl[2], pq_dd[2], 2, 0);
+      check(2, pq_lvl[3], pq_dd[3], pq_lvl[1], pq_dd[1], 1, 3);
+      check(3, pq_lvl[3], pq_dd[3], pq_lvl[1], pq_dd[1], 3, 1);
+      check_start(pq_lvl[0], pq_dd[0], 0);
+      check_start(pq_lvl[2], pq_dd[2], 2);
+    }
+
+    if (spt == EOCSBB) {
+      for (int s = 0; s < 4; ++s) {
+        if (skip[s].valid) {
+          double rd = skip[s].rd + double(skip[s].sbb_bits0);
+          if (rd < dec_rd[s]) {
+            dec_rd[s] = rd;
+            dec_lvl[s] = 0;
+            dec_prev[s] = 4 | s;
+          }
+        }
+      }
+    }
+
+    for (int t = 0; t < 4; ++t) {
+      lane_rd[size_t(sp) * 4 + t] = dec_rd[t];
+      lane_lvl[size_t(sp) * 4 + t] = dec_lvl[t];
+      lane_prev[size_t(sp) * 4 + t] = dec_prev[t];
+    }
+
+    if (sp == 0) break;
+
+    if (spt == SOCSBB) {
+      for (int s = 0; s < 4; ++s) {
+        skip[s].valid = true;
+        skip[s].rd = states[s].rd;
+        skip[s].levels = states[s].levels;
+        skip[s].sbb = states[s].sbb;
+        skip[s].rem_reg_bins = states[s].rem_reg_bins;
+        skip[s].sbb_bits0 = states[s].sbb_bits0;
+      }
+    }
+
+    // ----- state update -----
+    int sp_next = sp - 1;
+    int nx = cctx.si->sx[sp_next], ny = cctx.si->sy[sp_next];
+    int dg = nx + ny;
+    int sig_off, gtx_off;
+    if (ch == 0) {
+      sig_off = dg < 2 ? 8 : (dg < 5 ? 4 : 0);
+      gtx_off = dg < 1 ? 16 : (dg < 3 ? 11 : (dg < 10 ? 6 : 1));
+    } else {
+      sig_off = dg < 2 ? 4 : 0;
+      gtx_off = dg < 1 ? 6 : 1;
+    }
+    bool is_eos = inside == 0;
+    std::vector<DqState> new_states(4);
+    for (int t = 0; t < 4; ++t) {
+      DqState& st = new_states[t];
+      st.rd = dec_rd[t];
+      st.cff_row = &gtx_tab[0];
+      int pid = dec_prev[t];
+      int lvl = dec_lvl[t];
+      if (pid == -2) {
+        st.levels = states[t].levels;
+        st.sbb = states[t].sbb;
+        st.rem_reg_bins = states[t].rem_reg_bins;
+        st.num_sig = states[t].num_sig;
+        st.sbb_bits0 = states[t].sbb_bits0;
+        st.sbb_bits1 = states[t].sbb_bits1;
+        continue;
+      }
+      if (pid >= 4) {
+        const Skip& sk = skip[pid - 4];
+        st.levels = sk.levels;
+        st.sbb = sk.sbb;
+        st.rem_reg_bins = sk.rem_reg_bins;
+        st.num_sig = 0;
+      } else if (pid >= 0) {
+        const DqState& p = states[pid];
+        st.levels = p.levels;
+        st.sbb = p.sbb;
+        st.num_sig = p.num_sig + (lvl ? 1 : 0);
+        st.rem_reg_bins = p.rem_reg_bins - 1;
+        if (st.rem_reg_bins >= 4)
+          st.rem_reg_bins -= lvl < 2 ? lvl : 3;
+      } else {
+        st.levels.assign(size_t(w) * h, 0);
+        st.sbb.assign(std::max(1, n_sbb), 0);
+        st.num_sig = 1;
+        st.rem_reg_bins = init_rrb - (lvl < 2 ? lvl : 3);
+      }
+      st.sbb_bits0 = (pid >= 0 && pid < 4) ? states[pid].sbb_bits0 : 0;
+      st.sbb_bits1 = (pid >= 0 && pid < 4) ? states[pid].sbb_bits1 : 0;
+      if (lvl) st.levels[y * w + x] = lvl;
+      if (is_eos) {
+        int cur_sbb = cctx.si->cg_pos[sp >> log2_cg];
+        st.sbb[cur_sbb] = st.num_sig ? 1 : 0;
+        st.num_sig = 0;
+        int nxt_sbb = cctx.si->cg_pos[sp_next >> log2_cg];
+        int sy = nxt_sbb / w_in_g, sx = nxt_sbb % w_in_g;
+        int right = sx + 1 < w_in_g ? st.sbb[nxt_sbb + 1] : 0;
+        int below =
+            sy + 1 < cctx.h_in_groups ? st.sbb[nxt_sbb + w_in_g] : 0;
+        st.sbb_bits0 = sbb_tab[(right || below) ? 1 : 0][0];
+        st.sbb_bits1 = sbb_tab[(right || below) ? 1 : 0][1];
+      }
+      if (st.rem_reg_bins >= 4) {
+        TplSums ts = tpl_sums(st.levels.data(), nx, ny, w, h);
+        int set = std::max(0, t - 1);
+        int c = sig_off + std::min((ts.s1 + 1) >> 1, 3);
+        st.sig0 = sig_tab[(set * n_sig_ctx + c) * 2];
+        st.sig1 = sig_tab[(set * n_sig_ctx + c) * 2 + 1];
+        st.cff_row = &gtx_tab[size_t(gtx_off + std::min(ts.s1 - ts.num, 4))
+                              * 6];
+      } else {
+        int raw = tpl_sums(st.levels.data(), nx, ny, w, h).raw;
+        st.rice_par = GO_RICE_PARS[std::max(std::min(31, raw), 0)];
+        st.rice_zero = (t < 2 ? 1 : 2) << st.rice_par;
+      }
+    }
+    states.swap(new_states);
+    if (is_eos) {
+      std::array<int32_t, 4> lv, pv;
+      for (int t = 0; t < 4; ++t) {
+        lv[t] = lane_lvl[size_t(sp) * 4 + t];
+        pv[t] = lane_prev[size_t(sp) * 4 + t];
+      }
+      lane1[sp] = {lv, pv};
+    }
+  }
+
+  // best path + backtrack
+  int best_id = -1;
+  double best_cost = 0.0;
+  for (int s = 0; s < 4; ++s) {
+    if (lane_rd[s] < best_cost) {
+      best_cost = lane_rd[s];
+      best_id = s;
+    }
+  }
+  if (best_id < 0) return 0;
+  int sp = 0, pid = best_id;
+  int any = 0;
+  while (pid >= 0) {
+    int lvl, nxt;
+    if (pid >= 4) {
+      auto it = lane1.find(sp);
+      if (it == lane1.end()) {
+        lvl = 0;
+        nxt = pid;  // stay in the skip lane
+      } else {
+        lvl = it->second.first[pid & 3];
+        nxt = it->second.second[pid & 3];
+      }
+    } else {
+      lvl = lane_lvl[size_t(sp) * 4 + pid];
+      nxt = lane_prev[size_t(sp) * 4 + pid];
+    }
+    if (lvl) {
+      int blk = cctx.si->blkpos[sp];
+      int64_t v = coeff[blk] < 0 ? -int64_t(lvl) : int64_t(lvl);
+      out[blk] = int32_t(std::max<int64_t>(COEFF_MIN,
+                                           std::min<int64_t>(COEFF_MAX, v)));
+      any = 1;
+    }
+    pid = nxt;
+    ++sp;
+  }
+  return any;
 }
 
 }  // extern "C"

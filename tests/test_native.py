@@ -169,3 +169,34 @@ def test_native_predict_intra_matches_python_golden():
         assert np.array_equal(ref, got), (w, h, mode, is_luma, ref_idx)
         trials += 1
     assert trials > 300
+
+
+def test_native_depquant_matches_python():
+    """Dependent-quantization trellis: the native port must be bit-exact
+    vs ops/depquant.py on randomized TUs (sizes, QPs, components,
+    sparsity, live context states)."""
+    import numpy as np
+    from vvenc_tpu import native
+    from vvenc_tpu.ops.depquant import depquant_np
+    from vvenc_tpu.bitstream.cabac import CtxModels
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(23)
+    for _ in range(60):
+        w = int(rng.choice([4, 8, 16, 32]))
+        h = int(rng.choice([4, 8, 16, 32]))
+        qp = int(rng.randint(18, 51)) + 12
+        is_luma = bool(rng.randint(2))
+        mag = int(rng.choice([60, 500, 15000]))
+        coeff = rng.randint(-mag, mag + 1, (h, w)).astype(np.int64)
+        if rng.randint(2):
+            coeff = coeff * (rng.rand(h, w) < 0.2)
+        ctx = CtxModels()
+        ctx.init(int(rng.randint(0, 51)), int(rng.randint(3)))
+        lm = 0.57 * 2.0 ** ((qp - 24) / 3)
+        cbf = 80 if rng.randint(2) else None
+        ref = depquant_np(coeff, qp, 10, is_luma, lm, ctx, cbf_ctx_id=cbf)
+        got = native.depquant(coeff, qp, 10, is_luma, lm, ctx,
+                              cbf_ctx_id=cbf)
+        assert np.array_equal(ref, got)

@@ -1604,6 +1604,11 @@ class _CtuSearcher:
         (ops/depquant.py), else RDOQ against the live estimator contexts
         (ops/rdoq.py), else scalar deadzone quant."""
         if self.cfg.dep_quant:
+            from .. import native
+            if native.available():
+                return native.depquant(tcoef, qp, self.cfg.bit_depth,
+                                       is_luma, self.lmbda, self.est.ctx,
+                                       cbf_ctx)
             from ..ops.depquant import depquant_np
             return depquant_np(tcoef, qp, self.cfg.bit_depth, is_luma,
                                self.lmbda, self.est.ctx, cbf_ctx)

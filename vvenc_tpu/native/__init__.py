@@ -744,3 +744,34 @@ def alf_ccalf(luma, chroma_dst, x0c, y0c, w0c, h0c, coeff, bit_depth,
     co = np.ascontiguousarray(coeff, dtype=np.int32)
     _LIB.vte_alf_ccalf(_i32p(lm), _i32p(chroma_dst), hc, wc, h, w,
                        x0c, y0c, w0c, h0c, _i32p(co), bit_depth, ctu_size)
+
+
+_DQ_READY = False
+
+
+def _dq_setup():
+    global _DQ_READY
+    if _DQ_READY or _LIB is None:
+        return _LIB is not None
+    _LIB.vte_depquant.argtypes = [
+        _PI32, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int,
+        _PU16, _PU16, _PI32]
+    _LIB.vte_depquant.restype = ctypes.c_int
+    _DQ_READY = True
+    return True
+
+
+def depquant(coeff, qp, bit_depth, is_luma, lmbda, ctx, cbf_ctx_id=None,
+             thr_val=8):
+    """Native dependent-quantization trellis (ops/depquant.py port,
+    bit-exact); returns signed levels [h, w] int32."""
+    _dq_setup()
+    h, w = coeff.shape
+    c = np.ascontiguousarray(coeff, dtype=np.int32)
+    out = np.zeros((h, w), dtype=np.int32)
+    _LIB.vte_depquant(
+        _i32p(c), w, h, qp, bit_depth, 1 if is_luma else 0, float(lmbda),
+        -1 if cbf_ctx_id is None else int(cbf_ctx_id), thr_val,
+        _u16p(ctx.state0), _u16p(ctx.state1), _i32p(out))
+    return out
