@@ -4215,3 +4215,121 @@ int vte_depquant(const int32_t* coeff, int w, int h, int qp, int bit_depth,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// reference-sample builder with the ISP partition availability rule
+// (ops/intra.py build_reference_samples avail_fn path; ctu_syntax.py
+// predict_isp_partition: inside the CU, rows above / columns left of
+// the current partition are available, outside the coded mask decides)
+void vte_build_refs_isp(const int32_t* rec, int ph, int pw, int x, int y,
+                        int w, int h, const uint8_t* coded, int cuh,
+                        int cuw, int unit, int bit_depth,
+                        int pred_size_in, int pred_hsize_in, int cu_x,
+                        int cu_y, int cu_w, int cu_h, int isp_mode,
+                        int32_t* top, int32_t* left) {
+  int pred_size = pred_size_in > 0 ? pred_size_in : 2 * w;
+  int pred_hsize = pred_hsize_in > 0 ? pred_hsize_in : 2 * h;
+  int32_t dc_val = 1 << (bit_depth - 1);
+  int x0 = x - 1, y0 = y - 1;
+  int tl = pred_size + 3, ll = pred_hsize + 3;
+  for (int i = 0; i < tl; ++i) top[i] = dc_val;
+  for (int i = 0; i < ll; ++i) left[i] = dc_val;
+  auto avail = [&](int qx, int qy) -> bool {
+    if (qx < 0 || qy < 0 || qx >= pw || qy >= ph) return false;
+    if (cu_x <= qx && qx < cu_x + cu_w && cu_y <= qy && qy < cu_y + cu_h)
+      return isp_mode == 1 ? (qy < y) : (qx < x);
+    return coded[(qy / unit) * cuw + qx / unit] != 0;
+  };
+  std::vector<uint8_t> ft(pred_size + 1, 0), fl(pred_hsize + 1, 0);
+  bool any = false;
+  if (y0 >= 0) {
+    for (int j = 0; j <= pred_size; ++j) {
+      int jx = x0 + j;
+      if (jx < 0 || jx >= pw) continue;
+      if (avail(jx, y0)) {
+        top[j] = rec[size_t(y0) * pw + jx];
+        ft[j] = 1;
+        any = true;
+      }
+    }
+  }
+  if (x0 >= 0) {
+    for (int i = 0; i <= pred_hsize; ++i) {
+      int iy = y0 + i;
+      if (iy < 0 || iy >= ph) continue;
+      if (avail(x0, iy)) {
+        left[i] = rec[size_t(iy) * pw + x0];
+        fl[i] = 1;
+        any = true;
+      }
+    }
+  }
+  if (any) {
+    int total = pred_hsize + 1 + pred_size;
+    std::vector<int32_t> vals(total);
+    std::vector<uint8_t> filled(total);
+    for (int i = 0; i < pred_hsize; ++i) {
+      vals[i] = left[pred_hsize - i];
+      filled[i] = fl[pred_hsize - i];
+    }
+    vals[pred_hsize] = left[0];
+    filled[pred_hsize] = fl[0];
+    for (int j = 0; j < pred_size; ++j) {
+      vals[pred_hsize + 1 + j] = top[1 + j];
+      filled[pred_hsize + 1 + j] = ft[1 + j];
+    }
+    int first = 0;
+    while (first < total && !filled[first]) ++first;
+    int32_t cur = vals[first];
+    for (int i = 0; i < total; ++i) {
+      if (filled[i])
+        cur = vals[i];
+      else
+        vals[i] = cur;
+      if (i < first) vals[i] = vals[first];
+    }
+    for (int i = 0; i < pred_hsize; ++i) left[pred_hsize - i] = vals[i];
+    left[0] = vals[pred_hsize];
+    top[0] = vals[pred_hsize];
+    for (int j = 0; j < pred_size; ++j) top[1 + j] = vals[pred_hsize + 1 + j];
+  }
+  for (int i = pred_size + 1; i < tl; ++i) top[i] = top[pred_size];
+  for (int i = pred_hsize + 1; i < ll; ++i) left[i] = left[pred_hsize];
+}
+
+// dependent-quantization dequant (ops/transforms.py dequant_dq_np): the
+// decoder's 2-quantizer state machine over the scan
+void vte_dequant_dq(const int32_t* qc, int w, int h, int qp, int bit_depth,
+                    int is_luma, int32_t* out) {
+  Cctx cctx(w, h, is_luma != 0);
+  bool sqrt2 = ((31 - __builtin_clz(unsigned(w * h))) & 1) == 1;
+  int tshift = MAX_LOG2_TR_DYNAMIC_RANGE - bit_depth -
+               ((cctx.log2w + cctx.log2h) >> 1) + (sqrt2 ? -1 : 0);
+  int qp_dq = qp + 1;
+  // invQuantScales (Quant.cpp g_invQuantScales), doubled grid shift -1
+  static const int64_t INV_SCALES[2][6] = {
+      {40, 45, 51, 57, 64, 72}, {57, 64, 72, 80, 90, 102}};
+  int64_t scale = INV_SCALES[sqrt2 ? 1 : 0][qp_dq % 6];
+  int shift = 6 - (tshift + qp_dq / 6) + 1;
+  int n = cctx.n_coded;
+  std::memset(out, 0, sizeof(int32_t) * size_t(w) * h);
+  int state = 0;
+  for (int sp = n - 1; sp >= 0; --sp) {
+    int blk = cctx.si->blkpos[sp];
+    int64_t lvl = qc[blk];
+    if (lvl) {
+      int64_t qcoef = 2 * lvl - (lvl > 0 ? 1 : -1) * (state >> 1);
+      int64_t v;
+      if (shift >= 0)
+        v = (qcoef * scale + ((int64_t(1) << shift) >> 1)) >> shift;
+      else
+        v = (qcoef * scale) << (-shift);
+      out[blk] = int32_t(std::max<int64_t>(COEFF_MIN,
+                                           std::min<int64_t>(COEFF_MAX, v)));
+    }
+    state = next_state(state, std::llabs(lvl));
+  }
+}
+
+}  // extern "C"

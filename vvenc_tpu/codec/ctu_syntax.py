@@ -3094,14 +3094,21 @@ def isp_predict_part(ps: PictureState, cu_x: int, cu_y: int, cu_w: int,
         return region_cache["pred"][:, px - rx:px - rx + pw]
     ax, ay = cu_x + px, cu_y + py
 
-    def avail_fn(qx, qy, ax=ax, ay=ay):
-        if cu_x <= qx < cu_x + cu_w and cu_y <= qy < cu_y + cu_h:
-            return (qy < ay) if isp_mode == 1 else (qx < ax)
-        return ps.is_coded(qx, qy)
-    top, left = I.build_reference_samples(
-        ps.rec[0], ax, ay, rw, ph, ps.avail_luma(),
-        PictureState.LUMA_UNIT, bit_depth,
-        pred_sizes=(cu_w + rw, cu_h + ph), avail_fn=avail_fn)
+    from .. import native as _native
+    if _native.available() and ps.tile_map is None:
+        top, left = _native.build_refs_isp(
+            ps.rec[0], ax, ay, rw, ph, ps.coded_luma,
+            PictureState.LUMA_UNIT, bit_depth,
+            (cu_w + rw, cu_h + ph), cu_x, cu_y, cu_w, cu_h, isp_mode)
+    else:
+        def avail_fn(qx, qy, ax=ax, ay=ay):
+            if cu_x <= qx < cu_x + cu_w and cu_y <= qy < cu_y + cu_h:
+                return (qy < ay) if isp_mode == 1 else (qx < ax)
+            return ps.is_coded(qx, qy)
+        top, left = I.build_reference_samples(
+            ps.rec[0], ax, ay, rw, ph, ps.avail_luma(),
+            PictureState.LUMA_UNIT, bit_depth,
+            pred_sizes=(cu_w + rw, cu_h + ph), avail_fn=avail_fn)
     pred = I.predict_intra(top, left, mode, rw, ph, bit_depth,
                            True, cu_dims=(cu_w, cu_h), isp=True)
     if reg:

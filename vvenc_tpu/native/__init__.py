@@ -775,3 +775,49 @@ def depquant(coeff, qp, bit_depth, is_luma, lmbda, ctx, cbf_ctx_id=None,
         -1 if cbf_ctx_id is None else int(cbf_ctx_id), thr_val,
         _u16p(ctx.state0), _u16p(ctx.state1), _i32p(out))
     return out
+
+
+def _dq2_setup():
+    if getattr(_dq2_setup, "done", False) or _LIB is None:
+        return _LIB is not None
+    _LIB.vte_dequant_dq.argtypes = [_PI32] + [ctypes.c_int] * 5 + [_PI32]
+    _LIB.vte_dequant_dq.restype = None
+    _LIB.vte_build_refs_isp.argtypes = [
+        _PI32] + [ctypes.c_int] * 6 + [_PU8] + [ctypes.c_int] * 11 + \
+        [_PI32, _PI32]
+    _LIB.vte_build_refs_isp.restype = None
+    _dq2_setup.done = True
+    return True
+
+
+def dequant_dq(qc, qp, bit_depth):
+    """Dependent-quantization dequant (ops/transforms.py dequant_dq_np
+    port: 2-quantizer state machine over the scan)."""
+    _dq2_setup()
+    h, w = qc.shape
+    c = np.ascontiguousarray(qc, dtype=np.int32)
+    out = np.empty((h, w), dtype=np.int32)
+    _LIB.vte_dequant_dq(_i32p(c), w, h, qp, bit_depth, 1, _i32p(out))
+    return out
+
+
+def build_refs_isp(rec, x, y, w, h, coded_mask, unit, bit_depth,
+                   pred_sizes, cu_x, cu_y, cu_w, cu_h, isp_mode):
+    """Reference builder with the ISP partition availability rule."""
+    _dq2_setup()
+    ph, pw = rec.shape
+    cuh, cuw = coded_mask.shape
+    psz = pred_sizes[0] if pred_sizes else -1
+    phs = pred_sizes[1] if pred_sizes else -1
+    eff_ps = psz if psz > 0 else 2 * w
+    eff_hs = phs if phs > 0 else 2 * h
+    top = np.empty(eff_ps + 3, dtype=np.int32)
+    left = np.empty(eff_hs + 3, dtype=np.int32)
+    r = np.ascontiguousarray(rec, dtype=np.int32)
+    c = coded_mask.view(np.uint8) if coded_mask.dtype == np.bool_ \
+        and coded_mask.flags.c_contiguous \
+        else np.ascontiguousarray(coded_mask, dtype=np.uint8)
+    _LIB.vte_build_refs_isp(_i32p(r), ph, pw, x, y, w, h, _u8p(c), cuh,
+                            cuw, unit, bit_depth, psz, phs, cu_x, cu_y,
+                            cu_w, cu_h, isp_mode, _i32p(top), _i32p(left))
+    return top, left

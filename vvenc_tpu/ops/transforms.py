@@ -455,6 +455,9 @@ def dequant_dq_np(qcoeff: np.ndarray, qp: int,
     """
     from ..bitstream.residual import scan_info, _next_state
     h, w = qcoeff.shape
+    from .. import native
+    if native.available():
+        return native.dequant_dq(qcoeff, qp, bit_depth)
     sqrt2 = needs_sqrt2(w, h)
     tshift = transform_shift(w, h, bit_depth) + (-1 if sqrt2 else 0)
     qp_dq = qp + 1
