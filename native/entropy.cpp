@@ -1234,26 +1234,54 @@ extern "C" {
 // returns cbf (1 if any nonzero level).  out_rec/out_dist always filled
 // (rec = pred when cbf == 0).  ctx state arrays are read-only (RDOQ rate
 // lookups), matching the Python _q() contract.
+int vte_depquant(const int32_t* coeff, int w, int h, int qp, int bit_depth,
+                 int is_luma, double lmbda, int cbf_ctx_id, int thr_val,
+                 const uint16_t* s0, const uint16_t* s1, int32_t* out);
+void vte_dequant_dq(const int32_t* qc, int w, int h, int qp, int bit_depth,
+                    int is_luma, int32_t* out);
+void vte_inv_transform(const int32_t* d, int w, int h, int trh, int trv,
+                       int bit_depth, int32_t* out);
+
 int vte_tq_trial(const int32_t* resi, const int32_t* pred,
                  const int32_t* src, int w, int h, int trh, int trv,
                  int qp, int bit_depth, int is_luma, double lmbda,
                  int cbf_ctx_id, int sdh, const uint16_t* s0,
                  const uint16_t* s1, int32_t* out_coeff, int32_t* out_rec,
-                 int64_t* out_dist) {
+                 int64_t* out_dist, int dq) {
   std::vector<int32_t> tc(size_t(h) * w);
   tq_fwd(resi, w, h, trh, trv, bit_depth, tc.data());
-  vte_rdoq(tc.data(), w, h, qp, bit_depth, is_luma, lmbda, cbf_ctx_id,
-           s0, s1, out_coeff);
   int cbf = 0;
-  for (size_t i = 0; i < size_t(h) * w; ++i)
-    if (out_coeff[i]) { cbf = 1; break; }
-  if (cbf && sdh) {
-    tq_sdh(out_coeff, tc.data(), w, h, qp, bit_depth, is_luma);
-    cbf = 0;
+  if (dq) {
+    cbf = vte_depquant(tc.data(), w, h, qp, bit_depth, is_luma, lmbda,
+                       cbf_ctx_id, 8, s0, s1, out_coeff);
+  } else {
+    vte_rdoq(tc.data(), w, h, qp, bit_depth, is_luma, lmbda, cbf_ctx_id,
+             s0, s1, out_coeff);
     for (size_t i = 0; i < size_t(h) * w; ++i)
       if (out_coeff[i]) { cbf = 1; break; }
+    if (cbf && sdh) {
+      tq_sdh(out_coeff, tc.data(), w, h, qp, bit_depth, is_luma);
+      cbf = 0;
+      for (size_t i = 0; i < size_t(h) * w; ++i)
+        if (out_coeff[i]) { cbf = 1; break; }
+    }
   }
-  if (cbf) {
+  if (cbf && dq) {
+    // dequant-dq -> inverse -> recon + SSE
+    std::vector<int32_t> d(size_t(h) * w), r(size_t(h) * w);
+    vte_dequant_dq(out_coeff, w, h, qp, bit_depth, is_luma, d.data());
+    vte_inv_transform(d.data(), w, h, trh, trv, bit_depth, r.data());
+    int maxval = (1 << bit_depth) - 1;
+    int64_t sse = 0;
+    for (size_t i = 0; i < size_t(h) * w; ++i) {
+      int64_t v = int64_t(pred[i]) + r[i];
+      v = v < 0 ? 0 : (v > maxval ? maxval : v);
+      out_rec[i] = int32_t(v);
+      int64_t e = int64_t(src[i]) - v;
+      sse += e * e;
+    }
+    *out_dist = sse;
+  } else if (cbf) {
     tq_inv_rec(out_coeff, pred, src, w, h, trh, trv, qp, bit_depth,
                out_rec, out_dist);
   } else {
@@ -1274,12 +1302,19 @@ extern "C" {
 
 // fwd transform + RDOQ (+SDH) only — for call sites that reconstruct
 // elsewhere (inter residuals, ISP partitions).  Returns cbf.
+int vte_depquant(const int32_t* coeff, int w, int h, int qp, int bit_depth,
+                 int is_luma, double lmbda, int cbf_ctx_id, int thr_val,
+                 const uint16_t* s0, const uint16_t* s1, int32_t* out);
+
 int vte_tq_quant(const int32_t* resi, int w, int h, int trh, int trv,
                  int qp, int bit_depth, int is_luma, double lmbda,
                  int cbf_ctx_id, int sdh, const uint16_t* s0,
-                 const uint16_t* s1, int32_t* out_coeff) {
+                 const uint16_t* s1, int32_t* out_coeff, int dq) {
   std::vector<int32_t> tc(size_t(h) * w);
   tq_fwd(resi, w, h, trh, trv, bit_depth, tc.data());
+  if (dq)
+    return vte_depquant(tc.data(), w, h, qp, bit_depth, is_luma, lmbda,
+                        cbf_ctx_id, 8, s0, s1, out_coeff);
   vte_rdoq(tc.data(), w, h, qp, bit_depth, is_luma, lmbda, cbf_ctx_id,
            s0, s1, out_coeff);
   int cbf = 0;
@@ -2835,7 +2870,7 @@ struct Searcher {
                                TR_DCT2, qc, pp.bit_depth, 0, pp.lmbda,
                                cbf_ctx, pp.sdh ? 1 : 0, est.s0.data(),
                                est.s1.data(), tcoeff.data(), trec.data(),
-                               &d);
+                               &d, 0);
         dist += double(d);
         if (comp == 1) {
           if (cbf) ccb = tcoeff;
@@ -2983,7 +3018,8 @@ struct Searcher {
       int cbf = vte_tq_trial(resi.data(), pred.data(), src_y.data(), w, h,
                              th_i, tv_i, qy, pp.bit_depth, 1, pp.lmbda,
                              g_soffs.cbf_y, pp.sdh ? 1 : 0, est.s0.data(),
-                             est.s1.data(), tcoeff.data(), trec.data(), &d);
+                             est.s1.data(), tcoeff.data(), trec.data(), &d,
+                             0);
       // trial tail: estimate luma bits against the entry snapshot
       est_load(est, est_snap);
       int64_t b0 = est.frac;

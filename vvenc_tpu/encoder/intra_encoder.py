@@ -1573,14 +1573,15 @@ class _CtuSearcher:
         self.coder.hmvp_ibc.lut = list(snap[4])
 
     def _native_tq(self) -> bool:
-        """True when the fused native transform/RDOQ/recon trial
-        (native.tq_trial) matches this config's quantizer: RDOQ without
-        trellis (depquant keeps the Python/JAX path for now)."""
+        """True when the fused native transform/quant/recon trial
+        (native.tq_trial) matches this config's quantizer: RDOQ or the
+        dependent-quantization trellis (both native)."""
         v = self._native_tq_ok
         if v is None:
             from .. import native
-            v = self._native_tq_ok = (native.available() and self.cfg.rdoq
-                                      and not self.cfg.dep_quant)
+            v = self._native_tq_ok = (native.available()
+                                      and bool(self.cfg.rdoq
+                                               or self.cfg.dep_quant))
         return v
 
     def _tq(self, resi, qp, is_luma, cbf_ctx=None, trh=0, trv=0,
@@ -1592,9 +1593,12 @@ class _CtuSearcher:
         h, w = resi.shape
         if w >= 4 and h >= 4 and self._native_tq():
             from .. import native
+            dq = bool(self.cfg.dep_quant)
             return native.tq_quant(resi, trh, trv, qp, self.cfg.bit_depth,
                                    is_luma, self.lmbda, self.est.ctx,
-                                   cbf_ctx, self.cfg.sign_data_hiding)
+                                   cbf_ctx,
+                                   self.cfg.sign_data_hiding and not dq,
+                                   dq=dq)
         c = self._q(T.fwd_transform_np(resi, self.cfg.bit_depth, trh, trv),
                     qp, is_luma, cbf_ctx, intra_slice=intra_slice)
         return c if np.any(c) else None
@@ -1936,11 +1940,12 @@ class _CtuSearcher:
                     from .. import native
                     trh_v, trv_v = T.mts_tr_types(mts_i) if mts_i \
                         else (th_i, tv_i)
+                    dq_f = bool(self.cfg.dep_quant)
                     coeff_n, rec, dist = native.tq_trial(
                         resi, pred, src_y, trh_v, trv_v, qy, bit_depth,
                         True, self.lmbda, self.est.ctx,
                         ct.CTX_SETS["QtCbfLuma"](0),
-                        self.cfg.sign_data_hiding)
+                        self.cfg.sign_data_hiding and not dq_f, dq=dq_f)
                     cu = CuData(x, y, w, h, luma_mode=mode, mip_flag=mip_f,
                                 mip_transposed=mip_t, ref_line=ref_line,
                                 lfnst_idx=0, mts_idx=mts_i, luma_only=lo,
@@ -2538,11 +2543,12 @@ class _CtuSearcher:
                     ct.CTX_SETS["QtCbfCr"](1 if coeffs[1] is not None else 0)
                 if cscale is None and self._native_tq():
                     from .. import native
+                    dq_f = bool(self.cfg.dep_quant)
                     coeffs[comp], rec, d_ = native.tq_trial(
                         srcs[comp].astype(np.int64) - pred, pred,
                         srcs[comp], T.DCT2, T.DCT2, qc, bit_depth, False,
                         self.lmbda, self.est.ctx, cbf_ctx,
-                        self.cfg.sign_data_hiding)
+                        self.cfg.sign_data_hiding and not dq_f, dq=dq_f)
                     dist += d_
                     continue
                 coeff = self._q(

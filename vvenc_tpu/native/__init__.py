@@ -88,14 +88,14 @@ def _load():
         ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int,
         _PU16, _PU16,
         _PI32, _PI32,
-        _PI64]
+        _PI64, ctypes.c_int]
     lib.vte_tq_trial.restype = ctypes.c_int
     lib.vte_tq_quant.argtypes = [
         _PI32, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int,
         _PU16, _PU16,
-        _PI32]
+        _PI32, ctypes.c_int]
     lib.vte_tq_quant.restype = ctypes.c_int
     lib.vte_predict_intra.argtypes = [
         _PI32, ctypes.c_int,
@@ -252,9 +252,12 @@ def write_residual(coeff: np.ndarray, is_luma: bool, dep_quant: bool,
 
 def tq_trial(resi: np.ndarray, pred: np.ndarray, src: np.ndarray,
              trh: int, trv: int, qp: int, bit_depth: int, is_luma: bool,
-             lmbda: float, ctx, cbf_ctx_id=None, sdh: bool = False):
-    """Fused forward-transform + RDOQ (+SDH) + dequant + inverse-transform
-    + reconstruction + SSE, one native call (the encoder RD inner loop).
+             lmbda: float, ctx, cbf_ctx_id=None, sdh: bool = False,
+             dq: bool = False):
+    """Fused forward-transform + quantization (+SDH) + dequant +
+    inverse-transform + reconstruction + SSE, one native call (the
+    encoder RD inner loop).  dq=True runs the dependent-quantization
+    trellis instead of RDOQ (with the state-machine dequant).
     Returns (coeff|None, rec, dist); coeff is None when the TU quantizes
     to all-zero (rec == clipped pred)."""
     h, w = resi.shape
@@ -269,22 +272,23 @@ def tq_trial(resi: np.ndarray, pred: np.ndarray, src: np.ndarray,
         1 if is_luma else 0, float(lmbda),
         -1 if cbf_ctx_id is None else int(cbf_ctx_id), 1 if sdh else 0,
         _u16p(ctx.state0), _u16p(ctx.state1),
-        _i32p(coeff), _i32p(rec), dist.ctypes.data)
+        _i32p(coeff), _i32p(rec), dist.ctypes.data, 1 if dq else 0)
     return (coeff if cbf else None), rec, int(dist[0])
 
 
 def tq_quant(resi: np.ndarray, trh: int, trv: int, qp: int, bit_depth: int,
              is_luma: bool, lmbda: float, ctx, cbf_ctx_id=None,
-             sdh: bool = False):
-    """Fused forward-transform + RDOQ (+SDH), one native call.  Returns
-    the quantized levels [h, w] int32, or None when all-zero."""
+             sdh: bool = False, dq: bool = False):
+    """Fused forward-transform + RDOQ/trellis (+SDH), one native call.
+    Returns the quantized levels [h, w] int32, or None when all-zero."""
     h, w = resi.shape
     r = np.ascontiguousarray(resi, dtype=np.int32)
     coeff = np.empty((h, w), dtype=np.int32)
     cbf = _LIB.vte_tq_quant(
         _i32p(r), w, h, trh, trv, qp, bit_depth, 1 if is_luma else 0,
         float(lmbda), -1 if cbf_ctx_id is None else int(cbf_ctx_id),
-        1 if sdh else 0, _u16p(ctx.state0), _u16p(ctx.state1), _i32p(coeff))
+        1 if sdh else 0, _u16p(ctx.state0), _u16p(ctx.state1), _i32p(coeff),
+        1 if dq else 0)
     return coeff if cbf else None
 
 
