@@ -4369,3 +4369,166 @@ void vte_dequant_dq(const int32_t* qc, int w, int h, int qp, int bit_depth,
 }
 
 }  // extern "C"
+
+// ===========================================================================
+// Matrix-based intra prediction (MIP), H.266 8.4.5.2.2/8.4.5.2.3.
+// Bit-exact port of vvenc_tpu/ops/mip.py predict_mip (behavioral reference:
+// vvenc CommonLib/MatrixIntraPrediction.cpp prepareInputForPred:87,
+// predBlock:131, boundaryDownsampling1D:233, predictionUpsampling1D*:263).
+// The normative weight matrices are loaded once from Python (the same
+// mip_weights.npz arrays) via vte_mip_init.
+// ===========================================================================
+
+namespace mipk {
+
+static const int MIP_SHIFT = 6;   // MIP_SHIFT_MATRIX
+static const int MIP_OFF = 32;    // MIP_OFFSET_MATRIX
+
+// flattened weights per size class: [mode][out_row][in]
+static std::vector<int32_t> W[3];
+static const int W_MODES[3] = {16, 8, 6};
+static const int W_IN[3]    = {4, 8, 8};
+static const int W_ROWS[3]  = {16, 16, 64};   // red_size^2
+
+static inline int size_id(int w, int h) {
+  if (w == 4 && h == 4) return 0;
+  if (w == 4 || h == 4 || (w == 8 && h == 8)) return 1;
+  return 2;
+}
+
+static inline void downsample(const int32_t* full, int src_len, int dst_len,
+                              int32_t* dst) {
+  if (dst_len >= src_len) {
+    for (int i = 0; i < dst_len; i++) dst[i] = full[i];
+    return;
+  }
+  int f = src_len / dst_len;
+  int lg = 31 - __builtin_clz(f);
+  for (int i = 0; i < dst_len; i++) {
+    int64_t s = 0;
+    for (int j = 0; j < f; j++) s += full[i * f + j];
+    dst[i] = (int32_t)((s + (1 << (lg - 1))) >> lg);
+  }
+}
+
+// linear upsampling along the row axis: src is (n, m), before[i] is the
+// boundary sample conceptually at column -1 of row i; dst is (n, m*factor)
+static inline void upsample_rows(const int32_t* src, int n, int m,
+                                 const int32_t* before, int factor,
+                                 int32_t* dst) {
+  int lg = 31 - __builtin_clz(factor);
+  int64_t rnd = (int64_t)1 << (lg - 1);
+  for (int i = 0; i < n; i++) {
+    int32_t prev = before[i];
+    for (int j = 0; j < m; j++) {
+      int64_t d = (int64_t)src[i * m + j] - prev;
+      int64_t base = ((int64_t)prev << lg) + rnd;
+      for (int pos = 1; pos <= factor; pos++)
+        dst[i * m * factor + j * factor + (pos - 1)] =
+            (int32_t)((base + d * pos) >> lg);
+      prev = src[i * m + j];
+    }
+  }
+}
+
+// top/left: the w (resp. h) substituted neighbour samples directly
+// above/left of the block (build_reference_samples top[1:w+1]/left[1:h+1])
+static void predict(const int32_t* top, const int32_t* left, int w, int h,
+                    int mode, int transposed, int bit_depth, int32_t* out) {
+  int sid = size_id(w, h);
+  int bdry = sid == 0 ? 2 : 4;
+  int red = sid < 2 ? 4 : 8;
+  int up_hor = w / red, up_ver = h / red;
+
+  int32_t rt[4], rl[4], p[8];
+  downsample(top, w, bdry, rt);
+  downsample(left, h, bdry, rl);
+  const int32_t* first = transposed ? rl : rt;
+  const int32_t* second = transposed ? rt : rl;
+  int32_t input_offset = first[0];
+  int in_len = 2 * bdry;
+  for (int i = 0; i < bdry; i++) {
+    p[i] = first[i] - input_offset;
+    p[bdry + i] = second[i] - input_offset;
+  }
+  p[0] = sid < 2 ? (1 << (bit_depth - 1)) - input_offset : 0;
+
+  int64_t s = 0;
+  for (int i = 0; i < in_len; i++) s += p[i];
+  int64_t offset = (int64_t)(1 << (MIP_SHIFT - 1)) - MIP_OFF * s +
+                   ((int64_t)input_offset << MIP_SHIFT);
+  int32_t maxval = (1 << bit_depth) - 1;
+
+  const int32_t* wm = W[sid].data() + (size_t)mode * W_ROWS[sid] * W_IN[sid];
+  int32_t redbuf[64], redT[64];
+  for (int r = 0; r < red * red; r++) {
+    int64_t acc = 0;
+    for (int i = 0; i < in_len; i++)
+      acc += (int64_t)wm[r * in_len + i] * p[i];
+    int64_t v = (acc + offset) >> MIP_SHIFT;
+    redbuf[r] = (int32_t)(v < 0 ? 0 : (v > maxval ? maxval : v));
+  }
+  if (transposed) {
+    for (int y = 0; y < red; y++)
+      for (int x = 0; x < red; x++) redT[y * red + x] = redbuf[x * red + y];
+    for (int r = 0; r < red * red; r++) redbuf[r] = redT[r];
+  }
+
+  if (up_hor == 1 && up_ver == 1) {
+    for (int r = 0; r < red * red; r++) out[r] = redbuf[r];
+    return;
+  }
+
+  int32_t before[64], hbuf[8 * 64], tbuf[64 * 64], ubuf[64 * 64];
+  const int32_t* cur = redbuf;
+  int cur_w = red;
+  if (up_hor > 1) {
+    for (int r = 0; r < red; r++)
+      before[r] = up_ver > 1 ? left[r * up_ver + up_ver - 1] : left[r];
+    upsample_rows(cur, red, red, before, up_hor, hbuf);
+    cur = hbuf;
+    cur_w = w;
+  }
+  if (up_ver > 1) {
+    // transpose (red, cur_w) -> (cur_w, red), upsample rows by up_ver
+    // against the top boundary, transpose back to (h, cur_w)
+    for (int x = 0; x < cur_w; x++)
+      for (int r = 0; r < red; r++) tbuf[x * red + r] = cur[r * cur_w + x];
+    for (int x = 0; x < cur_w; x++) before[x] = top[x];
+    upsample_rows(tbuf, cur_w, red, before, up_ver, ubuf);
+    for (int y = 0; y < h; y++)
+      for (int x = 0; x < cur_w; x++) out[y * cur_w + x] = ubuf[x * h + y];
+  } else {
+    for (int r = 0; r < red * cur_w; r++) out[r] = cur[r];
+  }
+}
+
+}  // namespace mipk
+
+extern "C" {
+
+void vte_mip_init(const int32_t* s0, const int32_t* s1, const int32_t* s2) {
+  const int32_t* src[3] = {s0, s1, s2};
+  for (int k = 0; k < 3; k++) {
+    size_t n = (size_t)mipk::W_MODES[k] * mipk::W_ROWS[k] * mipk::W_IN[k];
+    mipk::W[k].assign(src[k], src[k] + n);
+  }
+}
+
+void vte_predict_mip(const int32_t* top, const int32_t* left, int w, int h,
+                     int mode, int transposed, int bit_depth, int32_t* out) {
+  mipk::predict(top, left, w, h, mode, transposed, bit_depth, out);
+}
+
+// all (mode, transpose) pairs: out is (num_modes, 2, h, w)
+void vte_predict_mip_all(const int32_t* top, const int32_t* left, int w,
+                         int h, int bit_depth, int32_t* out) {
+  int sid = mipk::size_id(w, h);
+  int n = mipk::W_MODES[sid];
+  for (int m = 0; m < n; m++)
+    for (int t = 0; t < 2; t++)
+      mipk::predict(top, left, w, h, m, t, bit_depth,
+                    out + ((size_t)m * 2 + t) * w * h);
+}
+
+}  // extern "C"

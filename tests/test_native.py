@@ -200,3 +200,28 @@ def test_native_depquant_matches_python():
         got = native.depquant(coeff, qp, 10, is_luma, lm, ctx,
                               cbf_ctx_id=cbf)
         assert np.array_equal(ref, got)
+
+
+def test_native_mip_matches_python():
+    """Native MIP kernel (vte_predict_mip/_all) is bit-exact vs the
+    numpy golden model across all size classes, modes and transposes."""
+    import numpy as np
+    from vvenc_tpu import native
+    from vvenc_tpu.ops import mip
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(11)
+    for w, h in [(4, 4), (4, 8), (8, 4), (8, 8), (4, 16), (16, 4),
+                 (16, 16), (32, 8), (32, 32), (64, 64)]:
+        n = mip.num_mip_modes(w, h)
+        top = rng.randint(0, 1024, size=w).astype(np.int32)
+        left = rng.randint(0, 1024, size=h).astype(np.int32)
+        allp = native.predict_mip_all(top, left, w, h, 10, n)
+        for m in range(n):
+            for t in (0, 1):
+                ref = mip._predict_mip_py(top, left, w, h, m, bool(t), 10)
+                assert np.array_equal(
+                    ref, native.predict_mip(top, left, w, h, m, t, 10)), \
+                    (w, h, m, t)
+                assert np.array_equal(ref, allp[m, t]), (w, h, m, t)

@@ -164,6 +164,18 @@ def _load():
         for n in (4, 8, 16, 32):
             m = np.ascontiguousarray(T.tr_matrix(n, tt), dtype=np.int32)
             lib.vte_set_trmat(tt, n, m.ctypes.data)
+
+    # register the MIP weight ROM (single-sourced from ops/mip.py's npz)
+    from ..ops.mip import MIP_MATRIX
+    lib.vte_mip_init.argtypes = [_PI32] * 3
+    lib.vte_predict_mip.argtypes = [_PI32, _PI32] + [ctypes.c_int] * 5 \
+        + [_PI32]
+    lib.vte_predict_mip_all.argtypes = [_PI32, _PI32] + [ctypes.c_int] * 3 \
+        + [_PI32]
+    mw = [np.ascontiguousarray(MIP_MATRIX[k].reshape(-1), dtype=np.int32)
+          for k in range(3)]
+    lib.vte_mip_init(mw[0].ctypes.data, mw[1].ctypes.data,
+                     mw[2].ctypes.data)
     return lib
 
 
@@ -825,3 +837,23 @@ def build_refs_isp(rec, x, y, w, h, coded_mask, unit, bit_depth,
                             cuw, unit, bit_depth, psz, phs, cu_x, cu_y,
                             cu_w, cu_h, isp_mode, _i32p(top), _i32p(left))
     return top, left
+
+
+def predict_mip(top, left, w, h, mode, transposed, bit_depth):
+    """One MIP prediction (ops/mip.py predict_mip port)."""
+    t = np.ascontiguousarray(top[:w], dtype=np.int32)
+    l = np.ascontiguousarray(left[:h], dtype=np.int32)
+    out = np.empty((h, w), dtype=np.int32)
+    _LIB.vte_predict_mip(_i32p(t), _i32p(l), w, h, mode,
+                         1 if transposed else 0, bit_depth, _i32p(out))
+    return out
+
+
+def predict_mip_all(top, left, w, h, bit_depth, n_modes):
+    """All (mode, transpose) MIP predictions: (n_modes, 2, h, w)."""
+    t = np.ascontiguousarray(top[:w], dtype=np.int32)
+    l = np.ascontiguousarray(left[:h], dtype=np.int32)
+    out = np.empty((n_modes, 2, h, w), dtype=np.int32)
+    _LIB.vte_predict_mip_all(_i32p(t), _i32p(l), w, h, bit_depth,
+                             _i32p(out))
+    return out

@@ -74,6 +74,16 @@ def predict_mip(top: np.ndarray, left: np.ndarray, w: int, h: int,
     top: W neighbors directly above (after substitution), left: H neighbors
     directly left — i.e. build_reference_samples()'s top[1:w+1]/left[1:h+1].
     """
+    from .. import native
+    if native.available():
+        return native.predict_mip(top, left, w, h, mode, transposed,
+                                  bit_depth)
+    return _predict_mip_py(top, left, w, h, mode, transposed, bit_depth)
+
+
+def _predict_mip_py(top: np.ndarray, left: np.ndarray, w: int, h: int,
+                    mode: int, transposed: bool, bit_depth: int) -> np.ndarray:
+    """Pure-numpy golden model (the native kernel's bit-exact reference)."""
     size_id = mip_size_id(w, h)
     bdry_size = 2 if size_id == 0 else 4
     red_size = 4 if size_id < 2 else 8
@@ -136,6 +146,9 @@ def predict_mip_all_modes(top: np.ndarray, left: np.ndarray, w: int, h: int,
 
     Returns array (num_modes, 2, h, w): axis 1 is [normal, transposed]."""
     n = num_mip_modes(w, h)
+    from .. import native
+    if native.available():
+        return native.predict_mip_all(top, left, w, h, bit_depth, n)
     out = np.empty((n, 2, h, w), dtype=np.int32)
     for m in range(n):
         for t in (0, 1):
