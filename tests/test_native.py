@@ -225,3 +225,94 @@ def test_native_mip_matches_python():
                     ref, native.predict_mip(top, left, w, h, m, t, 10)), \
                     (w, h, m, t)
                 assert np.array_equal(ref, allp[m, t]), (w, h, m, t)
+
+
+def test_native_dequant_dq_matches_python():
+    """DQ dequant (vte_dequant_dq) bit-exact vs the pure-python state
+    machine across sizes / QPs / sparsity (ADVICE r3: the numpy body was
+    dead code once the native path loaded — keep a direct fuzz check)."""
+    from vvenc_tpu.ops.transforms import _dequant_dq_py
+    rng = np.random.RandomState(31)
+    for _ in range(80):
+        w = int(rng.choice([4, 8, 16, 32, 64]))
+        h = int(rng.choice([4, 8, 16, 32, 64]))
+        qp = int(rng.randint(1, 62))
+        mag = int(rng.choice([3, 40, 4000]))
+        qc = rng.randint(-mag, mag + 1, (h, w)).astype(np.int32)
+        if rng.randint(2):
+            qc = (qc * (rng.rand(h, w) < 0.15)).astype(np.int32)
+        ref = _dequant_dq_py(qc, qp, 10)
+        got = native.dequant_dq(qc, qp, 10)
+        assert np.array_equal(ref, got), (w, h, qp)
+
+
+def _alf_py(monkeypatch, fn, *args, **kw):
+    """Run an ALF entry point with the native dispatch disabled."""
+    monkeypatch.setattr(native, "available", lambda: False)
+    try:
+        return fn(*args, **kw)
+    finally:
+        monkeypatch.undo()
+
+
+def test_native_alf_kernels_match_python(monkeypatch):
+    """The four native ALF kernels (classify, 7x7 luma, 5x5 chroma,
+    CC-ALF) are bit-exact vs the numpy spec models on randomized planes,
+    including off-multiple-of-4 plane sizes and virtual-boundary rows
+    (ADVICE r3: these replaced the numpy path with only indirect
+    conformance coverage)."""
+    from vvenc_tpu.codec import alf as A
+    rng = np.random.RandomState(77)
+    for trial in range(6):
+        ctu = int(rng.choice([32, 64, 128]))
+        h = int(rng.choice([64, 96, 68, 132]))
+        w = int(rng.choice([64, 96, 72, 140]))
+        bd = 10
+        rec = rng.randint(0, 1 << bd, (h, w)).astype(np.int32)
+
+        # classification (native works on the full plane; the numpy model
+        # requires h, w multiples of 4 which all callers guarantee)
+        h4, w4 = h & ~3, w & ~3
+        cls_n, trn_n = A.classify_luma(rec[:h4, :w4], bd, ctu)
+        cls_p, trn_p = _alf_py(monkeypatch, A.classify_luma,
+                               rec[:h4, :w4], bd, ctu)
+        assert np.array_equal(cls_n, cls_p) and np.array_equal(trn_n, trn_p)
+
+        # luma 7x7 clipped filter over a sub-region
+        cvals = A.clipping_values(bd)
+        coeff = rng.randint(-128, 128, (25, 13)).astype(np.int32)
+        clipv = cvals[rng.randint(0, 4, (25, 13))].astype(np.int32)
+        x0 = int(rng.randint(0, 8)) * 4
+        y0 = int(rng.randint(0, 8)) * 4
+        w0 = int(rng.choice([16, 32, 64, 128]))
+        h0 = int(rng.choice([16, 32, 64, 128]))
+        dst_n = rec.copy()
+        A.filter_luma_region(rec[:h4, :w4], dst_n[:h4, :w4], x0, y0, w0,
+                             h0, cls_n, trn_n, coeff, clipv, bd, ctu)
+        dst_p = rec.copy()
+        _alf_py(monkeypatch, A.filter_luma_region, rec[:h4, :w4],
+                dst_p[:h4, :w4], x0, y0, w0, h0, cls_p, trn_p, coeff,
+                clipv, bd, ctu)
+        assert np.array_equal(dst_n, dst_p), ("luma", trial)
+
+        # chroma 5x5 (chroma plane: any size, incl. odd remainders)
+        hc, wc = h // 2, w // 2
+        cplane = rng.randint(0, 1 << bd, (hc, wc)).astype(np.int32)
+        ccoef = rng.randint(-128, 128, 7).astype(np.int32)
+        cclip = cvals[rng.randint(0, 4, 7)].astype(np.int32)
+        dst_n = cplane.copy()
+        A.filter_chroma_region(cplane, dst_n, 0, 0, wc, hc, ccoef, cclip,
+                               bd, ctu // 2)
+        dst_p = cplane.copy()
+        _alf_py(monkeypatch, A.filter_chroma_region, cplane, dst_p, 0, 0,
+                wc, hc, ccoef, cclip, bd, ctu // 2)
+        assert np.array_equal(dst_n, dst_p), ("chroma", trial)
+
+        # CC-ALF (3x4 diamond on co-located luma; coeff[7])
+        cc = rng.randint(-32, 33, 7).astype(np.int32)
+        dst_n = cplane.copy()
+        A.filter_ccalf_region(rec, dst_n, 0, 0, wc, hc, cc, bd, ctu)
+        dst_p = cplane.copy()
+        _alf_py(monkeypatch, A.filter_ccalf_region, rec, dst_p, 0, 0, wc,
+                hc, cc, bd, ctu)
+        assert np.array_equal(dst_n, dst_p), ("ccalf", trial)

@@ -121,7 +121,8 @@ def encoder_config_from(cfg, args) -> "EncoderConfig":
         hrd_timing_sei=bool(cfg.hrd_timing_sei),
         fps_num=cfg.fps_num, fps_den=cfg.fps_den,
         intra_presel=cfg.intra_presel, search_range=cfg.search_range,
-        num_refs=cfg.num_refs)
+        num_refs=cfg.num_refs,
+        start_offset=getattr(args, "skip", 0) if args is not None else 0)
 
 
 def main(argv=None):
@@ -175,6 +176,12 @@ def main(argv=None):
         short = lead + args.frames + cfg.trail_frames - len(frames)
         if short > 0:
             cfg.trail_frames = max(0, cfg.trail_frames - short)
+    elif args.frames is None and cfg.trail_frames:
+        # no -f: the segment extends to end-of-file, so there is no later
+        # segment that would code trailing frames — coding must cover the
+        # whole read range (otherwise the last trail_frames real frames
+        # would silently be used as MCTF context only and never coded)
+        cfg.trail_frames = 0
     cfg.lead_frames = lead
     t0 = time.time()
     if cfg.rc_passes == 2 and cfg.target_bitrate:

@@ -84,6 +84,9 @@ class VVEncImpl:
         self._in_poc = 0
         self._base = 0             # first POC of the next GOP
         self._started = False
+        # rec-callback dedup restarts with the encoder: a new pass /
+        # re-init restarts at POC 0 and must deliver those pictures again
+        self._recs_taken = set()
         self._entries = build_gop(max(1, cfg.gop_size))
         self._state = State.INITIALIZED
         return VVENC_OK
@@ -92,6 +95,7 @@ class VVEncImpl:
         self._state = State.UNINITIALIZED
         self._enc = None
         self._frames = {}
+        self._recs_taken = set()
         return VVENC_OK
 
     # -- header extraction / reconfig / 2-pass (vvenc.h.in:286-365) ----------

@@ -65,6 +65,10 @@ class EncoderConfig:
     drap_period: int = 0           # dependent-RAP period (frames; 0 off)
     lead_frames: int = 0           # segment mode: MCTF-only context
     trail_frames: int = 0          # frames around the coded range
+    start_offset: int = 0          # global index of the first CODED frame
+                                   # (CLI --skip): keeps the MCTF filter
+                                   # period phase aligned with the
+                                   # one-shot encode for any skip value
     alf_nonlinear: bool = False    # clipped ALF derivation (slower preset)
     mode_cache: bool = True        # EncModeCtrl save/load: reuse an area's
                                    # winning intra modes across partitioning
@@ -489,16 +493,21 @@ class IntraEncoder:
         if cfg.mctf and len(frames) > 2 and cfg.gop_size > 1:
             from .mctf import apply_mctf
             with PROF.section("stage.mctf"):
+                # frames[0] is global index (start_offset - lead_frames):
+                # phase the filter periods on GLOBAL indices so a --skip
+                # not aligned to every period still matches the one-shot
+                # encode's filtering decisions
+                phase = cfg.start_offset - cfg.lead_frames
                 if cfg.bim:
                     frames, self._bim_map = apply_mctf(
                         frames, cfg.gop_size, cfg.qp, cfg.input_bit_depth,
                         bim_ctu_size=cfg.ctu_size,
                         min_noise=self.min_noise,
-                        poc_offset=-cfg.lead_frames)
+                        poc_offset=phase)
                 else:
                     frames = apply_mctf(frames, cfg.gop_size, cfg.qp,
                                         cfg.input_bit_depth,
-                                        poc_offset=-cfg.lead_frames)
+                                        poc_offset=phase)
         if cfg.lead_frames or cfg.trail_frames:
             # segment mode (vvencCfg.h:460/758-759): the lead/trail
             # frames existed only as MCTF context across the segment

@@ -449,15 +449,22 @@ def dequant_dq_np(qcoeff: np.ndarray, qp: int,
                   bit_depth: int = 10) -> np.ndarray:
     """Dependent-quantization dequant (vvenc DepQuant.cpp:574 dequantBlock).
 
-    Walks the grouped-4x4 scan from the highest coded position down to DC,
-    tracking the 4-state machine; reconstruction index is
-    2*level - sign(level)*(state>>1), quantizer runs at QP+1.
-    """
-    from ..bitstream.residual import scan_info, _next_state
-    h, w = qcoeff.shape
+    Dispatches to the native kernel when loaded; `_dequant_dq_py` is the
+    golden model (tests/test_native.py fuzzes native vs python)."""
     from .. import native
     if native.available():
         return native.dequant_dq(qcoeff, qp, bit_depth)
+    return _dequant_dq_py(qcoeff, qp, bit_depth)
+
+
+def _dequant_dq_py(qcoeff: np.ndarray, qp: int,
+                   bit_depth: int = 10) -> np.ndarray:
+    """Pure-python DQ dequant: walks the grouped-4x4 scan from the highest
+    coded position down to DC, tracking the 4-state machine;
+    reconstruction index is 2*level - sign(level)*(state>>1), quantizer
+    runs at QP+1."""
+    from ..bitstream.residual import scan_info, _next_state
+    h, w = qcoeff.shape
     sqrt2 = needs_sqrt2(w, h)
     tshift = transform_shift(w, h, bit_depth) + (-1 if sqrt2 else 0)
     qp_dq = qp + 1
