@@ -2642,6 +2642,10 @@ struct Searcher {
   Params pp;
   Est est;
   std::vector<PreselClass> presel;
+  // device RD plan (ops/intra_plan.py FramePlan): rows [ny*nx][3] =
+  // {mode0, mode1, split} per size class — forced split decisions + a
+  // 2-mode shortlist per leaf, decided by the batched device trials
+  std::vector<PreselClass> plan;
   // per-CTU dual-tree luma64 records: first-level split of each 64 unit
   struct L64 { int x, y, split; };
   std::vector<L64> luma64;
@@ -2653,6 +2657,17 @@ struct Searcher {
       int ix = x / c.ax, iy = y / c.ay;
       if (ix >= c.nx || iy >= c.ny) return nullptr;
       return c.costs + size_t(iy * c.nx + ix) * N_MODES;
+    }
+    return nullptr;
+  }
+
+  const int32_t* plan_lookup(int x, int y, int w, int h) const {
+    for (const auto& c : plan) {
+      if (c.w != w || c.h != h) continue;
+      if (x % c.ax || y % c.ay) return nullptr;
+      int ix = x / c.ax, iy = y / c.ay;
+      if (ix >= c.nx || iy >= c.ny) return nullptr;
+      return c.costs + size_t(iy * c.nx + ix) * 3;
     }
     return nullptr;
   }
@@ -2940,6 +2955,18 @@ struct Searcher {
     };
     struct Cand { double cost; int mode; };
     std::vector<Cand> cand;
+    // device RD plan: trial ONLY the shortlisted modes (the device
+    // already ran predict+transform+quant+recon trials for all blocks
+    // of this class; host work here is the exact closed-loop re-trial)
+    if (lo || !pp.dual_tree) {
+      const int32_t* prow = plan_lookup(x, y, w, h);
+      if (prow) {
+        std::vector<int> full_modes = {prow[0]};
+        if (prow[1] != prow[0]) full_modes.push_back(prow[1]);
+        return rd_cu_intra_trials(cu, part, full_modes, src_y, top, left,
+                                  mpm, lo);
+      }
+    }
     const int32_t* tab = presel_lookup(x, y, w, h);
     if (tab) {
       cand.resize(N_MODES);
@@ -2991,7 +3018,20 @@ struct Searcher {
     bool has_planar = false;
     for (int m : full_modes) has_planar |= m == PLANAR;
     if (!has_planar) full_modes.push_back(PLANAR);
+    return rd_cu_intra_trials(cu, part, full_modes, src_y, top, left, mpm,
+                              lo);
+  }
 
+  // exact closed-loop trials of a decided mode list + the CU tail
+  // (chroma RD, estimator re-encode, marking, distortion)
+  double rd_cu_intra_trials(CuRec& cu, const PartInfo& part,
+                            const std::vector<int>& full_modes,
+                            const std::vector<int32_t>& src_y,
+                            const std::vector<int32_t>& top,
+                            const std::vector<int32_t>& left,
+                            const int mpm[6], bool lo) {
+    int x = cu.x, y = cu.y, w = cu.w, h = cu.h;
+    int maxval = (1 << pp.bit_depth) - 1;
     int qy = pp.qp_y;
     EstSnap est_snap;
     est_save(est, est_snap);
@@ -3155,11 +3195,25 @@ struct Searcher {
         tries.push_back(s);
     }
     if (tries.empty()) return false;
+    // device RD plan: force the planned split decision (luma tree only;
+    // the chroma tree is still searched exactly)
+    if (part.tree_type != CHROMA_TREE && tries.size() > 1) {
+      const int32_t* prow = plan_lookup(x, y, w, h);
+      if (prow) {
+        int want = prow[2] ? QT_SPLIT : NO_SPLIT;
+        for (int s : tries)
+          if (s == want) { tries = {want}; break; }
+      }
+    }
 
+    // single candidate (planned or forced): run in place, no snapshots
+    const bool one_try = tries.size() == 1;
     RegionSnap state0;
     EstSnap est0;
-    region_save(ps, x, y, std::max(w, h), state0);
-    est_save(est, est0);
+    if (!one_try) {
+      region_save(ps, x, y, std::max(w, h), state0);
+      est_save(est, est0);
+    }
 
     bool have_best = false;
     double best_cost = 0;
@@ -3222,13 +3276,17 @@ struct Searcher {
         have_best = true;
         best_cost = cost;
         best_node = std::move(node);
-        region_save(ps, x, y, std::max(w, h), best_after);
-        est_save(est, best_est);
+        if (!one_try) {
+          region_save(ps, x, y, std::max(w, h), best_after);
+          est_save(est, best_est);
+        }
       }
     }
     if (!have_best) return false;
-    region_restore(ps, best_after);
-    est_load(est, best_est);
+    if (!one_try) {
+      region_restore(ps, best_after);
+      est_load(est, best_est);
+    }
     out.node = std::move(best_node);
     out.cost = best_cost;
     (void)parent_budget;
@@ -3366,7 +3424,8 @@ int vte_search_ctu(
     int slice_qp_y, double lmbda, double lmbda_sad, int n_full_rd,
     int n_chroma_rd, int sdh, int dual_tree, int cclm_en, int implicit_mts,
     int tree_idx, int n_presel, const int32_t* presel_meta,
-    const int64_t* presel_ptrs, int32_t* out_tree, int tree_cap,
+    const int64_t* presel_ptrs, int n_plan, const int32_t* plan_meta,
+    const int64_t* plan_ptrs, int32_t* out_tree, int tree_cap,
     int32_t* out_coeff, int coeff_cap, int32_t* out_n) {
   using namespace ctusearch;
   Searcher s;
@@ -3430,6 +3489,17 @@ int vte_search_ctu(
     c.ny = presel_meta[i * 6 + 5];
     c.costs = reinterpret_cast<const int32_t*>(presel_ptrs[i]);
     s.presel.push_back(c);
+  }
+  for (int i = 0; i < n_plan; ++i) {
+    PreselClass c;
+    c.w = plan_meta[i * 6 + 0];
+    c.h = plan_meta[i * 6 + 1];
+    c.ax = plan_meta[i * 6 + 2];
+    c.ay = plan_meta[i * 6 + 3];
+    c.nx = plan_meta[i * 6 + 4];
+    c.ny = plan_meta[i * 6 + 5];
+    c.costs = reinterpret_cast<const int32_t*>(plan_ptrs[i]);
+    s.plan.push_back(c);
   }
   Node root;
   if (!s.search(ctu_x, ctu_y, root)) return -1;

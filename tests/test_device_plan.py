@@ -1,0 +1,88 @@
+"""Device-batched RD planning (ops/intra_plan.py + the native plan
+driver): stream validity, determinism, sequential == parallel, and the
+frame-batched prefill == per-frame planning."""
+
+import numpy as np
+import pytest
+
+from vvenc_tpu import native
+
+
+def _clip(n=4, w=192, h=128):
+    rng = np.random.RandomState(9)
+    try:
+        import scipy.ndimage as ndi
+        base = ndi.gaussian_filter(
+            rng.randint(0, 255, (h + 32, w + 32)).astype(np.float32), 3)
+    except ImportError:
+        base = rng.randint(0, 255, (h + 32, w + 32)).astype(np.float32)
+    base = (base - base.min()) / (base.max() - base.min()) * 200 + 20
+    frames = []
+    for i in range(n):
+        y = base[i:i + h, 2 * i:2 * i + w].astype(np.uint8)
+        u = (y[::2, ::2] // 2 + 60).astype(np.uint8)
+        v = (128 - y[::2, ::2] // 3).astype(np.uint8)
+        frames.append({0: y, 1: u, 2: v})
+    return frames
+
+
+def _encode(frames, **kw):
+    from vvenc_tpu.encoder.intra_encoder import (EncoderConfig,
+                                                 IntraEncoder)
+    cfg = EncoderConfig(width=frames[0][0].shape[1],
+                        height=frames[0][0].shape[0], qp=34, ctu_size=64,
+                        intra_period=1, gop_size=1, dual_tree=True,
+                        num_full_rd_modes=2, mts=True, sao=False,
+                        alf=False, deblocking=True, **kw)
+    enc = IntraEncoder(cfg)
+    return enc.encode_sequence(frames), enc
+
+
+@pytest.mark.skipif(not native.available(),
+                    reason="native library unavailable")
+def test_device_plan_stream_decodes_and_is_deterministic():
+    frames = _clip()
+    s1, _ = _encode(frames, device_rd="on")
+    s2, _ = _encode(frames, device_rd="on")
+    assert s1 == s2, "device-planned encode must be deterministic"
+
+    from vvenc_tpu.decoder.decoder import decode_stream
+    dec = decode_stream(s1)
+    assert len(dec) == len(frames)
+
+    # planning changes decisions, not validity: compare against the
+    # exact search at the same operating point — the planned stream must
+    # stay within a sane rate/quality corridor
+    s0, _ = _encode(frames, device_rd="off")
+    assert len(s1) < len(s0) * 1.15, (len(s1), len(s0))
+
+
+@pytest.mark.skipif(not native.available(),
+                    reason="native library unavailable")
+def test_device_plan_parallel_matches_sequential():
+    """The frame-parallel all-intra path (prefilled plans shipped to
+    pool workers) must emit the byte-identical stream to the sequential
+    planned encode — the reference's threaded-vs-serial determinism
+    contract (vvencTests.cmake:71-73)."""
+    frames = _clip(n=3)
+    s_seq, _ = _encode(frames, device_rd="on")
+    s_par, _ = _encode(frames, device_rd="on", max_parallel_frames=2)
+    assert s_seq == s_par
+
+
+@pytest.mark.skipif(not native.available(),
+                    reason="native library unavailable")
+def test_batched_prefill_matches_per_frame_plans():
+    """build_plans (frame-batched, one device program) must produce the
+    same tables as FramePlan built per frame."""
+    from vvenc_tpu.ops.intra_plan import FramePlan, build_plans
+    rng = np.random.RandomState(3)
+    srcs = [rng.randint(0, 1024, (128, 192)).astype(np.int32)
+            for _ in range(3)]
+    batch = build_plans(srcs, 10, 64, 8, 46, [16.0] * 3, [4.0] * 3)
+    for f, src in enumerate(srcs):
+        single = FramePlan(src, 10, 64, 8, 46, 16.0, 4.0)
+        assert set(single.tables) == set(batch[f].tables)
+        for key in single.tables:
+            assert np.array_equal(single.tables[key][5],
+                                  batch[f].tables[key][5]), (f, key)

@@ -120,7 +120,8 @@ def encoder_config_from(cfg, args) -> "EncoderConfig":
         picture_hash=cfg.picture_hash,
         hrd_timing_sei=bool(cfg.hrd_timing_sei),
         fps_num=cfg.fps_num, fps_den=cfg.fps_den,
-        intra_presel=cfg.intra_presel, search_range=cfg.search_range,
+        intra_presel=cfg.intra_presel, device_rd=cfg.device_rd,
+        search_range=cfg.search_range,
         num_refs=cfg.num_refs,
         start_offset=getattr(args, "skip", 0) if args is not None else 0)
 

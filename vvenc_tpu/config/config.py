@@ -128,6 +128,10 @@ class VvencTpuConfig:
     # (ops/intra_presel.py); "auto" = "source" on an accelerator backend,
     # "exact" on CPU (keeps the CPU test suite fast)
     intra_presel: str = "auto"
+    # device RD planning: the batched device trial kernel decides the
+    # luma coding tree + mode shortlists, the native driver codes the
+    # plan exactly (ops/intra_plan.py); "auto" = on on an accelerator
+    device_rd: str = "auto"
 
 
 # tool values per preset, mirroring SURVEY.md §7.1 (subset of knobs that

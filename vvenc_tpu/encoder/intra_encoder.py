@@ -69,6 +69,10 @@ class EncoderConfig:
                                    # (CLI --skip): keeps the MCTF filter
                                    # period phase aligned with the
                                    # one-shot encode for any skip value
+    device_rd: str = "auto"        # device-batched RD planning (the TPU
+                                   # decides the coding tree; the native
+                                   # driver codes it exactly): on/off/
+                                   # auto = on on an accelerator backend
     alf_nonlinear: bool = False    # clipped ALF derivation (slower preset)
     mode_cache: bool = True        # EncModeCtrl save/load: reuse an area's
                                    # winning intra modes across partitioning
@@ -361,6 +365,8 @@ class IntraEncoder:
         self.slice_type_by_poc = {}
         self.qp_by_poc = {}
         self._orig_by_poc = {}         # display-order originals for QPA
+        self._plan_bank = {}           # poc -> device RD plan tables
+                                       # (frame-batched prefill)
         self._force_idr_pocs = set()   # scene cuts (PreProcess STA)
         self.analysis = None           # per-frame PreProcess results
         self.scc_detected = False
@@ -531,6 +537,8 @@ class IntraEncoder:
             if la_on and cfg.intra_period == 1:
                 from .lookahead import analyze_intra
                 self.rc.set_lookahead(analyze_intra(frames))
+            if cfg.intra_period == 1 and self._plan_prefill_ok():
+                self._prefill_plans(frames, list(range(len(frames))))
             for f in frames:
                 stream += self.encode_frame(f)
                 self.recs_by_poc[self.frames_done - 1] = dict(self.last_rec.rec)
@@ -825,6 +833,45 @@ class IntraEncoder:
         self.last_rec = last
         return bytes(stream)
 
+    def _plan_prefill_ok(self) -> bool:
+        """Frame-batched device RD planning applies: all-intra, fixed
+        QP/lambda, QT-only dual-tree (the _use_plan scope, resolvable
+        before any picture starts)."""
+        cfg = self.cfg
+        if cfg.device_rd == "off" or cfg.qpa or cfg.bitrate > 0 \
+                or cfg.rc_stats_out or cfg.lmcs or not cfg.dual_tree \
+                or self.sps.max_mtt_depth[0] != 0:
+            return False
+        from .. import native
+        if not native.available():
+            return False
+        if cfg.device_rd == "auto":
+            import jax
+            cfg.device_rd = "on" if jax.default_backend() != "cpu" \
+                else "off"
+        return cfg.device_rd == "on"
+
+    def _prefill_plans(self, frames, pocs, chunk: int = 16) -> None:
+        """Build device RD plans for the given pictures in frame-batched
+        device calls (ops/intra_plan.build_plans) and bank them."""
+        from ..ops.intra_plan import build_plans
+        cfg = self.cfg
+        shift = cfg.bit_depth - cfg.input_bit_depth
+        qp = self.slice_qp + 6 * (cfg.bit_depth - 8)
+        implicit_mts = bool(self.sps.mts and not self.sps.mts_intra)
+        with PROF.section("device.plan_prefill"):
+            for c0 in range(0, len(pocs), chunk):
+                sub = pocs[c0:c0 + chunk]
+                srcs = [np.ascontiguousarray(
+                    frames[p][0].astype(np.int32) << shift) for p in sub]
+                plans = build_plans(
+                    srcs, cfg.bit_depth, cfg.ctu_size,
+                    int(self.sps.min_qt_size[0]), qp,
+                    [self.lmbda] * len(sub), [self.lmbda_sad] * len(sub),
+                    implicit_mts=implicit_mts)
+                for p, pl in zip(sub, plans):
+                    self._plan_bank[p] = pl.tables
+
     def _encode_all_intra_parallel(self, frames) -> bytes:
         """Frame-parallel all-intra encode (vvenc maxParallelFrames
         analog): every picture is independent, so a process pool encodes
@@ -834,12 +881,18 @@ class IntraEncoder:
         from concurrent.futures import ProcessPoolExecutor
         cfg = self.cfg
         shift = cfg.bit_depth - cfg.input_bit_depth
+        if self._plan_prefill_ok():
+            # parent does the (frame-batched) device planning; workers
+            # only run the host coding — one device client, no tunnel
+            # contention from the pool
+            self._prefill_plans(frames, list(range(len(frames))))
         jobs = []
         for poc in range(len(frames)):
             prev = frames[poc - 1] if cfg.qpa and poc >= 1 else None
             prev2 = frames[poc - 2] if cfg.qpa and poc >= 2 else None
             jobs.append((cfg, poc, frames[poc], prev, prev2,
-                         getattr(self, "_fgc_sei", None)))
+                         getattr(self, "_fgc_sei", None),
+                         self._plan_bank.pop(poc, None)))
         stream = bytearray()
         with ProcessPoolExecutor(max_workers=cfg.max_parallel_frames) as ex:
             for poc, (au, rec, bits, qp) in enumerate(
@@ -1502,6 +1555,48 @@ class _CtuSearcher:
                     shapes_for_config(self.cfg.ctu_size,
                                       self.cfg.max_mtt_depth))
         return self._presel_tab
+
+    def _use_plan(self) -> bool:
+        """Device RD planning (ops/intra_plan.py): the batched device
+        trial kernel decides the luma coding tree + a 2-mode shortlist
+        per leaf; the native driver codes the plan exactly.  Scope: the
+        QT-only dual-tree intra path with one lambda per picture (the
+        faster/firstpass presets; QPA varies lambda per CTU and falls
+        back to the exact search)."""
+        import os
+        if os.environ.get("VVENC_TPU_NATIVE_SEARCH") == "check":
+            return False     # check mode compares native vs the exact
+                             # Python golden search — plan would diverge
+        mode = self.cfg.device_rd
+        if mode == "auto":
+            import jax
+            mode = "on" if jax.default_backend() != "cpu" else "off"
+            self.cfg.device_rd = mode
+        return (mode == "on"
+                and self.enc.sps.max_mtt_depth[0] == 0
+                and bool(self.coder.dual_tree_intra)
+                and not self.coder.use_dqp
+                and self.coder.is_intra_slice)
+
+    def _get_plan(self):
+        """Per-picture device RD plan (lazy; see _use_plan).  The
+        frame-batched prefill bank (d2h latency amortized over many
+        frames) is consulted first."""
+        if getattr(self, "_plan_tab", None) is None:
+            banked = self.enc._plan_bank.pop(self.coder.cur_poc, None)
+            if banked is not None:
+                from ..ops.intra_plan import _PlanView
+                self._plan_tab = _PlanView(banked)
+                return self._plan_tab
+            from ..ops.intra_plan import FramePlan
+            sps = self.enc.sps
+            with PROF.section("device.frame_plan"):
+                self._plan_tab = FramePlan(
+                    self.src[0], self.cfg.bit_depth, self.cfg.ctu_size,
+                    int(sps.min_qt_size[0]), self.qp.luma_qp(),
+                    float(self.lmbda), float(self.lmbda_sad),
+                    implicit_mts=bool(self.coder.implicit_mts))
+        return self._plan_tab
 
     def _chroma_scale(self, x: int, y: int, tw: int, th: int):
         """LMCS chroma residual scale for a TU at luma pos (x, y), or None
@@ -3463,8 +3558,14 @@ def _encode_intra_frame_job(args):
     Reproduces exactly what the sequential encoder would emit for this
     POC (headers only on POC 0, IDR_W_RADL after, QPA fed with the same
     neighbouring originals)."""
-    cfg, poc, frame, prev, prev2, fgc = args
+    cfg, poc, frame, prev, prev2, fgc, plan_tables = args
+    # the parent already resolved device planning: either it prefilled
+    # this picture's plan (use it, no device access here) or planning is
+    # off — never probe the backend from a pool worker
+    cfg.device_rd = "on" if plan_tables is not None else "off"
     enc = IntraEncoder(cfg)
+    if plan_tables is not None:
+        enc._plan_bank[poc] = plan_tables
     enc._fgc_sei = fgc
     enc.frames_done = poc
     shift = cfg.bit_depth - cfg.input_bit_depth

@@ -479,6 +479,7 @@ def _search_setup():
         + [ctypes.c_void_p] * 4 + [ctypes.c_int] * 5
         + [ctypes.c_double] * 2 + [ctypes.c_int] * 7
         + [ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
+        + [ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
         + [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
            ctypes.c_void_p])
     _LIB.vte_search_ctu.restype = ctypes.c_int
@@ -538,7 +539,20 @@ def search_ctu(searcher, ctu_x: int, ctu_y: int, live_ctx):
         presel_meta = np.zeros((0, 6), np.int32)
         presel_ptrs = np.zeros(0, np.int64)
         presel_keep = []
-        if searcher._use_presel():
+        plan_meta = np.zeros((0, 6), np.int32)
+        plan_ptrs = np.zeros(0, np.int64)
+        plan = searcher._get_plan() if searcher._use_plan() else None
+        if plan is not None:
+            metas, ptrs = [], []
+            for (w, h), (xs, ys, ax, ay, nx, rows) in plan.tables.items():
+                r = np.ascontiguousarray(rows, dtype=np.int32)
+                presel_keep.append(r)
+                metas.append((w, h, ax, ay, nx, len(ys)))
+                ptrs.append(r.ctypes.data)
+            if metas:
+                plan_meta = np.asarray(metas, dtype=np.int32)
+                plan_ptrs = np.asarray(ptrs, dtype=np.int64)
+        elif searcher._use_presel():
             tab = searcher._get_presel()
             metas, ptrs = [], []
             for (w, h), (xs, ys, ax, ay, nx, costs) in tab.tables.items():
@@ -559,10 +573,10 @@ def search_ctu(searcher, ctu_x: int, ctu_y: int, live_ctx):
         out_coeff = np.empty(1 << 16, np.int32)
         out_n = np.empty(2, np.int32)
         prep = (src, presel_meta, presel_ptrs, presel_keep, sps_arr,
-                out_tree, out_coeff, out_n)
+                out_tree, out_coeff, out_n, plan_meta, plan_ptrs)
         searcher._nsearch_prep = prep
     (src, presel_meta, presel_ptrs, _keep, sps_arr, out_tree, out_coeff,
-     out_n) = prep
+     out_n, plan_meta, plan_ptrs) = prep
 
     def b8(a):
         return a.view(np.uint8) if a.dtype == np.bool_ else a
@@ -589,6 +603,7 @@ def search_ctu(searcher, ctu_x: int, ctu_y: int, live_ctx):
         1 if coder.dual_tree_intra else 0, 1 if sps.cclm else 0,
         1 if coder.implicit_mts else 0, coder.tree_idx,
         len(presel_meta), _i32p(presel_meta), presel_ptrs.ctypes.data,
+        len(plan_meta), _i32p(plan_meta), plan_ptrs.ctypes.data,
         _i32p(out_tree), len(out_tree), _i32p(out_coeff), len(out_coeff),
         out_n.ctypes.data)
     if rc != 0:

@@ -295,6 +295,11 @@ class FramePresel:
     class grid — caller falls back to the exact host sweep)."""
 
     def __init__(self, src_y: np.ndarray, bit_depth: int, shapes):
+        from ..utils.devclock import DEV
+        with DEV.section():
+            self._build(src_y, bit_depth, shapes)
+
+    def _build(self, src_y: np.ndarray, bit_depth: int, shapes):
         H, W = src_y.shape
         if isinstance(shapes, tuple):
             shapes, mtt = shapes
