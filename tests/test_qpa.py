@@ -146,3 +146,37 @@ def test_bim_offsets_zero_mean_and_importance():
         # noisy CTU (right) is less important (higher QP) than coherent
         assert off[1] >= off[0]
     assert (mn < 255).any(), "min-noise levels never updated"
+
+
+def test_sao_picture_stats_match_per_ctu_reference():
+    """_picture_stats (whole-picture bincount reduction) == the per-CTU
+    _eo_stats/_bo_stats golden path."""
+    import numpy as np
+    from vvenc_tpu.encoder import sao_enc as S
+    rng = np.random.RandomState(4)
+    h, w, ctu = 72, 104, 32
+    n_cols, n_rows = (w + ctu - 1) // ctu, (h + ctu - 1) // ctu
+    rec = {0: rng.randint(0, 1024, (h, w)).astype(np.int32),
+           1: rng.randint(0, 1024, (h // 2, w // 2)).astype(np.int32),
+           2: rng.randint(0, 1024, (h // 2, w // 2)).astype(np.int32)}
+    src = {k: np.clip(v + rng.randint(-9, 10, v.shape), 0, 1023)
+           .astype(np.int32) for k, v in rec.items()}
+    pe, pb = S._picture_stats(src, rec, 10, ctu, n_cols, n_rows)
+    for ry in range(n_rows):
+        for rx in range(n_cols):
+            idx = ry * n_cols + rx
+            for comp in range(3):
+                sc = 1 if comp else 0
+                cs_ = ctu >> sc
+                hh, ww = rec[comp].shape
+                x0, y0 = rx * cs_, ry * cs_
+                x1, y1 = min(x0 + cs_, ww), min(y0 + cs_, hh)
+                for ec in range(4):
+                    cnt, err = S._eo_stats(rec[comp], src[comp], x0, y0,
+                                           x1, y1, ec, ww, hh)
+                    assert np.array_equal(cnt[1:], pe[comp][ec][0][idx][1:])
+                    assert np.array_equal(err[1:], pe[comp][ec][1][idx][1:])
+                cnt, err = S._bo_stats(rec[comp], src[comp], x0, y0, x1,
+                                       y1, 10)
+                assert np.array_equal(cnt, pb[comp][0][idx])
+                assert np.array_equal(err, pb[comp][1][idx])

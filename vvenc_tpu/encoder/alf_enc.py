@@ -32,29 +32,36 @@ def _tap_planes(rec: np.ndarray, taps, ctu_size: int, is_chroma: bool,
     """u_g planes: per geometric tap g, (v0 + v1 - 2*curr) with the ALF
     virtual-boundary clamping per row.  halves=True returns the two
     difference half-planes (v0-curr, v1-curr) separately — the inputs of
-    the CLIPPED regression (clip(v0-curr,c)+clip(v1-curr,c))."""
+    the CLIPPED regression (clip(v0-curr,c)+clip(v1-curr,c)).
+
+    Vectorized over rows: the VB-dependent vertical tap offsets are
+    per-row index maps (same construction as codec.alf
+    filter_luma_region), so every tap is one fancy-indexed slice."""
     from ..codec.alf import _vb_taps
     h, w = rec.shape
     pad = 3
-    sp = np.pad(rec, pad, mode="edge").astype(np.int64)
+    sp = np.pad(rec, pad, mode="edge").astype(np.int32)
     vb_pos = ctu_size - (2 if is_chroma else 4)
     n = len(taps)
-    planes = np.zeros((2 * n if halves else n, h, w), np.int64)
+    planes = np.empty((2 * n if halves else n, h, w), np.int32)
+    ys = np.arange(h)
+    offs = np.zeros((h, 6), np.int32)
+    for i in range(h):
+        o1, o2, o3, o4, o5, o6, _ = _vb_taps(i & (ctu_size - 1), vb_pos,
+                                             is_chroma)
+        offs[i] = (o1, o2, o3, o4, o5, o6)
+    omap = {0: np.zeros(h, np.int32), 1: offs[:, 0], -1: offs[:, 1],
+            2: offs[:, 2], -2: offs[:, 3], 3: offs[:, 4], -3: offs[:, 5]}
     curr = sp[pad:pad + h, pad:pad + w]
-    for yy in range(h):
-        yvb = yy & (ctu_size - 1)
-        o1, o2, o3, o4, o5, o6, _ = _vb_taps(yvb, vb_pos, is_chroma)
-        omap = {1: o1, -1: o2, 2: o3, -2: o4, 3: o5, -3: o6, 0: 0}
-        for g, ((dy0, dx0), (dy1, dx1)) in enumerate(taps):
-            r0 = yy + omap[dy0]
-            r1 = yy + omap[dy1]
-            v0 = sp[r0 + pad, pad + dx0:pad + dx0 + w]
-            v1 = sp[r1 + pad, pad + dx1:pad + dx1 + w]
-            if halves:
-                planes[g, yy] = v0 - curr[yy]
-                planes[n + g, yy] = v1 - curr[yy]
-            else:
-                planes[g, yy] = v0 + v1 - 2 * curr[yy]
+    xs = np.arange(w)
+    for g, ((dy0, dx0), (dy1, dx1)) in enumerate(taps):
+        v0 = sp[(ys + omap[dy0] + pad)[:, None], (xs + dx0 + pad)[None, :]]
+        v1 = sp[(ys + omap[dy1] + pad)[:, None], (xs + dx1 + pad)[None, :]]
+        if halves:
+            planes[g] = v0 - curr
+            planes[n + g] = v1 - curr
+        else:
+            planes[g] = v0 + v1 - 2 * curr
     return planes
 
 
@@ -142,33 +149,43 @@ def derive_alf(orig, rec, bit_depth: int, ctu_size: int, lmbda: float,
     u = _tap_planes(rec[0], _LUMA_TAPS, ctu_size, False,
                     halves=nonlinear)  # (12 or 24, h, w)
     # coefficient-index mapping per pixel transpose: u_coeff[TR[t][g]] = u[g]
-    uc = np.zeros_like(u)
+    # (gather formulation: uc[c] = u[invTR[t][c]] per pixel, one fancy
+    # index instead of 4x12 masked scatters)
     tmap = np.repeat(np.repeat(trn, 4, 0), 4, 1)[:h, :w]
+    inv_tr = np.empty((4, 12), np.int8)
     for t in range(4):
-        m = tmap == t
-        if not m.any():
-            continue
         for g in range(12):
-            uc[_TR7[t][g]][m] = u[g][m]
-            if nonlinear:
-                uc[12 + _TR7[t][g]][m] = u[12 + g][m]
+            inv_tr[t][_TR7[t][g]] = g
+    gidx = inv_tr[tmap]                          # [h, w, 12]
+    rows = np.moveaxis(gidx, 2, 0)               # [12, h, w] source tap
+    yy_, xx_ = np.mgrid[0:h, 0:w]
+    uc_parts = [u[rows, yy_[None], xx_[None]]]
+    if nonlinear:
+        uc_parts.append(u[12 + rows, yy_[None], xx_[None]])
+    uc = np.concatenate(uc_parts, axis=0)
     err = (orig[0].astype(np.int64) - rec[0].astype(np.int64))
     cmap = np.repeat(np.repeat(cls, 4, 0), 4, 1)[:h, :w].reshape(-1)
     flat = uc.reshape(uc.shape[0], -1).astype(np.float64)
     errf = err.reshape(-1).astype(np.float64)
+    # class-sorted reordering: per-class pixel sets become contiguous
+    # slices (no 25 boolean-mask copies of the full plane)
+    order = np.argsort(cmap, kind="stable")
+    flat_s = flat[:, order]
+    errf_s = errf[order]
+    bounds = np.searchsorted(cmap[order], np.arange(26))
     coeffs = np.zeros((25, 12), np.int32)
     clips = np.zeros((25, 12), np.int32)
     for c in range(25):
-        m = cmap == c
-        if m.sum() < 64:
+        lo, hi = bounds[c], bounds[c + 1]
+        if hi - lo < 64:
             continue
-        fc = flat[:, m]
+        fc = flat_s[:, lo:hi]
         if nonlinear:
-            coeffs[c], clips[c] = _derive_clipped(fc, errf[m], 12,
+            coeffs[c], clips[c] = _derive_clipped(fc, errf_s[lo:hi], 12,
                                                   bit_depth)
         else:
             A = fc @ fc.T
-            b = fc @ errf[m]
+            b = fc @ errf_s[lo:hi]
             coeffs[c] = _solve_quantized(A, b, 12)
 
     p = AlfParam()
@@ -308,26 +325,30 @@ def _cc_tap_planes(luma: np.ndarray, hc: int, wc: int, ctu_size: int):
     positions (mirror of codec.alf.filter_ccalf_region geometry incl. the
     virtual-boundary offsets)."""
     pad = 2
-    lp = np.pad(luma, pad, mode="edge").astype(np.int64)
+    lp = np.pad(luma, pad, mode="edge").astype(np.int32)
     vb_pos = ctu_size - 4
-    planes = np.zeros((7, hc, wc), np.int64)
     lx = np.arange(wc) << 1
-    for yy in range(hc):
-        ly = yy << 1
-        pos = ly & (ctu_size - 1)
-        off1, off2, off3 = 1, -1, 2
-        if pos == vb_pos - 2 or pos == vb_pos + 1:
-            off3 = off1
-        elif pos == vb_pos - 1 or pos == vb_pos:
-            off1 = off2 = off3 = 0
-        curr = lp[ly + pad, lx + pad]
-        planes[0, yy] = lp[ly + off2 + pad, lx + pad] - curr
-        planes[1, yy] = lp[ly + pad, lx - 1 + pad] - curr
-        planes[2, yy] = lp[ly + pad, lx + 1 + pad] - curr
-        planes[3, yy] = lp[ly + off1 + pad, lx - 1 + pad] - curr
-        planes[4, yy] = lp[ly + off1 + pad, lx + pad] - curr
-        planes[5, yy] = lp[ly + off1 + pad, lx + 1 + pad] - curr
-        planes[6, yy] = lp[ly + off3 + pad, lx + pad] - curr
+    ly = np.arange(hc) << 1
+    pos = ly & (ctu_size - 1)
+    off1 = np.ones(hc, np.int32)
+    off2 = -np.ones(hc, np.int32)
+    off3 = np.full(hc, 2, np.int32)
+    m3 = (pos == vb_pos - 2) | (pos == vb_pos + 1)
+    off3[m3] = off1[m3]
+    m0 = (pos == vb_pos - 1) | (pos == vb_pos)
+    off1[m0] = off2[m0] = off3[m0] = 0
+    ry = (ly + pad)[:, None]
+    rx = (lx + pad)[None, :]
+    curr = lp[ry, rx]
+    planes = np.empty((7, hc, wc), np.int32)
+    planes[0] = lp[(ly + off2 + pad)[:, None], rx] - curr
+    planes[1] = lp[ry, rx - 1] - curr
+    planes[2] = lp[ry, rx + 1] - curr
+    o1 = (ly + off1 + pad)[:, None]
+    planes[3] = lp[o1, rx - 1] - curr
+    planes[4] = lp[o1, rx] - curr
+    planes[5] = lp[o1, rx + 1] - curr
+    planes[6] = lp[(ly + off3 + pad)[:, None], rx] - curr
     return planes
 
 

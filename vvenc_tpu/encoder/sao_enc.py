@@ -157,6 +157,59 @@ def _param_bits(p: SaoCompParam, cmax: int, first_of_ch: bool) -> float:
     return bits
 
 
+def _picture_stats(src, rec, bit_depth: int, ctu_size: int, n_cols: int,
+                   n_rows: int):
+    """Whole-picture SAO statistics reduced per CTU in one pass.
+
+    Replaces the per-CTU-region _eo_stats/_bo_stats calls (336 small
+    numpy invocations per 416x240 frame) with 5 bincounts per component
+    over flat (ctu_index, category) keys — identical numbers.
+
+    Returns (stats_eo, stats_bo): stats_eo[comp][ec] = (cnt, err) arrays
+    [n_ctus, 5]; stats_bo[comp] = (cnt, err) [n_ctus, 32]."""
+    n_ctus = n_cols * n_rows
+    stats_eo = [[None] * 4 for _ in range(3)]
+    stats_bo = [None] * 3
+    for comp in range(3):
+        sc = 1 if comp else 0
+        cs_ = ctu_size >> sc
+        h, w = rec[comp].shape
+        c = rec[comp].astype(np.int32)
+        diff = src[comp].astype(np.int64) - c
+        yy = np.arange(h) // cs_
+        xx = np.arange(w) // cs_
+        ctu_of = (yy[:, None] * n_cols + xx[None, :]).ravel()
+        for ec in range(4):
+            (dx0, dy0), (dx1, dy1) = _EO_DIRS[ec]
+            vx0 = -min(dx0, dx1, 0)
+            vy0 = -min(dy0, dy1, 0)
+            vx1 = w - max(dx0, dx1, 0)
+            vy1 = h - max(dy0, dy1, 0)
+            cat = np.zeros((h, w), np.int64)
+            cc = c[vy0:vy1, vx0:vx1]
+            n0 = c[vy0 + dy0:vy1 + dy0, vx0 + dx0:vx1 + dx0]
+            n1 = c[vy0 + dy1:vy1 + dy1, vx0 + dx1:vx1 + dx1]
+            cat[vy0:vy1, vx0:vx1] = _EO_CAT_MAP[2 + np.sign(cc - n0)
+                                                + np.sign(cc - n1)]
+            key = ctu_of * 5 + cat.ravel()
+            cnt = np.bincount(key, minlength=n_ctus * 5) \
+                .reshape(n_ctus, 5)
+            err = np.bincount(key, weights=diff.ravel(),
+                              minlength=n_ctus * 5).reshape(n_ctus, 5)
+            # border pixels were assigned category 0 (unused)
+            stats_eo[comp][ec] = (cnt.astype(np.int64),
+                                  err.astype(np.int64))
+        band = (c >> (bit_depth - 5)).ravel()
+        key = ctu_of * NUM_BO_CLASSES + band
+        cnt = np.bincount(key, minlength=n_ctus * NUM_BO_CLASSES) \
+            .reshape(n_ctus, NUM_BO_CLASSES)
+        err = np.bincount(key, weights=diff.ravel(),
+                          minlength=n_ctus * NUM_BO_CLASSES) \
+            .reshape(n_ctus, NUM_BO_CLASSES)
+        stats_bo[comp] = (cnt.astype(np.int64), err.astype(np.int64))
+    return stats_eo, stats_bo
+
+
 def derive_sao(src, rec, bit_depth: int, ctu_size: int, lmbda: float,
                n_cols: int, n_rows: int,
                tile_of=None) -> Optional[List[SaoBlkParam]]:
@@ -168,24 +221,15 @@ def derive_sao(src, rec, bit_depth: int, ctu_size: int, lmbda: float,
     sao_map: List[Optional[SaoBlkParam]] = [None] * (n_cols * n_rows)
     lmb = [lmbda, lmbda, lmbda]
     any_on = [False, False]
+    pic_eo, pic_bo = _picture_stats(src, rec, bit_depth, ctu_size,
+                                    n_cols, n_rows)
     for ry in range(n_rows):
         for rx in range(n_cols):
             idx = ry * n_cols + rx
-            stats_eo = [[None] * 4 for _ in range(3)]
-            stats_bo = [None] * 3
-            geom = []
-            for comp in range(3):
-                sc = 1 if comp else 0
-                cs_ = ctu_size >> sc
-                h, w = rec[comp].shape
-                x0, y0 = rx * cs_, ry * cs_
-                x1, y1 = min(x0 + cs_, w), min(y0 + cs_, h)
-                geom.append((x0, y0, x1, y1, w, h))
-                for ec in range(4):
-                    stats_eo[comp][ec] = _eo_stats(
-                        rec[comp], src[comp], x0, y0, x1, y1, ec, w, h)
-                stats_bo[comp] = _bo_stats(rec[comp], src[comp], x0, y0,
-                                           x1, y1, bit_depth)
+            stats_eo = [[(pic_eo[comp][ec][0][idx], pic_eo[comp][ec][1][idx])
+                         for ec in range(4)] for comp in range(3)]
+            stats_bo = [(pic_bo[comp][0][idx], pic_bo[comp][1][idx])
+                        for comp in range(3)]
 
             # luma decision: OFF vs best EO vs best BO
             def comp_best(comp, joint_with=None):

@@ -49,8 +49,8 @@ import os as _os
 
 RATE_C0 = float(_os.environ.get("VVENC_TPU_PLAN_C0", "3.0"))
 RATE_C1 = float(_os.environ.get("VVENC_TPU_PLAN_C1", "1.0"))
-RATE_C2 = float(_os.environ.get("VVENC_TPU_PLAN_C2", "1.9"))
-SPLIT_BITS = float(_os.environ.get("VVENC_TPU_PLAN_SPLIT", "1.0"))
+RATE_C2 = float(_os.environ.get("VVENC_TPU_PLAN_C2", "1.4"))
+SPLIT_BITS = float(_os.environ.get("VVENC_TPU_PLAN_SPLIT", "6.0"))
 PLAN_K = int(_os.environ.get("VVENC_TPU_PLAN_K", "2"))
 
 # approximate luma mode-signalling bits used for top-K selection
