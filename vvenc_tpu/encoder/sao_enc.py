@@ -210,6 +210,39 @@ def _picture_stats(src, rec, bit_depth: int, ctu_size: int, n_cols: int,
     return stats_eo, stats_bo
 
 
+def _best_offset_vec(cnt, err, cmax: int, lmbda: float, allow_neg: bool):
+    """Vectorized _best_offset over trailing axes: returns (off, cost)
+    arrays of cnt's shape — identical to the scalar shrink-toward-zero
+    search (all candidates on the walk are evaluated)."""
+    cnt = cnt.astype(np.float64)
+    err = err.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        off0 = np.where(cnt > 0, np.round(err / np.maximum(cnt, 1)), 0.0)
+    lo = -cmax if allow_neg else 0
+    off0 = np.clip(off0, lo, cmax)
+    # candidates ordered by DESCENDING |o| per sign so argmin's
+    # first-minimal tie-break matches the scalar walk (which keeps the
+    # larger-|offset| candidate on equal cost)
+    o = np.concatenate([np.arange(-cmax, 0), np.arange(cmax, 0, -1)]) \
+        .astype(np.float64)                              # [14]
+    oshape = (1,) * cnt.ndim + (-1,)
+    o = o.reshape(oshape)
+    c = cnt[..., None]
+    e = err[..., None]
+    valid = (o != 0) & (np.abs(o) <= np.abs(off0[..., None])) & \
+        (o * off0[..., None] > 0)
+    d = c * o * o - 2.0 * o * e
+    bits = np.minimum(np.abs(o) + 1, cmax + 1) + (1.0 if allow_neg else 0.0)
+    cost = np.where(valid, d + lmbda * bits, np.inf)
+    amin = np.argmin(cost, axis=-1)
+    best_cost = np.take_along_axis(cost, amin[..., None], -1)[..., 0]
+    best_off = np.take_along_axis(np.broadcast_to(o, cost.shape),
+                                  amin[..., None], -1)[..., 0]
+    pick = best_cost < 0.0
+    return np.where(pick, best_off, 0.0).astype(np.int64), \
+        np.where(pick, best_cost, 0.0)
+
+
 def derive_sao(src, rec, bit_depth: int, ctu_size: int, lmbda: float,
                n_cols: int, n_rows: int,
                tile_of=None) -> Optional[List[SaoBlkParam]]:
@@ -223,6 +256,34 @@ def derive_sao(src, rec, bit_depth: int, ctu_size: int, lmbda: float,
     any_on = [False, False]
     pic_eo, pic_bo = _picture_stats(src, rec, bit_depth, ctu_size,
                                     n_cols, n_rows)
+    # picture-wide vectorized offset derivation (replaces the per-CTU
+    # _best_offset walks: 40k scalar calls per frame)
+    eo_off = [None] * 3    # [n_ctus, 4cls, 4cat]
+    eo_cost = [None] * 3   # [n_ctus, 4cls]
+    bo_pos = [None] * 3    # [n_ctus]
+    bo_off = [None] * 3    # [n_ctus, 4]
+    bo_cost = [None] * 3   # [n_ctus]
+    for comp in range(3):
+        cnt = np.stack([pic_eo[comp][ec][0][:, 1:5] for ec in range(4)], 1)
+        err = np.stack([pic_eo[comp][ec][1][:, 1:5] for ec in range(4)], 1)
+        err = err * np.array([1, 1, -1, -1])[None, None, :]
+        offs, costs = _best_offset_vec(cnt, err, cmax, lmb[comp], False)
+        eo_off[comp] = offs
+        eo_cost[comp] = costs.sum(axis=2)
+        bcnt, berr = pic_bo[comp]
+        boffs, bcosts = _best_offset_vec(bcnt, berr, cmax, lmb[comp], True)
+        # best 4-consecutive-band window (non-wrapping)
+        wins = np.stack([bcosts[:, p:p + 4].sum(axis=1)
+                         for p in range(NUM_BO_CLASSES - 3)], 1)
+        pos = np.argmin(wins, axis=1)
+        best = np.take_along_axis(wins, pos[:, None], 1)[:, 0]
+        use = best < 0.0
+        bo_pos[comp] = np.where(use, pos, 0)
+        bo_cost[comp] = np.where(use, best, 0.0)
+        bo_off[comp] = np.stack(
+            [np.take_along_axis(boffs, (bo_pos[comp] + i)[:, None], 1)[:, 0]
+             for i in range(4)], 1)
+        bo_off[comp][~use] = 0
     for ry in range(n_rows):
         for rx in range(n_cols):
             idx = ry * n_cols + rx
@@ -241,10 +302,10 @@ def derive_sao(src, rec, bit_depth: int, ctu_size: int, lmbda: float,
                 for ec in range(4):
                     ps, cost = [], 0.0
                     for ci, c in enumerate(comps):
-                        offs, d = _eo_cost(stats_eo[c], ec, cmax, lmb[c])
+                        offs = eo_off[c][idx, ec].tolist()
                         p = SaoCompParam(SAO_EO, ec, 0, offs)
                         ps.append(p)
-                        cost += d
+                        cost += float(eo_cost[c][idx, ec])
                     if all(not any(p.offsets) for p in ps):
                         continue
                     cost += lmb[comps[0]] * sum(
@@ -255,10 +316,10 @@ def derive_sao(src, rec, bit_depth: int, ctu_size: int, lmbda: float,
                 # BO
                 ps, cost = [], 0.0
                 for c in comps:
-                    pos, offs, d = _bo_cost(stats_bo[c], cmax, lmb[c])
-                    p = SaoCompParam(SAO_BO, 0, pos, offs)
+                    p = SaoCompParam(SAO_BO, 0, int(bo_pos[c][idx]),
+                                     bo_off[c][idx].tolist())
                     ps.append(p)
-                    cost += d
+                    cost += float(bo_cost[c][idx])
                 if any(any(p.offsets) for p in ps):
                     cost += lmb[comps[0]] * sum(
                         _param_bits(p, cmax, i == 0)

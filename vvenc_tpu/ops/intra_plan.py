@@ -52,6 +52,11 @@ RATE_C1 = float(_os.environ.get("VVENC_TPU_PLAN_C1", "1.0"))
 RATE_C2 = float(_os.environ.get("VVENC_TPU_PLAN_C2", "1.4"))
 SPLIT_BITS = float(_os.environ.get("VVENC_TPU_PLAN_SPLIT", "6.0"))
 PLAN_K = int(_os.environ.get("VVENC_TPU_PLAN_K", "2"))
+# exact-retrial margin: the native driver re-trials the 2nd shortlist
+# mode only when its device cost is within MARGIN of the best (vvenc
+# numIntraModesFullRD=1 analog, vvencCfg.cpp:2689 — most blocks get one
+# exact trial)
+PLAN_MARGIN = float(_os.environ.get("VVENC_TPU_PLAN_MARGIN", "1.06"))
 
 # approximate luma mode-signalling bits used for top-K selection
 # (MPM list is context-dependent and unknown on device: planar is almost
@@ -330,8 +335,12 @@ def build_plans(srcs, bit_depth: int, ctu_size: int, min_qt: int, qp: int,
         nx, ny = len(xs), len(ys)
         B1 = nx * ny
         for f in range(F):
-            m = modes[off + f * B1:off + (f + 1) * B1]
+            m = modes[off + f * B1:off + (f + 1) * B1].copy()
             c = costs[off + f * B1:off + (f + 1) * B1]
+            if m.shape[1] > 1:
+                # decisive margin -> single exact trial (m1 := m0)
+                drop = c[:, 1] > c[:, 0] * PLAN_MARGIN
+                m[drop, 1] = m[drop, 0]
             leaf_modes, leaf_cost = per_frame_tabs[f]
             leaf_modes[s] = m.reshape(ny, nx, -1)
             leaf_cost[s] = c.min(axis=1).reshape(ny, nx)
