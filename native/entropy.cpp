@@ -4602,3 +4602,279 @@ void vte_predict_mip_all(const int32_t* top, const int32_t* left, int w,
 }
 
 }  // extern "C"
+
+// ===========================================================================
+// Motion-compensation interpolation (ops/interp.py mc_block_np port): 8-tap
+// luma / 4-tap chroma separable filters, H.266 8.5.6.3 shift conventions —
+// the InterpolationFilterX86.h analog for the host RD loop.
+// ===========================================================================
+
+namespace mck {
+
+constexpr int IF_PREC = 14;        // IF_INTERNAL_PREC
+constexpr int IF_FILT = 6;         // IF_FILTER_PREC
+constexpr int IF_OFFS = 1 << (IF_PREC - 1);
+
+const int LUMA_FILTER[16][8] = {
+    {0, 0, 0, 64, 0, 0, 0, 0},      {0, 1, -3, 63, 4, -2, 1, 0},
+    {-1, 2, -5, 62, 8, -3, 1, 0},   {-1, 3, -8, 60, 13, -4, 1, 0},
+    {-1, 4, -10, 58, 17, -5, 1, 0}, {-1, 4, -11, 52, 26, -8, 3, -1},
+    {-1, 3, -9, 47, 31, -10, 4, -1}, {-1, 4, -11, 45, 34, -10, 4, -1},
+    {-1, 4, -11, 40, 40, -11, 4, -1}, {-1, 4, -10, 34, 45, -11, 4, -1},
+    {-1, 4, -10, 31, 47, -9, 3, -1}, {-1, 3, -8, 26, 52, -11, 4, -1},
+    {0, 1, -5, 17, 58, -10, 4, -1}, {0, 1, -4, 13, 60, -8, 3, -1},
+    {0, 1, -3, 8, 62, -5, 2, -1},   {0, 1, -2, 4, 63, -3, 1, 0}};
+const int ALT_HPEL[8] = {0, 3, 9, 20, 20, 9, 3, 0};
+// 32-phase 4-tap chroma filter (H.266 Table 35; ops/intra.py CHROMA_FILTER)
+static int32_t CHROMA_FILTER[32][4];
+static bool chroma_set = false;
+
+}  // namespace mck
+
+extern "C" {
+
+void vte_mc_init(const int32_t* chroma_taps /* [32*4] */) {
+  for (int p = 0; p < 32; ++p)
+    for (int k = 0; k < 4; ++k)
+      mck::CHROMA_FILTER[p][k] = chroma_taps[p * 4 + k];
+  mck::chroma_set = true;
+}
+
+// Motion-compensated prediction of one block.  mv in 1/16 (luma) or 1/32
+// (chroma) pel; out [h, w] int32.  intermediate=1 -> 14-bit biased
+// intermediate (isLast=false); taps_override: 8 ints or null.
+void vte_mc_block(const int32_t* ref, int ph, int pw, int x, int y, int w,
+                  int h, int mv_x, int mv_y, int bit_depth, int is_luma,
+                  int intermediate, int alt_hpel,
+                  const int32_t* taps_override, int32_t* out) {
+  using namespace mck;
+  const int frac_bits = is_luma ? 4 : 5;
+  const int ntaps = is_luma ? 8 : 4;
+  const int half = ntaps / 2 - 1;
+  const int head_room = IF_PREC - bit_depth;
+  const int maxval = (1 << bit_depth) - 1;
+  const int int_x = x + (mv_x >> frac_bits);
+  const int frac_x = mv_x & ((1 << frac_bits) - 1);
+  const int int_y = y + (mv_y >> frac_bits);
+  const int frac_y = mv_y & ((1 << frac_bits) - 1);
+
+  // gather clamped window [h + ntaps - 1, w + ntaps - 1]
+  const int wh = h + ntaps - 1, ww = w + ntaps - 1;
+  std::vector<int32_t> win(size_t(wh) * ww);
+  std::vector<int> xs(ww), ys(wh);
+  for (int i = 0; i < ww; ++i)
+    xs[i] = std::min(std::max(int_x - half + i, 0), pw - 1);
+  for (int i = 0; i < wh; ++i)
+    ys[i] = std::min(std::max(int_y - half + i, 0), ph - 1);
+  for (int i = 0; i < wh; ++i) {
+    const int32_t* row = ref + size_t(ys[i]) * pw;
+    int32_t* dst = win.data() + size_t(i) * ww;
+    for (int j = 0; j < ww; ++j) dst[j] = row[xs[j]];
+  }
+
+  // NOTE: each call gets its OWN buffer (the x and y stages of the
+  // two-stage path hold taps simultaneously); taps_override is a full
+  // PER-PHASE table [16][8] (e.g. the 6-tap affine luma filter)
+  auto taps_for = [&](int frac, int* buf) -> const int* {
+    if (taps_override) {
+      for (int k = 0; k < 8; ++k) buf[k] = taps_override[frac * 8 + k];
+      return buf;
+    }
+    if (is_luma && alt_hpel && frac == 8) return ALT_HPEL;
+    if (is_luma) return LUMA_FILTER[frac];
+    for (int k = 0; k < 4; ++k) buf[k] = CHROMA_FILTER[frac][k];
+    return buf;
+  };
+
+  const bool last = !intermediate;
+  if (frac_x == 0 && frac_y == 0) {
+    for (int i = 0; i < h; ++i)
+      for (int j = 0; j < w; ++j) {
+        int32_t v = win[size_t(i + half) * ww + j + half];
+        out[size_t(i) * w + j] =
+            intermediate ? ((v << head_room) - IF_OFFS) : v;
+      }
+    return;
+  }
+
+  // horizontal stage params
+  auto stage_params = [&](bool is_first, bool is_last, int* shift,
+                          int64_t* offset) {
+    *shift = IF_FILT;
+    if (is_last) {
+      *shift += is_first ? 0 : head_room;
+      *offset = int64_t(1) << (*shift - 1);
+      if (!is_first) *offset += int64_t(IF_OFFS) << IF_FILT;
+    } else {
+      *shift -= is_first ? head_room : 0;
+      *offset = is_first ? -(int64_t(IF_OFFS) << *shift) : 0;
+    }
+  };
+
+  int tb0[8], tb1[8];
+  if (frac_y == 0) {
+    const int* tp = taps_for(frac_x, tb0);
+    int shift; int64_t offset;
+    stage_params(true, last, &shift, &offset);
+    for (int i = 0; i < h; ++i) {
+      const int32_t* row = win.data() + size_t(i + half) * ww;
+      for (int j = 0; j < w; ++j) {
+        int64_t acc = 0;
+        for (int k = 0; k < ntaps; ++k) acc += int64_t(tp[k]) * row[j + k];
+        int64_t v = (acc + offset) >> shift;
+        if (last) v = std::min<int64_t>(std::max<int64_t>(v, 0), maxval);
+        out[size_t(i) * w + j] = int32_t(v);
+      }
+    }
+    return;
+  }
+  if (frac_x == 0) {
+    const int* tp = taps_for(frac_y, tb0);
+    int shift; int64_t offset;
+    stage_params(true, last, &shift, &offset);
+    for (int i = 0; i < h; ++i)
+      for (int j = 0; j < w; ++j) {
+        int64_t acc = 0;
+        for (int k = 0; k < ntaps; ++k)
+          acc += int64_t(tp[k]) * win[size_t(i + k) * ww + j + half];
+        int64_t v = (acc + offset) >> shift;
+        if (last) v = std::min<int64_t>(std::max<int64_t>(v, 0), maxval);
+        out[size_t(i) * w + j] = int32_t(v);
+      }
+    return;
+  }
+  // two-stage: horizontal (is_first, not last) then vertical
+  const int* tpx = taps_for(frac_x, tb0);
+  const int* tpy = taps_for(frac_y, tb1);
+  int shift1; int64_t off1;
+  stage_params(true, false, &shift1, &off1);
+  std::vector<int32_t> tmp(size_t(wh) * w);
+  for (int i = 0; i < wh; ++i) {
+    const int32_t* row = win.data() + size_t(i) * ww;
+    for (int j = 0; j < w; ++j) {
+      int64_t acc = 0;
+      for (int k = 0; k < ntaps; ++k) acc += int64_t(tpx[k]) * row[j + k];
+      tmp[size_t(i) * w + j] = int32_t((acc + off1) >> shift1);
+    }
+  }
+  int shift2; int64_t off2;
+  stage_params(false, last, &shift2, &off2);
+  for (int i = 0; i < h; ++i)
+    for (int j = 0; j < w; ++j) {
+      int64_t acc = 0;
+      for (int k = 0; k < ntaps; ++k)
+        acc += int64_t(tpy[k]) * tmp[size_t(i + k) * w + j];
+      int64_t v = (acc + off2) >> shift2;
+      if (last) v = std::min<int64_t>(std::max<int64_t>(v, 0), maxval);
+      out[size_t(i) * w + j] = int32_t(v);
+    }
+}
+
+}  // extern "C"
+
+// ===========================================================================
+// DMVR refinement core (ops/dmvr.py dmvr_refine port): per 16x16 sub-PU
+// 25-point even-row SAD search + parametric sub-pel surface.
+// ===========================================================================
+
+namespace dmvrk {
+
+static int64_t sad_rows(const int32_t* a, const int32_t* b, int stride,
+                        int h, int w) {
+  int64_t s = 0;
+  for (int i = 0; i < h; i += 2) {
+    const int32_t* ra = a + size_t(i) * stride;
+    const int32_t* rb = b + size_t(i) * stride;
+    for (int j = 0; j < w; ++j) s += std::abs(int64_t(ra[j]) - rb[j]);
+  }
+  return s;
+}
+
+static int div_q7(int64_t n, int64_t d) {
+  bool sign = n < 0;
+  if (sign) n = -n;
+  int q = 0;
+  int64_t d8 = d << 3;
+  if (n >= d8) { n -= d8; q += 1; }
+  q <<= 1;
+  int64_t d4 = d8 >> 1;
+  if (n >= d4) { n -= d4; q += 1; }
+  q <<= 1;
+  if (n >= (d4 >> 1)) q += 1;
+  return sign ? -q : q;
+}
+
+}  // namespace dmvrk
+
+extern "C" {
+
+// bl0/bl1: [h + 2*pad, w + 2*pad] bilinear predictions; out per sub-PU
+// (row-major over the ceil(h/16) x ceil(w/16) grid): [n][3] = {dx, dy,
+// bdof_ok} in 1/16 units.
+void vte_dmvr_refine(const int32_t* bl0, const int32_t* bl1, int w, int h,
+                     int pad, int32_t* out) {
+  using namespace dmvrk;
+  const int stride = w + 2 * pad;
+  const int dy_ = std::min(h, 16), dx_ = std::min(w, 16);
+  int n = 0;
+  for (int ys = 0; ys < h; ys += dy_)
+    for (int xs = 0; xs < w; xs += dx_, ++n) {
+      const int32_t* a0 = bl0 + size_t(pad + ys) * stride + pad + xs;
+      const int32_t* a1 = bl1 + size_t(pad + ys) * stride + pad + xs;
+      int64_t min_cost = sad_rows(a0, a1, stride, dy_, dx_);
+      min_cost -= min_cost >> 2;
+      if (min_cost < int64_t(dx_) * dy_) {
+        out[n * 3 + 0] = 0;
+        out[n * 3 + 1] = 0;
+        out[n * 3 + 2] = 0;
+        continue;
+      }
+      int64_t sads[5][5];
+      for (int i = 0; i < 5; ++i)
+        for (int j = 0; j < 5; ++j) sads[i][j] = INT64_MAX;
+      sads[2][2] = min_cost;
+      int64_t best_c = min_cost;
+      int best_h = 0, best_v = 0;
+      for (int ver = -2; ver <= 2; ++ver)
+        for (int hor = -2; hor <= 2; ++hor) {
+          if (!(hor == 0 && ver == 0)) {
+            const int32_t* b0 =
+                bl0 + size_t(pad + ys + ver) * stride + pad + xs + hor;
+            const int32_t* b1 =
+                bl1 + size_t(pad + ys - ver) * stride + pad + xs - hor;
+            sads[ver + 2][hor + 2] = sad_rows(b0, b1, stride, dy_, dx_);
+          }
+          if (sads[ver + 2][hor + 2] < best_c) {
+            best_c = sads[ver + 2][hor + 2];
+            best_h = hor;
+            best_v = ver;
+          }
+        }
+      int tx = best_h << 4, ty = best_v << 4;
+      if (std::abs(tx) != 32 && std::abs(ty) != 32) {
+        // xSubPelErrorSrfc
+        int cy = best_v + 2, cx = best_h + 2;
+        int64_t buf[5] = {sads[cy][cx], sads[cy][cx - 1],
+                          sads[cy - 1][cx], sads[cy][cx + 1],
+                          sads[cy + 1][cx]};
+        int outd[2] = {0, 0};
+        for (int hv = 0; hv < 2; ++hv) {
+          int64_t num = (buf[hv + 1] - buf[hv + 3]) << 4;
+          int64_t den = buf[hv + 1] + buf[hv + 3] - (buf[0] << 1);
+          if (den != 0) {
+            if (buf[hv + 1] != buf[0] && buf[hv + 3] != buf[0])
+              outd[hv] = div_q7(num, den);
+            else
+              outd[hv] = buf[hv + 1] == buf[0] ? -8 : 8;
+          }
+        }
+        tx += outd[0];
+        ty += outd[1];
+      }
+      out[n * 3 + 0] = tx;
+      out[n * 3 + 1] = ty;
+      out[n * 3 + 2] = best_c >= 2 * int64_t(dx_) * dy_ ? 1 : 0;
+    }
+}
+
+}  // extern "C"

@@ -316,3 +316,33 @@ def test_native_alf_kernels_match_python(monkeypatch):
         _alf_py(monkeypatch, A.filter_ccalf_region, rec, dst_p, 0, 0, wc,
                 hc, cc, bd, ctu)
         assert np.array_equal(dst_n, dst_p), ("ccalf", trial)
+
+
+def test_native_mc_block_matches_python():
+    """Native MC interpolation (vte_mc_block) bit-exact vs the python
+    golden across phases / block sizes / border clamps / intermediate /
+    alt-hpel / taps-override."""
+    from vvenc_tpu.ops import interp as IP
+    rng = np.random.RandomState(17)
+    ref = rng.randint(0, 1024, (96, 128)).astype(np.int32)
+    for trial in range(300):
+        is_luma = bool(rng.randint(2))
+        w = int(rng.choice([4, 8, 16, 32, 64]))
+        h = int(rng.choice([4, 8, 16, 32]))
+        x = int(rng.randint(-8, 128))
+        y = int(rng.randint(-8, 96))
+        fb = 4 if is_luma else 5
+        mv_x = int(rng.randint(-40 << fb, 40 << fb))
+        mv_y = int(rng.randint(-40 << fb, 40 << fb))
+        inter = bool(rng.randint(2))
+        alt = bool(rng.randint(4) == 0) and is_luma
+        tov = None
+        if is_luma and rng.randint(5) == 0:
+            from vvenc_tpu.codec.affine import AFFINE_LUMA_FILTER
+            tov = AFFINE_LUMA_FILTER
+        refp = IP._mc_block_py(ref, x, y, w, h, mv_x, mv_y, 10, is_luma,
+                               inter, alt, tov)
+        got = native.mc_block(ref, x, y, w, h, mv_x, mv_y, 10, is_luma,
+                              inter, alt, tov)
+        assert np.array_equal(refp, got), \
+            (trial, w, h, x, y, mv_x, mv_y, is_luma, inter, alt)

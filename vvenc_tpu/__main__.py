@@ -121,6 +121,7 @@ def encoder_config_from(cfg, args) -> "EncoderConfig":
         hrd_timing_sei=bool(cfg.hrd_timing_sei),
         fps_num=cfg.fps_num, fps_den=cfg.fps_den,
         intra_presel=cfg.intra_presel, device_rd=cfg.device_rd,
+        me_mode=cfg.me_mode,
         search_range=cfg.search_range,
         num_refs=cfg.num_refs,
         start_offset=getattr(args, "skip", 0) if args is not None else 0)

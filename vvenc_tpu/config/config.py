@@ -116,6 +116,10 @@ class VvencTpuConfig:
     wpp: int = 0                     # entropy_coding_sync + entry points
     # -- misc --------------------------------------------------------------
     search_range: int = 64           # ME search range (vvenc m_SearchRange)
+    # integer-ME coarse engine: "device" = frame-batched TPU full search
+    # (ops/me.py frame_me), "host" = numpy grids, "auto" = device on an
+    # accelerator backend
+    me_mode: str = "auto"
     num_refs: int = 2                # active refs per list (numRefPicsActive)
     num_full_rd_modes: int = 3
     # chroma modes taken to full RD after SATD preselection (0 = all;

@@ -73,6 +73,11 @@ class EncoderConfig:
                                    # decides the coding tree; the native
                                    # driver codes it exactly): on/off/
                                    # auto = on on an accelerator backend
+    me_mode: str = "auto"          # integer-ME coarse stage: "device" =
+                                   # frame-level batched full search on
+                                   # the TPU (ops/me.py frame_me),
+                                   # "host" = numpy hierarchical grids;
+                                   # auto = device on an accelerator
     alf_nonlinear: bool = False    # clipped ALF derivation (slower preset)
     mode_cache: bool = True        # EncModeCtrl save/load: reuse an area's
                                    # winning intra modes across partitioning
@@ -3408,6 +3413,31 @@ class _CtuSearcher:
         b2 = (ii[h:, w:] - ii[:-h, w:] - ii[h:, :-w] + ii[:-h, :-w])
         return (s * s).sum() + b2 - 2 * corr
 
+    def _use_device_me(self) -> bool:
+        mode = self.cfg.me_mode
+        if mode == "auto":
+            import jax
+            mode = "device" if jax.default_backend() != "cpu" else "host"
+            self.cfg.me_mode = mode
+        return mode == "device"
+
+    def _device_me(self, ref_y):
+        """Per-(picture, reference) device pre-ME table (lazy)."""
+        cache = getattr(self, "_dev_me_cache", None)
+        if cache is None:
+            cache = self._dev_me_cache = {}
+        key = id(ref_y)
+        tab = cache.get(key)
+        if tab is None and key not in cache:
+            from ..ops.me import FrameMe
+            try:
+                tab = FrameMe(self.src_me_y, ref_y,
+                              R=min(64, self.cfg.search_range))
+            except Exception:                      # noqa: BLE001
+                tab = None                         # fall back to host
+            cache[key] = tab
+        return tab
+
     def _motion_search(self, src_y, x, y, w, h, amvp, ref_y,
                        max_bottom=None):
         """Hierarchical integer ME (TZ-search coverage analog,
@@ -3443,7 +3473,16 @@ class _CtuSearcher:
                 centers.append(c)
 
         fine = []                      # full-res refine centers
-        if R_ > 8 and w >= 8 and h >= 8 and (w % 4 == 0 and h % 4 == 0):
+        if R_ > 8 and w >= 8 and h >= 8 and self._use_device_me():
+            # device pre-ME: the frame-level batched full search already
+            # ran on the TPU for this (picture, reference) — its winner
+            # for the block containing this CU replaces the numpy coarse
+            # stage as the refine center (ops/me.py frame_me)
+            tab = self._device_me(ref_y)
+            if tab is not None:
+                dmx, dmy = tab.lookup(x + w // 2, y + h // 2)
+                fine.append(clamp_center(x + dmx, y + dmy))
+        elif R_ > 8 and w >= 8 and h >= 8 and (w % 4 == 0 and h % 4 == 0):
             # coarse stage at 1/4 resolution over the whole range
             ds_key = ("me_ds4", id(ref_y))
             cache = getattr(self, "_me_cache", None)

@@ -872,3 +872,56 @@ def predict_mip_all(top, left, w, h, bit_depth, n_modes):
     _LIB.vte_predict_mip_all(_i32p(t), _i32p(l), w, h, bit_depth,
                              _i32p(out))
     return out
+
+
+def _mc_setup():
+    if getattr(_mc_setup, "done", False) or _LIB is None:
+        return _LIB is not None
+    from ..ops.intra import CHROMA_FILTER
+    _LIB.vte_mc_init.argtypes = [_PI32]
+    _LIB.vte_mc_block.argtypes = [_PI32] + [ctypes.c_int] * 12 + \
+        [_PI32, _PI32]
+    _LIB.vte_mc_block.restype = None
+    ct_ = np.ascontiguousarray(CHROMA_FILTER, dtype=np.int32)
+    _LIB.vte_mc_init(ct_.ctypes.data)
+    _mc_setup.done = True
+    return True
+
+
+def mc_block(ref_plane, x, y, w, h, mv_x, mv_y, bit_depth, is_luma,
+             intermediate, alt_hpel, taps_override=None):
+    """Native MC interpolation (ops/interp.py mc_block_np port).
+    taps_override: per-phase table [16, 8] (affine 6-tap filter)."""
+    _mc_setup()
+    ph, pw = ref_plane.shape
+    out = np.empty((h, w), dtype=np.int32)
+    to = 0
+    if taps_override is not None:
+        t8 = np.ascontiguousarray(taps_override, dtype=np.int32)
+        assert t8.shape == (16, 8), "taps_override must be [16, 8]"
+        to = t8.ctypes.data
+        keep = t8  # noqa: F841 (lifetime)
+    _LIB.vte_mc_block(_i32p(ref_plane), ph, pw, x, y, w, h, mv_x, mv_y,
+                      bit_depth, 1 if is_luma else 0,
+                      1 if intermediate else 0, 1 if alt_hpel else 0,
+                      to, _i32p(out))
+    return out
+
+
+def dmvr_refine_core(bl0, bl1, w, h, pad):
+    """Native DMVR 25-point search (ops/dmvr.py dmvr_refine core).
+    Returns int32 [n_subs, 3] rows {dx, dy, bdof_ok} over the sub-PU
+    grid in row-major order."""
+    if not getattr(dmvr_refine_core, "ready", False):
+        _LIB.vte_dmvr_refine.argtypes = [_PI32, _PI32] + \
+            [ctypes.c_int] * 3 + [_PI32]
+        _LIB.vte_dmvr_refine.restype = None
+        dmvr_refine_core.ready = True
+    dy_ = min(h, 16)
+    dx_ = min(w, 16)
+    n = ((h + dy_ - 1) // dy_) * ((w + dx_ - 1) // dx_)
+    out = np.empty((n, 3), np.int32)
+    b0 = np.ascontiguousarray(bl0, dtype=np.int32)
+    b1 = np.ascontiguousarray(bl1, dtype=np.int32)
+    _LIB.vte_dmvr_refine(_i32p(b0), _i32p(b1), w, h, pad, _i32p(out))
+    return out

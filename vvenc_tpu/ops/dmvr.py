@@ -123,6 +123,18 @@ def dmvr_refine(ref0, ref1, x, y, w, h, mv0, mv1, bit_depth, pic_w, pic_h,
     dx_ = min(w, DMVR_SUBCU)
     deltas = {}
     bdof_sub = {}
+    from .. import native
+    if native.available():
+        # native 25-point search core (the SAD loops were the RD loop's
+        # 2nd-hottest host op); python loop below is the golden model
+        rows = native.dmvr_refine_core(bl0, bl1, w, h, pad)
+        n = 0
+        for ys in range(0, h, dy_):
+            for xs in range(0, w, dx_):
+                deltas[(ys, xs)] = (int(rows[n][0]), int(rows[n][1]))
+                bdof_sub[(ys, xs)] = bool(rows[n][2])
+                n += 1
+        return deltas, bdof_sub
     for ys in range(0, h, dy_):
         for xs in range(0, w, dx_):
             a0 = bl0[pad + ys:pad + ys + dy_, pad + xs:pad + xs + dx_]

@@ -94,7 +94,27 @@ def mc_block_np(ref_plane: np.ndarray, x: int, y: int, w: int, h: int,
     ref_plane is border-padded by replication on demand.
     intermediate=True returns the 14-bit biased intermediate used for
     bi-prediction averaging (isLast=false path).
-    """
+
+    Dispatches to the native kernel (vte_mc_block) when loaded — the MC
+    filter is the RD loop's hottest host op (InterpolationFilterX86.h
+    analog); `_mc_block_py` below is the golden model
+    (tests/test_native.py fuzzes native vs python)."""
+    from .. import native
+    if native.available() and ref_plane.dtype == np.int32 \
+            and ref_plane.flags.c_contiguous:
+        return native.mc_block(ref_plane, x, y, w, h, mv_x, mv_y,
+                               bit_depth, is_luma, intermediate, alt_hpel,
+                               taps_override)
+    return _mc_block_py(ref_plane, x, y, w, h, mv_x, mv_y, bit_depth,
+                        is_luma, intermediate, alt_hpel, taps_override)
+
+
+def _mc_block_py(ref_plane: np.ndarray, x: int, y: int, w: int, h: int,
+                 mv_x: int, mv_y: int, bit_depth: int = 10,
+                 is_luma: bool = True, intermediate: bool = False,
+                 alt_hpel: bool = False,
+                 taps_override: np.ndarray = None) -> np.ndarray:
+    """Pure-python golden MC (see mc_block_np)."""
     if is_luma:
         frac_bits, taps_tbl, ntaps = 4, LUMA_FILTER, NTAPS_LUMA
         if taps_override is not None:
