@@ -2852,6 +2852,20 @@ class _CtuSearcher:
             coder._apply_merge(ps, cu)
             add_resid_trial(cu, try_sbt=True)
 
+        # FIM-style early out (vvenc FastInferMerge, EncCu.cpp:3119 +
+        # InterSearch.cpp:1168: at the faster presets the expensive mode
+        # families are skipped when merge already predicts well): when
+        # NO top-merge candidate coded any residual — the merge
+        # prediction quantizes to zero in every component — MMVD, the
+        # subblock/affine merges, GEO and the AMVP motion search cannot
+        # plausibly beat the zero-cost skip and are not generated.
+        merge_perfect = (self.enc.trial_filter is None and bool(scored)
+                         and not any(t.root_cbf for t in trials))
+        if merge_perfect:
+            return self._finish_inter_trials(
+                x, y, w, h, part, trials, src_y, src_cb, src_cr, cscale,
+                qy, cx, cy2, cw, chh)
+
         # CIIP trial on the best merge candidate
         if scored:
             from ..codec.geo import ciip_available
@@ -3163,6 +3177,19 @@ class _CtuSearcher:
                     if cu.root_cbf:
                         trials.append(cu)
 
+        return self._finish_inter_trials(
+            x, y, w, h, part, trials, src_y, src_cb, src_cr, cscale, qy,
+            cx, cy2, cw, chh)
+
+    def _finish_inter_trials(self, x, y, w, h, part, trials, src_y,
+                             src_cb, src_cr, cscale, qy, cx, cy2, cw, chh):
+        """Tail of the inter CU decision: trial evaluation through the
+        real syntax writer + the gated intra competition (shared by the
+        full path and the FIM merge-perfect early out)."""
+        import numpy as _np
+        coder = self.coder
+        ps = self.ps
+        bit_depth = self.cfg.bit_depth
         # intra fallback: best-SATD mode, full residual.  Intra CUs are
         # capped at 64 (no larger intra pred/TB): >maxTB CUs rely on the
         # always-present merge/AMVP trials instead.
@@ -3190,92 +3217,117 @@ class _CtuSearcher:
                     best = (cost, cu, self._save(x, y, max(w, h)))
             self._restore(best[2])
             return best[1], best[0]
-        # intra competition in inter slices (EncCu xCheckRDCostIntra in
-        # inter pictures): full 67-mode SATD preselection, top-N + planar
-        # coded as separate trials with DM chroma — essential for new
-        # content (scene edges, pans) where inter prediction fails; the
-        # old 4-mode fallback lost ~2 dB on uncovered regions
-        top, left = I.build_reference_samples(
-            ps.rec[0], x, y, w, h, ps.avail_luma(), PictureState.LUMA_UNIT,
-            bit_depth)
-        from .. import native as _native
-        if _native.available():
-            satds = _native.presel_satd(top, left, src_y,
-                                        range(I.NUM_LUMA_MODE), w, h,
-                                        bit_depth)
-        else:
-            preds_all = IV.predict_intra_modes(
-                top, left, range(I.NUM_LUMA_MODE), w, h, bit_depth)
-            satds = IV.satd_modes(src_y, preds_all)
-        mpm_i = get_intra_mpms(ps, x, y, w, h, self.cfg.ctu_size)
-        ranked = sorted(
-            range(I.NUM_LUMA_MODE),
-            key=lambda m: float(satds[m]) + self.lmbda_sad *
-            ((1.5 + mpm_i.index(m)) if m in mpm_i else 7.0))
-        n_try = max(1, min(2, self.cfg.num_full_rd_modes))
-        modes_try = ranked[:n_try]
-        if I.PLANAR_IDX not in modes_try:
-            modes_try.append(I.PLANAR_IDX)
-        th0, tv0 = T.implicit_mts_types(w, h, True,
-                                        self.coder.implicit_mts)
-        for mode in modes_try:
-            pred = I.predict_intra(top, left, mode, w, h, bit_depth, True)
-            cu = CuData(x, y, w, h, is_inter=False, luma_mode=mode)
-            cu.coeff_y = self._tq(src_y - pred, qy, True,
-                                  ct.CTX_SETS["QtCbfLuma"](0), th0, tv0,
-                                  intra_slice=False)
-            pred_cb = predict_cu_component(ps, cu, 1, bit_depth)
-            pred_cr = predict_cu_component(ps, cu, 2, bit_depth)
-            rcb, rcr = src_cb - pred_cb, src_cr - pred_cr
-            if cscale is not None:
-                from ..codec.lmcs import scale_chroma_resi_fwd
-                rcb = scale_chroma_resi_fwd(rcb.astype(_np.int64), cscale,
-                                            bit_depth)
-                rcr = scale_chroma_resi_fwd(rcr.astype(_np.int64), cscale,
-                                            bit_depth)
-            ccb = self._tq(rcb, self.qp.chroma_qp(1), False,
-                           ct.CTX_SETS["QtCbfCb"](0), intra_slice=False)
-            ccr = self._tq(rcr, self.qp.chroma_qp(2), False,
-                           ct.CTX_SETS["QtCbfCr"](1 if ccb is not None
-                                                  else 0),
-                           intra_slice=False)
-            cu.coeff_cb = ccb
-            cu.coeff_cr = ccr
-            trials.append(cu)
-
-        # evaluate all trials through the real syntax writer + estimator
-        if self.enc.trial_filter is not None:
-            kept = [t for t in trials if self.enc.trial_filter(t)]
-            if kept:
-                trials = kept
+        # evaluate trials through the real syntax writer + estimator
         state0 = self._save(x, y, max(w, h))
-        best = None
         node = TreeNode(x, y, max(w, h), part.qt_depth, w=w, h=h, part=part)
-        for cu in trials:
-            _ss_bump("inter_skip" if cu.skip else
-                     "inter_geo" if cu.geo else
-                     "inter_mmvd" if cu.mmvd_flag else
-                     "inter_affine" if cu.affine else
-                     "inter_ciip" if cu.ciip else
-                     "inter_merge" if cu.merge else
-                     "inter_sbt" if cu.sbt_idx else
-                     "inter_smvd" if cu.smvd else
-                     "inter_amvp" if cu.is_inter else
-                     "intra_in_inter")
-            self._restore(state0)
-            b0 = self.est.frac_bits
-            node.cu = cu
-            try:
-                coder._enc_cu(self.est, ps, node)
-            except AssertionError:
-                continue  # malformed trial (e.g. merge with no luma coeffs)
-            bits = (self.est.frac_bits - b0) / (1 << 15)
-            dist = R.sse_np(src_y, ps.rec[0][y:y + h, x:x + w])
-            dist += R.sse_np(src_cb, ps.rec[1][cy2:cy2 + chh, cx:cx + cw])
-            dist += R.sse_np(src_cr, ps.rec[2][cy2:cy2 + chh, cx:cx + cw])
-            cost = dist + self.lmbda * bits
-            if best is None or cost < best[0]:
-                best = (cost, cu, self._save(x, y, max(w, h)))
+
+        def _eval(cands, best):
+            for cu in cands:
+                _ss_bump("inter_skip" if cu.skip else
+                         "inter_geo" if cu.geo else
+                         "inter_mmvd" if cu.mmvd_flag else
+                         "inter_affine" if cu.affine else
+                         "inter_ciip" if cu.ciip else
+                         "inter_merge" if cu.merge else
+                         "inter_sbt" if cu.sbt_idx else
+                         "inter_smvd" if cu.smvd else
+                         "inter_amvp" if cu.is_inter else
+                         "intra_in_inter")
+                self._restore(state0)
+                b0 = self.est.frac_bits
+                node.cu = cu
+                try:
+                    coder._enc_cu(self.est, ps, node)
+                except AssertionError:
+                    continue  # malformed trial (merge with no luma coeffs)
+                bits = (self.est.frac_bits - b0) / (1 << 15)
+                dist = R.sse_np(src_y, ps.rec[0][y:y + h, x:x + w])
+                dist += R.sse_np(src_cb,
+                                 ps.rec[1][cy2:cy2 + chh, cx:cx + cw])
+                dist += R.sse_np(src_cr,
+                                 ps.rec[2][cy2:cy2 + chh, cx:cx + cw])
+                cost = dist + self.lmbda * bits
+                if best is None or cost < best[0]:
+                    best = (cost, cu, self._save(x, y, max(w, h)))
+            return best
+
+        tfilt = self.enc.trial_filter
+        if tfilt is None:
+            best = _eval(trials, None)
+            # intra competition in inter slices (EncCu xCheckRDCostIntra
+            # in inter pictures) gated per the reference's mode control
+            # (EncModeCtrl.cpp:997: "avoid very complex intra if it is
+            # unlikely"): intra is tried only when the best inter
+            # candidate CODES residual in some component — a zero-cbf
+            # inter winner means prediction already fits at this QP and
+            # intra cannot plausibly win.
+            best_cu = best[1] if best is not None else None
+            try_intra = (best_cu is None
+                         or best_cu.coeff_y is not None
+                         or best_cu.coeff_cb is not None
+                         or best_cu.coeff_cr is not None)
+        else:
+            # test hook active: trial selection must see the COMBINED
+            # candidate set, so the gate is bypassed
+            best = None
+            try_intra = True
+        if try_intra:
+            intra_trials = []
+            top, left = I.build_reference_samples(
+                ps.rec[0], x, y, w, h, ps.avail_luma(),
+                PictureState.LUMA_UNIT, bit_depth)
+            from .. import native as _native
+            if _native.available():
+                satds = _native.presel_satd(top, left, src_y,
+                                            range(I.NUM_LUMA_MODE), w, h,
+                                            bit_depth)
+            else:
+                preds_all = IV.predict_intra_modes(
+                    top, left, range(I.NUM_LUMA_MODE), w, h, bit_depth)
+                satds = IV.satd_modes(src_y, preds_all)
+            mpm_i = get_intra_mpms(ps, x, y, w, h, self.cfg.ctu_size)
+            ranked = sorted(
+                range(I.NUM_LUMA_MODE),
+                key=lambda m: float(satds[m]) + self.lmbda_sad *
+                ((1.5 + mpm_i.index(m)) if m in mpm_i else 7.0))
+            n_try = max(1, min(2, self.cfg.num_full_rd_modes))
+            modes_try = ranked[:n_try]
+            if I.PLANAR_IDX not in modes_try:
+                modes_try.append(I.PLANAR_IDX)
+            th0, tv0 = T.implicit_mts_types(w, h, True,
+                                            self.coder.implicit_mts)
+            for mode in modes_try:
+                pred = I.predict_intra(top, left, mode, w, h, bit_depth,
+                                       True)
+                cu = CuData(x, y, w, h, is_inter=False, luma_mode=mode)
+                cu.coeff_y = self._tq(src_y - pred, qy, True,
+                                      ct.CTX_SETS["QtCbfLuma"](0), th0,
+                                      tv0, intra_slice=False)
+                pred_cb = predict_cu_component(ps, cu, 1, bit_depth)
+                pred_cr = predict_cu_component(ps, cu, 2, bit_depth)
+                rcb, rcr = src_cb - pred_cb, src_cr - pred_cr
+                if cscale is not None:
+                    from ..codec.lmcs import scale_chroma_resi_fwd
+                    rcb = scale_chroma_resi_fwd(rcb.astype(_np.int64),
+                                                cscale, bit_depth)
+                    rcr = scale_chroma_resi_fwd(rcr.astype(_np.int64),
+                                                cscale, bit_depth)
+                ccb = self._tq(rcb, self.qp.chroma_qp(1), False,
+                               ct.CTX_SETS["QtCbfCb"](0),
+                               intra_slice=False)
+                ccr = self._tq(rcr, self.qp.chroma_qp(2), False,
+                               ct.CTX_SETS["QtCbfCr"](1 if ccb is not None
+                                                      else 0),
+                               intra_slice=False)
+                cu.coeff_cb = ccb
+                cu.coeff_cr = ccr
+                intra_trials.append(cu)
+            if tfilt is not None:
+                allt = trials + intra_trials
+                kept = [t for t in allt if tfilt(t)]
+                best = _eval(kept if kept else allt, None)
+            else:
+                best = _eval(intra_trials, best)
         self._restore(best[2])
         return best[1], best[0]
 

@@ -47,33 +47,69 @@ def _block_me(cur: np.ndarray, ref: np.ndarray, bs: int, rng: int,
               init_mv: np.ndarray):
     """Integer full search per bs-block around init_mv; returns (mvs, err).
 
-    init_mv: (nby, nbx, 2) integer MVs at this resolution."""
+    init_mv: (nby, nbx, 2) integer MVs at this resolution.  Vectorized
+    over blocks per candidate displacement (same SSDs, same first-wins
+    tie-break as the scalar loop); partial edge blocks keep the scalar
+    path."""
     h, w = cur.shape
     nby, nbx = (h + bs - 1) // bs, (w + bs - 1) // bs
     mvs = np.zeros((nby, nbx, 2), np.int32)
     err = np.zeros((nby, nbx), np.int64)
     rp = np.pad(ref, rng + bs, mode="edge").astype(np.int64)
-    for by in range(nby):
-        for bx in range(nbx):
-            y0, x0 = by * bs, bx * bs
-            blk = cur[y0:y0 + bs, x0:x0 + bs].astype(np.int64)
-            bh, bw = blk.shape
-            iy, ix = int(init_mv[by, bx, 1]), int(init_mv[by, bx, 0])
-            best = None
-            for dy in range(-rng, rng + 1):
-                for dx in range(-rng, rng + 1):
-                    # clamp: an upscaled init MV can exceed the pad on
-                    # small planes (the read stays edge-replicated)
-                    sy = min(max(y0 + iy + dy + rng + bs, 0),
-                             rp.shape[0] - bh)
-                    sx = min(max(x0 + ix + dx + rng + bs, 0),
-                             rp.shape[1] - bw)
-                    cand = rp[sy:sy + bh, sx:sx + bw]
-                    ssd = int(((blk - cand) ** 2).sum())
-                    if best is None or ssd < best[0]:
-                        best = (ssd, dx, dy)
-            mvs[by, bx] = (ix + best[1], iy + best[2])
-            err[by, bx] = best[0]
+
+    fy, fx = h // bs, w // bs          # full-block grid
+    if fy and fx:
+        blk = cur[:fy * bs, :fx * bs].astype(np.int64) \
+            .reshape(fy, bs, fx, bs).transpose(0, 2, 1, 3)
+        y0 = (np.arange(fy) * bs)[:, None]
+        x0 = (np.arange(fx) * bs)[None, :]
+        iy = init_mv[:fy, :fx, 1].astype(np.int64)
+        ix = init_mv[:fy, :fx, 0].astype(np.int64)
+        ay = np.arange(bs)
+        best_ssd = None
+        best_d = None
+        for dy in range(-rng, rng + 1):
+            sy = np.clip(y0 + iy + dy + rng + bs, 0, rp.shape[0] - bs)
+            ys = sy[..., None] + ay                      # [fy, fx, bs]
+            for dx in range(-rng, rng + 1):
+                sx = np.clip(x0 + ix + dx + rng + bs, 0,
+                             rp.shape[1] - bs)
+                xs = sx[..., None] + ay
+                win = rp[ys[:, :, :, None], xs[:, :, None, :]]
+                d = blk - win
+                ssd = np.einsum("abij,abij->ab", d, d)
+                if best_ssd is None:
+                    best_ssd = ssd
+                    best_d = np.full((fy, fx, 2), (dx, dy), np.int64)
+                else:
+                    m = ssd < best_ssd
+                    best_ssd = np.where(m, ssd, best_ssd)
+                    best_d[m] = (dx, dy)
+        mvs[:fy, :fx, 0] = ix + best_d[:, :, 0]
+        mvs[:fy, :fx, 1] = iy + best_d[:, :, 1]
+        err[:fy, :fx] = best_ssd
+
+    # partial edge blocks (right column / bottom row): scalar
+    edge = [(by, bx) for by in range(nby) for bx in range(nbx)
+            if by >= fy or bx >= fx]
+    for by, bx in edge:
+        y0_, x0_ = by * bs, bx * bs
+        blk1 = cur[y0_:y0_ + bs, x0_:x0_ + bs].astype(np.int64)
+        bh, bw = blk1.shape
+        iy1, ix1 = int(init_mv[by, bx, 1]), int(init_mv[by, bx, 0])
+        best = None
+        for dy in range(-rng, rng + 1):
+            for dx in range(-rng, rng + 1):
+                sy = min(max(y0_ + iy1 + dy + rng + bs, 0),
+                         rp.shape[0] - bh)
+                sx = min(max(x0_ + ix1 + dx + rng + bs, 0),
+                         rp.shape[1] - bw)
+                cand = rp[sy:sy + bh, sx:sx + bw]
+                ssd = int(((blk1 - cand) ** 2).sum())
+                if best is None or ssd < best[0]:
+                    best = (ssd, dx, dy)
+        mvs[by, bx] = (ix1 + best[1], iy1 + best[2])
+        err[by, bx] = best[0]
     return mvs, err
 
 

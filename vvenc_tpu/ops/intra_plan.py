@@ -300,6 +300,45 @@ class _PlanView(FramePlan):
         self.tables = tables
 
 
+# optional device mesh (jax.sharding.Mesh): when set, build_plans runs
+# every class through parallel.mesh.sharded_plan_class — the e2e encode's
+# device planning sharded over (gops x tiles); results are bit-identical
+# for any mesh shape (chip-count-invariant bitstreams)
+MESH = None
+
+
+def _build_sharded(srcs, sizes, W, H, qp, bit_depth, lmbdas, lmbda_sads,
+                   implicit_mts, k):
+    """Mesh path of build_plans: per-class host gather + sharded kernel
+    (same (class, frame, block) output order as _plan_batch_core)."""
+    from ..parallel.mesh import sharded_plan_class
+    F = len(srcs)
+    sps = [np.pad(s, PAD, mode="edge").astype(np.int32) for s in srcs]
+    all_modes, all_costs = [], []
+    for s in sizes:
+        xs, ys, ax, ay = _class_grid(W, H, s, s, mtt=False)
+        blocks_l, tops_l, lefts_l = [], [], []
+        for f in range(F):
+            bx, by, tops, lefts = _gather_refs(sps[f], PAD, xs, ys, s, s)
+            win = np.lib.stride_tricks.sliding_window_view(srcs[f], (s, s))
+            blocks_l.append(
+                np.ascontiguousarray(win[by, bx]).astype(np.int32))
+            tops_l.append(tops)
+            lefts_l.append(lefts)
+        B1 = len(blocks_l[0])
+        lmb = np.repeat(np.asarray(lmbdas, np.float32), B1)
+        lms = np.repeat(np.asarray(lmbda_sads, np.float32), B1)
+        m, c = sharded_plan_class(
+            MESH, jnp.asarray(np.concatenate(blocks_l)),
+            jnp.asarray(np.concatenate(tops_l)),
+            jnp.asarray(np.concatenate(lefts_l)),
+            jnp.asarray(lmb), jnp.asarray(lms), w=s, h=s, qp=qp,
+            bit_depth=bit_depth, implicit_mts=implicit_mts, k=k)
+        all_modes.append(np.asarray(m))
+        all_costs.append(np.asarray(c))
+    return np.concatenate(all_modes), np.concatenate(all_costs)
+
+
 def build_plans(srcs, bit_depth: int, ctu_size: int, min_qt: int, qp: int,
                 lmbdas, lmbda_sads, implicit_mts: bool = True,
                 k: int | None = None):
@@ -319,14 +358,19 @@ def build_plans(srcs, bit_depth: int, ctu_size: int, min_qt: int, qp: int,
     H, W = srcs[0].shape
     sizes = tuple(_plan_sizes(W, H, ctu_size, min_qt))
     with DEV.section():
-        planes = np.stack([np.pad(s, PAD, mode="edge") for s in srcs]) \
-            .astype(np.int16)
-        modes_d, costs_d = _plan_batch_core(
-            jnp.asarray(planes), jnp.asarray(lmbdas, np.float32),
-            jnp.asarray(lmbda_sads, np.float32), sizes, W, H, qp,
-            bit_depth, implicit_mts, k)
-        modes = np.asarray(modes_d)
-        costs = np.asarray(costs_d)
+        if MESH is not None:
+            modes, costs = _build_sharded(srcs, sizes, W, H, qp,
+                                          bit_depth, lmbdas, lmbda_sads,
+                                          implicit_mts, k)
+        else:
+            planes = np.stack([np.pad(s, PAD, mode="edge")
+                               for s in srcs]).astype(np.int16)
+            modes_d, costs_d = _plan_batch_core(
+                jnp.asarray(planes), jnp.asarray(lmbdas, np.float32),
+                jnp.asarray(lmbda_sads, np.float32), sizes, W, H, qp,
+                bit_depth, implicit_mts, k)
+            modes = np.asarray(modes_d)
+            costs = np.asarray(costs_d)
     grids = {s: _class_grid(W, H, s, s, mtt=False) for s in sizes}
     per_frame_tabs = [({}, {}) for _ in range(F)]
     off = 0

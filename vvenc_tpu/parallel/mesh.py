@@ -213,6 +213,43 @@ def sharded_presel_costs(mesh: Mesh, blocks, tops, lefts, *, w, h,
     return costs[:B], total
 
 
+def sharded_plan_class(mesh: Mesh, blocks, tops, lefts, lmb, lms, *, w, h,
+                       qp, bit_depth=10, implicit_mts=True, k=2):
+    """The PRODUCTION device RD planning kernel (ops/intra_plan
+    _plan_class_core) sharded across the device mesh: one size class's
+    candidate-CU batch — spanning every frame of the prefill window —
+    splits over all mesh axes (GOP/frame parallelism x tile columns,
+    flattened), each device runs the identical predict/SATD/top-k/
+    trial/cost program on its shard.  Per-block outputs are independent,
+    so the result is bit-identical to the single-device kernel for any
+    mesh shape (chip-count-invariant bitstreams; dryrun_multichip and
+    tests/test_mesh.py assert the e2e property)."""
+    import numpy as np
+    from ..ops.intra_plan import _plan_class_core
+    shard_map = _shard_map()
+    axes = tuple(mesh.axis_names)
+    n = int(np.prod([mesh.shape[a] for a in axes]))
+    B = blocks.shape[0]
+    pad = (-B) % n
+    if pad:
+        def padded(a):
+            return jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+        blocks, tops, lefts = padded(blocks), padded(tops), padded(lefts)
+        lmb = jnp.concatenate([lmb, jnp.ones(pad, lmb.dtype)])
+        lms = jnp.concatenate([lms, jnp.ones(pad, lms.dtype)])
+
+    def local(bl, tp, lf, lm_, ls_):
+        return _plan_class_core(bl, tp, lf, lm_, ls_, w, h, qp, bit_depth,
+                                implicit_mts, k)
+
+    fn = jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axes),) * 5, out_specs=(P(axes), P(axes))))
+    modes, costs = fn(blocks, tops, lefts, lmb, lms)
+    return modes[:B], costs[:B]
+
+
 def sharded_search_step(mesh: Mesh, axis: str = "tiles", *, w, h, qp,
                         bit_depth=10):
     """Build a pjit-ed sharded trial step over `mesh`.
