@@ -86,3 +86,25 @@ def test_batched_prefill_matches_per_frame_plans():
         for key in single.tables:
             assert np.array_equal(single.tables[key][5],
                                   batch[f].tables[key][5]), (f, key)
+
+
+@pytest.mark.skipif(not native.available(),
+                    reason="native library unavailable")
+def test_mesh_sharded_plan_e2e_byte_identical():
+    """The production encode with build_plans dispatched through
+    parallel.mesh.sharded_plan_class on an 8-device mesh emits the
+    byte-identical bitstream to the single-device encode (chip-count
+    invariance on the REAL path)."""
+    import jax
+    from vvenc_tpu.parallel.mesh import make_mesh2d
+    from vvenc_tpu.ops import intra_plan
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    frames = _clip(n=2)
+    s1, _ = _encode(frames, device_rd="on")
+    intra_plan.MESH = make_mesh2d(jax.devices()[:8])
+    try:
+        s8, _ = _encode(frames, device_rd="on")
+    finally:
+        intra_plan.MESH = None
+    assert s1 == s8
