@@ -3788,6 +3788,84 @@ void vte_alf_classify(const int32_t* rec, int h, int w, int bit_depth,
   }
 }
 
+// ALF covariance statistics (encoder/alf_enc.py _tap_planes + per-class
+// Gram accumulation; the EncAdaptiveLoopFilter getBlkStats /
+// AdaptiveLoopFilterX86 accumulator analog).  Emits, per class, the
+// Gram matrix A [dim, dim] and right-hand side b [dim] of the (clipped)
+// Wiener normal equations, with clip-major row layout
+// row = clip_idx * n_taps + coeff_idx (coeff_idx transpose-mapped for
+// luma).  n_clip = 1 reproduces the linear statistics (clip value
+// 1 << bit_depth never clips).  All accumulation is integer-exact
+// (int64), matching the Python float64 BLAS results bit-for-bit.
+void vte_alf_stats(const int32_t* rec, const int32_t* orig, int h, int w,
+                   int bit_depth, int ctu_size, int is_chroma,
+                   const int32_t* cls, const int32_t* trn, int cls_w,
+                   int n_clip, double* out_A, double* out_b) {
+  using namespace alf;
+  const int n_taps = is_chroma ? 6 : 12;
+  const int n_classes = is_chroma ? 1 : 25;
+  const int dim = n_clip * n_taps;
+  const int vb_pos = ctu_size - (is_chroma ? 2 : 4);
+  int32_t cv[4];
+  cv[0] = 1 << bit_depth;
+  for (int i = 1; i < 4; ++i) cv[i] = 1 << (7 - 2 * i + bit_depth - 8);
+  std::vector<int64_t> A(size_t(n_classes) * dim * dim, 0);
+  std::vector<int64_t> B(size_t(n_classes) * dim, 0);
+  std::vector<int64_t> E(dim);
+  for (int y = 0; y < h; ++y) {
+    int o[6];
+    bool near;
+    vb_taps(y & (ctu_size - 1), vb_pos, is_chroma, o, &near);
+    for (int x = 0; x < w; ++x) {
+      int c = 0, t = 0;
+      if (!is_chroma) {
+        c = cls[(y >> 2) * cls_w + (x >> 2)];
+        t = trn[(y >> 2) * cls_w + (x >> 2)];
+      }
+      int64_t curr = rec[size_t(y) * w + x];
+      for (int g = 0; g < n_taps; ++g) {
+        int dy0, dx0, dy1, dx1;
+        if (is_chroma) {
+          dy0 = CHROMA_TAPS[g][0][0]; dx0 = CHROMA_TAPS[g][0][1];
+          dy1 = CHROMA_TAPS[g][1][0]; dx1 = CHROMA_TAPS[g][1][1];
+        } else {
+          dy0 = LUMA_TAPS[g][0][0]; dx0 = LUMA_TAPS[g][0][1];
+          dy1 = LUMA_TAPS[g][1][0]; dx1 = LUMA_TAPS[g][1][1];
+        }
+        int64_t d0 = at(rec, h, w, y + off_of(o, dy0), x + dx0) - curr;
+        int64_t d1 = at(rec, h, w, y + off_of(o, dy1), x + dx1) - curr;
+        int ci = is_chroma ? g : TR7[t][g];
+        for (int k = 0; k < n_clip; ++k) {
+          int64_t lim = cv[k];
+          int64_t a = d0 < -lim ? -lim : (d0 > lim ? lim : d0);
+          int64_t b2 = d1 < -lim ? -lim : (d1 > lim ? lim : d1);
+          E[size_t(k) * n_taps + ci] = a + b2;
+        }
+      }
+      int64_t err = int64_t(orig[size_t(y) * w + x]) - curr;
+      int64_t* Ac = A.data() + size_t(c) * dim * dim;
+      int64_t* Bc = B.data() + size_t(c) * dim;
+      for (int i = 0; i < dim; ++i) {
+        int64_t ei = E[i];
+        const int64_t* Ej = E.data() + i;
+        int64_t* row = Ac + size_t(i) * dim + i;
+        for (int j = i; j < dim; ++j, ++row, ++Ej) *row += ei * *Ej;
+        Bc[i] += err * ei;
+      }
+    }
+  }
+  for (int c = 0; c < n_classes; ++c) {
+    int64_t* Ac = A.data() + size_t(c) * dim * dim;
+    for (int i = 0; i < dim; ++i)
+      for (int j = 0; j < i; ++j)
+        Ac[size_t(i) * dim + j] = Ac[size_t(j) * dim + i];
+    for (size_t i = 0; i < size_t(dim) * dim; ++i)
+      out_A[size_t(c) * dim * dim + i] = double(Ac[i]);
+    for (int i = 0; i < dim; ++i)
+      out_b[size_t(c) * dim + i] = double(B[size_t(c) * dim + i]);
+  }
+}
+
 }  // extern "C"
 
 // ===========================================================================

@@ -346,3 +346,62 @@ def test_native_mc_block_matches_python():
                               inter, alt, tov)
         assert np.array_equal(refp, got), \
             (trial, w, h, x, y, mv_x, mv_y, is_luma, inter, alt)
+
+
+def test_native_alf_stats_matches_python():
+    """vte_alf_stats (clipped-Wiener Gram accumulation) integer-exact vs
+    the numpy fallback construction, luma (25 classes, transpose-mapped)
+    and chroma, linear (n_clip=1) and clipped (n_clip=4) statistics."""
+    import vvenc_tpu.encoder.alf_enc as ae
+    from vvenc_tpu.codec.alf import classify_luma
+    rng = np.random.RandomState(3)
+    for trial, (h, w, bd) in enumerate([(64, 96, 8), (36, 52, 10)]):
+        mx = (1 << bd) - 1
+        rec = rng.randint(0, mx + 1, (h, w)).astype(np.int32)
+        orig = np.clip(rec + rng.randint(-9, 10, (h, w)), 0,
+                       mx).astype(np.int32)
+        cls, trn = classify_luma(rec, bd, 64)
+        cmap = np.repeat(np.repeat(cls, 4, 0), 4, 1)[:h, :w].reshape(-1)
+        inv_tr = np.empty((4, 12), np.int8)
+        for t in range(4):
+            for g in range(12):
+                inv_tr[t][ae._TR7[t][g]] = g
+        tmap = np.repeat(np.repeat(trn, 4, 0), 4, 1)[:h, :w]
+        rows = np.moveaxis(inv_tr[tmap], 2, 0)
+        yy, xx = np.mgrid[0:h, 0:w]
+        err = (orig.astype(np.int64) - rec.astype(np.int64)
+               ).reshape(-1).astype(np.float64)
+        for n_clip in (1, 4):
+            GN, BN = native.alf_stats(rec, orig, bd, 64, cls, trn, n_clip)
+            u = ae._tap_planes(rec, ae._LUMA_TAPS, 64, False,
+                               halves=(n_clip == 4))
+            parts = [u[rows, yy[None], xx[None]]]
+            if n_clip == 4:
+                parts.append(u[12 + rows, yy[None], xx[None]])
+            flat = np.concatenate(parts, 0).reshape(
+                12 * (2 if n_clip == 4 else 1), -1).astype(np.float64)
+            for c in range(25):
+                m = cmap == c
+                if not m.any():
+                    assert not GN[c].any() and not BN[c].any()
+                    continue
+                if n_clip == 1:
+                    fc = flat[:, m]
+                    G2, B2 = fc @ fc.T, fc @ err[m]
+                else:
+                    G2, B2 = ae._clipped_gram_numpy(flat[:, m], err[m],
+                                                    12, bd)
+                assert np.array_equal(GN[c], G2), (trial, n_clip, c)
+                assert np.array_equal(BN[c], B2), (trial, n_clip, c)
+        for n_clip in (1, 4):
+            GN, BN = native.alf_stats(rec, orig, bd, 32, n_clip=n_clip)
+            u = ae._tap_planes(rec, ae._CHROMA_TAPS, 32, True,
+                               halves=(n_clip == 4))
+            nch = 12 if n_clip == 4 else 6
+            flat = u.reshape(nch, -1).astype(np.float64)
+            if n_clip == 1:
+                G2, B2 = flat @ flat.T, flat @ err
+            else:
+                G2, B2 = ae._clipped_gram_numpy(flat, err, 6, bd)
+            assert np.array_equal(GN[0], G2), ("chroma", trial, n_clip)
+            assert np.array_equal(BN[0], B2), ("chroma", trial, n_clip)

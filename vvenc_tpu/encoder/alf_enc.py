@@ -65,27 +65,35 @@ def _tap_planes(rec: np.ndarray, taps, ctu_size: int, is_chroma: bool,
     return planes
 
 
-def _derive_clipped(halves, errf, n_taps, bit_depth, passes=2):
-    """Clipped Wiener derivation for one class/filter (vvenc
-    EncAdaptiveLoopFilter deriveCoeffQuant with clipping): coordinate
-    descent over per-tap clip indices, solving the normal equations of
-    clip(v0-curr,c)+clip(v1-curr,c) inputs at each step.
+def _clipped_gram_numpy(halves, errf, n_taps, bit_depth):
+    """Numpy fallback for the clipped-statistics Gram (native
+    vte_alf_stats n_clip=4): clip-major rows k*n_taps+c of
+    clip(v0-curr, cv[k]) + clip(v1-curr, cv[k]).
 
     halves: [2*n_taps, N] (v0-curr rows then v1-curr rows, transpose-
-    mapped); errf: [N] target.  Returns (coeff int32 [n_taps],
-    clip_idx int32 [n_taps])."""
+    mapped); errf: [N].  Returns (G [4n,4n], B [4n]) float64."""
     from ..codec.alf import clipping_values
     clips = clipping_values(bit_depth)              # [4] descending
     n_clip = len(clips)
-    # clipped tap matrix per clip index: U[c] = [n_taps, N]
     d0, d1 = halves[:n_taps], halves[n_taps:]
     U = np.empty((n_clip, n_taps, halves.shape[1]), np.float64)
     for c in range(n_clip):
         cv = int(clips[c])
         U[c] = (np.clip(d0, -cv, cv) + np.clip(d1, -cv, cv))
     flat = U.reshape(n_clip * n_taps, -1)
-    G = flat @ flat.T                               # [4n, 4n] gram
-    B = flat @ errf                                 # [4n]
+    return flat @ flat.T, flat @ errf
+
+
+def _derive_clipped(G, B, n_taps, passes=2):
+    """Clipped Wiener derivation for one class/filter (vvenc
+    EncAdaptiveLoopFilter deriveCoeffQuant with clipping): coordinate
+    descent over per-tap clip indices, solving the normal equations of
+    clip(v0-curr,c)+clip(v1-curr,c) inputs at each step.
+
+    G: [4*n_taps, 4*n_taps] clip-major Gram; B: [4*n_taps] rhs (from
+    vte_alf_stats or _clipped_gram_numpy).  Returns (coeff int32
+    [n_taps], clip_idx int32 [n_taps])."""
+    n_clip = G.shape[0] // n_taps
     k = np.zeros(n_taps, np.int64)
 
     def reduction(kv):
@@ -120,6 +128,14 @@ def _derive_clipped(halves, errf, n_taps, bit_depth, passes=2):
     return q, k.astype(np.int32)
 
 
+def _ctu_block_sums(plane: np.ndarray, bs: int) -> np.ndarray:
+    """Sum a plane over the bs x bs CTU grid (remainder blocks clipped
+    at the picture edge): [h_ctus, w_ctus] int64."""
+    h, w = plane.shape
+    t = np.add.reduceat(plane, np.arange(0, h, bs), axis=0)
+    return np.add.reduceat(t, np.arange(0, w, bs), axis=1)
+
+
 def _solve_quantized(A: np.ndarray, b: np.ndarray, n: int):
     """Solve normal equations and quantize to 7-bit fixed point."""
     try:
@@ -146,47 +162,67 @@ def derive_alf(orig, rec, bit_depth: int, ctu_size: int, lmbda: float,
     cls, trn = classify_luma(rec[0], bit_depth, ctu_size)
 
     # ---- luma: one Wiener filter per class (25 signalled filters) ----
-    u = _tap_planes(rec[0], _LUMA_TAPS, ctu_size, False,
-                    halves=nonlinear)  # (12 or 24, h, w)
-    # coefficient-index mapping per pixel transpose: u_coeff[TR[t][g]] = u[g]
-    # (gather formulation: uc[c] = u[invTR[t][c]] per pixel, one fancy
-    # index instead of 4x12 masked scatters)
-    tmap = np.repeat(np.repeat(trn, 4, 0), 4, 1)[:h, :w]
-    inv_tr = np.empty((4, 12), np.int8)
-    for t in range(4):
-        for g in range(12):
-            inv_tr[t][_TR7[t][g]] = g
-    gidx = inv_tr[tmap]                          # [h, w, 12]
-    rows = np.moveaxis(gidx, 2, 0)               # [12, h, w] source tap
-    yy_, xx_ = np.mgrid[0:h, 0:w]
-    uc_parts = [u[rows, yy_[None], xx_[None]]]
-    if nonlinear:
-        uc_parts.append(u[12 + rows, yy_[None], xx_[None]])
-    uc = np.concatenate(uc_parts, axis=0)
-    err = (orig[0].astype(np.int64) - rec[0].astype(np.int64))
+    # Per-class (clipped) Gram statistics — native one-pass accumulator
+    # (vte_alf_stats, the getBlkStats/AdaptiveLoopFilterX86 analog,
+    # integer-exact vs the numpy construction) with a numpy fallback.
+    from .. import native as _native
+    n_clip = 4 if nonlinear else 1
     cmap = np.repeat(np.repeat(cls, 4, 0), 4, 1)[:h, :w].reshape(-1)
-    flat = uc.reshape(uc.shape[0], -1).astype(np.float64)
-    errf = err.reshape(-1).astype(np.float64)
-    # class-sorted reordering: per-class pixel sets become contiguous
-    # slices (no 25 boolean-mask copies of the full plane)
-    order = np.argsort(cmap, kind="stable")
-    flat_s = flat[:, order]
-    errf_s = errf[order]
-    bounds = np.searchsorted(cmap[order], np.arange(26))
+    counts = np.bincount(cmap, minlength=25)
+    if _native.available():
+        GL, BL = _native.alf_stats(rec[0], orig[0], bit_depth, ctu_size,
+                                   cls, trn, n_clip)
+    else:
+        u = _tap_planes(rec[0], _LUMA_TAPS, ctu_size, False,
+                        halves=nonlinear)  # (12 or 24, h, w)
+        # coefficient-index mapping per pixel transpose:
+        # u_coeff[TR[t][g]] = u[g] (gather formulation: uc[c] =
+        # u[invTR[t][c]] per pixel, one fancy index instead of 4x12
+        # masked scatters)
+        tmap = np.repeat(np.repeat(trn, 4, 0), 4, 1)[:h, :w]
+        inv_tr = np.empty((4, 12), np.int8)
+        for t in range(4):
+            for g in range(12):
+                inv_tr[t][_TR7[t][g]] = g
+        gidx = inv_tr[tmap]                          # [h, w, 12]
+        rows = np.moveaxis(gidx, 2, 0)               # [12, h, w] src tap
+        yy_, xx_ = np.mgrid[0:h, 0:w]
+        uc_parts = [u[rows, yy_[None], xx_[None]]]
+        if nonlinear:
+            uc_parts.append(u[12 + rows, yy_[None], xx_[None]])
+        uc = np.concatenate(uc_parts, axis=0)
+        err = (orig[0].astype(np.int64) - rec[0].astype(np.int64))
+        flat = uc.reshape(uc.shape[0], -1).astype(np.float64)
+        errf = err.reshape(-1).astype(np.float64)
+        # class-sorted reordering: per-class pixel sets become
+        # contiguous slices (no 25 boolean-mask plane copies)
+        order = np.argsort(cmap, kind="stable")
+        flat_s = flat[:, order]
+        errf_s = errf[order]
+        bounds = np.searchsorted(cmap[order], np.arange(26))
+        dim = 12 * n_clip
+        GL = np.zeros((25, dim, dim), np.float64)
+        BL = np.zeros((25, dim), np.float64)
+        for c in range(25):
+            lo, hi = bounds[c], bounds[c + 1]
+            if hi <= lo:
+                continue
+            if nonlinear:
+                GL[c], BL[c] = _clipped_gram_numpy(
+                    flat_s[:, lo:hi], errf_s[lo:hi], 12, bit_depth)
+            else:
+                fc = flat_s[:, lo:hi]
+                GL[c] = fc @ fc.T
+                BL[c] = fc @ errf_s[lo:hi]
     coeffs = np.zeros((25, 12), np.int32)
     clips = np.zeros((25, 12), np.int32)
     for c in range(25):
-        lo, hi = bounds[c], bounds[c + 1]
-        if hi - lo < 64:
+        if counts[c] < 64:
             continue
-        fc = flat_s[:, lo:hi]
         if nonlinear:
-            coeffs[c], clips[c] = _derive_clipped(fc, errf_s[lo:hi], 12,
-                                                  bit_depth)
+            coeffs[c], clips[c] = _derive_clipped(GL[c], BL[c], 12)
         else:
-            A = fc @ fc.T
-            b = fc @ errf_s[lo:hi]
-            coeffs[c] = _solve_quantized(A, b, 12)
+            coeffs[c] = _solve_quantized(GL[c], BL[c], 12)
 
     p = AlfParam()
     p.new_filter[0] = 1
@@ -198,40 +234,54 @@ def derive_alf(orig, rec, bit_depth: int, ctu_size: int, lmbda: float,
 
     # ---- chroma: one filter for both components ----
     ctu_c = ctu_size >> 1
-    nch = 12 if nonlinear else 6
-    ucb = _tap_planes(rec[1], _CHROMA_TAPS, ctu_c, True, halves=nonlinear)
-    ucr = _tap_planes(rec[2], _CHROMA_TAPS, ctu_c, True, halves=nonlinear)
-    ec = np.concatenate([(orig[1].astype(np.int64)
-                          - rec[1].astype(np.int64)).reshape(-1),
-                         (orig[2].astype(np.int64)
-                          - rec[2].astype(np.int64)).reshape(-1)])
-    flatc = np.concatenate([ucb.reshape(nch, -1), ucr.reshape(nch, -1)],
-                           axis=1).astype(np.float64)
+    if _native.available():
+        Gcb, Bcb = _native.alf_stats(rec[1], orig[1], bit_depth, ctu_c,
+                                     n_clip=n_clip)
+        Gcr, Bcr = _native.alf_stats(rec[2], orig[2], bit_depth, ctu_c,
+                                     n_clip=n_clip)
+        GC, BC = Gcb[0] + Gcr[0], Bcb[0] + Bcr[0]
+    else:
+        nch = 12 if nonlinear else 6
+        ucb = _tap_planes(rec[1], _CHROMA_TAPS, ctu_c, True,
+                          halves=nonlinear)
+        ucr = _tap_planes(rec[2], _CHROMA_TAPS, ctu_c, True,
+                          halves=nonlinear)
+        ecf = np.concatenate(
+            [(orig[1].astype(np.int64) - rec[1].astype(np.int64)
+              ).reshape(-1),
+             (orig[2].astype(np.int64) - rec[2].astype(np.int64)
+              ).reshape(-1)]).astype(np.float64)
+        flatc = np.concatenate([ucb.reshape(nch, -1),
+                                ucr.reshape(nch, -1)],
+                               axis=1).astype(np.float64)
+        if nonlinear:
+            GC, BC = _clipped_gram_numpy(flatc, ecf, 6, bit_depth)
+        else:
+            GC = flatc @ flatc.T
+            BC = flatc @ ecf
     if nonlinear:
-        ccq, cclip = _derive_clipped(flatc, ec.astype(np.float64), 6,
-                                     bit_depth)
+        ccq, cclip = _derive_clipped(GC, BC, 6)
         # alternative selection: the quantized clipped filter must beat
-        # the quantized LINEAR filter on the actual filtering error,
-        # else keep linear (mirrors the luma alternative gate below)
-        fl = flatc[:6]
-        lq = _solve_quantized(fl @ fl.T, fl @ ec.astype(np.float64), 6)
-        from ..codec.alf import clipping_values as _cv
-        cvals = _cv(bit_depth)
-        d0c, d1c = flatc[:6], flatc[6:]
+        # the quantized LINEAR filter on the filtering error, else keep
+        # linear (mirrors the luma alternative gate below).  The linear
+        # filter solves the clip-0 (unclipped) Gram block; the errors
+        # expand exactly from the Gram: ||e - U^T q/128||^2 =
+        # e'e - 2 q.B/128 + q'Gq/128^2.
+        lq = _solve_quantized(GC[:6, :6], BC[:6], 6)
+        ss_ec = (float(((orig[1].astype(np.int64)
+                         - rec[1].astype(np.int64)) ** 2).sum())
+                 + float(((orig[2].astype(np.int64)
+                           - rec[2].astype(np.int64)) ** 2).sum()))
 
         def _cerr(q, k):
-            cc = np.asarray([np.clip(d0c[g], -cvals[k[g]], cvals[k[g]])
-                             + np.clip(d1c[g], -cvals[k[g]], cvals[k[g]])
-                             for g in range(6)])
-            pred = (q.astype(np.float64) @ cc) / 128.0
-            d = ec.astype(np.float64) - pred
-            return float((d * d).sum())
+            rows = np.asarray(k, np.int64) * 6 + np.arange(6)
+            qf = q.astype(np.float64) / 128.0
+            return (ss_ec - 2.0 * float(qf @ BC[rows])
+                    + float(qf @ GC[np.ix_(rows, rows)] @ qf))
         if _cerr(lq, np.zeros(6, np.int64)) <= _cerr(ccq, cclip):
             ccq, cclip = lq, np.zeros(6, np.int32)
     else:
-        Ac = flatc @ flatc.T
-        bc = flatc @ ec.astype(np.float64)
-        ccq = _solve_quantized(Ac, bc, 6)
+        ccq = _solve_quantized(GC, BC, 6)
         cclip = np.zeros(6, np.int32)
     p.new_filter[1] = 1
     p.num_alts_chroma = 1
@@ -245,13 +295,15 @@ def derive_alf(orig, rec, bit_depth: int, ctu_size: int, lmbda: float,
         # alternatives and RD-picks): keep the clipped set only when it
         # actually filters better than the linear solution — the float
         # training gain does not always survive coefficient quantization
+        # linear per-class filters from the clip-0 (unclipped) Gram
+        # block — rows k=0 of the clipped statistics ARE the linear
+        # statistics since clip value 1<<bit_depth never clips
         lin_coeffs = np.zeros((25, 12), np.int32)
         for c in range(25):
-            m = cmap == c
-            if m.sum() < 64:
+            if counts[c] < 64:
                 continue
-            fc = flat[:12, m]
-            lin_coeffs[c] = _solve_quantized(fc @ fc.T, fc @ errf[m], 12)
+            lin_coeffs[c] = _solve_quantized(GL[c][:12, :12],
+                                             BL[c][:12], 12)
         import copy as _copy
         p_lin = _copy.deepcopy(p)
         p_lin.luma_coeff = lin_coeffs
@@ -284,20 +336,17 @@ def derive_alf(orig, rec, bit_depth: int, ctu_size: int, lmbda: float,
     ctu_alt = np.zeros((2, n_ctus), np.int32)
     flag_cost = lmbda * 2.0  # ~rate of the enable flag + filter idx
     total_gain = 0.0
-    for ry in range(h_ctus):
-        for rx in range(w_ctus):
-            addr = ry * w_ctus + rx
-            for comp in range(3):
-                sc = 1 if comp else 0
-                x0, y0 = (rx * ctu_size) >> sc, (ry * ctu_size) >> sc
-                x1 = min(x0 + (ctu_size >> sc), w >> sc)
-                y1 = min(y0 + (ctu_size >> sc), h >> sc)
-                o = orig[comp][y0:y1, x0:x1].astype(np.int64)
-                d_off = ((o - rec[comp][y0:y1, x0:x1]) ** 2).sum()
-                d_on = ((o - filt[comp][y0:y1, x0:x1]) ** 2).sum()
-                if d_on + flag_cost < d_off:
-                    ctu_flags[comp][addr] = 1
-                    total_gain += float(d_off - d_on) - flag_cost
+    for comp in range(3):
+        sc = 1 if comp else 0
+        bs = ctu_size >> sc
+        d_off = _ctu_block_sums(
+            (orig[comp].astype(np.int64) - rec[comp]) ** 2, bs)
+        d_on = _ctu_block_sums(
+            (orig[comp].astype(np.int64) - filt[comp]) ** 2, bs)
+        on = d_on + flag_cost < d_off
+        ctu_flags[comp] = on.reshape(-1)
+        total_gain += (float((d_off - d_on)[on].sum())
+                       - flag_cost * int(on.sum()))
     enabled = [int(ctu_flags[c].any()) for c in range(3)]
     if not any(enabled):
         return None
@@ -397,17 +446,13 @@ def derive_ccalf(orig, applied, luma_pre, bit_depth: int, ctu_size: int,
         filter_ccalf_region(luma_pre, cand, 0, 0, wc, hc, coeff,
                             bit_depth, ctu_size)
         # per-CTU on/off
-        any_on = False
-        for ry in range(h_ctus):
-            for rx in range(w_ctus):
-                x0, y0 = rx * ctu_c, ry * ctu_c
-                x1, y1 = min(x0 + ctu_c, wc), min(y0 + ctu_c, hc)
-                o = orig[comp][y0:y1, x0:x1].astype(np.int64)
-                d_off = ((o - applied[comp][y0:y1, x0:x1]) ** 2).sum()
-                d_on = ((o - cand[y0:y1, x0:x1]) ** 2).sum()
-                if d_on + lmbda * 2.0 < d_off:
-                    cc_ctrl[cc][ry * w_ctus + rx] = 1  # filter idc 1
-                    any_on = True
+        d_off = _ctu_block_sums(
+            (orig[comp].astype(np.int64) - applied[comp]) ** 2, ctu_c)
+        d_on = _ctu_block_sums(
+            (orig[comp].astype(np.int64) - cand) ** 2, ctu_c)
+        on = d_on + lmbda * 2.0 < d_off
+        cc_ctrl[cc] = on.reshape(-1)  # filter idc 1
+        any_on = bool(on.any())
         if any_on:
             enabled[cc] = 1
             cc_coeff[cc][0] = coeff

@@ -723,6 +723,11 @@ def _alf_setup():
     _LIB.vte_alf_classify.argtypes = [
         _PI32] + [ctypes.c_int] * 4 + [_PI32, _PI32]
     _LIB.vte_alf_classify.restype = None
+    _LIB.vte_alf_stats.argtypes = [
+        _PI32, _PI32] + [ctypes.c_int] * 5 + [_PI32, _PI32,
+                                              ctypes.c_int, ctypes.c_int,
+                                              _PI32, _PI32]
+    _LIB.vte_alf_stats.restype = None
     _ALF_READY = True
     return True
 
@@ -775,6 +780,36 @@ def alf_ccalf(luma, chroma_dst, x0c, y0c, w0c, h0c, coeff, bit_depth,
     co = np.ascontiguousarray(coeff, dtype=np.int32)
     _LIB.vte_alf_ccalf(_i32p(lm), _i32p(chroma_dst), hc, wc, h, w,
                        x0c, y0c, w0c, h0c, _i32p(co), bit_depth, ctu_size)
+
+
+def alf_stats(rec, orig, bit_depth, ctu_size, cls=None, trn=None,
+              n_clip=1):
+    """Per-class clipped-Wiener statistics (encoder/alf_enc.py Gram
+    accumulation as one C++ pass).  Luma when cls/trn given (25 classes,
+    12 transpose-mapped taps), chroma otherwise (1 class, 6 taps).
+    Returns (A [n_classes, n_clip*n_taps, n_clip*n_taps] float64,
+    b [n_classes, n_clip*n_taps] float64), integer-exact."""
+    _alf_setup()
+    h, w = rec.shape
+    r = np.ascontiguousarray(rec, dtype=np.int32)
+    o = np.ascontiguousarray(orig, dtype=np.int32)
+    is_chroma = cls is None
+    n_taps = 6 if is_chroma else 12
+    n_classes = 1 if is_chroma else 25
+    dim = n_clip * n_taps
+    A = np.empty((n_classes, dim, dim), np.float64)
+    b = np.empty((n_classes, dim), np.float64)
+    if is_chroma:
+        cp = tp = 0
+        cls_w = 0
+    else:
+        c = np.ascontiguousarray(cls, dtype=np.int32)
+        t = np.ascontiguousarray(trn, dtype=np.int32)
+        cp, tp, cls_w = _i32p(c), _i32p(t), c.shape[1]
+    _LIB.vte_alf_stats(_i32p(r), _i32p(o), h, w, bit_depth, ctu_size,
+                       1 if is_chroma else 0, cp, tp, cls_w, n_clip,
+                       _i32p(A), _i32p(b))
+    return A, b
 
 
 _DQ_READY = False
