@@ -3788,6 +3788,61 @@ void vte_alf_classify(const int32_t* rec, int h, int w, int bit_depth,
   }
 }
 
+// SAO statistics for one component plane in one pass (encoder/sao_enc.py
+// _picture_stats; the EncSampleAdaptiveOffset getBlkStats /
+// SampleAdaptiveOffsetX86 analog): per-CTU (count, error-sum) for the 4
+// EO classes x 5 categories and the 32 BO bands.  Border samples whose
+// EO neighbours fall outside the picture are excluded per class (the
+// apply_sao_picture valid window); outputs are accumulated (caller
+// zero-initializes).
+void vte_sao_stats(const int32_t* rec, const int32_t* org, int h, int w,
+                   int cs, int n_cols, int bit_depth, int64_t* eo_cnt,
+                   int64_t* eo_err, int64_t* bo_cnt, int64_t* bo_err) {
+  static const int CAT[5] = {1, 2, 0, 3, 4};
+  const int bshift = bit_depth - 5;
+  const int n_ctus_stride = 5;
+  const size_t n_ctus = size_t((h + cs - 1) / cs) * n_cols;
+  auto sgn = [](int64_t v) { return v > 0 ? 1 : (v < 0 ? -1 : 0); };
+  for (int y = 0; y < h; ++y) {
+    const int32_t* r = rec + size_t(y) * w;
+    const int32_t* rm = r - w;  // row above (valid when y >= 1)
+    const int32_t* rp = r + w;  // row below (valid when y < h-1)
+    const int32_t* o = org + size_t(y) * w;
+    const int cy = y / cs;
+    const bool y_in = y >= 1 && y < h - 1;
+    for (int x = 0; x < w; ++x) {
+      const size_t ctu = size_t(cy) * n_cols + x / cs;
+      const int64_t c = r[x];
+      const int64_t d = int64_t(o[x]) - c;
+      bo_cnt[ctu * 32 + (c >> bshift)] += 1;
+      bo_err[ctu * 32 + (c >> bshift)] += d;
+      const bool x_in = x >= 1 && x < w - 1;
+      if (x_in) {  // EO class 0: horizontal
+        int cat = CAT[2 + sgn(c - r[x - 1]) + sgn(c - r[x + 1])];
+        size_t base = (0 * n_ctus + ctu) * n_ctus_stride + cat;
+        eo_cnt[base] += 1;
+        eo_err[base] += d;
+      }
+      if (y_in) {  // EO class 1: vertical
+        int cat = CAT[2 + sgn(c - rm[x]) + sgn(c - rp[x])];
+        size_t base = (1 * n_ctus + ctu) * n_ctus_stride + cat;
+        eo_cnt[base] += 1;
+        eo_err[base] += d;
+      }
+      if (x_in && y_in) {  // EO classes 2 (135 deg) and 3 (45 deg)
+        int cat = CAT[2 + sgn(c - rm[x - 1]) + sgn(c - rp[x + 1])];
+        size_t base = (2 * n_ctus + ctu) * n_ctus_stride + cat;
+        eo_cnt[base] += 1;
+        eo_err[base] += d;
+        cat = CAT[2 + sgn(c - rm[x + 1]) + sgn(c - rp[x - 1])];
+        base = (3 * n_ctus + ctu) * n_ctus_stride + cat;
+        eo_cnt[base] += 1;
+        eo_err[base] += d;
+      }
+    }
+  }
+}
+
 // ALF covariance statistics (encoder/alf_enc.py _tap_planes + per-class
 // Gram accumulation; the EncAdaptiveLoopFilter getBlkStats /
 // AdaptiveLoopFilterX86 accumulator analog).  Emits, per class, the

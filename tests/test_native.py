@@ -405,3 +405,37 @@ def test_native_alf_stats_matches_python():
                 G2, B2 = ae._clipped_gram_numpy(flat, err, 6, bd)
             assert np.array_equal(GN[0], G2), ("chroma", trial, n_clip)
             assert np.array_equal(BN[0], B2), ("chroma", trial, n_clip)
+
+
+def test_native_sao_stats_matches_python():
+    """vte_sao_stats (per-CTU EO/BO statistics) matches the numpy
+    _picture_stats construction (EO categories 1..4; category 0 is
+    border-handling noise in both and unused downstream)."""
+    import vvenc_tpu.encoder.sao_enc as se
+    rng = np.random.RandomState(5)
+    for trial, (h, w, bd, cs) in enumerate(
+            [(120, 208, 8, 64), (68, 100, 10, 32)]):
+        mx = (1 << bd) - 1
+        n_cols = (w + cs - 1) // cs
+        n_rows = (h + cs - 1) // cs
+        y = rng.randint(0, mx + 1, (h, w)).astype(np.int32)
+        rec = {0: y, 1: y[:h // 2, :w // 2], 2: y[h // 2:, :w // 2]}
+        src = {c: np.clip(p + rng.randint(-5, 6, p.shape), 0,
+                          mx).astype(np.int32) for c, p in rec.items()}
+        av = native.available
+        try:
+            native.available = lambda: False
+            eo_py, bo_py = se._picture_stats(src, rec, bd, cs, n_cols,
+                                             n_rows)
+        finally:
+            native.available = av
+        eo_nt, bo_nt = se._picture_stats(src, rec, bd, cs, n_cols, n_rows)
+        for comp in range(3):
+            for ec in range(4):
+                for i in range(2):
+                    assert np.array_equal(eo_py[comp][ec][i][:, 1:5],
+                                          eo_nt[comp][ec][i][:, 1:5]), \
+                        (trial, comp, ec, i)
+            for i in range(2):
+                assert np.array_equal(bo_py[comp][i], bo_nt[comp][i]), \
+                    (trial, comp, i)

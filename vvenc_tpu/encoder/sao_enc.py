@@ -170,6 +170,17 @@ def _picture_stats(src, rec, bit_depth: int, ctu_size: int, n_cols: int,
     n_ctus = n_cols * n_rows
     stats_eo = [[None] * 4 for _ in range(3)]
     stats_bo = [None] * 3
+    from .. import native as _native
+    if _native.available():
+        # one C++ pass per component (vte_sao_stats), identical numbers
+        for comp in range(3):
+            cs_ = ctu_size >> (1 if comp else 0)
+            eo_cnt, eo_err, bo_cnt, bo_err = _native.sao_stats(
+                rec[comp], src[comp], bit_depth, cs_, n_cols, n_rows)
+            for ec in range(4):
+                stats_eo[comp][ec] = (eo_cnt[ec], eo_err[ec])
+            stats_bo[comp] = (bo_cnt, bo_err)
+        return stats_eo, stats_bo
     for comp in range(3):
         sc = 1 if comp else 0
         cs_ = ctu_size >> sc

@@ -728,6 +728,9 @@ def _alf_setup():
                                               ctypes.c_int, ctypes.c_int,
                                               _PI32, _PI32]
     _LIB.vte_alf_stats.restype = None
+    _LIB.vte_sao_stats.argtypes = [
+        _PI32, _PI32] + [ctypes.c_int] * 5 + [_PI64] * 4
+    _LIB.vte_sao_stats.restype = None
     _ALF_READY = True
     return True
 
@@ -780,6 +783,26 @@ def alf_ccalf(luma, chroma_dst, x0c, y0c, w0c, h0c, coeff, bit_depth,
     co = np.ascontiguousarray(coeff, dtype=np.int32)
     _LIB.vte_alf_ccalf(_i32p(lm), _i32p(chroma_dst), hc, wc, h, w,
                        x0c, y0c, w0c, h0c, _i32p(co), bit_depth, ctu_size)
+
+
+def sao_stats(rec, orig, bit_depth, cs, n_cols, n_rows):
+    """Per-CTU SAO statistics for one component plane (encoder/sao_enc.py
+    _picture_stats as one C++ pass): returns (eo_cnt, eo_err
+    [4, n_ctus, 5], bo_cnt, bo_err [n_ctus, 32]) int64.  Category 0 of
+    the EO stats is not meaningful (borders excluded natively)."""
+    _alf_setup()
+    h, w = rec.shape
+    r = np.ascontiguousarray(rec, dtype=np.int32)
+    o = np.ascontiguousarray(orig, dtype=np.int32)
+    n_ctus = n_cols * n_rows
+    eo_cnt = np.zeros((4, n_ctus, 5), np.int64)
+    eo_err = np.zeros((4, n_ctus, 5), np.int64)
+    bo_cnt = np.zeros((n_ctus, 32), np.int64)
+    bo_err = np.zeros((n_ctus, 32), np.int64)
+    _LIB.vte_sao_stats(_i32p(r), _i32p(o), h, w, cs, n_cols, bit_depth,
+                       _i32p(eo_cnt), _i32p(eo_err), _i32p(bo_cnt),
+                       _i32p(bo_err))
+    return eo_cnt, eo_err, bo_cnt, bo_err
 
 
 def alf_stats(rec, orig, bit_depth, ctu_size, cls=None, trn=None,
