@@ -15,6 +15,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <array>
+#include <chrono>
 #include <cstring>
 #include <cmath>
 #include <map>
@@ -2126,6 +2127,20 @@ void vte_cclm_predict(const int32_t* luma, const int32_t* cb,
 
 namespace ctusearch {
 
+// lightweight internal profile (vte_search_prof_get): wall seconds in
+// the luma trial loop, the chroma RD, and everything else
+static double g_prof_luma = 0, g_prof_chroma = 0, g_prof_total = 0;
+struct ProfScope {
+  double* acc;
+  std::chrono::steady_clock::time_point t0;
+  explicit ProfScope(double* a)
+      : acc(a), t0(std::chrono::steady_clock::now()) {}
+  ~ProfScope() {
+    *acc += std::chrono::duration<double>(
+        std::chrono::steady_clock::now() - t0).count();
+  }
+};
+
 constexpr int NUM_CTX_ALL = 512;  // upper bound; actual size passed at init
 constexpr int NO_SPLIT = 0, QT_SPLIT = 1, BT_H = 2, BT_V = 3, TT_H = 4,
               TT_V = 5;
@@ -2306,6 +2321,31 @@ static void region_save(const Pic& p, int x, int y, int size, RegionSnap& s) {
   copy_rect_out(p.ccu_h, p.cw2, hx, hy, hx1, hy1, s.cch);
   copy_rect_out(p.cqt_depth, p.cw2, hx, hy, hx1, hy1, s.cqt);
 }
+// restore only the attribute maps (not the rec planes): commit mode
+// keeps the chosen tree's reconstruction but must leave the maps to the
+// replay, which marks them progressively — the writer's neighbor
+// availability (MPM lists, ctx derivation) may not see CUs that are
+// coded later in the slice scan.
+static void region_restore_maps(Pic& p, const RegionSnap& s) {
+  int x = s.x, y = s.y;
+  int cx = x >> 1, cy = y >> 1, cx1 = (s.x1 + 1) >> 1, cy1 = (s.y1 + 1) >> 1;
+  int ux = x >> 2, uy = y >> 2, ux1 = (s.x1 + 3) >> 2, uy1 = (s.y1 + 3) >> 2;
+  int hx = cx >> 1, hy = cy >> 1, hx1 = (cx1 + 1) >> 1, hy1 = (cy1 + 1) >> 1;
+  (void)cy1;
+  copy_rect_in(p.coded_luma, p.uw, ux, uy, ux1, uy1, s.cl);
+  copy_rect_in(p.coded_chroma, p.cw2, hx, hy, hx1, hy1, s.cc);
+  copy_rect_in(p.intra_mode, p.uw, ux, uy, ux1, uy1, s.imode);
+  copy_rect_in(p.is_intra, p.uw, ux, uy, ux1, uy1, s.ii);
+  copy_rect_in(p.is_mip, p.uw, ux, uy, ux1, uy1, s.im);
+  copy_rect_in(p.cu_w, p.uw, ux, uy, ux1, uy1, s.cuw);
+  copy_rect_in(p.cu_h, p.uw, ux, uy, ux1, uy1, s.cuh);
+  copy_rect_in(p.qt_depth, p.uw, ux, uy, ux1, uy1, s.qtd);
+  copy_rect_in(p.qp_map, p.uw, ux, uy, ux1, uy1, s.qpm);
+  copy_rect_in(p.ccu_w, p.cw2, hx, hy, hx1, hy1, s.ccw);
+  copy_rect_in(p.ccu_h, p.cw2, hx, hy, hx1, hy1, s.cch);
+  copy_rect_in(p.cqt_depth, p.cw2, hx, hy, hx1, hy1, s.cqt);
+}
+
 static void region_restore(Pic& p, const RegionSnap& s) {
   int x = s.x, y = s.y;
   int cx = x >> 1, cy = y >> 1, cx1 = (s.x1 + 1) >> 1, cy1 = (s.y1 + 1) >> 1;
@@ -2749,6 +2789,7 @@ struct Searcher {
 
   // -- chroma mode RD (intra_encoder.py _rd_chroma, no LMCS/JCCR/BDPCM) --
   void rd_chroma(CuRec& cu, const PartInfo& part) {
+    ProfScope _p(&g_prof_chroma);
     int x = cu.x, y = cu.y, w = cu.w, h = cu.h;
     int cx = x >> 1, cy = y >> 1, cw = w >> 1, ch = h >> 1;
     int cW = ps.W >> 1;
@@ -3030,6 +3071,7 @@ struct Searcher {
                             const std::vector<int32_t>& top,
                             const std::vector<int32_t>& left,
                             const int mpm[6], bool lo) {
+    ProfScope _p(&g_prof_luma);
     int x = cu.x, y = cu.y, w = cu.w, h = cu.h;
     int maxval = (1 << pp.bit_depth) - 1;
     int qy = pp.qp_y;
@@ -3335,9 +3377,16 @@ struct Searcher {
       ok = rd_node(ctu_x, ctu_y, pp.ctu_size, pp.ctu_size, p0, r, 1e300);
       if (ok) out = std::move(r.node);
     }
-    region_restore(ps, snap);
+    // commit mode: leave the chosen tree's reconstruction samples in
+    // the picture (the Python replay then skips finish_cu's
+    // re-reconstruction; CuData.recon_done) but restore the attribute
+    // maps — the replay marks those progressively, and the writer's
+    // neighbor availability depends on that ordering.
+    if (commit_state) region_restore_maps(ps, snap);
+    else region_restore(ps, snap);
     return ok;
   }
+  bool commit_state = false;
 };
 
 // ---- serialization -------------------------------------------------------
@@ -3392,6 +3441,12 @@ static void serialize(const Node& n, Writer& w, bool chroma_tree) {
 
 extern "C" {
 
+void vte_search_prof_get(double* out3) {
+  out3[0] = ctusearch::g_prof_luma;
+  out3[1] = ctusearch::g_prof_chroma;
+  out3[2] = ctusearch::g_prof_total;
+}
+
 void vte_search_init(const int32_t* offs) {
   using namespace ctusearch;
   g_soffs.split = offs[0];
@@ -3426,9 +3481,11 @@ int vte_search_ctu(
     int tree_idx, int n_presel, const int32_t* presel_meta,
     const int64_t* presel_ptrs, int n_plan, const int32_t* plan_meta,
     const int64_t* plan_ptrs, int32_t* out_tree, int tree_cap,
-    int32_t* out_coeff, int coeff_cap, int32_t* out_n) {
+    int32_t* out_coeff, int coeff_cap, int32_t* out_n, int commit) {
   using namespace ctusearch;
+  ProfScope _p(&g_prof_total);
   Searcher s;
+  s.commit_state = commit != 0;
   s.ps.W = pic_w;
   s.ps.H = pic_h;
   s.ps.uw = uw;

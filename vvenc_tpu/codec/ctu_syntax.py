@@ -115,6 +115,8 @@ class CuData:
     is_ibc: bool = False             # intra block copy (BV in mv[0])
     luma_only: bool = False          # TREE_L CU of a local dual tree
     chroma_only: bool = False        # TREE_C region chroma CU
+    recon_done: bool = False         # recon staged + maps marked by the
+    #                                  native search; replay skips both
     cclm_allowed: bool = True        # CU::checkCCLMAllowed (dual tree)
     mtb_tus: Optional[list] = None   # implicit max-TB TU tiling: per-TU
                                      # (tx, ty, tw, th, cy, ccb, ccr, joint)
@@ -2330,22 +2332,38 @@ class SyntaxCoder:
             # dequant with the current QG QP (the delta, if any, is always
             # coded before the first residual of the QG)
             self.qp.set_cu_qp(self.cur_qp)
-        if cu.is_inter and self.dmvr_applies(cu):
-            from ..ops.dmvr import dmvr_refine
-            cu.dmvr_deltas, dmvr_bdof = dmvr_refine(
-                self.ref_pics[0][cu.ref_idx[0]][0],
-                self.ref_pics[1][cu.ref_idx[1]][0],
-                cu.x, cu.y, cu.w, cu.h, cu.mv[0], cu.mv[1],
-                self.bit_depth, ps.w, ps.h, self.ctu_size)
-            bdof_g = self.bdof_applies(cu)
-            cu.dmvr_bdof = {k: (v and bdof_g)
-                            for k, v in dmvr_bdof.items()}
-        reconstruct_cu(ps, cu, self.qp, qt_depth, self.bit_depth,
-                       self.ref_pics, comps, self.implicit_mts,
-                       self.ctu_size, self.dq, self.jccr_sign,
-                       bdof=(cu.is_inter and cu.dmvr_deltas is None
-                             and self.bdof_applies(cu)),
-                       coder=self)
+        if cu.recon_done:
+            # the native CTU search (commit mode) already left this CU's
+            # exact reconstruction samples in ps.rec; re-deriving them is
+            # the replay's hottest redundant work.  The attribute maps
+            # are still marked progressively here (identical to
+            # reconstruct_cu's marking) — the writer's neighbor
+            # availability depends on the marking order — and the
+            # motion-field/HMVP updates below still run.
+            if cu.chroma_only:
+                ps.mark_chroma(cu.x, cu.y, cu.w, cu.h, qt_depth)
+            else:
+                ps.mark_cu(cu.x, cu.y, cu.w, cu.h, qt_depth,
+                           dm_luma_mode(cu) if not cu.is_inter else DC,
+                           is_intra=not cu.is_inter, is_mip=cu.mip_flag,
+                           with_chroma=not cu.luma_only, qp=self.qp.qp_y)
+        else:
+            if cu.is_inter and self.dmvr_applies(cu):
+                from ..ops.dmvr import dmvr_refine
+                cu.dmvr_deltas, dmvr_bdof = dmvr_refine(
+                    self.ref_pics[0][cu.ref_idx[0]][0],
+                    self.ref_pics[1][cu.ref_idx[1]][0],
+                    cu.x, cu.y, cu.w, cu.h, cu.mv[0], cu.mv[1],
+                    self.bit_depth, ps.w, ps.h, self.ctu_size)
+                bdof_g = self.bdof_applies(cu)
+                cu.dmvr_bdof = {k: (v and bdof_g)
+                                for k, v in dmvr_bdof.items()}
+            reconstruct_cu(ps, cu, self.qp, qt_depth, self.bit_depth,
+                           self.ref_pics, comps, self.implicit_mts,
+                           self.ctu_size, self.dq, self.jccr_sign,
+                           bdof=(cu.is_inter and cu.dmvr_deltas is None
+                                 and self.bdof_applies(cu)),
+                           coder=self)
         if cu.chroma_only:
             return
         if self.mf is not None:

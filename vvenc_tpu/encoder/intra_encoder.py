@@ -543,7 +543,7 @@ class IntraEncoder:
                 from .lookahead import analyze_intra
                 self.rc.set_lookahead(analyze_intra(frames))
             if cfg.intra_period == 1 and self._plan_prefill_ok():
-                self._prefill_plans(frames, list(range(len(frames))))
+                self._prefill_plans_async(frames, list(range(len(frames))))
             for f in frames:
                 stream += self.encode_frame(f)
                 self.recs_by_poc[self.frames_done - 1] = dict(self.last_rec.rec)
@@ -876,6 +876,37 @@ class IntraEncoder:
                     implicit_mts=implicit_mts)
                 for p, pl in zip(sub, plans):
                     self._plan_bank[p] = pl.tables
+
+    def _prefill_plans_async(self, frames, pocs) -> None:
+        """Pipeline the device RD planning with the host encode: a
+        producer thread runs the frame-batched device calls chunk by
+        chunk while the main thread codes already-planned pictures — the
+        device dispatch + d2h fetch latency overlaps host CTU coding
+        (the GIL is released inside jax waits and the native ctypes
+        calls).  _CtuSearcher._get_plan blocks on the per-picture event
+        before consulting the bank."""
+        import threading
+        evs = {p: threading.Event() for p in pocs}
+        self._plan_ready = evs
+
+        def worker():
+            try:
+                # small first chunk so the main thread starts coding
+                # early; larger chunks amortize the tunnel round-trip
+                c0, chunk = 0, 2
+                while c0 < len(pocs):
+                    sub = pocs[c0:c0 + chunk]
+                    self._prefill_plans(frames, sub, chunk=len(sub))
+                    for p in sub:
+                        evs[p].set()
+                    c0 += chunk
+                    chunk = min(chunk * 2, 8)
+            finally:
+                for e in evs.values():
+                    e.set()  # never deadlock the encode on a device error
+
+        threading.Thread(target=worker, daemon=True,
+                         name="plan-prefill").start()
 
     def _encode_all_intra_parallel(self, frames) -> bytes:
         """Frame-parallel all-intra encode (vvenc maxParallelFrames
@@ -1588,6 +1619,12 @@ class _CtuSearcher:
         frame-batched prefill bank (d2h latency amortized over many
         frames) is consulted first."""
         if getattr(self, "_plan_tab", None) is None:
+            ready = getattr(self.enc, "_plan_ready", None)
+            if ready is not None:
+                ev = ready.get(self.coder.cur_poc)
+                if ev is not None and not ev.is_set():
+                    with PROF.section("device.plan_wait"):
+                        ev.wait()
             banked = self.enc._plan_bank.pop(self.coder.cur_poc, None)
             if banked is not None:
                 from ..ops.intra_plan import _PlanView
@@ -1631,7 +1668,11 @@ class _CtuSearcher:
         if nmode != "0":
             from .. import native
             if native.available() and native.search_eligible(self):
-                node = native.search_ctu(self, x, y, live_ctx)
+                # check mode: the Python golden searcher re-runs on the
+                # same state, so the native call must NOT commit its
+                # recon/marks (the replay reconstructs instead)
+                node = native.search_ctu(self, x, y, live_ctx,
+                                         commit=nmode != "check")
                 if node is not None:
                     if nmode == "check":
                         ref = self._search_ctu_py(x, y, live_ctx)

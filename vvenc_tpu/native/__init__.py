@@ -481,7 +481,7 @@ def _search_setup():
         + [ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
         + [ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
         + [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
-           ctypes.c_void_p])
+           ctypes.c_void_p, ctypes.c_int])
     _LIB.vte_search_ctu.restype = ctypes.c_int
     offs = np.asarray([
         ct.CTX_SETS["SplitFlag"](0), ct.CTX_SETS["SplitQtFlag"](0),
@@ -519,9 +519,15 @@ def search_eligible(searcher) -> bool:
             and searcher.ifp_bottom is None)
 
 
-def search_ctu(searcher, ctu_x: int, ctu_y: int, live_ctx):
+def search_ctu(searcher, ctu_x: int, ctu_y: int, live_ctx, commit=True):
     """Run the native CTU search; returns the TreeNode (same tree the
-    Python searcher produces) or None on native-side failure."""
+    Python searcher produces) or None on native-side failure.
+
+    commit=True leaves the chosen tree's reconstruction + attribute
+    marks in the picture state and flags the CUs recon_done so the
+    writer replay skips finish_cu's re-reconstruction.  Pass False when
+    a Python search will run on the same state afterwards (check
+    mode)."""
     from ..codec.ctu_syntax import (CHROMA_TREE, MODE_INTRA, NO_SPLIT,
                                     TREE_L, CuData, PartInfo, TreeNode,
                                     implicit_split, split_geometry)
@@ -605,7 +611,7 @@ def search_ctu(searcher, ctu_x: int, ctu_y: int, live_ctx):
         len(presel_meta), _i32p(presel_meta), presel_ptrs.ctypes.data,
         len(plan_meta), _i32p(plan_meta), plan_ptrs.ctypes.data,
         _i32p(out_tree), len(out_tree), _i32p(out_coeff), len(out_coeff),
-        out_n.ctypes.data)
+        out_n.ctypes.data, 1 if commit else 0)
     if rc != 0:
         return None
 
@@ -642,6 +648,7 @@ def search_ctu(searcher, ctu_x: int, ctu_y: int, live_ctx):
             return node
         if part.tree_type == CHROMA_TREE:
             cu = CuData(x, y, w, h)
+            cu.recon_done = commit
             cu.chroma_only = True
             cu.luma_mode = tok()
             cu.chroma_dir = tok()
@@ -655,6 +662,7 @@ def search_ctu(searcher, ctu_x: int, ctu_y: int, live_ctx):
             return node
         lo = part.tree_type == TREE_L
         cu = CuData(x, y, w, h, luma_only=lo)
+        cu.recon_done = commit
         cu.luma_mode = tok()
         if tok():
             cu.coeff_y = block(h, w)
