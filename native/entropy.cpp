@@ -2130,6 +2130,8 @@ namespace ctusearch {
 // lightweight internal profile (vte_search_prof_get): wall seconds in
 // the luma trial loop, the chroma RD, and everything else
 static double g_prof_luma = 0, g_prof_chroma = 0, g_prof_total = 0;
+static double g_prof_cpred = 0, g_prof_cclm = 0, g_prof_csatd = 0,
+              g_prof_ctrial = 0;
 struct ProfScope {
   double* acc;
   std::chrono::steady_clock::time_point t0;
@@ -2203,7 +2205,7 @@ struct Params {
   int qp_y, qp_cb, qp_cr, slice_qp_y;
   double lmbda, lmbda_sad;
   int n_full_rd, n_chroma_rd;
-  bool sdh, dual_tree, cclm_en, implicit_mts;
+  bool sdh, dual_tree, cclm_en, implicit_mts, dq;
   int tree_idx;  // 0 for intra-slice luma syntax constraints
 };
 
@@ -2755,10 +2757,10 @@ struct Searcher {
 
   int64_t est_residual_block(const int32_t* coeff, int w, int h,
                              bool is_luma) {
-    int64_t bits = vte_est_residual(coeff, w, h, is_luma ? 1 : 0, 0,
-                                    pp.sdh ? 1 : 0, est.s0.data(),
-                                    est.s1.data(), est.r0.data(),
-                                    est.r1.data());
+    int64_t bits = vte_est_residual(coeff, w, h, is_luma ? 1 : 0,
+                                    pp.dq ? 1 : 0, pp.sdh ? 1 : 0,
+                                    est.s0.data(), est.s1.data(),
+                                    est.r0.data(), est.r1.data());
     est.frac += bits;  // vte_est_residual updates ctx only; the frac-bit
                        // delta is returned (native/__init__.py adds it
                        // the same way on the Python estimator)
@@ -2826,6 +2828,7 @@ struct Searcher {
       }
     // angular preds from chroma references (unit 2, chroma coords)
     std::map<std::pair<int, int>, std::vector<int32_t>> pcache;
+    { ProfScope _pp(&g_prof_cpred);
     for (int comp = 1; comp <= 2; ++comp) {
       std::vector<int32_t> top(2 * cw + 3), left(2 * ch + 3);
       vte_build_refs(ps.rec[comp], ps.H >> 1, cW, cx, cy, cw, ch,
@@ -2839,11 +2842,13 @@ struct Searcher {
         pcache[{comp, m}] = std::move(pr);
       }
     }
+    }
     std::vector<int> lm_modes;
     for (int c : cands)
       if (c >= LM_CHROMA && c <= MDLM_T) lm_modes.push_back(c);
     std::vector<int32_t> lm_preds;
     if (!lm_modes.empty()) {
+      ProfScope _pp(&g_prof_cclm);
       lm_preds.resize(size_t(lm_modes.size()) * 2 * ch * cw);
       std::vector<int32_t> mm(lm_modes.begin(), lm_modes.end());
       vte_cclm_predict(ps.rec[0], ps.rec[1], ps.rec[2], ps.H, ps.W,
@@ -2865,6 +2870,7 @@ struct Searcher {
     // SATD/SAD preselection to the strongest n_chroma_rd (DM always kept)
     int n_ch = pp.n_chroma_rd;
     if (n_ch && int(cands.size()) > n_ch) {
+      ProfScope _pp(&g_prof_csatd);
       bool use_satd = (cw % 4 == 0) && (ch % 4 == 0);
       std::vector<std::pair<int64_t, int>> scored;
       for (int c : cands) {
@@ -2908,6 +2914,7 @@ struct Searcher {
     int best_dir = -1;
     std::vector<int32_t> best_cb, best_cr, best_rec_cb, best_rec_cr;
     std::vector<int32_t> tcoeff(size_t(ch) * cw), trec(size_t(ch) * cw);
+    ProfScope _pt(&g_prof_ctrial);
     for (int cdir : cands) {
       cu.chroma_dir = cdir;
       double dist = 0;
@@ -2926,7 +2933,7 @@ struct Searcher {
                                TR_DCT2, qc, pp.bit_depth, 0, pp.lmbda,
                                cbf_ctx, pp.sdh ? 1 : 0, est.s0.data(),
                                est.s1.data(), tcoeff.data(), trec.data(),
-                               &d, 0);
+                               &d, pp.dq ? 1 : 0);
         dist += double(d);
         if (comp == 1) {
           if (cbf) ccb = tcoeff;
@@ -3008,6 +3015,14 @@ struct Searcher {
                                   mpm, lo);
       }
     }
+    // EncModeCtrl save/load cache (intra_encoder.py mode_cache): a CU
+    // area revisited under a different parent split order re-trials the
+    // previous visit's winner list instead of re-running the SATD sweep
+    std::array<int, 5> ck{x, y, w, h, int(part.tree_type)};
+    auto cit = mode_cache.find(ck);
+    if (cit != mode_cache.end())
+      return rd_cu_intra_trials(cu, part, cit->second, src_y, top, left,
+                                mpm, lo);
     const int32_t* tab = presel_lookup(x, y, w, h);
     if (tab) {
       cand.resize(N_MODES);
@@ -3059,8 +3074,18 @@ struct Searcher {
     bool has_planar = false;
     for (int m : full_modes) has_planar |= m == PLANAR;
     if (!has_planar) full_modes.push_back(PLANAR);
-    return rd_cu_intra_trials(cu, part, full_modes, src_y, top, left, mpm,
-                              lo);
+    double cu_cost = rd_cu_intra_trials(cu, part, full_modes, src_y, top,
+                                        left, mpm, lo);
+    // store winner + strongest runners-up (<= 3 entries, python parity)
+    std::vector<int> ent = {cu.luma_mode};
+    for (int m : full_modes) {
+      bool seen = false;
+      for (int e : ent) seen |= e == m;
+      if (!seen) ent.push_back(m);
+      if (int(ent.size()) >= 3) break;
+    }
+    mode_cache[ck] = std::move(ent);
+    return cu_cost;
   }
 
   // exact closed-loop trials of a decided mode list + the CU tail
@@ -3101,7 +3126,7 @@ struct Searcher {
                              th_i, tv_i, qy, pp.bit_depth, 1, pp.lmbda,
                              g_soffs.cbf_y, pp.sdh ? 1 : 0, est.s0.data(),
                              est.s1.data(), tcoeff.data(), trec.data(), &d,
-                             0);
+                             pp.dq ? 1 : 0);
       // trial tail: estimate luma bits against the entry snapshot
       est_load(est, est_snap);
       int64_t b0 = est.frac;
@@ -3157,6 +3182,14 @@ struct Searcher {
     // identical samples in the Python path)
     ps.mark_cu(x, y, w, h, part.qt_depth, cu.luma_mode, true, false, !lo,
                pp.slice_qp_y);
+    if (const char* fp = getenv("VTE_DEBUG_EST")) {
+      FILE* f = fopen(fp, "a");
+      if (f) {
+        fprintf(f, "cu %d %d %d %d mode %d frac %lld\n", x, y, w, h,
+                cu.luma_mode, (long long)est.frac);
+        fclose(f);
+      }
+    }
     double dist = 0;
     for (int i = 0; i < h; ++i)
       for (int j = 0; j < w; ++j) {
@@ -3387,6 +3420,8 @@ struct Searcher {
     return ok;
   }
   bool commit_state = false;
+  // EncModeCtrl save/load cache: (x, y, w, h, tree_type) -> mode list
+  std::map<std::array<int, 5>, std::vector<int>> mode_cache;
 };
 
 // ---- serialization -------------------------------------------------------
@@ -3445,6 +3480,10 @@ void vte_search_prof_get(double* out3) {
   out3[0] = ctusearch::g_prof_luma;
   out3[1] = ctusearch::g_prof_chroma;
   out3[2] = ctusearch::g_prof_total;
+  out3[3] = ctusearch::g_prof_cpred;
+  out3[4] = ctusearch::g_prof_cclm;
+  out3[5] = ctusearch::g_prof_csatd;
+  out3[6] = ctusearch::g_prof_ctrial;
 }
 
 void vte_search_init(const int32_t* offs) {
@@ -3481,7 +3520,8 @@ int vte_search_ctu(
     int tree_idx, int n_presel, const int32_t* presel_meta,
     const int64_t* presel_ptrs, int n_plan, const int32_t* plan_meta,
     const int64_t* plan_ptrs, int32_t* out_tree, int tree_cap,
-    int32_t* out_coeff, int coeff_cap, int32_t* out_n, int commit) {
+    int32_t* out_coeff, int coeff_cap, int32_t* out_n, int commit,
+    int dep_quant) {
   using namespace ctusearch;
   ProfScope _p(&g_prof_total);
   Searcher s;
@@ -3534,6 +3574,7 @@ int vte_search_ctu(
   p.dual_tree = dual_tree != 0;
   p.cclm_en = cclm_en != 0;
   p.implicit_mts = implicit_mts != 0;
+  p.dq = dep_quant != 0;
   p.tree_idx = tree_idx;
   s.est.init(live_s0, live_s1, live_r0, live_r1, g_soffs.num_ctx);
   for (int i = 0; i < n_presel; ++i) {

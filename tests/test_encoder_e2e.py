@@ -691,10 +691,13 @@ def test_ctu128_encoder_roundtrip():
     assert mtb[0] > 0, ">maxTB TU tiling never engaged"
 
 
-def test_mode_cache_roundtrip_and_hits():
+def test_mode_cache_roundtrip_and_hits(monkeypatch):
     """EncModeCtrl save/load cache: revisited areas (MTT reshuffles) skip
     the mode re-sweep; the encode must still round-trip bit-exactly and
-    the cache must actually be consulted."""
+    the cache must actually be consulted.  Forces the Python searcher —
+    the native driver covers MTT configs too now (with its own C++ twin
+    of this cache, pinned by tests/test_native_search.py)."""
+    monkeypatch.setenv("VVENC_TPU_NATIVE_SEARCH", "0")
     from vvenc_tpu.encoder import intra_encoder as ie
     w, h = 96, 64
     y, u, v = _synth_frame(w, h, t=1)

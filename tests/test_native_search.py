@@ -92,3 +92,24 @@ def test_native_eligibility_gates():
     finally:
         native.search_ctu = orig
     assert calls["n"] == 0, "native search must not run with LFNST on"
+
+
+def test_mtt_partitioning_matches_python():
+    """BT/TT partitioning to MTT depth 3 (incl. the C++ twin of the
+    EncModeCtrl save/load mode cache, whose reuse ordering is decision-
+    visible on area revisits) is bit-exact vs the Python searcher."""
+    for mtt, ctu, qp in ((1, 64, 30), (2, 64, 24), (3, 64, 30),
+                         (2, 128, 34)):
+        _run(dict(width=128, height=96, qp=qp, ctu_size=ctu,
+                  deblocking=True, cclm=True, max_mtt_depth=mtt,
+                  dual_tree=True), seed=mtt * 7 + qp)
+
+
+def test_dep_quant_matches_python():
+    """Dependent quantization (native trellis) inside the CTU search,
+    with and without MTT, is bit-exact vs the Python searcher."""
+    for mtt, qp in ((0, 24), (0, 34), (2, 30)):
+        _run(dict(width=128, height=96, qp=qp, ctu_size=64,
+                  deblocking=True, cclm=True, max_mtt_depth=mtt,
+                  dual_tree=True, dep_quant=True,
+                  sign_data_hiding=False), seed=mtt + qp)

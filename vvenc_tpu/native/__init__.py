@@ -481,7 +481,7 @@ def _search_setup():
         + [ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
         + [ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
         + [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
-           ctypes.c_void_p, ctypes.c_int])
+           ctypes.c_void_p, ctypes.c_int, ctypes.c_int])
     _LIB.vte_search_ctu.restype = ctypes.c_int
     offs = np.asarray([
         ct.CTX_SETS["SplitFlag"](0), ct.CTX_SETS["SplitQtFlag"](0),
@@ -499,23 +499,23 @@ def _search_setup():
 
 def search_eligible(searcher) -> bool:
     """True when the native driver covers this picture's tool set
-    (the v1 scope: intra slice, RDOQ without trellis, no MIP/MRL/ISP/
-    LFNST/explicit-MTS/TS/BDPCM/IBC/JCCR/LMCS/DQP/tiles, luma MTT off
-    — the faster/firstpass preset intra path)."""
+    (intra slice, RDOQ without trellis, QT+BT+TT partitioning to any
+    MTT depth, no MIP/MRL/ISP/LFNST/explicit-MTS/TS/BDPCM/IBC/JCCR/
+    LMCS/DQP/tiles — the faster/firstpass preset intra tool set at any
+    partition config)."""
     if _LIB is None or not _search_setup():
         return False
     coder, cfg, sps = searcher.coder, searcher.cfg, searcher.enc.sps
     ps = searcher.ps
     return (coder.is_intra_slice
             and not getattr(searcher.enc, "trial_filter", None)
-            and bool(cfg.rdoq) and not cfg.dep_quant
+            and bool(cfg.rdoq or cfg.dep_quant)
             and not sps.mip and not sps.mrl and not sps.isp
             and not sps.lfnst and not sps.mts_intra
             and not sps.transform_skip and not getattr(sps, "bdpcm", 0)
             and not coder.ibc_en and not coder.bdpcm_en and not coder.jccr
             and coder.reshape is None and not coder.use_dqp
             and ps.tile_map is None
-            and sps.max_mtt_depth[0] == 0
             and searcher.ifp_bottom is None)
 
 
@@ -587,7 +587,7 @@ def search_ctu(searcher, ctu_x: int, ctu_y: int, live_ctx, commit=True):
     def b8(a):
         return a.view(np.uint8) if a.dtype == np.bool_ else a
 
-    rc = _LIB.vte_search_ctu(
+    args = (
         ps.w, ps.h, cfg.bit_depth, ctu_x, ctu_y, cfg.ctu_size,
         _i32p(ps.rec[0]), _i32p(ps.rec[1]), _i32p(ps.rec[2]),
         _i32p(src[0]), _i32p(src[1]), _i32p(src[2]),
@@ -611,7 +611,15 @@ def search_ctu(searcher, ctu_x: int, ctu_y: int, live_ctx, commit=True):
         len(presel_meta), _i32p(presel_meta), presel_ptrs.ctypes.data,
         len(plan_meta), _i32p(plan_meta), plan_ptrs.ctypes.data,
         _i32p(out_tree), len(out_tree), _i32p(out_coeff), len(out_coeff),
-        out_n.ctypes.data, 1 if commit else 0)
+        out_n.ctypes.data, 1 if commit else 0,
+        1 if cfg.dep_quant else 0)
+    try:
+        rc = _LIB.vte_search_ctu(*args)
+    except ctypes.ArgumentError:
+        for _i, _a in enumerate(args):
+            print('arg', _i + 1, type(_a), repr(_a)[:60])
+        raise
+
     if rc != 0:
         return None
 
