@@ -2125,6 +2125,138 @@ void vte_cclm_predict(const int32_t* luma, const int32_t* cb,
 // TS/BDPCM/IBC/JCCR, no LMCS, no per-CU DQP, no tiles.
 // ===========================================================================
 
+extern "C" {
+void vte_predict_mip(const int32_t* top, const int32_t* left, int w, int h,
+                     int mode, int transposed, int bit_depth, int32_t* out);
+void vte_predict_mip_all(const int32_t* top, const int32_t* left, int w,
+                         int h, int bit_depth, int32_t* out);
+}
+
+// ---------------------------------------------------------------------------
+// LFNST kernels (ops/lfnst.py port; matrices registered from the npz ROM)
+// ---------------------------------------------------------------------------
+namespace lfnstk {
+
+constexpr int VDIA = 66, NUM_LUMA = 67, NUM_EXT = 28, DIA = 34;
+static int32_t FWD8[4][2][16][48];
+static int32_t FWD4[4][2][16][16];
+static int32_t LUT[95];
+static bool ready = false;
+static const int MODE_SHIFT[6] = {0, 6, 10, 12, 14, 15};
+
+static inline int ilog2(int v) {
+  int n = 0;
+  while (v > 1) { ++n; v >>= 1; }
+  return n;
+}
+
+// wide-angle extended mode for set selection (xGetLFNSTIntraMode)
+static int ext_mode(int w, int h, int dir) {
+  if (dir < 2) return dir;
+  int lw = ilog2(w), lh = ilog2(h);
+  if (w > h && dir < 2 + MODE_SHIFT[lw - lh])
+    return dir + (VDIA - 1) + (NUM_EXT >> 1);
+  if (h > w && dir > VDIA - MODE_SHIFT[lh - lw])
+    return dir - (VDIA + 1) + (NUM_EXT >> 1) + NUM_LUMA;
+  return dir;
+}
+
+static bool transpose_flag(int ext) {
+  return (ext >= NUM_LUMA && ext >= NUM_LUMA + (NUM_EXT >> 1)) ||
+         (ext < NUM_LUMA && ext > DIA);
+}
+
+// LFNST sample-vector positions in vector order (ops/lfnst.py
+// _region_coords)
+static int region_coords(int sb, bool tr, int* ys, int* xs) {
+  int n = 0;
+  if (!tr) {
+    for (int y = 0; y < sb; ++y) {
+      int stride = y < 4 ? sb : 4;
+      for (int x = 0; x < stride; ++x) { ys[n] = y; xs[n] = x; ++n; }
+    }
+  } else if (sb == 4) {
+    for (int x = 0; x < 4; ++x)
+      for (int y = 0; y < 4; ++y) { ys[n] = y; xs[n] = x; ++n; }
+  } else {
+    for (int x = 0; x < 4; ++x)
+      for (int y = 0; y < 8; ++y) { ys[n] = y; xs[n] = x; ++n; }
+    for (int x = 4; x < 8; ++x)
+      for (int y = 0; y < 4; ++y) { ys[n] = y; xs[n] = x; ++n; }
+  }
+  return n;
+}
+
+struct Par {
+  bool tr;
+  int sb, nonzero, cols;
+  const int32_t* mat;  // [16][cols]
+};
+
+static Par params(int w, int h, int mode, int idx, int mw, int mh) {
+  Par p;
+  int ext = ext_mode(mw, mh, mode);
+  int tset = LUT[ext];
+  p.tr = transpose_flag(ext);
+  p.sb = (w >= 8 && h >= 8) ? 8 : 4;
+  p.nonzero = ((w == 4 && h == 4) || (w == 8 && h == 8)) ? 8 : 16;
+  p.cols = p.sb == 8 ? 48 : 16;
+  p.mat = p.sb == 8 ? &FWD8[tset][idx - 1][0][0] : &FWD4[tset][idx - 1][0][0];
+  return p;
+}
+
+// forward LFNST in place (caller guarantees zeros outside the region)
+static void fwd(int32_t* c, int w, int h, int mode, int idx,
+                const std::vector<int>& sx, const std::vector<int>& sy) {
+  Par p = params(w, h, mode, idx, w, h);
+  int ys[48], xs[48];
+  int n = region_coords(p.sb, p.tr, ys, xs);
+  int64_t src[48], out_v[16];
+  for (int i = 0; i < n; ++i) src[i] = c[ys[i] * w + xs[i]];
+  for (int i = 0; i < 16; ++i) {
+    int64_t acc = 0;
+    for (int j = 0; j < n; ++j) acc += int64_t(p.mat[i * p.cols + j]) * src[j];
+    out_v[i] = (acc + 64) >> 7;
+  }
+  int zn = region_coords(p.sb, false, ys, xs);
+  for (int i = 0; i < zn; ++i) c[ys[i] * w + xs[i]] = 0;
+  int nz = p.nonzero < 16 ? p.nonzero : 16;
+  for (int i = 0; i < nz; ++i) c[sy[i] * w + sx[i]] = int32_t(out_v[i]);
+}
+
+// inverse LFNST in place
+static void inv(int32_t* c, int w, int h, int mode, int idx, int mw, int mh,
+                const std::vector<int>& sx, const std::vector<int>& sy) {
+  Par p = params(w, h, mode, idx, mw, mh);
+  int ys[48], xs[48];
+  int64_t src[16], out_v[48];
+  for (int i = 0; i < p.nonzero; ++i) src[i] = c[sy[i] * w + sx[i]];
+  int n = region_coords(p.sb, p.tr, ys, xs);
+  for (int j = 0; j < n; ++j) {
+    int64_t acc = 0;
+    for (int i = 0; i < p.nonzero; ++i)
+      acc += int64_t(p.mat[i * p.cols + j]) * src[i];
+    acc = (acc + 64) >> 7;
+    if (acc < -(int64_t(1) << 15)) acc = -(int64_t(1) << 15);
+    if (acc > (int64_t(1) << 15) - 1) acc = (int64_t(1) << 15) - 1;
+    out_v[j] = acc;
+  }
+  int zn = region_coords(p.sb, false, ys, xs);
+  for (int i = 0; i < zn; ++i) c[ys[i] * w + xs[i]] = 0;
+  region_coords(p.sb, p.tr, ys, xs);
+  for (int i = 0; i < n; ++i) c[ys[i] * w + xs[i]] = int32_t(out_v[i]);
+}
+
+}  // namespace lfnstk
+
+extern "C" void vte_lfnst_init(const int32_t* fwd8, const int32_t* fwd4,
+                               const int32_t* lut) {
+  std::memcpy(lfnstk::FWD8, fwd8, sizeof(lfnstk::FWD8));
+  std::memcpy(lfnstk::FWD4, fwd4, sizeof(lfnstk::FWD4));
+  std::memcpy(lfnstk::LUT, lut, sizeof(lfnstk::LUT));
+  lfnstk::ready = true;
+}
+
 namespace ctusearch {
 
 // lightweight internal profile (vte_search_prof_get): wall seconds in
@@ -2159,7 +2291,7 @@ constexpr int TR_DCT2 = 0, TR_DST7 = 2;
 // context-set offsets, installed from Python (vte_search_init)
 struct SOffs {
   int split, qt, hv, h12, mpm_flag, planar_flag, chroma_mode, cclm_flag,
-      cclm_idx, cbf_y, cbf_cb, cbf_cr;
+      cclm_idx, cbf_y, cbf_cb, cbf_cr, mip_flag, mrl_idx, lfnst;
   int num_ctx;
 };
 SOffs g_soffs;
@@ -2205,7 +2337,8 @@ struct Params {
   int qp_y, qp_cb, qp_cr, slice_qp_y;
   double lmbda, lmbda_sad;
   int n_full_rd, n_chroma_rd;
-  bool sdh, dual_tree, cclm_en, implicit_mts, dq;
+  bool sdh, dual_tree, cclm_en, implicit_mts, dq, mip_en, mrl_en,
+      lfnst_en;
   int tree_idx;  // 0 for intra-slice luma syntax constraints
 };
 
@@ -2669,8 +2802,38 @@ struct CuRec {
   int chroma_dir = DM_CHROMA;
   bool luma_only = false, chroma_only = false;
   bool cclm_allowed = true;
+  bool mip_flag = false, mip_t = false;  // matrix intra prediction
+  int ref_line = 0;                       // multi-reference-line index
+  int lfnst_idx = 0;                      // secondary transform index
   std::vector<int32_t> coeff_y, coeff_cb, coeff_cr;  // empty = no cbf
 };
+
+// one full-RD trial entry (intra_encoder.py full_modes tuples)
+struct TrialMode {
+  int mode = PLANAR;
+  bool mip = false, mip_t = false;
+  int ref_line = 0;
+  bool operator==(const TrialMode& o) const {
+    return mode == o.mode && mip == o.mip && mip_t == o.mip_t &&
+           ref_line == o.ref_line;
+  }
+};
+
+// MIP size classes (ops/mip.py mip_size_id / num_mip_modes)
+static inline int mip_size_id(int w, int h) {
+  if (w == 4 && h == 4) return 0;
+  if (w == 4 || h == 4 || (w == 8 && h == 8)) return 1;
+  return 2;
+}
+static inline int num_mip_modes(int w, int h) {
+  static const int N[3] = {16, 8, 6};
+  return N[mip_size_id(w, h)];
+}
+static inline int bit_length(int v) {
+  int n = 0;
+  while (v) { ++n; v >>= 1; }
+  return n;
+}
 struct Node {
   int x, y, w, h, split_mode = NO_SPLIT;
   std::vector<Node> children;
@@ -2716,14 +2879,80 @@ struct Searcher {
 
   // -- luma syntax estimation (intra_encoder.py _est_cu_luma_syntax,
   //    MIP/MRL off) --
+  // last significant scan position (ctu_syntax.py scan_pos_last)
+  static int scan_last(const std::vector<int32_t>& c, int w, int h) {
+    if (c.empty()) return -1;
+    const ScanInfo& si = scan_info(bit_length(w) - 1, bit_length(h) - 1);
+    int last = -1;
+    for (size_t i = 0; i < si.sx.size(); ++i)
+      if (c[size_t(si.sy[i]) * w + si.sx[i]]) last = int(i);
+    return last;
+  }
+
+  // LFNST index bins (ctu_syntax.py _code_lfnst_mts estimator path,
+  // gated by _lfnst_allowed + _residual_tool_stats over the CU's TBs)
+  void est_lfnst_bits(const CuRec& cu) {
+    if (!pp.lfnst_en) return;
+    if (cu.mip_flag && !(cu.w >= 16 && cu.h >= 16)) return;
+    if (cu.chroma_only && std::min(cu.w >> 1, cu.h >> 1) < 4) return;
+    if (cu.w > 64 || cu.h > 64) return;
+    bool viol = false, lf_last = false;
+    auto acc = [&](const std::vector<int32_t>& c, int tw, int th) {
+      if (c.empty()) return;
+      int last = scan_last(c, tw, th);
+      if (last < 0) return;
+      if (tw >= 4 && th >= 4) {
+        int maxpos = ((tw == 4 && th == 4) || (tw == 8 && th == 8)) ? 7
+                                                                    : 15;
+        if (last > maxpos) viol = true;
+        if (last >= 1) lf_last = true;
+      }
+    };
+    if (!cu.chroma_only) acc(cu.coeff_y, cu.w, cu.h);
+    if (!cu.luma_only) {
+      acc(cu.coeff_cb, cu.w >> 1, cu.h >> 1);
+      acc(cu.coeff_cr, cu.w >> 1, cu.h >> 1);
+    }
+    if (!(lf_last && !viol)) return;
+    int cctx = (cu.luma_only || cu.chroma_only) ? 1 : 0;
+    est.bin(cu.lfnst_idx ? 1 : 0, g_soffs.lfnst + cctx);
+    if (cu.lfnst_idx) est.bin(cu.lfnst_idx - 1, g_soffs.lfnst + 2);
+  }
+
+  // vvenc DeriveCtx::CtxMipFlag (ctu_syntax.py mip_flag_ctx)
+  int mip_flag_ctx(int x, int y, int w, int h) const {
+    if (w > 2 * h || h > 2 * w) return 3;
+    int ctx = 0;
+    Pic::CuInfo ci;
+    if (ps.cu_at(x - 1, y, ci) && ci.is_mip) ctx += 1;
+    if (ps.cu_at(x, y - 1, ci) && ci.is_mip) ctx += 1;
+    return ctx;
+  }
+
   void est_cu_luma_syntax(const CuRec& cu, const int mpm[6]) {
+    if (pp.mip_en) {
+      est.bin(cu.mip_flag ? 1 : 0,
+              g_soffs.mip_flag + mip_flag_ctx(cu.x, cu.y, cu.w, cu.h));
+      if (cu.mip_flag) {
+        est.ep(1);  // transposed flag
+        est.ep(bit_length(num_mip_modes(cu.w, cu.h)) - 1);  // truncbin
+        return;
+      }
+    }
+    if (pp.mrl_en && (cu.y % pp.ctu_size) != 0) {
+      est.bin(cu.ref_line ? 1 : 0, g_soffs.mrl_idx);
+      if (cu.ref_line)
+        est.bin(cu.ref_line != 1 ? 1 : 0, g_soffs.mrl_idx + 1);
+    }
     int mode = cu.luma_mode;
     int mpm_idx = 6;
     for (int i = 0; i < 6; ++i)
       if (mpm[i] == mode) { mpm_idx = i; break; }
-    est.bin(mpm_idx < 6 ? 1 : 0, g_soffs.mpm_flag);
+    if (cu.ref_line == 0)
+      est.bin(mpm_idx < 6 ? 1 : 0, g_soffs.mpm_flag);
     if (mpm_idx < 6) {
-      est.bin(mpm_idx > 0 ? 1 : 0, g_soffs.planar_flag + 1);
+      if (cu.ref_line == 0)
+        est.bin(mpm_idx > 0 ? 1 : 0, g_soffs.planar_flag + 1);
       for (int t = 1; t < 5; ++t)
         if (mpm_idx >= t) est.ep(1);
     } else {
@@ -2803,7 +3032,7 @@ struct Searcher {
         src_cb[size_t(i) * cw + j] = ps.src[1][size_t(cy + i) * cW + cx + j];
         src_cr[size_t(i) * cw + j] = ps.src[2][size_t(cy + i) * cW + cx + j];
       }
-    int dm = cu.luma_mode;  // dm_luma_mode: MIP off
+    int dm = cu.mip_flag ? PLANAR : cu.luma_mode;  // dm_luma_mode
     std::vector<int> cands = {DM_CHROMA};
     if (pp.cclm_en) {
       cands.push_back(LM_CHROMA);
@@ -3001,7 +3230,7 @@ struct Searcher {
         if (mpm[i] == m) { mode_bits = 1.5 + i; break; }
       return double(satd) + pp.lmbda_sad * mode_bits;
     };
-    struct Cand { double cost; int mode; };
+    struct Cand { double cost; TrialMode tm; };
     std::vector<Cand> cand;
     // device RD plan: trial ONLY the shortlisted modes (the device
     // already ran predict+transform+quant+recon trials for all blocks
@@ -3009,8 +3238,8 @@ struct Searcher {
     if (lo || !pp.dual_tree) {
       const int32_t* prow = plan_lookup(x, y, w, h);
       if (prow) {
-        std::vector<int> full_modes = {prow[0]};
-        if (prow[1] != prow[0]) full_modes.push_back(prow[1]);
+        std::vector<TrialMode> full_modes = {TrialMode{prow[0]}};
+        if (prow[1] != prow[0]) full_modes.push_back(TrialMode{prow[1]});
         return rd_cu_intra_trials(cu, part, full_modes, src_y, top, left,
                                   mpm, lo);
       }
@@ -3027,7 +3256,7 @@ struct Searcher {
     if (tab) {
       cand.resize(N_MODES);
       for (int m = 0; m < N_MODES; ++m)
-        cand[m] = {mode_cost(m, tab[m]), m};
+        cand[m] = {mode_cost(m, tab[m]), TrialMode{m}};
     } else {
       std::vector<int32_t> s0 = {0, 1};
       for (int m = 2; m < N_MODES; m += 2) s0.push_back(m);
@@ -3037,7 +3266,7 @@ struct Searcher {
                       int(s0.size()), w, h, pp.bit_depth, 1, 0,
                       sat0.data());
       for (size_t i = 0; i < s0.size(); ++i)
-        cand.push_back({mode_cost(s0[i], sat0[i]), s0[i]});
+        cand.push_back({mode_cost(s0[i], sat0[i]), TrialMode{s0[i]}});
       std::vector<Cand> order0 = cand;
       std::stable_sort(order0.begin(), order0.end(),
                        [](const Cand& a, const Cand& b) {
@@ -3046,7 +3275,7 @@ struct Searcher {
       std::vector<int32_t> refine;
       int top_k = std::min<int>(pp.n_full_rd + 1, int(order0.size()));
       for (int i = 0; i < top_k; ++i) {
-        int m = order0[i].mode;
+        int m = order0[i].tm.mode;
         if (m < 2) continue;
         for (int nb : {m - 1, m + 1}) {
           if (nb >= 3 && nb <= 65 && (nb & 1) &&
@@ -3061,27 +3290,65 @@ struct Searcher {
                         int(refine.size()), w, h, pp.bit_depth, 1, 0,
                         sat1.data());
         for (size_t i = 0; i < refine.size(); ++i)
-          cand.push_back({mode_cost(refine[i], sat1[i]), refine[i]});
+          cand.push_back({mode_cost(refine[i], sat1[i]),
+                          TrialMode{refine[i]}});
+      }
+    }
+    // MIP candidates (intra_encoder.py sps.mip block): all
+    // (mode, transpose) pairs SATD-scored with a flat mode-bits term
+    if (pp.mip_en) {
+      int n_mip = num_mip_modes(w, h);
+      double mip_bits = 2.0 + bit_length(n_mip) - 1;
+      std::vector<int32_t> mp(size_t(n_mip) * 2 * h * w);
+      vte_predict_mip_all(top.data() + 1, left.data() + 1, w, h,
+                          pp.bit_depth, mp.data());
+      for (int m = 0; m < n_mip; ++m)
+        for (int t = 0; t < 2; ++t) {
+          const int32_t* pr = mp.data() + (size_t(m) * 2 + t) * h * w;
+          int64_t sat = satd::block(src_y.data(), pr, w, h);
+          cand.push_back({double(sat) + pp.lmbda_sad * mip_bits,
+                          TrialMode{m, true, t != 0, 0}});
+        }
+    }
+    // MRL candidates: reference lines 1/2, MPM modes 1..5 except planar
+    if (pp.mrl_en && (y % pp.ctu_size) != 0) {
+      for (int line = 1; line <= 2; ++line) {
+        std::vector<int32_t> t2(2 * w + line + 3), l2(2 * h + line + 3);
+        vte_build_refs(ps.rec[0], ps.H, ps.W, x, y, w, h, ps.coded_luma,
+                       ps.uh, ps.uw, 4, pp.bit_depth, line, -1, -1,
+                       t2.data(), l2.data());
+        std::vector<int32_t> pr(size_t(h) * w);
+        for (int mi = 1; mi < 6; ++mi) {
+          if (mpm[mi] == PLANAR) continue;
+          intra::predict(t2.data(), int(t2.size()), l2.data(),
+                         int(l2.size()), mpm[mi], w, h, pp.bit_depth,
+                         true, line, -1, -1, false, -1, pr.data());
+          int64_t sat = satd::block(src_y.data(), pr.data(), w, h);
+          cand.push_back({double(sat) + pp.lmbda_sad * (2.5 + mi),
+                          TrialMode{mpm[mi], false, false, line}});
+        }
       }
     }
     std::stable_sort(cand.begin(), cand.end(),
                      [](const Cand& a, const Cand& b) {
                        return a.cost < b.cost;
                      });
-    int n_full = std::min(pp.n_full_rd, N_MODES);
-    std::vector<int> full_modes;
-    for (int i = 0; i < n_full; ++i) full_modes.push_back(cand[i].mode);
+    int n_full = std::min(pp.n_full_rd, int(cand.size()));
+    std::vector<TrialMode> full_modes;
+    for (int i = 0; i < n_full; ++i) full_modes.push_back(cand[i].tm);
     bool has_planar = false;
-    for (int m : full_modes) has_planar |= m == PLANAR;
-    if (!has_planar) full_modes.push_back(PLANAR);
+    for (const TrialMode& t : full_modes)
+      has_planar |= t.mode == PLANAR && !t.mip && t.ref_line == 0;
+    if (!has_planar) full_modes.push_back(TrialMode{PLANAR});
     double cu_cost = rd_cu_intra_trials(cu, part, full_modes, src_y, top,
                                         left, mpm, lo);
     // store winner + strongest runners-up (<= 3 entries, python parity)
-    std::vector<int> ent = {cu.luma_mode};
-    for (int m : full_modes) {
+    std::vector<TrialMode> ent = {
+        TrialMode{cu.luma_mode, cu.mip_flag, cu.mip_t, cu.ref_line}};
+    for (const TrialMode& t : full_modes) {
       bool seen = false;
-      for (int e : ent) seen |= e == m;
-      if (!seen) ent.push_back(m);
+      for (const TrialMode& e : ent) seen |= e == t;
+      if (!seen) ent.push_back(t);
       if (int(ent.size()) >= 3) break;
     }
     mode_cache[ck] = std::move(ent);
@@ -3091,7 +3358,7 @@ struct Searcher {
   // exact closed-loop trials of a decided mode list + the CU tail
   // (chroma RD, estimator re-encode, marking, distortion)
   double rd_cu_intra_trials(CuRec& cu, const PartInfo& part,
-                            const std::vector<int>& full_modes,
+                            const std::vector<TrialMode>& full_modes,
                             const std::vector<int32_t>& src_y,
                             const std::vector<int32_t>& top,
                             const std::vector<int32_t>& left,
@@ -3102,7 +3369,8 @@ struct Searcher {
     int qy = pp.qp_y;
     EstSnap est_snap;
     est_save(est, est_snap);
-    // implicit MTS types (ops/transforms.py implicit_mts_types)
+    // implicit MTS types (ops/transforms.py implicit_mts_types);
+    // MIP blocks keep DCT2 (impl_on = implicit_mts and not mip_f)
     int th_i = TR_DCT2, tv_i = TR_DCT2;
     if (pp.implicit_mts) {
       if (4 <= w && w <= 16) th_i = TR_DST7;
@@ -3111,42 +3379,163 @@ struct Searcher {
 
     double best_cost = 0;
     bool have_best = false;
-    int best_mode = PLANAR;
+    TrialMode best_tm;
     std::vector<int32_t> best_coeff, best_rec;
     std::vector<int32_t> pred(size_t(h) * w), resi(size_t(h) * w);
     std::vector<int32_t> tcoeff(size_t(h) * w), trec(size_t(h) * w);
-    for (int mode : full_modes) {
-      intra::predict(top.data(), int(top.size()), left.data(),
-                     int(left.size()), mode, w, h, pp.bit_depth, true, 0,
-                     -1, -1, false, -1, pred.data());
+    // lazily built multi-reference-line reference arrays (line -> refs)
+    std::map<int, std::pair<std::vector<int32_t>, std::vector<int32_t>>>
+        mrl_refs;
+    int best_lfnst = 0;
+    std::vector<int32_t> tq_buf(size_t(h) * w), dq_buf(size_t(h) * w);
+    int cand_i = -1;
+    for (const TrialMode& tm : full_modes) {
+      ++cand_i;
+      int mode = tm.mode;
+      if (tm.mip) {
+        vte_predict_mip(top.data() + 1, left.data() + 1, w, h, mode,
+                        tm.mip_t ? 1 : 0, pp.bit_depth, pred.data());
+      } else if (tm.ref_line) {
+        auto it = mrl_refs.find(tm.ref_line);
+        if (it == mrl_refs.end()) {
+          int m = tm.ref_line;
+          std::vector<int32_t> t2(2 * w + m + 3), l2(2 * h + m + 3);
+          vte_build_refs(ps.rec[0], ps.H, ps.W, x, y, w, h, ps.coded_luma,
+                         ps.uh, ps.uw, 4, pp.bit_depth, m, -1, -1,
+                         t2.data(), l2.data());
+          it = mrl_refs.emplace(m, std::make_pair(std::move(t2),
+                                                  std::move(l2))).first;
+        }
+        const auto& rr = it->second;
+        intra::predict(rr.first.data(), int(rr.first.size()),
+                       rr.second.data(), int(rr.second.size()), mode, w, h,
+                       pp.bit_depth, true, tm.ref_line, -1, -1, false, -1,
+                       pred.data());
+      } else {
+        intra::predict(top.data(), int(top.size()), left.data(),
+                       int(left.size()), mode, w, h, pp.bit_depth, true, 0,
+                       -1, -1, false, -1, pred.data());
+      }
+      int th_v = tm.mip ? TR_DCT2 : th_i, tv_v = tm.mip ? TR_DCT2 : tv_i;
       for (size_t i = 0; i < size_t(h) * w; ++i)
         resi[i] = src_y[i] - pred[i];
-      int64_t d = 0;
-      int cbf = vte_tq_trial(resi.data(), pred.data(), src_y.data(), w, h,
-                             th_i, tv_i, qy, pp.bit_depth, 1, pp.lmbda,
+      // transform variants: primary only, plus LFNST 1/2 for the
+      // strongest SATD candidate (intra_encoder.py variants loop)
+      std::vector<int> variants = {0};
+      if (cand_i == 0 && pp.lfnst_en && lfnstk::ready && w >= 4 &&
+          h >= 4 && !(tm.mip && !(w >= 16 && h >= 16))) {
+        variants.push_back(1);
+        variants.push_back(2);
+      }
+      for (int lfnst_i : variants) {
+        int64_t d = 0;
+        int cbf;
+        int cu_lfnst = lfnst_i;
+        if (lfnst_i == 0) {
+          cbf = vte_tq_trial(resi.data(), pred.data(), src_y.data(), w, h,
+                             th_v, tv_v, qy, pp.bit_depth, 1, pp.lmbda,
                              g_soffs.cbf_y, pp.sdh ? 1 : 0, est.s0.data(),
-                             est.s1.data(), tcoeff.data(), trec.data(), &d,
-                             pp.dq ? 1 : 0);
-      // trial tail: estimate luma bits against the entry snapshot
-      est_load(est, est_snap);
-      int64_t b0 = est.frac;
-      CuRec tmp = cu;
-      tmp.luma_mode = mode;
-      est_cu_luma_syntax(tmp, mpm);
-      est.bin(cbf ? 1 : 0, g_soffs.cbf_y);
-      if (cbf) est_residual_block(tcoeff.data(), w, h, true);
-      double bits = double(est.frac - b0) / double(1 << 15);
-      double cost = double(d) + pp.lmbda * bits;
-      if (!have_best || cost < best_cost) {
-        have_best = true;
-        best_cost = cost;
-        best_mode = mode;
-        best_coeff.clear();
-        if (cbf) best_coeff = tcoeff;
-        best_rec = trec;
+                             est.s1.data(), tcoeff.data(), trec.data(),
+                             &d, pp.dq ? 1 : 0);
+        } else {
+          // pure-DCT2 primary, zero outside the top-left 8x8, forward
+          // LFNST, quantize, signalability gates, reconstruct
+          vte_fwd_transform(resi.data(), w, h, TR_DCT2, TR_DCT2,
+                            pp.bit_depth, tq_buf.data());
+          for (int i = 0; i < h; ++i)
+            for (int j = 0; j < w; ++j)
+              if (i >= 8 || j >= 8) tq_buf[size_t(i) * w + j] = 0;
+          int lmode = tm.mip ? PLANAR : mode;
+          const ScanInfo& si =
+              scan_info(bit_length(w) - 1, bit_length(h) - 1);
+          lfnstk::fwd(tq_buf.data(), w, h, lmode, lfnst_i, si.sx, si.sy);
+          if (pp.dq) {
+            cbf = vte_depquant(tq_buf.data(), w, h, qy, pp.bit_depth, 1,
+                               pp.lmbda, g_soffs.cbf_y, 8, est.s0.data(),
+                               est.s1.data(), tcoeff.data());
+          } else {
+            vte_rdoq(tq_buf.data(), w, h, qy, pp.bit_depth, 1, pp.lmbda,
+                     g_soffs.cbf_y, est.s0.data(), est.s1.data(),
+                     tcoeff.data());
+            cbf = 0;
+            for (size_t i = 0; i < size_t(h) * w; ++i)
+              if (tcoeff[i]) { cbf = 1; break; }
+            if (cbf && pp.sdh) {
+              tq_sdh(tcoeff.data(), tq_buf.data(), w, h, qy,
+                     pp.bit_depth, 1);
+              cbf = 0;
+              for (size_t i = 0; i < size_t(h) * w; ++i)
+                if (tcoeff[i]) { cbf = 1; break; }
+            }
+          }
+          if (!cbf) cu_lfnst = 0;
+          if (cu_lfnst) {
+            int last = -1;
+            for (size_t i = 0; i < si.sx.size(); ++i)
+              if (tcoeff[size_t(si.sy[i]) * w + si.sx[i]]) last = int(i);
+            int maxpos =
+                ((w == 4 && h == 4) || (w == 8 && h == 8)) ? 7 : 15;
+            if (last > maxpos || last < 1) continue;  // not signalable
+          }
+          if (cbf) {
+            if (pp.dq)
+              vte_dequant_dq(tcoeff.data(), w, h, qy, pp.bit_depth, 1,
+                             dq_buf.data());
+            else
+              vte_dequant(tcoeff.data(), w, h, qy, pp.bit_depth,
+                          dq_buf.data());
+            if (cu_lfnst)
+              lfnstk::inv(dq_buf.data(), w, h, lmode, cu_lfnst, w, h,
+                          si.sx, si.sy);
+            vte_inv_transform(dq_buf.data(), w, h, TR_DCT2, TR_DCT2,
+                              pp.bit_depth, tq_buf.data());
+            for (size_t i = 0; i < size_t(h) * w; ++i) {
+              int64_t r = int64_t(pred[i]) + tq_buf[i];
+              trec[i] = int32_t(r < 0 ? 0 : (r > maxval ? maxval : r));
+            }
+          } else {
+            std::copy(pred.begin(), pred.end(), trec.begin());
+          }
+          d = 0;
+          for (size_t i = 0; i < size_t(h) * w; ++i) {
+            int64_t e = int64_t(src_y[i]) - trec[i];
+            d += e * e;
+          }
+        }
+        // trial tail: estimate luma bits against the entry snapshot
+        est_load(est, est_snap);
+        int64_t b0 = est.frac;
+        CuRec tmp = cu;
+        tmp.luma_mode = mode;
+        tmp.mip_flag = tm.mip;
+        tmp.mip_t = tm.mip_t;
+        tmp.ref_line = tm.ref_line;
+        tmp.lfnst_idx = cu_lfnst;
+        est_cu_luma_syntax(tmp, mpm);
+        est.bin(cbf ? 1 : 0, g_soffs.cbf_y);
+        if (cbf) {
+          est_residual_block(tcoeff.data(), w, h, true);
+          tmp.coeff_y.assign(tcoeff.begin(), tcoeff.end());
+          est_lfnst_bits(tmp);
+        }
+        double bits = double(est.frac - b0) / double(1 << 15);
+        double cost = double(d) + pp.lmbda * bits;
+        if (!have_best || cost < best_cost) {
+          have_best = true;
+          best_cost = cost;
+          best_tm = tm;
+          best_lfnst = cu_lfnst;
+          best_coeff.clear();
+          if (cbf) best_coeff = tcoeff;
+          best_rec = trec;
+        }
       }
     }
-    cu.luma_mode = best_mode;
+    cu.luma_mode = best_tm.mode;
+    cu.mip_flag = best_tm.mip;
+    cu.mip_t = best_tm.mip_t;
+    cu.ref_line = best_tm.ref_line;
+    cu.lfnst_idx = best_lfnst;
     cu.coeff_y = std::move(best_coeff);
 
     // stage luma reconstruction (CCLM in the chroma RD reads it)
@@ -3155,6 +3544,69 @@ struct Searcher {
         ps.rec[0][size_t(y + i) * ps.W + x + j] =
             best_rec[size_t(i) * w + j];
     if (!lo) rd_chroma(cu, part);
+
+    // chroma residuals can retract LFNST signalability (corner violation
+    // / DC-only): fall back to the primary-only transform and redo the
+    // chroma decision from the updated luma (intra_encoder.py retract)
+    if (cu.lfnst_idx && !lo) {
+      bool viol = false, lf_last = false;
+      auto acc = [&](const std::vector<int32_t>& c, int tw, int th) {
+        if (c.empty()) return;
+        int last = scan_last(c, tw, th);
+        if (last < 0) return;
+        if (tw >= 4 && th >= 4) {
+          int maxpos = ((tw == 4 && th == 4) || (tw == 8 && th == 8))
+                           ? 7 : 15;
+          if (last > maxpos) viol = true;
+          if (last >= 1) lf_last = true;
+        }
+      };
+      acc(cu.coeff_y, w, h);
+      acc(cu.coeff_cb, w >> 1, h >> 1);
+      acc(cu.coeff_cr, w >> 1, h >> 1);
+      if (viol || !lf_last) {
+        cu.lfnst_idx = 0;
+        // re-derive the winning mode's prediction
+        if (cu.mip_flag) {
+          vte_predict_mip(top.data() + 1, left.data() + 1, w, h,
+                          cu.luma_mode, cu.mip_t ? 1 : 0, pp.bit_depth,
+                          pred.data());
+        } else if (cu.ref_line) {
+          int m = cu.ref_line;
+          std::vector<int32_t> t2(2 * w + m + 3), l2(2 * h + m + 3);
+          vte_build_refs(ps.rec[0], ps.H, ps.W, x, y, w, h,
+                         ps.coded_luma, ps.uh, ps.uw, 4, pp.bit_depth, m,
+                         -1, -1, t2.data(), l2.data());
+          intra::predict(t2.data(), int(t2.size()), l2.data(),
+                         int(l2.size()), cu.luma_mode, w, h,
+                         pp.bit_depth, true, m, -1, -1, false, -1,
+                         pred.data());
+        } else {
+          intra::predict(top.data(), int(top.size()), left.data(),
+                         int(left.size()), cu.luma_mode, w, h,
+                         pp.bit_depth, true, 0, -1, -1, false, -1,
+                         pred.data());
+        }
+        int th0 = cu.mip_flag ? TR_DCT2 : th_i;
+        int tv0 = cu.mip_flag ? TR_DCT2 : tv_i;
+        for (size_t i = 0; i < size_t(h) * w; ++i)
+          resi[i] = src_y[i] - pred[i];
+        int64_t d2 = 0;
+        int cbf2 = vte_tq_trial(
+            resi.data(), pred.data(), src_y.data(), w, h, th0, tv0, qy,
+            pp.bit_depth, 1, pp.lmbda, g_soffs.cbf_y, pp.sdh ? 1 : 0,
+            est.s0.data(), est.s1.data(), tcoeff.data(), trec.data(),
+            &d2, pp.dq ? 1 : 0);
+        cu.coeff_y.clear();
+        if (cbf2) cu.coeff_y.assign(tcoeff.begin(), tcoeff.end());
+        for (int i = 0; i < h; ++i)
+          for (int j = 0; j < w; ++j)
+            ps.rec[0][size_t(y + i) * ps.W + x + j] =
+                trec[size_t(i) * w + j];
+        // the luma reconstruction changed: redo the chroma decision
+        rd_chroma(cu, part);
+      }
+    }
 
     // re-encode the chosen CU syntax into the running estimator
     est_load(est, est_snap);
@@ -3176,12 +3628,14 @@ struct Searcher {
       if (!cu.coeff_cr.empty())
         est_residual_block(cu.coeff_cr.data(), w >> 1, h >> 1, false);
     }
+    est_lfnst_bits(cu);
     double total_bits = double(est.frac - b0) / double(1 << 15);
 
     // finish: maps marked (recon already staged; finish_cu recomputes the
     // identical samples in the Python path)
-    ps.mark_cu(x, y, w, h, part.qt_depth, cu.luma_mode, true, false, !lo,
-               pp.slice_qp_y);
+    ps.mark_cu(x, y, w, h, part.qt_depth,
+               cu.mip_flag ? PLANAR : cu.luma_mode, true,
+               cu.mip_flag, !lo, pp.slice_qp_y);
     if (const char* fp = getenv("VTE_DEBUG_EST")) {
       FILE* f = fopen(fp, "a");
       if (f) {
@@ -3236,6 +3690,7 @@ struct Searcher {
       est_residual_block(cu.coeff_cb.data(), w >> 1, h >> 1, false);
     if (cbf_cr)
       est_residual_block(cu.coeff_cr.data(), w >> 1, h >> 1, false);
+    est_lfnst_bits(cu);
     ps.mark_chroma(x, y, w, h, part.qt_depth);
     double bits = double(est.frac - b0) / double(1 << 15);
     // distortion vs the staged chroma reconstruction
@@ -3420,8 +3875,8 @@ struct Searcher {
     return ok;
   }
   bool commit_state = false;
-  // EncModeCtrl save/load cache: (x, y, w, h, tree_type) -> mode list
-  std::map<std::array<int, 5>, std::vector<int>> mode_cache;
+  // EncModeCtrl save/load cache: (x, y, w, h, tree_type) -> trial list
+  std::map<std::array<int, 5>, std::vector<TrialMode>> mode_cache;
 };
 
 // ---- serialization -------------------------------------------------------
@@ -3454,6 +3909,7 @@ static void serialize(const Node& n, Writer& w, bool chroma_tree) {
     w.put(cu.luma_mode);  // center co-located luma mode (DM source)
     w.put(cu.chroma_dir);
     w.put(cu.cclm_allowed ? 1 : 0);
+    w.put(cu.lfnst_idx);
     w.put(cu.coeff_cb.empty() ? 0 : 1);
     w.put(cu.coeff_cr.empty() ? 0 : 1);
     if (!cu.coeff_cb.empty()) w.put_coeff(cu.coeff_cb);
@@ -3461,6 +3917,10 @@ static void serialize(const Node& n, Writer& w, bool chroma_tree) {
     return;
   }
   w.put(cu.luma_mode);
+  w.put(cu.mip_flag ? 1 : 0);
+  w.put(cu.mip_t ? 1 : 0);
+  w.put(cu.ref_line);
+  w.put(cu.lfnst_idx);
   w.put(cu.coeff_y.empty() ? 0 : 1);
   if (!cu.coeff_y.empty()) w.put_coeff(cu.coeff_y);
   if (!cu.luma_only) {
@@ -3500,7 +3960,10 @@ void vte_search_init(const int32_t* offs) {
   g_soffs.cbf_y = offs[9];
   g_soffs.cbf_cb = offs[10];
   g_soffs.cbf_cr = offs[11];
-  g_soffs.num_ctx = offs[12];
+  g_soffs.mip_flag = offs[12];
+  g_soffs.mrl_idx = offs[13];
+  g_soffs.lfnst = offs[14];
+  g_soffs.num_ctx = offs[15];
 }
 
 // full intra CTU search; returns 0 on success, <0 on overflow/error
@@ -3521,7 +3984,7 @@ int vte_search_ctu(
     const int64_t* presel_ptrs, int n_plan, const int32_t* plan_meta,
     const int64_t* plan_ptrs, int32_t* out_tree, int tree_cap,
     int32_t* out_coeff, int coeff_cap, int32_t* out_n, int commit,
-    int dep_quant) {
+    int dep_quant, int mip_en, int mrl_en, int lfnst_en) {
   using namespace ctusearch;
   ProfScope _p(&g_prof_total);
   Searcher s;
@@ -3575,6 +4038,9 @@ int vte_search_ctu(
   p.cclm_en = cclm_en != 0;
   p.implicit_mts = implicit_mts != 0;
   p.dq = dep_quant != 0;
+  p.mip_en = mip_en != 0;
+  p.mrl_en = mrl_en != 0;
+  p.lfnst_en = lfnst_en != 0;
   p.tree_idx = tree_idx;
   s.est.init(live_s0, live_s1, live_r0, live_r1, g_soffs.num_ctx);
   for (int i = 0; i < n_presel; ++i) {

@@ -77,7 +77,7 @@ def test_native_eligibility_gates():
 
     enc = IntraEncoder(EncoderConfig(
         width=64, height=64, qp=30, ctu_size=64, intra_period=1,
-        gop_size=1, mctf=False, lfnst=True))
+        gop_size=1, mctf=False, isp=True))
     frame = _frame(64, 64, 3)
     calls = {"n": 0}
     orig = native.search_ctu
@@ -91,7 +91,7 @@ def test_native_eligibility_gates():
         enc.encode_frame(frame)
     finally:
         native.search_ctu = orig
-    assert calls["n"] == 0, "native search must not run with LFNST on"
+    assert calls["n"] == 0, "native search must not run with ISP on"
 
 
 def test_mtt_partitioning_matches_python():
@@ -113,3 +113,18 @@ def test_dep_quant_matches_python():
                   deblocking=True, cclm=True, max_mtt_depth=mtt,
                   dual_tree=True, dep_quant=True,
                   sign_data_hiding=False), seed=mtt + qp)
+
+
+def test_mip_mrl_lfnst_match_python():
+    """MIP (matrix intra), MRL (multi-reference-line), and LFNST
+    (secondary transform incl. the chroma-retract fallback) in the
+    native searcher are bit-exact vs the Python golden, alone and
+    stacked with MTT + dependent quantization."""
+    for kw, qp in ((dict(mip=True), 24), (dict(mrl=True), 30),
+                   (dict(lfnst=True), 24),
+                   (dict(mip=True, mrl=True, lfnst=True), 34),
+                   (dict(mip=True, mrl=True, lfnst=True, max_mtt_depth=2,
+                         dep_quant=True, sign_data_hiding=False), 30)):
+        _run(dict(width=128, height=96, qp=qp, ctu_size=64,
+                  deblocking=True, cclm=True, dual_tree=True, **kw),
+             seed=qp + len(kw))

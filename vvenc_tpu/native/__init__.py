@@ -176,6 +176,14 @@ def _load():
           for k in range(3)]
     lib.vte_mip_init(mw[0].ctypes.data, mw[1].ctypes.data,
                      mw[2].ctypes.data)
+
+    # register the LFNST ROM (single-sourced from ops/lfnst.py's npz)
+    from ..ops.lfnst import FWD4, FWD8, LFNST_LUT
+    lib.vte_lfnst_init.argtypes = [_PI32] * 3
+    f8 = np.ascontiguousarray(FWD8.reshape(-1), dtype=np.int32)
+    f4 = np.ascontiguousarray(FWD4.reshape(-1), dtype=np.int32)
+    lut = np.ascontiguousarray(LFNST_LUT, dtype=np.int32)
+    lib.vte_lfnst_init(f8.ctypes.data, f4.ctypes.data, lut.ctypes.data)
     return lib
 
 
@@ -481,7 +489,8 @@ def _search_setup():
         + [ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
         + [ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
         + [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
-           ctypes.c_void_p, ctypes.c_int, ctypes.c_int])
+           ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+           ctypes.c_int, ctypes.c_int])
     _LIB.vte_search_ctu.restype = ctypes.c_int
     offs = np.asarray([
         ct.CTX_SETS["SplitFlag"](0), ct.CTX_SETS["SplitQtFlag"](0),
@@ -491,7 +500,9 @@ def _search_setup():
         ct.CTX_SETS["IntraChromaPredMode"](0),
         ct.CTX_SETS["CclmModeFlag"](0), ct.CTX_SETS["CclmModeIdx"](0),
         ct.CTX_SETS["QtCbfLuma"](0), ct.CTX_SETS["QtCbfCb"](0),
-        ct.CTX_SETS["QtCbfCr"](0), ct.NUM_CTX], dtype=np.int32)
+        ct.CTX_SETS["QtCbfCr"](0), ct.CTX_SETS["MipFlag"](0),
+        ct.CTX_SETS["MultiRefLineIdx"](0), ct.CTX_SETS["LFNSTIdx"](0),
+        ct.NUM_CTX], dtype=np.int32)
     _LIB.vte_search_init(offs.ctypes.data)
     _SEARCH_READY = True
     return True
@@ -510,8 +521,8 @@ def search_eligible(searcher) -> bool:
     return (coder.is_intra_slice
             and not getattr(searcher.enc, "trial_filter", None)
             and bool(cfg.rdoq or cfg.dep_quant)
-            and not sps.mip and not sps.mrl and not sps.isp
-            and not sps.lfnst and not sps.mts_intra
+            and not sps.isp
+            and not sps.mts_intra
             and not sps.transform_skip and not getattr(sps, "bdpcm", 0)
             and not coder.ibc_en and not coder.bdpcm_en and not coder.jccr
             and coder.reshape is None and not coder.use_dqp
@@ -612,7 +623,8 @@ def search_ctu(searcher, ctu_x: int, ctu_y: int, live_ctx, commit=True):
         len(plan_meta), _i32p(plan_meta), plan_ptrs.ctypes.data,
         _i32p(out_tree), len(out_tree), _i32p(out_coeff), len(out_coeff),
         out_n.ctypes.data, 1 if commit else 0,
-        1 if cfg.dep_quant else 0)
+        1 if cfg.dep_quant else 0, 1 if sps.mip else 0,
+        1 if sps.mrl else 0, 1 if sps.lfnst else 0)
     try:
         rc = _LIB.vte_search_ctu(*args)
     except ctypes.ArgumentError:
@@ -661,6 +673,7 @@ def search_ctu(searcher, ctu_x: int, ctu_y: int, live_ctx, commit=True):
             cu.luma_mode = tok()
             cu.chroma_dir = tok()
             cu.cclm_allowed = bool(tok())
+            cu.lfnst_idx = tok()
             cbf_cb, cbf_cr = tok(), tok()
             if cbf_cb:
                 cu.coeff_cb = block(h >> 1, w >> 1)
@@ -672,6 +685,10 @@ def search_ctu(searcher, ctu_x: int, ctu_y: int, live_ctx, commit=True):
         cu = CuData(x, y, w, h, luma_only=lo)
         cu.recon_done = commit
         cu.luma_mode = tok()
+        cu.mip_flag = bool(tok())
+        cu.mip_transposed = bool(tok())
+        cu.ref_line = tok()
+        cu.lfnst_idx = tok()
         if tok():
             cu.coeff_y = block(h, w)
         if not lo:
