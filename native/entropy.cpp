@@ -2130,6 +2130,12 @@ void vte_predict_mip(const int32_t* top, const int32_t* left, int w, int h,
                      int mode, int transposed, int bit_depth, int32_t* out);
 void vte_predict_mip_all(const int32_t* top, const int32_t* left, int w,
                          int h, int bit_depth, int32_t* out);
+void vte_build_refs_isp(const int32_t* rec, int ph, int pw, int x, int y,
+                        int w, int h, const uint8_t* coded, int cuh,
+                        int cuw, int unit, int bit_depth,
+                        int pred_size_in, int pred_hsize_in, int cu_x,
+                        int cu_y, int cu_w, int cu_h, int isp_mode,
+                        int32_t* top, int32_t* left);
 }
 
 // ---------------------------------------------------------------------------
@@ -2291,7 +2297,8 @@ constexpr int TR_DCT2 = 0, TR_DST7 = 2;
 // context-set offsets, installed from Python (vte_search_init)
 struct SOffs {
   int split, qt, hv, h12, mpm_flag, planar_flag, chroma_mode, cclm_flag,
-      cclm_idx, cbf_y, cbf_cb, cbf_cr, mip_flag, mrl_idx, lfnst;
+      cclm_idx, cbf_y, cbf_cb, cbf_cr, mip_flag, mrl_idx, lfnst, jccr,
+      isp;
   int num_ctx;
 };
 SOffs g_soffs;
@@ -2338,7 +2345,8 @@ struct Params {
   double lmbda, lmbda_sad;
   int n_full_rd, n_chroma_rd;
   bool sdh, dual_tree, cclm_en, implicit_mts, dq, mip_en, mrl_en,
-      lfnst_en;
+      lfnst_en, jccr_en, isp_en;
+  int jccr_sign, qp_jc;
   int tree_idx;  // 0 for intra-slice luma syntax constraints
 };
 
@@ -2805,6 +2813,9 @@ struct CuRec {
   bool mip_flag = false, mip_t = false;  // matrix intra prediction
   int ref_line = 0;                       // multi-reference-line index
   int lfnst_idx = 0;                      // secondary transform index
+  int joint_cbcr = 0;                     // JCCR mode mask (0 = separate)
+  int isp_mode = 0;                       // intra sub-partitions (1=H,2=V)
+  std::vector<std::vector<int32_t>> isp_coeffs;  // per-part (empty=no cbf)
   std::vector<int32_t> coeff_y, coeff_cb, coeff_cr;  // empty = no cbf
 };
 
@@ -2852,7 +2863,7 @@ struct Searcher {
   // 2-mode shortlist per leaf, decided by the batched device trials
   std::vector<PreselClass> plan;
   // per-CTU dual-tree luma64 records: first-level split of each 64 unit
-  struct L64 { int x, y, split; };
+  struct L64 { int x, y, split; bool isp; };
   std::vector<L64> luma64;
 
   const int32_t* presel_lookup(int x, int y, int w, int h) const {
@@ -2893,6 +2904,12 @@ struct Searcher {
   // gated by _lfnst_allowed + _residual_tool_stats over the CU's TBs)
   void est_lfnst_bits(const CuRec& cu) {
     if (!pp.lfnst_en) return;
+    if (cu.isp_mode) {
+      // LFNST with ISP only if the partitions are >= 4x4
+      int parts[4][4];
+      isp_partitions_c(cu.w, cu.h, cu.isp_mode, parts);
+      if (parts[0][2] < 4 || parts[0][3] < 4) return;
+    }
     if (cu.mip_flag && !(cu.w >= 16 && cu.h >= 16)) return;
     if (cu.chroma_only && std::min(cu.w >> 1, cu.h >> 1) < 4) return;
     if (cu.w > 64 || cu.h > 64) return;
@@ -2908,11 +2925,19 @@ struct Searcher {
         if (last >= 1) lf_last = true;
       }
     };
-    if (!cu.chroma_only) acc(cu.coeff_y, cu.w, cu.h);
+    if (cu.isp_mode) {
+      int parts[4][4];
+      int n = isp_partitions_c(cu.w, cu.h, cu.isp_mode, parts);
+      for (int k = 0; k < n; ++k)
+        acc(cu.isp_coeffs[k], parts[k][2], parts[k][3]);
+    } else if (!cu.chroma_only) {
+      acc(cu.coeff_y, cu.w, cu.h);
+    }
     if (!cu.luma_only) {
       acc(cu.coeff_cb, cu.w >> 1, cu.h >> 1);
       acc(cu.coeff_cr, cu.w >> 1, cu.h >> 1);
     }
+    if (cu.isp_mode) lf_last = true;  // lfnstLastScanPos bypass for ISP
     if (!(lf_last && !viol)) return;
     int cctx = (cu.luma_only || cu.chroma_only) ? 1 : 0;
     est.bin(cu.lfnst_idx ? 1 : 0, g_soffs.lfnst + cctx);
@@ -2986,8 +3011,12 @@ struct Searcher {
 
   int64_t est_residual_block(const int32_t* coeff, int w, int h,
                              bool is_luma) {
+    return est_residual_block(coeff, w, h, is_luma, pp.sdh);
+  }
+  int64_t est_residual_block(const int32_t* coeff, int w, int h,
+                             bool is_luma, bool sdh) {
     int64_t bits = vte_est_residual(coeff, w, h, is_luma ? 1 : 0,
-                                    pp.dq ? 1 : 0, pp.sdh ? 1 : 0,
+                                    pp.dq ? 1 : 0, sdh ? 1 : 0,
                                     est.s0.data(), est.s1.data(),
                                     est.r0.data(), est.r1.data());
     est.frac += bits;  // vte_est_residual updates ctx only; the frac-bit
@@ -3006,19 +3035,40 @@ struct Searcher {
     if (!allow) return false;
     int rx = cu.x & ~63, ry = cu.y & ~63;
     int rec_split = -1;
+    bool rec_isp = false;
     for (const auto& r : luma64)
-      if (r.x == rx && r.y == ry) { rec_split = r.split; break; }
+      if (r.x == rx && r.y == ry) {
+        rec_split = r.split;
+        rec_isp = r.isp;
+        break;
+      }
     int u = (cu.y >> 2) * ps.uw + (cu.x >> 2);
     int lw = ps.cu_w[u], lh = ps.cu_h[u];
     if (lw < 64 || lh < 64) {
       if (rec_split != QT_SPLIT) return false;
+    } else if (rec_split != -1 && rec_isp) {
+      return false;  // unsplit 64x64 luma CU using ISP
     }
-    // ISP is off in this driver's scope, so the unsplit-64x64-with-ISP
-    // exclusion never triggers
     return true;
   }
 
-  // -- chroma mode RD (intra_encoder.py _rd_chroma, no LMCS/JCCR/BDPCM) --
+  // inverse ICT (ctu_syntax.py _ict_derive): coded residual ->
+  // (resCb, resCr); arithmetic >> floors like numpy
+  static void ict_derive(const int64_t* coded, int n, int mask, int sign,
+                         int64_t* rcb, int64_t* rcr) {
+    static const int MODES[4] = {0, 3, 1, 2};
+    int mode = MODES[mask] * (sign ? -1 : 1);
+    int am = mode < 0 ? -mode : mode;
+    for (int i = 0; i < n; ++i) {
+      int64_t c = coded[i];
+      int64_t neg = mode < 0 ? -c : c;
+      if (am == 1) { rcb[i] = c; rcr[i] = neg >> 1; }
+      else if (am == 2) { rcb[i] = c; rcr[i] = neg; }
+      else { rcb[i] = neg >> 1; rcr[i] = c; }
+    }
+  }
+
+  // -- chroma mode RD (intra_encoder.py _rd_chroma, incl. JCCR) --
   void rd_chroma(CuRec& cu, const PartInfo& part) {
     ProfScope _p(&g_prof_chroma);
     int x = cu.x, y = cu.y, w = cu.w, h = cu.h;
@@ -3125,17 +3175,29 @@ struct Searcher {
       cands = kept;
     }
 
-    // chroma bits of one trial (estimator restored to snap first)
+    // chroma bits of one trial (estimator restored to snap first);
+    // mask != 0 = JCCR: cbfs from the mask, one jointly-coded residual
+    // (est WITHOUT sign hiding, python chroma_bits parity)
     auto chroma_bits = [&](const std::vector<int32_t>* ccb,
-                           const std::vector<int32_t>* ccr) -> double {
+                           const std::vector<int32_t>* ccr,
+                           int mask) -> double {
       est_load(est, snap);
       int64_t b0 = est.frac;
       enc_intra_chroma_mode(cu);
-      bool cbf_cb = ccb != nullptr, cbf_cr = ccr != nullptr;
+      bool cbf_cb = mask ? (mask & 2) != 0 : ccb != nullptr;
+      bool cbf_cr = mask ? (mask & 1) != 0 : ccr != nullptr;
       est.bin(cbf_cb ? 1 : 0, g_soffs.cbf_cb);
       est.bin(cbf_cr ? 1 : 0, g_soffs.cbf_cr + (cbf_cb ? 1 : 0));
-      if (cbf_cb) est_residual_block(ccb->data(), cw, ch, false);
-      if (cbf_cr) est_residual_block(ccr->data(), cw, ch, false);
+      int cm = (cbf_cb ? 2 : 0) + (cbf_cr ? 1 : 0);
+      if (pp.jccr_en && cm)
+        est.bin(mask ? 1 : 0, g_soffs.jccr + cm - 1);
+      if (mask) {
+        const std::vector<int32_t>* coded = (mask & 2) ? ccb : ccr;
+        est_residual_block(coded->data(), cw, ch, false, false);
+      } else {
+        if (cbf_cb) est_residual_block(ccb->data(), cw, ch, false);
+        if (cbf_cr) est_residual_block(ccr->data(), cw, ch, false);
+      }
       return double(est.frac - b0) / double(1 << 15);
     };
 
@@ -3172,8 +3234,8 @@ struct Searcher {
           rcr = trec;
         }
       }
-      double cost = dist + pp.lmbda * chroma_bits(ccb.empty() ? nullptr : &ccb,
-                                                  ccr.empty() ? nullptr : &ccr);
+      double cost = dist + pp.lmbda * chroma_bits(
+          ccb.empty() ? nullptr : &ccb, ccr.empty() ? nullptr : &ccr, 0);
       if (best_dir < 0 || cost < best_cost) {
         best_cost = cost;
         best_dir = cdir;
@@ -3183,8 +3245,89 @@ struct Searcher {
         best_rec_cr = rcr;
       }
     }
+    // JCCR trials on the winning mode (python _rd_chroma jccr loop)
+    int best_mask = 0;
+    if (pp.jccr_en) {
+      cu.chroma_dir = best_dir;
+      const int s_ = pp.jccr_sign ? -1 : 1;
+      const size_t n = size_t(ch) * cw;
+      std::vector<int64_t> res1(n), res2(n), coded(n), rcbv(n), rcrv(n);
+      for (int comp = 1; comp <= 2; ++comp) {
+        const int32_t* pr = pred_for(best_dir, comp);
+        const int32_t* sc = comp == 1 ? src_cb.data() : src_cr.data();
+        std::vector<int64_t>& dst = comp == 1 ? res1 : res2;
+        for (size_t i = 0; i < n; ++i) dst[i] = int64_t(sc[i]) - pr[i];
+      }
+      std::vector<int32_t> cres(n), jcoeff(n);
+      auto floordiv5 = [](int64_t a) -> int64_t {
+        return a >= 0 ? a / 5 : -((-a + 4) / 5);
+      };
+      for (int mask = 3; mask >= 1; --mask) {
+        int qc;
+        if (mask == 3) {
+          for (size_t i = 0; i < n; ++i)
+            cres[i] = int32_t((res1[i] + s_ * res2[i]) >> 1);
+          qc = pp.qp_jc;
+        } else if (mask == 2) {
+          for (size_t i = 0; i < n; ++i)
+            cres[i] = int32_t(floordiv5(4 * res1[i] + 2 * s_ * res2[i]));
+          qc = pp.qp_cb;
+        } else {
+          for (size_t i = 0; i < n; ++i)
+            cres[i] = int32_t(floordiv5(4 * res2[i] + 2 * s_ * res1[i]));
+          qc = pp.qp_cr;
+        }
+        int cbf_ctx = (mask & 2) ? g_soffs.cbf_cb : g_soffs.cbf_cr;
+        int cbf = vte_tq_quant(cres.data(), cw, ch, TR_DCT2, TR_DCT2, qc,
+                               pp.bit_depth, 0, pp.lmbda, cbf_ctx,
+                               (pp.sdh && !pp.dq) ? 1 : 0, est.s0.data(),
+                               est.s1.data(), jcoeff.data(),
+                               pp.dq ? 1 : 0);
+        if (!cbf) continue;
+        std::vector<int32_t> dqv(n), rinv(n);
+        if (pp.dq)
+          vte_dequant_dq(jcoeff.data(), cw, ch, qc, pp.bit_depth, 0,
+                         dqv.data());
+        else
+          vte_dequant(jcoeff.data(), cw, ch, qc, pp.bit_depth,
+                      dqv.data());
+        vte_inv_transform(dqv.data(), cw, ch, TR_DCT2, TR_DCT2,
+                          pp.bit_depth, rinv.data());
+        for (size_t i = 0; i < n; ++i) coded[i] = rinv[i];
+        ict_derive(coded.data(), int(n), mask, pp.jccr_sign, rcbv.data(),
+                   rcrv.data());
+        double dist = 0;
+        std::vector<int32_t> trial_rcb(n), trial_rcr(n);
+        int maxv = (1 << pp.bit_depth) - 1;
+        for (int comp = 1; comp <= 2; ++comp) {
+          const int32_t* pr = pred_for(best_dir, comp);
+          const int32_t* sc = comp == 1 ? src_cb.data() : src_cr.data();
+          const int64_t* rr = comp == 1 ? rcbv.data() : rcrv.data();
+          int32_t* out = comp == 1 ? trial_rcb.data() : trial_rcr.data();
+          for (size_t i = 0; i < n; ++i) {
+            int64_t r = int64_t(pr[i]) + rr[i];
+            out[i] = int32_t(r < 0 ? 0 : (r > maxv ? maxv : r));
+            int64_t e = int64_t(sc[i]) - out[i];
+            dist += double(e * e);
+          }
+        }
+        std::vector<int32_t> jc(jcoeff.begin(), jcoeff.end());
+        double cost = dist + pp.lmbda * chroma_bits(
+            (mask & 2) ? &jc : nullptr, (mask & 2) ? nullptr : &jc, mask);
+        if (cost < best_cost) {
+          best_cost = cost;
+          best_mask = mask;
+          best_cb.clear();
+          best_cr.clear();
+          if (mask & 2) best_cb = jc; else best_cr = jc;
+          best_rec_cb = trial_rcb;
+          best_rec_cr = trial_rcr;
+        }
+      }
+    }
     est_load(est, snap);
     cu.chroma_dir = best_dir;
+    cu.joint_cbcr = best_mask;
     cu.coeff_cb = std::move(best_cb);
     cu.coeff_cr = std::move(best_cr);
     // stage the winning chroma reconstruction (identical to what
@@ -3357,6 +3500,246 @@ struct Searcher {
 
   // exact closed-loop trials of a decided mode list + the CU tail
   // (chroma RD, estimator re-encode, marking, distortion)
+  // ISP partition rectangles (ctu_syntax.py isp_partitions)
+  static int isp_partitions_c(int w, int h, int isp_mode, int out[4][4]) {
+    int split_dim = isp_mode == 1 ? h : w;
+    int non_split = isp_mode == 1 ? w : h;
+    int factor = non_split < 16 ? 16 / non_split : 1;
+    int part = std::max(split_dim >> 2, factor);
+    int n = split_dim / part;
+    for (int k = 0; k < n; ++k) {
+      if (isp_mode == 1) {
+        out[k][0] = 0; out[k][1] = k * part; out[k][2] = w; out[k][3] = part;
+      } else {
+        out[k][0] = k * part; out[k][1] = 0; out[k][2] = part; out[k][3] = h;
+      }
+    }
+    return n;
+  }
+  static bool isp_pred_reg_diff(int w, int h, int isp_mode) {
+    return isp_mode == 2 && (w == 4 || (w == 8 && h > 4));
+  }
+  // ISP implicit transform selection (ops/transforms.py isp_tr_types)
+  void isp_tr_types(int w, int h, int* trh, int* trv) const {
+    if (!pp.implicit_mts) { *trh = *trv = TR_DCT2; return; }
+    *trh = (4 <= w && w <= 16) ? TR_DST7 : TR_DCT2;
+    *trv = (4 <= h && h <= 16) ? TR_DST7 : TR_DCT2;
+  }
+  // isp_mode signalling condition (ctu_syntax.py _isp_coded)
+  bool isp_coded_ok(const CuRec& cu) const {
+    if (cu.chroma_only || cu.mip_flag || cu.ref_line) return false;
+    if (!pp.isp_en) return false;
+    if (cu.w > 64 || cu.h > 64) return false;
+    return (bit_length(cu.w) - 1) + (bit_length(cu.h) - 1) > 4;
+  }
+
+  // ISP transform-unit chain bits (ctu_syntax.py _code_isp_tus on the
+  // estimator; use_dqp off in the native scope)
+  void est_isp_tus(const CuRec& cu) {
+    int parts[4][4];
+    int n = isp_partitions_c(cu.w, cu.h, cu.isp_mode, parts);
+    bool with_chroma = !cu.luma_only;
+    bool cbfs[4];
+    for (int k = 0; k < n; ++k) cbfs[k] = !cu.isp_coeffs[k].empty();
+    for (int k = 0; k < n; ++k) {
+      bool is_last = k == n - 1;
+      bool cbf_cb = false, cbf_cr = false;
+      if (is_last && with_chroma) {
+        if (cu.joint_cbcr) {
+          cbf_cb = (cu.joint_cbcr & 2) != 0;
+          cbf_cr = (cu.joint_cbcr & 1) != 0;
+        } else {
+          cbf_cb = !cu.coeff_cb.empty();
+          cbf_cr = !cu.coeff_cr.empty();
+        }
+        est.bin(cbf_cb ? 1 : 0, g_soffs.cbf_cb);
+        est.bin(cbf_cr ? 1 : 0, g_soffs.cbf_cr + (cbf_cb ? 1 : 0));
+      }
+      bool any_prev = false;
+      for (int j = 0; j < k; ++j) any_prev |= cbfs[j];
+      bool inferred = is_last && !any_prev;
+      bool prev = k ? cbfs[k - 1] : false;
+      if (inferred)
+        cbfs[k] = true;
+      else
+        est.bin(cbfs[k] ? 1 : 0, g_soffs.cbf_y + 2 + (prev ? 1 : 0));
+      int jccr_mask = (cbf_cb ? 2 : 0) + (cbf_cr ? 1 : 0);
+      if (is_last && with_chroma && pp.jccr_en && jccr_mask)
+        est.bin(cu.joint_cbcr ? 1 : 0, g_soffs.jccr + jccr_mask - 1);
+      if (cbfs[k])
+        est_residual_block(cu.isp_coeffs[k].data(), parts[k][2],
+                           parts[k][3], true, false);
+      if (is_last && with_chroma) {
+        if (cu.joint_cbcr) {
+          const std::vector<int32_t>& coded =
+              (cu.joint_cbcr & 2) ? cu.coeff_cb : cu.coeff_cr;
+          est_residual_block(coded.data(), cu.w >> 1, cu.h >> 1, false);
+        } else {
+          if (cbf_cb)
+            est_residual_block(cu.coeff_cb.data(), cu.w >> 1, cu.h >> 1,
+                               false);
+          if (cbf_cr)
+            est_residual_block(cu.coeff_cr.data(), cu.w >> 1, cu.h >> 1,
+                               false);
+        }
+      }
+    }
+  }
+
+  // ISP trial for the winning luma mode (intra_encoder.py _rd_isp):
+  // sequential per-part predict/transform/quant/reconstruct, chroma
+  // decision on the staged luma, cost via the real ISP TU syntax.
+  // Leaves the winning trial's state staged when it returns true.
+  bool rd_isp(const CuRec& cu_in, const PartInfo& part, const int mpm[6],
+              bool lo, const RegionSnap& entry_region,
+              const EstSnap& entry_est, CuRec& out_cu, double& out_cost) {
+    int x = cu_in.x, y = cu_in.y, w = cu_in.w, h = cu_in.h;
+    int mode = cu_in.luma_mode;
+    int qy = pp.qp_y;
+    int maxval = (1 << pp.bit_depth) - 1;
+    bool have = false;
+    RegionSnap best_state;
+    EstSnap best_est_s;
+    out_cost = 0;
+    for (int m = 1; m <= 2; ++m) {
+      region_restore(ps, entry_region);
+      est_load(est, entry_est);
+      int parts[4][4];
+      int n = isp_partitions_c(w, h, m, parts);
+      CuRec cu2;
+      cu2.x = x; cu2.y = y; cu2.w = w; cu2.h = h;
+      cu2.luma_mode = mode;
+      cu2.isp_mode = m;
+      cu2.luma_only = lo;
+      cu2.isp_coeffs.assign(n, {});
+      bool reg = isp_pred_reg_diff(w, h, m);
+      std::vector<int32_t> reg_pred;
+      int reg_px = -1, reg_w = 0;
+      std::vector<int32_t> coeff_buf, dq_buf, inv_buf;
+      bool any_cbf = false;
+      for (int k = 0; k < n; ++k) {
+        int px = parts[k][0], py = parts[k][1];
+        int pw = parts[k][2], phh = parts[k][3];
+        int ax = x + px, ay = y + py;
+        std::vector<int32_t> pred(size_t(phh) * pw);
+        if (reg && (px % 4) != 0) {
+          // reuse columns of the cached region prediction
+          for (int i = 0; i < phh; ++i)
+            for (int j = 0; j < pw; ++j)
+              pred[size_t(i) * pw + j] =
+                  reg_pred[size_t(i) * reg_w + (px - reg_px) + j];
+        } else {
+          int rw = reg ? std::max(4, pw) : pw;
+          std::vector<int32_t> top(size_t(w) + rw + 3),
+              left(size_t(h) + phh + 3);
+          vte_build_refs_isp(ps.rec[0], ps.H, ps.W, ax, ay, rw, phh,
+                             ps.coded_luma, ps.uh, ps.uw, 4,
+                             pp.bit_depth, w + rw, h + phh, x, y, w, h,
+                             m, top.data(), left.data());
+          std::vector<int32_t> rpred(size_t(phh) * rw);
+          intra::predict(top.data(), int(top.size()), left.data(),
+                         int(left.size()), mode, rw, phh, pp.bit_depth,
+                         true, 0, w, h, true, -1, rpred.data());
+          if (reg) {
+            reg_pred = rpred;
+            reg_px = px;
+            reg_w = rw;
+            for (int i = 0; i < phh; ++i)
+              for (int j = 0; j < pw; ++j)
+                pred[size_t(i) * pw + j] = rpred[size_t(i) * rw + j];
+          } else {
+            pred = std::move(rpred);
+          }
+        }
+        std::vector<int32_t> resi(size_t(phh) * pw);
+        for (int i = 0; i < phh; ++i)
+          for (int j = 0; j < pw; ++j)
+            resi[size_t(i) * pw + j] =
+                ps.src[0][size_t(ay + i) * ps.W + ax + j] -
+                pred[size_t(i) * pw + j];
+        int trh, trv;
+        isp_tr_types(pw, phh, &trh, &trv);
+        coeff_buf.assign(size_t(phh) * pw, 0);
+        int cbf = vte_tq_quant(resi.data(), pw, phh, trh, trv, qy,
+                               pp.bit_depth, 1, pp.lmbda, -1,
+                               (pp.sdh && !pp.dq) ? 1 : 0,
+                               est.s0.data(), est.s1.data(),
+                               coeff_buf.data(), pp.dq ? 1 : 0);
+        if (cbf) {
+          any_cbf = true;
+          cu2.isp_coeffs[k] = coeff_buf;
+          dq_buf.assign(size_t(phh) * pw, 0);
+          inv_buf.assign(size_t(phh) * pw, 0);
+          if (pp.dq)
+            vte_dequant_dq(coeff_buf.data(), pw, phh, qy, pp.bit_depth,
+                           1, dq_buf.data());
+          else
+            vte_dequant(coeff_buf.data(), pw, phh, qy, pp.bit_depth,
+                        dq_buf.data());
+          vte_inv_transform(dq_buf.data(), pw, phh, trh, trv,
+                            pp.bit_depth, inv_buf.data());
+          for (int i = 0; i < phh; ++i)
+            for (int j = 0; j < pw; ++j) {
+              int64_t r = int64_t(pred[size_t(i) * pw + j]) +
+                          inv_buf[size_t(i) * pw + j];
+              ps.rec[0][size_t(ay + i) * ps.W + ax + j] =
+                  int32_t(r < 0 ? 0 : (r > maxval ? maxval : r));
+            }
+        } else {
+          for (int i = 0; i < phh; ++i)
+            for (int j = 0; j < pw; ++j)
+              ps.rec[0][size_t(ay + i) * ps.W + ax + j] =
+                  pred[size_t(i) * pw + j];
+        }
+      }
+      // invalid when no partition codes coefficients (the inferred-1
+      // last cbf would have none)
+      if (!any_cbf) continue;
+      if (!lo) rd_chroma(cu2, part);
+      int64_t b0 = est.frac;
+      est_cu_luma_syntax(cu2, mpm);
+      est.bin(1, g_soffs.isp);
+      est.bin(m - 1, g_soffs.isp + 1);
+      if (!lo) enc_intra_chroma_mode(cu2);
+      est_isp_tus(cu2);
+      est_lfnst_bits(cu2);
+      double bits = double(est.frac - b0) / double(1 << 15);
+      ps.mark_cu(x, y, w, h, part.qt_depth, mode, true, false, !lo,
+                 pp.slice_qp_y);
+      double dist = 0;
+      for (int i = 0; i < h; ++i)
+        for (int j = 0; j < w; ++j) {
+          int64_t e = int64_t(ps.src[0][size_t(y + i) * ps.W + x + j]) -
+                      ps.rec[0][size_t(y + i) * ps.W + x + j];
+          dist += double(e * e);
+        }
+      if (!lo) {
+        int cx = x >> 1, cy = y >> 1, cw = w >> 1, ch = h >> 1;
+        int cW = ps.W >> 1;
+        for (int comp = 1; comp <= 2; ++comp)
+          for (int i = 0; i < ch; ++i)
+            for (int j = 0; j < cw; ++j) {
+              int64_t e =
+                  int64_t(ps.src[comp][size_t(cy + i) * cW + cx + j]) -
+                  ps.rec[comp][size_t(cy + i) * cW + cx + j];
+              dist += double(e * e);
+            }
+      }
+      double cost = dist + pp.lmbda * bits;
+      if (!have || cost < out_cost) {
+        have = true;
+        out_cost = cost;
+        out_cu = cu2;
+        region_save(ps, x, y, std::max(w, h), best_state);
+        est_save(est, best_est_s);
+      }
+    }
+    if (!have) return false;
+    region_restore(ps, best_state);
+    est_load(est, best_est_s);
+    return true;
+  }
+
   double rd_cu_intra_trials(CuRec& cu, const PartInfo& part,
                             const std::vector<TrialMode>& full_modes,
                             const std::vector<int32_t>& src_y,
@@ -3369,6 +3752,8 @@ struct Searcher {
     int qy = pp.qp_y;
     EstSnap est_snap;
     est_save(est, est_snap);
+    RegionSnap entry_region;  // CU entry state (ISP trials restart here)
+    if (pp.isp_en) region_save(ps, x, y, std::max(w, h), entry_region);
     // implicit MTS types (ops/transforms.py implicit_mts_types);
     // MIP blocks keep DCT2 (impl_on = implicit_mts and not mip_f)
     int th_i = TR_DCT2, tv_i = TR_DCT2;
@@ -3614,19 +3999,30 @@ struct Searcher {
     est_cu_luma_syntax(cu, mpm);
     if (!lo) {
       enc_intra_chroma_mode(cu);
-      bool cbf_cb = !cu.coeff_cb.empty();
-      bool cbf_cr = !cu.coeff_cr.empty();
+      bool cbf_cb = cu.joint_cbcr ? (cu.joint_cbcr & 2) != 0
+                                  : !cu.coeff_cb.empty();
+      bool cbf_cr = cu.joint_cbcr ? (cu.joint_cbcr & 1) != 0
+                                  : !cu.coeff_cr.empty();
       est.bin(cbf_cb ? 1 : 0, g_soffs.cbf_cb);
       est.bin(cbf_cr ? 1 : 0, g_soffs.cbf_cr + (cbf_cb ? 1 : 0));
+      int cm = (cbf_cb ? 2 : 0) + (cbf_cr ? 1 : 0);
+      if (pp.jccr_en && cm)
+        est.bin(cu.joint_cbcr ? 1 : 0, g_soffs.jccr + cm - 1);
     }
     est.bin(cu.coeff_y.empty() ? 0 : 1, g_soffs.cbf_y);
     if (!cu.coeff_y.empty())
       est_residual_block(cu.coeff_y.data(), w, h, true);
     if (!lo) {
-      if (!cu.coeff_cb.empty())
-        est_residual_block(cu.coeff_cb.data(), w >> 1, h >> 1, false);
-      if (!cu.coeff_cr.empty())
-        est_residual_block(cu.coeff_cr.data(), w >> 1, h >> 1, false);
+      if (cu.joint_cbcr) {
+        const std::vector<int32_t>& coded =
+            (cu.joint_cbcr & 2) ? cu.coeff_cb : cu.coeff_cr;
+        est_residual_block(coded.data(), w >> 1, h >> 1, false, false);
+      } else {
+        if (!cu.coeff_cb.empty())
+          est_residual_block(cu.coeff_cb.data(), w >> 1, h >> 1, false);
+        if (!cu.coeff_cr.empty())
+          est_residual_block(cu.coeff_cr.data(), w >> 1, h >> 1, false);
+      }
     }
     est_lfnst_bits(cu);
     double total_bits = double(est.frac - b0) / double(1 << 15);
@@ -3666,7 +4062,27 @@ struct Searcher {
       }
     }
     (void)maxval;
-    return dist + pp.lmbda * total_bits;
+    double total_cost = dist + pp.lmbda * total_bits;
+
+    // ISP competition on the winning mode (intra_encoder.py tail)
+    if (pp.isp_en && isp_coded_ok(cu)) {
+      RegionSnap cur_state;
+      region_save(ps, x, y, std::max(w, h), cur_state);
+      EstSnap cur_est;
+      est_save(est, cur_est);
+      CuRec isp_cu;
+      double isp_cost;
+      if (rd_isp(cu, part, mpm, lo, entry_region, est_snap, isp_cu,
+                 isp_cost) &&
+          isp_cost < total_cost) {
+        cu = std::move(isp_cu);  // state already staged
+        total_cost = isp_cost;
+      } else {
+        region_restore(ps, cur_state);
+        est_load(est, cur_est);
+      }
+    }
+    return total_cost;
   }
 
   // -- CHROMA_TREE leaf (intra_encoder.py _rd_cu_chroma) --
@@ -3682,14 +4098,25 @@ struct Searcher {
     // _enc_chroma_cu on the estimator: mode + cbfs + residuals, then the
     // reconstruction/marking side effect (finish_cu comps=(1,2))
     enc_intra_chroma_mode(cu);
-    bool cbf_cb = !cu.coeff_cb.empty();
-    bool cbf_cr = !cu.coeff_cr.empty();
+    bool cbf_cb = cu.joint_cbcr ? (cu.joint_cbcr & 2) != 0
+                                : !cu.coeff_cb.empty();
+    bool cbf_cr = cu.joint_cbcr ? (cu.joint_cbcr & 1) != 0
+                                : !cu.coeff_cr.empty();
     est.bin(cbf_cb ? 1 : 0, g_soffs.cbf_cb);
     est.bin(cbf_cr ? 1 : 0, g_soffs.cbf_cr + (cbf_cb ? 1 : 0));
-    if (cbf_cb)
-      est_residual_block(cu.coeff_cb.data(), w >> 1, h >> 1, false);
-    if (cbf_cr)
-      est_residual_block(cu.coeff_cr.data(), w >> 1, h >> 1, false);
+    int cm_ = (cbf_cb ? 2 : 0) + (cbf_cr ? 1 : 0);
+    if (pp.jccr_en && cm_)
+      est.bin(cu.joint_cbcr ? 1 : 0, g_soffs.jccr + cm_ - 1);
+    if (cu.joint_cbcr) {
+      const std::vector<int32_t>& coded =
+          (cu.joint_cbcr & 2) ? cu.coeff_cb : cu.coeff_cr;
+      est_residual_block(coded.data(), w >> 1, h >> 1, false);
+    } else {
+      if (cbf_cb)
+        est_residual_block(cu.coeff_cb.data(), w >> 1, h >> 1, false);
+      if (cbf_cr)
+        est_residual_block(cu.coeff_cr.data(), w >> 1, h >> 1, false);
+    }
     est_lfnst_bits(cu);
     ps.mark_chroma(x, y, w, h, part.qt_depth);
     double bits = double(est.frac - b0) / double(1 << 15);
@@ -3848,7 +4275,9 @@ struct Searcher {
           NodeResult r;
           ok = rd_node(ux, uy, unit, unit, pl, r, 1e300);
           if (!ok) break;
-          luma64.push_back({ux, uy, r.node.split_mode});
+          luma64.push_back(
+              {ux, uy, r.node.split_mode,
+               r.node.split_mode == NO_SPLIT && r.node.cu.isp_mode != 0});
           out.children.push_back(std::move(r.node));
           PartInfo pc;
           pc.qt_depth = qtd;
@@ -3910,6 +4339,7 @@ static void serialize(const Node& n, Writer& w, bool chroma_tree) {
     w.put(cu.chroma_dir);
     w.put(cu.cclm_allowed ? 1 : 0);
     w.put(cu.lfnst_idx);
+    w.put(cu.joint_cbcr);
     w.put(cu.coeff_cb.empty() ? 0 : 1);
     w.put(cu.coeff_cr.empty() ? 0 : 1);
     if (!cu.coeff_cb.empty()) w.put_coeff(cu.coeff_cb);
@@ -3921,8 +4351,17 @@ static void serialize(const Node& n, Writer& w, bool chroma_tree) {
   w.put(cu.mip_t ? 1 : 0);
   w.put(cu.ref_line);
   w.put(cu.lfnst_idx);
-  w.put(cu.coeff_y.empty() ? 0 : 1);
-  if (!cu.coeff_y.empty()) w.put_coeff(cu.coeff_y);
+  w.put(cu.joint_cbcr);
+  w.put(cu.isp_mode);
+  if (cu.isp_mode) {
+    for (const auto& c : cu.isp_coeffs) {
+      w.put(c.empty() ? 0 : 1);
+      if (!c.empty()) w.put_coeff(c);
+    }
+  } else {
+    w.put(cu.coeff_y.empty() ? 0 : 1);
+    if (!cu.coeff_y.empty()) w.put_coeff(cu.coeff_y);
+  }
   if (!cu.luma_only) {
     w.put(cu.chroma_dir);
     w.put(cu.coeff_cb.empty() ? 0 : 1);
@@ -3963,7 +4402,9 @@ void vte_search_init(const int32_t* offs) {
   g_soffs.mip_flag = offs[12];
   g_soffs.mrl_idx = offs[13];
   g_soffs.lfnst = offs[14];
-  g_soffs.num_ctx = offs[15];
+  g_soffs.jccr = offs[15];
+  g_soffs.isp = offs[16];
+  g_soffs.num_ctx = offs[17];
 }
 
 // full intra CTU search; returns 0 on success, <0 on overflow/error
@@ -3984,7 +4425,8 @@ int vte_search_ctu(
     const int64_t* presel_ptrs, int n_plan, const int32_t* plan_meta,
     const int64_t* plan_ptrs, int32_t* out_tree, int tree_cap,
     int32_t* out_coeff, int coeff_cap, int32_t* out_n, int commit,
-    int dep_quant, int mip_en, int mrl_en, int lfnst_en) {
+    int dep_quant, int mip_en, int mrl_en, int lfnst_en, int jccr_en,
+    int jccr_sign, int qp_jc, int isp_en) {
   using namespace ctusearch;
   ProfScope _p(&g_prof_total);
   Searcher s;
@@ -4041,6 +4483,10 @@ int vte_search_ctu(
   p.mip_en = mip_en != 0;
   p.mrl_en = mrl_en != 0;
   p.lfnst_en = lfnst_en != 0;
+  p.jccr_en = jccr_en != 0;
+  p.jccr_sign = jccr_sign;
+  p.qp_jc = qp_jc;
+  p.isp_en = isp_en != 0;
   p.tree_idx = tree_idx;
   s.est.init(live_s0, live_s1, live_r0, live_r1, g_soffs.num_ctx);
   for (int i = 0; i < n_presel; ++i) {

@@ -305,9 +305,13 @@ def test_intra_toolchain_combined():
         assert np.array_equal(dec.planes[c], enc.last_rec.rec[c])
 
 
-def test_isp_encoder_roundtrip_forced():
+def test_isp_encoder_roundtrip_forced(monkeypatch):
     """ISP trial path: forced to win (cost override) -> ISP CUs are coded
-    and the stream decodes bit-exactly; also free competition round-trip."""
+    and the stream decodes bit-exactly; also free competition round-trip.
+    Forces the Python searcher (the cost-override spy patches its
+    _rd_isp; the native driver covers ISP too, pinned by
+    tests/test_native_search.py)."""
+    monkeypatch.setenv("VVENC_TPU_NATIVE_SEARCH", "0")
     import numpy as np
     import vvenc_tpu.encoder.intra_encoder as ie
     import vvenc_tpu.codec.ctu_syntax as cs

@@ -77,7 +77,7 @@ def test_native_eligibility_gates():
 
     enc = IntraEncoder(EncoderConfig(
         width=64, height=64, qp=30, ctu_size=64, intra_period=1,
-        gop_size=1, mctf=False, isp=True))
+        gop_size=1, mctf=False, transform_skip=True))
     frame = _frame(64, 64, 3)
     calls = {"n": 0}
     orig = native.search_ctu
@@ -91,7 +91,8 @@ def test_native_eligibility_gates():
         enc.encode_frame(frame)
     finally:
         native.search_ctu = orig
-    assert calls["n"] == 0, "native search must not run with ISP on"
+    assert calls["n"] == 0, \
+        "native search must not run with transform-skip on"
 
 
 def test_mtt_partitioning_matches_python():
@@ -128,3 +129,20 @@ def test_mip_mrl_lfnst_match_python():
         _run(dict(width=128, height=96, qp=qp, ctu_size=64,
                   deblocking=True, cclm=True, dual_tree=True, **kw),
              seed=qp + len(kw))
+
+
+def test_isp_jccr_medium_toolset_matches_python():
+    """ISP (sequential sub-partition trials incl. the 4-wide prediction
+    regions) and JCCR (joint Cb-Cr trials on the chroma winner), alone
+    and as the full medium-preset intra tool stack (CTU 128, MTT 2,
+    dep_quant, MIP/MRL/LFNST/implicit-MTS), bit-exact vs the Python
+    searcher."""
+    for kw, qp in ((dict(isp=True), 30),
+                   (dict(jccr=True), 24),
+                   (dict(isp=True, jccr=True, lfnst=True, mip=True,
+                         mrl=True, mts_implicit=True, max_mtt_depth=2,
+                         dep_quant=True, sign_data_hiding=False,
+                         ctu_size=128), 34)):
+        kw.setdefault("ctu_size", 64)
+        _run(dict(width=128, height=96, qp=qp, deblocking=True,
+                  cclm=True, dual_tree=True, **kw), seed=qp)

@@ -490,6 +490,7 @@ def _search_setup():
         + [ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
         + [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+           ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
            ctypes.c_int, ctypes.c_int])
     _LIB.vte_search_ctu.restype = ctypes.c_int
     offs = np.asarray([
@@ -502,6 +503,7 @@ def _search_setup():
         ct.CTX_SETS["QtCbfLuma"](0), ct.CTX_SETS["QtCbfCb"](0),
         ct.CTX_SETS["QtCbfCr"](0), ct.CTX_SETS["MipFlag"](0),
         ct.CTX_SETS["MultiRefLineIdx"](0), ct.CTX_SETS["LFNSTIdx"](0),
+        ct.CTX_SETS["JointCbCrFlag"](0), ct.CTX_SETS["ISPMode"](0),
         ct.NUM_CTX], dtype=np.int32)
     _LIB.vte_search_init(offs.ctypes.data)
     _SEARCH_READY = True
@@ -521,10 +523,9 @@ def search_eligible(searcher) -> bool:
     return (coder.is_intra_slice
             and not getattr(searcher.enc, "trial_filter", None)
             and bool(cfg.rdoq or cfg.dep_quant)
-            and not sps.isp
             and not sps.mts_intra
             and not sps.transform_skip and not getattr(sps, "bdpcm", 0)
-            and not coder.ibc_en and not coder.bdpcm_en and not coder.jccr
+            and not coder.ibc_en and not coder.bdpcm_en
             and coder.reshape is None and not coder.use_dqp
             and ps.tile_map is None
             and searcher.ifp_bottom is None)
@@ -624,7 +625,9 @@ def search_ctu(searcher, ctu_x: int, ctu_y: int, live_ctx, commit=True):
         _i32p(out_tree), len(out_tree), _i32p(out_coeff), len(out_coeff),
         out_n.ctypes.data, 1 if commit else 0,
         1 if cfg.dep_quant else 0, 1 if sps.mip else 0,
-        1 if sps.mrl else 0, 1 if sps.lfnst else 0)
+        1 if sps.mrl else 0, 1 if sps.lfnst else 0,
+        1 if coder.jccr else 0, 1 if coder.jccr_sign else 0,
+        qp.joint_qp(), 1 if sps.isp else 0)
     try:
         rc = _LIB.vte_search_ctu(*args)
     except ctypes.ArgumentError:
@@ -674,6 +677,7 @@ def search_ctu(searcher, ctu_x: int, ctu_y: int, live_ctx, commit=True):
             cu.chroma_dir = tok()
             cu.cclm_allowed = bool(tok())
             cu.lfnst_idx = tok()
+            cu.joint_cbcr = tok()
             cbf_cb, cbf_cr = tok(), tok()
             if cbf_cb:
                 cu.coeff_cb = block(h >> 1, w >> 1)
@@ -689,7 +693,14 @@ def search_ctu(searcher, ctu_x: int, ctu_y: int, live_ctx, commit=True):
         cu.mip_transposed = bool(tok())
         cu.ref_line = tok()
         cu.lfnst_idx = tok()
-        if tok():
+        cu.joint_cbcr = tok()
+        cu.isp_mode = tok()
+        if cu.isp_mode:
+            from ..codec.ctu_syntax import isp_partitions
+            cu.isp_coeffs = []
+            for (_px, _py, pw_, ph_) in isp_partitions(w, h, cu.isp_mode):
+                cu.isp_coeffs.append(block(ph_, pw_) if tok() else None)
+        elif tok():
             cu.coeff_y = block(h, w)
         if not lo:
             cu.chroma_dir = tok()
