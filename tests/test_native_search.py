@@ -146,3 +146,14 @@ def test_isp_jccr_medium_toolset_matches_python():
         kw.setdefault("ctu_size", 64)
         _run(dict(width=128, height=96, qp=qp, deblocking=True,
                   cclm=True, dual_tree=True, **kw), seed=qp)
+
+
+def test_qpa_dqp_matches_python():
+    """Per-CTU QP (QPA -> cu_qp_delta) through the native searcher:
+    bit-exact vs the Python golden at CTU 64 and 128 (the 128 dual-tree
+    case pins the CTU-root quantization-group fix)."""
+    for ctu, mtt in ((64, 0), (128, 1)):
+        _run(dict(width=256, height=128, qp=37, ctu_size=ctu,
+                  deblocking=True, cclm=True, dual_tree=True, qpa=True,
+                  max_mtt_depth=mtt, dep_quant=True,
+                  sign_data_hiding=False), seed=ctu)

@@ -1484,6 +1484,15 @@ class SyntaxCoder:
         """Encode one CTU's coding tree; reconstructs into ps as it goes
         (the encoder relies on ps for neighbor-dependent syntax)."""
         if self.dual_tree_intra:
+            # the QG-start rule fires at the CTU root (cbSubdiv 0 <=
+            # qg_subdiv); the dual-tree unit loop skips that root node,
+            # so open the quantization group here — without this a
+            # 128-CTU dual-tree slice never codes cu_qp_delta (the
+            # search quantizes at the per-CTU QP while the decoder
+            # dequantizes at the predicted slice QP: ~25 dB loss)
+            if self.use_dqp:
+                self.qg_start = True
+                self.dqp_coded = False
             for child in node.children:
                 self._enc_tree(enc, ps, child)
         else:
@@ -2476,6 +2485,9 @@ class SyntaxCoder:
     # -- decoding ----------------------------------------------------------
     def decode_ctu(self, dec, ps: PictureState, ctu_x: int, ctu_y: int) -> TreeNode:
         if self.dual_tree_intra:
+            if self.use_dqp:   # QG opens at the CTU root (see encode_ctu)
+                self.qg_start = True
+                self.dqp_coded = False
             node = self._dual_tree_units(
                 ps, ctu_x, ctu_y,
                 lambda x, y, u, pl: self._dec_tree(dec, ps, x, y, u, u, pl))

@@ -511,11 +511,13 @@ def _search_setup():
 
 
 def search_eligible(searcher) -> bool:
-    """True when the native driver covers this picture's tool set
-    (intra slice, RDOQ without trellis, QT+BT+TT partitioning to any
-    MTT depth, no MIP/MRL/ISP/LFNST/explicit-MTS/TS/BDPCM/IBC/JCCR/
-    LMCS/DQP/tiles — the faster/firstpass preset intra tool set at any
-    partition config)."""
+    """True when the native driver covers this picture's tool set:
+    intra slices with RDOQ or the dependent-quantization trellis,
+    QT+BT+TT partitioning to any MTT depth and CTU size, MIP, MRL,
+    ISP, LFNST, JCCR, implicit MTS, CCLM, and per-CTU QP (QPA/BIM
+    DQP) — the full medium-preset intra tool stack.  Still excluded
+    (Python searcher handles them): explicit MTS (slower preset),
+    transform-skip/BDPCM/IBC (SCC), LMCS, tiles, IFP rows."""
     if _LIB is None or not _search_setup():
         return False
     coder, cfg, sps = searcher.coder, searcher.cfg, searcher.enc.sps
@@ -526,7 +528,7 @@ def search_eligible(searcher) -> bool:
             and not sps.mts_intra
             and not sps.transform_skip and not getattr(sps, "bdpcm", 0)
             and not coder.ibc_en and not coder.bdpcm_en
-            and coder.reshape is None and not coder.use_dqp
+            and coder.reshape is None
             and ps.tile_map is None
             and searcher.ifp_bottom is None)
 
