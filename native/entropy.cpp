@@ -4798,6 +4798,178 @@ void vte_alf_classify(const int32_t* rec, int h, int w, int bit_depth,
   }
 }
 
+// DMVR final padded MC (ops/dmvr.py padded_window_mc: xCopyAndPad +
+// xFinalPaddedMCForDMVR): prefetch the window at the clipped merge MV,
+// replicate-pad it, and run the MC core at the refined MV's fraction
+// with the integer delta as a block offset.  Declared here, defined
+// after the MC core below via a forward call.
+void vte_mc_block(const int32_t* ref, int ph, int pw, int x, int y, int w,
+                  int h, int mv_x, int mv_y, int bit_depth, int is_luma,
+                  int intermediate, int alt_hpel,
+                  const int32_t* taps_override, int32_t* out);
+
+static void clip_mv_c(int mvx, int mvy, int x, int y, int pic_w, int pic_h,
+                      int ctu_size, int* ox, int* oy) {
+  const int off = 8;
+  int hor_max = (pic_w + off - x - 1) << 4;
+  int hor_min = (-ctu_size - off - x + 1) << 4;
+  int ver_max = (pic_h + off - y - 1) << 4;
+  int ver_min = (-ctu_size - off - y + 1) << 4;
+  *ox = std::min(hor_max, std::max(hor_min, mvx));
+  *oy = std::min(ver_max, std::max(ver_min, mvy));
+}
+
+void vte_dmvr_padded_mc(const int32_t* ref, int ph, int pw, int x, int y,
+                        int w, int h, int mmv_x, int mmv_y, int rmv_x,
+                        int rmv_y, int comp_scale, int bit_depth,
+                        int pic_w, int pic_h, int ctu_size,
+                        int intermediate, int alt_hpel, int32_t* out) {
+  const int is_luma = comp_scale == 0;
+  const int filt = is_luma ? 8 : 4;
+  const int sh = 4 + comp_scale;
+  const int pad = 2 >> comp_scale;  // DMVR_ITER
+  int cmx, cmy;
+  clip_mv_c(mmv_x, mmv_y, x << comp_scale, y << comp_scale, pic_w, pic_h,
+            ctu_size, &cmx, &cmy);
+  const int ext = (filt >> 1) - 1;
+  const int x0 = x + (cmx >> sh) - ext;
+  const int y0 = y + (cmy >> sh) - ext;
+  const int ww = w + filt - 1;
+  const int wh = h + filt - 1;
+  const int PW = ww + 2 * pad, PH = wh + 2 * pad;
+  std::vector<int32_t> padded(size_t(PH) * PW);
+  for (int i = 0; i < PH; ++i) {
+    int wi = i - pad;                 // replicate the WINDOW edge first
+    wi = wi < 0 ? 0 : (wi >= wh ? wh - 1 : wi);
+    int sy = y0 + wi;
+    sy = sy < 0 ? 0 : (sy >= ph ? ph - 1 : sy);
+    for (int j = 0; j < PW; ++j) {
+      int wj = j - pad;
+      wj = wj < 0 ? 0 : (wj >= ww ? ww - 1 : wj);
+      int sx = x0 + wj;
+      sx = sx < 0 ? 0 : (sx >= pw ? pw - 1 : sx);
+      padded[size_t(i) * PW + j] = ref[size_t(sy) * pw + sx];
+    }
+  }
+  int rcx, rcy;
+  clip_mv_c(rmv_x, rmv_y, x << comp_scale, y << comp_scale, pic_w, pic_h,
+            ctu_size, &rcx, &rcy);
+  const int d_ix = (rmv_x >> sh) - (mmv_x >> sh);
+  const int d_iy = (rmv_y >> sh) - (mmv_y >> sh);
+  const int fx = rcx & ((1 << sh) - 1);
+  const int fy = rcy & ((1 << sh) - 1);
+  vte_mc_block(padded.data(), PH, PW, pad + ext + d_ix, pad + ext + d_iy,
+               w, h, fx, fy, bit_depth, is_luma, intermediate, alt_hpel,
+               nullptr, out);
+}
+
+// MCTF kernels (encoder/mctf.py hot loops; the MCTFX86.h analog)
+// ---------------------------------------------------------------------------
+
+// whole-plane fractional interpolation at one phase: horizontal then
+// vertical n-tap with (+32)>>6 rounding; output is edge-padded by `pad`
+// on every side (mctf.py _interp_plane_mctf, incl. its extra 4-sample
+// working margin)
+void vte_mctf_interp(const int32_t* plane, int h, int w,
+                     const int32_t* tapsh, const int32_t* tapsv,
+                     int ntaps, int o0, int pad, int bit_depth,
+                     int32_t* out) {
+  const int m = pad + 4;                 // python working margin
+  const int H = h + 2 * m, W = w + 2 * m;
+  std::vector<int32_t> P(size_t(H) * W), T(size_t(H) * W);
+  for (int y = 0; y < H; ++y) {
+    int sy = y - m;
+    sy = sy < 0 ? 0 : (sy >= h ? h - 1 : sy);
+    for (int x = 0; x < W; ++x) {
+      int sx = x - m;
+      sx = sx < 0 ? 0 : (sx >= w ? w - 1 : sx);
+      P[size_t(y) * W + x] = plane[size_t(sy) * w + sx];
+    }
+  }
+  const int maxv = (1 << bit_depth) - 1;
+  // horizontal (reads wrap-free: output trimmed below excludes the
+  // outer ring python's np.roll wraps into)
+  for (int y = 0; y < H; ++y)
+    for (int x = 0; x < W; ++x) {
+      int64_t acc = 0;
+      for (int k = 0; k < ntaps; ++k) {
+        int xx = x + o0 + k;
+        if (xx < 0) xx += W;            // np.roll wrap semantics
+        if (xx >= W) xx -= W;
+        acc += int64_t(tapsh[k]) * P[size_t(y) * W + xx];
+      }
+      T[size_t(y) * W + x] = int32_t((acc + 32) >> 6);
+    }
+  const int OW = w + 2 * pad;
+  for (int y = 0; y < h + 2 * pad; ++y)
+    for (int x = 0; x < OW; ++x) {
+      int64_t acc = 0;
+      for (int k = 0; k < ntaps; ++k) {
+        int yy = (y + 4) + o0 + k;
+        if (yy < 0) yy += H;
+        if (yy >= H) yy -= H;
+        acc += int64_t(tapsv[k]) * T[size_t(yy) * W + (x + 4)];
+      }
+      int64_t v = (acc + 32) >> 6;
+      out[size_t(y) * OW + x] =
+          int32_t(v < 0 ? 0 : (v > maxv ? maxv : v));
+    }
+}
+
+// per-block integer full search around per-block init MVs (mctf.py
+// _block_me: same SSDs, same first-wins tie-break, same edge clamping)
+void vte_mctf_block_me(const int32_t* cur, const int32_t* ref, int h,
+                       int w, int bs, int rng, const int32_t* init_mv,
+                       int32_t* out_mv, int64_t* out_err) {
+  int nby = (h + bs - 1) / bs, nbx = (w + bs - 1) / bs;
+  const int m = rng + bs;
+  const int H = h + 2 * m, W = w + 2 * m;
+  std::vector<int64_t> rp(size_t(H) * W);
+  for (int y = 0; y < H; ++y) {
+    int sy = y - m;
+    sy = sy < 0 ? 0 : (sy >= h ? h - 1 : sy);
+    for (int x = 0; x < W; ++x) {
+      int sx = x - m;
+      sx = sx < 0 ? 0 : (sx >= w ? w - 1 : sx);
+      rp[size_t(y) * W + x] = ref[size_t(sy) * w + sx];
+    }
+  }
+  for (int by = 0; by < nby; ++by)
+    for (int bx = 0; bx < nbx; ++bx) {
+      int y0 = by * bs, x0 = bx * bs;
+      int bh = std::min(bs, h - y0), bw = std::min(bs, w - x0);
+      int ix = init_mv[(size_t(by) * nbx + bx) * 2 + 0];
+      int iy = init_mv[(size_t(by) * nbx + bx) * 2 + 1];
+      int64_t best = -1;
+      int bdx = 0, bdy = 0;
+      for (int dy = -rng; dy <= rng; ++dy) {
+        int sy = y0 + iy + dy + m;
+        sy = sy < 0 ? 0 : (sy > H - bh ? H - bh : sy);
+        for (int dx = -rng; dx <= rng; ++dx) {
+          int sx = x0 + ix + dx + m;
+          sx = sx < 0 ? 0 : (sx > W - bw ? W - bw : sx);
+          int64_t ssd = 0;
+          for (int i = 0; i < bh; ++i) {
+            const int32_t* c = cur + size_t(y0 + i) * w + x0;
+            const int64_t* r = rp.data() + size_t(sy + i) * W + sx;
+            for (int j = 0; j < bw; ++j) {
+              int64_t e = int64_t(c[j]) - r[j];
+              ssd += e * e;
+            }
+          }
+          if (best < 0 || ssd < best) {
+            best = ssd;
+            bdx = dx;
+            bdy = dy;
+          }
+        }
+      }
+      out_mv[(size_t(by) * nbx + bx) * 2 + 0] = ix + bdx;
+      out_mv[(size_t(by) * nbx + bx) * 2 + 1] = iy + bdy;
+      out_err[size_t(by) * nbx + bx] = best;
+    }
+}
+
 // SAO statistics for one component plane in one pass (encoder/sao_enc.py
 // _picture_stats; the EncSampleAdaptiveOffset getBlkStats /
 // SampleAdaptiveOffsetX86 analog): per-CTU (count, error-sum) for the 4

@@ -439,3 +439,68 @@ def test_native_sao_stats_matches_python():
             for i in range(2):
                 assert np.array_equal(bo_py[comp][i], bo_nt[comp][i]), \
                     (trial, comp, i)
+
+
+def test_native_mctf_kernels_match_python():
+    """vte_mctf_interp (whole-plane fractional interpolation) and
+    vte_mctf_block_me (per-block integer full search incl. tie-break
+    and edge clamping) bit-exact vs the numpy golden."""
+    import vvenc_tpu.encoder.mctf as M
+    rng = np.random.RandomState(4)
+    for trial in range(4):
+        h, w = [(64, 96), (48, 52)][trial % 2]
+        pl = rng.randint(0, 1024, (h, w)).astype(np.int32)
+        fx, fy = int(rng.randint(16)), int(rng.randint(16))
+        taps8 = bool(trial % 2)
+        av = native.available
+        try:
+            native.available = lambda: False
+            want = M._interp_plane_mctf(pl, fx, fy, taps8, 10)
+        finally:
+            native.available = av
+        got = M._interp_plane_mctf(pl, fx, fy, taps8, 10)
+        assert np.array_equal(want, got), (trial, fx, fy, taps8)
+        cur = rng.randint(0, 1024, (h, w)).astype(np.int32)
+        ref = np.clip(cur + rng.randint(-20, 21, (h, w)), 0,
+                      1023).astype(np.int32)
+        bs, rg = [(16, 4), (8, 3)][trial % 2]
+        nby, nbx = (h + bs - 1) // bs, (w + bs - 1) // bs
+        iv = rng.randint(-3, 4, (nby, nbx, 2)).astype(np.int32)
+        try:
+            native.available = lambda: False
+            mv0, e0 = M._block_me(cur, ref, bs, rg, iv)
+        finally:
+            native.available = av
+        mv1, e1 = M._block_me(cur, ref, bs, rg, iv)
+        assert np.array_equal(mv0, mv1) and np.array_equal(e0, e1), trial
+
+
+def test_native_dmvr_padded_mc_matches_python():
+    """vte_dmvr_padded_mc (window prefetch + replicate pad + MC core)
+    bit-exact vs ops/dmvr.py padded_window_mc."""
+    import vvenc_tpu.ops.dmvr as D
+    rng = np.random.RandomState(11)
+    ref = rng.randint(0, 1024, (128, 160)).astype(np.int32)
+    for trial in range(120):
+        cs = int(rng.randint(2))
+        w = int(rng.choice([8, 16])) >> cs
+        h = int(rng.choice([8, 16])) >> cs
+        x = int(rng.randint(-4, 156))
+        y = int(rng.randint(-4, 124))
+        mmv = (int(rng.randint(-600, 600)), int(rng.randint(-600, 600)))
+        d = (int(rng.randint(-32, 33)), int(rng.randint(-32, 33)))
+        rmv = (mmv[0] + d[0], mmv[1] + d[1])
+        im = bool(rng.randint(2))
+        ah = bool(rng.randint(3) == 0) and cs == 0
+        av = native.available
+        try:
+            native.available = lambda: False
+            want = D.padded_window_mc(ref, x, y, w, h, mmv, rmv, cs, 10,
+                                      320, 256, 64, intermediate=im,
+                                      alt_hpel=ah)
+        finally:
+            native.available = av
+        got = D.padded_window_mc(ref, x, y, w, h, mmv, rmv, cs, 10,
+                                 320, 256, 64, intermediate=im,
+                                 alt_hpel=ah)
+        assert np.array_equal(want, got), trial

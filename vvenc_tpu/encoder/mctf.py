@@ -52,6 +52,9 @@ def _block_me(cur: np.ndarray, ref: np.ndarray, bs: int, rng: int,
     tie-break as the scalar loop); partial edge blocks keep the scalar
     path."""
     h, w = cur.shape
+    from .. import native as _native
+    if _native.available():
+        return _native.mctf_block_me(cur, ref, bs, rng, init_mv)
     nby, nbx = (h + bs - 1) // bs, (w + bs - 1) // bs
     mvs = np.zeros((nby, nbx, 2), np.int32)
     err = np.zeros((nby, nbx), np.int64)
@@ -153,6 +156,14 @@ def _interp_plane_mctf(plane: np.ndarray, fx: int, fy: int, taps8: bool,
     returned plane is edge-padded by _PAD on every side; index
     [y + _PAD, x + _PAD] gives the sample at integer position (x, y)."""
     maxv = (1 << bit_depth) - 1
+    from .. import native as _native
+    if _native.available():
+        if taps8:
+            return _native.mctf_interp(plane, MCTF_FILTER8[fx][1:7],
+                                       MCTF_FILTER8[fy][1:7], -2, _PAD,
+                                       bit_depth)
+        return _native.mctf_interp(plane, MCTF_FILTER4[fx],
+                                   MCTF_FILTER4[fy], -1, _PAD, bit_depth)
     p = np.pad(plane, _PAD + 4, mode="edge").astype(np.int32)
     if taps8:
         taps = MCTF_FILTER8[fx][1:7]

@@ -777,6 +777,12 @@ def _alf_setup():
     _LIB.vte_sao_stats.argtypes = [
         _PI32, _PI32] + [ctypes.c_int] * 5 + [_PI64] * 4
     _LIB.vte_sao_stats.restype = None
+    _LIB.vte_mctf_interp.argtypes = [
+        _PI32, ctypes.c_int, ctypes.c_int, _PI32, _PI32] +         [ctypes.c_int] * 4 + [_PI32]
+    _LIB.vte_mctf_interp.restype = None
+    _LIB.vte_mctf_block_me.argtypes = [
+        _PI32, _PI32] + [ctypes.c_int] * 4 + [_PI32, _PI32, _PI64]
+    _LIB.vte_mctf_block_me.restype = None
     _ALF_READY = True
     return True
 
@@ -829,6 +835,52 @@ def alf_ccalf(luma, chroma_dst, x0c, y0c, w0c, h0c, coeff, bit_depth,
     co = np.ascontiguousarray(coeff, dtype=np.int32)
     _LIB.vte_alf_ccalf(_i32p(lm), _i32p(chroma_dst), hc, wc, h, w,
                        x0c, y0c, w0c, h0c, _i32p(co), bit_depth, ctu_size)
+
+
+def dmvr_padded_mc(ref, x, y, w, h, merge_mv, refined_mv, comp_scale,
+                   bit_depth, pic_w, pic_h, ctu_size, intermediate=True,
+                   alt_hpel=False):
+    """DMVR final MC on the replicate-padded prefetch window
+    (ops/dmvr.py padded_window_mc as one C++ call)."""
+    _mc_setup()
+    ph, pw = ref.shape
+    r = np.ascontiguousarray(ref, dtype=np.int32)
+    out = np.empty((h, w), np.int32)
+    _LIB.vte_dmvr_padded_mc(
+        _i32p(r), ph, pw, x, y, w, h, int(merge_mv[0]), int(merge_mv[1]),
+        int(refined_mv[0]), int(refined_mv[1]), comp_scale, bit_depth,
+        pic_w, pic_h, ctu_size, 1 if intermediate else 0,
+        1 if alt_hpel else 0, _i32p(out))
+    return out
+
+
+def mctf_interp(plane, tapsh, tapsv, o0, pad, bit_depth):
+    """MCTF whole-plane fractional interpolation (mctf.py
+    _interp_plane_mctf as one C++ pass); returns the pad-padded plane."""
+    _alf_setup()
+    h, w = plane.shape
+    p = np.ascontiguousarray(plane, dtype=np.int32)
+    th = np.ascontiguousarray(tapsh, dtype=np.int32)
+    tv = np.ascontiguousarray(tapsv, dtype=np.int32)
+    out = np.empty((h + 2 * pad, w + 2 * pad), np.int32)
+    _LIB.vte_mctf_interp(_i32p(p), h, w, _i32p(th), _i32p(tv), len(th),
+                         o0, pad, bit_depth, _i32p(out))
+    return out
+
+
+def mctf_block_me(cur, ref, bs, rng, init_mv):
+    """MCTF per-block integer full search (mctf.py _block_me)."""
+    _alf_setup()
+    h, w = cur.shape
+    nby, nbx = (h + bs - 1) // bs, (w + bs - 1) // bs
+    c = np.ascontiguousarray(cur, dtype=np.int32)
+    r = np.ascontiguousarray(ref, dtype=np.int32)
+    iv = np.ascontiguousarray(init_mv, dtype=np.int32)
+    mv = np.empty((nby, nbx, 2), np.int32)
+    err = np.empty((nby, nbx), np.int64)
+    _LIB.vte_mctf_block_me(_i32p(c), _i32p(r), h, w, bs, rng, _i32p(iv),
+                           _i32p(mv), _i32p(err))
+    return mv, err
 
 
 def sao_stats(rec, orig, bit_depth, cs, n_cols, n_rows):
@@ -986,6 +1038,9 @@ def _mc_setup():
     _LIB.vte_mc_block.argtypes = [_PI32] + [ctypes.c_int] * 12 + \
         [_PI32, _PI32]
     _LIB.vte_mc_block.restype = None
+    _LIB.vte_dmvr_padded_mc.argtypes = [_PI32] + [ctypes.c_int] * 17 + \
+        [_PI32]
+    _LIB.vte_dmvr_padded_mc.restype = None
     ct_ = np.ascontiguousarray(CHROMA_FILTER, dtype=np.int32)
     _LIB.vte_mc_init(ct_.ctypes.data)
     _mc_setup.done = True

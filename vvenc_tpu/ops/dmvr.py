@@ -184,6 +184,13 @@ def padded_window_mc(ref: np.ndarray, x: int, y: int, w: int, h: int,
 
     x, y, w, h, ref in COMPONENT coordinates; MVs in luma 1/16 units
     (the per-component shift is 4 + comp_scale)."""
+    from .. import native as _native
+    if _native.available():
+        ph_, pw_ = ref.shape
+        return _native.dmvr_padded_mc(ref, x, y, w, h, merge_mv,
+                                      refined_mv, comp_scale, bit_depth,
+                                      pic_w, pic_h, ctu_size,
+                                      intermediate, alt_hpel)
     is_luma = comp_scale == 0
     filt = NTAPS_LUMA if is_luma else NTAPS_CHROMA
     sh = 4 + comp_scale
