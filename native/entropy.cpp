@@ -4916,6 +4916,106 @@ void vte_mctf_interp(const int32_t* plane, int h, int w,
     }
 }
 
+// one interpolated sample block of the virtual pad-64 interp plane
+// (identical values to vte_mctf_interp's output window at [ys.., xs..])
+static void mctf_fetch_block(const int32_t* plane, int h, int w, int ys,
+                             int xs, int bh, int bw,
+                             const int32_t* tapsh, const int32_t* tapsv,
+                             int ntaps, int o0, int bit_depth,
+                             int32_t* out /* bh x bw */) {
+  const int m = 68;  // python working margin (pad 64 + 4)
+  const int maxv = (1 << bit_depth) - 1;
+  // T rows needed: (ys+4+o0) .. (ys+4+o0+ntaps-1 + bh-1); cols xs+4..
+  int64_t T[24 + 8][24];  // bs <= 16 at full res; margin for taps
+  for (int i = 0; i < bh + ntaps - 1; ++i) {
+    int R = ys + 4 + o0 + i;
+    int sy = R - m;
+    sy = sy < 0 ? 0 : (sy >= h ? h - 1 : sy);
+    for (int j = 0; j < bw; ++j) {
+      int64_t acc = 0;
+      for (int k = 0; k < ntaps; ++k) {
+        int C = xs + 4 + o0 + k + j;
+        int sx = C - m;
+        sx = sx < 0 ? 0 : (sx >= w ? w - 1 : sx);
+        acc += int64_t(tapsh[k]) * plane[size_t(sy) * w + sx];
+      }
+      T[i][j] = (acc + 32) >> 6;
+    }
+  }
+  for (int i = 0; i < bh; ++i)
+    for (int j = 0; j < bw; ++j) {
+      int64_t acc = 0;
+      for (int k = 0; k < ntaps; ++k)
+        acc += int64_t(tapsv[k]) * T[i + k][j];
+      int64_t v = (acc + 32) >> 6;
+      out[size_t(i) * bw + j] =
+          int32_t(v < 0 ? 0 : (v > maxv ? maxv : v));
+    }
+}
+
+// MCTF filter tables (mctf.py MCTF_FILTER8/4), registered once
+static int32_t g_mctf_f8[16][8];
+static int32_t g_mctf_f4[16][4];
+void vte_mctf_init(const int32_t* f8, const int32_t* f4) {
+  std::memcpy(g_mctf_f8, f8, sizeof(g_mctf_f8));
+  std::memcpy(g_mctf_f4, f4, sizeof(g_mctf_f4));
+}
+
+// batched per-block SSD at 1/16-pel MVs (mctf.py _ssd_blocks)
+void vte_mctf_block_ssd(const int32_t* plane, int h, int w, int n,
+                        const int32_t* bxy, const int32_t* mvq, int bs,
+                        const int32_t* cur, int bit_depth,
+                        int64_t* out_ssd) {
+  int32_t blk[16 * 16];
+  for (int b = 0; b < n; ++b) {
+    int fx = mvq[b * 2 + 0] & 15, fy = mvq[b * 2 + 1] & 15;
+    int ix = mvq[b * 2 + 0] >> 4, iy = mvq[b * 2 + 1] >> 4;
+    int ys = bxy[b * 2 + 1] + iy + 64;
+    int xs = bxy[b * 2 + 0] + ix + 64;
+    int ymax = h + 128 - bs, xmax = w + 128 - bs;
+    ys = ys < 0 ? 0 : (ys > ymax ? ymax : ys);
+    xs = xs < 0 ? 0 : (xs > xmax ? xmax : xs);
+    mctf_fetch_block(plane, h, w, ys, xs, bs, bs, g_mctf_f8[fx] + 1,
+                     g_mctf_f8[fy] + 1, 6, -2, bit_depth, blk);
+    const int32_t* c = cur + size_t(b) * bs * bs;
+    int64_t ssd = 0;
+    for (int i = 0; i < bs * bs; ++i) {
+      int64_t e = int64_t(blk[i]) - c[i];
+      ssd += e * e;
+    }
+    out_ssd[b] = ssd;
+  }
+}
+
+// whole-plane per-block MC at 1/16-pel MVs (mctf.py _mc_block_plane)
+void vte_mctf_mc_plane(const int32_t* ref, int h, int w,
+                       const int32_t* mvq, int nby, int nbx, int bs,
+                       int scale, int taps8, int bit_depth,
+                       int32_t* out /* h x w */) {
+  int32_t blk[16 * 16];
+  int bsc = bs >> scale;
+  for (int by = 0; by < nby; ++by)
+    for (int bx = 0; bx < nbx; ++bx) {
+      int y0 = by * bsc, x0 = bx * bsc;
+      if (y0 >= h || x0 >= w) continue;
+      int bh = std::min(bsc, h - y0), bw = std::min(bsc, w - x0);
+      int dx = mvq[(size_t(by) * nbx + bx) * 2 + 0] >> scale;
+      int dy = mvq[(size_t(by) * nbx + bx) * 2 + 1] >> scale;
+      int fx = dx & 15, fy = dy & 15;
+      int ys = 64 + y0 + (dy >> 4), xs = 64 + x0 + (dx >> 4);
+      int ymax = h + 128 - bh, xmax = w + 128 - bw;
+      ys = ys < 0 ? 0 : (ys > ymax ? ymax : ys);
+      xs = xs < 0 ? 0 : (xs > xmax ? xmax : xs);
+      const int32_t* th = taps8 ? g_mctf_f8[fx] + 1 : g_mctf_f4[fx];
+      const int32_t* tv = taps8 ? g_mctf_f8[fy] + 1 : g_mctf_f4[fy];
+      mctf_fetch_block(ref, h, w, ys, xs, bh, bw, th, tv,
+                       taps8 ? 6 : 4, taps8 ? -2 : -1, bit_depth, blk);
+      for (int i = 0; i < bh; ++i)
+        std::memcpy(out + size_t(y0 + i) * w + x0, blk + i * bw,
+                    size_t(bw) * 4);
+    }
+}
+
 // per-block integer full search around per-block init MVs (mctf.py
 // _block_me: same SSDs, same first-wins tie-break, same edge clamping)
 void vte_mctf_block_me(const int32_t* cur, const int32_t* ref, int h,

@@ -504,3 +504,41 @@ def test_native_dmvr_padded_mc_matches_python():
                                  320, 256, 64, intermediate=im,
                                  alt_hpel=ah)
         assert np.array_equal(want, got), trial
+
+
+def test_native_mctf_block_kernels_match_python():
+    """vte_mctf_block_ssd / vte_mctf_mc_plane (per-block fractional
+    fetch on the virtual interp plane) bit-exact vs the plane-cache
+    numpy golden."""
+    import vvenc_tpu.encoder.mctf as M
+    rng = np.random.RandomState(6)
+    for trial in range(3):
+        h, w = [(64, 96), (80, 52)][trial % 2]
+        ref = rng.randint(0, 1024, (h, w)).astype(np.int32)
+        bs = 16
+        nby, nbx = (h + bs - 1) // bs, (w + bs - 1) // bs
+        n = nby * nbx
+        bxy = np.array([(bx * bs, by * bs) for by in range(nby)
+                        for bx in range(nbx)], np.int32)
+        mvq = rng.randint(-100, 100, (n, 2)).astype(np.int32)
+        cur = rng.randint(0, 1024, (n, bs, bs)).astype(np.int64)
+        av = native.available
+        try:
+            native.available = lambda: False
+            want = M._ssd_blocks(cur, M._InterpCache(ref, True, 10),
+                                 bxy, mvq, bs)
+        finally:
+            native.available = av
+        got = M._ssd_blocks(cur, M._InterpCache(ref, True, 10), bxy,
+                            mvq, bs)
+        assert np.array_equal(want, got), trial
+        mvg = rng.randint(-100, 100, (nby, nbx, 2)).astype(np.int32)
+        for scale, t8 in ((0, True), (1, False), (1, True)):
+            rr = ref[: h >> scale, : w >> scale].copy()
+            try:
+                native.available = lambda: False
+                want = M._mc_plane_subpel(rr, mvg, bs, scale, t8, 10)
+            finally:
+                native.available = av
+            got = M._mc_plane_subpel(rr, mvg, bs, scale, t8, 10)
+            assert np.array_equal(want, got), (trial, scale, t8)

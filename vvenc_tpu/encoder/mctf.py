@@ -209,6 +209,10 @@ def _ssd_blocks(cur, ic: _InterpCache, bxy, mvq, bs):
     """SSD per block for 1/16-pel MVs mvq [n, 2] at block origins
     bxy [n, 2] (x, y), vectorized per phase group."""
     n = len(mvq)
+    from .. import native as _native
+    if _native.available():
+        return _native.mctf_block_ssd(ic.plane, cur, bxy, mvq, bs,
+                                      ic.bit_depth)
     out = np.empty(n, np.int64)
     fx = mvq[:, 0] & 15
     fy = mvq[:, 1] & 15
@@ -382,6 +386,10 @@ def _mc_plane_subpel(ref: np.ndarray, mvq, bs: int, scale: int,
     the MCTF fractional filters (vvenc applyBlock MC, MCTF.cpp:1450-1475:
     chroma scales the MV by the component shift)."""
     h, w = ref.shape
+    from .. import native as _native
+    if _native.available():
+        return _native.mctf_mc_plane(ref, mvq, bs, scale, taps8,
+                                     bit_depth).astype(ref.dtype)
     out = np.empty_like(ref)
     if ic is None:
         ic = _InterpCache(ref, taps8, bit_depth)

@@ -177,6 +177,13 @@ def _load():
     lib.vte_mip_init(mw[0].ctypes.data, mw[1].ctypes.data,
                      mw[2].ctypes.data)
 
+    # register the MCTF fractional-filter ROM (encoder/mctf.py tables)
+    from ..encoder.mctf import MCTF_FILTER8, MCTF_FILTER4
+    lib.vte_mctf_init.argtypes = [_PI32, _PI32]
+    mf8 = np.ascontiguousarray(MCTF_FILTER8, dtype=np.int32)
+    mf4 = np.ascontiguousarray(MCTF_FILTER4, dtype=np.int32)
+    lib.vte_mctf_init(mf8.ctypes.data, mf4.ctypes.data)
+
     # register the LFNST ROM (single-sourced from ops/lfnst.py's npz)
     from ..ops.lfnst import FWD4, FWD8, LFNST_LUT
     lib.vte_lfnst_init.argtypes = [_PI32] * 3
@@ -783,6 +790,14 @@ def _alf_setup():
     _LIB.vte_mctf_block_me.argtypes = [
         _PI32, _PI32] + [ctypes.c_int] * 4 + [_PI32, _PI32, _PI64]
     _LIB.vte_mctf_block_me.restype = None
+    _LIB.vte_mctf_block_ssd.argtypes = [
+        _PI32] + [ctypes.c_int] * 3 + [_PI32, _PI32, ctypes.c_int,
+                                       _PI32, ctypes.c_int, _PI64]
+    _LIB.vte_mctf_block_ssd.restype = None
+    _LIB.vte_mctf_mc_plane.argtypes = [
+        _PI32] + [ctypes.c_int] * 2 + [_PI32] + [ctypes.c_int] * 6 + \
+        [_PI32]
+    _LIB.vte_mctf_mc_plane.restype = None
     _ALF_READY = True
     return True
 
@@ -865,6 +880,37 @@ def mctf_interp(plane, tapsh, tapsv, o0, pad, bit_depth):
     out = np.empty((h + 2 * pad, w + 2 * pad), np.int32)
     _LIB.vte_mctf_interp(_i32p(p), h, w, _i32p(th), _i32p(tv), len(th),
                          o0, pad, bit_depth, _i32p(out))
+    return out
+
+
+def mctf_block_ssd(plane, cur_blocks, bxy, mvq, bs, bit_depth):
+    """Per-block SSD at 1/16-pel MVs on the virtual interp plane
+    (mctf.py _ssd_blocks without materializing per-phase planes)."""
+    _alf_setup()
+    h, w = plane.shape
+    p = np.ascontiguousarray(plane, dtype=np.int32)
+    c = np.ascontiguousarray(cur_blocks, dtype=np.int32)
+    b = np.ascontiguousarray(bxy, dtype=np.int32)
+    m = np.ascontiguousarray(mvq, dtype=np.int32)
+    n = len(m)
+    out = np.empty(n, np.int64)
+    _LIB.vte_mctf_block_ssd(_i32p(p), h, w, n, _i32p(b), _i32p(m), bs,
+                            _i32p(c), bit_depth, _i32p(out))
+    return out
+
+
+def mctf_mc_plane(ref, mvq, bs, scale, taps8, bit_depth):
+    """Whole-plane per-block MC at 1/16-pel MVs (mctf.py
+    _mc_block_plane in one C++ call)."""
+    _alf_setup()
+    h, w = ref.shape
+    r = np.ascontiguousarray(ref, dtype=np.int32)
+    m = np.ascontiguousarray(mvq, dtype=np.int32)
+    nby, nbx = mvq.shape[:2]
+    out = np.empty((h, w), np.int32)
+    _LIB.vte_mctf_mc_plane(_i32p(r), h, w, _i32p(m), nby, nbx, bs,
+                           scale, 1 if taps8 else 0, bit_depth,
+                           _i32p(out))
     return out
 
 
