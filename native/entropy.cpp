@@ -4863,6 +4863,50 @@ void vte_dmvr_padded_mc(const int32_t* ref, int ph, int pw, int x, int y,
                nullptr, out);
 }
 
+// one DMVR sub-PU's final bi-prediction (ctu_syntax.py dmvr_predict
+// non-BDOF path): per list, either the padded-window MC (integer part
+// of the refined MV moved) or a plain MC at the clipped MV, then the
+// 14-bit bi average (interp.py bi_average_np)
+void vte_dmvr_bi_subpu(const int32_t* ref0, const int32_t* ref1, int ph,
+                       int pw, int bx, int by, int bw, int bh,
+                       int m0x, int m0y, int m1x, int m1y, int dx, int dy,
+                       int comp_scale, int bit_depth, int pic_w,
+                       int pic_h, int ctu_size, int alt_hpel,
+                       int32_t* out) {
+  const int sh = 4 + comp_scale;
+  const int is_luma = comp_scale == 0;
+  const int MVMAX = (1 << 17) - 1, MVMIN = -(1 << 17);
+  std::vector<int32_t> p0(size_t(bh) * bw), p1(size_t(bh) * bw);
+  for (int li = 0; li < 2; ++li) {
+    const int32_t* ref = li == 0 ? ref0 : ref1;
+    int sign = li == 0 ? 1 : -1;
+    int mx = li == 0 ? m0x : m1x, my = li == 0 ? m0y : m1y;
+    int rx = std::max(MVMIN, std::min(MVMAX, mx + sign * dx));
+    int ry = std::max(MVMIN, std::min(MVMAX, my + sign * dy));
+    int d_ix = (rx >> sh) - (mx >> sh);
+    int d_iy = (ry >> sh) - (my >> sh);
+    int32_t* dst = li == 0 ? p0.data() : p1.data();
+    if (d_ix || d_iy) {
+      vte_dmvr_padded_mc(ref, ph, pw, bx, by, bw, bh, mx, my, rx, ry,
+                         comp_scale, bit_depth, pic_w, pic_h, ctu_size,
+                         1, alt_hpel, dst);
+    } else {
+      int cx, cy;
+      clip_mv_c(rx, ry, bx << comp_scale, by << comp_scale, pic_w,
+                pic_h, ctu_size, &cx, &cy);
+      vte_mc_block(ref, ph, pw, bx, by, bw, bh, cx, cy, bit_depth,
+                   is_luma, 1, alt_hpel, nullptr, dst);
+    }
+  }
+  const int shift = std::max(2, 14 - bit_depth) + 1;
+  const int64_t offset = (int64_t(1) << (shift - 1)) + 2 * (1 << 13);
+  const int maxv = (1 << bit_depth) - 1;
+  for (size_t i = 0; i < size_t(bh) * bw; ++i) {
+    int64_t v = (int64_t(p0[i]) + p1[i] + offset) >> shift;
+    out[i] = int32_t(v < 0 ? 0 : (v > maxv ? maxv : v));
+  }
+}
+
 // MCTF kernels (encoder/mctf.py hot loops; the MCTFX86.h analog)
 // ---------------------------------------------------------------------------
 

@@ -542,3 +542,52 @@ def test_native_mctf_block_kernels_match_python():
                 native.available = av
             got = M._mc_plane_subpel(rr, mvg, bs, scale, t8, 10)
             assert np.array_equal(want, got), (trial, scale, t8)
+
+
+def test_native_dmvr_bi_subpu_matches_python():
+    """vte_dmvr_bi_subpu (padded/plain MC for both lists + 14-bit bi
+    average) bit-exact vs the python dmvr_predict non-BDOF path."""
+    from vvenc_tpu.ops.dmvr import padded_window_mc, clip_mv
+    from vvenc_tpu.ops.interp import mc_block_np, bi_average_np
+    MV_MAX = (1 << 17) - 1
+    MV_MIN = -(1 << 17)
+    rng = np.random.RandomState(13)
+    ref0 = rng.randint(0, 1024, (144, 176)).astype(np.int32)
+    ref1 = rng.randint(0, 1024, (144, 176)).astype(np.int32)
+    for trial in range(100):
+        sc = int(rng.randint(2))
+        bw = 16 >> sc
+        bh = 16 >> sc
+        bx = int(rng.randint(0, 150 >> sc))
+        by = int(rng.randint(0, 120 >> sc))
+        mv0 = (int(rng.randint(-500, 500)), int(rng.randint(-500, 500)))
+        mv1 = (int(rng.randint(-500, 500)), int(rng.randint(-500, 500)))
+        delta = (int(rng.randint(-32, 33)), int(rng.randint(-32, 33)))
+        ah = bool(rng.randint(4) == 0) and sc == 0
+        sh = 4 + sc
+        preds = []
+        for li, sign, mv, ref in ((0, 1, mv0, ref0), (1, -1, mv1, ref1)):
+            rmv = (max(MV_MIN, min(MV_MAX, mv[0] + sign * delta[0])),
+                   max(MV_MIN, min(MV_MAX, mv[1] + sign * delta[1])))
+            d_ix = (rmv[0] >> sh) - (mv[0] >> sh)
+            d_iy = (rmv[1] >> sh) - (mv[1] >> sh)
+            if d_ix or d_iy:
+                av = native.available
+                try:
+                    native.available = lambda: False
+                    p = padded_window_mc(ref, bx, by, bw, bh, mv, rmv,
+                                         sc, 10, 352, 288, 64,
+                                         intermediate=True, alt_hpel=ah)
+                finally:
+                    native.available = av
+            else:
+                cmv = clip_mv(rmv, bx << sc, by << sc, 352, 288, 64)
+                p = mc_block_np(ref, bx, by, bw, bh, cmv[0], cmv[1], 10,
+                                is_luma=(sc == 0), intermediate=True,
+                                alt_hpel=ah)
+            preds.append(p)
+        want = bi_average_np(preds[0], preds[1], 10)
+        got = native.dmvr_bi_subpu(ref0, ref1, bx, by, bw, bh, mv0, mv1,
+                                   delta, sc, 10, 352, 288, 64,
+                                   alt_hpel=ah)
+        assert np.array_equal(want, got), trial

@@ -3014,6 +3014,18 @@ def dmvr_predict(ref_pics, cu, comp, bit_depth, pic_w, pic_h, ctu_size):
         bh = min(16, cu.h) >> sc
         bx = (cu.x + sx) >> sc
         by = (cu.y + sy) >> sc
+        use_bdof_n = comp == 0 and cu.dmvr_bdof.get((sy, sx), False)
+        if not use_bdof_n:
+            from .. import native as _native
+            if _native.available():
+                # fused native path: padded/plain MC for both lists +
+                # bi average in one call (vte_dmvr_bi_subpu)
+                out[sy >> sc:(sy >> sc) + bh,
+                    sx >> sc:(sx >> sc) + bw] = _native.dmvr_bi_subpu(
+                        ref0, ref1, bx, by, bw, bh, cu.mv[0], cu.mv[1],
+                        delta, sc, bit_depth, pic_w, pic_h, ctu_size,
+                        alt_hpel=cu.alt_hpel)
+                continue
         srcs = []
         for li, sign in ((0, 1), (1, -1)):
             merge = cu.mv[li]

@@ -852,6 +852,24 @@ def alf_ccalf(luma, chroma_dst, x0c, y0c, w0c, h0c, coeff, bit_depth,
                        x0c, y0c, w0c, h0c, _i32p(co), bit_depth, ctu_size)
 
 
+def dmvr_bi_subpu(ref0, ref1, bx, by, bw, bh, mv0, mv1, delta,
+                  comp_scale, bit_depth, pic_w, pic_h, ctu_size,
+                  alt_hpel=False):
+    """DMVR sub-PU final bi-prediction (padded/plain MC both lists +
+    14-bit bi average) in one C++ call."""
+    _mc_setup()
+    ph, pw = ref0.shape
+    r0 = np.ascontiguousarray(ref0, dtype=np.int32)
+    r1 = np.ascontiguousarray(ref1, dtype=np.int32)
+    out = np.empty((bh, bw), np.int32)
+    _LIB.vte_dmvr_bi_subpu(
+        _i32p(r0), _i32p(r1), ph, pw, bx, by, bw, bh,
+        int(mv0[0]), int(mv0[1]), int(mv1[0]), int(mv1[1]),
+        int(delta[0]), int(delta[1]), comp_scale, bit_depth, pic_w,
+        pic_h, ctu_size, 1 if alt_hpel else 0, _i32p(out))
+    return out
+
+
 def dmvr_padded_mc(ref, x, y, w, h, merge_mv, refined_mv, comp_scale,
                    bit_depth, pic_w, pic_h, ctu_size, intermediate=True,
                    alt_hpel=False):
@@ -1087,6 +1105,9 @@ def _mc_setup():
     _LIB.vte_dmvr_padded_mc.argtypes = [_PI32] + [ctypes.c_int] * 17 + \
         [_PI32]
     _LIB.vte_dmvr_padded_mc.restype = None
+    _LIB.vte_dmvr_bi_subpu.argtypes = [_PI32, _PI32] + \
+        [ctypes.c_int] * 18 + [_PI32]
+    _LIB.vte_dmvr_bi_subpu.restype = None
     ct_ = np.ascontiguousarray(CHROMA_FILTER, dtype=np.int32)
     _LIB.vte_mc_init(ct_.ctypes.data)
     _mc_setup.done = True
