@@ -351,7 +351,10 @@ def lambda_for_qp(qp: int, bit_depth: int) -> float:
     return 0.57 * (2.0 ** ((qp - 12) / 3.0)) * (1 << (2 * (bit_depth - 8)))
 
 
-class IntraEncoder:
+from .sequence import SequenceOrchestratorMixin
+
+
+class IntraEncoder(SequenceOrchestratorMixin):
     """Encodes frames as all-intra IDR pictures (round-1 configuration)."""
 
     def __init__(self, cfg: EncoderConfig):
@@ -464,487 +467,6 @@ class IntraEncoder:
             au = self._encode_picture(poc, planes8, SLICE_P,
                                       [self.dpb[-1][0]], [])
         return au
-
-    def encode_sequence(self, frames):
-        """Encode a sequence with the configured GOP structure.
-
-        frames: list of (Y, U, V).  Returns the Annex-B stream; per-POC
-        reconstructions available in self.recs_by_poc."""
-        cfg = self.cfg
-        self.recs_by_poc = {}
-        stream = bytearray()
-        # PreProcess stage: visual activity + scene-cut (STA) + SCC
-        # detection over the original frames (vvenc PreProcess analog)
-        from .preprocess import PreProcess
-        pp = PreProcess(frame_rate=(cfg.fps_num + cfg.fps_den - 1)
-                        // cfg.fps_den)
-        self.analysis = [pp.push(f[0]) for f in frames]
-        self.scc_detected = pp.sequence_is_scc()
-        if cfg.scc_auto and self.scc_detected and not cfg.transform_skip:
-            # vvenc "auto" SCC tools (IBC=2/TS=2/BDPCM=2): enable on the
-            # PreProcess screen-content decision
-            cfg.transform_skip = True
-            cfg.bdpcm = True
-            cfg.ibc = True
-            self.sps, self.pps = build_parameter_sets(cfg)
-            self._headers = None
-        if cfg.intra_period != 1 and cfg.gop_size <= 1:
-            # adaptive intra placement: IDR at detected scene cuts
-            self._force_idr_pocs = {a.poc for a in self.analysis
-                                    if a.is_scene_cut}
-        self._fgc_sei = None
-        if cfg.film_grain:
-            from .filmgrain import derive_fgc_sei, SEI_FILM_GRAIN
-            from ..bitstream.sei import write_sei_nal
-            sei = derive_fgc_sei([f[0] for f in frames],
-                                 cfg.input_bit_depth)
-            if sei is not None:
-                self._fgc_sei = write_sei_nal(
-                    [(SEI_FILM_GRAIN, sei.payload())], prefix=True)
-        if cfg.mctf and len(frames) > 2 and cfg.gop_size > 1:
-            from .mctf import apply_mctf
-            with PROF.section("stage.mctf"):
-                # frames[0] is global index (start_offset - lead_frames):
-                # phase the filter periods on GLOBAL indices so a --skip
-                # not aligned to every period still matches the one-shot
-                # encode's filtering decisions
-                phase = cfg.start_offset - cfg.lead_frames
-                if cfg.bim:
-                    frames, self._bim_map = apply_mctf(
-                        frames, cfg.gop_size, cfg.qp, cfg.input_bit_depth,
-                        bim_ctu_size=cfg.ctu_size,
-                        min_noise=self.min_noise,
-                        poc_offset=phase)
-                else:
-                    frames = apply_mctf(frames, cfg.gop_size, cfg.qp,
-                                        cfg.input_bit_depth,
-                                        poc_offset=phase)
-        if cfg.lead_frames or cfg.trail_frames:
-            # segment mode (vvencCfg.h:460/758-759): the lead/trail
-            # frames existed only as MCTF context across the segment
-            # joins; drop them before coding so the coded pictures match
-            # the one-shot encode of the same range byte for byte
-            lead, trail = cfg.lead_frames, cfg.trail_frames
-            frames = frames[lead:len(frames) - trail if trail else None]
-            self.analysis = self.analysis[
-                lead:len(self.analysis) - trail if trail else None]
-            self._bim_map = {p - lead: m for p, m in self._bim_map.items()
-                            if lead <= p < lead + len(frames)}
-        # RC lookahead (vvenc m_LookAhead): complexity pre-analysis feeds
-        # the single-pass controller's per-picture allocation
-        la_on = (cfg.lookahead and self.rc is not None and cfg.bitrate > 0
-                 and self.rc.stats is None)
-        if cfg.gop_size <= 1 or cfg.intra_period == 1:
-            if (cfg.max_parallel_frames > 1 and cfg.intra_period == 1
-                    and cfg.bitrate == 0 and not cfg.rc_stats_out
-                    and len(frames) > 1):
-                return self._encode_all_intra_parallel(frames)
-            if la_on and cfg.intra_period == 1:
-                from .lookahead import analyze_intra
-                self.rc.set_lookahead(analyze_intra(frames))
-            if cfg.intra_period == 1 and self._plan_prefill_ok():
-                self._prefill_plans_async(frames, list(range(len(frames))))
-            for f in frames:
-                stream += self.encode_frame(f)
-                self.recs_by_poc[self.frames_done - 1] = dict(self.last_rec.rec)
-            if self.rc is not None and self.cfg.rc_stats_out \
-                    and self.cfg.rc_stats_out != "collect:":
-                self.rc.write_stats(self.cfg.rc_stats_out)
-            return bytes(stream)
-        # random-access hierarchical GOPs
-        if cfg.intra_period > 1 and len(frames) > cfg.intra_period:
-            # segment the sequence at the intra period: every segment
-            # starts with an IDR and is fully independent (vvenc
-            # numParallelGOPs analog; bitstream is identical for any
-            # worker count — the reference's determinism contract)
-            return self._encode_gop_segments(frames)
-        gop = cfg.gop_size
-        # IFP (CTU-line-synchronized inter-frame parallelism): the motion
-        # restriction is part of the bitstream contract, so the mode must
-        # not depend on the worker count
-        ifp_mode = (cfg.ifp and cfg.bitrate == 0 and not cfg.rc_stats_out
-                    and not cfg.qpa and not cfg.lmcs and not cfg.wpp
-                    and cfg.tile_cols == 1 and cfg.tile_rows == 1)
-        frame_parallel = (not ifp_mode and cfg.max_parallel_frames > 1
-                          and cfg.bitrate == 0
-                          and not cfg.rc_stats_out and not cfg.qpa)
-        # frame-parallel encodes use the TL-independent GOP structure
-        entries = build_gop(gop, max_refs=cfg.num_refs,
-                            parallel=frame_parallel)
-        stream += self._encode_picture(0, frames[0], SLICE_I, [], [])
-        self.recs_by_poc[0] = dict(self.last_rec.rec)
-        base = 0
-        while base + gop < len(frames):
-            self._protect_refs(entries, base, gop)
-            if la_on:
-                from .lookahead import analyze_gop
-                self.rc.set_lookahead(analyze_gop(frames, base, entries))
-            if ifp_mode:
-                stream += self._encode_gop_frames_ifp(frames, base,
-                                                      entries)
-            elif frame_parallel:
-                stream += self._encode_gop_frames_parallel(
-                    frames, base, entries)
-            else:
-                for e in entries:
-                    poc = base + e.poc_in_gop
-                    avail = {d[0] for d in self.dpb}
-
-                    def _ok(p):
-                        if p not in avail:
-                            return False
-                        # after a DRAP, trailing pictures may only reach
-                        # the DRAP or the IRAP (H.274 DRAP semantics)
-                        if poc > self._drap_floor:
-                            return p >= self._drap_floor or p == 0
-                        return True
-                    is_drap = (cfg.drap_period > 0
-                               and e.poc_in_gop == cfg.gop_size
-                               and poc % cfg.drap_period == 0)
-                    if is_drap:
-                        assert 0 in avail, \
-                            "DRAP: associated IRAP evicted from DPB"
-                        refs_l0, refs_l1 = [0], []
-                    else:
-                        refs_l0 = [base + r for r in e.refs_past
-                                   if _ok(base + r)] or [base]
-                        refs_l1 = [base + r for r in e.refs_future
-                                   if _ok(base + r)]
-                    st = SLICE_B if refs_l1 else SLICE_P
-                    qp_off = e.final_qp_offset(cfg.qp)
-                    au = self._encode_picture(poc, frames[poc], st, refs_l0,
-                                              refs_l1, qp_off,
-                                              tlayer=e.temporal_layer)
-                    if is_drap:
-                        from ..bitstream.sei import (write_sei_nal,
-                                                     SeiDrapIndication,
-                                                     SEI_DEPENDENT_RAP)
-                        au = write_sei_nal(
-                            [(SEI_DEPENDENT_RAP,
-                              SeiDrapIndication().payload())],
-                            prefix=True) + au
-                        self._drap_floor = poc
-                    stream += au
-                    self.recs_by_poc[poc] = dict(self.last_rec.rec)
-            base += gop
-        # tail: IPPP on remaining frames
-        for poc in range(base + 1, len(frames)):
-            if poc in self.recs_by_poc:
-                continue
-            au = self._encode_picture(poc, frames[poc], SLICE_P,
-                                      [poc - 1], [], 1)
-            stream += au
-            self.recs_by_poc[poc] = dict(self.last_rec.rec)
-        if self.rc is not None and self.cfg.rc_stats_out \
-                and self.cfg.rc_stats_out != "collect:":
-            self.rc.write_stats(self.cfg.rc_stats_out)
-        return bytes(stream)
-
-    def _encode_gop_frames_parallel(self, frames, base, entries) -> bytes:
-        """Frame-parallel encode of one GOP (vvenc maxParallelFrames /
-        FPP analog): frames of the same temporal layer are mutually
-        independent in the dyadic GOP, so each TL encodes as one parallel
-        wave (the reference's TL-serial processing lists,
-        EncGOP::xGetProcessingLists).  Output stays in coding order and is
-        byte-identical to the serial encode."""
-        from concurrent.futures import ProcessPoolExecutor
-        cfg = self.cfg
-        aus = {}
-        by_tl = {}
-        for e in entries:
-            by_tl.setdefault(e.temporal_layer, []).append(e)
-        with ProcessPoolExecutor(
-                max_workers=cfg.max_parallel_frames) as ex:
-            for tl in sorted(by_tl):
-                wave = by_tl[tl]
-                jobs = []
-                for e in wave:
-                    poc = base + e.poc_in_gop
-                    avail = {d[0] for d in self.dpb}
-                    refs_l0 = [base + r for r in e.refs_past
-                               if base + r in avail] or [base]
-                    refs_l1 = [base + r for r in e.refs_future
-                               if base + r in avail]
-                    st = SLICE_B if refs_l1 else SLICE_P
-                    need = sorted(set(refs_l0 + refs_l1))
-                    dpb_sub = [d for d in self.dpb if d[0] in need]
-                    jobs.append((cfg, poc, frames[poc], st, refs_l0,
-                                 refs_l1, e.final_qp_offset(cfg.qp),
-                                 e.temporal_layer, dpb_sub, self.lmcs))
-                if len(wave) == 1:
-                    results = [_encode_inter_frame_job(jobs[0])]
-                else:
-                    results = list(ex.map(_encode_inter_frame_job, jobs))
-                for e, (au, rec, mf, ref_pocs, qp) in zip(wave, results):
-                    poc = base + e.poc_in_gop
-                    aus[poc] = au
-                    self.recs_by_poc[poc] = rec
-                    self.bits_by_poc[poc] = len(au) * 8
-                    self.qp_by_poc[poc] = qp
-                    self.slice_type_by_poc[poc] = \
-                        SLICE_B if e.refs_future else SLICE_P
-                    self.dpb.append((poc, rec, mf, ref_pocs, qp))
-                    self._trim_dpb()
-                    self.frames_done += 1
-        stream = bytearray()
-        for e in entries:
-            stream += aus[base + e.poc_in_gop]
-        # keep last_rec pointing at the last coded picture like serial
-        last = PictureState(cfg.width, cfg.height, cfg.bit_depth)
-        for c in range(3):
-            last.rec[c][:] = self.recs_by_poc[base + entries[-1].poc_in_gop][c]
-        self.last_rec = last
-        return bytes(stream)
-
-    def _encode_gop_frames_ifp(self, frames, base, entries) -> bytes:
-        """Inter-frame parallelism with CTU-line sync (vvenc --ifp):
-        every frame of the GOP encodes concurrently in threads; a frame's
-        CTU row r waits until each reference has ifp_lines more FILTERED
-        CTU rows, and motion is statically restricted to that window
-        (encoder/ifp.py), so the bitstream is byte-identical for any
-        worker count."""
-        from concurrent.futures import ThreadPoolExecutor
-        from .ifp import IfpProgress, IfpPicture
-        from ..codec.motion import MotionField
-        cfg = self.cfg
-        ctu = cfg.ctu_size
-        n_rows = (cfg.height + ctu - 1) // ctu
-        prog = IfpProgress()
-        for d in self.dpb:               # completed pictures: fully final
-            prog.register(d[0], n_rows)
-        handles = {}
-        jobs = []
-        for e in entries:
-            poc = base + e.poc_in_gop
-            avail = {d[0] for d in self.dpb}
-            refs_l0 = [base + r for r in e.refs_past
-                       if base + r in avail] or [base]
-            refs_l1 = [base + r for r in e.refs_future
-                       if base + r in avail]
-            frec = {c: np.zeros_like(self.dpb[-1][1][c]) for c in range(3)}
-            mf = MotionField(cfg.width, cfg.height)
-            prog.register(poc, 0)
-            handles[poc] = IfpPicture(prog, poc, frec, mf,
-                                      sorted(set(refs_l0 + refs_l1)),
-                                      cfg.ifp_lines, n_rows)
-            # live DPB entry: dependents MC from frec / TMVP from mf,
-            # gated by the progress table
-            self.dpb.append((poc, frec, mf,
-                             [list(refs_l0), list(refs_l1)],
-                             self.slice_qp if poc == 0 else
-                             max(0, min(63, self.cfg.qp +
-                                        e.final_qp_offset(self.cfg.qp)))))
-            jobs.append((e, poc, refs_l0, refs_l1))
-
-        def run(job):
-            e, poc, l0, l1 = job
-            st = SLICE_B if l1 else SLICE_P
-            try:
-                return self._encode_picture(poc, frames[poc], st, l0, l1,
-                                            e.final_qp_offset(cfg.qp),
-                                            tlayer=e.temporal_layer,
-                                            ifp=handles[poc])
-            except BaseException as exc:
-                prog.fail(exc)
-                raise
-        workers = max(1, cfg.max_parallel_frames or 1)
-        with ThreadPoolExecutor(max_workers=workers) as ex:
-            aus = list(ex.map(run, jobs))
-        stream = bytearray()
-        for (e, poc, _, _), au in zip(jobs, aus):
-            stream += au
-            self.recs_by_poc[poc] = dict(handles[poc].frec)
-            self.bits_by_poc[poc] = len(au) * 8
-            self.frames_done += 1
-        self._trim_dpb()
-        last = PictureState(cfg.width, cfg.height, cfg.bit_depth)
-        for c in range(3):
-            last.rec[c][:] = \
-                self.recs_by_poc[base + entries[-1].poc_in_gop][c]
-        self.last_rec = last
-        return bytes(stream)
-
-    def _encode_gop_segments(self, frames) -> bytes:
-        """Segment-parallel random-access encode (vvenc numParallelGOPs,
-        vvencCfg.h:786): the sequence splits at the intra period into
-        independently-decodable IDR segments; a process pool encodes them
-        concurrently.  Output is byte-identical for any worker count."""
-        import copy
-        from concurrent.futures import ProcessPoolExecutor
-        cfg = self.cfg
-        ip = cfg.intra_period
-        segs = [frames[s:s + ip] for s in range(0, len(frames), ip)]
-        jobs = []
-        for i in range(len(segs)):
-            seg_cfg = copy.copy(cfg)
-            seg_cfg.intra_period = 0      # one IDR per segment
-            seg_cfg.parallel_gops = 0
-            # MCTF (+BIM) already ran over the WHOLE sequence in this
-            # encode_sequence call — the worker must not filter again
-            # (double filtering skewed the segments until round 3)
-            seg_cfg.mctf = 0
-            seg_cfg.lead_frames = seg_cfg.trail_frames = 0
-            if cfg.rc_stats_out:
-                # pass 1: segments collect in-memory; the parent merges to
-                # global POCs and writes the stats file once
-                seg_cfg.rc_stats_out = "collect:"
-            if self.rc is not None and self.rc.stats is not None:
-                # pass 2: hand each segment its global-stats slice
-                # (re-indexed to local POC) and its proportional share of
-                # the sequence budget (per-GOP budgeting from pass-1 data)
-                s0 = i * ip
-                sl = [dict(s, poc=s["poc"] - s0) for s in self.rc.stats
-                      if s0 <= s["poc"] < s0 + ip]
-                seg_cfg.rc_stats_data = sl
-                seg_cfg.rc_stats_in = ""
-                pred_total = sum(max(1, s["bits"]) for s in self.rc.stats)
-                pred_seg = sum(max(1, s["bits"]) for s in sl)
-                share = pred_seg / max(1, pred_total)
-                seg_cfg.bitrate = int(round(
-                    cfg.bitrate * share * len(frames) / max(1, len(segs[i]))))
-            s0 = i * ip
-            bim_seg = {p - s0: m for p, m in self._bim_map.items()
-                       if s0 <= p < s0 + ip}
-            jobs.append((seg_cfg, i, segs[i],
-                         getattr(self, "_fgc_sei", None), bim_seg))
-        workers = max(1, cfg.parallel_gops)
-        stream = bytearray()
-        if workers == 1:
-            results = map(_encode_gop_segment_job, jobs)
-        else:
-            ex = ProcessPoolExecutor(max_workers=workers)
-            results = ex.map(_encode_gop_segment_job, jobs)
-        base = 0
-        merged_stats = []
-        for si, (au, recs, bits, qps, stypes, stats) in enumerate(results):
-            stream += au
-            for lpoc, rec in recs.items():
-                self.recs_by_poc[base + lpoc] = rec
-                self.bits_by_poc[base + lpoc] = bits[lpoc]
-                self.qp_by_poc[base + lpoc] = qps[lpoc]
-                self.slice_type_by_poc[base + lpoc] = stypes[lpoc]
-            for s in stats:
-                merged_stats.append(dict(s, poc=base + s["poc"]))
-            base += len(segs[si])
-            self.frames_done = base
-        if workers > 1:
-            ex.shutdown()
-        if cfg.rc_stats_out and self.rc is not None:
-            self.rc.collected = merged_stats
-            self.rc.write_stats(cfg.rc_stats_out)
-        last = PictureState(cfg.width, cfg.height, cfg.bit_depth)
-        for c in range(3):
-            last.rec[c][:] = self.recs_by_poc[len(frames) - 1][c]
-        self.last_rec = last
-        return bytes(stream)
-
-    def _plan_prefill_ok(self) -> bool:
-        """Frame-batched device RD planning applies: all-intra, fixed
-        QP/lambda, QT-only dual-tree (the _use_plan scope, resolvable
-        before any picture starts)."""
-        cfg = self.cfg
-        if cfg.device_rd == "off" or cfg.qpa or cfg.bitrate > 0 \
-                or cfg.rc_stats_out or cfg.lmcs or not cfg.dual_tree \
-                or self.sps.max_mtt_depth[0] != 0:
-            return False
-        from .. import native
-        if not native.available():
-            return False
-        if cfg.device_rd == "auto":
-            import jax
-            cfg.device_rd = "on" if jax.default_backend() != "cpu" \
-                else "off"
-        return cfg.device_rd == "on"
-
-    def _prefill_plans(self, frames, pocs, chunk: int = 16) -> None:
-        """Build device RD plans for the given pictures in frame-batched
-        device calls (ops/intra_plan.build_plans) and bank them."""
-        from ..ops.intra_plan import build_plans
-        cfg = self.cfg
-        shift = cfg.bit_depth - cfg.input_bit_depth
-        qp = self.slice_qp + 6 * (cfg.bit_depth - 8)
-        implicit_mts = bool(self.sps.mts and not self.sps.mts_intra)
-        with PROF.section("device.plan_prefill"):
-            for c0 in range(0, len(pocs), chunk):
-                sub = pocs[c0:c0 + chunk]
-                srcs = [np.ascontiguousarray(
-                    frames[p][0].astype(np.int32) << shift) for p in sub]
-                plans = build_plans(
-                    srcs, cfg.bit_depth, cfg.ctu_size,
-                    int(self.sps.min_qt_size[0]), qp,
-                    [self.lmbda] * len(sub), [self.lmbda_sad] * len(sub),
-                    implicit_mts=implicit_mts)
-                for p, pl in zip(sub, plans):
-                    self._plan_bank[p] = pl.tables
-
-    def _prefill_plans_async(self, frames, pocs) -> None:
-        """Pipeline the device RD planning with the host encode: a
-        producer thread runs the frame-batched device calls chunk by
-        chunk while the main thread codes already-planned pictures — the
-        device dispatch + d2h fetch latency overlaps host CTU coding
-        (the GIL is released inside jax waits and the native ctypes
-        calls).  _CtuSearcher._get_plan blocks on the per-picture event
-        before consulting the bank."""
-        import threading
-        evs = {p: threading.Event() for p in pocs}
-        self._plan_ready = evs
-
-        def worker():
-            try:
-                # small first chunk so the main thread starts coding
-                # early; larger chunks amortize the tunnel round-trip
-                c0, chunk = 0, 2
-                while c0 < len(pocs):
-                    sub = pocs[c0:c0 + chunk]
-                    self._prefill_plans(frames, sub, chunk=len(sub))
-                    for p in sub:
-                        evs[p].set()
-                    c0 += chunk
-                    chunk = min(chunk * 2, 8)
-            finally:
-                for e in evs.values():
-                    e.set()  # never deadlock the encode on a device error
-
-        threading.Thread(target=worker, daemon=True,
-                         name="plan-prefill").start()
-
-    def _encode_all_intra_parallel(self, frames) -> bytes:
-        """Frame-parallel all-intra encode (vvenc maxParallelFrames
-        analog): every picture is independent, so a process pool encodes
-        them concurrently; the output is BYTE-IDENTICAL to the sequential
-        encode (the determinism contract the reference pins with its
-        threaded-vs-serial bitstream-compare tests)."""
-        from concurrent.futures import ProcessPoolExecutor
-        cfg = self.cfg
-        shift = cfg.bit_depth - cfg.input_bit_depth
-        if self._plan_prefill_ok():
-            # parent does the (frame-batched) device planning; workers
-            # only run the host coding — one device client, no tunnel
-            # contention from the pool
-            self._prefill_plans(frames, list(range(len(frames))))
-        jobs = []
-        for poc in range(len(frames)):
-            prev = frames[poc - 1] if cfg.qpa and poc >= 1 else None
-            prev2 = frames[poc - 2] if cfg.qpa and poc >= 2 else None
-            jobs.append((cfg, poc, frames[poc], prev, prev2,
-                         getattr(self, "_fgc_sei", None),
-                         self._plan_bank.pop(poc, None)))
-        stream = bytearray()
-        with ProcessPoolExecutor(max_workers=cfg.max_parallel_frames) as ex:
-            for poc, (au, rec, bits, qp) in enumerate(
-                    ex.map(_encode_intra_frame_job, jobs)):
-                stream += au
-                self.recs_by_poc[poc] = rec
-                self.bits_by_poc[poc] = bits
-                self.slice_type_by_poc[poc] = SLICE_I
-                self.qp_by_poc[poc] = qp
-                self.frames_done = poc + 1
-        # expose the final picture like the sequential path does
-        last = PictureState(cfg.width, cfg.height, cfg.bit_depth)
-        for c in range(3):
-            last.rec[c][:] = self.recs_by_poc[len(frames) - 1][c]
-        self.last_rec = last
-        return bytes(stream)
 
     def _encode_picture(self, poc, planes8, slice_type, refs_l0, refs_l1,
                         qp_offset=0, tlayer=0, ifp=None) -> bytes:
@@ -1541,7 +1063,10 @@ def _assert_trees_equal(a, b, path="ctu"):
             assert np.array_equal(va, vb), (path, f)
 
 
-class _CtuSearcher:
+from .inter_search import InterSearchMixin
+
+
+class _CtuSearcher(InterSearchMixin):
     """Depth-first QT RD search for one picture."""
 
     def __init__(self, enc: IntraEncoder, ps: PictureState, qp: QpState,
@@ -2794,862 +2319,6 @@ class _CtuSearcher:
             est.encode_bins_ep(0, 6)  # truncated-binary payload approx
 
     # -- inter CU search ---------------------------------------------------
-    def _rd_cu_inter(self, x: int, y: int, w: int, h: int, part: PartInfo):
-        """P-slice CU decision: skip/merge, AMVP ME, and intra fallback.
-
-        Each trial is applied through the real syntax writer driven by the
-        bit estimator (exact context modeling), then reverted; the winner's
-        state is kept."""
-        import numpy as _np
-        coder = self.coder
-        ps = self.ps
-        cfg = self.cfg
-        bit_depth = cfg.bit_depth
-        sps = self.enc.sps
-        src_y = self.src[0][y:y + h, x:x + w]
-        cx, cy2, cw, chh = x >> 1, y >> 1, w >> 1, h >> 1
-        src_cb = self.src[1][cy2:cy2 + chh, cx:cx + cw]
-        src_cr = self.src[2][cy2:cy2 + chh, cx:cx + cw]
-        # LMCS: ME/preselection compare unmapped predictions against the
-        # unmapped source; residuals form in the mapped domain
-        src_me = self.src_me_y[y:y + h, x:x + w]
-        lmcs_map = coder.lmcs_ctu_flag
-        cscale = self._chroma_scale(x, y, cw, chh)
-
-        is_b = coder.is_b
-        merge_cands = get_merge_candidates(
-            ps, coder.mf, coder.hmvp, x, y, w, h, sps.max_num_merge_cand,
-            is_b, coder.num_refs, coder.tmvp)
-
-        def mc_pred(mv_pair, ref_idx):
-            py = inter_predict(coder.ref_pics, mv_pair, ref_idx, x, y, w, h,
-                               0, bit_depth)
-            pcb = inter_predict(coder.ref_pics, mv_pair, ref_idx, cx, cy2,
-                                cw, chh, 1, bit_depth)
-            pcr = inter_predict(coder.ref_pics, mv_pair, ref_idx, cx, cy2,
-                                cw, chh, 2, bit_depth)
-            return py, pcb, pcr
-
-        # preselect merge candidates by luma SSE
-        from .ifp import mv_access_ok
-        scored = []
-        seen = set()
-        for idx, mi in enumerate(merge_cands):
-            key = (mi.mv, mi.ref_idx)
-            if key in seen:
-                continue
-            seen.add(key)
-            if not mv_access_ok(None, self.ifp_bottom, y, h,
-                                mv_pair=mi.mv, ref_idx=mi.ref_idx):
-                continue   # IFP: reads below the reference window
-            py = inter_predict(coder.ref_pics, mi.mv, mi.ref_idx, x, y, w, h,
-                               0, bit_depth)
-            scored.append((R.sse_np(src_me, py), idx, mi))
-        scored.sort(key=lambda t: t[0])
-
-        trials = []
-        qy = self.qp.luma_qp()
-
-        def add_resid_trial(cu, try_sbt=False):
-            """Residual trial: prediction through the real decoder path
-            (DMVR/BDOF/CIIP/BCW included) so coefficients match what the
-            reconstruction will subtract.  try_sbt adds sub-block-transform
-            variants (half splits) of the same prediction."""
-            coder.prepare_refinement(ps, cu)
-            py = coder.pred_cu_inter(ps, cu, 0, mapped=True)
-            pcb = coder.pred_cu_inter(ps, cu, 1)
-            pcr = coder.pred_cu_inter(ps, cu, 2)
-            if w > 64 or h > 64:
-                # >maxTB CU: implicit 64x64 TU tiling
-                added = self._quant_resid_mtb(cu, src_y, src_cb, src_cr,
-                                              py, pcb, pcr)
-                if added:
-                    trials.append(cu)
-                return added
-            coeffs = self._quant_resid(src_y, src_cb, src_cr, py, pcb, pcr,
-                                       cscale=cscale)
-            added = False
-            if coeffs[0] is not None:
-                cu.coeff_y, cu.coeff_cb, cu.coeff_cr = coeffs
-                cu.root_cbf = True
-                trials.append(cu)
-                added = True
-            if try_sbt:
-                allowed = coder._sbt_allowed_bits(cu)
-                if allowed:
-                    self._add_sbt_trials(cu, allowed, src_y - py,
-                                         src_cb - pcb, src_cr - pcr, trials)
-            return added
-
-        for _, idx, mi in scored[:2]:
-            # skip trial (no residual); _apply_merge fills mv/ref/bcw/
-            # alt-hpel exactly as the decoder will
-            cu = CuData(x, y, w, h, is_inter=True, skip=True, merge=True,
-                        merge_idx=idx, root_cbf=False)
-            coder._apply_merge(ps, cu)
-            trials.append(cu)
-            cu = CuData(x, y, w, h, is_inter=True, merge=True,
-                        merge_idx=idx)
-            coder._apply_merge(ps, cu)
-            add_resid_trial(cu, try_sbt=True)
-
-        # FIM-style early out (vvenc FastInferMerge, EncCu.cpp:3119 +
-        # InterSearch.cpp:1168: at the faster presets the expensive mode
-        # families are skipped when merge already predicts well): when
-        # NO top-merge candidate coded any residual — the merge
-        # prediction quantizes to zero in every component — MMVD, the
-        # subblock/affine merges, GEO and the AMVP motion search cannot
-        # plausibly beat the zero-cost skip and are not generated.
-        merge_perfect = (self.enc.trial_filter is None and bool(scored)
-                         and not any(t.root_cbf for t in trials))
-        if merge_perfect:
-            return self._finish_inter_trials(
-                x, y, w, h, part, trials, src_y, src_cb, src_cr, cscale,
-                qy, cx, cy2, cw, chh)
-
-        # CIIP trial on the best merge candidate
-        if scored:
-            from ..codec.geo import ciip_available
-            probe = CuData(x, y, w, h, is_inter=True, merge=True, ciip=True,
-                           merge_idx=scored[0][1])
-            if ciip_available(coder, probe):
-                coder._apply_merge(ps, probe)
-                add_resid_trial(probe)
-
-        # MMVD trials: offsets around the first merge bases; luma-SSE
-        # preselection over (base, step, pos), full trial for the winner
-        if coder.mmvd and scored:
-            best_m = None
-            n_base = 2 if sps.max_num_merge_cand > 1 else 1
-            for base in range(n_base):
-                for step in range(3):
-                    for pos_ in range(4):
-                        cu = CuData(x, y, w, h, is_inter=True, merge=True,
-                                    mmvd_flag=True, mmvd_base=base,
-                                    mmvd_step=step, mmvd_pos=pos_)
-                        coder._apply_mmvd(ps, cu)
-                        if not mv_access_ok(cu, self.ifp_bottom, y, h):
-                            continue
-                        py = inter_predict(coder.ref_pics, cu.mv,
-                                           cu.ref_idx, x, y, w, h, 0,
-                                           bit_depth, cu.bcw_idx,
-                                           cu.alt_hpel)
-                        c = R.sse_np(src_me, py)
-                        if best_m is None or c < best_m[0]:
-                            best_m = (c, cu)
-            if best_m is not None:
-                cu = best_m[1]
-                skip_cu = CuData(x, y, w, h, is_inter=True, skip=True,
-                                 merge=True, mmvd_flag=True,
-                                 mmvd_base=cu.mmvd_base,
-                                 mmvd_step=cu.mmvd_step,
-                                 mmvd_pos=cu.mmvd_pos, root_cbf=False)
-                coder._apply_mmvd(ps, skip_cu)
-                trials.append(skip_cu)
-                add_resid_trial(cu)
-
-        # subblock merge trials: SbTMVP (candidate 0 when active) + affine
-        # merge candidates, luma-SSE preselected
-        if coder.max_aff_merge > 0 and w >= 8 and h >= 8:
-            n_try = min(coder.max_aff_merge,
-                        3 if coder.affine_en else 1)
-            best_a = None
-            for k in range(n_try):
-                cu = CuData(x, y, w, h, is_inter=True, merge=True,
-                            affine=True, merge_idx=k)
-                coder._apply_affine_merge(ps, cu)
-                if not mv_access_ok(cu, self.ifp_bottom, y, h):
-                    continue
-                c = R.sse_np(src_me, coder.pred_cu_inter(ps, cu, 0))
-                if best_a is None or c < best_a[0]:
-                    best_a = (c, k)
-            if best_a is not None:
-                k = best_a[1]
-                skip_cu = CuData(x, y, w, h, is_inter=True, skip=True,
-                                 merge=True, affine=True, merge_idx=k,
-                                 root_cbf=False)
-                coder._apply_affine_merge(ps, skip_cu)
-                trials.append(skip_cu)
-                cu = CuData(x, y, w, h, is_inter=True, merge=True,
-                            affine=True, merge_idx=k)
-                coder._apply_affine_merge(ps, cu)
-                add_resid_trial(cu)
-
-        # GEO trials: luma-SSE preselection over split directions x the
-        # first uni candidate pairs, skip + residual variants of the winner
-        if coder.geo_en and is_b:
-            from ..codec.geo import geo_available, geo_predict
-            probe = CuData(x, y, w, h, is_inter=True, merge=True, geo=True,
-                           geo_split_dir=0, geo_idx0=0, geo_idx1=1)
-            best_g = None
-            if geo_available(coder, probe):
-                pairs = [(0, 1), (1, 0)]
-                if coder.max_geo_cand > 2:
-                    pairs += [(0, 2), (2, 0)]
-                for sd in range(0, 64, 4):
-                    for i0, i1 in pairs:
-                        cu = CuData(x, y, w, h, is_inter=True, merge=True,
-                                    geo=True, geo_split_dir=sd,
-                                    geo_idx0=i0, geo_idx1=i1)
-                        coder._apply_geo(ps, cu)
-                        if not mv_access_ok(cu, self.ifp_bottom, y, h):
-                            continue
-                        c = R.sse_np(src_me, geo_predict(coder, cu, 0))
-                        if best_g is None or c < best_g[0]:
-                            best_g = (c, sd, i0, i1)
-            if best_g is not None:
-                _, sd, i0, i1 = best_g
-                skip_cu = CuData(x, y, w, h, is_inter=True, skip=True,
-                                 merge=True, geo=True, geo_split_dir=sd,
-                                 geo_idx0=i0, geo_idx1=i1, root_cbf=False)
-                coder._apply_geo(ps, skip_cu)
-                trials.append(skip_cu)
-                cu = CuData(x, y, w, h, is_inter=True, merge=True,
-                            geo=True, geo_split_dir=sd, geo_idx0=i0,
-                            geo_idx1=i1)
-                coder._apply_geo(ps, cu)
-                add_resid_trial(cu)
-
-        # AMVP trials: uni per list (+ bi combination for B slices)
-        uni = {}
-        for li in range(2 if is_b else 1):
-            if coder.num_refs[li] == 0:
-                continue
-            probe = CuData(x, y, w, h, is_inter=True,
-                           ref_idx=(0, -1) if li == 0 else (-1, 0))
-            amvp = get_amvp_candidates(ps, coder.mf, coder.hmvp, x, y, w, h,
-                                       li, 0, coder.ref_pocs, coder.tmvp)
-            mv, mvp_idx = self._motion_search(src_me, x, y, w, h, amvp,
-                                              coder.ref_pics[li][0][0],
-                                              max_bottom=self.ifp_bottom)
-            mvd = ((mv[0] - amvp[mvp_idx][0]) >> 2,
-                   (mv[1] - amvp[mvp_idx][1]) >> 2)
-            uni[li] = (mv, mvp_idx, mvd)
-            mv_pair = (mv, (0, 0)) if li == 0 else ((0, 0), mv)
-            ref_idx = (0, -1) if li == 0 else (-1, 0)
-            py, pcb, pcr = mc_pred(mv_pair, ref_idx)
-            if lmcs_map:
-                py = coder.reshape.fwd_lut[py]
-            cu = CuData(x, y, w, h, is_inter=True, merge=False,
-                        mv=mv_pair, ref_idx=ref_idx)
-            if w > 64 or h > 64:
-                self._quant_resid_mtb(cu, src_y, src_cb, src_cr, py, pcb,
-                                      pcr)
-            else:
-                if w > 64 or h > 64:
-                    self._quant_resid_mtb(cu, src_y, src_cb, src_cr,
-                                          py, pcb, pcr)
-                else:
-                    coeffs = self._quant_resid(src_y, src_cb, src_cr,
-                                               py, pcb, pcr,
-                                               cscale=cscale)
-                    cu.root_cbf = any(c is not None for c in coeffs)
-                    cu.coeff_y, cu.coeff_cb, cu.coeff_cr = coeffs
-            if li == 0:
-                cu.mvd, cu.mvp_idx = mvd, mvp_idx
-            else:
-                cu.mvd_l1, cu.mvp_idx_l1 = mvd, mvp_idx
-            trials.append(cu)
-        if is_b and 0 in uni and 1 in uni:
-            mv_pair = (uni[0][0], uni[1][0])
-            ref_idx = (0, 0)
-            # BCW weight loop (vvenc xEstimateInterResidual bcw loop):
-            # default weight always; side weights when signalable
-            bcw_list = [2]
-            if coder.bcw_en and w * h >= 256:
-                bcw_list += [1, 3] + ([0, 4] if coder.check_ldc else [])
-            for bcw_i in bcw_list:
-                cu = CuData(x, y, w, h, is_inter=True, merge=False,
-                            mv=mv_pair, ref_idx=ref_idx,
-                            mvd=uni[0][2], mvp_idx=uni[0][1],
-                            mvd_l1=uni[1][2], mvp_idx_l1=uni[1][1],
-                            bcw_idx=bcw_i)
-                # BDOF applies to AMVP bi-pred: predict via the real path
-                py = coder.pred_cu_inter(ps, cu, 0, mapped=True)
-                pcb = coder.pred_cu_inter(ps, cu, 1)
-                pcr = coder.pred_cu_inter(ps, cu, 2)
-                if w > 64 or h > 64:
-                    self._quant_resid_mtb(cu, src_y, src_cb, src_cr,
-                                          py, pcb, pcr)
-                else:
-                    coeffs = self._quant_resid(src_y, src_cb, src_cr,
-                                               py, pcb, pcr,
-                                               cscale=cscale)
-                    cu.root_cbf = any(c is not None for c in coeffs)
-                    cu.coeff_y, cu.coeff_cb, cu.coeff_cr = coeffs
-                trials.append(cu)
-
-        # SMVD trial: one coded MVD, mirrored on the symmetric ref pair
-        if is_b and coder.bi_dir_pred:
-            sym0, sym1 = coder.sym_ref
-            probe = CuData(x, y, w, h, is_inter=True, smvd=True,
-                           ref_idx=(sym0, sym1))
-            amvp0 = coder.derive_amvp(ps, probe, 0)
-            amvp1 = coder.derive_amvp(ps, probe, 1)
-            mv0, mvp0 = self._motion_search(
-                src_me, x, y, w, h, amvp0, coder.ref_pics[0][sym0][0],
-                max_bottom=self.ifp_bottom)
-            mvd = ((mv0[0] - amvp0[mvp0][0]) >> 2,
-                   (mv0[1] - amvp0[mvp0][1]) >> 2)
-            if mvd != (0, 0):
-                mv1 = (amvp1[0][0] - (mvd[0] << 2),
-                       amvp1[0][1] - (mvd[1] << 2))
-                cu = CuData(x, y, w, h, is_inter=True, merge=False,
-                            smvd=True, ref_idx=(sym0, sym1),
-                            mv=(mv0, mv1), mvd=mvd, mvp_idx=mvp0,
-                            mvd_l1=(-mvd[0], -mvd[1]), mvp_idx_l1=0)
-                if not mv_access_ok(cu, self.ifp_bottom, y, h):
-                    cu = None
-            else:
-                cu = None
-            if cu is not None:
-                py = coder.pred_cu_inter(ps, cu, 0, mapped=True)
-                pcb = coder.pred_cu_inter(ps, cu, 1)
-                pcr = coder.pred_cu_inter(ps, cu, 2)
-                if w > 64 or h > 64:
-                    self._quant_resid_mtb(cu, src_y, src_cb, src_cr,
-                                          py, pcb, pcr)
-                else:
-                    coeffs = self._quant_resid(src_y, src_cb, src_cr,
-                                               py, pcb, pcr,
-                                               cscale=cscale)
-                    cu.root_cbf = any(c is not None for c in coeffs)
-                    cu.coeff_y, cu.coeff_cb, cu.coeff_cr = coeffs
-                trials.append(cu)
-
-        # AMVR trial: integer-pel MVD on the uni-L0 winner
-        if coder.amvr and 0 in uni:
-            probe = CuData(x, y, w, h, is_inter=True,
-                           ref_idx=(0, -1), imv=1)
-            amvp_i = coder.derive_amvp(ps, probe, 0)
-            mv_q = uni[0][0]
-            mv_int = (((mv_q[0] + 8) >> 4) << 4, ((mv_q[1] + 8) >> 4) << 4)
-            mvd_i = ((mv_int[0] - amvp_i[0][0]) >> 4,
-                     (mv_int[1] - amvp_i[0][1]) >> 4)
-            if mvd_i != (0, 0):
-                mv0 = (amvp_i[0][0] + (mvd_i[0] << 4),
-                       amvp_i[0][1] + (mvd_i[1] << 4))
-                cu = CuData(x, y, w, h, is_inter=True, merge=False,
-                            mv=(mv0, (0, 0)), ref_idx=(0, -1),
-                            mvd=mvd_i, mvp_idx=0, imv=1)
-            else:
-                cu = None
-            if cu is not None and mv_access_ok(cu, self.ifp_bottom, y, h):
-                py, pcb, pcr = mc_pred((mv0, (0, 0)), (0, -1))
-                if lmcs_map:
-                    py = coder.reshape.fwd_lut[py]
-                if w > 64 or h > 64:
-                    self._quant_resid_mtb(cu, src_y, src_cb, src_cr,
-                                          py, pcb, pcr)
-                else:
-                    coeffs = self._quant_resid(src_y, src_cb, src_cr,
-                                               py, pcb, pcr,
-                                               cscale=cscale)
-                    cu.root_cbf = any(c is not None for c in coeffs)
-                    cu.coeff_y, cu.coeff_cb, cu.coeff_cr = coeffs
-                trials.append(cu)
-
-        # affine AMVP trials: gradient-based CPMV search per list
-        # (InterSearch::xAffineMotionEstimation analog, uni prediction).
-        # Skipped under an IFP window (the gradient iteration's reads are
-        # unbounded); the restriction is a static function of the CTU row,
-        # so the bitstream stays worker-count independent.
-        if coder.affine_en and w >= 16 and h >= 16 \
-                and self.ifp_bottom is None:
-            from ..codec.affine import (affine_amvp_list,
-                                        derive_affine_grids,
-                                        affine_predict_list)
-            from ..ops.affine_search import affine_search
-            for aff_type in ((0, 1) if coder.affine_type_en else (0,)):
-                n_cp = 3 if aff_type else 2
-                for li in range(2 if is_b else 1):
-                    if coder.num_refs[li] == 0:
-                        continue
-                    ref_idx = (0, -1) if li == 0 else (-1, 0)
-                    probe = CuData(x, y, w, h, is_inter=True, affine=True,
-                                   affine_type=aff_type, merge=False,
-                                   ref_idx=ref_idx)
-                    mvps = affine_amvp_list(coder, ps, probe, li, 0)
-                    pred_cps = mvps[0]
-
-                    def pred_fn(cp, probe=probe, li=li):
-                        cpmv = [((0, 0),) * 3, ((0, 0),) * 3]
-                        cpmv[li] = tuple(cp)
-                        probe.cpmv = tuple(cpmv)
-                        derive_affine_grids(coder, probe)
-                        return affine_predict_list(coder, probe, li, 0,
-                                                   False)
-                    cp, _ = affine_search(src_me, pred_fn,
-                                          [tuple(m) for m in pred_cps],
-                                          aff_type == 1, w, h)
-                    d0 = ((cp[0][0] - pred_cps[0][0]) >> 2,
-                          (cp[0][1] - pred_cps[0][1]) >> 2)
-                    mvds = [d0]
-                    for i in range(1, n_cp):
-                        mvds.append(
-                            (((cp[i][0] - pred_cps[i][0]) >> 2) - d0[0],
-                             ((cp[i][1] - pred_cps[i][1]) >> 2) - d0[1]))
-                    if all(d == (0, 0) for d in mvds):
-                        continue
-                    amvds = [[(0, 0)] * 3, [(0, 0)] * 3]
-                    amvds[li] = mvds + [(0, 0)] * (3 - n_cp)
-                    cu = CuData(x, y, w, h, is_inter=True, merge=False,
-                                affine=True, affine_type=aff_type,
-                                ref_idx=ref_idx,
-                                aff_mvds=(amvds[0], amvds[1]))
-                    if li == 0:
-                        cu.mvp_idx = 0
-                    else:
-                        cu.mvp_idx_l1 = 0
-                    # derive CPMVs/grids exactly as the decoder will
-                    coder._derive_affine_amvp_mvs(ps, cu)
-                    py = coder.pred_cu_inter(ps, cu, 0, mapped=True)
-                    pcb = coder.pred_cu_inter(ps, cu, 1)
-                    pcr = coder.pred_cu_inter(ps, cu, 2)
-                    if w > 64 or h > 64:
-                        self._quant_resid_mtb(cu, src_y, src_cb, src_cr,
-                                              py, pcb, pcr)
-                    else:
-                        coeffs = self._quant_resid(src_y, src_cb, src_cr,
-                                                   py, pcb, pcr,
-                                                   cscale=cscale)
-                        cu.root_cbf = any(c is not None for c in coeffs)
-                        cu.coeff_y, cu.coeff_cb, cu.coeff_cr = coeffs
-                    if cu.root_cbf:
-                        trials.append(cu)
-
-        return self._finish_inter_trials(
-            x, y, w, h, part, trials, src_y, src_cb, src_cr, cscale, qy,
-            cx, cy2, cw, chh)
-
-    def _finish_inter_trials(self, x, y, w, h, part, trials, src_y,
-                             src_cb, src_cr, cscale, qy, cx, cy2, cw, chh):
-        """Tail of the inter CU decision: trial evaluation through the
-        real syntax writer + the gated intra competition (shared by the
-        full path and the FIM merge-perfect early out)."""
-        import numpy as _np
-        coder = self.coder
-        ps = self.ps
-        bit_depth = self.cfg.bit_depth
-        # intra fallback: best-SATD mode, full residual.  Intra CUs are
-        # capped at 64 (no larger intra pred/TB): >maxTB CUs rely on the
-        # always-present merge/AMVP trials instead.
-        if w > 64 or h > 64:
-            state0 = self._save(x, y, max(w, h))
-            best = None
-            node = TreeNode(x, y, max(w, h), part.qt_depth, w=w, h=h,
-                            part=part)
-            for cu in trials:
-                self._restore(state0)
-                b0 = self.est.frac_bits
-                node.cu = cu
-                try:
-                    coder._enc_cu(self.est, ps, node)
-                except AssertionError:
-                    continue
-                bits = (self.est.frac_bits - b0) / (1 << 15)
-                dist = R.sse_np(src_y, ps.rec[0][y:y + h, x:x + w])
-                dist += R.sse_np(src_cb,
-                                 ps.rec[1][cy2:cy2 + chh, cx:cx + cw])
-                dist += R.sse_np(src_cr,
-                                 ps.rec[2][cy2:cy2 + chh, cx:cx + cw])
-                cost = dist + self.lmbda * bits
-                if best is None or cost < best[0]:
-                    best = (cost, cu, self._save(x, y, max(w, h)))
-            self._restore(best[2])
-            return best[1], best[0]
-        # evaluate trials through the real syntax writer + estimator
-        state0 = self._save(x, y, max(w, h))
-        node = TreeNode(x, y, max(w, h), part.qt_depth, w=w, h=h, part=part)
-
-        def _eval(cands, best):
-            for cu in cands:
-                _ss_bump("inter_skip" if cu.skip else
-                         "inter_geo" if cu.geo else
-                         "inter_mmvd" if cu.mmvd_flag else
-                         "inter_affine" if cu.affine else
-                         "inter_ciip" if cu.ciip else
-                         "inter_merge" if cu.merge else
-                         "inter_sbt" if cu.sbt_idx else
-                         "inter_smvd" if cu.smvd else
-                         "inter_amvp" if cu.is_inter else
-                         "intra_in_inter")
-                self._restore(state0)
-                b0 = self.est.frac_bits
-                node.cu = cu
-                try:
-                    coder._enc_cu(self.est, ps, node)
-                except AssertionError:
-                    continue  # malformed trial (merge with no luma coeffs)
-                bits = (self.est.frac_bits - b0) / (1 << 15)
-                dist = R.sse_np(src_y, ps.rec[0][y:y + h, x:x + w])
-                dist += R.sse_np(src_cb,
-                                 ps.rec[1][cy2:cy2 + chh, cx:cx + cw])
-                dist += R.sse_np(src_cr,
-                                 ps.rec[2][cy2:cy2 + chh, cx:cx + cw])
-                cost = dist + self.lmbda * bits
-                if best is None or cost < best[0]:
-                    best = (cost, cu, self._save(x, y, max(w, h)))
-            return best
-
-        tfilt = self.enc.trial_filter
-        if tfilt is None:
-            best = _eval(trials, None)
-            # intra competition in inter slices (EncCu xCheckRDCostIntra
-            # in inter pictures) gated per the reference's mode control
-            # (EncModeCtrl.cpp:997: "avoid very complex intra if it is
-            # unlikely"): intra is tried only when the best inter
-            # candidate CODES residual in some component — a zero-cbf
-            # inter winner means prediction already fits at this QP and
-            # intra cannot plausibly win.
-            best_cu = best[1] if best is not None else None
-            try_intra = (best_cu is None
-                         or best_cu.coeff_y is not None
-                         or best_cu.coeff_cb is not None
-                         or best_cu.coeff_cr is not None)
-        else:
-            # test hook active: trial selection must see the COMBINED
-            # candidate set, so the gate is bypassed
-            best = None
-            try_intra = True
-        if try_intra:
-            intra_trials = []
-            top, left = I.build_reference_samples(
-                ps.rec[0], x, y, w, h, ps.avail_luma(),
-                PictureState.LUMA_UNIT, bit_depth)
-            from .. import native as _native
-            if _native.available():
-                satds = _native.presel_satd(top, left, src_y,
-                                            range(I.NUM_LUMA_MODE), w, h,
-                                            bit_depth)
-            else:
-                preds_all = IV.predict_intra_modes(
-                    top, left, range(I.NUM_LUMA_MODE), w, h, bit_depth)
-                satds = IV.satd_modes(src_y, preds_all)
-            mpm_i = get_intra_mpms(ps, x, y, w, h, self.cfg.ctu_size)
-            ranked = sorted(
-                range(I.NUM_LUMA_MODE),
-                key=lambda m: float(satds[m]) + self.lmbda_sad *
-                ((1.5 + mpm_i.index(m)) if m in mpm_i else 7.0))
-            n_try = max(1, min(2, self.cfg.num_full_rd_modes))
-            modes_try = ranked[:n_try]
-            if I.PLANAR_IDX not in modes_try:
-                modes_try.append(I.PLANAR_IDX)
-            th0, tv0 = T.implicit_mts_types(w, h, True,
-                                            self.coder.implicit_mts)
-            for mode in modes_try:
-                pred = I.predict_intra(top, left, mode, w, h, bit_depth,
-                                       True)
-                cu = CuData(x, y, w, h, is_inter=False, luma_mode=mode)
-                cu.coeff_y = self._tq(src_y - pred, qy, True,
-                                      ct.CTX_SETS["QtCbfLuma"](0), th0,
-                                      tv0, intra_slice=False)
-                pred_cb = predict_cu_component(ps, cu, 1, bit_depth)
-                pred_cr = predict_cu_component(ps, cu, 2, bit_depth)
-                rcb, rcr = src_cb - pred_cb, src_cr - pred_cr
-                if cscale is not None:
-                    from ..codec.lmcs import scale_chroma_resi_fwd
-                    rcb = scale_chroma_resi_fwd(rcb.astype(_np.int64),
-                                                cscale, bit_depth)
-                    rcr = scale_chroma_resi_fwd(rcr.astype(_np.int64),
-                                                cscale, bit_depth)
-                ccb = self._tq(rcb, self.qp.chroma_qp(1), False,
-                               ct.CTX_SETS["QtCbfCb"](0),
-                               intra_slice=False)
-                ccr = self._tq(rcr, self.qp.chroma_qp(2), False,
-                               ct.CTX_SETS["QtCbfCr"](1 if ccb is not None
-                                                      else 0),
-                               intra_slice=False)
-                cu.coeff_cb = ccb
-                cu.coeff_cr = ccr
-                intra_trials.append(cu)
-            if tfilt is not None:
-                allt = trials + intra_trials
-                kept = [t for t in allt if tfilt(t)]
-                best = _eval(kept if kept else allt, None)
-            else:
-                best = _eval(intra_trials, best)
-        self._restore(best[2])
-        return best[1], best[0]
-
-    def _add_sbt_trials(self, base_cu, allowed, resi_y, resi_cb, resi_cr,
-                        trials):
-        """Sub-block-transform variants: the residual lives in one half of
-        the CU (DST7/DCT8 per position when MTS is on), the rest is zeroed
-        (vvenc InterSearch xEstimateInterResidual SBT loop)."""
-        import copy
-        from ..codec.ctu_syntax import sbt_tu_rect
-        qy = self.qp.luma_qp()
-        for sbt_idx in (1, 2):                 # VER_HALF / HOR_HALF
-            if not (allowed >> sbt_idx) & 1:
-                continue
-            for pos_ in (0, 1):
-                cu = copy.copy(base_cu)
-                cu.sbt_idx, cu.sbt_pos = sbt_idx, pos_
-                tx, ty, tw, th, trh, trv = sbt_tu_rect(cu)
-                if not self.enc.sps.mts:
-                    trh = trv = T.DCT2
-                coeff_y = self._tq(resi_y[ty:ty + th, tx:tx + tw], qy,
-                                   True, ct.CTX_SETS["QtCbfLuma"](0),
-                                   trh, trv, intra_slice=False)
-                if coeff_y is None:
-                    continue
-                cu.coeff_y = coeff_y
-                # LMCS chroma scale at the SBT TU's luma position
-                cscale = self._chroma_scale(base_cu.x + tx, base_cu.y + ty,
-                                            tw >> 1, th >> 1)
-                for comp, resi_c in ((1, resi_cb), (2, resi_cr)):
-                    sub = resi_c[ty >> 1:(ty + th) >> 1,
-                                 tx >> 1:(tx + tw) >> 1]
-                    if cscale is not None:
-                        from ..codec.lmcs import scale_chroma_resi_fwd
-                        sub = scale_chroma_resi_fwd(
-                            sub.astype(np.int64), cscale,
-                            self.cfg.bit_depth)
-                    cc = self._tq(sub, self.qp.chroma_qp(comp), False,
-                                  None, intra_slice=False)
-                    if comp == 1:
-                        cu.coeff_cb = cc
-                    else:
-                        cu.coeff_cr = cc
-                cu.root_cbf = True
-                trials.append(cu)
-
-    def _quant_resid_mtb(self, cu, src_y, src_cb, src_cr, py, pcb, pcr):
-        """Residual of a >maxTB inter CU: implicit 64x64 TU tiling
-        (TU_MAX_TR_SPLIT searcher side — the counterpart of the coder's
-        _code_max_tb_tus / reconstruct_cu mtb branch).  Fills cu.mtb_tus
-        with (tx, ty, tw, th, cy, ccb, ccr, joint, ts_cb, ts_cr) tuples
-        and cu.root_cbf; mtb_tus stays None when every TU is empty
-        (matching the decoder's root_cbf == 0 state)."""
-        import numpy as _np
-        bd = self.cfg.bit_depth
-        qy = self.qp.luma_qp()
-        sw, sh_ = min(cu.w, 64), min(cu.h, 64)
-        tus = []
-        any_c = False
-        for ty in range(0, cu.h, sh_):
-            for tx in range(0, cu.w, sw):
-                ry = src_y[ty:ty + sh_, tx:tx + sw] \
-                    - py[ty:ty + sh_, tx:tx + sw]
-                cy_ = self._tq(ry, qy, True, None, intra_slice=False)
-                cx2, cy2 = tx >> 1, ty >> 1
-                cw2, ch2 = sw >> 1, sh_ >> 1
-                # per-TU LMCS chroma scale (decoder dequantizes each TU
-                # with the scale at ITS position)
-                csc = self._chroma_scale(cu.x + tx, cu.y + ty, cw2, ch2)
-                cc = []
-                for comp, (srcc, predc) in ((1, (src_cb, pcb)),
-                                            (2, (src_cr, pcr))):
-                    rc = srcc[cy2:cy2 + ch2, cx2:cx2 + cw2] \
-                        - predc[cy2:cy2 + ch2, cx2:cx2 + cw2]
-                    if csc is not None:
-                        from ..codec.lmcs import scale_chroma_resi_fwd
-                        rc = scale_chroma_resi_fwd(
-                            rc.astype(_np.int64), csc, bd)
-                    cc.append(self._tq(rc, self.qp.chroma_qp(comp),
-                                       False, None, intra_slice=False))
-                if cy_ is not None or cc[0] is not None \
-                        or cc[1] is not None:
-                    any_c = True
-                tus.append((tx, ty, sw, sh_, cy_, cc[0], cc[1], 0,
-                            False, False))
-        cu.mtb_tus = tus if any_c else None
-        cu.root_cbf = any_c
-        return any_c
-
-    def _quant_resid(self, src_y, src_cb, src_cr, py, pcb, pcr,
-                     cscale=None):
-        import numpy as _np
-        bit_depth = self.cfg.bit_depth
-        out = []
-        cbfs = (ct.CTX_SETS["QtRootCbf"](0), ct.CTX_SETS["QtCbfCb"](0), None)
-        for i, (src, pred, q) in enumerate(
-                ((src_y, py, self.qp.luma_qp()),
-                 (src_cb, pcb, self.qp.chroma_qp(1)),
-                 (src_cr, pcr, self.qp.chroma_qp(2)))):
-            cbf_ctx = cbfs[i] if i < 2 else \
-                ct.CTX_SETS["QtCbfCr"](1 if out[1] is not None else 0)
-            resi = src - pred
-            if i and cscale is not None:
-                from ..codec.lmcs import scale_chroma_resi_fwd
-                resi = scale_chroma_resi_fwd(resi.astype(_np.int64),
-                                             cscale, bit_depth)
-            out.append(self._tq(resi, q, i == 0, cbf_ctx,
-                                intra_slice=False))
-        return out
-
-    def _valid_pos(self, sx, sy, w, h, pw, ph, max_bottom):
-        from .ifp import MC_MARGIN
-        if sx < -w or sy < -h or sx > pw or sy > ph:
-            return False
-        if max_bottom is not None and sy + h + MC_MARGIN > max_bottom:
-            return False
-        return True
-
-    def _sse_grid(self, src_y, ref_y, cx0, cy0, w, h, rx, ry):
-        """SSE of src at every integer displacement in the window
-        [cx0-rx, cx0+rx] x [cy0-ry, cy0+ry], vectorized (sliding windows).
-        Returns costs [2ry+1, 2rx+1] int64 (edge-clamped ref reads)."""
-        import numpy as _np
-        ph, pw = ref_y.shape
-        xs = _np.clip(_np.arange(cx0 - rx, cx0 + rx + w), 0, pw - 1)
-        ys = _np.clip(_np.arange(cy0 - ry, cy0 + ry + h), 0, ph - 1)
-        win = ref_y[_np.ix_(ys, xs)].astype(_np.int64)
-        sw = _np.lib.stride_tricks.sliding_window_view(win, (h, w))
-        # SSE = sum(src^2) + box(win^2) - 2*corr; corr via tensordot over
-        # the window dims (exact integer arithmetic)
-        s = src_y.astype(_np.int64)
-        corr = _np.tensordot(sw, s, axes=([2, 3], [0, 1]))
-        # integral-image box sums of win^2
-        ii = _np.pad(win * win, ((1, 0), (1, 0))).cumsum(0).cumsum(1)
-        b2 = (ii[h:, w:] - ii[:-h, w:] - ii[h:, :-w] + ii[:-h, :-w])
-        return (s * s).sum() + b2 - 2 * corr
-
-    def _use_device_me(self) -> bool:
-        mode = self.cfg.me_mode
-        if mode == "auto":
-            import jax
-            mode = "device" if jax.default_backend() != "cpu" else "host"
-            self.cfg.me_mode = mode
-        return mode == "device"
-
-    def _device_me(self, ref_y):
-        """Per-(picture, reference) device pre-ME table (lazy)."""
-        cache = getattr(self, "_dev_me_cache", None)
-        if cache is None:
-            cache = self._dev_me_cache = {}
-        key = id(ref_y)
-        tab = cache.get(key)
-        if tab is None and key not in cache:
-            from ..ops.me import FrameMe
-            try:
-                tab = FrameMe(self.src_me_y, ref_y,
-                              R=min(64, self.cfg.search_range))
-            except Exception:                      # noqa: BLE001
-                tab = None                         # fall back to host
-            cache[key] = tab
-        return tab
-
-    def _motion_search(self, src_y, x, y, w, h, amvp, ref_y,
-                       max_bottom=None):
-        """Hierarchical integer ME (TZ-search coverage analog,
-        vvenc InterSearch::xTZSearch semantics: predictor-centered,
-        SearchRange-wide) + half/quarter refinement; chooses the mvp
-        index minimizing mvd bits.
-
-        Integer stage: dense SSE grid at 1/4 resolution over the full
-        search range around each start candidate (both AMVP predictors +
-        zero MV), then a dense full-resolution +-4 refine around the
-        best coarse position and around each start candidate.
-
-        max_bottom: IFP window — candidates whose motion-compensated
-        read would touch that picture row or below are excluded (the
-        half/quarter refinement moves the MV by < 1 integer pel, which
-        the ifp.MC_MARGIN already covers)."""
-        import numpy as _np
-        from .ifp import MC_MARGIN
-        R_ = self.cfg.search_range
-        ph, pw = ref_y.shape
-
-        def clamp_center(px, py):
-            cx = min(max(px, -w), pw)
-            cy = min(max(py, -h), ph)
-            if max_bottom is not None:
-                cy = min(cy, max_bottom - h - MC_MARGIN)
-            return cx, cy
-
-        centers = []
-        for p in (amvp[0], amvp[1], (0, 0)):
-            c = clamp_center(x + (p[0] >> 4), y + (p[1] >> 4))
-            if c not in centers:
-                centers.append(c)
-
-        fine = []                      # full-res refine centers
-        if R_ > 8 and w >= 8 and h >= 8 and self._use_device_me():
-            # device pre-ME: the frame-level batched full search already
-            # ran on the TPU for this (picture, reference) — its winner
-            # for the block containing this CU replaces the numpy coarse
-            # stage as the refine center (ops/me.py frame_me)
-            tab = self._device_me(ref_y)
-            if tab is not None:
-                dmx, dmy = tab.lookup(x + w // 2, y + h // 2)
-                fine.append(clamp_center(x + dmx, y + dmy))
-        elif R_ > 8 and w >= 8 and h >= 8 and (w % 4 == 0 and h % 4 == 0):
-            # coarse stage at 1/4 resolution over the whole range
-            ds_key = ("me_ds4", id(ref_y))
-            cache = getattr(self, "_me_cache", None)
-            if cache is None:
-                cache = self._me_cache = {}
-            ref_ds = cache.get(ds_key)
-            if ref_ds is None:
-                hh, ww = (ph // 4) * 4, (pw // 4) * 4
-                ref_ds = ref_y[:hh, :ww].reshape(hh // 4, 4, ww // 4, 4) \
-                    .astype(_np.int64).mean(axis=(1, 3)).astype(_np.int32)
-                cache[ds_key] = ref_ds
-            sh, sw_ = h // 4, w // 4
-            src_ds = src_y[:sh * 4, :sw_ * 4] \
-                .reshape(sh, 4, sw_, 4).astype(_np.int64) \
-                .mean(axis=(1, 3)).astype(_np.int32)
-            rq = max(1, R_ // 4)
-            for (cx0, cy0) in centers:
-                costs = self._sse_grid(src_ds, ref_ds, cx0 // 4, cy0 // 4,
-                                       sw_, sh, rq, rq)
-                dy_, dx_ = _np.unravel_index(int(costs.argmin()),
-                                             costs.shape)
-                fx = (cx0 // 4 - rq + int(dx_)) * 4
-                fy = (cy0 // 4 - rq + int(dy_)) * 4
-                fine.append(clamp_center(fx, fy))
-        fine += centers
-
-        best = None
-        rr = 4 if R_ > 8 else R_
-        seen = set()
-        for (cx0, cy0) in fine:
-            if (cx0, cy0) in seen:
-                continue
-            seen.add((cx0, cy0))
-            costs = self._sse_grid(src_y, ref_y, cx0, cy0, w, h, rr, rr)
-            for dy in range(-rr, rr + 1):
-                for dx in range(-rr, rr + 1):
-                    sx, sy = cx0 + dx, cy0 + dy
-                    if not self._valid_pos(sx, sy, w, h, pw, ph,
-                                           max_bottom):
-                        continue
-                    c = int(costs[dy + rr, dx + rr])
-                    if best is None or c < best[0]:
-                        best = (c, ((sx - x) << 4, (sy - y) << 4))
-        if best is None:
-            best = (0.0, ((centers[0][0] - x) << 4,
-                          (centers[0][1] - y) << 4))
-        mv = best[1]
-        # half then quarter refinement (steps of 8 and 4 in 1/16 units)
-        for step in (8, 4):
-            improved = True
-            cand_best = (self._mc_cost(src_y, x, y, w, h, mv, ref_y,
-                                       amvp[0]), mv)
-            for dy in (-step, 0, step):
-                for dx in (-step, 0, step):
-                    if dx == 0 and dy == 0:
-                        continue
-                    m = (mv[0] + dx, mv[1] + dy)
-                    c = self._mc_cost(src_y, x, y, w, h, m, ref_y, amvp[0])
-                    if c < cand_best[0]:
-                        cand_best = (c, m)
-            mv = cand_best[1]
-        # mvp selection by mvd magnitude
-        def mvd_bits(mvp):
-            return (abs(mv[0] - mvp[0]) + abs(mv[1] - mvp[1])) >> 2
-        mvp_idx = 0 if mvd_bits(amvp[0]) <= mvd_bits(amvp[1]) else 1
-        return mv, mvp_idx
-
-    def _mc_cost(self, src_y, x, y, w, h, mv, ref_y, mvp):
-        pred = mc_block_np(ref_y, x, y, w, h, mv[0], mv[1],
-                           self.cfg.bit_depth, True)
-        bits = ((abs(mv[0] - mvp[0]) + abs(mv[1] - mvp[1])) >> 2) * 1.5 + 2
-        return R.sse_np(src_y, pred) + self.lmbda * bits
-
-
 def _encode_inter_frame_job(args):
     """Process-pool worker: encode one inter picture against a DPB
     subset (FPP worker).  Returns (au, rec, motion_field, ref_pocs, qp)."""
