@@ -181,10 +181,12 @@ def main():
         secondary[key] = None
 
     # config 2: random-access 832x480 GOP8 preset faster
-    timed_subprocess_encode("ra_832x480_gop8_faster_fps", 832, 480, 9, 37,
+    # 17 frames so the subprocess's one-time device-program load through
+    # the axon tunnel amortizes into an honest steady-state rate
+    timed_subprocess_encode("ra_832x480_gop8_faster_fps", 832, 480, 17, 37,
                             "faster",
                             ["--gop-size", "8", "--intra-period", "0"],
-                            timeout_s=180)
+                            timeout_s=240)
     # config 3: 1080p random-access preset medium + perceptual QPA
     # (BASELINE config 3; salvage reports a lower-bound fps when the 6
     # frames don't finish inside the budget)
