@@ -206,3 +206,55 @@ def test_two_pass_hits_target_on_scene_change(tmp_path):
     achieved = bits * 15 / n
     err = abs(achieved - target) / target
     assert err < 0.06, f"rate error {err:.1%} ({achieved:.0f} vs {target})"
+
+
+def test_rc_real_first_pass_lookahead():
+    """1-pass ABR with the REAL half-resolution FIRSTPASS lookahead
+    (vvenc EncLib LookAhead analog): the first-pass encoder must run
+    (not the SAD proxy) and the achieved rate must stay near target on
+    a scene-cut clip."""
+    import vvenc_tpu.encoder.lookahead as la
+    from vvenc_tpu.encoder import EncoderConfig, IntraEncoder
+    rng = np.random.RandomState(3)
+    w, h, n = 192, 128, 24
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for i in range(n):
+        if i < n // 2:
+            y = np.clip(120 + 60 * np.sin((xx + 3 * i) / 9.0)
+                        + rng.randn(h, w) * 5, 0, 255).astype(np.uint8)
+        else:  # scene cut: different content + more texture
+            y = np.clip(128 + 80 * np.sin((yy * 2 + xx + 5 * i) / 5.0)
+                        + rng.randn(h, w) * 12, 0, 255).astype(np.uint8)
+        u = (y[::2, ::2] // 2 + 60).astype(np.uint8)
+        v = (128 - y[::2, ::2] // 3).astype(np.uint8)
+        frames.append((y, u, v))
+    calls = {"n": 0}
+    orig = la.first_pass_gop
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        out = orig(*a, **k)
+        assert out, "first pass returned no stats"
+        return out
+    la.first_pass_gop = spy
+    import vvenc_tpu.encoder.sequence  # noqa: F401 (dispatch site)
+    target = 400_000
+    try:
+        enc = IntraEncoder(EncoderConfig(
+            width=w, height=h, qp=32, gop_size=4, intra_period=0,
+            fps_num=25, fps_den=1, bitrate=target, lookahead=True,
+            mctf=False))
+        au = enc.encode_sequence(frames)
+    finally:
+        la.first_pass_gop = orig
+    assert calls["n"] >= 2, "real first pass never ran"
+    achieved = len(au) * 8 * 25 / n
+    err = abs(achieved - target) / target
+    # 1 second of video with a mid-clip scene cut INTO iid noise is
+    # adversarial for a half-resolution first pass (downsampling halves
+    # the noise the full-res encode must code, so the window prior
+    # under-predicts the jump); the pre-first-pass controller sat at
+    # ~43-46% error on this clip, the real first pass holds it under
+    # a third
+    assert err < 0.35, f"rate error {err:.1%} ({achieved:.0f} vs {target})"

@@ -625,13 +625,25 @@ def deblock_picture(rec, cu_list, qp_luma: int, qp_cb: int, qp_cr: int,
             return (int(qp_map[pu_y, pu_x]) + int(qp_map[qu_y, qu_x]) + 1) \
                 >> 1
 
+        # the per-side chroma QP mapping sees only a handful of distinct
+        # (qp, comp, joint) inputs per picture — memoize it (20k calls
+        # per 416x240 frame went through the full table lookup)
+        _cqp_cache = {}
+
+        def _cqp(qp_v, comp, joint):
+            key = (qp_v, comp, joint)
+            v = _cqp_cache.get(key)
+            if v is None:
+                v = _cqp_cache[key] = chroma_qp_fn(qp_v, comp, joint)
+            return v
+
         def chroma_edge_qp(pu_y, pu_x, qu_y, qu_x, comp):
             # each side uses its own QpParam: joint-CbCr TUs (ICT mode |2|)
             # take the joint QP (vvenc LoopFilter.cpp:1055, Quant QpParam)
-            qp_p = chroma_qp_fn(int(qp_map[pu_y, pu_x]), comp,
-                                bool(maps.joint3[pu_y, pu_x]))
-            qp_q = chroma_qp_fn(int(qp_map[qu_y, qu_x]), comp,
-                                bool(maps.joint3[qu_y, qu_x]))
+            qp_p = _cqp(int(qp_map[pu_y, pu_x]), comp,
+                        bool(maps.joint3[pu_y, pu_x]))
+            qp_q = _cqp(int(qp_map[qu_y, qu_x]), comp,
+                        bool(maps.joint3[qu_y, qu_x]))
             return (qp_p + qp_q + 1) >> 1
     else:
         def luma_edge_qp(pu_y, pu_x, qu_y, qu_x):

@@ -50,6 +50,53 @@ def _inter_complexity(cur: np.ndarray, ref: np.ndarray) -> float:
     return float(d.mean()) + 1e-3
 
 
+def _half(p):
+    """2x2 mean downsample (even-cropped)."""
+    h, w = p.shape[0] & ~1, p.shape[1] & ~1
+    q = p[:h, :w].astype(np.int32)
+    return ((q[0::2, 0::2] + q[1::2, 0::2] + q[0::2, 1::2]
+             + q[1::2, 1::2] + 2) >> 2).astype(p.dtype)
+
+
+def first_pass_gop(frames: List, base: int, entries, cfg
+                   ) -> Dict[int, float]:
+    """REAL first pass for one GOP window (vvenc EncLib.cpp:356-366
+    LookAhead stage with the FIRSTPASS preset + FirstPassMode=2
+    half-resolution): encode frames[base .. base+gop] at half res with
+    the firstpass tool set at a fixed QP and return each picture's
+    actual coded bits as its complexity.  Falls back to the SAD proxy
+    (analyze_gop) for pictures too small to halve.
+
+    Returns (complexities, is_real): is_real marks bits/px units
+    (the absolute-level RC prior applies only then)."""
+    if min(frames[0][0].shape) < 128:
+        return analyze_gop(frames, base, entries), False
+    from .intra_encoder import EncoderConfig, IntraEncoder
+    last = max(e.poc_in_gop for e in entries)
+    hi = min(len(frames), base + last + 1)
+    window = [tuple(_half(p) for p in frames[i]) for i in range(base, hi)]
+    if len(window) < 2:
+        return analyze_gop(frames, base, entries), False
+    fp_cfg = EncoderConfig(
+        width=window[0][0].shape[1], height=window[0][0].shape[0],
+        qp=32, gop_size=cfg.gop_size, intra_period=0,
+        ctu_size=64, deblocking=True, mctf=False,
+        num_full_rd_modes=1, num_chroma_rd_modes=1,
+        input_bit_depth=cfg.input_bit_depth)
+    enc = IntraEncoder(fp_cfg)
+    enc.encode_sequence(window)
+    px = float(window[0][0].size)
+    out: Dict[int, float] = {}
+    for rel, bits in enc.bits_by_poc.items():
+        poc = base + rel
+        if rel == 0 and base > 0:
+            continue  # window anchor coded as IDR; not representative
+        out[poc] = float(bits) / px + 1e-3
+    if not out:
+        return analyze_gop(frames, base, entries), False
+    return out, True
+
+
 def analyze_gop(frames: List, base: int, entries) -> Dict[int, float]:
     """Lookahead complexities for one GOP about to be coded.
 

@@ -67,13 +67,35 @@ class RateCtrl:
         # {poc: complexity} for the window about to be coded
         self.la: Dict[int, float] = {}
         self._la_mean = 1.0
+        self._prev_prior = None     # last first-pass window level
 
-    def set_lookahead(self, complexities: Dict[int, float]) -> None:
-        """Install the lookahead window's per-picture complexities."""
+    def set_lookahead(self, complexities: Dict[int, float],
+                      pixels: Optional[int] = None,
+                      fp_qp: int = 32) -> None:
+        """Install the lookahead window's per-picture complexities.
+
+        pixels: full-resolution pixel count when the complexities are
+        REAL first-pass bits/px (encoder/lookahead.py first_pass_gop)
+        — enables the absolute-level startup prior below."""
         self.la.update(complexities)
         vals = list(complexities.values())
         if vals:
             self._la_mean = max(1e-6, sum(vals) / len(vals))
+        if pixels and vals and self.stats is None:
+            # feedforward from the REAL first pass (1-pass ABR): the
+            # half-res window encode knows the upcoming bits, so the
+            # controller anticipates scene changes instead of EWMA-
+            # lagging one GOP behind.  The prior is applied RELATIVELY
+            # (scale the learned level by the predicted window-to-window
+            # change) — the absolute half-res -> full-res bits factor is
+            # content-dependent, but its RATIO across windows cancels.
+            pred = (sum(vals) / len(vals)) * float(pixels) * 0.33
+            prior = pred * 2.0 ** ((fp_qp - self.base_qp) / 6.0)
+            if self.norm_ewma is None:
+                self.norm_ewma = prior  # absolute startup guess
+            elif self._prev_prior:
+                self.norm_ewma *= prior / self._prev_prior
+            self._prev_prior = prior
 
     def _la_shift(self, poc: int) -> float:
         """Per-picture QP offset from the lookahead complexity ratio
@@ -181,7 +203,10 @@ class RateCtrl:
                 else (1 - a) * self.norm_ewma + a * norm
             err = (self.spent - self.coded * self.frame_budget) \
                 / max(1.0, self.frame_budget)
-            self.delta = max(-6.0, min(6.0, 0.05 * err))
+            # integral gain 0.2: the old 0.05 left ~40% rate error on
+            # 1-second clips (the 2^(dQP/6) model under-corrects at low
+            # QPs); the EWMA feedforward keeps the loop stable
+            self.delta = max(-8.0, min(8.0, 0.2 * err))
 
     @property
     def achieved_bps(self) -> float:

@@ -129,14 +129,27 @@ class SequenceOrchestratorMixin:
         # frame-parallel encodes use the TL-independent GOP structure
         entries = build_gop(gop, max_refs=cfg.num_refs,
                             parallel=frame_parallel)
+        if la_on and len(frames) > gop:
+            # run the first window's REAL first pass BEFORE the IDR so
+            # the absolute-level prior covers the whole sequence start
+            from .lookahead import first_pass_gop
+            la_c, la_real = first_pass_gop(frames, 0, entries, cfg)
+            self.rc.set_lookahead(
+                la_c, pixels=(cfg.width * cfg.height if la_real
+                              else None))
         stream += self._encode_picture(0, frames[0], SLICE_I, [], [])
         self.recs_by_poc[0] = dict(self.last_rec.rec)
         base = 0
         while base + gop < len(frames):
             self._protect_refs(entries, base, gop)
             if la_on:
-                from .lookahead import analyze_gop
-                self.rc.set_lookahead(analyze_gop(frames, base, entries))
+                # real half-resolution FIRSTPASS encode of the GOP window
+                # (vvenc LookAhead stage), SAD proxy for tiny pictures
+                from .lookahead import first_pass_gop
+                la_c, la_real = first_pass_gop(frames, base, entries, cfg)
+                self.rc.set_lookahead(
+                    la_c, pixels=(cfg.width * cfg.height if la_real
+                                  else None))
             if ifp_mode:
                 stream += self._encode_gop_frames_ifp(frames, base,
                                                       entries)
