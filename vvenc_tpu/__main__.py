@@ -61,8 +61,9 @@ def parse_args(argv):
                    help="emit buffering-period/pic-timing SEIs")
     p.add_argument("--set", action="append", default=[], metavar="K=V",
                    help="expert string-param API (vvenc_set_param analog)")
-    p.add_argument("--threads", type=int, default=0,
-                   help="worker-thread budget (-1 = auto from size)")
+    p.add_argument("--threads", type=int, default=-1,
+                   help="worker-thread budget (-1 = auto from size, the "
+                        "reference's default behavior; 0/1 = single)")
     p.add_argument("--mt-profile", action="store_true",
                    help="auto-enable WPP/IFP/tiles from the thread budget "
                         "(vvenc mtProfile analog)")

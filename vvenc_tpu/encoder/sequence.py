@@ -489,7 +489,11 @@ class SequenceOrchestratorMixin:
         them concurrently; the output is BYTE-IDENTICAL to the sequential
         encode (the determinism contract the reference pins with its
         threaded-vs-serial bitstream-compare tests)."""
-        from concurrent.futures import ProcessPoolExecutor
+        # Threads, not processes: the hot paths (native CTU search,
+        # ALF/SAO kernels, RDOQ) are C++ ctypes calls that release the
+        # GIL, so a thread pool parallelizes without the process-spawn
+        # + import cost that dominates short runs.
+        from concurrent.futures import ThreadPoolExecutor
         cfg = self.cfg
         shift = cfg.bit_depth - cfg.input_bit_depth
         if self._plan_prefill_ok():
@@ -506,7 +510,7 @@ class SequenceOrchestratorMixin:
                          self._plan_bank.pop(poc, None)))
         stream = bytearray()
         from .intra_encoder import _encode_intra_frame_job
-        with ProcessPoolExecutor(max_workers=cfg.max_parallel_frames) as ex:
+        with ThreadPoolExecutor(max_workers=cfg.max_parallel_frames) as ex:
             for poc, (au, rec, bits, qp) in enumerate(
                     ex.map(_encode_intra_frame_job, jobs)):
                 stream += au
