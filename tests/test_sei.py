@@ -129,3 +129,37 @@ def test_film_grain_sei_emitted_in_stream():
     assert SEI_FILM_GRAIN in types
     decs = decode_stream(stream)   # decoder skips/ignores FGC cleanly
     assert len(decs) == 1
+
+
+def test_film_grain_canny_and_intervals():
+    """The upgraded analyzer (Canny+Morph mask, DCT cut-offs, polynomial
+    interval fitting — SEIFilmGrainAnalyzer analog): edges of clean
+    structure are masked, noise yields 3-value models (scale, h/v
+    cut-off) over fitted intensity intervals."""
+    import numpy as np
+    from vvenc_tpu.encoder.filmgrain import canny_mask, derive_fgc_sei
+    rng = np.random.RandomState(7)
+    h, w = 128, 128
+    # a hard vertical edge must be detected and masked
+    img = np.full((h, w), 60, np.int32)
+    img[:, w // 2:] = 200
+    m = canny_mask(img)
+    assert m[:, w // 2 - 2:w // 2 + 2].any()
+    assert not m[:, : w // 4].any()
+    # intensity-dependent grain -> multiple intervals, 3 model values
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (xx * 255 // w).astype(np.int32)
+    sigma = 2.0 + 6.0 * (base / 255.0)
+    noisy = np.clip(base + rng.randn(h, w) * sigma, 0,
+                    255).astype(np.uint8)
+    sei = derive_fgc_sei([noisy])
+    assert sei is not None
+    ivs = sei.comp_models[0].intervals
+    assert len(ivs) >= 2
+    assert all(len(v) == 3 for _, _, v in ivs)
+    # scaling grows with intensity (the fitted ramp)
+    assert ivs[-1][2][0] > ivs[0][2][0]
+    # round-trips through the payload writer/parser
+    from vvenc_tpu.encoder.filmgrain import SeiFilmGrain
+    again = SeiFilmGrain.parse(sei.payload())
+    assert again.comp_models[0].intervals == ivs

@@ -164,31 +164,214 @@ def analyze_grain(y: np.ndarray, bit_depth: int = 8, block: int = 8,
     return means, sigmas
 
 
+# ---------------------------------------------------------------------------
+# Canny + Morph (vvenc SEIFilmGrainAnalyzer.h Canny:83, Morph:146)
+# ---------------------------------------------------------------------------
+
+def _gauss5(y: np.ndarray) -> np.ndarray:
+    """5x5 Gaussian blur (the Canny pre-filter; binomial [1 4 6 4 1])."""
+    k = np.array([1, 4, 6, 4, 1], np.int64)
+    p = np.pad(y.astype(np.int64), 2, mode="edge")
+    t = sum(k[i] * p[:, i:i + y.shape[1]] for i in range(5))
+    o = sum(k[i] * t[i:i + y.shape[0], :] for i in range(5))
+    return o // 256
+
+
+def canny_mask(y: np.ndarray, low_ratio: float = 0.4,
+               high_pct: float = 90.0) -> np.ndarray:
+    """Canny edge detection (vvenc Canny::detect_edges): Gaussian blur,
+    Sobel gradient + orientation, non-maximum suppression, double
+    threshold, hysteresis edge tracking.  Returns a bool edge mask."""
+    g = _gauss5(y)
+    s = g.astype(np.int64)
+    gx = np.zeros_like(s)
+    gy = np.zeros_like(s)
+    c = np.s_[1:-1, 1:-1]
+    gx[c] = (s[:-2, 2:] + 2 * s[1:-1, 2:] + s[2:, 2:]
+             - s[:-2, :-2] - 2 * s[1:-1, :-2] - s[2:, :-2])
+    gy[c] = (s[2:, :-2] + 2 * s[2:, 1:-1] + s[2:, 2:]
+             - s[:-2, :-2] - 2 * s[:-2, 1:-1] - s[:-2, 2:])
+    mag = np.hypot(gx, gy)
+    # orientation quantized to 4 directions (0/45/90/135 deg)
+    ang = np.degrees(np.arctan2(gy, gx)) % 180.0
+    dbin = np.zeros(y.shape, np.int8)
+    dbin[(ang >= 22.5) & (ang < 67.5)] = 1
+    dbin[(ang >= 67.5) & (ang < 112.5)] = 2
+    dbin[(ang >= 112.5) & (ang < 157.5)] = 3
+    # non-maximum suppression (Canny::suppressNonMax)
+    mp = np.pad(mag, 1, mode="constant")
+    offs = {0: ((0, 1), (0, -1)), 1: ((-1, 1), (1, -1)),
+            2: ((1, 0), (-1, 0)), 3: ((1, 1), (-1, -1))}
+    nms = np.zeros_like(mag)
+    for d, ((dy0, dx0), (dy1, dx1)) in offs.items():
+        n0 = mp[1 + dy0:1 + dy0 + y.shape[0], 1 + dx0:1 + dx0 + y.shape[1]]
+        n1 = mp[1 + dy1:1 + dy1 + y.shape[0], 1 + dx1:1 + dx1 + y.shape[1]]
+        m = dbin == d
+        keep = m & (mag >= n0) & (mag >= n1)
+        nms[keep] = mag[keep]
+    # double threshold (Canny::doubleThreshold) from the magnitude
+    # distribution, then hysteresis (Canny::edgeTracking): weak pixels
+    # survive only when 8-connected to a strong pixel
+    nz = nms[nms > 0]
+    if nz.size == 0:
+        return np.zeros(y.shape, bool)
+    high = np.percentile(nz, high_pct)
+    low = low_ratio * high
+    strong = nms >= high
+    weak = nms >= low
+    try:
+        import scipy.ndimage as ndi
+        edges = ndi.binary_propagation(strong, mask=weak,
+                                       structure=np.ones((3, 3), bool))
+    except ImportError:
+        edges = strong.copy()
+        for _ in range(8):     # bounded propagation fallback
+            grown = _dilate(edges) & weak
+            if (grown == edges).all():
+                break
+            edges = grown
+    return edges
+
+
+def _dilate(m: np.ndarray, it: int = 1) -> np.ndarray:
+    """3x3 binary dilation (vvenc Morph::dilation)."""
+    out = m
+    for _ in range(it):
+        p = np.pad(out, 1, mode="constant")
+        acc = np.zeros_like(out)
+        for dy in range(3):
+            for dx in range(3):
+                acc |= p[dy:dy + m.shape[0], dx:dx + m.shape[1]]
+        out = acc
+    return out
+
+
+def _dct8_energy(flat_blocks: np.ndarray) -> np.ndarray:
+    """Mean |DCT-8x8| of the grain-residual blocks [n, 64] — the
+    cut-off-frequency source (FGAnalyzer::blockTransform analog at
+    8x8; synthesis low-passes in the transform domain)."""
+    k = np.arange(8)
+    C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16.0)
+    C[0] *= 1.0 / np.sqrt(2.0)
+    C *= 0.5
+    n = len(flat_blocks)
+    if n == 0:
+        return np.zeros((8, 8))
+    blk = flat_blocks.reshape(n, 8, 8)
+    d = np.einsum("ij,njk,lk->nil", C, blk, C)
+    return np.abs(d).mean(axis=0)
+
+
 def derive_fgc_sei(frames_y, bit_depth: int = 8,
                    min_sigma: float = 0.8) -> Optional[SeiFilmGrain]:
-    """Analyze a few luma planes -> FGC SEI (None when grain is below the
-    synthesis-worthy threshold everywhere)."""
-    n_bins = 8
-    acc = np.zeros(n_bins)
-    cnt = np.zeros(n_bins)
+    """Film grain analysis -> FGC SEI (FGAnalyzer::estimateGrainParameters
+    analog):
+
+    1. mask = dilated Canny edges (findMask: edges/texture are not grain);
+    2. grain estimate = orig - Gaussian-denoised orig (the reference
+       subtracts the MCTF-filtered picture; the Gaussian stands in when
+       the analysis runs before temporal filtering);
+    3. per flat 8x8 block: (mean intensity, grain sigma) data points +
+       the block-DCT magnitude accumulation for the cut-off frequencies;
+    4. least-squares polynomial fit of sigma over intensity with edge
+       extension (fitFunction + extendPoints);
+    5. intervals where the quantized fitted scaling is constant become
+       the SEI's intensity intervals (defineIntervalsAndScalings +
+       scaleDown); model values are [scale, h_cutoff, v_cutoff].
+
+    Returns None when the grain level is below synthesis-worthy
+    everywhere."""
+    pts_mean = []
+    pts_sig = []
+    dct_acc = np.zeros((8, 8))
+    dct_n = 0
     for y in frames_y[:8]:
-        _, sig = analyze_grain(y, bit_depth, n_bins=n_bins)
-        ok = ~np.isnan(sig)
-        acc[ok] += sig[ok]
-        cnt[ok] += 1
-    sig = np.where(cnt > 0, acc / np.maximum(cnt, 1), 0.0)
-    if float(np.nanmax(sig)) < min_sigma:
+        shift = bit_depth - 8
+        y8 = (np.asarray(y) >> shift).astype(np.int32) if shift \
+            else np.asarray(y).astype(np.int32)
+        h, w = y8.shape
+        hb, wb = h // 8, w // 8
+        if hb == 0 or wb == 0:
+            continue
+        mask = _dilate(canny_mask(y8), it=1)
+        filt = _gauss5(y8)
+        res = (y8 - filt).astype(np.float64)
+
+        def blocks(a):
+            return a[:hb * 8, :wb * 8].reshape(
+                hb, 8, wb, 8).transpose(0, 2, 1, 3).reshape(hb * wb, 64)
+        edge_frac = blocks(mask).mean(axis=1)
+        flat = edge_frac == 0.0            # countEdges: fully flat only
+        if flat.sum() < 16:
+            flat = edge_frac < 0.05        # very textured content
+        if flat.sum() < 16:
+            # heavy-grain content: Canny fires on the grain itself —
+            # take the flattest half of the blocks instead
+            flat = edge_frac <= np.percentile(edge_frac, 50.0)
+        rb = blocks(res)
+        mb = blocks(filt).mean(axis=1)
+        sig = np.sqrt((rb ** 2).mean(axis=1))
+        # regularize excessively fluctuating points (reference clamp)
+        med = np.median(sig[flat]) if flat.any() else 0.0
+        good = flat & (sig <= 4.0 * max(med, 1e-3))
+        pts_mean.append(mb[good])
+        pts_sig.append(sig[good])
+        if good.any():
+            dct_acc += _dct8_energy(rb[good][:256])
+            dct_n += 1
+    if not pts_mean:
         return None
+    mean_v = np.concatenate(pts_mean)
+    sig_v = np.concatenate(pts_sig)
+    if mean_v.size < 16 or float(np.max(sig_v, initial=0.0)) < min_sigma:
+        return None
+    # polynomial fit sigma(intensity), order 3 (fitFunction), evaluated
+    # over the observed range and edge-extended outside (extendPoints)
+    order = min(3, max(1, mean_v.size // 8))
+    coef = np.polyfit(mean_v, sig_v, order)
+    lo_i, hi_i = int(mean_v.min()), int(mean_v.max())
+    xs = np.arange(256, dtype=np.float64)
+    fit = np.polyval(coef, np.clip(xs, lo_i, hi_i))
+    fit = np.clip(fit, 0.0, None)
+    if float(fit.max()) < min_sigma:
+        return None
+    # cut-off frequencies from the averaged residual DCT: highest
+    # row/col whose energy stays above 10% of the DC-adjacent level,
+    # mapped to the synthesis grid (value range 2..14)
+    if dct_n:
+        d = dct_acc / dct_n
+        ref_lv = max(d[0, 1:].max(), d[1:, 0].max(), 1e-6)
+        col_e = d.max(axis=0)
+        row_e = d.max(axis=1)
+        h_cut = int(np.clip(((np.nonzero(col_e >= 0.1 * ref_lv)[0].max()
+                              if (col_e >= 0.1 * ref_lv).any() else 7)
+                             + 1) * 14 // 8, 2, 14))
+        v_cut = int(np.clip(((np.nonzero(row_e >= 0.1 * ref_lv)[0].max()
+                              if (row_e >= 0.1 * ref_lv).any() else 7)
+                             + 1) * 14 // 8, 2, 14))
+    else:
+        h_cut = v_cut = 8
     sei = SeiFilmGrain()
     scale = 1 << sei.log2_scale_factor
+    # defineIntervalsAndScalings: merge consecutive intensities with the
+    # same quantized scaling into intervals; drop sub-threshold ones
+    q = np.round(fit * scale).astype(np.int64)
+    q[fit < min_sigma] = 0
     m = FilmGrainModel()
-    for b in range(n_bins):
-        if sig[b] < min_sigma:
-            continue
-        lo = 256 * b // n_bins
-        hi = 256 * (b + 1) // n_bins - 1
-        # model value: grain sigma in log2_scale_factor fixed point
-        m.intervals.append((lo, hi, [int(round(sig[b] * scale))]))
+    start = None
+    for i in range(257):
+        cur = q[i] if i < 256 else -1
+        if start is None:
+            if cur > 0:
+                start = i
+        elif cur != q[start]:
+            m.intervals.append((start, i - 1,
+                                [int(q[start]), h_cut, v_cut]))
+            start = i if cur > 0 else None
+        if len(m.intervals) >= 10 and start is not None:
+            m.intervals.append((start, 255, [int(q[start]), h_cut, v_cut]))
+            start = None
+            break
     if not m.intervals:
         return None
     sei.comp_models[0] = m
