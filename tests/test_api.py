@@ -235,3 +235,31 @@ def test_drap_period_validation():
         check_config(VvencTpuConfig(drap_period=16, intra_period=32,
                                     **base))
     check_config(VvencTpuConfig(drap_period=16, **base))
+
+
+def test_packed10_yuv_io_roundtrip(tmp_path):
+    """Packed 10-bit YUV (4 samples / 5 bytes) + MSB extension
+    (YuvFileIO packed mode / MSBExtendedBitDepth analogs)."""
+    import numpy as np
+    from vvenc_tpu.utils.yuv_io import (read_yuv_packed10,
+                                        write_yuv_packed10, msb_extend)
+    rng = np.random.RandomState(2)
+    w, h = 64, 32
+    frames = []
+    for _ in range(3):
+        frames.append(tuple(
+            rng.randint(0, 1024, s).astype(np.uint16)
+            for s in ((h, w), (h // 2, w // 2), (h // 2, w // 2))))
+    path = str(tmp_path / "p.yuv")
+    write_yuv_packed10(path, frames)
+    got = list(read_yuv_packed10(path, w, h))
+    assert len(got) == 3
+    for f0, f1 in zip(frames, got):
+        for a, b in zip(f0, f1):
+            assert np.array_equal(a, b)
+    # MSB extension: 8-bit samples to 10-bit and Rec.709-clipped back
+    p8 = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    p10 = msb_extend(p8, 8, 10)
+    assert np.array_equal(p10, p8.astype(np.uint16) << 2)
+    back = msb_extend(p10, 10, 8, clip_rec709=True)
+    assert back.min() >= 1 and back.max() <= 254

@@ -31,6 +31,13 @@ def parse_args(argv):
     p.add_argument("--preset", default="faster",
                    choices=[x.name.lower() for x in Preset])
     p.add_argument("--input-bitdepth", type=int, default=8, choices=[8, 10])
+    p.add_argument("--packed-input", action="store_true",
+                   help="packed 10-bit planar input (4 samples / 5 "
+                        "bytes; vvenc --packedinput analog)")
+    p.add_argument("--msb-extended-bitdepth", type=int, default=0,
+                   help="file samples carry this bit depth inside the "
+                        "container depth; MSB-extend to the internal "
+                        "coding depth (YuvFileIO MSBExtendedBitDepth)")
     p.add_argument("--intra-period", type=int, default=1,
                    help="1 = all-intra; 0 = single IDR then inter")
     p.add_argument("--gop-size", type=int, default=None,
@@ -172,8 +179,20 @@ def main(argv=None):
     lead = min(cfg.lead_frames, args.skip)
     n_read = None if args.frames is None else \
         lead + args.frames + cfg.trail_frames
-    frames = list(read_yuv(args.input, w, h, cfg.input_bit_depth, n_read,
-                           start=args.skip - lead))
+    if args.packed_input:
+        from .utils.yuv_io import read_yuv_packed10
+        if cfg.input_bit_depth != 10:
+            p.error("--packed-input requires --input-bitdepth 10")
+        frames = list(read_yuv_packed10(args.input, w, h, n_read,
+                                        start=args.skip - lead))
+    else:
+        frames = list(read_yuv(args.input, w, h, cfg.input_bit_depth,
+                               n_read, start=args.skip - lead))
+    if args.msb_extended_bitdepth:
+        from .utils.yuv_io import msb_extend
+        mb = args.msb_extended_bitdepth
+        frames = [tuple(msb_extend(pl, mb, cfg.input_bit_depth)
+                        for pl in f) for f in frames]
     if args.frames is not None and cfg.trail_frames:
         # fewer trail frames than derived near the end of the file
         short = lead + args.frames + cfg.trail_frames - len(frames)

@@ -41,6 +41,81 @@ def write_yuv(path: str, frames, bit_depth: int = 10, append: bool = False):
                 f.write(np.ascontiguousarray(plane, dtype=dtype).tobytes())
 
 
+def _unpack10(raw: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Packed 10-bit plane: 4 samples in 5 bytes, little-endian at bit
+    offsets 0/10/20/30 (apputils FileIOHelper readYuvPlane packed
+    path)."""
+    g = raw.reshape(h, w // 4, 5).astype(np.int64)
+    v = (g[..., 0] | (g[..., 1] << 8) | (g[..., 2] << 16)
+         | (g[..., 3] << 24) | (g[..., 4] << 32))
+    out = np.empty((h, w), np.uint16)
+    for k in range(4):
+        out[:, k::4] = ((v >> (10 * k)) & 0x3FF).astype(np.uint16)
+    return out
+
+
+def _pack10(plane: np.ndarray) -> bytes:
+    """Inverse of _unpack10 (writeYuvPlane packed path)."""
+    h, w = plane.shape
+    p = plane.astype(np.int64) & 0x3FF
+    v = (p[:, 0::4] | (p[:, 1::4] << 10) | (p[:, 2::4] << 20)
+         | (p[:, 3::4] << 30))
+    out = np.empty((h, w // 4, 5), np.uint8)
+    for b in range(5):
+        out[..., b] = ((v >> (8 * b)) & 0xFF).astype(np.uint8)
+    return out.tobytes()
+
+
+def read_yuv_packed10(path: str, w: int, h: int,
+                      num_frames: int | None = None, start: int = 0):
+    """Packed 10-bit planar 4:2:0 reader (YuvFileIO m_packedYUVMode;
+    file bit depth must be 10, width must satisfy (w/2) % 4 == 0)."""
+    if (w >> 1) % 4:
+        raise ValueError("unsupported file width for packed input")
+    ystride = w * 5 // 4
+    cstride = (w // 2) * 5 // 4
+    fsz = ystride * h + 2 * cstride * (h // 2)
+    data = np.fromfile(path, dtype=np.uint8)
+    total = len(data) // fsz
+    end = total if num_frames is None else min(total, start + num_frames)
+    for i in range(start, end):
+        f = data[i * fsz:(i + 1) * fsz]
+        yy = _unpack10(f[:ystride * h], w, h)
+        cb = _unpack10(f[ystride * h:ystride * h + cstride * (h // 2)],
+                       w // 2, h // 2)
+        cr = _unpack10(f[ystride * h + cstride * (h // 2):],
+                       w // 2, h // 2)
+        yield (yy, cb, cr)
+
+
+def write_yuv_packed10(path: str, frames, append: bool = False):
+    """Packed 10-bit planar writer (YuvFileIO packed output)."""
+    mode = "ab" if append else "wb"
+    with open(path, mode) as f:
+        for planes in frames:
+            for p in planes:
+                f.write(_pack10(np.asarray(p)))
+
+
+def msb_extend(plane: np.ndarray, in_bits: int, out_bits: int,
+               clip_rec709: bool = False) -> np.ndarray:
+    """MSB-extension bit-depth scaling (YuvFileIO m_MSBExtendedBitDepth
+    / FileIOHelper scaleYuvPlane): shift up when out > in; when scaling
+    DOWN, optional ITU-R BT.709-compliant clipping keeps values inside
+    [1 << (out-8), (0xff << (out-8)) - 1]."""
+    shift = out_bits - in_bits
+    p = plane.astype(np.int32)
+    if shift >= 0:
+        out = p << shift
+    else:
+        out = (p + (1 << (-shift - 1))) >> -shift
+        if clip_rec709 and out_bits >= 8:
+            out = np.clip(out, 1 << (out_bits - 8),
+                          (0xFF << (out_bits - 8)) - 1)
+    dt = np.uint16 if out_bits > 8 else np.uint8
+    return np.clip(out, 0, (1 << out_bits) - 1).astype(dt)
+
+
 def read_y4m_header(f):
     """Parse a Y4M stream header -> dict(width, height, fps_num, fps_den)."""
     line = b""
