@@ -896,3 +896,34 @@ def test_alf_nonlinear_encoder_roundtrip():
         res[nl] = sum(float(((orig[c] - filt[c]) ** 2).sum())
                       for c in range(3))
     assert res[True] <= res[False] * 1.0001, res
+
+
+def test_internal_bitdepth_8():
+    """8-bit internal coding (vvenc --internal-bitdepth 8): the codec
+    path is bit-depth parametric end to end — streams decode bit-exactly
+    at internal 8 across the medium intra tool stack and inter GOPs."""
+    import numpy as np
+    from vvenc_tpu.encoder import IntraEncoder, EncoderConfig
+    from vvenc_tpu.decoder import decode_stream
+    rng = np.random.RandomState(1)
+    w, h = 96, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for i in range(6):
+        y = np.clip(120 + 60 * np.sin((xx + 3 * i) / 9.0)
+                    + rng.randn(h, w) * 6, 0, 255).astype(np.uint8)
+        u = (y[::2, ::2] // 2 + 60).astype(np.uint8)
+        v = (128 - y[::2, ::2] // 3).astype(np.uint8)
+        frames.append((y, u, v))
+    for kw in (dict(alf=True, sao=True, dep_quant=True,
+                    sign_data_hiding=False, lfnst=True, mip=True,
+                    max_mtt_depth=1, jccr=True),
+               dict(gop_size=4, intra_period=0, sao=True, alf=True)):
+        enc = IntraEncoder(EncoderConfig(
+            width=w, height=h, qp=30, bit_depth=8, input_bit_depth=8,
+            deblocking=True, mctf=False, **kw))
+        au = enc.encode_sequence(frames)
+        for d in decode_stream(au):
+            for c in range(3):
+                assert np.array_equal(d.planes[c],
+                                      enc.recs_by_poc[d.poc][c])

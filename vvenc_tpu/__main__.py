@@ -31,6 +31,10 @@ def parse_args(argv):
     p.add_argument("--preset", default="faster",
                    choices=[x.name.lower() for x in Preset])
     p.add_argument("--input-bitdepth", type=int, default=8, choices=[8, 10])
+    p.add_argument("--internal-bitdepth", type=int, default=10,
+                   choices=[8, 10],
+                   help="internal coding bit depth (vvenc "
+                        "--internal-bitdepth)")
     p.add_argument("--packed-input", action="store_true",
                    help="packed 10-bit planar input (4 samples / 5 "
                         "bytes; vvenc --packedinput analog)")
@@ -89,6 +93,7 @@ def encoder_config_from(cfg, args) -> "EncoderConfig":
         width=cfg.width, height=cfg.height, qp=cfg.qp,
         ctu_size=cfg.ctu_size, min_qt=cfg.min_qt_size,
         input_bit_depth=cfg.input_bit_depth,
+        bit_depth=cfg.internal_bit_depth,
         num_full_rd_modes=cfg.num_full_rd_modes,
         num_chroma_rd_modes=cfg.num_chroma_rd_modes,
         drap_period=cfg.drap_period,
@@ -146,6 +151,7 @@ def main(argv=None):
         (1 if all_intra else 16)
     cfg = VvencTpuConfig(width=w, height=h, qp=args.qp,
                          input_bit_depth=args.input_bitdepth,
+                         internal_bit_depth=args.internal_bitdepth,
                          intra_period=args.intra_period, gop_size=gop_size,
                          target_bitrate=args.bitrate, rc_passes=args.passes,
                          picture_hash=args.picture_hash,
@@ -175,7 +181,7 @@ def main(argv=None):
     check_config(cfg)
 
     stats = SequenceStats(args.framerate)
-    shift = 10 - cfg.input_bit_depth
+    shift = cfg.internal_bit_depth - cfg.input_bit_depth
     lead = min(cfg.lead_frames, args.skip)
     n_read = None if args.frames is None else \
         lead + args.frames + cfg.trail_frames
@@ -230,9 +236,12 @@ def main(argv=None):
         rec = enc.recs_by_poc[poc]
         # segment mode: coded POC 0 is frames[lead_frames]
         y, u, v = frames[cfg.lead_frames + poc]
-        p = (psnr(rec[0], y.astype("i4") << shift, 10),
-             psnr(rec[1], u.astype("i4") << shift, 10),
-             psnr(rec[2], v.astype("i4") << shift, 10))
+        p = (psnr(rec[0], y.astype("i4") << shift,
+                  cfg.internal_bit_depth),
+             psnr(rec[1], u.astype("i4") << shift,
+                  cfg.internal_bit_depth),
+             psnr(rec[2], v.astype("i4") << shift,
+                  cfg.internal_bit_depth))
         bits = enc.bits_by_poc.get(poc, 0)
         st = enc.slice_type_by_poc.get(poc, 2)
         stats.add_frame(poc, bits, p)

@@ -284,8 +284,8 @@ def check_config(cfg: VvencTpuConfig) -> None:
         raise ValueError("QP out of range [0, 63]")
     if cfg.ctu_size not in (32, 64, 128):
         raise ValueError("CTU size must be 32, 64 or 128")
-    if cfg.internal_bit_depth != 10:
-        raise NotImplementedError("internal bit depth other than 10")
+    if cfg.internal_bit_depth not in (8, 10):
+        raise NotImplementedError("internal bit depth must be 8 or 10")
     if cfg.gop_size > 1 and (cfg.gop_size & (cfg.gop_size - 1)):
         raise ValueError("GOP size must be a power of two")
     if cfg.target_bitrate < 0:
