@@ -2347,6 +2347,10 @@ struct Params {
   bool sdh, dual_tree, cclm_en, implicit_mts, dq, mip_en, mrl_en,
       lfnst_en, jccr_en, isp_en;
   int jccr_sign, qp_jc;
+  // chroma distortion weights (EncCu::setUpLambda: w = 2^((qpY-qpC)/3),
+  // + the dep-quant chroma boost); chroma RDOQ runs at lmbda/w and
+  // chroma SSE enters RD costs multiplied by w
+  double cw_cb = 1.0, cw_cr = 1.0;
   int tree_idx;  // 0 for intra-slice luma syntax constraints
 };
 
@@ -3220,12 +3224,14 @@ struct Searcher {
         for (size_t i = 0; i < size_t(ch) * cw; ++i)
           resi[i] = sc[i] - pr[i];
         int64_t d = 0;
+        double w_ = comp == 1 ? pp.cw_cb : pp.cw_cr;
         int cbf = vte_tq_trial(resi.data(), pr, sc, cw, ch, TR_DCT2,
-                               TR_DCT2, qc, pp.bit_depth, 0, pp.lmbda,
-                               cbf_ctx, pp.sdh ? 1 : 0, est.s0.data(),
-                               est.s1.data(), tcoeff.data(), trec.data(),
-                               &d, pp.dq ? 1 : 0);
-        dist += double(d);
+                               TR_DCT2, qc, pp.bit_depth, 0,
+                               pp.lmbda / w_, cbf_ctx, pp.sdh ? 1 : 0,
+                               est.s0.data(), est.s1.data(),
+                               tcoeff.data(), trec.data(), &d,
+                               pp.dq ? 1 : 0);
+        dist += w_ * double(d);
         if (comp == 1) {
           if (cbf) ccb = tcoeff;
           rcb = trec;
@@ -3278,8 +3284,9 @@ struct Searcher {
           qc = pp.qp_cr;
         }
         int cbf_ctx = (mask & 2) ? g_soffs.cbf_cb : g_soffs.cbf_cr;
+        double wj = (mask & 2) ? pp.cw_cb : pp.cw_cr;
         int cbf = vte_tq_quant(cres.data(), cw, ch, TR_DCT2, TR_DCT2, qc,
-                               pp.bit_depth, 0, pp.lmbda, cbf_ctx,
+                               pp.bit_depth, 0, pp.lmbda / wj, cbf_ctx,
                                (pp.sdh && !pp.dq) ? 1 : 0, est.s0.data(),
                                est.s1.data(), jcoeff.data(),
                                pp.dq ? 1 : 0);
@@ -3304,11 +3311,12 @@ struct Searcher {
           const int32_t* sc = comp == 1 ? src_cb.data() : src_cr.data();
           const int64_t* rr = comp == 1 ? rcbv.data() : rcrv.data();
           int32_t* out = comp == 1 ? trial_rcb.data() : trial_rcr.data();
+          double w_ = comp == 1 ? pp.cw_cb : pp.cw_cr;
           for (size_t i = 0; i < n; ++i) {
             int64_t r = int64_t(pr[i]) + rr[i];
             out[i] = int32_t(r < 0 ? 0 : (r > maxv ? maxv : r));
             int64_t e = int64_t(sc[i]) - out[i];
-            dist += double(e * e);
+            dist += w_ * double(e * e);
           }
         }
         std::vector<int32_t> jc(jcoeff.begin(), jcoeff.end());
@@ -3716,14 +3724,16 @@ struct Searcher {
       if (!lo) {
         int cx = x >> 1, cy = y >> 1, cw = w >> 1, ch = h >> 1;
         int cW = ps.W >> 1;
-        for (int comp = 1; comp <= 2; ++comp)
+        for (int comp = 1; comp <= 2; ++comp) {
+          double w_ = comp == 1 ? pp.cw_cb : pp.cw_cr;
           for (int i = 0; i < ch; ++i)
             for (int j = 0; j < cw; ++j) {
               int64_t e =
                   int64_t(ps.src[comp][size_t(cy + i) * cW + cx + j]) -
                   ps.rec[comp][size_t(cy + i) * cW + cx + j];
-              dist += double(e * e);
+              dist += w_ * double(e * e);
             }
+        }
       }
       double cost = dist + pp.lmbda * bits;
       if (!have || cost < out_cost) {
@@ -4058,7 +4068,7 @@ struct Searcher {
                 ps.rec[comp][size_t(cy + i) * cW + cx + j];
             dd += double(e * e);
           }
-        dist += dd;
+        dist += (comp == 1 ? pp.cw_cb : pp.cw_cr) * dd;
       }
     }
     (void)maxval;
@@ -4123,13 +4133,15 @@ struct Searcher {
     // distortion vs the staged chroma reconstruction
     int cx = x >> 1, cy = y >> 1, cw = w >> 1, ch = h >> 1, cW = ps.W >> 1;
     double dist = 0;
-    for (int comp = 1; comp <= 2; ++comp)
+    for (int comp = 1; comp <= 2; ++comp) {
+      double w_ = comp == 1 ? pp.cw_cb : pp.cw_cr;
       for (int i = 0; i < ch; ++i)
         for (int j = 0; j < cw; ++j) {
           int64_t e = int64_t(ps.src[comp][size_t(cy + i) * cW + cx + j]) -
                       ps.rec[comp][size_t(cy + i) * cW + cx + j];
-          dist += double(e * e);
+          dist += w_ * double(e * e);
         }
+    }
     return dist + pp.lmbda * bits;
   }
 
@@ -4426,7 +4438,7 @@ int vte_search_ctu(
     const int64_t* plan_ptrs, int32_t* out_tree, int tree_cap,
     int32_t* out_coeff, int coeff_cap, int32_t* out_n, int commit,
     int dep_quant, int mip_en, int mrl_en, int lfnst_en, int jccr_en,
-    int jccr_sign, int qp_jc, int isp_en) {
+    int jccr_sign, int qp_jc, int isp_en, double cw_cb, double cw_cr) {
   using namespace ctusearch;
   ProfScope _p(&g_prof_total);
   Searcher s;
@@ -4487,6 +4499,8 @@ int vte_search_ctu(
   p.jccr_sign = jccr_sign;
   p.qp_jc = qp_jc;
   p.isp_en = isp_en != 0;
+  p.cw_cb = cw_cb;
+  p.cw_cr = cw_cr;
   p.tree_idx = tree_idx;
   s.est.init(live_s0, live_s1, live_r0, live_r1, g_soffs.num_ctx);
   for (int i = 0; i < n_presel; ++i) {

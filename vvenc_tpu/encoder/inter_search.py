@@ -485,10 +485,10 @@ class InterSearchMixin:
                     continue
                 bits = (self.est.frac_bits - b0) / (1 << 15)
                 dist = R.sse_np(src_y, ps.rec[0][y:y + h, x:x + w])
-                dist += R.sse_np(src_cb,
-                                 ps.rec[1][cy2:cy2 + chh, cx:cx + cw])
-                dist += R.sse_np(src_cr,
-                                 ps.rec[2][cy2:cy2 + chh, cx:cx + cw])
+                dist += self.cw[1] * R.sse_np(
+                    src_cb, ps.rec[1][cy2:cy2 + chh, cx:cx + cw])
+                dist += self.cw[2] * R.sse_np(
+                    src_cr, ps.rec[2][cy2:cy2 + chh, cx:cx + cw])
                 cost = dist + self.lmbda * bits
                 if best is None or cost < best[0]:
                     best = (cost, cu, self._save(x, y, max(w, h)))
@@ -519,10 +519,10 @@ class InterSearchMixin:
                     continue  # malformed trial (merge with no luma coeffs)
                 bits = (self.est.frac_bits - b0) / (1 << 15)
                 dist = R.sse_np(src_y, ps.rec[0][y:y + h, x:x + w])
-                dist += R.sse_np(src_cb,
-                                 ps.rec[1][cy2:cy2 + chh, cx:cx + cw])
-                dist += R.sse_np(src_cr,
-                                 ps.rec[2][cy2:cy2 + chh, cx:cx + cw])
+                dist += self.cw[1] * R.sse_np(
+                    src_cb, ps.rec[1][cy2:cy2 + chh, cx:cx + cw])
+                dist += self.cw[2] * R.sse_np(
+                    src_cr, ps.rec[2][cy2:cy2 + chh, cx:cx + cw])
                 cost = dist + self.lmbda * bits
                 if best is None or cost < best[0]:
                     best = (cost, cu, self._save(x, y, max(w, h)))
@@ -591,11 +591,13 @@ class InterSearchMixin:
                                                 cscale, bit_depth)
                 ccb = self._tq(rcb, self.qp.chroma_qp(1), False,
                                ct.CTX_SETS["QtCbfCb"](0),
-                               intra_slice=False)
+                               intra_slice=False,
+                               lmbda=self.lmbda / self.cw[1])
                 ccr = self._tq(rcr, self.qp.chroma_qp(2), False,
                                ct.CTX_SETS["QtCbfCr"](1 if ccb is not None
                                                       else 0),
-                               intra_slice=False)
+                               intra_slice=False,
+                               lmbda=self.lmbda / self.cw[2])
                 cu.coeff_cb = ccb
                 cu.coeff_cr = ccr
                 intra_trials.append(cu)
@@ -643,7 +645,8 @@ class InterSearchMixin:
                             sub.astype(np.int64), cscale,
                             self.cfg.bit_depth)
                     cc = self._tq(sub, self.qp.chroma_qp(comp), False,
-                                  None, intra_slice=False)
+                                  None, intra_slice=False,
+                                  lmbda=self.lmbda / self.cw[comp])
                     if comp == 1:
                         cu.coeff_cb = cc
                     else:
@@ -683,8 +686,10 @@ class InterSearchMixin:
                         from ..codec.lmcs import scale_chroma_resi_fwd
                         rc = scale_chroma_resi_fwd(
                             rc.astype(_np.int64), csc, bd)
-                    cc.append(self._tq(rc, self.qp.chroma_qp(comp),
-                                       False, None, intra_slice=False))
+                    cc.append(self._tq(
+                        rc, self.qp.chroma_qp(comp), False, None,
+                        intra_slice=False,
+                        lmbda=self.lmbda / self.cw[comp]))
                 if cy_ is not None or cc[0] is not None \
                         or cc[1] is not None:
                     any_c = True
@@ -712,7 +717,8 @@ class InterSearchMixin:
                 resi = scale_chroma_resi_fwd(resi.astype(_np.int64),
                                              cscale, bit_depth)
             out.append(self._tq(resi, q, i == 0, cbf_ctx,
-                                intra_slice=False))
+                                intra_slice=False,
+                                lmbda=self.lmbda / self.cw[i]))
         return out
 
     def _valid_pos(self, sx, sy, w, h, pw, ph, max_bottom):

@@ -1089,6 +1089,17 @@ class _CtuSearcher(InterSearchMixin):
         self._native_tq_ok = None
         # EncModeCtrl save/load: winning intra modes per revisited area
         self.mode_cache = {}
+        # chroma distortion weights (EncCu::setUpLambda: w =
+        # 2^((qpY - qpC)/3) from the SLICE qp + the dep-quant chroma
+        # boost); chroma RDOQ runs at lmbda/w, chroma SSE enters costs
+        # multiplied by w
+        boost = 1.0
+        if self.cfg.dep_quant:
+            boost = 2.0 ** ((0.1 if self.cfg.gop_size >= 8 else 0.2) / 3.0)
+        self.cw = {
+            0: 1.0,
+            1: boost * 2.0 ** ((qp.luma_qp() - qp.chroma_qp(1)) / 3.0),
+            2: boost * 2.0 ** ((qp.luma_qp() - qp.chroma_qp(2)) / 3.0)}
 
     def _use_presel(self) -> bool:
         """Resolve the intra_presel mode ("auto" -> backend- and
@@ -1260,7 +1271,7 @@ class _CtuSearcher(InterSearchMixin):
         return v
 
     def _tq(self, resi, qp, is_luma, cbf_ctx=None, trh=0, trv=0,
-            intra_slice=True):
+            intra_slice=True, lmbda=None):
         """Forward transform + quantize one TU; returns the levels [h, w]
         or None when the TU quantizes to all-zero.  Dispatches to the
         fused native kernel (native.tq_quant: one crossing for transform
@@ -1270,15 +1281,20 @@ class _CtuSearcher(InterSearchMixin):
             from .. import native
             dq = bool(self.cfg.dep_quant)
             return native.tq_quant(resi, trh, trv, qp, self.cfg.bit_depth,
-                                   is_luma, self.lmbda, self.est.ctx,
-                                   cbf_ctx,
+                                   is_luma,
+                                   self.lmbda if lmbda is None else lmbda,
+                                   self.est.ctx, cbf_ctx,
                                    self.cfg.sign_data_hiding and not dq,
                                    dq=dq)
         c = self._q(T.fwd_transform_np(resi, self.cfg.bit_depth, trh, trv),
-                    qp, is_luma, cbf_ctx, intra_slice=intra_slice)
+                    qp, is_luma, cbf_ctx, intra_slice=intra_slice,
+                    lmbda=lmbda)
         return c if np.any(c) else None
 
-    def _q(self, tcoef, qp, is_luma, cbf_ctx=None, intra_slice=True):
+    def _q(self, tcoef, qp, is_luma, cbf_ctx=None, intra_slice=True,
+           lmbda=None):
+        if lmbda is None:
+            lmbda = self.lmbda
         """Quantize one TU: trellis (dependent) quantization when enabled
         (ops/depquant.py), else RDOQ against the live estimator contexts
         (ops/rdoq.py), else scalar deadzone quant."""
@@ -1286,15 +1302,15 @@ class _CtuSearcher(InterSearchMixin):
             from .. import native
             if native.available():
                 return native.depquant(tcoef, qp, self.cfg.bit_depth,
-                                       is_luma, self.lmbda, self.est.ctx,
+                                       is_luma, lmbda, self.est.ctx,
                                        cbf_ctx)
             from ..ops.depquant import depquant_np
             return depquant_np(tcoef, qp, self.cfg.bit_depth, is_luma,
-                               self.lmbda, self.est.ctx, cbf_ctx)
+                               lmbda, self.est.ctx, cbf_ctx)
         if self.cfg.rdoq:
             from ..ops.rdoq import rdoq_np
             out = rdoq_np(tcoef, qp, self.cfg.bit_depth, is_luma,
-                          self.lmbda, self.est.ctx, cbf_ctx)
+                          lmbda, self.est.ctx, cbf_ctx)
         else:
             out = T.quant_np(tcoef, qp, self.cfg.bit_depth,
                              is_intra_slice=intra_slice)
@@ -1406,8 +1422,9 @@ class _CtuSearcher(InterSearchMixin):
         cx, cy2, cw, chh = x >> 1, y >> 1, w >> 1, h >> 1
         dist = 0.0
         for comp in (1, 2):
-            dist += R.sse_np(self.src[comp][cy2:cy2 + chh, cx:cx + cw],
-                             ps.rec[comp][cy2:cy2 + chh, cx:cx + cw])
+            dist += self.cw[comp] * R.sse_np(
+                self.src[comp][cy2:cy2 + chh, cx:cx + cw],
+                ps.rec[comp][cy2:cy2 + chh, cx:cx + cw])
         return cu, dist + self.lmbda * bits
 
     def _rd_cu_intra(self, x: int, y: int, w: int, h: int, part: PartInfo):
@@ -1798,8 +1815,9 @@ class _CtuSearcher(InterSearchMixin):
         dist = R.sse_np(src_y, ps.rec[0][y:y + h, x:x + w])
         for comp in () if lo else (1, 2):
             cx, cy2, cw, chh = x >> 1, y >> 1, w >> 1, h >> 1
-            dist += R.sse_np(self.src[comp][cy2:cy2 + chh, cx:cx + cw],
-                             ps.rec[comp][cy2:cy2 + chh, cx:cx + cw])
+            dist += self.cw[comp] * R.sse_np(
+                self.src[comp][cy2:cy2 + chh, cx:cx + cw],
+                ps.rec[comp][cy2:cy2 + chh, cx:cx + cw])
         total_cost = dist + self.lmbda * total_bits
 
         # IBC competition (SCC tool: block copy from the coded area of the
@@ -2064,8 +2082,9 @@ class _CtuSearcher(InterSearchMixin):
                             ps.rec[0][y:y + h, x:x + w])
             cx, cy2, cw, chh = x >> 1, y >> 1, w >> 1, h >> 1
             for comp in () if lo else (1, 2):
-                dist += R.sse_np(self.src[comp][cy2:cy2 + chh, cx:cx + cw],
-                                 ps.rec[comp][cy2:cy2 + chh, cx:cx + cw])
+                dist += self.cw[comp] * R.sse_np(
+                    self.src[comp][cy2:cy2 + chh, cx:cx + cw],
+                    ps.rec[comp][cy2:cy2 + chh, cx:cx + cw])
             cost = dist + self.lmbda * bits
             if cost < best[1]:
                 best = (cu2, cost)
@@ -2216,20 +2235,21 @@ class _CtuSearcher(InterSearchMixin):
                 qc = self.qp.chroma_qp(comp)
                 cbf_ctx = ct.CTX_SETS["QtCbfCb"](0) if comp == 1 else \
                     ct.CTX_SETS["QtCbfCr"](1 if coeffs[1] is not None else 0)
+                w_ = self.cw[comp]
                 if cscale is None and self._native_tq():
                     from .. import native
                     dq_f = bool(self.cfg.dep_quant)
                     coeffs[comp], rec, d_ = native.tq_trial(
                         srcs[comp].astype(np.int64) - pred, pred,
                         srcs[comp], T.DCT2, T.DCT2, qc, bit_depth, False,
-                        self.lmbda, self.est.ctx, cbf_ctx,
+                        self.lmbda / w_, self.est.ctx, cbf_ctx,
                         self.cfg.sign_data_hiding and not dq_f, dq=dq_f)
-                    dist += d_
+                    dist += w_ * d_
                     continue
                 coeff = self._q(
                     T.fwd_transform_np(_fwd_scale(srcs[comp] - pred),
                                        bit_depth), qc,
-                    False, cbf_ctx)
+                    False, cbf_ctx, lmbda=self.lmbda / w_)
                 if np.any(coeff):
                     coeffs[comp] = coeff
                     rec = np.clip(pred + _inv_scale(T.inv_transform_np(
@@ -2238,7 +2258,7 @@ class _CtuSearcher(InterSearchMixin):
                 else:
                     coeffs[comp] = None
                     rec = pred
-                dist += R.sse_np(srcs[comp], rec)
+                dist += w_ * R.sse_np(srcs[comp], rec)
             cost = dist + self.lmbda * chroma_bits(coeffs, 0)
             if best is None or cost < best[0]:
                 best = (cost, cdir, coeffs[1], coeffs[2], 0)
@@ -2265,7 +2285,9 @@ class _CtuSearcher(InterSearchMixin):
                     qc = self.qp.chroma_qp(2)
                 cbf_ctx = ct.CTX_SETS["QtCbfCb"](0) if mask & 2 else \
                     ct.CTX_SETS["QtCbfCr"](0)
-                coeff = self._tq(coded_res, qc, False, cbf_ctx)
+                wj = self.cw[1] if mask & 2 else self.cw[2]
+                coeff = self._tq(coded_res, qc, False, cbf_ctx,
+                                 lmbda=self.lmbda / wj)
                 if coeff is None:
                     continue
                 r = T.inv_transform_np(self._dq(coeff, qc), bit_depth)
@@ -2274,7 +2296,7 @@ class _CtuSearcher(InterSearchMixin):
                 for comp, rr in ((1, _inv_scale(rcb)), (2, _inv_scale(rcr))):
                     rec = np.clip(preds_best[comp] + rr, 0,
                                   (1 << bit_depth) - 1)
-                    dist += R.sse_np(srcs[comp], rec)
+                    dist += self.cw[comp] * R.sse_np(srcs[comp], rec)
                 cost = dist + self.lmbda * chroma_bits(coeff, mask)
                 if cost < best[0]:
                     cb = coeff if mask in (2, 3) else None

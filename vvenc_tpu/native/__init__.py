@@ -498,7 +498,8 @@ def _search_setup():
         + [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-           ctypes.c_int, ctypes.c_int])
+           ctypes.c_int, ctypes.c_int, ctypes.c_double,
+           ctypes.c_double])
     _LIB.vte_search_ctu.restype = ctypes.c_int
     offs = np.asarray([
         ct.CTX_SETS["SplitFlag"](0), ct.CTX_SETS["SplitQtFlag"](0),
@@ -636,7 +637,8 @@ def search_ctu(searcher, ctu_x: int, ctu_y: int, live_ctx, commit=True):
         1 if cfg.dep_quant else 0, 1 if sps.mip else 0,
         1 if sps.mrl else 0, 1 if sps.lfnst else 0,
         1 if coder.jccr else 0, 1 if coder.jccr_sign else 0,
-        qp.joint_qp(), 1 if sps.isp else 0)
+        qp.joint_qp(), 1 if sps.isp else 0,
+        float(searcher.cw[1]), float(searcher.cw[2]))
     try:
         rc = _LIB.vte_search_ctu(*args)
     except ctypes.ArgumentError:
