@@ -15,6 +15,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
+import numpy as np
+
 MAX_NUM_HMVP_CANDS = 5   # MRG_MAX_NUM_CANDS(6) - 1
 MAX_NUM_HMVP_AMVP_CANDS = 4
 AMVP_MAX_NUM_CANDS = 2
@@ -95,85 +97,137 @@ class HmvpLut:
 
 
 class MotionField:
-    """Per-4x4-unit motion storage on the current picture."""
+    """Per-4x4-unit motion storage on the current picture.
+
+    Array-backed (numpy) so the native C++ CTU search reads/writes the
+    SAME storage zero-copy (the reference keeps its motion buffer as
+    flat arrays too — CodingStructure m_motionBuf, CodingStructure.h).
+    `at()` materializes MotionInfo views on demand."""
 
     def __init__(self, w: int, h: int):
         self.uw, self.uh = w // 4, h // 4
-        self.mi: List[List[Optional[MotionInfo]]] = \
-            [[None] * self.uw for _ in range(self.uh)]
-        self.skip = [[False] * self.uw for _ in range(self.uh)]
+        sh = (self.uh, self.uw)
+        self.valid = np.zeros(sh, np.uint8)
+        self.mv = np.zeros(sh + (2, 2), np.int32)      # [..., list, x/y]
+        self.ref = np.full(sh + (2,), -1, np.int8)
+        self.bcw = np.full(sh, 2, np.int8)
+        self.alt = np.zeros(sh, np.uint8)
+        self.skipf = np.zeros(sh, np.uint8)
+        self.isaff = np.zeros(sh, np.uint8)
         # affine state: per-unit AffineInfo (CPMV inheritance source, real
-        # affine CUs only) and the cu.affine flag (incl. SbTMVP; ctx deriv)
-        self.aff = [[None] * self.uw for _ in range(self.uh)]
-        self.isaff = [[False] * self.uw for _ in range(self.uh)]
-        # IBC block vectors (internal 1/16); None = not an IBC unit
-        self.ibc = [[None] * self.uw for _ in range(self.uh)]
+        # affine CUs only); IBC block vectors (internal 1/16) or None
+        self.aff = np.empty(sh, object)
+        self.ibc = np.empty(sh, object)
+
+    def _mi_at_unit(self, uy: int, ux: int) -> Optional[MotionInfo]:
+        if not self.valid[uy, ux]:
+            return None
+        m = self.mv[uy, ux]
+        r = self.ref[uy, ux]
+        return MotionInfo(
+            ((int(m[0, 0]), int(m[0, 1])), (int(m[1, 0]), int(m[1, 1]))),
+            (int(r[0]), int(r[1])), bcw=int(self.bcw[uy, ux]),
+            alt_hpel=bool(self.alt[uy, ux]))
+
+    def set_unit_mi(self, ux: int, uy: int, mi: Optional[MotionInfo]):
+        """Write one 4x4 unit's motion (DMVR mf refinement)."""
+        if mi is None:
+            self.valid[uy, ux] = 0
+            return
+        self.valid[uy, ux] = 1
+        self.mv[uy, ux, 0] = mi.mv[0]
+        self.mv[uy, ux, 1] = mi.mv[1]
+        self.ref[uy, ux] = mi.ref_idx
+        self.bcw[uy, ux] = mi.bcw
+        self.alt[uy, ux] = 1 if mi.alt_hpel else 0
 
     def set_cu(self, x, y, w, h, mi: Optional[MotionInfo], skip=False,
                ibc_bv=None):
-        for uy in range(y >> 2, (y + h) >> 2):
-            for ux in range(x >> 2, (x + w) >> 2):
-                self.mi[uy][ux] = mi
-                self.skip[uy][ux] = skip
-                self.aff[uy][ux] = None
-                self.isaff[uy][ux] = False
-                self.ibc[uy][ux] = ibc_bv
+        uy0, uy1 = y >> 2, (y + h) >> 2
+        ux0, ux1 = x >> 2, (x + w) >> 2
+        s = np.s_[uy0:uy1, ux0:ux1]
+        if mi is None:
+            self.valid[s] = 0
+        else:
+            self.valid[s] = 1
+            self.mv[uy0:uy1, ux0:ux1, 0] = mi.mv[0]
+            self.mv[uy0:uy1, ux0:ux1, 1] = mi.mv[1]
+            self.ref[s] = mi.ref_idx
+            self.bcw[s] = mi.bcw
+            self.alt[s] = 1 if mi.alt_hpel else 0
+        self.skipf[s] = 1 if skip else 0
+        self.isaff[s] = 0
+        self.aff[s] = None
+        self.ibc[s] = None
+        if ibc_bv is not None:
+            for uy in range(uy0, uy1):
+                for ux in range(ux0, ux1):
+                    self.ibc[uy, ux] = ibc_bv
 
     def set_sub_cu(self, x, y, w, h, sub_mi, skip=False,
                    aff_info=None, is_aff=True) -> None:
         """Per-4x4 sub-block motion of an affine/SbTMVP/GEO CU (sub_mi
         indexed [uy][ux] relative to the CU, one entry per 4x4)."""
-        for uy in range(y >> 2, (y + h) >> 2):
-            for ux in range(x >> 2, (x + w) >> 2):
-                self.mi[uy][ux] = sub_mi[uy - (y >> 2)][ux - (x >> 2)]
-                self.skip[uy][ux] = skip
-                self.aff[uy][ux] = aff_info
-                self.isaff[uy][ux] = is_aff
+        uy0, ux0 = y >> 2, x >> 2
+        for uy in range(uy0, (y + h) >> 2):
+            for ux in range(ux0, (x + w) >> 2):
+                mi = sub_mi[uy - uy0][ux - ux0]
+                self.set_unit_mi(ux, uy, mi)
+                self.skipf[uy, ux] = 1 if skip else 0
+                self.aff[uy, ux] = aff_info
+                self.isaff[uy, ux] = 1 if is_aff else 0
+                self.ibc[uy, ux] = None
 
     def at(self, x, y) -> Optional[MotionInfo]:
         if x < 0 or y < 0 or x >= self.uw * 4 or y >= self.uh * 4:
             return None
-        return self.mi[y >> 2][x >> 2]
+        return self._mi_at_unit(y >> 2, x >> 2)
 
     def aff_at(self, x, y):
         if x < 0 or y < 0 or x >= self.uw * 4 or y >= self.uh * 4:
             return None
-        return self.aff[y >> 2][x >> 2]
+        return self.aff[y >> 2, x >> 2]
 
     def ibc_at(self, x, y):
         if x < 0 or y < 0 or x >= self.uw * 4 or y >= self.uh * 4:
             return None
-        return self.ibc[y >> 2][x >> 2]
+        return self.ibc[y >> 2, x >> 2]
 
     def is_aff_at(self, x, y) -> bool:
         if x < 0 or y < 0 or x >= self.uw * 4 or y >= self.uh * 4:
             return False
-        return self.isaff[y >> 2][x >> 2]
+        return bool(self.isaff[y >> 2, x >> 2])
 
     def skip_at(self, x, y) -> bool:
         if x < 0 or y < 0 or x >= self.uw * 4 or y >= self.uh * 4:
             return False
-        return self.skip[y >> 2][x >> 2]
+        return bool(self.skipf[y >> 2, x >> 2])
 
     def save_region(self, x, y, size):
         ux0, uy0 = x >> 2, y >> 2
         ux1 = min(self.uw, (x + size) >> 2)
         uy1 = min(self.uh, (y + size) >> 2)
+        s = np.s_[uy0:uy1, ux0:ux1]
         return (ux0, uy0, ux1, uy1,
-                [row[ux0:ux1] for row in self.mi[uy0:uy1]],
-                [row[ux0:ux1] for row in self.skip[uy0:uy1]],
-                [row[ux0:ux1] for row in self.aff[uy0:uy1]],
-                [row[ux0:ux1] for row in self.isaff[uy0:uy1]],
-                [row[ux0:ux1] for row in self.ibc[uy0:uy1]])
+                self.valid[s].copy(), self.mv[s].copy(),
+                self.ref[s].copy(), self.bcw[s].copy(),
+                self.alt[s].copy(), self.skipf[s].copy(),
+                self.isaff[s].copy(), self.aff[s].copy(),
+                self.ibc[s].copy())
 
     def restore_region(self, snap):
-        ux0, uy0, ux1, uy1, mi, skip, aff, isaff, ibc = snap
-        for i, uy in enumerate(range(uy0, uy1)):
-            self.mi[uy][ux0:ux1] = mi[i]
-            self.skip[uy][ux0:ux1] = skip[i]
-            self.aff[uy][ux0:ux1] = aff[i]
-            self.isaff[uy][ux0:ux1] = isaff[i]
-            self.ibc[uy][ux0:ux1] = ibc[i]
+        (ux0, uy0, ux1, uy1, valid, mv, ref, bcw, alt, skipf, isaff,
+         aff, ibc) = snap
+        s = np.s_[uy0:uy1, ux0:ux1]
+        self.valid[s] = valid
+        self.mv[s] = mv
+        self.ref[s] = ref
+        self.bcw[s] = bcw
+        self.alt[s] = alt
+        self.skipf[s] = skipf
+        self.isaff[s] = isaff
+        self.aff[s] = aff
+        self.ibc[s] = ibc
 
 
 def _avail_inter(ps, mf: MotionField, x: int, y: int) -> Optional[MotionInfo]:
@@ -536,7 +590,7 @@ def refine_mf_with_dmvr(mf, trees) -> None:
                 while y2 < y1a:
                     x2 = ((x0a - 1) & ~7) + 8
                     while x2 < x1a:
-                        mf.mi[y2 >> 2][x2 >> 2] = mi
+                        mf.set_unit_mi(x2 >> 2, y2 >> 2, mi)
                         x2 += 8
                     y2 += 8
         for c in node.children:
