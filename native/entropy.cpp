@@ -2300,6 +2300,12 @@ struct SOffs {
       cclm_idx, cbf_y, cbf_cb, cbf_cr, mip_flag, mrl_idx, lfnst, jccr,
       isp;
   int num_ctx;
+  // inter syntax (0 until vte_search_init_inter installs them)
+  int skip_flag = 0, pred_mode = 0, merge_flag = 0, merge_idx = 0,
+      inter_dir = 0, ref_pic = 0, mvd = 0, mvp_idx = 0, root_cbf = 0,
+      sub_merge = 0, reg_merge = 0, mmvd_flag = 0, mmvd_merge = 0,
+      mmvd_step = 0, ciip_flag = 0, smvd_flag = 0, aff_flag = 0,
+      aff_type = 0, imv_flag = 0, bcw_idx = 0, delta_qp = 0;
 };
 SOffs g_soffs;
 
@@ -2821,6 +2827,18 @@ struct CuRec {
   int isp_mode = 0;                       // intra sub-partitions (1=H,2=V)
   std::vector<std::vector<int32_t>> isp_coeffs;  // per-part (empty=no cbf)
   std::vector<int32_t> coeff_y, coeff_cb, coeff_cr;  // empty = no cbf
+  // inter fields (codec/ctu_syntax.py CuData inter subset)
+  bool is_inter = false, skip = false, merge = false, smvd = false;
+  bool mmvd = false, alt_hpel = false, root_cbf = true, ciip = false;
+  int merge_idx = 0, mmvd_base = 0, mmvd_step = 0, mmvd_pos = 0;
+  int mv[2][2] = {{0, 0}, {0, 0}};
+  int ref_idx[2] = {-1, -1};
+  int mvd[2] = {0, 0}, mvd1[2] = {0, 0};
+  int mvp_idx = 0, mvp_idx1 = 0;
+  int bcw = 2, imv = 0;
+  // DMVR refinement per 16x16 sub-PU: rows {sy, sx, dx, dy, bdof}
+  std::vector<std::array<int, 5>> dmvr;
+  bool dmvr_set = false;
 };
 
 // one full-RD trial entry (intra_encoder.py full_modes tuples)
@@ -2855,6 +2873,289 @@ struct Node {
   CuRec cu;
   bool has_cu = false;
 };
+
+// ---- inter state (codec/motion.py + SyntaxCoder inter subset) ------------
+// forward declarations of kernels defined later in this TU
+}  // namespace ctusearch
+extern "C" {
+void vte_mc_block(const int32_t* ref, int ph, int pw, int x, int y, int w,
+                  int h, int mv_x, int mv_y, int bit_depth, int is_luma,
+                  int intermediate, int alt_hpel,
+                  const int32_t* taps_override, int32_t* out);
+void vte_dmvr_refine(const int32_t* bl0, const int32_t* bl1, int w, int h,
+                     int pad, int32_t* out);
+void vte_dmvr_bi_subpu(const int32_t* ref0, const int32_t* ref1, int ph,
+                       int pw, int bx, int by, int bw, int bh, int mv0x,
+                       int mv0y, int mv1x, int mv1y, int dx, int dy,
+                       int comp_scale, int bit_depth, int pic_w, int pic_h,
+                       int ctu_size, int alt_hpel, int32_t* out);
+}
+namespace ctusearch {
+
+static const int MV_CLIP_MAX = (1 << 17) - 1;
+static const int MV_CLIP_MIN = -(1 << 17);
+
+struct MI {
+  int32_t mv[2][2] = {{0, 0}, {0, 0}};  // [list][x, y], 1/16 pel
+  int8_t ref[2] = {-1, -1};
+  int8_t bcw = 2;
+  uint8_t alt = 0;
+  int dir() const { return (ref[0] >= 0 ? 1 : 0) | (ref[1] >= 0 ? 2 : 0); }
+};
+
+// motion equality for pruning (MotionInfo.h:115: refIdx + mv only)
+static bool same_mi(const MI& a, const MI& b) {
+  for (int li = 0; li < 2; ++li) {
+    if (a.ref[li] != b.ref[li]) return false;
+    if (a.ref[li] >= 0 &&
+        (a.mv[li][0] != b.mv[li][0] || a.mv[li][1] != b.mv[li][1]))
+      return false;
+  }
+  return true;
+}
+
+// AMVR rounding (motion.py round_mv_amvr; Mv.h:222)
+static const int AMVR_SHIFTS[4] = {2, 4, 6, 3};
+static inline int round_amvr1(int v, int sh) {
+  int off = 1 << (sh - 1);
+  v = v >= 0 ? ((v + off - 1) >> sh) : ((v + off) >> sh);
+  return v << sh;
+}
+static inline void round_mv_amvr_c(int mv[2], int imv) {
+  int sh = AMVR_SHIFTS[imv];
+  mv[0] = round_amvr1(mv[0], sh);
+  mv[1] = round_amvr1(mv[1], sh);
+}
+static inline int round_pairwise_c(int v) {
+  return (v + 1 - (v >= 0 ? 1 : 0)) >> 1;
+}
+
+// temporal-storage MV float round-trip (motion.py _round_mv_storage)
+static int round_mv_storage(int val) {
+  const int MAN_BITS = 6;
+  const int MAN_UPPER = (1 << (MAN_BITS - 1)) - 1;
+  const int MAN_LIMIT = 1 << (MAN_BITS - 1);
+  int sign = val < 0 ? -1 : 0;
+  int scale = bit_length((val ^ sign) | MAN_UPPER) - 1 - (MAN_BITS - 1);
+  int exponent, mantissa;
+  if (scale >= 0) {
+    int rnd = (1 << scale) >> 1;
+    int n = (val + rnd) >> scale;
+    exponent = scale + ((n ^ sign) >> (MAN_BITS - 1));
+    mantissa = (n & MAN_UPPER) | (sign * MAN_LIMIT);
+  } else {
+    exponent = 0;
+    mantissa = val;
+  }
+  if (exponent == 0) return mantissa;
+  return (mantissa ^ MAN_LIMIT) * (1 << (exponent - 1));
+}
+
+static int dist_scale_factor(int cur_poc, int cur_ref_poc, int col_poc,
+                             int col_ref_poc) {
+  int diff_d = col_poc - col_ref_poc;
+  int diff_b = cur_poc - cur_ref_poc;
+  if (diff_d == diff_b) return 4096;
+  int tdb = std::max(-128, std::min(127, diff_b));
+  int tdd = std::max(-128, std::min(127, diff_d));
+  int num = 0x4000 + (std::abs(tdd) >> 1);
+  int x = tdd > 0 ? num / tdd : -(num / -tdd);
+  int v = (tdb * x + 32) >> 6;
+  return std::max(-4096, std::min(4095, v));
+}
+
+static inline void scale_mv_c(const int in[2], int scale, int out[2]) {
+  for (int k = 0; k < 2; ++k) {
+    int64_t p = int64_t(scale) * in[k];
+    int64_t v = (p + 128 - (p >= 0 ? 1 : 0)) >> 8;
+    out[k] = int(std::max<int64_t>(MV_CLIP_MIN,
+                                   std::min<int64_t>(MV_CLIP_MAX, v)));
+  }
+}
+
+// trunc-binary bin count (ctu_syntax.py write_trunc_bin on BitEstimator)
+static inline int tb_thresh(int max_symbol) {
+  int t = 0;
+  while ((2 << t) <= max_symbol) ++t;
+  return t;
+}
+static inline int trunc_bin_bins(int symbol, int max_symbol) {
+  int thresh = tb_thresh(max_symbol);
+  int val = 1 << thresh;
+  int b = max_symbol - val;
+  return symbol < val - b ? thresh : thresh + 1;
+}
+
+// per-picture inter context (handle from vte_inter_new)
+struct InterCtx {
+  int n_ref[2] = {0, 0};
+  const int32_t* ref_plane[2][8][3] = {};
+  int ref_poc[2][8] = {};
+  int cur_poc = 0;
+  bool is_b = false;
+  int max_merge = 6;
+  // collocated picture (TMVP); col_valid null = TMVP off
+  const uint8_t* col_valid = nullptr;
+  const int32_t* col_mv = nullptr;
+  const int8_t* col_ref = nullptr;
+  int col_poc = 0, col_from_l0 = 1;
+  int col_ref_poc[2][8] = {};
+  bool check_ldc = false;
+  bool mvd_l1_zero = false;
+  bool dmvr_on = false, bdof_on = false;
+  int search_range = 64;
+  int pic_w = 0, pic_h = 0, ctu_size = 64, bit_depth = 10;
+  // live current-picture motion field (numpy MotionField storage)
+  uint8_t* mf_valid = nullptr;
+  int32_t* mf_mv = nullptr;
+  int8_t* mf_ref = nullptr;
+  int8_t* mf_bcw = nullptr;
+  uint8_t* mf_alt = nullptr;
+  uint8_t* mf_skip = nullptr;
+  uint8_t* mf_isaff = nullptr;
+  int uw = 0, uh = 0;
+  // device pre-ME tables (ops/me.py FrameMe), full-pel best per 16x16
+  const int32_t* me_tab[2][8] = {};
+  int me_nbx[2][8] = {}, me_nby[2][8] = {};
+  int me_bs = 16;
+  bool use_dev_me = false;
+  // host coarse-ME 1/4-res reference cache (lazy per (list, ref))
+  std::vector<int32_t> ds_ref[2][8];
+  int ds_w[2][8] = {}, ds_h[2][8] = {};
+  // 1/4-res source blocks are built per CU on the fly
+
+  bool mi_at(int x, int y, MI& out) const {
+    if (x < 0 || y < 0 || x >= uw * 4 || y >= uh * 4) return false;
+    size_t u = size_t(y >> 2) * uw + (x >> 2);
+    if (!mf_valid[u]) return false;
+    const int32_t* m = mf_mv + u * 4;
+    out.mv[0][0] = m[0];
+    out.mv[0][1] = m[1];
+    out.mv[1][0] = m[2];
+    out.mv[1][1] = m[3];
+    out.ref[0] = mf_ref[u * 2];
+    out.ref[1] = mf_ref[u * 2 + 1];
+    out.bcw = mf_bcw[u];
+    out.alt = mf_alt[u];
+    return true;
+  }
+  bool skip_at(int x, int y) const {
+    if (x < 0 || y < 0 || x >= uw * 4 || y >= uh * 4) return false;
+    return mf_skip[size_t(y >> 2) * uw + (x >> 2)] != 0;
+  }
+  void set_cu_mf(int x, int y, int w, int h, const MI* mi, bool skip) {
+    for (int uy = y >> 2; uy < (y + h) >> 2 && uy < uh; ++uy)
+      for (int ux = x >> 2; ux < (x + w) >> 2 && ux < uw; ++ux) {
+        size_t u = size_t(uy) * uw + ux;
+        if (mi == nullptr) {
+          mf_valid[u] = 0;
+        } else {
+          mf_valid[u] = 1;
+          int32_t* m = mf_mv + u * 4;
+          m[0] = mi->mv[0][0];
+          m[1] = mi->mv[0][1];
+          m[2] = mi->mv[1][0];
+          m[3] = mi->mv[1][1];
+          mf_ref[u * 2] = mi->ref[0];
+          mf_ref[u * 2 + 1] = mi->ref[1];
+          mf_bcw[u] = mi->bcw;
+          mf_alt[u] = mi->alt;
+        }
+        mf_skip[u] = skip ? 1 : 0;
+        mf_isaff[u] = 0;
+      }
+  }
+
+  // collocated MV probe (motion.py get_colocated_mvp, regular variant)
+  bool colocated_mvp(int list_idx, int px, int py, int ref_idx,
+                     int out[2]) const {
+    px &= ~7;
+    py &= ~7;
+    if (px < 0 || py < 0 || px >= uw * 4 || py >= uh * 4) return false;
+    size_t u = size_t(py >> 2) * uw + (px >> 2);
+    if (!col_valid[u]) return false;
+    int col_list = check_ldc ? list_idx : col_from_l0;
+    int col_ref = col_ref_at(u, col_list);
+    if (col_ref < 0) {
+      col_list = 1 - col_list;
+      col_ref = col_ref_at(u, col_list);
+      if (col_ref < 0) return false;
+    }
+    const int32_t* m = col_mv + u * 4 + col_list * 2;
+    int mv[2] = {round_mv_storage(m[0]), round_mv_storage(m[1])};
+    int col_rp = col_ref_poc[col_list][col_ref];
+    int cur_rp = ref_poc[list_idx][ref_idx];
+    int scale = dist_scale_factor(cur_poc, cur_rp, col_poc, col_rp);
+    if (scale == 4096) {
+      out[0] = mv[0];
+      out[1] = mv[1];
+      return true;
+    }
+    scale_mv_c(mv, scale, out);
+    return true;
+  }
+  int col_ref_at(size_t u, int list_idx) const {
+    return col_ref[u * 2 + list_idx];
+  }
+  // C0/C1 probes (motion.py tmvp_candidate)
+  bool tmvp_cand(int x, int y, int w, int h, int list_idx, int ref_idx,
+                 int out[2]) const {
+    if (!col_valid) return false;
+    int rbx = x + w - 4, rby = y + h - 4;
+    if (rbx + 4 < pic_w && rby + 4 < pic_h &&
+        (rby & (ctu_size - 1)) + 4 < ctu_size) {
+      if (colocated_mvp(list_idx, rbx + 4, rby + 4, ref_idx, out))
+        return true;
+    }
+    return colocated_mvp(list_idx, x + (w >> 1), y + (h >> 1), ref_idx,
+                         out);
+  }
+};
+
+// motion-field region snapshot (MotionField.save_region analog)
+struct MfSnap {
+  int ux0 = 0, uy0 = 0, ux1 = 0, uy1 = 0;
+  std::vector<uint8_t> valid, alt, skipf, isaff;
+  std::vector<int32_t> mv;
+  std::vector<int8_t> ref, bcw;
+};
+static void mf_save(const InterCtx& ic, int x, int y, int size, MfSnap& s) {
+  s.ux0 = x >> 2;
+  s.uy0 = y >> 2;
+  s.ux1 = std::min(ic.uw, (x + size) >> 2);
+  s.uy1 = std::min(ic.uh, (y + size) >> 2);
+  int w = s.ux1 - s.ux0, h = s.uy1 - s.uy0;
+  s.valid.resize(size_t(w) * h);
+  s.alt.resize(size_t(w) * h);
+  s.skipf.resize(size_t(w) * h);
+  s.isaff.resize(size_t(w) * h);
+  s.mv.resize(size_t(w) * h * 4);
+  s.ref.resize(size_t(w) * h * 2);
+  s.bcw.resize(size_t(w) * h);
+  for (int i = 0; i < h; ++i) {
+    size_t u = size_t(s.uy0 + i) * ic.uw + s.ux0;
+    std::memcpy(&s.valid[size_t(i) * w], ic.mf_valid + u, w);
+    std::memcpy(&s.alt[size_t(i) * w], ic.mf_alt + u, w);
+    std::memcpy(&s.skipf[size_t(i) * w], ic.mf_skip + u, w);
+    std::memcpy(&s.isaff[size_t(i) * w], ic.mf_isaff + u, w);
+    std::memcpy(&s.mv[size_t(i) * w * 4], ic.mf_mv + u * 4, size_t(w) * 16);
+    std::memcpy(&s.ref[size_t(i) * w * 2], ic.mf_ref + u * 2, size_t(w) * 2);
+    std::memcpy(&s.bcw[size_t(i) * w], ic.mf_bcw + u, w);
+  }
+}
+static void mf_restore(InterCtx& ic, const MfSnap& s) {
+  int w = s.ux1 - s.ux0, h = s.uy1 - s.uy0;
+  for (int i = 0; i < h; ++i) {
+    size_t u = size_t(s.uy0 + i) * ic.uw + s.ux0;
+    std::memcpy(ic.mf_valid + u, &s.valid[size_t(i) * w], w);
+    std::memcpy(ic.mf_alt + u, &s.alt[size_t(i) * w], w);
+    std::memcpy(ic.mf_skip + u, &s.skipf[size_t(i) * w], w);
+    std::memcpy(ic.mf_isaff + u, &s.isaff[size_t(i) * w], w);
+    std::memcpy(ic.mf_mv + u * 4, &s.mv[size_t(i) * w * 4], size_t(w) * 16);
+    std::memcpy(ic.mf_ref + u * 2, &s.ref[size_t(i) * w * 2], size_t(w) * 2);
+    std::memcpy(ic.mf_bcw + u, &s.bcw[size_t(i) * w], w);
+  }
+}
 
 // ---- the searcher --------------------------------------------------------
 struct Searcher {
@@ -4145,6 +4446,1318 @@ struct Searcher {
     return dist + pp.lmbda * bits;
   }
 
+  // =========================================================================
+  // inter-slice CU search (encoder/inter_search.py InterSearchMixin port,
+  // faster-preset scope: merge/skip + AMVP uni/bi + DMVR + TMVP + intra
+  // fallback; reference anchors EncCu.cpp:717 mode loop,
+  // InterSearch.h:411 predInterSearch)
+  // =========================================================================
+  InterCtx* ic = nullptr;            // null = intra slice
+  std::vector<MI> hmvp;              // current CTU-row HMVP FIFO
+  // cu_qp_delta estimator state (ctu_syntax.py _maybe_code_dqp on the
+  // BitEstimator).  dqp_coded is LIVE coder state in Python — mutated by
+  // trial evaluation and NOT restored between trials/nodes (the replay
+  // resets it at the next CTU root); searcher trials carry qp == cur_qp,
+  // so the coded delta is always 0 (one bin).
+  bool use_dqp = false;
+  bool dqp_coded = true;
+  void maybe_est_dqp(const CuRec& cu, bool any_cbf) {
+    if (!use_dqp || dqp_coded || cu.chroma_only) return;
+    if (any_cbf || cu.w > 64 || cu.h > 64) {
+      est.bin(0, g_soffs.delta_qp);  // abs_dqp == 0 unary prefix
+      dqp_coded = true;
+    }
+  }
+
+  bool is_coded_at(int x, int y) const {
+    if (x < 0 || y < 0 || x >= ps.W || y >= ps.H) return false;
+    return ps.coded_luma[size_t(y >> 2) * ps.uw + (x >> 2)] != 0;
+  }
+  bool avail_inter(int x, int y, MI& out) const {
+    if (!is_coded_at(x, y)) return false;
+    return ic->mi_at(x, y, out);
+  }
+
+  // paired picture+motion+hmvp snapshot (intra_encoder.py _save/_restore)
+  struct SSnap {
+    RegionSnap reg;
+    MfSnap mf;
+    std::vector<MI> hm;
+  };
+  void s_save(int x, int y, int size, SSnap& s) {
+    region_save(ps, x, y, size, s.reg);
+    if (ic) {
+      mf_save(*ic, x, y, size, s.mf);
+      s.hm = hmvp;
+    }
+  }
+  void s_restore(const SSnap& s) {
+    region_restore(ps, s.reg);
+    if (ic) {
+      mf_restore(*ic, s.mf);
+      hmvp = s.hm;
+    }
+  }
+
+  void hmvp_add(const MI& mi) {
+    int pruned = -1;
+    for (size_t i = 0; i < hmvp.size(); ++i)
+      if (same_mi(hmvp[i], mi)) { pruned = int(i); break; }
+    if (pruned >= 0 || hmvp.size() == 5)
+      hmvp.erase(hmvp.begin() + std::max(pruned, 0));
+    hmvp.push_back(mi);
+  }
+
+  // -- merge candidate list (motion.py get_merge_candidates) --
+  void merge_candidates(int x, int y, int w, int h, std::vector<MI>& out) {
+    out.clear();
+    int max_cands = ic->max_merge;
+    bool is_b = ic->is_b;
+    int rtx = x + w - 1, rty = y;
+    int lbx = x, lby = y + h - 1;
+    MI b1, a1, tmp;
+    bool has_b1 = avail_inter(rtx, rty - 1, b1);
+    bool has_a1 = avail_inter(lbx - 1, lby, a1);
+    if (has_b1) out.push_back(b1);
+    if (has_a1 && !(has_b1 && same_mi(a1, b1))) out.push_back(a1);
+    if (int(out.size()) < max_cands && avail_inter(rtx + 1, rty - 1, tmp) &&
+        !(has_b1 && same_mi(tmp, b1)))
+      out.push_back(tmp);
+    if (int(out.size()) < max_cands && avail_inter(lbx - 1, lby + 1, tmp) &&
+        !(has_a1 && same_mi(tmp, a1)))
+      out.push_back(tmp);
+    if (int(out.size()) < max_cands && out.size() < 4 &&
+        avail_inter(x - 1, y - 1, tmp) && !(has_a1 && same_mi(tmp, a1)) &&
+        !(has_b1 && same_mi(tmp, b1)))
+      out.push_back(tmp);
+    // TMVP: ref 0 per list, C0 then C1, no pruning
+    if (ic->col_valid && w + h > 12 && int(out.size()) < max_cands) {
+      int mv0[2], mv1[2];
+      bool h0 = ic->tmvp_cand(x, y, w, h, 0, 0, mv0);
+      bool h1 = is_b && ic->tmvp_cand(x, y, w, h, 1, 0, mv1);
+      if (h0 || h1) {
+        MI mi;
+        if (h0) {
+          mi.mv[0][0] = mv0[0];
+          mi.mv[0][1] = mv0[1];
+          mi.ref[0] = 0;
+        }
+        if (h1) {
+          mi.mv[1][0] = mv1[0];
+          mi.mv[1][1] = mv1[1];
+          mi.ref[1] = 0;
+        }
+        out.push_back(mi);
+      }
+    }
+    // HMVP, newest first; first two pruned vs A1/B1
+    if (int(out.size()) < max_cands - 1) {
+      int n = int(hmvp.size());
+      for (int mrg = 1; mrg <= n; ++mrg) {
+        const MI& mi = hmvp[n - mrg];
+        if (mrg > 2 || (!(has_a1 && same_mi(mi, a1)) &&
+                        !(has_b1 && same_mi(mi, b1)))) {
+          out.push_back(mi);
+          if (int(out.size()) == max_cands - 1) break;
+        }
+      }
+    }
+    // pairwise average of the first two
+    if (1 < int(out.size()) && int(out.size()) < max_cands) {
+      MI pair;
+      for (int li = 0; li < (is_b ? 2 : 1); ++li) {
+        int ri = out[0].ref[li], rj = out[1].ref[li];
+        if (ri < 0 && rj < 0) continue;
+        if (ri >= 0 && rj >= 0) {
+          pair.mv[li][0] =
+              round_pairwise_c(out[0].mv[li][0] + out[1].mv[li][0]);
+          pair.mv[li][1] =
+              round_pairwise_c(out[0].mv[li][1] + out[1].mv[li][1]);
+          pair.ref[li] = ri;
+        } else if (ri >= 0) {
+          pair.mv[li][0] = out[0].mv[li][0];
+          pair.mv[li][1] = out[0].mv[li][1];
+          pair.ref[li] = ri;
+        } else {
+          pair.mv[li][0] = out[1].mv[li][0];
+          pair.mv[li][1] = out[1].mv[li][1];
+          pair.ref[li] = rj;
+        }
+      }
+      pair.alt = (out[0].alt == out[1].alt) ? out[0].alt : 0;
+      if (pair.dir()) out.push_back(pair);
+    }
+    // zero candidates with increasing ref idx
+    int ref_cnt = 0;
+    int max_refs =
+        is_b ? std::min(ic->n_ref[0], ic->n_ref[1]) : ic->n_ref[0];
+    while (int(out.size()) < max_cands) {
+      int r = ref_cnt < max_refs ? ref_cnt : 0;
+      MI z;
+      z.ref[0] = r;
+      if (is_b) z.ref[1] = r;
+      out.push_back(z);
+      ++ref_cnt;
+    }
+    out.resize(max_cands);
+  }
+
+  // -- AMVP list (motion.py get_amvp_candidates) --
+  bool mi_mv_for_ref(const MI& mi, int list_idx, int ref_poc,
+                     int out[2]) const {
+    for (int k = 0; k < 2; ++k) {
+      int src = k == 0 ? list_idx : 1 - list_idx;
+      int r = mi.ref[src];
+      if (r >= 0 && r < ic->n_ref[src] && ic->ref_poc[src][r] == ref_poc) {
+        out[0] = mi.mv[src][0];
+        out[1] = mi.mv[src][1];
+        return true;
+      }
+    }
+    return false;
+  }
+  void amvp_candidates(int x, int y, int w, int h, int list_idx,
+                       int ref_idx, int imv, int out[2][2]) {
+    int ref_poc = ic->ref_poc[list_idx][ref_idx];
+    int cands[2][2];
+    int n = 0;
+    MI mi;
+    int mv[2];
+    // left group: A0 then A1
+    int lbx = x, lby = y + h - 1;
+    for (int k = 0; k < 2 && n == 0; ++k) {
+      int px = lbx - 1, py = k == 0 ? lby + 1 : lby;
+      if (avail_inter(px, py, mi) &&
+          mi_mv_for_ref(mi, list_idx, ref_poc, mv)) {
+        cands[n][0] = mv[0];
+        cands[n][1] = mv[1];
+        ++n;
+      }
+    }
+    // above group: B0, B1, B2
+    int rtx = x + w - 1, rty = y;
+    int bx[3] = {rtx + 1, rtx, x - 1};
+    int by[3] = {rty - 1, rty - 1, y - 1};
+    int n_above0 = n;
+    for (int k = 0; k < 3 && n == n_above0; ++k) {
+      if (avail_inter(bx[k], by[k], mi) &&
+          mi_mv_for_ref(mi, list_idx, ref_poc, mv)) {
+        cands[n][0] = mv[0];
+        cands[n][1] = mv[1];
+        ++n;
+      }
+    }
+    for (int i = 0; i < n; ++i) round_mv_amvr_c(cands[i], imv);
+    if (n == 2 && cands[0][0] == cands[1][0] && cands[0][1] == cands[1][1])
+      n = 1;
+    // TMVP
+    if (ic->col_valid && w + h > 12 && n < 2) {
+      if (ic->tmvp_cand(x, y, w, h, list_idx, ref_idx, mv)) {
+        round_mv_amvr_c(mv, imv);
+        cands[n][0] = mv[0];
+        cands[n][1] = mv[1];
+        ++n;
+      }
+    }
+    // HMVP (oldest first, up to 4 entries)
+    if (n < 2) {
+      int lim = std::min<int>(4, int(hmvp.size()));
+      for (int i = 0; i < lim && n < 2; ++i) {
+        const MI& mh = hmvp[i];
+        for (int k = 0; k < 2 && n < 2; ++k) {
+          int src = k == 0 ? list_idx : 1 - list_idx;
+          int r = mh.ref[src];
+          if (r >= 0 && r < ic->n_ref[src] &&
+              ic->ref_poc[src][r] == ref_poc) {
+            int m2[2] = {mh.mv[src][0], mh.mv[src][1]};
+            round_mv_amvr_c(m2, imv);
+            cands[n][0] = m2[0];
+            cands[n][1] = m2[1];
+            ++n;
+          }
+        }
+      }
+    }
+    while (n < 2) {
+      cands[n][0] = cands[n][1] = 0;
+      ++n;
+    }
+    std::memcpy(out, cands, sizeof(cands));
+  }
+
+  // -- motion compensation / prediction --------------------------------
+  // uni/bi MC of one component (ctu_syntax.py inter_predict; bcw=2 path)
+  void inter_pred_c(const CuRec& cu, int comp, std::vector<int32_t>& out) {
+    int sc = comp == 0 ? 0 : 1;
+    int x = cu.x >> sc, y = cu.y >> sc, w = cu.w >> sc, h = cu.h >> sc;
+    out.resize(size_t(w) * h);
+    int refw = ic->pic_w >> sc, refh = ic->pic_h >> sc;
+    if (cu.ref_idx[0] >= 0 && cu.ref_idx[1] >= 0) {
+      std::vector<int32_t> a(size_t(w) * h), b(size_t(w) * h);
+      vte_mc_block(ic->ref_plane[0][cu.ref_idx[0]][comp], refh, refw, x, y,
+                   w, h, cu.mv[0][0], cu.mv[0][1], pp.bit_depth,
+                   comp == 0 ? 1 : 0, 1, cu.alt_hpel ? 1 : 0, nullptr,
+                   a.data());
+      vte_mc_block(ic->ref_plane[1][cu.ref_idx[1]][comp], refh, refw, x, y,
+                   w, h, cu.mv[1][0], cu.mv[1][1], pp.bit_depth,
+                   comp == 0 ? 1 : 0, 1, cu.alt_hpel ? 1 : 0, nullptr,
+                   b.data());
+      bi_avg(a, b, out);
+      return;
+    }
+    int li = cu.ref_idx[0] >= 0 ? 0 : 1;
+    vte_mc_block(ic->ref_plane[li][cu.ref_idx[li]][comp], refh, refw, x, y,
+                 w, h, cu.mv[li][0], cu.mv[li][1], pp.bit_depth,
+                 comp == 0 ? 1 : 0, 0, cu.alt_hpel ? 1 : 0, nullptr,
+                 out.data());
+  }
+  void bi_avg(const std::vector<int32_t>& a, const std::vector<int32_t>& b,
+              std::vector<int32_t>& out) const {
+    int shift = std::max(2, 14 - pp.bit_depth) + 1;
+    int64_t offset = (1LL << (shift - 1)) + 2 * (1 << 13);
+    int maxval = (1 << pp.bit_depth) - 1;
+    for (size_t i = 0; i < out.size(); ++i) {
+      int64_t v = (int64_t(a[i]) + b[i] + offset) >> shift;
+      out[i] = int32_t(std::max<int64_t>(0, std::min<int64_t>(maxval, v)));
+    }
+  }
+
+  // -- DMVR (ops/dmvr.py dmvr_refine + ctu_syntax.py dmvr_predict) -----
+  bool dmvr_applies(const CuRec& cu) const {
+    if (!ic->dmvr_on) return false;
+    if (!cu.merge || cu.mmvd || cu.ciip) return false;
+    if (cu.ref_idx[0] < 0 || cu.ref_idx[1] < 0 || cu.bcw != 2) return false;
+    if (std::min(cu.w, cu.h) < 8 || cu.w * cu.h < 128) return false;
+    int poc0 = ic->ref_poc[0][cu.ref_idx[0]];
+    int poc1 = ic->ref_poc[1][cu.ref_idx[1]];
+    return (ic->cur_poc - poc0) == (poc1 - ic->cur_poc);
+  }
+  static void clip_mv_c2(const int mv[2], int x, int y, int pic_w,
+                         int pic_h, int ctu, int out[2]) {
+    int off = 8;
+    int hor_max = (pic_w + off - x - 1) << 4;
+    int hor_min = (-ctu - off - x + 1) << 4;
+    int ver_max = (pic_h + off - y - 1) << 4;
+    int ver_min = (-ctu - off - y + 1) << 4;
+    out[0] = std::min(hor_max, std::max(hor_min, mv[0]));
+    out[1] = std::min(ver_max, std::max(ver_min, mv[1]));
+  }
+  // 10-bit bilinear prediction (ops/dmvr.py _bilinear_pred)
+  void bilinear_pred(const int32_t* ref, int ph, int pw, int x, int y,
+                     int w, int h, int mv_x, int mv_y,
+                     std::vector<int32_t>& out) const {
+    int int_x = x + (mv_x >> 4), frac_x = mv_x & 15;
+    int int_y = y + (mv_y >> 4), frac_y = mv_y & 15;
+    out.resize(size_t(w) * h);
+    int sh1 = 4 - (10 - pp.bit_depth);
+    std::vector<int> xs(w + 1), ys(h + 1);
+    for (int i = 0; i <= w; ++i)
+      xs[i] = std::min(std::max(int_x + i, 0), pw - 1);
+    for (int i = 0; i <= h; ++i)
+      ys[i] = std::min(std::max(int_y + i, 0), ph - 1);
+    auto at = [&](int yy, int xx) -> int64_t {
+      return ref[size_t(ys[yy]) * pw + xs[xx]];
+    };
+    if (frac_x == 0 && frac_y == 0) {
+      int up = 10 - pp.bit_depth;
+      for (int i = 0; i < h; ++i)
+        for (int j = 0; j < w; ++j)
+          out[size_t(i) * w + j] = int32_t(at(i, j) << up);
+      return;
+    }
+    int cx0 = 16 - frac_x, cx1 = frac_x;
+    int cy0 = 16 - frac_y, cy1 = frac_y;
+    if (frac_y == 0) {
+      for (int i = 0; i < h; ++i)
+        for (int j = 0; j < w; ++j)
+          out[size_t(i) * w + j] = int32_t(
+              (at(i, j) * cx0 + at(i, j + 1) * cx1 + (1 << (sh1 - 1))) >>
+              sh1);
+      return;
+    }
+    if (frac_x == 0) {
+      for (int i = 0; i < h; ++i)
+        for (int j = 0; j < w; ++j)
+          out[size_t(i) * w + j] = int32_t(
+              (at(i, j) * cy0 + at(i + 1, j) * cy1 + (1 << (sh1 - 1))) >>
+              sh1);
+      return;
+    }
+    std::vector<int64_t> tmp(size_t(h + 1) * w);
+    for (int i = 0; i <= h; ++i)
+      for (int j = 0; j < w; ++j)
+        tmp[size_t(i) * w + j] =
+            (at(i, j) * cx0 + at(i, j + 1) * cx1 + (1 << (sh1 - 1))) >> sh1;
+    for (int i = 0; i < h; ++i)
+      for (int j = 0; j < w; ++j)
+        out[size_t(i) * w + j] = int32_t(
+            (tmp[size_t(i) * w + j] * cy0 + tmp[size_t(i + 1) * w + j] * cy1 +
+             8) >> 4);
+  }
+  // full refine: returns rows {sy, sx, dx, dy, bdof_ok}
+  void dmvr_refine_c(const CuRec& cu, std::vector<std::array<int, 5>>& out) {
+    int x = cu.x, y = cu.y, w = cu.w, h = cu.h;
+    int c0[2], c1[2];
+    clip_mv_c2(cu.mv[0], x, y, ic->pic_w, ic->pic_h, ic->ctu_size, c0);
+    clip_mv_c2(cu.mv[1], x, y, ic->pic_w, ic->pic_h, ic->ctu_size, c1);
+    const int pad = 2;
+    std::vector<int32_t> bl0, bl1;
+    int refw = ic->pic_w, refh = ic->pic_h;
+    bilinear_pred(ic->ref_plane[0][cu.ref_idx[0]][0], refh, refw, x - pad,
+                  y - pad, w + 2 * pad, h + 2 * pad, c0[0], c0[1], bl0);
+    bilinear_pred(ic->ref_plane[1][cu.ref_idx[1]][0], refh, refw, x - pad,
+                  y - pad, w + 2 * pad, h + 2 * pad, c1[0], c1[1], bl1);
+    int dy_ = std::min(h, 16), dx_ = std::min(w, 16);
+    int nsub = ((h + dy_ - 1) / dy_) * ((w + dx_ - 1) / dx_);
+    std::vector<int32_t> rows(size_t(nsub) * 3);
+    vte_dmvr_refine(bl0.data(), bl1.data(), w, h, pad, rows.data());
+    out.clear();
+    int n = 0;
+    for (int ys = 0; ys < h; ys += dy_)
+      for (int xs = 0; xs < w; xs += dx_) {
+        out.push_back({ys, xs, rows[n * 3], rows[n * 3 + 1],
+                       rows[n * 3 + 2]});
+        ++n;
+      }
+  }
+  // prediction of one component of a DMVR CU (non-BDOF path)
+  void dmvr_pred_c(const CuRec& cu, int comp, std::vector<int32_t>& out) {
+    int sc = comp == 0 ? 0 : 1;
+    int w = cu.w >> sc, h = cu.h >> sc;
+    out.assign(size_t(w) * h, 0);
+    int refw = ic->pic_w >> sc, refh = ic->pic_h >> sc;
+    const int32_t* ref0 = ic->ref_plane[0][cu.ref_idx[0]][comp];
+    const int32_t* ref1 = ic->ref_plane[1][cu.ref_idx[1]][comp];
+    std::vector<int32_t> blk;
+    for (const auto& row : cu.dmvr) {
+      int sy = row[0], sx = row[1];
+      int bw = std::min(16, cu.w) >> sc, bh = std::min(16, cu.h) >> sc;
+      int bx = (cu.x + sx) >> sc, by = (cu.y + sy) >> sc;
+      blk.resize(size_t(bw) * bh);
+      vte_dmvr_bi_subpu(ref0, ref1, refh, refw, bx, by, bw, bh,
+                        cu.mv[0][0], cu.mv[0][1], cu.mv[1][0], cu.mv[1][1],
+                        row[2], row[3], sc, pp.bit_depth, ic->pic_w,
+                        ic->pic_h, ic->ctu_size, cu.alt_hpel ? 1 : 0,
+                        blk.data());
+      for (int i = 0; i < bh; ++i)
+        std::memcpy(out.data() + size_t((sy >> sc) + i) * w + (sx >> sc),
+                    blk.data() + size_t(i) * bw, size_t(bw) * 4);
+    }
+  }
+  // prepare_refinement analog with per-CU cache (finish_cu re-runs DMVR
+  // per trial in Python; identical inputs -> identical outputs, cached)
+  std::map<std::array<int, 6>, std::vector<std::array<int, 5>>> dmvr_cache;
+  void prepare_refinement_c(CuRec& cu) {
+    cu.dmvr.clear();
+    cu.dmvr_set = false;
+    if (!cu.is_inter || !dmvr_applies(cu)) return;
+    std::array<int, 6> key{cu.mv[0][0], cu.mv[0][1], cu.mv[1][0],
+                           cu.mv[1][1], cu.ref_idx[0], cu.ref_idx[1]};
+    auto it = dmvr_cache.find(key);
+    if (it == dmvr_cache.end()) {
+      std::vector<std::array<int, 5>> rows;
+      dmvr_refine_c(cu, rows);
+      it = dmvr_cache.emplace(key, std::move(rows)).first;
+    }
+    cu.dmvr = it->second;
+    if (!ic->bdof_on)
+      for (auto& r : cu.dmvr) r[4] = 0;
+    cu.dmvr_set = true;
+  }
+  // prediction of one component incl. DMVR (pred_cu_inter analog; BDOF
+  // and LMCS outside the current native scope)
+  void pred_cu_inter_c(const CuRec& cu, int comp, std::vector<int32_t>& out) {
+    if (cu.dmvr_set && !cu.dmvr.empty()) {
+      dmvr_pred_c(cu, comp, out);
+      return;
+    }
+    inter_pred_c(cu, comp, out);
+  }
+
+  // -- inter syntax estimation (ctu_syntax.py _enc_cu inter branch on
+  //    the BitEstimator; returns false on an invalid trial, mirroring
+  //    the AssertionError skip in _finish_inter_trials._eval) --
+  void est_mvd_c(const int mvd[2]) {
+    int ha = std::abs(mvd[0]), va = std::abs(mvd[1]);
+    est.bin(ha > 0 ? 1 : 0, g_soffs.mvd);
+    est.bin(va > 0 ? 1 : 0, g_soffs.mvd);
+    if (ha > 0) est.bin(ha > 1 ? 1 : 0, g_soffs.mvd + 1);
+    if (va > 0) est.bin(va > 1 ? 1 : 0, g_soffs.mvd + 1);
+    if (ha > 0) {
+      if (ha > 1) est.ep(remabs_ep_bins(ha - 2, 1, 0, 17));
+      est.ep(1);
+    }
+    if (va > 0) {
+      if (va > 1) est.ep(remabs_ep_bins(va - 2, 1, 0, 17));
+      est.ep(1);
+    }
+  }
+  void est_ref_idx_c(int ref_idx, int num_ref) {
+    est.bin(ref_idx > 0 ? 1 : 0, g_soffs.ref_pic);
+    if (num_ref <= 2 || ref_idx == 0) return;
+    est.bin(ref_idx > 1 ? 1 : 0, g_soffs.ref_pic + 1);
+    if (num_ref <= 3 || ref_idx == 1) return;
+    for (int idx = 3; idx < num_ref; ++idx) {
+      est.ep(1);
+      if (!(ref_idx > idx - 1)) break;
+    }
+  }
+  void est_merge_idx_c(int idx) {
+    int n1 = ic->max_merge - 1;
+    if (n1 <= 0) return;
+    est.bin(idx == 0 ? 0 : 1, g_soffs.merge_idx);
+    if (idx > 0) est.ep(std::min(idx, n1 - 1));
+  }
+  void est_merge_data_c(const CuRec& cu) {
+    // faster scope: no subblock merge / MMVD / GEO / CIIP signalling
+    est_merge_idx_c(cu.merge_idx);
+  }
+  int skip_ctx_c(int x, int y) const {
+    int ctx = 0;
+    if (is_coded_at(x - 1, y) && ic->skip_at(x - 1, y)) ++ctx;
+    if (is_coded_at(x, y - 1) && ic->skip_at(x, y - 1)) ++ctx;
+    return ctx;
+  }
+  int pred_mode_ctx_c(int x, int y) const {
+    Pic::CuInfo ci;
+    bool li = ps.cu_at(x - 1, y, ci) && ci.is_intra;
+    bool ai = !li && ps.cu_at(x, y - 1, ci) && ci.is_intra;
+    return (li || ai) ? 1 : 0;
+  }
+  // real intra luma mode writer (ctu_syntax.py _enc_intra_luma_mode on
+  // the estimator; MIP/MRL/ISP gated off in the inter-slice fallback)
+  void est_intra_luma_mode_real(const CuRec& cu, const int mpm[6]) {
+    if (pp.mip_en) {
+      est.bin(cu.mip_flag ? 1 : 0,
+              g_soffs.mip_flag + mip_flag_ctx(cu.x, cu.y, cu.w, cu.h));
+      if (cu.mip_flag) {
+        est.ep(1);
+        est.ep(trunc_bin_bins(cu.luma_mode, num_mip_modes(cu.w, cu.h)));
+        return;
+      }
+    }
+    if (pp.mrl_en && (cu.y % pp.ctu_size) != 0) {
+      est.bin(cu.ref_line ? 1 : 0, g_soffs.mrl_idx);
+      if (cu.ref_line)
+        est.bin(cu.ref_line != 1 ? 1 : 0, g_soffs.mrl_idx + 1);
+    }
+    if (pp.isp_en && isp_coded_ok(cu)) {
+      est.bin(cu.isp_mode ? 1 : 0, g_soffs.isp);
+      if (cu.isp_mode) est.bin(cu.isp_mode - 1, g_soffs.isp + 1);
+    }
+    int mode = cu.luma_mode;
+    int mpm_idx = 6;
+    for (int i = 0; i < 6; ++i)
+      if (mpm[i] == mode) { mpm_idx = i; break; }
+    if (cu.ref_line == 0)
+      est.bin(mpm_idx < 6 ? 1 : 0, g_soffs.mpm_flag);
+    if (mpm_idx < 6) {
+      if (cu.ref_line == 0)
+        est.bin(mpm_idx > 0 ? 1 : 0,
+                g_soffs.planar_flag + (cu.isp_mode ? 0 : 1));
+      if (mpm_idx) est.ep(1);
+      if (mpm_idx > 1) est.ep(1);
+      if (mpm_idx > 2) est.ep(1);
+      if (mpm_idx > 3) est.ep(1);
+    } else {
+      int srt[6];
+      std::memcpy(srt, mpm, sizeof(srt));
+      std::sort(srt, srt + 6);
+      int m = mode;
+      for (int i = 5; i >= 0; --i)
+        if (m > srt[i]) --m;
+      est.ep(trunc_bin_bins(m, N_MODES - 6));
+    }
+  }
+  void est_intra_chroma_mode_real(const CuRec& cu) {
+    if (pp.cclm_en && cu.cclm_allowed) {
+      bool is_lm = cu.chroma_dir >= LM_CHROMA && cu.chroma_dir <= MDLM_T;
+      est.bin(is_lm ? 1 : 0, g_soffs.cclm_flag);
+      if (is_lm) {
+        int sym = cu.chroma_dir - LM_CHROMA;
+        est.bin(sym == 0 ? 0 : 1, g_soffs.cclm_idx);
+        if (sym > 0) est.ep(1);
+        return;
+      }
+    }
+    bool is_dm = cu.chroma_dir == DM_CHROMA;
+    est.bin(is_dm ? 0 : 1, g_soffs.chroma_mode);
+    if (!is_dm) est.ep(2);
+  }
+
+  // finish_cu analog for inter-slice trial evaluation: reconstruct +
+  // mark maps + motion-field/HMVP updates (ctu_syntax.py finish_cu)
+  void finish_cu_inter(CuRec& cu, int qt_depth) {
+    int maxval = (1 << pp.bit_depth) - 1;
+    if (cu.is_inter) prepare_refinement_c(cu);
+    for (int comp = 0; comp < 3; ++comp) {
+      int sc = comp == 0 ? 0 : 1;
+      int x = cu.x >> sc, y = cu.y >> sc, w = cu.w >> sc, h = cu.h >> sc;
+      int stride = comp == 0 ? ps.W : (ps.W >> 1);
+      const std::vector<int32_t>& coeff =
+          comp == 0 ? cu.coeff_y : (comp == 1 ? cu.coeff_cb : cu.coeff_cr);
+      std::vector<int32_t> pred;
+      if (cu.is_inter) {
+        pred_cu_inter_c(cu, comp, pred);
+      } else {
+        intra_pred_fallback(cu, comp, pred);
+      }
+      int32_t* rec = ps.rec[comp];
+      if (!coeff.empty()) {
+        int q = comp == 0 ? pp.qp_y : (comp == 1 ? pp.qp_cb : pp.qp_cr);
+        int trh = TR_DCT2, trv = TR_DCT2;
+        if (!cu.is_inter && comp == 0 && pp.implicit_mts) {
+          trh = (4 <= w && w <= 16) ? TR_DST7 : TR_DCT2;
+          trv = (4 <= h && h <= 16) ? TR_DST7 : TR_DCT2;
+        }
+        std::vector<int32_t> dq_buf(size_t(w) * h), resi(size_t(w) * h);
+        if (pp.dq)
+          vte_dequant_dq(coeff.data(), w, h, q, pp.bit_depth, 1,
+                         dq_buf.data());
+        else
+          vte_dequant(coeff.data(), w, h, q, pp.bit_depth, dq_buf.data());
+        vte_inv_transform(dq_buf.data(), w, h, trh, trv, pp.bit_depth,
+                          resi.data());
+        for (int i = 0; i < h; ++i)
+          for (int j = 0; j < w; ++j) {
+            int64_t v = int64_t(pred[size_t(i) * w + j]) +
+                        resi[size_t(i) * w + j];
+            rec[size_t(y + i) * stride + x + j] = int32_t(
+                std::max<int64_t>(0, std::min<int64_t>(maxval, v)));
+          }
+      } else {
+        for (int i = 0; i < h; ++i)
+          std::memcpy(rec + size_t(y + i) * stride + x,
+                      pred.data() + size_t(i) * w, size_t(w) * 4);
+      }
+    }
+    ps.mark_cu(cu.x, cu.y, cu.w, cu.h, qt_depth,
+               cu.is_inter ? DC : dm_mode_of(cu), !cu.is_inter,
+               cu.mip_flag, true, pp.slice_qp_y);
+    // motion field + HMVP
+    if (cu.is_inter) {
+      MI mi;
+      mi.mv[0][0] = cu.mv[0][0];
+      mi.mv[0][1] = cu.mv[0][1];
+      mi.mv[1][0] = cu.mv[1][0];
+      mi.mv[1][1] = cu.mv[1][1];
+      mi.ref[0] = int8_t(cu.ref_idx[0]);
+      mi.ref[1] = int8_t(cu.ref_idx[1]);
+      mi.bcw = int8_t(cu.bcw);
+      mi.alt = cu.alt_hpel ? 1 : 0;
+      ic->set_cu_mf(cu.x, cu.y, cu.w, cu.h, &mi, cu.skip);
+      int xbr = cu.x + cu.w, ybr = cu.y + cu.h;
+      if ((xbr >> 2) > (cu.x >> 2) && (ybr >> 2) > (cu.y >> 2))
+        hmvp_add(mi);
+    } else {
+      ic->set_cu_mf(cu.x, cu.y, cu.w, cu.h, nullptr, false);
+    }
+  }
+  static int dm_mode_of(const CuRec& cu) {
+    return cu.mip_flag ? PLANAR : cu.luma_mode;
+  }
+  // plain intra prediction of the inter-slice fallback CU (no MIP/MRL/
+  // ISP; chroma_dir DM)
+  void intra_pred_fallback(const CuRec& cu, int comp,
+                           std::vector<int32_t>& pred) {
+    int sc = comp == 0 ? 0 : 1;
+    int x = cu.x >> sc, y = cu.y >> sc, w = cu.w >> sc, h = cu.h >> sc;
+    pred.resize(size_t(w) * h);
+    std::vector<int32_t> top(2 * w + 3), left(2 * h + 3);
+    if (comp == 0) {
+      vte_build_refs(ps.rec[0], ps.H, ps.W, x, y, w, h, ps.coded_luma,
+                     ps.uh, ps.uw, 4, pp.bit_depth, 0, -1, -1, top.data(),
+                     left.data());
+      intra::predict(top.data(), int(top.size()), left.data(),
+                     int(left.size()), cu.luma_mode, w, h, pp.bit_depth,
+                     true, 0, -1, -1, false, -1, pred.data());
+    } else {
+      vte_build_refs(ps.rec[comp], ps.H >> 1, ps.W >> 1, x, y, w, h,
+                     ps.coded_chroma, ps.ch2, ps.cw2, 2, pp.bit_depth, 0,
+                     -1, -1, top.data(), left.data());
+      int mode = cu.chroma_dir == DM_CHROMA ? dm_mode_of(cu) : cu.chroma_dir;
+      intra::predict(top.data(), int(top.size()), left.data(),
+                     int(left.size()), mode, w, h, pp.bit_depth, false, 0,
+                     -1, -1, false, -1, pred.data());
+    }
+  }
+
+  // full estimator replay of one inter-slice trial CU; returns false on
+  // an invalid (assertion) trial
+  bool est_enc_cu_inter(CuRec& cu, const PartInfo& part) {
+    int w = cu.w, h = cu.h;
+    bool is_4x4 = w == 4 && h == 4;
+    (void)part;
+    if (!is_4x4) {
+      est.bin(cu.skip ? 1 : 0,
+              g_soffs.skip_flag + skip_ctx_c(cu.x, cu.y));
+      if (cu.skip) {
+        est_merge_data_c(cu);
+        finish_cu_inter(cu, part.qt_depth);
+        return true;
+      }
+    }
+    if (is_4x4) {
+      if (cu.is_inter) return false;  // assert: 4x4 must be intra
+    } else {
+      est.bin(cu.is_inter ? 0 : 1,
+              g_soffs.pred_mode + pred_mode_ctx_c(cu.x, cu.y));
+    }
+    if (!cu.is_inter) {
+      int mpm[6];
+      get_mpms(ps, cu.x, cu.y, w, h, pp.ctu_size, mpm);
+      est_intra_luma_mode_real(cu, mpm);
+      est_intra_chroma_mode_real(cu);
+    } else {
+      est.bin(cu.merge ? 1 : 0, g_soffs.merge_flag);
+      if (cu.merge) {
+        est_merge_data_c(cu);
+      } else {
+        int dir = (cu.ref_idx[0] >= 0 ? 1 : 0) | (cu.ref_idx[1] >= 0 ? 2 : 0);
+        if (ic->is_b) {
+          if (w + h > 12) {
+            int ctx = 7 - ((bit_length(w * h) - 1 + 1) >> 1);
+            est.bin(dir == 3 ? 1 : 0, g_soffs.inter_dir + ctx);
+          }
+          if (dir != 3)
+            est.bin(dir == 2 ? 1 : 0, g_soffs.inter_dir + 5);
+        }
+        if (dir != 2) {
+          if (ic->n_ref[0] > 1) est_ref_idx_c(cu.ref_idx[0], ic->n_ref[0]);
+          est_mvd_c(cu.mvd);
+          est.bin(cu.mvp_idx, g_soffs.mvp_idx);
+        }
+        if (dir != 1) {
+          if (ic->n_ref[1] > 1) est_ref_idx_c(cu.ref_idx[1], ic->n_ref[1]);
+          if (!(ic->mvd_l1_zero && dir == 3)) est_mvd_c(cu.mvd1);
+          est.bin(cu.mvp_idx1, g_soffs.mvp_idx);
+        }
+        // AMVR/BCW signalling outside the faster-scope toolset
+      }
+    }
+    if (cu.is_inter && !cu.merge)
+      est.bin(cu.root_cbf ? 1 : 0, g_soffs.root_cbf);
+    if (!cu.is_inter || cu.root_cbf) {
+      bool cbf_cb = !cu.coeff_cb.empty();
+      bool cbf_cr = !cu.coeff_cr.empty();
+      bool cbf_y = !cu.coeff_y.empty();
+      est.bin(cbf_cb ? 1 : 0, g_soffs.cbf_cb);
+      est.bin(cbf_cr ? 1 : 0, g_soffs.cbf_cr + (cbf_cb ? 1 : 0));
+      if (cu.is_inter && !cbf_cb && !cbf_cr) {
+        if (!cbf_y) return false;  // assert: inter cbf inferred 1
+      } else {
+        est.bin(cbf_y ? 1 : 0, g_soffs.cbf_y);
+      }
+      maybe_est_dqp(cu, cbf_y || cbf_cb || cbf_cr);
+      int mask = (cbf_cb ? 2 : 0) + (cbf_cr ? 1 : 0);
+      if (pp.jccr_en && ((!cu.is_inter && mask) || mask == 3))
+        est.bin(0, g_soffs.jccr + mask - 1);
+      if (cbf_y) est_residual_block(cu.coeff_y.data(), w, h, true);
+      if (cbf_cb)
+        est_residual_block(cu.coeff_cb.data(), w >> 1, h >> 1, false);
+      if (cbf_cr)
+        est_residual_block(cu.coeff_cr.data(), w >> 1, h >> 1, false);
+    }
+    if (!cu.is_inter) est_lfnst_bits(cu);
+    finish_cu_inter(cu, part.qt_depth);
+    return true;
+  }
+
+  // -- motion search (inter_search.py _motion_search port) -------------
+  // dense SSE grid (edge-clamped reads) — _sse_grid
+  void sse_grid(const int32_t* src, int sw, int sh, const int32_t* ref,
+                int rh, int rw, int cx0, int cy0, int rx, int ry,
+                std::vector<int64_t>& costs) const {
+    int gw = 2 * rx + 1, gh = 2 * ry + 1;
+    costs.assign(size_t(gw) * gh, 0);
+    int ww = gw - 1 + sw, wh = gh - 1 + sh;
+    std::vector<int32_t> win(size_t(wh) * ww);
+    for (int i = 0; i < wh; ++i) {
+      int yy = std::min(std::max(cy0 - ry + i, 0), rh - 1);
+      for (int j = 0; j < ww; ++j) {
+        int xx = std::min(std::max(cx0 - rx + j, 0), rw - 1);
+        win[size_t(i) * ww + j] = ref[size_t(yy) * rw + xx];
+      }
+    }
+    for (int dy = 0; dy < gh; ++dy)
+      for (int dx = 0; dx < gw; ++dx) {
+        int64_t s = 0;
+        for (int i = 0; i < sh; ++i) {
+          const int32_t* a = src + size_t(i) * sw;
+          const int32_t* b = win.data() + size_t(dy + i) * ww + dx;
+          for (int j = 0; j < sw; ++j) {
+            int64_t d = int64_t(a[j]) - b[j];
+            s += d * d;
+          }
+        }
+        costs[size_t(dy) * gw + dx] = s;
+      }
+  }
+  static inline int floordiv4(int v) { return v >= 0 ? v / 4 : -((-v + 3) / 4); }
+  double mc_cost(const int32_t* src, int x, int y, int w, int h,
+                 const int mv[2], const int32_t* ref, int rh, int rw,
+                 const int mvp[2]) const {
+    std::vector<int32_t> pred(size_t(w) * h);
+    vte_mc_block(ref, rh, rw, x, y, w, h, mv[0], mv[1], pp.bit_depth, 1, 0,
+                 0, nullptr, pred.data());
+    int64_t sse = 0;
+    for (size_t i = 0; i < size_t(w) * h; ++i) {
+      int64_t d = int64_t(src[i]) - pred[i];
+      sse += d * d;
+    }
+    double bits =
+        ((std::abs(mv[0] - mvp[0]) + std::abs(mv[1] - mvp[1])) >> 2) * 1.5 +
+        2;
+    return double(sse) + pp.lmbda * bits;
+  }
+  const std::vector<int32_t>& ds4_ref(int li, int ri, int* dsw, int* dsh) {
+    if (ic->ds_ref[li][ri].empty()) {
+      int rw = ic->pic_w, rh = ic->pic_h;
+      int hh = (rh / 4) * 4, ww = (rw / 4) * 4;
+      const int32_t* ref = ic->ref_plane[li][ri][0];
+      std::vector<int32_t>& ds = ic->ds_ref[li][ri];
+      ds.resize(size_t(hh / 4) * (ww / 4));
+      for (int i = 0; i < hh / 4; ++i)
+        for (int j = 0; j < ww / 4; ++j) {
+          int64_t s = 0;
+          for (int a = 0; a < 4; ++a)
+            for (int b = 0; b < 4; ++b)
+              s += ref[size_t(i * 4 + a) * rw + j * 4 + b];
+          ds[size_t(i) * (ww / 4) + j] = int32_t(s >> 4);
+        }
+      ic->ds_w[li][ri] = ww / 4;
+      ic->ds_h[li][ri] = hh / 4;
+    }
+    *dsw = ic->ds_w[li][ri];
+    *dsh = ic->ds_h[li][ri];
+    return ic->ds_ref[li][ri];
+  }
+  // returns mv (1/16) + mvp_idx
+  void motion_search(const int32_t* src, int x, int y, int w, int h,
+                     const int amvp[2][2], int li, int ri, int out_mv[2],
+                     int* out_mvp_idx) {
+    int R = ic->search_range;
+    int rw = ic->pic_w, rh = ic->pic_h;
+    const int32_t* ref = ic->ref_plane[li][ri][0];
+    auto clampc = [&](int px, int py, int c[2]) {
+      c[0] = std::min(std::max(px, -w), rw);
+      c[1] = std::min(std::max(py, -h), rh);
+    };
+    int centers[3][2];
+    int n_centers = 0;
+    int starts[3][2] = {{amvp[0][0], amvp[0][1]},
+                        {amvp[1][0], amvp[1][1]},
+                        {0, 0}};
+    for (int k = 0; k < 3; ++k) {
+      int c[2];
+      clampc(x + (starts[k][0] >> 4), y + (starts[k][1] >> 4), c);
+      bool dup = false;
+      for (int i = 0; i < n_centers; ++i)
+        dup |= centers[i][0] == c[0] && centers[i][1] == c[1];
+      if (!dup) {
+        centers[n_centers][0] = c[0];
+        centers[n_centers][1] = c[1];
+        ++n_centers;
+      }
+    }
+    std::vector<std::array<int, 2>> fine;
+    if (R > 8 && w >= 8 && h >= 8 && ic->use_dev_me) {
+      // device pre-ME winner for the block containing this CU (a failed
+      // table build falls through with no coarse stage, matching the
+      // Python searcher)
+      const int32_t* tab = ic->me_tab[li][ri];
+      if (tab != nullptr) {
+        int bs = ic->me_bs;
+        int iy =
+            std::min(std::max((y + h / 2) / bs, 0), ic->me_nby[li][ri] - 1);
+        int ix =
+            std::min(std::max((x + w / 2) / bs, 0), ic->me_nbx[li][ri] - 1);
+        int dmx = tab[(size_t(iy) * ic->me_nbx[li][ri] + ix) * 2];
+        int dmy = tab[(size_t(iy) * ic->me_nbx[li][ri] + ix) * 2 + 1];
+        int c[2];
+        clampc(x + dmx, y + dmy, c);
+        fine.push_back({c[0], c[1]});
+      }
+    } else if (R > 8 && w >= 8 && h >= 8 && w % 4 == 0 && h % 4 == 0) {
+      int dsw, dsh;
+      const std::vector<int32_t>& ds = ds4_ref(li, ri, &dsw, &dsh);
+      int sh4 = h / 4, sw4 = w / 4;
+      std::vector<int32_t> src_ds(size_t(sh4) * sw4);
+      for (int i = 0; i < sh4; ++i)
+        for (int j = 0; j < sw4; ++j) {
+          int64_t s = 0;
+          for (int a = 0; a < 4; ++a)
+            for (int b = 0; b < 4; ++b)
+              s += src[size_t(i * 4 + a) * w + j * 4 + b];
+          src_ds[size_t(i) * sw4 + j] = int32_t(s >> 4);
+        }
+      int rq = std::max(1, R / 4);
+      std::vector<int64_t> costs;
+      for (int k = 0; k < n_centers; ++k) {
+        int cx4 = floordiv4(centers[k][0]), cy4 = floordiv4(centers[k][1]);
+        sse_grid(src_ds.data(), sw4, sh4, ds.data(), dsh, dsw, cx4, cy4,
+                 rq, rq, costs);
+        int gw = 2 * rq + 1;
+        int besti = 0;
+        for (size_t i = 1; i < costs.size(); ++i)
+          if (costs[i] < costs[besti]) besti = int(i);
+        int dy = int(besti) / gw, dx = int(besti) % gw;
+        int fx = (cx4 - rq + dx) * 4, fy = (cy4 - rq + dy) * 4;
+        int c[2];
+        clampc(fx, fy, c);
+        fine.push_back({c[0], c[1]});
+      }
+    }
+    for (int k = 0; k < n_centers; ++k)
+      fine.push_back({centers[k][0], centers[k][1]});
+
+    bool have_best = false;
+    int64_t best_c = 0;
+    int best_mv[2] = {0, 0};
+    int rr = R > 8 ? 4 : R;
+    std::vector<std::array<int, 2>> seen;
+    std::vector<int64_t> costs;
+    for (const auto& c : fine) {
+      bool dup = false;
+      for (const auto& s : seen) dup |= s == c;
+      if (dup) continue;
+      seen.push_back(c);
+      sse_grid(src, w, h, ref, rh, rw, c[0], c[1], rr, rr, costs);
+      for (int dy = -rr; dy <= rr; ++dy)
+        for (int dx = -rr; dx <= rr; ++dx) {
+          int sx = c[0] + dx, sy = c[1] + dy;
+          if (sx < -w || sy < -h || sx > rw || sy > rh) continue;
+          int64_t cc = costs[size_t(dy + rr) * (2 * rr + 1) + dx + rr];
+          if (!have_best || cc < best_c) {
+            have_best = true;
+            best_c = cc;
+            best_mv[0] = (sx - x) << 4;
+            best_mv[1] = (sy - y) << 4;
+          }
+        }
+    }
+    if (!have_best) {
+      best_mv[0] = (centers[0][0] - x) << 4;
+      best_mv[1] = (centers[0][1] - y) << 4;
+    }
+    // half then quarter refinement
+    int mv[2] = {best_mv[0], best_mv[1]};
+    for (int step = 8; step >= 4; step -= 4) {
+      double cb = mc_cost(src, x, y, w, h, mv, ref, rh, rw, amvp[0]);
+      int cbm[2] = {mv[0], mv[1]};
+      for (int dy = -step; dy <= step; dy += step)
+        for (int dx = -step; dx <= step; dx += step) {
+          if (dx == 0 && dy == 0) continue;
+          int m2[2] = {mv[0] + dx, mv[1] + dy};
+          double cc = mc_cost(src, x, y, w, h, m2, ref, rh, rw, amvp[0]);
+          if (cc < cb) {
+            cb = cc;
+            cbm[0] = m2[0];
+            cbm[1] = m2[1];
+          }
+        }
+      mv[0] = cbm[0];
+      mv[1] = cbm[1];
+    }
+    auto mvd_bits = [&](const int mvp[2]) {
+      return (std::abs(mv[0] - mvp[0]) + std::abs(mv[1] - mvp[1])) >> 2;
+    };
+    *out_mvp_idx = mvd_bits(amvp[0]) <= mvd_bits(amvp[1]) ? 0 : 1;
+    out_mv[0] = mv[0];
+    out_mv[1] = mv[1];
+  }
+
+  // -- the inter CU decision (inter_search.py _rd_cu_inter +
+  //    _finish_inter_trials) --
+  double rd_cu_inter(CuRec& cu_out, const PartInfo& part) {
+    int x = cu_out.x, y = cu_out.y, w = cu_out.w, h = cu_out.h;
+    dmvr_cache.clear();
+    // source blocks
+    std::vector<int32_t> src_y(size_t(h) * w), src_cb, src_cr;
+    for (int i = 0; i < h; ++i)
+      std::memcpy(&src_y[size_t(i) * w], ps.src[0] + size_t(y + i) * ps.W + x,
+                  size_t(w) * 4);
+    int cx = x >> 1, cy2 = y >> 1, cw = w >> 1, chh = h >> 1;
+    src_cb.resize(size_t(chh) * cw);
+    src_cr.resize(size_t(chh) * cw);
+    for (int i = 0; i < chh; ++i) {
+      std::memcpy(&src_cb[size_t(i) * cw],
+                  ps.src[1] + size_t(cy2 + i) * (ps.W >> 1) + cx,
+                  size_t(cw) * 4);
+      std::memcpy(&src_cr[size_t(i) * cw],
+                  ps.src[2] + size_t(cy2 + i) * (ps.W >> 1) + cx,
+                  size_t(cw) * 4);
+    }
+
+    std::vector<CuRec> trials;
+    bool is_4x4 = w == 4 && h == 4;
+
+    std::vector<MI> merge_cands;
+    std::vector<std::pair<int64_t, int>> scored;  // (sse, cand idx)
+    if (!is_4x4) {
+      merge_candidates(x, y, w, h, merge_cands);
+      // luma-SSE preselection over unique (mv, ref) candidates
+      std::vector<std::array<int32_t, 6>> seen;
+      for (size_t idx = 0; idx < merge_cands.size(); ++idx) {
+        const MI& mi = merge_cands[idx];
+        std::array<int32_t, 6> key{mi.mv[0][0], mi.mv[0][1], mi.mv[1][0],
+                                   mi.mv[1][1], mi.ref[0], mi.ref[1]};
+        bool dup = false;
+        for (const auto& s : seen) dup |= s == key;
+        if (dup) continue;
+        seen.push_back(key);
+        CuRec probe;
+        probe.x = x;
+        probe.y = y;
+        probe.w = w;
+        probe.h = h;
+        probe.is_inter = true;
+        std::memcpy(probe.mv, mi.mv, sizeof(probe.mv));
+        probe.ref_idx[0] = mi.ref[0];
+        probe.ref_idx[1] = mi.ref[1];
+        probe.bcw = 2;  // preselection ignores bcw/alt (inter_predict
+        probe.alt_hpel = false;  // defaults in the Python preselect)
+        std::vector<int32_t> py;
+        inter_pred_c(probe, 0, py);
+        int64_t sse = 0;
+        for (size_t i = 0; i < py.size(); ++i) {
+          int64_t d = int64_t(src_y[i]) - py[i];
+          sse += d * d;
+        }
+        scored.push_back({sse, int(idx)});
+      }
+      std::stable_sort(scored.begin(), scored.end(),
+                       [](const std::pair<int64_t, int>& a,
+                          const std::pair<int64_t, int>& b) {
+                         return a.first < b.first;
+                       });
+    }
+
+    auto apply_merge = [&](CuRec& cu) {
+      const MI& mi = merge_cands[cu.merge_idx];
+      std::memcpy(cu.mv, mi.mv, sizeof(cu.mv));
+      cu.ref_idx[0] = mi.ref[0];
+      cu.ref_idx[1] = mi.ref[1];
+      cu.alt_hpel = mi.alt != 0;
+      cu.bcw = (mi.ref[0] >= 0 && mi.ref[1] >= 0) ? mi.bcw : 2;
+      if (w + h == 12 && cu.ref_idx[0] >= 0 && cu.ref_idx[1] >= 0) {
+        cu.ref_idx[1] = -1;
+        cu.mv[1][0] = cu.mv[1][1] = 0;
+      }
+    };
+
+    // fused tq of one trial's residuals (_quant_resid analog)
+    auto quant_resid = [&](CuRec& cu, const std::vector<int32_t>& py,
+                           const std::vector<int32_t>& pcb,
+                           const std::vector<int32_t>& pcr) {
+      if (getenv("VTE_DBG_QR")) {
+        int64_t scb = 0, spb = 0;
+        for (size_t i = 0; i < size_t(chh) * cw; ++i) {
+          scb += src_cb[i];
+          spb += pcb[i];
+        }
+        std::fprintf(stderr,
+                     "NATQR cu(%d,%d %dx%d) mv(%d,%d)(%d,%d) r(%d,%d) "
+                     "srccb=%lld predcb=%lld qcb=%d lcb=%f cwcb=%f\n",
+                     cu.x, cu.y, cu.w, cu.h, cu.mv[0][0], cu.mv[0][1],
+                     cu.mv[1][0], cu.mv[1][1], cu.ref_idx[0], cu.ref_idx[1],
+                     (long long)scb, (long long)spb, pp.qp_cb,
+                     pp.lmbda / pp.cw_cb, pp.cw_cb);
+      }
+      std::vector<int32_t> resi(size_t(h) * w), coeff(size_t(h) * w);
+      for (size_t i = 0; i < size_t(h) * w; ++i)
+        resi[i] = src_y[i] - py[i];
+      int cbf = vte_tq_quant(resi.data(), w, h, TR_DCT2, TR_DCT2, pp.qp_y,
+                             pp.bit_depth, 1, pp.lmbda, g_soffs.root_cbf,
+                             pp.sdh ? 1 : 0, est.s0.data(), est.s1.data(),
+                             coeff.data(), pp.dq ? 1 : 0);
+      if (cbf) cu.coeff_y.assign(coeff.begin(), coeff.begin() + h * w);
+      std::vector<int32_t> cres(size_t(chh) * cw), cco(size_t(chh) * cw);
+      for (size_t i = 0; i < size_t(chh) * cw; ++i)
+        cres[i] = src_cb[i] - pcb[i];
+      int cbf_cb = vte_tq_quant(cres.data(), cw, chh, TR_DCT2, TR_DCT2,
+                                pp.qp_cb, pp.bit_depth, 0,
+                                pp.lmbda / pp.cw_cb, g_soffs.cbf_cb,
+                                pp.sdh ? 1 : 0, est.s0.data(),
+                                est.s1.data(), cco.data(), pp.dq ? 1 : 0);
+      if (cbf_cb)
+        cu.coeff_cb.assign(cco.begin(), cco.begin() + chh * cw);
+      for (size_t i = 0; i < size_t(chh) * cw; ++i)
+        cres[i] = src_cr[i] - pcr[i];
+      int cbf_cr = vte_tq_quant(cres.data(), cw, chh, TR_DCT2, TR_DCT2,
+                                pp.qp_cr, pp.bit_depth, 0,
+                                pp.lmbda / pp.cw_cr,
+                                g_soffs.cbf_cr + (cbf_cb ? 1 : 0),
+                                pp.sdh ? 1 : 0, est.s0.data(),
+                                est.s1.data(), cco.data(), pp.dq ? 1 : 0);
+      if (cbf_cr)
+        cu.coeff_cr.assign(cco.begin(), cco.begin() + chh * cw);
+      return cbf || cbf_cb || cbf_cr;
+    };
+
+    // merge residual trial (add_resid_trial; SBT outside scope)
+    auto add_resid_trial = [&](CuRec& cu) {
+      prepare_refinement_c(cu);
+      std::vector<int32_t> py, pcb, pcr;
+      pred_cu_inter_c(cu, 0, py);
+      pred_cu_inter_c(cu, 1, pcb);
+      pred_cu_inter_c(cu, 2, pcr);
+      quant_resid(cu, py, pcb, pcr);
+      if (!cu.coeff_y.empty()) {
+        cu.root_cbf = true;
+        trials.push_back(cu);
+        return true;
+      }
+      return false;
+    };
+
+    if (!is_4x4)
+      for (size_t k = 0; k < scored.size() && k < 2; ++k) {
+        int idx = scored[k].second;
+        CuRec skip_cu;
+        skip_cu.x = x;
+        skip_cu.y = y;
+        skip_cu.w = w;
+        skip_cu.h = h;
+        skip_cu.is_inter = true;
+        skip_cu.skip = true;
+        skip_cu.merge = true;
+        skip_cu.merge_idx = idx;
+        skip_cu.root_cbf = false;
+        apply_merge(skip_cu);
+        trials.push_back(skip_cu);
+        CuRec cu = skip_cu;
+        cu.skip = false;
+        cu.root_cbf = true;
+        add_resid_trial(cu);
+      }
+
+    // FIM merge-perfect early out (EncCu.cpp:3119 analog)
+    bool merge_perfect = !scored.empty();
+    for (const auto& t : trials) merge_perfect &= !t.root_cbf;
+    merge_perfect &= !trials.empty();
+
+    if (!merge_perfect && !is_4x4) {
+      // AMVP trials: uni per list + bi combination
+      int uni_mv[2][2];
+      int uni_mvp[2];
+      int uni_mvd[2][2];
+      bool have_uni[2] = {false, false};
+      for (int li = 0; li < (ic->is_b ? 2 : 1); ++li) {
+        if (ic->n_ref[li] == 0) continue;
+        int amvp[2][2];
+        amvp_candidates(x, y, w, h, li, 0, 0, amvp);
+        int mv[2], mvp_idx;
+        motion_search(src_y.data(), x, y, w, h, amvp, li, 0, mv, &mvp_idx);
+        int mvd[2] = {(mv[0] - amvp[mvp_idx][0]) >> 2,
+                      (mv[1] - amvp[mvp_idx][1]) >> 2};
+        have_uni[li] = true;
+        uni_mv[li][0] = mv[0];
+        uni_mv[li][1] = mv[1];
+        uni_mvp[li] = mvp_idx;
+        uni_mvd[li][0] = mvd[0];
+        uni_mvd[li][1] = mvd[1];
+        CuRec cu;
+        cu.x = x;
+        cu.y = y;
+        cu.w = w;
+        cu.h = h;
+        cu.is_inter = true;
+        cu.merge = false;
+        cu.ref_idx[li] = 0;
+        cu.mv[li][0] = mv[0];
+        cu.mv[li][1] = mv[1];
+        std::vector<int32_t> py, pcb, pcr;
+        inter_pred_c(cu, 0, py);
+        inter_pred_c(cu, 1, pcb);
+        inter_pred_c(cu, 2, pcr);
+        bool any = quant_resid(cu, py, pcb, pcr);
+        cu.root_cbf = any;
+        if (li == 0) {
+          cu.mvd[0] = mvd[0];
+          cu.mvd[1] = mvd[1];
+          cu.mvp_idx = mvp_idx;
+        } else {
+          cu.mvd1[0] = mvd[0];
+          cu.mvd1[1] = mvd[1];
+          cu.mvp_idx1 = mvp_idx;
+        }
+        trials.push_back(cu);
+      }
+      if (ic->is_b && have_uni[0] && have_uni[1]) {
+        CuRec cu;
+        cu.x = x;
+        cu.y = y;
+        cu.w = w;
+        cu.h = h;
+        cu.is_inter = true;
+        cu.merge = false;
+        cu.ref_idx[0] = 0;
+        cu.ref_idx[1] = 0;
+        std::memcpy(cu.mv[0], uni_mv[0], sizeof(cu.mv[0]));
+        std::memcpy(cu.mv[1], uni_mv[1], sizeof(cu.mv[1]));
+        cu.mvd[0] = uni_mvd[0][0];
+        cu.mvd[1] = uni_mvd[0][1];
+        cu.mvp_idx = uni_mvp[0];
+        cu.mvd1[0] = uni_mvd[1][0];
+        cu.mvd1[1] = uni_mvd[1][1];
+        cu.mvp_idx1 = uni_mvp[1];
+        cu.bcw = 2;
+        // AMVP bi goes through pred_cu_inter (BDOF-aware path; BDOF
+        // off in the native scope -> plain bi MC)
+        std::vector<int32_t> py, pcb, pcr;
+        inter_pred_c(cu, 0, py);
+        inter_pred_c(cu, 1, pcb);
+        inter_pred_c(cu, 2, pcr);
+        bool any = quant_resid(cu, py, pcb, pcr);
+        cu.root_cbf = any;
+        trials.push_back(cu);
+      }
+    }
+
+    // -- trial evaluation (_finish_inter_trials) --
+    SSnap state0;
+    s_save(x, y, std::max(w, h), state0);
+    EstSnap est0;
+    est_save(est, est0);
+
+    bool have_best = false;
+    double best_cost = 0;
+    CuRec best_cu;
+    SSnap best_state;
+    EstSnap best_est;
+    auto eval = [&](std::vector<CuRec>& cands) {
+      for (CuRec& cu : cands) {
+        s_restore(state0);
+        est_load(est, est0);
+        int64_t b0 = est.frac;
+        if (!est_enc_cu_inter(cu, part)) continue;
+        double bits = double(est.frac - b0) / double(1 << 15);
+        int64_t dy_ = 0, dcb = 0, dcr = 0;
+        for (int i = 0; i < h; ++i)
+          for (int j = 0; j < w; ++j) {
+            int64_t d = int64_t(src_y[size_t(i) * w + j]) -
+                        ps.rec[0][size_t(y + i) * ps.W + x + j];
+            dy_ += d * d;
+          }
+        for (int i = 0; i < chh; ++i)
+          for (int j = 0; j < cw; ++j) {
+            int64_t d = int64_t(src_cb[size_t(i) * cw + j]) -
+                        ps.rec[1][size_t(cy2 + i) * (ps.W >> 1) + cx + j];
+            dcb += d * d;
+            int64_t d2 = int64_t(src_cr[size_t(i) * cw + j]) -
+                         ps.rec[2][size_t(cy2 + i) * (ps.W >> 1) + cx + j];
+            dcr += d2 * d2;
+          }
+        double dist =
+            double(dy_) + pp.cw_cb * double(dcb) + pp.cw_cr * double(dcr);
+        double cost = dist + pp.lmbda * bits;
+        if (!have_best || cost < best_cost) {
+          have_best = true;
+          best_cost = cost;
+          best_cu = cu;
+          s_save(x, y, std::max(w, h), best_state);
+          est_save(est, best_est);
+        }
+      }
+    };
+    eval(trials);
+
+    // intra competition, gated on the inter winner coding residual
+    bool try_intra = !have_best || !best_cu.coeff_y.empty() ||
+                     !best_cu.coeff_cb.empty() || !best_cu.coeff_cr.empty();
+    if (try_intra) {
+      std::vector<CuRec> intra_trials;
+      std::vector<int32_t> top(2 * w + 3), left(2 * h + 3);
+      vte_build_refs(ps.rec[0], ps.H, ps.W, x, y, w, h, ps.coded_luma,
+                     ps.uh, ps.uw, 4, pp.bit_depth, 0, -1, -1, top.data(),
+                     left.data());
+      std::vector<int32_t> all_modes(N_MODES);
+      for (int m = 0; m < N_MODES; ++m) all_modes[m] = m;
+      std::vector<int64_t> satds(N_MODES);
+      vte_presel_satd(top.data(), int(top.size()), left.data(),
+                      int(left.size()), src_y.data(), all_modes.data(),
+                      N_MODES, w, h, pp.bit_depth, 1, 0, satds.data());
+      int mpm[6];
+      get_mpms(ps, x, y, w, h, pp.ctu_size, mpm);
+      std::vector<std::pair<double, int>> ranked(N_MODES);
+      for (int m = 0; m < N_MODES; ++m) {
+        double mb = 7.0;
+        for (int i = 0; i < 6; ++i)
+          if (mpm[i] == m) { mb = 1.5 + i; break; }
+        ranked[m] = {double(satds[m]) + pp.lmbda_sad * mb, m};
+      }
+      std::stable_sort(ranked.begin(), ranked.end(),
+                       [](const std::pair<double, int>& a,
+                          const std::pair<double, int>& b) {
+                         return a.first < b.first;
+                       });
+      int n_try = std::max(1, std::min(2, pp.n_full_rd));
+      std::vector<int> modes_try;
+      for (int i = 0; i < n_try; ++i) modes_try.push_back(ranked[i].second);
+      bool has_planar = false;
+      for (int m : modes_try) has_planar |= m == PLANAR;
+      if (!has_planar) modes_try.push_back(PLANAR);
+      int th0 = TR_DCT2, tv0 = TR_DCT2;
+      if (pp.implicit_mts) {
+        th0 = (4 <= w && w <= 16) ? TR_DST7 : TR_DCT2;
+        tv0 = (4 <= h && h <= 16) ? TR_DST7 : TR_DCT2;
+      }
+      for (int mode : modes_try) {
+        CuRec cu;
+        cu.x = x;
+        cu.y = y;
+        cu.w = w;
+        cu.h = h;
+        cu.is_inter = false;
+        cu.luma_mode = mode;
+        std::vector<int32_t> pred(size_t(h) * w);
+        intra::predict(top.data(), int(top.size()), left.data(),
+                       int(left.size()), mode, w, h, pp.bit_depth, true, 0,
+                       -1, -1, false, -1, pred.data());
+        std::vector<int32_t> resi(size_t(h) * w), coeff(size_t(h) * w);
+        for (size_t i = 0; i < size_t(h) * w; ++i)
+          resi[i] = src_y[i] - pred[i];
+        int cbf = vte_tq_quant(resi.data(), w, h, th0, tv0, pp.qp_y,
+                               pp.bit_depth, 1, pp.lmbda, g_soffs.cbf_y,
+                               pp.sdh ? 1 : 0, est.s0.data(),
+                               est.s1.data(), coeff.data(), pp.dq ? 1 : 0);
+        if (cbf) cu.coeff_y.assign(coeff.begin(), coeff.begin() + h * w);
+        // chroma (DM mode), predicted from the current rec state
+        std::vector<int32_t> pc;
+        for (int comp = 1; comp <= 2; ++comp) {
+          intra_pred_fallback(cu, comp, pc);
+          std::vector<int32_t> cres(size_t(chh) * cw), cco(size_t(chh) * cw);
+          const std::vector<int32_t>& sc = comp == 1 ? src_cb : src_cr;
+          for (size_t i = 0; i < size_t(chh) * cw; ++i)
+            cres[i] = sc[i] - pc[i];
+          double w_ = comp == 1 ? pp.cw_cb : pp.cw_cr;
+          int cctx = comp == 1 ? g_soffs.cbf_cb
+                               : g_soffs.cbf_cr +
+                                     (!cu.coeff_cb.empty() ? 1 : 0);
+          int cbf_c = vte_tq_quant(
+              cres.data(), cw, chh, TR_DCT2, TR_DCT2,
+              comp == 1 ? pp.qp_cb : pp.qp_cr, pp.bit_depth, 0,
+              pp.lmbda / w_, cctx, pp.sdh ? 1 : 0, est.s0.data(),
+              est.s1.data(), cco.data(), pp.dq ? 1 : 0);
+          if (cbf_c) {
+            if (comp == 1)
+              cu.coeff_cb.assign(cco.begin(), cco.begin() + chh * cw);
+            else
+              cu.coeff_cr.assign(cco.begin(), cco.begin() + chh * cw);
+          }
+        }
+        intra_trials.push_back(cu);
+      }
+      eval(intra_trials);
+    }
+    if (!have_best) return 1e300;  // no valid trial (should not happen)
+    s_restore(best_state);
+    est_load(est, best_est);
+    cu_out = best_cu;
+    return best_cost;
+  }
+
   // -- recursive tree search (intra_encoder.py _rd_node) --
   struct NodeResult {
     Node node;
@@ -4155,12 +5768,12 @@ struct Searcher {
     int tidx = part.tree_type == CHROMA_TREE ? 2 : pp.tree_idx;
     bool can[6];
     split_options_full(ps, pp, x, y, w, h, part, tidx, can);
-    // SCIPU-free split filter (intra slice: LDT_INHERIT only)
+    // SCIPU-free split filter (LDT_INHERIT only)
     std::vector<int> tries;
     for (int s = 0; s < 6; ++s) {
       if (!can[s]) continue;
-      if (s == NO_SPLIT ||
-          signal_mode_cons(w, h, s, part.mode_type, true) == LDT_INHERIT)
+      if (s == NO_SPLIT || signal_mode_cons(w, h, s, part.mode_type,
+                                            ic == nullptr) == LDT_INHERIT)
         tries.push_back(s);
     }
     if (tries.empty()) return false;
@@ -4177,24 +5790,25 @@ struct Searcher {
 
     // single candidate (planned or forced): run in place, no snapshots
     const bool one_try = tries.size() == 1;
-    RegionSnap state0;
+    SSnap state0;
     EstSnap est0;
     if (!one_try) {
-      region_save(ps, x, y, std::max(w, h), state0);
+      s_save(x, y, std::max(w, h), state0);
       est_save(est, est0);
     }
 
     bool have_best = false;
     double best_cost = 0;
     Node best_node;
-    RegionSnap best_after;
+    SSnap best_after;
     EstSnap best_est;
+    bool early_skip = false;
     int impl = implicit_split_of(ps, pp, x, y, w, h, part, tidx);
 
     for (size_t ti = 0; ti < tries.size(); ++ti) {
       int split = tries[ti];
       if (ti > 0) {
-        region_restore(ps, state0);
+        s_restore(state0);
         est_load(est, est0);
       }
       Node node;
@@ -4215,9 +5829,15 @@ struct Searcher {
         double cu_cost;
         if (part.tree_type == CHROMA_TREE)
           cu_cost = rd_cu_chroma(node.cu, part);
+        else if (ic)
+          cu_cost = rd_cu_inter(node.cu, part);
         else
           cu_cost = rd_cu_intra(node.cu, part);
         cost += cu_cost;
+        // EncModeCtrl earlySkip: a SKIP winner at this level makes
+        // deeper partitions near-certain losers — don't descend
+        if (ic && node.cu.skip && (!have_best || cost < best_cost))
+          early_skip = true;
       } else {
         bool is_impl = split == impl;
         int geo[4][4], ng;
@@ -4246,14 +5866,15 @@ struct Searcher {
         best_cost = cost;
         best_node = std::move(node);
         if (!one_try) {
-          region_save(ps, x, y, std::max(w, h), best_after);
+          s_save(x, y, std::max(w, h), best_after);
           est_save(est, best_est);
         }
       }
+      if (early_skip) break;
     }
     if (!have_best) return false;
     if (!one_try) {
-      region_restore(ps, best_after);
+      s_restore(best_after);
       est_load(est, best_est);
     }
     out.node = std::move(best_node);
@@ -4264,8 +5885,8 @@ struct Searcher {
 
   // -- CTU entry (intra_encoder.py search_ctu) --
   bool search(int ctu_x, int ctu_y, Node& out) {
-    RegionSnap snap;
-    region_save(ps, ctu_x, ctu_y, pp.ctu_size, snap);
+    SSnap snap;
+    s_save(ctu_x, ctu_y, pp.ctu_size, snap);
     luma64.clear();
     bool ok = true;
     if (pp.dual_tree) {
@@ -4310,9 +5931,17 @@ struct Searcher {
     // the picture (the Python replay then skips finish_cu's
     // re-reconstruction; CuData.recon_done) but restore the attribute
     // maps — the replay marks those progressively, and the writer's
-    // neighbor availability depends on that ordering.
-    if (commit_state) region_restore_maps(ps, snap);
-    else region_restore(ps, snap);
+    // neighbor availability depends on that ordering.  The motion
+    // field/HMVP parallel the maps: the replay re-derives them.
+    if (commit_state) {
+      region_restore_maps(ps, snap.reg);
+      if (ic) {
+        mf_restore(*ic, snap.mf);
+        hmvp = snap.hm;
+      }
+    } else {
+      s_restore(snap);
+    }
     return ok;
   }
   bool commit_state = false;
@@ -4338,14 +5967,56 @@ struct Writer {
   }
 };
 
-static void serialize(const Node& n, Writer& w, bool chroma_tree) {
+static void serialize(const Node& n, Writer& w, bool chroma_tree,
+                      bool inter_slice = false) {
   w.put(n.split_mode);
   if (!w.ok) return;
   if (n.split_mode != NO_SPLIT) {
-    for (const auto& c : n.children) serialize(c, w, chroma_tree);
+    for (const auto& c : n.children) serialize(c, w, chroma_tree,
+                                               inter_slice);
     return;
   }
   const CuRec& cu = n.cu;
+  if (inter_slice) {
+    w.put(cu.is_inter ? 1 : 0);
+    if (cu.is_inter) {
+      w.put(cu.skip ? 1 : 0);
+      w.put(cu.merge ? 1 : 0);
+      w.put(cu.merge_idx);
+      w.put(cu.mv[0][0]);
+      w.put(cu.mv[0][1]);
+      w.put(cu.mv[1][0]);
+      w.put(cu.mv[1][1]);
+      w.put(cu.ref_idx[0]);
+      w.put(cu.ref_idx[1]);
+      w.put(cu.mvd[0]);
+      w.put(cu.mvd[1]);
+      w.put(cu.mvp_idx);
+      w.put(cu.mvd1[0]);
+      w.put(cu.mvd1[1]);
+      w.put(cu.mvp_idx1);
+      w.put(cu.bcw);
+      w.put(cu.alt_hpel ? 1 : 0);
+      w.put(cu.imv);
+      w.put(cu.smvd ? 1 : 0);
+      w.put(cu.root_cbf ? 1 : 0);
+      w.put(int(cu.dmvr.size()));
+      for (const auto& r : cu.dmvr)
+        for (int k = 0; k < 5; ++k) w.put(r[k]);
+    } else {
+      w.put(cu.luma_mode);
+      w.put(cu.chroma_dir);
+      w.put(cu.lfnst_idx);
+      w.put(cu.joint_cbcr);
+    }
+    w.put(cu.coeff_y.empty() ? 0 : 1);
+    if (!cu.coeff_y.empty()) w.put_coeff(cu.coeff_y);
+    w.put(cu.coeff_cb.empty() ? 0 : 1);
+    w.put(cu.coeff_cr.empty() ? 0 : 1);
+    if (!cu.coeff_cb.empty()) w.put_coeff(cu.coeff_cb);
+    if (!cu.coeff_cr.empty()) w.put_coeff(cu.coeff_cr);
+    return;
+  }
   if (chroma_tree) {
     w.put(cu.luma_mode);  // center co-located luma mode (DM source)
     w.put(cu.chroma_dir);
@@ -4419,6 +6090,104 @@ void vte_search_init(const int32_t* offs) {
   g_soffs.num_ctx = offs[17];
 }
 
+// inter syntax context-set bases (second init call; same offsets table
+// convention as vte_search_init)
+void vte_search_init_inter(const int32_t* offs) {
+  using namespace ctusearch;
+  g_soffs.skip_flag = offs[0];
+  g_soffs.pred_mode = offs[1];
+  g_soffs.merge_flag = offs[2];
+  g_soffs.merge_idx = offs[3];
+  g_soffs.inter_dir = offs[4];
+  g_soffs.ref_pic = offs[5];
+  g_soffs.mvd = offs[6];
+  g_soffs.mvp_idx = offs[7];
+  g_soffs.root_cbf = offs[8];
+  g_soffs.sub_merge = offs[9];
+  g_soffs.reg_merge = offs[10];
+  g_soffs.mmvd_flag = offs[11];
+  g_soffs.mmvd_merge = offs[12];
+  g_soffs.mmvd_step = offs[13];
+  g_soffs.ciip_flag = offs[14];
+  g_soffs.smvd_flag = offs[15];
+  g_soffs.aff_flag = offs[16];
+  g_soffs.aff_type = offs[17];
+  g_soffs.imv_flag = offs[18];
+  g_soffs.bcw_idx = offs[19];
+  g_soffs.delta_qp = offs[20];
+}
+
+// per-picture inter state; returns an opaque handle for vte_search_ctu
+void* vte_inter_new(
+    int pic_w, int pic_h, int ctu_size, int bit_depth, int cur_poc,
+    int is_b, int max_merge, int n_ref0, int n_ref1,
+    const int64_t* ref_plane_ptrs /* [2][8][3] */,
+    const int32_t* ref_pocs /* [2][8] */, int tmvp_en,
+    const uint8_t* col_valid, const int32_t* col_mv, const int8_t* col_ref,
+    int col_poc, int col_from_l0, const int32_t* col_ref_pocs /* [2][8] */,
+    int col_nref0, int col_nref1, int check_ldc, int mvd_l1_zero,
+    int dmvr_on, int bdof_on, int search_range, uint8_t* mf_valid,
+    int32_t* mf_mv, int8_t* mf_ref, int8_t* mf_bcw, uint8_t* mf_alt,
+    uint8_t* mf_skip, uint8_t* mf_isaff, int uw, int uh) {
+  using namespace ctusearch;
+  InterCtx* ic = new InterCtx();
+  ic->pic_w = pic_w;
+  ic->pic_h = pic_h;
+  ic->ctu_size = ctu_size;
+  ic->bit_depth = bit_depth;
+  ic->cur_poc = cur_poc;
+  ic->is_b = is_b != 0;
+  ic->max_merge = max_merge;
+  ic->n_ref[0] = n_ref0;
+  ic->n_ref[1] = n_ref1;
+  for (int li = 0; li < 2; ++li)
+    for (int r = 0; r < 8; ++r) {
+      for (int c = 0; c < 3; ++c)
+        ic->ref_plane[li][r][c] = reinterpret_cast<const int32_t*>(
+            ref_plane_ptrs[(li * 8 + r) * 3 + c]);
+      ic->ref_poc[li][r] = ref_pocs[li * 8 + r];
+      ic->col_ref_poc[li][r] = col_ref_pocs[li * 8 + r];
+    }
+  if (tmvp_en) {
+    ic->col_valid = col_valid;
+    ic->col_mv = col_mv;
+    ic->col_ref = col_ref;
+  }
+  ic->col_poc = col_poc;
+  ic->col_from_l0 = col_from_l0;
+  (void)col_nref0;
+  (void)col_nref1;
+  ic->check_ldc = check_ldc != 0;
+  ic->mvd_l1_zero = mvd_l1_zero != 0;
+  ic->dmvr_on = dmvr_on != 0;
+  ic->bdof_on = bdof_on != 0;
+  ic->search_range = search_range;
+  ic->mf_valid = mf_valid;
+  ic->mf_mv = mf_mv;
+  ic->mf_ref = mf_ref;
+  ic->mf_bcw = mf_bcw;
+  ic->mf_alt = mf_alt;
+  ic->mf_skip = mf_skip;
+  ic->mf_isaff = mf_isaff;
+  ic->uw = uw;
+  ic->uh = uh;
+  return ic;
+}
+
+void vte_inter_free(void* h) {
+  delete reinterpret_cast<ctusearch::InterCtx*>(h);
+}
+
+void vte_inter_set_me(void* h, int li, int ri, const int32_t* tab, int nbx,
+                      int nby, int bs, int use_dev) {
+  auto* ic = reinterpret_cast<ctusearch::InterCtx*>(h);
+  ic->me_tab[li][ri] = tab;
+  ic->me_nbx[li][ri] = nbx;
+  ic->me_nby[li][ri] = nby;
+  ic->me_bs = bs;
+  ic->use_dev_me = use_dev != 0;
+}
+
 // full intra CTU search; returns 0 on success, <0 on overflow/error
 int vte_search_ctu(
     int pic_w, int pic_h, int bit_depth, int ctu_x, int ctu_y, int ctu_size,
@@ -4438,11 +6207,30 @@ int vte_search_ctu(
     const int64_t* plan_ptrs, int32_t* out_tree, int tree_cap,
     int32_t* out_coeff, int coeff_cap, int32_t* out_n, int commit,
     int dep_quant, int mip_en, int mrl_en, int lfnst_en, int jccr_en,
-    int jccr_sign, int qp_jc, int isp_en, double cw_cb, double cw_cr) {
+    int jccr_sign, int qp_jc, int isp_en, double cw_cb, double cw_cr,
+    void* inter_ctx, const int32_t* hmvp_init, int hmvp_n, int use_dqp,
+    int dqp_coded) {
   using namespace ctusearch;
   ProfScope _p(&g_prof_total);
   Searcher s;
   s.commit_state = commit != 0;
+  s.ic = reinterpret_cast<InterCtx*>(inter_ctx);
+  s.use_dqp = use_dqp != 0;
+  s.dqp_coded = dqp_coded != 0;
+  for (int i = 0; i < hmvp_n; ++i) {
+    // rows of 12 ints: mv00 mv01 mv10 mv11 ref0 ref1 bcw alt (4 spare)
+    const int32_t* r = hmvp_init + i * 12;
+    MI mi;
+    mi.mv[0][0] = r[0];
+    mi.mv[0][1] = r[1];
+    mi.mv[1][0] = r[2];
+    mi.mv[1][1] = r[3];
+    mi.ref[0] = int8_t(r[4]);
+    mi.ref[1] = int8_t(r[5]);
+    mi.bcw = int8_t(r[6]);
+    mi.alt = uint8_t(r[7]);
+    s.hmvp.push_back(mi);
+  }
   s.ps.W = pic_w;
   s.ps.H = pic_h;
   s.ps.uw = uw;
@@ -4537,7 +6325,7 @@ int vte_search_ctu(
     for (size_t i = 0; i < root.children.size(); ++i)
       serialize(root.children[i], wtr, (i & 1) != 0);
   } else {
-    serialize(root, wtr, false);
+    serialize(root, wtr, false, s.ic != nullptr);
   }
   if (!wtr.ok) return -2;
   out_n[0] = wtr.tree_n;

@@ -157,3 +157,62 @@ def test_qpa_dqp_matches_python():
                   deblocking=True, cclm=True, dual_tree=True, qpa=True,
                   max_mtt_depth=mtt, dep_quant=True,
                   sign_data_hiding=False), seed=ctu)
+
+
+def _moving_frames(w, h, n, seed=5):
+    import scipy.ndimage as ndi
+    rng = np.random.RandomState(seed)
+    base = ndi.gaussian_filter(
+        rng.randint(0, 255, (h + 64, w + 64)).astype(np.float32), 1.2)
+    base = (base - base.min()) / (base.max() - base.min() + 1e-9) * 230 + 10
+    frames = []
+    for i in range(n):
+        dx, dy = int(2.5 * i), int(1.7 * i)
+        y = base[dy:dy + h, dx:dx + w].astype(np.uint8)
+        u = (y[::2, ::2] // 2 + 60).astype(np.uint8)
+        v = (128 - y[::2, ::2] // 3).astype(np.uint8)
+        frames.append((y, u, v))
+    return frames
+
+
+def _run_seq(cfg_kw, n=5, seed=5):
+    """Random-access sequence through the check-mode dispatcher: the
+    native inter-slice CTU search is asserted tree-equal to the Python
+    golden searcher at every CTU of every B/P slice."""
+    w, h = cfg_kw.pop("width"), cfg_kw.pop("height")
+    frames = _moving_frames(w, h, n, seed)
+    old = os.environ.get("VVENC_TPU_NATIVE_SEARCH")
+    os.environ["VVENC_TPU_NATIVE_SEARCH"] = "check"
+    try:
+        enc = IntraEncoder(EncoderConfig(
+            width=w, height=h, intra_period=0, max_parallel_frames=1,
+            intra_presel="exact", me_mode="host", **cfg_kw))
+        stream = enc.encode_sequence(frames)
+    finally:
+        if old is None:
+            del os.environ["VVENC_TPU_NATIVE_SEARCH"]
+        else:
+            os.environ["VVENC_TPU_NATIVE_SEARCH"] = old
+    dec = decode_stream(stream)
+    assert len(dec) == n
+    return stream
+
+
+def test_inter_faster_toolset_matches_python():
+    """The native inter (B/P) slice search — merge/skip + AMVP uni/bi +
+    DMVR + TMVP + intra fallback + BIM DQP (BASELINE config-2 toolset at
+    preset faster) — bit-exact vs the Python golden searcher
+    (inter_search.py); reference scope EncCu.cpp:717 at preset faster."""
+    _run_seq(dict(width=192, height=96, qp=33, ctu_size=64, gop_size=4,
+                  deblocking=True, sao=True, cclm=True, dual_tree=True,
+                  mts_implicit=True, mctf=True, bim=True, dmvr=True,
+                  tmvp=True, alf=True, ccalf=True), n=5)
+
+
+def test_inter_qp_sweep_matches_python():
+    """QP sweep over the inter search (estimator near-ties move the
+    trial ordering; the native searcher must fork identically)."""
+    for qp in (24, 38):
+        _run_seq(dict(width=128, height=64, qp=qp, ctu_size=64,
+                      gop_size=2, deblocking=True, dmvr=True, tmvp=True,
+                      mctf=True, bim=True), n=3, seed=qp)

@@ -1055,6 +1055,12 @@ def _assert_trees_equal(a, b, path="ctu"):
             (path, "mode", ca.luma_mode, cb.luma_mode)
         assert ca.chroma_dir == cb.chroma_dir, \
             (path, "chroma", ca.chroma_dir, cb.chroma_dir)
+        for f in ("is_inter", "skip", "merge", "merge_idx", "mv",
+                  "ref_idx", "mvd", "mvp_idx", "mvd_l1", "mvp_idx_l1",
+                  "bcw_idx", "alt_hpel", "imv", "smvd", "root_cbf",
+                  "dmvr_deltas"):
+            va, vb = getattr(ca, f), getattr(cb, f)
+            assert va == vb, (path, f, va, vb)
         for f in ("coeff_y", "coeff_cb", "coeff_cr"):
             va, vb = getattr(ca, f), getattr(cb, f)
             if va is None and vb is None:

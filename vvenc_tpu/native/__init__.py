@@ -499,8 +499,38 @@ def _search_setup():
            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
            ctypes.c_int, ctypes.c_int, ctypes.c_double,
-           ctypes.c_double])
+           ctypes.c_double]
+        + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+        + [ctypes.c_int] * 2)
     _LIB.vte_search_ctu.restype = ctypes.c_int
+    _LIB.vte_search_init_inter.argtypes = [_PI32]
+    _LIB.vte_search_init_inter.restype = None
+    _LIB.vte_inter_new.argtypes = (
+        [ctypes.c_int] * 9 + [ctypes.c_void_p] * 2 + [ctypes.c_int]
+        + [ctypes.c_void_p] * 3 + [ctypes.c_int] * 2 + [ctypes.c_void_p]
+        + [ctypes.c_int] * 7
+        + [ctypes.c_void_p] * 7 + [ctypes.c_int] * 2)
+    _LIB.vte_inter_new.restype = ctypes.c_void_p
+    _LIB.vte_inter_free.argtypes = [ctypes.c_void_p]
+    _LIB.vte_inter_free.restype = None
+    _LIB.vte_inter_set_me.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    _LIB.vte_inter_set_me.restype = None
+    offs_i = np.asarray([
+        ct.CTX_SETS["SkipFlag"](0), ct.CTX_SETS["PredMode"](0),
+        ct.CTX_SETS["MergeFlag"](0), ct.CTX_SETS["MergeIdx"](0),
+        ct.CTX_SETS["InterDir"](0), ct.CTX_SETS["RefPic"](0),
+        ct.CTX_SETS["Mvd"](0), ct.CTX_SETS["MVPIdx"](0),
+        ct.CTX_SETS["QtRootCbf"](0), ct.CTX_SETS["SubblockMergeFlag"](0),
+        ct.CTX_SETS["RegularMergeFlag"](0), ct.CTX_SETS["MmvdFlag"](0),
+        ct.CTX_SETS["MmvdMergeIdx"](0), ct.CTX_SETS["MmvdStepMvpIdx"](0),
+        ct.CTX_SETS["CiipFlag"](0), ct.CTX_SETS["SmvdFlag"](0),
+        ct.CTX_SETS["AffineFlag"](0), ct.CTX_SETS["AffineType"](0),
+        ct.CTX_SETS["ImvFlag"](0), ct.CTX_SETS["BcwIdx"](0),
+        ct.CTX_SETS["DeltaQP"](0)],
+        dtype=np.int32)
+    _LIB.vte_search_init_inter(offs_i.ctypes.data)
     offs = np.asarray([
         ct.CTX_SETS["SplitFlag"](0), ct.CTX_SETS["SplitQtFlag"](0),
         ct.CTX_SETS["SplitHvFlag"](0), ct.CTX_SETS["Split12Flag"](0),
@@ -519,26 +549,142 @@ def _search_setup():
 
 
 def search_eligible(searcher) -> bool:
-    """True when the native driver covers this picture's tool set:
-    intra slices with RDOQ or the dependent-quantization trellis,
-    QT+BT+TT partitioning to any MTT depth and CTU size, MIP, MRL,
-    ISP, LFNST, JCCR, implicit MTS, CCLM, and per-CTU QP (QPA/BIM
-    DQP) — the full medium-preset intra tool stack.  Still excluded
-    (Python searcher handles them): explicit MTS (slower preset),
+    """True when the native driver covers this picture's tool set.
+
+    Intra slices: RDOQ or the dependent-quantization trellis, QT+BT+TT
+    partitioning to any MTT depth and CTU size, MIP, MRL, ISP, LFNST,
+    JCCR, implicit MTS, CCLM, and per-CTU QP (QPA/BIM DQP) — the full
+    medium-preset intra tool stack.
+
+    Inter (P/B) slices: the faster-preset toolset — merge/skip + AMVP
+    uni/bi + DMVR + TMVP + the gated intra fallback (EncCu.cpp:717 mode
+    loop scope at preset faster).  Tools that still fall back to the
+    Python searcher: affine/SbTMVP, MMVD, GEO, CIIP, SMVD, AMVR, BCW,
+    BDOF, SBT, per-CTU QP (QPA), CTU 128 (>maxTB tiling).
+
+    Always excluded (Python searcher handles them): explicit MTS,
     transform-skip/BDPCM/IBC (SCC), LMCS, tiles, IFP rows."""
     if _LIB is None or not _search_setup():
         return False
     coder, cfg, sps = searcher.coder, searcher.cfg, searcher.enc.sps
     ps = searcher.ps
-    return (coder.is_intra_slice
-            and not getattr(searcher.enc, "trial_filter", None)
-            and bool(cfg.rdoq or cfg.dep_quant)
-            and not sps.mts_intra
-            and not sps.transform_skip and not getattr(sps, "bdpcm", 0)
-            and not coder.ibc_en and not coder.bdpcm_en
-            and coder.reshape is None
-            and ps.tile_map is None
-            and searcher.ifp_bottom is None)
+    common = (not getattr(searcher.enc, "trial_filter", None)
+              and bool(cfg.rdoq or cfg.dep_quant)
+              and not sps.mts_intra
+              and not sps.transform_skip and not getattr(sps, "bdpcm", 0)
+              and not coder.ibc_en and not coder.bdpcm_en
+              and coder.reshape is None
+              and ps.tile_map is None
+              and searcher.ifp_bottom is None)
+    if not common:
+        return False
+    if coder.is_intra_slice:
+        return True
+    return (cfg.ctu_size <= 64
+            and not coder.affine_en and coder.max_aff_merge == 0
+            and not coder.mmvd and not coder.geo_en
+            and not coder.ciip_en and not coder.smvd_en
+            and not coder.amvr and not coder.bcw_en
+            and not coder.bdof_on
+            and not getattr(sps, "sbt", 0)
+            and coder.num_refs[0] <= 8 and coder.num_refs[1] <= 8
+            and not getattr(coder.sh.ph, "partition_override", None))
+
+
+def _mi_rows(lut):
+    """MotionInfo list -> int32 [n, 12] rows for the native HMVP."""
+    rows = np.zeros((len(lut), 12), np.int32)
+    for i, mi in enumerate(lut):
+        rows[i, 0:2] = mi.mv[0]
+        rows[i, 2:4] = mi.mv[1]
+        rows[i, 4:6] = mi.ref_idx
+        rows[i, 6] = mi.bcw
+        rows[i, 7] = 1 if mi.alt_hpel else 0
+    return rows
+
+
+def inter_setup(searcher):
+    """Build (once per picture) the native inter context handle: reference
+    planes, POCs, TMVP collocated motion, the live motion-field arrays and
+    the device pre-ME tables.  Returns the ctypes handle (int)."""
+    prep = getattr(searcher, "_ninter_prep", None)
+    if prep is not None:
+        return prep[0]
+    import weakref
+    _mc_setup()   # chroma MC taps ROM (the native search MCs internally)
+    coder = searcher.coder
+    cfg = searcher.cfg
+    sps = searcher.enc.sps
+    keep = []
+    plane_ptrs = np.zeros(2 * 8 * 3, np.int64)
+    ref_pocs = np.zeros(2 * 8, np.int32)
+    for li in range(2):
+        for ri in range(len(coder.ref_pics[li])):
+            for comp in range(3):
+                pl = np.ascontiguousarray(coder.ref_pics[li][ri][comp],
+                                          dtype=np.int32)
+                keep.append(pl)
+                plane_ptrs[(li * 8 + ri) * 3 + comp] = pl.ctypes.data
+            ref_pocs[li * 8 + ri] = coder.ref_pocs[li][ri]
+    tmvp = coder.tmvp
+    col_ref_pocs = np.zeros(2 * 8, np.int32)
+    if tmvp is not None:
+        col_mf = tmvp.col_mf
+        col_valid = col_mf.valid
+        col_mv = col_mf.mv
+        col_ref = col_mf.ref
+        keep += [col_valid, col_mv, col_ref]
+        for li in range(2):
+            for ri, p in enumerate(tmvp.col_ref_pocs[li][:8]):
+                col_ref_pocs[li * 8 + ri] = p
+        cvp, cmp_, crp = (col_valid.ctypes.data, col_mv.ctypes.data,
+                          col_ref.ctypes.data)
+        col_poc, col_l0 = tmvp.col_poc, tmvp.col_from_l0
+        check_ldc = tmvp.check_ldc
+    else:
+        cvp = cmp_ = crp = 0
+        col_poc = col_l0 = 0
+        check_ldc = all(p <= coder.cur_poc for li in range(2)
+                        for p in coder.ref_pocs[li])
+    mf = coder.mf
+    handle = _LIB.vte_inter_new(
+        searcher.ps.w, searcher.ps.h, cfg.ctu_size, cfg.bit_depth,
+        coder.cur_poc, 1 if coder.is_b else 0, sps.max_num_merge_cand,
+        coder.num_refs[0], coder.num_refs[1],
+        plane_ptrs.ctypes.data, ref_pocs.ctypes.data,
+        1 if tmvp is not None else 0, cvp, cmp_, crp,
+        col_poc, col_l0, col_ref_pocs.ctypes.data, 0, 0,
+        1 if check_ldc else 0,
+        1 if getattr(coder.sh.ph, "mvd_l1_zero", 0) else 0,
+        1 if coder.dmvr_on and not getattr(coder.sh.ph, "dis_dmvr", 0)
+        else 0,
+        1 if coder.bdof_on and not getattr(coder.sh.ph, "dis_bdof", 0)
+        else 0,
+        cfg.search_range,
+        mf.valid.ctypes.data, mf.mv.ctypes.data, mf.ref.ctypes.data,
+        mf.bcw.ctypes.data, mf.alt.ctypes.data, mf.skipf.ctypes.data,
+        mf.isaff.ctypes.data, mf.uw, mf.uh)
+    keep += [plane_ptrs, ref_pocs, col_ref_pocs, mf]
+    # device pre-ME tables (shared with the Python searcher's cache so
+    # check mode sees identical coarse stages)
+    if searcher._use_device_me():
+        from ..ops.me import ME_BS
+        for li in range(2):
+            for ri in range(len(coder.ref_pics[li])):
+                ref_y = coder.ref_pics[li][ri][0]
+                tab = searcher._device_me(ref_y)
+                if tab is not None:
+                    t = np.ascontiguousarray(tab.mv, dtype=np.int32)
+                    keep.append(t)
+                    _LIB.vte_inter_set_me(
+                        handle, li, ri, t.ctypes.data, t.shape[1],
+                        t.shape[0], tab.bs, 1)
+                else:
+                    _LIB.vte_inter_set_me(handle, li, ri, 0, 1, 1,
+                                          ME_BS, 1)
+    searcher._ninter_prep = (handle, keep)
+    weakref.finalize(searcher, _LIB.vte_inter_free, handle)
+    return handle
 
 
 def search_ctu(searcher, ctu_x: int, ctu_y: int, live_ctx, commit=True):
@@ -609,6 +755,15 @@ def search_ctu(searcher, ctu_x: int, ctu_y: int, live_ctx, commit=True):
     def b8(a):
         return a.view(np.uint8) if a.dtype == np.bool_ else a
 
+    if coder.is_intra_slice:
+        ih, hm_ptr, hm_n = 0, 0, 0
+        _hm_keep = None
+    else:
+        ih = inter_setup(searcher)
+        _hm_keep = _mi_rows(coder.hmvp.lut)
+        hm_ptr = _hm_keep.ctypes.data
+        hm_n = len(_hm_keep)
+
     args = (
         ps.w, ps.h, cfg.bit_depth, ctu_x, ctu_y, cfg.ctu_size,
         _i32p(ps.rec[0]), _i32p(ps.rec[1]), _i32p(ps.rec[2]),
@@ -638,7 +793,9 @@ def search_ctu(searcher, ctu_x: int, ctu_y: int, live_ctx, commit=True):
         1 if sps.mrl else 0, 1 if sps.lfnst else 0,
         1 if coder.jccr else 0, 1 if coder.jccr_sign else 0,
         qp.joint_qp(), 1 if sps.isp else 0,
-        float(searcher.cw[1]), float(searcher.cw[2]))
+        float(searcher.cw[1]), float(searcher.cw[2]),
+        ih, hm_ptr, hm_n,
+        1 if coder.use_dqp else 0, 1 if coder.dqp_coded else 0)
     try:
         rc = _LIB.vte_search_ctu(*args)
     except ctypes.ArgumentError:
@@ -689,6 +846,50 @@ def search_ctu(searcher, ctu_x: int, ctu_y: int, live_ctx, commit=True):
             cu.cclm_allowed = bool(tok())
             cu.lfnst_idx = tok()
             cu.joint_cbcr = tok()
+            cbf_cb, cbf_cr = tok(), tok()
+            if cbf_cb:
+                cu.coeff_cb = block(h >> 1, w >> 1)
+            if cbf_cr:
+                cu.coeff_cr = block(h >> 1, w >> 1)
+            node.cu = cu
+            return node
+        if not coder.is_intra_slice:
+            # inter-slice CU layout (serialize() inter_slice branch)
+            is_inter = bool(tok())
+            cu = CuData(x, y, w, h, is_inter=is_inter)
+            cu.recon_done = commit
+            if is_inter:
+                cu.skip = bool(tok())
+                cu.merge = bool(tok())
+                cu.merge_idx = tok()
+                cu.mv = ((tok(), tok()), (tok(), tok()))
+                cu.ref_idx = (tok(), tok())
+                cu.mvd = (tok(), tok())
+                cu.mvp_idx = tok()
+                cu.mvd_l1 = (tok(), tok())
+                cu.mvp_idx_l1 = tok()
+                cu.bcw_idx = tok()
+                cu.alt_hpel = bool(tok())
+                cu.imv = tok()
+                cu.smvd = bool(tok())
+                cu.root_cbf = bool(tok())
+                nd = tok()
+                if nd:
+                    cu.dmvr_deltas = {}
+                    cu.dmvr_bdof = {}
+                    for _ in range(nd):
+                        sy_, sx_ = tok(), tok()
+                        dx_, dy_ = tok(), tok()
+                        bd_ = tok()
+                        cu.dmvr_deltas[(sy_, sx_)] = (dx_, dy_)
+                        cu.dmvr_bdof[(sy_, sx_)] = bool(bd_)
+            else:
+                cu.luma_mode = tok()
+                cu.chroma_dir = tok()
+                cu.lfnst_idx = tok()
+                cu.joint_cbcr = tok()
+            if tok():
+                cu.coeff_y = block(h, w)
             cbf_cb, cbf_cr = tok(), tok()
             if cbf_cb:
                 cu.coeff_cb = block(h >> 1, w >> 1)
