@@ -74,7 +74,14 @@ def first_pass_gop(frames: List, base: int, entries, cfg
     from .intra_encoder import EncoderConfig, IntraEncoder
     last = max(e.poc_in_gop for e in entries)
     hi = min(len(frames), base + last + 1)
-    window = [tuple(_half(p) for p in frames[i]) for i in range(base, hi)]
+    # one LEAD frame when the window is mid-sequence: the window anchor
+    # then codes at its actual slice type (P/B against the lead IDR)
+    # instead of as an unrepresentative IDR whose bits had to be dropped
+    # — scene-cut anchors (the costliest pictures) get real first-pass
+    # bits this way (vvenc EncLib.cpp:356-366 feeds stats for EVERY
+    # picture; VERDICT r4 item 6)
+    lo = base - 1 if base > 0 else base
+    window = [tuple(_half(p) for p in frames[i]) for i in range(lo, hi)]
     if len(window) < 2:
         return analyze_gop(frames, base, entries), False
     fp_cfg = EncoderConfig(
@@ -88,9 +95,11 @@ def first_pass_gop(frames: List, base: int, entries, cfg
     px = float(window[0][0].size)
     out: Dict[int, float] = {}
     for rel, bits in enc.bits_by_poc.items():
-        poc = base + rel
-        if rel == 0 and base > 0:
-            continue  # window anchor coded as IDR; not representative
+        poc = lo + rel
+        if rel == 0 and lo > 0:
+            continue  # lead frame coded as IDR; not representative
+        if poc < base:
+            continue  # the lead belongs to the previous window
         out[poc] = float(bits) / px + 1e-3
     if not out:
         return analyze_gop(frames, base, entries), False

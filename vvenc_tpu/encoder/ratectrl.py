@@ -67,35 +67,48 @@ class RateCtrl:
         # {poc: complexity} for the window about to be coded
         self.la: Dict[int, float] = {}
         self._la_mean = 1.0
-        self._prev_prior = None     # last first-pass window level
+        # real-first-pass window state (mini two-pass): predicted bits
+        # per pending picture at the base QP, the learned half->full
+        # scale corrections (log2, PER TEMPORAL LAYER — anchors and
+        # high-TL pictures scale very differently), and applied shifts
+        self.fp_win: Dict[int, tuple] = {}      # poc -> (pred_base, tl)
+        # per-TL R(QP) model learned online (the vvenc R-lambda model
+        # learns BOTH alpha and beta, RateCtrl updateAlphaBetaIntra):
+        #   log2 bits = log2(pred_base) + scale - slope * shift / 6
+        # scale: level correction; slope: QP sensitivity (1.0 = the
+        # textbook bits-halve-per-+6QP; real content runs 1-4)
+        self.fp_scale: Dict[int, float] = {}    # tl -> log2 level corr
+        self.fp_slope: Dict[int, float] = {}    # tl -> model slope
+        self._fp_seen: Dict[int, int] = {}      # tl -> updates observed
+        self._fp_prev: Dict[int, tuple] = {}    # tl -> (shift, log2 l)
+        self._fp_applied: Dict[int, float] = {}
 
     def set_lookahead(self, complexities: Dict[int, float],
                       pixels: Optional[int] = None,
-                      fp_qp: int = 32) -> None:
+                      fp_qp: int = 32, tls: Optional[Dict] = None) -> None:
         """Install the lookahead window's per-picture complexities.
 
         pixels: full-resolution pixel count when the complexities are
         REAL first-pass bits/px (encoder/lookahead.py first_pass_gop)
-        — enables the absolute-level startup prior below."""
+        — the window then runs as a mini two-pass below."""
         self.la.update(complexities)
         vals = list(complexities.values())
         if vals:
             self._la_mean = max(1e-6, sum(vals) / len(vals))
         if pixels and vals and self.stats is None:
-            # feedforward from the REAL first pass (1-pass ABR): the
-            # half-res window encode knows the upcoming bits, so the
-            # controller anticipates scene changes instead of EWMA-
-            # lagging one GOP behind.  The prior is applied RELATIVELY
-            # (scale the learned level by the predicted window-to-window
-            # change) — the absolute half-res -> full-res bits factor is
-            # content-dependent, but its RATIO across windows cancels.
-            pred = (sum(vals) / len(vals)) * float(pixels) * 0.33
-            prior = pred * 2.0 ** ((fp_qp - self.base_qp) / 6.0)
-            if self.norm_ewma is None:
-                self.norm_ewma = prior  # absolute startup guess
-            elif self._prev_prior:
-                self.norm_ewma *= prior / self._prev_prior
-            self._prev_prior = prior
+            # REAL first-pass window (1-pass ABR): per-picture predicted
+            # full-resolution bits at the base cascade QP.  The absolute
+            # half-res -> full-res factor starts at the 0.33 empirical
+            # prior and is LEARNED per sequence (log2-EWMA of
+            # observed/predicted) — the window then behaves like the
+            # two-pass controller over its own span
+            # (vvenc RateCtrl processFirstPassData per-GOP budgets,
+            # RateCtrl.cpp:201-202)
+            for poc, c in complexities.items():
+                tl = (tls or {}).get(poc, 0)
+                self.fp_win[poc] = (c * float(pixels) * 0.33 *
+                                    2.0 ** ((fp_qp - self.base_qp) / 6.0),
+                                    tl)
 
     def _la_shift(self, poc: int) -> float:
         """Per-picture QP offset from the lookahead complexity ratio
@@ -161,6 +174,42 @@ class RateCtrl:
             self._applied[poc] = qp - base_pic_qp
             qf = max(1.0, min(63.0, qp))
             return int(round(qf)), qf
+        if poc in self.fp_win:
+            # mini two-pass over the first-pass window: re-solve the QP
+            # shift so the window's remaining predicted bits (with the
+            # learned per-TL half->full scales) meet the remaining
+            # budget, with a buffer-error catch-up spread over the window
+            n_rem = max(1, len(self.fp_win))
+            buf_err = self.spent - self.coded * self.frame_budget
+            rem_budget = max(1.0, n_rem * self.frame_budget - buf_err)
+
+            def pred_at(shift):
+                return sum(
+                    b * 2.0 ** (self.fp_scale.get(tl, 0.0)
+                                - self.fp_slope.get(tl, 1.0) * shift / 6.0)
+                    for b, tl in self.fp_win.values())
+            # bisection on the monotone per-TL model (slopes differ per
+            # TL, no closed form)
+            lo_s, hi_s = -12.0, 12.0
+            for _ in range(24):
+                mid = 0.5 * (lo_s + hi_s)
+                if pred_at(mid) > rem_budget:
+                    lo_s = mid
+                else:
+                    hi_s = mid
+            shift = 0.5 * (lo_s + hi_s)
+            # asymmetric cold-start clamp: before the slope has been
+            # observed, an "easy" prediction may be a half-res artifact
+            # (downsampling halves the noise the full-res encode must
+            # code) and the textbook -1/6 slope OVERDELIVERS bits below
+            # the cascade — the learned slope lifts the restriction
+            if self._fp_seen.get(0, 0) < 2:
+                shift = max(-4.0, shift)
+            shift = max(-12.0, min(12.0, shift))
+            self._fp_applied[poc] = shift
+            self._last_shift = shift
+            qf = max(1.0, min(63.0, base_pic_qp + shift))
+            return int(round(qf)), qf
         # single-pass ABR: model feedforward (R halves per +6 QP) on an
         # EWMA of bits renormalized to the base cascade, plus an integral
         # trim on the cumulative buffer error.
@@ -177,6 +226,34 @@ class RateCtrl:
     def update(self, poc: int, bits: int) -> None:
         self.spent += bits
         self.coded += 1
+        if self.stats is None and poc in self.fp_win:
+            # learn the per-TL half->full scale from observed/predicted
+            # (log2-EWMA; tiny pictures carry no model information)
+            pred_base, tl = self.fp_win.pop(poc)
+            shift = self._fp_applied.pop(poc, 0.0)
+            cur = self.fp_scale.get(tl, 0.0)
+            slope = self.fp_slope.get(tl, 1.0)
+            pred = pred_base * 2.0 ** (cur - slope * shift / 6.0)
+            if pred_base >= 64 and bits >= 192:
+                err = math.log2(max(1e-6, bits / pred))
+                self.fp_scale[tl] = max(-6.0, min(6.0, cur + 0.5 * err))
+                self._fp_seen[tl] = self._fp_seen.get(tl, 0) + 1
+                # slope estimate from observation pairs at sufficiently
+                # different operating points (>= 1.5 QP apart)
+                lvl = math.log2(max(1.0, bits) / pred_base)
+                prev = self._fp_prev.get(tl)
+                if prev is not None and abs(prev[0] - shift) >= 1.5:
+                    s_est = (lvl - prev[1]) * 6.0 / (prev[0] - shift)
+                    if 0.3 <= s_est <= 6.0:
+                        self.fp_slope[tl] = max(0.8, min(
+                            5.0, 0.7 * slope + 0.3 * s_est))
+                self._fp_prev[tl] = (shift, lvl)
+            # keep the EWMA feedforward fresh for any non-window frames
+            norm = bits * 2.0 ** (shift / 6.0)
+            a = 0.5 if self.coded < 8 else 0.15
+            self.norm_ewma = norm if self.norm_ewma is None \
+                else (1 - a) * self.norm_ewma + a * norm
+            return
         if self.stats is not None:
             st = self._stats_by_poc.get(poc)
             if st is not None and poc not in self._coded_pocs:

@@ -134,9 +134,11 @@ class SequenceOrchestratorMixin:
             # the absolute-level prior covers the whole sequence start
             from .lookahead import first_pass_gop
             la_c, la_real = first_pass_gop(frames, 0, entries, cfg)
+            tls = {e.poc_in_gop: e.temporal_layer for e in entries}
+            tls[0] = 0
             self.rc.set_lookahead(
                 la_c, pixels=(cfg.width * cfg.height if la_real
-                              else None))
+                              else None), tls=tls)
         stream += self._encode_picture(0, frames[0], SLICE_I, [], [])
         self.recs_by_poc[0] = dict(self.last_rec.rec)
         base = 0
@@ -147,9 +149,11 @@ class SequenceOrchestratorMixin:
                 # (vvenc LookAhead stage), SAD proxy for tiny pictures
                 from .lookahead import first_pass_gop
                 la_c, la_real = first_pass_gop(frames, base, entries, cfg)
+                tls = {base + e.poc_in_gop: e.temporal_layer
+                       for e in entries}
                 self.rc.set_lookahead(
                     la_c, pixels=(cfg.width * cfg.height if la_real
-                                  else None))
+                                  else None), tls=tls)
             if ifp_mode:
                 stream += self._encode_gop_frames_ifp(frames, base,
                                                       entries)
@@ -199,6 +203,28 @@ class SequenceOrchestratorMixin:
                     self.recs_by_poc[poc] = dict(self.last_rec.rec)
             base += gop
         # tail: IPPP on remaining frames
+        tail_pocs = [p for p in range(base + 1, len(frames))
+                     if p not in self.recs_by_poc]
+        if la_on and tail_pocs:
+            # real first-pass stats for the tail too — without them the
+            # controller falls back to the EWMA loop whose feedforward
+            # the tiny high-TL pictures have biased low (overshoot on
+            # the tail anchors)
+            from dataclasses import dataclass as _dc
+            from .lookahead import first_pass_gop
+
+            @_dc
+            class _TailEntry:
+                poc_in_gop: int
+                refs_past: tuple = (0,)     # IPPP: previous frame
+                refs_future: tuple = ()
+            la_c, la_real = first_pass_gop(
+                frames, base, [_TailEntry(p - base) for p in tail_pocs],
+                cfg)
+            la_c = {p: v for p, v in la_c.items() if p in set(tail_pocs)}
+            self.rc.set_lookahead(
+                la_c, pixels=(cfg.width * cfg.height if la_real
+                              else None), tls={p: 0 for p in tail_pocs})
         for poc in range(base + 1, len(frames)):
             if poc in self.recs_by_poc:
                 continue
