@@ -752,7 +752,12 @@ class InterSearchMixin:
         mode = self.cfg.me_mode
         if mode == "auto":
             import jax
-            mode = "device" if jax.default_backend() != "cpu" else "host"
+            # the per-(picture, reference) device program pays off once
+            # per-frame compute dominates the tunnel's dispatch+load
+            # latency; below ~720p the host coarse stage wins
+            big = self.cfg.width * self.cfg.height >= 1280 * 720
+            mode = "device" if (big and jax.default_backend() != "cpu") \
+                else "host"
             self.cfg.me_mode = mode
         return mode == "device"
 

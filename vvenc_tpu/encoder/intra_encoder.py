@@ -1118,7 +1118,12 @@ class _CtuSearcher(InterSearchMixin):
         if mode == "auto":
             import jax
             big = self.cfg.width * self.cfg.height >= 832 * 480
-            mode = "source" if (big and jax.default_backend() != "cpu") \
+            # sparse I-slices (RA) cannot amortize the device program's
+            # tunnel latency — only all-intra streams resolve to the
+            # frame-level device preselection
+            many_intra = self.cfg.intra_period == 1
+            mode = "source" if (big and many_intra
+                                and jax.default_backend() != "cpu") \
                 else "exact"
             self.cfg.intra_presel = mode
         return mode == "source"
@@ -1148,7 +1153,11 @@ class _CtuSearcher(InterSearchMixin):
         mode = self.cfg.device_rd
         if mode == "auto":
             import jax
-            mode = "on" if jax.default_backend() != "cpu" else "off"
+            # sparse RA I-slices cannot amortize the plan program's
+            # tunnel load; device planning resolves on for intra-heavy
+            # streams only
+            mode = "on" if (jax.default_backend() != "cpu"
+                            and self.cfg.intra_period == 1) else "off"
             self.cfg.device_rd = mode
         return (mode == "on"
                 and self.enc.sps.max_mtt_depth[0] == 0

@@ -244,13 +244,26 @@ class SequenceOrchestratorMixin:
         wave (the reference's TL-serial processing lists,
         EncGOP::xGetProcessingLists).  Output stays in coding order and is
         byte-identical to the serial encode."""
-        from concurrent.futures import ProcessPoolExecutor
+        from concurrent.futures import (ProcessPoolExecutor,
+                                        ThreadPoolExecutor)
         cfg = self.cfg
         aus = {}
         by_tl = {}
         for e in entries:
             by_tl.setdefault(e.temporal_layer, []).append(e)
-        with ProcessPoolExecutor(
+        # pool choice: THREADS when the native inter search carries the
+        # work (ctypes releases the GIL) or when an accelerator is
+        # attached — a fork()ed child of a process that already opened
+        # the device tunnel wedges on its first device call; PROCESSES
+        # only for the pure-Python CPU path (bitstream is byte-identical
+        # either way — the determinism contract)
+        from .. import native as _native
+        import jax as _jax
+        use_threads = _native.available() \
+            or _jax.default_backend() != "cpu"
+        pool_cls = ThreadPoolExecutor if use_threads \
+            else ProcessPoolExecutor
+        with pool_cls(
                 max_workers=cfg.max_parallel_frames) as ex:
             for tl in sorted(by_tl):
                 wave = by_tl[tl]

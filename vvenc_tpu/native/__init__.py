@@ -715,7 +715,8 @@ def search_ctu(searcher, ctu_x: int, ctu_y: int, live_ctx, commit=True):
         presel_keep = []
         plan_meta = np.zeros((0, 6), np.int32)
         plan_ptrs = np.zeros(0, np.int64)
-        plan = searcher._get_plan() if searcher._use_plan() else None
+        plan = searcher._get_plan() \
+            if coder.is_intra_slice and searcher._use_plan() else None
         if plan is not None:
             metas, ptrs = [], []
             for (w, h), (xs, ys, ax, ay, nx, rows) in plan.tables.items():
@@ -726,7 +727,7 @@ def search_ctu(searcher, ctu_x: int, ctu_y: int, live_ctx, commit=True):
             if metas:
                 plan_meta = np.asarray(metas, dtype=np.int32)
                 plan_ptrs = np.asarray(ptrs, dtype=np.int64)
-        elif searcher._use_presel():
+        elif coder.is_intra_slice and searcher._use_presel():
             tab = searcher._get_presel()
             metas, ptrs = [], []
             for (w, h), (xs, ys, ax, ay, nx, costs) in tab.tables.items():
