@@ -4828,17 +4828,23 @@ struct Searcher {
     int refw = ic->pic_w >> sc, refh = ic->pic_h >> sc;
     const int32_t* ref0 = ic->ref_plane[0][cu.ref_idx[0]][comp];
     const int32_t* ref1 = ic->ref_plane[1][cu.ref_idx[1]][comp];
-    std::vector<int32_t> blk;
+    std::vector<int32_t> blk, pad0, pad1;
     for (const auto& row : cu.dmvr) {
       int sy = row[0], sx = row[1];
       int bw = std::min(16, cu.w) >> sc, bh = std::min(16, cu.h) >> sc;
       int bx = (cu.x + sx) >> sc, by = (cu.y + sy) >> sc;
-      blk.resize(size_t(bw) * bh);
-      vte_dmvr_bi_subpu(ref0, ref1, refh, refw, bx, by, bw, bh,
-                        cu.mv[0][0], cu.mv[0][1], cu.mv[1][0], cu.mv[1][1],
-                        row[2], row[3], sc, pp.bit_depth, ic->pic_w,
-                        ic->pic_h, ic->ctu_size, cu.alt_hpel ? 1 : 0,
-                        blk.data());
+      if (comp == 0 && row[4]) {
+        // DMVR + BDOF sub-PU (padded-window sources)
+        dmvr_bdof_subpu(cu, sy, sx, row[2], row[3],
+                        bw, bh, blk, pad0, pad1);
+      } else {
+        blk.resize(size_t(bw) * bh);
+        vte_dmvr_bi_subpu(ref0, ref1, refh, refw, bx, by, bw, bh,
+                          cu.mv[0][0], cu.mv[0][1], cu.mv[1][0],
+                          cu.mv[1][1], row[2], row[3], sc, pp.bit_depth,
+                          ic->pic_w, ic->pic_h, ic->ctu_size,
+                          cu.alt_hpel ? 1 : 0, blk.data());
+      }
       for (int i = 0; i < bh; ++i)
         std::memcpy(out.data() + size_t((sy >> sc) + i) * w + (sx >> sc),
                     blk.data() + size_t(i) * bw, size_t(bw) * 4);
@@ -4860,15 +4866,227 @@ struct Searcher {
       it = dmvr_cache.emplace(key, std::move(rows)).first;
     }
     cu.dmvr = it->second;
-    if (!ic->bdof_on)
+    if (!bdof_applies_c(cu))
       for (auto& r : cu.dmvr) r[4] = 0;
     cu.dmvr_set = true;
   }
-  // prediction of one component incl. DMVR (pred_cu_inter analog; BDOF
-  // and LMCS outside the current native scope)
+  // -- BDOF (ops/bdof.py port; vvenc xFpBiDirOptFlowCore) --------------
+  bool bdof_applies_c(const CuRec& cu) const {
+    if (!ic->bdof_on) return false;
+    if (cu.ref_idx[0] < 0 || cu.ref_idx[1] < 0 || cu.ciip) return false;
+    if (cu.smvd || cu.bcw != 2) return false;
+    if (std::min(cu.w, cu.h) < 8 || cu.w * cu.h < 128) return false;
+    int poc0 = ic->ref_poc[0][cu.ref_idx[0]];
+    int poc1 = ic->ref_poc[1][cu.ref_idx[1]];
+    return (ic->cur_poc - poc0) == (poc1 - ic->cur_poc);
+  }
+  // (h+2, w+2) extended 14-bit intermediate: 8-tap MC inner block plus a
+  // nearest-integer ring (ops/bdof.py _ext_pred); ref is a full plane or
+  // a DMVR padded window with block-local coordinates
+  void bdof_ext_pred(const int32_t* ref, int rh, int rw, int x, int y,
+                     int w, int h, int mv_x, int mv_y, bool alt,
+                     std::vector<int64_t>& ext) const {
+    ext.assign(size_t(h + 2) * (w + 2), 0);
+    std::vector<int32_t> inner(size_t(w) * h);
+    vte_mc_block(ref, rh, rw, x, y, w, h, mv_x, mv_y, pp.bit_depth, 1, 1,
+                 alt ? 1 : 0, nullptr, inner.data());
+    for (int i = 0; i < h; ++i)
+      for (int j = 0; j < w; ++j)
+        ext[size_t(i + 1) * (w + 2) + j + 1] = inner[size_t(i) * w + j];
+    int int_x = x + (mv_x >> 4), frac_x = mv_x & 15;
+    int int_y = y + (mv_y >> 4), frac_y = mv_y & 15;
+    int xoff = frac_x < 8 ? 1 : 0;
+    int yoff = frac_y < 8 ? 1 : 0;
+    int shift = std::max(2, 14 - pp.bit_depth);
+    auto ring = [&](int ry, int rx) -> int64_t {
+      int yy = std::min(std::max(int_y - yoff + ry, 0), rh - 1);
+      int xx = std::min(std::max(int_x - xoff + rx, 0), rw - 1);
+      return (int64_t(ref[size_t(yy) * rw + xx]) << shift) - (1 << 13);
+    };
+    for (int j = 0; j < w + 2; ++j) {
+      ext[j] = ring(0, j);
+      ext[size_t(h + 1) * (w + 2) + j] = ring(h + 1, j);
+    }
+    for (int i = 1; i <= h; ++i) {
+      ext[size_t(i) * (w + 2)] = ring(i, 0);
+      ext[size_t(i) * (w + 2) + w + 1] = ring(i, w + 1);
+    }
+  }
+  static void bdof_gradients(const std::vector<int64_t>& ext, int w, int h,
+                             std::vector<int64_t>& gx,
+                             std::vector<int64_t>& gy) {
+    int W2 = w + 2;
+    gx.assign(ext.size(), 0);
+    gy.assign(ext.size(), 0);
+    auto sr6 = [](int64_t v) { return v >> 6; };
+    for (int i = 1; i <= h; ++i)
+      for (int j = 1; j <= w; ++j) {
+        gx[size_t(i) * W2 + j] =
+            sr6(ext[size_t(i) * W2 + j + 1]) - sr6(ext[size_t(i) * W2 + j - 1]);
+        gy[size_t(i) * W2 + j] =
+            sr6(ext[size_t(i + 1) * W2 + j]) - sr6(ext[size_t(i - 1) * W2 + j]);
+      }
+    for (auto* g : {&gx, &gy}) {
+      auto& a = *g;
+      for (int i = 1; i <= h; ++i) {
+        a[size_t(i) * W2] = a[size_t(i) * W2 + 1];
+        a[size_t(i) * W2 + w + 1] = a[size_t(i) * W2 + w];
+      }
+      for (int j = 0; j < W2; ++j) {
+        a[j] = a[size_t(1) * W2 + j];
+        a[size_t(h + 1) * W2 + j] = a[size_t(h) * W2 + j];
+      }
+    }
+  }
+  // BDOF with per-list source specs (plane, rh, rw, x, y, mv)
+  struct BdofSrc {
+    const int32_t* plane;
+    int rh, rw, x, y, mvx, mvy;
+  };
+  void bdof_block_c(const BdofSrc& s0, const BdofSrc& s1, int w, int h,
+                    bool alt, std::vector<int32_t>& out) const {
+    std::vector<int64_t> e0, e1, gx0, gy0, gx1, gy1;
+    bdof_ext_pred(s0.plane, s0.rh, s0.rw, s0.x, s0.y, w, h, s0.mvx, s0.mvy,
+                  alt, e0);
+    bdof_ext_pred(s1.plane, s1.rh, s1.rw, s1.x, s1.y, w, h, s1.mvx, s1.mvy,
+                  alt, e1);
+    bdof_gradients(e0, w, h, gx0, gy0);
+    bdof_gradients(e1, w, h, gx1, gy1);
+    int W2 = w + 2;
+    for (auto* e : {&e0, &e1}) {
+      auto& a = *e;
+      for (int i = 1; i <= h; ++i) {
+        a[size_t(i) * W2] = a[size_t(i) * W2 + 1];
+        a[size_t(i) * W2 + w + 1] = a[size_t(i) * W2 + w];
+      }
+      for (int j = 0; j < W2; ++j) {
+        a[j] = a[size_t(1) * W2 + j];
+        a[size_t(h + 1) * W2 + j] = a[size_t(h) * W2 + j];
+      }
+    }
+    int shift_num = 14 + 1 - pp.bit_depth;
+    int64_t offset = (1LL << (shift_num - 1)) + 2 * (1 << 13);
+    int maxval = (1 << pp.bit_depth) - 1;
+    out.assign(size_t(w) * h, 0);
+    const int LIM = 15;
+    for (int yu = 0; yu < (h >> 2); ++yu)
+      for (int xu = 0; xu < (w >> 2); ++xu) {
+        int y0 = yu * 4, x0 = xu * 4;
+        int64_t s_gx = 0, s_gy = 0, s_dix = 0, s_diy = 0, s_gygx = 0;
+        for (int i = 0; i < 6; ++i)
+          for (int j = 0; j < 6; ++j) {
+            size_t p = size_t(y0 + i) * W2 + x0 + j;
+            int64_t tgx = (gx0[p] + gx1[p]) >> 1;
+            int64_t tgy = (gy0[p] + gy1[p]) >> 1;
+            int64_t tdi = (e1[p] >> 4) - (e0[p] >> 4);
+            int sx = tgx > 0 ? 1 : (tgx < 0 ? -1 : 0);
+            int sy = tgy > 0 ? 1 : (tgy < 0 ? -1 : 0);
+            s_gx += std::abs(tgx);
+            s_gy += std::abs(tgy);
+            s_dix += sx * tdi;
+            s_diy += sy * tdi;
+            s_gygx += sy * tgx;
+          }
+        int64_t vx = 0, vy = 0;
+        if (s_gx != 0)
+          vx = (4 * s_dix) >> (bit_length(int(s_gx)) - 1);
+        vx = std::max<int64_t>(-LIM, std::min<int64_t>(LIM, vx));
+        int64_t tmp = (s_gygx * vx) >> 1;
+        if (s_gy != 0)
+          vy = (4 * s_diy - tmp) >> (bit_length(int(s_gy)) - 1);
+        vy = std::max<int64_t>(-LIM, std::min<int64_t>(LIM, vy));
+        for (int i = 0; i < 4; ++i)
+          for (int j = 0; j < 4; ++j) {
+            size_t p = size_t(y0 + 1 + i) * W2 + x0 + 1 + j;
+            int64_t b = vx * (gx0[p] - gx1[p]) + vy * (gy0[p] - gy1[p]);
+            int64_t v = (e0[p] + e1[p] + b + offset) >> shift_num;
+            out[size_t(y0 + i) * w + x0 + j] = int32_t(
+                std::max<int64_t>(0, std::min<int64_t>(maxval, v)));
+          }
+      }
+  }
+  // non-DMVR BDOF luma prediction, <=16x16 sub-PUs (bdof_predict_luma)
+  void bdof_pred_luma_c(const CuRec& cu, std::vector<int32_t>& out) const {
+    out.assign(size_t(cu.w) * cu.h, 0);
+    const int32_t* r0 = ic->ref_plane[0][cu.ref_idx[0]][0];
+    const int32_t* r1 = ic->ref_plane[1][cu.ref_idx[1]][0];
+    std::vector<int32_t> blk;
+    for (int sy = 0; sy < cu.h; sy += 16)
+      for (int sx = 0; sx < cu.w; sx += 16) {
+        int bw = std::min(16, cu.w - sx), bh = std::min(16, cu.h - sy);
+        BdofSrc a{r0, ic->pic_h, ic->pic_w, cu.x + sx, cu.y + sy,
+                  cu.mv[0][0], cu.mv[0][1]};
+        BdofSrc b{r1, ic->pic_h, ic->pic_w, cu.x + sx, cu.y + sy,
+                  cu.mv[1][0], cu.mv[1][1]};
+        bdof_block_c(a, b, bw, bh, cu.alt_hpel, blk);
+        for (int i = 0; i < bh; ++i)
+          std::memcpy(out.data() + size_t(sy + i) * cu.w + sx,
+                      blk.data() + size_t(i) * bw, size_t(bw) * 4);
+      }
+  }
+  // DMVR sub-PU with BDOF on top: padded-window spec construction
+  // (ctu_syntax.py dmvr_predict BDOF branch)
+  void dmvr_bdof_subpu(const CuRec& cu, int sy, int sx, int dx, int dy,
+                       int bw, int bh, std::vector<int32_t>& blk,
+                       std::vector<int32_t>& pad0,
+                       std::vector<int32_t>& pad1) const {
+    int bx = cu.x + sx, by = cu.y + sy;
+    BdofSrc specs[2];
+    std::vector<int32_t>* pads[2] = {&pad0, &pad1};
+    for (int li = 0; li < 2; ++li) {
+      int sign = li == 0 ? 1 : -1;
+      const int32_t* ref = ic->ref_plane[li][cu.ref_idx[li]][0];
+      int merge[2] = {cu.mv[li][0], cu.mv[li][1]};
+      int rmv[2] = {
+          std::max(MV_CLIP_MIN, std::min(MV_CLIP_MAX, merge[0] + sign * dx)),
+          std::max(MV_CLIP_MIN, std::min(MV_CLIP_MAX, merge[1] + sign * dy))};
+      int d_ix = (rmv[0] >> 4) - (merge[0] >> 4);
+      int d_iy = (rmv[1] >> 4) - (merge[1] >> 4);
+      if (d_ix == 0 && d_iy == 0) {
+        int cmv[2];
+        clip_mv_c2(rmv, bx, by, ic->pic_w, ic->pic_h, ic->ctu_size, cmv);
+        specs[li] = {ref, ic->pic_h, ic->pic_w, bx, by, cmv[0], cmv[1]};
+        continue;
+      }
+      // padded window (filt 8, ext 3, pad 2) with block-local coords
+      const int filt = 8, ext = 3, pad = 2;
+      int cmv0[2];
+      clip_mv_c2(merge, bx, by, ic->pic_w, ic->pic_h, ic->ctu_size, cmv0);
+      int x0 = bx + (cmv0[0] >> 4) - ext;
+      int y0 = by + (cmv0[1] >> 4) - ext;
+      int ww = bw + filt - 1, wh = bh + filt - 1;
+      std::vector<int32_t>& padded = *pads[li];
+      int pw2 = ww + 2 * pad, ph2 = wh + 2 * pad;
+      padded.resize(size_t(ph2) * pw2);
+      for (int i = 0; i < ph2; ++i) {
+        int yy = std::min(std::max(y0 + std::min(std::max(i - pad, 0),
+                                                 wh - 1), 0),
+                          ic->pic_h - 1);
+        for (int j = 0; j < pw2; ++j) {
+          int xx = std::min(std::max(x0 + std::min(std::max(j - pad, 0),
+                                                   ww - 1), 0),
+                            ic->pic_w - 1);
+          padded[size_t(i) * pw2 + j] = ref[size_t(yy) * ic->pic_w + xx];
+        }
+      }
+      int rcl[2];
+      clip_mv_c2(rmv, bx, by, ic->pic_w, ic->pic_h, ic->ctu_size, rcl);
+      int fx = rcl[0] & 15, fy = rcl[1] & 15;
+      specs[li] = {padded.data(), ph2, pw2, pad + ext + d_ix,
+                   pad + ext + d_iy, fx, fy};
+    }
+    bdof_block_c(specs[0], specs[1], bw, bh, cu.alt_hpel, blk);
+  }
+
+  // prediction of one component incl. DMVR/BDOF (pred_cu_inter analog;
+  // LMCS outside the native scope)
   void pred_cu_inter_c(const CuRec& cu, int comp, std::vector<int32_t>& out) {
     if (cu.dmvr_set && !cu.dmvr.empty()) {
       dmvr_pred_c(cu, comp, out);
+      return;
+    }
+    if (comp == 0 && cu.dmvr.empty() && bdof_applies_c(cu)) {
+      bdof_pred_luma_c(cu, out);
       return;
     }
     inter_pred_c(cu, comp, out);
@@ -5603,12 +5821,11 @@ struct Searcher {
         cu.mvd1[1] = uni_mvd[1][1];
         cu.mvp_idx1 = uni_mvp[1];
         cu.bcw = 2;
-        // AMVP bi goes through pred_cu_inter (BDOF-aware path; BDOF
-        // off in the native scope -> plain bi MC)
+        // AMVP bi goes through the BDOF-aware prediction path
         std::vector<int32_t> py, pcb, pcr;
-        inter_pred_c(cu, 0, py);
-        inter_pred_c(cu, 1, pcb);
-        inter_pred_c(cu, 2, pcr);
+        pred_cu_inter_c(cu, 0, py);
+        pred_cu_inter_c(cu, 1, pcb);
+        pred_cu_inter_c(cu, 2, pcr);
         bool any = quant_resid(cu, py, pcb, pcr);
         cu.root_cbf = any;
         trials.push_back(cu);
@@ -6186,6 +6403,21 @@ void vte_inter_set_me(void* h, int li, int ri, const int32_t* tab, int nbx,
   ic->me_nby[li][ri] = nby;
   ic->me_bs = bs;
   ic->use_dev_me = use_dev != 0;
+}
+
+// test hook: BDOF block prediction (bdof_block_c) on full planes
+void vte_test_bdof(const int32_t* ref0, const int32_t* ref1, int ph,
+                   int pw, int x, int y, int w, int h, int mv0x, int mv0y,
+                   int mv1x, int mv1y, int bit_depth, int alt,
+                   int32_t* out) {
+  using namespace ctusearch;
+  Searcher s;
+  s.pp.bit_depth = bit_depth;
+  Searcher::BdofSrc a{ref0, ph, pw, x, y, mv0x, mv0y};
+  Searcher::BdofSrc b{ref1, ph, pw, x, y, mv1x, mv1y};
+  std::vector<int32_t> blk;
+  s.bdof_block_c(a, b, w, h, alt != 0, blk);
+  std::memcpy(out, blk.data(), blk.size() * 4);
 }
 
 // full intra CTU search; returns 0 on success, <0 on overflow/error

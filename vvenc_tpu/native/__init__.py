@@ -585,7 +585,6 @@ def search_eligible(searcher) -> bool:
             and not coder.mmvd and not coder.geo_en
             and not coder.ciip_en and not coder.smvd_en
             and not coder.amvr and not coder.bcw_en
-            and not coder.bdof_on
             and not getattr(sps, "sbt", 0)
             and coder.num_refs[0] <= 8 and coder.num_refs[1] <= 8
             and not getattr(coder.sh.ph, "partition_override", None))

@@ -10,6 +10,8 @@ VPU/MXU), the tiny 4x4/6x6 solve runs on host.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 
@@ -48,19 +50,44 @@ def _solve_params(err: np.ndarray, gx: np.ndarray, gy: np.ndarray,
     else:
         c = [gx, cxg * gx + cyg * gy, gy, cyg * gx - cxg * gy]
     n = len(c)
-    A = np.empty((n, n), np.float64)
-    b = np.empty(n, np.float64)
+    A = [[0.0] * n for _ in range(n)]
+    b = [0.0] * n
     e8 = err.astype(np.int64) << 3
     for i in range(n):
         for j in range(i, n):
-            A[i, j] = A[j, i] = float((c[i] * c[j]).sum())
+            A[i][j] = A[j][i] = float((c[i] * c[j]).sum())
         b[i] = float((c[i] * e8).sum())
-    try:
-        x = np.linalg.solve(A, b)
-    except np.linalg.LinAlgError:
-        return None
-    if not np.all(np.isfinite(x)):
-        return None
+    return _gauss_solve(A, b, n)
+
+
+def _gauss_solve(A, b, n):
+    """Partial-pivot Gaussian elimination, float64 — an EXPLICIT solver
+    (not LAPACK) so the native C++ searcher replays the identical
+    floating-point operation sequence bit for bit."""
+    for k in range(n):
+        p = k
+        for i in range(k + 1, n):
+            if abs(A[i][k]) > abs(A[p][k]):
+                p = i
+        if A[p][k] == 0.0:
+            return None
+        if p != k:
+            A[k], A[p] = A[p], A[k]
+            b[k], b[p] = b[p], b[k]
+        inv = 1.0 / A[k][k]
+        for i in range(k + 1, n):
+            f = A[i][k] * inv
+            for j in range(k + 1, n):
+                A[i][j] -= f * A[k][j]
+            b[i] -= f * b[k]
+    x = [0.0] * n
+    for k in range(n - 1, -1, -1):
+        s = b[k]
+        for j in range(k + 1, n):
+            s -= A[k][j] * x[j]
+        x[k] = s / A[k][k]
+        if not math.isfinite(x[k]):
+            return None
     return x
 
 
