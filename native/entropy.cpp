@@ -2839,6 +2839,14 @@ struct CuRec {
   // DMVR refinement per 16x16 sub-PU: rows {sy, sx, dx, dy, bdof}
   std::vector<std::array<int, 5>> dmvr;
   bool dmvr_set = false;
+  // implicit max-TB TU tiling (>64 inter CUs): per-TU coeffs, raster
+  // order; empty vectors = no cbf (joint/ts outside native scope)
+  struct MtbTu {
+    int tx, ty, tw, th;
+    std::vector<int32_t> cy, cb, cr;
+  };
+  std::vector<MtbTu> mtb;
+  bool has_mtb = false;   // root_cbf && >maxTB (mtb_tus is not None)
 };
 
 // one full-RD trial entry (intra_encoder.py full_modes tuples)
@@ -5208,6 +5216,48 @@ struct Searcher {
   void finish_cu_inter(CuRec& cu, int qt_depth) {
     int maxval = (1 << pp.bit_depth) - 1;
     if (cu.is_inter) prepare_refinement_c(cu);
+    if (cu.has_mtb) {
+      // implicit max-TB tiling: whole-CU prediction, per-TU residuals
+      for (int comp = 0; comp < 3; ++comp) {
+        int sc = comp == 0 ? 0 : 1;
+        int x = cu.x >> sc, y = cu.y >> sc, w = cu.w >> sc, h = cu.h >> sc;
+        int stride = comp == 0 ? ps.W : (ps.W >> 1);
+        int q = comp == 0 ? pp.qp_y : (comp == 1 ? pp.qp_cb : pp.qp_cr);
+        std::vector<int32_t> pred;
+        pred_cu_inter_c(cu, comp, pred);
+        std::vector<int64_t> rec(pred.begin(), pred.end());
+        for (const auto& tu : cu.mtb) {
+          const std::vector<int32_t>& coeff =
+              comp == 0 ? tu.cy : (comp == 1 ? tu.cb : tu.cr);
+          if (coeff.empty()) continue;
+          int tw = tu.tw >> sc, th = tu.th >> sc;
+          int ox = tu.tx >> sc, oy = tu.ty >> sc;
+          std::vector<int32_t> dq_buf(size_t(tw) * th),
+              resi(size_t(tw) * th);
+          if (pp.dq)
+            vte_dequant_dq(coeff.data(), tw, th, q, pp.bit_depth, 1,
+                           dq_buf.data());
+          else
+            vte_dequant(coeff.data(), tw, th, q, pp.bit_depth,
+                        dq_buf.data());
+          vte_inv_transform(dq_buf.data(), tw, th, TR_DCT2, TR_DCT2,
+                            pp.bit_depth, resi.data());
+          for (int i = 0; i < th; ++i)
+            for (int j = 0; j < tw; ++j)
+              rec[size_t(oy + i) * w + ox + j] +=
+                  resi[size_t(i) * tw + j];
+        }
+        int32_t* dst = ps.rec[comp];
+        for (int i = 0; i < h; ++i)
+          for (int j = 0; j < w; ++j)
+            dst[size_t(y + i) * stride + x + j] = int32_t(std::max<int64_t>(
+                0, std::min<int64_t>(maxval, rec[size_t(i) * w + j])));
+      }
+      ps.mark_cu(cu.x, cu.y, cu.w, cu.h, qt_depth, DC, false, false, true,
+                 pp.slice_qp_y);
+      finish_cu_motion(cu);
+      return;
+    }
     for (int comp = 0; comp < 3; ++comp) {
       int sc = comp == 0 ? 0 : 1;
       int x = cu.x >> sc, y = cu.y >> sc, w = cu.w >> sc, h = cu.h >> sc;
@@ -5252,7 +5302,10 @@ struct Searcher {
     ps.mark_cu(cu.x, cu.y, cu.w, cu.h, qt_depth,
                cu.is_inter ? DC : dm_mode_of(cu), !cu.is_inter,
                cu.mip_flag, true, pp.slice_qp_y);
-    // motion field + HMVP
+    finish_cu_motion(cu);
+  }
+  // motion field + HMVP updates of finish_cu (ctu_syntax.py finish_cu)
+  void finish_cu_motion(const CuRec& cu) {
     if (cu.is_inter) {
       MI mi;
       mi.mv[0][0] = cu.mv[0][0];
@@ -5355,6 +5408,28 @@ struct Searcher {
     }
     if (cu.is_inter && !cu.merge)
       est.bin(cu.root_cbf ? 1 : 0, g_soffs.root_cbf);
+    if (cu.is_inter && cu.root_cbf && (w > 64 || h > 64)) {
+      // implicit max-TB TU tiling (ctu_syntax.py _code_max_tb_tus)
+      for (const auto& tu : cu.mtb) {
+        bool cbf_cb = !tu.cb.empty();
+        bool cbf_cr = !tu.cr.empty();
+        bool cbf_y = !tu.cy.empty();
+        est.bin(cbf_cb ? 1 : 0, g_soffs.cbf_cb);
+        est.bin(cbf_cr ? 1 : 0, g_soffs.cbf_cr + (cbf_cb ? 1 : 0));
+        est.bin(cbf_y ? 1 : 0, g_soffs.cbf_y);
+        maybe_est_dqp(cu, cbf_y || cbf_cb || cbf_cr);
+        int mask = (cbf_cb ? 2 : 0) + (cbf_cr ? 1 : 0);
+        if (pp.jccr_en && mask == 3)
+          est.bin(0, g_soffs.jccr + mask - 1);
+        if (cbf_y) est_residual_block(tu.cy.data(), tu.tw, tu.th, true);
+        if (cbf_cb)
+          est_residual_block(tu.cb.data(), tu.tw >> 1, tu.th >> 1, false);
+        if (cbf_cr)
+          est_residual_block(tu.cr.data(), tu.tw >> 1, tu.th >> 1, false);
+      }
+      finish_cu_inter(cu, part.qt_depth);
+      return true;
+    }
     if (!cu.is_inter || cu.root_cbf) {
       bool cbf_cb = !cu.coeff_cb.empty();
       bool cbf_cr = !cu.coeff_cr.empty();
@@ -5713,6 +5788,64 @@ struct Searcher {
       return cbf || cbf_cb || cbf_cr;
     };
 
+    // >maxTB residual trial: implicit 64x64 TU tiling
+    // (inter_search.py _quant_resid_mtb)
+    auto quant_resid_mtb = [&](CuRec& cu, const std::vector<int32_t>& py,
+                               const std::vector<int32_t>& pcb,
+                               const std::vector<int32_t>& pcr) {
+      int sw = std::min(w, 64), sh_ = std::min(h, 64);
+      bool any_c = false;
+      cu.mtb.clear();
+      std::vector<int32_t> resi(size_t(sh_) * sw), coeff(size_t(sh_) * sw);
+      std::vector<int32_t> cres(size_t(sh_ >> 1) * (sw >> 1)),
+          cco(size_t(sh_ >> 1) * (sw >> 1));
+      for (int ty = 0; ty < h; ty += sh_)
+        for (int tx = 0; tx < w; tx += sw) {
+          CuRec::MtbTu tu;
+          tu.tx = tx;
+          tu.ty = ty;
+          tu.tw = sw;
+          tu.th = sh_;
+          for (int i = 0; i < sh_; ++i)
+            for (int j = 0; j < sw; ++j)
+              resi[size_t(i) * sw + j] =
+                  src_y[size_t(ty + i) * w + tx + j] -
+                  py[size_t(ty + i) * w + tx + j];
+          if (vte_tq_quant(resi.data(), sw, sh_, TR_DCT2, TR_DCT2,
+                           pp.qp_y, pp.bit_depth, 1, pp.lmbda, -1,
+                           pp.sdh ? 1 : 0, est.s0.data(), est.s1.data(),
+                           coeff.data(), pp.dq ? 1 : 0))
+            tu.cy.assign(coeff.begin(), coeff.begin() + sh_ * sw);
+          int cw2 = sw >> 1, ch2 = sh_ >> 1;
+          int cx2 = tx >> 1, cy3 = ty >> 1;
+          for (int comp = 1; comp <= 2; ++comp) {
+            const std::vector<int32_t>& sc_ = comp == 1 ? src_cb : src_cr;
+            const std::vector<int32_t>& pc_ = comp == 1 ? pcb : pcr;
+            for (int i = 0; i < ch2; ++i)
+              for (int j = 0; j < cw2; ++j)
+                cres[size_t(i) * cw2 + j] =
+                    sc_[size_t(cy3 + i) * cw + cx2 + j] -
+                    pc_[size_t(cy3 + i) * cw + cx2 + j];
+            double w_ = comp == 1 ? pp.cw_cb : pp.cw_cr;
+            if (vte_tq_quant(cres.data(), cw2, ch2, TR_DCT2, TR_DCT2,
+                             comp == 1 ? pp.qp_cb : pp.qp_cr,
+                             pp.bit_depth, 0, pp.lmbda / w_, -1,
+                             pp.sdh ? 1 : 0, est.s0.data(), est.s1.data(),
+                             cco.data(), pp.dq ? 1 : 0)) {
+              auto& dst = comp == 1 ? tu.cb : tu.cr;
+              dst.assign(cco.begin(), cco.begin() + ch2 * cw2);
+            }
+          }
+          if (!tu.cy.empty() || !tu.cb.empty() || !tu.cr.empty())
+            any_c = true;
+          cu.mtb.push_back(std::move(tu));
+        }
+      if (!any_c) cu.mtb.clear();
+      cu.has_mtb = any_c;
+      cu.root_cbf = any_c;
+      return any_c;
+    };
+
     // merge residual trial (add_resid_trial; SBT outside scope)
     auto add_resid_trial = [&](CuRec& cu) {
       prepare_refinement_c(cu);
@@ -5720,6 +5853,11 @@ struct Searcher {
       pred_cu_inter_c(cu, 0, py);
       pred_cu_inter_c(cu, 1, pcb);
       pred_cu_inter_c(cu, 2, pcr);
+      if (w > 64 || h > 64) {
+        bool added = quant_resid_mtb(cu, py, pcb, pcr);
+        if (added) trials.push_back(cu);
+        return added;
+      }
       quant_resid(cu, py, pcb, pcr);
       if (!cu.coeff_y.empty()) {
         cu.root_cbf = true;
@@ -5789,8 +5927,12 @@ struct Searcher {
         inter_pred_c(cu, 0, py);
         inter_pred_c(cu, 1, pcb);
         inter_pred_c(cu, 2, pcr);
-        bool any = quant_resid(cu, py, pcb, pcr);
-        cu.root_cbf = any;
+        if (w > 64 || h > 64) {
+          quant_resid_mtb(cu, py, pcb, pcr);
+        } else {
+          bool any = quant_resid(cu, py, pcb, pcr);
+          cu.root_cbf = any;
+        }
         if (li == 0) {
           cu.mvd[0] = mvd[0];
           cu.mvd[1] = mvd[1];
@@ -5826,8 +5968,12 @@ struct Searcher {
         pred_cu_inter_c(cu, 0, py);
         pred_cu_inter_c(cu, 1, pcb);
         pred_cu_inter_c(cu, 2, pcr);
-        bool any = quant_resid(cu, py, pcb, pcr);
-        cu.root_cbf = any;
+        if (w > 64 || h > 64) {
+          quant_resid_mtb(cu, py, pcb, pcr);
+        } else {
+          bool any = quant_resid(cu, py, pcb, pcr);
+          cu.root_cbf = any;
+        }
         trials.push_back(cu);
       }
     }
@@ -5881,8 +6027,11 @@ struct Searcher {
     eval(trials);
 
     // intra competition, gated on the inter winner coding residual
-    bool try_intra = !have_best || !best_cu.coeff_y.empty() ||
-                     !best_cu.coeff_cb.empty() || !best_cu.coeff_cr.empty();
+    // (>maxTB CUs rely on the merge/AMVP trials alone — no intra pred
+    // above 64)
+    bool try_intra = (w <= 64 && h <= 64) &&
+                     (!have_best || !best_cu.coeff_y.empty() ||
+                      !best_cu.coeff_cb.empty() || !best_cu.coeff_cr.empty());
     if (try_intra) {
       std::vector<CuRec> intra_trials;
       std::vector<int32_t> top(2 * w + 3), left(2 * h + 3);
@@ -6220,6 +6369,23 @@ static void serialize(const Node& n, Writer& w, bool chroma_tree,
       w.put(int(cu.dmvr.size()));
       for (const auto& r : cu.dmvr)
         for (int k = 0; k < 5; ++k) w.put(r[k]);
+      w.put(cu.has_mtb ? 1 : 0);
+      if (cu.has_mtb) {
+        w.put(int(cu.mtb.size()));
+        for (const auto& tu : cu.mtb) {
+          w.put(tu.tx);
+          w.put(tu.ty);
+          w.put(tu.tw);
+          w.put(tu.th);
+          w.put(tu.cy.empty() ? 0 : 1);
+          if (!tu.cy.empty()) w.put_coeff(tu.cy);
+          w.put(tu.cb.empty() ? 0 : 1);
+          w.put(tu.cr.empty() ? 0 : 1);
+          if (!tu.cb.empty()) w.put_coeff(tu.cb);
+          if (!tu.cr.empty()) w.put_coeff(tu.cr);
+        }
+        return;  // no regular coeff section for >maxTB CUs
+      }
     } else {
       w.put(cu.luma_mode);
       w.put(cu.chroma_dir);

@@ -580,8 +580,7 @@ def search_eligible(searcher) -> bool:
         return False
     if coder.is_intra_slice:
         return True
-    return (cfg.ctu_size <= 64
-            and not coder.affine_en and coder.max_aff_merge == 0
+    return (not coder.affine_en and coder.max_aff_merge == 0
             and not coder.mmvd and not coder.geo_en
             and not coder.ciip_en and not coder.smvd_en
             and not coder.amvr and not coder.bcw_en
@@ -883,6 +882,19 @@ def search_ctu(searcher, ctu_x: int, ctu_y: int, live_ctx, commit=True):
                         bd_ = tok()
                         cu.dmvr_deltas[(sy_, sx_)] = (dx_, dy_)
                         cu.dmvr_bdof[(sy_, sx_)] = bool(bd_)
+                if tok():
+                    # implicit max-TB TU tiling (>64 inter CU)
+                    cu.mtb_tus = []
+                    for _ in range(tok()):
+                        tx_, ty_, tw_, th_ = tok(), tok(), tok(), tok()
+                        cy_ = block(th_, tw_) if tok() else None
+                        cbf_cb2, cbf_cr2 = tok(), tok()
+                        ccb = block(th_ >> 1, tw_ >> 1) if cbf_cb2 else None
+                        ccr = block(th_ >> 1, tw_ >> 1) if cbf_cr2 else None
+                        cu.mtb_tus.append((tx_, ty_, tw_, th_, cy_, ccb,
+                                           ccr, 0, False, False))
+                    node.cu = cu
+                    return node
             else:
                 cu.luma_mode = tok()
                 cu.chroma_dir = tok()
