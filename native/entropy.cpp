@@ -2305,7 +2305,8 @@ struct SOffs {
       inter_dir = 0, ref_pic = 0, mvd = 0, mvp_idx = 0, root_cbf = 0,
       sub_merge = 0, reg_merge = 0, mmvd_flag = 0, mmvd_merge = 0,
       mmvd_step = 0, ciip_flag = 0, smvd_flag = 0, aff_flag = 0,
-      aff_type = 0, imv_flag = 0, bcw_idx = 0, delta_qp = 0;
+      aff_type = 0, imv_flag = 0, bcw_idx = 0, delta_qp = 0,
+      aff_mrg_idx = 0;
 };
 SOffs g_soffs;
 
@@ -2847,6 +2848,13 @@ struct CuRec {
   };
   std::vector<MtbTu> mtb;
   bool has_mtb = false;   // root_cbf && >maxTB (mtb_tus is not None)
+  // affine / SbTMVP / GEO
+  bool affine = false, sbtmvp = false;
+  int affine_type = 0;
+  int cpmv[2][3][2] = {};
+  int aff_mvds[2][3][2] = {};
+  bool geo = false;
+  int geo_split_dir = 0, geo_idx0 = 0, geo_idx1 = 1;
 };
 
 // one full-RD trial entry (intra_encoder.py full_modes tuples)
@@ -3012,6 +3020,21 @@ struct InterCtx {
   bool mvd_l1_zero = false;
   bool dmvr_on = false, bdof_on = false;
   int search_range = 64;
+  // medium-toolset flags (vte_inter_set_tools)
+  bool mmvd = false, fpel_mmvd = false;
+  bool geo_en = false;
+  int max_geo = 0;
+  bool smvd_en = false, bi_dir_pred = false;
+  int sym_ref[2] = {-1, -1};
+  bool amvr = false;
+  bool affine_en = false, affine_type_en = false, affine_amvr_en = false;
+  bool prof_en = false, sbtmvp_active = false;
+  int max_aff_merge = 0;
+  bool ciip_en = false, bcw_en = false;
+  // affine neighbor-inheritance mirror (MotionField aff arrays)
+  uint8_t* mf_aff_valid = nullptr;
+  int32_t* mf_aff_data = nullptr;   // [uh*uw][21]: x y w h type cpmv(12)
+                                    // dir ref0 ref1 bcw
   int pic_w = 0, pic_h = 0, ctu_size = 64, bit_depth = 10;
   // live current-picture motion field (numpy MotionField storage)
   uint8_t* mf_valid = nullptr;
@@ -3123,8 +3146,8 @@ struct InterCtx {
 // motion-field region snapshot (MotionField.save_region analog)
 struct MfSnap {
   int ux0 = 0, uy0 = 0, ux1 = 0, uy1 = 0;
-  std::vector<uint8_t> valid, alt, skipf, isaff;
-  std::vector<int32_t> mv;
+  std::vector<uint8_t> valid, alt, skipf, isaff, affv;
+  std::vector<int32_t> mv, affd;
   std::vector<int8_t> ref, bcw;
 };
 static void mf_save(const InterCtx& ic, int x, int y, int size, MfSnap& s) {
@@ -3140,6 +3163,11 @@ static void mf_save(const InterCtx& ic, int x, int y, int size, MfSnap& s) {
   s.mv.resize(size_t(w) * h * 4);
   s.ref.resize(size_t(w) * h * 2);
   s.bcw.resize(size_t(w) * h);
+  bool aff = ic.mf_aff_valid != nullptr;
+  if (aff) {
+    s.affv.resize(size_t(w) * h);
+    s.affd.resize(size_t(w) * h * 21);
+  }
   for (int i = 0; i < h; ++i) {
     size_t u = size_t(s.uy0 + i) * ic.uw + s.ux0;
     std::memcpy(&s.valid[size_t(i) * w], ic.mf_valid + u, w);
@@ -3149,10 +3177,16 @@ static void mf_save(const InterCtx& ic, int x, int y, int size, MfSnap& s) {
     std::memcpy(&s.mv[size_t(i) * w * 4], ic.mf_mv + u * 4, size_t(w) * 16);
     std::memcpy(&s.ref[size_t(i) * w * 2], ic.mf_ref + u * 2, size_t(w) * 2);
     std::memcpy(&s.bcw[size_t(i) * w], ic.mf_bcw + u, w);
+    if (aff) {
+      std::memcpy(&s.affv[size_t(i) * w], ic.mf_aff_valid + u, w);
+      std::memcpy(&s.affd[size_t(i) * w * 21], ic.mf_aff_data + u * 21,
+                  size_t(w) * 84);
+    }
   }
 }
 static void mf_restore(InterCtx& ic, const MfSnap& s) {
   int w = s.ux1 - s.ux0, h = s.uy1 - s.uy0;
+  bool aff = ic.mf_aff_valid != nullptr && !s.affv.empty();
   for (int i = 0; i < h; ++i) {
     size_t u = size_t(s.uy0 + i) * ic.uw + s.ux0;
     std::memcpy(ic.mf_valid + u, &s.valid[size_t(i) * w], w);
@@ -3162,6 +3196,11 @@ static void mf_restore(InterCtx& ic, const MfSnap& s) {
     std::memcpy(ic.mf_mv + u * 4, &s.mv[size_t(i) * w * 4], size_t(w) * 16);
     std::memcpy(ic.mf_ref + u * 2, &s.ref[size_t(i) * w * 2], size_t(w) * 2);
     std::memcpy(ic.mf_bcw + u, &s.bcw[size_t(i) * w], w);
+    if (aff) {
+      std::memcpy(ic.mf_aff_valid + u, &s.affv[size_t(i) * w], w);
+      std::memcpy(ic.mf_aff_data + u * 21, &s.affd[size_t(i) * w * 21],
+                  size_t(w) * 84);
+    }
   }
 }
 
@@ -4710,7 +4749,10 @@ struct Searcher {
                    w, h, cu.mv[1][0], cu.mv[1][1], pp.bit_depth,
                    comp == 0 ? 1 : 0, 1, cu.alt_hpel ? 1 : 0, nullptr,
                    b.data());
-      bi_avg(a, b, out);
+      if (cu.bcw != 2)
+        bcw_avg(a, b, cu.bcw, out);
+      else
+        bi_avg(a, b, out);
       return;
     }
     int li = cu.ref_idx[0] >= 0 ? 0 : 1;
@@ -4718,6 +4760,19 @@ struct Searcher {
                  w, h, cu.mv[li][0], cu.mv[li][1], pp.bit_depth,
                  comp == 0 ? 1 : 0, 0, cu.alt_hpel ? 1 : 0, nullptr,
                  out.data());
+  }
+  // BCW weighted bi average (ops/interp.py bcw_average_np)
+  void bcw_avg(const std::vector<int32_t>& a, const std::vector<int32_t>& b,
+               int bcw, std::vector<int32_t>& out) const {
+    static const int BCW_W[5] = {-2, 3, 4, 5, 10};
+    int w1 = BCW_W[bcw], w0 = 8 - w1;
+    int shift = std::max(2, 14 - pp.bit_depth) + 3;
+    int64_t offset = (1LL << (shift - 1)) + (int64_t(1) << 13 << 3);
+    int maxval = (1 << pp.bit_depth) - 1;
+    for (size_t i = 0; i < out.size(); ++i) {
+      int64_t v = (int64_t(a[i]) * w0 + int64_t(b[i]) * w1 + offset) >> shift;
+      out[i] = int32_t(std::max<int64_t>(0, std::min<int64_t>(maxval, v)));
+    }
   }
   void bi_avg(const std::vector<int32_t>& a, const std::vector<int32_t>& b,
               std::vector<int32_t>& out) const {
@@ -4733,7 +4788,8 @@ struct Searcher {
   // -- DMVR (ops/dmvr.py dmvr_refine + ctu_syntax.py dmvr_predict) -----
   bool dmvr_applies(const CuRec& cu) const {
     if (!ic->dmvr_on) return false;
-    if (!cu.merge || cu.mmvd || cu.ciip) return false;
+    if (!cu.merge || cu.mmvd || cu.affine || cu.geo || cu.ciip)
+      return false;
     if (cu.ref_idx[0] < 0 || cu.ref_idx[1] < 0 || cu.bcw != 2) return false;
     if (std::min(cu.w, cu.h) < 8 || cu.w * cu.h < 128) return false;
     int poc0 = ic->ref_poc[0][cu.ref_idx[0]];
@@ -4881,7 +4937,8 @@ struct Searcher {
   // -- BDOF (ops/bdof.py port; vvenc xFpBiDirOptFlowCore) --------------
   bool bdof_applies_c(const CuRec& cu) const {
     if (!ic->bdof_on) return false;
-    if (cu.ref_idx[0] < 0 || cu.ref_idx[1] < 0 || cu.ciip) return false;
+    if (cu.ref_idx[0] < 0 || cu.ref_idx[1] < 0 || cu.affine || cu.ciip)
+      return false;
     if (cu.smvd || cu.bcw != 2) return false;
     if (std::min(cu.w, cu.h) < 8 || cu.w * cu.h < 128) return false;
     int poc0 = ic->ref_poc[0][cu.ref_idx[0]];
@@ -5134,9 +5191,150 @@ struct Searcher {
     est.bin(idx == 0 ? 0 : 1, g_soffs.merge_idx);
     if (idx > 0) est.ep(std::min(idx, n1 - 1));
   }
+  // gates (codec/geo.py geo_available / ciip_available)
+  bool geo_available_c(const CuRec& cu) const {
+    int mn = std::min(cu.w, cu.h), mx = std::max(cu.w, cu.h);
+    return ic->geo_en && ic->is_b && ic->max_geo > 1 && mn >= 8 &&
+           mx <= 64 && mx < 8 * mn;
+  }
+  bool ciip_available_c(const CuRec& cu) const {
+    return ic->ciip_en && !cu.skip && std::max(cu.w, cu.h) < 128 &&
+           cu.w * cu.h >= 64;
+  }
+  int aff_ctx_c(int x, int y) const {
+    int c = 0;
+    if (is_coded_at(x - 1, y) &&
+        ic->mf_isaff[size_t(y >> 2) * ic->uw + ((x - 1) >> 2)])
+      ++c;
+    if (is_coded_at(x, y - 1) &&
+        ic->mf_isaff[size_t((y - 1) >> 2) * ic->uw + (x >> 2)])
+      ++c;
+    return c;
+  }
+  void est_aff_merge_idx_c(int idx) {
+    int n = ic->max_aff_merge - 1;
+    if (n <= 0) return;
+    est.bin(idx == 0 ? 0 : 1, g_soffs.aff_mrg_idx);
+    if (idx > 0) est.ep(std::min(idx, n - 1));
+  }
+  void est_mmvd_idx_c(const CuRec& cu) {
+    if (ic->max_merge > 1)
+      est.bin(cu.mmvd_base, g_soffs.mmvd_merge);
+    if (cu.mmvd_step == 0) {
+      est.bin(0, g_soffs.mmvd_step);
+    } else {
+      est.bin(1, g_soffs.mmvd_step);
+      est.ep(std::min(cu.mmvd_step, 6));
+    }
+    est.ep(2);
+  }
+  void est_geo_idx_c(const CuRec& cu) {
+    est.ep(trunc_bin_bins(cu.geo_split_dir, 64));
+    int i0 = cu.geo_idx0, i1 = cu.geo_idx1;
+    i1 -= i1 < i0 ? 0 : 1;
+    int n2 = ic->max_geo - 2;
+    est.bin(i0 == 0 ? 0 : 1, g_soffs.merge_idx);
+    if (i0 > 0)   // unary_max_ep(v, vmax): v + (v < vmax) bins
+      est.ep((i0 - 1) + (i0 - 1 < n2 ? 1 : 0));
+    if (n2 > 0) {
+      est.bin(i1 == 0 ? 0 : 1, g_soffs.merge_idx);
+      if (i1 > 0)
+        est.ep((i1 - 1) + (i1 - 1 < n2 - 1 ? 1 : 0));
+    }
+  }
+  // full merge_data mirror (ctu_syntax.py _enc_merge_data)
   void est_merge_data_c(const CuRec& cu) {
-    // faster scope: no subblock merge / MMVD / GEO / CIIP signalling
-    est_merge_idx_c(cu.merge_idx);
+    bool sub_coded = ic->max_aff_merge > 0 && cu.w >= 8 && cu.h >= 8;
+    if (sub_coded)
+      est.bin(cu.affine ? 1 : 0,
+              g_soffs.sub_merge + aff_ctx_c(cu.x, cu.y));
+    if (cu.affine) {
+      est_aff_merge_idx_c(cu.merge_idx);
+      return;
+    }
+    bool geo_av = geo_available_c(cu);
+    bool ciip_av = ciip_available_c(cu);
+    if (geo_av || ciip_av)
+      est.bin((cu.geo || cu.ciip) ? 0 : 1,
+              g_soffs.reg_merge + (cu.skip ? 0 : 1));
+    if (!cu.geo && !cu.ciip) {
+      if (ic->mmvd) est.bin(cu.mmvd ? 1 : 0, g_soffs.mmvd_flag);
+      if (cu.mmvd)
+        est_mmvd_idx_c(cu);
+      else
+        est_merge_idx_c(cu.merge_idx);
+    } else {
+      if (geo_av && ciip_av)
+        est.bin(cu.ciip ? 1 : 0, g_soffs.ciip_flag);
+      if (cu.geo)
+        est_geo_idx_c(cu);
+      else
+        est_merge_idx_c(cu.merge_idx);
+    }
+  }
+  // AMVR signalling (ctu_syntax.py _enc_imv)
+  void est_imv_c(const CuRec& cu) {
+    if (!ic->amvr) return;
+    if (cu.mvd[0] == 0 && cu.mvd[1] == 0 && cu.mvd1[0] == 0 &&
+        cu.mvd1[1] == 0)
+      return;
+    est.bin(cu.imv > 0 ? 1 : 0, g_soffs.imv_flag);
+    if (cu.imv > 0) {
+      est.bin(cu.imv < 3 ? 1 : 0, g_soffs.imv_flag + 4);
+      if (cu.imv < 3) est.bin(cu.imv > 1 ? 1 : 0, g_soffs.imv_flag + 1);
+    }
+  }
+  // MMVD motion derivation (ctu_syntax.py _apply_mmvd)
+  void apply_mmvd_c(CuRec& cu, const std::vector<MI>& merge_cands) {
+    const MI& base = merge_cands[cu.mmvd_base];
+    int offset = 1 << (cu.mmvd_step + 2);
+    if (ic->fpel_mmvd) offset <<= 2;
+    const int table[4][2] = {
+        {offset, 0}, {-offset, 0}, {0, offset}, {0, -offset}};
+    int d0[2] = {table[cu.mmvd_pos][0], table[cu.mmvd_pos][1]};
+    int r0 = base.ref[0], r1 = base.ref[1];
+    int mv[2][2] = {{base.mv[0][0], base.mv[0][1]},
+                    {base.mv[1][0], base.mv[1][1]}};
+    if (r0 >= 0 && r1 >= 0) {
+      int poc0 = ic->ref_poc[0][r0], poc1 = ic->ref_poc[1][r1];
+      int cur = ic->cur_poc;
+      int d1[2];
+      if ((poc0 - cur) == (poc1 - cur)) {
+        d1[0] = d0[0];
+        d1[1] = d0[1];
+      } else if (std::abs(poc1 - cur) > std::abs(poc0 - cur)) {
+        d1[0] = d0[0];
+        d1[1] = d0[1];
+        int scale = dist_scale_factor(cur, poc0, cur, poc1);
+        scale_mv_c(d1, scale, d0);
+      } else {
+        int scale = dist_scale_factor(cur, poc1, cur, poc0);
+        int tmp[2] = {d0[0], d0[1]};
+        scale_mv_c(tmp, scale, d1);
+      }
+      mv[0][0] += d0[0];
+      mv[0][1] += d0[1];
+      mv[1][0] += d1[0];
+      mv[1][1] += d1[1];
+    } else if (r0 >= 0) {
+      mv[0][0] += d0[0];
+      mv[0][1] += d0[1];
+    } else if (r1 >= 0) {
+      mv[1][0] += d0[0];
+      mv[1][1] += d0[1];
+    }
+    for (int li = 0; li < 2; ++li)
+      for (int k = 0; k < 2; ++k)
+        cu.mv[li][k] = std::max(MV_CLIP_MIN,
+                                std::min(MV_CLIP_MAX, mv[li][k]));
+    cu.ref_idx[0] = r0;
+    cu.ref_idx[1] = r1;
+    cu.alt_hpel = base.alt != 0;
+    cu.bcw = (r0 >= 0 && r1 >= 0) ? base.bcw : 2;
+    if (cu.w + cu.h == 12 && r0 >= 0 && r1 >= 0) {
+      cu.ref_idx[1] = -1;
+      cu.mv[1][0] = cu.mv[1][1] = 0;
+    }
   }
   int skip_ctx_c(int x, int y) const {
     int ctx = 0;
@@ -5393,17 +5591,52 @@ struct Searcher {
           if (dir != 3)
             est.bin(dir == 2 ? 1 : 0, g_soffs.inter_dir + 5);
         }
+        if (ic->affine_en && w > 8 && h > 8) {
+          est.bin(cu.affine ? 1 : 0,
+                  g_soffs.aff_flag + aff_ctx_c(cu.x, cu.y));
+          if (cu.affine && ic->affine_type_en)
+            est.bin(cu.affine_type, g_soffs.aff_type);
+        }
+        if (dir == 3 && ic->bi_dir_pred && !cu.affine)
+          est.bin(cu.smvd ? 1 : 0, g_soffs.smvd_flag);
+        int n_cp = cu.affine ? (cu.affine_type ? 3 : 2) : 1;
         if (dir != 2) {
-          if (ic->n_ref[0] > 1) est_ref_idx_c(cu.ref_idx[0], ic->n_ref[0]);
-          est_mvd_c(cu.mvd);
+          if (!cu.smvd && ic->n_ref[0] > 1)
+            est_ref_idx_c(cu.ref_idx[0], ic->n_ref[0]);
+          if (cu.affine)
+            for (int i = 0; i < n_cp; ++i) est_mvd_c(cu.aff_mvds[0][i]);
+          else
+            est_mvd_c(cu.mvd);
           est.bin(cu.mvp_idx, g_soffs.mvp_idx);
         }
         if (dir != 1) {
-          if (ic->n_ref[1] > 1) est_ref_idx_c(cu.ref_idx[1], ic->n_ref[1]);
-          if (!(ic->mvd_l1_zero && dir == 3)) est_mvd_c(cu.mvd1);
+          if (!cu.smvd) {
+            if (ic->n_ref[1] > 1)
+              est_ref_idx_c(cu.ref_idx[1], ic->n_ref[1]);
+            if (!(ic->mvd_l1_zero && dir == 3)) {
+              if (cu.affine)
+                for (int i = 0; i < n_cp; ++i)
+                  est_mvd_c(cu.aff_mvds[1][i]);
+              else
+                est_mvd_c(cu.mvd1);
+            }
+          }
           est.bin(cu.mvp_idx1, g_soffs.mvp_idx);
         }
-        // AMVR/BCW signalling outside the faster-scope toolset
+        if (!cu.affine) {
+          est_imv_c(cu);
+        } else if (ic->affine_amvr_en) {
+          bool any_d = false;
+          for (int li = 0; li < 2; ++li)
+            for (int i = 0; i < 3; ++i)
+              any_d |= cu.aff_mvds[li][i][0] || cu.aff_mvds[li][i][1];
+          if (any_d) {
+            est.bin(cu.imv > 0 ? 1 : 0, g_soffs.imv_flag + 2);
+            if (cu.imv > 0)
+              est.bin(cu.imv > 1 ? 1 : 0, g_soffs.imv_flag + 3);
+          }
+        }
+        // BCW signalling outside scope (bcw_en off through medium)
       }
     }
     if (cu.is_inter && !cu.merge)
@@ -5894,6 +6127,50 @@ struct Searcher {
     merge_perfect &= !trials.empty();
 
     if (!merge_perfect && !is_4x4) {
+      // MMVD trials: luma-SSE preselection over (base, step, pos), full
+      // trial for the winner (inter_search.py MMVD block)
+      if (ic->mmvd && !scored.empty()) {
+        bool have_m = false;
+        int64_t best_mc = 0;
+        CuRec best_mcu;
+        int n_base = ic->max_merge > 1 ? 2 : 1;
+        for (int base = 0; base < n_base; ++base)
+          for (int step = 0; step < 3; ++step)
+            for (int pos = 0; pos < 4; ++pos) {
+              CuRec cu;
+              cu.x = x;
+              cu.y = y;
+              cu.w = w;
+              cu.h = h;
+              cu.is_inter = true;
+              cu.merge = true;
+              cu.mmvd = true;
+              cu.mmvd_base = base;
+              cu.mmvd_step = step;
+              cu.mmvd_pos = pos;
+              apply_mmvd_c(cu, merge_cands);
+              std::vector<int32_t> py;
+              inter_pred_c(cu, 0, py);
+              int64_t sse = 0;
+              for (size_t i = 0; i < py.size(); ++i) {
+                int64_t d = int64_t(src_y[i]) - py[i];
+                sse += d * d;
+              }
+              if (!have_m || sse < best_mc) {
+                have_m = true;
+                best_mc = sse;
+                best_mcu = cu;
+              }
+            }
+        if (have_m) {
+          CuRec skip_cu = best_mcu;
+          skip_cu.skip = true;
+          skip_cu.root_cbf = false;
+          trials.push_back(skip_cu);
+          best_mcu.root_cbf = true;
+          add_resid_trial(best_mcu);
+        }
+      }
       // AMVP trials: uni per list + bi combination
       int uni_mv[2][2];
       int uni_mvp[2];
@@ -5975,6 +6252,88 @@ struct Searcher {
           cu.root_cbf = any;
         }
         trials.push_back(cu);
+      }
+      // SMVD trial: one coded MVD mirrored on the symmetric ref pair
+      if (ic->is_b && ic->bi_dir_pred) {
+        int sym0 = ic->sym_ref[0], sym1 = ic->sym_ref[1];
+        CuRec probe;
+        probe.x = x;
+        probe.y = y;
+        probe.w = w;
+        probe.h = h;
+        probe.is_inter = true;
+        probe.smvd = true;
+        probe.ref_idx[0] = sym0;
+        probe.ref_idx[1] = sym1;
+        int amvp0[2][2], amvp1[2][2];
+        amvp_candidates(x, y, w, h, 0, sym0, 0, amvp0);
+        amvp_candidates(x, y, w, h, 1, sym1, 0, amvp1);
+        int mv0[2], mvp0;
+        motion_search(src_y.data(), x, y, w, h, amvp0, 0, sym0, mv0,
+                      &mvp0);
+        int mvd[2] = {(mv0[0] - amvp0[mvp0][0]) >> 2,
+                      (mv0[1] - amvp0[mvp0][1]) >> 2};
+        if (mvd[0] != 0 || mvd[1] != 0) {
+          CuRec cu = probe;
+          cu.merge = false;
+          cu.mv[0][0] = mv0[0];
+          cu.mv[0][1] = mv0[1];
+          cu.mv[1][0] = amvp1[0][0] - (mvd[0] << 2);
+          cu.mv[1][1] = amvp1[0][1] - (mvd[1] << 2);
+          cu.mvd[0] = mvd[0];
+          cu.mvd[1] = mvd[1];
+          cu.mvp_idx = mvp0;
+          cu.mvd1[0] = -mvd[0];
+          cu.mvd1[1] = -mvd[1];
+          cu.mvp_idx1 = 0;
+          std::vector<int32_t> py, pcb, pcr;
+          pred_cu_inter_c(cu, 0, py);
+          pred_cu_inter_c(cu, 1, pcb);
+          pred_cu_inter_c(cu, 2, pcr);
+          if (w > 64 || h > 64) {
+            quant_resid_mtb(cu, py, pcb, pcr);
+          } else {
+            bool any = quant_resid(cu, py, pcb, pcr);
+            cu.root_cbf = any;
+          }
+          trials.push_back(cu);
+        }
+      }
+      // AMVR trial: integer-pel MVD on the uni-L0 winner
+      if (ic->amvr && have_uni[0]) {
+        int amvp_i[2][2];
+        amvp_candidates(x, y, w, h, 0, 0, 1, amvp_i);
+        int mv_int[2] = {((uni_mv[0][0] + 8) >> 4) << 4,
+                         ((uni_mv[0][1] + 8) >> 4) << 4};
+        int mvd_i[2] = {(mv_int[0] - amvp_i[0][0]) >> 4,
+                        (mv_int[1] - amvp_i[0][1]) >> 4};
+        if (mvd_i[0] != 0 || mvd_i[1] != 0) {
+          CuRec cu;
+          cu.x = x;
+          cu.y = y;
+          cu.w = w;
+          cu.h = h;
+          cu.is_inter = true;
+          cu.merge = false;
+          cu.imv = 1;
+          cu.ref_idx[0] = 0;
+          cu.mv[0][0] = amvp_i[0][0] + (mvd_i[0] << 4);
+          cu.mv[0][1] = amvp_i[0][1] + (mvd_i[1] << 4);
+          cu.mvd[0] = mvd_i[0];
+          cu.mvd[1] = mvd_i[1];
+          cu.mvp_idx = 0;
+          std::vector<int32_t> py, pcb, pcr;
+          inter_pred_c(cu, 0, py);
+          inter_pred_c(cu, 1, pcb);
+          inter_pred_c(cu, 2, pcr);
+          if (w > 64 || h > 64) {
+            quant_resid_mtb(cu, py, pcb, pcr);
+          } else {
+            bool any = quant_resid(cu, py, pcb, pcr);
+            cu.root_cbf = any;
+          }
+          trials.push_back(cu);
+        }
       }
     }
 
@@ -6349,6 +6708,10 @@ static void serialize(const Node& n, Writer& w, bool chroma_tree,
       w.put(cu.skip ? 1 : 0);
       w.put(cu.merge ? 1 : 0);
       w.put(cu.merge_idx);
+      w.put(cu.mmvd ? 1 : 0);
+      w.put(cu.mmvd_base);
+      w.put(cu.mmvd_step);
+      w.put(cu.mmvd_pos);
       w.put(cu.mv[0][0]);
       w.put(cu.mv[0][1]);
       w.put(cu.mv[1][0]);
@@ -6498,6 +6861,7 @@ void vte_search_init_inter(const int32_t* offs) {
   g_soffs.imv_flag = offs[18];
   g_soffs.bcw_idx = offs[19];
   g_soffs.delta_qp = offs[20];
+  g_soffs.aff_mrg_idx = offs[21];
 }
 
 // per-picture inter state; returns an opaque handle for vte_search_ctu
@@ -6559,6 +6923,36 @@ void* vte_inter_new(
 
 void vte_inter_free(void* h) {
   delete reinterpret_cast<ctusearch::InterCtx*>(h);
+}
+
+// medium-toolset flags + the affine motion-field mirror arrays
+void vte_inter_set_tools(void* h, int mmvd, int fpel_mmvd, int geo_en,
+                         int max_geo, int smvd_en, int bi_dir, int sym0,
+                         int sym1, int amvr, int affine_en,
+                         int affine_type_en, int affine_amvr_en,
+                         int prof_en, int sbtmvp_active, int max_aff_merge,
+                         int ciip_en, int bcw_en, uint8_t* aff_valid,
+                         int32_t* aff_data) {
+  auto* ic = reinterpret_cast<ctusearch::InterCtx*>(h);
+  ic->mmvd = mmvd != 0;
+  ic->fpel_mmvd = fpel_mmvd != 0;
+  ic->geo_en = geo_en != 0;
+  ic->max_geo = max_geo;
+  ic->smvd_en = smvd_en != 0;
+  ic->bi_dir_pred = bi_dir != 0;
+  ic->sym_ref[0] = sym0;
+  ic->sym_ref[1] = sym1;
+  ic->amvr = amvr != 0;
+  ic->affine_en = affine_en != 0;
+  ic->affine_type_en = affine_type_en != 0;
+  ic->affine_amvr_en = affine_amvr_en != 0;
+  ic->prof_en = prof_en != 0;
+  ic->sbtmvp_active = sbtmvp_active != 0;
+  ic->max_aff_merge = max_aff_merge;
+  ic->ciip_en = ciip_en != 0;
+  ic->bcw_en = bcw_en != 0;
+  ic->mf_aff_valid = aff_valid;
+  ic->mf_aff_data = aff_data;
 }
 
 void vte_inter_set_me(void* h, int li, int ri, const int32_t* tab, int nbx,

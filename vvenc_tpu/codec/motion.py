@@ -118,6 +118,10 @@ class MotionField:
         # affine CUs only); IBC block vectors (internal 1/16) or None
         self.aff = np.empty(sh, object)
         self.ibc = np.empty(sh, object)
+        # numeric mirror of `aff` for the native searcher:
+        # [x y w h type cpmv_l0(6) cpmv_l1(6) dir ref0 ref1 bcw]
+        self.aff_valid = np.zeros(sh, np.uint8)
+        self.aff_data = np.zeros(sh + (21,), np.int32)
 
     def _mi_at_unit(self, uy: int, ux: int) -> Optional[MotionInfo]:
         if not self.valid[uy, ux]:
@@ -158,6 +162,7 @@ class MotionField:
         self.skipf[s] = 1 if skip else 0
         self.isaff[s] = 0
         self.aff[s] = None
+        self.aff_valid[s] = 0
         self.ibc[s] = None
         if ibc_bv is not None:
             for uy in range(uy0, uy1):
@@ -169,12 +174,25 @@ class MotionField:
         """Per-4x4 sub-block motion of an affine/SbTMVP/GEO CU (sub_mi
         indexed [uy][ux] relative to the CU, one entry per 4x4)."""
         uy0, ux0 = y >> 2, x >> 2
+        row = None
+        if aff_info is not None:
+            a = aff_info
+            row = np.asarray(
+                [a.x, a.y, a.w, a.h, a.aff_type]
+                + [c for li in range(2) for cp in a.cpmv[li] for c in cp]
+                + [a.inter_dir, a.ref_idx[0], a.ref_idx[1], a.bcw],
+                np.int32)
         for uy in range(uy0, (y + h) >> 2):
             for ux in range(ux0, (x + w) >> 2):
                 mi = sub_mi[uy - uy0][ux - ux0]
                 self.set_unit_mi(ux, uy, mi)
                 self.skipf[uy, ux] = 1 if skip else 0
                 self.aff[uy, ux] = aff_info
+                if row is None:
+                    self.aff_valid[uy, ux] = 0
+                else:
+                    self.aff_valid[uy, ux] = 1
+                    self.aff_data[uy, ux] = row
                 self.isaff[uy, ux] = 1 if is_aff else 0
                 self.ibc[uy, ux] = None
 
@@ -213,11 +231,12 @@ class MotionField:
                 self.ref[s].copy(), self.bcw[s].copy(),
                 self.alt[s].copy(), self.skipf[s].copy(),
                 self.isaff[s].copy(), self.aff[s].copy(),
-                self.ibc[s].copy())
+                self.ibc[s].copy(), self.aff_valid[s].copy(),
+                self.aff_data[s].copy())
 
     def restore_region(self, snap):
         (ux0, uy0, ux1, uy1, valid, mv, ref, bcw, alt, skipf, isaff,
-         aff, ibc) = snap
+         aff, ibc, aff_valid, aff_data) = snap
         s = np.s_[uy0:uy1, ux0:ux1]
         self.valid[s] = valid
         self.mv[s] = mv
@@ -228,6 +247,8 @@ class MotionField:
         self.isaff[s] = isaff
         self.aff[s] = aff
         self.ibc[s] = ibc
+        self.aff_valid[s] = aff_valid
+        self.aff_data[s] = aff_data
 
 
 def _avail_inter(ps, mf: MotionField, x: int, y: int) -> Optional[MotionInfo]:

@@ -517,6 +517,9 @@ def _search_setup():
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
     _LIB.vte_inter_set_me.restype = None
+    _LIB.vte_inter_set_tools.argtypes = (
+        [ctypes.c_void_p] + [ctypes.c_int] * 17 + [ctypes.c_void_p] * 2)
+    _LIB.vte_inter_set_tools.restype = None
     offs_i = np.asarray([
         ct.CTX_SETS["SkipFlag"](0), ct.CTX_SETS["PredMode"](0),
         ct.CTX_SETS["MergeFlag"](0), ct.CTX_SETS["MergeIdx"](0),
@@ -528,7 +531,7 @@ def _search_setup():
         ct.CTX_SETS["CiipFlag"](0), ct.CTX_SETS["SmvdFlag"](0),
         ct.CTX_SETS["AffineFlag"](0), ct.CTX_SETS["AffineType"](0),
         ct.CTX_SETS["ImvFlag"](0), ct.CTX_SETS["BcwIdx"](0),
-        ct.CTX_SETS["DeltaQP"](0)],
+        ct.CTX_SETS["DeltaQP"](0), ct.CTX_SETS["AffMergeIdx"](0)],
         dtype=np.int32)
     _LIB.vte_search_init_inter(offs_i.ctypes.data)
     offs = np.asarray([
@@ -581,9 +584,8 @@ def search_eligible(searcher) -> bool:
     if coder.is_intra_slice:
         return True
     return (not coder.affine_en and coder.max_aff_merge == 0
-            and not coder.mmvd and not coder.geo_en
-            and not coder.ciip_en and not coder.smvd_en
-            and not coder.amvr and not coder.bcw_en
+            and not coder.geo_en
+            and not coder.ciip_en and not coder.bcw_en
             and not getattr(sps, "sbt", 0)
             and coder.num_refs[0] <= 8 and coder.num_refs[1] <= 8
             and not getattr(coder.sh.ph, "partition_override", None))
@@ -663,6 +665,19 @@ def inter_setup(searcher):
         mf.bcw.ctypes.data, mf.alt.ctypes.data, mf.skipf.ctypes.data,
         mf.isaff.ctypes.data, mf.uw, mf.uh)
     keep += [plane_ptrs, ref_pocs, col_ref_pocs, mf]
+    _LIB.vte_inter_set_tools(
+        handle, 1 if coder.mmvd else 0,
+        1 if getattr(coder.sh.ph, "fpel_mmvd", 0) else 0,
+        1 if coder.geo_en else 0, coder.max_geo_cand,
+        1 if coder.smvd_en else 0, 1 if coder.bi_dir_pred else 0,
+        coder.sym_ref[0], coder.sym_ref[1],
+        1 if coder.amvr else 0, 1 if coder.affine_en else 0,
+        1 if coder.affine_type_en else 0,
+        1 if coder.affine_amvr_en else 0,
+        1 if coder.prof_en else 0, 1 if coder.sbtmvp_active else 0,
+        coder.max_aff_merge, 1 if coder.ciip_en else 0,
+        1 if coder.bcw_en else 0,
+        mf.aff_valid.ctypes.data, mf.aff_data.ctypes.data)
     # device pre-ME tables (shared with the Python searcher's cache so
     # check mode sees identical coarse stages)
     if searcher._use_device_me():
@@ -861,6 +876,10 @@ def search_ctu(searcher, ctu_x: int, ctu_y: int, live_ctx, commit=True):
                 cu.skip = bool(tok())
                 cu.merge = bool(tok())
                 cu.merge_idx = tok()
+                cu.mmvd_flag = bool(tok())
+                cu.mmvd_base = tok()
+                cu.mmvd_step = tok()
+                cu.mmvd_pos = tok()
                 cu.mv = ((tok(), tok()), (tok(), tok()))
                 cu.ref_idx = (tok(), tok())
                 cu.mvd = (tok(), tok())
