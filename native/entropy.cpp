@@ -2814,6 +2814,26 @@ static void get_mpms(const Pic& ps, int x, int y, int w, int h, int ctu_size,
   std::memcpy(mpm, m, sizeof(m));
 }
 
+// ---- motion info (codec/motion.py MotionInfo analog) ---------------------
+struct MI {
+  int32_t mv[2][2] = {{0, 0}, {0, 0}};  // [list][x, y], 1/16 pel
+  int8_t ref[2] = {-1, -1};
+  int8_t bcw = 2;
+  uint8_t alt = 0;
+  int dir() const { return (ref[0] >= 0 ? 1 : 0) | (ref[1] >= 0 ? 2 : 0); }
+};
+
+// motion equality for pruning (MotionInfo.h:115: refIdx + mv only)
+static bool same_mi(const MI& a, const MI& b) {
+  for (int li = 0; li < 2; ++li) {
+    if (a.ref[li] != b.ref[li]) return false;
+    if (a.ref[li] >= 0 &&
+        (a.mv[li][0] != b.mv[li][0] || a.mv[li][1] != b.mv[li][1]))
+      return false;
+  }
+  return true;
+}
+
 // ---- CU record for serialization -----------------------------------------
 struct CuRec {
   int x, y, w, h;
@@ -2854,7 +2874,8 @@ struct CuRec {
   int cpmv[2][3][2] = {};
   int aff_mvds[2][3][2] = {};
   bool geo = false;
-  int geo_split_dir = 0, geo_idx0 = 0, geo_idx1 = 1;
+  int geo_split_dir = 0, geo_idx0 = 0, geo_idx1 = 0;
+  MI geo_mi[2];
 };
 
 // one full-RD trial entry (intra_encoder.py full_modes tuples)
@@ -2911,24 +2932,6 @@ namespace ctusearch {
 static const int MV_CLIP_MAX = (1 << 17) - 1;
 static const int MV_CLIP_MIN = -(1 << 17);
 
-struct MI {
-  int32_t mv[2][2] = {{0, 0}, {0, 0}};  // [list][x, y], 1/16 pel
-  int8_t ref[2] = {-1, -1};
-  int8_t bcw = 2;
-  uint8_t alt = 0;
-  int dir() const { return (ref[0] >= 0 ? 1 : 0) | (ref[1] >= 0 ? 2 : 0); }
-};
-
-// motion equality for pruning (MotionInfo.h:115: refIdx + mv only)
-static bool same_mi(const MI& a, const MI& b) {
-  for (int li = 0; li < 2; ++li) {
-    if (a.ref[li] != b.ref[li]) return false;
-    if (a.ref[li] >= 0 &&
-        (a.mv[li][0] != b.mv[li][0] || a.mv[li][1] != b.mv[li][1]))
-      return false;
-  }
-  return true;
-}
 
 // AMVR rounding (motion.py round_mv_amvr; Mv.h:222)
 static const int AMVR_SHIFTS[4] = {2, 4, 6, 3};
@@ -3142,6 +3145,72 @@ struct InterCtx {
                          out);
   }
 };
+
+// ---- GEO ROM (codec/geo.py _build_tables; Rom.cpp initGeoTemplate) -------
+namespace geok {
+static const int MASK_N = 112;  // GEO_MASK
+static const int A2M[32] = {0, -1, 1, 2, 3, 4, -1, -1, 5, -1, -1, 4, 3, 2,
+                            1, -1, 0, -1, 1, 2, 3, 4, -1, -1, 5, -1, -1,
+                            4, 3, 2, 1, -1};
+static const int DIS[32] = {8, 8, 8, 8, 4, 4, 2, 1, 0, -1, -2, -4, -4, -8,
+                            -8, -8, -8, -8, -8, -8, -4, -4, -2, -1, 0, 1,
+                            2, 4, 4, 8, 8, 8};
+static const int MIR[32] = {0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2,
+                            2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 2, 2,
+                            2, 2};
+static int g_params[64][2];
+static int16_t g_weights[6][MASK_N][MASK_N];
+static int g_offs[4][4][64][2];
+static bool g_ready = false;
+static void init_tables() {
+  if (g_ready) return;
+  int n = 0;
+  for (int a = 0; a < 32; ++a)
+    for (int d = 0; d < 4; ++d) {
+      if ((d == 0 && a >= 16) ||
+          ((d == 0 || d == 2) && (A2M[a] == 0 || A2M[a] == 5)) ||
+          A2M[a] == -1)
+        continue;
+      g_params[n][0] = a;
+      g_params[n][1] = d;
+      ++n;
+    }
+  for (int a = 0; a <= 8; ++a) {
+    if (A2M[a] == -1) continue;
+    int dx = a, dy = (a + 8) % 32;
+    int rho = DIS[dx] * 128 + DIS[dy] * 128;
+    int moff = (128 - MASK_N) >> 1;
+    for (int i = 0; i < MASK_N; ++i)
+      for (int j = 0; j < MASK_N; ++j) {
+        int yv = (((i + moff) << 1) + 1) * DIS[dy];
+        int xv = (((j + moff) << 1) + 1) * DIS[dx];
+        int widx = xv + yv - rho;
+        int v = (widx + 32 + 4) >> 3;
+        g_weights[A2M[a]][i][j] =
+            int16_t(std::max(0, std::min(8, v)));
+      }
+  }
+  for (int hidx = 0; hidx < 4; ++hidx) {
+    int h = 1 << (hidx + 3);
+    for (int widx = 0; widx < 4; ++widx) {
+      int w = 1 << (widx + 3);
+      for (int sd = 0; sd < 64; ++sd) {
+        int ang = g_params[sd][0], dist = g_params[sd][1];
+        int ox = (MASK_N - w) >> 1, oy = (MASK_N - h) >> 1;
+        if (dist > 0) {
+          if (ang % 16 == 8 || (ang % 16 != 0 && h >= w))
+            oy += ang < 16 ? (dist * h) >> 3 : -((dist * h) >> 3);
+          else
+            ox += ang < 16 ? (dist * w) >> 3 : -((dist * w) >> 3);
+        }
+        g_offs[hidx][widx][sd][0] = ox;
+        g_offs[hidx][widx][sd][1] = oy;
+      }
+    }
+  }
+  g_ready = true;
+}
+}  // namespace geok
 
 // motion-field region snapshot (MotionField.save_region analog)
 struct MfSnap {
@@ -4546,6 +4615,40 @@ struct Searcher {
     }
   }
 
+  // per-4x4 sub-block spanning (MotionField.set_sub_cu analog);
+  // aff_row: the 21-int AffineInfo mirror row or null
+  void set_sub_cu_mf(const CuRec& cu, const std::vector<MI>& grid,
+                     bool is_aff, const int32_t* aff_row) {
+    int nbx = cu.w / 4;
+    for (int uy = cu.y >> 2; uy < (cu.y + cu.h) >> 2 && uy < ic->uh; ++uy)
+      for (int ux = cu.x >> 2; ux < (cu.x + cu.w) >> 2 && ux < ic->uw;
+           ++ux) {
+        const MI& mi = grid[size_t(uy - (cu.y >> 2)) * nbx +
+                            (ux - (cu.x >> 2))];
+        size_t u = size_t(uy) * ic->uw + ux;
+        ic->mf_valid[u] = 1;
+        int32_t* m = ic->mf_mv + u * 4;
+        m[0] = mi.mv[0][0];
+        m[1] = mi.mv[0][1];
+        m[2] = mi.mv[1][0];
+        m[3] = mi.mv[1][1];
+        ic->mf_ref[u * 2] = mi.ref[0];
+        ic->mf_ref[u * 2 + 1] = mi.ref[1];
+        ic->mf_bcw[u] = mi.bcw;
+        ic->mf_alt[u] = mi.alt;
+        ic->mf_skip[u] = cu.skip ? 1 : 0;
+        ic->mf_isaff[u] = is_aff ? 1 : 0;
+        if (ic->mf_aff_valid) {
+          if (aff_row) {
+            ic->mf_aff_valid[u] = 1;
+            std::memcpy(ic->mf_aff_data + u * 21, aff_row, 84);
+          } else {
+            ic->mf_aff_valid[u] = 0;
+          }
+        }
+      }
+  }
+
   void hmvp_add(const MI& mi) {
     int pruned = -1;
     for (size_t i = 0; i < hmvp.size(); ++i)
@@ -5143,9 +5246,143 @@ struct Searcher {
     bdof_block_c(specs[0], specs[1], bw, bh, cu.alt_hpel, blk);
   }
 
-  // prediction of one component incl. DMVR/BDOF (pred_cu_inter analog;
-  // LMCS outside the native scope)
+  // -- GEO (codec/geo.py port) -----------------------------------------
+  // uni-directional geo candidate list (getGeoMergeCandidates)
+  void geo_merge_candidates_c(const std::vector<MI>& base,
+                              std::vector<MI>& out) const {
+    out.clear();
+    for (size_t i = 0; i < base.size(); ++i) {
+      int parity = int(i) & 1;
+      for (int k = 0; k < 2; ++k) {
+        int li = k == 0 ? parity : 1 - parity;
+        if (base[i].ref[li] >= 0) {
+          MI mi;
+          mi.mv[li][0] = base[i].mv[li][0];
+          mi.mv[li][1] = base[i].mv[li][1];
+          mi.ref[li] = base[i].ref[li];
+          out.push_back(mi);
+          break;
+        }
+      }
+      if (int(out.size()) == 6) break;
+    }
+  }
+  // weighted blend of the two uni predictions (geo_blend + _weight_plane)
+  void geo_pred_c(const CuRec& cu, int comp, std::vector<int32_t>& out) {
+    geok::init_tables();
+    int sc = comp == 0 ? 0 : 1;
+    int w = cu.w >> sc, h = cu.h >> sc;
+    int refw = ic->pic_w >> sc, refh = ic->pic_h >> sc;
+    std::vector<int32_t> p0(size_t(w) * h), p1(size_t(w) * h);
+    for (int k = 0; k < 2; ++k) {
+      const MI& mi = cu.geo_mi[k];
+      int li = mi.ref[0] >= 0 ? 0 : 1;
+      vte_mc_block(ic->ref_plane[li][mi.ref[li]][comp], refh, refw,
+                   cu.x >> sc, cu.y >> sc, w, h, mi.mv[li][0], mi.mv[li][1],
+                   pp.bit_depth, comp == 0 ? 1 : 0, 1, 0,
+                   nullptr, (k == 0 ? p0 : p1).data());
+    }
+    int ang = geok::g_params[cu.geo_split_dir][0];
+    int widx = bit_length(cu.w) - 1 - 3, hidx = bit_length(cu.h) - 1 - 3;
+    int ox = geok::g_offs[hidx][widx][cu.geo_split_dir][0];
+    int oy = geok::g_offs[hidx][widx][cu.geo_split_dir][1];
+    const int16_t(*mask)[geok::MASK_N] = geok::g_weights[geok::A2M[ang]];
+    int mirror = geok::MIR[ang];
+    int shift = std::max(2, 14 - pp.bit_depth) + 3;
+    int64_t offset = (1LL << (shift - 1)) + (int64_t(1) << 13 << 3);
+    int maxval = (1 << pp.bit_depth) - 1;
+    out.resize(size_t(w) * h);
+    for (int i = 0; i < h; ++i)
+      for (int j = 0; j < w; ++j) {
+        int yy = i << sc, xx = j << sc;
+        int r, c;
+        if (mirror == 2) {
+          r = (geok::MASK_N - 1 - oy) - yy;
+          c = ox + xx;
+        } else if (mirror == 1) {
+          r = oy + yy;
+          c = (geok::MASK_N - 1 - ox) - xx;
+        } else {
+          r = oy + yy;
+          c = ox + xx;
+        }
+        int64_t wv = mask[r][c];
+        int64_t v = (wv * p0[size_t(i) * w + j] +
+                     (8 - wv) * p1[size_t(i) * w + j] + offset) >> shift;
+        out[size_t(i) * w + j] = int32_t(
+            std::max<int64_t>(0, std::min<int64_t>(maxval, v)));
+      }
+  }
+  // per-4x4 stored geo motion (geo_motion_grid) -> out[(h/4)*(w/4)] MIs
+  void geo_motion_grid_c(const CuRec& cu, std::vector<MI>& out) const {
+    geok::init_tables();
+    const MI& mi0 = cu.geo_mi[0];
+    const MI& mi1 = cu.geo_mi[1];
+    int d0 = mi0.dir(), d1 = mi1.dir();
+    MI bi;
+    if (d0 == 1 && d1 == 2) {
+      bi.mv[0][0] = mi0.mv[0][0];
+      bi.mv[0][1] = mi0.mv[0][1];
+      bi.mv[1][0] = mi1.mv[1][0];
+      bi.mv[1][1] = mi1.mv[1][1];
+      bi.ref[0] = mi0.ref[0];
+      bi.ref[1] = mi1.ref[1];
+    } else if (d0 == 2 && d1 == 1) {
+      bi.mv[0][0] = mi1.mv[0][0];
+      bi.mv[0][1] = mi1.mv[0][1];
+      bi.mv[1][0] = mi0.mv[1][0];
+      bi.mv[1][1] = mi0.mv[1][1];
+      bi.ref[0] = mi1.ref[0];
+      bi.ref[1] = mi0.ref[1];
+    } else if (d0 == 1 && d1 == 1) {
+      bi.mv[0][0] = mi1.mv[0][0];
+      bi.mv[0][1] = mi1.mv[0][1];
+      bi.ref[0] = mi1.ref[0];
+    } else {
+      bi.mv[1][0] = mi1.mv[1][0];
+      bi.mv[1][1] = mi1.mv[1][1];
+      bi.ref[1] = mi1.ref[1];
+    }
+    int ang = geok::g_params[cu.geo_split_dir][0];
+    int dist = geok::g_params[cu.geo_split_dir][1];
+    bool is_flip = 13 <= ang && ang <= 27;
+    int dxa = ang, dya = (ang + 8) % 32;
+    int ox = (-cu.w) >> 1, oy = (-cu.h) >> 1;
+    if (dist > 0) {
+      if (ang % 16 == 8 || (ang % 16 != 0 && cu.h >= cu.w))
+        oy += ang < 16 ? (dist * cu.h) >> 3 : -((dist * cu.h) >> 3);
+      else
+        ox += ang < 16 ? (dist * cu.w) >> 3 : -((dist * cu.w) >> 3);
+    }
+    int nbx = cu.w / 4, nby = cu.h / 4;
+    out.resize(size_t(nbx) * nby);
+    for (int y2 = 0; y2 < nby; ++y2) {
+      int luy = (2 * (4 * y2 + oy) + 5) * geok::DIS[dya];
+      for (int x2 = 0; x2 < nbx; ++x2) {
+        int midx = (2 * (4 * x2 + ox) + 5) * geok::DIS[dxa] + luy;
+        int m = std::abs(midx) < 32
+                    ? 2
+                    : (midx <= 0 ? (1 - (is_flip ? 1 : 0))
+                                 : (is_flip ? 1 : 0));
+        out[size_t(y2) * nbx + x2] = m == 2 ? bi : (m == 0 ? mi0 : mi1);
+      }
+    }
+  }
+  // _apply_geo analog
+  void apply_geo_c(CuRec& cu, const std::vector<MI>& merge_cands) {
+    std::vector<MI> geo_cands;
+    geo_merge_candidates_c(merge_cands, geo_cands);
+    cu.geo_mi[0] = geo_cands[cu.geo_idx0];
+    cu.geo_mi[1] = geo_cands[cu.geo_idx1];
+  }
+
+  // prediction of one component incl. DMVR/BDOF/GEO (pred_cu_inter
+  // analog; LMCS outside the native scope)
   void pred_cu_inter_c(const CuRec& cu, int comp, std::vector<int32_t>& out) {
+    if (cu.geo) {
+      geo_pred_c(cu, comp, out);
+      return;
+    }
     if (cu.dmvr_set && !cu.dmvr.empty()) {
       dmvr_pred_c(cu, comp, out);
       return;
@@ -5504,6 +5741,13 @@ struct Searcher {
   }
   // motion field + HMVP updates of finish_cu (ctu_syntax.py finish_cu)
   void finish_cu_motion(const CuRec& cu) {
+    if (cu.is_inter && cu.geo) {
+      // per-sub-block geo motion; geo CUs do not update HMVP
+      std::vector<MI> grid;
+      geo_motion_grid_c(cu, grid);
+      set_sub_cu_mf(cu, grid, /*is_aff=*/false, nullptr);
+      return;
+    }
     if (cu.is_inter) {
       MI mi;
       mi.mv[0][0] = cu.mv[0][0];
@@ -6171,6 +6415,70 @@ struct Searcher {
           add_resid_trial(best_mcu);
         }
       }
+      // GEO trials: luma-SSE preselection over split directions x the
+      // first uni candidate pairs, skip + residual of the winner
+      if (ic->geo_en && ic->is_b) {
+        CuRec probe;
+        probe.x = x;
+        probe.y = y;
+        probe.w = w;
+        probe.h = h;
+        probe.is_inter = true;
+        probe.merge = true;
+        probe.geo = true;
+        bool have_g = false;
+        int64_t best_gc = 0;
+        int best_sd = 0, best_i0 = 0, best_i1 = 1;
+        if (geo_available_c(probe)) {
+          int pairs[4][2] = {{0, 1}, {1, 0}, {0, 2}, {2, 0}};
+          int n_pairs = ic->max_geo > 2 ? 4 : 2;
+          for (int sd = 0; sd < 64; sd += 4)
+            for (int pi = 0; pi < n_pairs; ++pi) {
+              CuRec cu = probe;
+              cu.geo_split_dir = sd;
+              cu.geo_idx0 = pairs[pi][0];
+              cu.geo_idx1 = pairs[pi][1];
+              apply_geo_c(cu, merge_cands);
+              std::vector<int32_t> py;
+              geo_pred_c(cu, 0, py);
+              int64_t sse = 0;
+              for (size_t i = 0; i < py.size(); ++i) {
+                int64_t d = int64_t(src_y[i]) - py[i];
+                sse += d * d;
+              }
+              if (getenv("VTE_DBG_GEO"))
+                std::fprintf(stderr,
+                             "NATGEO (%d,%d %dx%d) sd=%d p=(%d,%d) "
+                             "sse=%lld mi0=(%d,%d r%d) mi1=(%d,%d r%d)\n",
+                             x, y, w, h, sd, pairs[pi][0], pairs[pi][1],
+                             (long long)sse, cu.geo_mi[0].mv[0][0],
+                             cu.geo_mi[0].mv[1][0], cu.geo_mi[0].dir(),
+                             cu.geo_mi[1].mv[0][0], cu.geo_mi[1].mv[1][0],
+                             cu.geo_mi[1].dir());
+              if (!have_g || sse < best_gc) {
+                have_g = true;
+                best_gc = sse;
+                best_sd = sd;
+                best_i0 = pairs[pi][0];
+                best_i1 = pairs[pi][1];
+              }
+            }
+        }
+        if (have_g) {
+          CuRec skip_cu = probe;
+          skip_cu.skip = true;
+          skip_cu.root_cbf = false;
+          skip_cu.geo_split_dir = best_sd;
+          skip_cu.geo_idx0 = best_i0;
+          skip_cu.geo_idx1 = best_i1;
+          apply_geo_c(skip_cu, merge_cands);
+          trials.push_back(skip_cu);
+          CuRec cu = skip_cu;
+          cu.skip = false;
+          cu.root_cbf = true;
+          add_resid_trial(cu);
+        }
+      }
       // AMVP trials: uni per list + bi combination
       int uni_mv[2][2];
       int uni_mvp[2];
@@ -6712,6 +7020,10 @@ static void serialize(const Node& n, Writer& w, bool chroma_tree,
       w.put(cu.mmvd_base);
       w.put(cu.mmvd_step);
       w.put(cu.mmvd_pos);
+      w.put(cu.geo ? 1 : 0);
+      w.put(cu.geo_split_dir);
+      w.put(cu.geo_idx0);
+      w.put(cu.geo_idx1);
       w.put(cu.mv[0][0]);
       w.put(cu.mv[0][1]);
       w.put(cu.mv[1][0]);

@@ -2337,6 +2337,11 @@ class SyntaxCoder:
 
     def finish_cu(self, ps, cu, qt_depth: int, comps=(0, 1, 2)):
         """Reconstruct + update motion/attribute maps + HMVP."""
+        if cu.is_inter and cu.geo and cu.geo_mi is None:
+            # native-search trees carry the signalled geo fields only;
+            # the motion derives from the live neighborhood exactly as
+            # the decoder will (same progressive mf state)
+            self._apply_geo(ps, cu)
         if self.use_dqp:
             # dequant with the current QG QP (the delta, if any, is always
             # coded before the first residual of the QG)

@@ -1058,6 +1058,9 @@ def _assert_trees_equal(a, b, path="ctu"):
         for f in ("is_inter", "skip", "merge", "merge_idx", "mv",
                   "ref_idx", "mvd", "mvp_idx", "mvd_l1", "mvp_idx_l1",
                   "bcw_idx", "alt_hpel", "imv", "smvd", "root_cbf",
+                  "mmvd_flag", "mmvd_base", "mmvd_step", "mmvd_pos",
+                  "geo", "geo_split_dir", "geo_idx0", "geo_idx1",
+                  "affine", "affine_type", "sbtmvp", "cpmv",
                   "dmvr_deltas"):
             va, vb = getattr(ca, f), getattr(cb, f)
             assert va == vb, (path, f, va, vb)

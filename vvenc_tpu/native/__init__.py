@@ -584,7 +584,6 @@ def search_eligible(searcher) -> bool:
     if coder.is_intra_slice:
         return True
     return (not coder.affine_en and coder.max_aff_merge == 0
-            and not coder.geo_en
             and not coder.ciip_en and not coder.bcw_en
             and not getattr(sps, "sbt", 0)
             and coder.num_refs[0] <= 8 and coder.num_refs[1] <= 8
@@ -880,6 +879,10 @@ def search_ctu(searcher, ctu_x: int, ctu_y: int, live_ctx, commit=True):
                 cu.mmvd_base = tok()
                 cu.mmvd_step = tok()
                 cu.mmvd_pos = tok()
+                cu.geo = bool(tok())
+                cu.geo_split_dir = tok()
+                cu.geo_idx0 = tok()
+                cu.geo_idx1 = tok()
                 cu.mv = ((tok(), tok()), (tok(), tok()))
                 cu.ref_idx = (tok(), tok())
                 cu.mvd = (tok(), tok())
