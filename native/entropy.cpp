@@ -2876,6 +2876,13 @@ struct CuRec {
   bool geo = false;
   int geo_split_dir = 0, geo_idx0 = 0, geo_idx1 = 0;
   MI geo_mi[2];
+  // affine runtime state (derive_affine_grids analog)
+  std::vector<MI> sub_mi;            // per-4x4 spanning motion
+  std::vector<MI> sb_grid;           // SbTMVP 8x8 sub-block grid
+  int sb_pw = 8, sb_ph = 8;
+  std::vector<int32_t> aff_grid[2];  // per-4x4 sub-block MVs per list
+  int64_t aff_dhv[2][4] = {};
+  bool aff_spread[2] = {false, false};
 };
 
 // one full-RD trial entry (intra_encoder.py full_modes tuples)
@@ -5379,6 +5386,10 @@ struct Searcher {
   // prediction of one component incl. DMVR/BDOF/GEO (pred_cu_inter
   // analog; LMCS outside the native scope)
   void pred_cu_inter_c(const CuRec& cu, int comp, std::vector<int32_t>& out) {
+    if (cu.affine) {
+      affine_pred_c(const_cast<CuRec&>(cu), comp, out);
+      return;
+    }
     if (cu.geo) {
       geo_pred_c(cu, comp, out);
       return;
@@ -5392,6 +5403,1161 @@ struct Searcher {
       return;
     }
     inter_pred_c(cu, comp, out);
+  }
+
+  // =====================================================================
+  // affine motion (codec/affine.py port): inheritance, merge/AMVP lists,
+  // SbTMVP, sub-block MC + PROF, gradient CPMV search
+  // =====================================================================
+  struct AffInfo {
+    int x, y, w, h, type;
+    int cpmv[2][3][2];
+    int dir;
+    int ref[2];
+    int bcw;
+  };
+  bool aff_at(int px, int py, AffInfo& out) const {
+    if (px < 0 || py < 0 || px >= ic->uw * 4 || py >= ic->uh * 4)
+      return false;
+    size_t u = size_t(py >> 2) * ic->uw + (px >> 2);
+    if (!ic->mf_aff_valid || !ic->mf_aff_valid[u]) return false;
+    const int32_t* r = ic->mf_aff_data + u * 21;
+    out.x = r[0];
+    out.y = r[1];
+    out.w = r[2];
+    out.h = r[3];
+    out.type = r[4];
+    for (int li = 0; li < 2; ++li)
+      for (int i = 0; i < 3; ++i) {
+        out.cpmv[li][i][0] = r[5 + li * 6 + i * 2];
+        out.cpmv[li][i][1] = r[5 + li * 6 + i * 2 + 1];
+      }
+    out.dir = r[17];
+    out.ref[0] = r[18];
+    out.ref[1] = r[19];
+    out.bcw = r[20];
+    return true;
+  }
+  static inline void round_affine_mv_c(int64_t vx, int64_t vy, int shift,
+                                       int out[2]) {
+    int64_t off = 1LL << (shift - 1);
+    int64_t rx = (vx + off - (vx >= 0 ? 1 : 0)) >> shift;
+    int64_t ry = (vy + off - (vy >= 0 ? 1 : 0)) >> shift;
+    out[0] = int(rx);
+    out[1] = int(ry);
+  }
+  static inline void clip_stor_c(int mv[2]) {
+    mv[0] = std::max(MV_CLIP_MIN, std::min(MV_CLIP_MAX, mv[0]));
+    mv[1] = std::max(MV_CLIP_MIN, std::min(MV_CLIP_MAX, mv[1]));
+  }
+  static inline void round_aff_amvr_c(int mv[2], int imv) {
+    static const int SH[3] = {2, 0, 4};
+    int sh = SH[imv];
+    if (sh == 0) return;
+    int off = 1 << (sh - 1);
+    for (int k = 0; k < 2; ++k) {
+      int v = mv[k];
+      v = v >= 0 ? ((v + off - 1) >> sh) : ((v + off) >> sh);
+      mv[k] = v << sh;
+    }
+  }
+  // CU::xInheritedAffineMv (affine.py inherited_affine_mv)
+  void inherited_affine_mv_c(const AffInfo& aff, int cx, int cy, int cw,
+                             int ch, int li, bool cur_6p,
+                             int out[3][2]) const {
+    int nx = aff.x, ny = aff.y, nw = aff.w, nh = aff.h;
+    int mv_lt[2] = {aff.cpmv[li][0][0], aff.cpmv[li][0][1]};
+    int mv_rt[2] = {aff.cpmv[li][1][0], aff.cpmv[li][1][1]};
+    int mv_lb[2] = {aff.cpmv[li][2][0], aff.cpmv[li][2][1]};
+    bool top_ctu = false;
+    if ((ny + nh) % ic->ctu_size == 0 && (ny + nh) == cy) {
+      MI a, b;
+      ic->mi_at(nx, ny + nh - 1, a);
+      ic->mi_at(nx + nw - 1, ny + nh - 1, b);
+      mv_lt[0] = a.mv[li][0];
+      mv_lt[1] = a.mv[li][1];
+      mv_rt[0] = b.mv[li][0];
+      mv_rt[1] = b.mv[li][1];
+      ny += nh;
+      top_ctu = true;
+    }
+    const int shift = 7;  // MAX_CU_DEPTH
+    int64_t dhx = int64_t(mv_rt[0] - mv_lt[0])
+                  << (shift - (bit_length(nw) - 1));
+    int64_t dhy = int64_t(mv_rt[1] - mv_lt[1])
+                  << (shift - (bit_length(nw) - 1));
+    int64_t dvx, dvy;
+    if (aff.type == 1 && !top_ctu) {
+      dvx = int64_t(mv_lb[0] - mv_lt[0]) << (shift - (bit_length(nh) - 1));
+      dvy = int64_t(mv_lb[1] - mv_lt[1]) << (shift - (bit_length(nh) - 1));
+    } else {
+      dvx = -dhy;
+      dvy = dhx;
+    }
+    int64_t base_x = int64_t(mv_lt[0]) << shift;
+    int64_t base_y = int64_t(mv_lt[1]) << shift;
+    auto at = [&](int px, int py, int o[2]) {
+      int64_t hx = base_x + dhx * (px - nx) + dvx * (py - ny);
+      int64_t vy = base_y + dhy * (px - nx) + dvy * (py - ny);
+      round_affine_mv_c(hx, vy, shift, o);
+      clip_stor_c(o);
+    };
+    at(cx, cy, out[0]);
+    at(cx + cw, cy, out[1]);
+    if (cur_6p)
+      at(cx, cy + ch, out[2]);
+    else {
+      out[2][0] = out[2][1] = 0;
+    }
+  }
+  // InterPredInterpolation::isSubblockVectorSpreadOverLimit
+  static bool spread_over_limit(int64_t a, int64_t b, int64_t c, int64_t d,
+                                int dir) {
+    const int64_t s4 = 4 << 11;
+    const int ft = 6;
+    if (dir == 3) {
+      int64_t rw = std::max<int64_t>(
+                       {0, 4 * a + s4, 4 * c, 4 * a + 4 * c + s4}) -
+                   std::min<int64_t>(
+                       {0, 4 * a + s4, 4 * c, 4 * a + 4 * c + s4});
+      int64_t rh = std::max<int64_t>(
+                       {0, 4 * b, 4 * d + s4, 4 * b + 4 * d + s4}) -
+                   std::min<int64_t>(
+                       {0, 4 * b, 4 * d + s4, 4 * b + 4 * d + s4});
+      rw = (rw >> 11) + ft + 3;
+      rh = (rh >> 11) + ft + 3;
+      return rw * rh > (ft + 9) * (ft + 9);
+    }
+    int64_t rw = std::max<int64_t>(0, 4 * a + s4) -
+                 std::min<int64_t>(0, 4 * a + s4);
+    int64_t rh = std::max<int64_t>(0, 4 * b) - std::min<int64_t>(0, 4 * b);
+    if (((rw >> 11) + ft + 3) * ((rh >> 11) + ft + 3) >
+        (ft + 9) * (ft + 5))
+      return true;
+    rw = std::max<int64_t>(0, 4 * c) - std::min<int64_t>(0, 4 * c);
+    rh = std::max<int64_t>(0, 4 * d + s4) -
+         std::min<int64_t>(0, 4 * d + s4);
+    return ((rw >> 11) + ft + 3) * ((rh >> 11) + ft + 3) >
+           (ft + 5) * (ft + 9);
+  }
+  // CU::setAllAffineMv sub-block MV grid (affine.py subblock_mv_grid)
+  void subblock_mv_grid_c(const int cpmv[3][2], int x, int y, int w, int h,
+                          int aff_type, int dir,
+                          std::vector<int32_t>& grid, int64_t dhv[4],
+                          bool* spread) const {
+    (void)x;
+    (void)y;
+    const int shift = 7;
+    int nbx = w / 4, nby = h / 4;
+    grid.assign(size_t(nby) * nbx * 2, 0);
+    bool same = cpmv[0][0] == cpmv[1][0] && cpmv[0][1] == cpmv[1][1] &&
+                (aff_type == 0 || (cpmv[1][0] == cpmv[2][0] &&
+                                   cpmv[1][1] == cpmv[2][1]));
+    dhv[0] = dhv[1] = dhv[2] = dhv[3] = 0;
+    *spread = false;
+    if (same) {
+      for (int i = 0; i < nby * nbx; ++i) {
+        grid[size_t(i) * 2] = cpmv[0][0];
+        grid[size_t(i) * 2 + 1] = cpmv[0][1];
+      }
+      return;
+    }
+    int64_t dhx = int64_t(cpmv[1][0] - cpmv[0][0])
+                  << (shift - (bit_length(w) - 1));
+    int64_t dhy = int64_t(cpmv[1][1] - cpmv[0][1])
+                  << (shift - (bit_length(w) - 1));
+    int64_t dvx, dvy;
+    if (aff_type == 1) {
+      dvx = int64_t(cpmv[2][0] - cpmv[0][0]) << (shift - (bit_length(h) - 1));
+      dvy = int64_t(cpmv[2][1] - cpmv[0][1]) << (shift - (bit_length(h) - 1));
+    } else {
+      dvx = -dhy;
+      dvy = dhx;
+    }
+    dhv[0] = dhx;
+    dhv[1] = dhy;
+    dhv[2] = dvx;
+    dhv[3] = dvy;
+    *spread = spread_over_limit(dhx, dhy, dvx, dvy, dir);
+    int64_t base_x = int64_t(cpmv[0][0]) << shift;
+    int64_t base_y = int64_t(cpmv[0][1]) << shift;
+    for (int by = 0; by < nby; ++by)
+      for (int bx = 0; bx < nbx; ++bx) {
+        int64_t hx, vy;
+        if (*spread) {
+          hx = base_x + dhx * (w >> 1) + dvx * (h >> 1);
+          vy = base_y + dhy * (w >> 1) + dvy * (h >> 1);
+        } else {
+          hx = base_x + dhx * (2 + bx * 4) + dvx * (2 + by * 4);
+          vy = base_y + dhy * (2 + bx * 4) + dvy * (2 + by * 4);
+        }
+        int o[2];
+        round_affine_mv_c(hx, vy, shift, o);
+        clip_stor_c(o);
+        grid[(size_t(by) * nbx + bx) * 2] = o[0];
+        grid[(size_t(by) * nbx + bx) * 2 + 1] = o[1];
+      }
+  }
+  // colocated probe with the SbTMVP strict-list variant
+  bool colocated_sb(int list_idx, int px, int py, int out[2]) const {
+    px &= ~7;
+    py &= ~7;
+    if (px < 0 || py < 0 || px >= ic->uw * 4 || py >= ic->uh * 4)
+      return false;
+    size_t u = size_t(py >> 2) * ic->uw + (px >> 2);
+    if (!ic->col_valid[u]) return false;
+    int col_list, col_ref;
+    if (!ic->check_ldc) {
+      col_list = list_idx;
+      col_ref = ic->col_ref_at(u, col_list);
+      if (col_ref < 0) return false;
+    } else {
+      col_list = list_idx;
+      col_ref = ic->col_ref_at(u, col_list);
+      if (col_ref < 0) {
+        col_list = 1 - col_list;
+        col_ref = ic->col_ref_at(u, col_list);
+        if (col_ref < 0) return false;
+      }
+    }
+    const int32_t* m = ic->col_mv + u * 4 + col_list * 2;
+    int mv[2] = {round_mv_storage(m[0]), round_mv_storage(m[1])};
+    int col_rp = ic->col_ref_poc[col_list][col_ref];
+    int cur_rp = ic->ref_poc[list_idx][0];
+    int scale = dist_scale_factor(ic->cur_poc, cur_rp, ic->col_poc, col_rp);
+    if (scale == 4096) {
+      out[0] = mv[0];
+      out[1] = mv[1];
+      return true;
+    }
+    scale_mv_c(mv, scale, out);
+    return true;
+  }
+  static void clip_col_pos_c(int* px, int* py, int cux, int cuy, int ctu,
+                             int pic_w, int pic_h) {
+    int l2 = bit_length(ctu) - 1;
+    int ctu_x = (cux >> l2) << l2, ctu_y = (cuy >> l2) << l2;
+    int hor_max = std::min(pic_w - 1, ctu_x + ctu + 3);
+    int ver_max = std::min(pic_h - 1, ctu_y + ctu - 1);
+    *px = std::min(hor_max, std::max(ctu_x, *px));
+    *py = std::min(ver_max, std::max(ctu_y, *py));
+  }
+  // CU::getInterMergeSbTMVPCand (affine.py sbtmvp_candidate).  Returns
+  // false when unavailable; fills ctr + the 8x8 grid.
+  bool sbtmvp_candidate_c(const CuRec& cu, const MI* first_mi, MI* ctr_out,
+                          std::vector<MI>& grid, int* pw_out,
+                          int* ph_out) const {
+    if (!ic->col_valid) return false;
+    int col_poc = ic->col_poc;
+    int tmv[2] = {0, 0};
+    if (first_mi != nullptr) {
+      int r0 = first_mi->ref[0];
+      if (r0 >= 0 && ic->ref_poc[0][r0] == col_poc) {
+        tmv[0] = first_mi->mv[0][0];
+        tmv[1] = first_mi->mv[0][1];
+      } else if (ic->is_b) {
+        int r1 = first_mi->ref[1];
+        if (r1 >= 0 && ic->ref_poc[1][r1] == col_poc) {
+          tmv[0] = first_mi->mv[1][0];
+          tmv[1] = first_mi->mv[1][1];
+        }
+      }
+    }
+    int tix = (tmv[0] + (8 - (tmv[0] >= 0 ? 1 : 0))) >> 4;
+    int tiy = (tmv[1] + (8 - (tmv[1] >= 0 ? 1 : 0))) >> 4;
+    int n_lists = ic->is_b ? 2 : 1;
+    int cx = cu.x + (cu.w >> 1) + tix;
+    int cy = cu.y + (cu.h >> 1) + tiy;
+    clip_col_pos_c(&cx, &cy, cu.x, cu.y, ic->ctu_size, ic->pic_w,
+                   ic->pic_h);
+    cx &= ~7;
+    cy &= ~7;
+    {
+      size_t u = size_t(cy >> 2) * ic->uw + (cx >> 2);
+      if (cx < 0 || cy < 0 || cx >= ic->uw * 4 || cy >= ic->uh * 4 ||
+          !ic->col_valid[u])
+        return false;
+    }
+    int ctr_mv[2][2];
+    bool have_ctr[2] = {false, false};
+    for (int li = 0; li < n_lists; ++li)
+      have_ctr[li] = colocated_sb(li, cx, cy, ctr_mv[li]);
+    if (!have_ctr[0] && !have_ctr[1]) return false;
+    MI ctr;
+    for (int li = 0; li < 2; ++li)
+      if (li < n_lists && have_ctr[li]) {
+        ctr.mv[li][0] = ctr_mv[li][0];
+        ctr.mv[li][1] = ctr_mv[li][1];
+        ctr.ref[li] = 0;
+      }
+    *ctr_out = ctr;
+    int pw = cu.w > 8 ? 8 : cu.w;
+    int ph = cu.h > 8 ? 8 : cu.h;
+    int x_off = (pw >> 1) + tix;
+    int y_off = (ph >> 1) + tiy;
+    int nbx = std::max(1, cu.w / pw);
+    int nby = std::max(1, cu.h / ph);
+    grid.assign(size_t(nbx) * nby, MI());
+    bool restricted = cu.w + cu.h == 12;
+    for (int by = 0; by < nby; ++by)
+      for (int bx = 0; bx < nbx; ++bx) {
+        int px = cu.x + bx * pw + x_off;
+        int py = cu.y + by * ph + y_off;
+        clip_col_pos_c(&px, &py, cu.x, cu.y, ic->ctu_size, ic->pic_w,
+                       ic->pic_h);
+        px &= ~7;
+        py &= ~7;
+        int mv[2][2];
+        bool have[2] = {false, false};
+        size_t u = size_t(py >> 2) * ic->uw + (px >> 2);
+        bool col_ok = px >= 0 && py >= 0 && px < ic->uw * 4 &&
+                      py < ic->uh * 4 && ic->col_valid[u];
+        if (col_ok)
+          for (int li = 0; li < n_lists; ++li)
+            have[li] = colocated_sb(li, px, py, mv[li]);
+        MI mi;
+        if (!have[0] && !have[1]) {
+          mi = ctr;
+        } else {
+          for (int li = 0; li < 2; ++li)
+            if (li < n_lists && have[li]) {
+              mi.mv[li][0] = mv[li][0];
+              mi.mv[li][1] = mv[li][1];
+              mi.ref[li] = 0;
+            }
+        }
+        if (restricted && mi.dir() == 3) {
+          mi.ref[1] = -1;
+          mi.mv[1][0] = mi.mv[1][1] = 0;
+        }
+        grid[size_t(by) * nbx + bx] = mi;
+      }
+    *pw_out = pw;
+    *ph_out = ph;
+    return true;
+  }
+  // affine merge candidate (affine.py AffineMergeCand)
+  struct AffMergeCand {
+    int dir = 0;
+    int aff_type = 0;
+    int cpmv[2][3][2] = {};
+    int ref[2] = {-1, -1};
+    int bcw = 2;
+    bool is_sbtmvp = false;
+    MI sb_ctr;  // unused
+    std::vector<MI> sb_grid;
+    int sb_pw = 8, sb_ph = 8;
+  };
+  // CU::getAffineControlPointCand (affine.py _ctrl_point_cand)
+  void ctrl_point_cand_c(const CuRec& cu, const MI mi[4],
+                         const bool avail[4], const int* ver_idx, int bcw,
+                         int model_idx, int ver_num,
+                         std::vector<AffMergeCand>& out) const {
+    const int shift = 7;
+    int shift_htow = shift + (bit_length(cu.w) - 1) - (bit_length(cu.h) - 1);
+    int ref_idx[2] = {-1, -1};
+    int direction = 0;
+    for (int i = 0; i < ver_num; ++i)
+      if (!avail[ver_idx[i]]) return;
+    for (int li = 0; li < 2; ++li) {
+      int r0 = mi[ver_idx[0]].ref[li];
+      bool all_same = r0 >= 0;
+      for (int i = 1; i < ver_num; ++i)
+        all_same &= mi[ver_idx[i]].ref[li] == r0;
+      if (all_same) {
+        direction |= li + 1;
+        ref_idx[li] = r0;
+      }
+    }
+    if (direction == 0) return;
+    int cmv[2][4][2] = {};
+    for (int li = 0; li < 2; ++li) {
+      if (!(direction & (li + 1))) continue;
+      for (int i = 0; i < ver_num; ++i) {
+        cmv[li][ver_idx[i]][0] = mi[ver_idx[i]].mv[li][0];
+        cmv[li][ver_idx[i]][1] = mi[ver_idx[i]].mv[li][1];
+      }
+      int(*m)[2] = cmv[li];
+      if (model_idx == 1) {
+        m[2][0] = m[3][0] + m[0][0] - m[1][0];
+        m[2][1] = m[3][1] + m[0][1] - m[1][1];
+        clip_stor_c(m[2]);
+      } else if (model_idx == 2) {
+        m[1][0] = m[3][0] + m[0][0] - m[2][0];
+        m[1][1] = m[3][1] + m[0][1] - m[2][1];
+        clip_stor_c(m[1]);
+      } else if (model_idx == 3) {
+        m[0][0] = m[1][0] + m[2][0] - m[3][0];
+        m[0][1] = m[1][1] + m[2][1] - m[3][1];
+        clip_stor_c(m[0]);
+      } else if (model_idx == 5) {
+        int64_t vx = (int64_t(m[0][0]) << shift) +
+                     (int64_t(m[2][1] - m[0][1]) << shift_htow);
+        int64_t vy = (int64_t(m[0][1]) << shift) -
+                     (int64_t(m[2][0] - m[0][0]) << shift_htow);
+        round_affine_mv_c(vx, vy, shift, m[1]);
+        clip_stor_c(m[1]);
+      }
+    }
+    AffMergeCand cand;
+    cand.dir = direction;
+    cand.aff_type = (ver_num == 2) ? 0 : 1;
+    for (int li = 0; li < 2; ++li)
+      for (int i = 0; i < 3; ++i) {
+        cand.cpmv[li][i][0] = cmv[li][i][0];
+        cand.cpmv[li][i][1] = cmv[li][i][1];
+      }
+    cand.ref[0] = ref_idx[0];
+    cand.ref[1] = ref_idx[1];
+    cand.bcw = direction == 3 ? bcw : 2;
+    out.push_back(cand);
+  }
+  // CU::getAffineMergeCand (affine.py affine_merge_list)
+  void affine_merge_list_c(const CuRec& cu, int max_cands, int mrg_idx,
+                           std::vector<AffMergeCand>& cands) const {
+    cands.clear();
+    int lbx = cu.x, lby = cu.y + cu.h - 1;
+    int ltx = cu.x, lty = cu.y;
+    int rtx = cu.x + cu.w - 1, rty = cu.y;
+    auto done = [&]() {
+      return int(cands.size()) >= max_cands ||
+             (mrg_idx >= 0 && int(cands.size()) > mrg_idx);
+    };
+    if (ic->sbtmvp_active) {
+      MI a1;
+      bool has_a1 = avail_inter(lbx - 1, lby, a1);
+      MI ctr;
+      std::vector<MI> grid;
+      int pw, ph;
+      if (sbtmvp_candidate_c(cu, has_a1 ? &a1 : nullptr, &ctr, grid, &pw,
+                             &ph)) {
+        AffMergeCand c;
+        c.dir = ctr.dir();
+        c.aff_type = 2;
+        for (int li = 0; li < 2; ++li)
+          for (int i = 0; i < 3; ++i) {
+            c.cpmv[li][i][0] = ctr.mv[li][0];
+            c.cpmv[li][i][1] = ctr.mv[li][1];
+          }
+        c.ref[0] = ctr.ref[0];
+        c.ref[1] = ctr.ref[1];
+        c.is_sbtmvp = true;
+        c.sb_grid = std::move(grid);
+        c.sb_pw = pw;
+        c.sb_ph = ph;
+        cands.push_back(std::move(c));
+        if (done()) return;
+      }
+    }
+    if (ic->affine_en) {
+      // inherited: one from the left group, one from the above group
+      AffInfo nbs[2];
+      int n_nbs = 0;
+      {
+        AffInfo aff;
+        if (aff_at(lbx - 1, lby + 1, aff) && is_coded_at(lbx - 1, lby + 1))
+          nbs[n_nbs++] = aff;
+        else if (aff_at(lbx - 1, lby, aff) && is_coded_at(lbx - 1, lby))
+          nbs[n_nbs++] = aff;
+      }
+      {
+        AffInfo aff;
+        if (aff_at(rtx + 1, rty - 1, aff) && is_coded_at(rtx + 1, rty - 1))
+          nbs[n_nbs++] = aff;
+        else if (aff_at(rtx, rty - 1, aff) && is_coded_at(rtx, rty - 1))
+          nbs[n_nbs++] = aff;
+        else if (aff_at(ltx - 1, lty - 1, aff) &&
+                 is_coded_at(ltx - 1, lty - 1))
+          nbs[n_nbs++] = aff;
+      }
+      for (int k = 0; k < n_nbs; ++k) {
+        const AffInfo& aff = nbs[k];
+        AffMergeCand c;
+        c.dir = aff.dir;
+        c.aff_type = aff.type;
+        for (int li = 0; li < 2; ++li) {
+          bool use = li == 0 ? (aff.dir != 2) : (ic->is_b && aff.dir != 1);
+          if (use) {
+            int out[3][2];
+            inherited_affine_mv_c(aff, cu.x, cu.y, cu.w, cu.h, li,
+                                  aff.type == 1, out);
+            for (int i = 0; i < 3; ++i) {
+              c.cpmv[li][i][0] = out[i][0];
+              c.cpmv[li][i][1] = out[i][1];
+            }
+          }
+        }
+        c.ref[0] = aff.ref[0];
+        c.ref[1] = aff.ref[1];
+        c.bcw = aff.bcw;
+        cands.push_back(c);
+        if (done()) return;
+      }
+      // constructed candidates from corner motion
+      MI mi[4];
+      bool avail[4] = {false, false, false, false};
+      int nb_bcw[2] = {2, 2};
+      {
+        MI m;
+        if (avail_inter(ltx - 1, lty - 1, m) ||
+            avail_inter(ltx, lty - 1, m) || avail_inter(ltx - 1, lty, m)) {
+          avail[0] = true;
+          mi[0] = m;
+          nb_bcw[0] = m.bcw;
+        }
+      }
+      {
+        MI m;
+        if (avail_inter(rtx, rty - 1, m) ||
+            avail_inter(rtx + 1, rty - 1, m)) {
+          avail[1] = true;
+          mi[1] = m;
+          nb_bcw[1] = m.bcw;
+        }
+      }
+      {
+        MI m;
+        if (avail_inter(lbx - 1, lby, m) ||
+            avail_inter(lbx - 1, lby + 1, m)) {
+          avail[2] = true;
+          mi[2] = m;
+        }
+      }
+      if (ic->col_valid) {
+        int rbx = cu.x + cu.w - 4, rby = cu.y + cu.h - 4;
+        if (rbx + 4 < ic->pic_w && rby + 4 < ic->pic_h &&
+            (rby & (ic->ctu_size - 1)) + 4 < ic->ctu_size) {
+          int mv0[2], mv1[2];
+          bool h0 = ic->colocated_mvp(0, rbx + 4, rby + 4, 0, mv0);
+          bool h1 = ic->is_b && ic->colocated_mvp(1, rbx + 4, rby + 4, 0,
+                                                  mv1);
+          if (h0 || h1) {
+            avail[3] = true;
+            MI m;
+            if (h0) {
+              m.mv[0][0] = mv0[0];
+              m.mv[0][1] = mv0[1];
+              m.ref[0] = 0;
+            }
+            if (h1) {
+              m.mv[1][0] = mv1[0];
+              m.mv[1][1] = mv1[1];
+              m.ref[1] = 0;
+            }
+            mi[3] = m;
+          }
+        }
+      }
+      static const int MODEL[6][3] = {{0, 1, 2}, {0, 1, 3}, {0, 2, 3},
+                                      {1, 2, 3}, {0, 1, 0}, {0, 2, 0}};
+      static const int VER_NUM[6] = {3, 3, 3, 3, 2, 2};
+      int start = ic->affine_type_en ? 0 : 4;
+      for (int m_idx = start; m_idx < 6; ++m_idx) {
+        int vi[4] = {MODEL[m_idx][0], MODEL[m_idx][1], MODEL[m_idx][2], 0};
+        ctrl_point_cand_c(cu, mi, avail, vi,
+                          m_idx == 3 ? nb_bcw[1] : nb_bcw[0], m_idx,
+                          VER_NUM[m_idx], cands);
+        if (done()) return;
+      }
+    }
+    // zero padding
+    while (int(cands.size()) < max_cands) {
+      AffMergeCand c;
+      if (ic->is_b) {
+        c.dir = 3;
+        c.ref[0] = 0;
+        c.ref[1] = 0;
+      } else {
+        c.dir = 1;
+        c.ref[0] = 0;
+      }
+      cands.push_back(c);
+      if (done()) break;
+    }
+  }
+  // 6-tap affine luma filter (affine.py AFFINE_LUMA_FILTER, 8-wide)
+  static const int32_t* affine_taps() {
+    static const int32_t T[16][8] = {
+        {0, 0, 0, 64, 0, 0, 0, 0},      {0, 1, -3, 63, 4, -2, 1, 0},
+        {0, 1, -5, 62, 8, -3, 1, 0},    {0, 2, -8, 60, 13, -4, 1, 0},
+        {0, 3, -10, 58, 17, -5, 1, 0},  {0, 3, -11, 52, 26, -8, 2, 0},
+        {0, 2, -9, 47, 31, -10, 3, 0},  {0, 3, -11, 45, 34, -10, 3, 0},
+        {0, 3, -11, 40, 40, -11, 3, 0}, {0, 3, -10, 34, 45, -11, 3, 0},
+        {0, 3, -10, 31, 47, -9, 2, 0},  {0, 2, -8, 26, 52, -11, 3, 0},
+        {0, 1, -5, 17, 58, -10, 3, 0},  {0, 1, -4, 13, 60, -8, 2, 0},
+        {0, 1, -3, 8, 62, -5, 1, 0},    {0, 1, -2, 4, 63, -3, 1, 0}};
+    return &T[0][0];
+  }
+  // affine MC of one list/component incl. PROF (affine_predict_list)
+  void affine_pred_list_c(const CuRec& cu, int li, int comp,
+                          bool intermediate, std::vector<int64_t>& out) {
+    const int32_t* ref = ic->ref_plane[li][cu.ref_idx[li]][comp];
+    int bd = pp.bit_depth;
+    int sc = comp == 0 ? 0 : 1;
+    const std::vector<int32_t>& grid = cu.aff_grid[li];
+    const int64_t* dhv = cu.aff_dhv[li];
+    bool spread = cu.aff_spread[li];
+    int refw = ic->pic_w >> sc, refh = ic->pic_h >> sc;
+    int hor_max = (ic->pic_w + 8 - cu.x - 1) << 4;
+    int hor_min = (-ic->ctu_size - 8 - cu.x + 1) << 4;
+    int ver_max = (ic->pic_h + 8 - cu.y - 1) << 4;
+    int ver_min = (-ic->ctu_size - 8 - cu.y + 1) << 4;
+    int cw = cu.w >> sc, ch = cu.h >> sc;
+    int nbx = cu.w / 4;
+    bool same_cp =
+        cu.cpmv[li][0][0] == cu.cpmv[li][1][0] &&
+        cu.cpmv[li][0][1] == cu.cpmv[li][1][1] &&
+        (cu.affine_type == 0 || (cu.cpmv[li][0][0] == cu.cpmv[li][2][0] &&
+                                 cu.cpmv[li][0][1] == cu.cpmv[li][2][1]));
+    bool enable_prof = comp == 0 && ic->prof_en && !cu.sbtmvp && !same_cp &&
+                       !spread;
+    bool is_last = !intermediate && !enable_prof;
+    out.assign(size_t(cw) * ch, 0);
+    int shift_num = std::max(2, 14 - bd);
+    int64_t prof_off = (1LL << (shift_num - 1)) + (1 << 13);
+    int64_t di_lim = 1LL << std::max(bd + 1, 13);
+    int maxval = (1 << bd) - 1;
+    // PROF per-pixel dMv grid (shared by all 4x4 sub-blocks)
+    int64_t dmx[16], dmy[16];
+    if (enable_prof) {
+      int64_t qhx = 4 * dhv[0], qhy = 4 * dhv[1];
+      int64_t qvx = 4 * dhv[2], qvy = 4 * dhv[3];
+      int64_t mx[16], my[16];
+      mx[0] = ((dhv[0] + dhv[2]) * 2) - ((qhx + qvx) * 2);
+      my[0] = ((dhv[1] + dhv[3]) * 2) - ((qhy + qvy) * 2);
+      for (int j = 1; j < 4; ++j) {
+        mx[j] = mx[j - 1] + qhx;
+        my[j] = my[j - 1] + qhy;
+      }
+      for (int i = 1; i < 4; ++i)
+        for (int j = 0; j < 4; ++j) {
+          mx[i * 4 + j] = mx[(i - 1) * 4 + j] + qvx;
+          my[i * 4 + j] = my[(i - 1) * 4 + j] + qvy;
+        }
+      for (int k = 0; k < 16; ++k) {
+        int64_t vx = mx[k], vy = my[k];
+        vx = (vx + 128 - (vx >= 0 ? 1 : 0)) >> 8;
+        vy = (vy + 128 - (vy >= 0 ? 1 : 0)) >> 8;
+        dmx[k] = std::max<int64_t>(-31, std::min<int64_t>(31, vx));
+        dmy[k] = std::max<int64_t>(-31, std::min<int64_t>(31, vy));
+      }
+    }
+    std::vector<int32_t> pred(16);
+    for (int by = 0; by < ch; by += 4)
+      for (int bx = 0; bx < cw; bx += 4) {
+        int mvx, mvy;
+        if (comp == 0) {
+          mvx = grid[(size_t(by >> 2) * nbx + (bx >> 2)) * 2];
+          mvy = grid[(size_t(by >> 2) * nbx + (bx >> 2)) * 2 + 1];
+        } else {
+          const int32_t* a = &grid[(size_t(by >> 1) * nbx + (bx >> 1)) * 2];
+          const int32_t* b =
+              &grid[(size_t((by >> 1) + 1) * nbx + (bx >> 1) + 1) * 2];
+          int o[2];
+          round_affine_mv_c(int64_t(a[0]) + b[0], int64_t(a[1]) + b[1], 1,
+                            o);
+          mvx = o[0];
+          mvy = o[1];
+        }
+        mvx = std::max(hor_min, std::min(hor_max, mvx));
+        mvy = std::max(ver_min, std::min(ver_max, mvy));
+        int px = (cu.x >> sc) + bx, py = (cu.y >> sc) + by;
+        vte_mc_block(ref, refh, refw, px, py, 4, 4, mvx, mvy, bd,
+                     comp == 0 ? 1 : 0,
+                     (intermediate || enable_prof) ? 1 : 0, 0,
+                     comp == 0 ? affine_taps() : nullptr, pred.data());
+        if (enable_prof) {
+          int fx = mvx & 15, fy = mvy & 15;
+          int xo = fx >> 3, yo = fy >> 3;
+          int xi = px + (mvx >> 4), yi = py + (mvy >> 4);
+          int sh = shift_num;
+          auto iw = [&](int xx, int yy) -> int64_t {
+            int cxx = std::min(std::max(xx, 0), refw - 1);
+            int cyy = std::min(std::max(yy, 0), refh - 1);
+            return (int64_t(ref[size_t(cyy) * refw + cxx]) << sh) -
+                   (1 << 13);
+          };
+          // 6x6 ext: pred core + integer ring
+          int64_t ext[6][6];
+          for (int i = 0; i < 4; ++i)
+            for (int j = 0; j < 4; ++j)
+              ext[i + 1][j + 1] = pred[size_t(i) * 4 + j];
+          for (int j = 0; j < 6; ++j) {
+            ext[0][j] = iw(xi + xo - 1 + j, yi + yo - 1);
+            ext[5][j] = iw(xi + xo - 1 + j, yi + yo + 4);
+          }
+          for (int i = 0; i < 4; ++i) {
+            ext[i + 1][0] = iw(xi + xo - 1, yi + yo + i);
+            ext[i + 1][5] = iw(xi + xo + 4, yi + yo + i);
+          }
+          for (int i = 0; i < 4; ++i)
+            for (int j = 0; j < 4; ++j) {
+              int64_t gx = (ext[i + 1][j + 2] >> 6) - (ext[i + 1][j] >> 6);
+              int64_t gy = (ext[i + 2][j + 1] >> 6) - (ext[i][j + 1] >> 6);
+              int64_t di = dmx[i * 4 + j] * gx + dmy[i * 4 + j] * gy;
+              di = std::max(-di_lim, std::min(di_lim - 1, di));
+              int64_t refined = pred[size_t(i) * 4 + j] + di;
+              if (!intermediate)
+                refined = std::max<int64_t>(
+                    0, std::min<int64_t>(maxval,
+                                         (refined + prof_off) >> shift_num));
+              out[size_t(by + i) * cw + bx + j] = refined;
+            }
+        } else {
+          for (int i = 0; i < 4; ++i)
+            for (int j = 0; j < 4; ++j)
+              out[size_t(by + i) * cw + bx + j] = pred[size_t(i) * 4 + j];
+        }
+      }
+    (void)is_last;
+  }
+  // SbTMVP MC: per-8x8 translational prediction (sbtmvp_predict)
+  void sbtmvp_pred_c(const CuRec& cu, int comp, std::vector<int32_t>& out) {
+    int sc = comp == 0 ? 0 : 1;
+    int w = cu.w >> sc, h = cu.h >> sc;
+    out.assign(size_t(w) * h, 0);
+    int pw = cu.sb_pw, ph = cu.sb_ph;
+    int nbx = std::max(1, cu.w / pw);
+    int refw = ic->pic_w >> sc, refh = ic->pic_h >> sc;
+    std::vector<int32_t> blk, a, b;
+    for (int by = 0; by * ph < cu.h; ++by)
+      for (int bx = 0; bx * pw < cu.w; ++bx) {
+        const MI& mi = cu.sb_grid[size_t(by) * nbx + bx];
+        int x = (cu.x + bx * pw) >> sc, y = (cu.y + by * ph) >> sc;
+        int bw = pw >> sc, bh = ph >> sc;
+        blk.resize(size_t(bw) * bh);
+        if (mi.ref[0] >= 0 && mi.ref[1] >= 0) {
+          a.resize(size_t(bw) * bh);
+          b.resize(size_t(bw) * bh);
+          vte_mc_block(ic->ref_plane[0][mi.ref[0]][comp], refh, refw, x, y,
+                       bw, bh, mi.mv[0][0], mi.mv[0][1], pp.bit_depth,
+                       comp == 0 ? 1 : 0, 1, 0, nullptr, a.data());
+          vte_mc_block(ic->ref_plane[1][mi.ref[1]][comp], refh, refw, x, y,
+                       bw, bh, mi.mv[1][0], mi.mv[1][1], pp.bit_depth,
+                       comp == 0 ? 1 : 0, 1, 0, nullptr, b.data());
+          std::vector<int32_t> tmp(size_t(bw) * bh);
+          bi_avg(a, b, tmp);
+          blk = tmp;
+        } else {
+          int li = mi.ref[0] >= 0 ? 0 : 1;
+          vte_mc_block(ic->ref_plane[li][mi.ref[li]][comp], refh, refw, x,
+                       y, bw, bh, mi.mv[li][0], mi.mv[li][1], pp.bit_depth,
+                       comp == 0 ? 1 : 0, 0, 0, nullptr, blk.data());
+        }
+        for (int i = 0; i < bh; ++i)
+          std::memcpy(out.data() + size_t((by * ph >> sc) + i) * w +
+                          (bx * pw >> sc),
+                      blk.data() + size_t(i) * bw, size_t(bw) * 4);
+      }
+  }
+  // full affine CU prediction (affine_predict): uni/bi + bi average
+  void derive_affine_grids_c(CuRec& cu) {
+    for (int li = 0; li < 2; ++li) {
+      cu.aff_grid[li].clear();
+      cu.aff_spread[li] = false;
+      if (cu.ref_idx[li] < 0) continue;
+      int cp[3][2];
+      for (int i = 0; i < 3; ++i) {
+        cp[i][0] = cu.cpmv[li][i][0];
+        cp[i][1] = cu.cpmv[li][i][1];
+      }
+      int dir = (cu.ref_idx[0] >= 0 ? 1 : 0) | (cu.ref_idx[1] >= 0 ? 2 : 0);
+      subblock_mv_grid_c(cp, cu.x, cu.y, cu.w, cu.h, cu.affine_type, dir,
+                         cu.aff_grid[li], cu.aff_dhv[li],
+                         &cu.aff_spread[li]);
+    }
+    // per-4x4 MotionInfo grid for the motion field
+    int nbx = cu.w / 4, nby = cu.h / 4;
+    cu.sub_mi.assign(size_t(nbx) * nby, MI());
+    for (int by = 0; by < nby; ++by)
+      for (int bx = 0; bx < nbx; ++bx) {
+        MI mi;
+        for (int li = 0; li < 2; ++li)
+          if (!cu.aff_grid[li].empty()) {
+            mi.mv[li][0] = cu.aff_grid[li][(size_t(by) * nbx + bx) * 2];
+            mi.mv[li][1] = cu.aff_grid[li][(size_t(by) * nbx + bx) * 2 + 1];
+          }
+        mi.ref[0] = int8_t(cu.ref_idx[0]);
+        mi.ref[1] = int8_t(cu.ref_idx[1]);
+        mi.bcw = int8_t(cu.bcw);
+        cu.sub_mi[size_t(by) * nbx + bx] = mi;
+      }
+  }
+  void affine_pred_c(CuRec& cu, int comp, std::vector<int32_t>& out) {
+    if (cu.sbtmvp) {
+      sbtmvp_pred_c(cu, comp, out);
+      return;
+    }
+    int sc = comp == 0 ? 0 : 1;
+    int w = cu.w >> sc, h = cu.h >> sc;
+    bool bi = cu.ref_idx[0] >= 0 && cu.ref_idx[1] >= 0;
+    std::vector<int64_t> a64, b64;
+    if (bi) {
+      affine_pred_list_c(cu, 0, comp, true, a64);
+      affine_pred_list_c(cu, 1, comp, true, b64);
+      out.resize(size_t(w) * h);
+      int shift = std::max(2, 14 - pp.bit_depth) + 1;
+      int64_t offset = (1LL << (shift - 1)) + 2 * (1 << 13);
+      int maxval = (1 << pp.bit_depth) - 1;
+      for (size_t i = 0; i < out.size(); ++i) {
+        int64_t v = (a64[i] + b64[i] + offset) >> shift;
+        out[i] = int32_t(std::max<int64_t>(0, std::min<int64_t>(maxval, v)));
+      }
+      return;
+    }
+    int li = cu.ref_idx[0] >= 0 ? 0 : 1;
+    affine_pred_list_c(cu, li, comp, false, a64);
+    out.assign(a64.begin(), a64.end());
+  }
+  // _apply_affine_merge analog (derives cpmv/grids for merge_idx)
+  void apply_affine_merge_c(CuRec& cu) {
+    std::vector<AffMergeCand> cands;
+    affine_merge_list_c(cu, ic->max_aff_merge, cu.merge_idx, cands);
+    const AffMergeCand& cand = cands[cu.merge_idx];
+    cu.ref_idx[0] = cand.ref[0];
+    cu.ref_idx[1] = cand.ref[1];
+    cu.bcw = cand.bcw;
+    std::memcpy(cu.cpmv, cand.cpmv, sizeof(cu.cpmv));
+    cu.affine_type = cand.is_sbtmvp ? 0 : cand.aff_type;
+    if (cand.is_sbtmvp) {
+      cu.sbtmvp = true;
+      cu.sb_grid = cand.sb_grid;
+      cu.sb_pw = cand.sb_pw;
+      cu.sb_ph = cand.sb_ph;
+      // per-4x4 spanning grid from the 8x8 SbTMVP sub-blocks
+      int nbx4 = cu.w / 4, nby4 = cu.h / 4;
+      int nbx8 = std::max(1, cu.w / cu.sb_pw);
+      cu.sub_mi.assign(size_t(nbx4) * nby4, MI());
+      for (int uy = 0; uy < nby4; ++uy)
+        for (int ux = 0; ux < nbx4; ++ux)
+          cu.sub_mi[size_t(uy) * nbx4 + ux] =
+              cu.sb_grid[size_t(uy * 4 / cu.sb_ph) * nbx8 +
+                         (ux * 4 / cu.sb_pw)];
+    } else {
+      derive_affine_grids_c(cu);
+    }
+  }
+
+  // -- affine AMVP (fillAffineMvpCand) + gradient search ---------------
+  bool mvp_cand_unscaled_c(int li, int ref_idx, int px, int py,
+                           int out[2]) const {
+    MI mi;
+    if (!avail_inter(px, py, mi)) return false;
+    int cur_poc = ic->ref_poc[li][ref_idx];
+    for (int k = 0; k < 2; ++k) {
+      int src = k == 0 ? li : 1 - li;
+      int r = mi.ref[src];
+      if (r >= 0 && r < ic->n_ref[src] && ic->ref_poc[src][r] == cur_poc) {
+        out[0] = mi.mv[src][0];
+        out[1] = mi.mv[src][1];
+        return true;
+      }
+    }
+    return false;
+  }
+  bool add_aff_amvp_unscaled(const CuRec& cu, int li, int ref_idx, int px,
+                             int py, std::vector<std::array<int, 6>>& out)
+      const {
+    AffInfo aff;
+    if (!is_coded_at(px, py) || !aff_at(px, py, aff)) return false;
+    int cur_poc = ic->ref_poc[li][ref_idx];
+    for (int k = 0; k < 2; ++k) {
+      int src = k == 0 ? li : 1 - li;
+      if (!(aff.dir & (src + 1))) continue;
+      int r = aff.ref[src];
+      if (r < 0 || r >= ic->n_ref[src] || ic->ref_poc[src][r] != cur_poc)
+        continue;
+      int mvs[3][2];
+      inherited_affine_mv_c(aff, cu.x, cu.y, cu.w, cu.h, src,
+                            cu.affine_type == 1, mvs);
+      std::array<int, 6> row;
+      for (int i = 0; i < 3; ++i) {
+        int m[2] = {mvs[i][0], mvs[i][1]};
+        round_aff_amvr_c(m, cu.imv);
+        row[i * 2] = m[0];
+        row[i * 2 + 1] = m[1];
+      }
+      out.push_back(row);
+      return true;
+    }
+    return false;
+  }
+  // returns 2 CPMV triples as flat {x0,y0,x1,y1,x2,y2} rows
+  void affine_amvp_list_c(const CuRec& cu, int li, int ref_idx,
+                          std::vector<std::array<int, 6>>& cands) const {
+    cands.clear();
+    int ltx = cu.x, lty = cu.y;
+    int rtx = cu.x + cu.w - 1, rty = cu.y;
+    int lbx = cu.x, lby = cu.y + cu.h - 1;
+    if (!add_aff_amvp_unscaled(cu, li, ref_idx, lbx - 1, lby + 1, cands))
+      add_aff_amvp_unscaled(cu, li, ref_idx, lbx - 1, lby, cands);
+    if (!add_aff_amvp_unscaled(cu, li, ref_idx, rtx + 1, rty - 1, cands))
+      if (!add_aff_amvp_unscaled(cu, li, ref_idx, rtx, rty - 1, cands))
+        add_aff_amvp_unscaled(cu, li, ref_idx, ltx - 1, lty - 1, cands);
+    if (int(cands.size()) >= 2) {
+      cands.resize(2);
+      return;
+    }
+    // constructed from per-corner translational neighbors
+    int v[3][2];
+    bool have[3] = {false, false, false};
+    {
+      const int ps3[3][2] = {{ltx - 1, lty - 1}, {ltx, lty - 1},
+                             {ltx - 1, lty}};
+      for (int k = 0; k < 3 && !have[0]; ++k)
+        have[0] = mvp_cand_unscaled_c(li, ref_idx, ps3[k][0], ps3[k][1],
+                                      v[0]);
+    }
+    {
+      const int ps2[2][2] = {{rtx, rty - 1}, {rtx + 1, rty - 1}};
+      for (int k = 0; k < 2 && !have[1]; ++k)
+        have[1] = mvp_cand_unscaled_c(li, ref_idx, ps2[k][0], ps2[k][1],
+                                      v[1]);
+    }
+    {
+      const int ps2[2][2] = {{lbx - 1, lby}, {lbx - 1, lby + 1}};
+      for (int k = 0; k < 2 && !have[2]; ++k)
+        have[2] = mvp_cand_unscaled_c(li, ref_idx, ps2[k][0], ps2[k][1],
+                                      v[2]);
+    }
+    int pattern = (have[0] ? 1 : 0) | (have[1] ? 2 : 0) | (have[2] ? 4 : 0);
+    int out3[3][2];
+    for (int i = 0; i < 3; ++i) {
+      if (have[i]) {
+        out3[i][0] = v[i][0];
+        out3[i][1] = v[i][1];
+        round_aff_amvr_c(out3[i], cu.imv);
+      } else {
+        out3[i][0] = out3[i][1] = 0;
+      }
+    }
+    if (pattern == 7 || (pattern == 3 && cu.affine_type == 0)) {
+      std::array<int, 6> row{out3[0][0], out3[0][1], out3[1][0],
+                             out3[1][1], out3[2][0], out3[2][1]};
+      cands.push_back(row);
+    }
+    if (int(cands.size()) < 2) {
+      for (int i = 2; i >= 0; --i) {
+        if (int(cands.size()) >= 2) break;
+        if (pattern & (1 << i)) {
+          std::array<int, 6> row{out3[i][0], out3[i][1], out3[i][0],
+                                 out3[i][1], out3[i][0], out3[i][1]};
+          cands.push_back(row);
+        }
+      }
+      if (int(cands.size()) < 2 && ic->col_valid) {
+        int mv[2];
+        if (ic->tmvp_cand(cu.x, cu.y, cu.w, cu.h, li, ref_idx, mv)) {
+          round_aff_amvr_c(mv, cu.imv);
+          std::array<int, 6> row{mv[0], mv[1], mv[0], mv[1], mv[0], mv[1]};
+          cands.push_back(row);
+        }
+      }
+      while (int(cands.size()) < 2)
+        cands.push_back({0, 0, 0, 0, 0, 0});
+    }
+    cands.resize(2);
+  }
+  // cpmv from AMVP + differential MVDs (_derive_affine_amvp_mvs)
+  void derive_affine_amvp_mvs_c(CuRec& cu) {
+    static const int SH[3] = {2, 0, 4};
+    int sh = SH[cu.imv];
+    int n_cp = cu.affine_type ? 3 : 2;
+    for (int li = 0; li < 2; ++li) {
+      for (int i = 0; i < 3; ++i)
+        cu.cpmv[li][i][0] = cu.cpmv[li][i][1] = 0;
+      if (cu.ref_idx[li] < 0) continue;
+      std::vector<std::array<int, 6>> mvps;
+      affine_amvp_list_c(cu, li, cu.ref_idx[li], mvps);
+      int mvp_i = li == 0 ? cu.mvp_idx : cu.mvp_idx1;
+      const auto& pred = mvps[mvp_i];
+      const int(*d)[2] = cu.aff_mvds[li];
+      for (int i = 0; i < n_cp; ++i) {
+        int dx = (d[i][0] << sh) + (i ? (d[0][0] << sh) : 0);
+        int dy = (d[i][1] << sh) + (i ? (d[0][1] << sh) : 0);
+        cu.cpmv[li][i][0] = pred[i * 2] + dx;
+        cu.cpmv[li][i][1] = pred[i * 2 + 1] + dy;
+        clip_stor_c(cu.cpmv[li][i]);
+      }
+    }
+    derive_affine_grids_c(cu);
+  }
+  // Sobel gradients with edge replication (ops/affine_search.py _sobel)
+  static void sobel_c(const std::vector<int64_t>& p, int w, int h,
+                      std::vector<int64_t>& gx, std::vector<int64_t>& gy) {
+    gx.assign(size_t(w) * h, 0);
+    gy.assign(size_t(w) * h, 0);
+    auto at = [&](int i, int j) { return p[size_t(i) * w + j]; };
+    for (int i = 1; i < h - 1; ++i)
+      for (int j = 1; j < w - 1; ++j) {
+        gx[size_t(i) * w + j] = at(i - 1, j + 1) - at(i - 1, j - 1) +
+                                2 * (at(i, j + 1) - at(i, j - 1)) +
+                                at(i + 1, j + 1) - at(i + 1, j - 1);
+        gy[size_t(i) * w + j] = at(i + 1, j - 1) - at(i - 1, j - 1) +
+                                2 * (at(i + 1, j) - at(i - 1, j)) +
+                                at(i + 1, j + 1) - at(i - 1, j + 1);
+      }
+    for (auto* g : {&gx, &gy}) {
+      auto& a = *g;
+      for (int i = 0; i < h; ++i) {
+        a[size_t(i) * w] = a[size_t(i) * w + 1];
+        a[size_t(i) * w + w - 1] = a[size_t(i) * w + w - 2];
+      }
+      for (int j = 0; j < w; ++j) {
+        a[j] = a[size_t(1) * w + j];
+        a[size_t(h - 1) * w + j] = a[size_t(h - 2) * w + j];
+      }
+    }
+  }
+  // partial-pivot Gaussian elimination (ops/affine_search.py _gauss_solve
+  // — the Python side uses the same explicit solver, bit-identical)
+  static bool gauss_solve_c(double A[6][6], double b[6], int n,
+                            double x[6]) {
+    for (int k = 0; k < n; ++k) {
+      int p = k;
+      for (int i = k + 1; i < n; ++i)
+        if (std::abs(A[i][k]) > std::abs(A[p][k])) p = i;
+      if (A[p][k] == 0.0) return false;
+      if (p != k) {
+        for (int j = 0; j < n; ++j) std::swap(A[k][j], A[p][j]);
+        std::swap(b[k], b[p]);
+      }
+      double inv = 1.0 / A[k][k];
+      for (int i = k + 1; i < n; ++i) {
+        double f = A[i][k] * inv;
+        for (int j = k + 1; j < n; ++j) A[i][j] -= f * A[k][j];
+        b[i] -= f * b[k];
+      }
+    }
+    for (int k = n - 1; k >= 0; --k) {
+      double s = b[k];
+      for (int j = k + 1; j < n; ++j) s -= A[k][j] * x[j];
+      x[k] = s / A[k][k];
+      if (!std::isfinite(x[k])) return false;
+    }
+    return true;
+  }
+  static int64_t round_q_c(double v, int mult, int shift) {
+    int64_t r = int64_t(v * mult + (v >= 0 ? 0.5 : -0.5));
+    return r << shift;
+  }
+  // one gradient step (delta_cpmvs): solve the normal equations
+  bool delta_cpmvs_c(const std::vector<int64_t>& err,
+                     const std::vector<int64_t>& gx,
+                     const std::vector<int64_t>& gy, int w, int h,
+                     bool six_param, int d[3][2]) const {
+    int n = six_param ? 6 : 4;
+    double A[6][6] = {}, b[6] = {}, x[6];
+    // coefficient streams evaluated on the fly: cx=((j>>2)<<2)+2 etc.
+    for (int i = 0; i < n; ++i)
+      for (int j = 0; j < n; ++j) A[i][j] = 0.0;
+    for (int i = 0; i < n; ++i) b[i] = 0.0;
+    {
+      // accumulate in int64 then convert (matches the Python int sums)
+      int64_t Ai[6][6] = {}, bi[6] = {};
+      for (int yy = 0; yy < h; ++yy) {
+        int64_t cy = ((yy >> 2) << 2) + 2;
+        for (int xx = 0; xx < w; ++xx) {
+          int64_t cx = ((xx >> 2) << 2) + 2;
+          int64_t g1 = gx[size_t(yy) * w + xx];
+          int64_t g2 = gy[size_t(yy) * w + xx];
+          int64_t c[6];
+          if (six_param) {
+            c[0] = g1;
+            c[1] = cx * g1;
+            c[2] = g2;
+            c[3] = cx * g2;
+            c[4] = cy * g1;
+            c[5] = cy * g2;
+          } else {
+            c[0] = g1;
+            c[1] = cx * g1 + cy * g2;
+            c[2] = g2;
+            c[3] = cy * g1 - cx * g2;
+          }
+          int64_t e8 = err[size_t(yy) * w + xx] << 3;
+          for (int a = 0; a < n; ++a) {
+            for (int bcol = a; bcol < n; ++bcol)
+              Ai[a][bcol] += c[a] * c[bcol];
+            bi[a] += c[a] * e8;
+          }
+        }
+      }
+      for (int a = 0; a < n; ++a) {
+        for (int bcol = a; bcol < n; ++bcol)
+          A[a][bcol] = A[bcol][a] = double(Ai[a][bcol]);
+        b[a] = double(bi[a]);
+      }
+    }
+    if (!gauss_solve_c(A, b, n, x)) return false;
+    double d0x = x[0], d0y = x[2], d1x, d1y, d2x = 0.0, d2y = 0.0;
+    if (six_param) {
+      d1x = x[1] * w + x[0];
+      d1y = x[3] * w + x[2];
+      d2x = x[4] * h + x[0];
+      d2y = x[5] * h + x[2];
+    } else {
+      d1x = x[1] * w + x[0];
+      d1y = -x[3] * w + x[2];
+    }
+    d[0][0] = int(round_q_c(d0x, 4, 2));
+    d[0][1] = int(round_q_c(d0y, 4, 2));
+    d[1][0] = int(round_q_c(d1x, 4, 2));
+    d[1][1] = int(round_q_c(d1y, 4, 2));
+    d[2][0] = int(round_q_c(d2x, 4, 2));
+    d[2][1] = int(round_q_c(d2y, 4, 2));
+    return true;
+  }
+  // iterative affine CPMV refinement (affine_search; SATD cost)
+  void affine_search_c(const int32_t* src, CuRec& probe, int li,
+                       const std::array<int, 6>& cpmv0, bool six_param,
+                       int w, int h, int out_cp[3][2]) {
+    int n_cp = six_param ? 3 : 2;
+    int cp[3][2] = {{cpmv0[0], cpmv0[1]}, {cpmv0[2], cpmv0[3]},
+                    {cpmv0[4], cpmv0[5]}};
+    std::vector<int64_t> pred;
+    auto predict = [&]() {
+      for (int i = 0; i < 3; ++i) {
+        probe.cpmv[li][i][0] = cp[i][0];
+        probe.cpmv[li][i][1] = cp[i][1];
+      }
+      derive_affine_grids_c(probe);
+      affine_pred_list_c(probe, li, 0, false, pred);
+    };
+    std::vector<int32_t> p32(size_t(w) * h);
+    auto cost = [&]() {
+      for (size_t i = 0; i < pred.size(); ++i) p32[i] = int32_t(pred[i]);
+      return double(satd::block(src, p32.data(), w, h));
+    };
+    predict();
+    double best_c = cost();
+    int best_cp[3][2];
+    std::memcpy(best_cp, cp, sizeof(cp));
+    std::vector<int64_t> err(size_t(w) * h), gx, gy;
+    for (int it = 0; it < 5; ++it) {
+      for (size_t i = 0; i < err.size(); ++i)
+        err[i] = int64_t(src[i]) - pred[i];
+      sobel_c(pred, w, h, gx, gy);
+      int d[3][2];
+      if (!delta_cpmvs_c(err, gx, gy, w, h, six_param, d)) break;
+      bool all_zero = true;
+      for (int i = 0; i < n_cp; ++i)
+        all_zero &= d[i][0] == 0 && d[i][1] == 0;
+      if (all_zero) break;
+      for (int i = 0; i < 3; ++i)
+        if (i < n_cp) {
+          cp[i][0] += d[i][0];
+          cp[i][1] += d[i][1];
+        }
+      for (int i = 0; i < 3; ++i) clip_stor_c(cp[i]);
+      predict();
+      double c = cost();
+      if (c < best_c) {
+        best_c = c;
+        std::memcpy(best_cp, cp, sizeof(cp));
+      }
+    }
+    std::memcpy(out_cp, best_cp, sizeof(best_cp));
   }
 
   // -- inter syntax estimation (ctu_syntax.py _enc_cu inter branch on
@@ -5746,6 +6912,32 @@ struct Searcher {
       std::vector<MI> grid;
       geo_motion_grid_c(cu, grid);
       set_sub_cu_mf(cu, grid, /*is_aff=*/false, nullptr);
+      return;
+    }
+    if (cu.is_inter && cu.affine) {
+      // per-sub-block spanning; affine CUs do not update HMVP;
+      // real affine CUs store the AffineInfo inheritance row
+      int32_t row[21];
+      const int32_t* rp = nullptr;
+      if (!cu.sbtmvp) {
+        row[0] = cu.x;
+        row[1] = cu.y;
+        row[2] = cu.w;
+        row[3] = cu.h;
+        row[4] = cu.affine_type;
+        for (int li = 0; li < 2; ++li)
+          for (int i = 0; i < 3; ++i) {
+            row[5 + li * 6 + i * 2] = cu.cpmv[li][i][0];
+            row[5 + li * 6 + i * 2 + 1] = cu.cpmv[li][i][1];
+          }
+        row[17] = (cu.ref_idx[0] >= 0 ? 1 : 0) |
+                  (cu.ref_idx[1] >= 0 ? 2 : 0);
+        row[18] = cu.ref_idx[0];
+        row[19] = cu.ref_idx[1];
+        row[20] = cu.bcw;
+        rp = row;
+      }
+      set_sub_cu_mf(cu, cu.sub_mi, /*is_aff=*/true, rp);
       return;
     }
     if (cu.is_inter) {
@@ -6415,6 +7607,57 @@ struct Searcher {
           add_resid_trial(best_mcu);
         }
       }
+      // subblock merge trials: SbTMVP (candidate 0 when active) +
+      // affine merge candidates, luma-SSE preselected
+      if (ic->max_aff_merge > 0 && w >= 8 && h >= 8) {
+        int n_try = std::min(ic->max_aff_merge, ic->affine_en ? 3 : 1);
+        bool have_a = false;
+        int64_t best_ac = 0;
+        int best_k = 0;
+        for (int k = 0; k < n_try; ++k) {
+          CuRec cu;
+          cu.x = x;
+          cu.y = y;
+          cu.w = w;
+          cu.h = h;
+          cu.is_inter = true;
+          cu.merge = true;
+          cu.affine = true;
+          cu.merge_idx = k;
+          apply_affine_merge_c(cu);
+          std::vector<int32_t> py;
+          pred_cu_inter_c(cu, 0, py);
+          int64_t sse = 0;
+          for (size_t i = 0; i < py.size(); ++i) {
+            int64_t d = int64_t(src_y[i]) - py[i];
+            sse += d * d;
+          }
+          if (!have_a || sse < best_ac) {
+            have_a = true;
+            best_ac = sse;
+            best_k = k;
+          }
+        }
+        if (have_a) {
+          CuRec skip_cu;
+          skip_cu.x = x;
+          skip_cu.y = y;
+          skip_cu.w = w;
+          skip_cu.h = h;
+          skip_cu.is_inter = true;
+          skip_cu.skip = true;
+          skip_cu.merge = true;
+          skip_cu.affine = true;
+          skip_cu.merge_idx = best_k;
+          skip_cu.root_cbf = false;
+          apply_affine_merge_c(skip_cu);
+          trials.push_back(skip_cu);
+          CuRec cu = skip_cu;
+          cu.skip = false;
+          cu.root_cbf = true;
+          add_resid_trial(cu);
+        }
+      }
       // GEO trials: luma-SSE preselection over split directions x the
       // first uni candidate pairs, skip + residual of the winner
       if (ic->geo_en && ic->is_b) {
@@ -6641,6 +7884,73 @@ struct Searcher {
             cu.root_cbf = any;
           }
           trials.push_back(cu);
+        }
+      }
+      // affine AMVP trials: gradient-based CPMV search per type/list
+      // (InterSearch::xAffineMotionEstimation analog, uni prediction)
+      if (ic->affine_en && w >= 16 && h >= 16) {
+        int n_types = ic->affine_type_en ? 2 : 1;
+        for (int aff_type = 0; aff_type < n_types; ++aff_type) {
+          int n_cp = aff_type ? 3 : 2;
+          for (int li = 0; li < (ic->is_b ? 2 : 1); ++li) {
+            if (ic->n_ref[li] == 0) continue;
+            CuRec probe;
+            probe.x = x;
+            probe.y = y;
+            probe.w = w;
+            probe.h = h;
+            probe.is_inter = true;
+            probe.merge = false;
+            probe.affine = true;
+            probe.affine_type = aff_type;
+            probe.ref_idx[li] = 0;
+            std::vector<std::array<int, 6>> mvps;
+            affine_amvp_list_c(probe, li, 0, mvps);
+            int cp[3][2];
+            affine_search_c(src_y.data(), probe, li, mvps[0],
+                            aff_type == 1, w, h, cp);
+            const auto& pc = mvps[0];
+            int d0[2] = {(cp[0][0] - pc[0]) >> 2, (cp[0][1] - pc[1]) >> 2};
+            int mvds[3][2] = {{d0[0], d0[1]}, {0, 0}, {0, 0}};
+            for (int i = 1; i < n_cp; ++i) {
+              mvds[i][0] = ((cp[i][0] - pc[i * 2]) >> 2) - d0[0];
+              mvds[i][1] = ((cp[i][1] - pc[i * 2 + 1]) >> 2) - d0[1];
+            }
+            bool all_zero = true;
+            for (int i = 0; i < n_cp; ++i)
+              all_zero &= mvds[i][0] == 0 && mvds[i][1] == 0;
+            if (all_zero) continue;
+            CuRec cu;
+            cu.x = x;
+            cu.y = y;
+            cu.w = w;
+            cu.h = h;
+            cu.is_inter = true;
+            cu.merge = false;
+            cu.affine = true;
+            cu.affine_type = aff_type;
+            cu.ref_idx[li] = 0;
+            for (int i = 0; i < 3; ++i) {
+              cu.aff_mvds[li][i][0] = i < n_cp ? mvds[i][0] : 0;
+              cu.aff_mvds[li][i][1] = i < n_cp ? mvds[i][1] : 0;
+            }
+            if (li == 0)
+              cu.mvp_idx = 0;
+            else
+              cu.mvp_idx1 = 0;
+            derive_affine_amvp_mvs_c(cu);
+            std::vector<int32_t> py, pcb, pcr;
+            pred_cu_inter_c(cu, 0, py);
+            pred_cu_inter_c(cu, 1, pcb);
+            pred_cu_inter_c(cu, 2, pcr);
+            if (w > 64 || h > 64) {
+              quant_resid_mtb(cu, py, pcb, pcr);
+            } else {
+              bool any = quant_resid(cu, py, pcb, pcr);
+              cu.root_cbf = any;
+            }
+            if (cu.root_cbf) trials.push_back(cu);
+          }
         }
       }
     }
@@ -7024,6 +8334,15 @@ static void serialize(const Node& n, Writer& w, bool chroma_tree,
       w.put(cu.geo_split_dir);
       w.put(cu.geo_idx0);
       w.put(cu.geo_idx1);
+      w.put(cu.affine ? 1 : 0);
+      w.put(cu.affine_type);
+      w.put(cu.sbtmvp ? 1 : 0);
+      if (cu.affine && !cu.merge)
+        for (int li = 0; li < 2; ++li)
+          for (int i = 0; i < 3; ++i) {
+            w.put(cu.aff_mvds[li][i][0]);
+            w.put(cu.aff_mvds[li][i][1]);
+          }
       w.put(cu.mv[0][0]);
       w.put(cu.mv[0][1]);
       w.put(cu.mv[1][0]);

@@ -2342,6 +2342,13 @@ class SyntaxCoder:
             # the motion derives from the live neighborhood exactly as
             # the decoder will (same progressive mf state)
             self._apply_geo(ps, cu)
+        if cu.is_inter and cu.affine and cu.sub_mi is None:
+            # native-search affine CUs likewise re-derive from the
+            # signalled fields (merge idx / differential CPMV MVDs)
+            if cu.merge:
+                self._apply_affine_merge(ps, cu)
+            else:
+                self._derive_affine_amvp_mvs(ps, cu)
         if self.use_dqp:
             # dequant with the current QG QP (the delta, if any, is always
             # coded before the first residual of the QG)

@@ -1060,7 +1060,7 @@ def _assert_trees_equal(a, b, path="ctu"):
                   "bcw_idx", "alt_hpel", "imv", "smvd", "root_cbf",
                   "mmvd_flag", "mmvd_base", "mmvd_step", "mmvd_pos",
                   "geo", "geo_split_dir", "geo_idx0", "geo_idx1",
-                  "affine", "affine_type", "sbtmvp", "cpmv",
+                  "affine", "affine_type", "sbtmvp", "aff_mvds",
                   "dmvr_deltas"):
             va, vb = getattr(ca, f), getattr(cb, f)
             assert va == vb, (path, f, va, vb)

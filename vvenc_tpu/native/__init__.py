@@ -583,8 +583,7 @@ def search_eligible(searcher) -> bool:
         return False
     if coder.is_intra_slice:
         return True
-    return (not coder.affine_en and coder.max_aff_merge == 0
-            and not coder.ciip_en and not coder.bcw_en
+    return (not coder.ciip_en and not coder.bcw_en
             and not getattr(sps, "sbt", 0)
             and coder.num_refs[0] <= 8 and coder.num_refs[1] <= 8
             and not getattr(coder.sh.ph, "partition_override", None))
@@ -883,6 +882,13 @@ def search_ctu(searcher, ctu_x: int, ctu_y: int, live_ctx, commit=True):
                 cu.geo_split_dir = tok()
                 cu.geo_idx0 = tok()
                 cu.geo_idx1 = tok()
+                cu.affine = bool(tok())
+                cu.affine_type = tok()
+                cu.sbtmvp = bool(tok())
+                if cu.affine and not cu.merge:
+                    cu.aff_mvds = (
+                        [(tok(), tok()) for _ in range(3)],
+                        [(tok(), tok()) for _ in range(3)])
                 cu.mv = ((tok(), tok()), (tok(), tok()))
                 cu.ref_idx = (tok(), tok())
                 cu.mvd = (tok(), tok())
