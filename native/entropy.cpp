@@ -4608,6 +4608,7 @@ struct Searcher {
     std::vector<MI> hm;
   };
   void s_save(int x, int y, int size, SSnap& s) {
+    TScope _st(&iprof().snap);
     region_save(ps, x, y, size, s.reg);
     if (ic) {
       mf_save(*ic, x, y, size, s.mf);
@@ -4615,6 +4616,7 @@ struct Searcher {
     }
   }
   void s_restore(const SSnap& s) {
+    TScope _st(&iprof().snap);
     region_restore(ps, s.reg);
     if (ic) {
       mf_restore(*ic, s.mf);
@@ -5028,6 +5030,7 @@ struct Searcher {
   // per trial in Python; identical inputs -> identical outputs, cached)
   std::map<std::array<int, 6>, std::vector<std::array<int, 5>>> dmvr_cache;
   void prepare_refinement_c(CuRec& cu) {
+    TScope _dt(&iprof().dmvrp);
     cu.dmvr.clear();
     cu.dmvr_set = false;
     if (!cu.is_inter || !dmvr_applies(cu)) return;
@@ -7331,6 +7334,37 @@ struct Searcher {
 
   // -- the inter CU decision (inter_search.py _rd_cu_inter +
   //    _finish_inter_trials) --
+  struct IProf {
+    double merge_pre = 0, mmvd = 0, sub = 0, geo = 0, me = 0, amvp_tq = 0,
+           smvd = 0, affamvp = 0, evalt = 0, intra_t = 0, dmvrp = 0,
+           mtrial = 0, tq = 0, snap = 0;
+    long n_cu = 0;
+    ~IProf() {
+      if (getenv("VTE_PROF_INTER"))
+        std::fprintf(stderr,
+                     "VTEPROF n_cu=%ld merge_pre=%.2f mmvd=%.2f sub=%.2f "
+                     "geo=%.2f me=%.2f amvp_tq=%.2f smvd=%.2f "
+                     "affamvp=%.2f eval=%.2f intra=%.2f mtrial=%.2f "
+                     "tq=%.2f dmvr=%.2f snap=%.2f\n",
+                     n_cu, merge_pre, mmvd, sub, geo, me, amvp_tq, smvd,
+                     affamvp, evalt, intra_t, mtrial, tq, dmvrp, snap);
+    }
+  };
+  static IProf& iprof() {
+    static IProf p;   // process-global; racy adds acceptable (profiling)
+    return p;
+  }
+  struct TScope {
+    double* acc;
+    std::chrono::steady_clock::time_point t0;
+    explicit TScope(double* a)
+        : acc(a), t0(std::chrono::steady_clock::now()) {}
+    ~TScope() {
+      *acc += std::chrono::duration<double>(
+                  std::chrono::steady_clock::now() - t0)
+                  .count();
+    }
+  };
   double rd_cu_inter(CuRec& cu_out, const PartInfo& part) {
     int x = cu_out.x, y = cu_out.y, w = cu_out.w, h = cu_out.h;
     dmvr_cache.clear();
@@ -7353,10 +7387,12 @@ struct Searcher {
 
     std::vector<CuRec> trials;
     bool is_4x4 = w == 4 && h == 4;
+    iprof().n_cu++;
 
     std::vector<MI> merge_cands;
     std::vector<std::pair<int64_t, int>> scored;  // (sse, cand idx)
     if (!is_4x4) {
+      TScope _t(&iprof().merge_pre);
       merge_candidates(x, y, w, h, merge_cands);
       // luma-SSE preselection over unique (mv, ref) candidates
       std::vector<std::array<int32_t, 6>> seen;
@@ -7412,6 +7448,7 @@ struct Searcher {
     auto quant_resid = [&](CuRec& cu, const std::vector<int32_t>& py,
                            const std::vector<int32_t>& pcb,
                            const std::vector<int32_t>& pcr) {
+      TScope _qt(&iprof().tq);
       if (getenv("VTE_DBG_QR")) {
         int64_t scb = 0, spb = 0;
         for (size_t i = 0; i < size_t(chh) * cw; ++i) {
@@ -7536,7 +7573,8 @@ struct Searcher {
       return false;
     };
 
-    if (!is_4x4)
+    if (!is_4x4) {
+      TScope _t(&iprof().mtrial);
       for (size_t k = 0; k < scored.size() && k < 2; ++k) {
         int idx = scored[k].second;
         CuRec skip_cu;
@@ -7556,6 +7594,7 @@ struct Searcher {
         cu.root_cbf = true;
         add_resid_trial(cu);
       }
+    }
 
     // FIM merge-perfect early out (EncCu.cpp:3119 analog)
     bool merge_perfect = !scored.empty();
@@ -7566,6 +7605,7 @@ struct Searcher {
       // MMVD trials: luma-SSE preselection over (base, step, pos), full
       // trial for the winner (inter_search.py MMVD block)
       if (ic->mmvd && !scored.empty()) {
+        TScope _t(&iprof().mmvd);
         bool have_m = false;
         int64_t best_mc = 0;
         CuRec best_mcu;
@@ -7610,6 +7650,7 @@ struct Searcher {
       // subblock merge trials: SbTMVP (candidate 0 when active) +
       // affine merge candidates, luma-SSE preselected
       if (ic->max_aff_merge > 0 && w >= 8 && h >= 8) {
+        TScope _t(&iprof().sub);
         int n_try = std::min(ic->max_aff_merge, ic->affine_en ? 3 : 1);
         bool have_a = false;
         int64_t best_ac = 0;
@@ -7661,6 +7702,7 @@ struct Searcher {
       // GEO trials: luma-SSE preselection over split directions x the
       // first uni candidate pairs, skip + residual of the winner
       if (ic->geo_en && ic->is_b) {
+        TScope _t(&iprof().geo);
         CuRec probe;
         probe.x = x;
         probe.y = y;
@@ -7732,7 +7774,11 @@ struct Searcher {
         int amvp[2][2];
         amvp_candidates(x, y, w, h, li, 0, 0, amvp);
         int mv[2], mvp_idx;
-        motion_search(src_y.data(), x, y, w, h, amvp, li, 0, mv, &mvp_idx);
+        {
+          TScope _t(&iprof().me);
+          motion_search(src_y.data(), x, y, w, h, amvp, li, 0, mv,
+                        &mvp_idx);
+        }
         int mvd[2] = {(mv[0] - amvp[mvp_idx][0]) >> 2,
                       (mv[1] - amvp[mvp_idx][1]) >> 2};
         have_uni[li] = true;
@@ -7806,6 +7852,7 @@ struct Searcher {
       }
       // SMVD trial: one coded MVD mirrored on the symmetric ref pair
       if (ic->is_b && ic->bi_dir_pred) {
+        TScope _t(&iprof().smvd);
         int sym0 = ic->sym_ref[0], sym1 = ic->sym_ref[1];
         CuRec probe;
         probe.x = x;
@@ -7889,6 +7936,7 @@ struct Searcher {
       // affine AMVP trials: gradient-based CPMV search per type/list
       // (InterSearch::xAffineMotionEstimation analog, uni prediction)
       if (ic->affine_en && w >= 16 && h >= 16) {
+        TScope _t(&iprof().affamvp);
         int n_types = ic->affine_type_en ? 2 : 1;
         for (int aff_type = 0; aff_type < n_types; ++aff_type) {
           int n_cp = aff_type ? 3 : 2;
@@ -8001,12 +8049,16 @@ struct Searcher {
         }
       }
     };
-    eval(trials);
+    {
+      TScope _t(&iprof().evalt);
+      eval(trials);
+    }
 
-    // intra competition, gated on the inter winner coding residual
-    // (>maxTB CUs rely on the merge/AMVP trials alone — no intra pred
-    // above 64)
-    bool try_intra = (w <= 64 && h <= 64) &&
+    // intra competition, gated on the inter winner coding residual.
+    // >maxTB CUs rely on the merge/AMVP trials alone; large CUs are
+    // excluded per the reference's mode control (EncModeCtrl.cpp:997 —
+    // complex intra is implausible in inter pictures)
+    bool try_intra = (w <= 64 && h <= 64) && w * h <= 2048 &&
                      (!have_best || !best_cu.coeff_y.empty() ||
                       !best_cu.coeff_cb.empty() || !best_cu.coeff_cr.empty());
     if (try_intra) {
@@ -8015,21 +8067,55 @@ struct Searcher {
       vte_build_refs(ps.rec[0], ps.H, ps.W, x, y, w, h, ps.coded_luma,
                      ps.uh, ps.uw, 4, pp.bit_depth, 0, -1, -1, top.data(),
                      left.data());
-      std::vector<int32_t> all_modes(N_MODES);
-      for (int m = 0; m < N_MODES; ++m) all_modes[m] = m;
-      std::vector<int64_t> satds(N_MODES);
-      vte_presel_satd(top.data(), int(top.size()), left.data(),
-                      int(left.size()), src_y.data(), all_modes.data(),
-                      N_MODES, w, h, pp.bit_depth, 1, 0, satds.data());
       int mpm[6];
       get_mpms(ps, x, y, w, h, pp.ctu_size, mpm);
-      std::vector<std::pair<double, int>> ranked(N_MODES);
-      for (int m = 0; m < N_MODES; ++m) {
+      auto keyf = [&](int m, int64_t s) {
         double mb = 7.0;
         for (int i = 0; i < 6; ++i)
           if (mpm[i] == m) { mb = 1.5 + i; break; }
-        ranked[m] = {double(satds[m]) + pp.lmbda_sad * mb, m};
+        return double(s) + pp.lmbda_sad * mb;
+      };
+      // subset sweep: planar/DC + even angular, then odd neighbors of
+      // the 3 strongest (mirrors the Python fallback)
+      std::vector<int32_t> modes0 = {0, 1};
+      for (int m = 2; m < N_MODES; m += 2) modes0.push_back(m);
+      std::vector<int64_t> satds0(modes0.size());
+      vte_presel_satd(top.data(), int(top.size()), left.data(),
+                      int(left.size()), src_y.data(), modes0.data(),
+                      int(modes0.size()), w, h, pp.bit_depth, 1, 0,
+                      satds0.data());
+      std::vector<std::pair<double, int>> keyed;
+      for (size_t i = 0; i < modes0.size(); ++i)
+        keyed.push_back({keyf(modes0[i], satds0[i]), modes0[i]});
+      std::vector<std::pair<double, int>> r0 = keyed;
+      std::stable_sort(r0.begin(), r0.end(),
+                       [](const std::pair<double, int>& a,
+                          const std::pair<double, int>& b) {
+                         return a.first < b.first;
+                       });
+      std::vector<int32_t> odds;
+      auto have_mode = [&](int m) {
+        for (const auto& kv : keyed)
+          if (kv.second == m) return true;
+        for (int o : odds)
+          if (o == m) return true;
+        return false;
+      };
+      for (int i = 0; i < 3 && i < int(r0.size()); ++i) {
+        int m = r0[i].second;
+        for (int n : {m - 1, m + 1})
+          if (2 <= n && n < N_MODES && !have_mode(n)) odds.push_back(n);
       }
+      if (!odds.empty()) {
+        std::vector<int64_t> satds1(odds.size());
+        vte_presel_satd(top.data(), int(top.size()), left.data(),
+                        int(left.size()), src_y.data(), odds.data(),
+                        int(odds.size()), w, h, pp.bit_depth, 1, 0,
+                        satds1.data());
+        for (size_t i = 0; i < odds.size(); ++i)
+          keyed.push_back({keyf(odds[i], satds1[i]), odds[i]});
+      }
+      std::vector<std::pair<double, int>> ranked = keyed;
       std::stable_sort(ranked.begin(), ranked.end(),
                        [](const std::pair<double, int>& a,
                           const std::pair<double, int>& b) {
@@ -8092,7 +8178,10 @@ struct Searcher {
         }
         intra_trials.push_back(cu);
       }
-      eval(intra_trials);
+      {
+        TScope _t(&iprof().intra_t);
+        eval(intra_trials);
+      }
     }
     if (!have_best) return 1e300;  // no valid trial (should not happen)
     s_restore(best_state);

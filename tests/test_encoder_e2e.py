@@ -680,15 +680,19 @@ def test_ctu128_encoder_roundtrip():
         mtb[0] += 1
         return orig(self, *a, **k)
     cs.SyntaxCoder._code_max_tb_tus = spy
+    import os
+    os.environ["VVENC_TPU_NATIVE_SEARCH"] = "0"   # count PYTHON mtb trials
     try:
-        enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=34,
+        enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=27,
                                          ctu_size=128, min_qt=32,
                                          intra_period=0, gop_size=2,
-                                         deblocking=True, search_range=4))
+                                         deblocking=True, search_range=4,
+                                         max_parallel_frames=1))
         s = enc.encode_sequence(frames)
         dec = sorted(decode_stream(s), key=lambda f: f.poc)
     finally:
         cs.SyntaxCoder._code_max_tb_tus = orig
+        os.environ.pop("VVENC_TPU_NATIVE_SEARCH", None)
     for p in range(3):
         for c in range(3):
             assert np.array_equal(dec[p].planes[c], enc.recs_by_poc[p][c])

@@ -138,6 +138,8 @@ def test_bdof_dmvr_encoder_roundtrip():
         if cu.dmvr_deltas is not None:
             hits.append(1)
     cs.SyntaxCoder.prepare_refinement = patched
+    import os
+    os.environ["VVENC_TPU_NATIVE_SEARCH"] = "0"  # spy the PYTHON searcher
     try:
         enc = IntraEncoder(EncoderConfig(width=W, height=H, qp=33,
                                          intra_period=0, gop_size=8,
@@ -145,6 +147,7 @@ def test_bdof_dmvr_encoder_roundtrip():
         stream = enc.encode_sequence(frames)
     finally:
         cs.SyntaxCoder.prepare_refinement = orig
+        os.environ.pop("VVENC_TPU_NATIVE_SEARCH", None)
     assert hits, "DMVR never engaged"
     decs = sorted(decode_stream(stream), key=lambda f: f.poc)
     assert len(decs) == N

@@ -216,3 +216,30 @@ def test_inter_qp_sweep_matches_python():
         _run_seq(dict(width=128, height=64, qp=qp, ctu_size=64,
                       gop_size=2, deblocking=True, dmvr=True, tmvp=True,
                       mctf=True, bim=True), n=3, seed=qp)
+
+
+def test_inter_medium_toolset_matches_python():
+    """The FULL medium-preset inter toolset through the native searcher:
+    MTT, CTU 128 (>maxTB tiling), BDOF, MMVD, SMVD, AMVR, GEO, affine
+    merge/AMVP + SbTMVP + PROF, dep-quant, LFNST/MIP gates, QPA DQP —
+    bit-exact vs the Python golden searcher (the BASELINE config-3
+    operating point)."""
+    _run_seq(dict(width=192, height=96, qp=32, gop_size=2, qpa=True,
+                  ctu_size=128, max_mtt_depth=1,
+                  mctf=True, bim=True, alf=True, ccalf=True, dmvr=True,
+                  bdof=True, dep_quant=True, lfnst=True, affine=4, amvr=5,
+                  mmvd=3, mrl=True, prof=True, sbtmvp=True, jccr=True,
+                  cclm=True, mts_implicit=True, mip=True, isp=3,
+                  smvd=3, geo=4, sao=True, deblocking=True, tmvp=True,
+                  dual_tree=True, num_full_rd_modes=3,
+                  num_chroma_rd_modes=4), n=4)
+
+
+def test_inter_tool_families_match_python():
+    """Per-family coverage on top of faster: BDOF+MMVD+GEO and
+    affine+SbTMVP+PROF+AMVR+SMVD, at a low QP (residual-heavy paths)."""
+    base = dict(width=160, height=96, qp=25, ctu_size=64, gop_size=4,
+                deblocking=True, dmvr=True, tmvp=True, mctf=True, bim=True)
+    _run_seq(dict(bdof=True, mmvd=3, geo=4, **base), n=4, seed=9)
+    _run_seq(dict(affine=4, sbtmvp=True, prof=True, amvr=5, smvd=3,
+                  bdof=True, **base), n=4, seed=10)

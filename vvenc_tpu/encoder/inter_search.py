@@ -548,25 +548,49 @@ class InterSearchMixin:
             # candidate set, so the gate is bypassed
             best = None
             try_intra = True
+        # vvenc-style restriction of the intra competition in inter
+        # pictures (EncModeCtrl.cpp:997 "avoid very complex intra"):
+        # large CUs practically never win intra in inter pictures — the
+        # merge/AMVP trials cover them
+        if try_intra and w * h > 2048:
+            try_intra = False
         if try_intra:
             intra_trials = []
             top, left = I.build_reference_samples(
                 ps.rec[0], x, y, w, h, ps.avail_luma(),
                 PictureState.LUMA_UNIT, bit_depth)
             from .. import native as _native
-            if _native.available():
-                satds = _native.presel_satd(top, left, src_y,
-                                            range(I.NUM_LUMA_MODE), w, h,
-                                            bit_depth)
-            else:
+
+            def _satd(modes):
+                if _native.available():
+                    return _native.presel_satd(top, left, src_y, modes,
+                                               w, h, bit_depth)
                 preds_all = IV.predict_intra_modes(
-                    top, left, range(I.NUM_LUMA_MODE), w, h, bit_depth)
-                satds = IV.satd_modes(src_y, preds_all)
+                    top, left, modes, w, h, bit_depth)
+                return IV.satd_modes(src_y, preds_all)
             mpm_i = get_intra_mpms(ps, x, y, w, h, self.cfg.ctu_size)
-            ranked = sorted(
-                range(I.NUM_LUMA_MODE),
-                key=lambda m: float(satds[m]) + self.lmbda_sad *
-                ((1.5 + mpm_i.index(m)) if m in mpm_i else 7.0))
+
+            def _key(m, s):
+                return float(s) + self.lmbda_sad * (
+                    (1.5 + mpm_i.index(m)) if m in mpm_i else 7.0)
+            # subset sweep: planar/DC + even angular, then the odd
+            # neighbors of the 3 strongest (the intra searcher's own
+            # coarse-to-fine pattern)
+            modes0 = [0, 1] + list(range(2, I.NUM_LUMA_MODE, 2))
+            satds0 = _satd(modes0)
+            keyed = {m: _key(m, s) for m, s in zip(modes0, satds0)}
+            ranked0 = sorted(modes0, key=lambda m: keyed[m])
+            odds = []
+            for m in ranked0[:3]:
+                for n in (m - 1, m + 1):
+                    if 2 <= n < I.NUM_LUMA_MODE and n not in keyed \
+                            and n not in odds:
+                        odds.append(n)
+            if odds:
+                satds1 = _satd(odds)
+                for m, s in zip(odds, satds1):
+                    keyed[m] = _key(m, s)
+            ranked = sorted(keyed, key=lambda m: keyed[m])
             n_try = max(1, min(2, self.cfg.num_full_rd_modes))
             modes_try = ranked[:n_try]
             if I.PLANAR_IDX not in modes_try:
@@ -751,13 +775,13 @@ class InterSearchMixin:
     def _use_device_me(self) -> bool:
         mode = self.cfg.me_mode
         if mode == "auto":
-            import jax
-            # the per-(picture, reference) device program pays off once
-            # per-frame compute dominates the tunnel's dispatch+load
-            # latency; below ~720p the host coarse stage wins
-            big = self.cfg.width * self.cfg.height >= 1280 * 720
-            mode = "device" if (big and jax.default_backend() != "cpu") \
-                else "host"
+            # measured through the axon tunnel: the per-(picture,
+            # reference) program dispatch+load costs seconds per pair at
+            # EVERY frame size (erratic 0.2-120 s load latency), always
+            # dominating the host coarse stage's milliseconds.  Auto
+            # resolves to host; me_mode=device stays available for real
+            # multi-chip deployments where programs load once.
+            mode = "host"
             self.cfg.me_mode = mode
         return mode == "device"
 

@@ -469,7 +469,8 @@ class IntraEncoder(SequenceOrchestratorMixin):
         return au
 
     def _encode_picture(self, poc, planes8, slice_type, refs_l0, refs_l1,
-                        qp_offset=0, tlayer=0, ifp=None) -> bytes:
+                        qp_offset=0, tlayer=0, ifp=None,
+                        keep_pocs=None) -> bytes:
         cfg = self.cfg
         shift = cfg.bit_depth - cfg.input_bit_depth
         src = {c: planes8[c].astype(np.int32) << shift for c in range(3)}
@@ -588,11 +589,19 @@ class IntraEncoder(SequenceOrchestratorMixin):
             # decoder's RPL-based DPB marking retains them (the role of
             # the long inactive tails in vvenc's default RPL tables,
             # vvencCfg.cpp:1659+); prediction uses only the active prefix
-            if refs_l0 and self.dpb_protect:
-                keep = sorted((p for p in by_poc
-                               if p in self.dpb_protect and p != poc
-                               and p not in refs_l0 and p not in refs_l1),
-                              key=lambda p: abs(p - poc))
+            if refs_l0 and (self.dpb_protect or keep_pocs):
+                if keep_pocs is not None:
+                    # frame-parallel worker: the keep list is computed by
+                    # the orchestrator from ITS full DPB view (the worker
+                    # only holds the reference subset) so the coded RPLs
+                    # are byte-identical to the serial encode
+                    keep = list(keep_pocs)
+                else:
+                    keep = sorted((p for p in by_poc
+                                   if p in self.dpb_protect and p != poc
+                                   and p not in refs_l0
+                                   and p not in refs_l1),
+                                  key=lambda p: abs(p - poc))
                 if keep:
                     rl = sh.rpls[0]
                     rl.num_short_term += len(keep)
@@ -2363,13 +2372,13 @@ def _encode_inter_frame_job(args):
     """Process-pool worker: encode one inter picture against a DPB
     subset (FPP worker).  Returns (au, rec, motion_field, ref_pocs, qp)."""
     (cfg, poc, frame, st, refs_l0, refs_l1, qp_off, tlayer, dpb_sub,
-     lmcs) = args
+     lmcs, keep_pocs) = args
     enc = IntraEncoder(cfg)
     enc.frames_done = 1          # inter pictures: no headers, TRAIL type
     enc.dpb = list(dpb_sub)
     enc.lmcs = lmcs
     au = enc._encode_picture(poc, frame, st, refs_l0, refs_l1, qp_off,
-                             tlayer=tlayer)
+                             tlayer=tlayer, keep_pocs=keep_pocs)
     rec = dict(enc.last_rec.rec)
     mf = enc.dpb[-1][2]
     ref_pocs = enc.dpb[-1][3]

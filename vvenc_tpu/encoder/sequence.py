@@ -278,9 +278,22 @@ class SequenceOrchestratorMixin:
                     st = SLICE_B if refs_l1 else SLICE_P
                     need = sorted(set(refs_l0 + refs_l1))
                     dpb_sub = [d for d in self.dpb if d[0] in need]
+                    # keep-alive RPL entries exactly as the SERIAL encode
+                    # derives them: from the orchestrator's full DPB plus
+                    # the wave-mates coded earlier in coding order
+                    known = avail | {base + e2.poc_in_gop
+                                     for e2 in entries
+                                     if entries.index(e2) <
+                                     entries.index(e)}
+                    keep_pocs = sorted(
+                        (p for p in known
+                         if p in self.dpb_protect and p != poc
+                         and p not in refs_l0 and p not in refs_l1),
+                        key=lambda p: abs(p - poc))
                     jobs.append((cfg, poc, frames[poc], st, refs_l0,
                                  refs_l1, e.final_qp_offset(cfg.qp),
-                                 e.temporal_layer, dpb_sub, self.lmcs))
+                                 e.temporal_layer, dpb_sub, self.lmcs,
+                                 keep_pocs))
                 if len(wave) == 1:
                     from .intra_encoder import _encode_inter_frame_job
                     results = [_encode_inter_frame_job(jobs[0])]
