@@ -161,6 +161,9 @@ def sharded_encode_step2d(mesh: Mesh, *, w, h, qp, bit_depth=10):
         out_specs=(gspec, gspec, gspec, P("gops"), P())))
 
 
+_PLAN_JIT_CACHE: dict = {}
+
+
 def _shard_map():
     try:
         from jax import shard_map
@@ -200,15 +203,19 @@ def sharded_presel_costs(mesh: Mesh, blocks, tops, lefts, *, w, h,
         lefts = jnp.concatenate([lefts, jnp.zeros((pad,) + lefts.shape[1:],
                                                   lefts.dtype)])
 
-    def local(bl, tp, lf):
-        costs = presel_costs(bl, tp, lf, w, h, bit_depth)
-        total = jax.lax.psum(jnp.sum(jnp.min(costs, axis=1)), axes)
-        return costs, total
+    key = (id(mesh), axes, w, h, bit_depth, "presel")
+    fn = _PLAN_JIT_CACHE.get(key)
+    if fn is None:
+        def local(bl, tp, lf):
+            costs = presel_costs(bl, tp, lf, w, h, bit_depth)
+            total = jax.lax.psum(jnp.sum(jnp.min(costs, axis=1)), axes)
+            return costs, total
 
-    fn = jax.jit(shard_map(
-        local, mesh=mesh,
-        in_specs=(P(axes), P(axes), P(axes)),
-        out_specs=(P(axes), P())))
+        fn = jax.jit(shard_map(
+            local, mesh=mesh,
+            in_specs=(P(axes), P(axes), P(axes)),
+            out_specs=(P(axes), P())))
+        _PLAN_JIT_CACHE[key] = fn
     costs, total = fn(blocks, tops, lefts)
     return costs[:B], total
 
@@ -239,13 +246,21 @@ def sharded_plan_class(mesh: Mesh, blocks, tops, lefts, lmb, lms, *, w, h,
         lmb = jnp.concatenate([lmb, jnp.ones(pad, lmb.dtype)])
         lms = jnp.concatenate([lms, jnp.ones(pad, lms.dtype)])
 
-    def local(bl, tp, lf, lm_, ls_):
-        return _plan_class_core(bl, tp, lf, lm_, ls_, w, h, qp, bit_depth,
-                                implicit_mts, k)
+    # jit cache keyed on (mesh, class params): a fresh closure per call
+    # would RETRACE + RECOMPILE the sharded program every invocation —
+    # the round-4 "8 devices slower than 1" was exactly this (the
+    # single-device path amortizes its jit in ops/intra_plan)
+    key = (id(mesh), axes, w, h, qp, bit_depth, implicit_mts, k)
+    fn = _PLAN_JIT_CACHE.get(key)
+    if fn is None:
+        def local(bl, tp, lf, lm_, ls_):
+            return _plan_class_core(bl, tp, lf, lm_, ls_, w, h, qp,
+                                    bit_depth, implicit_mts, k)
 
-    fn = jax.jit(shard_map(
-        local, mesh=mesh,
-        in_specs=(P(axes),) * 5, out_specs=(P(axes), P(axes))))
+        fn = jax.jit(shard_map(
+            local, mesh=mesh,
+            in_specs=(P(axes),) * 5, out_specs=(P(axes), P(axes))))
+        _PLAN_JIT_CACHE[key] = fn
     modes, costs = fn(blocks, tops, lefts, lmb, lms)
     return modes[:B], costs[:B]
 
