@@ -227,14 +227,28 @@ def main():
         secondary[key + "_vs_ref"] = (round(fps2 / ref2, 4)
                                       if fps2 and ref2 else None)
 
-    # config 2: random-access 832x480 GOP8 preset faster (native inter
-    # search; warm run primes the device-program/compile caches)
-    timed_subprocess_encode("ra_832x480_gop8_faster_fps", 832, 480, 17, 37,
-                            "faster",
-                            ["--gop-size", "8", "--intra-period", "0"],
-                            timeout_s=300, warm_frames=3,
-                            ref_extra=["--IntraPeriod=64"],
-                            ref_timeout=240)
+    # config 2: random-access 832x480 GOP8 preset faster — measured
+    # IN-PROCESS (VERDICT r4 item 5a): the RA path touches no device
+    # programs (gated to amortizable shapes), so a hang is impossible
+    # and the steady-state rate excludes interpreter/jax startup
+    key2 = "ra_832x480_gop8_faster_fps"
+    try:
+        clip2 = f"/tmp/bench_{key2}.yuv"
+        make_clip(clip2, 832, 480, 17)
+        encode_once(clip2, "/tmp/bench_w2.266", 832, 480, 9, 37, "faster",
+                    ["--gop-size", "8", "--intra-period", "0"])
+        dt2 = encode_once(clip2, f"/tmp/bench_{key2}.266", 832, 480, 17,
+                          37, "faster",
+                          ["--gop-size", "8", "--intra-period", "0"])
+        secondary[key2] = round(17 / dt2, 4)
+    except Exception as e:                               # noqa: BLE001
+        sys.stderr.write("bench config 2 FAILED: %r\n" % (e,))
+        secondary[key2] = None
+    ref2 = measure_ref_cfg(clip2, 832, 480, 17, 37, "faster",
+                           ["--IntraPeriod=64"], 240)
+    secondary[key2 + "_ref"] = ref2
+    secondary[key2 + "_vs_ref"] = (round(secondary[key2] / ref2, 4)
+                                   if secondary[key2] and ref2 else None)
     # config 3: 1080p random-access preset medium + perceptual QPA
     # (BASELINE config 3): the full medium inter toolset runs in the
     # native searcher; reference measured in-run at the same GOP/QPA
