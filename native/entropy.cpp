@@ -1243,12 +1243,24 @@ void vte_dequant_dq(const int32_t* qc, int w, int h, int qp, int bit_depth,
 void vte_inv_transform(const int32_t* d, int w, int h, int trh, int trv,
                        int bit_depth, int32_t* out);
 
+double g_tq_seconds = 0;  // quant-path profiling (VTE_PROF_TQ)
+struct TqScope {
+  std::chrono::steady_clock::time_point t0;
+  TqScope() : t0(std::chrono::steady_clock::now()) {}
+  ~TqScope() {
+    g_tq_seconds += std::chrono::duration<double>(
+        std::chrono::steady_clock::now() - t0).count();
+  }
+};
+void vte_tq_prof_get(double* out) { *out = g_tq_seconds; }
+
 int vte_tq_trial(const int32_t* resi, const int32_t* pred,
                  const int32_t* src, int w, int h, int trh, int trv,
                  int qp, int bit_depth, int is_luma, double lmbda,
                  int cbf_ctx_id, int sdh, const uint16_t* s0,
                  const uint16_t* s1, int32_t* out_coeff, int32_t* out_rec,
                  int64_t* out_dist, int dq) {
+  TqScope _tq;
   std::vector<int32_t> tc(size_t(h) * w);
   tq_fwd(resi, w, h, trh, trv, bit_depth, tc.data());
   int cbf = 0;
@@ -1311,6 +1323,7 @@ int vte_tq_quant(const int32_t* resi, int w, int h, int trh, int trv,
                  int qp, int bit_depth, int is_luma, double lmbda,
                  int cbf_ctx_id, int sdh, const uint16_t* s0,
                  const uint16_t* s1, int32_t* out_coeff, int dq) {
+  TqScope _tq;
   std::vector<int32_t> tc(size_t(h) * w);
   tq_fwd(resi, w, h, trh, trv, bit_depth, tc.data());
   if (dq)
