@@ -8249,9 +8249,18 @@ struct Searcher {
     EstSnap best_est;
     bool early_skip = false;
     int impl = implicit_split_of(ps, pp, x, y, w, h, part, tidx);
+    // EncModeCtrl split-cost bound (EncCu::xCheckModeSplit analog):
+    // skip TT_X when same-direction BT_X was evaluated and lost
+    bool bt_tried[2] = {false, false};     // [BT_H, BT_V]
+    bool bt_improved[2] = {false, false};
+    const bool tt_gate = ic == nullptr;    // intra slices only
 
     for (size_t ti = 0; ti < tries.size(); ++ti) {
       int split = tries[ti];
+      if (tt_gate && split == TT_H && bt_tried[0] && !bt_improved[0])
+        continue;
+      if (tt_gate && split == TT_V && bt_tried[1] && !bt_improved[1])
+        continue;
       if (ti > 0) {
         s_restore(state0);
         est_load(est, est0);
@@ -8304,7 +8313,16 @@ struct Searcher {
             break;
           }
         }
-        if (aborted) continue;
+        if (aborted) {
+          if (split == BT_H) bt_tried[0] = true;
+          if (split == BT_V) bt_tried[1] = true;
+          continue;
+        }
+      }
+      if (split == BT_H || split == BT_V) {
+        int bi = split == BT_V ? 1 : 0;
+        bt_tried[bi] = true;
+        bt_improved[bi] = !have_best || cost < best_cost;
       }
       if (!have_best || cost < best_cost) {
         have_best = true;

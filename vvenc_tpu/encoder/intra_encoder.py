@@ -1376,7 +1376,22 @@ class _CtuSearcher(InterSearchMixin):
             # tiny block) — should be unreachable with our configs
             raise AssertionError(
                 f"no SCIPU-free split at ({x},{y}) {w}x{h}")
+        # EncModeCtrl split-cost bound (EncCu::xCheckModeSplit analog):
+        # a ternary split in direction X is skipped when the binary
+        # split in the same direction was evaluated and did not become
+        # the best — TT practically never wins where same-direction BT
+        # lost (the reference's fast QTBTT scheduling)
+        from ..codec.ctu_syntax import BT_H, BT_V, TT_H, TT_V
+        bt_improved = {BT_H: False, BT_V: False}
+        bt_tried = {BT_H: False, BT_V: False}
+        tt_gate = self.coder.is_intra_slice   # B-slice TT still pays off
         for trial_i, split in enumerate(tries):
+            if tt_gate and split == TT_H and bt_tried[BT_H] \
+                    and not bt_improved[BT_H]:
+                continue
+            if tt_gate and split == TT_V and bt_tried[BT_V] \
+                    and not bt_improved[BT_V]:
+                continue
             _ss_bump("split_trial" if split else "no_split_trial")
             if trial_i > 0:
                 self._restore(state0)
@@ -1415,7 +1430,12 @@ class _CtuSearcher(InterSearchMixin):
                         aborted = True
                         break
                 if aborted:
+                    if split in bt_tried:
+                        bt_tried[split] = True
                     continue
+            if split in bt_tried:
+                bt_tried[split] = True
+                bt_improved[split] = cost < best_cost
             if cost < best_cost:
                 best_node, best_cost = node, cost
                 best_after = self._save(x, y, max(w, h))
