@@ -2281,6 +2281,7 @@ namespace ctusearch {
 // lightweight internal profile (vte_search_prof_get): wall seconds in
 // the luma trial loop, the chroma RD, and everything else
 static double g_prof_luma = 0, g_prof_chroma = 0, g_prof_total = 0;
+static double g_prof_isp = 0, g_prof_lpresel = 0;
 static double g_prof_cpred = 0, g_prof_cclm = 0, g_prof_csatd = 0,
               g_prof_ctrial = 0;
 struct ProfScope {
@@ -3846,6 +3847,7 @@ struct Searcher {
       for (int m = 0; m < N_MODES; ++m)
         cand[m] = {mode_cost(m, tab[m]), TrialMode{m}};
     } else {
+      ProfScope _pp2(&g_prof_lpresel);
       std::vector<int32_t> s0 = {0, 1};
       for (int m = 2; m < N_MODES; m += 2) s0.push_back(m);
       std::vector<int64_t> sat0(s0.size());
@@ -4038,6 +4040,7 @@ struct Searcher {
   bool rd_isp(const CuRec& cu_in, const PartInfo& part, const int mpm[6],
               bool lo, const RegionSnap& entry_region,
               const EstSnap& entry_est, CuRec& out_cu, double& out_cost) {
+    ProfScope _pisp(&g_prof_isp);
     int x = cu_in.x, y = cu_in.y, w = cu_in.w, h = cu_in.h;
     int mode = cu_in.luma_mode;
     int qy = pp.qp_y;
@@ -8557,6 +8560,7 @@ extern "C" {
 
 void vte_search_prof_get(double* out3) {
   out3[0] = ctusearch::g_prof_luma;
+  out3[7] = ctusearch::g_prof_isp + ctusearch::g_prof_lpresel * 1e-9;
   out3[1] = ctusearch::g_prof_chroma;
   out3[2] = ctusearch::g_prof_total;
   out3[3] = ctusearch::g_prof_cpred;
