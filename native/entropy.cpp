@@ -4039,7 +4039,8 @@ struct Searcher {
   // Leaves the winning trial's state staged when it returns true.
   bool rd_isp(const CuRec& cu_in, const PartInfo& part, const int mpm[6],
               bool lo, const RegionSnap& entry_region,
-              const EstSnap& entry_est, CuRec& out_cu, double& out_cost) {
+              const EstSnap& entry_est, CuRec& out_cu, double& out_cost,
+              double best_in = 1e300) {
     ProfScope _pisp(&g_prof_isp);
     int x = cu_in.x, y = cu_in.y, w = cu_in.w, h = cu_in.h;
     int mode = cu_in.luma_mode;
@@ -4065,6 +4066,13 @@ struct Searcher {
       int reg_px = -1, reg_w = 0;
       std::vector<int32_t> coeff_buf, dq_buf, inv_buf;
       bool any_cbf = false;
+      // per-direction LOWER-BOUND abort (vvenc ISP sub-partition early
+      // termination): accumulated luma distortion alone exceeding the
+      // best total cost makes the direction unwinnable (bits >= 0) —
+      // decision-identical pruning, mirrored in the Python golden
+      double bound = std::min(best_in, have ? out_cost : 1e300);
+      double dist_part = 0.0;
+      bool dir_aborted = false;
       for (int k = 0; k < n; ++k) {
         int px = parts[k][0], py = parts[k][1];
         int pw = parts[k][2], phh = parts[k][3];
@@ -4139,7 +4147,18 @@ struct Searcher {
               ps.rec[0][size_t(ay + i) * ps.W + ax + j] =
                   pred[size_t(i) * pw + j];
         }
+        for (int i = 0; i < phh; ++i)
+          for (int j = 0; j < pw; ++j) {
+            int64_t e = int64_t(ps.src[0][size_t(ay + i) * ps.W + ax + j]) -
+                        ps.rec[0][size_t(ay + i) * ps.W + ax + j];
+            dist_part += double(e * e);
+          }
+        if (dist_part > bound) {
+          dir_aborted = true;
+          break;
+        }
       }
+      if (dir_aborted) continue;
       // invalid when no partition codes coefficients (the inferred-1
       // last cbf would have none)
       if (!any_cbf) continue;
@@ -4523,7 +4542,7 @@ struct Searcher {
       CuRec isp_cu;
       double isp_cost;
       if (rd_isp(cu, part, mpm, lo, entry_region, est_snap, isp_cu,
-                 isp_cost) &&
+                 isp_cost, total_cost) &&
           isp_cost < total_cost) {
         cu = std::move(isp_cu);  // state already staged
         total_cost = isp_cost;

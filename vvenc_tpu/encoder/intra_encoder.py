@@ -1897,7 +1897,8 @@ class _CtuSearcher(InterSearchMixin):
                 and self.coder._isp_coded(isp_probe):
             best_state = self._save(x, y, max(w, h))
             isp_cu, isp_cost = self._rd_isp(x, y, w, h, cu.luma_mode, mpm,
-                                            part, entry_snap)
+                                            part, entry_snap,
+                                            best_in=total_cost)
             if isp_cu is not None and isp_cost < total_cost:
                 cu, total_cost = isp_cu, isp_cost  # state already staged
             else:
@@ -2070,7 +2071,8 @@ class _CtuSearcher(InterSearchMixin):
             self._restore(best_state)
         return best
 
-    def _rd_isp(self, x, y, w, h, mode, mpm, part, entry_snap):
+    def _rd_isp(self, x, y, w, h, mode, mpm, part, entry_snap,
+                best_in=float("inf")):
         """ISP (intra sub-partition) trial for one luma mode: sequential
         per-part predict/transform/quant/reconstruct (mirror of
         _reconstruct_isp_luma), chroma decision on the staged luma, cost
@@ -2090,6 +2092,13 @@ class _CtuSearcher(InterSearchMixin):
             parts = isp_partitions(w, h, m)
             coeffs = []
             region_cache = {}
+            # per-direction LOWER-BOUND abort (vvenc ISP sub-partition
+            # early termination): accumulated luma distortion alone
+            # already exceeding the best total cost makes this direction
+            # unwinnable (bits >= 0) — decision-identical pruning
+            bound = min(best_in, best[1])
+            dist_part = 0.0
+            aborted = False
             for px, py_, pw, ph in parts:
                 ax, ay = x + px, y + py_
                 pred = isp_predict_part(ps, x, y, w, h, m, mode, bd,
@@ -2107,6 +2116,13 @@ class _CtuSearcher(InterSearchMixin):
                 else:
                     rec = pred
                 ps.rec[0][ay:ay + ph, ax:ax + pw] = rec
+                dist_part += R.sse_np(
+                    self.src[0][ay:ay + ph, ax:ax + pw], rec)
+                if dist_part > bound:
+                    aborted = True
+                    break
+            if aborted:
+                continue
             # invalid if the (inferred-1) last cbf has no coefficients
             if all(c is None for c in coeffs[:-1]) and coeffs[-1] is None:
                 continue
