@@ -7853,7 +7853,8 @@ struct Searcher {
         }
         trials.push_back(cu);
       }
-      if (ic->is_b && have_uni[0] && have_uni[1]) {
+      // 4x8/8x4 cannot be bi-predicted (no bi bin coded): skip the trial
+      if (ic->is_b && have_uni[0] && have_uni[1] && w + h > 12) {
         CuRec cu;
         cu.x = x;
         cu.y = y;
@@ -7886,7 +7887,8 @@ struct Searcher {
         trials.push_back(cu);
       }
       // SMVD trial: one coded MVD mirrored on the symmetric ref pair
-      if (ic->is_b && ic->bi_dir_pred) {
+      // (bi-pred, so it is also barred on 4x8/8x4)
+      if (ic->is_b && ic->bi_dir_pred && w + h > 12) {
         TScope _t(&iprof().smvd);
         int sym0 = ic->sym_ref[0], sym1 = ic->sym_ref[1];
         CuRec probe;

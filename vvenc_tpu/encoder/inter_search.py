@@ -286,7 +286,10 @@ class InterSearchMixin:
             else:
                 cu.mvd_l1, cu.mvp_idx_l1 = mvd, mvp_idx
             trials.append(cu)
-        if is_b and 0 in uni and 1 in uni:
+        # 4x8/8x4 cannot be bi-predicted (vvenc CU::isBipredRestriction,
+        # UnitTools.cpp:2220): the writer codes no bi bin there, so a
+        # winning bi trial would desync the decoder.
+        if is_b and 0 in uni and 1 in uni and w + h > 12:
             mv_pair = (uni[0][0], uni[1][0])
             ref_idx = (0, 0)
             # BCW weight loop (vvenc xEstimateInterResidual bcw loop):
@@ -316,7 +319,8 @@ class InterSearchMixin:
                 trials.append(cu)
 
         # SMVD trial: one coded MVD, mirrored on the symmetric ref pair
-        if is_b and coder.bi_dir_pred:
+        # (bi-pred, so it is also barred on 4x8/8x4)
+        if is_b and coder.bi_dir_pred and w + h > 12:
             sym0, sym1 = coder.sym_ref
             probe = CuData(x, y, w, h, is_inter=True, smvd=True,
                            ref_idx=(sym0, sym1))
