@@ -1065,7 +1065,12 @@ static inline int32_t clip_coeff(int64_t v) {
                                    std::min<int64_t>(COEFF_MAX, v)));
 }
 
-// fwd_transform_np port (2-D case; callers guarantee w, h >= 4)
+// fwd_transform_np port (2-D case; callers guarantee w, h >= 4).
+// int32 accumulation is exact: |resi| < 2^bit_depth and |T| <= 91, so
+// stage-1 sums stay < 2^23; stage-1 outputs clip to +-2^15, so stage-2
+// sums stay < 2^29 — and the contiguous int32 inner loops vectorize.
+// Columns >= zw are never read by stage 2 (they are zeroed in the
+// output), so stage 1 skips them.
 static void tq_fwd(const int32_t* resi, int w, int h, int trh, int trv,
                    int bit_depth, int32_t* out) {
   int lw = 31 - __builtin_clz(unsigned(w));
@@ -1074,34 +1079,39 @@ static void tq_fwd(const int32_t* resi, int w, int h, int trh, int trv,
   const int32_t* Th = g_trmat[trv][lh].data();
   int shift1 = lw + bit_depth + 6 - MAX_LOG2_TR_DYNAMIC_RANGE;
   int shift2 = lh + 6;
-  int64_t rnd1 = int64_t(1) << (shift1 - 1);
-  int64_t rnd2 = int64_t(1) << (shift2 - 1);
-  std::vector<int32_t> tmp(size_t(h) * w);
-  for (int i = 0; i < h; ++i) {
-    const int32_t* rrow = resi + size_t(i) * w;
-    for (int k = 0; k < w; ++k) {
-      const int32_t* trow = Tw + size_t(k) * w;
-      int64_t acc = 0;
-      for (int j = 0; j < w; ++j) acc += int64_t(rrow[j]) * trow[j];
-      tmp[size_t(i) * w + k] = clip_coeff((acc + rnd1) >> shift1);
-    }
-  }
+  int32_t rnd1 = int32_t(1) << (shift1 - 1);
+  int32_t rnd2 = int32_t(1) << (shift2 - 1);
   int zw = (trh != 0 && w == 32) ? 16 : 32;
   int zh = (trv != 0 && h == 32) ? 16 : 32;
+  int kw = std::min(w, zw), kh = std::min(h, zh);
+  std::vector<int32_t> tmp(size_t(h) * kw);
+  for (int i = 0; i < h; ++i) {
+    const int32_t* rrow = resi + size_t(i) * w;
+    int32_t* orow = tmp.data() + size_t(i) * kw;
+    for (int k = 0; k < kw; ++k) {
+      const int32_t* trow = Tw + size_t(k) * w;
+      int32_t acc = 0;
+      for (int j = 0; j < w; ++j) acc += rrow[j] * trow[j];
+      orow[k] = clip_coeff((acc + rnd1) >> shift1);
+    }
+  }
   for (int r = 0; r < h; ++r) {
     int32_t* orow = out + size_t(r) * w;
-    if (r >= zh) {
+    if (r >= kh) {
       std::memset(orow, 0, sizeof(int32_t) * w);
       continue;
     }
     const int32_t* trow = Th + size_t(r) * h;
-    for (int k = 0; k < w; ++k) {
-      if (k >= zw) { orow[k] = 0; continue; }
-      int64_t acc = 0;
-      for (int i = 0; i < h; ++i)
-        acc += int64_t(trow[i]) * tmp[size_t(i) * w + k];
-      orow[k] = clip_coeff((acc + rnd2) >> shift2);
+    int32_t acc[32] = {};
+    for (int i = 0; i < h; ++i) {
+      int32_t c = trow[i];
+      if (!c) continue;
+      const int32_t* ti = tmp.data() + size_t(i) * kw;
+      for (int k = 0; k < kw; ++k) acc[k] += c * ti[k];
     }
+    for (int k = 0; k < kw; ++k)
+      orow[k] = clip_coeff((acc[k] + rnd2) >> shift2);
+    if (kw < w) std::memset(orow + kw, 0, sizeof(int32_t) * (w - kw));
   }
 }
 
@@ -1132,28 +1142,39 @@ static void tq_inv_rec(const int32_t* qc, const int32_t* pred,
   const int32_t* Tw = g_trmat[trh][lw].data();
   const int32_t* Th = g_trmat[trv][lh].data();
   int shift2 = 20 - bit_depth;
-  int64_t rnd1 = 1 << 6;
-  int64_t rnd2 = int64_t(1) << (shift2 - 1);
-  // vertical stage: tmp[i][j] = sum_r Th[r][i] * d[r][j]
+  int32_t rnd2 = int32_t(1) << (shift2 - 1);
+  // int32 accumulation is exact (|d|, |tmp| <= 2^15, |T| <= 91, <= 64
+  // terms: sums < 2^29); row-major accumulation vectorizes, and all-zero
+  // input rows / zero multipliers are skipped (value-preserving).
   std::vector<int32_t> tmp(size_t(h) * w);
-  for (int i = 0; i < h; ++i)
-    for (int j = 0; j < w; ++j) {
-      int64_t acc = 0;
-      for (int r = 0; r < h; ++r)
-        acc += int64_t(Th[size_t(r) * h + i]) * d[size_t(r) * w + j];
-      tmp[size_t(i) * w + j] = clip_coeff((acc + rnd1) >> 7);
+  for (int i = 0; i < h; ++i) {
+    int32_t acc[64] = {};
+    for (int r = 0; r < h; ++r) {
+      int32_t c = Th[size_t(r) * h + i];
+      if (!c) continue;
+      const int32_t* drow = d.data() + size_t(r) * w;
+      for (int j = 0; j < w; ++j) acc[j] += c * drow[j];
     }
+    int32_t* trow = tmp.data() + size_t(i) * w;
+    for (int j = 0; j < w; ++j)
+      trow[j] = clip_coeff((acc[j] + 64) >> 7);
+  }
   int32_t maxpix = (1 << bit_depth) - 1;
   int64_t sse = 0;
   for (int i = 0; i < h; ++i) {
     int32_t* rrow = rec + size_t(i) * w;
     const int32_t* prow = pred + size_t(i) * w;
     const int32_t* srow = src + size_t(i) * w;
+    const int32_t* trow = tmp.data() + size_t(i) * w;
+    int32_t acc[64] = {};
+    for (int k = 0; k < w; ++k) {
+      int32_t c = trow[k];
+      if (!c) continue;
+      const int32_t* twrow = Tw + size_t(k) * w;
+      for (int j = 0; j < w; ++j) acc[j] += c * twrow[j];
+    }
     for (int j = 0; j < w; ++j) {
-      int64_t acc = 0;
-      for (int k = 0; k < w; ++k)
-        acc += int64_t(tmp[size_t(i) * w + k]) * Tw[size_t(k) * w + j];
-      int32_t r = clip_coeff((acc + rnd2) >> shift2);
+      int32_t r = clip_coeff((acc[j] + rnd2) >> shift2);
       int32_t px = prow[j] + r;
       px = px < 0 ? 0 : (px > maxpix ? maxpix : px);
       rrow[j] = px;
@@ -1887,23 +1908,34 @@ void vte_inv_transform(const int32_t* d, int w, int h, int trh, int trv,
   const int32_t* Tw = g_trmat[trh][31 - __builtin_clz(unsigned(w))].data();
   const int32_t* Th = g_trmat[trv][31 - __builtin_clz(unsigned(h))].data();
   int shift2 = 20 - bit_depth;
-  int64_t rnd1 = 1 << 6;
-  int64_t rnd2 = int64_t(1) << (shift2 - 1);
+  int32_t rnd2 = int32_t(1) << (shift2 - 1);
+  // same int32/row-major scheme as tq_inv_rec (sums < 2^29, exact)
   std::vector<int32_t> tmp(size_t(h) * w);
-  for (int i = 0; i < h; ++i)
-    for (int j = 0; j < w; ++j) {
-      int64_t acc = 0;
-      for (int r = 0; r < h; ++r)
-        acc += int64_t(Th[size_t(r) * h + i]) * d[size_t(r) * w + j];
-      tmp[size_t(i) * w + j] = clip_coeff((acc + rnd1) >> 7);
+  for (int i = 0; i < h; ++i) {
+    int32_t acc[64] = {};
+    for (int r = 0; r < h; ++r) {
+      int32_t c = Th[size_t(r) * h + i];
+      if (!c) continue;
+      const int32_t* drow = d + size_t(r) * w;
+      for (int j = 0; j < w; ++j) acc[j] += c * drow[j];
     }
-  for (int i = 0; i < h; ++i)
-    for (int j = 0; j < w; ++j) {
-      int64_t acc = 0;
-      for (int k = 0; k < w; ++k)
-        acc += int64_t(tmp[size_t(i) * w + k]) * Tw[size_t(k) * w + j];
-      out[size_t(i) * w + j] = clip_coeff((acc + rnd2) >> shift2);
+    int32_t* trow = tmp.data() + size_t(i) * w;
+    for (int j = 0; j < w; ++j)
+      trow[j] = clip_coeff((acc[j] + 64) >> 7);
+  }
+  for (int i = 0; i < h; ++i) {
+    const int32_t* trow = tmp.data() + size_t(i) * w;
+    int32_t* orow = out + size_t(i) * w;
+    int32_t acc[64] = {};
+    for (int k = 0; k < w; ++k) {
+      int32_t c = trow[k];
+      if (!c) continue;
+      const int32_t* twrow = Tw + size_t(k) * w;
+      for (int j = 0; j < w; ++j) acc[j] += c * twrow[j];
     }
+    for (int j = 0; j < w; ++j)
+      orow[j] = clip_coeff((acc[j] + rnd2) >> shift2);
+  }
 }
 
 }  // extern "C"
@@ -9657,10 +9689,19 @@ static void init_golomb() {
 static const int TPL_DX[5] = {1, 2, 1, 0, 0};
 static const int TPL_DY[5] = {0, 0, 1, 1, 2};
 
+// Trellis state.  Levels live in two tiers (vvenc DepQuant.h CommonCtx
+// analog, DepQuant.h:245-292): `cg` holds the current coding group's
+// levels (local raster), while `full`/`sbbf` point into pooled chunks
+// holding all FINISHED groups, committed once per group at the EOS
+// transition.  The 5-position context template only ever reads the
+// current group (from `cg`) or already-finished groups (from `full`),
+// so the hybrid storage reproduces the flat-array reads bit-exactly
+// while cutting the per-position copy from O(w*h) to O(|cg|).
 struct DqState {
   double rd = STATE_INF;
-  std::vector<int32_t> levels;  // [h*w]
-  std::vector<uint8_t> sbb;     // [n_sbb]
+  uint16_t* full = nullptr;     // [h*w] committed levels by blkpos
+  uint8_t* sbbf = nullptr;      // [n_sbb] committed group sig flags
+  int32_t cg[16] = {};          // current-group levels, (ly<<lcw)+lx
   int rem_reg_bins = 4;
   int num_sig = 0;
   int64_t sbb_bits0 = 0, sbb_bits1 = 0;
@@ -9803,10 +9844,54 @@ int vte_depquant(const int32_t* coeff, int w, int h, int qp, int bit_depth,
   const int w_in_g = cctx.w_in_groups;
   const int init_rrb = (n * CTX_BIN_SAMPLE_RATIO) >> 4;
 
-  std::vector<DqState> states(4);
+  // pooled level/flag chunks: two generations of 4 (ping-ponged at each
+  // group boundary) plus one shared always-zero chunk for fresh states
+  const int lcw = cctx.si->lcw, lch = cctx.si->lch;
+  const int cgw_l = 1 << lcw, cgh_l = 1 << lch;
+  const int mwl = cgw_l - 1, mhl = cgh_l - 1;
+  const size_t full_n = size_t(w) * h;
+  const size_t sbb_n = size_t(std::max(1, n_sbb));
+  const size_t chunk = (full_n * 2 + sbb_n + 7) & ~size_t(7);
+  std::vector<uint8_t> pool(chunk * 9, 0);
+  auto full_of = [&](int g, int t) {
+    return reinterpret_cast<uint16_t*>(pool.data() + chunk * (g * 4 + t));
+  };
+  auto sbbf_of = [&](int g, int t) {
+    return pool.data() + chunk * (g * 4 + t) + full_n * 2;
+  };
+  uint16_t* zero_full = reinterpret_cast<uint16_t*>(pool.data() + chunk * 8);
+  uint8_t* zero_sbbf = pool.data() + chunk * 8 + full_n * 2;
+  int gen = 0;
+
+  // template sums over the hybrid storage — identical values to the
+  // flat-array tpl_sums: in-group neighbors from cg, finished groups
+  // from full (every template neighbor is at a later scan position, so
+  // it is one or the other)
+  auto tpl_hyb = [&](const DqState& st, int px, int py) -> TplSums {
+    TplSums r{0, 0, 0};
+    int cgx0 = px >> lcw, cgy0 = py >> lch;
+    for (int k = 0; k < 5; ++k) {
+      int nx = px + TPL_DX[k], ny = py + TPL_DY[k];
+      if (nx < w && ny < h) {
+        int t = ((nx >> lcw) == cgx0 && (ny >> lch) == cgy0)
+                    ? st.cg[((ny & mhl) << lcw) + (nx & mwl)]
+                    : int(st.full[size_t(ny) * w + nx]);
+        if (t) {
+          r.raw += t;
+          r.s1 += int(std::min<int64_t>(4 + (t & 1), t));
+          r.num += 1;
+        }
+      }
+    }
+    return r;
+  };
+
+  DqState states_a[4], states_b[4];
+  DqState* states = states_a;
+  DqState* nstates = states_b;
   for (int k = 0; k < 4; ++k) {
-    states[k].levels.assign(size_t(w) * h, 0);
-    states[k].sbb.assign(std::max(1, n_sbb), 0);
+    states[k].full = zero_full;
+    states[k].sbbf = zero_sbbf;
     states[k].cff_row = &gtx_tab[0];
     int set = std::max(0, k - 1);
     states[k].sig0 = sig_tab[(set * n_sig_ctx + 0) * 2];
@@ -9815,12 +9900,12 @@ int vte_depquant(const int32_t* coeff, int w, int h, int qp, int bit_depth,
   struct Skip {
     bool valid = false;
     double rd = 0;
-    std::vector<int32_t> levels;
-    std::vector<uint8_t> sbb;
+    const uint16_t* full = nullptr;  // stable until this group's EOS
+    const uint8_t* sbbf = nullptr;
     int rem_reg_bins = 0;
     int64_t sbb_bits0 = 0;
   };
-  std::vector<Skip> skip(4);
+  Skip skip[4];
 
   // decisions per position
   std::vector<double> lane_rd(size_t(first_pos + 1) * 4);
@@ -9844,7 +9929,7 @@ int vte_depquant(const int32_t* coeff, int w, int h, int qp, int bit_depth,
 
     auto set_rice = [&](DqState& st, bool ge4) {
       if (st.rem_reg_bins < 4 || ge4) {
-        int raw = tpl_sums(st.levels.data(), x, y, w, h).raw;
+        int raw = tpl_hyb(st, x, y).raw;
         int sub = st.rem_reg_bins < 4 ? 0 : 20;
         st.rice_par = GO_RICE_PARS[std::max(std::min(31, raw - sub), 0)];
       }
@@ -10010,11 +10095,13 @@ int vte_depquant(const int32_t* coeff, int w, int h, int qp, int bit_depth,
     if (sp == 0) break;
 
     if (spt == SOCSBB) {
+      // snapshot by pointer: the pooled chunks are only rewritten at the
+      // EOS transition of this same group, after resurrection reads them
       for (int s = 0; s < 4; ++s) {
         skip[s].valid = true;
         skip[s].rd = states[s].rd;
-        skip[s].levels = states[s].levels;
-        skip[s].sbb = states[s].sbb;
+        skip[s].full = states[s].full;
+        skip[s].sbbf = states[s].sbbf;
         skip[s].rem_reg_bins = states[s].rem_reg_bins;
         skip[s].sbb_bits0 = states[s].sbb_bits0;
       }
@@ -10033,59 +10120,86 @@ int vte_depquant(const int32_t* coeff, int w, int h, int qp, int bit_depth,
       gtx_off = dg < 1 ? 6 : 1;
     }
     bool is_eos = inside == 0;
-    std::vector<DqState> new_states(4);
+    const int ngen = gen ^ 1;
+    // commit this state's current-group levels into a fresh chunk of the
+    // next generation (sources — old-generation/zero chunks and the skip
+    // snapshots — stay intact until the whole transition is done)
+    auto migrate = [&](DqState& st, int t) {
+      uint16_t* nf = full_of(ngen, t);
+      uint8_t* nsb = sbbf_of(ngen, t);
+      std::memcpy(nf, st.full, full_n * 2);
+      std::memcpy(nsb, st.sbbf, sbb_n);
+      int bx0 = (x >> lcw) << lcw, by0 = (y >> lch) << lch;
+      for (int ly = 0; ly < cgh_l; ++ly)
+        for (int lx = 0; lx < cgw_l; ++lx)
+          nf[size_t(by0 + ly) * w + bx0 + lx] =
+              uint16_t(st.cg[(ly << lcw) + lx]);
+      std::memset(st.cg, 0, sizeof(st.cg));
+      st.full = nf;
+      st.sbbf = nsb;
+    };
     for (int t = 0; t < 4; ++t) {
-      DqState& st = new_states[t];
+      DqState& st = nstates[t];
       st.rd = dec_rd[t];
       st.cff_row = &gtx_tab[0];
+      st.sig0 = st.sig1 = 0;
+      st.rice_par = st.rice_zero = 0;
       int pid = dec_prev[t];
       int lvl = dec_lvl[t];
       if (pid == -2) {
-        st.levels = states[t].levels;
-        st.sbb = states[t].sbb;
+        // lane not reached (rd stays DEC_INF): carry the old state's
+        // storage; sig/rice stay at defaults as in the golden model
+        st.full = states[t].full;
+        st.sbbf = states[t].sbbf;
+        std::memcpy(st.cg, states[t].cg, sizeof(st.cg));
         st.rem_reg_bins = states[t].rem_reg_bins;
         st.num_sig = states[t].num_sig;
         st.sbb_bits0 = states[t].sbb_bits0;
         st.sbb_bits1 = states[t].sbb_bits1;
+        if (is_eos) migrate(st, t);
         continue;
       }
       if (pid >= 4) {
         const Skip& sk = skip[pid - 4];
-        st.levels = sk.levels;
-        st.sbb = sk.sbb;
+        st.full = const_cast<uint16_t*>(sk.full);
+        st.sbbf = const_cast<uint8_t*>(sk.sbbf);
+        std::memset(st.cg, 0, sizeof(st.cg));
         st.rem_reg_bins = sk.rem_reg_bins;
         st.num_sig = 0;
       } else if (pid >= 0) {
         const DqState& p = states[pid];
-        st.levels = p.levels;
-        st.sbb = p.sbb;
+        st.full = p.full;
+        st.sbbf = p.sbbf;
+        std::memcpy(st.cg, p.cg, sizeof(st.cg));
         st.num_sig = p.num_sig + (lvl ? 1 : 0);
         st.rem_reg_bins = p.rem_reg_bins - 1;
         if (st.rem_reg_bins >= 4)
           st.rem_reg_bins -= lvl < 2 ? lvl : 3;
       } else {
-        st.levels.assign(size_t(w) * h, 0);
-        st.sbb.assign(std::max(1, n_sbb), 0);
+        st.full = zero_full;
+        st.sbbf = zero_sbbf;
+        std::memset(st.cg, 0, sizeof(st.cg));
         st.num_sig = 1;
         st.rem_reg_bins = init_rrb - (lvl < 2 ? lvl : 3);
       }
       st.sbb_bits0 = (pid >= 0 && pid < 4) ? states[pid].sbb_bits0 : 0;
       st.sbb_bits1 = (pid >= 0 && pid < 4) ? states[pid].sbb_bits1 : 0;
-      if (lvl) st.levels[y * w + x] = lvl;
+      if (lvl) st.cg[((y & mhl) << lcw) + (x & mwl)] = lvl;
       if (is_eos) {
+        migrate(st, t);
         int cur_sbb = cctx.si->cg_pos[sp >> log2_cg];
-        st.sbb[cur_sbb] = st.num_sig ? 1 : 0;
+        st.sbbf[cur_sbb] = st.num_sig ? 1 : 0;
         st.num_sig = 0;
         int nxt_sbb = cctx.si->cg_pos[sp_next >> log2_cg];
         int sy = nxt_sbb / w_in_g, sx = nxt_sbb % w_in_g;
-        int right = sx + 1 < w_in_g ? st.sbb[nxt_sbb + 1] : 0;
+        int right = sx + 1 < w_in_g ? st.sbbf[nxt_sbb + 1] : 0;
         int below =
-            sy + 1 < cctx.h_in_groups ? st.sbb[nxt_sbb + w_in_g] : 0;
+            sy + 1 < cctx.h_in_groups ? st.sbbf[nxt_sbb + w_in_g] : 0;
         st.sbb_bits0 = sbb_tab[(right || below) ? 1 : 0][0];
         st.sbb_bits1 = sbb_tab[(right || below) ? 1 : 0][1];
       }
       if (st.rem_reg_bins >= 4) {
-        TplSums ts = tpl_sums(st.levels.data(), nx, ny, w, h);
+        TplSums ts = tpl_hyb(st, nx, ny);
         int set = std::max(0, t - 1);
         int c = sig_off + std::min((ts.s1 + 1) >> 1, 3);
         st.sig0 = sig_tab[(set * n_sig_ctx + c) * 2];
@@ -10093,12 +10207,13 @@ int vte_depquant(const int32_t* coeff, int w, int h, int qp, int bit_depth,
         st.cff_row = &gtx_tab[size_t(gtx_off + std::min(ts.s1 - ts.num, 4))
                               * 6];
       } else {
-        int raw = tpl_sums(st.levels.data(), nx, ny, w, h).raw;
+        int raw = tpl_hyb(st, nx, ny).raw;
         st.rice_par = GO_RICE_PARS[std::max(std::min(31, raw), 0)];
         st.rice_zero = (t < 2 ? 1 : 2) << st.rice_par;
       }
     }
-    states.swap(new_states);
+    std::swap(states, nstates);
+    if (is_eos) gen = ngen;
     if (is_eos) {
       std::array<int32_t, 4> lv, pv;
       for (int t = 0; t < 4; ++t) {

@@ -35,20 +35,34 @@ def _load():
         return None
     if not _SRC.exists():
         return None
+    # -march=native: the kernels are built on (and only run on) this
+    # host; the matmul-style transform loops vectorize to AVX2/AVX-512.
+    # -ffp-contract=off: keep double arithmetic bit-exact against the
+    # Python golden models (FMA contraction would fork RDOQ/estimator
+    # cost near-ties, which are decision-visible).
+    _FLAGS = ["-O3", "-march=native", "-ffp-contract=off",
+              "-shared", "-fPIC", "-std=c++17"]
     src = _SRC.read_bytes()
-    tag = hashlib.sha256(src).hexdigest()[:16]
+    tag = hashlib.sha256(src + " ".join(_FLAGS).encode()).hexdigest()[:16]
     so = _BUILD_DIR / f"entropy-{tag}.so"
     if not so.exists():
         _BUILD_DIR.mkdir(parents=True, exist_ok=True)
         tmp = so.with_suffix(".so.tmp")
         try:
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                 "-o", str(tmp), str(_SRC)],
+                ["g++", *_FLAGS, "-o", str(tmp), str(_SRC)],
                 check=True, capture_output=True)
             os.replace(tmp, so)
         except (subprocess.CalledProcessError, OSError):
-            return None
+            # portable fallback (e.g. -march=native unsupported)
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                     "-o", str(tmp), str(_SRC)],
+                    check=True, capture_output=True)
+                os.replace(tmp, so)
+            except (subprocess.CalledProcessError, OSError):
+                return None
     try:
         lib = ctypes.CDLL(str(so))
     except OSError:
