@@ -8359,12 +8359,16 @@ struct Searcher {
           if (cx >= ps.W || cy >= ps.H) continue;
           PartInfo cp = part.child(split, idx, is_impl);
           NodeResult cres;
-          if (!rd_node(cx, cy, cw, chh, cp, cres,
-                       have_best ? best_cost - cost : 1e300))
+          // recursive split-cost bound (EncCu::xCheckModeSplit analog):
+          // the child search inherits the remaining budget and gives up
+          // as soon as its own accumulation can no longer beat it
+          double limit = have_best ? std::min(best_cost, parent_budget)
+                                   : parent_budget;
+          if (!rd_node(cx, cy, cw, chh, cp, cres, limit - cost))
             return false;
           node.children.push_back(std::move(cres.node));
           cost += cres.cost;
-          if (have_best && cost >= best_cost) {
+          if (cost >= limit) {
             aborted = true;
             break;
           }
@@ -8391,14 +8395,25 @@ struct Searcher {
       }
       if (early_skip) break;
     }
-    if (!have_best) return false;
+    if (!have_best) {
+      // every candidate hit the inherited budget: report an infinite
+      // cost (the parent aborts and discards this subtree; any state
+      // this subtree mutated is rolled back by the ancestor that owns
+      // the finite budget when it restores its own snapshot)
+      if (!one_try) {
+        s_restore(state0);
+        est_load(est, est0);
+      }
+      out.node = Node();
+      out.cost = 1e300;
+      return true;
+    }
     if (!one_try) {
       s_restore(best_after);
       est_load(est, best_est);
     }
     out.node = std::move(best_node);
     out.cost = best_cost;
-    (void)parent_budget;
     return true;
   }
 
@@ -8613,7 +8628,8 @@ extern "C" {
 
 void vte_search_prof_get(double* out3) {
   out3[0] = ctusearch::g_prof_luma;
-  out3[7] = ctusearch::g_prof_isp + ctusearch::g_prof_lpresel * 1e-9;
+  out3[7] = ctusearch::g_prof_isp;
+  out3[8] = ctusearch::g_prof_lpresel;
   out3[1] = ctusearch::g_prof_chroma;
   out3[2] = ctusearch::g_prof_total;
   out3[3] = ctusearch::g_prof_cpred;

@@ -1352,7 +1352,8 @@ class _CtuSearcher(InterSearchMixin):
                 else T.dequant_np(coeff, qp, self.cfg.bit_depth))
 
     # -- recursive tree search -------------------------------------------
-    def _rd_node(self, x: int, y: int, w: int, h: int, part: PartInfo):
+    def _rd_node(self, x: int, y: int, w: int, h: int, part: PartInfo,
+                 budget: float = float("inf")):
         ps = self.ps
         sps = self.enc.sps
         tidx = 2 if part.tree_type == CHROMA_TREE else self.coder.tree_idx
@@ -1418,15 +1419,20 @@ class _CtuSearcher(InterSearchMixin):
                 impl = implicit_split(ps, x, y, w, h, part, sps, tidx)
                 is_impl = split == impl
                 aborted = False
+                # recursive split-cost bound (EncCu::xCheckModeSplit
+                # analog): the child search inherits the remaining
+                # budget and gives up as soon as it can't beat it
+                limit = min(best_cost, budget)
                 for idx, (cx, cy, cw, chh) in enumerate(
                         split_geometry(split, x, y, w, h)):
                     if cx >= ps.w or cy >= ps.h:
                         continue
-                    child, ccost = self._rd_node(cx, cy, cw, chh,
-                                                 part.child(split, idx, is_impl))
+                    child, ccost = self._rd_node(
+                        cx, cy, cw, chh, part.child(split, idx, is_impl),
+                        budget=limit - cost)
                     node.children.append(child)
                     cost += ccost
-                    if cost >= best_cost:
+                    if cost >= limit:
                         aborted = True
                         break
                 if aborted:
@@ -1439,6 +1445,11 @@ class _CtuSearcher(InterSearchMixin):
             if cost < best_cost:
                 best_node, best_cost = node, cost
                 best_after = self._save(x, y, max(w, h))
+        if best_node is None:
+            # every candidate hit the inherited budget: the parent will
+            # abort and discard; roll back and report an infinite cost
+            self._restore(state0)
+            return None, float("inf")
         self._restore(best_after)
         return best_node, best_cost
 

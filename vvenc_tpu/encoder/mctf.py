@@ -236,18 +236,17 @@ def _subpel_refine(cur: np.ndarray, ref: np.ndarray, mvs, err, bs,
     integer pels in, 1/16-pel units out; err updated to the subpel SSD."""
     h, w = cur.shape
     nby, nbx = mvs.shape[:2]
-    blocks = []
-    bxy = []
-    for by in range(nby):
-        for bx in range(nbx):
-            y0, x0 = by * bs, bx * bs
-            blk = np.zeros((bs, bs), np.int64)
-            bb = cur[y0:y0 + bs, x0:x0 + bs]
-            blk[:bb.shape[0], :bb.shape[1]] = bb
-            blocks.append(blk)
-            bxy.append((x0, y0))
-    blocks = np.asarray(blocks)
-    bxy = np.asarray(bxy, np.int32)
+    # zero-padded int32 block stack, built in one vectorized pass (int32
+    # and contiguous so the native SSD kernel gets a zero-copy view)
+    ph, pw = nby * bs, nbx * bs
+    grid = np.zeros((ph, pw), np.int32)
+    grid[:h, :w] = cur
+    blocks = np.ascontiguousarray(
+        grid.reshape(nby, bs, nbx, bs).transpose(0, 2, 1, 3)
+        .reshape(nby * nbx, bs, bs))
+    bxy = np.ascontiguousarray(
+        np.stack(np.meshgrid(np.arange(nbx) * bs, np.arange(nby) * bs),
+                 axis=-1).reshape(-1, 2).astype(np.int32))
     mvq = (mvs.reshape(-1, 2) * 16).astype(np.int32)
     ic = _InterpCache(ref, True, bit_depth)
     best = _ssd_blocks(blocks, ic, bxy, mvq, bs)
@@ -447,20 +446,23 @@ def mctf_filter_frame(frames: List, idx: int, strength: float, qp: int,
         / (bd_w * bd_w)
     chroma_sigma_sq = 30.0 * 30.0 / (bd_w * bd_w)
     row = 1 if is_ld else 0
+    # per-block minimum error across refs is loop-invariant — hoist
+    min_err = np.minimum.reduce([e / (bs * bs) for e in errs])
     out_planes = []
     for comp in range(3):
         sc = 0 if comp == 0 else 1
-        src = cur[comp].astype(np.float64)
+        src = cur[comp].astype(np.float32)
         h, w = src.shape
         sigma_sq = luma_sigma_sq if comp == 0 else chroma_sigma_sq
         weight_scaling = strength * (CHROMA_FACTOR if comp else 0.4)
-        wsum = np.ones((h, w), np.float64)
+        wsum = np.ones((h, w), np.float32)
         acc = src.copy()
+        inv2s = np.float32(-1.0 / (2 * sigma_sq))
         for k, j in enumerate(refs):
             corrected = _mc_plane_subpel(
                 frames[j][comp].astype(np.int32), mvs_l[k], bs, sc,
                 taps8=(comp == 0), bit_depth=input_bit_depth,
-                ic=ics[k] if comp == 0 else None).astype(np.float64)
+                ic=ics[k] if comp == 0 else None).astype(np.float32)
             d_poc = abs(idx - j)
             ref_str = REF_STRENGTHS[row][min(d_poc, 6) - 1]
             diff = corrected - src
@@ -468,13 +470,17 @@ def mctf_filter_frame(frames: List, idx: int, strength: float, qp: int,
             berr = errs[k] / (bs * bs)  # mean SSD per pixel
             ww_blk = np.where(berr < 50, 1.2, np.where(berr > 100, 0.6,
                                                        1.0))
-            min_err = np.minimum.reduce([e / (bs * bs) for e in errs])
-            ww_blk = ww_blk * (min_err + 1.0) / (berr + 1.0)
-            # expand to pixels of this component
-            ww_pix = np.repeat(np.repeat(ww_blk, bs >> sc, 0),
-                               bs >> sc, 1)[:h, :w]
-            wgt = (weight_scaling * ref_str) * ww_pix * \
-                np.exp(-diff * diff / (2 * sigma_sq))
+            ww_blk = (ww_blk * (min_err + 1.0) / (berr + 1.0)) \
+                .astype(np.float32)
+            # expand to pixels of this component (broadcast view, one
+            # materializing reshape instead of two repeat copies)
+            sbs = bs >> sc
+            nby, nbx = ww_blk.shape
+            ww_pix = np.broadcast_to(
+                ww_blk[:, None, :, None], (nby, sbs, nbx, sbs)) \
+                .reshape(nby * sbs, nbx * sbs)[:h, :w]
+            wgt = (np.float32(weight_scaling * ref_str) * ww_pix) * \
+                np.exp(diff * diff * inv2s)
             acc += wgt * corrected
             wsum += wgt
         out = np.clip(np.round(acc / wsum - 0.0), 0, maxv)
