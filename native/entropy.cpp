@@ -3880,40 +3880,47 @@ struct Searcher {
         cand[m] = {mode_cost(m, tab[m]), TrialMode{m}};
     } else {
       ProfScope _pp2(&g_prof_lpresel);
-      std::vector<int32_t> s0 = {0, 1};
-      for (int m = 2; m < N_MODES; m += 2) s0.push_back(m);
-      std::vector<int64_t> sat0(s0.size());
-      vte_presel_satd(top.data(), int(top.size()), left.data(),
-                      int(left.size()), src_y.data(), s0.data(),
-                      int(s0.size()), w, h, pp.bit_depth, 1, 0,
-                      sat0.data());
-      for (size_t i = 0; i < s0.size(); ++i)
-        cand.push_back({mode_cost(s0[i], sat0[i]), TrialMode{s0[i]}});
-      std::vector<Cand> order0 = cand;
-      std::stable_sort(order0.begin(), order0.end(),
-                       [](const Cand& a, const Cand& b) {
-                         return a.cost < b.cost;
-                       });
-      std::vector<int32_t> refine;
-      int top_k = std::min<int>(pp.n_full_rd + 1, int(order0.size()));
-      for (int i = 0; i < top_k; ++i) {
-        int m = order0[i].tm.mode;
-        if (m < 2) continue;
-        for (int nb : {m - 1, m + 1}) {
-          if (nb >= 3 && nb <= 65 && (nb & 1) &&
-              std::find(refine.begin(), refine.end(), nb) == refine.end())
-            refine.push_back(nb);
-        }
-      }
-      if (!refine.empty()) {
-        std::vector<int64_t> sat1(refine.size());
+      // decimated sweep + two refinement passes (vvenc
+      // xEstimateLumaRdModeList with IntraEstDecBit=2,
+      // IntraSearch.cpp:230-300; mirrors intra_encoder.py exactly)
+      bool seen[N_MODES] = {};
+      auto sweep = [&](const std::vector<int32_t>& modes) {
+        std::vector<int64_t> sat(modes.size());
         vte_presel_satd(top.data(), int(top.size()), left.data(),
-                        int(left.size()), src_y.data(), refine.data(),
-                        int(refine.size()), w, h, pp.bit_depth, 1, 0,
-                        sat1.data());
-        for (size_t i = 0; i < refine.size(); ++i)
-          cand.push_back({mode_cost(refine[i], sat1[i]),
-                          TrialMode{refine[i]}});
+                        int(left.size()), src_y.data(),
+                        const_cast<int32_t*>(modes.data()),
+                        int(modes.size()), w, h, pp.bit_depth, 1, 0,
+                        sat.data());
+        for (size_t i = 0; i < modes.size(); ++i) {
+          cand.push_back({mode_cost(modes[i], sat[i]),
+                          TrialMode{modes[i]}});
+          seen[modes[i]] = true;
+        }
+      };
+      std::vector<int32_t> s0 = {0, 1};
+      for (int m = 4; m < N_MODES; m += 4) s0.push_back(m);
+      sweep(s0);
+      int top_k = pp.n_full_rd + 1;
+      for (int step : {2, 1}) {
+        std::vector<Cand> order0 = cand;
+        std::stable_sort(order0.begin(), order0.end(),
+                         [](const Cand& a, const Cand& b) {
+                           return a.cost < b.cost;
+                         });
+        std::vector<int32_t> refine;
+        int tk = std::min<int>(top_k, int(order0.size()));
+        for (int i = 0; i < tk; ++i) {
+          int m = order0[i].tm.mode;
+          // VTM guard: no refinement around planar/DC/edge-angular
+          if (m <= 2 || m >= N_MODES - 1) continue;
+          for (int nb : {m - step, m + step}) {
+            if (nb >= 2 && nb <= N_MODES - 1 && !seen[nb] &&
+                std::find(refine.begin(), refine.end(), nb) ==
+                    refine.end())
+              refine.push_back(nb);
+          }
+        }
+        if (!refine.empty()) sweep(refine);
       }
     }
     // MIP candidates (intra_encoder.py sps.mip block): all

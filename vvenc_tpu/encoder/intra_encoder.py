@@ -1546,30 +1546,38 @@ class _CtuSearcher(InterSearchMixin):
             else:
                 from .. import native
                 if native.available():
-                    # subset sweep + refinement (vvenc
-                    # xEstimateLumaRdModeList two-pass HAD: every 2nd
-                    # angular mode first, then the odd neighbors of the
-                    # strongest candidates) — 35+~6 fused native
+                    # decimated sweep + two refinement passes (vvenc
+                    # xEstimateLumaRdModeList with IntraEstDecBit=2,
+                    # IntraSearch.cpp:230-300: planar/DC + every 4th
+                    # angular mode, then +-2 and +-1 around the
+                    # strongest candidates) — ~18+4+4 fused native
                     # predict+SATD calls instead of 67
-                    s0_modes = [0, 1] + list(range(2, I.NUM_LUMA_MODE, 2))
-                    sat0 = native.presel_satd(top, left, src_y, s0_modes,
-                                              w, h, bit_depth)
-                    ent0 = [( _mode_cost(m, int(sat0[i])), m)
-                            for i, m in enumerate(s0_modes)]
-                    order0 = sorted(ent0, key=lambda t: t[0])
-                    refine = []
-                    for _, m in order0[:self.cfg.num_full_rd_modes + 1]:
-                        if m < 2:
-                            continue
-                        for nb in (m - 1, m + 1):
-                            if 3 <= nb <= 65 and (nb & 1) \
-                                    and nb not in refine:
-                                refine.append(nb)
-                    if refine:
-                        sat1 = native.presel_satd(top, left, src_y,
-                                                  refine, w, h, bit_depth)
-                        ent0 += [(_mode_cost(m, int(sat1[i])), m)
-                                 for i, m in enumerate(refine)]
+                    ent0 = []
+                    seen = set()
+
+                    def _sweep(modes):
+                        sat = native.presel_satd(top, left, src_y,
+                                                 modes, w, h, bit_depth)
+                        ent0.extend((_mode_cost(m, int(sat[i])), m)
+                                    for i, m in enumerate(modes))
+                        seen.update(modes)
+                    _sweep([0, 1] + list(range(4, I.NUM_LUMA_MODE, 4)))
+                    top_k = self.cfg.num_full_rd_modes + 1
+                    for step in (2, 1):
+                        order0 = sorted(ent0, key=lambda t: t[0])
+                        refine = []
+                        for _, m in order0[:top_k]:
+                            # VTM guard: no refinement around the
+                            # planar/DC/edge-angular parents
+                            if m <= 2 or m >= I.NUM_LUMA_MODE - 1:
+                                continue
+                            for nb in (m - step, m + step):
+                                if 2 <= nb <= I.NUM_LUMA_MODE - 1 \
+                                        and nb not in seen \
+                                        and nb not in refine:
+                                    refine.append(nb)
+                        if refine:
+                            _sweep(refine)
                     cand = [(c, m, None, False, False, 0) for c, m in ent0]
                 else:
                     preds67 = IV.predict_intra_modes(
