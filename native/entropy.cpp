@@ -4651,6 +4651,43 @@ struct Searcher {
   // =========================================================================
   InterCtx* ic = nullptr;            // null = intra slice
   std::vector<MI> hmvp;              // current CTU-row HMVP FIFO
+  int ifp_bottom = -1;               // IFP motion window bottom (-1 = off)
+  // ifp.py mv_access_ok analog: a trial is admissible only when its
+  // motion-compensated reads stay above the IFP window bottom
+  // (MC_MARGIN = 8 covers interpolation taps + the DMVR/BDOF extent)
+  bool mv_ok_raw(int cy, int ch, int mx) const {
+    return cy + ch + (mx >> 4) + 8 <= ifp_bottom;
+  }
+  bool mv_ok(int cy, int ch, const MI& mi) const {
+    if (ifp_bottom < 0) return true;
+    int mx = 0;
+    for (int li = 0; li < 2; ++li)
+      if (mi.ref[li] >= 0) mx = std::max(mx, int(mi.mv[li][1]));
+    return mv_ok_raw(cy, ch, mx);
+  }
+  bool mv_ok_cu(const CuRec& cu) const {
+    if (ifp_bottom < 0) return true;
+    if (!cu.sub_mi.empty())
+      return mv_ok_grid(cu.y, cu.h, cu.sub_mi, cu.ref_idx);
+    if (cu.affine) return false;  // grid not derived yet: conservative
+    int mx = 0;
+    for (int li = 0; li < 2; ++li)
+      if (cu.ref_idx[li] >= 0) mx = std::max(mx, cu.mv[li][1]);
+    return mv_ok_raw(cu.y, cu.h, mx);
+  }
+  // grid variant (SbTMVP / affine sub-block motion): max vertical MV
+  // over every sub-block of the active lists (CU-level ref gates, as
+  // in ifp.py mv_access_ok)
+  bool mv_ok_grid(int cy, int ch, const std::vector<MI>& grid,
+                  const int ref_idx[2]) const {
+    if (ifp_bottom < 0) return true;
+    int mx = 0;
+    for (const MI& mi : grid)
+      for (int li = 0; li < 2; ++li)
+        if (ref_idx[li] >= 0 || mi.ref[li] >= 0)
+          mx = std::max(mx, int(mi.mv[li][1]));
+    return mv_ok_raw(cy, ch, mx);
+  }
   // cu_qp_delta estimator state (ctu_syntax.py _maybe_code_dqp on the
   // BitEstimator).  dqp_coded is LIVE coder state in Python — mutated by
   // trial evaluation and NOT restored between trials/nodes (the replay
@@ -7281,6 +7318,8 @@ struct Searcher {
     auto clampc = [&](int px, int py, int c[2]) {
       c[0] = std::min(std::max(px, -w), rw);
       c[1] = std::min(std::max(py, -h), rh);
+      if (ifp_bottom >= 0)                 // IFP window (ifp.MC_MARGIN)
+        c[1] = std::min(c[1], ifp_bottom - h - 8);
     };
     int centers[3][2];
     int n_centers = 0;
@@ -7300,7 +7339,12 @@ struct Searcher {
       }
     }
     std::vector<std::array<int, 2>> fine;
-    if (R > 8 && w >= 8 && h >= 8 && ic->use_dev_me) {
+    // under an IFP window both coarse stages are skipped: the ds4
+    // plane cache would snapshot reference rows that are still
+    // being produced (worker-timing dependent), so only the
+    // bounded predictor-centered fine search runs
+    if (ifp_bottom >= 0) {
+    } else if (R > 8 && w >= 8 && h >= 8 && ic->use_dev_me) {
       // device pre-ME winner for the block containing this CU (a failed
       // table build falls through with no coarse stage, matching the
       // Python searcher)
@@ -7366,6 +7410,7 @@ struct Searcher {
         for (int dx = -rr; dx <= rr; ++dx) {
           int sx = c[0] + dx, sy = c[1] + dy;
           if (sx < -w || sy < -h || sx > rw || sy > rh) continue;
+          if (ifp_bottom >= 0 && sy + h + 8 > ifp_bottom) continue;
           int64_t cc = costs[size_t(dy + rr) * (2 * rr + 1) + dx + rr];
           if (!have_best || cc < best_c) {
             have_best = true;
@@ -7404,6 +7449,13 @@ struct Searcher {
     *out_mvp_idx = mvd_bits(amvp[0]) <= mvd_bits(amvp[1]) ? 0 : 1;
     out_mv[0] = mv[0];
     out_mv[1] = mv[1];
+    if (getenv("VTE_DBG_ME"))
+      std::fprintf(stderr,
+                   "NATME (%d,%d %dx%d) li%d ri%d amvp(%d,%d)(%d,%d) "
+                   "int(%d,%d) mv(%d,%d) bot %d\n",
+                   x, y, w, h, li, ri, amvp[0][0], amvp[0][1], amvp[1][0],
+                   amvp[1][1], best_mv[0], best_mv[1], mv[0], mv[1],
+                   ifp_bottom);
   }
 
   // -- the inter CU decision (inter_search.py _rd_cu_inter +
@@ -7478,6 +7530,7 @@ struct Searcher {
         for (const auto& s : seen) dup |= s == key;
         if (dup) continue;
         seen.push_back(key);
+        if (!mv_ok(y, h, mi)) continue;  // IFP window
         CuRec probe;
         probe.x = x;
         probe.y = y;
@@ -7699,6 +7752,7 @@ struct Searcher {
               cu.mmvd_step = step;
               cu.mmvd_pos = pos;
               apply_mmvd_c(cu, merge_cands);
+              if (!mv_ok_cu(cu)) continue;  // IFP window
               std::vector<int32_t> py;
               inter_pred_c(cu, 0, py);
               int64_t sse = 0;
@@ -7740,6 +7794,7 @@ struct Searcher {
           cu.affine = true;
           cu.merge_idx = k;
           apply_affine_merge_c(cu);
+          if (!mv_ok_cu(cu)) continue;  // IFP window
           std::vector<int32_t> py;
           pred_cu_inter_c(cu, 0, py);
           int64_t sse = 0;
@@ -7798,6 +7853,11 @@ struct Searcher {
               cu.geo_idx0 = pairs[pi][0];
               cu.geo_idx1 = pairs[pi][1];
               apply_geo_c(cu, merge_cands);
+              if (ifp_bottom >= 0) {   // IFP window (grid-level check)
+                std::vector<MI> grid;
+                geo_motion_grid_c(cu, grid);
+                if (!mv_ok_grid(cu.y, cu.h, grid, cu.ref_idx)) continue;
+              }
               std::vector<int32_t> py;
               geo_pred_c(cu, 0, py);
               int64_t sse = 0;
@@ -7960,6 +8020,8 @@ struct Searcher {
           cu.mvd1[0] = -mvd[0];
           cu.mvd1[1] = -mvd[1];
           cu.mvp_idx1 = 0;
+          if (!mv_ok_cu(cu)) goto smvd_done;  // IFP: mirrored L1 MV
+          {
           std::vector<int32_t> py, pcb, pcr;
           pred_cu_inter_c(cu, 0, py);
           pred_cu_inter_c(cu, 1, pcb);
@@ -7971,7 +8033,9 @@ struct Searcher {
             cu.root_cbf = any;
           }
           trials.push_back(cu);
+          }
         }
+      smvd_done:;
       }
       // AMVR trial: integer-pel MVD on the uni-L0 winner
       if (ic->amvr && have_uni[0]) {
@@ -7996,6 +8060,8 @@ struct Searcher {
           cu.mvd[0] = mvd_i[0];
           cu.mvd[1] = mvd_i[1];
           cu.mvp_idx = 0;
+          if (!mv_ok_cu(cu)) goto amvr_done;  // IFP window
+          {
           std::vector<int32_t> py, pcb, pcr;
           inter_pred_c(cu, 0, py);
           inter_pred_c(cu, 1, pcb);
@@ -8007,11 +8073,13 @@ struct Searcher {
             cu.root_cbf = any;
           }
           trials.push_back(cu);
+          }
+        amvr_done:;
         }
       }
       // affine AMVP trials: gradient-based CPMV search per type/list
       // (InterSearch::xAffineMotionEstimation analog, uni prediction)
-      if (ic->affine_en && w >= 16 && h >= 16) {
+      if (ic->affine_en && w >= 16 && h >= 16 && ifp_bottom < 0) {
         TScope _t(&iprof().affamvp);
         int n_types = ic->affine_type_en ? 2 : 1;
         for (int aff_type = 0; aff_type < n_types; ++aff_type) {
@@ -8080,6 +8148,23 @@ struct Searcher {
     }
 
     // -- trial evaluation (_finish_inter_trials) --
+    if (getenv("VTE_DBG_TRIALS")) {
+      std::string line;
+      char buf[160];
+      for (const CuRec& t : trials) {
+        std::snprintf(buf, sizeof buf,
+                      "%s%s%s%s%s%s%s mv((%d, %d), (%d, %d)) r(%d, %d)",
+                      t.skip ? "S" : "", t.merge ? "M" : "",
+                      t.mmvd ? "V" : "", t.geo ? "G" : "",
+                      t.affine ? "A" : "", t.smvd ? "D" : "",
+                      t.imv ? "I" : "", t.mv[0][0], t.mv[0][1],
+                      t.mv[1][0], t.mv[1][1], t.ref_idx[0], t.ref_idx[1]);
+        if (!line.empty()) line += " | ";
+        line += buf;
+      }
+      std::fprintf(stderr, "NATTRIALS (%d,%d %dx%d) n=%zu %s\n", x, y, w,
+                   h, trials.size(), line.c_str());
+    }
     SSnap state0;
     s_save(x, y, std::max(w, h), state0);
     EstSnap est0;
@@ -8832,7 +8917,7 @@ int vte_search_ctu(
     int dep_quant, int mip_en, int mrl_en, int lfnst_en, int jccr_en,
     int jccr_sign, int qp_jc, int isp_en, double cw_cb, double cw_cr,
     void* inter_ctx, const int32_t* hmvp_init, int hmvp_n, int use_dqp,
-    int dqp_coded) {
+    int dqp_coded, int ifp_bottom) {
   using namespace ctusearch;
   ProfScope _p(&g_prof_total);
   Searcher s;
@@ -8840,6 +8925,7 @@ int vte_search_ctu(
   s.ic = reinterpret_cast<InterCtx*>(inter_ctx);
   s.use_dqp = use_dqp != 0;
   s.dqp_coded = dqp_coded != 0;
+  s.ifp_bottom = ifp_bottom;
   for (int i = 0; i < hmvp_n; ++i) {
     // rows of 12 ints: mv00 mv01 mv10 mv11 ref0 ref1 bcw alt (4 spare)
     const int32_t* r = hmvp_init + i * 12;

@@ -764,15 +764,35 @@ def test_ifp_byte_identical_and_restricted():
             rejected[0] += 1
         return ok
 
-    ifp_mod.mv_access_ok = counting
+    # the spy counts PYTHON-searcher calls: pin the Python path (the
+    # native driver applies the identical window test internally and is
+    # bit-exact).  The window must be APPLIED (calls with a bound), and
+    # on fast downward motion the restricted encode must differ from the
+    # unrestricted one (the bounded ME/candidate set shapes decisions).
+    fast = [np.roll(frames[0][0], -10 * t, axis=0) for t in range(9)]
+    vf = [(f, frames[0][1], frames[0][2]) for f in fast]
+    windowed = [0]
+
+    def counting2(cu, bottom, y2, h2, *a, **k):
+        if bottom is not None:
+            windowed[0] += 1
+        return real(cu, bottom, y2, h2, *a, **k)
+
+    import os
+    ifp_mod.mv_access_ok = counting2
+    os.environ["VVENC_TPU_NATIVE_SEARCH"] = "0"
     try:
         er = IntraEncoder(EncoderConfig(ifp=True, max_parallel_frames=1,
                                         **kw))
-        sr = er.encode_sequence(frames)
+        s_r = er.encode_sequence(vf)
+        eu = IntraEncoder(EncoderConfig(ifp=False, max_parallel_frames=1,
+                                        **kw))
+        s_u = eu.encode_sequence(vf)
     finally:
         ifp_mod.mv_access_ok = real
-    assert sr == s1
-    assert rejected[0] > 0, "IFP motion restriction never engaged"
+        os.environ.pop("VVENC_TPU_NATIVE_SEARCH", None)
+    assert windowed[0] > 0, "IFP motion window never applied"
+    assert s_r != s_u, "IFP restriction did not shape the bitstream"
 
 
 def test_ifp_sao_barrier_mode():

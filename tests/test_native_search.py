@@ -243,3 +243,42 @@ def test_inter_tool_families_match_python():
     _run_seq(dict(bdof=True, mmvd=3, geo=4, **base), n=4, seed=9)
     _run_seq(dict(affine=4, sbtmvp=True, prof=True, amvr=5, smvd=3,
                   bdof=True, **base), n=4, seed=10)
+
+
+def test_ifp_native_matches_python():
+    """Native CTU search under the IFP motion window must produce the
+    exact tree the Python golden searcher produces with the same
+    ifp_bottom (check mode asserts per-CTU equality)."""
+    import os
+    import numpy as np
+    from vvenc_tpu.encoder import IntraEncoder, EncoderConfig
+    from vvenc_tpu.decoder import decode_stream
+
+    rng = np.random.RandomState(5)
+    w, h, n = 192, 192, 9
+    frames = []
+    for t in range(n):
+        yy, xx = np.mgrid[0:h, 0:w]
+        y = np.clip(90 + 60 * np.sin((xx + 3.1 * t) / 7.0)
+                    * np.cos((yy - 2.2 * t) / 6.0)
+                    + rng.randn(h, w) * 5, 0, 255).astype(np.uint8)
+        u = np.clip(120 + 10 * np.sin(xx / 9.0 + t / 3.0),
+                    0, 255)[::2, ::2].astype(np.uint8)
+        v = np.clip(130 + 12 * np.cos(yy / 11.0 - t / 4.0),
+                    0, 255)[::2, ::2].astype(np.uint8)
+        frames.append((y, u, v))
+    os.environ["VVENC_TPU_NATIVE_SEARCH"] = "check"
+    try:
+        enc = IntraEncoder(EncoderConfig(
+            width=w, height=h, ifp=True, max_parallel_frames=3, qp=37,
+            gop_size=8, intra_period=16, qpa=1, mctf=True, bim=True,
+            amvr=True, smvd=True, mmvd=True, geo=True, affine=True,
+            sbtmvp=True, dmvr=True, bdof=True, dep_quant=True, lfnst=True,
+            max_mtt_depth=1, mip=True, mrl=True, isp=True, jccr=True,
+            cclm=True, mts_implicit=True, sao=True, deblocking=True,
+            alf=True, ccalf=True))
+        stream = enc.encode_sequence(frames)
+    finally:
+        os.environ.pop("VVENC_TPU_NATIVE_SEARCH", None)
+    decs = decode_stream(stream)
+    assert len(decs) == n

@@ -82,6 +82,9 @@ def parse_args(argv):
                    help="intra period in seconds (rounded to GOP)")
     p.add_argument("--wpp", action="store_true",
                    help="WPP: per-CTU-row substreams + entry points")
+    p.add_argument("--ifp", action="store_true",
+                   help="inter-frame parallelism (CTU-line-synchronized "
+                        "frame threads; motion statically restricted)")
     p.add_argument("--verify", action="store_true",
                    help="decode the produced stream and verify recon match")
     return p.parse_args(argv)
@@ -162,6 +165,8 @@ def main(argv=None):
         cfg.perceptual_qpa = args.qpa
     if args.wpp:
         cfg.wpp = 1
+    if args.ifp:
+        cfg.ifp = 1
     if args.refreshsec:
         cfg.refresh_sec = args.refreshsec
     if args.mt_profile:

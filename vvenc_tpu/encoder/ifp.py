@@ -109,17 +109,22 @@ def mv_access_ok(cu_or_none, ifp_bottom: Optional[int], y: int, h: int,
         y, h = cu.y, cu.h
         sub = getattr(cu, "sub_mi", None)
         if sub is not None:
+            # per-sub-block ref gating too: GEO grids carry per-block
+            # refs while the CU-level ref_idx stays unset
             mx = 0
             for row in sub:
                 for mi in row:
                     for li in (0, 1):
-                        if cu.ref_idx[li] >= 0:
+                        if cu.ref_idx[li] >= 0 or mi.ref_idx[li] >= 0:
                             mx = max(mx, mi.mv[li][1])
             return y + h + (mx >> 4) + MC_MARGIN <= ifp_bottom
-        if getattr(cu, "cpmv", None) is not None:
+        if getattr(cu, "affine", False):
             # affine CU whose sub-block grid is not derived yet: the
             # interior MV field extrapolates beyond the control points,
-            # so be conservative under restriction
+            # so be conservative under restriction.  (CuData.cpmv is a
+            # zero-filled tuple by default, so the gate must be the
+            # affine flag — keying on cpmv rejected every plain
+            # MMVD/SMVD/AMVR trial.)
             return False
         mv_pair, ref_idx = cu.mv, cu.ref_idx
     mx = 0

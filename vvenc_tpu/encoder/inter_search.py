@@ -139,6 +139,19 @@ class InterSearchMixin:
         merge_perfect = (self.enc.trial_filter is None and bool(scored)
                          and not any(t.root_cbf for t in trials))
         if merge_perfect:
+
+            import os as _os
+            if _os.environ.get("VTE_DBG_TRIALS"):
+                import sys as _sys
+                ks = []
+                for t in trials:
+                    ks.append("%s%s%s%s%s%s%s mv%s r%s" % (
+                        "S" if t.skip else "", "M" if t.merge else "",
+                        "V" if t.mmvd_flag else "", "G" if t.geo else "",
+                        "A" if t.affine else "", "D" if t.smvd else "",
+                        "I" if t.imv else "", t.mv, t.ref_idx))
+                print(f"PYTRIALS ({x},{y} {w}x{h}) n={len(trials)} " +
+                      " | ".join(ks), file=_sys.stderr)
             return self._finish_inter_trials(
                 x, y, w, h, part, trials, src_y, src_cb, src_cr, cscale,
                 qy, cx, cy2, cw, chh)
@@ -458,6 +471,19 @@ class InterSearchMixin:
                     if cu.root_cbf:
                         trials.append(cu)
 
+
+        import os as _os
+        if _os.environ.get("VTE_DBG_TRIALS"):
+            import sys as _sys
+            ks = []
+            for t in trials:
+                ks.append("%s%s%s%s%s%s%s mv%s r%s" % (
+                    "S" if t.skip else "", "M" if t.merge else "",
+                    "V" if t.mmvd_flag else "", "G" if t.geo else "",
+                    "A" if t.affine else "", "D" if t.smvd else "",
+                    "I" if t.imv else "", t.mv, t.ref_idx))
+            print(f"PYTRIALS ({x},{y} {w}x{h}) n={len(trials)} " +
+                  " | ".join(ks), file=_sys.stderr)
         return self._finish_inter_trials(
             x, y, w, h, part, trials, src_y, src_cb, src_cr, cscale, qy,
             cx, cy2, cw, chh)
@@ -841,7 +867,13 @@ class InterSearchMixin:
                 centers.append(c)
 
         fine = []                      # full-res refine centers
-        if R_ > 8 and w >= 8 and h >= 8 and self._use_device_me():
+        # under an IFP window both coarse stages are skipped: the ds4
+        # plane cache would snapshot reference rows that are still being
+        # produced (worker-timing dependent), so only the bounded
+        # predictor-centered fine search runs
+        if max_bottom is not None:
+            pass
+        elif R_ > 8 and w >= 8 and h >= 8 and self._use_device_me():
             # device pre-ME: the frame-level batched full search already
             # ran on the TPU for this (picture, reference) — its winner
             # for the block containing this CU replaces the numpy coarse
@@ -916,6 +948,13 @@ class InterSearchMixin:
         def mvd_bits(mvp):
             return (abs(mv[0] - mvp[0]) + abs(mv[1] - mvp[1])) >> 2
         mvp_idx = 0 if mvd_bits(amvp[0]) <= mvd_bits(amvp[1]) else 1
+        import os as _os
+        if _os.environ.get("VTE_DBG_ME"):
+            import sys as _sys
+            print(f"PYME ({x},{y} {w}x{h}) amvp({amvp[0][0]},{amvp[0][1]})"
+                  f"({amvp[1][0]},{amvp[1][1]}) int({best[1][0]},{best[1][1]})"
+                  f" mv({mv[0]},{mv[1]}) bot {max_bottom}",
+                  file=_sys.stderr)
         return mv, mvp_idx
 
     def _mc_cost(self, src_y, x, y, w, h, mv, ref_y, mvp):

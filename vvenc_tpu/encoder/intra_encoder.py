@@ -694,9 +694,11 @@ class IntraEncoder(SequenceOrchestratorMixin):
         ifp_nofilter = (ifp is not None and not cfg.deblocking
                         and not cfg.sao and not cfg.alf)
         if ifp is not None:
+            # QPA is IFP-safe: per-CTU lambdas/QPs come from display-order
+            # originals fixed before the threads start, and the CTU loop
+            # keeps lambda picture-local
             assert tiles_enc is None and not cfg.wpp \
-                and reshape is None and qpa_res is None, \
-                "IFP v1: raster scan, no LMCS/QPA"
+                and reshape is None, "IFP v1: raster scan, no LMCS"
 
         def _tree_cus(node, out):
             if node.cu is not None:
@@ -777,10 +779,13 @@ class IntraEncoder(SequenceOrchestratorMixin):
                 # the replay — the dqp delta coding depends on it.
                 saved_cur_qp = coder.cur_qp
                 coder.cur_qp = ctu_qp
-                searcher.lmbda = self.lmbda = \
-                    float(qpa_res.ctu_lambdas[addr])
-                searcher.lmbda_sad = self.lmbda_sad = \
-                    searcher.lmbda ** 0.5
+                searcher.lmbda = float(qpa_res.ctu_lambdas[addr])
+                searcher.lmbda_sad = searcher.lmbda ** 0.5
+                if ifp is None:
+                    # encoder-level lambda only outside IFP: IFP threads
+                    # share this object, lambda must stay picture-local
+                    self.lmbda = searcher.lmbda
+                    self.lmbda_sad = searcher.lmbda_sad
             with PROF.section("slice.ctu_search"):
                 tree = searcher.search_ctu(cx * ctu, cy * ctu, sw.enc.ctx)
             if saved_cur_qp is not None:
@@ -2427,11 +2432,27 @@ def _encode_inter_frame_job(args):
     """Process-pool worker: encode one inter picture against a DPB
     subset (FPP worker).  Returns (au, rec, motion_field, ref_pocs, qp)."""
     (cfg, poc, frame, st, refs_l0, refs_l1, qp_off, tlayer, dpb_sub,
-     lmcs, keep_pocs) = args
+     lmcs, keep_pocs, qpa_prev1, qpa_prev2, min_noise, bim_off) = args
     enc = IntraEncoder(cfg)
     enc.frames_done = 1          # inter pictures: no headers, TRAIL type
     enc.dpb = list(dpb_sub)
     enc.lmcs = lmcs
+    if cfg.qpa:
+        # perceptual QPA inputs, fixed per POC (wave-deterministic);
+        # stored at internal bit depth exactly as the serial path does
+        shift = cfg.bit_depth - cfg.input_bit_depth
+        if qpa_prev1 is not None:
+            enc._orig_by_poc[poc - 1] = {
+                c: qpa_prev1[c].astype(np.int32) << shift
+                for c in range(3)}
+        if qpa_prev2 is not None:
+            enc._orig_by_poc[poc - 2] = {
+                c: qpa_prev2[c].astype(np.int32) << shift
+                for c in range(3)}
+        if min_noise is not None:
+            enc.min_noise = min_noise
+    if bim_off is not None:
+        enc._bim_map = {poc: bim_off}
     au = enc._encode_picture(poc, frame, st, refs_l0, refs_l1, qp_off,
                              tlayer=tlayer, keep_pocs=keep_pocs)
     rec = dict(enc.last_rec.rec)

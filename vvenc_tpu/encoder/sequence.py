@@ -120,12 +120,21 @@ class SequenceOrchestratorMixin:
         # IFP (CTU-line-synchronized inter-frame parallelism): the motion
         # restriction is part of the bitstream contract, so the mode must
         # not depend on the worker count
+        # QPA works under IFP: the per-CTU lambdas/QPs derive from
+        # display-order originals pre-populated before the threads start,
+        # and the CTU loop keeps lambda picture-local
         ifp_mode = (cfg.ifp and cfg.bitrate == 0 and not cfg.rc_stats_out
-                    and not cfg.qpa and not cfg.lmcs and not cfg.wpp
+                    and not cfg.lmcs and not cfg.wpp
                     and cfg.tile_cols == 1 and cfg.tile_rows == 1)
+        # QPA is wave-safe: its inputs (display-order originals, the
+        # MCTF-settled min-noise stats, per-POC BIM offsets) are all
+        # fixed before encoding starts, so workers receive them by POC.
+        # Waves only pay off when a temporal layer actually holds >= 2
+        # frames (GOP >= 4): each worker job builds a fresh encoder, so
+        # single-frame waves are pure overhead.
         frame_parallel = (not ifp_mode and cfg.max_parallel_frames > 1
-                          and cfg.bitrate == 0
-                          and not cfg.rc_stats_out and not cfg.qpa)
+                          and cfg.bitrate == 0 and cfg.gop_size >= 4
+                          and not cfg.rc_stats_out)
         # frame-parallel encodes use the TL-independent GOP structure
         entries = build_gop(gop, max_refs=cfg.num_refs,
                             parallel=frame_parallel)
@@ -290,10 +299,20 @@ class SequenceOrchestratorMixin:
                          if p in self.dpb_protect and p != poc
                          and p not in refs_l0 and p not in refs_l1),
                         key=lambda p: abs(p - poc))
+                    # QPA worker inputs: display-order previous originals
+                    # (post-MCTF, as the serial path feeds them), the
+                    # settled min-noise stats and this POC's BIM offsets
+                    prev1 = frames[poc - 1] if cfg.qpa and poc >= 1 \
+                        else None
+                    prev2 = frames[poc - 2] if cfg.qpa and poc >= 2 \
+                        else None
+                    bim_off = getattr(self, "_bim_map", {}).get(poc)
                     jobs.append((cfg, poc, frames[poc], st, refs_l0,
                                  refs_l1, e.final_qp_offset(cfg.qp),
                                  e.temporal_layer, dpb_sub, self.lmcs,
-                                 keep_pocs))
+                                 keep_pocs, prev1, prev2,
+                                 self.min_noise if cfg.qpa else None,
+                                 bim_off))
                 if len(wave) == 1:
                     from .intra_encoder import _encode_inter_frame_job
                     results = [_encode_inter_frame_job(jobs[0])]
@@ -337,6 +356,16 @@ class SequenceOrchestratorMixin:
         prog = IfpProgress()
         for d in self.dpb:               # completed pictures: fully final
             prog.register(d[0], n_rows)
+        if cfg.qpa:
+            # pre-populate the display-order originals for QPA before any
+            # thread starts: _encode_picture's own store would otherwise
+            # race (which neighbors exist would depend on thread timing)
+            shift = cfg.bit_depth - cfg.input_bit_depth
+            for e in entries:
+                poc = base + e.poc_in_gop
+                self._orig_by_poc[poc] = {
+                    c: frames[poc][c].astype(np.int32) << shift
+                    for c in range(3)}
         handles = {}
         jobs = []
         for e in entries:

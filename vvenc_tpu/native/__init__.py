@@ -515,7 +515,7 @@ def _search_setup():
            ctypes.c_int, ctypes.c_int, ctypes.c_double,
            ctypes.c_double]
         + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
-        + [ctypes.c_int] * 2)
+        + [ctypes.c_int] * 3)
     _LIB.vte_search_ctu.restype = ctypes.c_int
     _LIB.vte_search_init_inter.argtypes = [_PI32]
     _LIB.vte_search_init_inter.restype = None
@@ -591,8 +591,7 @@ def search_eligible(searcher) -> bool:
               and not sps.transform_skip and not getattr(sps, "bdpcm", 0)
               and not coder.ibc_en and not coder.bdpcm_en
               and coder.reshape is None
-              and ps.tile_map is None
-              and searcher.ifp_bottom is None)
+              and ps.tile_map is None)
     if not common:
         return False
     if coder.is_intra_slice:
@@ -821,7 +820,8 @@ def search_ctu(searcher, ctu_x: int, ctu_y: int, live_ctx, commit=True):
         qp.joint_qp(), 1 if sps.isp else 0,
         float(searcher.cw[1]), float(searcher.cw[2]),
         ih, hm_ptr, hm_n,
-        1 if coder.use_dqp else 0, 1 if coder.dqp_coded else 0)
+        1 if coder.use_dqp else 0, 1 if coder.dqp_coded else 0,
+        -1 if searcher.ifp_bottom is None else int(searcher.ifp_bottom))
     try:
         rc = _LIB.vte_search_ctu(*args)
     except ctypes.ArgumentError:
