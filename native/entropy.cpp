@@ -3108,6 +3108,7 @@ struct InterCtx {
   bool use_dev_me = false;
   // host coarse-ME 1/4-res reference cache (lazy per (list, ref))
   std::vector<int32_t> ds_ref[2][8];
+  std::mutex ds_mtx;   // wavefront: concurrent per-CTU searches share this ctx
   int ds_w[2][8] = {}, ds_h[2][8] = {};
   // 1/4-res source blocks are built per CU on the fly
 
@@ -3215,7 +3216,10 @@ static int g_params[64][2];
 static int16_t g_weights[6][MASK_N][MASK_N];
 static int g_offs[4][4][64][2];
 static bool g_ready = false;
-static void init_tables() {
+static std::once_flag g_geo_once;
+static void init_tables_impl();
+static void init_tables() { std::call_once(g_geo_once, init_tables_impl); }
+static void init_tables_impl() {
   if (g_ready) return;
   int n = 0;
   for (int a = 0; a < 32; ++a)
@@ -7287,6 +7291,7 @@ struct Searcher {
     return double(sse) + pp.lmbda * bits;
   }
   const std::vector<int32_t>& ds4_ref(int li, int ri, int* dsw, int* dsh) {
+    std::lock_guard<std::mutex> _lk(ic->ds_mtx);
     if (ic->ds_ref[li][ri].empty()) {
       int rw = ic->pic_w, rh = ic->pic_h;
       int hh = (rh / 4) * 4, ww = (rw / 4) * 4;
@@ -8560,17 +8565,24 @@ struct Searcher {
     // neighbor availability depends on that ordering.  The motion
     // field/HMVP parallel the maps: the replay re-derives them.
     if (commit_state) {
-      region_restore_maps(ps, snap.reg);
-      if (ic) {
-        mf_restore(*ic, snap.mf);
-        hmvp = snap.hm;
+      if (!commit_keep) {
+        region_restore_maps(ps, snap.reg);
+        if (ic) {
+          mf_restore(*ic, snap.mf);
+          hmvp = snap.hm;
+        }
       }
+      // commit_keep (wavefront phase 1): the attribute maps / motion
+      // field / HMVP keep the committed state so wavefront-dependent
+      // CTUs search against it; the caller resets the picture arrays
+      // wholesale before the serial replay pass.
     } else {
       s_restore(snap);
     }
     return ok;
   }
   bool commit_state = false;
+  bool commit_keep = false;
   // EncModeCtrl save/load cache: (x, y, w, h, tree_type) -> trial list
   std::map<std::array<int, 5>, std::vector<TrialMode>> mode_cache;
 };
@@ -8922,6 +8934,7 @@ int vte_search_ctu(
   ProfScope _p(&g_prof_total);
   Searcher s;
   s.commit_state = commit != 0;
+  s.commit_keep = commit == 2;
   s.ic = reinterpret_cast<InterCtx*>(inter_ctx);
   s.use_dqp = use_dqp != 0;
   s.dqp_coded = dqp_coded != 0;
@@ -9039,6 +9052,38 @@ int vte_search_ctu(
   if (!wtr.ok) return -2;
   out_n[0] = wtr.tree_n;
   out_n[1] = wtr.coeff_n;
+  if (commit == 2) {
+    // wavefront phase 1: hand the row-chained state back to the caller.
+    // The estimator's context transitions are identical to the real
+    // arithmetic coder's, so the post-search states equal the writer's
+    // post-CTU states; HMVP and the dqp-coded flag chain the same way.
+    int n = g_soffs.num_ctx;
+    std::memcpy(const_cast<uint16_t*>(live_s0), s.est.s0.data(),
+                sizeof(uint16_t) * n);
+    std::memcpy(const_cast<uint16_t*>(live_s1), s.est.s1.data(),
+                sizeof(uint16_t) * n);
+    std::memcpy(const_cast<uint8_t*>(live_r0), s.est.r0.data(),
+                sizeof(uint8_t) * n);
+    std::memcpy(const_cast<uint8_t*>(live_r1), s.est.r1.data(),
+                sizeof(uint8_t) * n);
+    int hn = int(s.hmvp.size());
+    int32_t* hout = const_cast<int32_t*>(hmvp_init);
+    for (int i = 0; i < hn; ++i) {
+      const MI& mi = s.hmvp[i];
+      int32_t* r = hout + i * 12;
+      r[0] = mi.mv[0][0];
+      r[1] = mi.mv[0][1];
+      r[2] = mi.mv[1][0];
+      r[3] = mi.mv[1][1];
+      r[4] = mi.ref[0];
+      r[5] = mi.ref[1];
+      r[6] = mi.bcw;
+      r[7] = mi.alt;
+      r[8] = r[9] = r[10] = r[11] = 0;
+    }
+    out_n[2] = hn;
+    out_n[3] = s.dqp_coded ? 1 : 0;
+  }
   return 0;
 }
 
@@ -9776,7 +9821,10 @@ constexpr int ISCSBB = 0, SOCSBB = 1, EOCSBB = 2;
 
 static int64_t GOLOMB_BITS[4][RICEMAX];
 static bool g_golomb_init = false;
-static void init_golomb() {
+static std::once_flag g_golomb_once;
+static void init_golomb_impl();
+static void init_golomb() { std::call_once(g_golomb_once, init_golomb_impl); }
+static void init_golomb_impl() {
   if (g_golomb_init) return;
   for (int p = 0; p < 4; ++p)
     for (int v = 0; v < RICEMAX; ++v) {

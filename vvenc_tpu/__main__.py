@@ -114,6 +114,7 @@ def encoder_config_from(cfg, args) -> "EncoderConfig":
         dual_tree=bool(cfg.dual_i_tree),
         wpp=bool(cfg.wpp),
         max_parallel_frames=cfg.max_parallel_frames,
+        wpp_search_workers=(cfg.threads if cfg.threads > 0 else 0),
         ifp=bool(cfg.ifp), ifp_lines=cfg.ifp_lines,
         lookahead=bool(cfg.look_ahead),
         bdof=bool(cfg.bdof), dmvr=bool(cfg.dmvr),

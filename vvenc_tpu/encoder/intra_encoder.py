@@ -13,6 +13,8 @@ SyntaxCoder with the real arithmetic coder.
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass
 from typing import List, Optional
 
@@ -134,6 +136,8 @@ class EncoderConfig:
     bim: bool = False              # block importance mapping (MCTF-based
                                    # per-CTU QP offsets + noise tracking)
     wpp: bool = False              # WPP: per-CTU-row substreams + entry
+    wpp_search_workers: int = 0    # wavefront CTU-search threads
+                                   # (0 = auto, -1 = serial search)
                                    # points (entropy_coding_sync)
     tile_cols: int = 1             # tile columns (spatial sharding axis)
     tile_rows: int = 1             # tile rows
@@ -468,6 +472,194 @@ class IntraEncoder(SequenceOrchestratorMixin):
                                       [self.dpb[-1][0]], [])
         return au
 
+
+    def _wavefront_search(self, searcher, scan, qpa_res, n_cols, n_rows,
+                          slice_qp, init_id, workers):
+        """Phase-1 WPP wavefront search (vvenc EncSlice WPP threading
+        analog): every CTU's native search runs as a dependency-ordered
+        task — (r, c) after (r, c-1) and (r-1, c+1) — with row-chained
+        CABAC-estimator contexts seeded per the H.266 entropy-sync
+        storage process (after the first CTU of the row above), row-local
+        HMVP and dqp chains, and per-CTU QPA lambdas.  The estimator's
+        context transitions equal the real arithmetic coder's, so the
+        chained states match what the serial replay produces.  Commits
+        recon + marks natively; on return the attribute maps and motion
+        arrays are restored so the serial replay re-marks them
+        progressively.  Deterministic for any worker count (pure
+        dependencies).  Returns {ctu_addr: TreeNode}."""
+        import threading
+        from collections import deque
+        from .. import native
+        from ..bitstream.cabac import CabacEncoder, CtxModels
+        from ..bitstream.bitwriter import BitWriter
+        cfg = self.cfg
+        ps = searcher.ps
+        coder = searcher.coder
+        qp_state = searcher.qp
+        ctu = cfg.ctu_size
+
+        # snapshot the attribute maps + motion arrays (phase 2 replays
+        # them progressively from the pre-picture state)
+        maps = [ps.coded_luma, ps.intra_mode, ps.is_intra, ps.is_mip,
+                ps.cu_w, ps.cu_h, ps.qt_depth, ps.qp_map,
+                ps.coded_chroma, ps.ccu_w, ps.ccu_h, ps.cqt_depth]
+        snap_maps = [m.copy() for m in maps]
+        mf_arrays = []
+        if not coder.is_intra_slice:
+            mf = coder.mf
+            mf_arrays = [mf.valid, mf.mv, mf.ref, mf.bcw, mf.alt,
+                         mf.skipf, mf.isaff, mf.aff_valid, mf.aff_data]
+        snap_mf = [a.copy() for a in mf_arrays]
+
+        # per-CTU QP tuples (QPA varies the CTU QP; derive each distinct
+        # QP's luma/chroma/joint values once, single-threaded)
+        saved_q = coder.cur_qp
+        qp_of = {}
+
+        def qp_tuple(q):
+            t = qp_of.get(q)
+            if t is None:
+                qp_state.set_cu_qp(q)
+                t = (qp_state.luma_qp(), qp_state.chroma_qp(1),
+                     qp_state.chroma_qp(2), qp_state.qp_y,
+                     qp_state.joint_qp())
+                qp_of[q] = t
+            return t
+
+        tasks = {}
+        for _, cx, cy, _rs in scan:
+            addr = cy * n_cols + cx
+            if qpa_res is not None:
+                q = int(qpa_res.ctu_qps[addr])
+                lmb = float(qpa_res.ctu_lambdas[addr])
+            else:
+                q = coder.cur_qp
+                lmb = searcher.lmbda
+            tasks[(cy, cx)] = (addr, qp_tuple(q), lmb)
+        qp_state.set_cu_qp(saved_q)
+        coder.cur_qp = saved_q
+
+        # per-row chained state
+        def fresh_ctx():
+            enc = CabacEncoder(BitWriter())
+            enc.init_ctx(slice_qp, init_id)
+            return enc.ctx
+
+        row_ctx = {0: fresh_ctx()}
+        row_sync = {}                      # r -> ctx copy after (r, 0)
+        row_hmvp = {r: np.zeros((8, 12), np.int32) for r in range(n_rows)}
+        row_hmvp_n = {r: 0 for r in range(n_rows)}
+        row_dqp = {r: False for r in range(n_rows)}
+
+        trees = {}
+        lock = threading.Lock()
+        cv = threading.Condition(lock)
+        deps = {}
+        for (cy, cx) in tasks:
+            d = (1 if cx > 0 else 0) + (1 if cy > 0 else 0)
+            deps[(cy, cx)] = d
+        ready = deque(k for k, d in deps.items() if d == 0)
+        done = set()
+        err = []
+        tls = threading.local()
+
+        def release(k):
+            cy, cx = k
+            done.add(k)
+            if cx == 0 and cy + 1 < n_rows:
+                # H.266 WPP sync point: contexts after the first CTU
+                row_sync[cy] = CtxModels(row_ctx[cy])
+            rel = [(cy, cx + 1)]
+            if cx > 0:
+                rel.append((cy + 1, cx - 1))
+            if cx == n_cols - 1:
+                # last column: there is no (r, c+1) above the row below's
+                # last CTU — its above-dependency is this CTU itself
+                rel.append((cy + 1, cx))
+            for dep_k in rel:
+                if dep_k in deps:
+                    deps[dep_k] -= 1
+                    if deps[dep_k] == 0:
+                        ready.append(dep_k)
+            # row r's first CTU additionally waits for row r-1's second
+            # CTU (handled via the (r-1, c+1) rule: (r, 0) depends on
+            # (r-1, 1)); seed its ctx lazily when it becomes ready
+            cv.notify_all()
+
+        def run_one(k):
+            cy, cx = k
+            addr, qpt, lmb = tasks[k]
+            with lock:
+                if cy > 0 and cy not in row_ctx:
+                    row_ctx[cy] = CtxModels(row_sync[cy - 1]) \
+                        if (cy - 1) in row_sync else fresh_ctx()
+            bufs = getattr(tls, "bufs", None)
+            if bufs is None:
+                bufs = (np.empty(1 << 16, np.int32),
+                        np.empty(1 << 16, np.int32),
+                        np.empty(4, np.int32))
+                tls.bufs = bufs
+            wf = {"ctx": row_ctx[cy], "hmvp": row_hmvp[cy],
+                  "hmvp_n": row_hmvp_n[cy], "dqp_coded": row_dqp[cy],
+                  "lmbda": lmb, "lmbda_sad": lmb ** 0.5, "qp": qpt,
+                  "bufs": bufs}
+            res = native.search_ctu(searcher, cx * ctu, cy * ctu, None,
+                                    commit=True, wavefront=wf)
+            if res is None:
+                raise RuntimeError("native wavefront search failed")
+            node, hn, dqp = res
+            trees[addr] = node
+            row_hmvp_n[cy] = hn
+            row_dqp[cy] = dqp
+
+        def worker():
+            while True:
+                with cv:
+                    while not ready and len(done) < len(tasks) and not err:
+                        cv.wait()
+                    if err or len(done) >= len(tasks):
+                        return
+                    k = ready.popleft()
+                try:
+                    run_one(k)
+                except BaseException as e:   # noqa: BLE001
+                    with cv:
+                        err.append(e)
+                        cv.notify_all()
+                    return
+                with cv:
+                    release(k)
+
+        # run (0, 0) synchronously first: it builds the per-picture
+        # native prep (and the inter context) without races
+        with cv:
+            k0 = ready.popleft()
+        run_one(k0)
+        with cv:
+            release(k0)
+        nthreads = max(1, min(workers, n_rows))
+        ths = [threading.Thread(target=worker) for _ in range(nthreads)]
+        for t in ths:
+            t.start()
+        for t in ths:
+            t.join()
+        if err:
+            raise err[0]
+        assert len(done) == len(tasks)
+
+        # phase 2 precondition: restore maps + motion to the pre-picture
+        # state (the serial replay re-marks them progressively)
+        for m, sn in zip(maps, snap_maps):
+            m[...] = sn
+        for a, sn in zip(mf_arrays, snap_mf):
+            a[...] = sn
+        if not coder.is_intra_slice:
+            # object-typed AffineInfo grid: only the replay populates it
+            # (the native search uses the int mirror arrays), reset it
+            # alongside the mirrors
+            coder.mf.aff[...] = None
+        return trees
+
     def _encode_picture(self, poc, planes8, slice_type, refs_l0, refs_l1,
                         qp_offset=0, tlayer=0, ifp=None,
                         keep_pocs=None) -> bytes:
@@ -744,6 +936,22 @@ class IntraEncoder(SequenceOrchestratorMixin):
             # motion bound subtracts that strip (see the CTU loop)
             ifp.publish(r + 1)
 
+        # WPP wavefront CTU search (phase 1): all trees are decided by
+        # dependency-ordered parallel native searches; the loop below
+        # then replays them serially (byte-identical for any worker
+        # count — the chains are pure functions of the dependencies)
+        wf_trees = None
+        if ifp is None and tiles_enc is None and cfg.wpp \
+                and cfg.wpp_search_workers >= 0 \
+                and os.environ.get("VVENC_TPU_NATIVE_SEARCH", "1") == "1":
+            from .. import native as _nat
+            if _nat.available() and _nat.search_eligible(searcher):
+                wf_workers = cfg.wpp_search_workers or 2
+                with PROF.section("slice.ctu_search"):
+                    wf_trees = self._wavefront_search(
+                        searcher, scan, qpa_res, n_cols, n_rows,
+                        slice_qp, init_id, wf_workers)
+
         prev_tile, prev_cy = -1, -1
         for ti, cx, cy, row_start in scan:
             if tiles_enc is not None and ti != prev_tile:
@@ -787,7 +995,10 @@ class IntraEncoder(SequenceOrchestratorMixin):
                     self.lmbda = searcher.lmbda
                     self.lmbda_sad = searcher.lmbda_sad
             with PROF.section("slice.ctu_search"):
-                tree = searcher.search_ctu(cx * ctu, cy * ctu, sw.enc.ctx)
+                tree = wf_trees[cy * n_cols + cx] \
+                    if wf_trees is not None \
+                    else searcher.search_ctu(cx * ctu, cy * ctu,
+                                             sw.enc.ctx)
             if saved_cur_qp is not None:
                 coder.cur_qp = saved_cur_qp
             if qpa_res is not None:

@@ -711,7 +711,8 @@ def inter_setup(searcher):
     return handle
 
 
-def search_ctu(searcher, ctu_x: int, ctu_y: int, live_ctx, commit=True):
+def search_ctu(searcher, ctu_x: int, ctu_y: int, live_ctx, commit=True,
+               wavefront=None):
     """Run the native CTU search; returns the TreeNode (same tree the
     Python searcher produces) or None on native-side failure.
 
@@ -719,7 +720,18 @@ def search_ctu(searcher, ctu_x: int, ctu_y: int, live_ctx, commit=True):
     marks in the picture state and flags the CUs recon_done so the
     writer replay skips finish_cu's re-reconstruction.  Pass False when
     a Python search will run on the same state afterwards (check
-    mode)."""
+    mode).
+
+    wavefront: phase-1 WPP mode (commit==2 in C++) — a dict carrying the
+    CTU's row-chained state instead of the live coder state:
+      ctx: object with state0/state1/rate0/rate1 arrays (written back)
+      hmvp: int32 [N,12] row buffer, hmvp_n: live rows (returned count)
+      dqp_coded: bool (returned), lmbda/lmbda_sad: per-CTU lambda
+      qp: (luma, cb, cr, qp_y, joint) per-CTU QPs
+      bufs: (out_tree, out_coeff, out_n) per-thread buffers
+    The searcher keeps its committed maps/motion (no restore); the
+    caller resets the picture arrays before the serial replay.  Returns
+    (tree, hmvp_n, dqp_coded)."""
     from ..codec.ctu_syntax import (CHROMA_TREE, MODE_INTRA, NO_SPLIT,
                                     TREE_L, CuData, PartInfo, TreeNode,
                                     implicit_split, split_geometry)
@@ -770,7 +782,7 @@ def search_ctu(searcher, ctu_x: int, ctu_y: int, live_ctx, commit=True):
         }
         out_tree = np.empty(1 << 16, np.int32)
         out_coeff = np.empty(1 << 16, np.int32)
-        out_n = np.empty(2, np.int32)
+        out_n = np.empty(4, np.int32)
         prep = (src, presel_meta, presel_ptrs, presel_keep, sps_arr,
                 out_tree, out_coeff, out_n, plan_meta, plan_ptrs)
         searcher._nsearch_prep = prep
@@ -785,9 +797,34 @@ def search_ctu(searcher, ctu_x: int, ctu_y: int, live_ctx, commit=True):
         _hm_keep = None
     else:
         ih = inter_setup(searcher)
-        _hm_keep = _mi_rows(coder.hmvp.lut)
-        hm_ptr = _hm_keep.ctypes.data
-        hm_n = len(_hm_keep)
+        if wavefront is not None:
+            _hm_keep = wavefront["hmvp"]
+            hm_ptr = _hm_keep.ctypes.data
+            hm_n = int(wavefront["hmvp_n"])
+        else:
+            _hm_keep = _mi_rows(coder.hmvp.lut)
+            hm_ptr = _hm_keep.ctypes.data
+            hm_n = len(_hm_keep)
+
+    if wavefront is not None:
+        wctx = wavefront["ctx"]
+        st0, st1 = wctx.state0, wctx.state1
+        rt0, rt1 = wctx.rate0, wctx.rate1
+        qp_l, qp_cb, qp_cr, qp_yv, qp_jc = wavefront["qp"]
+        lmb = float(wavefront["lmbda"])
+        lmb_sad = float(wavefront["lmbda_sad"])
+        dqpc = 1 if wavefront["dqp_coded"] else 0
+        commit_flag = 2
+        out_tree, out_coeff, out_n = wavefront["bufs"]
+    else:
+        st0, st1 = live_ctx.state0, live_ctx.state1
+        rt0, rt1 = live_ctx.rate0, live_ctx.rate1
+        qp_l, qp_cb, qp_cr = qp.luma_qp(), qp.chroma_qp(1), qp.chroma_qp(2)
+        qp_yv, qp_jc = qp.qp_y, qp.joint_qp()
+        lmb = float(searcher.lmbda)
+        lmb_sad = float(searcher.lmbda_sad)
+        dqpc = 1 if coder.dqp_coded else 0
+        commit_flag = 1 if commit else 0
 
     args = (
         ps.w, ps.h, cfg.bit_depth, ctu_x, ctu_y, cfg.ctu_size,
@@ -800,27 +837,27 @@ def search_ctu(searcher, ctu_x: int, ctu_y: int, live_ctx, commit=True):
         _u8p(b8(ps.coded_chroma)), _i32p(ps.ccu_w), _i32p(ps.ccu_h),
         _i32p(ps.cqt_depth),
         ps.coded_chroma.shape[0], ps.coded_chroma.shape[1],
-        _u16p(live_ctx.state0), _u16p(live_ctx.state1),
-        _u8p(live_ctx.rate0), _u8p(live_ctx.rate1),
+        _u16p(st0), _u16p(st1),
+        _u8p(rt0), _u8p(rt1),
         _i32p(sps_arr["min_qt"]), _i32p(sps_arr["max_mtt"]),
         _i32p(sps_arr["max_bt"]), _i32p(sps_arr["max_tt"]),
-        sps.log2_min_cb_size, qp.luma_qp(), qp.chroma_qp(1),
-        qp.chroma_qp(2), qp.qp_y, float(searcher.lmbda),
-        float(searcher.lmbda_sad), cfg.num_full_rd_modes,
+        sps.log2_min_cb_size, qp_l, qp_cb,
+        qp_cr, qp_yv, lmb,
+        lmb_sad, cfg.num_full_rd_modes,
         cfg.num_chroma_rd_modes, 1 if cfg.sign_data_hiding else 0,
         1 if coder.dual_tree_intra else 0, 1 if sps.cclm else 0,
         1 if coder.implicit_mts else 0, coder.tree_idx,
         len(presel_meta), _i32p(presel_meta), presel_ptrs.ctypes.data,
         len(plan_meta), _i32p(plan_meta), plan_ptrs.ctypes.data,
         _i32p(out_tree), len(out_tree), _i32p(out_coeff), len(out_coeff),
-        out_n.ctypes.data, 1 if commit else 0,
+        out_n.ctypes.data, commit_flag,
         1 if cfg.dep_quant else 0, 1 if sps.mip else 0,
         1 if sps.mrl else 0, 1 if sps.lfnst else 0,
         1 if coder.jccr else 0, 1 if coder.jccr_sign else 0,
-        qp.joint_qp(), 1 if sps.isp else 0,
+        qp_jc, 1 if sps.isp else 0,
         float(searcher.cw[1]), float(searcher.cw[2]),
         ih, hm_ptr, hm_n,
-        1 if coder.use_dqp else 0, 1 if coder.dqp_coded else 0,
+        1 if coder.use_dqp else 0, dqpc,
         -1 if searcher.ifp_bottom is None else int(searcher.ifp_bottom))
     try:
         rc = _LIB.vte_search_ctu(*args)
@@ -1003,6 +1040,8 @@ def search_ctu(searcher, ctu_x: int, ctu_y: int, live_ctx, commit=True):
         node = read_node(ctu_x, ctu_y, ctu, ctu, PartInfo())
     assert state["ti"] == int(out_n[0]) and state["ci"] == int(out_n[1]), \
         "native search serialization mismatch"
+    if wavefront is not None:
+        return node, int(out_n[2]), bool(out_n[3])
     return node
 
 
