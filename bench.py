@@ -251,11 +251,14 @@ def main():
                                    if secondary[key2] and ref2 else None)
     # config 3: 1080p random-access preset medium + perceptual QPA
     # (BASELINE config 3): the full medium inter toolset runs in the
-    # native searcher; reference measured in-run at the same GOP/QPA
-    timed_subprocess_encode("ra_1080p_gop4_medium_qpa_fps", 1920, 1080, 6,
+    # native searcher, WPP wavefront search across both cores (the
+    # reference's default threading also rides WPP); reference measured
+    # in-run at the same GOP/QPA
+    timed_subprocess_encode("ra_1080p_gop4_medium_qpa_fps", 1920, 1080, 9,
                             32, "medium",
                             ["--gop-size", "2", "--intra-period", "0",
-                             "--qpa", "1"], timeout_s=620,
+                             "--qpa", "1", "--wpp", "--threads", "2"],
+                            timeout_s=620,
                             ref_extra=["--IntraPeriod=64",
                                        "--PerceptQPA=1"],
                             ref_timeout=300)
