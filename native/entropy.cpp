@@ -1721,49 +1721,96 @@ void vte_predict_modes(const int32_t* top, int top_len, const int32_t* left,
 
 namespace satd {
 
-// vvenc-convention Hadamard SATD of one ts x ts tile of differences
-static int64_t tile(const int32_t* d, int stride, int ts) {
-  int64_t m[8][8], t[8][8];
-  // rows: H @ d  (Hadamard via butterflies would be faster; the direct
-  // form keeps the port obviously identical to the numpy model)
-  static const int H4[4][4] = {
-      {1, 1, 1, 1}, {1, -1, 1, -1}, {1, 1, -1, -1}, {1, -1, -1, 1}};
-  static const int H8[8][8] = {
-      {1, 1, 1, 1, 1, 1, 1, 1},   {1, -1, 1, -1, 1, -1, 1, -1},
-      {1, 1, -1, -1, 1, 1, -1, -1}, {1, -1, -1, 1, 1, -1, -1, 1},
-      {1, 1, 1, 1, -1, -1, -1, -1}, {1, -1, 1, -1, -1, 1, -1, 1},
-      {1, 1, -1, -1, -1, -1, 1, 1}, {1, -1, -1, 1, -1, 1, 1, -1}};
-  for (int i = 0; i < ts; ++i)
-    for (int j = 0; j < ts; ++j) {
-      int64_t acc = 0;
-      for (int k = 0; k < ts; ++k)
-        acc += int64_t(ts == 8 ? H8[i][k] : H4[i][k]) * d[k * stride + j];
-      t[i][j] = acc;
+// vvenc-convention Hadamard SATD of one ts x ts tile of differences.
+// Fast Walsh-Hadamard butterflies: the integer +- sums are exactly the
+// direct H @ d @ H products (a butterfly stage ordering only permutes
+// the output coefficients, and sum(|m|) is permutation-invariant; the
+// 4x4 DC term is the plain tile sum, computed directly).
+static inline void hbfly8(int32_t v[8]) {
+  int32_t a0 = v[0] + v[4], a1 = v[1] + v[5], a2 = v[2] + v[6],
+          a3 = v[3] + v[7];
+  int32_t a4 = v[0] - v[4], a5 = v[1] - v[5], a6 = v[2] - v[6],
+          a7 = v[3] - v[7];
+  int32_t b0 = a0 + a2, b1 = a1 + a3, b2 = a0 - a2, b3 = a1 - a3;
+  int32_t b4 = a4 + a6, b5 = a5 + a7, b6 = a4 - a6, b7 = a5 - a7;
+  v[0] = b0 + b1;
+  v[1] = b0 - b1;
+  v[2] = b2 + b3;
+  v[3] = b2 - b3;
+  v[4] = b4 + b5;
+  v[5] = b4 - b5;
+  v[6] = b6 + b7;
+  v[7] = b6 - b7;
+}
+static inline void hbfly4(int32_t v[4]) {
+  int32_t a0 = v[0] + v[2], a1 = v[1] + v[3];
+  int32_t a2 = v[0] - v[2], a3 = v[1] - v[3];
+  v[0] = a0 + a1;
+  v[1] = a0 - a1;
+  v[2] = a2 + a3;
+  v[3] = a2 - a3;
+}
+static int64_t tile8(const int32_t* s, const int32_t* p, int stride) {
+  int32_t m[8][8];
+  for (int i = 0; i < 8; ++i) {
+    const int32_t* sr = s + size_t(i) * stride;
+    const int32_t* pr = p + size_t(i) * stride;
+    for (int j = 0; j < 8; ++j) m[i][j] = sr[j] - pr[j];
+    hbfly8(m[i]);
+  }
+  for (int j = 0; j < 8; ++j) {
+    int32_t c[8];
+    for (int i = 0; i < 8; ++i) c[i] = m[i][j];
+    hbfly8(c);
+    for (int i = 0; i < 8; ++i) m[i][j] = c[i];
+  }
+  int64_t sum = 0;
+  for (int i = 0; i < 8; ++i)
+    for (int j = 0; j < 8; ++j) sum += std::abs(m[i][j]);
+  return (sum + 2) >> 2;
+}
+static int64_t tile4(const int32_t* s, const int32_t* p, int stride) {
+  int32_t m[4][4];
+  int32_t dc = 0;
+  for (int i = 0; i < 4; ++i) {
+    const int32_t* sr = s + size_t(i) * stride;
+    const int32_t* pr = p + size_t(i) * stride;
+    for (int j = 0; j < 4; ++j) {
+      m[i][j] = sr[j] - pr[j];
+      dc += m[i][j];
     }
-  for (int i = 0; i < ts; ++i)
-    for (int j = 0; j < ts; ++j) {
-      int64_t acc = 0;
-      for (int k = 0; k < ts; ++k)
-        acc += t[i][k] * int64_t(ts == 8 ? H8[k][j] : H4[k][j]);
-      m[i][j] = acc;
-    }
-  int64_t s = 0;
-  for (int i = 0; i < ts; ++i)
-    for (int j = 0; j < ts; ++j) s += std::abs(m[i][j]);
-  if (ts == 8) return (s + 2) >> 2;
-  int64_t dc = std::abs(m[0][0]);
-  return ((s - dc + (dc >> 2)) + 1) >> 1;
+    hbfly4(m[i]);
+  }
+  for (int j = 0; j < 4; ++j) {
+    int32_t c[4] = {m[0][j], m[1][j], m[2][j], m[3][j]};
+    hbfly4(c);
+    m[0][j] = c[0];
+    m[1][j] = c[1];
+    m[2][j] = c[2];
+    m[3][j] = c[3];
+  }
+  int64_t sum = 0;
+  for (int i = 0; i < 4; ++i)
+    for (int j = 0; j < 4; ++j) sum += std::abs(m[i][j]);
+  int64_t adc = std::abs(int64_t(dc));
+  return ((sum - adc + (adc >> 2)) + 1) >> 1;
 }
 
 static int64_t block(const int32_t* src, const int32_t* pred, int w,
                      int h) {
   int ts = (h % 8 == 0 && w % 8 == 0) ? 8 : 4;
-  std::vector<int32_t> d(size_t(h) * w);
-  for (size_t i = 0; i < size_t(h) * w; ++i) d[i] = src[i] - pred[i];
   int64_t s = 0;
-  for (int by = 0; by < h; by += ts)
-    for (int bx = 0; bx < w; bx += ts)
-      s += tile(d.data() + size_t(by) * w + bx, w, ts);
+  if (ts == 8) {
+    for (int by = 0; by < h; by += 8)
+      for (int bx = 0; bx < w; bx += 8)
+        s += tile8(src + size_t(by) * w + bx, pred + size_t(by) * w + bx,
+                   w);
+  } else {
+    for (int by = 0; by < h; by += 4)
+      for (int bx = 0; bx < w; bx += 4)
+        s += tile4(src + size_t(by) * w + bx, pred + size_t(by) * w + bx,
+                   w);
+  }
   return s;
 }
 
@@ -9753,6 +9800,13 @@ void vte_alf_stats(const int32_t* rec, const int32_t* orig, int h, int w,
     int o[6];
     bool near;
     vb_taps(y & (ctu_size - 1), vb_pos, is_chroma, o, &near);
+    // hoisted row base pointers per vertical offset (edge-clamped rows)
+    const int32_t* rp[7];
+    for (int d = -3; d <= 3; ++d) {
+      int yy = y + off_of(o, d);
+      yy = yy < 0 ? 0 : (yy >= h ? h - 1 : yy);
+      rp[d + 3] = rec + size_t(yy) * w;
+    }
     for (int x = 0; x < w; ++x) {
       int c = 0, t = 0;
       if (!is_chroma) {
@@ -9760,23 +9814,45 @@ void vte_alf_stats(const int32_t* rec, const int32_t* orig, int h, int w,
         t = trn[(y >> 2) * cls_w + (x >> 2)];
       }
       int64_t curr = rec[size_t(y) * w + x];
-      for (int g = 0; g < n_taps; ++g) {
-        int dy0, dx0, dy1, dx1;
-        if (is_chroma) {
-          dy0 = CHROMA_TAPS[g][0][0]; dx0 = CHROMA_TAPS[g][0][1];
-          dy1 = CHROMA_TAPS[g][1][0]; dx1 = CHROMA_TAPS[g][1][1];
-        } else {
-          dy0 = LUMA_TAPS[g][0][0]; dx0 = LUMA_TAPS[g][0][1];
-          dy1 = LUMA_TAPS[g][1][0]; dx1 = LUMA_TAPS[g][1][1];
+      const bool interior = x >= 3 && x + 3 < w;
+      if (n_clip == 1 && interior) {
+        // hot path: the k=0 clip bound is 1<<bit_depth, which no
+        // sample difference can exceed — E is the plain tap sums
+        for (int g = 0; g < n_taps; ++g) {
+          int dy0, dx0, dy1, dx1;
+          if (is_chroma) {
+            dy0 = CHROMA_TAPS[g][0][0]; dx0 = CHROMA_TAPS[g][0][1];
+            dy1 = CHROMA_TAPS[g][1][0]; dx1 = CHROMA_TAPS[g][1][1];
+          } else {
+            dy0 = LUMA_TAPS[g][0][0]; dx0 = LUMA_TAPS[g][0][1];
+            dy1 = LUMA_TAPS[g][1][0]; dx1 = LUMA_TAPS[g][1][1];
+          }
+          int ci = is_chroma ? g : TR7[t][g];
+          E[ci] = (int64_t(rp[dy0 + 3][x + dx0]) - curr) +
+                  (int64_t(rp[dy1 + 3][x + dx1]) - curr);
         }
-        int64_t d0 = at(rec, h, w, y + off_of(o, dy0), x + dx0) - curr;
-        int64_t d1 = at(rec, h, w, y + off_of(o, dy1), x + dx1) - curr;
-        int ci = is_chroma ? g : TR7[t][g];
-        for (int k = 0; k < n_clip; ++k) {
-          int64_t lim = cv[k];
-          int64_t a = d0 < -lim ? -lim : (d0 > lim ? lim : d0);
-          int64_t b2 = d1 < -lim ? -lim : (d1 > lim ? lim : d1);
-          E[size_t(k) * n_taps + ci] = a + b2;
+      } else {
+        for (int g = 0; g < n_taps; ++g) {
+          int dy0, dx0, dy1, dx1;
+          if (is_chroma) {
+            dy0 = CHROMA_TAPS[g][0][0]; dx0 = CHROMA_TAPS[g][0][1];
+            dy1 = CHROMA_TAPS[g][1][0]; dx1 = CHROMA_TAPS[g][1][1];
+          } else {
+            dy0 = LUMA_TAPS[g][0][0]; dx0 = LUMA_TAPS[g][0][1];
+            dy1 = LUMA_TAPS[g][1][0]; dx1 = LUMA_TAPS[g][1][1];
+          }
+          int x0 = x + dx0, x1 = x + dx1;
+          x0 = x0 < 0 ? 0 : (x0 >= w ? w - 1 : x0);
+          x1 = x1 < 0 ? 0 : (x1 >= w ? w - 1 : x1);
+          int64_t d0 = int64_t(rp[dy0 + 3][x0]) - curr;
+          int64_t d1 = int64_t(rp[dy1 + 3][x1]) - curr;
+          int ci = is_chroma ? g : TR7[t][g];
+          for (int k = 0; k < n_clip; ++k) {
+            int64_t lim = cv[k];
+            int64_t a = d0 < -lim ? -lim : (d0 > lim ? lim : d0);
+            int64_t b2 = d1 < -lim ? -lim : (d1 > lim ? lim : d1);
+            E[size_t(k) * n_taps + ci] = a + b2;
+          }
         }
       }
       int64_t err = int64_t(orig[size_t(y) * w + x]) - curr;
